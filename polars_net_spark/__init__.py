@@ -1,0 +1,73 @@
+"""polars_net_spark — a PySpark-native analytics engine with the query surface
+of ErrorLSC/Polars.NET (reference at /root/reference, see SURVEY.md).
+
+Everything compiles to the Spark DataFrame API; Catalyst + AQE are the
+optimizer and scheduler.  Public API mirrors the reference's `pl.*` module
+(Polars.FSharp/Polars.fs:21-299) in Python idiom.
+"""
+
+from .exprs import (
+    Expr,
+    as_struct,
+    col,
+    cols,
+    concat_str,
+    lit,
+    lit_datetime,
+    when,
+)
+from .frame import DataFrame, GroupBy, LazyFrame, concat
+from .io import (
+    from_arrow,
+    from_batches,
+    from_pandas,
+    from_records,
+    read_csv,
+    read_ipc,
+    read_json,
+    read_parquet,
+    scan_csv,
+    scan_ipc,
+    scan_jdbc,
+    scan_ndjson,
+    scan_parquet,
+)
+from .series import Series
+from .session import get_spark, stop_spark
+from .sql import SQLContext
+from . import selectors as cs  # polars convention: `import polars.selectors as cs`
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Expr",
+    "col",
+    "cols",
+    "lit",
+    "lit_datetime",
+    "when",
+    "concat_str",
+    "as_struct",
+    "DataFrame",
+    "LazyFrame",
+    "GroupBy",
+    "concat",
+    "Series",
+    "SQLContext",
+    "get_spark",
+    "stop_spark",
+    "cs",
+    "scan_parquet",
+    "read_parquet",
+    "scan_csv",
+    "read_csv",
+    "scan_ndjson",
+    "read_json",
+    "read_ipc",
+    "scan_ipc",
+    "from_arrow",
+    "from_batches",
+    "from_pandas",
+    "from_records",
+    "scan_jdbc",
+]

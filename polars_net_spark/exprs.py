@@ -1,0 +1,956 @@
+"""Expr: composable column expressions compiled directly to pyspark Columns.
+
+Mirrors the reference's expression surface (/root/reference native_shim/src/expr.rs,
+~120 constructors; F# namespaces Polars.FSharp/Exprs.fs:22-30) but compiles each
+node straight to a ``pyspark.sql.Column`` — no custom IR, Catalyst is the
+optimizer (SURVEY.md §4).  Namespaces: ``.str``, ``.dt``, ``.list``, ``.struct``,
+``.name`` as accessor objects, like the reference.
+
+Positional operations (shift/diff/rolling/fills) are window functions in Spark
+and therefore need an ordering.  Polars implicitly uses the frame's row order;
+a distributed engine has none, so these take an ``order_by`` argument and
+default to the hidden row-order column that ``LazyFrame.with_row_index()``
+maintains (SURVEY.md §7.0).  Scale note: an *unpartitioned* positional window
+is a single-task bottleneck by construction — callers should supply
+``partition_by`` (e.g. via ``.over()``) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._fmt import parse_polars_duration_us, strftime_to_java
+
+__all__ = [
+    "Expr",
+    "col",
+    "cols",
+    "lit",
+    "lit_datetime",
+    "when",
+    "concat_str",
+    "ROW_ORDER_COL",
+]
+
+ROW_ORDER_COL = "__row_order__"
+
+# ---------------------------------------------------------------------------
+# dtype name → Spark type. Mirrors the reference's canonical enum
+# (native_shim/src/datatypes.rs:51-79) with the documented widenings for
+# unsigned ints / Time / Categorical (SURVEY.md §1.3).
+_DTYPES: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "i8": T.ByteType(),
+    "int8": T.ByteType(),
+    "i16": T.ShortType(),
+    "int16": T.ShortType(),
+    "i32": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "int": T.IntegerType(),
+    "i64": T.LongType(),
+    "int64": T.LongType(),
+    "long": T.LongType(),
+    "u8": T.ShortType(),  # widened: Spark has no unsigned ints
+    "u16": T.IntegerType(),
+    "u32": T.LongType(),
+    "u64": T.DecimalType(20, 0),
+    "f32": T.FloatType(),
+    "float32": T.FloatType(),
+    "float": T.FloatType(),
+    "f64": T.DoubleType(),
+    "float64": T.DoubleType(),
+    "double": T.DoubleType(),
+    "str": T.StringType(),
+    "string": T.StringType(),
+    "utf8": T.StringType(),
+    "date": T.DateType(),
+    "datetime": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "datetime_ntz": T.TimestampNTZType(),
+    "time": T.LongType(),  # nanoseconds since midnight (reference Time dtype)
+    "duration": T.DayTimeIntervalType(),
+    "binary": T.BinaryType(),
+    "null": T.NullType(),
+    "categorical": T.StringType(),  # erased to string (no categorical-specific ops in ref)
+}
+
+
+def _to_spark_type(dtype: str | T.DataType) -> T.DataType:
+    if isinstance(dtype, T.DataType):
+        return dtype
+    key = dtype.strip().lower()
+    if key in _DTYPES:
+        return _DTYPES[key]
+    if key.startswith("decimal"):
+        inner = key[key.index("(") + 1 : key.index(")")]
+        p, s = (int(x) for x in inner.split(","))
+        return T.DecimalType(p, s)
+    raise ValueError(f"unknown dtype {dtype!r}")
+
+
+def _c(x: "Expr | Column | Any") -> Column:
+    """Coerce an operand to a Column (Expr unwraps; scalars become literals)."""
+    if isinstance(x, Expr):
+        return x._col
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+def _wrap(c: Column) -> "Expr":
+    return Expr(c)
+
+
+def _order_cols(order_by: Any) -> list[Column]:
+    if order_by is None:
+        return [F.col(ROW_ORDER_COL)]
+    if isinstance(order_by, (list, tuple)):
+        return [_c(o) for o in order_by]
+    return [_c(order_by)]
+
+
+class Expr:
+    """Composable expression; wraps one pyspark Column."""
+
+    __slots__ = ("_col",)
+
+    def __init__(self, column: Column):
+        self._col = column
+
+    # -- interop ----------------------------------------------------------
+    def to_column(self) -> Column:
+        return self._col
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Expr<{self._col}>"
+
+    # -- naming (expr.rs:283-291, 891-914) --------------------------------
+    def alias(self, name: str) -> "Expr":
+        return _wrap(self._col.alias(name))
+
+    @property
+    def name(self) -> "ExprNameNamespace":
+        return ExprNameNamespace(self)
+
+    # -- comparisons (expr.rs:223-228) ------------------------------------
+    def __eq__(self, other: Any) -> "Expr":  # type: ignore[override]
+        return _wrap(self._col == _c(other))
+
+    def __ne__(self, other: Any) -> "Expr":  # type: ignore[override]
+        return _wrap(self._col != _c(other))
+
+    def __gt__(self, other: Any) -> "Expr":
+        return _wrap(self._col > _c(other))
+
+    def __ge__(self, other: Any) -> "Expr":
+        return _wrap(self._col >= _c(other))
+
+    def __lt__(self, other: Any) -> "Expr":
+        return _wrap(self._col < _c(other))
+
+    def __le__(self, other: Any) -> "Expr":
+        return _wrap(self._col <= _c(other))
+
+    def eq(self, other: Any) -> "Expr":
+        return self.__eq__(other)
+
+    def neq(self, other: Any) -> "Expr":
+        return self.__ne__(other)
+
+    # -- arithmetic (expr.rs:230-243) -------------------------------------
+    def __add__(self, other: Any) -> "Expr":
+        return _wrap(self._col + _c(other))
+
+    def __radd__(self, other: Any) -> "Expr":
+        return _wrap(_c(other) + self._col)
+
+    def __sub__(self, other: Any) -> "Expr":
+        return _wrap(self._col - _c(other))
+
+    def __rsub__(self, other: Any) -> "Expr":
+        return _wrap(_c(other) - self._col)
+
+    def __mul__(self, other: Any) -> "Expr":
+        return _wrap(self._col * _c(other))
+
+    def __rmul__(self, other: Any) -> "Expr":
+        return _wrap(_c(other) * self._col)
+
+    def __truediv__(self, other: Any) -> "Expr":
+        return _wrap(self._col / _c(other))
+
+    def __rtruediv__(self, other: Any) -> "Expr":
+        return _wrap(_c(other) / self._col)
+
+    def __mod__(self, other: Any) -> "Expr":
+        return _wrap(self._col % _c(other))
+
+    def __neg__(self) -> "Expr":
+        return _wrap(-self._col)
+
+    def floor_div(self, other: Any) -> "Expr":
+        return _wrap(F.floor(self._col / _c(other)).cast("long"))
+
+    def __floordiv__(self, other: Any) -> "Expr":
+        return self.floor_div(other)
+
+    def pow(self, other: Any) -> "Expr":
+        return _wrap(F.pow(self._col, _c(other)))
+
+    def __pow__(self, other: Any) -> "Expr":
+        return self.pow(other)
+
+    # -- boolean (expr.rs:237-239, 214) -----------------------------------
+    def __and__(self, other: Any) -> "Expr":
+        return _wrap(self._col & _c(other))
+
+    def __or__(self, other: Any) -> "Expr":
+        return _wrap(self._col | _c(other))
+
+    def __xor__(self, other: Any) -> "Expr":
+        return _wrap(self._col != _c(other))  # boolean xor
+
+    def __invert__(self) -> "Expr":
+        return _wrap(~self._col)
+
+    def not_(self) -> "Expr":
+        return self.__invert__()
+
+    # -- null / NaN (expr.rs:216-217, 241, 1179-1192, 707-723) ------------
+    def is_null(self) -> "Expr":
+        return _wrap(self._col.isNull())
+
+    def is_not_null(self) -> "Expr":
+        return _wrap(self._col.isNotNull())
+
+    def is_nan(self) -> "Expr":
+        return _wrap(F.isnan(self._col))
+
+    def is_not_nan(self) -> "Expr":
+        return _wrap(~F.isnan(self._col))
+
+    def is_finite(self) -> "Expr":
+        return _wrap(
+            self._col.isNotNull()
+            & ~F.isnan(self._col)
+            & (F.abs(self._col) != F.lit(float("inf")))
+        )
+
+    def is_infinite(self) -> "Expr":
+        return _wrap(F.abs(self._col) == F.lit(float("inf")))
+
+    def fill_null(self, value: Any) -> "Expr":
+        return _wrap(F.coalesce(self._col, _c(value)))
+
+    def fill_nan(self, value: Any) -> "Expr":
+        return _wrap(F.nanvl(self._col, _c(value)))
+
+    def is_between(self, lower: Any, upper: Any, closed: str = "both") -> "Expr":
+        lo, hi = _c(lower), _c(upper)
+        c = self._col
+        preds = {
+            "both": (c >= lo) & (c <= hi),
+            "left": (c >= lo) & (c < hi),
+            "right": (c > lo) & (c <= hi),
+            "none": (c > lo) & (c < hi),
+        }
+        return _wrap(preds[closed])
+
+    def is_in(self, values: "Iterable[Any] | Expr") -> "Expr":
+        if isinstance(values, Expr):
+            # membership in a list-typed column (reference list.contains reversed form)
+            return _wrap(F.array_contains(values._col, self._col))
+        return _wrap(self._col.isin(list(values)))
+
+    def is_duplicated_key_marker(self) -> "Expr":  # helper used by frame.unique
+        raise NotImplementedError
+
+    # -- math (expr.rs:212, 219-220, 853-876) ------------------------------
+    def abs(self) -> "Expr":
+        return _wrap(F.abs(self._col))
+
+    def sqrt(self) -> "Expr":
+        return _wrap(F.sqrt(self._col))
+
+    def exp(self) -> "Expr":
+        return _wrap(F.exp(self._col))
+
+    def log(self, base: float | None = None) -> "Expr":
+        if base is None:
+            return _wrap(F.log(self._col))
+        return _wrap(F.log(float(base), self._col))
+
+    def round(self, decimals: int = 0) -> "Expr":
+        # reference rounds HalfAwayFromZero (expr.rs:868-876); Spark F.round is HALF_UP
+        # which is half-away-from-zero for both signs — exact match.
+        return _wrap(F.round(self._col, decimals))
+
+    def floor(self) -> "Expr":
+        return _wrap(F.floor(self._col))
+
+    def ceil(self) -> "Expr":
+        return _wrap(F.ceil(self._col))
+
+    def clip(self, lower: Any = None, upper: Any = None) -> "Expr":
+        c = self._col
+        if lower is not None:
+            c = F.greatest(c, _c(lower))
+        if upper is not None:
+            c = F.least(c, _c(upper))
+        return _wrap(c)
+
+    # -- cast (expr.rs:1016-1033) ------------------------------------------
+    def cast(self, dtype: str | T.DataType, strict: bool = False) -> "Expr":
+        t = _to_spark_type(dtype)
+        if strict:
+            # Strict cast: any non-null input that casts to null aborts the query,
+            # mirroring the reference's strict=true (expr.rs:1024-1031).
+            casted = self._col.try_cast(t)
+            bad = self._col.isNotNull() & casted.isNull()
+            return _wrap(
+                F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(F.lit("strict cast failed for value: "), self._col.cast("string"))
+                    ).try_cast(t),
+                ).otherwise(casted)
+            )
+        # non-strict: invalid → null (Spark try_cast), matching CleaningTests.cs:76-100
+        return _wrap(self._col.try_cast(t))
+
+    # -- aggregations (expr.rs:208-211, 1126-1176, 817-824) ----------------
+    def sum(self) -> "Expr":
+        return _wrap(F.sum(self._col))
+
+    def mean(self) -> "Expr":
+        return _wrap(F.avg(self._col))
+
+    def min(self) -> "Expr":
+        return _wrap(F.min(self._col))
+
+    def max(self) -> "Expr":
+        return _wrap(F.max(self._col))
+
+    def count(self) -> "Expr":
+        """Non-null count (expr.rs:1126-1130)."""
+        return _wrap(F.count(self._col))
+
+    def len(self) -> "Expr":
+        """Group/frame length including nulls (expr.rs:882-888)."""
+        return _wrap(F.count(F.lit(1)))
+
+    def n_unique(self) -> "Expr":
+        return _wrap(F.countDistinct(self._col))
+
+    def approx_n_unique(self) -> "Expr":
+        return _wrap(F.approx_count_distinct(self._col))
+
+    def std(self, ddof: int = 1) -> "Expr":
+        return _wrap(F.stddev_samp(self._col) if ddof == 1 else F.stddev_pop(self._col))
+
+    def var(self, ddof: int = 1) -> "Expr":
+        return _wrap(F.var_samp(self._col) if ddof == 1 else F.var_pop(self._col))
+
+    def median(self) -> "Expr":
+        return _wrap(F.median(self._col))
+
+    def quantile(self, q: float, interpolation: str = "nearest") -> "Expr":
+        """Quantile with polars interpolation modes (expr.rs:1157-1176).
+
+        linear  → exact linear interpolation (Spark percentile)
+        lower   → largest element at cum-position floor
+        higher  → element at cum-position ceil
+        midpoint→ (lower+higher)/2
+        nearest → lower/higher, whichever index is closer (ties → higher,
+                  matching polars' round-half-up on (n-1)*q)
+        """
+        c = self._col
+        if interpolation == "linear":
+            return _wrap(F.percentile(c, F.lit(q)))
+        n = F.count(c)
+        pos = (n - 1) * F.lit(float(q))
+        lo_idx = F.floor(pos)
+        hi_idx = F.ceil(pos)
+        sorted_arr = F.array_sort(F.collect_list(c))
+        lo = F.get(sorted_arr, lo_idx.cast("int"))
+        hi = F.get(sorted_arr, hi_idx.cast("int"))
+        if interpolation == "lower":
+            return _wrap(lo)
+        if interpolation == "higher":
+            return _wrap(hi)
+        if interpolation == "midpoint":
+            return _wrap((lo + hi) / 2.0)
+        if interpolation == "nearest":
+            nearest = F.when(pos - lo_idx <= F.lit(0.5), lo).otherwise(hi)
+            # exactly representable positions collapse lo==hi anyway
+            return _wrap(nearest)
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+
+    def first(self) -> "Expr":
+        return _wrap(F.first(self._col, ignorenulls=False))
+
+    def last(self) -> "Expr":
+        return _wrap(F.last(self._col, ignorenulls=False))
+
+    def implode(self) -> "Expr":
+        return _wrap(F.collect_list(self._col))
+
+    # -- window ops (expr.rs:995-1101, SURVEY §2.6) ------------------------
+    def over(self, *partition_by: "Expr | str") -> "Expr":
+        keys = [_c(col(p) if isinstance(p, str) else p) for p in partition_by]
+        return _wrap(self._col.over(Window.partitionBy(*keys)))
+
+    def shift(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        w = Window.orderBy(*_order_cols(order_by))
+        if partition_by:
+            w = Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by]).orderBy(
+                *_order_cols(order_by)
+            )
+        if n >= 0:
+            return _wrap(F.lag(self._col, n).over(w))
+        return _wrap(F.lead(self._col, -n).over(w))
+
+    def diff(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        return _wrap(self._col - self.shift(n, order_by, partition_by)._col)
+
+    def forward_fill(
+        self, limit: int | None = None, order_by: Any = None, partition_by: Sequence[Any] = ()
+    ) -> "Expr":
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        lo = Window.unboundedPreceding if limit is None else -int(limit)
+        return _wrap(F.last(self._col, ignorenulls=True).over(w.rowsBetween(lo, 0)))
+
+    def backward_fill(
+        self, limit: int | None = None, order_by: Any = None, partition_by: Sequence[Any] = ()
+    ) -> "Expr":
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        hi = Window.unboundedFollowing if limit is None else int(limit)
+        return _wrap(F.first(self._col, ignorenulls=True).over(w.rowsBetween(0, hi)))
+
+    # rolling fixed-size (expr.rs:110-141, 272-275)
+    def _rolling(self, fn, window_size: int | str, min_periods: int | None, order_by, partition_by):
+        if isinstance(window_size, str):
+            if not window_size.endswith("i"):
+                raise ValueError("fixed rolling windows use 'Ni' notation; for temporal use rolling_*_by")
+            window_size = int(window_size[:-1])
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        frame = w.rowsBetween(-(window_size - 1), 0)
+        mp = min_periods if min_periods is not None else window_size
+        agg = fn(self._col).over(frame)
+        cnt = F.count(self._col).over(frame)
+        return _wrap(F.when(cnt >= F.lit(mp), agg))
+
+    def rolling_mean(self, window_size, min_periods=None, order_by=None, partition_by=()):
+        return self._rolling(F.avg, window_size, min_periods, order_by, partition_by)
+
+    def rolling_sum(self, window_size, min_periods=None, order_by=None, partition_by=()):
+        return self._rolling(F.sum, window_size, min_periods, order_by, partition_by)
+
+    def rolling_min(self, window_size, min_periods=None, order_by=None, partition_by=()):
+        return self._rolling(F.min, window_size, min_periods, order_by, partition_by)
+
+    def rolling_max(self, window_size, min_periods=None, order_by=None, partition_by=()):
+        return self._rolling(F.max, window_size, min_periods, order_by, partition_by)
+
+    # rolling temporal (expr.rs:151-191, 277-280)
+    def _rolling_by(self, fn, window: str, by, closed: str, min_periods: int, partition_by):
+        micros = parse_polars_duration_us(window)
+        ts = _c(col(by) if isinstance(by, str) else by)
+        order = (F.unix_micros(ts)).cast("long")
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(order)
+        # polars closed='right' (default): window is (t - period, t]
+        bounds = {
+            "right": (-(micros - 1), 0),
+            "left": (-micros, -1),
+            "both": (-micros, 0),
+            "none": (-(micros - 1), -1),
+        }
+        lo, hi = bounds[closed]
+        frame = w.rangeBetween(lo, hi)
+        agg = fn(self._col).over(frame)
+        cnt = F.count(self._col).over(frame)
+        return _wrap(F.when(cnt >= F.lit(min_periods), agg))
+
+    def rolling_mean_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=()):
+        return self._rolling_by(F.avg, window, by, closed, min_periods, partition_by)
+
+    def rolling_sum_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=()):
+        return self._rolling_by(F.sum, window, by, closed, min_periods, partition_by)
+
+    def rolling_min_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=()):
+        return self._rolling_by(F.min, window, by, closed, min_periods, partition_by)
+
+    def rolling_max_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=()):
+        return self._rolling_by(F.max, window, by, closed, min_periods, partition_by)
+
+    # rank-style helpers (free in Spark; not in reference but useful)
+    def rank(self, method: str = "dense", order_by: Any = None, partition_by=()):
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(self._col if order_by is None else _order_cols(order_by)[0])
+        fn = {"dense": F.dense_rank, "min": F.rank, "ordinal": F.row_number}[method]
+        return _wrap(fn().over(w))
+
+    # -- map/UDF (udf.rs:92-123; SURVEY §2.12) -----------------------------
+    def map(self, fn, return_dtype: str | T.DataType | None = None) -> "Expr":
+        """Vectorized scalar UDF: ``fn(pandas.Series) -> pandas.Series``.
+
+        Mirrors the reference's Arrow-vectorized ``expr.map`` contract
+        (native_shim/src/udf.rs:47-123): the whole chunk crosses as one Arrow
+        array; exceptions propagate and abort the query.  ``return_dtype=None``
+        is not supported (Spark needs a declared type) — pass the output dtype,
+        like the reference's non-Unknown path.
+        """
+        if return_dtype is None:
+            raise ValueError("Spark requires a declared return dtype for UDFs")
+        t = _to_spark_type(return_dtype)
+        from pyspark.sql.functions import pandas_udf
+
+        udf = pandas_udf(fn, returnType=t)
+        return _wrap(udf(self._col))
+
+    def map_elements(self, fn, return_dtype: str | T.DataType) -> "Expr":
+        """Element-wise wrapper (reference Wrap<TIn,TOut> auto-vectorizer,
+        Polars.CSharp/UdfUtils.cs:216) — vectorized via pandas .map under the hood."""
+        t = _to_spark_type(return_dtype)
+        from pyspark.sql.functions import pandas_udf
+
+        def _vec(s):
+            return s.map(lambda v: fn(v) if v is not None else None)
+
+        udf = pandas_udf(_vec, returnType=t)
+        return _wrap(udf(self._col))
+
+    # -- conditional -------------------------------------------------------
+    # (when/then/otherwise is module-level `when`; ternary helper here)
+    def if_else(self, then_val: Any, else_val: Any) -> "Expr":
+        return _wrap(F.when(self._col, _c(then_val)).otherwise(_c(else_val)))
+
+    # -- namespaces --------------------------------------------------------
+    @property
+    def str(self) -> "ExprStrNamespace":
+        return ExprStrNamespace(self)
+
+    @property
+    def dt(self) -> "ExprDtNamespace":
+        return ExprDtNamespace(self)
+
+    @property
+    def list(self) -> "ExprListNamespace":
+        return ExprListNamespace(self)
+
+    @property
+    def struct(self) -> "ExprStructNamespace":
+        return ExprStructNamespace(self)
+
+
+class ExprNameNamespace:
+    """name.prefix/suffix (expr.rs:891-914). Resolved per-expression: requires
+    the underlying column to be a plain reference so we know the base name."""
+
+    def __init__(self, expr: Expr):
+        self._expr = expr
+
+    def _base_name(self) -> str:
+        # Column's toString is like "Column<'colname'>" for plain refs
+        s = str(self._expr._col)
+        if s.startswith("Column<'") and s.endswith("'>"):
+            inner = s[8:-2]
+            if all(ch.isalnum() or ch in "_." for ch in inner):
+                return inner
+        raise ValueError(
+            "name.prefix/suffix needs a plain column reference; use .alias() for computed exprs"
+        )
+
+    def prefix(self, p: str) -> Expr:
+        return self._expr.alias(p + self._base_name())
+
+    def suffix(self, s: str) -> Expr:
+        return self._expr.alias(self._base_name() + s)
+
+    def keep(self) -> Expr:
+        return self._expr.alias(self._base_name())
+
+
+class ExprStrNamespace:
+    """String ops (expr.rs:262-536)."""
+
+    def __init__(self, expr: Expr):
+        self._c = expr._col
+
+    def to_uppercase(self) -> Expr:
+        return _wrap(F.upper(self._c))
+
+    def to_lowercase(self) -> Expr:
+        return _wrap(F.lower(self._c))
+
+    def len_bytes(self) -> Expr:
+        return _wrap(F.octet_length(self._c))
+
+    def len_chars(self) -> Expr:
+        return _wrap(F.length(self._c))
+
+    def contains(self, pattern: str, literal: bool = False) -> Expr:
+        if literal:
+            return _wrap(self._c.contains(pattern))
+        return _wrap(self._c.rlike(pattern))
+
+    def slice(self, offset: int, length: int | None = None) -> Expr:
+        # polars slice: negative offset counts from end (expr.rs:322-334)
+        c = self._c
+        n = F.length(c)
+        if offset >= 0:
+            start = F.lit(offset + 1)
+        else:
+            start = F.greatest(n + F.lit(offset) + 1, F.lit(1))
+        ln = F.lit(2147483647) if length is None else F.lit(int(length))
+        return _wrap(F.substring(c, start, ln))
+
+    def extract(self, pattern: str, group_index: int = 1) -> Expr:
+        # F.regexp_extract returns "" on no-match; polars returns null (expr.rs:337-351)
+        out = F.regexp_extract(self._c, pattern, group_index)
+        return _wrap(F.when(self._c.rlike(pattern), out))
+
+    def replace_all(self, pattern: str, value: str, literal: bool = False) -> Expr:
+        if literal:
+            return _wrap(F.replace(self._c, F.lit(pattern), F.lit(value)))
+        return _wrap(F.regexp_replace(self._c, pattern, value))
+
+    def split(self, by: str) -> Expr:
+        import re as _re
+
+        return _wrap(F.split(self._c, _re.escape(by)))
+
+    def strip_chars(self, chars: str | None = None) -> Expr:
+        if chars is None:
+            return _wrap(F.trim(self._c))
+        return _wrap(F.btrim(self._c, F.lit(chars)))
+
+    def strip_chars_start(self, chars: str | None = None) -> Expr:
+        if chars is None:
+            return _wrap(F.ltrim(self._c))
+        return _wrap(F.ltrim(F.lit(chars), self._c))
+
+    def strip_chars_end(self, chars: str | None = None) -> Expr:
+        if chars is None:
+            return _wrap(F.rtrim(self._c))
+        return _wrap(F.rtrim(F.lit(chars), self._c))
+
+    def strip_prefix(self, prefix: str) -> Expr:
+        c = self._c
+        return _wrap(
+            F.when(c.startswith(prefix), F.substring(c, len(prefix) + 1, 2147483647)).otherwise(c)
+        )
+
+    def strip_suffix(self, suffix: str) -> Expr:
+        c = self._c
+        return _wrap(
+            F.when(c.endswith(suffix), F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c)
+        )
+
+    def starts_with(self, prefix: str) -> Expr:
+        return _wrap(self._c.startswith(prefix))
+
+    def ends_with(self, suffix: str) -> Expr:
+        return _wrap(self._c.endswith(suffix))
+
+    def to_date(self, fmt: str | None = None, strict: bool = False) -> Expr:
+        java = strftime_to_java(fmt) if fmt else None
+        if strict:
+            out = F.to_date(self._c, java) if java else F.to_date(self._c)
+        else:
+            ts = F.try_to_timestamp(self._c, F.lit(java)) if java else F.try_to_timestamp(self._c)
+            out = ts.cast("date")
+        return _wrap(out)
+
+    def to_datetime(self, fmt: str | None = None, strict: bool = False) -> Expr:
+        java = strftime_to_java(fmt) if fmt else None
+        if strict:
+            out = F.to_timestamp(self._c, java) if java else F.to_timestamp(self._c)
+        else:
+            out = F.try_to_timestamp(self._c, F.lit(java)) if java else F.try_to_timestamp(self._c)
+        return _wrap(out)
+
+    def json_decode(self, dtype: str | T.DataType) -> Expr:
+        return _wrap(F.from_json(self._c, _to_spark_type(dtype)))
+
+    def concat(self, other: Any, sep: str = "") -> Expr:
+        return _wrap(F.concat_ws(sep, self._c, _c(other)))
+
+
+class ExprDtNamespace:
+    """Temporal ops (expr.rs:247-700)."""
+
+    def __init__(self, expr: Expr):
+        self._c = expr._col
+
+    def year(self) -> Expr:
+        return _wrap(F.year(self._c))
+
+    def month(self) -> Expr:
+        return _wrap(F.month(self._c))
+
+    def day(self) -> Expr:
+        return _wrap(F.dayofmonth(self._c))
+
+    def ordinal_day(self) -> Expr:
+        return _wrap(F.dayofyear(self._c))
+
+    def weekday(self) -> Expr:
+        # polars: Monday=1..Sunday=7 ; Spark weekday(): Monday=0
+        return _wrap(F.weekday(self._c) + F.lit(1))
+
+    def hour(self) -> Expr:
+        return _wrap(F.hour(self._c))
+
+    def minute(self) -> Expr:
+        return _wrap(F.minute(self._c))
+
+    def second(self) -> Expr:
+        return _wrap(F.floor(F.second(self._c)).cast("int"))
+
+    def millisecond(self) -> Expr:
+        return _wrap((F.unix_micros(self._c) % 1_000_000 / 1000).cast("int"))
+
+    def microsecond(self) -> Expr:
+        return _wrap((F.unix_micros(self._c) % 1_000_000).cast("int"))
+
+    def nanosecond(self) -> Expr:
+        return _wrap(((F.unix_micros(self._c) % 1_000_000) * 1000).cast("long"))
+
+    def date(self) -> Expr:
+        return _wrap(self._c.cast("date"))
+
+    def time(self) -> Expr:
+        """Time-of-day as nanoseconds since midnight (reference Time dtype, §1.3)."""
+        midnight = F.date_trunc("day", self._c)
+        return _wrap(((F.unix_micros(self._c) - F.unix_micros(midnight)) * 1000).cast("long"))
+
+    def to_string(self, fmt: str) -> Expr:
+        return _wrap(F.date_format(self._c, strftime_to_java(fmt)))
+
+    strftime = to_string
+
+    def truncate(self, every: str) -> Expr:
+        """Floor to an arbitrary fixed interval like "15m" (expr.rs:569-579)."""
+        unit_map = {"1y": "year", "1mo": "month", "1d": "day", "1h": "hour", "1m": "minute", "1s": "second"}
+        if every in unit_map:
+            return _wrap(F.date_trunc(unit_map[every], self._c))
+        micros = parse_polars_duration_us(every)
+        e = F.unix_micros(self._c)
+        return _wrap(F.timestamp_micros((e - (e % F.lit(micros))).cast("long")))
+
+    def round(self, every: str) -> Expr:
+        """Round to nearest interval boundary (expr.rs:583-591): trunc(t + every/2)."""
+        micros = parse_polars_duration_us(every)
+        e = F.unix_micros(self._c) + F.lit(micros // 2)
+        return _wrap(F.timestamp_micros((e - (e % F.lit(micros))).cast("long")))
+
+    def offset_by(self, duration: str) -> Expr:
+        from ._fmt import duration_to_interval
+
+        return _wrap(self._c + F.expr(f"INTERVAL {duration_to_interval(duration)}"))
+
+    def timestamp(self, unit: str = "us") -> Expr:
+        if unit == "ns":
+            return _wrap(F.unix_micros(self._c) * 1000)
+        if unit == "us":
+            return _wrap(F.unix_micros(self._c))
+        if unit == "ms":
+            return _wrap(F.unix_millis(self._c))
+        raise ValueError(f"unknown unit {unit!r}")
+
+    def convert_time_zone(self, tz: str) -> Expr:
+        # session tz is UTC; display-convert = from_utc_timestamp (wall-clock shift)
+        return _wrap(F.from_utc_timestamp(self._c, tz))
+
+    def replace_time_zone(self, tz: str | None) -> Expr:
+        if tz is None:
+            return _wrap(self._c.cast("timestamp_ntz"))
+        return _wrap(F.to_utc_timestamp(self._c, tz))
+
+    def total_days(self) -> Expr:
+        return _wrap(F.floor(self._c.cast("long") / 86_400_000_000).cast("long"))
+
+    def total_seconds(self) -> Expr:
+        return _wrap(F.floor(self._c.cast("long") / 1_000_000).cast("long"))
+
+
+class ExprListNamespace:
+    """List/array ops (expr.rs:263-847)."""
+
+    def __init__(self, expr: Expr):
+        self._c = expr._col
+
+    def first(self) -> Expr:
+        return _wrap(F.element_at(self._c, 1))
+
+    def get(self, index: int, null_on_oob: bool = True) -> Expr:
+        if index >= 0:
+            out = F.get(self._c, index)  # F.get is 0-indexed, null on OOB
+        else:
+            out = F.element_at(self._c, index)  # negative = from end, 1-indexed semantics
+        if not null_on_oob:
+            guard = F.assert_true(out.isNotNull() | self._c.isNull(), F.lit("list.get out of bounds"))
+            return _wrap(F.when(guard.isNull(), out).otherwise(out))
+        return _wrap(out)
+
+    def sum(self) -> Expr:
+        return _wrap(
+            F.aggregate(self._c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        )
+
+    def min(self) -> Expr:
+        return _wrap(F.array_min(self._c))
+
+    def max(self) -> Expr:
+        return _wrap(F.array_max(self._c))
+
+    def mean(self) -> Expr:
+        total = F.aggregate(self._c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        return _wrap(total / F.size(self._c))
+
+    def sort(self, descending: bool = False) -> Expr:
+        if descending:
+            return _wrap(F.reverse(F.array_sort(self._c)))
+        return _wrap(F.array_sort(self._c))
+
+    def reverse(self) -> Expr:
+        return _wrap(F.reverse(self._c))
+
+    def contains(self, item: Any) -> Expr:
+        return _wrap(F.array_contains(self._c, _c(item)))
+
+    def join(self, separator: str, ignore_nulls: bool = True) -> Expr:
+        if ignore_nulls:
+            return _wrap(F.array_join(self._c, separator))
+        # any null element -> null result (polars ignore_nulls=false propagates)
+        has_null = F.exists(self._c, lambda x: x.isNull())
+        return _wrap(F.when(~has_null, F.array_join(self._c, separator)))
+
+    def len(self) -> Expr:
+        return _wrap(F.size(self._c))
+
+    def explode(self) -> Expr:
+        return _wrap(F.explode(self._c))
+
+    def unique(self) -> Expr:
+        return _wrap(F.array_distinct(self._c))
+
+    def slice(self, offset: int, length: int) -> Expr:
+        start = offset + 1 if offset >= 0 else offset
+        return _wrap(F.slice(self._c, start, length))
+
+
+class ExprStructNamespace:
+    """Struct ops (expr.rs:920-992)."""
+
+    def __init__(self, expr: Expr):
+        self._expr = expr
+        self._c = expr._col
+
+    def field(self, name: str) -> Expr:
+        return _wrap(self._c.getField(name))
+
+    field_by_name = field
+
+    def field_by_index(self, index: int) -> Expr:
+        return _wrap(self._c.getItem(index))
+
+    def rename_fields(self, names: Sequence[str]) -> Expr:
+        # build a new struct with the same values under new names
+        return _wrap(
+            F.struct(*[self._c.getItem(i).alias(n) for i, n in enumerate(names)])
+        )
+
+    def json_encode(self) -> Expr:
+        return _wrap(F.to_json(self._c))
+
+
+# ---------------------------------------------------------------------------
+# module-level constructors (expr.rs:197-205, 294-299, 727-739, 787-805)
+
+
+def col(name: str) -> Expr:
+    return Expr(F.col(name))
+
+
+def cols(*names: str) -> list[Expr]:
+    flat: list[str] = []
+    for n in names:
+        if isinstance(n, (list, tuple)):
+            flat.extend(n)
+        else:
+            flat.append(n)
+    return [col(n) for n in flat]
+
+
+def lit(value: Any, dtype: str | T.DataType | None = None) -> Expr:
+    c = F.lit(value)
+    if dtype is not None:
+        c = c.cast(_to_spark_type(dtype))
+    return Expr(c)
+
+
+def lit_datetime(epoch_us: int) -> Expr:
+    """Datetime literal from epoch microseconds (expr.rs:727-739)."""
+    return Expr(F.timestamp_micros(F.lit(int(epoch_us))))
+
+
+class _WhenThen:
+    def __init__(self, chain: Column):
+        self._chain = chain
+
+    def when(self, predicate: Expr) -> "_WhenBranch":
+        return _WhenBranch(self._chain, predicate)
+
+    def otherwise(self, value: Any) -> Expr:
+        return Expr(self._chain.otherwise(_c(value)))
+
+
+class _WhenBranch:
+    def __init__(self, chain: Column | None, predicate: Expr):
+        self._chain = chain
+        self._pred = predicate
+
+    def then(self, value: Any) -> _WhenThen:
+        if self._chain is None:
+            return _WhenThen(F.when(_c(self._pred), _c(value)))
+        return _WhenThen(self._chain.when(_c(self._pred), _c(value)))
+
+
+def when(predicate: Expr) -> _WhenBranch:
+    """when(p).then(t).otherwise(f) — reference if_else (expr.rs:1105-1122)."""
+    return _WhenBranch(None, predicate)
+
+
+def concat_str(exprs: Sequence[Expr], separator: str = "") -> Expr:
+    return Expr(F.concat_ws(separator, *[_c(e) for e in exprs]))
+
+
+def as_struct(exprs: Sequence[Expr]) -> Expr:
+    """expr.rs:920-930."""
+    return Expr(F.struct(*[_c(e) for e in exprs]))

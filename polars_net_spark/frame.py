@@ -1,0 +1,724 @@
+"""LazyFrame / DataFrame: the two frame types of the engine.
+
+Mirrors the reference's design where every eager op is sugar over the lazy
+plan (`clone().lazy().op().collect()`, /root/reference native_shim/src/eager.rs:35-56)
+— here ``LazyFrame`` wraps a (already lazy) ``pyspark.sql.DataFrame`` and the
+eager ``DataFrame`` simply holds a LazyFrame and forces actions on demand.
+
+Scale notes (100 TB):
+- No operator on the lazy path ever collects to the driver.
+- ``with_row_index`` uses ``monotonically_increasing_id`` — a *sparse* but
+  order-stable id that needs no global sort / single-task window, so it scales;
+  positional ops only ever use it as a sort key.
+- joins: small frames should be wrapped with ``broadcast()``; Catalyst + AQE
+  pick broadcast automatically below the threshold.
+- ``group_by`` keeps Spark's hash-partitioned shuffle (map-side partial
+  aggregation is automatic); the "stable" key order of polars'
+  ``group_by_stable`` is restored only on explicit request (maintain_order=True)
+  because it forces an extra sort.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .exprs import ROW_ORDER_COL, Expr, _c, _to_spark_type, col
+
+__all__ = ["LazyFrame", "DataFrame", "GroupBy", "concat"]
+
+
+def _as_cols(exprs: Sequence[Expr | Column | str]) -> list[Column]:
+    out = []
+    for e in exprs:
+        if isinstance(e, str):
+            out.append(F.col(e))
+        else:
+            out.append(_c(e))
+    return out
+
+
+def _flatten(args) -> list:
+    flat = []
+    for a in args:
+        if isinstance(a, (list, tuple)):
+            flat.extend(a)
+        else:
+            flat.append(a)
+    return flat
+
+
+class LazyFrame:
+    """Logical query plan; wraps a pyspark DataFrame (SURVEY §1.1)."""
+
+    def __init__(self, sdf: SparkDF):
+        self._sdf = sdf
+
+    # -- interop -----------------------------------------------------------
+    @property
+    def spark(self) -> SparkDF:
+        """The underlying pyspark DataFrame (escape hatch)."""
+        return self._sdf
+
+    @classmethod
+    def from_spark(cls, sdf: SparkDF) -> "LazyFrame":
+        return cls(sdf)
+
+    # -- introspection (lazy.rs:574-613) ------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c != ROW_ORDER_COL]
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType([f for f in self._sdf.schema.fields if f.name != ROW_ORDER_COL])
+
+    collect_schema = schema
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return [(n, t) for n, t in self._sdf.dtypes if n != ROW_ORDER_COL]
+
+    @property
+    def width(self) -> int:
+        return len(self.columns)
+
+    def explain(self, optimized: bool = True) -> str:
+        return self._sdf._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            self._sdf._jdf.queryExecution(), "formatted" if optimized else "simple"
+        )
+
+    # -- row order (SURVEY §7.0) --------------------------------------------
+    def with_row_index(self, name: str = ROW_ORDER_COL) -> "LazyFrame":
+        """Attach an order-stable id. Sparse (not dense) by design: dense
+        ranks need a global single-task window; a sparse monotonic id
+        preserves scan order and scales."""
+        if name in self._sdf.columns:
+            return self
+        return LazyFrame(self._sdf.withColumn(name, F.monotonically_increasing_id()))
+
+    def _order_col(self) -> "LazyFrame":
+        return self.with_row_index()
+
+    def _drop_order(self) -> "LazyFrame":
+        if ROW_ORDER_COL in self._sdf.columns:
+            return LazyFrame(self._sdf.drop(ROW_ORDER_COL))
+        return self
+
+    # -- projection / mutation (lazy.rs:84-88) --------------------------------
+    def select(self, *exprs) -> "LazyFrame":
+        exprs = _flatten(exprs)
+        return LazyFrame(self._sdf.select(*_as_cols(exprs)))
+
+    def with_columns(self, *exprs, **named) -> "LazyFrame":
+        exprs = _flatten(exprs)
+        sdf = self._sdf
+        mapping: dict[str, Column] = {}
+        for e in exprs:
+            c = _c(e) if not isinstance(e, str) else F.col(e)
+            name = _col_out_name(c)
+            mapping[name] = c
+        for name, e in named.items():
+            mapping[name] = _c(e) if not isinstance(e, str) else F.col(e)
+        return LazyFrame(sdf.withColumns(mapping))
+
+    def filter(self, *predicates) -> "LazyFrame":
+        pred = reduce(lambda a, b: a & b, [_c(p) for p in _flatten(predicates)])
+        return LazyFrame(self._sdf.filter(pred))
+
+    def drop(self, *names: str) -> "LazyFrame":
+        return LazyFrame(self._sdf.drop(*_flatten(names)))
+
+    def rename(self, mapping: Mapping[str, str]) -> "LazyFrame":
+        return LazyFrame(self._sdf.withColumnsRenamed(dict(mapping)))
+
+    def drop_nulls(self, subset: Sequence[str] | None = None) -> "LazyFrame":
+        return LazyFrame(self._sdf.dropna(subset=list(subset) if subset else None))
+
+    def fill_null(self, value: Any, subset: Sequence[str] | None = None) -> "LazyFrame":
+        return LazyFrame(self._sdf.fillna(value, subset=list(subset) if subset else None))
+
+    def unique(
+        self, subset: Sequence[str] | None = None, keep: str = "any", maintain_order: bool = False
+    ) -> "LazyFrame":
+        """Distinct rows. keep='any' → dropDuplicates (scales best);
+        keep='first'/'last' use the row-order column + min/max."""
+        if subset is None and keep == "any":
+            return LazyFrame(self._sdf.distinct())
+        if keep == "any":
+            return LazyFrame(self._sdf.dropDuplicates(list(subset)))
+        lf = self._order_col()
+        w = Window.partitionBy(*[F.col(c) for c in (subset or self.columns)]).orderBy(
+            F.col(ROW_ORDER_COL).asc() if keep == "first" else F.col(ROW_ORDER_COL).desc()
+        )
+        ranked = lf._sdf.withColumn("__rn__", F.row_number().over(w))
+        return LazyFrame(ranked.filter(F.col("__rn__") == 1).drop("__rn__", ROW_ORDER_COL))
+
+    # -- limits / sampling (eager.rs:329-369, 492-506) ------------------------
+    def limit(self, n: int) -> "LazyFrame":
+        return LazyFrame(self._sdf.limit(n))
+
+    head = limit
+
+    def tail(self, n: int) -> "LazyFrame":
+        lf = self._order_col()
+        w = Window.orderBy(F.col(ROW_ORDER_COL).desc())
+        ranked = lf._sdf.withColumn("__rn__", F.row_number().over(w))
+        out = ranked.filter(F.col("__rn__") <= n).orderBy(F.col(ROW_ORDER_COL)).drop("__rn__")
+        return LazyFrame(out)._drop_order()
+
+    def sample_n(self, n: int, seed: int | None = None, shuffle: bool = False) -> "LazyFrame":
+        """Exact-n sample without replacement (eager.rs:329-345). orderBy(rand)
+        is a global sort — acceptable because n is small by definition; for
+        huge frames prefer .sample_frac."""
+        out = self._sdf.orderBy(F.rand(seed if seed is not None else 42)).limit(n)
+        return LazyFrame(out)
+
+    def sample_frac(self, frac: float, seed: int | None = None) -> "LazyFrame":
+        """Approximate Bernoulli sample — documented difference from the
+        reference's exact height*frac (eager.rs:348-369, SURVEY §2.2)."""
+        return LazyFrame(self._sdf.sample(fraction=frac, seed=seed if seed is not None else 42))
+
+    # -- reshaping -----------------------------------------------------------
+    def unnest(self, *columns: str) -> "LazyFrame":
+        """struct column(s) → top-level columns (eager.rs:708-731)."""
+        sdf = self._sdf
+        for colname in _flatten(columns):
+            field_names = [f.name for f in sdf.schema[colname].dataType.fields]
+            others = [c for c in sdf.columns if c != colname]
+            sdf = sdf.select(*others, *[F.col(f"{colname}.{f}").alias(f) for f in field_names])
+        return LazyFrame(sdf)
+
+    def explode(self, *columns: str) -> "LazyFrame":
+        """Multi-column parallel explode (eager.rs:511-549): lists in the same
+        row are zipped positionally, like polars."""
+        cols_ = _flatten(columns)
+        sdf = self._sdf
+        if len(cols_) == 1:
+            c = cols_[0]
+            others = [x for x in sdf.columns if x != c]
+            return LazyFrame(sdf.select(*others, F.explode_outer(c).alias(c)).select(*sdf.columns))
+        zipped = F.arrays_zip(*[F.col(c) for c in cols_]).alias("__z__")
+        others = [x for x in sdf.columns if x not in cols_]
+        exploded = sdf.select(*others, F.explode_outer(zipped).alias("__e__"))
+        out = exploded.select(
+            *others, *[F.col(f"__e__.{c}").alias(c) for c in cols_]
+        ).select(*sdf.columns)
+        return LazyFrame(out)
+
+    def unpivot(
+        self,
+        index: Sequence[str],
+        on: Sequence[str] | None = None,
+        variable_name: str = "variable",
+        value_name: str = "value",
+    ) -> "LazyFrame":
+        """Melt (lazy.rs:346-406). Default on = all non-index columns."""
+        index = list(index)
+        on = list(on) if on is not None else [c for c in self.columns if c not in index]
+        return LazyFrame(self._sdf.unpivot(index, on, variable_name, value_name))
+
+    melt = unpivot
+
+    # -- grouping (lazy.rs:169-273) -------------------------------------------
+    def group_by(self, *keys, maintain_order: bool = False) -> "GroupBy":
+        return GroupBy(self, _flatten(keys), maintain_order=maintain_order)
+
+    def group_by_dynamic(
+        self,
+        index_column: str,
+        every: str,
+        period: str | None = None,
+        offset: str | None = None,
+        closed: str = "left",
+        label: str = "left",
+        include_boundaries: bool = False,
+        group_by: Sequence[str] = (),
+        start_by: str = "window",
+    ) -> "DynamicGroupBy":
+        from .operators.dynamic import DynamicGroupBy
+
+        return DynamicGroupBy(
+            self,
+            index_column,
+            every=every,
+            period=period,
+            offset=offset,
+            closed=closed,
+            label=label,
+            include_boundaries=include_boundaries,
+            group_by=list(group_by),
+            start_by=start_by,
+        )
+
+    # -- joins (lazy.rs:463-569, utils.rs:99-109) ------------------------------
+    _HOW_MAP = {
+        "inner": "inner",
+        "left": "left",
+        "full": "full",
+        "outer": "full",
+        "cross": "cross",
+        "semi": "left_semi",
+        "anti": "left_anti",
+    }
+
+    def join(
+        self,
+        other: "LazyFrame",
+        on: str | Sequence[str] | None = None,
+        how: str = "inner",
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        suffix: str = "_right",
+        broadcast: bool = False,
+    ) -> "LazyFrame":
+        """Equi-join with polars naming semantics (SURVEY §2.4): join keys are
+        coalesced into one column; non-key name collisions on the right get
+        ``suffix``.  Catalyst/AQE picks broadcast vs sort-merge vs shuffled
+        hash; pass broadcast=True to hint a small right side."""
+        how_spark = self._HOW_MAP[how]
+        right_sdf = other._sdf
+        if broadcast:
+            right_sdf = F.broadcast(right_sdf)
+
+        if how == "cross":
+            left = self._sdf.alias("__l__")
+            right = right_sdf.alias("__r__")
+            joined = left.crossJoin(right)
+            lcols, rcols = self._sdf.columns, other._sdf.columns
+            sel = [F.col(f"__l__.{c}").alias(c) for c in lcols]
+            for c in rcols:
+                name = c + suffix if c in lcols else c
+                sel.append(F.col(f"__r__.{c}").alias(name))
+            return LazyFrame(joined.select(*sel))
+
+        if on is not None:
+            left_keys = right_keys = [on] if isinstance(on, str) else list(on)
+        else:
+            left_keys = [left_on] if isinstance(left_on, str) else list(left_on or [])
+            right_keys = [right_on] if isinstance(right_on, str) else list(right_on or [])
+            if len(left_keys) != len(right_keys):
+                raise ValueError("left_on and right_on must have equal length")
+
+        left = self._sdf.alias("__l__")
+        right = right_sdf.alias("__r__")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__l__.{lk}") == F.col(f"__r__.{rk}") for lk, rk in zip(left_keys, right_keys)],
+        )
+        joined = left.join(right, cond, how_spark)
+
+        if how_spark in ("left_semi", "left_anti"):
+            return LazyFrame(joined.select(*[F.col(f"__l__.{c}").alias(c) for c in self._sdf.columns]))
+
+        lcols, rcols = self._sdf.columns, other._sdf.columns
+        sel: list[Column] = []
+        for c in lcols:
+            if how == "full" and c in left_keys:
+                rk = right_keys[left_keys.index(c)]
+                sel.append(F.coalesce(F.col(f"__l__.{c}"), F.col(f"__r__.{rk}")).alias(c))
+            else:
+                sel.append(F.col(f"__l__.{c}").alias(c))
+        for c in rcols:
+            if c in right_keys:
+                continue  # key coalesced away (polars drops the right key column)
+            name = c + suffix if c in lcols else c
+            sel.append(F.col(f"__r__.{c}").alias(name))
+        return LazyFrame(joined.select(*sel))
+
+    def join_asof(self, other: "LazyFrame", **kwargs) -> "LazyFrame":
+        from .operators.asof import join_asof
+
+        return join_asof(self, other, **kwargs)
+
+    # -- sorting (lazy.rs:100-164) ----------------------------------------------
+    def sort(
+        self,
+        by: Any,
+        *more_by,
+        descending: bool | Sequence[bool] = False,
+        nulls_last: bool = False,
+    ) -> "LazyFrame":
+        keys = _flatten([by, *more_by])
+        if isinstance(descending, bool):
+            descending = [descending] * len(keys)
+        if len(descending) != len(keys):
+            raise ValueError("descending flags must match number of sort keys")
+        sort_cols = []
+        for k, d in zip(keys, descending):
+            c = F.col(k) if isinstance(k, str) else _c(k)
+            if d:
+                sort_cols.append(c.desc_nulls_last() if nulls_last else c.desc())
+            else:
+                sort_cols.append(c.asc_nulls_last() if nulls_last else c.asc())
+        return LazyFrame(self._sdf.orderBy(*sort_cols))
+
+    def top_k(self, k: int, by: Any, descending: bool = True) -> "LazyFrame":
+        """sort+limit; Catalyst rewrites to TakeOrderedAndProject (no full sort)."""
+        return self.sort(by, descending=descending).limit(k)
+
+    # -- SQL ----------------------------------------------------------------
+    def create_view(self, name: str) -> "LazyFrame":
+        self._sdf.createOrReplaceTempView(name)
+        return self
+
+    # -- execution (lazy.rs:316-341) -----------------------------------------
+    def collect(self) -> "DataFrame":
+        return DataFrame(self._drop_order())
+
+    def collect_streaming(self) -> "DataFrame":
+        """The reference's out-of-core engine switch (lazy.rs:330-341) — Spark
+        always executes pipelined/spilling, so this is an alias."""
+        return self.collect()
+
+    def fetch(self, n: int) -> "DataFrame":
+        return self.limit(n).collect()
+
+    # -- cache --------------------------------------------------------------
+    def cache(self) -> "LazyFrame":
+        return LazyFrame(self._sdf.cache())
+
+    def repartition(self, n: int | None = None, *by: str) -> "LazyFrame":
+        if by:
+            cols_ = [F.col(c) for c in by]
+            return LazyFrame(self._sdf.repartition(n, *cols_) if n else self._sdf.repartition(*cols_))
+        return LazyFrame(self._sdf.repartition(n))
+
+    # -- sinks (io.rs:392-479): Spark writes are already streaming/out-of-core --
+    def sink_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        w = self._drop_order()._sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def sink_csv(self, path: str, mode: str = "overwrite", include_header: bool = True) -> None:
+        self._drop_order()._sdf.write.mode(mode).option("header", str(include_header).lower()).csv(path)
+
+    def sink_json(self, path: str, mode: str = "overwrite") -> None:
+        self._drop_order()._sdf.write.mode(mode).json(path)
+
+    def sink_ipc(self, path: str) -> None:
+        """Arrow IPC via driver-side pyarrow writer, streamed batch-by-batch
+        (no full materialization) — mirrors map_batches sink (io.rs:567-606)."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        sdf = self._drop_order()._sdf
+        schema = to_arrow_schema(sdf)
+        with ipc.new_file(path, schema) as writer:
+            for batch in sdf.toArrow().to_batches():  # Spark 4: arrow export
+                writer.write_batch(batch)
+
+    def map_batches_sink(self, fn: Callable) -> None:
+        """Push each result partition to a callback (reference export_batches,
+        io.rs:609-657) — executor-side via foreachPartition."""
+        self._drop_order()._sdf.foreachPartition(fn)
+
+
+def _col_out_name(c: Column) -> str:
+    s = str(c)
+    m = re.search(r"AS (\w+)'?>?$", s)
+    if m:
+        return m.group(1)
+    if s.startswith("Column<'") and s.endswith("'>"):
+        return s[8:-2]
+    raise ValueError(f"cannot infer output name for {s}; use .alias()")
+
+
+def to_arrow_schema(sdf: SparkDF):
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema as _tas
+
+    return _tas(sdf.schema)
+
+
+class GroupBy:
+    """group_by(...).agg(...) builder (lazy.rs:169-184).
+
+    The reference uses group_by_stable (first-seen key order). Spark hash
+    aggregation has no such order; with maintain_order=True we restore it by
+    carrying min(row_order) per group and sorting on it (extra sort stage —
+    only pay for it when asked)."""
+
+    def __init__(self, lf: LazyFrame, keys: Sequence[Expr | str], maintain_order: bool = False):
+        self._lf = lf
+        self._keys = keys
+        self._maintain_order = maintain_order
+
+    def agg(self, *aggs, **named_aggs) -> LazyFrame:
+        aggs = _flatten(aggs)
+        key_cols = [F.col(k) if isinstance(k, str) else _c(k) for k in self._keys]
+        agg_cols = [_c(a) for a in aggs] + [_c(a).alias(n) for n, a in named_aggs.items()]
+        if self._maintain_order:
+            lf = self._lf._order_col()
+            first_seen = F.min(F.col(ROW_ORDER_COL)).alias("__first_seen__")
+            out = lf._sdf.groupBy(*key_cols).agg(first_seen, *agg_cols)
+            return LazyFrame(out.orderBy("__first_seen__").drop("__first_seen__"))
+        return LazyFrame(self._lf._sdf.groupBy(*key_cols).agg(*agg_cols))
+
+    # convenience aggregations (GroupByBuilder in the reference,
+    # Polars.CSharp/GroupByBuilder.cs:7)
+    def sum(self, *cols_: str) -> LazyFrame:
+        return self.agg(*[col(c).sum().alias(c) for c in cols_])
+
+    def mean(self, *cols_: str) -> LazyFrame:
+        return self.agg(*[col(c).mean().alias(c) for c in cols_])
+
+    def min(self, *cols_: str) -> LazyFrame:
+        return self.agg(*[col(c).min().alias(c) for c in cols_])
+
+    def max(self, *cols_: str) -> LazyFrame:
+        return self.agg(*[col(c).max().alias(c) for c in cols_])
+
+    def count(self) -> LazyFrame:
+        return self.agg(Expr(F.count(F.lit(1))).alias("count"))
+
+    def len(self) -> LazyFrame:
+        return self.count()
+
+
+class DataFrame:
+    """Eager frame = LazyFrame + immediate actions (eager.rs:48-51 pattern).
+
+    Never auto-caches at construction; ``height``/``collect`` trigger compute.
+    At 100 TB an eager frame is a handle, not materialized data.
+    """
+
+    def __init__(self, data: LazyFrame | SparkDF | Any = None, spark: SparkSession | None = None):
+        if isinstance(data, LazyFrame):
+            self._lf = data
+        elif isinstance(data, SparkDF):
+            self._lf = LazyFrame(data)
+        elif data is not None:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("no active SparkSession; pass spark=")
+            if isinstance(data, dict):
+                import pandas as pd
+
+                self._lf = LazyFrame(spark.createDataFrame(pd.DataFrame(data)))
+            else:
+                self._lf = LazyFrame(spark.createDataFrame(data))
+        else:
+            raise ValueError("DataFrame needs data")
+
+    # -- lazy bridge ---------------------------------------------------------
+    def lazy(self) -> LazyFrame:
+        return self._lf
+
+    @property
+    def spark(self) -> SparkDF:
+        return self._lf._sdf
+
+    # -- introspection -------------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return self._lf.columns
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._lf.schema
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return self._lf.dtypes
+
+    @property
+    def width(self) -> int:
+        return self._lf.width
+
+    @property
+    def height(self) -> int:
+        return self._lf._sdf.count()
+
+    def __len__(self) -> int:
+        return self.height
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+    def show(self, n: int = 20) -> None:
+        self._lf._sdf.show(n)
+
+    def to_string(self) -> str:
+        return self._lf._sdf._show_string(20)  # type: ignore[attr-defined]
+
+    def head_rows(self, n: int = 5) -> list:
+        return self._lf._sdf.take(n)
+
+    # -- data access ----------------------------------------------------------
+    def to_pandas(self):
+        return self._lf._drop_order()._sdf.toPandas()
+
+    def to_arrow(self):
+        return self._lf._drop_order()._sdf.toArrow()
+
+    def to_dicts(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self._lf._sdf.collect()]
+
+    def rows(self) -> list[tuple]:
+        return [tuple(r) for r in self._lf._sdf.collect()]
+
+    def item(self, row: int = 0, column: int | str = 0) -> Any:
+        """Scalar cell access (eager.rs:385-486)."""
+        colname = column if isinstance(column, str) else self.columns[column]
+        vals = self._lf._sdf.select(colname).take(row + 1)
+        if len(vals) <= row:
+            raise IndexError(f"row {row} out of range")
+        return vals[row][0]
+
+    def get_column(self, name: str) -> "Any":
+        from .series import Series
+
+        return Series._from_lazy(self._lf.select(name), name)
+
+    def __getitem__(self, name: str):
+        return self.get_column(name)
+
+    # -- eager mirrors of lazy ops ---------------------------------------------
+    def _wrap(self, lf: LazyFrame) -> "DataFrame":
+        return DataFrame(lf)
+
+    def select(self, *exprs) -> "DataFrame":
+        return self._wrap(self._lf.select(*exprs))
+
+    def with_columns(self, *exprs, **named) -> "DataFrame":
+        return self._wrap(self._lf.with_columns(*exprs, **named))
+
+    def filter(self, *predicates) -> "DataFrame":
+        return self._wrap(self._lf.filter(*predicates))
+
+    def drop(self, *names: str) -> "DataFrame":
+        return self._wrap(self._lf.drop(*names))
+
+    def rename(self, mapping: Mapping[str, str]) -> "DataFrame":
+        return self._wrap(self._lf.rename(mapping))
+
+    def drop_nulls(self, subset=None) -> "DataFrame":
+        return self._wrap(self._lf.drop_nulls(subset))
+
+    def fill_null(self, value, subset=None) -> "DataFrame":
+        return self._wrap(self._lf.fill_null(value, subset))
+
+    def unique(self, subset=None, keep: str = "any", maintain_order: bool = False) -> "DataFrame":
+        return self._wrap(self._lf.unique(subset, keep, maintain_order))
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._wrap(self._lf.head(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return self._wrap(self._lf.tail(n))
+
+    def limit(self, n: int) -> "DataFrame":
+        return self._wrap(self._lf.limit(n))
+
+    def sample_n(self, n: int, seed=None, shuffle: bool = False) -> "DataFrame":
+        return self._wrap(self._lf.sample_n(n, seed, shuffle))
+
+    def sample_frac(self, frac: float, seed=None) -> "DataFrame":
+        return self._wrap(self._lf.sample_frac(frac, seed))
+
+    def sort(self, by, *more_by, descending=False, nulls_last=False) -> "DataFrame":
+        return self._wrap(self._lf.sort(by, *more_by, descending=descending, nulls_last=nulls_last))
+
+    def join(self, other: "DataFrame", **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.join(other._lf, **kwargs))
+
+    def join_asof(self, other: "DataFrame", **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.join_asof(other._lf, **kwargs))
+
+    def group_by(self, *keys, maintain_order: bool = False) -> "EagerGroupBy":
+        return EagerGroupBy(self._lf.group_by(*keys, maintain_order=maintain_order))
+
+    def group_by_dynamic(self, *args, **kwargs):
+        return self._lf.group_by_dynamic(*args, **kwargs)
+
+    def explode(self, *columns: str) -> "DataFrame":
+        return self._wrap(self._lf.explode(*columns))
+
+    def unnest(self, *columns: str) -> "DataFrame":
+        return self._wrap(self._lf.unnest(*columns))
+
+    def unpivot(self, index, on=None, variable_name="variable", value_name="value") -> "DataFrame":
+        return self._wrap(self._lf.unpivot(index, on, variable_name, value_name))
+
+    def pivot(
+        self,
+        index: Sequence[str] | str,
+        columns: str,
+        values: str,
+        aggregate_function: str = "first",
+    ) -> "DataFrame":
+        from .operators.pivot import pivot as _pivot
+
+        return self._wrap(_pivot(self._lf, index, columns, values, aggregate_function))
+
+    def describe(self) -> "DataFrame":
+        from .operators.describe import describe as _describe
+
+        return self._wrap(_describe(self._lf))
+
+    # -- writers (io.rs:275-334) -------------------------------------------------
+    def write_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        self._lf.sink_parquet(path, mode, partition_by)
+
+    def write_csv(self, path: str, mode: str = "overwrite", include_header: bool = True) -> None:
+        self._lf.sink_csv(path, mode, include_header)
+
+    def write_json(self, path: str, mode: str = "overwrite") -> None:
+        self._lf.sink_json(path, mode)
+
+    def write_ipc(self, path: str) -> None:
+        self._lf.sink_ipc(path)
+
+
+class EagerGroupBy:
+    def __init__(self, gb: GroupBy):
+        self._gb = gb
+
+    def agg(self, *aggs, **named) -> DataFrame:
+        return DataFrame(self._gb.agg(*aggs, **named))
+
+    def sum(self, *cols_) -> DataFrame:
+        return DataFrame(self._gb.sum(*cols_))
+
+    def mean(self, *cols_) -> DataFrame:
+        return DataFrame(self._gb.mean(*cols_))
+
+    def min(self, *cols_) -> DataFrame:
+        return DataFrame(self._gb.min(*cols_))
+
+    def max(self, *cols_) -> DataFrame:
+        return DataFrame(self._gb.max(*cols_))
+
+    def count(self) -> DataFrame:
+        return DataFrame(self._gb.count())
+
+
+def concat(frames: Sequence[LazyFrame | DataFrame], how: str = "vertical") -> LazyFrame:
+    """concat Vertical/Diagonal/Horizontal (lazy.rs:411-457, SURVEY §2.8)."""
+    lfs = [f.lazy() if isinstance(f, DataFrame) else f for f in frames]
+    if not lfs:
+        raise ValueError("nothing to concat")
+    if how in ("vertical", "vertical_relaxed"):
+        out = reduce(lambda a, b: a.unionByName(b), [lf._sdf for lf in lfs])
+        return LazyFrame(out)
+    if how == "diagonal":
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), [lf._sdf for lf in lfs]
+        )
+        return LazyFrame(out)
+    if how == "horizontal":
+        from .operators.horizontal import concat_horizontal
+
+        return concat_horizontal(lfs)
+    raise ValueError(f"unknown concat how={how!r}")

@@ -1,0 +1,202 @@
+"""Scans / sources / sinks (SURVEY §2.1; /root/reference native_shim/src/io.rs).
+
+All scans return LazyFrames (Spark reads are lazy); eager ``read_*`` variants
+return the eager DataFrame wrapper — same op, immediate handle, matching the
+reference's eager-is-sugar design.  Predicate/projection/partition pushdown on
+parquet/csv come free from Catalyst (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .exprs import _to_spark_type
+from .frame import DataFrame, LazyFrame
+
+__all__ = [
+    "scan_parquet",
+    "read_parquet",
+    "scan_csv",
+    "read_csv",
+    "scan_ndjson",
+    "read_json",
+    "read_ipc",
+    "scan_ipc",
+    "from_arrow",
+    "from_pandas",
+    "from_records",
+    "scan_jdbc",
+    "from_batches",
+]
+
+
+def _spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession; call get_spark() first")
+    return s
+
+
+def _schema_arg(schema: Mapping[str, str] | T.StructType | None) -> T.StructType | None:
+    if schema is None or isinstance(schema, T.StructType):
+        return schema
+    return T.StructType([T.StructField(n, _to_spark_type(t), True) for n, t in schema.items()])
+
+
+# -- parquet (io.rs:97-124) --------------------------------------------------
+
+
+def scan_parquet(path: str | Sequence[str], spark: SparkSession | None = None) -> LazyFrame:
+    paths = [path] if isinstance(path, str) else list(path)
+    return LazyFrame(_spark(spark).read.parquet(*paths))
+
+
+def read_parquet(path: str | Sequence[str], spark: SparkSession | None = None) -> DataFrame:
+    return scan_parquet(path, spark).collect()
+
+
+# -- csv (io.rs:17-92) --------------------------------------------------------
+
+
+def scan_csv(
+    path: str,
+    has_header: bool = True,
+    separator: str = ",",
+    skip_rows: int = 0,
+    schema_overrides: Mapping[str, str] | T.StructType | None = None,
+    try_parse_dates: bool = False,
+    infer_schema: bool = True,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    s = _spark(spark)
+    reader = (
+        s.read.option("header", str(has_header).lower())
+        .option("sep", separator)
+        .option("inferSchema", str(infer_schema and schema_overrides is None).lower())
+    )
+    if skip_rows:
+        # Spark CSV has no skipRows; emulate by dropping the first N physical lines.
+        # The file is read as text once, sliced, then parsed — this stays
+        # distributed (zipWithIndex is a narrow op over partitions).
+        text = s.read.text(path).rdd.zipWithIndex()
+        kept = text.filter(lambda t: t[1] >= skip_rows).map(lambda t: t[0].value)
+        reader2 = s.read.option("header", str(has_header).lower()).option("sep", separator)
+        if schema_overrides is not None:
+            reader2 = reader2.schema(_schema_arg(schema_overrides))
+        else:
+            reader2 = reader2.option("inferSchema", "true")
+        sdf = reader2.csv(kept)
+        return _maybe_parse_dates(LazyFrame(sdf), try_parse_dates)
+    if schema_overrides is not None:
+        reader = reader.schema(_schema_arg(schema_overrides))
+    sdf = reader.csv(path)
+    return _maybe_parse_dates(LazyFrame(sdf), try_parse_dates)
+
+
+def _maybe_parse_dates(lf: LazyFrame, try_parse_dates: bool) -> LazyFrame:
+    if not try_parse_dates:
+        return lf
+    # io.rs:31-32: try-parse string columns as dates on read
+    sdf = lf._sdf
+    for name, dtype in sdf.dtypes:
+        if dtype == "string":
+            parsed = F.try_to_timestamp(F.col(name))
+            sdf = sdf.withColumn(
+                name,
+                F.when(parsed.isNotNull(), parsed.cast("date").cast("string")).otherwise(F.col(name)),
+            )
+    return LazyFrame(sdf)
+
+
+def read_csv(path: str, **kwargs) -> DataFrame:
+    return scan_csv(path, **kwargs).collect()
+
+
+# -- json / ndjson (io.rs:131-155) --------------------------------------------
+
+
+def read_json(path: str, spark: SparkSession | None = None) -> DataFrame:
+    """JSON array file (io.rs:131-142)."""
+    return LazyFrame(_spark(spark).read.option("multiLine", "true").json(path)).collect()
+
+
+def scan_ndjson(path: str, spark: SparkSession | None = None) -> LazyFrame:
+    return LazyFrame(_spark(spark).read.json(path))
+
+
+# -- Arrow IPC / interop (io.rs:160-179, 216-269, 352-389) ---------------------
+
+
+def read_ipc(path: str, spark: SparkSession | None = None) -> DataFrame:
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as reader:
+        table = reader.read_all()
+    return from_arrow(table, spark)
+
+
+def scan_ipc(path: str, spark: SparkSession | None = None) -> LazyFrame:
+    return read_ipc(path, spark).lazy()
+
+
+def from_arrow(table, spark: SparkSession | None = None) -> DataFrame:
+    """Arrow table/batch → DataFrame (io.rs:216-269 zero-copy import)."""
+    import pyarrow as pa
+
+    if isinstance(table, pa.RecordBatch):
+        table = pa.Table.from_batches([table])
+    s = _spark(spark)
+    return DataFrame(LazyFrame(s.createDataFrame(table.to_pandas())))
+
+
+def from_batches(batches: Iterable, spark: SparkSession | None = None) -> DataFrame:
+    """Arrow C-stream equivalent (eager.rs:825-926): many batches → one frame."""
+    import pyarrow as pa
+
+    table = pa.Table.from_batches(list(batches))
+    return from_arrow(table, spark)
+
+
+def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:
+    return DataFrame(LazyFrame(_spark(spark).createDataFrame(pdf)))
+
+
+def from_records(
+    data: Sequence[Any], schema: Sequence[str] | T.StructType | None = None, spark: SparkSession | None = None
+) -> DataFrame:
+    """POCO/record ingestion (reference From<T>, Polars.CSharp/DataFrame.cs:777)."""
+    return DataFrame(LazyFrame(_spark(spark).createDataFrame(data, schema=schema)))
+
+
+# -- JDBC (reference scanDb/ReadDb, Polars.FSharp/Types.fs:1342-1363) ----------
+
+
+def scan_jdbc(
+    url: str,
+    table: str,
+    properties: Mapping[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: Any = None,
+    upper_bound: Any = None,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """DB → frame. Unlike the reference's single-stream IDataReader, Spark can
+    parallelize by range-partitioning on a numeric column — pass
+    partition_column/bounds for scale-out reads."""
+    s = _spark(spark)
+    reader = s.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions or 8))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return LazyFrame(reader.load())

@@ -1,0 +1,118 @@
+"""group_by_dynamic — time-bucketed grouping (SURVEY §2.5).
+
+Semantics from /root/reference native_shim/src/lazy.rs:187-273 and the oracle
+Polars.CSharp.Tests/TimeSeriesTests.cs:8-131:
+
+- ``every``: bucket stride; ``period``: bucket width (default = every; wider →
+  sliding windows, rows belong to several buckets); ``offset``: shift origin.
+- ``closed``: which boundary of [start, end) includes points (left default).
+- ``label``: which boundary names the output index column (left default;
+  "datapoint" = first point in the bucket).
+- ``include_boundaries``: emit _lower_boundary/_upper_boundary columns.
+- ``start_by``: "window" aligns buckets to the epoch grid; "datapoint" starts
+  the grid at the first data point.
+
+Spark mapping: ``F.window(ts, period, every, offset)`` assigns each row its
+window struct(s) — tumbling or sliding — with [start, end) membership.
+``closed="right"`` is handled by bucketing ``ts - 1µs`` (the reference's own
+boundary trick, SURVEY §2.5); empty buckets are never emitted (same as polars).
+All work is one shuffle on (window, keys) — scales like any groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import functions as F
+
+from .._fmt import duration_to_interval, parse_polars_duration_us
+from ..exprs import _c
+from ..frame import LazyFrame
+
+__all__ = ["DynamicGroupBy"]
+
+
+class DynamicGroupBy:
+    def __init__(
+        self,
+        lf: LazyFrame,
+        index_column: str,
+        every: str,
+        period: str | None,
+        offset: str | None,
+        closed: str,
+        label: str,
+        include_boundaries: bool,
+        group_by: Sequence[str],
+        start_by: str,
+    ):
+        if closed not in ("left", "right"):
+            raise NotImplementedError(
+                "closed='both'/'none' duplicate/drop boundary points; not supported yet"
+            )
+        self._lf = lf
+        self._index = index_column
+        self._every = every
+        self._period = period or every
+        self._offset = offset
+        self._closed = closed
+        self._label = label
+        self._include_boundaries = include_boundaries
+        self._group_by = list(group_by)
+        self._start_by = start_by
+
+    def agg(self, *aggs, **named_aggs) -> LazyFrame:
+        from ..frame import _flatten
+
+        sdf = self._lf._sdf
+        ts = F.col(self._index)
+
+        every_iv = duration_to_interval(self._every)
+        period_iv = duration_to_interval(self._period)
+
+        offset_us = 0
+        if self._offset:
+            offset_us = parse_polars_duration_us(self._offset)
+        if self._start_by == "datapoint":
+            # grid starts at the first data point: fold min(ts) into the offset.
+            # Scalar agg → driver (a single value, not data).
+            min_ts = sdf.agg(F.min(ts).alias("m")).collect()[0][0]
+            if min_ts is None:
+                raise ValueError("empty frame for start_by='datapoint'")
+            every_us = parse_polars_duration_us(self._every)
+            epoch_us = int(min_ts.timestamp() * 1_000_000)
+            offset_us += epoch_us % every_us
+
+        bucket_ts = ts
+        if self._closed == "right":
+            bucket_ts = F.timestamp_micros(F.unix_micros(ts) - 1)
+
+        start_time = f"{offset_us} microseconds" if offset_us else "0 seconds"
+        win = F.window(bucket_ts, period_iv, every_iv, start_time)
+
+        agg_cols = [_c(a) for a in _flatten(aggs)] + [
+            _c(a).alias(n) for n, a in named_aggs.items()
+        ]
+        keys = [F.col(k) for k in self._group_by]
+        first_point = F.min(ts).alias("__first_point__")
+        grouped = sdf.groupBy(win.alias("__w__"), *keys).agg(first_point, *agg_cols)
+
+        lower = F.col("__w__.start")
+        upper = F.col("__w__.end")
+        if self._label == "left":
+            index_col = lower.alias(self._index)
+        elif self._label == "right":
+            index_col = upper.alias(self._index)
+        elif self._label == "datapoint":
+            index_col = F.col("__first_point__").alias(self._index)
+        else:
+            raise ValueError(f"unknown label {self._label!r}")
+
+        out_cols = []
+        if self._include_boundaries:
+            out_cols += [lower.alias("_lower_boundary"), upper.alias("_upper_boundary")]
+        out_cols += [F.col(k) for k in self._group_by]
+        out_cols.append(index_col)
+        out_cols += [F.col(c) for c in grouped.columns if c not in ("__w__", "__first_point__") and c not in self._group_by]
+        out = grouped.select(*out_cols).orderBy(*self._group_by, self._index)
+        return LazyFrame(out)

@@ -1,0 +1,182 @@
+"""Series: named single-column facade over a one-column LazyFrame.
+
+The reference's Series (/root/reference native_shim/src/types.rs:24-26,
+series.rs) is an eager chunked Arrow column with scalar access, broadcasting
+arithmetic, and 1-row aggregations.  Spark has no first-class column container,
+so Series wraps a single-column frame (SURVEY §1.1) and compiles element-wise
+ops to Column expressions.  Aggregations return Python scalars (the reference
+returns 1-row Series — scalar is the idiomatic Python rendering).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .exprs import Expr, _to_spark_type, col
+from .frame import DataFrame, LazyFrame
+
+__all__ = ["Series"]
+
+
+class Series:
+    def __init__(self, name: str, values: Sequence[Any] | None = None, dtype: str | None = None):
+        if values is None:
+            raise ValueError("Series needs values (or use Series._from_lazy)")
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession")
+        import pandas as pd
+
+        pdf = pd.DataFrame({name: list(values)})
+        sdf = spark.createDataFrame(pdf)
+        if dtype is not None:
+            sdf = sdf.select(F.col(name).cast(_to_spark_type(dtype)).alias(name))
+        self._lf = LazyFrame(sdf)
+        self._name = name
+
+    @classmethod
+    def _from_lazy(cls, lf: LazyFrame, name: str) -> "Series":
+        s = object.__new__(cls)
+        s._lf = lf
+        s._name = name
+        return s
+
+    # -- introspection ------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def dtype(self) -> str:
+        return self._lf.dtypes[0][1]
+
+    def len(self) -> int:
+        return self._lf._sdf.count()
+
+    def __len__(self) -> int:
+        return self.len()
+
+    def rename(self, name: str) -> "Series":
+        return Series._from_lazy(self._lf.select(col(self._name).alias(name)), name)
+
+    # -- data access --------------------------------------------------------
+    def to_list(self) -> list:
+        return [r[0] for r in self._lf._sdf.collect()]
+
+    def to_pandas(self):
+        return self._lf._sdf.toPandas()[self._name]
+
+    def item(self, index: int = 0) -> Any:
+        rows = self._lf._sdf.take(index + 1)
+        if len(rows) <= index:
+            raise IndexError(index)
+        return rows[index][0]
+
+    def __getitem__(self, index: int) -> Any:
+        return self.item(index)
+
+    def slice(self, offset: int, length: int) -> "Series":
+        lf = self._lf.with_row_index("__i__")
+        sdf = lf._sdf
+        w = F.row_number().over(__import__("pyspark.sql", fromlist=["Window"]).Window.orderBy("__i__")) - 1
+        out = sdf.withColumn("__rn__", w).filter(
+            (F.col("__rn__") >= offset) & (F.col("__rn__") < offset + length)
+        )
+        return Series._from_lazy(LazyFrame(out.select(self._name)), self._name)
+
+    # -- element-wise ops (series.rs:560-663) --------------------------------
+    def _binop(self, other: Any, fn) -> "Series":
+        c = F.col(self._name)
+        if isinstance(other, Series):
+            from .operators.horizontal import concat_horizontal
+
+            joined = concat_horizontal([self._lf, other.rename("__other__")._lf])
+            out = joined._sdf.select(fn(F.col(self._name), F.col("__other__")).alias(self._name))
+            return Series._from_lazy(LazyFrame(out), self._name)
+        out = self._lf._sdf.select(fn(c, F.lit(other)).alias(self._name))
+        return Series._from_lazy(LazyFrame(out), self._name)
+
+    def __add__(self, o):
+        return self._binop(o, lambda a, b: a + b)
+
+    def __sub__(self, o):
+        return self._binop(o, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return self._binop(o, lambda a, b: a * b)
+
+    def __truediv__(self, o):
+        return self._binop(o, lambda a, b: a / b)
+
+    def eq(self, o):
+        return self._binop(o, lambda a, b: a == b)
+
+    def neq(self, o):
+        return self._binop(o, lambda a, b: a != b)
+
+    def gt(self, o):
+        return self._binop(o, lambda a, b: a > b)
+
+    def gt_eq(self, o):
+        return self._binop(o, lambda a, b: a >= b)
+
+    def lt(self, o):
+        return self._binop(o, lambda a, b: a < b)
+
+    def lt_eq(self, o):
+        return self._binop(o, lambda a, b: a <= b)
+
+    # -- aggregations (series.rs:669-716) ------------------------------------
+    def _agg(self, fn) -> Any:
+        return self._lf._sdf.agg(fn(F.col(self._name)).alias("v")).collect()[0][0]
+
+    def sum(self) -> Any:
+        return self._agg(F.sum)
+
+    def mean(self) -> Any:
+        return self._agg(F.avg)
+
+    def min(self) -> Any:
+        return self._agg(F.min)
+
+    def max(self) -> Any:
+        return self._agg(F.max)
+
+    def null_count(self) -> int:
+        return self._lf._sdf.filter(F.col(self._name).isNull()).count()
+
+    # -- predicates (series.rs:719-753, 403-436) ------------------------------
+    def is_null(self) -> "Series":
+        return Series._from_lazy(
+            self._lf.select(col(self._name).is_null().alias(self._name)), self._name
+        )
+
+    def is_not_null(self) -> "Series":
+        return Series._from_lazy(
+            self._lf.select(col(self._name).is_not_null().alias(self._name)), self._name
+        )
+
+    def is_nan(self) -> "Series":
+        return Series._from_lazy(
+            self._lf.select(col(self._name).is_nan().alias(self._name)), self._name
+        )
+
+    def is_finite(self) -> "Series":
+        return Series._from_lazy(
+            self._lf.select(col(self._name).is_finite().alias(self._name)), self._name
+        )
+
+    def cast(self, dtype: str, strict: bool = False) -> "Series":
+        return Series._from_lazy(
+            self._lf.select(col(self._name).cast(dtype, strict).alias(self._name)), self._name
+        )
+
+    # -- frame bridge --------------------------------------------------------
+    def to_frame(self) -> DataFrame:
+        return DataFrame(self._lf)
+
+    def to_arrow(self):
+        return self._lf._sdf.toArrow().column(0)
