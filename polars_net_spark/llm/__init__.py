@@ -1,0 +1,37 @@
+"""LLM training-data pipeline operators (beyond-reference, SURVEY §7.2 phase 7).
+
+Designed for 100 TB corpora: every operator is a DataFrame composition with
+bounded shuffles; candidate generation (LSH/buckets) is always separated from
+exact verification so the O(n²) step only ever runs within small buckets.
+"""
+
+from .text import (
+    token_count,
+    quality_score,
+    language_id,
+    content_fingerprint,
+    shingle_fingerprints,
+)
+from .dedup import (
+    dedup_exact,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_signatures,
+    embedding_near_dup_pairs,
+)
+from .similarity import cosine_topk, lsh_bucket_topk
+
+__all__ = [
+    "token_count",
+    "quality_score",
+    "language_id",
+    "content_fingerprint",
+    "shingle_fingerprints",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "embedding_near_dup_pairs",
+    "cosine_topk",
+    "lsh_bucket_topk",
+]

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design: the only O(n²) computations happen *within candidate buckets*
+(LSH bands / hash buckets), never across the corpus.  Candidate generation is
+pure Column expressions; exact verification joins only the candidate pairs.
+At 100 TB the shuffles are: one on shingle/band hash (bounded by bucket
+sizes), one on doc_id for verification — both key-partitioned and AQE-skew
+handled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from ..frame import LazyFrame
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "embedding_near_dup_pairs",
+]
+
+
+def _sdf(frame: "LazyFrame | SparkDF") -> SparkDF:
+    return frame._sdf if isinstance(frame, LazyFrame) else frame
+
+
+def dedup_exact(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> LazyFrame:
+    """Exact dedup: keep the lowest id per identical (normalized) text.
+
+    hash-groupBy on the text content — one shuffle, map-side combine.  The
+    shuffle key is md5(text), not the text itself, so 100 TB of documents
+    shuffles 16 bytes per row + ids.
+    """
+    sdf = _sdf(frame)
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    keyed = sdf.withColumn("__key__", F.md5(text))
+    keep = keyed.groupBy("__key__").agg(F.min(id_col).alias(id_col))
+    out = keyed.join(keep, ["__key__", id_col], "inner").drop("__key__")
+    return LazyFrame(out)
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, sim >= threshold).
+
+    Inverted-index candidate generation: explode distinct n-grams, self-join
+    on the gram (only docs sharing ≥1 gram ever meet), count shared grams per
+    pair, then jaccard = shared / (|A| + |B| - shared).  No minhash error —
+    this is the exact oracle the approximate methods are verified against.
+    The gram join is the scale knob: at 100 TB add winnowing (keep a 1/p
+    deterministic sample of grams) to bound the index size.
+    """
+    sdf = _sdf(frame)
+    grams = sdf.select(
+        F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sim = (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("raw")
+    out = (
+        pairs.withColumn("jaccard", F.round(sim, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return LazyFrame(out)
+
+
+def minhash_lsh_pairs(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+    round_to: int = 6,
+) -> LazyFrame:
+    """MinHash + LSH near-dup pairs: shingle → minhash signature → band
+    buckets → bucket-join candidates → (optionally) exact-Jaccard verify.
+
+    The signature is computed without any explode: for each of ``num_hashes``
+    seeded xxhash64 functions, sig[k] = min over shingles — all inside one
+    projection (array_min ∘ transform), pure codegen.  Bands of r =
+    num_hashes/bands rows are hashed to buckets; only same-bucket docs become
+    candidates.  With verify=True the output is exact-Jaccard-filtered, so
+    LSH only affects recall, never precision.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sdf = _sdf(frame)
+    grams = sdf.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text__"),
+        _word_ngrams(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    def _minhash(k: int):
+        # closure (not a default arg): a 2-ary transform lambda would be
+        # interpreted by PySpark as (element, index)
+        return F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, F.lit(k))))
+
+    sig = F.array(*[_minhash(k) for k in range(num_hashes)]).alias("sig")
+    signed = grams.select("id", "grams", sig)
+
+    band_entries = signed.select(
+        "id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at(F.col("sig"), bi * r + j + 1).cast("string") for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    lhs = band_entries.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("ga"), "band", "bucket"
+    )
+    rhs = band_entries.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("gb"), "band", "bucket"
+    )
+    cands = (
+        lhs.join(rhs, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ga", "gb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return LazyFrame(cands.select("id_a", "id_b"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    jac = F.round(inter / union, round_to)
+    out = (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return LazyFrame(out)
+
+
+def simhash_signatures(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> LazyFrame:
+    """64-bit SimHash per document, as pure Column expressions.
+
+    For each bit i: sum over tokens of (+1 if bit set in xxhash64(token) else
+    -1); sign → bit.  Near-dups then cluster by Hamming distance (e.g. join on
+    16-bit chunks of the signature — any chunk equal ⇒ distance ≤ 48 candidate).
+    """
+    sdf = _sdf(frame)
+    words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def _bit_set(h, i: int):
+        if i == 63:
+            return h < 0  # sign bit
+        return h.bitwiseAND(F.lit(1 << i)) != 0
+
+    def _bit_sum(i: int):
+        # NB: the merge lambda must be exactly 2-ary — PySpark inspects lambda
+        # arity to build the JVM higher-order function, so `i` is closed over.
+        return F.aggregate(
+            hashes, F.lit(0), lambda acc, h: acc + F.when(_bit_set(h, i), 1).otherwise(-1)
+        )
+
+    bit_sums = [_bit_sum(i) for i in range(bits)]
+    sim = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        bit_val = F.lit(-(2**63) if i == 63 else (1 << i)).cast("long")
+        sim = sim.bitwiseOR(F.when(s > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    out = sdf.select(F.col(id_col), sim.alias("simhash"))
+    return LazyFrame(out)
+
+
+def embedding_near_dup_pairs(
+    frame: "LazyFrame | SparkDF",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    Brute-force all-pairs via self-join — correct baseline; at corpus scale
+    swap the candidate join for :func:`~.similarity.lsh_bucket_topk`'s
+    hyperplane buckets.  The dot product is F.zip_with + F.aggregate, JVM-side.
+    """
+    sdf = _sdf(frame)
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    base = sdf.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return LazyFrame(pairs)

@@ -1,0 +1,122 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All are pure Column expressions (JVM-side, whole-stage-codegen'd) — no Python
+in the hot path, so they run at scan speed over 100 TB.  Every function takes
+and returns Columns so they compose with any frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "quality_score",
+    "language_id",
+    "content_fingerprint",
+    "shingle_fingerprints",
+    "STOPWORDS_EN",
+]
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this",
+]
+
+# Marker words per language for the n-gram/stopword language heuristic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank string → 0."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(_words(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper-bound token count: split on word boundaries AND digits/
+    punctuation runs (a regex proxy for byte-pair segmentation)."""
+    pieces = F.split(text, r"(?<=\W)|(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0))
+
+
+def quality_score(text: Column, round_to: int = 6) -> Column:
+    """Heuristic document quality in [0,1]: combines length band, punctuation
+    ratio, stopword ratio, and mean word length — the classic cheap pre-filters
+    for LLM corpus cleaning.  Deterministic, expressible in ANSI SQL."""
+    n = F.length(text).cast("double")
+    words = _words(text)
+    n_words = F.size(words).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("double")
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(STOPWORDS_EN))
+    ).cast("double")
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, (n - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    word_len_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_score = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    score = (length_score + word_len_score + punct_score + stop_score) / 4.0
+    return F.round(score, round_to)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language heuristic: count per-language marker-word hits,
+    argmax with deterministic tie-break (first language in the table order).
+    Pure expressions — at 100 TB this is a scan, not a UDF."""
+    words = _words(text)
+    lowered = F.transform(words, F.lower)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(F.filter(lowered, lambda w: w.isin(markers)))
+        scores.append((lang, hits))
+    # argmax via chained when (deterministic order)
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang, hits in scores:
+        is_better = hits > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, hits).otherwise(best_score)
+    return best_lang
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text (lowercase,
+    collapsed whitespace).  md5 is identical across engines → oracle-checkable."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def shingle_fingerprints(text: Column, k: int = 3, keep_every: int = 4) -> Column:
+    """Rolling fingerprint set: md5 of each word k-shingle, keeping the
+    winnowed subset (hashes ≡ 0 mod keep_every — a deterministic 1/keep_every
+    sampler).  Output: sorted array of kept shingle hashes for containment /
+    near-dup detection at the corpus level."""
+    words = _words(F.lower(text))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
+    )
+    shingles = F.when(n >= k, shingles).otherwise(F.array())
+    hashes = F.transform(shingles, F.md5)
+    kept = F.filter(
+        hashes,
+        lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % keep_every == 0,
+    )
+    return F.array_sort(F.array_distinct(kept))
