@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is built through the polars_net_spark library (so the operator
+surface from SURVEY.md §2 is exercised end-to-end) and paired with an ANSI-SQL
+oracle that DuckDB runs on the same parquet views.  Aggregate doubles are
+rounded identically on both sides so cross-engine summation-order noise
+cannot flip the value hash; integer outputs are cast to BIGINT on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,967 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import polars_net_spark as pls
+from polars_net_spark import col, lit, when
+from polars_net_spark.frame import LazyFrame
+from polars_net_spark.llm import (
+    dedup_exact,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_signatures,
+    embedding_near_dup_pairs,
+    cosine_topk,
+    lsh_bucket_topk,
+    token_count,
+    quality_score,
+    language_id,
+    content_fingerprint,
+    shingle_fingerprints,
+)
+
+STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
+    """Load one driver table; normalizes the events ns-timestamp column."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    lf = pls.scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark)
+    if name == "events" and dict(lf._sdf.dtypes).get("ts") == "bigint":
+        lf = LazyFrame(
+            lf._sdf.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+    return lf
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    return _q01(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational core
+
+
+def _q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            col("l_quantity").sum().round(2).alias("sum_qty"),
+            col("l_extendedprice").sum().round(2).alias("sum_base_price"),
+            (col("l_extendedprice") * (1 - col("l_discount"))).sum().round(2).alias("sum_disc_price"),
+            (col("l_extendedprice") * (1 - col("l_discount")) * (1 + col("l_tax"))).sum().round(2).alias("sum_charge"),
+            col("l_quantity").mean().round(6).alias("avg_qty"),
+            col("l_extendedprice").mean().round(6).alias("avg_price"),
+            col("l_discount").mean().round(6).alias("avg_disc"),
+            col("l_quantity").len().cast("long").alias("count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return out.spark
+
+
+_q01_sql = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q02(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            col("l_quantity").is_between(10, 20),
+            col("l_returnflag").is_in(["A", "R"]),
+        )
+        .group_by("l_returnflag")
+        .agg(
+            col("l_orderkey").len().cast("long").alias("n_rows"),
+            col("l_extendedprice").sum().round(2).alias("sum_price"),
+        )
+    )
+    return out.spark
+
+
+_q02_sql = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+GROUP BY l_returnflag
+"""
+
+
+def _q03(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cutoff = lit("1997-01-01").cast("timestamp")
+    out = (
+        c.filter(col("c_mktsegment") == "BUILDING")
+        .join(o, left_on="c_custkey", right_on="o_custkey", how="inner")
+        .filter(col("o_orderdate") < cutoff)
+        .join(li, left_on="o_orderkey", right_on="l_orderkey", how="inner")
+        .filter(col("l_shipdate") > cutoff)
+        .group_by("o_orderkey", "o_orderdate")
+        .agg((col("l_extendedprice") * (1 - col("l_discount"))).sum().round(2).alias("revenue"))
+        .sort(["revenue", "o_orderdate", "o_orderkey"], descending=[True, False, False])
+        .limit(10)
+    )
+    return out.spark
+
+
+_q03_sql = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+def _q04(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(col("l_quantity") > 45)
+    out = (
+        o.join(big, left_on="o_orderkey", right_on="l_orderkey", how="semi")
+        .group_by("o_orderpriority")
+        .agg(col("o_orderkey").len().cast("long").alias("order_count"))
+        .sort("o_orderpriority")
+    )
+    return out.spark
+
+
+_q04_sql = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q05(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    out = (
+        li.join(o, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+        .join(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+        .join(n, left_on="c_nationkey", right_on="n_nationkey", how="inner", broadcast=True)
+        .join(r, left_on="n_regionkey", right_on="r_regionkey", how="inner", broadcast=True)
+        .group_by("r_name")
+        .agg((col("l_extendedprice") * (1 - col("l_discount"))).sum().round(2).alias("revenue"))
+        .sort("r_name")
+    )
+    return out.spark
+
+
+_q05_sql = """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _q06(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp"),
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+        col("l_discount").is_between(0.05, 0.07),
+        col("l_quantity") < 24,
+    )
+    return filtered.spark.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+_q06_sql = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q07(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, left_on="c_custkey", right_on="o_custkey", how="left")
+        .group_by("c_custkey")
+        .agg(col("o_orderkey").count().cast("long").alias("c_count"))
+    )
+    out = (
+        per_cust.group_by("c_count")
+        .agg(col("c_custkey").len().cast("long").alias("custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+    return out.spark
+
+
+_q07_sql = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q08(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        c.join(o, left_on="c_custkey", right_on="o_custkey", how="anti")
+        .group_by("c_mktsegment")
+        .agg(col("c_custkey").len().cast("long").alias("n_no_orders"))
+        .sort("c_mktsegment")
+    )
+    return out.spark
+
+
+_q08_sql = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _q09(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    out = (
+        r.join(n, how="cross")
+        .filter(col("n_regionkey") != col("r_regionkey"))
+        .select(col("r_name"), col("n_name"))
+        .sort(["r_name", "n_name"])
+    )
+    return out.spark
+
+
+_q09_sql = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+WHERE n_regionkey <> r_regionkey ORDER BY r_name, n_name
+"""
+
+
+def _q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(col("l_returnflag"), col("l_linestatus")).unique().sort(["l_returnflag", "l_linestatus"])
+    return out.spark
+
+
+_q10_sql = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2"
+
+
+def _q11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.select(col("l_orderkey"), col("l_linenumber").cast("i64").alias("l_linenumber"), col("l_extendedprice"))
+        .sort(["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(20)
+    )
+    return out.spark
+
+
+_q11_sql = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+def _q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.group_by("l_suppkey")
+        .agg(col("l_quantity").sum().round(2).alias("total_qty"))
+        .filter(col("total_qty") > 6000)
+        .sort("l_suppkey")
+    )
+    return out.spark
+
+
+_q12_sql = """
+SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_suppkey HAVING round(sum(l_quantity), 2) > 6000
+ORDER BY l_suppkey
+"""
+
+
+def _q13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        when(col("o_totalprice") < 100000).then(lit("low"))
+        .when(col("o_totalprice") < 300000).then(lit("mid"))
+        .otherwise(lit("high"))
+        .alias("band")
+    )
+    out = (
+        o.with_columns(band)
+        .group_by("band")
+        .agg(
+            col("o_orderkey").len().cast("long").alias("n"),
+            col("o_totalprice").mean().round(4).alias("avg_price"),
+        )
+        .sort("band")
+    )
+    return out.spark
+
+
+_q13_sql = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band,
+       CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q14(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    left = c.select(col("c_custkey").alias("id"), col("c_name").alias("name"))
+    right = o.select(col("o_orderkey").alias("id"), col("o_totalprice").alias("price"))
+    out = pls.concat([left, right], how="diagonal")
+    return out.spark
+
+
+_q14_sql = """
+SELECT c_custkey AS id, c_name AS name, NULL::DOUBLE AS price FROM customer
+UNION ALL BY NAME
+SELECT o_orderkey AS id, NULL::VARCHAR AS name, o_totalprice AS price FROM orders
+"""
+
+
+def _q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    piv = li.collect().pivot(index="l_returnflag", columns="l_linestatus", values="l_quantity", aggregate_function="sum")
+    out = piv.lazy().with_columns(
+        col("F").round(2).alias("F"), col("O").round(2).alias("O")
+    ).sort("l_returnflag")
+    return out.spark
+
+
+_q15_sql = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# window / time series
+
+
+def _q16(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = o.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice")
+        .cum_sum(order_by=[col("o_orderdate"), col("o_orderkey")], partition_by=["o_custkey"])
+        .round(2)
+        .alias("running_total"),
+    )
+    return out.spark
+
+
+_q16_sql = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def _q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = o.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice")
+        .diff(1, order_by=[col("o_orderdate"), col("o_orderkey")], partition_by=["o_custkey"])
+        .round(2)
+        .alias("price_diff"),
+    )
+    return out.spark
+
+
+_q17_sql = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS price_diff
+FROM orders
+"""
+
+
+def _q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    order_keys = [col("l_shipdate"), col("l_orderkey"), col("l_linenumber")]
+    out = li.select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber").cast("i64").alias("l_linenumber"),
+        col("l_quantity")
+        .rolling_mean("7i", min_periods=1, order_by=order_keys, partition_by=["l_suppkey"])
+        .round(6)
+        .alias("roll_avg_qty"),
+    )
+    return out.spark
+
+
+_q18_sql = """
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg_qty
+FROM lineitem
+"""
+
+
+def _q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber").cast("i64").alias("l_linenumber"),
+        col("l_quantity")
+        .rolling_sum_by("l_shipdate", "7d", closed="both", min_periods=1, partition_by=["l_suppkey"])
+        .round(2)
+        .alias("qty_7d"),
+    )
+    return out.spark
+
+
+_q19_sql = """
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS qty_7d
+FROM lineitem
+"""
+
+
+def _q20(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.group_by_dynamic("ts", every="1h", closed="left", label="left")
+        .agg(
+            col("event_id").len().cast("long").alias("n_events"),
+            col("value").sum().round(2).alias("sum_value"),
+        )
+    )
+    return LazyFrame(out._sdf.withColumnRenamed("ts", "bucket_start")).spark
+
+
+_q20_sql = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q21(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").select(
+        col("ts"), col("user_id"), col("event_id"), col("value")
+    )
+    out = o.join_asof(
+        ev,
+        left_on="o_orderdate",
+        right_on="ts",
+        by_left=["o_custkey"],
+        by_right=["user_id"],
+        strategy="backward",
+    ).select(col("o_orderkey"), col("o_custkey"), col("event_id"), col("value"))
+    return out.spark
+
+
+_q21_sql = """
+SELECT o_orderkey, o_custkey, e.event_id, e.value
+FROM orders o ASOF LEFT JOIN events e
+  ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+"""
+
+
+def _q22(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.group_by("l_returnflag")
+        .agg(
+            col("l_extendedprice").quantile(0.5, "linear").round(6).alias("p50"),
+            col("l_extendedprice").quantile(0.9, "linear").round(6).alias("p90"),
+            col("l_extendedprice").std(ddof=1).round(6).alias("sd"),
+        )
+        .sort("l_returnflag")
+    )
+    return out.spark
+
+
+_q22_sql = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(stddev_samp(l_extendedprice), 6) AS sd
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# strings / dates / lists / structs / casts
+
+
+def _q23(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    out = p.select(
+        col("p_partkey"),
+        col("p_name").str.to_uppercase().alias("name_upper"),
+        col("p_type").str.slice(0, 5).alias("type_prefix"),
+        col("p_brand").str.extract(r"(\d+)", 1).alias("brand_num"),
+        col("p_name").str.len_chars().cast("i64").alias("name_len"),
+        col("p_name").str.contains("green").cast("boolean").alias("has_green"),
+    )
+    return out.spark
+
+
+_q23_sql = """
+SELECT p_partkey, upper(p_name) AS name_upper, substring(p_type, 1, 5) AS type_prefix,
+       regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       regexp_matches(p_name, 'green') AS has_green
+FROM part
+"""
+
+
+def _q24(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = o.select(
+        col("o_orderkey"),
+        col("o_orderdate").dt.year().cast("i64").alias("yr"),
+        col("o_orderdate").dt.month().cast("i64").alias("mo"),
+        col("o_orderdate").dt.day().cast("i64").alias("dy"),
+        col("o_orderdate").dt.weekday().cast("i64").alias("isodow"),
+        col("o_orderdate").dt.truncate("1mo").alias("month_start"),
+    )
+    return out.spark
+
+
+_q24_sql = """
+SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dy,
+       CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+       date_trunc('month', o_orderdate) AS month_start
+FROM orders
+"""
+
+
+def _q25(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = e.select(
+        col("vec_id"),
+        col("embedding").list.len().cast("i64").alias("n_dims"),
+        col("embedding").list.sum().round(4).alias("vsum"),
+        col("embedding").list.min().cast("f64").alias("vmin"),
+        col("embedding").list.max().cast("f64").alias("vmax"),
+        col("embedding").list.first().cast("f64").alias("v0"),
+        col("embedding").list.mean().round(6).alias("vmean"),
+    )
+    return out.spark
+
+
+_q25_sql = """
+WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+       round(list_sum(v), 4) AS vsum,
+       CAST(list_min(v) AS DOUBLE) AS vmin,
+       CAST(list_max(v) AS DOUBLE) AS vmax,
+       CAST(v[1] AS DOUBLE) AS v0,
+       round(list_sum(v) / len(embedding), 6) AS vmean
+FROM e
+"""
+
+
+def _q26(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    packed = c.select(
+        col("c_custkey"),
+        pls.as_struct([col("c_name"), col("c_acctbal")]).alias("info"),
+    )
+    out = packed.select(
+        col("c_custkey"),
+        col("info").struct.field("c_name").alias("name_out"),
+        col("info").struct.field("c_acctbal").alias("bal_out"),
+    )
+    return out.spark
+
+
+_q26_sql = """
+WITH s AS (SELECT c_custkey, struct_pack(c_name := c_name, c_acctbal := c_acctbal) AS info FROM customer)
+SELECT c_custkey, info.c_name AS name_out, info.c_acctbal AS bal_out FROM s
+"""
+
+
+def _q27(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = d.select(
+        col("doc_id"),
+        col("text").str.slice(0, 3).cast("i64").fill_null(-1).alias("parsed"),
+        col("n_chars").cast("str").alias("n_str"),
+    )
+    return out.spark
+
+
+_q27_sql = """
+SELECT doc_id, coalesce(TRY_CAST(substring(text, 1, 3) AS BIGINT), -1) AS parsed,
+       CAST(n_chars AS VARCHAR) AS n_str
+FROM documents
+"""
+
+
+def _q28(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        pls.Expr(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias("word")
+    )
+    out = (
+        words.group_by("word")
+        .agg(col("word").len().cast("long").alias("n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(50)
+    )
+    return out.spark
+
+
+_q28_sql = """
+SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM pipeline operators
+
+
+def _q29(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup_exact(d, text_col="text", id_col="doc_id")
+    out = kept.select(col("doc_id")).sort("doc_id")
+    return out.spark
+
+
+_q29_sql = r"""
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+ORDER BY doc_id
+"""
+
+
+_NGRAM_PAIRS_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w WHERE len(ws) >= 3),
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb, count(*) AS shared
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, round(shared / (na + nb - shared), 6) AS jaccard
+FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5
+"""
+
+
+def _q30(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).spark
+
+
+def _q31(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n=3, threshold=0.5, num_hashes=64, bands=16).spark
+
+
+def _q32(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.45).spark
+
+
+_q32_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+"""
+
+
+def _q33(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
+    out = cosine_topk(e, q, k=5)
+    return out._sdf.withColumn("rank", F.col("rank").cast("long"))
+
+
+_q33_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             round(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q JOIN e c ON c.vec_id <> q.vec_id)
+SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+
+def _q34(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = d._sdf.select(
+        F.col("doc_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text")).alias("lang_pred"),
+    )
+    return out
+
+
+_q34_sql = rf"""
+WITH t AS (SELECT doc_id, text,
+                  length(text)::DOUBLE AS n,
+                  string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+u AS (SELECT doc_id, text, n,
+             len(ws)::DOUBLE AS nw,
+             len(list_filter(ws, w -> lower(w) IN {STOPWORDS_SQL}))::DOUBLE AS sh,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS p,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_tokens,
+             len(list_filter(ws, w -> lower(w) IN ('the','and','of','to','is'))) AS h_en,
+             len(list_filter(ws, w -> lower(w) IN ('el','la','de','que','los'))) AS h_es,
+             len(list_filter(ws, w -> lower(w) IN ('der','die','das','und','ist'))) AS h_de,
+             len(list_filter(ws, w -> lower(w) IN ('le','la','les','et','est'))) AS h_fr,
+             len(list_filter(ws, w -> lower(w) IN ('的','是','了','在','我'))) AS h_zh
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((least(n / 500.0, 1.0)
+              + CASE WHEN nw > 0 AND (n - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END
+              + CASE WHEN (CASE WHEN n > 0 THEN p / n ELSE 0 END) <= 0.2 THEN 1.0 ELSE 0.5 END
+              + least((CASE WHEN nw > 0 THEN sh / nw ELSE 0 END) * 4.0, 1.0)) / 4.0, 6) AS quality,
+       CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'unknown'
+            WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+            WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM u
+"""
+
+
+def _q35(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fps = shingle_fingerprints(F.col("text"), k=3, keep_every=4)
+    out = d._sdf.select(
+        F.col("doc_id"),
+        content_fingerprint(F.col("text")).alias("fp"),
+        F.size(fps).cast("long").alias("n_kept"),
+        F.get(fps, 0).alias("min_fp"),
+        F.get(fps, F.size(fps) - 1).alias("max_fp"),
+    )
+    return out
+
+
+_q35_sql = r"""
+WITH w AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id, text,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(1, len(ws) - 2),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END AS grams
+      FROM w),
+h AS (SELECT doc_id, text,
+             list_sort(list_distinct(list_filter(list_transform(grams, s -> md5(s)),
+                                                 x -> substring(x, 1, 1) IN ('0','1','2','3')))) AS kept
+      FROM g)
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       kept[1] AS min_fp,
+       kept[-1] AS max_fp
+FROM h
+"""
+
+
+def _q36(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures(d).spark
+
+
+def _q37(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = col("ts").shift(1, order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
+    new_sess = (
+        when(prev_ts.is_null() | (pls.Expr(F.unix_micros(F.col("ts"))) - pls.Expr(F.unix_micros(prev_ts._col)) > gap_us))
+        .then(lit(1))
+        .otherwise(lit(0))
+    )
+    sess = ev.with_columns(new_sess.alias("new_sess")).with_columns(
+        col("new_sess").cum_sum(order_by=[col("ts"), col("event_id")], partition_by=["user_id"]).alias("session_id")
+    )
+    out = (
+        sess.group_by("user_id", "session_id")
+        .agg(
+            col("event_id").len().cast("long").alias("n_events"),
+            col("value").sum().round(2).alias("session_value"),
+        )
+    )
+    return out.spark.withColumn("session_id", F.col("session_id").cast("long"))
+
+
+_q37_sql = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _q38(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
+    out = lsh_bucket_topk(e, q, k=5, num_planes=6, num_tables=6)
+    return out._sdf.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _q01,
+        "q02_filter_pushdown": _q02,
+        "q03_top_orders": _q03,
+        "q04_priority_semi": _q04,
+        "q05_region_revenue": _q05,
+        "q06_forecast_revenue": _q06,
+        "q07_cust_order_counts": _q07,
+        "q08_anti_no_orders": _q08,
+        "q09_cross_region_nation": _q09,
+        "q10_distinct_flags": _q10,
+        "q11_topk_price": _q11,
+        "q12_group_having": _q12,
+        "q13_case_bands": _q13,
+        "q14_concat_diagonal": _q14,
+        "q15_pivot_flags": _q15,
+        "q16_running_total": _q16,
+        "q17_lag_diff": _q17,
+        "q18_rolling_avg7": _q18,
+        "q19_rolling_7d": _q19,
+        "q20_hourly_events": _q20,
+        "q21_asof_orders_events": _q21,
+        "q22_quantiles": _q22,
+        "q23_string_funcs": _q23,
+        "q24_date_parts": _q24,
+        "q25_list_ops": _q25,
+        "q26_struct_ops": _q26,
+        "q27_cast_clean": _q27,
+        "q28_wordcount": _q28,
+        "q29_dedup_exact": _q29,
+        "q30_ngram_jaccard": _q30,
+        "q31_minhash_lsh": _q31,
+        "q32_embedding_pairs": _q32,
+        "q33_cosine_topk": _q33,
+        "q34_text_metrics": _q34,
+        "q35_fingerprint": _q35,
+        "q36_simhash": _q36,
+        "q37_sessionize": _q37,
+        "q38_lsh_topk": _q38,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _q01_sql,
+        "q02_filter_pushdown": _q02_sql,
+        "q03_top_orders": _q03_sql,
+        "q04_priority_semi": _q04_sql,
+        "q05_region_revenue": _q05_sql,
+        "q06_forecast_revenue": _q06_sql,
+        "q07_cust_order_counts": _q07_sql,
+        "q08_anti_no_orders": _q08_sql,
+        "q09_cross_region_nation": _q09_sql,
+        "q10_distinct_flags": _q10_sql,
+        "q11_topk_price": _q11_sql,
+        "q12_group_having": _q12_sql,
+        "q13_case_bands": _q13_sql,
+        "q14_concat_diagonal": _q14_sql,
+        "q15_pivot_flags": _q15_sql,
+        "q16_running_total": _q16_sql,
+        "q17_lag_diff": _q17_sql,
+        "q18_rolling_avg7": _q18_sql,
+        "q19_rolling_7d": _q19_sql,
+        "q20_hourly_events": _q20_sql,
+        "q21_asof_orders_events": _q21_sql,
+        "q22_quantiles": _q22_sql,
+        "q23_string_funcs": _q23_sql,
+        "q24_date_parts": _q24_sql,
+        "q25_list_ops": _q25_sql,
+        "q26_struct_ops": _q26_sql,
+        "q27_cast_clean": _q27_sql,
+        "q28_wordcount": _q28_sql,
+        "q29_dedup_exact": _q29_sql,
+        "q30_ngram_jaccard": _NGRAM_PAIRS_SQL,
+        "q31_minhash_lsh": _NGRAM_PAIRS_SQL,
+        "q32_embedding_pairs": _q32_sql,
+        "q33_cosine_topk": _q33_sql,
+        "q34_text_metrics": _q34_sql,
+        "q35_fingerprint": _q35_sql,
+        "q37_sessionize": _q37_sql,
+        # q36_simhash, q38_lsh_topk: engine-specific hashing / approximate —
+        # rows-only checks by design
+    }

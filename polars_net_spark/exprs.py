@@ -440,6 +440,39 @@ class Expr:
         hi = Window.unboundedFollowing if limit is None else int(limit)
         return _wrap(F.first(self._col, ignorenulls=True).over(w.rowsBetween(0, hi)))
 
+    def cum_sum(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """Running sum over the frame/partition order."""
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+        return _wrap(F.sum(self._col).over(w))
+
+    def cum_count(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+        return _wrap(F.count(self._col).over(w))
+
+    def cum_max(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+        return _wrap(F.max(self._col).over(w))
+
+    def cum_min(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+        return _wrap(F.min(self._col).over(w))
+
     # rolling fixed-size (expr.rs:110-141, 272-275)
     def _rolling(self, fn, window_size: int | str, min_periods: int | None, order_by, partition_by):
         if isinstance(window_size, str):
@@ -473,7 +506,8 @@ class Expr:
     def _rolling_by(self, fn, window: str, by, closed: str, min_periods: int, partition_by):
         micros = parse_polars_duration_us(window)
         ts = _c(col(by) if isinstance(by, str) else by)
-        order = (F.unix_micros(ts)).cast("long")
+        # cast handles TIMESTAMP_NTZ (parquet ms/µs without tz reads as NTZ)
+        order = (F.unix_micros(ts.cast("timestamp"))).cast("long")
         w = (
             Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
             if partition_by
@@ -877,13 +911,28 @@ class ExprStructNamespace:
 
     field_by_name = field
 
-    def field_by_index(self, index: int) -> Expr:
-        return _wrap(self._c.getItem(index))
+    def field_by_index(self, index: int, field_names: Sequence[str] | None = None) -> Expr:
+        """Positional field access (expr.rs:948-957).  Spark can't index a
+        struct positionally without its schema — pass ``field_names`` or use
+        ``LazyFrame.struct_field_by_index`` which resolves the schema."""
+        if field_names is None:
+            raise ValueError(
+                "struct.field_by_index needs field_names=[...] (or use "
+                "LazyFrame.struct_field_by_index, which reads the schema)"
+            )
+        return _wrap(self._c.getField(field_names[index]))
 
-    def rename_fields(self, names: Sequence[str]) -> Expr:
-        # build a new struct with the same values under new names
+    def rename_fields(self, names: Sequence[str], field_names: Sequence[str] | None = None) -> Expr:
+        """Rename struct fields positionally (expr.rs:960-982).  Needs the
+        current field names — pass ``field_names`` or use
+        ``LazyFrame.struct_rename_fields``."""
+        if field_names is None:
+            raise ValueError(
+                "struct.rename_fields needs field_names=[...] (or use "
+                "LazyFrame.struct_rename_fields, which reads the schema)"
+            )
         return _wrap(
-            F.struct(*[self._c.getItem(i).alias(n) for i, n in enumerate(names)])
+            F.struct(*[self._c.getField(o).alias(n) for o, n in zip(field_names, names)])
         )
 
     def json_encode(self) -> Expr:

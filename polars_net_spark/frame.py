@@ -196,6 +196,21 @@ class LazyFrame:
             sdf = sdf.select(*others, *[F.col(f"{colname}.{f}").alias(f) for f in field_names])
         return LazyFrame(sdf)
 
+    def struct_field_by_index(self, column: str, index: int, alias: str | None = None) -> "LazyFrame":
+        """Positional struct-field extraction (reference expr.rs:948-957) —
+        schema-resolved, so it works on any struct column."""
+        fields = self._sdf.schema[column].dataType.fields
+        name = fields[index].name
+        return LazyFrame(self._sdf.withColumn(alias or name, F.col(column).getField(name)))
+
+    def struct_rename_fields(self, column: str, new_names: Sequence[str]) -> "LazyFrame":
+        """Rename struct fields positionally (reference expr.rs:960-982)."""
+        fields = self._sdf.schema[column].dataType.fields
+        new_struct = F.struct(
+            *[F.col(column).getField(f.name).alias(nn) for f, nn in zip(fields, new_names)]
+        )
+        return LazyFrame(self._sdf.withColumn(column, new_struct))
+
     def explode(self, *columns: str) -> "LazyFrame":
         """Multi-column parallel explode (eager.rs:511-549): lists in the same
         row are zipped positionally, like polars."""

@@ -103,10 +103,14 @@ def content_fingerprint(text: Column) -> Column:
 
 
 def shingle_fingerprints(text: Column, k: int = 3, keep_every: int = 4) -> Column:
-    """Rolling fingerprint set: md5 of each word k-shingle, keeping the
-    winnowed subset (hashes ≡ 0 mod keep_every — a deterministic 1/keep_every
-    sampler).  Output: sorted array of kept shingle hashes for containment /
-    near-dup detection at the corpus level."""
+    """Rolling fingerprint set: md5 of each word k-shingle, keeping a winnowed
+    deterministic subset — hashes whose first hex digit falls in the first
+    16/keep_every digits (a 1/keep_every sampler that any engine can compute:
+    it's just a prefix test on the hex string).  Output: sorted array of kept
+    shingle hashes for containment / near-dup detection at the corpus level."""
+    if 16 % keep_every != 0:
+        raise ValueError("keep_every must divide 16")
+    keep_chars = "0123456789abcdef"[: 16 // keep_every]
     words = _words(F.lower(text))
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -115,8 +119,5 @@ def shingle_fingerprints(text: Column, k: int = 3, keep_every: int = 4) -> Colum
     )
     shingles = F.when(n >= k, shingles).otherwise(F.array())
     hashes = F.transform(shingles, F.md5)
-    kept = F.filter(
-        hashes,
-        lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % keep_every == 0,
-    )
+    kept = F.filter(hashes, lambda h: F.substring(h, 1, 1).isin(list(keep_chars)))
     return F.array_sort(F.array_distinct(kept))

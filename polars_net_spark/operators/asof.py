@@ -75,7 +75,8 @@ def join_asof(
     tol = _tolerance_micros(tolerance, is_ts)
 
     def _t(c: Column) -> Column:
-        return F.unix_micros(c) if is_ts else c.cast("double")
+        # cast handles TIMESTAMP_NTZ (parquet timestamps without tz read as NTZ)
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
 
     # right side: pack non-key payload into one struct so the window carries a
     # single value column regardless of width

@@ -1,0 +1,78 @@
+"""Temporal namespace (FIXTURES F9; oracles ExprTests.fs:102-186, DataTypeTests.cs)."""
+
+import datetime as dt
+
+import polars_net_spark as pl
+from polars_net_spark import col, lit_datetime
+
+
+def test_parts(spark):
+    t = dt.datetime(2024, 3, 15, 14, 30, 45, 123456)
+    df = pl.from_records([(t,)], ["ts"])
+    out = df.select(
+        col("ts").dt.year().alias("y"),
+        col("ts").dt.month().alias("mo"),
+        col("ts").dt.day().alias("d"),
+        col("ts").dt.ordinal_day().alias("od"),
+        col("ts").dt.weekday().alias("wd"),
+        col("ts").dt.hour().alias("h"),
+        col("ts").dt.minute().alias("mi"),
+        col("ts").dt.second().alias("s"),
+        col("ts").dt.millisecond().alias("ms"),
+        col("ts").dt.microsecond().alias("us"),
+    )
+    assert out.rows()[0] == (2024, 3, 15, 75, 5, 14, 30, 45, 123, 123456)
+
+
+def test_truncate_round(spark):
+    t = dt.datetime(2024, 1, 1, 10, 38, 0)
+    df = pl.from_records([(t,)], ["ts"])
+    out = df.select(
+        col("ts").dt.truncate("15m").alias("tr"),
+        col("ts").dt.round("15m").alias("rd"),
+        col("ts").dt.truncate("1h").alias("th"),
+    )
+    r = out.rows()[0]
+    assert r[0] == dt.datetime(2024, 1, 1, 10, 30)
+    assert r[1] == dt.datetime(2024, 1, 1, 10, 45)
+    assert r[2] == dt.datetime(2024, 1, 1, 10, 0)
+
+
+def test_offset_by_timestamp_unit(spark):
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = pl.from_records([(t,)], ["ts"])
+    out = df.select(
+        col("ts").dt.offset_by("1d2h").alias("o"),
+        col("ts").dt.timestamp("ms").alias("ms"),
+        col("ts").dt.timestamp("us").alias("us"),
+    )
+    r = out.rows()[0]
+    assert r[0] == dt.datetime(2024, 1, 2, 2, 0, 0)
+    assert r[1] == 1704067200000
+    assert r[2] == 1704067200000000
+
+
+def test_strftime_to_string(spark):
+    t = dt.datetime(2024, 3, 5, 9, 7, 2)
+    df = pl.from_records([(t,)], ["ts"])
+    out = df.select(
+        col("ts").dt.to_string("%Y-%m-%d").alias("d"),
+        col("ts").dt.to_string("%d/%m/%Y %H:%M:%S").alias("f"),
+        col("ts").dt.to_string("%B %A").alias("n"),
+    )
+    assert out.rows()[0] == ("2024-03-05", "05/03/2024 09:07:02", "March Tuesday")
+
+
+def test_lit_datetime(spark):
+    df = pl.from_records([(1,)], ["x"])
+    out = df.select(lit_datetime(1704067200000000).alias("t"))
+    assert out.rows()[0][0] == dt.datetime(2024, 1, 1)
+
+
+def test_date_and_time_of_day(spark):
+    t = dt.datetime(2024, 6, 1, 12, 0, 0, 500000)
+    df = pl.from_records([(t,)], ["ts"])
+    out = df.select(col("ts").dt.date().alias("d"), col("ts").dt.time().alias("tod"))
+    r = out.rows()[0]
+    assert r[0] == dt.date(2024, 6, 1)
+    assert r[1] == (12 * 3600 + 0.5) * 1_000_000_000

@@ -1,0 +1,142 @@
+"""Expression semantics (reference oracles: ExprTests.cs/fs, CleaningTests.cs)."""
+
+import math
+
+import pytest
+
+import polars_net_spark as pl
+from polars_net_spark import col, lit, when
+
+
+def test_select_arithmetic(people):
+    out = people.select(
+        col("name"),
+        (col("salary") * 2).alias("double_salary"),
+        (col("age") + 1).alias("age_next"),
+    )
+    rows = sorted(out.rows())
+    assert rows[0] == ("Alice", 200.0, 26)
+
+
+def test_comparison_filter(people):
+    assert people.filter(col("age") > 26).height == 2
+    assert people.filter(col("name") == "Bob").height == 1
+    assert people.filter((col("age") > 26) & (col("salary") < 250.0)).height == 1
+    assert people.filter(~(col("age") > 26)).height == 1
+
+
+def test_when_then_otherwise(people):
+    out = people.select(
+        when(col("age") < 28).then(lit("young")).when(col("age") < 33).then(lit("mid")).otherwise(lit("old")).alias("bucket")
+    )
+    assert sorted(r[0] for r in out.rows()) == ["mid", "old", "young"]
+
+
+def test_floor_div_mod_pow(spark):
+    df = pl.from_records([(7, 2)], ["a", "b"])
+    out = df.select(
+        (col("a") // col("b")).alias("fd"),
+        (col("a") % col("b")).alias("md"),
+        col("a").pow(2).alias("pw"),
+    )
+    assert out.rows()[0] == (3, 1, 49.0)
+
+
+def test_cast_nonstrict_null(spark):
+    # CleaningTests.cs:76-100: "NotANumber"→null, "NaN"→NaN
+    df = pl.from_records([("100",), ("200.5",), ("NotANumber",), ("NaN",), (None,)], ["raw"])
+    vals = [r[0] for r in df.select(col("raw").cast("f64").alias("v")).rows()]
+    assert vals[0] == 100.0 and vals[1] == 200.5
+    assert vals[2] is None and math.isnan(vals[3]) and vals[4] is None
+
+
+def test_cast_strict_aborts(spark):
+    df = pl.from_records([("abc",)], ["raw"])
+    with pytest.raises(Exception):
+        df.select(col("raw").cast("f64", strict=True)).rows()
+
+
+def test_null_nan_ops(spark):
+    df = pl.from_records([(1.0,), (float("nan"),), (None,)], ["x"])
+    out = df.select(
+        col("x").is_null().alias("isn"),
+        col("x").fill_null(0.0).alias("fn"),
+        col("x").fill_nan(-1.0).alias("fna"),
+    )
+    rows = out.rows()
+    assert [r[0] for r in rows] == [False, False, True]
+    assert rows[2][1] == 0.0
+    assert rows[1][2] == -1.0
+
+
+def test_is_between_closed(spark):
+    df = pl.from_records([(1,), (2,), (3,)], ["x"])
+    assert df.filter(col("x").is_between(1, 3)).height == 3
+    assert df.filter(col("x").is_between(1, 3, closed="none")).height == 1
+    assert df.filter(col("x").is_between(1, 3, closed="left")).height == 2
+
+
+def test_is_in(spark):
+    df = pl.from_records([("a",), ("b",), ("c",)], ["x"])
+    assert df.filter(col("x").is_in(["a", "c"])).height == 2
+
+
+def test_math_round(spark):
+    # reference rounds half-away-from-zero (expr.rs:868-876)
+    df = pl.from_records([(2.5,), (-2.5,), (2.44,)], ["x"])
+    vals = [r[0] for r in df.select(col("x").round(0).alias("r")).rows()]
+    assert vals == [3.0, -3.0, 2.0]
+    df2 = pl.from_records([(4.0,)], ["x"])
+    out = df2.select(
+        col("x").sqrt().alias("s"), col("x").log(2).alias("l"), (-col("x")).abs().alias("a")
+    )
+    assert out.rows()[0] == (2.0, 2.0, 4.0)
+
+
+def test_agg_exprs(people):
+    out = people.lazy().select(
+        col("salary").sum().alias("s"),
+        col("salary").mean().alias("m"),
+        col("age").min().alias("mn"),
+        col("age").max().alias("mx"),
+        col("age").count().alias("c"),
+        col("age").len().alias("l"),
+    ).collect()
+    assert out.rows()[0] == (600.0, 200.0, 25, 35, 3, 3)
+
+
+def test_std_var_median(spark):
+    df = pl.from_records([(1.0,), (2.0,), (3.0,), (4.0,)], ["x"])
+    out = df.select(
+        col("x").std().alias("sd"),
+        col("x").var(ddof=0).alias("vp"),
+        col("x").median().alias("md"),
+    )
+    sd, vp, md = out.rows()[0]
+    assert abs(sd - 1.2909944487358056) < 1e-12
+    assert abs(vp - 1.25) < 1e-12
+    assert md == 2.5
+
+
+def test_quantile_interpolations(spark):
+    df = pl.from_records([(1.0,), (2.0,), (3.0,), (4.0,)], ["x"])
+    q = lambda interp: df.select(col("x").quantile(0.5, interp).alias("q")).rows()[0][0]
+    assert q("linear") == 2.5
+    assert q("lower") == 2.0
+    assert q("higher") == 3.0
+    assert q("midpoint") == 2.5
+    assert q("nearest") == 2.0  # pos=1.5, frac 0.5 → lower (ties to <=0.5)
+
+
+def test_implode_n_unique(spark):
+    df = pl.from_records([("a", 1), ("a", 2), ("b", 1)], ["k", "v"])
+    out = df.lazy().group_by("k").agg(
+        col("v").implode().alias("vs"), col("v").n_unique().alias("nu")
+    ).collect()
+    d = {r[0]: (sorted(r[1]), r[2]) for r in out.rows()}
+    assert d == {"a": ([1, 2], 2), "b": ([1], 1)}
+
+
+def test_name_prefix_suffix(people):
+    out = people.select(col("age").name.prefix("p_"), col("salary").name.suffix("_s"))
+    assert out.columns == ["p_age", "salary_s"]

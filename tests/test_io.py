@@ -1,0 +1,86 @@
+"""IO round-trips (reference IOTests.cs:47-91 write→read→compare pattern)."""
+
+import glob
+import os
+
+import polars_net_spark as pl
+from polars_net_spark import col
+
+
+def test_parquet_roundtrip(spark, people, tmp_path):
+    path = str(tmp_path / "pq")
+    people.write_parquet(path)
+    back = pl.read_parquet(path, spark=spark)
+    assert sorted(back.rows()) == sorted(people.rows())
+
+
+def test_csv_roundtrip(spark, people, tmp_path):
+    path = str(tmp_path / "csv")
+    people.write_csv(path)
+    back = pl.read_csv(path, spark=spark)
+    assert back.height == 3
+    assert set(back.columns) == {"name", "age", "salary"}
+
+
+def test_csv_schema_overrides(spark, tmp_path):
+    f = tmp_path / "t.csv"
+    f.write_text("a,b\n1,x\n2,y\n")
+    lf = pl.scan_csv(str(f), schema_overrides={"a": "i64", "b": "str"}, spark=spark)
+    assert dict(lf.dtypes) == {"a": "bigint", "b": "string"}
+
+
+def test_csv_skip_rows(spark, tmp_path):
+    f = tmp_path / "t.csv"
+    f.write_text("garbage line\na,b\n1,x\n")
+    lf = pl.scan_csv(str(f), skip_rows=1, spark=spark)
+    assert lf.columns == ["a", "b"]
+    assert lf.collect().height == 1
+
+
+def test_json_roundtrip(spark, people, tmp_path):
+    path = str(tmp_path / "js")
+    people.write_json(path)
+    back = pl.scan_ndjson(path, spark=spark).collect()
+    assert back.height == 3
+
+
+def test_ipc_roundtrip(spark, people, tmp_path):
+    path = str(tmp_path / "f.arrow")
+    people.write_ipc(path)
+    back = pl.read_ipc(path, spark=spark)
+    assert sorted(back.rows()) == sorted(people.rows())
+
+
+def test_from_arrow_and_pandas(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    t = pa.table({"x": [1, 2], "y": ["a", "b"]})
+    df = pl.from_arrow(t, spark=spark)
+    assert df.height == 2
+    pdf = pd.DataFrame({"x": [1.5]})
+    assert pl.from_pandas(pdf, spark=spark).rows() == [(1.5,)]
+
+
+def test_to_arrow_export(people):
+    t = people.to_arrow()
+    assert t.num_rows == 3
+    assert set(t.column_names) == {"name", "age", "salary"}
+
+
+def test_scan_parquet_pushdown(spark, tmp_path):
+    # predicate + projection must reach the parquet scan (SURVEY §4)
+    path = str(tmp_path / "pq")
+    pl.from_records([(i, float(i), f"s{i}") for i in range(100)], ["id", "v", "s"]).write_parquet(path)
+    lf = pl.scan_parquet(path, spark=spark).filter(col("id") > 50).select(col("id"), col("v"))
+    plan = lf._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,50)]" in plan
+    assert "ReadSchema: struct<id:bigint,v:double>" in plan
+
+
+def test_sink_partition_by(spark, people, tmp_path):
+    path = str(tmp_path / "part")
+    people.lazy().sink_parquet(path, partition_by=["age"])
+    assert any("age=" in p for p in os.listdir(path))
+    back = pl.scan_parquet(path, spark=spark).collect()
+    assert back.height == 3

@@ -1,0 +1,85 @@
+"""Joins incl. as-of (FIXTURES F2, F10; oracle ComplexTests.fs:475-533)."""
+
+import polars_net_spark as pl
+from polars_net_spark import col
+
+
+def frames(spark):
+    a = pl.from_records([(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)], ["k", "tag", "val"])
+    b = pl.from_records([(1, "p", 7.0), (2, "q", 8.0), (4, "r", 9.0)], ["k", "tag", "score"])
+    return a, b
+
+
+def test_inner_left_full(spark):
+    a, b = frames(spark)
+    inner = a.join(b, on="k", how="inner")
+    assert inner.columns == ["k", "tag", "val", "tag_right", "score"]
+    assert inner.height == 2
+    left = a.join(b, on="k", how="left").sort("k")
+    assert left.height == 3
+    assert left.rows()[2][3] is None  # k=3 unmatched
+    full = a.join(b, on="k", how="full")
+    assert full.height == 4
+    ks = sorted(r[0] for r in full.rows())
+    assert ks == [1, 2, 3, 4]  # key coalesced on full join
+
+
+def test_semi_anti_cross(spark):
+    a, b = frames(spark)
+    assert a.join(b, on="k", how="semi").height == 2
+    assert a.join(b, on="k", how="anti").height == 1
+    cross = a.join(b, how="cross")
+    assert cross.height == 9
+    assert cross.columns == ["k", "tag", "val", "k_right", "tag_right", "score"]
+
+
+def test_multi_key_left_right_on(spark):
+    a = pl.from_records([("x", 1, 10.0), ("y", 2, 20.0)], ["k1", "k2", "v"])
+    b = pl.from_records([("x", 1, "m1"), ("y", 9, "m2")], ["j1", "j2", "m"])
+    out = a.join(b, left_on=["k1", "k2"], right_on=["j1", "j2"], how="inner")
+    assert out.height == 1
+    assert out.rows()[0][3] == "m1"
+
+
+def test_asof_backward_tolerance(spark):
+    # FIXTURES F2 exact oracle
+    trades = pl.from_records(
+        [(1000, "AAPL", 10), (1000, "MSFT", 20), (1005, "AAPL", 10)],
+        ["time", "ticker", "volume"],
+    )
+    quotes = pl.from_records(
+        [(998, "MSFT", 50.0), (999, "AAPL", 99.0), (1001, "AAPL", 101.0)],
+        ["time", "ticker", "bid"],
+    )
+    out = trades.join_asof(quotes, on="time", by="ticker", strategy="backward", tolerance=2)
+    d = {(r[0], r[1]): r[3] for r in out.rows()}
+    assert d[(1000, "AAPL")] == 99.0
+    assert d[(1000, "MSFT")] == 50.0
+    assert d[(1005, "AAPL")] is None
+
+
+def test_asof_forward_nearest(spark):
+    left = pl.from_records([(5,), (15,)], ["t"])
+    right = pl.from_records([(0, "a"), (10, "b"), (20, "c")], ["t", "v"])
+    fwd = left.join_asof(right, on="t", strategy="forward")
+    assert {r[0]: r[1] for r in fwd.rows()} == {5: "b", 15: "c"}
+    near_l = pl.from_records([(4,), (16,)], ["t"])
+    near = near_l.join_asof(right, on="t", strategy="nearest")
+    assert {r[0]: r[1] for r in near.rows()} == {4: "a", 16: "c"}
+
+
+def test_asof_exact_match_and_alloweq(spark):
+    left = pl.from_records([(10,)], ["t"])
+    right = pl.from_records([(10, "exact"), (5, "before")], ["t", "v"])
+    eq = left.join_asof(right, on="t", strategy="backward")
+    assert eq.rows()[0][1] == "exact"
+    neq = left.join_asof(right, on="t", strategy="backward", allow_exact_matches=False)
+    assert neq.rows()[0][1] == "before"
+
+
+def test_join_broadcast_hint(spark):
+    a, b = frames(spark)
+    out = a.join(b, on="k", how="inner", broadcast=True)
+    assert out.height == 2
+    plan = out.lazy()._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

@@ -1,0 +1,72 @@
+"""List & struct namespaces (FIXTURES F5/F6; oracles ComplexTests.fs:130-220)."""
+
+import polars_net_spark as pl
+from polars_net_spark import as_struct, col
+
+
+def test_list_ops(spark):
+    df = pl.from_records([([3, 1, 2],)], ["xs"])
+    out = df.select(
+        col("xs").list.first().alias("f"),
+        col("xs").list.get(1).alias("g"),
+        col("xs").list.get(-1).alias("gn"),
+        col("xs").list.len().alias("n"),
+        col("xs").list.sum().alias("s"),
+        col("xs").list.min().alias("mn"),
+        col("xs").list.max().alias("mx"),
+        col("xs").list.mean().alias("me"),
+        col("xs").list.sort().alias("srt"),
+        col("xs").list.sort(descending=True).alias("srtd"),
+        col("xs").list.contains(2).alias("c"),
+    )
+    r = out.rows()[0]
+    assert r[:8] == (3, 1, 2, 3, 6.0, 1, 3, 2.0)
+    assert r[8] == [1, 2, 3] and r[9] == [3, 2, 1] and r[10] is True
+
+
+def test_list_join_nulls(spark):
+    df = pl.from_records([(["a", None, "b"],)], ["xs"])
+    out = df.select(
+        col("xs").list.join(",").alias("ign"),
+        col("xs").list.join(",", ignore_nulls=False).alias("strict"),
+    )
+    assert out.rows()[0] == ("a,b", None)
+
+
+def test_list_get_oob(spark):
+    df = pl.from_records([([1],)], ["xs"])
+    assert df.select(col("xs").list.get(5).alias("g")).rows()[0][0] is None
+
+
+def test_explode_implode_roundtrip(spark):
+    df = pl.from_records([(1, [10, 20])], ["id", "xs"])
+    exploded = df.explode("xs")
+    back = exploded.lazy().group_by("id").agg(col("xs").implode().alias("xs")).collect()
+    assert sorted(back.rows()[0][1]) == [10, 20]
+
+
+def test_struct_ops(spark):
+    df = pl.from_records([("n1", 5)], ["name", "age"])
+    packed = df.select(as_struct([col("name"), col("age")]).alias("s"))
+    out = packed.select(
+        col("s").struct.field("name").alias("n"),
+        col("s").struct.field_by_index(1, field_names=["name", "age"]).alias("a"),
+        col("s").struct.json_encode().alias("j"),
+    )
+    r = out.rows()[0]
+    assert r[0] == "n1" and r[1] == 5
+    assert '"name":"n1"' in r[2]
+
+
+def test_struct_field_by_index_frame_level(spark):
+    df = pl.from_records([("n1", 5)], ["name", "age"])
+    packed = df.select(as_struct([col("name"), col("age")]).alias("s"))
+    out = packed.lazy().struct_field_by_index("s", 1, alias="a").collect()
+    assert out.filter(col("a") == 5).height == 1
+
+
+def test_struct_rename_fields(spark):
+    df = pl.from_records([("x", 1)], ["a", "b"])
+    packed = df.select(as_struct([col("a"), col("b")]).alias("s"))
+    renamed = packed.lazy().struct_rename_fields("s", ["p", "q"]).collect()
+    assert [f.name for f in renamed.schema["s"].dataType.fields] == ["p", "q"]

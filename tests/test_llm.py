@@ -1,0 +1,125 @@
+"""LLM pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import polars_net_spark as pl
+from polars_net_spark.frame import LazyFrame
+from polars_net_spark.llm import (
+    content_fingerprint,
+    cosine_topk,
+    dedup_exact,
+    embedding_near_dup_pairs,
+    language_id,
+    lsh_bucket_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_signatures,
+    token_count,
+)
+from pyspark.sql import functions as F
+
+
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "el gato la casa de que los perros"),
+    ]
+    return pl.from_records(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(docs(spark).lazy()).collect()
+    ids = sorted(r[0] for r in out.rows())
+    assert ids == [0, 1, 2, 4]  # doc 3 deduped (keeps lowest id)
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    d = docs(spark).lazy()
+    exact = sorted(ngram_jaccard_pairs(d, threshold=0.5).collect().rows())
+    approx = sorted(minhash_lsh_pairs(d, threshold=0.5).collect().rows())
+    assert exact == approx
+    assert (0, 3, 1.0) in [(a, b, j) for a, b, j in exact]
+    assert any(a == 0 and b == 1 for a, b, _ in exact)
+
+
+def test_simhash_near_for_near_dups(spark):
+    out = simhash_signatures(docs(spark).lazy()).collect()
+    sig = {r[0]: r[1] for r in out.rows()}
+    assert sig[0] == sig[3]  # identical docs → identical simhash
+    ham01 = bin((sig[0] ^ sig[1]) & ((1 << 64) - 1)).count("1")
+    ham02 = bin((sig[0] ^ sig[2]) & ((1 << 64) - 1)).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_token_count_quality_lang(spark):
+    d = docs(spark)
+    out = d.spark.select(
+        F.col("doc_id"),
+        token_count(F.col("text")).alias("tc"),
+        quality_score(F.col("text")).alias("q"),
+        language_id(F.col("text")).alias("lang"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    )
+    rows = {r[0]: r for r in out.collect()}
+    assert rows[0]["tc"] == 9
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[0]["lang"] == "en"
+    assert rows[4]["lang"] == "es"
+    assert rows[0]["fp"] == rows[3]["fp"]
+
+
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return pl.from_records(rows, ["vec_id", "embedding"]).lazy()
+
+
+def test_embedding_near_dup(spark):
+    pairs = embedding_near_dup_pairs(vectors(spark), threshold=0.9).collect()
+    assert [(r[0], r[1]) for r in pairs.rows()] == [(0, 1)]
+
+
+def test_cosine_topk_exact_and_lsh(spark):
+    v = vectors(spark)
+    q = LazyFrame(v._sdf.filter(F.col("vec_id") == 0))
+    exact = cosine_topk(v, q, k=2).collect()
+    assert [r[1] for r in sorted(exact.rows(), key=lambda r: r[3])] == [1, 2]
+    approx = lsh_bucket_topk(v, q, k=2, num_planes=4, num_tables=8, dim=3).collect()
+    assert approx.rows()[0][1] == 1  # nearest neighbour found by LSH
+
+
+def test_multimodal_plumbing(spark):
+    from polars_net_spark.llm.multimodal import attach_media_metadata, extract_image_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0hello")), (2, None)], ["media_id", "payload"]
+    )
+    mm = attach_media_metadata(LazyFrame(media)).collect()
+    d = {r[0]: r for r in mm.spark.collect()}
+    assert d[1]["sniffed_mime"] == "image/jpeg"
+    assert d[1]["n_bytes"] == 9
+    feats = extract_image_features(LazyFrame(media)).collect()
+    rows = {r[0]: r for r in feats.spark.collect()}
+    assert len(rows[1]["features"]) == 8
+    assert rows[2]["n_bytes"] == 0  # null payload handled
+
+
+def test_lambda_arity_regression(spark):
+    """PySpark binds 2-ary transform lambdas as (element, index): seeded hash
+    families must close over the seed, never pass it as a default arg."""
+    d = docs(spark).lazy()
+    sigs = (
+        d._sdf.select(
+            F.array_min(F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w, F.lit(7)))).alias("a"),
+            F.array_min(F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w, F.lit(8)))).alias("b"),
+        )
+        .filter(F.col("a") == F.col("b"))
+        .count()
+    )
+    assert sigs < 5  # different seeds must give (mostly) different minima
