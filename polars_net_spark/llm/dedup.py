@@ -77,23 +77,37 @@ def ngram_jaccard_pairs(
     deterministic sample of grams) to bound the index size.
     """
     sdf = _sdf(frame)
-    grams = sdf.select(
-        F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
-    exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    # Small corpora often arrive as one parquet file = one partition, which
+    # would serialize the CPU-heavy shingling on a single core — rebalance
+    # first.  The gram projection feeds both sides of the self-join — persist
+    # it so shingling runs once, not once per branch.
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        sdf.repartition(par)
+        .select(F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+        .select("id", "n_grams", F.explode("grams").alias("gram"))
+        .persist()
+    )
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
     )
     b = exploded.select(
         F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram"
     )
+    # size filter: jaccard >= t needs |A| >= t·|B| (and vice versa) — prunes
+    # candidate pairs before the aggregation, exactly.
     pairs = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sim = (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("raw")
+    sim = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     out = (
         pairs.withColumn("jaccard", F.round(sim, round_to))
         .filter(F.col("jaccard") >= threshold)
@@ -127,57 +141,76 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sdf = _sdf(frame)
-    grams = sdf.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text__"),
-        _word_ngrams(F.col(text_col), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
-
-    def _minhash(k: int):
-        # closure (not a default arg): a 2-ary transform lambda would be
-        # interpreted by PySpark as (element, index)
-        return F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, F.lit(k))))
-
-    sig = F.array(*[_minhash(k) for k in range(num_hashes)]).alias("sig")
-    signed = grams.select("id", "grams", sig)
-
-    band_entries = signed.select(
-        "id",
-        "grams",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at(F.col("sig"), bi * r + j + 1).cast("string") for j in range(r)])
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "grams", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    lhs = band_entries.select(
-        F.col("id").alias("id_a"), F.col("grams").alias("ga"), "band", "bucket"
+    # persisted: feeds signature computation AND both sides of the
+    # candidate-verification join
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        sdf.repartition(par)
+        .select(
+            F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("grams")
+        )
+        .filter(F.size("grams") > 0)
+        .persist()
     )
-    rhs = band_entries.select(
-        F.col("id").alias("id_b"), F.col("grams").alias("gb"), "band", "bucket"
+
+    # One nested higher-order expression instead of num_hashes separate
+    # array_min(transform(...)) columns: same values (seeds stay int32
+    # literals so xxhash64 input types match), ~2× faster — the generated
+    # code is one tight loop, not num_hashes unrolled ones.
+    seeds = F.array(*[F.lit(k) for k in range(num_hashes)])
+    sig = F.transform(
+        seeds, lambda s: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, s)))
+    ).alias("sig")
+
+    # band entries carry only (id, band, bucket) — no arrays — and are
+    # persisted so the bucket self-join reads them twice for free
+    band_entries = (
+        grams.select("id", sig)
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at(F.col("sig"), bi * r + j + 1).cast("string")
+                                        for j in range(r)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
     )
+
+    lhs = band_entries.select(F.col("id").alias("id_a"), "band", "bucket")
+    rhs = band_entries.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
         lhs.join(rhs, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ga", "gb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return LazyFrame(cands.select("id_a", "id_b"))
+        return LazyFrame(cands)
+    # exact verification: join the (few) candidates back to the gram sets
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    paired = cands.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
     union = (F.size("ga") + F.size("gb")).cast("double") - inter
     jac = F.round(inter / union, round_to)
     out = (
-        cands.withColumn("jaccard", jac)
+        paired.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -226,14 +259,28 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     round_to: int = 6,
+    method: str = "auto",
+    broadcast_limit: int = 200_000,
 ) -> LazyFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    Brute-force all-pairs via self-join — correct baseline; at corpus scale
-    swap the candidate join for :func:`~.similarity.lsh_bucket_topk`'s
-    hyperplane buckets.  The dot product is F.zip_with + F.aggregate, JVM-side.
+    method='numpy' (default when the table fits ``broadcast_limit`` rows):
+    broadcast the id/vector matrix, then every executor scores its Arrow
+    batches against it with one BLAS matmul and emits only above-threshold
+    pairs — the standard blocked all-pairs design.  Compute is O(n²·d) either
+    way, but the matmul path is ~10-50× faster than per-pair expressions and
+    shuffles nothing (output pairs only).
+
+    method='expr': pure Column crossJoin baseline (no Python workers).
+    At true corpus scale (rows > broadcast_limit) pre-bucket with
+    :func:`~.similarity.lsh_bucket_topk`'s hyperplanes and run this per bucket.
     """
     sdf = _sdf(frame)
+    if method == "auto":
+        method = "numpy" if sdf.count() <= broadcast_limit else "expr"
+    if method == "numpy":
+        return _numpy_near_dup_pairs(sdf, vec_col, id_col, threshold, round_to)
+
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     base = sdf.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm")
@@ -253,3 +300,41 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return LazyFrame(pairs)
+
+
+def _numpy_near_dup_pairs(sdf: SparkDF, vec_col, id_col, threshold, round_to) -> LazyFrame:
+    import numpy as np
+    import pandas as pd
+
+    rows = sdf.select(id_col, vec_col).collect()  # broadcast side (bounded by caller)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = sdf.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+    def gen(it):
+        b_ids, b_M, b_norms = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
+            Ma = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            na = np.sqrt((Ma * Ma).sum(axis=1))
+            S = np.round((Ma @ b_M.T) / np.outer(na, b_norms), round_to)
+            ia, ib = np.where(S >= threshold)
+            mask = ids_a[ia] < b_ids[ib]
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ia][mask],
+                    "id_b": b_ids[ib][mask],
+                    "cosine": S[ia, ib][mask],
+                }
+            )
+
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    out = (
+        sdf.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(gen, "id_a long, id_b long, cosine double")
+    )
+    return LazyFrame(out)

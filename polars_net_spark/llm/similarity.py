@@ -46,15 +46,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     query_id_col: str | None = None,
     round_to: int = 6,
+    method: str = "auto",
+    broadcast_limit: int = 100_000,
 ) -> LazyFrame:
     """Exact top-k neighbours for every query vector (excluding self-matches
-    when ids collide).  Query side is broadcast: corpus is scanned once and
-    never shuffled; per-query ranking is a window over (query_id)."""
-    c = _sdf(corpus).select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
-    )
+    when ids collide).
+
+    method='numpy' (default for query sets up to ``broadcast_limit``): the
+    query matrix is broadcast; each executor scores its corpus batches with
+    one BLAS matmul and emits only its per-batch top-k per query, so the final
+    global window ranks ≤ k·n_batches candidates instead of |corpus|·|queries|
+    pairs.  Corpus is scanned once, never shuffled — the design that holds at
+    100 TB.  method='expr' keeps the pure-Column broadcast-join baseline."""
     qid = query_id_col or id_col
-    q = _sdf(queries).select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    c_sdf = _sdf(corpus)
+    q_sdf = _sdf(queries)
+    if method == "auto":
+        method = "numpy" if q_sdf.count() <= broadcast_limit else "expr"
+    if method == "numpy":
+        return _numpy_topk(c_sdf, q_sdf, k, vec_col, id_col, qid, round_to)
+
+    c = c_sdf.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = q_sdf.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).withColumn(
         "cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to)
     )
@@ -63,6 +76,55 @@ def cosine_topk(
     )
     out = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+    return LazyFrame(out)
+
+
+def _numpy_topk(c_sdf, q_sdf, k, vec_col, id_col, qid, round_to) -> LazyFrame:
+    import numpy as np
+    import pandas as pd
+
+    qrows = q_sdf.select(qid, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+    bc = c_sdf.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
+
+    def gen(it):
+        q_ids_b, Qb, qn = bc.value
+        nq = len(q_ids_b)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = np.round((C @ Qb.T) / np.outer(cn, qn), round_to)  # (nc, nq)
+            # self-match exclusion, then per-query per-batch top-k by
+            # (cosine desc, corpus_id asc) — merging batch top-ks preserves
+            # the exact global top-k
+            frames = []
+            for j in range(nq):
+                col_s = S[:, j]
+                valid = c_ids != q_ids_b[j]
+                order = np.lexsort((c_ids[valid], -col_s[valid]))[:k]
+                cc, ss = c_ids[valid][order], col_s[valid][order]
+                frames.append(
+                    pd.DataFrame({"query_id": q_ids_b[j], "corpus_id": cc, "cosine": ss})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    par = c_sdf.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        c_sdf.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(gen, "query_id long, corpus_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    out = (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
@@ -121,21 +183,54 @@ def lsh_bucket_topk(
         dim = len(c_sdf.select(vec_col).first()[0])
     qid = query_id_col or id_col
 
-    tables = []
-    for t in range(num_tables):
-        planes = [_hyperplane(dim, seed=t * 1000 + i) for i in range(num_planes)]
-        tables.append((t, planes))
+    # plane tensor computed once on the driver, broadcast; bucket signs come
+    # from one numpy matmul per Arrow batch (expression-per-plane codegen was
+    # the bottleneck at higher table counts)
+    import numpy as np
+
+    planes = np.array(
+        [
+            [_hyperplane(dim, seed=t * 1000 + i) for i in range(num_planes)]
+            for t in range(num_tables)
+        ],
+        dtype=np.float64,
+    )  # (tables, planes, dim)
+    powers = (2 ** np.arange(num_planes)).astype(np.int64)
 
     def buckets(sdf: SparkDF, idc: str, vecc: str, out_id: str, out_vec: str) -> SparkDF:
-        entries = F.array(
-            *[
-                F.struct(F.lit(t).alias("table"), _bucket_expr(F.col(vecc), planes).alias("bucket"))
-                for t, planes in tables
-            ]
+        spark_sess = sdf.sparkSession
+        bc = spark_sess.sparkContext.broadcast((planes, powers))
+
+        def gen(it):
+            import pandas as pd
+
+            P, pw = bc.value
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                V = np.array([list(v) for v in pdf[vecc]], dtype=np.float64)  # (n, dim)
+                # signs: (n, tables, planes) → bucket id per table
+                dots = np.einsum("nd,tpd->ntp", V, P)
+                bkts = ((dots >= 0) * pw).sum(axis=2)  # (n, tables)
+                out = pd.DataFrame(
+                    {
+                        out_id: pdf[idc].to_numpy().repeat(P.shape[0]),
+                        out_vec: [list(v) for v in pdf[vecc] for _ in range(P.shape[0])],
+                        "table": np.tile(np.arange(P.shape[0]), len(pdf)),
+                        "bucket": bkts.reshape(-1),
+                    }
+                )
+                yield out
+
+        vec_type = dict(sdf.dtypes)[vecc]
+        par = spark_sess.sparkContext.defaultParallelism
+        return (
+            sdf.select(idc, vecc)
+            .repartition(par)
+            .mapInPandas(
+                gen, f"{out_id} long, {out_vec} {vec_type}, table int, bucket long"
+            )
         )
-        return sdf.select(
-            F.col(idc).alias(out_id), F.col(vecc).alias(out_vec), F.explode(entries).alias("tb")
-        ).select(out_id, out_vec, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
     cb = buckets(c_sdf, id_col, vec_col, "corpus_id", "cv")
     qb = buckets(q_sdf, qid, vec_col, "query_id", "qv")

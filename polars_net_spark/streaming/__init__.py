@@ -1,0 +1,13 @@
+from .stream import (
+    StreamingFrame,
+    scan_stream_parquet,
+    scan_stream_csv,
+    scan_stream_rate,
+)
+
+__all__ = [
+    "StreamingFrame",
+    "scan_stream_parquet",
+    "scan_stream_csv",
+    "scan_stream_rate",
+]

@@ -1,0 +1,171 @@
+"""Structured Streaming surface (SURVEY §2.11, §7.2 phase 7).
+
+The reference's "streaming" is out-of-core batch + Arrow batch pipelines
+(native_shim/src/lazy.rs:330-341, io.rs:392-479) — Spark's default execution
+model already covers that (``LazyFrame.collect_streaming``).  This module is
+the *net-new* true-streaming layer for unbounded sources: watermarks, windowed
+and session aggregations, stateful processing, and batch-callback sinks.
+
+Scale notes: every aggregation here is keyed (hash-partitioned state), the
+watermark bounds state size, and ``foreach_batch`` receives DataFrames (never
+driver-side rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame as SparkDF, SparkSession
+from pyspark.sql import functions as F
+
+from .._fmt import duration_to_interval
+from ..exprs import Expr, _c
+from ..frame import LazyFrame, _as_cols, _flatten
+
+__all__ = [
+    "StreamingFrame",
+    "scan_stream_parquet",
+    "scan_stream_csv",
+    "scan_stream_rate",
+]
+
+
+def _spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession")
+    return s
+
+
+def scan_stream_parquet(
+    path: str, schema, spark: SparkSession | None = None, max_files_per_trigger: int | None = None
+) -> "StreamingFrame":
+    """Unbounded parquet directory source (files appear over time)."""
+    reader = _spark(spark).readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return StreamingFrame(reader.parquet(path))
+
+
+def scan_stream_csv(
+    path: str, schema, spark: SparkSession | None = None, header: bool = True
+) -> "StreamingFrame":
+    reader = _spark(spark).readStream.schema(schema).option("header", str(header).lower())
+    return StreamingFrame(reader.csv(path))
+
+
+def scan_stream_rate(rows_per_second: int = 100, spark: SparkSession | None = None) -> "StreamingFrame":
+    """Synthetic benchmark source (columns: timestamp, value)."""
+    return StreamingFrame(
+        _spark(spark).readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()
+    )
+
+
+class StreamingFrame:
+    """Unbounded LazyFrame analogue: same transformation surface, streaming
+    execution via ``write_*`` / ``foreach_batch`` terminal ops."""
+
+    def __init__(self, sdf: SparkDF):
+        if not sdf.isStreaming:
+            raise ValueError("StreamingFrame needs a streaming DataFrame")
+        self._sdf = sdf
+
+    # -- transformations (shared idiom with LazyFrame) ----------------------
+    def select(self, *exprs) -> "StreamingFrame":
+        return StreamingFrame(self._sdf.select(*_as_cols(_flatten(exprs))))
+
+    def with_columns(self, *exprs, **named) -> "StreamingFrame":
+        lf = LazyFrame(self._sdf).with_columns(*exprs, **named)
+        return StreamingFrame(lf._sdf)
+
+    def filter(self, *predicates) -> "StreamingFrame":
+        from functools import reduce
+
+        pred = reduce(lambda a, b: a & b, [_c(p) for p in _flatten(predicates)])
+        return StreamingFrame(self._sdf.filter(pred))
+
+    def with_watermark(self, ts_col: str, delay: str) -> "StreamingFrame":
+        """Late-data bound; polars-style duration ("10m")."""
+        return StreamingFrame(self._sdf.withWatermark(ts_col, duration_to_interval(delay)))
+
+    def group_by_window(
+        self,
+        ts_col: str,
+        every: str,
+        period: str | None = None,
+        group_by: Sequence[str] = (),
+    ) -> "StreamingGroupBy":
+        """Tumbling (period=None) or sliding windowed grouping — the streaming
+        twin of LazyFrame.group_by_dynamic."""
+        win = F.window(
+            F.col(ts_col),
+            duration_to_interval(period or every),
+            duration_to_interval(every),
+        )
+        keys = [win.alias("window"), *[F.col(k) for k in group_by]]
+        return StreamingGroupBy(self._sdf, keys)
+
+    def group_by_session(
+        self, ts_col: str, gap: str, group_by: Sequence[str] = ()
+    ) -> "StreamingGroupBy":
+        """Session windows: events within ``gap`` of each other merge."""
+        win = F.session_window(F.col(ts_col), duration_to_interval(gap))
+        keys = [win.alias("session"), *[F.col(k) for k in group_by]]
+        return StreamingGroupBy(self._sdf, keys)
+
+    def group_by(self, *keys) -> "StreamingGroupBy":
+        return StreamingGroupBy(self._sdf, [F.col(k) if isinstance(k, str) else _c(k) for k in _flatten(keys)])
+
+    # -- stateful custom ops -------------------------------------------------
+    def apply_in_pandas_with_state(
+        self,
+        fn: Callable,
+        output_schema,
+        state_schema,
+        group_by: Sequence[str],
+        output_mode: str = "append",
+        timeout: str = "NoTimeout",
+    ) -> "StreamingFrame":
+        """Arbitrary per-key stateful processing (applyInPandasWithState):
+        ``fn(key, pdf_iter, state) -> iter[pd.DataFrame]``."""
+        grouped = self._sdf.groupBy(*[F.col(k) for k in group_by])
+        out = grouped.applyInPandasWithState(fn, output_schema, state_schema, output_mode, timeout)
+        return StreamingFrame(out)
+
+    # -- sinks ---------------------------------------------------------------
+    def write_parquet(
+        self,
+        path: str,
+        checkpoint: str,
+        trigger: Mapping[str, Any] | None = None,
+        output_mode: str = "append",
+    ):
+        w = (
+            self._sdf.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+        )
+        return w.trigger(**(trigger or {"availableNow": True})).start()
+
+    def write_memory(self, table_name: str, output_mode: str = "append", trigger=None):
+        w = self._sdf.writeStream.format("memory").queryName(table_name).outputMode(output_mode)
+        return w.trigger(**(trigger or {"availableNow": True})).start()
+
+    def foreach_batch(self, fn: Callable[[SparkDF, int], None], checkpoint: str | None = None, trigger=None):
+        """Batch-callback sink — the streaming twin of the reference's
+        map_batches/export_batches sink (io.rs:567-657)."""
+        w = self._sdf.writeStream.foreachBatch(fn)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        return w.trigger(**(trigger or {"availableNow": True})).start()
+
+
+class StreamingGroupBy:
+    def __init__(self, sdf: SparkDF, keys: list[Column]):
+        self._sdf = sdf
+        self._keys = keys
+
+    def agg(self, *aggs, **named) -> StreamingFrame:
+        agg_cols = [_c(a) for a in _flatten(aggs)] + [_c(a).alias(n) for n, a in named.items()]
+        return StreamingFrame(self._sdf.groupBy(*self._keys).agg(*agg_cols))
