@@ -174,11 +174,26 @@ class LazyFrame:
         out = ranked.filter(F.col("__rn__") <= n).orderBy(F.col(ROW_ORDER_COL)).drop("__rn__")
         return LazyFrame(out)._drop_order()
 
-    def sample_n(self, n: int, seed: int | None = None, shuffle: bool = False) -> "LazyFrame":
-        """Exact-n sample without replacement (eager.rs:329-345). orderBy(rand)
-        is a global sort — acceptable because n is small by definition; for
-        huge frames prefer .sample_frac."""
-        out = self._sdf.orderBy(F.rand(seed if seed is not None else 42)).limit(n)
+    def sample_n(
+        self, n: int, seed: int | None = None, shuffle: bool = False, with_replacement: bool = False
+    ) -> "LazyFrame":
+        """Exact-n sample (eager.rs:329-345). Without replacement:
+        orderBy(rand).limit — a top-k, not a full sort (TakeOrdered).  With
+        replacement: n random draws joined against dense row numbers; the
+        dense numbering is a single-task window, acceptable because sampling
+        targets are small by definition."""
+        seed = seed if seed is not None else 42
+        if not with_replacement:
+            return LazyFrame(self._sdf.orderBy(F.rand(seed)).limit(n))
+        spark = self._sdf.sparkSession
+        numbered = self._sdf.withColumn(
+            "__rn__", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
+        )
+        total = self._sdf.count()
+        draws = spark.range(n).select(
+            (F.floor(F.rand(seed) * total)).cast("long").alias("__rn__")
+        )
+        out = draws.join(numbered, "__rn__", "inner").drop("__rn__")
         return LazyFrame(out)
 
     def sample_frac(self, frac: float, seed: int | None = None) -> "LazyFrame":
@@ -405,6 +420,28 @@ class LazyFrame:
             cols_ = [F.col(c) for c in by]
             return LazyFrame(self._sdf.repartition(n, *cols_) if n else self._sdf.repartition(*cols_))
         return LazyFrame(self._sdf.repartition(n))
+
+    def hint(self, name: str, *params) -> "LazyFrame":
+        """Join-strategy / skew hints passed straight to Catalyst
+        ("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl",
+        "rebalance")."""
+        return LazyFrame(self._sdf.hint(name, *params))
+
+    def write_bucketed(
+        self,
+        table_name: str,
+        bucket_by: Sequence[str],
+        num_buckets: int = 32,
+        sort_by: Sequence[str] = (),
+        mode: str = "overwrite",
+    ) -> None:
+        """Persist as a bucketed table: joins/aggs on the bucket keys then
+        skip the shuffle entirely (co-located join) — the 100 TB answer to
+        repeated big-big joins on a stable key."""
+        w = self._drop_order()._sdf.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(table_name)
 
     # -- sinks (io.rs:392-479): Spark writes are already streaming/out-of-core --
     def sink_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:

@@ -79,10 +79,11 @@ class Series:
         return self.item(index)
 
     def slice(self, offset: int, length: int) -> "Series":
+        from pyspark.sql import Window
+
         lf = self._lf.with_row_index("__i__")
-        sdf = lf._sdf
-        w = F.row_number().over(__import__("pyspark.sql", fromlist=["Window"]).Window.orderBy("__i__")) - 1
-        out = sdf.withColumn("__rn__", w).filter(
+        w = F.row_number().over(Window.orderBy("__i__")) - 1
+        out = lf._sdf.withColumn("__rn__", w).filter(
             (F.col("__rn__") >= offset) & (F.col("__rn__") < offset + length)
         )
         return Series._from_lazy(LazyFrame(out.select(self._name)), self._name)

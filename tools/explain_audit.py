@@ -1,0 +1,90 @@
+"""Physical-plan audit: for key queries, assert the plan properties that
+matter at 100 TB — filters pushed to the parquet scan, pruned read schemas,
+broadcast joins for small dimensions, TakeOrderedAndProject for top-k (no full
+sort), no unintended CartesianProduct.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exit 1 if any expectation fails; prints one line per check.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    # query -> list of (must_contain, description) / ("!", must_not_contain, desc)
+    "q01_pricing_summary": [
+        ("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "shipdate filter pushed to scan"),
+        ("partial_sum", "map-side partial aggregation"),
+    ],
+    "q02_filter_pushdown": [
+        ("PushedFilters: [IsNotNull(l_quantity)", "quantity filter pushed"),
+        # len() counts lit(1), so even l_orderkey is pruned from the scan
+        ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>", "column pruning (3 of 11 cols read)"),
+    ],
+    "q03_top_orders": [
+        ("TakeOrderedAndProject", "top-10 avoids full sort"),
+        ("BroadcastHashJoin", "small build side broadcast"),
+    ],
+    "q05_region_revenue": [
+        ("BroadcastHashJoin", "nation/region broadcast"),
+        ("!", "CartesianProduct", "no cartesian product"),
+    ],
+    "q04_priority_semi": [
+        ("LeftSemi", "semi join strategy"),
+    ],
+    "q08_anti_no_orders": [
+        ("LeftAnti", "anti join strategy"),
+    ],
+    "q11_topk_price": [
+        ("TakeOrderedAndProject", "limit+sort fused"),
+    ],
+    "q16_running_total": [
+        ("RowFrame, unboundedpreceding$(), currentrow$()", "cumulative row frame (no full-partition buffering)"),
+    ],
+    "q21_asof_orders_events": [
+        ("!", "CartesianProduct", "asof join is not a range cross join"),
+        ("Window", "asof via window"),
+    ],
+    "q29_dedup_exact": [
+        ("partial_min", "map-side combine on dedup groupBy"),
+    ],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+    from polars_net_spark import get_spark
+
+    spark = get_spark()
+    qs = e.queries()
+    failures = 0
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        # materialize once so AQE finalizes the real plan (broadcast decisions)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        text = plan + "\n" + formatted
+        for chk in checks:
+            if chk[0] == "!":
+                ok = chk[1] not in text
+                desc = chk[2]
+                tag = f"absent:{chk[1]}"
+            else:
+                ok = chk[0] in text
+                desc = chk[1]
+                tag = f"present:{chk[0][:40]}"
+            status = "ok  " if ok else "FAIL"
+            if not ok:
+                failures += 1
+            print(f"{status} {name}: {desc} ({tag})")
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
