@@ -37,9 +37,16 @@ STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
     """Load one driver table; normalizes the events ns-timestamp column."""
+    # The driver passes its own SparkSession; these are all runtime-settable
+    # and make its runs match our tuned sessions.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
     except Exception:
         pass
     lf = pls.scan_parquet(f"{sf_dir}/{name}.parquet", spark=spark)

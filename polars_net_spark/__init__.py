@@ -26,6 +26,7 @@ from .io import (
     read_ipc,
     read_json,
     read_parquet,
+    scan_batches,
     scan_csv,
     scan_ipc,
     scan_jdbc,
@@ -62,6 +63,7 @@ __all__ = [
     "scan_csv",
     "read_csv",
     "scan_ndjson",
+    "scan_batches",
     "read_json",
     "read_ipc",
     "scan_ipc",

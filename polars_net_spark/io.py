@@ -27,6 +27,7 @@ __all__ = [
     "read_ipc",
     "scan_ipc",
     "from_arrow",
+    "scan_batches",
     "from_pandas",
     "from_records",
     "scan_jdbc",
@@ -159,6 +160,33 @@ def from_batches(batches: Iterable, spark: SparkSession | None = None) -> DataFr
 
     table = pa.Table.from_batches(list(batches))
     return from_arrow(table, spark)
+
+
+def scan_batches(
+    factory: Callable[[int], Iterable],
+    schema: Mapping[str, str] | T.StructType,
+    num_partitions: int = 1,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """Anonymous scan — lazy pull-based source from a caller-supplied Arrow
+    batch factory (reference AnonymousScan, native_shim/src/lazy.rs:650-763).
+
+    ``factory(partition_index)`` returns an iterator of pyarrow RecordBatches
+    matching ``schema``.  Like the reference, the factory is re-invoked on
+    every execution pass (multi-pass capable) and the scan is an optimization
+    barrier for predicates (projection still prunes above it).  Executes
+    distributed: one factory call per partition, streamed via Arrow.
+    """
+    s = _spark(spark)
+    struct = _schema_arg(schema) if not isinstance(schema, T.StructType) else schema
+
+    def gen(it):
+        for batch in it:
+            for idx in batch.column(0).to_pylist():
+                yield from factory(idx)
+
+    base = s.range(num_partitions).repartition(num_partitions)
+    return LazyFrame(base.mapInArrow(gen, struct))
 
 
 def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:

@@ -84,3 +84,20 @@ def test_sink_partition_by(spark, people, tmp_path):
     assert any("age=" in p for p in os.listdir(path))
     back = pl.scan_parquet(path, spark=spark).collect()
     assert back.height == 3
+
+
+def test_scan_batches_anonymous_scan(spark):
+    import pyarrow as pa
+
+    def factory(partition_idx):
+        yield pa.RecordBatch.from_pydict(
+            {"p": [partition_idx] * 3, "v": [1.0, 2.0, 3.0]}
+        )
+
+    lf = pl.scan_batches(factory, {"p": "i64", "v": "f64"}, num_partitions=4, spark=spark)
+    out = lf.collect()
+    assert out.height == 12
+    # multi-pass: a second action re-invokes the factory
+    assert lf.filter(col("p") == 2).collect().height == 3
+    agg = lf.select(col("v").sum().alias("s")).collect()
+    assert agg.rows()[0][0] == 24.0
