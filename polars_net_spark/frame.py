@@ -408,6 +408,17 @@ class LazyFrame:
         always executes pipelined/spilling, so this is an alias."""
         return self.collect()
 
+    def collect_async(self):
+        """Async collect (reference Wrappers.Lazy.cs:263-265): returns a
+        Future[DataFrame]; Spark jobs from other threads run concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+        from pyspark import inheritable_thread_target
+
+        executor = ThreadPoolExecutor(max_workers=1)
+        fut = executor.submit(inheritable_thread_target(self.collect))
+        executor.shutdown(wait=False)
+        return fut
+
     def fetch(self, n: int) -> "DataFrame":
         return self.limit(n).collect()
 
@@ -616,6 +627,15 @@ class DataFrame:
 
     def to_dicts(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self._lf._sdf.collect()]
+
+    def rows_as(self, cls) -> list:
+        """Typed row mapping (reference Rows<T>, Polars.CSharp/DataFrame.cs:867):
+        instantiate ``cls`` (dataclass/NamedTuple/any kwargs-ctor) per row."""
+        return [cls(**r.asDict()) for r in self._lf._sdf.collect()]
+
+    def _repr_html_(self) -> str:
+        """Notebook rendering (reference ToHtml, Polars.CSharp/DataFrame.cs:1005)."""
+        return self._lf._sdf.limit(50).toPandas()._repr_html_()
 
     def rows(self) -> list[tuple]:
         return [tuple(r) for r in self._lf._sdf.collect()]

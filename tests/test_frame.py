@@ -128,3 +128,25 @@ def test_item_and_shape(people):
 def test_top_k(people):
     out = people.lazy().top_k(2, by="salary").collect()
     assert [r[0] for r in out.rows()] == ["Charlie", "Bob"]
+
+
+def test_rows_as_dataclass(people):
+    from dataclasses import dataclass
+
+    @dataclass
+    class Person:
+        name: str
+        age: int
+        salary: float
+
+    ppl = people.sort("age").rows_as(Person)
+    assert ppl[0] == Person("Alice", 25, 100.0)
+
+
+def test_collect_async(people):
+    fut = people.lazy().filter(col("age") > 26).collect_async()
+    assert fut.result(timeout=60).height == 2
+
+
+def test_repr_html(people):
+    assert "<table" in people._repr_html_()

@@ -82,7 +82,8 @@ def main() -> None:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+            # exact: the driver hashes values, so "close" is not good enough
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"ok   {name}: rows={len(a)} ({time.time()-t0:.1f}s)")
             n_pass += 1
         except AssertionError as ex:
