@@ -889,6 +889,41 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def _q39(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            col("l_quantity").sum().round(2).alias("sum_qty"),
+            col("l_orderkey").len().cast("long").alias("n"),
+        )
+    )
+    return out.spark
+
+
+_q39_sql = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q40(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = o.cube("o_orderpriority", "o_orderstatus").agg(
+        col("o_totalprice").sum().round(2).alias("total"),
+        col("o_orderkey").len().cast("long").alias("n"),
+    )
+    return out.spark
+
+
+_q40_sql = """
+SELECT o_orderpriority, o_orderstatus, round(sum(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def _q38(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
@@ -939,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_simhash": _q36,
         "q37_sessionize": _q37,
         "q38_lsh_topk": _q38,
+        "q39_rollup": _q39,
+        "q40_cube": _q40,
     }
 
 
@@ -980,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "q34_text_metrics": _q34_sql,
         "q35_fingerprint": _q35_sql,
         "q37_sessionize": _q37_sql,
+        "q39_rollup": _q39_sql,
+        "q40_cube": _q40_sql,
         # q36_simhash, q38_lsh_topk: engine-specific hashing / approximate —
         # rows-only checks by design
     }

@@ -821,10 +821,34 @@ class ExprDtNamespace:
         # session tz is UTC; display-convert = from_utc_timestamp (wall-clock shift)
         return _wrap(F.from_utc_timestamp(self._c, tz))
 
-    def replace_time_zone(self, tz: str | None) -> Expr:
+    def replace_time_zone(
+        self, tz: str | None, ambiguous: str = "raise", non_existent: str = "raise"
+    ) -> Expr:
+        """Reinterpret the wall-clock in ``tz`` (expr.rs:660-700).
+
+        DST policies: ambiguous ∈ {'earliest','latest','raise','null'},
+        non_existent ∈ {'raise','null'}.  The default-policy path stays a pure
+        JVM expression (to_utc_timestamp resolves overlaps to the earlier
+        offset); explicit policies run through a vectorized pandas pass."""
         if tz is None:
             return _wrap(self._c.cast("timestamp_ntz"))
-        return _wrap(F.to_utc_timestamp(self._c, tz))
+        if ambiguous == "raise" and non_existent == "raise":
+            return _wrap(F.to_utc_timestamp(self._c, tz))
+
+        amb_map = {"earliest": True, "latest": False, "raise": "raise", "null": "NaT"}
+        nonex_map = {"raise": "raise", "null": "NaT"}
+        amb = amb_map[ambiguous]
+        nonex = nonex_map[non_existent]
+        from pyspark.sql.functions import pandas_udf
+
+        def _localize(s):
+            # wall-clock arrives naive (session UTC); localize with policy,
+            # convert back to UTC instants for Spark's timestamp storage
+            localized = s.dt.tz_localize(tz, ambiguous=amb, nonexistent=nonex)
+            return localized.dt.tz_convert("UTC").dt.tz_localize(None)
+
+        udf = pandas_udf(_localize, returnType=T.TimestampType())
+        return _wrap(udf(self._c))
 
     def total_days(self) -> Expr:
         return _wrap(F.floor(self._c.cast("long") / 86_400_000_000).cast("long"))

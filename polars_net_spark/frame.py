@@ -261,6 +261,14 @@ class LazyFrame:
     def group_by(self, *keys, maintain_order: bool = False) -> "GroupBy":
         return GroupBy(self, _flatten(keys), maintain_order=maintain_order)
 
+    def cube(self, *keys) -> "GroupBy":
+        """Grouping over all key subsets (beyond reference — free in Spark)."""
+        return GroupBy(self, _flatten(keys), mode="cube")
+
+    def rollup(self, *keys) -> "GroupBy":
+        """Hierarchical subtotals (beyond reference — free in Spark)."""
+        return GroupBy(self, _flatten(keys), mode="rollup")
+
     def group_by_dynamic(
         self,
         index_column: str,
@@ -511,15 +519,26 @@ class GroupBy:
     carrying min(row_order) per group and sorting on it (extra sort stage —
     only pay for it when asked)."""
 
-    def __init__(self, lf: LazyFrame, keys: Sequence[Expr | str], maintain_order: bool = False):
+    def __init__(
+        self,
+        lf: LazyFrame,
+        keys: Sequence[Expr | str],
+        maintain_order: bool = False,
+        mode: str = "groupby",
+    ):
         self._lf = lf
         self._keys = keys
         self._maintain_order = maintain_order
+        self._mode = mode
 
     def agg(self, *aggs, **named_aggs) -> LazyFrame:
         aggs = _flatten(aggs)
         key_cols = [F.col(k) if isinstance(k, str) else _c(k) for k in self._keys]
         agg_cols = [_c(a) for a in aggs] + [_c(a).alias(n) for n, a in named_aggs.items()]
+        if self._mode == "cube":
+            return LazyFrame(self._lf._sdf.cube(*key_cols).agg(*agg_cols))
+        if self._mode == "rollup":
+            return LazyFrame(self._lf._sdf.rollup(*key_cols).agg(*agg_cols))
         if self._maintain_order:
             lf = self._lf._order_col()
             first_seen = F.min(F.col(ROW_ORDER_COL)).alias("__first_seen__")

@@ -46,10 +46,8 @@ class DynamicGroupBy:
         group_by: Sequence[str],
         start_by: str,
     ):
-        if closed not in ("left", "right"):
-            raise NotImplementedError(
-                "closed='both'/'none' duplicate/drop boundary points; not supported yet"
-            )
+        if closed not in ("left", "right", "both", "none"):
+            raise ValueError(f"unknown closed {closed!r}")
         self._lf = lf
         self._index = index_column
         self._every = every
@@ -73,7 +71,13 @@ class DynamicGroupBy:
         offset_us = 0
         if self._offset:
             offset_us = parse_polars_duration_us(self._offset)
-        if self._start_by == "datapoint":
+        weekdays = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
+        if self._start_by in weekdays:
+            # align the grid to the given weekday: epoch (1970-01-01) was a
+            # Thursday, so Monday = epoch + 4 days, … (mod 1 week)
+            w = weekdays.index(self._start_by)
+            offset_us += ((w - 3) % 7) * 86_400_000_000
+        elif self._start_by == "datapoint":
             # grid starts at the first data point: fold min(ts) into the offset.
             # Scalar agg → driver (a single value, not data).
             min_ts = sdf.agg(F.min(ts).alias("m")).collect()[0][0]
@@ -82,20 +86,44 @@ class DynamicGroupBy:
             every_us = parse_polars_duration_us(self._every)
             epoch_us = int(min_ts.timestamp() * 1_000_000)
             offset_us += epoch_us % every_us
-
-        bucket_ts = ts
-        if self._closed == "right":
-            bucket_ts = F.timestamp_micros(F.unix_micros(ts) - 1)
+        elif self._start_by != "window":
+            raise ValueError(f"unknown start_by {self._start_by!r}")
 
         start_time = f"{offset_us} microseconds" if offset_us else "0 seconds"
-        win = F.window(bucket_ts, period_iv, every_iv, start_time)
+        ts_left = ts  # [start, end) membership
+        ts_right = F.timestamp_micros(F.unix_micros(ts) - 1)  # (start, end]
+        win_left = F.window(ts_left, period_iv, every_iv, start_time)
+        win_right = F.window(ts_right, period_iv, every_iv, start_time)
+        if self._closed == "left":
+            assigned = sdf.withColumn("__w__", win_left)
+        elif self._closed == "right":
+            assigned = sdf.withColumn("__w__", win_right)
+        elif self._closed == "both":
+            # boundary points belong to BOTH adjacent windows: union the left
+            # and right assignments; non-boundary rows produce the same window
+            # twice → distinct on (window, row identity)
+            tagged = sdf.withColumn("__rid__", F.monotonically_increasing_id())
+            assigned = (
+                tagged.withColumn("__w__", win_left)
+                .unionByName(tagged.withColumn("__w__", win_right))
+                .dropDuplicates(["__rid__", "__w__"])
+                .drop("__rid__")
+            )
+        else:  # none: boundary points (left != right window) belong to neither
+            assigned = (
+                sdf.withColumn("__wl__", win_left)
+                .withColumn("__wr__", win_right)
+                .filter(F.col("__wl__") == F.col("__wr__"))
+                .withColumn("__w__", F.col("__wl__"))
+                .drop("__wl__", "__wr__")
+            )
 
         agg_cols = [_c(a) for a in _flatten(aggs)] + [
             _c(a).alias(n) for n, a in named_aggs.items()
         ]
         keys = [F.col(k) for k in self._group_by]
         first_point = F.min(ts).alias("__first_point__")
-        grouped = sdf.groupBy(win.alias("__w__"), *keys).agg(first_point, *agg_cols)
+        grouped = assigned.groupBy(F.col("__w__"), *keys).agg(first_point, *agg_cols)
 
         lower = F.col("__w__.start")
         upper = F.col("__w__.end")

@@ -76,3 +76,20 @@ def test_date_and_time_of_day(spark):
     r = out.rows()[0]
     assert r[0] == dt.date(2024, 6, 1)
     assert r[1] == (12 * 3600 + 0.5) * 1_000_000_000
+
+
+def test_replace_time_zone_policies(spark):
+    # 2024-03-10 02:30 does not exist in America/New_York (spring forward)
+    bad = dt.datetime(2024, 3, 10, 2, 30)
+    df = pl.from_records([(bad,)], ["ts"])
+    out = df.select(
+        col("ts").dt.replace_time_zone("America/New_York", non_existent="null").alias("t")
+    )
+    assert out.rows()[0][0] is None
+    # 2024-11-03 01:30 is ambiguous (fall back): earliest=EDT(UTC-4), latest=EST(UTC-5)
+    amb = dt.datetime(2024, 11, 3, 1, 30)
+    df2 = pl.from_records([(amb,)], ["ts"])
+    early = df2.select(col("ts").dt.replace_time_zone("America/New_York", ambiguous="earliest").alias("t")).rows()[0][0]
+    late = df2.select(col("ts").dt.replace_time_zone("America/New_York", ambiguous="latest").alias("t")).rows()[0][0]
+    assert early == dt.datetime(2024, 11, 3, 5, 30)
+    assert late == dt.datetime(2024, 11, 3, 6, 30)

@@ -124,3 +124,50 @@ def test_cum_sum(spark):
     df = pl.from_records([(1, 1.0), (2, 2.0), (3, 3.0)], ["i", "x"])
     out = df.select(col("i"), col("x").cum_sum(order_by=[col("i")]).alias("cs")).sort("i")
     assert [r[1] for r in out.rows()] == [1.0, 3.0, 6.0]
+
+
+def test_dynamic_closed_both_duplicates_boundaries(spark):
+    # points at 10:00, 10:15, 10:30 with every=30m: 10:00 and 10:30 are
+    # boundaries → each belongs to two windows under closed='both'
+    f = ts_frame(spark, n=3, step_min=15)
+    out = (
+        f.lazy()
+        .group_by_dynamic("Time", every="30m", closed="both")
+        .agg(col("Val").len().alias("n"))
+        .collect()
+    )
+    assert sum(r[1] for r in out.rows()) == 5  # 3 rows, 2 duplicated
+
+
+def test_dynamic_closed_none_drops_boundaries(spark):
+    f = ts_frame(spark, n=3, step_min=15)
+    out = (
+        f.lazy()
+        .group_by_dynamic("Time", every="30m", closed="none")
+        .agg(col("Val").len().alias("n"))
+        .collect()
+    )
+    assert sum(r[1] for r in out.rows()) == 1  # only 10:15 survives
+
+
+def test_dynamic_start_by_weekday(spark):
+    # weekly buckets aligned to Monday: Wed 2024-01-03 belongs to the week
+    # starting Mon 2024-01-01
+    f = pl.from_records([(dt.datetime(2024, 1, 3), 1)], ["Time", "Val"])
+    out = (
+        f.lazy()
+        .group_by_dynamic("Time", every="1w", start_by="monday")
+        .agg(col("Val").len().alias("n"))
+        .collect()
+    )
+    assert out.rows()[0][0] == dt.datetime(2024, 1, 1)
+
+
+def test_cube_rollup(spark):
+    df = pl.from_records([("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)], ["k1", "k2", "v"])
+    ru = df.lazy().rollup("k1", "k2").agg(col("v").sum().alias("s")).collect()
+    d = {(r[0], r[1]): r[2] for r in ru.rows()}
+    assert d[(None, None)] == 7.0 and d[("a", None)] == 3.0 and d[("a", "x")] == 1.0
+    cu = df.lazy().cube("k1", "k2").agg(col("v").sum().alias("s")).collect()
+    d = {(r[0], r[1]): r[2] for r in cu.rows()}
+    assert d[(None, "x")] == 5.0  # cube adds the (None, k2) slices
