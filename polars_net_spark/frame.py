@@ -730,6 +730,12 @@ class DataFrame:
     def group_by(self, *keys, maintain_order: bool = False) -> "EagerGroupBy":
         return EagerGroupBy(self._lf.group_by(*keys, maintain_order=maintain_order))
 
+    def cube(self, *keys) -> "EagerGroupBy":
+        return EagerGroupBy(self._lf.cube(*keys))
+
+    def rollup(self, *keys) -> "EagerGroupBy":
+        return EagerGroupBy(self._lf.rollup(*keys))
+
     def group_by_dynamic(self, *args, **kwargs):
         return self._lf.group_by_dynamic(*args, **kwargs)
 
