@@ -668,6 +668,7 @@ FROM documents
 
 def _q28(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    d = LazyFrame(d._sdf.repartition(spark.sparkContext.defaultParallelism))
     words = d.select(
         pls.Expr(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias("word")
     )
@@ -889,6 +890,122 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def _q41(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks_only = when(col("event_type") == "click").then(col("value")).otherwise(lit(None))
+    out = ev.with_columns(clicks_only.alias("click_value")).select(
+        col("event_id"),
+        col("user_id"),
+        col("click_value")
+        .forward_fill(order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
+        .alias("last_click_value"),
+        col("click_value")
+        .backward_fill(order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
+        .alias("next_click_value"),
+    )
+    return out.spark
+
+
+_q41_sql = """
+WITH g AS (SELECT event_id, user_id, ts,
+                  CASE WHEN event_type = 'click' THEN value END AS cv
+           FROM events)
+SELECT event_id, user_id,
+       last_value(cv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value,
+       first_value(cv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_value
+FROM g
+"""
+
+
+def _q42(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = e._sdf.select(
+        F.col("vec_id"), F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), F.col("val").cast("double").alias("val")
+    )
+    return out
+
+
+_q42_sql = """
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+"""
+
+
+def _q43(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    a = n.sort("n_nationkey").select(col("n_name"))
+    b = n.sort("n_nationkey", descending=True).select(col("n_nationkey").alias("rev_key"))
+    out = pls.concat([a, b], how="horizontal")
+    return out.spark
+
+
+_q43_sql = """
+WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+b AS (SELECT n_nationkey AS rev_key, row_number() OVER (ORDER BY n_nationkey DESC) AS rn FROM nation)
+SELECT n_name, rev_key FROM a JOIN b USING (rn)
+"""
+
+
+def _q45(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    numeric_x2 = pls.cs.numeric().map_cols(c.schema, lambda e: (e * 2))
+    out = c.select(numeric_x2)
+    return out.spark
+
+
+_q45_sql = """
+SELECT c_custkey * 2 AS c_custkey, c_nationkey * 2 AS c_nationkey,
+       c_acctbal * 2 AS c_acctbal
+FROM customer
+"""
+
+
+def _q47(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("i64").alias("l_linenumber"),
+        col("l_quantity").map(lambda s: s * 2 + 1, return_dtype="f64").alias("q2"),
+    )
+    return out.spark
+
+
+_q47_sql = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity * 2 + 1 AS q2
+FROM lineitem
+"""
+
+
+def _q48(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").select(
+        col("ts"), col("user_id"), col("event_id"), col("value")
+    )
+    out = o.join_asof(
+        ev,
+        left_on="o_orderdate",
+        right_on="ts",
+        by_left=["o_custkey"],
+        by_right=["user_id"],
+        strategy="forward",
+    ).select(col("o_orderkey"), col("o_custkey"), col("event_id"), col("value"))
+    return out.spark
+
+
+_q48_sql = """
+SELECT o_orderkey, o_custkey, e.event_id, e.value
+FROM orders o LEFT JOIN LATERAL (
+  SELECT event_id, value FROM events e
+  WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+  ORDER BY e.ts, e.event_id LIMIT 1) e ON true
+"""
+
+
 def _q39(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = (
@@ -976,6 +1093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_lsh_topk": _q38,
         "q39_rollup": _q39,
         "q40_cube": _q40,
+        "q41_fill_values": _q41,
+        "q42_explode_pos": _q42,
+        "q43_concat_horizontal": _q43,
+        "q45_selector_numeric": _q45,
+        "q47_vectorized_udf": _q47,
+        "q48_asof_forward": _q48,
     }
 
 
@@ -1019,6 +1142,12 @@ def oracle_sql() -> dict[str, str]:
         "q37_sessionize": _q37_sql,
         "q39_rollup": _q39_sql,
         "q40_cube": _q40_sql,
+        "q41_fill_values": _q41_sql,
+        "q42_explode_pos": _q42_sql,
+        "q43_concat_horizontal": _q43_sql,
+        "q45_selector_numeric": _q45_sql,
+        "q47_vectorized_udf": _q47_sql,
+        "q48_asof_forward": _q48_sql,
         # q36_simhash, q38_lsh_topk: engine-specific hashing / approximate —
         # rows-only checks by design
     }
