@@ -30,6 +30,8 @@ from polars_net_spark.llm import (
     language_id,
     content_fingerprint,
     shingle_fingerprints,
+    text_metrics_frame,
+    shingle_fingerprint_frame,
 )
 
 STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
@@ -770,13 +772,7 @@ WHERE rn <= 5
 
 def _q34(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    out = d._sdf.select(
-        F.col("doc_id"),
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
-        language_id(F.col("text")).alias("lang_pred"),
-    )
-    return out
+    return text_metrics_frame(d, text_col="text", id_col="doc_id").spark
 
 
 _q34_sql = rf"""
@@ -812,15 +808,7 @@ FROM u
 
 def _q35(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    fps = shingle_fingerprints(F.col("text"), k=3, keep_every=4)
-    out = d._sdf.select(
-        F.col("doc_id"),
-        content_fingerprint(F.col("text")).alias("fp"),
-        F.size(fps).cast("long").alias("n_kept"),
-        F.get(fps, 0).alias("min_fp"),
-        F.get(fps, F.size(fps) - 1).alias("max_fp"),
-    )
-    return out
+    return shingle_fingerprint_frame(d, text_col="text", id_col="doc_id", k=3, keep_every=4).spark
 
 
 _q35_sql = r"""

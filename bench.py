@@ -3,8 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() action — results never leave the
-executors, so timing measures compute + shuffle, not driver transfer).
+Each query is executed to completion through the `noop` sink: every output row
+and column is fully computed (a bare count() would let Catalyst prune the
+projections), but results never leave the executors — timing measures
+compute + shuffle, not driver transfer.
 """
 
 from __future__ import annotations
@@ -31,13 +33,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     qs = e.queries()
-    # warm the JVM/session with one tiny action so q1 isn't charged for startup
+    # warm the JVM, codegen, and the parquet file index so q1 isn't charged
+    # for one-time session startup
     spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for name, fn in qs.items():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as ex:  # record failures distinctly, keep going
             timings[name] = -1.0

@@ -11,6 +11,8 @@ from .text import (
     language_id,
     content_fingerprint,
     shingle_fingerprints,
+    text_metrics_frame,
+    shingle_fingerprint_frame,
 )
 from .dedup import (
     dedup_exact,
@@ -27,6 +29,8 @@ __all__ = [
     "language_id",
     "content_fingerprint",
     "shingle_fingerprints",
+    "text_metrics_frame",
+    "shingle_fingerprint_frame",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

