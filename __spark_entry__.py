@@ -938,6 +938,74 @@ SELECT n_name, rev_key FROM a JOIN b USING (rn)
 """
 
 
+def _q44(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ctx = pls.SQLContext(spark, lineitem_v=li, part_v=p)
+    out = ctx.execute(
+        """
+        SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem_v l2 WHERE l2.l_partkey = part_v.p_partkey)
+        GROUP BY p_brand ORDER BY p_brand
+        """
+    )
+    return out.spark
+
+
+_q44_sql = """
+SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def _q46(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    d = c.collect().describe()
+    stats = d.lazy()
+    rounded = [col("statistic")] + [
+        col(name).round(4).alias(name) for name in stats.columns if name != "statistic"
+    ]
+    return stats.select(rounded).spark
+
+
+_q46_sql = """
+WITH s AS (
+  SELECT CAST(count(c_custkey) AS DOUBLE) AS ck_count,
+         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ck_nulls,
+         avg(c_custkey) AS ck_mean, stddev_samp(c_custkey) AS ck_std,
+         CAST(min(c_custkey) AS DOUBLE) AS ck_min,
+         quantile_cont(c_custkey, 0.25) AS ck_p25, quantile_cont(c_custkey, 0.5) AS ck_p50,
+         quantile_cont(c_custkey, 0.75) AS ck_p75, CAST(max(c_custkey) AS DOUBLE) AS ck_max,
+         CAST(count(c_nationkey) AS DOUBLE) AS nk_count,
+         CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nk_nulls,
+         avg(c_nationkey) AS nk_mean, stddev_samp(c_nationkey) AS nk_std,
+         CAST(min(c_nationkey) AS DOUBLE) AS nk_min,
+         quantile_cont(c_nationkey, 0.25) AS nk_p25, quantile_cont(c_nationkey, 0.5) AS nk_p50,
+         quantile_cont(c_nationkey, 0.75) AS nk_p75, CAST(max(c_nationkey) AS DOUBLE) AS nk_max,
+         CAST(count(c_acctbal) AS DOUBLE) AS ab_count,
+         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS ab_nulls,
+         avg(c_acctbal) AS ab_mean, stddev_samp(c_acctbal) AS ab_std,
+         CAST(min(c_acctbal) AS DOUBLE) AS ab_min,
+         quantile_cont(c_acctbal, 0.25) AS ab_p25, quantile_cont(c_acctbal, 0.5) AS ab_p50,
+         quantile_cont(c_acctbal, 0.75) AS ab_p75, CAST(max(c_acctbal) AS DOUBLE) AS ab_max
+  FROM customer)
+SELECT 'count' AS statistic, round(ck_count,4) AS c_custkey, round(nk_count,4) AS c_nationkey, round(ab_count,4) AS c_acctbal FROM s
+UNION ALL SELECT 'null_count', round(ck_nulls,4), round(nk_nulls,4), round(ab_nulls,4) FROM s
+UNION ALL SELECT 'mean', round(ck_mean,4), round(nk_mean,4), round(ab_mean,4) FROM s
+UNION ALL SELECT 'std', round(ck_std,4), round(nk_std,4), round(ab_std,4) FROM s
+UNION ALL SELECT 'min', round(ck_min,4), round(nk_min,4), round(ab_min,4) FROM s
+UNION ALL SELECT '25%', round(ck_p25,4), round(nk_p25,4), round(ab_p25,4) FROM s
+UNION ALL SELECT '50%', round(ck_p50,4), round(nk_p50,4), round(ab_p50,4) FROM s
+UNION ALL SELECT '75%', round(ck_p75,4), round(nk_p75,4), round(ab_p75,4) FROM s
+UNION ALL SELECT 'max', round(ck_max,4), round(nk_max,4), round(ab_max,4) FROM s
+"""
+
+
 def _q45(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     numeric_x2 = pls.cs.numeric().map_cols(c.schema, lambda e: (e * 2))
@@ -1084,7 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_fill_values": _q41,
         "q42_explode_pos": _q42,
         "q43_concat_horizontal": _q43,
+        "q44_sql_correlated": _q44,
         "q45_selector_numeric": _q45,
+        "q46_describe": _q46,
         "q47_vectorized_udf": _q47,
         "q48_asof_forward": _q48,
     }
@@ -1133,7 +1203,9 @@ def oracle_sql() -> dict[str, str]:
         "q41_fill_values": _q41_sql,
         "q42_explode_pos": _q42_sql,
         "q43_concat_horizontal": _q43_sql,
+        "q44_sql_correlated": _q44_sql,
         "q45_selector_numeric": _q45_sql,
+        "q46_describe": _q46_sql,
         "q47_vectorized_udf": _q47_sql,
         "q48_asof_forward": _q48_sql,
         # q36_simhash, q38_lsh_topk: engine-specific hashing / approximate —
