@@ -535,15 +535,19 @@ FROM orders o ASOF LEFT JOIN events e
 
 def _q22(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    out = (
+    grouped = (
         li.group_by("l_returnflag")
         .agg(
-            col("l_extendedprice").quantile(0.5, "linear").round(6).alias("p50"),
-            col("l_extendedprice").quantile(0.9, "linear").round(6).alias("p90"),
+            col("l_extendedprice").quantiles([0.5, 0.9]).alias("__qs__"),
             col("l_extendedprice").std(ddof=1).round(6).alias("sd"),
         )
-        .sort("l_returnflag")
     )
+    out = grouped.select(
+        col("l_returnflag"),
+        col("__qs__").list.get(0).round(6).alias("p50"),
+        col("__qs__").list.get(1).round(6).alias("p90"),
+        col("sd"),
+    ).sort("l_returnflag")
     return out.spark
 
 

@@ -33,6 +33,7 @@ from .io import (
     scan_ndjson,
     scan_parquet,
 )
+from ._cache import release_caches
 from .series import Series
 from .session import get_spark, stop_spark
 from .sql import SQLContext
@@ -55,6 +56,7 @@ __all__ = [
     "concat",
     "Series",
     "SQLContext",
+    "release_caches",
     "get_spark",
     "stop_spark",
     "cs",

@@ -391,6 +391,11 @@ class Expr:
             return _wrap(nearest)
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
+    def quantiles(self, qs: Sequence[float]) -> "Expr":
+        """Several linear-interpolation quantiles from ONE sort (array result;
+        pair with .list.get(i)).  N separate .quantile calls sort N times."""
+        return _wrap(F.percentile(self._col, F.array(*[F.lit(float(q)) for q in qs])))
+
     def first(self) -> "Expr":
         return _wrap(F.first(self._col, ignorenulls=False))
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame as SparkDF
 from pyspark.sql import functions as F
 
+from .._cache import register_cache
 from ..frame import LazyFrame
 
 __all__ = [
@@ -69,10 +70,8 @@ def _grams_frame(sdf: SparkDF, text_col: str, id_col: str, n: int) -> SparkDF:
     """
     par = sdf.sparkSession.sparkContext.defaultParallelism
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    staged = (
-        sdf.select(F.col(id_col).alias("id"), words.alias("__ws__"))
-        .repartition(par)
-        .persist()
+    staged = register_cache(
+        sdf.select(F.col(id_col).alias("id"), words.alias("__ws__")).repartition(par)
     )
     ws = F.col("__ws__")
     cnt = F.size(ws)
@@ -110,8 +109,8 @@ def ngram_jaccard_pairs(
         _grams_frame(sdf, text_col, id_col, n)
         .withColumn("n_grams", F.size("grams"))
         .select("id", "n_grams", F.explode("grams").alias("gram"))
-        .persist()
     )
+    exploded = register_cache(exploded)
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
     )
@@ -166,10 +165,8 @@ def minhash_lsh_pairs(
     sdf = _sdf(frame)
     # persisted: feeds signature computation AND both sides of the
     # candidate-verification join
-    grams = (
-        _grams_frame(sdf, text_col, id_col, n)
-        .filter(F.size("grams") > 0)
-        .persist()
+    grams = register_cache(
+        _grams_frame(sdf, text_col, id_col, n).filter(F.size("grams") > 0)
     )
 
     # One nested higher-order expression instead of num_hashes separate
@@ -208,8 +205,8 @@ def minhash_lsh_pairs(
             ).alias("bb"),
         )
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()
     )
+    band_entries = register_cache(band_entries)
 
     lhs = band_entries.select(F.col("id").alias("id_a"), "band", "bucket")
     rhs = band_entries.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -254,10 +251,8 @@ def simhash_signatures(
     # split+distinct+hash pipeline once PER BIT (measured ~5x on 64 bits)
     par = sdf.sparkSession.sparkContext.defaultParallelism
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    staged = (
-        sdf.select(F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("__h__"))
-        .repartition(par)
-        .persist()
+    staged = register_cache(
+        sdf.select(F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("__h__")).repartition(par)
     )
     hashes = F.col("__h__")
     def _bit_set(h, i: int):

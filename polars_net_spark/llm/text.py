@@ -11,12 +11,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .._cache import register_cache
+
 __all__ = [
     "token_count",
     "quality_score",
     "language_id",
     "content_fingerprint",
     "shingle_fingerprints",
+    "text_metrics_frame",
+    "shingle_fingerprint_frame",
     "STOPWORDS_EN",
 ]
 
@@ -51,10 +55,8 @@ def _stage_words(sdf, text_col: str, id_col: str, lower: bool = False):
     text = F.col(text_col)
     if lower:
         text = F.lower(text)
-    return (
-        sdf.select(F.col(id_col), F.col(text_col), _words(text).alias("__ws__"))
-        .repartition(par)
-        .persist()
+    return register_cache(
+        sdf.select(F.col(id_col), F.col(text_col), _words(text).alias("__ws__")).repartition(par)
     )
 
 
@@ -157,14 +159,12 @@ def shingle_fingerprint_frame(
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
     par = sdf.sparkSession.sparkContext.defaultParallelism
     staged_words = _stage_words(sdf, text_col, id_col, lower=True)
-    staged = (
+    staged = register_cache(
         staged_words.select(
             F.col(id_col),
             content_fingerprint(F.col(text_col)).alias("fp"),
             _shingle_fp_expr(F.col("__ws__"), k, keep_every).alias("__fps__"),
-        )
-        .repartition(par)
-        .persist()
+        ).repartition(par)
     )
     fps = F.col("__fps__")
     out = staged.select(
