@@ -90,6 +90,9 @@ def _to_spark_type(dtype: str | T.DataType) -> T.DataType:
         inner = key[key.index("(") + 1 : key.index(")")]
         p, s = (int(x) for x in inner.split(","))
         return T.DecimalType(p, s)
+    if any(key.startswith(p) for p in ("struct<", "array<", "map<")):
+        # nested DDL strings ("struct<k:int>", "array<double>")
+        return T._parse_datatype_string(dtype)
     raise ValueError(f"unknown dtype {dtype!r}")
 
 
