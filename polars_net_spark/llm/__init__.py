@@ -17,6 +17,7 @@ from .text import (
 from .dedup import (
     dedup_exact,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     minhash_lsh_pairs,
     simhash_signatures,
     embedding_near_dup_pairs,
@@ -33,6 +34,7 @@ __all__ = [
     "shingle_fingerprint_frame",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "embedding_near_dup_pairs",

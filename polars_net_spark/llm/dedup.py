@@ -20,6 +20,7 @@ from ..frame import LazyFrame
 __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "embedding_near_dup_pairs",
@@ -132,6 +133,69 @@ def ngram_jaccard_pairs(
     sim = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     out = (
         pairs.withColumn("jaccard", F.round(sim, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return LazyFrame(out)
+
+
+def ngram_jaccard_pairs_prefix(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering.
+
+    Same output as :func:`ngram_jaccard_pairs`, different candidate
+    generation: grams are canonically ordered by global document frequency
+    (rarest first); a doc of g grams indexes only its first
+    g - ceil(t·g) + 1 grams.  Any pair with J ≥ t must collide inside these
+    prefixes (standard AllPairs bound), so recall stays exact while the
+    inverted index shrinks — and because rare grams come first, the surviving
+    postings have short lists.  Candidates are then verified with the true
+    Jaccard.  The scale path for high-threshold joins over huge corpora.
+    """
+    from pyspark.sql import Window
+
+    sdf = _sdf(frame)
+    grams = register_cache(
+        _grams_frame(sdf, text_col, id_col, n).filter(F.size("grams") > 0)
+    )
+    exploded = grams.select("id", F.size("grams").alias("g"), F.explode("grams").alias("gram"))
+    gram_df = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (F.col("g") - F.ceil(F.lit(threshold) * F.col("g")) + 1).cast("int")
+    ranked = (
+        exploded.join(gram_df, "gram")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("df"), F.col("gram"))),
+        )
+        .filter(F.col("rnk") <= prefix_len)
+        .select("id", "g", "gram")
+    )
+    lhs = ranked.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), "gram")
+    rhs = ranked.select(F.col("id").alias("id_b"), F.col("g").alias("gb"), "gram")
+    cands = (
+        lhs.join(rhs, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("ga") >= threshold * F.col("gb"))
+            & (F.col("gb") >= threshold * F.col("ga"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("sa"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("sb"))
+    paired = cands.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.round(inter / union, round_to)
+    out = (
+        paired.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -123,3 +123,12 @@ def test_lambda_arity_regression(spark):
         .count()
     )
     assert sigs < 5  # different seeds must give (mostly) different minima
+
+
+def test_prefix_filter_jaccard_equals_baseline(spark):
+    from polars_net_spark.llm import ngram_jaccard_pairs_prefix
+
+    d = docs(spark).lazy()
+    base = sorted(ngram_jaccard_pairs(d, threshold=0.5).collect().rows())
+    pref = sorted(ngram_jaccard_pairs_prefix(d, threshold=0.5).collect().rows())
+    assert base == pref  # AllPairs prefix bound is exact, not approximate
