@@ -1066,6 +1066,49 @@ FROM orders o LEFT JOIN LATERAL (
 """
 
 
+def _q49(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.with_columns(
+            col("o_totalprice")
+            .rank("ordinal", order_by=[col("o_totalprice"), col("o_orderkey")], partition_by=["o_orderpriority"])
+            .cast("i64")
+            .alias("rn")
+        )
+        .filter(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    )
+    return out.spark
+
+
+_q49_sql = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 5
+"""
+
+
+def _q50(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    grouped = n.group_by("n_regionkey").agg(
+        pls.Expr(F.array_join(F.array_sort(F.collect_list(F.col("n_name"))), ",")).alias("nations"),
+        col("n_nationkey").len().cast("long").alias("n"),
+    )
+    return grouped.select(
+        col("n_regionkey").cast("i64").alias("n_regionkey"), col("nations"), col("n")
+    ).sort("n_regionkey").spark
+
+
+_q50_sql = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 def _q39(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = (
@@ -1161,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_describe": _q46,
         "q47_vectorized_udf": _q47,
         "q48_asof_forward": _q48,
+        "q49_window_rank": _q49,
+        "q50_string_agg": _q50,
     }
 
 
@@ -1212,6 +1257,8 @@ def oracle_sql() -> dict[str, str]:
         "q46_describe": _q46_sql,
         "q47_vectorized_udf": _q47_sql,
         "q48_asof_forward": _q48_sql,
+        "q49_window_rank": _q49_sql,
+        "q50_string_agg": _q50_sql,
         # q36_simhash, q38_lsh_topk: engine-specific hashing / approximate —
         # rows-only checks by design
     }
