@@ -26,6 +26,7 @@ from .io import (
     read_ipc,
     read_json,
     read_parquet,
+    register_callback_source,
     scan_batches,
     scan_csv,
     scan_ipc,
@@ -66,6 +67,7 @@ __all__ = [
     "read_csv",
     "scan_ndjson",
     "scan_batches",
+    "register_callback_source",
     "read_json",
     "read_ipc",
     "scan_ipc",

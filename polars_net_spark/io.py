@@ -28,6 +28,7 @@ __all__ = [
     "scan_ipc",
     "from_arrow",
     "scan_batches",
+    "register_callback_source",
     "from_pandas",
     "from_records",
     "scan_jdbc",
@@ -187,6 +188,69 @@ def scan_batches(
 
     base = s.range(num_partitions).repartition(num_partitions)
     return LazyFrame(base.mapInArrow(gen, struct))
+
+
+def register_callback_source(
+    name: str,
+    factory: Callable[[int], Iterable],
+    schema_ddl: str,
+    num_partitions: int = 1,
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """Register a Python Data Source (Spark 4 DataSource API) backed by a
+    partition-indexed factory, and return a scan of it.
+
+    The fuller-featured sibling of :func:`scan_batches`: as a first-class
+    source, Catalyst sees a real relation (a named format usable from any
+    reader, `spark.read.format(name)`).  ``factory(partition_index)`` yields
+    either plain row tuples or pyarrow RecordBatches.  The class is shipped
+    to executors by value (cloudpickle), so the factory must be picklable.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    # `def name` below makes `name` a class-body local — rebind the parameter
+    # under a different identifier so the class attributes can read it
+    source_name = name
+
+    class _CallbackReader(DataSourceReader):
+        def __init__(self, fct, parts):
+            self._factory = fct
+            self._parts = parts
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self._parts)]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            for item in self._factory(partition.value):
+                if isinstance(item, pa.RecordBatch):
+                    for row in zip(*[c.to_pylist() for c in item.columns]):
+                        yield row
+                else:
+                    yield item
+
+    class _CallbackSource(DataSource):
+        _factory = staticmethod(factory)
+        _ddl = schema_ddl
+        _parts = num_partitions
+        _name = source_name
+
+        @classmethod
+        def name(cls):
+            # no closure over the outer variable: the class is re-created from
+            # pickle on executors where enclosing cells may be absent
+            return cls._name
+
+        def schema(self):
+            return self._ddl
+
+        def reader(self, schema):
+            return _CallbackReader(self._factory, self._parts)
+
+    s = _spark(spark)
+    s.dataSource.register(_CallbackSource)
+    return LazyFrame(s.read.format(name).load())
 
 
 def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:

@@ -101,3 +101,19 @@ def test_scan_batches_anonymous_scan(spark):
     assert lf.filter(col("p") == 2).collect().height == 3
     agg = lf.select(col("v").sum().alias("s")).collect()
     assert agg.rows()[0][0] == 24.0
+
+
+def test_register_callback_source(spark):
+    def factory(idx):
+        yield (idx, f"part{idx}")
+        yield (idx, f"part{idx}b")
+
+    lf = pl.register_callback_source(
+        "cbsource_test", factory, "p int, tag string", num_partitions=3, spark=spark
+    )
+    out = lf.collect()
+    assert out.height == 6
+    assert lf.filter(col("p") == 1).collect().height == 2
+    # registered as a real named format too
+    again = spark.read.format("cbsource_test").load()
+    assert again.count() == 6
