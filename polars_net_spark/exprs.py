@@ -694,12 +694,12 @@ class ExprStrNamespace:
     def strip_chars_start(self, chars: str | None = None) -> Expr:
         if chars is None:
             return _wrap(F.ltrim(self._c))
-        return _wrap(F.ltrim(F.lit(chars), self._c))
+        return _wrap(F.ltrim(self._c, F.lit(chars)))
 
     def strip_chars_end(self, chars: str | None = None) -> Expr:
         if chars is None:
             return _wrap(F.rtrim(self._c))
-        return _wrap(F.rtrim(F.lit(chars), self._c))
+        return _wrap(F.rtrim(self._c, F.lit(chars)))
 
     def strip_prefix(self, prefix: str) -> Expr:
         c = self._c
