@@ -567,7 +567,11 @@ class Expr:
         like the reference's non-Unknown path.
         """
         if return_dtype is None:
-            raise ValueError("Spark requires a declared return dtype for UDFs")
+            raise ValueError(
+                "Spark requires a declared return dtype for UDFs; for the "
+                "reference's same-as-input behavior use LazyFrame.map_column "
+                "(it resolves the dtype from the schema)"
+            )
         t = _to_spark_type(return_dtype)
         from pyspark.sql.functions import pandas_udf
 

@@ -211,6 +211,21 @@ class LazyFrame:
             sdf = sdf.select(*others, *[F.col(f"{colname}.{f}").alias(f) for f in field_names])
         return LazyFrame(sdf)
 
+    def map_column(self, column: str, fn, return_dtype: str | T.DataType | None = None) -> "LazyFrame":
+        """Vectorized UDF over one column with the reference's same-as-input
+        default (udf.rs:106 DataType::Unknown marker): when ``return_dtype`` is
+        omitted the output keeps the column's current dtype, resolved from the
+        schema.  ``fn(pandas.Series) -> pandas.Series``."""
+        from pyspark.sql.functions import pandas_udf
+
+        t = (
+            self._sdf.schema[column].dataType
+            if return_dtype is None
+            else _to_spark_type(return_dtype)
+        )
+        udf = pandas_udf(fn, returnType=t)
+        return LazyFrame(self._sdf.withColumn(column, udf(F.col(column))))
+
     def struct_field_by_index(self, column: str, index: int, alias: str | None = None) -> "LazyFrame":
         """Positional struct-field extraction (reference expr.rs:948-957) —
         schema-resolved, so it works on any struct column."""
@@ -738,6 +753,9 @@ class DataFrame:
 
     def group_by_dynamic(self, *args, **kwargs):
         return self._lf.group_by_dynamic(*args, **kwargs)
+
+    def map_column(self, column: str, fn, return_dtype=None) -> "DataFrame":
+        return self._wrap(self._lf.map_column(column, fn, return_dtype))
 
     def explode(self, *columns: str) -> "DataFrame":
         return self._wrap(self._lf.explode(*columns))

@@ -77,3 +77,13 @@ def test_udf_requires_dtype(spark):
     df = pl.from_records([(1,)], ["x"])
     with pytest.raises(ValueError):
         df.select(col("x").map(lambda s: s))
+
+
+def test_map_column_same_as_input_dtype(spark):
+    # reference udf.rs:106: Unknown marker = same-as-input output dtype
+    df = pl.from_records([(1,), (2,)], "x long")
+    out = df.map_column("x", lambda s: s * 10)
+    assert dict(out.dtypes)["x"] == "bigint"
+    assert [r[0] for r in out.rows()] == [10, 20]
+    changed = df.map_column("x", lambda s: s.astype(str), return_dtype="str")
+    assert dict(changed.dtypes)["x"] == "string"
