@@ -389,8 +389,9 @@ class Expr:
         if interpolation == "midpoint":
             return _wrap((lo + hi) / 2.0)
         if interpolation == "nearest":
-            nearest = F.when(pos - lo_idx <= F.lit(0.5), lo).otherwise(hi)
-            # exactly representable positions collapse lo==hi anyway
+            # polars rounds (n-1)*q half-AWAY-from-zero (f64::round), so an
+            # exact .5 fractional position resolves to the HIGHER index
+            nearest = F.when(pos - lo_idx < F.lit(0.5), lo).otherwise(hi)
             return _wrap(nearest)
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
@@ -881,11 +882,17 @@ class ExprListNamespace:
     def get(self, index: int, null_on_oob: bool = True) -> Expr:
         if index >= 0:
             out = F.get(self._c, index)  # F.get is 0-indexed, null on OOB
+            in_bounds = F.size(self._c) > index
         else:
             out = F.element_at(self._c, index)  # negative = from end, 1-indexed semantics
+            in_bounds = F.size(self._c) >= -index
         if not null_on_oob:
-            guard = F.assert_true(out.isNotNull() | self._c.isNull(), F.lit("list.get out of bounds"))
-            return _wrap(F.when(guard.isNull(), out).otherwise(out))
+            # guard on the INDEX vs the array size, not on the output's
+            # nullness — an in-bounds element whose value is legitimately
+            # null must not raise.  raise_error in the else branch: a
+            # same-branch CASE around assert_true gets eliminated by Catalyst.
+            err = F.raise_error(F.lit("list.get out of bounds"))
+            return _wrap(F.when(self._c.isNull() | in_bounds, out).otherwise(err))
         return _wrap(out)
 
     def sum(self) -> Expr:

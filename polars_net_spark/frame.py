@@ -149,17 +149,23 @@ class LazyFrame:
         self, subset: Sequence[str] | None = None, keep: str = "any", maintain_order: bool = False
     ) -> "LazyFrame":
         """Distinct rows. keep='any' → dropDuplicates (scales best);
-        keep='first'/'last' use the row-order column + min/max."""
-        if subset is None and keep == "any":
-            return LazyFrame(self._sdf.distinct())
-        if keep == "any":
-            return LazyFrame(self._sdf.dropDuplicates(list(subset)))
+        keep='first'/'last' use the row-order column + min/max.
+        maintain_order=True sorts the output by first appearance of the kept
+        row (polars semantics) — an extra global sort, only ask if needed."""
+        if not maintain_order:
+            if subset is None and keep == "any":
+                return LazyFrame(self._sdf.distinct())
+            if keep == "any":
+                return LazyFrame(self._sdf.dropDuplicates(list(subset)))
         lf = self._order_col()
         w = Window.partitionBy(*[F.col(c) for c in (subset or self.columns)]).orderBy(
-            F.col(ROW_ORDER_COL).asc() if keep == "first" else F.col(ROW_ORDER_COL).desc()
+            F.col(ROW_ORDER_COL).desc() if keep == "last" else F.col(ROW_ORDER_COL).asc()
         )
         ranked = lf._sdf.withColumn("__rn__", F.row_number().over(w))
-        return LazyFrame(ranked.filter(F.col("__rn__") == 1).drop("__rn__", ROW_ORDER_COL))
+        kept = ranked.filter(F.col("__rn__") == 1)
+        if maintain_order:
+            kept = kept.orderBy(F.col(ROW_ORDER_COL).asc())
+        return LazyFrame(kept.drop("__rn__", ROW_ORDER_COL))
 
     # -- limits / sampling (eager.rs:329-369, 492-506) ------------------------
     def limit(self, n: int) -> "LazyFrame":
@@ -250,7 +256,15 @@ class LazyFrame:
             c = cols_[0]
             others = [x for x in sdf.columns if x != c]
             return LazyFrame(sdf.select(*others, F.explode_outer(c).alias(c)).select(*sdf.columns))
-        zipped = F.arrays_zip(*[F.col(c) for c in cols_]).alias("__z__")
+        # polars raises on mismatched per-row list lengths (eager.rs:511-549);
+        # arrays_zip would silently null-pad, fabricating rows.  Guard: all
+        # non-null lists in a row must have equal size (greatest/least skip
+        # nulls; all-null rows zip to a null row, which is fine).
+        sizes = [F.size(F.col(c)) for c in cols_]
+        same_len = F.coalesce(F.greatest(*sizes) == F.least(*sizes), F.lit(True))
+        raw_zip = F.arrays_zip(*[F.col(c) for c in cols_])
+        err = F.raise_error(F.lit("explode: columns have mismatched list lengths"))
+        zipped = F.when(same_len, raw_zip).otherwise(err).alias("__z__")
         others = [x for x in sdf.columns if x not in cols_]
         exploded = sdf.select(*others, F.explode_outer(zipped).alias("__e__"))
         out = exploded.select(

@@ -102,16 +102,38 @@ def scan_csv(
 def _maybe_parse_dates(lf: LazyFrame, try_parse_dates: bool) -> LazyFrame:
     if not try_parse_dates:
         return lf
-    # io.rs:31-32: try-parse string columns as dates on read
+    # io.rs:31-32 → polars with_try_parse_dates: a string column in which
+    # EVERY non-null value parses becomes a Date/Datetime column (dtype
+    # change, not a string rewrite).  One aggregate pass decides all columns
+    # at once — CSV schema inference already scans the file, so the extra
+    # eager job is in line with read-time inference cost.
     sdf = lf._sdf
-    for name, dtype in sdf.dtypes:
-        if dtype == "string":
-            parsed = F.try_to_timestamp(F.col(name))
-            sdf = sdf.withColumn(
-                name,
-                F.when(parsed.isNotNull(), parsed.cast("date").cast("string")).otherwise(F.col(name)),
-            )
-    return LazyFrame(sdf)
+    str_cols = [n for n, t in sdf.dtypes if t == "string"]
+    if not str_cols:
+        return lf
+    aggs = []
+    for n in str_cols:
+        c = F.col(n)
+        aggs.append(
+            (
+                (F.count(c) > 0)
+                & (F.count(F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), c)) == F.count(c))
+            ).alias(f"__d_{n}"),
+        )
+        aggs.append(
+            (
+                (F.count(c) > 0)
+                & (F.count(F.try_to_timestamp(c)) == F.count(c))
+            ).alias(f"__t_{n}"),
+        )
+    stats = sdf.agg(*aggs).collect()[0]
+    out = sdf
+    for n in str_cols:
+        if stats[f"__d_{n}"]:
+            out = out.withColumn(n, F.col(n).cast("date"))
+        elif stats[f"__t_{n}"]:
+            out = out.withColumn(n, F.try_to_timestamp(F.col(n)))
+    return LazyFrame(out)
 
 
 def read_csv(path: str, **kwargs) -> DataFrame:

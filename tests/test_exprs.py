@@ -125,7 +125,7 @@ def test_quantile_interpolations(spark):
     assert q("lower") == 2.0
     assert q("higher") == 3.0
     assert q("midpoint") == 2.5
-    assert q("nearest") == 2.0  # pos=1.5, frac 0.5 → lower (ties to <=0.5)
+    assert q("nearest") == 3.0  # pos=1.5: polars rounds half away from zero → higher
 
 
 def test_implode_n_unique(spark):

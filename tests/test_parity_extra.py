@@ -221,3 +221,52 @@ def test_embedding_pairs_expr_equals_numpy(spark):
     a = sorted(embedding_near_dup_pairs(e, threshold=0.45, method="numpy").collect().rows())
     b = sorted(embedding_near_dup_pairs(e, threshold=0.45, method="expr").collect().rows())
     assert a == b
+
+
+# -- round-2 ADVICE regression tests ------------------------------------------
+
+
+def test_unique_maintain_order(spark):
+    df = pl.from_records(
+        [(3, "c"), (1, "a"), (3, "x"), (2, "b"), (1, "z")], ["k", "v"]
+    )
+    out = df.lazy().unique(subset=["k"], keep="first", maintain_order=True).collect()
+    # first appearance of each key, in original row order
+    assert out.rows() == [(3, "c"), (1, "a"), (2, "b")]
+    out_any = df.lazy().unique(subset=["k"], maintain_order=True).collect()
+    assert out_any.rows() == [(3, "c"), (1, "a"), (2, "b")]
+
+
+def test_list_get_strict_null_element_ok(spark):
+    import pyspark.sql.functions as F
+
+    df = pl.from_records([([1, None, 3],)], ["xs"])
+    # in-bounds null element must NOT raise with null_on_oob=False
+    out = df.select(pl.col("xs").list.get(1, null_on_oob=False).alias("e")).rows()
+    assert out == [(None,)]
+    # genuinely out of bounds must raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.select(pl.col("xs").list.get(9, null_on_oob=False).alias("e")).rows()
+
+
+def test_explode_mismatched_lengths_raises(spark):
+    import pytest as _pytest
+
+    df = pl.from_records([([1, 2], ["a"])], ["xs", "ys"])
+    with _pytest.raises(Exception):
+        df.lazy().explode("xs", "ys").collect().rows()
+    ok = pl.from_records([([1, 2], ["a", "b"])], ["xs", "ys"])
+    assert ok.lazy().explode("xs", "ys").collect().rows() == [(1, "a"), (2, "b")]
+
+
+def test_scan_csv_try_parse_dates_dtype(spark, tmp_path):
+    p = str(tmp_path / "d.csv")
+    with open(p, "w") as f:
+        f.write("d,t,s\n2024-01-02,2024-01-02 03:04:05,hello\n2024-02-03,2024-02-03 10:00:00,world\n")
+    lf = pl.scan_csv(p, has_header=True, try_parse_dates=True)
+    dt = dict(lf._sdf.dtypes)
+    assert dt["d"] == "date"
+    assert dt["t"] == "timestamp"
+    assert dt["s"] == "string"
