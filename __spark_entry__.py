@@ -837,8 +837,36 @@ FROM h
 
 
 def _q36(spark, sf_dir):
+    # md5-based 60-bit variant: bit-identical to the DuckDB oracle below, so
+    # this row is hash-gated (the xxhash64 fast path shares every line of the
+    # bit-sum machinery and is covered by invariants in test_llm.py)
     d = _t(spark, sf_dir, "documents")
-    return simhash_signatures(d).spark
+    return simhash_signatures(d, bits=60, hash_fn="md5").spark
+
+
+def _simhash_md5_oracle_sql(bits: int = 60) -> str:
+    """DuckDB replica of simhash_signatures(hash_fn='md5'): token hash = first
+    15 hex chars of md5(token) as a 60-bit int, extracted digit-by-digit."""
+    sums = []
+    for b in range(bits):
+        pos = 15 - b // 4  # 1-based hex-char position holding bit b
+        p = 1 << (b % 4)
+        sums.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+            f"// {p}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    sig = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+  FROM documents),
+d AS (SELECT doc_id, md5(w) AS h FROM toks),
+bitsums AS (SELECT doc_id, {', '.join(sums)} FROM d GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+_q36_sql = _simhash_md5_oracle_sql()
 
 
 def _q37(spark, sf_dir):
@@ -1151,6 +1179,44 @@ def _q38(spark, sf_dir):
     return out._sdf.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _lsh_topk_oracle_sql(k: int = 5, num_planes: int = 6, num_tables: int = 6, dim: int = 64) -> str:
+    """DuckDB replica of lsh_bucket_topk: the hyperplanes are deterministic
+    (seeded LCG, no RNG state), so the exact plane vectors the Spark job uses
+    are embedded here as literals.  Candidates = pairs sharing a bucket in
+    ≥1 table; scoring and ranking mirror the Spark plan."""
+    from polars_net_spark.llm.similarity import _hyperplane
+
+    bucket_cols = []
+    for t in range(num_tables):
+        terms = []
+        for i in range(num_planes):
+            plane = _hyperplane(dim, seed=t * 1000 + i)
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END"
+            )
+        bucket_cols.append("(" + " + ".join(terms) + f") AS b{t}")
+    on_clause = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {", ".join(bucket_cols)} FROM e),
+cand AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, c.vec_id AS corpus_id, c.v AS cv
+  FROM b q JOIN b c ON c.vec_id <> q.vec_id AND ({on_clause})
+  WHERE q.vec_id < 10),
+s AS (SELECT query_id, corpus_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM cand)
+SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+WHERE rn <= {k}
+"""
+
+
+_q38_sql = _lsh_topk_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1259,6 +1325,6 @@ def oracle_sql() -> dict[str, str]:
         "q48_asof_forward": _q48_sql,
         "q49_window_rank": _q49_sql,
         "q50_string_agg": _q50_sql,
-        # q36_simhash, q38_lsh_topk: engine-specific hashing / approximate —
-        # rows-only checks by design
+        "q36_simhash": _q36_sql,
+        "q38_lsh_topk": _q38_sql,
     }

@@ -302,21 +302,36 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> LazyFrame:
-    """64-bit SimHash per document, as pure Column expressions.
+    """SimHash per document, as pure Column expressions.
 
-    For each bit i: sum over tokens of (+1 if bit set in xxhash64(token) else
+    For each bit i: sum over tokens of (+1 if bit set in hash(token) else
     -1); sign → bit.  Near-dups then cluster by Hamming distance (e.g. join on
     16-bit chunks of the signature — any chunk equal ⇒ distance ≤ 48 candidate).
+
+    hash_fn='xxhash64' (default): 64-bit JVM hash, the fast path.
+    hash_fn='md5' (bits ≤ 60): token hash = first 15 hex chars of md5 read as
+    a 60-bit integer — bit-identical to any engine with md5 (the DuckDB
+    oracle replicates it digit-by-digit), so the output is externally
+    verifiable, at the cost of the md5 evaluation.
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if hash_fn == "md5" and bits > 60:
+        raise ValueError("hash_fn='md5' supports at most 60 bits (15 hex chars)")
     sdf = _sdf(frame)
     # stage the token-hash array behind a persist: all `bits` bit-sum
     # aggregates reference it, and Catalyst would otherwise recompute the
     # split+distinct+hash pipeline once PER BIT (measured ~5x on 64 bits)
     par = sdf.sparkSession.sparkContext.defaultParallelism
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    if hash_fn == "md5":
+        tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    else:
+        tok_hash = lambda w: F.xxhash64(w)
     staged = register_cache(
-        sdf.select(F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("__h__")).repartition(par)
+        sdf.select(F.col(id_col), F.transform(words, tok_hash).alias("__h__")).repartition(par)
     )
     hashes = F.col("__h__")
     def _bit_set(h, i: int):

@@ -132,3 +132,55 @@ def test_prefix_filter_jaccard_equals_baseline(spark):
     base = sorted(ngram_jaccard_pairs(d, threshold=0.5).collect().rows())
     pref = sorted(ngram_jaccard_pairs_prefix(d, threshold=0.5).collect().rows())
     assert base == pref  # AllPairs prefix bound is exact, not approximate
+
+
+def test_simhash_md5_matches_python_reference(spark):
+    """hash_fn='md5' is the externally-verifiable variant (q36 oracle): check
+    it against an independent pure-Python recompute."""
+    import hashlib
+
+    d = docs(spark).lazy()
+    out = {r[0]: r[1] for r in simhash_signatures(d, bits=60, hash_fn="md5").collect().rows()}
+
+    def ref_sig(text):
+        toks = []
+        for w in text.strip().lower().split():
+            if w not in toks:
+                toks.append(w)
+        sums = [0] * 60
+        for w in toks:
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if sums[b] > 0)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "el gato la casa de que los perros"),
+    ]
+    for i, text in rows:
+        assert out[i] == ref_sig(text), f"doc {i}"
+
+
+def test_lsh_topk_containment_and_recall(spark):
+    """Every LSH-returned neighbour's cosine must equal an exact recompute
+    (precision 1), and recall vs brute force must be high at these settings."""
+    import math
+
+    v = vectors(spark)
+    q = LazyFrame(v._sdf.filter(F.col("vec_id") == 0))
+    exact = {(r[0], r[1]): r[2] for r in cosine_topk(v, q, k=2).collect().rows()}
+    approx = lsh_bucket_topk(v, q, k=2, num_planes=4, num_tables=8, dim=3).collect().rows()
+    vecs = {r[0]: list(r[1]) for r in v._sdf.collect()}
+    for qid, cid, cos, _rank in approx:
+        a, b = vecs[qid], vecs[cid]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(cos - dot / (na * nb)) < 1e-5, (qid, cid)
+    # recall: LSH hits are a subset of the exact top-k universe at these seeds
+    hit = sum(1 for (qid, cid, _c, _r) in approx if (qid, cid) in exact)
+    assert hit / max(len(exact), 1) >= 0.5
