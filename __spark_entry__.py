@@ -740,7 +740,9 @@ def _q31(spark, sf_dir):
 
 def _q32(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.45).spark
+    # explicit method: the gate corpus is known-small, so no auto-probe job
+    # runs before the main query
+    return embedding_near_dup_pairs(e, threshold=0.45, method="numpy").spark
 
 
 _q32_sql = """
@@ -757,7 +759,7 @@ WHERE round(list_dot_product(a.v, b.v) /
 def _q33(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
-    out = cosine_topk(e, q, k=5)
+    out = cosine_topk(e, q, k=5, method="numpy")
     return out._sdf.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -34,7 +34,7 @@ from .io import (
     scan_ndjson,
     scan_parquet,
 )
-from ._cache import release_caches
+from ._cache import cached_count, release_caches, scoped_caches
 from .series import Series
 from .session import get_spark, stop_spark
 from .sql import SQLContext
@@ -58,6 +58,8 @@ __all__ = [
     "Series",
     "SQLContext",
     "release_caches",
+    "cached_count",
+    "scoped_caches",
     "get_spark",
     "stop_spark",
     "cs",

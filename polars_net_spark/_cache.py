@@ -13,9 +13,11 @@ addressable until release.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame as SparkDF
 
-__all__ = ["register_cache", "release_caches", "cached_count"]
+__all__ = ["register_cache", "release_caches", "cached_count", "scoped_caches"]
 
 _CACHES: list[SparkDF] = []
 
@@ -42,3 +44,27 @@ def release_caches() -> int:
 
 def cached_count() -> int:
     return len(_CACHES)
+
+
+@contextlib.contextmanager
+def scoped_caches():
+    """Release every operator-internal persist registered inside the block.
+
+    ``with pls.scoped_caches(): pairs = minhash_lsh_pairs(df).collect()`` —
+    on exit the shingle/band staging frames are unpersisted, so a long-lived
+    session doesn't accumulate cached blocks.  Terminal sinks
+    (``sink_parquet`` etc.) release automatically; use this for driver-side
+    consumption (``rows()``, ``to_pandas``) or multi-result pipelines.
+    Releasing is always safe: a released intermediate recomputes
+    transparently if the plan is re-executed.
+    """
+    mark = len(_CACHES)
+    try:
+        yield
+    finally:
+        while len(_CACHES) > mark:
+            sdf = _CACHES.pop()
+            try:
+                sdf.unpersist()
+            except Exception:
+                pass

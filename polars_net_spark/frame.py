@@ -492,17 +492,34 @@ class LazyFrame:
         w.saveAsTable(table_name)
 
     # -- sinks (io.rs:392-479): Spark writes are already streaming/out-of-core --
+    # A sink is a terminal action: operator-internal persists (llm staging
+    # frames, see _cache.py) are released once the write completes.
     def sink_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        from ._cache import release_caches
+
         w = self._drop_order()._sdf.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        try:
+            w.parquet(path)
+        finally:
+            release_caches()
 
     def sink_csv(self, path: str, mode: str = "overwrite", include_header: bool = True) -> None:
-        self._drop_order()._sdf.write.mode(mode).option("header", str(include_header).lower()).csv(path)
+        from ._cache import release_caches
+
+        try:
+            self._drop_order()._sdf.write.mode(mode).option("header", str(include_header).lower()).csv(path)
+        finally:
+            release_caches()
 
     def sink_json(self, path: str, mode: str = "overwrite") -> None:
-        self._drop_order()._sdf.write.mode(mode).json(path)
+        from ._cache import release_caches
+
+        try:
+            self._drop_order()._sdf.write.mode(mode).json(path)
+        finally:
+            release_caches()
 
     def sink_ipc(self, path: str) -> None:
         """Arrow IPC via driver-side pyarrow writer, streamed batch-by-batch
@@ -510,11 +527,16 @@ class LazyFrame:
         import pyarrow as pa
         import pyarrow.ipc as ipc
 
+        from ._cache import release_caches
+
         sdf = self._drop_order()._sdf
         schema = to_arrow_schema(sdf)
-        with ipc.new_file(path, schema) as writer:
-            for batch in sdf.toArrow().to_batches():  # Spark 4: arrow export
-                writer.write_batch(batch)
+        try:
+            with ipc.new_file(path, schema) as writer:
+                for batch in sdf.toArrow().to_batches():  # Spark 4: arrow export
+                    writer.write_batch(batch)
+        finally:
+            release_caches()
 
     def map_batches_sink(self, fn: Callable) -> None:
         """Push each result partition to a callback (reference export_batches,

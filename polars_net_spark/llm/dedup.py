@@ -363,6 +363,9 @@ def embedding_near_dup_pairs(
     round_to: int = 6,
     method: str = "auto",
     broadcast_limit: int = 200_000,
+    size_hint: int | None = None,
+    num_planes: int = 8,
+    num_tables: int = 16,
 ) -> LazyFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
@@ -373,15 +376,30 @@ def embedding_near_dup_pairs(
     way, but the matmul path is ~10-50× faster than per-pair expressions and
     shuffles nothing (output pairs only).
 
-    method='expr': pure Column crossJoin baseline (no Python workers).
-    At true corpus scale (rows > broadcast_limit) pre-bucket with
-    :func:`~.similarity.lsh_bucket_topk`'s hyperplanes and run this per bucket.
-    """
+    method='bucketed' (default ABOVE broadcast_limit — the 100 TB path):
+    random-hyperplane LSH buckets (``num_planes``/``num_tables``, shared with
+    :func:`~.similarity.lsh_bucket_topk`), equi-join on (table, bucket), then
+    exact cosine verification of the candidates.  Never a cross join; recall
+    at the default settings is ≥1-(1-p^planes)^tables where p = 1-θ/π (≈99.98%
+    per true pair at cosine 0.95).  Emitted pairs are always exact-verified,
+    so precision is 1 regardless of bucket settings.
+
+    method='expr': pure Column crossJoin baseline (no Python workers) — kept
+    as the small-n oracle reference, O(n²) by construction; never auto-chosen.
+
+    ``size_hint`` = known row count: supply it (or an explicit method) to
+    skip the auto-probe.  The probe is bounded — limit(broadcast_limit+1)
+    count, not a full scan."""
     sdf = _sdf(frame)
     if method == "auto":
-        method = "numpy" if sdf.count() <= broadcast_limit else "expr"
+        n = size_hint if size_hint is not None else sdf.limit(broadcast_limit + 1).count()
+        method = "numpy" if n <= broadcast_limit else "bucketed"
     if method == "numpy":
         return _numpy_near_dup_pairs(sdf, vec_col, id_col, threshold, round_to)
+    if method == "bucketed":
+        return _bucketed_near_dup_pairs(
+            sdf, vec_col, id_col, threshold, round_to, num_planes, num_tables
+        )
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     base = sdf.select(
@@ -402,6 +420,38 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return LazyFrame(pairs)
+
+
+def _bucketed_near_dup_pairs(
+    sdf: SparkDF, vec_col, id_col, threshold, round_to, num_planes, num_tables
+) -> LazyFrame:
+    """Hyperplane-bucketed near-dup pairs: the large-n route.
+
+    One bucket-assignment pass (mapInPandas, numpy matmul per Arrow batch),
+    a self equi-join on (table, bucket) — hash join, never a cross join —
+    then exact cosine verification of the surviving candidates with pure
+    Column expressions.  Shuffle volume = num_tables × corpus (bucket
+    replicas) + candidate pairs; O(n²) work only within buckets."""
+    from .similarity import cosine_sim, hyperplane_buckets
+
+    b = register_cache(
+        hyperplane_buckets(sdf, id_col, vec_col, "id", "v", num_planes, num_tables)
+    )
+    lhs = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
+    rhs = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    cands = (
+        lhs.join(rhs, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = (
+        cands.withColumn(
+            "cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), round_to)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return LazyFrame(out)
 
 
 def _numpy_near_dup_pairs(sdf: SparkDF, vec_col, id_col, threshold, round_to) -> LazyFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["cosine_topk", "lsh_bucket_topk", "cosine_sim"]
+__all__ = ["cosine_topk", "lsh_bucket_topk", "cosine_sim", "hyperplane_buckets"]
 
 
 def _sdf(frame) -> SparkDF:
@@ -48,6 +48,7 @@ def cosine_topk(
     round_to: int = 6,
     method: str = "auto",
     broadcast_limit: int = 100_000,
+    size_hint: int | None = None,
 ) -> LazyFrame:
     """Exact top-k neighbours for every query vector (excluding self-matches
     when ids collide).
@@ -57,12 +58,17 @@ def cosine_topk(
     one BLAS matmul and emits only its per-batch top-k per query, so the final
     global window ranks ≤ k·n_batches candidates instead of |corpus|·|queries|
     pairs.  Corpus is scanned once, never shuffled — the design that holds at
-    100 TB.  method='expr' keeps the pure-Column broadcast-join baseline."""
+    100 TB.  method='expr' keeps the pure-Column broadcast-join baseline.
+
+    ``size_hint`` = known query-set row count: supply it (or an explicit
+    method) to skip the auto-probe.  The probe itself is bounded — a
+    limit(broadcast_limit+1) count, never a full scan of the query table."""
     qid = query_id_col or id_col
     c_sdf = _sdf(corpus)
     q_sdf = _sdf(queries)
     if method == "auto":
-        method = "numpy" if q_sdf.count() <= broadcast_limit else "expr"
+        n = size_hint if size_hint is not None else q_sdf.limit(broadcast_limit + 1).count()
+        method = "numpy" if n <= broadcast_limit else "expr"
     if method == "numpy":
         return _numpy_topk(c_sdf, q_sdf, k, vec_col, id_col, qid, round_to)
 
@@ -159,6 +165,65 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def hyperplane_buckets(
+    sdf: SparkDF,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int | None = None,
+) -> SparkDF:
+    """(id, vec, table, bucket) bucket assignments for every vector, one row
+    per table.  The hyperplanes are deterministic (seeded LCG) and cheap, so
+    each worker regenerates them locally from the first batch's vector length
+    — no driver-side dim probe, no broadcast, no eager job.  Bucket signs come
+    from one numpy matmul per Arrow batch (expression-per-plane codegen was
+    the bottleneck at higher table counts)."""
+    import numpy as np
+
+    fixed_dim = dim
+
+    def gen(it):
+        import pandas as pd
+
+        P = None
+        pw = (2 ** np.arange(num_planes)).astype(np.int64)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            if P is None:
+                d = fixed_dim if fixed_dim is not None else len(pdf[vec_col].iloc[0])
+                P = np.array(
+                    [
+                        [_hyperplane(d, seed=t * 1000 + i) for i in range(num_planes)]
+                        for t in range(num_tables)
+                    ],
+                    dtype=np.float64,
+                )  # (tables, planes, dim)
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)  # (n, dim)
+            # signs: (n, tables, planes) → bucket id per table
+            dots = np.einsum("nd,tpd->ntp", V, P)
+            bkts = ((dots >= 0) * pw).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy().repeat(num_tables),
+                    out_vec: [list(v) for v in pdf[vec_col] for _ in range(num_tables)],
+                    "table": np.tile(np.arange(num_tables), len(pdf)),
+                    "bucket": bkts.reshape(-1),
+                }
+            )
+
+    vec_type = dict(sdf.dtypes)[vec_col]
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    return (
+        sdf.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(gen, f"{out_id} long, {out_vec} {vec_type}, table int, bucket long")
+    )
+
+
 def lsh_bucket_topk(
     corpus: "LazyFrame | SparkDF",
     queries: "LazyFrame | SparkDF",
@@ -176,64 +241,14 @@ def lsh_bucket_topk(
     Each of ``num_tables`` tables hashes vectors by the sign pattern against
     ``num_planes`` hyperplanes (2^planes buckets/table).  A query only scores
     corpus vectors sharing a bucket in ≥1 table.  Recall rises with tables;
-    cost per query falls ~2^planes-fold vs brute force.
+    cost per query falls ~2^planes-fold vs brute force.  Fully lazy: no
+    driver-side probes (plane generation happens worker-side).
     """
     c_sdf, q_sdf = _sdf(corpus), _sdf(queries)
-    if dim is None:
-        dim = len(c_sdf.select(vec_col).first()[0])
     qid = query_id_col or id_col
 
-    # plane tensor computed once on the driver, broadcast; bucket signs come
-    # from one numpy matmul per Arrow batch (expression-per-plane codegen was
-    # the bottleneck at higher table counts)
-    import numpy as np
-
-    planes = np.array(
-        [
-            [_hyperplane(dim, seed=t * 1000 + i) for i in range(num_planes)]
-            for t in range(num_tables)
-        ],
-        dtype=np.float64,
-    )  # (tables, planes, dim)
-    powers = (2 ** np.arange(num_planes)).astype(np.int64)
-
-    def buckets(sdf: SparkDF, idc: str, vecc: str, out_id: str, out_vec: str) -> SparkDF:
-        spark_sess = sdf.sparkSession
-        bc = spark_sess.sparkContext.broadcast((planes, powers))
-
-        def gen(it):
-            import pandas as pd
-
-            P, pw = bc.value
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                V = np.array([list(v) for v in pdf[vecc]], dtype=np.float64)  # (n, dim)
-                # signs: (n, tables, planes) → bucket id per table
-                dots = np.einsum("nd,tpd->ntp", V, P)
-                bkts = ((dots >= 0) * pw).sum(axis=2)  # (n, tables)
-                out = pd.DataFrame(
-                    {
-                        out_id: pdf[idc].to_numpy().repeat(P.shape[0]),
-                        out_vec: [list(v) for v in pdf[vecc] for _ in range(P.shape[0])],
-                        "table": np.tile(np.arange(P.shape[0]), len(pdf)),
-                        "bucket": bkts.reshape(-1),
-                    }
-                )
-                yield out
-
-        vec_type = dict(sdf.dtypes)[vecc]
-        par = spark_sess.sparkContext.defaultParallelism
-        return (
-            sdf.select(idc, vecc)
-            .repartition(par)
-            .mapInPandas(
-                gen, f"{out_id} long, {out_vec} {vec_type}, table int, bucket long"
-            )
-        )
-
-    cb = buckets(c_sdf, id_col, vec_col, "corpus_id", "cv")
-    qb = buckets(q_sdf, qid, vec_col, "query_id", "qv")
+    cb = hyperplane_buckets(c_sdf, id_col, vec_col, "corpus_id", "cv", num_planes, num_tables, dim)
+    qb = hyperplane_buckets(q_sdf, qid, vec_col, "query_id", "qv", num_planes, num_tables, dim)
     cand = (
         cb.join(qb, ["table", "bucket"])
         .filter(F.col("corpus_id") != F.col("query_id"))

@@ -51,6 +51,13 @@ CHECKS = {
     "q29_dedup_exact": [
         ("partial_min", "map-side combine on dedup groupBy"),
     ],
+    "q32_embedding_pairs": [
+        ("!", "CartesianProduct", "near-dup pairs never cross-join"),
+    ],
+    "q38_lsh_topk": [
+        ("!", "CartesianProduct", "bucketed ANN candidates via equi-join"),
+        ("!", "BroadcastNestedLoopJoin", "no nested-loop fallback"),
+    ],
 }
 
 
