@@ -86,6 +86,23 @@ def _grams_frame(sdf: SparkDF, text_col: str, id_col: str, n: int) -> SparkDF:
     return staged.select("id", grams.alias("grams"))
 
 
+def _verify_pairs_exact(grams: SparkDF, cands: SparkDF, threshold: float, round_to: int) -> SparkDF:
+    """Join candidate (id_a, id_b) pairs back to their full gram sets and
+    compute the TRUE Jaccard — used by every candidate-generation strategy so
+    pruning can never change an emitted similarity value."""
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("sa"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("sb"))
+    paired = cands.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.round(inter / union, round_to)
+    return (
+        paired.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     frame: "LazyFrame | SparkDF",
     text_col: str = "text",
@@ -93,6 +110,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     round_to: int = 6,
+    max_gram_df: int | None = None,
 ) -> LazyFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, sim >= threshold).
 
@@ -100,10 +118,43 @@ def ngram_jaccard_pairs(
     on the gram (only docs sharing ≥1 gram ever meet), count shared grams per
     pair, then jaccard = shared / (|A| + |B| - shared).  No minhash error —
     this is the exact oracle the approximate methods are verified against.
-    The gram join is the scale knob: at 100 TB add winnowing (keep a 1/p
-    deterministic sample of grams) to bound the index size.
+
+    ``max_gram_df`` is the gram-skew guard for corpus scale: grams appearing
+    in more than that many documents ("stop grams") are excluded from the
+    inverted index, so one hot gram can't produce an O(df²) postings
+    self-join.  Candidates surviving the pruned index are then verified
+    against their FULL gram sets, so every emitted pair carries its true
+    Jaccard (precision 1); only pairs whose shared grams are ALL stop grams
+    can be missed — at high thresholds such pairs must share many grams, so
+    the df of their rarest shared gram bounds the loss (pick max_gram_df
+    above the expected duplicate-cluster size).
     """
     sdf = _sdf(frame)
+    if max_gram_df is not None:
+        grams = register_cache(
+            _grams_frame(sdf, text_col, id_col, n).filter(F.size("grams") > 0)
+        )
+        exploded = grams.select(
+            "id", F.size("grams").alias("g"), F.explode("grams").alias("gram")
+        )
+        gram_df = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        kept = (
+            exploded.join(gram_df.filter(F.col("df") <= max_gram_df), "gram")
+            .select("id", "g", "gram")
+        )
+        lhs = kept.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), "gram")
+        rhs = kept.select(F.col("id").alias("id_b"), F.col("g").alias("gb"), "gram")
+        cands = (
+            lhs.join(rhs, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("ga") >= threshold * F.col("gb"))
+                & (F.col("gb") >= threshold * F.col("ga"))
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return LazyFrame(_verify_pairs_exact(grams, cands, threshold, round_to))
     # staged gram projection (see _grams_frame) feeds both sides of the
     # self-join; persisted so shingling runs once, not once per branch
     exploded = (
@@ -188,18 +239,7 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("sa"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("sb"))
-    paired = cands.join(ga, "id_a").join(gb, "id_b")
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
-    union = (F.size("sa") + F.size("sb")).cast("double") - inter
-    jac = F.round(inter / union, round_to)
-    out = (
-        paired.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return LazyFrame(out)
+    return LazyFrame(_verify_pairs_exact(grams, cands, threshold, round_to))
 
 
 def minhash_lsh_pairs(
@@ -283,18 +323,7 @@ def minhash_lsh_pairs(
     if not verify:
         return LazyFrame(cands)
     # exact verification: join the (few) candidates back to the gram sets
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
-    paired = cands.join(ga, "id_a").join(gb, "id_b")
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
-    union = (F.size("ga") + F.size("gb")).cast("double") - inter
-    jac = F.round(inter / union, round_to)
-    out = (
-        paired.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return LazyFrame(out)
+    return LazyFrame(_verify_pairs_exact(grams, cands, threshold, round_to))
 
 
 def simhash_signatures(

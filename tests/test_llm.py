@@ -271,3 +271,40 @@ def test_scoped_caches_manager(spark):
         assert len(out) == 5
         assert cached_count() > 0
     assert cached_count() == 0
+
+
+def test_gram_df_cutoff_guard(spark):
+    """Skew guard: generous cutoff == baseline; aggressive cutoff still finds
+    pairs that share any sub-cutoff gram, with exact similarity values."""
+    d = docs(spark).lazy()
+    base = sorted(ngram_jaccard_pairs(d, threshold=0.5).collect().rows())
+    generous = sorted(
+        ngram_jaccard_pairs(d, threshold=0.5, max_gram_df=10**9).collect().rows()
+    )
+    assert generous == base
+    guarded = sorted(
+        ngram_jaccard_pairs(d, threshold=0.5, max_gram_df=2).collect().rows()
+    )
+    assert set(guarded) <= set(base)  # pruning can only reduce recall
+    for a, b, j in guarded:  # never changes a similarity value
+        assert (a, b, j) in base
+    pl.release_caches()
+
+
+def test_gram_df_cutoff_equivalence_sf01(spark):
+    """VERDICT item 5 proof: at sf0.1 with the size filter intact, a
+    duplicate-cluster-sized df cutoff returns the exact baseline pairs."""
+    import os
+
+    path = "/root/testdata/sf0.1/documents.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("sf0.1 not present")
+    d = pl.scan_parquet(path)
+    base = sorted(ngram_jaccard_pairs(d, threshold=0.8).collect().rows())
+    guarded = sorted(
+        ngram_jaccard_pairs(d, threshold=0.8, max_gram_df=50).collect().rows()
+    )
+    assert guarded == base
+    pl.release_caches()
