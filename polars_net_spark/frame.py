@@ -813,10 +813,10 @@ class DataFrame:
 
         return self._wrap(_pivot(self._lf, index, columns, values, aggregate_function))
 
-    def describe(self) -> "DataFrame":
+    def describe(self, exact_percentiles: bool = True, accuracy: int = 10_000) -> "DataFrame":
         from .operators.describe import describe as _describe
 
-        return self._wrap(_describe(self._lf))
+        return self._wrap(_describe(self._lf, exact_percentiles, accuracy))
 
     # -- writers (io.rs:275-334) -------------------------------------------------
     def write_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:

@@ -19,13 +19,24 @@ __all__ = ["describe"]
 _STATS = ["count", "null_count", "mean", "std", "min", "25%", "50%", "75%", "max"]
 
 
-def describe(lf: LazyFrame) -> LazyFrame:
+def describe(lf: LazyFrame, exact_percentiles: bool = True, accuracy: int = 10_000) -> LazyFrame:
+    """exact_percentiles=True (default, the reference/oracle semantics) uses
+    F.percentile — a sort-based aggregate per column.  At 100 TB pass
+    exact_percentiles=False: approx_percentile (Greenwald-Khanna sketch,
+    ``accuracy`` = 1/eps) is a streaming single-pass aggregate with bounded
+    memory; count/mean/std/min/max are identical either way."""
     sdf = lf._sdf
     num_cols = [
         f.name for f in sdf.schema.fields if isinstance(f.dataType, T.NumericType)
     ]
     if not num_cols:
         raise ValueError("describe needs at least one numeric column")
+
+    def pct(col, q: float):
+        if exact_percentiles:
+            return F.percentile(col, F.lit(q))
+        return F.approx_percentile(col, F.lit(q), F.lit(accuracy)).cast("double")
+
     aggs = []
     for c in num_cols:
         col = F.col(c)
@@ -35,9 +46,9 @@ def describe(lf: LazyFrame) -> LazyFrame:
             F.avg(col).alias(f"{c}__mean"),
             F.stddev_samp(col).alias(f"{c}__std"),
             F.min(col).cast("double").alias(f"{c}__min"),
-            F.percentile(col, F.lit(0.25)).alias(f"{c}__25%"),
-            F.percentile(col, F.lit(0.5)).alias(f"{c}__50%"),
-            F.percentile(col, F.lit(0.75)).alias(f"{c}__75%"),
+            pct(col, 0.25).alias(f"{c}__25%"),
+            pct(col, 0.5).alias(f"{c}__50%"),
+            pct(col, 0.75).alias(f"{c}__75%"),
             F.max(col).cast("double").alias(f"{c}__max"),
         ]
     row = sdf.agg(*aggs).collect()[0].asDict()

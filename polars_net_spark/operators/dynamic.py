@@ -77,21 +77,41 @@ class DynamicGroupBy:
             # Thursday, so Monday = epoch + 4 days, … (mod 1 week)
             w = weekdays.index(self._start_by)
             offset_us += ((w - 3) % 7) * 86_400_000_000
-        elif self._start_by == "datapoint":
-            # grid starts at the first data point: fold min(ts) into the offset.
-            # Scalar agg → driver (a single value, not data).
-            min_ts = sdf.agg(F.min(ts).alias("m")).collect()[0][0]
-            if min_ts is None:
-                raise ValueError("empty frame for start_by='datapoint'")
+        rel_col = None  # per-group grid shift (start_by='datapoint' with keys)
+        if self._start_by == "datapoint":
             every_us = parse_polars_duration_us(self._every)
-            epoch_us = int(min_ts.timestamp() * 1_000_000)
-            offset_us += epoch_us % every_us
-        elif self._start_by != "window":
+            if self._group_by:
+                # polars anchors EACH group's grid at that group's first data
+                # point (dynamic windows are computed per group).  Constant
+                # start_time can't vary per row, so: shift each row by its
+                # group's (min_ts mod every), bucket on the epoch grid, and
+                # shift the window boundaries back afterwards.  One extra
+                # key-partitioned window pass — same shuffle key as the
+                # grouping itself, no driver round-trip.
+                from pyspark.sql import Window
+
+                gmin = F.min(F.unix_micros(ts)).over(
+                    Window.partitionBy(*[F.col(k) for k in self._group_by])
+                )
+                rel_col = "__rel__"
+                sdf = sdf.withColumn(rel_col, F.pmod(gmin, F.lit(every_us)))
+            else:
+                # ungrouped: a single scalar anchor — fold min(ts) into the
+                # constant offset (scalar-sized driver fetch, not data)
+                min_ts = sdf.agg(F.min(ts).alias("m")).collect()[0][0]
+                if min_ts is None:
+                    raise ValueError("empty frame for start_by='datapoint'")
+                epoch_us = int(min_ts.timestamp() * 1_000_000)
+                offset_us += epoch_us % every_us
+        elif self._start_by != "window" and self._start_by not in weekdays:
             raise ValueError(f"unknown start_by {self._start_by!r}")
 
         start_time = f"{offset_us} microseconds" if offset_us else "0 seconds"
-        ts_left = ts  # [start, end) membership
-        ts_right = F.timestamp_micros(F.unix_micros(ts) - 1)  # (start, end]
+        ts_us = F.unix_micros(ts)
+        if rel_col is not None:
+            ts_us = ts_us - F.col(rel_col)
+        ts_left = F.timestamp_micros(ts_us) if rel_col is not None else ts  # [start, end)
+        ts_right = F.timestamp_micros(ts_us - 1)  # (start, end]
         win_left = F.window(ts_left, period_iv, every_iv, start_time)
         win_right = F.window(ts_right, period_iv, every_iv, start_time)
         if self._closed == "left":
@@ -123,10 +143,18 @@ class DynamicGroupBy:
         ]
         keys = [F.col(k) for k in self._group_by]
         first_point = F.min(ts).alias("__first_point__")
-        grouped = assigned.groupBy(F.col("__w__"), *keys).agg(first_point, *agg_cols)
+        extra_keys = [F.col(rel_col)] if rel_col is not None else []
+        # __rel__ is constant within a key group, so adding it to the grouping
+        # keys changes nothing except making it available for the shift-back
+        grouped = assigned.groupBy(F.col("__w__"), *keys, *extra_keys).agg(
+            first_point, *agg_cols
+        )
 
         lower = F.col("__w__.start")
         upper = F.col("__w__.end")
+        if rel_col is not None:
+            lower = F.timestamp_micros(F.unix_micros(lower) + F.col(rel_col))
+            upper = F.timestamp_micros(F.unix_micros(upper) + F.col(rel_col))
         if self._label == "left":
             index_col = lower.alias(self._index)
         elif self._label == "right":
@@ -141,6 +169,6 @@ class DynamicGroupBy:
             out_cols += [lower.alias("_lower_boundary"), upper.alias("_upper_boundary")]
         out_cols += [F.col(k) for k in self._group_by]
         out_cols.append(index_col)
-        out_cols += [F.col(c) for c in grouped.columns if c not in ("__w__", "__first_point__") and c not in self._group_by]
+        out_cols += [F.col(c) for c in grouped.columns if c not in ("__w__", "__first_point__", "__rel__") and c not in self._group_by]
         out = grouped.select(*out_cols).orderBy(*self._group_by, self._index)
         return LazyFrame(out)

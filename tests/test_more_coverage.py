@@ -259,3 +259,17 @@ def test_stream_stateful_apply(spark, tmp_path):
     q.stop()
     out = {r["user"]: r["total"] for r in spark.sql("SELECT * FROM state_out").collect()}
     assert out == {"u1": 3.0, "u2": 5.0}
+
+
+def test_describe_approx_mode(spark):
+    """approx percentiles (the 100 TB mode) agree with exact at high accuracy
+    on a small frame; all non-percentile stats are identical."""
+    df = pl.from_records([(float(i),) for i in range(101)], ["x"])
+    exact = df.describe().rows()
+    approx = df.describe(exact_percentiles=False, accuracy=10_000).rows()
+    ex = {r[0]: r[1] for r in exact}
+    ap = {r[0]: r[1] for r in approx}
+    for stat in ("count", "null_count", "mean", "std", "min", "max"):
+        assert ex[stat] == ap[stat]
+    for stat in ("25%", "50%", "75%"):
+        assert abs(ex[stat] - ap[stat]) <= 1.0  # GK sketch within one element

@@ -171,3 +171,48 @@ def test_cube_rollup(spark):
     cu = df.lazy().cube("k1", "k2").agg(col("v").sum().alias("s")).collect()
     d = {(r[0], r[1]): r[2] for r in cu.rows()}
     assert d[(None, "x")] == 5.0  # cube adds the (None, k2) slices
+
+
+def test_dynamic_start_by_datapoint_per_group_anchor(spark):
+    """polars anchors each group's grid at ITS OWN first data point (dynamic
+    windows are computed per group) — not at the global minimum."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        ("A", at(5), 1), ("A", at(10), 2), ("A", at(35), 4),
+        ("B", at(17), 10), ("B", at(40), 20),
+    ]
+    f = pl.from_records(rows, ["g", "Time", "Val"])
+    out = (
+        f.lazy()
+        .group_by_dynamic("Time", every="30m", start_by="datapoint", group_by=["g"])
+        .agg(col("Val").sum().alias("s"), col("Val").len().alias("n"))
+        .collect()
+    )
+    got = sorted((r[0], r[1], r[2], r[3]) for r in out.rows())
+    # A anchored at 10:05 → [10:05,10:35) has rows 1,2; [10:35,11:05) has 4
+    # B anchored at 10:17 → [10:17,10:47) has both rows (global-min anchoring
+    # would split B into two windows — the bug this test pins)
+    assert got == [
+        ("A", at(5), 3, 2),
+        ("A", at(35), 4, 1),
+        ("B", at(17), 30, 2),
+    ]
+
+
+def test_dynamic_start_by_datapoint_ungrouped(spark):
+    f = ts_frame(spark)  # 6 rows from 10:00, 10-min steps
+    out = (
+        f.lazy()
+        .group_by_dynamic("Time", every="45m", start_by="datapoint")
+        .agg(col("Val").sum().alias("s"))
+        .collect()
+    )
+    rows = sorted(out.rows())
+    assert rows[0][0] == dt.datetime(2024, 1, 1, 10, 0)
+    # grid anchored at first point: [10:00,10:45) → 0+1+2+3+4? no: 10:40 is
+    # within [10:00,10:45) → vals 0..4 sum 10; [10:45,11:30) → val 5
+    assert [(r[1]) for r in rows] == [10, 5]
