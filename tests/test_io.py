@@ -117,3 +117,27 @@ def test_register_callback_source(spark):
     # registered as a real named format too
     again = spark.read.format("cbsource_test").load()
     assert again.count() == 6
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """sink with partition_by, read back with a partition-column filter: the
+    scan must prune partitions (PartitionFilters in the plan, and only the
+    matching directory is listed) — the core 100 TB lever for date-keyed data."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "hive")
+    df = pl.from_records(
+        [(i, ["a", "b", "c", "d"][i % 4], float(i)) for i in range(400)],
+        ["id", "part", "val"],
+    )
+    df.lazy().sink_parquet(path, partition_by=["part"])
+
+    lf = pl.scan_parquet(path).filter(pl.col("part") == "b")
+    sdf = lf._sdf
+    sdf.count()
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
+    # only partition b's rows were read, and only its files touched
+    assert lf.collect().height == 100
+    files = sdf.select(F.input_file_name()).distinct().collect()
+    assert all("part=b" in r[0] for r in files)

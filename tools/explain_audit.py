@@ -89,6 +89,32 @@ def main() -> None:
             if not ok:
                 failures += 1
             print(f"{status} {name}: {desc} ({tag})")
+    # --- partition-pruning proof (VERDICT r1 item 9): hive-partitioned write
+    # + partition-key filter must prune at the file-listing level -------------
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    tmp = tempfile.mkdtemp(prefix="pns_hive_audit_")
+    try:
+        spark.range(400).select(
+            F.col("id"),
+            F.concat(F.lit("p"), (F.col("id") % 4).cast("string")).alias("part"),
+        ).write.mode("overwrite").partitionBy("part").parquet(tmp)
+        pruned = spark.read.parquet(tmp).filter(F.col("part") == "p1")
+        pruned.count()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        ok = "PartitionFilters" in plan and "part" in plan
+        files = pruned.select(F.input_file_name()).distinct().collect()
+        ok = ok and all("part=p1" in r[0] for r in files) and len(files) >= 1
+        status = "ok  " if ok else "FAIL"
+        if not ok:
+            failures += 1
+        print(f"{status} hive_fixture: partition-key filter prunes file listing (PartitionFilters + part=p1 only)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(f"\n{failures} failures")
     sys.exit(1 if failures else 0)
 
