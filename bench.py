@@ -37,6 +37,8 @@ def main() -> None:
     # for one-time session startup
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from polars_net_spark import release_caches
+
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -46,6 +48,10 @@ def main() -> None:
         except Exception as ex:  # record failures distinctly, keep going
             timings[name] = -1.0
             print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
+        finally:
+            # operator-internal persists are per-query staging; release so one
+            # query's cached blocks never skew the next query's memory budget
+            release_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

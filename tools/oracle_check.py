@@ -58,6 +58,9 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
+            from polars_net_spark import release_caches
+
+            release_caches()
         except Exception as ex:
             print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
