@@ -489,28 +489,41 @@ def _numpy_near_dup_pairs(sdf: SparkDF, vec_col, id_col, threshold, round_to) ->
 
     rows = sdf.select(id_col, vec_col).collect()  # broadcast side (bounded by caller)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)  # (n, d)
     norms = np.sqrt((M * M).sum(axis=1))
     bc = sdf.sparkSession.sparkContext.broadcast((ids, M, norms))
+    # Score the corpus in column chunks so peak per-task memory is one
+    # (batch_rows x CHUNK) float64 block (~40 MB at 625x8192), not a full
+    # (batch_rows x n) matrix — at broadcast_limit rows the unchunked block
+    # would be ~1 GB/task.  All ops are in-place with the same FP order as
+    # round(dot / (na*nb), r), so emitted values are bit-identical to the
+    # column-expression oracle.
+    CHUNK = 8192
 
     def gen(it):
         b_ids, b_M, b_norms = bc.value
+        n = b_ids.shape[0]
         for pdf in it:
             if pdf.empty:
                 continue
             ids_a = pdf[id_col].to_numpy(dtype=np.int64)
-            Ma = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Ma = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             na = np.sqrt((Ma * Ma).sum(axis=1))
-            S = np.round((Ma @ b_M.T) / np.outer(na, b_norms), round_to)
-            ia, ib = np.where(S >= threshold)
-            mask = ids_a[ia] < b_ids[ib]
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ia][mask],
-                    "id_b": b_ids[ib][mask],
-                    "cosine": S[ia, ib][mask],
-                }
-            )
+            for s in range(0, n, CHUNK):
+                e = min(s + CHUNK, n)
+                S = Ma @ b_M[s:e].T
+                S /= na[:, None] * b_norms[s:e]
+                np.round(S, round_to, out=S)
+                ia, ib = np.where(S >= threshold)
+                mask = ids_a[ia] < b_ids[s:e][ib]
+                if mask.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_a[ia][mask],
+                            "id_b": b_ids[s:e][ib][mask],
+                            "cosine": S[ia, ib][mask],
+                        }
+                    )
 
     par = sdf.sparkSession.sparkContext.defaultParallelism
     out = (

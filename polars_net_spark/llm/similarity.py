@@ -97,30 +97,54 @@ def _numpy_topk(c_sdf, q_sdf, k, vec_col, id_col, qid, round_to) -> LazyFrame:
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     q_norms = np.sqrt((Q * Q).sum(axis=1))
     bc = c_sdf.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms))
+    # Corpus batches are scored in row chunks so the (rows x nq) score block
+    # stays ~32 MB regardless of query-set size; in-place divide/round keeps
+    # values bit-identical to round(dot / (cn*qn), r).  Emitting per-chunk
+    # top-k (instead of per-batch) only adds candidates — the final global
+    # window still yields the exact top-k.
+    CHUNK_ELEMS = 4_000_000
 
     def gen(it):
         q_ids_b, Qb, qn = bc.value
         nq = len(q_ids_b)
+        chunk_rows = max(256, CHUNK_ELEMS // max(nq, 1))
         for pdf in it:
             if pdf.empty:
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cn = np.sqrt((C * C).sum(axis=1))
-            S = np.round((C @ Qb.T) / np.outer(cn, qn), round_to)  # (nc, nq)
-            # self-match exclusion, then per-query per-batch top-k by
-            # (cosine desc, corpus_id asc) — merging batch top-ks preserves
-            # the exact global top-k
-            frames = []
-            for j in range(nq):
-                col_s = S[:, j]
-                valid = c_ids != q_ids_b[j]
-                order = np.lexsort((c_ids[valid], -col_s[valid]))[:k]
-                cc, ss = c_ids[valid][order], col_s[valid][order]
-                frames.append(
-                    pd.DataFrame({"query_id": q_ids_b[j], "corpus_id": cc, "cosine": ss})
+            for s in range(0, C.shape[0], chunk_rows):
+                e = min(s + chunk_rows, C.shape[0])
+                ids_c, cn_c = c_ids[s:e], cn[s:e]
+                S = C[s:e] @ Qb.T
+                S /= cn_c[:, None] * qn
+                np.round(S, round_to, out=S)  # (rows, nq)
+                # self-match exclusion, then per-query top-k by
+                # (cosine desc, corpus_id asc)
+                clean = not np.isnan(S).any()
+                out_q, out_c, out_s = [], [], []
+                for j in range(nq):
+                    col_s = S[:, j]
+                    valid = ids_c != q_ids_b[j]
+                    vs, vi = col_s[valid], ids_c[valid]
+                    if clean and vs.size > 4 * k:
+                        # keep everything >= the k-th largest value (ties
+                        # included), then exact-order the survivors
+                        kth = -np.partition(-vs, k - 1)[k - 1]
+                        keep = vs >= kth
+                        vs, vi = vs[keep], vi[keep]
+                    order = np.lexsort((vi, -vs))[:k]
+                    out_q.append(np.full(order.size, q_ids_b[j], dtype=np.int64))
+                    out_c.append(vi[order])
+                    out_s.append(vs[order])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "corpus_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
                 )
-            yield pd.concat(frames, ignore_index=True)
 
     par = c_sdf.sparkSession.sparkContext.defaultParallelism
     cand = (

@@ -7,6 +7,19 @@ volume is N×.  Dimension tables (region, nation) stay fixed, like TPC-H.
 Correctness gates always run on the driver's own parquet — this output is
 ONLY for measuring how query time scales with input size.
 
+Similarity columns are made cross-replica DISTINCT so tiling scales the
+dedup/ANN workload linearly instead of quadratically:
+  - documents.text: replica i>0 applies a Caesar rotation by i to a-z/A-Z
+    (byte count, word lengths, punctuation all preserved), so shingle / gram
+    / minhash structure within a replica is isomorphic to the original but
+    cross-replica gram sets are disjoint (Jaccard ~0).  Without this, 10
+    identical copies of each doc create 45 true duplicate pairs per doc and
+    the pair count grows N², which measures the data artifact, not the join.
+  - embeddings.embedding: replica i flips component signs by a deterministic
+    per-replica ±1 mask.  cosine(s.u, s.v) == cosine(u, v), so within-replica
+    geometry (and every LSH/top-k result shape) is preserved exactly, while
+    cross-replica cosine of formerly-identical vectors drops to ~0.
+
 Usage: python tools/gen_scale.py [N] [out_dir]
 """
 
@@ -56,6 +69,24 @@ def main() -> None:
             rep = src
             for k in keys:
                 rep = rep.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
+            if i > 0 and t == "documents":
+                lo = "abcdefghijklmnopqrstuvwxyz"
+                hi = lo.upper()
+                rot = lo[i % 26 :] + lo[: i % 26] + hi[i % 26 :] + hi[: i % 26]
+                rep = rep.withColumn("text", F.translate("text", lo + hi, rot))
+            if i > 0 and t == "embeddings":
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (
+                            x
+                            * F.when(
+                                F.pmod(F.xxhash64(j, F.lit(i)), 2) == 0, F.lit(1.0)
+                            ).otherwise(F.lit(-1.0))
+                        ).cast("float"),
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
