@@ -19,6 +19,8 @@ from polars_net_spark import col, lit, when
 from polars_net_spark.frame import LazyFrame
 from polars_net_spark.llm import (
     dedup_exact,
+    dedup_clusters,
+    ivf_topk,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_signatures,
@@ -1219,6 +1221,74 @@ WHERE rn <= {k}
 _q38_sql = _lsh_topk_oracle_sql()
 
 
+def _q51(spark, sf_dir):
+    # pair generation (same params as q30) -> connected components ->
+    # per-doc cluster assignment including singletons
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup_clusters(pairs, vertices=d, vertex_id="doc_id").spark
+
+
+# transitive closure of the q30 pair list: cluster_id = min reachable doc_id
+# (recursive CTE mirrors the label-propagation fixpoint exactly)
+_q51_sql = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w WHERE len(ws) >= 3),
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb, count(*) AS shared
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+pr AS (SELECT id_a, id_b FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _q52(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
+    out = ivf_topk(e, q, k=5, nlist=16, nprobe=4)
+    return out._sdf.withColumn("rank", F.col("rank").cast("long"))
+
+
+_q52_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+ca AS (SELECT e.vec_id AS corpus_id, e.v, cent.centroid_id,
+              round(list_dot_product(e.v, cent.cv) /
+                    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS ccos
+       FROM e CROSS JOIN cent),
+assigned AS (SELECT corpus_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY corpus_id ORDER BY ccos DESC, centroid_id) AS rn FROM ca)
+    WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qa AS (SELECT q.query_id, q.qv, cent.centroid_id,
+              round(list_dot_product(q.qv, cent.cv) /
+                    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS qcos
+       FROM q CROSS JOIN cent),
+probed AS (SELECT centroid_id, query_id, qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, centroid_id) AS rn FROM qa)
+    WHERE rn <= 4),
+s AS (SELECT p.query_id, a.corpus_id,
+             round(list_dot_product(p.qv, a.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM probed p JOIN assigned a USING (centroid_id)
+      WHERE a.corpus_id <> p.query_id)
+SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1274,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_forward": _q48,
         "q49_window_rank": _q49,
         "q50_string_agg": _q50,
+        "q51_dedup_clusters": _q51,
+        "q52_ivf_topk": _q52,
     }
 
 
@@ -1327,6 +1399,8 @@ def oracle_sql() -> dict[str, str]:
         "q48_asof_forward": _q48_sql,
         "q49_window_rank": _q49_sql,
         "q50_string_agg": _q50_sql,
+        "q51_dedup_clusters": _q51_sql,
+        "q52_ivf_topk": _q52_sql,
         "q36_simhash": _q36_sql,
         "q38_lsh_topk": _q38_sql,
     }

@@ -16,13 +16,14 @@ from .text import (
 )
 from .dedup import (
     dedup_exact,
+    dedup_clusters,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     minhash_lsh_pairs,
     simhash_signatures,
     embedding_near_dup_pairs,
 )
-from .similarity import cosine_topk, lsh_bucket_topk
+from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk
 
 __all__ = [
     "token_count",
@@ -33,6 +34,7 @@ __all__ = [
     "text_metrics_frame",
     "shingle_fingerprint_frame",
     "dedup_exact",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
@@ -40,4 +42,5 @@ __all__ = [
     "embedding_near_dup_pairs",
     "cosine_topk",
     "lsh_bucket_topk",
+    "ivf_topk",
 ]

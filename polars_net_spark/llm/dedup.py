@@ -19,6 +19,7 @@ from ..frame import LazyFrame
 
 __all__ = [
     "dedup_exact",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
@@ -27,8 +28,9 @@ __all__ = [
 ]
 
 
-def _sdf(frame: "LazyFrame | SparkDF") -> SparkDF:
-    return frame._sdf if isinstance(frame, LazyFrame) else frame
+def _sdf(frame) -> SparkDF:
+    """Unwrap LazyFrame / eager DataFrame / raw pyspark DataFrame."""
+    return frame if isinstance(frame, SparkDF) else frame.spark
 
 
 def dedup_exact(
@@ -532,3 +534,72 @@ def _numpy_near_dup_pairs(sdf: SparkDF, vec_col, id_col, threshold, round_to) ->
         .mapInPandas(gen, "id_a long, id_b long, cosine double")
     )
     return LazyFrame(out)
+
+
+def dedup_clusters(
+    pairs: "LazyFrame | SparkDF",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vertices: "LazyFrame | SparkDF | None" = None,
+    vertex_id: str | None = None,
+    max_iter: int = 30,
+) -> LazyFrame:
+    """Connected components over a near-dup pair list: every id gets the
+    minimum id reachable through pairs as its ``cluster_id`` — the step that
+    turns pairwise similarity output (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`, :func:`embedding_near_dup_pairs`) into actual
+    keep/drop decisions (canonical doc = ``id == cluster_id``).
+
+    Pass ``vertices`` (e.g. the documents frame) + ``vertex_id`` to include
+    singletons — docs in no pair become their own cluster.  Output columns:
+    (<id name>, cluster_id).
+
+    This is an inherently iterative fixpoint (like GraphFrames'
+    connectedComponents): min-label propagation with path-halving, which
+    converges in O(log diameter) rounds — near-dup graphs are
+    small-diameter, so typically 3-5 rounds.  Each round is two
+    key-partitioned shuffles (neighbor min + label-of-label) and ends in
+    ``localCheckpoint()``: without lineage truncation the logical plan
+    doubles per round (labels feeds both joins) and Catalyst planning blows
+    the driver heap by ~10 rounds.  On a multi-node cluster prefer a
+    reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
+    variant (localCheckpoint loses blocks on executor death mid-job).
+    Raises RuntimeError after ``max_iter`` non-converged rounds rather than
+    returning wrong clusters.
+    """
+    p = _sdf(pairs).select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = register_cache(
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    )
+    if vertices is not None:
+        out_name = vertex_id or id_a
+        verts = _sdf(vertices).select(F.col(out_name).alias("id")).distinct()
+    else:
+        out_name = id_a
+        verts = edges.select(F.col("src").alias("id")).distinct()
+    labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        parent = labels.select(F.col("id").alias("p_id"), F.col("lbl").alias("plbl"))
+        stage = (
+            labels.join(nmin, "id", "left")
+            .join(parent, F.col("lbl") == F.col("p_id"), "left")
+            .select("id", "lbl", F.least("lbl", "nlbl", "plbl").alias("new_lbl"))
+        ).localCheckpoint()
+        changed = stage.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = stage.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds; "
+            "raise max_iter (graph has a very long path)"
+        )
+    return LazyFrame(
+        labels.select(F.col("id").alias(out_name), F.col("lbl").alias("cluster_id"))
+    )

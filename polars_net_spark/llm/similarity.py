@@ -20,11 +20,12 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["cosine_topk", "lsh_bucket_topk", "cosine_sim", "hyperplane_buckets"]
+__all__ = ["cosine_topk", "lsh_bucket_topk", "ivf_topk", "cosine_sim", "hyperplane_buckets"]
 
 
 def _sdf(frame) -> SparkDF:
-    return frame._sdf if isinstance(frame, LazyFrame) else frame
+    """Unwrap LazyFrame / eager DataFrame / raw pyspark DataFrame."""
+    return frame if isinstance(frame, SparkDF) else frame.spark
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -280,6 +281,89 @@ def lsh_bucket_topk(
         .dropDuplicates(["query_id", "corpus_id"])
     )
     scored = cand.withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+    return LazyFrame(out)
+
+
+def ivf_topk(
+    corpus: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Approximate top-k via an IVF-flat index (inverted file, coarse
+    quantizer + exact scoring inside probed lists).
+
+    The coarse quantizer is the ``nlist`` corpus vectors with the smallest
+    ids — deterministic and expressible as a lazy subquery, so the whole
+    operator is a single declarative plan (no driver-side fit action, and
+    the DuckDB oracle can recompute the centroids itself).  A k-means-refined
+    quantizer would only change the *centroid* subquery; assignment, probing
+    and scoring below are quantizer-agnostic.
+
+    Plan shape (the part that matters at 100 TB):
+      1. assignment — corpus x broadcast(centroids) nested-loop (nlist small),
+         then one map-side-combined groupBy(corpus_id) max_by to pick the
+         nearest list: shuffle volume ~= one corpus pass, not nlist copies.
+      2. probing — same against the query set, keeping ``nprobe`` lists per
+         query (row_number window over the tiny query x nlist frame).
+      3. scoring — hash equi-join on centroid_id: each query scores only its
+         probed lists (~nprobe/nlist of the corpus), exact cosine, window
+         top-k.  Recall rises with nprobe; nprobe == nlist degenerates to
+         exact brute force.
+
+    Ties everywhere break by (cosine desc, id asc) on the *rounded* cosine so
+    results are reproducible across engines.
+    """
+    c_sdf, q_sdf = _sdf(corpus), _sdf(queries)
+    qid = query_id_col or id_col
+    c = c_sdf.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = q_sdf.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    cent = (
+        c.orderBy("corpus_id")
+        .limit(nlist)
+        .select(F.col("corpus_id").alias("centroid_id"), F.col("cv").alias("cent_v"))
+    )
+
+    ccos = F.round(cosine_sim(F.col("cv"), F.col("cent_v")), round_to)
+    assigned = (
+        c.join(F.broadcast(cent))
+        .select("corpus_id", "cv", "centroid_id", ccos.alias("ccos"))
+        .groupBy("corpus_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "cv"),
+                F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("tie")),
+            ).alias("best")
+        )
+        .select("corpus_id", F.col("best.centroid_id").alias("centroid_id"), F.col("best.cv").alias("cv"))
+    )
+
+    qcos = F.round(cosine_sim(F.col("qv"), F.col("cent_v")), round_to)
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
+    probed = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qv", "centroid_id", qcos.alias("qcos"))
+        .withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= nprobe)
+        .select("centroid_id", "query_id", "qv")
+    )
+
+    scored = (
+        probed.join(assigned, "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     out = (
         scored.withColumn("rank", F.row_number().over(w))

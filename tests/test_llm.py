@@ -308,3 +308,62 @@ def test_gram_df_cutoff_equivalence_sf01(spark):
     )
     assert guarded == base
     pl.release_caches()
+
+
+def test_dedup_clusters_components(spark):
+    from polars_net_spark.llm import dedup_clusters
+
+    pairs = pl.from_records(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    verts = pl.from_records([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], ["doc_id"])
+    out = dict(dedup_clusters(pairs, vertices=verts, vertex_id="doc_id").collect().rows())
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from polars_net_spark.llm import dedup_clusters
+
+    # path graph 0-1-2-...-40: min-label + path-halving must converge in
+    # O(log n) rounds, well under max_iter
+    pairs = pl.from_records([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    out = dedup_clusters(pairs, max_iter=12).collect().rows()
+    assert len(out) == 41 and all(lbl == 0 for _, lbl in out)
+
+
+def test_ivf_topk_exact_when_all_lists_probed(spark):
+    from polars_net_spark.llm import ivf_topk
+
+    e = pl.scan_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 8))
+    exact = sorted(cosine_topk(e, q, k=5, method="expr").collect().rows())
+    # nprobe == nlist probes every inverted list -> brute force
+    ivf = sorted(ivf_topk(e, q, k=5, nlist=8, nprobe=8).collect().rows())
+    assert ivf == exact
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    from polars_net_spark.llm import ivf_topk
+
+    e = pl.scan_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 8))
+    lf = ivf_topk(e, q, k=5, nlist=16, nprobe=4)
+    plan = lf._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # centroid NL joins must broadcast
+    got = {(r[0], r[1]) for r in lf.collect().rows()}
+    exact = {(r[0], r[1]) for r in cosine_topk(e, q, k=5, method="expr").collect().rows()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5  # nprobe=4/16 on an unclustered quantizer
+    # every emitted cosine is a true cosine (exact re-verification)
+    from polars_net_spark.llm.similarity import cosine_sim
+
+    ver = (
+        lf._sdf.alias("r")
+        .join(e._sdf.alias("c"), F.col("r.corpus_id") == F.col("c.vec_id"))
+        .join(e._sdf.alias("qq"), F.col("r.query_id") == F.col("qq.vec_id"))
+        .withColumn("truth", F.round(cosine_sim(F.col("qq.embedding"), F.col("c.embedding")), 6))
+        .filter(F.col("truth") != F.col("cosine"))
+        .count()
+    )
+    assert ver == 0
