@@ -463,13 +463,22 @@ def _bucketed_near_dup_pairs(
     then exact cosine verification of the surviving candidates with pure
     Column expressions.  Shuffle volume = num_tables × corpus (bucket
     replicas) + candidate pairs; O(n²) work only within buckets."""
-    from .similarity import cosine_sim, hyperplane_buckets
+    from .similarity import _dot_expr, _norm_expr, hyperplane_buckets
 
+    # norms once per (id, table) row — not once per candidate pair; same FP
+    # order as the naive cosine, so emitted values are unchanged
     b = register_cache(
         hyperplane_buckets(sdf, id_col, vec_col, "id", "v", num_planes, num_tables)
+        .withColumn("nrm", _norm_expr(F.col("v")))
     )
-    lhs = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
-    rhs = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    lhs = b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+        "table", "bucket",
+    )
+    rhs = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        "table", "bucket",
+    )
     cands = (
         lhs.join(rhs, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -477,7 +486,8 @@ def _bucketed_near_dup_pairs(
     )
     out = (
         cands.withColumn(
-            "cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), round_to)
+            "cosine",
+            F.round(_dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -571,13 +581,24 @@ def dedup_clusters(
     edges = register_cache(
         p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     )
+    # iterate only over the edge-induced subgraph: vertices in no pair can
+    # never change label, so the fixpoint runs on ~2·|pairs| rows regardless
+    # of corpus size (at 100 TB that's the difference between iterating over
+    # duplicates and iterating over everything); singletons join back at the
+    # end as their own cluster
+    active = edges.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         out_name = vertex_id or id_a
         verts = _sdf(vertices).select(F.col(out_name).alias("id")).distinct()
+        # endpoints outside the vertex set don't participate (their labels
+        # would otherwise leak in as cluster ids)
+        active = active.join(verts, "id", "semi")
     else:
         out_name = id_a
-        verts = edges.select(F.col("src").alias("id")).distinct()
-    labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint()
+        verts = None
+    # no checkpoint on the seed: round 1's checkpoint truncates the lineage,
+    # and the edge staging is already persisted via the cache registry
+    labels = active.select("id", F.col("id").alias("lbl"))
 
     for _ in range(max_iter):
         nmin = (
@@ -600,6 +621,9 @@ def dedup_clusters(
             f"dedup_clusters did not converge in {max_iter} rounds; "
             "raise max_iter (graph has a very long path)"
         )
-    return LazyFrame(
-        labels.select(F.col("id").alias(out_name), F.col("lbl").alias("cluster_id"))
-    )
+    clustered = labels.select("id", F.col("lbl").alias("cluster_id"))
+    if verts is not None:
+        clustered = verts.join(clustered, "id", "left").select(
+            "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+        )
+    return LazyFrame(clustered.select(F.col("id").alias(out_name), "cluster_id"))

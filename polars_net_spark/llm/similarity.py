@@ -28,15 +28,22 @@ def _sdf(frame) -> SparkDF:
     return frame if isinstance(frame, SparkDF) else frame.spark
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def _dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")))
-    return dot / (na * nb)
+
+
+def _norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 def cosine_topk(
@@ -73,10 +80,21 @@ def cosine_topk(
     if method == "numpy":
         return _numpy_topk(c_sdf, q_sdf, k, vec_col, id_col, qid, round_to)
 
-    c = c_sdf.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
-    q = q_sdf.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    # norms are computed once per row on each side of the join (not once per
+    # PAIR): same doubles, same multiply order, ~1/3 the aggregate passes
+    c = c_sdf.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_expr(F.col(vec_col)).alias("cn"),
+    )
+    q = q_sdf.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_expr(F.col(vec_col)).alias("qn"),
+    )
     scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).withColumn(
-        "cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to)
+        "cosine",
+        F.round(_dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
@@ -272,15 +290,22 @@ def lsh_bucket_topk(
     c_sdf, q_sdf = _sdf(corpus), _sdf(queries)
     qid = query_id_col or id_col
 
-    cb = hyperplane_buckets(c_sdf, id_col, vec_col, "corpus_id", "cv", num_planes, num_tables, dim)
-    qb = hyperplane_buckets(q_sdf, qid, vec_col, "query_id", "qv", num_planes, num_tables, dim)
+    cb = hyperplane_buckets(
+        c_sdf, id_col, vec_col, "corpus_id", "cv", num_planes, num_tables, dim
+    ).withColumn("cn", _norm_expr(F.col("cv")))
+    qb = hyperplane_buckets(
+        q_sdf, qid, vec_col, "query_id", "qv", num_planes, num_tables, dim
+    ).withColumn("qn", _norm_expr(F.col("qv")))
     cand = (
         cb.join(qb, ["table", "bucket"])
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "qv", "corpus_id", "cv")
+        .select("query_id", "qv", "qn", "corpus_id", "cv", "cn")
         .dropDuplicates(["query_id", "corpus_id"])
     )
-    scored = cand.withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     out = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -327,42 +352,69 @@ def ivf_topk(
     """
     c_sdf, q_sdf = _sdf(corpus), _sdf(queries)
     qid = query_id_col or id_col
-    c = c_sdf.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
-    q = q_sdf.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    # per-row norms computed once per side; every downstream cosine is
+    # dot / (left_norm * right_norm) with the same multiply order, so values
+    # are bit-identical to the naive per-pair form
+    c = c_sdf.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_expr(F.col(vec_col)).alias("cn"),
+    )
+    q = q_sdf.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_expr(F.col(vec_col)).alias("qn"),
+    )
     cent = (
         c.orderBy("corpus_id")
         .limit(nlist)
-        .select(F.col("corpus_id").alias("centroid_id"), F.col("cv").alias("cent_v"))
+        .select(
+            F.col("corpus_id").alias("centroid_id"),
+            F.col("cv").alias("cent_v"),
+            F.col("cn").alias("cent_n"),
+        )
     )
 
-    ccos = F.round(cosine_sim(F.col("cv"), F.col("cent_v")), round_to)
+    ccos = F.round(
+        _dot_expr(F.col("cv"), F.col("cent_v")) / (F.col("cn") * F.col("cent_n")), round_to
+    )
     assigned = (
         c.join(F.broadcast(cent))
-        .select("corpus_id", "cv", "centroid_id", ccos.alias("ccos"))
+        .select("corpus_id", "cv", "cn", "centroid_id", ccos.alias("ccos"))
         .groupBy("corpus_id")
         .agg(
             F.max_by(
-                F.struct("centroid_id", "cv"),
+                F.struct("centroid_id", "cv", "cn"),
                 F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("tie")),
             ).alias("best")
         )
-        .select("corpus_id", F.col("best.centroid_id").alias("centroid_id"), F.col("best.cv").alias("cv"))
+        .select(
+            "corpus_id",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.cv").alias("cv"),
+            F.col("best.cn").alias("cn"),
+        )
     )
 
-    qcos = F.round(cosine_sim(F.col("qv"), F.col("cent_v")), round_to)
+    qcos = F.round(
+        _dot_expr(F.col("qv"), F.col("cent_v")) / (F.col("qn") * F.col("cent_n")), round_to
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
     probed = (
         q.join(F.broadcast(cent))
-        .select("query_id", "qv", "centroid_id", qcos.alias("qcos"))
+        .select("query_id", "qv", "qn", "centroid_id", qcos.alias("qcos"))
         .withColumn("qrn", F.row_number().over(wq))
         .filter(F.col("qrn") <= nprobe)
-        .select("centroid_id", "query_id", "qv")
+        .select("centroid_id", "query_id", "qv", "qn")
     )
 
     scored = (
         probed.join(assigned, "centroid_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+        .withColumn(
+            "cosine",
+            F.round(_dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     out = (
