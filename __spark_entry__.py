@@ -20,6 +20,7 @@ from polars_net_spark.frame import LazyFrame
 from polars_net_spark.llm import (
     dedup_exact,
     dedup_clusters,
+    dedup_fuzzy,
     ivf_topk,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
@@ -1253,6 +1254,42 @@ SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def _q53(spark, sf_dir):
+    # the one-call pipeline op: minhash pairs (exact-verified, so the kept
+    # set depends only on the true Jaccard graph) -> components -> keep the
+    # lowest-id doc per cluster, all original columns
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_fuzzy(d, method="minhash", threshold=0.5, n=3, num_hashes=64, bands=16)
+    return out.spark.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# kept docs = those whose doc_id equals their component's min reachable id,
+# over the exact-Jaccard pair graph (minhash verify makes them identical)
+_q53_sql = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w WHERE len(ws) >= 3),
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb, count(*) AS shared
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+pr AS (SELECT id_a, id_b FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN comp ON d.doc_id = comp.id
+WHERE comp.id = comp.cluster_id
+"""
+
+
 def _q52(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
@@ -1346,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_string_agg": _q50,
         "q51_dedup_clusters": _q51,
         "q52_ivf_topk": _q52,
+        "q53_dedup_fuzzy": _q53,
     }
 
 
@@ -1401,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_string_agg": _q50_sql,
         "q51_dedup_clusters": _q51_sql,
         "q52_ivf_topk": _q52_sql,
+        "q53_dedup_fuzzy": _q53_sql,
         "q36_simhash": _q36_sql,
         "q38_lsh_topk": _q38_sql,
     }

@@ -17,13 +17,14 @@ from .text import (
 from .dedup import (
     dedup_exact,
     dedup_clusters,
+    dedup_fuzzy,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     minhash_lsh_pairs,
     simhash_signatures,
     embedding_near_dup_pairs,
 )
-from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk
+from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids
 
 __all__ = [
     "token_count",
@@ -35,6 +36,7 @@ __all__ = [
     "shingle_fingerprint_frame",
     "dedup_exact",
     "dedup_clusters",
+    "dedup_fuzzy",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
@@ -43,4 +45,5 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket_topk",
     "ivf_topk",
+    "kmeans_centroids",
 ]

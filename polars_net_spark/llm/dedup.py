@@ -20,6 +20,7 @@ from ..frame import LazyFrame
 __all__ = [
     "dedup_exact",
     "dedup_clusters",
+    "dedup_fuzzy",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
@@ -627,3 +628,45 @@ def dedup_clusters(
             "id", F.coalesce("cluster_id", "id").alias("cluster_id")
         )
     return LazyFrame(clustered.select(F.col("id").alias(out_name), "cluster_id"))
+
+
+def dedup_fuzzy(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    threshold: float = 0.8,
+    n: int = 3,
+    max_iter: int = 30,
+    **method_kwargs,
+) -> LazyFrame:
+    """End-to-end fuzzy dedup: keep one canonical document per near-dup
+    cluster (the lowest id), with all original columns.
+
+    The one-call composition a training-data pipeline actually runs:
+    candidate pairs (``method``: 'minhash' — banded LSH + exact verify;
+    'ngram' — exact inverted-index Jaccard; 'prefix' — PPJoin prefix filter)
+    → connected components (:func:`dedup_clusters`) → keep docs whose id
+    equals their cluster id.  Because every method exact-verifies its pairs,
+    the kept set depends only on the true Jaccard graph, not on LSH
+    parameters (those affect recall of the *pair* step; see method docs).
+
+    Extra ``method_kwargs`` pass through (num_hashes/bands for minhash,
+    max_gram_df for ngram, ...).
+    """
+    builders = {
+        "minhash": minhash_lsh_pairs,
+        "ngram": ngram_jaccard_pairs,
+        "prefix": ngram_jaccard_pairs_prefix,
+    }
+    if method not in builders:
+        raise ValueError(f"unknown method {method!r}; expected one of {sorted(builders)}")
+    sdf = _sdf(frame)
+    pairs = builders[method](
+        sdf, text_col=text_col, id_col=id_col, n=n, threshold=threshold, **method_kwargs
+    )
+    clusters = dedup_clusters(
+        pairs, vertices=sdf, vertex_id=id_col, max_iter=max_iter
+    )
+    canon = clusters.spark.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return LazyFrame(sdf.join(canon, id_col, "semi"))

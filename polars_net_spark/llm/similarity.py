@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["cosine_topk", "lsh_bucket_topk", "ivf_topk", "cosine_sim", "hyperplane_buckets"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "ivf_topk",
+    "kmeans_centroids",
+    "cosine_sim",
+    "hyperplane_buckets",
+]
 
 
 def _sdf(frame) -> SparkDF:
@@ -325,16 +332,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str | None = None,
     round_to: int = 6,
+    centroids: "list[list[float]] | None" = None,
 ) -> LazyFrame:
     """Approximate top-k via an IVF-flat index (inverted file, coarse
     quantizer + exact scoring inside probed lists).
 
-    The coarse quantizer is the ``nlist`` corpus vectors with the smallest
-    ids — deterministic and expressible as a lazy subquery, so the whole
-    operator is a single declarative plan (no driver-side fit action, and
-    the DuckDB oracle can recompute the centroids itself).  A k-means-refined
-    quantizer would only change the *centroid* subquery; assignment, probing
-    and scoring below are quantizer-agnostic.
+    The default coarse quantizer is the ``nlist`` corpus vectors with the
+    smallest ids — deterministic and expressible as a lazy subquery, so the
+    whole operator is a single declarative plan (no driver-side fit action,
+    and the DuckDB oracle can recompute the centroids itself).  Pass
+    ``centroids`` (e.g. from :func:`kmeans_centroids`) for a refined
+    quantizer — only the centroid source changes (``nlist`` is then ignored);
+    assignment, probing and scoring are quantizer-agnostic.
 
     Plan shape (the part that matters at 100 TB):
       1. assignment — corpus x broadcast(centroids) nested-loop (nlist small),
@@ -365,15 +374,21 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         _norm_expr(F.col(vec_col)).alias("qn"),
     )
-    cent = (
-        c.orderBy("corpus_id")
-        .limit(nlist)
-        .select(
-            F.col("corpus_id").alias("centroid_id"),
-            F.col("cv").alias("cent_v"),
-            F.col("cn").alias("cent_n"),
+    if centroids is not None:
+        cent = c_sdf.sparkSession.createDataFrame(
+            [(j, [float(x) for x in v]) for j, v in enumerate(centroids)],
+            "centroid_id long, cent_v array<double>",
+        ).select("centroid_id", "cent_v", _norm_expr(F.col("cent_v")).alias("cent_n"))
+    else:
+        cent = (
+            c.orderBy("corpus_id")
+            .limit(nlist)
+            .select(
+                F.col("corpus_id").alias("centroid_id"),
+                F.col("cv").alias("cent_v"),
+                F.col("cn").alias("cent_n"),
+            )
         )
-    )
 
     ccos = F.round(
         _dot_expr(F.col("cv"), F.col("cent_v")) / (F.col("cn") * F.col("cent_n")), round_to
@@ -423,3 +438,63 @@ def ivf_topk(
         .select("query_id", "corpus_id", "cosine", "rank")
     )
     return LazyFrame(out)
+
+
+def kmeans_centroids(
+    corpus: "LazyFrame | SparkDF",
+    k: int = 32,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd-refined coarse quantizer for :func:`ivf_topk` (spherical
+    k-means: assign by max cosine, recenter on the element-wise mean).
+
+    This is a FIT step and therefore eager by nature (each round needs the
+    previous round's centroids): ``iters`` passes over the corpus, each one
+    job.  The assignment is a pure Column argmax against centroid LITERALS —
+    no join, no shuffle — and recentering is posexplode + avg, which keeps
+    partial aggregation (shuffle volume = k x dim doubles per partition, not
+    the corpus).  Empty clusters keep their previous centroid.
+
+    Returns plain ``list[list[float]]`` — feed it to
+    ``ivf_topk(..., centroids=...)``.
+    """
+    import math as _math
+
+    sdf = _sdf(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = [
+        [float(x) for x in r[0]]
+        for r in sdf.orderBy("id").limit(k).select("v").collect()
+    ]
+
+    for _ in range(iters):
+        norms = [_math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+        vn = _norm_expr(F.col("v"))
+        scored = [
+            (
+                _dot_expr(F.col("v"), F.array(*[F.lit(x) for x in c])) / (vn * F.lit(nrm)),
+                j,
+            )
+            for j, (c, nrm) in enumerate(zip(cents, norms))
+        ]
+        # argmax by (cosine, lower index wins ties): lexicographic max of
+        # struct(cos, -j), recover j by negation
+        best = F.array_max(
+            F.array(*[F.struct(cos.alias("c"), F.lit(-j).alias("nj")) for cos, j in scored]
+        ))
+        assigned = sdf.select((-best["nj"]).alias("cid"), "v")
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep old centroid
+        acc: dict[int, dict[int, float]] = {}
+        for r in sums:
+            acc.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        for cid, d in acc.items():
+            new[cid] = [d[p] for p in sorted(d)]
+        cents = new
+    return cents

@@ -367,3 +367,37 @@ def test_ivf_topk_recall_and_plan(spark):
         .count()
     )
     assert ver == 0
+
+
+def test_dedup_fuzzy_end_to_end(spark):
+    from polars_net_spark.llm import dedup_fuzzy
+
+    d = pl.scan_parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = dedup_fuzzy(d, method="minhash", threshold=0.5, n=3, num_hashes=64, bands=16)
+    rows = kept.collect()
+    assert rows.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    # kept set == docs that are their own cluster min over the exact pair graph
+    from polars_net_spark.llm import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    cl = dedup_clusters(pairs, vertices=d, vertex_id="doc_id").collect().rows()
+    expected = sorted(i for i, c in cl if i == c)
+    assert sorted(r[0] for r in rows.rows()) == expected
+
+
+def test_kmeans_refined_ivf_recall(spark):
+    from polars_net_spark.llm import ivf_topk, kmeans_centroids
+
+    e = pl.scan_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = LazyFrame(e.spark.filter(F.col("vec_id") < 8))
+    cents = kmeans_centroids(e, k=8, iters=3)
+    assert len(cents) == 8 and all(len(c) == len(cents[0]) for c in cents)
+    exact = {(r[0], r[1]) for r in cosine_topk(e, q, k=5, method="expr").collect().rows()}
+    got = {
+        (r[0], r[1])
+        for r in ivf_topk(e, q, k=5, nprobe=2, centroids=cents).collect().rows()
+    }
+    recall = len(got & exact) / len(exact)
+    # embeddings are label-clustered: a 3-round Lloyd quantizer at nprobe=2/8
+    # must capture most true neighbours
+    assert recall >= 0.6, recall
