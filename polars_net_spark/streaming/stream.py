@@ -116,6 +116,51 @@ class StreamingFrame:
     def group_by(self, *keys) -> "StreamingGroupBy":
         return StreamingGroupBy(self._sdf, [F.col(k) if isinstance(k, str) else _c(k) for k in _flatten(keys)])
 
+    # -- streaming dedup -----------------------------------------------------
+    def drop_duplicates(self, subset: Sequence[str] | None = None) -> "StreamingFrame":
+        """Streaming exact dedup on ``subset`` (default: all columns).
+
+        WARNING: without a watermark the dedup state grows without bound —
+        on a continuous 100 TB/day feed use
+        :meth:`drop_duplicates_within_watermark` so state is evicted."""
+        sdf = self._sdf.dropDuplicates(list(subset)) if subset else self._sdf.dropDuplicates()
+        return StreamingFrame(sdf)
+
+    def drop_duplicates_within_watermark(
+        self, subset: Sequence[str] | None = None
+    ) -> "StreamingFrame":
+        """Exact dedup with state bounded by the event-time watermark:
+        duplicates arriving within the watermark delay are dropped, older
+        state is evicted.  Requires :meth:`with_watermark` upstream."""
+        sdf = (
+            self._sdf.dropDuplicatesWithinWatermark(list(subset))
+            if subset
+            else self._sdf.dropDuplicatesWithinWatermark()
+        )
+        return StreamingFrame(sdf)
+
+    def dedup_exact(
+        self,
+        text_col: str = "text",
+        normalize: bool = True,
+        within_watermark: bool = False,
+    ) -> "StreamingFrame":
+        """Streaming twin of ``llm.dedup_exact``: first-seen wins per
+        identical (normalized) content.  The dedup key is md5(text), so
+        per-row state is 16 bytes + offsets no matter how large documents
+        are; set ``within_watermark=True`` (with a watermark upstream) to
+        bound state on continuous feeds."""
+        text = F.col(text_col)
+        if normalize:
+            text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+        keyed = self._sdf.withColumn("__key__", F.md5(text))
+        out = (
+            keyed.dropDuplicatesWithinWatermark(["__key__"])
+            if within_watermark
+            else keyed.dropDuplicates(["__key__"])
+        )
+        return StreamingFrame(out.drop("__key__"))
+
     # -- stateful custom ops -------------------------------------------------
     def apply_in_pandas_with_state(
         self,

@@ -102,3 +102,54 @@ def test_stream_requires_streaming_df(spark, people):
 
     with pytest.raises(ValueError):
         StreamingFrame(people.spark)
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    doc_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame(
+        [
+            (base, 1, "hello  world"),
+            (base, 2, "Hello world"),      # dup after normalization
+            (base, 3, "something else"),
+            (base, 4, "hello world "),     # dup after normalization
+        ],
+        doc_schema,
+    ).write.mode("append").parquet(src)
+    sf = scan_stream_parquet(src, doc_schema, spark=spark).dedup_exact("text")
+    q = sf.write_memory("dedup_out", output_mode="append")
+    _await(q)
+    rows = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id").collect()
+    kept = [r["doc_id"] for r in rows]
+    assert len(kept) == 2 and 3 in kept  # one of {1,2,4} + doc 3
+    assert "__key__" not in spark.sql("SELECT * FROM dedup_out").columns
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dedup_wm_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(
+        spark,
+        src,
+        [
+            (base, "a", 1.0),
+            (base + dt.timedelta(minutes=1), "a", 1.0),  # dup key (user, v)
+            (base + dt.timedelta(minutes=2), "b", 2.0),
+        ],
+    )
+    sf = (
+        scan_stream_parquet(src, SCHEMA, spark=spark)
+        .with_watermark("ts", "1h")
+        .drop_duplicates_within_watermark(["user", "v"])
+    )
+    q = sf.write_memory("dedup_wm_out", output_mode="append")
+    _await(q)
+    rows = spark.sql("SELECT user, v FROM dedup_wm_out").collect()
+    assert sorted((r["user"], r["v"]) for r in rows) == [("a", 1.0), ("b", 2.0)]
