@@ -423,8 +423,11 @@ def ivf_topk(
         .select("centroid_id", "query_id", "qv", "qn")
     )
 
+    # broadcast the probed queries (|q| x nprobe rows): the alternative is a
+    # sort-merge join that shuffles the whole assigned corpus on centroid_id —
+    # only nlist distinct keys, i.e. maximal skew at scale
     scored = (
-        probed.join(assigned, "centroid_id")
+        F.broadcast(probed).join(assigned, "centroid_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn(
             "cosine",

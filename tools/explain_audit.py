@@ -58,6 +58,15 @@ CHECKS = {
         ("!", "CartesianProduct", "bucketed ANN candidates via equi-join"),
         ("!", "BroadcastNestedLoopJoin", "no nested-loop fallback"),
     ],
+    "q52_ivf_topk": [
+        ("!", "CartesianProduct", "centroid NL joins broadcast, never cartesian"),
+        ("BroadcastHashJoin", "probed-list scoring is a hash equi-join"),
+        ("partial_max_by", "list assignment has map-side combine"),
+    ],
+    "q53_dedup_fuzzy": [
+        ("!", "CartesianProduct", "pair generation stays bucketed end-to-end"),
+        ("LeftSemi", "canonical-doc filter is a semi join"),
+    ],
 }
 
 
