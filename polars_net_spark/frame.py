@@ -405,6 +405,16 @@ class LazyFrame:
 
         return join_asof(self, other, **kwargs)
 
+    def join_range(self, other: "LazyFrame", **kwargs) -> "LazyFrame":
+        from .operators.joins_ext import range_join
+
+        return range_join(self, other, **kwargs)
+
+    def join_salted(self, other: "LazyFrame", on, **kwargs) -> "LazyFrame":
+        from .operators.joins_ext import salted_join
+
+        return salted_join(self, other, on, **kwargs)
+
     # -- sorting (lazy.rs:100-164) ----------------------------------------------
     def sort(
         self,

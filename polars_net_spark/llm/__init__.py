@@ -25,8 +25,19 @@ from .dedup import (
     embedding_near_dup_pairs,
 )
 from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids
+from .quality import (
+    gopher_quality_frame,
+    repetition_metrics_frame,
+    pii_metrics_frame,
+)
+from .retrieval import tfidf_top_terms, bm25_topk
 
 __all__ = [
+    "gopher_quality_frame",
+    "repetition_metrics_frame",
+    "pii_metrics_frame",
+    "tfidf_top_terms",
+    "bm25_topk",
     "token_count",
     "quality_score",
     "language_id",

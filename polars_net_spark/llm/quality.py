@@ -1,0 +1,238 @@
+"""Corpus-quality heuristics for LLM training-data pipelines.
+
+Beyond-reference scope (the reference engine has no text-quality layer); the
+rule set follows the published Gopher/C4-style filters: word-count bands,
+mean-word-length bands, symbol-to-word ratios, bulleted/ellipsis line
+fractions, alphabetic-word fraction, required-stopword hits, duplicate-line
+and repeated-n-gram ratios, and PII pattern scrubbing.
+
+Everything here is pure Column expressions or a small explode->groupBy->window
+pipeline — no Python UDFs — so each metric runs JVM-side at scan speed and
+scales linearly: per-doc metrics are map-only; the top-n-gram metric shuffles
+once on (doc_id) after a map-side explode.  All rules are deterministic and
+ANSI-SQL-expressible, so every frame here is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from .._cache import register_cache
+
+__all__ = [
+    "gopher_quality_frame",
+    "repetition_metrics_frame",
+    "pii_metrics_frame",
+    "REQUIRED_STOPWORDS",
+    "PII_PATTERNS",
+]
+
+# Gopher's "required word" list: a document is kept only if at least
+# `min_stop_hits` of these appear (proxy for real prose).
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB): no backrefs,
+# no lookaround.  Each maps name -> (pattern, replacement token).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, r"\n")
+
+
+def _frac(num: Column, den: Column, round_to: int) -> Column:
+    return F.round(F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), round_to)
+
+
+def gopher_quality_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """Per-document Gopher-style quality metrics + a `passes` verdict.
+
+    Map-only (one scan, no shuffle): every metric is a Column expression over
+    a single staged word/line split, so at 100 TB this runs at parquet-scan
+    speed with full codegen.  Metrics:
+
+    - n_words, mean_word_len (sum of word lengths / n_words)
+    - symbol_ratio: (# '#' chars + '...' runs) / n_words
+    - bullet_frac / ellipsis_frac: fraction of lines starting with a bullet
+      ('-', '*') / ending with an ellipsis
+    - alpha_frac: fraction of words containing an ASCII letter
+    - stop_hits: how many DISTINCT required stopwords appear
+    - passes: AND of the standard Gopher thresholds (all configurable)
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    text = F.col(text_col)
+    staged = sdf.select(
+        F.col(id_col),
+        text,
+        _words(text).alias("__ws__"),
+        _lines(text).alias("__ls__"),
+    )
+    ws, ls = F.col("__ws__"), F.col("__ls__")
+    blank = F.length(F.trim(text)) == 0
+    n_words = F.when(blank, F.lit(0)).otherwise(F.size(ws))
+    n_lines = F.size(ls)
+    word_chars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    symbols = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    bullet_lines = F.size(F.filter(ls, lambda l: F.ltrim(l).rlike(r"^[-*]")))
+    ellipsis_lines = F.size(F.filter(ls, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike(r"[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, F.lower)),
+            F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS]),
+        )
+    )
+    out = staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        _frac(word_chars, n_words, round_to).alias("mean_word_len"),
+        _frac(symbols, n_words, round_to).alias("symbol_ratio"),
+        _frac(bullet_lines, n_lines, round_to).alias("bullet_frac"),
+        _frac(ellipsis_lines, n_lines, round_to).alias("ellipsis_frac"),
+        _frac(alpha_words, n_words, round_to).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return LazyFrame(out.withColumn("passes", passes))
+
+
+def repetition_metrics_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    round_to: int = 6,
+):
+    """Per-document repetition metrics (Gopher's repetition filters):
+
+    - dup_line_frac: 1 - distinct(lines)/lines — map-only Column math.
+    - top_ngram_frac: fraction of the document's characters covered by its
+      single most frequent word n-gram (occurrences x gram length / chars).
+
+    The n-gram metric is the one that needs distribution: grams are exploded
+    map-side, counted with a (doc_id, gram) hash aggregate (partial
+    aggregation applies), and the argmax gram is taken with a per-doc window.
+    One shuffle keyed by doc_id — no global state, scales linearly in corpus
+    size.  Ties break deterministically (count desc, gram asc).
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    text = F.col(text_col)
+    staged = register_cache(
+        sdf.select(
+            F.col(id_col),
+            F.length(text).alias("__nc__"),
+            _words(F.lower(text)).alias("__ws__"),
+            _lines(text).alias("__ls__"),
+        )
+    )
+    ws, ls = F.col("__ws__"), F.col("__ls__")
+    dup_line_frac = F.when(
+        F.size(ls) > 1,
+        F.round(1.0 - F.size(F.array_distinct(ls)).cast("double") / F.size(ls).cast("double"), round_to),
+    ).otherwise(F.lit(0.0))
+    base = staged.select(
+        F.col(id_col),
+        F.col("__nc__"),
+        dup_line_frac.alias("dup_line_frac"),
+        F.col("__ws__"),
+    )
+
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0)))
+    grams = F.when(
+        n >= ngram,
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, ngram), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = exploded.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col(id_col), F.col("gram").alias("top_gram"), F.col("cnt").alias("top_gram_count"))
+    )
+    out = (
+        base.drop("__ws__")
+        .join(top, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("dup_line_frac"),
+            F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias("top_gram_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top_gram_count") * F.length(F.col("top_gram")) / F.col("__nc__"),
+                    F.lit(0.0),
+                ),
+                round_to,
+            ).alias("top_ngram_frac"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def pii_metrics_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, tuple[str, str]] | None = None,
+):
+    """Per-document PII detection + redaction: one count column per pattern
+    plus a `redacted` text with every match replaced by its token.
+
+    Map-only regex work (regexp_count / regexp_replace) — JVM regex engine,
+    no Python.  Patterns are restricted to the Java-regex/RE2 common subset
+    (no backreferences or lookaround) so the same pattern text runs in Spark
+    and in the DuckDB oracle.
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    pats = PII_PATTERNS if patterns is None else patterns
+    text = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, (pat, _) in pats.items():
+        cols.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
+    redacted = text
+    for _, (pat, token) in pats.items():
+        redacted = F.regexp_replace(redacted, pat, token)
+    cols.append(redacted.alias("redacted"))
+    return LazyFrame(sdf.select(*cols))

@@ -1,0 +1,159 @@
+"""Sparse text retrieval over a document corpus: TF-IDF term weighting and
+BM25 keyword search.
+
+Beyond-reference scope (the reference engine has no IR layer); formulas are
+the textbook ones (sklearn-style smoothed idf for TF-IDF; Robertson/Sparck
+Jones idf for BM25) so every score is deterministic and replicable in ANSI
+SQL for the DuckDB oracle.
+
+Scale design (100 TB corpus):
+- Tokenization + explode are map-side; term frequencies use a hash aggregate
+  on (doc_id, term) with partial (map-side) aggregation, so the only full
+  shuffle is keyed by (doc_id, term) — no skew beyond natural term skew,
+  which the partial aggregate absorbs.
+- Corpus-level scalars (N, avgdl) and the per-term document-frequency table
+  are tiny aggregates, attached via broadcast joins — they never reshuffle
+  the corpus.
+- BM25 filters the exploded terms to the query vocabulary BEFORE any
+  aggregation, so a k-term query aggregates only matching postings, not the
+  whole corpus.
+- Final top-k uses orderBy().limit() which Spark executes as
+  TakeOrderedAndProject (per-partition heaps + single merge, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+__all__ = ["tfidf_top_terms", "bm25_topk"]
+
+
+def _tokens(sdf, text_col: str, id_col: str):
+    """(id, term) postings: lowercase, whitespace-split, empties dropped."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    return sdf.select(F.col(id_col), F.explode(words).alias("term"))
+
+
+def tfidf_top_terms(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_to: int = 6,
+):
+    """Top-k terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((1 + N) / (1 + df)) + 1), ties broken by term asc.
+    Output: (id, term, tf, score, rank) with rank 1..k per document.
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    toks = _tokens(sdf, text_col, id_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = sdf.agg(F.count("*").alias("__n_docs__"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("__n_docs__")) / (1.0 + F.col("df"))) + 1.0),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def bm25_topk(
+    frame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+):
+    """Top-k documents for a bag-of-words query by BM25.
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = sum_t idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Output: (id, score, rank), rank 1..k by score desc then id asc.
+    round_to defaults to 4 (not 6) because the per-term partial scores are
+    summed in shuffle order; 1e-4 is far above double-sum jitter for a
+    handful of query terms but keeps the oracle hash stable.
+    """
+    from ..frame import LazyFrame
+
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    base = sdf.select(F.col(id_col), words.alias("__ws__"))
+    docs = base.select(F.col(id_col), F.size("__ws__").alias("dl"))
+
+    # postings restricted to the query vocabulary before aggregation
+    toks = base.select(
+        F.col(id_col), F.explode("__ws__").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+    stats = docs.agg(
+        F.count("*").alias("__n_docs__"), F.avg("dl").alias("__avgdl__")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(docs, on=id_col)
+        .join(F.broadcast(df_tbl), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("__n_docs__") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl__"))
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(F.round(F.sum("part"), round_to).alias("score"))
+    out = (
+        agg.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc(id_col))),
+        )
+        .select(F.col(id_col), F.col("score"), F.col("rank").cast("long").alias("rank"))
+    )
+    return LazyFrame(out)

@@ -27,6 +27,9 @@ __all__ = [
     "kmeans_centroids",
     "cosine_sim",
     "hyperplane_buckets",
+    "sq8_quantize",
+    "sq8_topk",
+    "sq8_recall_frame",
 ]
 
 
@@ -501,3 +504,143 @@ def kmeans_centroids(
             new[cid] = [d[p] for p in sorted(d)]
         cents = new
     return cents
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the memory-side of the ANN toolbox: 4x
+# smaller vectors (float32 -> uint8 codes) with near-lossless recall when
+# re-ranked.  Beyond-reference scope, standard FAISS-style formulation.
+
+
+def _sq8_stats(c_sdf, vec_col: str):
+    """Per-dimension (min, max) over the corpus, folded into ONE row holding
+    two aligned arrays.  posexplode is map-side; the groupBy shuffles only
+    |dims| rows; the final fold emits a single broadcastable row — the corpus
+    itself is never reshuffled."""
+    per_dim = (
+        c_sdf.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: s["mn"],
+        ).alias("__mns__"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: s["mx"],
+        ).alias("__mxs__"),
+    )
+
+
+def _sq8_dequant_expr(vec: Column, mns: Column, mxs: Column) -> Column:
+    """Quantize-then-dequantize each element against its dimension's range:
+    code = round((x - mn) / ((mx - mn)/255)); dq = mn + code * scale.
+    Flat dimensions (mx == mn) dequantize to mn exactly."""
+
+    def one(x, i):
+        mn, mx = F.get(mns, i), F.get(mxs, i)
+        scale = (mx - mn) / F.lit(255.0)
+        code = F.round((x.cast("double") - mn) / scale, 0)
+        return F.when(mx > mn, mn + code * scale).otherwise(mn)
+
+    return F.transform(vec, one)
+
+
+def sq8_quantize(
+    corpus: "LazyFrame | SparkDF",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> LazyFrame:
+    """(id, codes uint8-as-int array, dequantized double array) per corpus row.
+
+    Stats attach via a broadcast of one row; the encode pass is pure Column
+    math inside codegen — linear scan, no corpus shuffle."""
+    c_sdf = _sdf(corpus)
+    stats = _sq8_stats(c_sdf, vec_col)
+    vec = F.col(vec_col)
+    mns, mxs = F.col("__mns__"), F.col("__mxs__")
+
+    def code_expr(x, i):
+        mn, mx = F.get(mns, i), F.get(mxs, i)
+        scale = (mx - mn) / F.lit(255.0)
+        return F.when(
+            mx > mn, F.round((x.cast("double") - mn) / scale, 0).cast("int")
+        ).otherwise(F.lit(0))
+
+    out = c_sdf.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.transform(vec, code_expr).alias("codes"),
+        _sq8_dequant_expr(vec, mns, mxs).alias("dq"),
+    )
+    return LazyFrame(out)
+
+
+def sq8_topk(
+    corpus: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Asymmetric SQ8 top-k: full-precision query against the dequantized
+    (int8-coded) corpus — the standard memory/recall trade.  Same join shape
+    as cosine_topk(method='expr'): corpus scanned once, queries broadcast,
+    per-query window rank."""
+    qid = query_id_col or id_col
+    c_sdf = _sdf(corpus)
+    q_sdf = _sdf(queries)
+    stats = _sq8_stats(c_sdf, vec_col)
+    dq = F.col("__dq__")
+    c = c_sdf.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("corpus_id"),
+        _sq8_dequant_expr(F.col(vec_col), F.col("__mns__"), F.col("__mxs__")).alias("__dq__"),
+    ).select(
+        F.col("corpus_id"), dq.alias("cv"), _norm_expr(dq).alias("cn")
+    )
+    q = q_sdf.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_expr(F.col(vec_col)).alias("qn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).withColumn(
+        "cosine",
+        F.round(_dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return LazyFrame(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def sq8_recall_frame(
+    corpus: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    k: int = 10,
+    min_recall: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Per-query recall@k of SQ8 search vs exact cosine search, with an
+    `ok` flag (recall >= min_recall).  This is the quantization quality gate
+    a pipeline would run on a sample before switching its serving index to
+    codes."""
+    approx = sq8_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
+    exact = cosine_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col,
+                        round_to=round_to, method="expr")
+    a = approx._sdf.select("query_id", "corpus_id")
+    e = exact._sdf.select("query_id", "corpus_id").withColumn("__hit__", F.lit(1))
+    out = (
+        a.join(e, on=["query_id", "corpus_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.round(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("double") / k, round_to).alias("recall"))
+        .withColumn("ok", (F.col("recall") >= min_recall).cast("long"))
+    )
+    return LazyFrame(out)

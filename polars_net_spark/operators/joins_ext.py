@@ -1,0 +1,179 @@
+"""Extended join strategies: interval/range joins and skew-salted equi-joins.
+
+Beyond the reference's equi/asof join surface (native_shim/src/lazy.rs:463-569
+covers equi+asof only) — these are the two join shapes a 100 TB pipeline hits
+constantly:
+
+- ``range_join``: equi keys + a temporal/numeric interval residual.  Planned
+  as ONE Spark join whose condition is equi-keys AND range predicates, so
+  Catalyst emits a hash/sort-merge join on the equi keys with the range as a
+  post-join filter — never a CartesianProduct (asserted in tools/
+  explain_audit.py).  Without equi keys it degrades to a broadcast
+  nested-loop range join, which is only sane when one side is small — the
+  caller must pass ``broadcast=True`` to acknowledge that.
+
+- ``salted_join``: the standard skew-mitigation rewrite.  The (big, skewed)
+  left side gets a deterministic salt in [0, buckets) hashed from its row
+  content; the (smaller) right side is exploded ``buckets`` times; the join
+  runs on (key, salt), spreading each hot key over ``buckets`` reducers.
+  Output is row-for-row identical to the plain equi-join (tested + the q60
+  oracle IS the plain join).  AQE's skew-join handles moderate skew on its
+  own; explicit salting is for the pathological keys AQE can't split (e.g.
+  one key = 30% of the table feeding a window downstream).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import functions as F
+
+from .._fmt import parse_polars_duration_us
+
+__all__ = ["range_join", "salted_join"]
+
+
+def _as_list(v) -> list[str]:
+    if v is None:
+        return []
+    return [v] if isinstance(v, str) else list(v)
+
+
+def _bound_expr(anchor, bound):
+    """anchor + bound, where bound is a polars duration string ("7d", "-30m")
+    or a numeric literal (for numeric range joins)."""
+    if isinstance(bound, str):
+        us = parse_polars_duration_us(bound)
+        return anchor + F.expr(f"INTERVAL {us} MICROSECOND")
+    return anchor + F.lit(bound)
+
+
+def range_join(
+    left,
+    right,
+    *,
+    on: str | Sequence[str] | None = None,
+    left_on: str | Sequence[str] | None = None,
+    right_on: str | Sequence[str] | None = None,
+    left_anchor: str,
+    right_anchor: str,
+    lower=None,
+    upper=None,
+    closed: str = "left",
+    how: str = "inner",
+    suffix: str = "_right",
+    broadcast: bool = False,
+):
+    """Join rows where ``right[right_anchor]`` falls in the interval
+    ``[left[left_anchor] + lower, left[left_anchor] + upper)`` (closed per
+    ``closed``: 'left'|'right'|'both'|'none'), optionally ANDed with equi
+    keys.
+
+    lower/upper accept polars duration strings for timestamp anchors ("0d",
+    "7d", "-1h") or plain numbers for numeric anchors; either may be None
+    (one-sided range).
+    """
+    from ..frame import LazyFrame
+
+    lf = left if isinstance(left, LazyFrame) else LazyFrame(left)
+    rf = right if isinstance(right, LazyFrame) else LazyFrame(right)
+    if closed not in ("left", "right", "both", "none"):
+        raise ValueError(f"closed must be left/right/both/none, got {closed!r}")
+    if lower is None and upper is None:
+        raise ValueError("range_join: at least one of lower/upper is required")
+
+    if on is not None:
+        lkeys = rkeys = _as_list(on)
+    else:
+        lkeys, rkeys = _as_list(left_on), _as_list(right_on)
+        if len(lkeys) != len(rkeys):
+            raise ValueError("left_on and right_on must have equal length")
+    if not lkeys and not broadcast:
+        raise ValueError(
+            "range_join without equi keys is a nested-loop join; pass "
+            "broadcast=True to confirm the right side is broadcast-sized"
+        )
+
+    lsdf = lf._sdf.alias("__l__")
+    rsdf = rf._sdf
+    if broadcast:
+        rsdf = F.broadcast(rsdf)
+    rsdf = rsdf.alias("__r__")
+
+    conds = [
+        F.col(f"__l__.{lk}") == F.col(f"__r__.{rk}") for lk, rk in zip(lkeys, rkeys)
+    ]
+    anchor_l = F.col(f"__l__.{left_anchor}")
+    anchor_r = F.col(f"__r__.{right_anchor}")
+    if lower is not None:
+        lo = _bound_expr(anchor_l, lower)
+        conds.append(anchor_r >= lo if closed in ("left", "both") else anchor_r > lo)
+    if upper is not None:
+        hi = _bound_expr(anchor_l, upper)
+        conds.append(anchor_r <= hi if closed in ("right", "both") else anchor_r < hi)
+
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    joined = lsdf.join(rsdf, cond, how)
+
+    lcols, rcols = lf._sdf.columns, rf._sdf.columns
+    sel = [F.col(f"__l__.{c}").alias(c) for c in lcols]
+    for c in rcols:
+        if c in rkeys:
+            continue  # equi key coalesced away, polars-style
+        sel.append(F.col(f"__r__.{c}").alias(c + suffix if c in lcols else c))
+    return LazyFrame(joined.select(*sel))
+
+
+def salted_join(
+    left,
+    right,
+    on: str | Sequence[str],
+    *,
+    buckets: int = 8,
+    how: str = "inner",
+    suffix: str = "_right",
+):
+    """Equi-join with explicit key salting for pathological skew.
+
+    Left rows get salt = xxhash64(entire row) mod buckets (deterministic, no
+    RNG state); right rows are exploded once per salt value via a small
+    in-line array — a buckets-fold duplication of the SMALL side only.  The
+    join condition becomes (keys..., salt), so a single hot key's rows spread
+    across ``buckets`` shuffle partitions instead of one straggler reducer.
+
+    Supported how: inner/left (the duplication rewrite is identity-preserving
+    for these; full/right would need the anti-side handled separately).
+    """
+    from ..frame import LazyFrame
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    lf = left if isinstance(left, LazyFrame) else LazyFrame(left)
+    rf = right if isinstance(right, LazyFrame) else LazyFrame(right)
+    keys = _as_list(on)
+
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in lf._sdf.columns]), F.lit(buckets))
+    lsdf = lf._sdf.withColumn("__salt__", salt_l).alias("__l__")
+    rsdf = (
+        rf._sdf.withColumn(
+            "__salt__", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        )
+    ).alias("__r__")
+
+    cond = F.col("__l__.__salt__") == F.col("__r__.__salt__")
+    for k in keys:
+        cond = cond & (F.col(f"__l__.{k}") == F.col(f"__r__.{k}"))
+    joined = lsdf.join(rsdf, cond, how)
+
+    lcols = [c for c in lf._sdf.columns]
+    rcols = [c for c in rf._sdf.columns]
+    sel = [F.col(f"__l__.{c}").alias(c) for c in lcols]
+    for c in rcols:
+        if c in keys:
+            continue
+        sel.append(F.col(f"__r__.{c}").alias(c + suffix if c in lcols else c))
+    return LazyFrame(joined.select(*sel))

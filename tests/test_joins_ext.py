@@ -1,0 +1,132 @@
+"""range_join (interval) and salted_join (skew) operators."""
+
+import datetime as dt
+
+import polars_net_spark as pl
+from polars_net_spark.operators.joins_ext import range_join, salted_join
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def orders(spark):
+    return pl.from_records(
+        [(1, 100, _ts(1)), (2, 100, _ts(10)), (3, 200, _ts(5))],
+        ["order_id", "cust", "odate"],
+    ).lazy()
+
+
+def events(spark):
+    rows = [
+        (10, 100, _ts(1, 5)),   # within 7d of order 1
+        (11, 100, _ts(7, 23)),  # within 7d of order 1 (day 7 < day 8)
+        (12, 100, _ts(9)),      # outside order 1's window; before order 2
+        (13, 100, _ts(12)),     # within order 2's window
+        (14, 200, _ts(4)),      # before order 3 -> excluded (lower=0)
+        (15, 999, _ts(1)),      # no matching order key
+    ]
+    return pl.from_records(rows, ["event_id", "cust", "ets"]).lazy()
+
+
+def test_range_join_inner(spark):
+    out = range_join(
+        orders(spark),
+        events(spark),
+        on="cust",
+        left_anchor="odate",
+        right_anchor="ets",
+        lower="0d",
+        upper="7d",
+    ).collect()
+    pairs = sorted((r[0], r[3]) for r in out.rows())
+    assert pairs == [(1, 10), (1, 11), (2, 13)]
+
+
+def test_range_join_closed_and_left(spark):
+    # closed='both' pulls the exact upper-bound event in
+    ev = pl.from_records([(20, 100, _ts(8))], ["event_id", "cust", "ets"]).lazy()
+    out = range_join(
+        orders(spark), ev, on="cust", left_anchor="odate",
+        right_anchor="ets", lower="0d", upper="7d", closed="both", how="left",
+    ).collect()
+    rows = sorted(out.rows(), key=lambda r: r[0])
+    assert (rows[0][0], rows[0][3]) == (1, 20)  # day 8 == day1 + 7d inclusive
+    assert rows[1][3] is None and rows[2][3] is None  # left rows preserved
+
+
+def test_range_join_no_cartesian_in_plan(spark):
+    out = range_join(
+        orders(spark), events(spark), on="cust",
+        left_anchor="odate", right_anchor="ets", lower="0d", upper="7d",
+    )
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_range_join_numeric_bounds(spark):
+    a = pl.from_records([(1, 10), (2, 50)], ["id", "x"]).lazy()
+    # y=55 is exactly x+5 for x=50: excluded (upper exclusive with closed='left')
+    b = pl.from_records([(7, 12), (8, 30), (9, 54), (19, 55)], ["bid", "y"]).lazy()
+    out = range_join(
+        a, b, on=None, left_on=[], right_on=[], left_anchor="x",
+        right_anchor="y", lower=0, upper=5, broadcast=True,
+    ).collect()
+    assert sorted((r[0], r[2]) for r in out.rows()) == [(1, 7), (2, 9)]
+
+
+def test_range_join_requires_ack_without_keys(spark):
+    try:
+        range_join(
+            orders(spark), events(spark), left_anchor="odate",
+            right_anchor="ets", lower="0d", upper="1d",
+        )
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: one hot key with many rows
+    left_rows = [(100, i) for i in range(500)] + [(200, i) for i in range(5)]
+    left = pl.from_records(left_rows, ["k", "v"]).lazy()
+    right = pl.from_records([(100, "hot"), (200, "cold"), (300, "none")], ["k", "name"]).lazy()
+
+    plain = sorted(left.join(right, on="k").collect().rows())
+    salted = sorted(salted_join(left, right, on="k", buckets=8).collect().rows())
+    assert salted == plain
+    assert len(salted) == 505
+
+    # left-join keeps unmatched left rows exactly once
+    left2 = pl.from_records([(100, 1), (999, 2)], ["k", "v"]).lazy()
+    plain_l = sorted(
+        left2.join(right, on="k", how="left").collect().rows(),
+        key=lambda r: (r[0], r[1]),
+    )
+    salted_l = sorted(
+        salted_join(left2, right, on="k", buckets=4, how="left").collect().rows(),
+        key=lambda r: (r[0], r[1]),
+    )
+    assert salted_l == plain_l
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left_rows = [(100, i) for i in range(64)]
+    left = pl.from_records(left_rows, ["k", "v"]).lazy()
+    right = pl.from_records([(100, "hot")], ["k", "name"]).lazy()
+    out = salted_join(left, right, on="k", buckets=8)
+    # salts actually take multiple values -> the hot key spans >1 reducer key
+    import pyspark.sql.functions as F
+
+    n_salts = (
+        left._sdf.withColumn(
+            "__salt__",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left._sdf.columns]), F.lit(8)),
+        )
+        .select("__salt__")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+    assert sorted(r[1] for r in out.collect().rows()) == sorted(range(64))

@@ -1,0 +1,132 @@
+"""Quality-heuristic (Gopher-style), PII, TF-IDF and BM25 operators."""
+
+import math
+
+import polars_net_spark as pl
+from polars_net_spark.llm import (
+    bm25_topk,
+    gopher_quality_frame,
+    pii_metrics_frame,
+    repetition_metrics_frame,
+    tfidf_top_terms,
+)
+
+
+def qdocs(spark):
+    rows = [
+        (0, "the cat sat on the mat and that was that with the hat of it"),
+        (1, "spark spark spark spark spark spark spark spark spark spark"),
+        (2, "- item one\n- item two\n- item three\nplain line..."),
+        (3, "x\nx\nx\ny"),
+        (4, ""),
+        (5, "### #### ##"),
+    ]
+    return pl.from_records(rows, ["doc_id", "text"]).lazy()
+
+
+def test_gopher_metrics(spark):
+    out = gopher_quality_frame(qdocs(spark), min_words=5, min_stop_hits=2).collect()
+    by_id = {r[0]: r for r in out.rows()}
+    # doc 0: 15 words; 'the','and','that','with','of' => 5 distinct required stopwords
+    assert by_id[0][1] == 15
+    assert by_id[0][7] == 5
+    assert by_id[0][8] is True
+    # doc 1: no stopwords -> fails
+    assert by_id[1][7] == 0 and by_id[1][8] is False
+    # doc 2: 3 of 4 lines bulleted, 1 of 4 ends with ellipsis
+    assert abs(by_id[2][4] - 0.75) < 1e-9
+    assert abs(by_id[2][5] - 0.25) < 1e-9
+    # doc 4 (empty): 0 words, no crash, fails
+    assert by_id[4][1] == 0 and by_id[4][8] is False
+    # doc 5: all-symbol words -> alpha_frac 0, symbol ratio high
+    assert by_id[5][6] == 0.0
+    assert by_id[5][3] > 1.0  # 9 '#'s / 3 words
+
+
+def test_repetition_metrics(spark):
+    out = repetition_metrics_frame(qdocs(spark), ngram=2).collect()
+    by_id = {r[0]: r for r in out.rows()}
+    # doc 3: lines x,x,x,y -> dup fraction 1 - 2/4
+    assert abs(by_id[3][1] - 0.5) < 1e-9
+    # doc 1: 'spark spark' 2-gram occurs 9 times in 10 words
+    assert by_id[1][2] == "spark spark"
+    assert by_id[1][3] == 9
+    # chars covered: 9 * len('spark spark')=11 over 59 chars
+    assert abs(by_id[1][4] - round(9 * 11 / 59, 6)) < 1e-9
+    # doc 4 empty: no grams -> zero row preserved via left join
+    assert by_id[4][3] == 0 and by_id[4][4] == 0.0
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 no mail"),
+        (2, "clean text only"),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    out = pii_metrics_frame(d).collect()
+    by_id = {r[0]: r for r in out.rows()}
+    assert by_id[0][1] == 1  # email
+    assert by_id[0][2] >= 1  # phone
+    assert "<EMAIL>" in by_id[0][4] and "<PHONE>" in by_id[0][4]
+    assert by_id[1][3] == 2  # two IPs
+    assert "<IP>" in by_id[1][4]
+    assert by_id[2][1] == by_id[2][2] == by_id[2][3] == 0
+    assert by_id[2][4] == "clean text only"
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry durian"),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    out = tfidf_top_terms(d, k=2).collect()
+    rows_out = {(r[0], r[4]): (r[1], r[2], r[3]) for r in out.rows()}
+    n = 3
+    # doc 0 top term: apple tf=2 df=1
+    term, tf, score = rows_out[(0, 1)]
+    assert term == "apple" and tf == 2
+    assert abs(score - round(2 * (math.log((1 + n) / (1 + 1)) + 1), 6)) < 1e-9
+    # doc 2 top: cherry tf=3 df=2
+    term, tf, score = rows_out[(2, 1)]
+    assert term == "cherry" and tf == 3
+    assert abs(score - round(3 * (math.log((1 + n) / (1 + 2)) + 1), 6)) < 1e-9
+    # ties break alphabetically: doc 1 has banana/cherry both tf=1 df=2
+    assert rows_out[(1, 1)][0] == "banana"
+    assert rows_out[(1, 2)][0] == "cherry"
+
+
+def test_bm25_topk(spark):
+    rows = [
+        (0, "apple banana apple apple"),
+        (1, "banana cherry banana"),
+        (2, "cherry cherry cherry durian"),
+        (3, "unrelated words entirely"),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    out = bm25_topk(d, ["apple", "banana"], k=3).collect()
+    got = [(r[0], r[1], r[2]) for r in out.rows()]
+    assert [g[0] for g in got] == [0, 1]  # only docs with a query term; 0 wins
+    assert got[0][2] == 1 and got[1][2] == 2
+    # hand-compute doc 0: dl=4, avgdl=3.5, N=4; apple tf=3 df=1, banana tf=1 df=2
+    k1, b = 1.2, 0.75
+
+    def idf(df):
+        return math.log(1 + (4 - df + 0.5) / (df + 0.5))
+
+    def part(tf, df, dl):
+        return idf(df) * tf / (tf + k1 * (1 - b + b * dl / 3.5))
+
+    exp0 = round(part(3, 1, 4) + part(1, 2, 4), 4)
+    assert abs(got[0][1] - exp0) < 1e-9
+
+
+def test_bm25_empty_query_raises(spark):
+    d = pl.from_records([(0, "a")], ["doc_id", "text"]).lazy()
+    try:
+        bm25_topk(d, [])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
