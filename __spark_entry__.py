@@ -35,7 +35,14 @@ from polars_net_spark.llm import (
     shingle_fingerprints,
     text_metrics_frame,
     shingle_fingerprint_frame,
+    gopher_quality_frame,
+    repetition_metrics_frame,
+    pii_metrics_frame,
+    tfidf_top_terms,
+    bm25_topk,
 )
+from polars_net_spark.llm.similarity import sq8_recall_frame
+from polars_net_spark.operators.joins_ext import range_join, salted_join
 
 STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
 
@@ -1327,6 +1334,315 @@ WHERE rn <= 5
 
 
 # ---------------------------------------------------------------------------
+# quality / retrieval / extended joins / sketches (round 2)
+
+
+def _q54(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_quality_frame(d, min_stop_hits=1)
+    return out.spark.withColumn("passes", F.col("passes").cast("long"))
+
+
+_q54_sql = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_words,
+    COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS word_chars,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+    len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*]'))) AS bullet_lines,
+    len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+    len(ls) AS n_lines,
+    len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w),
+r AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    round(CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END, 6) AS mean_word_len,
+    round(CASE WHEN n_words > 0 THEN symbols::DOUBLE / n_words ELSE 0 END, 6) AS symbol_ratio,
+    round(CASE WHEN n_lines > 0 THEN bullet_lines::DOUBLE / n_lines ELSE 0 END, 6) AS bullet_frac,
+    round(CASE WHEN n_lines > 0 THEN ellipsis_lines::DOUBLE / n_lines ELSE 0 END, 6) AS ellipsis_frac,
+    round(CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words ELSE 0 END, 6) AS alpha_frac,
+    CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM m)
+SELECT *, CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM r
+"""
+
+
+def _q55(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return repetition_metrics_frame(d, ngram=2).spark
+
+
+_q55_sql = r"""
+WITH w AS (
+  SELECT doc_id, len(text) AS nc,
+         string_split_regex(lower(trim(text)), '\s+') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents),
+base AS (
+  SELECT doc_id, nc,
+         CASE WHEN len(ls) > 1
+              THEN round(1 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+              ELSE 0.0 END AS dup_line_frac,
+         ws
+  FROM w),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS gram
+      FROM base WHERE len(ws) >= 2),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+t AS (SELECT doc_id, gram, cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c)
+      WHERE rn = 1)
+SELECT b.doc_id, b.dup_line_frac,
+       COALESCE(t.gram, '') AS top_gram,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS top_gram_count,
+       round(COALESCE(t.cnt * len(t.gram) / b.nc, 0.0), 6) AS top_ngram_frac
+FROM base b LEFT JOIN t USING (doc_id)
+"""
+
+
+def _q56(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).spark
+
+
+_q56_sql = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    x -> len(x) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
+_BM25_TERMS = ["data", "query", "spark"]
+
+
+def _q57(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=10).spark
+
+
+_q57_sql = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> len(x) > 0) AS ws
+  FROM documents),
+docs AS (SELECT doc_id, len(ws) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+toks AS (SELECT doc_id, unnest(ws) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('data', 'query', 'spark') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+parts AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS part
+  FROM tf JOIN docs d USING (doc_id) JOIN df USING (term) CROSS JOIN stats s),
+agg AS (SELECT doc_id, round(sum(part), 4) AS score FROM parts GROUP BY doc_id)
+SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _q58(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    injected = LazyFrame(
+        d._sdf.select(
+            F.col("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit(" ip 10.0.0."), (F.col("doc_id") % 250).cast("string")),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-000-1234")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+    )
+    return pii_metrics_frame(injected).spark
+
+
+_q58_sql = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' call 555-000-1234' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+FROM inj
+"""
+
+
+def _q59(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    right = ev.select(
+        col("event_id").alias("next_id"), col("user_id"), col("ts").alias("ts2"), col("value")
+    )
+    joined = range_join(
+        left,
+        right,
+        on="user_id",
+        left_anchor="ts",
+        right_anchor="ts2",
+        lower="0h",
+        upper="6h",
+        closed="right",  # (ts, ts + 6h]: strictly-after, inclusive upper
+        how="left",
+    )
+    out = joined.spark.groupBy("event_id").agg(
+        F.count("next_id").cast("long").alias("n_next"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("next_value"),
+    )
+    return out
+
+
+_q59_sql = """
+SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_next,
+       round(COALESCE(sum(b.value), 0), 2) AS next_value
+FROM events a LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+GROUP BY a.event_id
+"""
+
+
+def _q60(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        col("o_orderkey").alias("l_orderkey"), col("o_orderpriority")
+    )
+    joined = salted_join(li, o, on="l_orderkey", buckets=8)
+    out = (
+        joined.group_by("o_orderpriority")
+        .agg(
+            col("l_orderkey").len().cast("long").alias("n"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .sum()
+            .round(2)
+            .alias("revenue"),
+        )
+        .sort("o_orderpriority")
+    )
+    return out.spark
+
+
+_q60_sql = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q61(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev._sdf.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("__approx__"),
+        )
+        .withColumn(
+            "approx_ok",
+            (
+                F.abs(F.col("__approx__") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).cast("long"),
+        )
+        .drop("__approx__")
+        .orderBy("event_type")
+    )
+    return out
+
+
+_q61_sql = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q62(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
+    return sq8_recall_frame(e, q, k=5, min_recall=0.8).spark
+
+
+_q62_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id, i AS pos, v[i] AS val
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+st AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM x GROUP BY pos),
+dqx AS (SELECT vec_id, pos,
+               CASE WHEN mx > mn
+                    THEN mn + round((val - mn) / ((mx - mn) / 255), 0) * ((mx - mn) / 255)
+                    ELSE mn END AS dq
+        FROM x JOIN st USING (pos)),
+dqv AS (SELECT vec_id, list(dq ORDER BY pos) AS v FROM dqx GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+ap AS (SELECT q.query_id, c.vec_id AS corpus_id,
+              round(list_dot_product(q.qv, c.v) /
+                    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+       FROM q JOIN dqv c ON c.vec_id <> q.query_id),
+atop AS (SELECT query_id, corpus_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM ap)
+         WHERE rn <= 5),
+ex AS (SELECT q.query_id, c.vec_id AS corpus_id,
+              round(list_dot_product(q.qv, c.v) /
+                    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+       FROM q JOIN e c ON c.vec_id <> q.query_id),
+etop AS (SELECT query_id, corpus_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM ex)
+         WHERE rn <= 5),
+rec AS (SELECT a.query_id,
+               round(sum(CASE WHEN e2.corpus_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS recall
+        FROM atop a LEFT JOIN etop e2 USING (query_id, corpus_id)
+        GROUP BY a.query_id)
+SELECT query_id, recall, CAST(CASE WHEN recall >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS ok
+FROM rec
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1384,6 +1700,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dedup_clusters": _q51,
         "q52_ivf_topk": _q52,
         "q53_dedup_fuzzy": _q53,
+        "q54_gopher_quality": _q54,
+        "q55_repetition": _q55,
+        "q56_tfidf": _q56,
+        "q57_bm25": _q57,
+        "q58_pii_scrub": _q58,
+        "q59_range_join": _q59,
+        "q60_salted_join": _q60,
+        "q61_approx_distinct": _q61,
+        "q62_sq8_recall": _q62,
     }
 
 
@@ -1442,4 +1767,13 @@ def oracle_sql() -> dict[str, str]:
         "q53_dedup_fuzzy": _q53_sql,
         "q36_simhash": _q36_sql,
         "q38_lsh_topk": _q38_sql,
+        "q54_gopher_quality": _q54_sql,
+        "q55_repetition": _q55_sql,
+        "q56_tfidf": _q56_sql,
+        "q57_bm25": _q57_sql,
+        "q58_pii_scrub": _q58_sql,
+        "q59_range_join": _q59_sql,
+        "q60_salted_join": _q60_sql,
+        "q61_approx_distinct": _q61_sql,
+        "q62_sq8_recall": _q62_sql,
     }

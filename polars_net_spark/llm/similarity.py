@@ -637,8 +637,9 @@ def sq8_recall_frame(
                         round_to=round_to, method="expr")
     a = approx._sdf.select("query_id", "corpus_id")
     e = exact._sdf.select("query_id", "corpus_id").withColumn("__hit__", F.lit(1))
+    # the exact top-k side is |queries| x k rows — always broadcast-sized
     out = (
-        a.join(e, on=["query_id", "corpus_id"], how="left")
+        a.join(F.broadcast(e), on=["query_id", "corpus_id"], how="left")
         .groupBy("query_id")
         .agg(F.round(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("double") / k, round_to).alias("recall"))
         .withColumn("ok", (F.col("recall") >= min_recall).cast("long"))

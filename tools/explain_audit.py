@@ -67,6 +67,33 @@ CHECKS = {
         ("!", "CartesianProduct", "pair generation stays bucketed end-to-end"),
         ("LeftSemi", "canonical-doc filter is a semi join"),
     ],
+    "q55_repetition": [
+        ("partial_count", "n-gram counts combine map-side"),
+        ("!", "CartesianProduct", "top-gram join is keyed"),
+    ],
+    "q56_tfidf": [
+        ("BroadcastHashJoin", "df/N tables broadcast onto postings"),
+        ("partial_count", "term counts combine map-side"),
+    ],
+    "q57_bm25": [
+        ("BroadcastHashJoin", "df/avgdl broadcast onto postings"),
+        ("TakeOrderedAndProject", "top-k docs without full sort"),
+    ],
+    "q59_range_join": [
+        ("!", "CartesianProduct", "interval join runs on the equi key"),
+        ("!", "BroadcastNestedLoopJoin", "range predicate is residual, not the join"),
+    ],
+    "q60_salted_join": [
+        ("!", "CartesianProduct", "salted join stays an equi-join"),
+        ("partial_sum", "post-join agg combines map-side"),
+    ],
+    "q61_approx_distinct": [
+        ("partial_approx_count_distinct", "HLL sketch merges map-side"),
+    ],
+    "q62_sq8_recall": [
+        ("!", "CartesianProduct", "stats row broadcast, scoring keyed"),
+        ("BroadcastHashJoin", "approx-vs-exact recall join broadcasts the topk side"),
+    ],
 }
 
 
