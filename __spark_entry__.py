@@ -1642,6 +1642,71 @@ FROM rec
 """
 
 
+def _q63(spark, sf_dir):
+    """Multimodal plumbing, oracle-gated: payloads are constructed
+    deterministically (magic-number prefix + UTF-8 text bytes, nulls every
+    7th row), then the REAL operators run — Column-level mime sniffing
+    (attach_media_metadata) and the Arrow-batched mapInPandas feature
+    extractor (extract_image_features).  The oracle knows the expected
+    outputs by construction."""
+    from polars_net_spark.llm.multimodal import (
+        attach_media_metadata,
+        extract_image_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("FFD8"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("89504E47"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("47494638"))
+        .otherwise(F.lit("52494646"))
+    )
+    payload = F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("binary")).otherwise(
+        F.concat(F.unhex(magic), F.encode(F.col("text"), "UTF-8"))
+    )
+    media = d._sdf.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    meta = attach_media_metadata(media)._sdf.select("media_id", "sniffed_mime")
+    feats = extract_image_features(media)._sdf.select(
+        "media_id", "n_bytes", F.col("byte_histogram")
+    )
+    out = feats.join(meta, on="media_id").select(
+        F.col("media_id"),
+        F.col("n_bytes"),
+        F.col("sniffed_mime"),
+        F.col("byte_histogram")[2].alias("hist_2"),
+        F.col("byte_histogram")[6].alias("hist_6"),
+        F.col("byte_histogram")[7].alias("hist_7"),
+    )
+    return out
+
+
+# The text corpus is pure ASCII, so byte == codepoint for the text part and
+# the magic prefixes (nibbles 15,13 / 8,5,4,4 / 4,4,4,3 / 5,4,4,4) never land
+# in buckets 2/6/7 — the oracle adds only their length.
+_q63_sql = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, doc_id % 7 = 0 AS is_null, doc_id % 4 AS m
+  FROM documents),
+t AS (
+  SELECT media_id, is_null, m, strlen(text) AS tb,
+         list_transform(generate_series(1, strlen(text)),
+                        i -> ord(substr(text, i, 1)) // 16) AS nb
+  FROM base)
+SELECT media_id,
+  CAST(CASE WHEN is_null THEN 0
+            ELSE tb + CASE WHEN m = 0 THEN 2 ELSE 4 END END AS BIGINT) AS n_bytes,
+  CASE WHEN is_null THEN 'application/octet-stream'
+       WHEN m = 0 THEN 'image/jpeg'
+       WHEN m = 1 THEN 'image/png'
+       WHEN m = 2 THEN 'image/gif'
+       ELSE 'audio/wav' END AS sniffed_mime,
+  CAST(CASE WHEN is_null THEN 0 ELSE len(list_filter(nb, x -> x = 2)) END AS BIGINT) AS hist_2,
+  CAST(CASE WHEN is_null THEN 0 ELSE len(list_filter(nb, x -> x = 6)) END AS BIGINT) AS hist_6,
+  CAST(CASE WHEN is_null THEN 0 ELSE len(list_filter(nb, x -> x = 7)) END AS BIGINT) AS hist_7
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1709,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_salted_join": _q60,
         "q61_approx_distinct": _q61,
         "q62_sq8_recall": _q62,
+        "q63_multimodal": _q63,
     }
 
 
@@ -1776,4 +1842,5 @@ def oracle_sql() -> dict[str, str]:
         "q60_salted_join": _q60_sql,
         "q61_approx_distinct": _q61_sql,
         "q62_sq8_recall": _q62_sql,
+        "q63_multimodal": _q63_sql,
     }
