@@ -61,6 +61,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 3),
                 "sf": sf,
             }
         )

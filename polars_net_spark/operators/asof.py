@@ -15,8 +15,18 @@ right rows, union them on (by, time), then ``last(right_value, ignorenulls)``
 over a window partitioned by ``by`` ordered by (time, side).  One shuffle on
 (by, time), no row explosion — at 100 TB this beats a range join because the
 right side is never duplicated per left row and skew follows the ``by`` keys,
-which AQE handles.  Without ``by`` the window is a single partition: callers
-should supply ``by`` at scale (polars has the same sequential constraint).
+which AQE handles.
+
+Without ``by`` the window has no natural partition key.  Pass
+``range_buckets=N`` to enable the scale path: rows are range-bucketed on
+approx-quantile time boundaries (computed in-plan, no driver action), each
+bucket receives at most one injected "carrier" row per direction — the last
+right row from all earlier buckets (backward) / the first right row from all
+later buckets (forward) — and the window partitions by bucket.  Result is
+row-identical to the single-window semantics (tested against it), but the
+sort parallelizes across N buckets instead of one task.  Default
+(``range_buckets=None``) keeps the sequential single-partition behavior,
+matching polars' own constraint.
 """
 
 from __future__ import annotations
@@ -45,6 +55,75 @@ def _tolerance_micros(tolerance, on_is_timestamp: bool):
     return tolerance  # numeric 'on' column: tolerance in the column's own units
 
 
+def _range_bucketize(unioned, num_buckets: int, strategy: str):
+    """Scale path for asof without ``by``: assign every union row a range
+    bucket from approx-quantile boundaries of the RIGHT side's times
+    (computed inside the plan — no driver action), then inject per-bucket
+    carrier rows so cross-boundary matches survive:
+
+    - backward: each bucket gets the last right row from all earlier buckets
+    - forward:  each bucket gets the first right row from all later buckets
+
+    Carrier t is provably outside the bucket's own time range (bucket(t) is
+    monotone in t), so tie-order semantics inside the bucket are untouched.
+    The carrier computation runs on ≤ num_buckets rows (per-bucket extremes),
+    so its single-partition window is bounded by construction."""
+    fracs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = (
+        unioned.filter(F.col(_SIDE) == 0)
+        .agg(F.percentile_approx("__t__", fracs, 10_000).alias("__bounds__"))
+    )
+    u = unioned.crossJoin(F.broadcast(bounds))
+    bucket = F.coalesce(
+        F.size(F.filter(F.col("__bounds__"), lambda x: x <= F.col("__t__"))),
+        F.lit(0),
+    )
+    u = u.withColumn("__bkt__", bucket).drop("__bounds__")
+    left_struct_t = u.schema[_LEFT_COLS].dataType
+
+    rights = u.filter(F.col(_SIDE) == 0)
+    all_b = u.select("__bkt__").distinct()
+    carriers = []
+    if strategy in ("backward", "nearest"):
+        per_b = rights.groupBy("__bkt__").agg(
+            F.max_by(
+                F.struct(F.col(_RIGHT_VAL), F.col(_RIGHT_T), F.col("__t__")),
+                F.col("__t__"),
+            ).alias("__s__")
+        )
+        w = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+        carriers.append(
+            all_b.join(per_b, "__bkt__", "left")
+            .withColumn("__c__", F.last("__s__", ignorenulls=True).over(w))
+            .filter(F.col("__c__").isNotNull())
+        )
+    if strategy in ("forward", "nearest"):
+        per_b = rights.groupBy("__bkt__").agg(
+            F.min_by(
+                F.struct(F.col(_RIGHT_VAL), F.col(_RIGHT_T), F.col("__t__")),
+                F.col("__t__"),
+            ).alias("__s__")
+        )
+        w = Window.orderBy("__bkt__").rowsBetween(1, Window.unboundedFollowing)
+        carriers.append(
+            all_b.join(per_b, "__bkt__", "left")
+            .withColumn("__c__", F.first("__s__", ignorenulls=True).over(w))
+            .filter(F.col("__c__").isNotNull())
+        )
+    for c in carriers:
+        rows = c.select(
+            F.col("__c__").getField("__t__").alias("__t__"),
+            F.col("__c__").getField(_RIGHT_VAL).alias(_RIGHT_VAL),
+            F.col("__c__").getField(_RIGHT_T).alias(_RIGHT_T),
+            F.lit(0).alias(_SIDE),
+            F.lit(None).cast("long").alias("__lid__"),
+            F.lit(None).cast(left_struct_t).alias(_LEFT_COLS),
+            F.col("__bkt__"),
+        )
+        u = u.unionByName(rows.select(u.columns))
+    return u
+
+
 def join_asof(
     left: LazyFrame,
     right: LazyFrame,
@@ -58,6 +137,7 @@ def join_asof(
     tolerance=None,
     suffix: str = "_right",
     allow_exact_matches: bool = True,
+    range_buckets: int | None = None,
 ) -> LazyFrame:
     lon = left_on or on
     ron = right_on or on
@@ -103,6 +183,10 @@ def join_asof(
     unioned = l_prep.unionByName(r_prep)
 
     by_cols = [F.col(f"__by{i}__") for i in range(len(by_l))]
+
+    if range_buckets and not by_cols:
+        unioned = _range_bucketize(unioned, range_buckets, strategy)
+        by_cols = [F.col("__bkt__")]
 
     # side order: for allow_eq, right rows at equal t must sort BEFORE left in
     # backward (so last() sees them) and AFTER left in forward (so first() sees them)
