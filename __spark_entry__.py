@@ -1707,6 +1707,37 @@ FROM t
 """
 
 
+def _q64(spark, sf_dir):
+    from polars_net_spark.llm import kfold_by_hash, split_by_hash
+
+    d = _t(spark, sf_dir, "documents").select(col("doc_id"))
+    out = kfold_by_hash(split_by_hash(d, "doc_id", salt="r2"), "doc_id", k=5)
+    return out.spark
+
+
+# md5-based bucket replicated via hex-digit fold (strpos-1 per digit)
+_q64_sql = """
+WITH h AS (
+  SELECT doc_id,
+         md5('r2' || CAST(doc_id AS VARCHAR)) AS hs,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents),
+b AS (
+  SELECT doc_id,
+    list_reduce(list_transform(generate_series(1, 8),
+                i -> strpos('0123456789abcdef', substr(hs, i, 1)) - 1),
+                (a, x) -> a * 16 + x) % 10000 AS bs,
+    list_reduce(list_transform(generate_series(1, 8),
+                i -> strpos('0123456789abcdef', substr(hk, i, 1)) - 1),
+                (a, x) -> a * 16 + x) % 10000 AS bk
+  FROM h)
+SELECT doc_id,
+  CASE WHEN bs < 9000 THEN 'train' WHEN bs < 9500 THEN 'val' ELSE 'test' END AS split,
+  CAST(bk % 5 AS BIGINT) AS fold
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1775,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_approx_distinct": _q61,
         "q62_sq8_recall": _q62,
         "q63_multimodal": _q63,
+        "q64_hash_splits": _q64,
     }
 
 
@@ -1843,4 +1875,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_approx_distinct": _q61_sql,
         "q62_sq8_recall": _q62_sql,
         "q63_multimodal": _q63_sql,
+        "q64_hash_splits": _q64_sql,
     }

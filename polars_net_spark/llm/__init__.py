@@ -31,8 +31,12 @@ from .quality import (
     pii_metrics_frame,
 )
 from .retrieval import tfidf_top_terms, bm25_topk
+from .splits import hash_bucket, split_by_hash, kfold_by_hash
 
 __all__ = [
+    "hash_bucket",
+    "split_by_hash",
+    "kfold_by_hash",
     "gopher_quality_frame",
     "repetition_metrics_frame",
     "pii_metrics_frame",

@@ -1,0 +1,86 @@
+"""Deterministic dataset splitting for training pipelines.
+
+Reproducible splits are a correctness feature at 100 TB: random sampling
+(`sample_frac`) changes between runs and between executors, so train/test
+membership must instead be a pure function of a stable key.  These operators
+hash the key with md5 (engine-portable, so the DuckDB oracle can replicate
+the assignment bit-for-bit), reduce the first 8 hex digits to a bucket, and
+map buckets to named splits / folds.
+
+Map-only Column expressions — no shuffle, no RNG state, no Python.  A row's
+split never changes when the corpus grows, is re-partitioned, or is
+re-processed on a different cluster — the property that matters for
+leak-free train/eval separation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "split_by_hash", "kfold_by_hash"]
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "", num_buckets: int = _BUCKETS) -> Column:
+    """Deterministic bucket in [0, num_buckets): md5 of (salt || key-as-string),
+    first 8 hex digits as an integer, mod num_buckets.  Portable across
+    engines (md5 + base-16 conversion only)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    val = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return F.pmod(val, F.lit(num_buckets))
+
+
+def split_by_hash(
+    frame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+):
+    """Assign every row a named split ('train'/'val'/'test' by default) from
+    a hash of ``key_col``.  Weights are fractions summing to ~1; boundaries
+    are integer bucket thresholds so the assignment is exact and replicable.
+    """
+    from ..frame import LazyFrame
+
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    bucket = hash_bucket(F.col(key_col), salt=salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        bound = int(round(cum * _BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return LazyFrame(sdf.withColumn(split_col, expr))
+
+
+def kfold_by_hash(
+    frame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "",
+    fold_col: str = "fold",
+):
+    """Assign every row a fold id in [0, k) from the same portable hash —
+    cross-validation folds that are stable across runs and engines."""
+    from ..frame import LazyFrame
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    fold = F.pmod(hash_bucket(F.col(key_col), salt=salt), F.lit(k)).cast("long")
+    return LazyFrame(sdf.withColumn(fold_col, fold))

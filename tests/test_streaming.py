@@ -153,3 +153,41 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     _await(q)
     rows = spark.sql("SELECT user, v FROM dedup_wm_out").collect()
     assert sorted((r["user"], r["v"]) for r in rows) == [("a", 1.0), ("b", 2.0)]
+
+
+def test_stream_quality_filter_and_split(spark, tmp_path):
+    """Corpus-quality rules and hash splits are pure Column expressions, so
+    they compose with Structured Streaming unchanged: stream in documents,
+    gate on the Gopher verdict, assign stable splits, sink."""
+    from polars_net_spark.llm import gopher_quality_frame, split_by_hash
+    from polars_net_spark.streaming import StreamingFrame
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    src = str(tmp_path / "docs_src")
+    good = "the cat sat on the mat and that was that with the hat of it again"
+    spark.createDataFrame(
+        [(0, good), (1, "spark spark spark"), (2, good + " twice over now")],
+        doc_schema,
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    gated = gopher_quality_frame(stream, min_words=5, min_stop_hits=2)._sdf.filter(
+        F.col("passes")
+    )
+    labeled = split_by_hash(gated.select("doc_id"), "doc_id")._sdf
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("quality_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = {r["doc_id"]: r["split"] for r in spark.sql("SELECT * FROM quality_stream_out").collect()}
+    assert set(rows) == {0, 2}  # doc 1 fails the stopword rule
+    assert all(s in ("train", "val", "test") for s in rows.values())
