@@ -1738,6 +1738,64 @@ FROM b
 """
 
 
+def _q65(spark, sf_dir):
+    from polars_net_spark.llm import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=32, overlap=8).spark
+
+
+_q65_sql = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> len(x) > 0) AS ws
+  FROM documents),
+n AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+c AS (SELECT doc_id, ws, n,
+             unnest(generate_series(0, (1 + (greatest(n - 32, 0) + 23) // 24) - 1)) AS chunk_id
+      FROM n)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk
+FROM c
+"""
+
+
+def _q66(spark, sf_dir):
+    from polars_net_spark.llm import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        col("doc_id"),
+        pls.Expr(token_count(F.col("text"))).cast("i64").alias("n_tokens"),
+    )
+    return pack_sequences(sized, budget=256, num_buckets=16).spark
+
+
+_q66_sql = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         list_reduce(list_transform(generate_series(1, 8),
+                     i -> strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+                     (a, x) -> a * 16 + x) % 10000 % 16 AS bucket
+  FROM t),
+c AS (
+  SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM b)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, bucket, cum_tokens,
+       CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1807,6 +1865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_sq8_recall": _q62,
         "q63_multimodal": _q63,
         "q64_hash_splits": _q64,
+        "q65_chunking": _q65,
+        "q66_seq_packing": _q66,
     }
 
 
@@ -1876,4 +1936,6 @@ def oracle_sql() -> dict[str, str]:
         "q62_sq8_recall": _q62_sql,
         "q63_multimodal": _q63_sql,
         "q64_hash_splits": _q64_sql,
+        "q65_chunking": _q65_sql,
+        "q66_seq_packing": _q66_sql,
     }

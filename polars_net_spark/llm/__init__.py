@@ -32,8 +32,11 @@ from .quality import (
 )
 from .retrieval import tfidf_top_terms, bm25_topk
 from .splits import hash_bucket, split_by_hash, kfold_by_hash
+from .chunking import chunk_documents, pack_sequences
 
 __all__ = [
+    "chunk_documents",
+    "pack_sequences",
     "hash_bucket",
     "split_by_hash",
     "kfold_by_hash",

@@ -1,0 +1,110 @@
+"""Document chunking and sequence packing for training pipelines.
+
+- :func:`chunk_documents`: split each document into overlapping fixed-size
+  token windows (the pre-tokenizer step before embedding or sequence
+  training).  Pure map-side explode — one scan, no shuffle, chunk count
+  derives from a closed-form formula so the DuckDB oracle replicates it
+  exactly.
+
+- :func:`pack_sequences`: assign documents to fixed-token-budget packs
+  (sequence packing for training efficiency).  True first-fit packing is
+  sequential; this is the scalable deterministic variant: documents are
+  hashed into ``num_buckets`` independent streams (portable md5 bucket, so
+  membership is reproducible anywhere), and each stream packs greedily in
+  doc-id order via one cumulative-sum window partitioned by bucket.  A
+  document straddling a boundary overflows its pack (packs may exceed the
+  budget by at most one document's tokens) — the standard approximation that
+  keeps the operator a single windowed pass instead of an iterative
+  bin-packer.  One shuffle keyed by bucket; parallelism = num_buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .splits import hash_bucket
+
+__all__ = ["chunk_documents", "pack_sequences"]
+
+
+def chunk_documents(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 0,
+):
+    """Explode each document into whitespace-token windows of ``size`` tokens
+    with ``overlap`` tokens shared between consecutive chunks.
+
+    Output: (id, chunk_id, n_tokens, chunk).  Empty/blank documents produce
+    no chunks.  The final chunk may be shorter than ``size``.
+    n_chunks = 1 + ceil(max(n - size, 0) / stride), stride = size - overlap.
+    """
+    from ..frame import LazyFrame
+
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not 0 <= overlap < size:
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
+    stride = size - overlap
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.filter(words, lambda w: F.length(w) > 0)
+    base = sdf.select(F.col(id_col), words.alias("__ws__"))
+    n = F.size("__ws__")
+    # ceil((n - size)+ / stride) via integer arithmetic, identical in SQL
+    n_chunks = 1 + (
+        (F.greatest(n - size, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("long")
+    chunk_ids = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("__ws__"), F.explode(chunk_ids).alias("chunk_id")
+    )
+    piece = F.slice(F.col("__ws__"), (F.col("chunk_id") * stride + 1).cast("int"), size)
+    out = exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+    return LazyFrame(out)
+
+
+def pack_sequences(
+    frame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    num_buckets: int = 1024,
+    salt: str = "",
+):
+    """Greedy deterministic sequence packing: documents are split into
+    ``num_buckets`` md5-hashed streams; within a stream (ordered by id) the
+    running token total assigns each doc to pack floor((cum - tokens)/budget).
+
+    Output adds (bucket, pack_id, cum_tokens); global pack identity is the
+    (bucket, pack_id) pair.  Deterministic across runs/engines/cluster
+    layouts; one bucket-keyed shuffle."""
+    from ..frame import LazyFrame
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    b = F.pmod(hash_bucket(F.col(id_col), salt=salt), F.lit(num_buckets))
+    staged = sdf.withColumn("bucket", b.cast("long"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    out = staged.withColumn("cum_tokens", cum.cast("long")).withColumn(
+        "pack_id",
+        ((F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )
+    return LazyFrame(out)

@@ -1,0 +1,63 @@
+"""Document chunking and deterministic sequence packing."""
+
+import polars_net_spark as pl
+from polars_net_spark.llm import chunk_documents, pack_sequences
+
+
+def test_chunk_exact_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    d = pl.from_records([(1, text)], ["doc_id", "text"]).lazy()
+    out = sorted(chunk_documents(d, size=4, overlap=1).collect().rows())
+    # stride 3: starts at 0,3,6,9 -> n_chunks = 1 + ceil(6/3) = 3
+    assert [(r[1], r[2]) for r in out] == [(0, 4), (1, 4), (2, 4)]
+    assert out[0][3] == "w0 w1 w2 w3"
+    assert out[1][3] == "w3 w4 w5 w6"
+    assert out[2][3] == "w6 w7 w8 w9"
+
+
+def test_chunk_short_and_empty_docs(spark):
+    d = pl.from_records(
+        [(1, "a b c"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    ).lazy()
+    out = chunk_documents(d, size=8).collect().rows()
+    assert len(out) == 1  # blank docs emit nothing
+    assert out[0][0] == 1 and out[0][2] == 3 and out[0][3] == "a b c"
+
+
+def test_chunk_tail_shorter(spark):
+    text = " ".join(str(i) for i in range(7))
+    d = pl.from_records([(1, text)], ["doc_id", "text"]).lazy()
+    out = sorted(chunk_documents(d, size=4, overlap=0).collect().rows())
+    assert [(r[1], r[2]) for r in out] == [(0, 4), (1, 3)]
+
+
+def test_chunk_coverage_reconstructs_doc(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    d = pl.from_records([(1, text)], ["doc_id", "text"]).lazy()
+    out = sorted(chunk_documents(d, size=16, overlap=4).collect().rows())
+    stride = 12
+    seen = []
+    for cid, (_, chunk_id, _, chunk) in enumerate(out):
+        assert chunk_id == cid
+        toks = chunk.split(" ")
+        start = cid * stride
+        assert toks == [f"t{i}" for i in range(start, min(start + 16, 100))]
+        seen.extend(toks[: stride] if cid < len(out) - 1 else toks)
+    assert seen == [f"t{i}" for i in range(100)]
+
+
+def test_pack_sequences_deterministic_and_bounded(spark):
+    rows = [(i, 100 + (i * 37) % 400) for i in range(300)]
+    d = pl.from_records(rows, ["doc_id", "n_tokens"]).lazy()
+    out = pack_sequences(d, budget=1000, num_buckets=8).collect()
+    assert out.height == 300
+    again = pack_sequences(d, budget=1000, num_buckets=8).collect()
+    assert sorted(out.rows()) == sorted(again.rows())
+    # per (bucket, pack): tokens minus the last doc must stay under budget
+    packs = {}
+    for doc_id, n_tokens, bucket, cum, pack in sorted(out.rows()):
+        packs.setdefault((bucket, pack), []).append(n_tokens)
+        assert pack == (cum - n_tokens) // 1000
+    for toks in packs.values():
+        assert sum(toks) - toks[-1] < 1000  # overflow bounded by one doc
+    assert len(packs) > 30  # actually packs into many groups

@@ -94,6 +94,13 @@ CHECKS = {
         ("!", "CartesianProduct", "stats row broadcast, scoring keyed"),
         ("BroadcastHashJoin", "approx-vs-exact recall join broadcasts the topk side"),
     ],
+    "q65_chunking": [
+        ("!", "Exchange hashpartitioning", "chunk explode is map-only, zero shuffles"),
+    ],
+    "q66_seq_packing": [
+        ("Exchange hashpartitioning(bucket", "packing shuffles once, keyed by bucket"),
+        ("RowFrame, unboundedpreceding$(), currentrow$()", "cumulative frame, no full-partition buffer"),
+    ],
 }
 
 
