@@ -1,0 +1,82 @@
+"""End-to-end training-corpus preparation: the full round-2 operator chain in
+one pipeline — quality gate → PII scrub → fuzzy dedup → chunk → pack → split.
+
+This is the shape of a real 100 TB pretraining-data job: every stage is a
+DataFrame transformation (map-only where possible, one keyed shuffle where
+not), so the whole pipeline is a single lazy plan per sink and scales with
+the cluster, not the driver.
+
+Run: python examples/training_corpus_pipeline.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import polars_net_spark as pl
+from polars_net_spark import col, release_caches
+from polars_net_spark.llm import (
+    chunk_documents,
+    dedup_fuzzy,
+    gopher_quality_frame,
+    pack_sequences,
+    pii_metrics_frame,
+    split_by_hash,
+    token_count,
+)
+import pyspark.sql.functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = pl.get_spark(app_name="example_training_corpus")
+
+    docs = pl.scan_parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. quality gate: Gopher-style heuristics, keep passing docs
+    quality = gopher_quality_frame(docs, min_words=20, min_stop_hits=1)
+    keep_ids = quality.filter(col("passes")).select(col("doc_id"))
+    gated = docs.join(keep_ids, on="doc_id", how="semi")
+    print("after quality gate:", gated.collect().height, "docs")
+
+    # 2. PII scrub: redact emails/phones/IPs in place
+    scrubbed = pii_metrics_frame(gated).select(col("doc_id"), col("redacted"))
+    clean = gated.drop("text").join(scrubbed, on="doc_id").rename({"redacted": "text"})
+
+    # 3. near-dup removal: minhash candidates -> exact verify -> components ->
+    #    keep the lowest-id doc per cluster
+    canonical = dedup_fuzzy(clean, method="minhash", threshold=0.5, n=3,
+                            num_hashes=64, bands=16)
+    print("after fuzzy dedup:", canonical.collect().height, "docs")
+
+    # 4. chunk into overlapping token windows (the tokenizer-feed unit)
+    chunks = chunk_documents(canonical, size=64, overlap=8)
+
+    # 5. pack chunks into fixed token budgets (training sequences)
+    sized = chunks.select(
+        (col("doc_id") * 10_000 + col("chunk_id")).alias("chunk_key"),
+        col("n_tokens"),
+    )
+    packed = pack_sequences(sized, id_col="chunk_key", budget=256, num_buckets=64)
+
+    # 6. stable train/val/test split, keyed on the ORIGINAL doc id so all of
+    #    a document's chunks land in the same split (no eval leakage)
+    labeled = split_by_hash(
+        chunks.with_columns((col("doc_id")).alias("split_key")),
+        "split_key",
+    )
+    dist = (
+        labeled.spark.groupBy("split")
+        .agg(F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens"))
+        .orderBy("split")
+    )
+    print("split distribution:")
+    for r in dist.collect():
+        print(f"  {r['split']}: {r['chunks']} chunks, {int(r['tokens'])} tokens")
+    n_packs = packed.spark.select("bucket", "pack_id").distinct().count()
+    print("packs:", n_packs)
+    release_caches()
+
+
+if __name__ == "__main__":
+    main()

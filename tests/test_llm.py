@@ -401,3 +401,40 @@ def test_kmeans_refined_ivf_recall(spark):
     # embeddings are label-clustered: a 3-round Lloyd quantizer at nprobe=2/8
     # must capture most true neighbours
     assert recall >= 0.6, recall
+
+
+def test_dedup_clusters_driver_path_matches_distributed(spark):
+    """The small-graph union-find shortcut must produce exactly the
+    distributed fixpoint's labels (min reachable id), including singletons,
+    chains, and vertex filtering."""
+    from polars_net_spark.llm import dedup_clusters
+
+    # chain 1-2-3-4, pair (10,11), singleton 20, edge endpoint 99 outside verts
+    pairs = pl.from_records(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (4, 99)], ["id_a", "id_b"]
+    ).lazy()
+    verts = pl.from_records(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], ["doc_id"]
+    ).lazy()
+    fast = sorted(
+        dedup_clusters(pairs, vertices=verts, vertex_id="doc_id").collect().rows()
+    )
+    slow = sorted(
+        dedup_clusters(
+            pairs, vertices=verts, vertex_id="doc_id", driver_threshold=0
+        ).collect().rows()
+    )
+    assert fast == slow
+    assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)]
+
+
+def test_dedup_fuzzy_driver_and_distributed_agree(spark):
+    from polars_net_spark.llm import dedup_fuzzy
+
+    d = docs(spark).lazy()
+    fast = sorted(r[0] for r in dedup_fuzzy(d, threshold=0.5).collect().rows())
+    slow = sorted(
+        r[0]
+        for r in dedup_fuzzy(d, threshold=0.5, driver_threshold=0).collect().rows()
+    )
+    assert fast == slow
