@@ -1742,7 +1742,7 @@ def _q65(spark, sf_dir):
     from polars_net_spark.llm import chunk_documents
 
     d = _t(spark, sf_dir, "documents")
-    return chunk_documents(d, size=32, overlap=8).spark
+    return chunk_documents(d, size=32, overlap=8, lowercase=True).spark
 
 
 _q65_sql = r"""
@@ -1783,7 +1783,7 @@ b AS (
          list_reduce(list_transform(generate_series(1, 8),
                      i -> strpos('0123456789abcdef',
                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1),
-                     (a, x) -> a * 16 + x) % 10000 % 16 AS bucket
+                     (a, x) -> a * 16 + x) % 16 AS bucket
   FROM t),
 c AS (
   SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,

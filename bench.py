@@ -53,7 +53,8 @@ def main() -> None:
             # query's cached blocks never skew the next query's memory budget
             release_caches()
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    ok_timings = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok_timings), 3)
     print(
         json.dumps(
             {
@@ -62,7 +63,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
-                "sec_per_query": round(total / max(len(timings), 1), 3),
+                "n_failed": len(timings) - len(ok_timings),
+                "sec_per_query": round(total / max(len(ok_timings), 1), 3),
                 "sf": sf,
             }
         )

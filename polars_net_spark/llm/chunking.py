@@ -34,6 +34,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     size: int = 512,
     overlap: int = 0,
+    lowercase: bool = False,
 ):
     """Explode each document into whitespace-token windows of ``size`` tokens
     with ``overlap`` tokens shared between consecutive chunks.
@@ -41,6 +42,7 @@ def chunk_documents(
     Output: (id, chunk_id, n_tokens, chunk).  Empty/blank documents produce
     no chunks.  The final chunk may be shorter than ``size``.
     n_chunks = 1 + ceil(max(n - size, 0) / stride), stride = size - overlap.
+    Chunk text preserves the original casing unless ``lowercase=True``.
     """
     from ..frame import LazyFrame
 
@@ -51,7 +53,10 @@ def chunk_documents(
     stride = size - overlap
 
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    text = F.trim(F.col(text_col))
+    if lowercase:
+        text = F.lower(text)
+    words = F.split(text, r"\s+")
     words = F.filter(words, lambda w: F.length(w) > 0)
     base = sdf.select(F.col(id_col), words.alias("__ws__"))
     n = F.size("__ws__")
@@ -95,7 +100,7 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
-    b = F.pmod(hash_bucket(F.col(id_col), salt=salt), F.lit(num_buckets))
+    b = hash_bucket(F.col(id_col), salt=salt, num_buckets=num_buckets)
     staged = sdf.withColumn("bucket", b.cast("long"))
     w = (
         Window.partitionBy("bucket")

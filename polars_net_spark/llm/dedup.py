@@ -615,9 +615,12 @@ def dedup_clusters(
 
     ``driver_threshold``: near-dup edge lists are typically minuscule next to
     the corpus (the expensive part was finding them), and the iterative
-    fixpoint pays ~6 Spark jobs per round in fixed overhead.  When a BOUNDED
-    probe (``limit(threshold+1).count()`` on the deduped directed pair list —
-    never a full scan) shows at most ``driver_threshold`` edges, the
+    fixpoint pays ~6 Spark jobs per round in fixed overhead.  The strategy
+    probe is one ``count()`` of the cached candidate-generation output —
+    which BOTH strategies must fully materialize anyway, so no extra scan
+    happens (a limit-bounded probe is strictly worse here: CollectLimit's
+    incremental partition scanning re-runs the expensive upstream stages).
+    When the count is at most ``2 * driver_threshold`` directed edges, the
     components are solved with a driver-side union-find over one collect —
     identical output (min reachable id), one job instead of rounds.  Above
     the threshold the distributed fixpoint runs unchanged.  Set

@@ -82,5 +82,5 @@ def kfold_by_hash(
     if k < 2:
         raise ValueError("k must be >= 2")
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
-    fold = F.pmod(hash_bucket(F.col(key_col), salt=salt), F.lit(k)).cast("long")
+    fold = hash_bucket(F.col(key_col), salt=salt, num_buckets=k).cast("long")
     return LazyFrame(sdf.withColumn(fold_col, fold))
