@@ -98,3 +98,98 @@ def test_dedup_exact_idempotent(spark, texts):
     once = dedup_exact(docs.lazy()).collect()
     twice = dedup_exact(once.lazy()).collect()
     assert once.height == twice.height <= docs.height
+
+
+# --- round-2 operators -------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.text(alphabet="ab X.#\n-", min_size=0, max_size=40),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(rows=docs_strategy)
+def test_chunking_reconstructs_tokens(spark, rows):
+    """Concatenating chunk tokens (dropping each chunk's overlap prefix after
+    the first) must reproduce the document's token stream exactly."""
+    from polars_net_spark.llm import chunk_documents
+
+    df = pl.from_records(rows, "doc_id long, text string")
+    out = chunk_documents(df.lazy(), size=5, overlap=2).collect().rows()
+    per_doc = {}
+    for doc_id, chunk_id, _, chunk in sorted(out):
+        toks = chunk.split(" ") if chunk else []
+        prev = per_doc.setdefault(doc_id, [])
+        prev.extend(toks if chunk_id == 0 else toks[2:])
+    for doc_id, text in rows:
+        expect = [w for w in text.split() if w]
+        assert per_doc.get(doc_id, []) == expect
+
+
+@settings(**SETTINGS)
+@given(rows=docs_strategy)
+def test_gopher_metrics_bounded(spark, rows):
+    """All fraction metrics stay in [0,1]; counts are non-negative; no nulls."""
+    from polars_net_spark.llm import gopher_quality_frame
+
+    df = pl.from_records(rows, "doc_id long, text string")
+    out = gopher_quality_frame(df.lazy(), min_words=1).collect().rows()
+    assert len(out) == len(rows)
+    for r in out:
+        _, n_words, mwl, sym, bullet, ellipsis, alpha, stops, _ = r
+        assert n_words >= 0 and stops >= 0 and mwl >= 0 and sym >= 0
+        for frac in (bullet, ellipsis, alpha):
+            assert 0.0 <= frac <= 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    buckets=st.integers(min_value=1, max_value=4),
+)
+def test_salted_join_always_matches_plain(spark, rows, buckets):
+    from polars_net_spark.operators.joins_ext import salted_join
+
+    left = pl.from_records(rows, "k long, v long").lazy()
+    right = pl.from_records(
+        [(k, f"n{k}") for k in {r[0] for r in rows} if k % 2 == 0] or [(999, "x")],
+        "k long, name string",
+    ).lazy()
+    for how in ("inner", "left"):
+        plain = sorted(left.join(right, on="k", how=how).collect().rows(), key=str)
+        salted = sorted(
+            salted_join(left, right, on="k", buckets=buckets, how=how).collect().rows(),
+            key=str,
+        )
+        assert salted == plain
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_split_partitions_every_row_exactly_once(spark, rows):
+    from polars_net_spark.llm import split_by_hash
+
+    df = pl.from_records(rows, "doc_id long").lazy()
+    out = split_by_hash(df, "doc_id").collect().rows()
+    assert len(out) == len(rows)
+    assert all(r[1] in ("train", "val", "test") for r in out)
