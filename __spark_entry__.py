@@ -1796,6 +1796,124 @@ FROM c
 """
 
 
+def _q67(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the eval
+    benchmark; per-doc 3-gram overlap fraction against the broadcast
+    benchmark gram set flags contaminated training documents."""
+    from polars_net_spark.llm import contamination_frame
+
+    d = _t(spark, sf_dir, "documents")
+    bench = LazyFrame(d._sdf.filter(F.col("doc_id") % 97 == 0))
+    return contamination_frame(d, bench, n=3, threshold=0.5).spark
+
+
+_q67_sql = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+              ELSE [] END AS grams
+  FROM w),
+g AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM d WHERE len(grams) > 0),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+m AS (SELECT g.doc_id, max(g.n_grams) AS n_grams,
+             sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+      FROM g LEFT JOIN bg ON g.gram = bg.gram GROUP BY g.doc_id),
+alln AS (
+  SELECT doc_id, n_grams, n_matched FROM m
+  UNION ALL
+  SELECT doc_id, 0, 0 FROM d WHERE len(grams) = 0),
+f AS (SELECT doc_id, n_grams, n_matched,
+             round(CASE WHEN n_grams > 0 THEN n_matched::DOUBLE / n_grams
+                        ELSE 0 END, 6) AS overlap_frac
+      FROM alln)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_matched AS BIGINT) AS n_matched, overlap_frac,
+       CAST(CASE WHEN overlap_frac >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM f
+"""
+
+
+def _q68(spark, sf_dir):
+    """Per-source document cap (max 10 per source by n_chars desc), routed
+    through the skew-safe salted two-phase plan."""
+    from polars_net_spark.llm import cap_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_per_key(
+        d, "source", 10, order_by="n_chars", tie_col="doc_id", salt_buckets=8
+    )
+    return out.select(col("doc_id"), col("source"), col("n_chars")).spark
+
+
+_q68_sql = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+def _q69(spark, sf_dir):
+    """Deterministic stratified sample: 50% of en, 25% of de, 10% of every
+    other language — membership a pure md5 function of (salt, doc_id)."""
+    from polars_net_spark.llm import sample_stratified_hash
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_stratified_hash(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1, salt="r2s"
+    )
+    return out.select(col("doc_id"), col("lang")).spark
+
+
+_q69_sql = """
+WITH b AS (
+  SELECT doc_id, lang,
+    list_reduce(list_transform(generate_series(1, 8),
+                i -> strpos('0123456789abcdef',
+                            substr(md5('r2s' || CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+                (a, x) -> a * 16 + x) % 10000 AS bk
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+"""
+
+
+def _q70(spark, sf_dir):
+    """Out-of-vocabulary rate against the corpus's own top-200 word
+    vocabulary (frequency desc, word asc — fully deterministic)."""
+    from polars_net_spark.llm import oov_rate_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate_frame(d, vocab_size=200).spark
+
+
+_q70_sql = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> len(x) > 0) AS ws
+  FROM documents),
+e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+v AS (SELECT word FROM (
+        SELECT word, count(*) AS c FROM e GROUP BY word
+        ORDER BY c DESC, word LIMIT 200)),
+m AS (SELECT e.doc_id, count(*) AS n_words,
+             sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM e LEFT JOIN v ON e.word = v.word GROUP BY e.doc_id),
+alln AS (
+  SELECT doc_id, n_words, n_oov FROM m
+  UNION ALL
+  SELECT doc_id, 0, 0 FROM w WHERE len(ws) = 0)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_oov AS BIGINT) AS n_oov,
+       round(CASE WHEN n_words > 0 THEN n_oov::DOUBLE / n_words ELSE 0 END, 6) AS oov_frac
+FROM alln
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1867,6 +1985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_hash_splits": _q64,
         "q65_chunking": _q65,
         "q66_seq_packing": _q66,
+        "q67_decontam": _q67,
+        "q68_source_cap": _q68,
+        "q69_stratified_sample": _q69,
+        "q70_oov_rate": _q70,
     }
 
 
@@ -1938,4 +2060,8 @@ def oracle_sql() -> dict[str, str]:
         "q64_hash_splits": _q64_sql,
         "q65_chunking": _q65_sql,
         "q66_seq_packing": _q66_sql,
+        "q67_decontam": _q67_sql,
+        "q68_source_cap": _q68_sql,
+        "q69_stratified_sample": _q69_sql,
+        "q70_oov_rate": _q70_sql,
     }

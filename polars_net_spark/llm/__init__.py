@@ -33,10 +33,16 @@ from .quality import (
 from .retrieval import tfidf_top_terms, bm25_topk
 from .splits import hash_bucket, split_by_hash, kfold_by_hash
 from .chunking import chunk_documents, pack_sequences
+from .decontam import contamination_frame, oov_rate_frame
+from .sampling import cap_per_key, sample_stratified_hash
 
 __all__ = [
     "chunk_documents",
     "pack_sequences",
+    "contamination_frame",
+    "oov_rate_frame",
+    "cap_per_key",
+    "sample_stratified_hash",
     "hash_bucket",
     "split_by_hash",
     "kfold_by_hash",

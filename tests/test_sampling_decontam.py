@@ -1,0 +1,196 @@
+"""Decontamination, OOV rate, per-key caps, and stratified hash sampling."""
+
+import pytest
+
+import polars_net_spark as pl
+from polars_net_spark.frame import LazyFrame
+from polars_net_spark.llm import (
+    cap_per_key,
+    contamination_frame,
+    oov_rate_frame,
+    sample_stratified_hash,
+)
+from pyspark.sql import functions as F
+
+
+def corpus(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),        # exact benchmark copy
+        (2, "totally unrelated words about spark engines here"),
+        (3, "alpha beta gamma delta other tail content words"),  # partial overlap
+        (4, "xy"),                                          # shorter than n=3 words
+    ]
+    return pl.from_records(rows, ["doc_id", "text"])
+
+
+def test_contamination_exact_copy_flagged(spark):
+    d = corpus(spark).lazy()
+    bench = LazyFrame(d._sdf.filter(F.col("doc_id") == 0))
+    out = contamination_frame(d, bench, n=3, threshold=0.5).collect()
+    got = {r[0]: (r[1], r[2], r[3], r[4]) for r in out.rows()}
+    assert len(got) == 5  # total over the corpus, including the short doc
+    # benchmark member and its exact copy: all 4 trigrams matched
+    assert got[0] == (4, 4, 1.0, 1)
+    assert got[1] == (4, 4, 1.0, 1)
+    # disjoint doc: zero matches
+    assert got[2][1] == 0 and got[2][3] == 0
+    # partial overlap: 'alpha beta gamma'+'beta gamma delta' of 6 trigrams
+    assert got[3] == (6, 2, 0.333333, 0)
+    # sub-n doc: zeros, not dropped
+    assert got[4] == (0, 0, 0.0, 0)
+
+
+def test_contamination_threshold_applies_to_rounded(spark):
+    d = corpus(spark).lazy()
+    bench = LazyFrame(d._sdf.filter(F.col("doc_id") == 0))
+    out = contamination_frame(d, bench, n=3, threshold=0.333333).collect()
+    got = {r[0]: r[4] for r in out.rows()}
+    assert got[3] == 1  # rounded 0.333333 >= 0.333333
+
+
+def test_oov_rate(spark):
+    rows = [
+        (0, "aa aa aa bb"),
+        (1, "aa cc"),
+        (2, ""),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    # vocab_size=1 -> vocabulary = {'aa'} (highest count)
+    out = oov_rate_frame(d, vocab_size=1).collect()
+    got = {r[0]: (r[1], r[2], r[3]) for r in out.rows()}
+    assert got[0] == (4, 1, 0.25)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (0, 0, 0.0)
+
+
+def test_oov_vocab_tie_break_deterministic(spark):
+    # 'aa' and 'bb' tie on count; word-asc tie-break must pick 'aa'
+    d = pl.from_records([(0, "aa bb"), (1, "bb aa")], ["doc_id", "text"]).lazy()
+    out = oov_rate_frame(d, vocab_size=1).collect()
+    assert all(r[2] == 1 for r in out.rows())  # 'bb' is OOV in both docs
+
+
+def cap_input(spark):
+    rows = [
+        (i, f"src{i % 3}", (i * 37) % 101) for i in range(60)
+    ]
+    return pl.from_records(rows, ["doc_id", "source", "n_chars"]).lazy()
+
+
+def test_cap_per_key_basic(spark):
+    out = cap_per_key(
+        cap_input(spark), "source", 5, order_by="n_chars", tie_col="doc_id"
+    ).collect()
+    rows = out.rows()
+    assert len(rows) == 15
+    by_src = {}
+    for doc_id, src, n_chars in rows:
+        by_src.setdefault(src, []).append(n_chars)
+    # each source keeps exactly its 5 largest n_chars values
+    full = {}
+    for doc_id, src, n_chars in cap_input(spark).collect().rows():
+        full.setdefault(src, []).append(n_chars)
+    for src, kept in by_src.items():
+        assert sorted(kept, reverse=True) == sorted(full[src], reverse=True)[:5]
+
+
+def test_cap_per_key_salted_identical(spark):
+    plain = sorted(
+        cap_per_key(
+            cap_input(spark), "source", 5, order_by="n_chars", tie_col="doc_id"
+        ).collect().rows()
+    )
+    for s in (2, 7, 32):
+        salted = sorted(
+            cap_per_key(
+                cap_input(spark),
+                "source",
+                5,
+                order_by="n_chars",
+                tie_col="doc_id",
+                salt_buckets=s,
+            ).collect().rows()
+        )
+        assert salted == plain
+
+
+def test_cap_per_key_ascending(spark):
+    out = cap_per_key(
+        cap_input(spark), "source", 2, order_by="n_chars", tie_col="doc_id",
+        descending=False,
+    ).collect()
+    for src in ("src0", "src1", "src2"):
+        kept = sorted(r[2] for r in out.rows() if r[1] == src)
+        full = sorted(
+            r[2] for r in cap_input(spark).collect().rows() if r[1] == src
+        )
+        assert kept == full[:2]
+
+
+def strat_input(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    return pl.from_records(rows, ["doc_id", "lang"]).lazy()
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    d = strat_input(spark)
+    a = sorted(
+        sample_stratified_hash(
+            d, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.0
+        ).collect().rows()
+    )
+    b = sorted(
+        sample_stratified_hash(
+            d, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.0
+        ).collect().rows()
+    )
+    assert a == b  # pure function of (salt, key, stratum)
+    langs = {lang for _, lang in a}
+    assert "fr" not in langs  # default fraction 0 removes unlisted strata
+    n_en = sum(1 for _, l in a if l == "en")
+    n_de = sum(1 for _, l in a if l == "de")
+    assert 0 < n_de < n_en  # rates ordered as configured
+    # sample is a subset and membership is stable under corpus growth
+    half = LazyFrame(d._sdf.filter(F.col("doc_id") < 150))
+    c = sorted(
+        sample_stratified_hash(
+            half, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.0
+        ).collect().rows()
+    )
+    assert c == [r for r in a if r[0] < 150]
+
+
+def test_stratified_sample_salt_changes_membership(spark):
+    d = strat_input(spark)
+    a = sorted(
+        sample_stratified_hash(d, "doc_id", "lang", {"en": 0.5}, salt="s1")
+        .collect().rows()
+    )
+    b = sorted(
+        sample_stratified_hash(d, "doc_id", "lang", {"en": 0.5}, salt="s2")
+        .collect().rows()
+    )
+    assert a != b
+
+
+def test_stratified_sample_invalid_fraction(spark):
+    with pytest.raises(ValueError):
+        sample_stratified_hash(strat_input(spark), "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        sample_stratified_hash(
+            strat_input(spark), "doc_id", "lang", {}, default_fraction=-0.1
+        )
+
+
+def test_cap_invalid_n(spark):
+    with pytest.raises(ValueError):
+        cap_per_key(cap_input(spark), "source", 0, order_by="n_chars", tie_col="doc_id")
+
+
+def test_contamination_no_cartesian_and_broadcast(spark):
+    d = corpus(spark).lazy()
+    bench = LazyFrame(d._sdf.filter(F.col("doc_id") == 0))
+    plan = contamination_frame(d, bench, n=3)._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

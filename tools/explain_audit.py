@@ -101,6 +101,24 @@ CHECKS = {
         ("Exchange hashpartitioning(bucket", "packing shuffles once, keyed by bucket"),
         ("RowFrame, unboundedpreceding$(), currentrow$()", "cumulative frame, no full-partition buffer"),
     ],
+    "q67_decontam": [
+        ("BroadcastHashJoin", "benchmark gram set broadcast onto corpus grams"),
+        ("!", "CartesianProduct", "overlap join is keyed, never cartesian"),
+        ("partial_first", "per-doc counts combine map-side"),
+    ],
+    "q68_source_cap": [
+        ("!", "CartesianProduct", "cap is windowed, no join at all"),
+        ("Exchange hashpartitioning(source", "one shuffle keyed by the cap key"),
+    ],
+    "q69_stratified_sample": [
+        ("!", "Exchange", "stratified hash sample is map-only, zero shuffles"),
+        ("PushedFilters", "scan-level pushdown retained under the hash filter"),
+    ],
+    "q70_oov_rate": [
+        ("TakeOrderedAndProject", "vocabulary top-k without full sort"),
+        ("BroadcastHashJoin", "vocabulary broadcast onto word stream"),
+        ("partial_count", "word counts combine map-side"),
+    ],
 }
 
 
