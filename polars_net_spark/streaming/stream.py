@@ -161,6 +161,55 @@ class StreamingFrame:
         )
         return StreamingFrame(out.drop("__key__"))
 
+    # -- stream-stream joins -------------------------------------------------
+    def join_stream(
+        self,
+        other: "StreamingFrame",
+        on: str | Sequence[str],
+        left_ts: str,
+        right_ts: str | None = None,
+        within: str = "10m",
+        how: str = "inner",
+    ) -> "StreamingFrame":
+        """Stream-stream equi-join bounded by event time: rows match when the
+        keys are equal AND ``|left_ts - right_ts| <= within``.
+
+        The time bound is part of the JOIN CONDITION (not a post-filter) —
+        that is what lets Spark derive the state-eviction horizon from the
+        two watermarks, so join state stays bounded on an unbounded feed.
+        Both inputs need :meth:`with_watermark` upstream (Spark enforces this
+        for outer modes; without it an inner join's state grows forever).
+
+        Right-side columns whose names collide with the left get the library's
+        ``_right`` suffix; for inner joins the (equal) right key copies are
+        dropped, matching LazyFrame.join naming.
+        """
+        from functools import reduce
+
+        keys = [on] if isinstance(on, str) else list(on)
+        rts = right_ts or left_ts
+        r = other._sdf
+        renames: dict[str, str] = {}
+        for c in r.columns:
+            if c in self._sdf.columns:
+                renames[c] = c + "_right"
+                r = r.withColumnRenamed(c, c + "_right")
+        rts = renames.get(rts, rts)
+        iv = duration_to_interval(within)
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(k) == F.col(renames.get(k, k)) for k in keys],
+        )
+        tcond = (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {iv}")) & (
+            F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {iv}")
+        )
+        joined = self._sdf.join(r, cond & tcond, how)
+        if how == "inner":
+            joined = joined.drop(
+                *[renames[k] for k in keys if k in renames]
+            )
+        return StreamingFrame(joined)
+
     # -- stateful custom ops -------------------------------------------------
     def apply_in_pandas_with_state(
         self,

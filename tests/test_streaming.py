@@ -191,3 +191,92 @@ def test_stream_quality_filter_and_split(spark, tmp_path):
     rows = {r["doc_id"]: r["split"] for r in spark.sql("SELECT * FROM quality_stream_out").collect()}
     assert set(rows) == {0, 2}  # doc 1 fails the stopword rule
     assert all(s in ("train", "val", "test") for s in rows.values())
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream equi-join with an event-time bound in the
+    join condition (the shape whose state Spark can evict)."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(
+        spark,
+        left,
+        [
+            (base, "a", 1.0),
+            (base + dt.timedelta(minutes=30), "a", 2.0),
+            (base, "b", 5.0),
+        ],
+    )
+    _write_batch(
+        spark,
+        right,
+        [
+            (base + dt.timedelta(minutes=5), "a", 10.0),
+            (base + dt.timedelta(minutes=60), "a", 20.0),
+        ],
+    )
+    lf = scan_stream_parquet(left, SCHEMA, spark=spark).with_watermark("ts", "1h")
+    rf = scan_stream_parquet(right, SCHEMA, spark=spark).with_watermark("ts", "1h")
+    out = lf.join_stream(rf, on="user", left_ts="ts", within="15m")
+    assert sorted(out._sdf.columns) == ["ts", "ts_right", "user", "v", "v_right"]
+    q = out.write_memory("ssj_out")
+    _await(q)
+    rows = spark.sql("SELECT user, v, v_right FROM ssj_out").collect()
+    # only (10:00,a) x (10:05,a) is within 15m; 'b' has no right rows
+    assert [(r["user"], r["v"], r["v_right"]) for r in rows] == [("a", 1.0, 10.0)]
+
+
+def test_stream_stream_join_multi_key_rename(spark, tmp_path):
+    left, right = str(tmp_path / "l2"), str(tmp_path / "r2")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(spark, left, [(base, "a", 1.0)])
+    _write_batch(spark, right, [(base, "a", 9.0), (base, "c", 9.0)])
+    lf = scan_stream_parquet(left, SCHEMA, spark=spark).with_watermark("ts", "1h")
+    rf = scan_stream_parquet(right, SCHEMA, spark=spark).with_watermark("ts", "1h")
+    out = lf.join_stream(rf, on=["user"], left_ts="ts", right_ts="ts", within="1m")
+    q = out.write_memory("ssj2_out")
+    _await(q)
+    rows = spark.sql("SELECT * FROM ssj2_out").collect()
+    assert len(rows) == 1 and rows[0]["user"] == "a" and rows[0]["v_right"] == 9.0
+
+
+def test_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful operator: per-user running total via
+    applyInPandasWithState (GroupState-backed, append mode)."""
+    import pandas as pd
+
+    src = str(tmp_path / "state_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(
+        spark,
+        src,
+        [
+            (base, "a", 1.0),
+            (base + dt.timedelta(minutes=1), "a", 2.0),
+            (base, "b", 5.0),
+        ],
+    )
+
+    def running_total(key, pdfs, state):
+        total = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in pdfs:
+            total += float(pdf["v"].sum())
+            n += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user": [key[0]], "total": [total], "n": [n]})
+
+    sf = scan_stream_parquet(src, SCHEMA, spark=spark).apply_in_pandas_with_state(
+        running_total,
+        "user string, total double, n long",
+        "total double",
+        group_by=["user"],
+        output_mode="append",
+    )
+    q = sf.write_memory("state_out")
+    _await(q)
+    got = {
+        r["user"]: (r["total"], r["n"])
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    assert got == {"a": (3.0, 2), "b": (5.0, 1)}
