@@ -1839,14 +1839,13 @@ FROM f
 
 
 def _q68(spark, sf_dir):
-    """Per-source document cap (max 10 per source by n_chars desc), routed
-    through the skew-safe salted two-phase plan."""
+    """Per-source document cap (max 10 per source by n_chars desc).  The
+    plain window is the scale plan: Catalyst's WindowGroupLimit(Partial)
+    bounds the shuffle at 10 rows per source per map task (plan-audited)."""
     from polars_net_spark.llm import cap_per_key
 
     d = _t(spark, sf_dir, "documents")
-    out = cap_per_key(
-        d, "source", 10, order_by="n_chars", tie_col="doc_id", salt_buckets=8
-    )
+    out = cap_per_key(d, "source", 10, order_by="n_chars", tie_col="doc_id")
     return out.select(col("doc_id"), col("source"), col("n_chars")).spark
 
 

@@ -109,6 +109,8 @@ CHECKS = {
     "q68_source_cap": [
         ("!", "CartesianProduct", "cap is windowed, no join at all"),
         ("Exchange hashpartitioning(source", "one shuffle keyed by the cap key"),
+        (", Partial", "WindowGroupLimit prunes to <=n rows/key map-side, before the exchange"),
+        ("WindowGroupLimit", "rank-limit pushdown active (hot keys cannot flood a reducer)"),
     ],
     "q69_stratified_sample": [
         ("!", "Exchange", "stratified hash sample is map-only, zero shuffles"),
