@@ -63,6 +63,7 @@ def contamination_frame(
     ``doc_id``-keyed count aggregation.
     """
     from ..frame import LazyFrame
+    from .dedup import _grams_frame
 
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -75,23 +76,25 @@ def contamination_frame(
         .withColumn("__hit__", F.lit(1))
     )
 
-    grams = corpus_sdf.select(
-        F.col(id_col), _word_ngrams(F.col(text_col), n).alias("grams")
-    )
+    # staged + cached (id, grams) projection: evaluating the shingle
+    # transform with the split inlined costs ~7x (see _grams_frame), and the
+    # three consumers below (non-empty explode, empty re-attach) would each
+    # recompute it.
+    grams = _grams_frame(corpus_sdf, text_col, id_col, n)
     nonempty = grams.filter(F.size("grams") > 0)
     counted = (
         nonempty.select(
-            id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+            "id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
         )
         .join(F.broadcast(bench_grams), "gram", "left")
-        .groupBy(id_col)
+        .groupBy("id")
         .agg(
             F.first("n_grams").cast("long").alias("n_grams"),
             F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long").alias("n_matched"),
         )
     )
     empty = grams.filter(F.size("grams") == 0).select(
-        id_col, F.lit(0).cast("long").alias("n_grams"), F.lit(0).cast("long").alias("n_matched")
+        "id", F.lit(0).cast("long").alias("n_grams"), F.lit(0).cast("long").alias("n_matched")
     )
     frac = F.round(
         F.when(
@@ -101,6 +104,7 @@ def contamination_frame(
     )
     out = (
         counted.unionByName(empty)
+        .withColumnRenamed("id", id_col)
         .withColumn("overlap_frac", frac)
         .withColumn(
             "contaminated", (F.col("overlap_frac") >= threshold).cast("long")
