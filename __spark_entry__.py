@@ -1913,6 +1913,44 @@ FROM alln
 """
 
 
+def _q71(spark, sf_dir):
+    """Deterministic data-mixture sampling: largest subsample with per-source
+    n_chars mass in 50/30/20 proportion across src0/src1/src2 (other sources
+    dropped).  Fully in-plan: totals agg -> empty-partition window min ->
+    broadcast plan join -> md5-bucket filter."""
+    from polars_net_spark.llm import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        size_col="n_chars",
+        salt="mix",
+    )
+    return out.select(col("doc_id"), col("source")).spark
+
+
+_q71_sql = """
+WITH t AS (SELECT source, sum(n_chars) AS T FROM documents GROUP BY source),
+w AS (SELECT source, T,
+             CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 ELSE 0.0 END AS w
+      FROM t),
+p AS (SELECT source, T, w, T::DOUBLE / w AS ratio FROM w WHERE w > 0 AND T > 0),
+f AS (SELECT source, least(1.0, min(ratio) OVER () * w / T) AS frac FROM p),
+b AS (SELECT doc_id, source,
+        list_reduce(list_transform(generate_series(1, 8),
+                    i -> strpos('0123456789abcdef',
+                                substr(md5('mix' || CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+                    (a, x) -> a * 16 + x) % 10000 AS bk
+      FROM documents)
+SELECT b.doc_id, b.source FROM b JOIN f USING (source)
+WHERE bk < round(frac * 10000)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1988,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_source_cap": _q68,
         "q69_stratified_sample": _q69,
         "q70_oov_rate": _q70,
+        "q71_mixture_sample": _q71,
     }
 
 
@@ -2063,4 +2102,5 @@ def oracle_sql() -> dict[str, str]:
         "q68_source_cap": _q68_sql,
         "q69_stratified_sample": _q69_sql,
         "q70_oov_rate": _q70_sql,
+        "q71_mixture_sample": _q71_sql,
     }

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .splits import _BUCKETS, hash_bucket
 
-__all__ = ["cap_per_key", "sample_stratified_hash"]
+__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan"]
 
 
 def cap_per_key(
@@ -120,3 +120,93 @@ def sample_stratified_hash(
     default_thresh = F.lit(int(round(default_fraction * _BUCKETS)))
     bound = default_thresh if bound is None else bound.otherwise(default_thresh)
     return LazyFrame(sdf.filter(bucket < bound))
+
+
+def _mixture_plan_sdf(sdf, source_col: str, weights: dict[str, float], size_col):
+    """(source, __frac__) plan frame: the per-source sampling fraction that
+    realizes the target mixture at the largest achievable total size."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    norm = {s: w / total for s, w in weights.items()}
+
+    # integer sum — exact, so the fractions (and thus sample membership) are
+    # bit-identical across engines and summation orders; float size columns
+    # would reintroduce order-dependent low bits
+    size = F.lit(1) if size_col is None else F.col(size_col)
+    totals = sdf.groupBy(source_col).agg(F.sum(size).alias("__T__"))
+    wexpr = None
+    for s, w in norm.items():
+        cond = F.col(source_col) == s
+        wexpr = F.when(cond, F.lit(w)) if wexpr is None else wexpr.when(cond, F.lit(w))
+    wexpr = wexpr.otherwise(F.lit(0.0))
+    plan = (
+        totals.withColumn("__w__", wexpr)
+        .filter((F.col("__w__") > 0) & (F.col("__T__") > 0))
+        .withColumn("__ratio__", F.col("__T__").cast("double") / F.col("__w__"))
+    )
+    # global min over the tiny per-source frame — an empty-partition window,
+    # not a driver collect, so the builder stays fully lazy
+    cmin = F.min("__ratio__").over(Window.partitionBy())
+    return plan.withColumn(
+        "__frac__",
+        F.least(F.lit(1.0), cmin * F.col("__w__") / F.col("__T__")),
+    ).select(source_col, "__w__", "__T__", "__frac__")
+
+
+def mixture_plan(frame, source_col: str, weights: dict[str, float], size_col: str | None = None):
+    """Per-source sampling plan ``(source, weight, available, fraction)`` for
+    :func:`mixture_sample` — exposed for inspection/monitoring."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    out = _mixture_plan_sdf(sdf, source_col, weights, size_col)
+    return LazyFrame(
+        out.select(
+            source_col,
+            F.col("__w__").alias("weight"),
+            F.col("__T__").alias("available"),
+            F.col("__frac__").alias("fraction"),
+        )
+    )
+
+
+def mixture_sample(
+    frame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    size_col: str | None = None,
+    salt: str = "",
+):
+    """Deterministic data-mixture sampling: draw the LARGEST subsample whose
+    per-source size shares match ``weights`` (normalized), sized by
+    ``size_col`` (token counts; ``None`` = row counts).
+
+    The binding source — the one whose available mass runs out first at the
+    target mixture — is taken whole (fraction 1); every other source is
+    hash-downsampled to ``C·w_s / T_s`` where ``C = min_s(T_s / w_s)``.
+    Sources with zero weight are dropped.
+
+    Fully in-plan: per-source totals are a tiny aggregate joined back by
+    broadcast, the global min is an empty-partition window over that
+    #sources-row frame, and membership is the same portable md5 bucket as
+    :func:`sample_stratified_hash` — no driver collect, no RNG, exactly
+    replicable in ANSI SQL.  One corpus scan + one broadcast join at any
+    scale.
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    plan = _mixture_plan_sdf(sdf, source_col, weights, size_col).select(
+        source_col, "__frac__"
+    )
+    bucket = hash_bucket(F.col(key_col), salt=salt)
+    out = (
+        sdf.join(F.broadcast(plan), source_col)
+        .filter(bucket < F.round(F.col("__frac__") * _BUCKETS))
+        .select(*sdf.columns)
+    )
+    return LazyFrame(out)

@@ -194,3 +194,88 @@ def test_contamination_no_cartesian_and_broadcast(spark):
     plan = contamination_frame(d, bench, n=3)._sdf._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def mix_input(spark):
+    # source A: 10 docs x 100 units; source B: 10 docs x 100 units; C: 5 x 100
+    rows = []
+    for i in range(10):
+        rows.append((i, "A", 100))
+    for i in range(10, 20):
+        rows.append((i, "B", 100))
+    for i in range(20, 25):
+        rows.append((i, "C", 100))
+    return pl.from_records(rows, ["doc_id", "source", "sz"]).lazy()
+
+
+def test_mixture_plan_fractions_exact(spark):
+    from polars_net_spark.llm import mixture_plan
+
+    # weights 0.8/0.2 over equal masses: A binds (1000/0.8 < 1000/0.2),
+    # so frac_A = 1.0 and frac_B = (1000/0.8)*0.2/1000 = 0.25
+    out = mixture_plan(
+        mix_input(spark), "source", {"A": 0.8, "B": 0.2}, size_col="sz"
+    ).collect()
+    got = {r[0]: (r[1], r[2], r[3]) for r in out.rows()}
+    assert got["A"] == (0.8, 1000, 1.0)
+    assert got["B"] == (0.2, 1000, 0.25)
+    assert "C" not in got  # zero weight -> dropped
+
+
+def test_mixture_sample_membership(spark):
+    from polars_net_spark.llm import mixture_sample
+    from polars_net_spark.llm.splits import hash_bucket
+
+    d = mix_input(spark)
+    out = mixture_sample(
+        d, "doc_id", "source", {"A": 0.8, "B": 0.2}, size_col="sz"
+    ).collect()
+    rows = sorted(out.rows())
+    srcs = {r[1] for r in rows}
+    assert "C" not in srcs
+    # binding source taken whole
+    assert sum(1 for r in rows if r[1] == "A") == 10
+    # B members are exactly the rows whose md5 bucket < 2500
+    expected_b = {
+        r[0]
+        for r in d._sdf.withColumn("bk", hash_bucket(F.col("doc_id"))).collect()
+        if r["source"] == "B" and r["bk"] < 2500
+    }
+    assert {r[0] for r in rows if r[1] == "B"} == expected_b
+    # deterministic: identical on re-run
+    again = sorted(
+        mixture_sample(
+            d, "doc_id", "source", {"A": 0.8, "B": 0.2}, size_col="sz"
+        ).collect().rows()
+    )
+    assert again == rows
+
+
+def test_mixture_sample_row_count_mode_and_validation(spark):
+    from polars_net_spark.llm import mixture_plan, mixture_sample
+
+    # size_col=None weighs by row count: A has 10 rows, C has 5;
+    # weights 0.5/0.5 -> C binds, frac_C = 1.0, frac_A = (5/0.5)*0.5/10 = 0.5
+    out = mixture_plan(
+        mix_input(spark), "source", {"A": 0.5, "C": 0.5}
+    ).collect()
+    got = {r[0]: r[3] for r in out.rows()}
+    assert got["C"] == 1.0 and got["A"] == 0.5
+    with pytest.raises(ValueError):
+        mixture_sample(mix_input(spark), "doc_id", "source", {})
+    with pytest.raises(ValueError):
+        mixture_sample(mix_input(spark), "doc_id", "source", {"A": -1.0})
+
+
+def test_mixture_sample_lazy_build_no_jobs(spark):
+    from polars_net_spark.llm import mixture_sample
+
+    sc = spark.sparkContext
+    d = mix_input(spark)
+    sc.setJobGroup("mix_probe", "mix_probe")
+    try:
+        _ = mixture_sample(d, "doc_id", "source", {"A": 0.5, "B": 0.5}, size_col="sz")
+        jobs = sc.statusTracker().getJobIdsForGroup("mix_probe")
+        assert list(jobs) == [], f"eager jobs ran during lazy build: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)

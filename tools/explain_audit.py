@@ -121,6 +121,11 @@ CHECKS = {
         ("BroadcastHashJoin", "vocabulary broadcast onto word stream"),
         ("partial_count", "word counts combine map-side"),
     ],
+    "q71_mixture_sample": [
+        ("BroadcastHashJoin", "per-source fraction plan broadcast onto corpus"),
+        ("!", "CartesianProduct", "mixture plan attaches by key, never cartesian"),
+        ("partial_sum", "per-source mass totals combine map-side"),
+    ],
 }
 
 
