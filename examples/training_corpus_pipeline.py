@@ -1,5 +1,6 @@
 """End-to-end training-corpus preparation: the full round-2 operator chain in
-one pipeline — quality gate → PII scrub → fuzzy dedup → chunk → pack → split.
+one pipeline — quality gate → PII scrub → per-source cap → benchmark
+decontamination → fuzzy dedup → data-mixture sampling → chunk → pack → split.
 
 This is the shape of a real 100 TB pretraining-data job: every stage is a
 DataFrame transformation (map-only where possible, one keyed shuffle where
@@ -16,9 +17,12 @@ sys.path.insert(0, "/root/repo")
 import polars_net_spark as pl
 from polars_net_spark import col, release_caches
 from polars_net_spark.llm import (
+    cap_per_key,
     chunk_documents,
+    contamination_frame,
     dedup_fuzzy,
     gopher_quality_frame,
+    mixture_sample,
     pack_sequences,
     pii_metrics_frame,
     split_by_hash,
@@ -43,23 +47,45 @@ def main() -> None:
     scrubbed = pii_metrics_frame(gated).select(col("doc_id"), col("redacted"))
     clean = gated.drop("text").join(scrubbed, on="doc_id").rename({"redacted": "text"})
 
-    # 3. near-dup removal: minhash candidates -> exact verify -> components ->
+    # 3. crawl hygiene: at most 50 docs per source (deterministic priority;
+    #    Catalyst's WindowGroupLimit keeps the shuffle at <=50 rows/source
+    #    per map task)
+    capped = cap_per_key(clean, "source", 50, order_by="n_chars", tie_col="doc_id")
+
+    # 4. benchmark decontamination: drop docs whose 3-gram overlap with the
+    #    (stand-in) eval set reaches 50% — the benchmark gram set broadcasts,
+    #    so this costs one corpus scan at any scale
+    bench = docs.filter(col("doc_id") % 97 == 0)
+    contam = contamination_frame(capped, bench, n=3, threshold=0.5)
+    dirty = contam.filter(col("contaminated") == 1).select(col("doc_id"))
+    decontaminated = capped.join(dirty, on="doc_id", how="anti")
+    print("after cap + decontamination:", decontaminated.collect().height, "docs")
+
+    # 5. near-dup removal: minhash candidates -> exact verify -> components ->
     #    keep the lowest-id doc per cluster
-    canonical = dedup_fuzzy(clean, method="minhash", threshold=0.5, n=3,
+    canonical = dedup_fuzzy(decontaminated, method="minhash", threshold=0.5, n=3,
                             num_hashes=64, bands=16)
     print("after fuzzy dedup:", canonical.collect().height, "docs")
 
-    # 4. chunk into overlapping token windows (the tokenizer-feed unit)
+    # 6. data mixing: largest subsample with n_chars mass split 50/30/20
+    #    across three sources (fully in-plan, reproducible by hash)
+    canonical = mixture_sample(
+        canonical, "doc_id", "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2}, size_col="n_chars",
+    )
+    print("after mixture sampling:", canonical.collect().height, "docs")
+
+    # 7. chunk into overlapping token windows (the tokenizer-feed unit)
     chunks = chunk_documents(canonical, size=64, overlap=8)
 
-    # 5. pack chunks into fixed token budgets (training sequences)
+    # 8. pack chunks into fixed token budgets (training sequences)
     sized = chunks.select(
         (col("doc_id") * 10_000 + col("chunk_id")).alias("chunk_key"),
         col("n_tokens"),
     )
     packed = pack_sequences(sized, id_col="chunk_key", budget=256, num_buckets=64)
 
-    # 6. stable train/val/test split, keyed on the ORIGINAL doc id so all of
+    # 9. stable train/val/test split, keyed on the ORIGINAL doc id so all of
     #    a document's chunks land in the same split (no eval leakage)
     labeled = split_by_hash(
         chunks.with_columns((col("doc_id")).alias("split_key")),
