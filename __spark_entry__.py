@@ -1951,6 +1951,36 @@ WHERE bk < round(frac * 10000)
 """
 
 
+def _q72(spark, sf_dir):
+    """Unigram log-probability quality proxy: corpus-trained top-500
+    vocabulary, floor prob 1/N for the tail, per-doc mean log10 prob."""
+    from polars_net_spark.llm import unigram_logprob_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_frame(d, vocab_size=500).spark
+
+
+_q72_sql = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> len(x) > 0) AS ws
+  FROM documents),
+e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+n AS (SELECT count(*) AS N FROM e),
+v AS (SELECT word, c FROM (
+        SELECT word, count(*) AS c FROM e GROUP BY word
+        ORDER BY c DESC, word LIMIT 500)),
+m AS (SELECT e.doc_id, count(*) AS n_words,
+             round(avg(log10(coalesce(v.c, 1)::DOUBLE / n.N)), 6) AS mean_logprob
+      FROM e LEFT JOIN v USING (word), n GROUP BY e.doc_id),
+alln AS (
+  SELECT doc_id, n_words, mean_logprob FROM m
+  UNION ALL
+  SELECT doc_id, 0, 0.0 FROM w WHERE len(ws) = 0)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_logprob FROM alln
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2027,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_stratified_sample": _q69,
         "q70_oov_rate": _q70,
         "q71_mixture_sample": _q71,
+        "q72_unigram_logprob": _q72,
     }
 
 
@@ -2103,4 +2134,5 @@ def oracle_sql() -> dict[str, str]:
         "q69_stratified_sample": _q69_sql,
         "q70_oov_rate": _q70_sql,
         "q71_mixture_sample": _q71_sql,
+        "q72_unigram_logprob": _q72_sql,
     }

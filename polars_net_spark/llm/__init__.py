@@ -27,6 +27,7 @@ from .dedup import (
 from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids
 from .quality import (
     gopher_quality_frame,
+    unigram_logprob_frame,
     repetition_metrics_frame,
     pii_metrics_frame,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "split_by_hash",
     "kfold_by_hash",
     "gopher_quality_frame",
+    "unigram_logprob_frame",
     "repetition_metrics_frame",
     "pii_metrics_frame",
     "tfidf_top_terms",

@@ -22,6 +22,7 @@ from .._cache import register_cache
 
 __all__ = [
     "gopher_quality_frame",
+    "unigram_logprob_frame",
     "repetition_metrics_frame",
     "pii_metrics_frame",
     "REQUIRED_STOPWORDS",
@@ -236,3 +237,70 @@ def pii_metrics_frame(
         redacted = F.regexp_replace(redacted, pat, token)
     cols.append(redacted.alias("redacted"))
     return LazyFrame(sdf.select(*cols))
+
+
+def unigram_logprob_frame(
+    frame,
+    vocab_size: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+):
+    """Per-document mean unigram log10-probability — the classic cheap
+    perplexity proxy for corpus quality filtering (docs of improbable tokens
+    score low; boilerplate of ultra-common tokens scores high).
+
+    The language model is the corpus itself: the top-``vocab_size`` words by
+    frequency carry p(w) = count(w)/N; everything rarer shares the floor
+    probability 1/N.  Scale shape matches :func:`~.decontam.oov_rate_frame`:
+    one map-side-combined word-count shuffle feeding a
+    ``TakeOrderedAndProject`` vocabulary (ties broken by word so the model is
+    deterministic), broadcast back over the word stream, then one ``doc_id``
+    count shuffle.  Exact integer counts + a fixed expression shape keep the
+    score bit-replicable in ANSI SQL.
+
+    Output: ``(doc_id, n_words, mean_logprob)`` with empty docs at 0.0.
+    """
+    from ..frame import LazyFrame
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    words_col = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    exploded = sdf.select(F.col(id_col), F.explode(words_col).alias("word"))
+    total = exploded.select(F.count("*").alias("__N__"))
+    vocab = (
+        exploded.groupBy("word")
+        .agg(F.count("*").alias("__cnt__"))
+        .orderBy(F.col("__cnt__").desc(), F.col("word"))
+        .limit(vocab_size)
+    )
+    # p(w) = cnt/N in-vocab, 1/N floor otherwise; N attaches via a 1-row
+    # broadcast (empty-partition window would also work but the join keeps
+    # the word stream partition-local)
+    scored = (
+        exploded.join(F.broadcast(vocab), "word", "left")
+        .join(F.broadcast(total))
+        .withColumn(
+            "__lp__",
+            F.log10(
+                F.coalesce(F.col("__cnt__"), F.lit(1)).cast("double")
+                / F.col("__N__").cast("double")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("__lp__"), round_to).alias("mean_logprob"),
+        )
+    )
+    empty = sdf.select(F.col(id_col), words_col.alias("__ws__")).filter(
+        F.size("__ws__") == 0
+    ).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_words"),
+        F.lit(0.0).alias("mean_logprob"),
+    )
+    return LazyFrame(scored.unionByName(empty))

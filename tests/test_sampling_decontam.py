@@ -279,3 +279,31 @@ def test_mixture_sample_lazy_build_no_jobs(spark):
         assert list(jobs) == [], f"eager jobs ran during lazy build: {jobs}"
     finally:
         sc.setJobGroup(None, None)
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from polars_net_spark.llm import unigram_logprob_frame
+
+    rows = [
+        (0, "aa aa aa"),
+        (1, "aa bb"),
+        (2, ""),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    # N=5; vocab_size=1 -> {'aa': 4}; p(aa)=4/5, p(bb)=1/5 (floor 1/N)
+    out = unigram_logprob_frame(d, vocab_size=1).collect()
+    got = {r[0]: (r[1], r[2]) for r in out.rows()}
+    assert got[0] == (3, round(math.log10(4 / 5), 6))
+    assert got[1] == (2, round((math.log10(4 / 5) + math.log10(1 / 5)) / 2, 6))
+    assert got[2] == (0, 0.0)
+    # common-token docs score higher than rare-token docs
+    assert got[0][1] > got[1][1]
+
+
+def test_unigram_logprob_invalid(spark):
+    from polars_net_spark.llm import unigram_logprob_frame
+
+    with pytest.raises(ValueError):
+        unigram_logprob_frame(corpus(spark).lazy(), vocab_size=0)

@@ -126,6 +126,11 @@ CHECKS = {
         ("!", "CartesianProduct", "mixture plan attaches by key, never cartesian"),
         ("partial_sum", "per-source mass totals combine map-side"),
     ],
+    "q72_unigram_logprob": [
+        ("TakeOrderedAndProject", "vocabulary top-k without full sort"),
+        ("BroadcastHashJoin", "unigram model broadcast onto word stream"),
+        ("partial_count", "word counts combine map-side"),
+    ],
 }
 
 
