@@ -1981,6 +1981,50 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_logprob FROM alln
 """
 
 
+def _q73(spark, sf_dir):
+    """Corpus-wide keep-first line dedup (boilerplate removal).  The corpus
+    has no newlines, so — like q63's constructed payloads — the query first
+    deterministically restructures each doc into 8-word lines, then runs the
+    REAL dedup_lines operator (posexplode -> keep-first window with
+    WindowGroupLimit pruning -> reassembly)."""
+    from polars_net_spark.llm import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    d2 = d._sdf.select(F.col("doc_id"), F.array_join(lines, "\n").alias("text"))
+    return dedup_lines(d2).spark
+
+
+_q73_sql = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+l AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1),
+                        i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS lines
+  FROM w),
+e AS (SELECT doc_id, i AS pos, lines[i] AS line
+      FROM l, unnest(generate_series(1, len(lines))) AS t(i)),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY lower(trim(line))
+                                ORDER BY doc_id, pos) AS rn
+      FROM e),
+k AS (SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+             count(*) AS n_kept
+      FROM r WHERE rn = 1 GROUP BY doc_id),
+t AS (SELECT doc_id, CAST(ceil(len(ws) / 8.0) AS BIGINT) AS n_lines FROM w)
+SELECT t.doc_id, coalesce(k.text, '') AS text, t.n_lines,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN k USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2058,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_oov_rate": _q70,
         "q71_mixture_sample": _q71,
         "q72_unigram_logprob": _q72,
+        "q73_line_dedup": _q73,
     }
 
 
@@ -2135,4 +2180,5 @@ def oracle_sql() -> dict[str, str]:
         "q70_oov_rate": _q70_sql,
         "q71_mixture_sample": _q71_sql,
         "q72_unigram_logprob": _q72_sql,
+        "q73_line_dedup": _q73_sql,
     }

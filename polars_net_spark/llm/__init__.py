@@ -16,6 +16,7 @@ from .text import (
 )
 from .dedup import (
     dedup_exact,
+    dedup_lines,
     dedup_clusters,
     dedup_fuzzy,
     ngram_jaccard_pairs,
@@ -63,6 +64,7 @@ __all__ = [
     "text_metrics_frame",
     "shingle_fingerprint_frame",
     "dedup_exact",
+    "dedup_lines",
     "dedup_clusters",
     "dedup_fuzzy",
     "ngram_jaccard_pairs",

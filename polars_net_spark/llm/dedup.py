@@ -11,7 +11,7 @@ handled.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import Column, DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
 from .._cache import register_cache
@@ -744,3 +744,70 @@ def dedup_fuzzy(
     )
     canon = clusters.spark.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return LazyFrame(sdf.join(canon, id_col, "semi"))
+
+
+def dedup_lines(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    normalize: bool = True,
+):
+    """Corpus-wide line/paragraph dedup (boilerplate removal): split every
+    document on ``sep``, keep each distinct line ONLY at its first corpus
+    occurrence (lowest ``(doc_id, position)``), drop every later repeat —
+    headers, footers, cookie banners — and reassemble the surviving lines in
+    document order.  ``normalize`` compares lines case/edge-whitespace
+    insensitively (the emitted text keeps the original bytes).
+
+    Output: ``(id, text, n_lines, n_kept)`` — every input document appears,
+    with empty text when nothing survived.
+
+    Scale shape: the keep-first rule is ``row_number() == 1`` over the line
+    key ordered by (doc, pos) — Catalyst's WindowGroupLimit(Partial) prunes
+    losers map-side before the exchange, so a boilerplate line repeated a
+    billion times ships at most one candidate row per map task instead of
+    flooding one reducer.  One more shuffle (``doc_id``) reassembles.  The
+    line key is the raw (normalized) line, not a digest: Spark's shuffle
+    hashing is already content-based, and carrying the line itself lets the
+    winner row re-emit the original text without a join back.
+    """
+    from ..frame import LazyFrame
+
+    sdf = _sdf(frame)
+    lines = sdf.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__line__"),
+    )
+    key = F.lower(F.trim(F.col("__line__"))) if normalize else F.col("__line__")
+    w = Window.partitionBy(key.alias("__key__")).orderBy(
+        F.col(id_col).asc(), F.col("__pos__").asc()
+    )
+    winners = (
+        lines.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    kept = winners.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos__"), F.col("__line__")))
+                ),
+                lambda s: s.getField("__line__"),
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = sdf.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    out = totals.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+    return LazyFrame(out)

@@ -307,3 +307,44 @@ def test_unigram_logprob_invalid(spark):
 
     with pytest.raises(ValueError):
         unigram_logprob_frame(corpus(spark).lazy(), vocab_size=0)
+
+
+def test_dedup_lines_keep_first(spark):
+    from polars_net_spark.llm import dedup_lines
+
+    rows = [
+        (0, "Home | About\nreal content zero\nCookie notice"),
+        (1, "Home | About\nunique text one\ncookie notice   "),
+        (2, "real content zero\nfresh paragraph two"),
+        (3, ""),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    out = {r[0]: (r[1], r[2], r[3]) for r in dedup_lines(d).collect().rows()}
+    # first doc keeps everything
+    assert out[0] == ("Home | About\nreal content zero\nCookie notice", 3, 3)
+    # dup header dropped; banner dropped case/whitespace-insensitively,
+    # surviving text keeps original bytes
+    assert out[1] == ("unique text one", 3, 1)
+    # line first seen in doc 0 dropped here
+    assert out[2] == ("fresh paragraph two", 2, 1)
+    # empty doc still present
+    assert out[3][2] <= 1
+
+
+def test_dedup_lines_no_normalize(spark):
+    from polars_net_spark.llm import dedup_lines
+
+    rows = [(0, "A\nB"), (1, "a\nB")]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    out = {r[0]: r[1] for r in dedup_lines(d, normalize=False).collect().rows()}
+    assert out[1] == "a"  # 'a' != 'A' without normalization; 'B' is a dup
+
+
+def test_dedup_lines_window_group_limit_plan(spark):
+    from polars_net_spark.llm import dedup_lines
+
+    d = pl.from_records([(0, "x\ny")], ["doc_id", "text"]).lazy()
+    plan = dedup_lines(d)._sdf._jdf.queryExecution().executedPlan().toString()
+    # keep-first must prune losers map-side: a billion-repeat boilerplate
+    # line ships <=1 candidate per map task, not a hot reducer partition
+    assert "WindowGroupLimit" in plan and ", Partial" in plan

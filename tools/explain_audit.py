@@ -131,6 +131,11 @@ CHECKS = {
         ("BroadcastHashJoin", "unigram model broadcast onto word stream"),
         ("partial_count", "word counts combine map-side"),
     ],
+    "q73_line_dedup": [
+        (", Partial", "keep-first WindowGroupLimit prunes repeat lines map-side"),
+        ("WindowGroupLimit", "hot boilerplate lines cannot flood a reducer"),
+        ("!", "CartesianProduct", "reassembly joins by doc key"),
+    ],
 }
 
 
