@@ -26,6 +26,7 @@ from .io import (
     read_ipc,
     read_json,
     read_parquet,
+    read_orc,
     register_callback_source,
     scan_batches,
     scan_csv,
@@ -33,6 +34,7 @@ from .io import (
     scan_jdbc,
     scan_ndjson,
     scan_parquet,
+    scan_orc,
 )
 from ._cache import cached_count, release_caches, scoped_caches
 from .series import Series
@@ -65,6 +67,8 @@ __all__ = [
     "cs",
     "scan_parquet",
     "read_parquet",
+    "scan_orc",
+    "read_orc",
     "scan_csv",
     "read_csv",
     "scan_ndjson",

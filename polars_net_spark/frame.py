@@ -531,6 +531,19 @@ class LazyFrame:
         finally:
             release_caches()
 
+    def sink_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        """ORC sink (beyond reference — Spark-native columnar format with
+        predicate pushdown and partition pruning, same as parquet)."""
+        from ._cache import release_caches
+
+        w = self._drop_order()._sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        try:
+            w.orc(path)
+        finally:
+            release_caches()
+
     def sink_ipc(self, path: str) -> None:
         """Arrow IPC via driver-side pyarrow writer, streamed batch-by-batch
         (no full materialization) — mirrors map_batches sink (io.rs:567-606)."""
@@ -840,6 +853,9 @@ class DataFrame:
 
     def write_ipc(self, path: str) -> None:
         self._lf.sink_ipc(path)
+
+    def write_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        self._lf.sink_orc(path, mode, partition_by)
 
 
 class EagerGroupBy:

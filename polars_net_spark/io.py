@@ -61,6 +61,18 @@ def read_parquet(path: str | Sequence[str], spark: SparkSession | None = None) -
     return scan_parquet(path, spark).collect()
 
 
+# -- orc (beyond reference: Spark-native columnar, pushdown-capable) ----------
+
+
+def scan_orc(path: str | Sequence[str], spark: SparkSession | None = None) -> LazyFrame:
+    paths = [path] if isinstance(path, str) else list(path)
+    return LazyFrame(_spark(spark).read.orc(*paths))
+
+
+def read_orc(path: str | Sequence[str], spark: SparkSession | None = None) -> DataFrame:
+    return scan_orc(path, spark).collect()
+
+
 # -- csv (io.rs:17-92) --------------------------------------------------------
 
 

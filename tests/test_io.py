@@ -141,3 +141,30 @@ def test_hive_partition_pruning(spark, tmp_path):
     assert lf.collect().height == 100
     files = sdf.select(F.input_file_name()).distinct().collect()
     assert all("part=b" in r[0] for r in files)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC read/write with predicate pushdown reaching the scan."""
+    import polars_net_spark as plx
+
+    path = str(tmp_path / "orc_out")
+    src = plx.scan_parquet("/root/testdata/sf0.001/nation.parquet")
+    src.collect().write_orc(path)
+    back = plx.scan_orc(path)
+    assert sorted(back.collect().rows()) == sorted(src.collect().rows())
+    filtered = back.filter(plx.col("n_regionkey") == 2).select(plx.col("n_name"))
+    plan = filtered._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)]" in plan
+    assert "ReadSchema: struct<n_name:string,n_regionkey:int>" in plan
+
+
+def test_orc_partitioned_sink_prunes(spark, tmp_path):
+    import polars_net_spark as plx
+
+    path = str(tmp_path / "orc_part")
+    src = plx.scan_parquet("/root/testdata/sf0.001/nation.parquet")
+    src.sink_orc(path, partition_by=["n_regionkey"])
+    back = plx.scan_orc(path).filter(plx.col("n_regionkey") == 1)
+    plan = back._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.collect().height == src.filter(plx.col("n_regionkey") == 1).collect().height
