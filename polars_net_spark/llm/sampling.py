@@ -66,8 +66,12 @@ def cap_per_key(
     if n < 1:
         raise ValueError("n must be >= 1")
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    # nulls always LOSE the cap: Spark's ascending default is nulls-first,
+    # which would hand null-priority rows the top slots
     order = [
-        F.col(order_by).desc() if descending else F.col(order_by).asc(),
+        F.col(order_by).desc_nulls_last()
+        if descending
+        else F.col(order_by).asc_nulls_last(),
         F.col(tie_col).asc(),
     ]
     ranked = sdf if shuffle_payload else sdf.select(key_col, order_by, tie_col)

@@ -348,3 +348,16 @@ def test_dedup_lines_window_group_limit_plan(spark):
     # keep-first must prune losers map-side: a billion-repeat boilerplate
     # line ships <=1 candidate per map task, not a hot reducer partition
     assert "WindowGroupLimit" in plan and ", Partial" in plan
+
+
+def test_cap_per_key_null_priority_loses(spark):
+    rows = [(0, "s", None), (1, "s", 5), (2, "s", 1), (3, "s", None)]
+    d = pl.from_records(rows, ["doc_id", "source", "pri"]).lazy()
+    # descending: nulls last -> 5, 1 win
+    top = cap_per_key(d, "source", 2, order_by="pri", tie_col="doc_id")
+    assert sorted(r[0] for r in top.collect().rows()) == [1, 2]
+    # ascending: nulls must STILL lose -> 1, 5 win
+    bot = cap_per_key(
+        d, "source", 2, order_by="pri", tie_col="doc_id", descending=False
+    )
+    assert sorted(r[0] for r in bot.collect().rows()) == [1, 2]
