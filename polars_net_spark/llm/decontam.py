@@ -42,6 +42,24 @@ def _sdf(frame) -> SparkDF:
     return frame._sdf if isinstance(frame, LazyFrame) else frame
 
 
+def _staged_words(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """Cached ``(id, __ws__)`` lowered-word projection (NULL text → no words)
+    — the one corpus scan every word-level consumer below shares.  Without
+    the staging cache each consumer (vocab agg, per-doc counts, the
+    empty-doc re-attach) re-scans and re-splits the corpus; see
+    ``_grams_frame`` and NOTES_r2 for the measured 9x cost of that."""
+    from .._cache import register_cache
+
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    words = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    return register_cache(
+        sdf.select(F.col(id_col).alias("id"), words.alias("__ws__")).repartition(par)
+    )
+
+
 def contamination_frame(
     corpus,
     benchmark,
@@ -125,20 +143,19 @@ def oov_rate_frame(
     top-``vocab_size`` words (frequency desc, word asc — a deterministic
     vocabulary, so the frame is exactly replicable).
 
-    Two aggregations: one word-count shuffle (map-side combined) feeding a
+    Two aggregations over ONE cached corpus scan (``_staged_words``): a
+    word-count shuffle (map-side combined) feeding a
     ``TakeOrderedAndProject`` for the vocabulary, and one ``doc_id`` count
     shuffle for the rates.  The vocabulary — by construction bounded at
-    ``vocab_size`` rows — is broadcast back against the corpus scan.
+    ``vocab_size`` rows — is broadcast back against the word stream.  Total
+    over the corpus: NULL-text and empty docs get an ``n_words = 0`` row.
     """
     from ..frame import LazyFrame
 
     if vocab_size < 1:
         raise ValueError("vocab_size must be >= 1")
-    sdf = _sdf(corpus)
-    words_col = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
-    )
-    exploded = sdf.select(F.col(id_col), F.explode(words_col).alias("word"))
+    staged = _staged_words(_sdf(corpus), text_col, id_col)
+    exploded = staged.select("id", F.explode("__ws__").alias("word"))
     vocab = (
         exploded.groupBy("word")
         .agg(F.count("*").alias("__cnt__"))
@@ -148,7 +165,7 @@ def oov_rate_frame(
     )
     counted = (
         exploded.join(F.broadcast(vocab), "word", "left")
-        .groupBy(id_col)
+        .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum(F.when(F.col("__in_vocab__").isNull(), 1).otherwise(0))
@@ -156,10 +173,8 @@ def oov_rate_frame(
             .alias("n_oov"),
         )
     )
-    empty = sdf.select(F.col(id_col), words_col.alias("__ws__")).filter(
-        F.size("__ws__") == 0
-    ).select(
-        id_col,
+    empty = staged.filter(F.size("__ws__") == 0).select(
+        "id",
         F.lit(0).cast("long").alias("n_words"),
         F.lit(0).cast("long").alias("n_oov"),
     )
@@ -168,4 +183,8 @@ def oov_rate_frame(
         .otherwise(F.lit(0.0)),
         round_to,
     )
-    return LazyFrame(counted.unionByName(empty).withColumn("oov_frac", frac))
+    return LazyFrame(
+        counted.unionByName(empty)
+        .withColumnRenamed("id", id_col)
+        .withColumn("oov_frac", frac)
+    )

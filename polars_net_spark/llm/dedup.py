@@ -760,8 +760,11 @@ def dedup_lines(
     document order.  ``normalize`` compares lines case/edge-whitespace
     insensitively (the emitted text keeps the original bytes).
 
-    Output: ``(id, text, n_lines, n_kept)`` — every input document appears,
-    with empty text when nothing survived.
+    Output: ``(id, text, n_lines, n_kept)`` — every input document appears;
+    NULL text counts as one empty line, and empty text is emitted when
+    nothing survived.  ``sep`` is a LITERAL separator (quoted before the
+    regex split so ``|``/``.`` etc. behave), matching its literal use in the
+    reassembly join.
 
     Scale shape: the keep-first rule is ``row_number() == 1`` over the line
     key ordered by (doc, pos) — Catalyst's WindowGroupLimit(Partial) prunes
@@ -775,9 +778,13 @@ def dedup_lines(
     from ..frame import LazyFrame
 
     sdf = _sdf(frame)
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain \E (regex quoting boundary)")
+    sep_re = "\\Q" + sep + "\\E"  # literal match, not a regex
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = sdf.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__line__"),
+        F.posexplode(F.split(text, sep_re)).alias("__pos__", "__line__"),
     )
     key = F.lower(F.trim(F.col("__line__"))) if normalize else F.col("__line__")
     w = Window.partitionBy(key.alias("__key__")).orderBy(
@@ -802,7 +809,7 @@ def dedup_lines(
     )
     totals = sdf.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        F.size(F.split(text, sep_re)).cast("long").alias("n_lines"),
     )
     out = totals.join(kept, id_col, "left").select(
         id_col,

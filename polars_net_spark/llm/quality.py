@@ -253,23 +253,23 @@ def unigram_logprob_frame(
     The language model is the corpus itself: the top-``vocab_size`` words by
     frequency carry p(w) = count(w)/N; everything rarer shares the floor
     probability 1/N.  Scale shape matches :func:`~.decontam.oov_rate_frame`:
-    one map-side-combined word-count shuffle feeding a
-    ``TakeOrderedAndProject`` vocabulary (ties broken by word so the model is
-    deterministic), broadcast back over the word stream, then one ``doc_id``
-    count shuffle.  Exact integer counts + a fixed expression shape keep the
-    score bit-replicable in ANSI SQL.
+    ONE cached corpus scan (``_staged_words``) feeds a map-side-combined
+    word-count shuffle and a ``TakeOrderedAndProject`` vocabulary (ties
+    broken by word so the model is deterministic), broadcast back over the
+    word stream, then one ``doc_id`` count shuffle.  Exact integer counts +
+    a fixed expression shape keep the score bit-replicable in ANSI SQL.
 
-    Output: ``(doc_id, n_words, mean_logprob)`` with empty docs at 0.0.
+    Output: ``(doc_id, n_words, mean_logprob)``; total over the corpus —
+    NULL-text and empty docs get ``(0, 0.0)``.
     """
     from ..frame import LazyFrame
+    from .decontam import _staged_words
 
     if vocab_size < 1:
         raise ValueError("vocab_size must be >= 1")
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
-    words_col = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
-    )
-    exploded = sdf.select(F.col(id_col), F.explode(words_col).alias("word"))
+    staged = _staged_words(sdf, text_col, id_col)
+    exploded = staged.select("id", F.explode("__ws__").alias("word"))
     total = exploded.select(F.count("*").alias("__N__"))
     vocab = (
         exploded.groupBy("word")
@@ -290,17 +290,15 @@ def unigram_logprob_frame(
                 / F.col("__N__").cast("double")
             ),
         )
-        .groupBy(id_col)
+        .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.round(F.avg("__lp__"), round_to).alias("mean_logprob"),
         )
     )
-    empty = sdf.select(F.col(id_col), words_col.alias("__ws__")).filter(
-        F.size("__ws__") == 0
-    ).select(
-        id_col,
+    empty = staged.filter(F.size("__ws__") == 0).select(
+        "id",
         F.lit(0).cast("long").alias("n_words"),
         F.lit(0.0).alias("mean_logprob"),
     )
-    return LazyFrame(scored.unionByName(empty))
+    return LazyFrame(scored.unionByName(empty).withColumnRenamed("id", id_col))

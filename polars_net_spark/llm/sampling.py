@@ -21,10 +21,20 @@ the single-window result — proven in tests.  Stratified sampling is map-only.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .splits import _BUCKETS, hash_bucket
+
+
+def _half_up(x: float) -> int:
+    """Half-away-from-zero for non-negative x — matches Spark F.round and
+    DuckDB round(); Python's built-in round() is banker's (half-to-even), so
+    a fraction like 0.00125 would yield threshold 12 here but 13 in a SQL
+    oracle."""
+    return int(math.floor(x + 0.5))
 
 __all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan"]
 
@@ -118,10 +128,10 @@ def sample_stratified_hash(
     bucket = hash_bucket(F.col(key_col), salt=salt)
     bound = None
     for stratum, frac in fractions.items():
-        thresh = F.lit(int(round(frac * _BUCKETS)))
+        thresh = F.lit(_half_up(frac * _BUCKETS))
         cond = F.col(strata_col) == stratum
         bound = F.when(cond, thresh) if bound is None else bound.when(cond, thresh)
-    default_thresh = F.lit(int(round(default_fraction * _BUCKETS)))
+    default_thresh = F.lit(_half_up(default_fraction * _BUCKETS))
     bound = default_thresh if bound is None else bound.otherwise(default_thresh)
     return LazyFrame(sdf.filter(bucket < bound))
 
@@ -141,14 +151,18 @@ def _mixture_plan_sdf(sdf, source_col: str, weights: dict[str, float], size_col)
     # would reintroduce order-dependent low bits
     size = F.lit(1) if size_col is None else F.col(size_col)
     totals = sdf.groupBy(source_col).agg(F.sum(size).alias("__T__"))
-    wexpr = None
-    for s, w in norm.items():
-        cond = F.col(source_col) == s
-        wexpr = F.when(cond, F.lit(w)) if wexpr is None else wexpr.when(cond, F.lit(w))
-    wexpr = wexpr.otherwise(F.lit(0.0))
+    # anchor the plan on the REQUESTED sources (local literal relation, still
+    # lazy), not on what the corpus happens to contain: a weighted source
+    # with no mass makes C = min(T/w) = 0, so the whole sample comes back
+    # EMPTY — a typo'd source name surfaces loudly instead of silently
+    # returning a mixture that violates the requested weights
+    requested = sdf.sparkSession.createDataFrame(
+        [(s, float(w)) for s, w in norm.items() if w > 0],
+        [source_col, "__w__"],
+    )
     plan = (
-        totals.withColumn("__w__", wexpr)
-        .filter((F.col("__w__") > 0) & (F.col("__T__") > 0))
+        requested.join(totals, source_col, "left")
+        .withColumn("__T__", F.coalesce(F.col("__T__"), F.lit(0)))
         .withColumn("__ratio__", F.col("__T__").cast("double") / F.col("__w__"))
     )
     # global min over the tiny per-source frame — an empty-partition window,
@@ -156,7 +170,10 @@ def _mixture_plan_sdf(sdf, source_col: str, weights: dict[str, float], size_col)
     cmin = F.min("__ratio__").over(Window.partitionBy())
     return plan.withColumn(
         "__frac__",
-        F.least(F.lit(1.0), cmin * F.col("__w__") / F.col("__T__")),
+        F.when(
+            F.col("__T__") > 0,
+            F.least(F.lit(1.0), cmin * F.col("__w__") / F.col("__T__")),
+        ).otherwise(F.lit(0.0)),
     ).select(source_col, "__w__", "__T__", "__frac__")
 
 
@@ -192,7 +209,11 @@ def mixture_sample(
     The binding source — the one whose available mass runs out first at the
     target mixture — is taken whole (fraction 1); every other source is
     hash-downsampled to ``C·w_s / T_s`` where ``C = min_s(T_s / w_s)``.
-    Sources with zero weight are dropped.
+    Sources with zero weight are dropped.  A weighted source with NO corpus
+    mass (e.g. a typo'd name) makes ``C = 0`` and the sample comes back
+    empty — the contract surfaces the problem instead of silently returning
+    a mixture that violates the requested weights; check
+    :func:`mixture_plan` to see which source is at fault.
 
     Fully in-plan: per-source totals are a tiny aggregate joined back by
     broadcast, the global min is an empty-partition window over that

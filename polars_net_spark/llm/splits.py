@@ -15,6 +15,8 @@ leak-free train/eval separation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -60,7 +62,9 @@ def split_by_hash(
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        bound = int(round(cum * _BUCKETS))
+        # half-up (not Python's banker's round): matches Spark F.round and
+        # DuckDB round(), so SQL-replicated boundaries agree at exact .5
+        bound = int(math.floor(cum * _BUCKETS + 0.5))
         cond = bucket < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])

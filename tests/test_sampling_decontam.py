@@ -361,3 +361,49 @@ def test_cap_per_key_null_priority_loses(spark):
         d, "source", 2, order_by="pri", tie_col="doc_id", descending=False
     )
     assert sorted(r[0] for r in bot.collect().rows()) == [1, 2]
+
+
+def test_null_text_totality(spark):
+    """NULL-text docs must appear in every per-doc frame (review finding)."""
+    from polars_net_spark.llm import oov_rate_frame, unigram_logprob_frame, dedup_lines
+
+    rows = [(0, "aa bb"), (1, None), (2, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    oov = {r["doc_id"]: (r["n_words"], r["oov_frac"]) for r in oov_rate_frame(d)._sdf.collect()}
+    assert oov[1] == (0, 0.0) and oov[2] == (0, 0.0) and len(oov) == 3
+    lp = {r["doc_id"]: r["n_words"] for r in unigram_logprob_frame(d, vocab_size=1)._sdf.collect()}
+    assert lp[1] == 0 and len(lp) == 3
+    dl = {r["doc_id"]: (r["n_lines"], r["n_kept"]) for r in dedup_lines(d)._sdf.collect()}
+    assert dl[1] is not None and dl[1][0] == 1 and len(dl) == 3  # no NULL n_lines
+
+
+def test_dedup_lines_literal_separator(spark):
+    from polars_net_spark.llm import dedup_lines
+
+    rows = [(0, "a|b|c"), (1, "x|b|y")]
+    d = pl.from_records(rows, ["doc_id", "text"]).lazy()
+    out = {r[0]: r[1] for r in dedup_lines(d, sep="|").collect().rows()}
+    # '|' must split into 3 real segments (not per-character regex alternation)
+    assert out[0] == "a|b|c"
+    assert out[1] == "x|y"  # 'b' first seen in doc 0
+    with pytest.raises(ValueError):
+        dedup_lines(d, sep="\\E")
+
+
+def test_mixture_sample_missing_source_yields_empty(spark):
+    from polars_net_spark.llm import mixture_plan, mixture_sample
+
+    d = mix_input(spark)
+    out = mixture_sample(d, "doc_id", "source", {"A": 0.5, "TYPO": 0.5}, size_col="sz")
+    assert out.collect().height == 0  # surfaces loudly, never a silent 100/0 mix
+    plan = {r[0]: (r[2], r[3]) for r in
+            mixture_plan(d, "source", {"A": 0.5, "TYPO": 0.5}, size_col="sz").collect().rows()}
+    assert plan["TYPO"] == (0, 0.0)  # the culprit is visible in the plan
+
+
+def test_hash_threshold_rounding_half_up(spark):
+    from polars_net_spark.llm.sampling import _half_up
+
+    # 0.00125 * 10000 = 12.5: banker's round() gives 12, SQL round gives 13
+    assert _half_up(0.00125 * 10000) == 13
+    assert _half_up(12.4) == 12
