@@ -2025,6 +2025,78 @@ FROM t LEFT JOIN k USING (doc_id)
 """
 
 
+def _q74(spark, sf_dir):
+    """SQL-MERGE semantics in one full-outer join: a deterministic change
+    batch (every 10th order re-priced +10%, every 97th deleted via
+    when_matched on a second merge, plus synthetic new orders) applied onto
+    the orders snapshot; output is an audit aggregate of the merged state."""
+    from polars_net_spark.operators.merge import merge_into
+
+    o = _t(spark, sf_dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")
+    )
+    updates = LazyFrame(
+        o._sdf.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            # +1.0 is exact in binary — a *1.1 re-price lands on half-cent
+            # decimal boundaries where Spark (BigDecimal HALF_UP on the
+            # binary expansion) and DuckDB (scaled-double round) disagree
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    inserts = LazyFrame(
+        o._sdf.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit(1.0).alias("o_totalprice"),
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    batch = LazyFrame(updates._sdf.unionByName(inserts._sdf))
+    merged = merge_into(o, batch, on="o_orderkey")
+    out = (
+        merged._sdf.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.round(F.col("o_totalprice"), 2)), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return out
+
+
+_q74_sql = """
+WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 1.0, 'N'
+  FROM t WHERE o_orderkey % 97 = 0),
+m AS (
+  SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+              THEN s.o_custkey
+              WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+              ELSE s.o_custkey END AS o_custkey,
+         CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+              THEN s.o_totalprice
+              WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice
+              ELSE s.o_totalprice END AS o_totalprice,
+         CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+              THEN s.o_orderstatus
+              WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus
+              ELSE s.o_orderstatus END AS o_orderstatus
+  FROM t FULL JOIN s USING (o_orderkey))
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total
+FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2103,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_mixture_sample": _q71,
         "q72_unigram_logprob": _q72,
         "q73_line_dedup": _q73,
+        "q74_merge_upsert": _q74,
     }
 
 
@@ -2181,4 +2254,5 @@ def oracle_sql() -> dict[str, str]:
         "q71_mixture_sample": _q71_sql,
         "q72_unigram_logprob": _q72_sql,
         "q73_line_dedup": _q73_sql,
+        "q74_merge_upsert": _q74_sql,
     }

@@ -415,6 +415,12 @@ class LazyFrame:
 
         return salted_join(self, other, on, **kwargs)
 
+    def merge_into(self, source: "LazyFrame", on, **kwargs) -> "LazyFrame":
+        """SQL-MERGE a change batch onto this frame (see operators.merge)."""
+        from .operators.merge import merge_into
+
+        return merge_into(self, source, on, **kwargs)
+
     # -- sorting (lazy.rs:100-164) ----------------------------------------------
     def sort(
         self,

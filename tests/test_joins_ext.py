@@ -130,3 +130,64 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert n_salts > 1
     assert sorted(r[1] for r in out.collect().rows()) == sorted(range(64))
+
+
+def test_merge_into_upsert(spark):
+    import polars_net_spark as plx
+    from polars_net_spark.operators.merge import merge_into
+
+    t = plx.from_records(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "tag", "v"]
+    ).lazy()
+    s = plx.from_records(
+        [(2, "B", 99.0), (4, "d", 40.0)], ["k", "tag", "v"]
+    ).lazy()
+    out = sorted(t.merge_into(s, on="k").collect().rows())
+    assert out == [(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_merge_into_delete_and_ignore(spark):
+    import polars_net_spark as plx
+    from polars_net_spark.operators.merge import merge_into
+
+    t = plx.from_records([(1, 10.0), (2, 20.0)], ["k", "v"]).lazy()
+    s = plx.from_records([(2, 0.0), (9, 90.0)], ["k", "v"]).lazy()
+    # matched -> delete, unmatched source ignored
+    out = sorted(
+        merge_into(t, s, on="k", when_matched="delete", when_not_matched=None)
+        .collect().rows()
+    )
+    assert out == [(1, 10.0)]
+    # matched kept as-is (when_matched=None), inserts still applied
+    out2 = sorted(
+        merge_into(t, s, on="k", when_matched=None).collect().rows()
+    )
+    assert out2 == [(1, 10.0), (2, 20.0), (9, 90.0)]
+
+
+def test_merge_into_update_cols_and_one_sided_columns(spark):
+    import polars_net_spark as plx
+    from polars_net_spark.operators.merge import merge_into
+
+    t = plx.from_records([(1, "a", 10.0)], ["k", "tag", "v"]).lazy()
+    s = plx.from_records([(1, "Z", 99.0), (2, "y", 50.0)], ["k", "tag", "v"]).lazy()
+    # only v updates; tag keeps the target value on matched rows
+    out = sorted(
+        merge_into(t, s, on="k", update_cols=["v"]).collect().rows()
+    )
+    assert out == [(1, "a", 99.0), (2, "y", 50.0)]
+
+
+def test_merge_into_validation(spark):
+    import polars_net_spark as plx
+    import pytest
+    from polars_net_spark.operators.merge import merge_into
+
+    t = plx.from_records([(1, 10.0)], ["k", "v"]).lazy()
+    s = plx.from_records([(1, 2.0)], ["k", "v"]).lazy()
+    with pytest.raises(ValueError):
+        merge_into(t, s, on="missing")
+    with pytest.raises(ValueError):
+        merge_into(t, s, on="k", when_matched="bogus")
+    with pytest.raises(ValueError):
+        merge_into(t, s, on="k", update_cols=["k"])

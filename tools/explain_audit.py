@@ -136,6 +136,11 @@ CHECKS = {
         ("WindowGroupLimit", "hot boilerplate lines cannot flood a reducer"),
         ("!", "CartesianProduct", "reassembly joins by doc key"),
     ],
+    "q74_merge_upsert": [
+        ("FullOuter", "merge is one full-outer join on the keys"),
+        ("!", "CartesianProduct", "never cartesian"),
+        ("partial_sum", "audit aggregate combines map-side"),
+    ],
 }
 
 
