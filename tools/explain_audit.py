@@ -172,6 +172,36 @@ def main() -> None:
             if not ok:
                 failures += 1
             print(f"{status} {name}: {desc} ({tag})")
+    # --- blanket sweep: NO query in the whole gate may plan a cartesian or
+    # nested-loop join unless it is the documented exception (plan build
+    # only, nothing executed) -------------------------------------------------
+    # every entry is a BOUNDED broadcast build side, never data-by-data:
+    ALLOW_NL = {
+        "q09_cross_region_nation",  # intentionally a cross join
+        "q52_ivf_topk",             # query x centroid scoring (<= nlist rows broadcast)
+        "q56_tfidf",                # 1-row corpus-N attach
+        "q57_bm25",                 # 1-row N/avgdl stats attach
+        "q62_sq8_recall",           # 1-row quantization-stats attach + bounded query set
+        "q72_unigram_logprob",      # 1-row corpus-total N attach
+    }
+    from polars_net_spark import release_caches
+
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            release_caches()
+        bad = []
+        if "CartesianProduct" in plan and name not in ALLOW_NL:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_NL:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            failures += 1
+            print(f"FAIL sweep {name}: {'+'.join(bad)} in plan")
+    print(f"ok   sweep: {len(qs) - len(ALLOW_NL)} gate queries plan no cartesian/nested-loop join ({', '.join(sorted(ALLOW_NL))} exempt by design)")
+
     # --- partition-pruning proof (VERDICT r1 item 9): hive-partitioned write
     # + partition-key filter must prune at the file-listing level -------------
     import shutil
