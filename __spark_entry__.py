@@ -2097,6 +2097,43 @@ FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def _q75(spark, sf_dir):
+    """Binning: fixed-edge cut (right-closed when-free comparison sum) and
+    exact-quantile qcut (boundaries = one aggregate row broadcast back, no
+    global window) cross-tabulated over lineitem quantities."""
+    li = _t(spark, sf_dir, "lineitem").select(col("l_quantity"))
+    banded = li.with_columns(
+        pls.Expr(F.col("l_quantity")).cut([10.0, 25.0, 40.0]).alias("band")
+    )
+    both = banded.with_qcut("l_quantity", 4, "quartile")
+    out = (
+        both._sdf.groupBy("band", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("qmin"),
+            F.round(F.max("l_quantity"), 2).alias("qmax"),
+        )
+        .orderBy("band", "quartile")
+    )
+    return out
+
+
+_q75_sql = """
+WITH b AS (SELECT quantile_cont(l_quantity, 0.25) AS b0,
+                  quantile_cont(l_quantity, 0.5)  AS b1,
+                  quantile_cont(l_quantity, 0.75) AS b2 FROM lineitem),
+x AS (SELECT l_quantity,
+        CAST((l_quantity > 10.0)::INT + (l_quantity > 25.0)::INT
+             + (l_quantity > 40.0)::INT AS BIGINT) AS band,
+        CAST((l_quantity > b0)::INT + (l_quantity > b1)::INT
+             + (l_quantity > b2)::INT AS BIGINT) AS quartile
+      FROM lineitem, b)
+SELECT band, quartile, CAST(count(*) AS BIGINT) AS n,
+       round(min(l_quantity), 2) AS qmin, round(max(l_quantity), 2) AS qmax
+FROM x GROUP BY band, quartile ORDER BY band, quartile
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2176,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_unigram_logprob": _q72,
         "q73_line_dedup": _q73,
         "q74_merge_upsert": _q74,
+        "q75_cut_qcut": _q75,
     }
 
 
@@ -2255,4 +2293,5 @@ def oracle_sql() -> dict[str, str]:
         "q72_unigram_logprob": _q72_sql,
         "q73_line_dedup": _q73_sql,
         "q74_merge_upsert": _q74_sql,
+        "q75_cut_qcut": _q75_sql,
     }

@@ -307,6 +307,21 @@ class Expr:
             c = F.least(c, _c(upper))
         return _wrap(c)
 
+    def cut(self, breaks: list[float], left_closed: bool = False) -> "Expr":
+        """Bucket index for fixed bin edges (polars Expr.cut with
+        labels-as-indices): right-closed intervals ``(b_i, b_{i+1}]`` by
+        default, so index = #{b in breaks : value > b} — a pure when-free
+        comparison sum, fully codegen'd.  ``left_closed`` switches to
+        ``[b_i, b_{i+1})`` (index counts >=).  Null in → null out."""
+        if sorted(breaks) != list(breaks):
+            raise ValueError("breaks must be sorted ascending")
+        c = self._col
+        acc = F.lit(0)
+        for b in breaks:
+            hit = (c >= F.lit(b)) if left_closed else (c > F.lit(b))
+            acc = acc + hit.cast("int")
+        return _wrap(F.when(c.isNotNull(), acc.cast("long")).otherwise(F.lit(None)))
+
     # -- cast (expr.rs:1016-1033) ------------------------------------------
     def cast(self, dtype: str | T.DataType, strict: bool = False) -> "Expr":
         t = _to_spark_type(dtype)

@@ -421,6 +421,34 @@ class LazyFrame:
 
         return merge_into(self, source, on, **kwargs)
 
+    def with_qcut(self, col_name: str, q, out_col: str | None = None) -> "LazyFrame":
+        """Quantile binning (polars qcut with labels-as-indices): exact
+        linear-interpolation quantile boundaries at i/q (or the given
+        probability list), right-closed buckets.
+
+        The boundaries are ONE aggregate row broadcast back onto the scan —
+        not a global window — so the frame never collapses to a single
+        partition; the bucket assignment itself is a codegen'd comparison
+        sum (see Expr.cut)."""
+        probs = [i / q for i in range(1, q)] if isinstance(q, int) else list(q)
+        if not probs or sorted(probs) != list(probs) or not all(0 < p < 1 for p in probs):
+            raise ValueError("q must be an int >= 2 or sorted probabilities in (0, 1)")
+        sdf = self._sdf
+        names = [f"__qb{i}__" for i in range(len(probs))]
+        bounds = sdf.agg(
+            *[F.percentile(F.col(col_name), F.lit(p)).alias(n) for p, n in zip(probs, names)]
+        )
+        c = F.col(col_name)
+        acc = F.lit(0)
+        for n in names:
+            acc = acc + (c > F.col(n)).cast("int")
+        out = (
+            sdf.crossJoin(F.broadcast(bounds))
+            .withColumn(out_col or f"{col_name}_qcut", F.when(c.isNotNull(), acc.cast("long")))
+            .drop(*names)
+        )
+        return LazyFrame(out)
+
     # -- sorting (lazy.rs:100-164) ----------------------------------------------
     def sort(
         self,

@@ -140,3 +140,46 @@ def test_implode_n_unique(spark):
 def test_name_prefix_suffix(people):
     out = people.select(col("age").name.prefix("p_"), col("salary").name.suffix("_s"))
     assert out.columns == ["p_age", "salary_s"]
+
+
+def test_cut_buckets(spark):
+    import polars_net_spark as plx
+
+    d = plx.from_records(
+        [(0, 5.0), (1, 10.0), (2, 10.5), (3, 40.0), (4, 41.0), (5, None)],
+        ["i", "v"],
+    ).lazy()
+    out = d.with_columns(plx.col("v").cut([10.0, 25.0, 40.0]).alias("b")).collect()
+    got = {r[0]: r[2] for r in out.rows()}
+    # right-closed: 10.0 stays in bucket 0, 40.0 in bucket 2
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: None}
+    left = d.with_columns(
+        plx.col("v").cut([10.0, 25.0, 40.0], left_closed=True).alias("b")
+    ).collect()
+    lgot = {r[0]: r[2] for r in left.rows()}
+    assert lgot[1] == 1 and lgot[3] == 3  # boundaries move up when left-closed
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        plx.col("v").cut([3.0, 1.0])
+
+
+def test_with_qcut_quartiles(spark):
+    import polars_net_spark as plx
+
+    d = plx.from_records([(i, float(i)) for i in range(1, 101)], ["i", "v"]).lazy()
+    out = d.with_qcut("v", 4, "qb").collect()
+    buckets = {}
+    for _, v, qb in out.rows():
+        buckets.setdefault(qb, []).append(v)
+    # exact quartile boundaries of 1..100 (linear interp): 25.75, 50.5, 75.25
+    assert sorted(buckets) == [0, 1, 2, 3]
+    assert max(buckets[0]) == 25.0 and min(buckets[1]) == 26.0
+    assert max(buckets[1]) == 50.0 and min(buckets[2]) == 51.0
+    assert len(buckets[0]) == 25
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        d.with_qcut("v", [0.5, 0.2])

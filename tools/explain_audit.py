@@ -183,6 +183,7 @@ def main() -> None:
         "q57_bm25",                 # 1-row N/avgdl stats attach
         "q62_sq8_recall",           # 1-row quantization-stats attach + bounded query set
         "q72_unigram_logprob",      # 1-row corpus-total N attach
+        "q75_cut_qcut",             # 1-row quantile-boundary attach
     }
     from polars_net_spark import release_caches
 
