@@ -572,6 +572,113 @@ class Expr:
         fn = {"dense": F.dense_rank, "min": F.rank, "ordinal": F.row_number}[method]
         return _wrap(fn().over(w))
 
+    def rolling_quantile(
+        self,
+        quantile: float,
+        window_size: int | str,
+        min_periods: int | None = None,
+        interpolation: str = "linear",
+        order_by: Any = None,
+        partition_by: Sequence[Any] = (),
+    ) -> "Expr":
+        """Rolling quantile over the trailing ``window_size`` rows (polars
+        Expr.rolling_quantile). ``linear`` uses Spark's exact ``percentile``
+        aggregate over the window frame; the index-based modes reuse the
+        sorted-window-array logic from ``quantile`` (same tie rules).
+        """
+        if isinstance(window_size, str):
+            if not window_size.endswith("i"):
+                raise ValueError("fixed rolling windows use 'Ni' notation")
+            window_size = int(window_size[:-1])
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        frame = w.rowsBetween(-(window_size - 1), 0)
+        mp = min_periods if min_periods is not None else window_size
+        cnt = F.count(self._col).over(frame)
+        if interpolation == "linear":
+            agg = F.percentile(self._col, F.lit(float(quantile))).over(frame)
+        else:
+            arr = F.array_sort(F.collect_list(self._col).over(frame))
+            pos = (F.size(arr) - 1) * F.lit(float(quantile))
+            lo_idx = F.floor(pos)
+            lo = F.get(arr, lo_idx.cast("int"))
+            hi = F.get(arr, F.ceil(pos).cast("int"))
+            if interpolation == "lower":
+                agg = lo
+            elif interpolation == "higher":
+                agg = hi
+            elif interpolation == "midpoint":
+                agg = (lo + hi) / 2.0
+            elif interpolation == "nearest":
+                agg = F.when(pos - lo_idx < F.lit(0.5), lo).otherwise(hi)
+            else:
+                raise ValueError(f"unknown interpolation {interpolation!r}")
+        return _wrap(F.when(cnt >= F.lit(mp), agg))
+
+    def rolling_median(self, window_size, min_periods=None, order_by=None, partition_by=()):
+        """Rolling median (= linear-interpolation quantile 0.5, polars semantics)."""
+        return self.rolling_quantile(0.5, window_size, min_periods, "linear", order_by, partition_by)
+
+    def interpolate(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """Linearly interpolate nulls between surrounding non-null values
+        (polars Expr.interpolate, method='linear'); leading/trailing nulls
+        stay null.  Pure window math: previous/next non-null value + its
+        row position bracket each gap — no Python, no extra pass.
+        """
+        part = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        )
+        w = part.orderBy(*_order_cols(order_by))
+        c = self._col
+        i = F.row_number().over(w)
+        prev = w.rowsBetween(Window.unboundedPreceding, 0)
+        nxt = w.rowsBetween(0, Window.unboundedFollowing)
+        pv = F.last(c, ignorenulls=True).over(prev)
+        pi = F.last(F.when(c.isNotNull(), i), ignorenulls=True).over(prev)
+        nv = F.first(c, ignorenulls=True).over(nxt)
+        ni = F.first(F.when(c.isNotNull(), i), ignorenulls=True).over(nxt)
+        filled = pv + (nv - pv) * (i - pi) / (ni - pi)
+        return _wrap(
+            F.when(c.isNotNull(), c.cast("double")).when(
+                pv.isNotNull() & nv.isNotNull(), filled
+            )
+        )
+
+    # distinctness predicates (polars is_duplicated/is_unique family).
+    # Window.partitionBy groups nulls together, matching polars' null-is-a-
+    # value semantics for these.
+    def is_duplicated(self) -> "Expr":
+        return _wrap(F.count(F.lit(1)).over(Window.partitionBy(self._col)) > 1)
+
+    def is_unique(self) -> "Expr":
+        return _wrap(F.count(F.lit(1)).over(Window.partitionBy(self._col)) == 1)
+
+    def is_first_distinct(self, order_by: Any = None) -> "Expr":
+        w = Window.partitionBy(self._col).orderBy(*_order_cols(order_by))
+        return _wrap(F.row_number().over(w) == 1)
+
+    def is_last_distinct(self, order_by: Any = None) -> "Expr":
+        w = Window.partitionBy(self._col).orderBy(*[o.desc() for o in _order_cols(order_by)])
+        return _wrap(F.row_number().over(w) == 1)
+
+    def mode(self) -> "Expr":
+        """Most frequent value (aggregation context). Ties resolve to the
+        smallest value (Spark 4 deterministic mode), so results are stable
+        across runs — polars returns ALL tied modes as a list; use
+        ``.implode()`` + a count-window if the full tie set is needed."""
+        return _wrap(F.mode(self._col, True))
+
+    def pct_change(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """Fractional change vs the value ``n`` rows earlier (polars
+        Expr.pct_change): (x - x.shift(n)) / x.shift(n)."""
+        prev = self.shift(n, order_by, partition_by)._col
+        return _wrap((self._col - prev) / prev)
+
     # -- map/UDF (udf.rs:92-123; SURVEY §2.12) -----------------------------
     def map(self, fn, return_dtype: str | T.DataType | None = None) -> "Expr":
         """Vectorized scalar UDF: ``fn(pandas.Series) -> pandas.Series``.

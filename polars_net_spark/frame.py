@@ -421,6 +421,35 @@ class LazyFrame:
 
         return merge_into(self, source, on, **kwargs)
 
+    def value_counts(self, *columns: str, sort: bool = True, name: str = "count") -> "LazyFrame":
+        """Per-value occurrence counts (polars ``Expr.value_counts`` /
+        ``Series.value_counts``, frame-level): one hash aggregation with
+        map-side combine.  ``sort=True`` orders by count desc then value asc
+        (deterministic tie-break)."""
+        cols_ = _flatten(columns)
+        out = self._sdf.groupBy(*[F.col(c) for c in cols_]).agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+        if sort:
+            out = out.orderBy(F.col(name).desc(), *[F.col(c) for c in cols_])
+        return LazyFrame(out)
+
+    def with_ewm_mean(self, column: str, **kwargs) -> "LazyFrame":
+        """Exponentially-weighted moving mean — see operators/ewm.py."""
+        from .operators.ewm import with_ewm
+
+        return with_ewm(self, column, kind="mean", **kwargs)
+
+    def with_ewm_std(self, column: str, **kwargs) -> "LazyFrame":
+        from .operators.ewm import with_ewm
+
+        return with_ewm(self, column, kind="std", **kwargs)
+
+    def with_ewm_var(self, column: str, **kwargs) -> "LazyFrame":
+        from .operators.ewm import with_ewm
+
+        return with_ewm(self, column, kind="var", **kwargs)
+
     def with_qcut(self, col_name: str, q, out_col: str | None = None) -> "LazyFrame":
         """Quantile binning (polars qcut with labels-as-indices): exact
         linear-interpolation quantile boundaries at i/q (or the given
@@ -653,6 +682,19 @@ class GroupBy:
             out = lf._sdf.groupBy(*key_cols).agg(first_seen, *agg_cols)
             return LazyFrame(out.orderBy("__first_seen__").drop("__first_seen__"))
         return LazyFrame(self._lf._sdf.groupBy(*key_cols).agg(*agg_cols))
+
+    def map_groups(self, fn, schema) -> LazyFrame:
+        """Custom per-group transform (polars ``group_by().map_groups``):
+        ``fn(pandas.DataFrame) -> pandas.DataFrame`` applied to each key
+        group via ``applyInPandas`` (one shuffle on the keys, Arrow-batched
+        both ways).  ``schema`` is the OUTPUT schema (DDL string or
+        StructType) — the function may change shape/columns freely.
+        Scale note: each group must fit in one executor's memory; use
+        built-in aggs/windows when the semantics allow."""
+        if self._mode != "groupby":
+            raise ValueError("map_groups only supports plain group_by (not cube/rollup)")
+        key_cols = [F.col(k) if isinstance(k, str) else _c(k) for k in self._keys]
+        return LazyFrame(self._lf._sdf.groupBy(*key_cols).applyInPandas(fn, schema=schema))
 
     # convenience aggregations (GroupByBuilder in the reference,
     # Polars.CSharp/GroupByBuilder.cs:7)

@@ -1,0 +1,115 @@
+"""Exponentially-weighted moving aggregates (polars ``Expr.ewm_mean`` /
+``ewm_std`` / ``ewm_var``; reference exposes polars' ewm surface through the
+expression shim).
+
+EWM is a linear recurrence (y_t = x_t + (1-alpha) * y_{t-1}); the closed-form
+two-cumsum rewrite ((1-alpha)^-i factors) overflows float64 after ~1k rows, so
+a pure window-expression formulation is not numerically viable for long
+series.  Spark-first design: ``applyInPandas`` per partition key — one shuffle
+on the keys, Arrow both ways, pandas' C ewm kernel inside (identical
+semantics to polars for adjust/min_periods/ignore_nulls).  Parallelism comes
+from the key partitioning, the natural shape of time-series data; without
+``partition_by`` the whole frame is ONE group (single task — documented, same
+caveat as asof-without-by).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exprs import ROW_ORDER_COL
+
+__all__ = ["with_ewm", "resolve_alpha"]
+
+
+def resolve_alpha(
+    alpha: float | None = None,
+    com: float | None = None,
+    span: float | None = None,
+    half_life: float | None = None,
+) -> float:
+    """Exactly one of alpha/com/span/half_life, polars' parameterization:
+    com -> a = 1/(1+com); span -> a = 2/(span+1); half_life -> a = 1-exp(-ln2/hl)."""
+    given = [v for v in (alpha, com, span, half_life) if v is not None]
+    if len(given) != 1:
+        raise ValueError("provide exactly one of alpha, com, span, half_life")
+    if alpha is not None:
+        a = float(alpha)
+    elif com is not None:
+        a = 1.0 / (1.0 + float(com))
+    elif span is not None:
+        a = 2.0 / (float(span) + 1.0)
+    else:
+        a = 1.0 - math.exp(-math.log(2.0) / float(half_life))
+    if not (0.0 < a <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {a}")
+    return a
+
+
+def with_ewm(
+    lf,
+    column: str,
+    *,
+    kind: str = "mean",
+    alpha: float | None = None,
+    com: float | None = None,
+    span: float | None = None,
+    half_life: float | None = None,
+    adjust: bool = True,
+    bias: bool = False,
+    min_periods: int = 1,
+    ignore_nulls: bool = True,
+    order_by: str | Sequence[str] | None = None,
+    partition_by: Sequence[str] = (),
+    out_col: str | None = None,
+):
+    """Append ``out_col`` = EWM <kind> of ``column`` ordered by ``order_by``
+    within each ``partition_by`` group.
+
+    kind: 'mean' | 'var' | 'std' (var/std honor ``bias``, polars default
+    bias=False = debiased).  Nulls: with ignore_nulls=True weights are based
+    on relative positions of the non-null values (polars/pandas semantics);
+    rows before the first non-null, and rows masked by min_periods, yield
+    null.
+    """
+    from ..frame import LazyFrame
+
+    if kind not in ("mean", "var", "std"):
+        raise ValueError(f"kind must be mean|var|std, got {kind!r}")
+    a = resolve_alpha(alpha, com, span, half_life)
+    out_col = out_col or f"{column}_ewm_{kind}"
+
+    if order_by is None:
+        lf = lf._order_col()
+        order_names = [ROW_ORDER_COL]
+    else:
+        order_names = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    sdf = lf._sdf
+    schema = T.StructType(sdf.schema.fields + [T.StructField(out_col, T.DoubleType(), True)])
+    part = list(partition_by)
+    mp = int(min_periods)
+    adj, ign, b, knd, col_ = bool(adjust), bool(ignore_nulls), bool(bias), kind, column
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(order_names, kind="mergesort")
+        ew = pdf[col_].astype("float64").ewm(
+            alpha=a, adjust=adj, min_periods=mp, ignore_na=ign
+        )
+        if knd == "mean":
+            res = ew.mean()
+        elif knd == "var":
+            res = ew.var(bias=b)
+        else:
+            res = ew.std(bias=b)
+        # nullable Float64 so masked/leading NaNs cross Arrow as SQL nulls,
+        # not double-NaN
+        pdf[out_col] = res.astype("Float64")
+        return pdf
+
+    grouped = sdf.groupBy(*[F.col(c) for c in part]) if part else sdf.groupBy(F.lit(1))
+    return LazyFrame(grouped.applyInPandas(_ewm, schema=schema))
