@@ -886,7 +886,14 @@ def _q37(spark, sf_dir):
     gap_us = 30 * 60 * 1_000_000
     prev_ts = col("ts").shift(1, order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
     new_sess = (
-        when(prev_ts.is_null() | (pls.Expr(F.unix_micros(F.col("ts"))) - pls.Expr(F.unix_micros(prev_ts._col)) > gap_us))
+        when(
+            prev_ts.is_null()
+            | (
+                pls.Expr(F.unix_micros(F.col("ts").cast("timestamp")))
+                - pls.Expr(F.unix_micros(prev_ts._col.cast("timestamp")))
+                > gap_us
+            )
+        )
         .then(lit(1))
         .otherwise(lit(0))
     )

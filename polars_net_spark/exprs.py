@@ -871,10 +871,18 @@ class ExprStrNamespace:
 
 
 class ExprDtNamespace:
-    """Temporal ops (expr.rs:247-700)."""
+    """Temporal ops (expr.rs:247-700).
+
+    All epoch-math paths go through ``_ts`` (a defensive ``cast("timestamp")``):
+    polars' Datetime default is tz-naive µs (expr.rs:534), which Spark 4 reads
+    from parquet as TIMESTAMP_NTZ, and ``unix_micros`` rejects NTZ input. The
+    session tz is UTC, so the cast is wall-clock-preserving and a no-op on
+    already-tz-aware columns.
+    """
 
     def __init__(self, expr: Expr):
         self._c = expr._col
+        self._ts = expr._col.cast("timestamp")
 
     def year(self) -> Expr:
         return _wrap(F.year(self._c))
@@ -902,21 +910,21 @@ class ExprDtNamespace:
         return _wrap(F.floor(F.second(self._c)).cast("int"))
 
     def millisecond(self) -> Expr:
-        return _wrap((F.unix_micros(self._c) % 1_000_000 / 1000).cast("int"))
+        return _wrap((F.unix_micros(self._ts) % 1_000_000 / 1000).cast("int"))
 
     def microsecond(self) -> Expr:
-        return _wrap((F.unix_micros(self._c) % 1_000_000).cast("int"))
+        return _wrap((F.unix_micros(self._ts) % 1_000_000).cast("int"))
 
     def nanosecond(self) -> Expr:
-        return _wrap(((F.unix_micros(self._c) % 1_000_000) * 1000).cast("long"))
+        return _wrap(((F.unix_micros(self._ts) % 1_000_000) * 1000).cast("long"))
 
     def date(self) -> Expr:
         return _wrap(self._c.cast("date"))
 
     def time(self) -> Expr:
         """Time-of-day as nanoseconds since midnight (reference Time dtype, §1.3)."""
-        midnight = F.date_trunc("day", self._c)
-        return _wrap(((F.unix_micros(self._c) - F.unix_micros(midnight)) * 1000).cast("long"))
+        midnight = F.date_trunc("day", self._ts)
+        return _wrap(((F.unix_micros(self._ts) - F.unix_micros(midnight)) * 1000).cast("long"))
 
     def to_string(self, fmt: str) -> Expr:
         return _wrap(F.date_format(self._c, strftime_to_java(fmt)))
@@ -929,13 +937,13 @@ class ExprDtNamespace:
         if every in unit_map:
             return _wrap(F.date_trunc(unit_map[every], self._c))
         micros = parse_polars_duration_us(every)
-        e = F.unix_micros(self._c)
+        e = F.unix_micros(self._ts)
         return _wrap(F.timestamp_micros((e - (e % F.lit(micros))).cast("long")))
 
     def round(self, every: str) -> Expr:
         """Round to nearest interval boundary (expr.rs:583-591): trunc(t + every/2)."""
         micros = parse_polars_duration_us(every)
-        e = F.unix_micros(self._c) + F.lit(micros // 2)
+        e = F.unix_micros(self._ts) + F.lit(micros // 2)
         return _wrap(F.timestamp_micros((e - (e % F.lit(micros))).cast("long")))
 
     def offset_by(self, duration: str) -> Expr:
@@ -945,11 +953,11 @@ class ExprDtNamespace:
 
     def timestamp(self, unit: str = "us") -> Expr:
         if unit == "ns":
-            return _wrap(F.unix_micros(self._c) * 1000)
+            return _wrap(F.unix_micros(self._ts) * 1000)
         if unit == "us":
-            return _wrap(F.unix_micros(self._c))
+            return _wrap(F.unix_micros(self._ts))
         if unit == "ms":
-            return _wrap(F.unix_millis(self._c))
+            return _wrap(F.unix_millis(self._ts))
         raise ValueError(f"unknown unit {unit!r}")
 
     def convert_time_zone(self, tz: str) -> Expr:

@@ -1,0 +1,113 @@
+"""TIMESTAMP_NTZ input safety for the full dt namespace.
+
+Polars' Datetime default is tz-naive µs (reference native_shim/src/expr.rs:534);
+Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ, and ``unix_micros``
+rejects NTZ input. Every epoch-math dt op must cast defensively — this writes a
+tz-naive parquet fixture (exactly what the driver generates) and exercises every
+dt-namespace op that touches unix_micros/unix_millis over it.
+"""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import polars_net_spark as pl
+from polars_net_spark import col
+
+
+@pytest.fixture(scope="module")
+def ntz_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ntz") / "events_ntz.parquet"
+    ts = pa.array(
+        [
+            dt.datetime(2024, 3, 15, 14, 30, 45, 123456),
+            dt.datetime(2024, 3, 15, 14, 40, 0, 500000),
+            dt.datetime(2024, 3, 15, 16, 0, 1, 0),
+            dt.datetime(2024, 3, 16, 1, 2, 3, 7),
+        ],
+        type=pa.timestamp("us"),  # no tz → Spark reads TIMESTAMP_NTZ
+    )
+    tbl = pa.table({"ts": ts, "uid": pa.array([1, 1, 1, 2], type=pa.int64())})
+    pq.write_table(tbl, p)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def ntz(spark, ntz_path):
+    df = pl.read_parquet(ntz_path)
+    assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    return df
+
+
+def test_ntz_subsecond_parts(ntz):
+    r = ntz.select(
+        col("ts").dt.millisecond().alias("ms"),
+        col("ts").dt.microsecond().alias("us"),
+        col("ts").dt.nanosecond().alias("ns"),
+    ).rows()
+    assert r[0] == (123, 123456, 123456000)
+    assert r[1] == (500, 500000, 500000000)
+
+
+def test_ntz_time_of_day(ntz):
+    r = ntz.select(col("ts").dt.time().alias("tod")).rows()
+    assert r[2][0] == ((16 * 3600 + 1) * 1_000_000 + 0) * 1000
+
+
+def test_ntz_truncate_round(ntz):
+    r = ntz.select(
+        col("ts").dt.truncate("15m").alias("tr"),
+        col("ts").dt.round("15m").alias("rd"),
+    ).rows()
+    assert r[0][0] == dt.datetime(2024, 3, 15, 14, 30)
+    assert r[0][1] == dt.datetime(2024, 3, 15, 14, 30)
+    assert r[1][0] == dt.datetime(2024, 3, 15, 14, 30)
+    assert r[1][1] == dt.datetime(2024, 3, 15, 14, 45)
+
+
+def test_ntz_timestamp_units(ntz):
+    base = dt.datetime(2024, 3, 15, 14, 30, 45, 123456, tzinfo=dt.timezone.utc)
+    us = int(base.timestamp() * 1_000_000)
+    r = ntz.select(
+        col("ts").dt.timestamp("us").alias("us"),
+        col("ts").dt.timestamp("ms").alias("ms"),
+        col("ts").dt.timestamp("ns").alias("ns"),
+    ).rows()
+    assert r[0] == (us, us // 1000, us * 1000)
+
+
+def test_ntz_whole_namespace_no_crash(ntz):
+    # every remaining dt op must at least build + execute on NTZ input
+    out = ntz.select(
+        col("ts").dt.year().alias("y"),
+        col("ts").dt.month().alias("mo"),
+        col("ts").dt.day().alias("d"),
+        col("ts").dt.ordinal_day().alias("od"),
+        col("ts").dt.weekday().alias("wd"),
+        col("ts").dt.hour().alias("h"),
+        col("ts").dt.minute().alias("mi"),
+        col("ts").dt.second().alias("s"),
+        col("ts").dt.date().alias("dt"),
+        col("ts").dt.to_string("%Y-%m-%d %H:%M:%S").alias("str"),
+        col("ts").dt.offset_by("1d2h").alias("off"),
+        col("ts").dt.truncate("1h").alias("th"),
+    )
+    rows = out.rows()
+    assert rows[0][:8] == (2024, 3, 15, 75, 5, 14, 30, 45)
+    assert rows[0][9] == "2024-03-15 14:30:45"
+
+
+def test_ntz_shift_diff_sessionize_pattern(ntz):
+    # the exact q37 pattern: shift + unix_micros subtraction on NTZ input
+    from pyspark.sql import functions as F
+
+    prev = col("ts").shift(1, order_by=[col("ts")], partition_by=["uid"])
+    gap = pl.Expr(F.unix_micros(F.col("ts").cast("timestamp"))) - pl.Expr(
+        F.unix_micros(prev._col.cast("timestamp"))
+    )
+    out = ntz.with_columns(gap.alias("gap_us")).sort("uid", "ts")
+    gaps = [r[-1] for r in out.rows()]
+    assert gaps[0] is None
+    assert gaps[1] == (9 * 60 + 15) * 1_000_000 + 376544

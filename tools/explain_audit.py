@@ -153,11 +153,17 @@ def main() -> None:
     qs = e.queries()
     failures = 0
     for name, checks in CHECKS.items():
-        df = qs[name](spark, sf_dir)
-        # materialize once so AQE finalizes the real plan (broadcast decisions)
-        df.count()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        formatted = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        # a query that fails to BUILD is itself an audit failure — keep sweeping
+        try:
+            df = qs[name](spark, sf_dir)
+            # materialize once so AQE finalizes the real plan (broadcast decisions)
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            formatted = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL {name}: query build/execute error: {type(exc).__name__}: {str(exc).splitlines()[0][:160]}")
+            continue
         text = plan + "\n" + formatted
         for chk in checks:
             if chk[0] == "!":
@@ -191,6 +197,10 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL sweep {name}: plan build error: {type(exc).__name__}: {str(exc).splitlines()[0][:160]}")
+            continue
         finally:
             release_caches()
         bad = []
