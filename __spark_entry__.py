@@ -1533,6 +1533,7 @@ def _q59(spark, sf_dir):
         upper="6h",
         closed="right",  # (ts, ts + 6h]: strictly-after, inclusive upper
         how="left",
+        bucket="6h",  # skew guard: join on (user_id, 6h-bucket), 2 copies/row
     )
     out = joined.spark.groupBy("event_id").agg(
         F.count("next_id").cast("long").alias("n_next"),
@@ -2141,6 +2142,269 @@ FROM x GROUP BY band, quartile ORDER BY band, quartile
 """
 
 
+def _q76(spark, sf_dir):
+    """value_counts: one hash aggregation with map-side combine, count desc +
+    value asc tie-break (frame.py value_counts; polars Series.value_counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.value_counts("l_returnflag", "l_linestatus", name="n").spark
+
+
+_q76_sql = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY n DESC, l_returnflag, l_linestatus
+"""
+
+
+def _q77(spark, sf_dir):
+    """pct_change with polars null semantics: forward-fill BEFORE the lag, so
+    a null row reports 0 change and the next real row measures against the
+    last seen value (exprs.py pct_change; ADVICE r2)."""
+    ev = _t(spark, sf_dir, "events")
+    v = when(col("event_id") % 7 < 2).then(lit(None)).otherwise(col("value"))
+    lf = ev.with_columns(v.alias("v"))
+    pc = col("v").pct_change(1, order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
+    return lf.with_columns(pc.round(6).alias("pct")).select(
+        col("event_id"), col("user_id"), col("pct")
+    ).spark
+
+
+_q77_sql = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v
+  FROM events),
+f AS (
+  SELECT event_id, user_id, ts,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+  FROM e)
+SELECT event_id, user_id,
+       round((ff - lag(ff) OVER w) / lag(ff) OVER w, 6) AS pct
+FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _q78(spark, sf_dir):
+    """Rolling quantile over trailing 7 rows per user: exact linear
+    interpolation (Spark percentile window) + rolling median
+    (exprs.py rolling_quantile/rolling_median)."""
+    ev = _t(spark, sf_dir, "events")
+    order = [col("ts"), col("event_id")]
+    q90 = col("value").rolling_quantile(0.9, 7, min_periods=1, interpolation="linear",
+                                        order_by=order, partition_by=["user_id"])
+    med = col("value").rolling_median(7, min_periods=1, order_by=order,
+                                      partition_by=["user_id"])
+    return ev.with_columns(
+        q90.round(6).alias("q90"), med.round(6).alias("med")
+    ).select(col("event_id"), col("user_id"), col("q90"), col("med")).spark
+
+
+_q78_sql = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.9) OVER w, 6) AS q90,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS med
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q79(spark, sf_dir):
+    """Linear interpolation of nulls between surrounding non-nulls, pure
+    window math, leading/trailing nulls stay null (exprs.py interpolate)."""
+    ev = _t(spark, sf_dir, "events")
+    v = when(col("event_id") % 5 == 0).then(lit(None)).otherwise(col("value"))
+    lf = ev.with_columns(v.alias("v"))
+    it = col("v").interpolate(order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
+    return lf.with_columns(it.round(6).alias("interp")).select(
+        col("event_id"), col("user_id"), col("interp")
+    ).spark
+
+
+_q79_sql = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+r AS (
+  SELECT event_id, user_id, ts, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM e),
+w AS (
+  SELECT event_id, user_id, v, i,
+         last_value(v IGNORE NULLS) OVER
+           (ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER
+           (ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(v IGNORE NULLS) OVER
+           (ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER
+           (ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM r
+  WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (i - pi) / (ni - pi) END, 6) AS interp
+FROM w
+"""
+
+
+def _q80(spark, sf_dir):
+    """EWM mean (alpha=0.5, adjust=True) per user via Arrow applyInPandas;
+    DuckDB oracle is the closed form sum((1-a)^(t-i) x_i)/sum((1-a)^(t-i))
+    over a bounded per-user self-join (operators/ewm.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.with_ewm_mean(
+        "value", alpha=0.5, adjust=True,
+        order_by=["ts", "event_id"], partition_by=["user_id"], out_col="ewm",
+    )
+    return out.select(
+        col("event_id"), col("user_id"), col("ewm").round(6).alias("ewm")
+    ).spark
+
+
+_q80_sql = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.event_id, a.user_id,
+       round(sum(pow(0.5, a.rn - b.rn) * b.value)
+             / sum(pow(0.5, a.rn - b.rn)), 6) AS ewm
+FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY a.event_id, a.user_id
+"""
+
+
+def _q81(spark, sf_dir):
+    """Debiased EWM variance + std (alpha=0.5, adjust=True, bias=False);
+    oracle replicates pandas' reliability-weight debias factor
+    sumw^2/(sumw^2 - sum(w^2)) in closed form (operators/ewm.py)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.with_ewm_var(
+        "value", alpha=0.5, order_by=["ts", "event_id"],
+        partition_by=["user_id"], out_col="evar",
+    ).with_ewm_std(
+        "value", alpha=0.5, order_by=["ts", "event_id"],
+        partition_by=["user_id"], out_col="estd",
+    )
+    return out.select(
+        col("event_id"), col("user_id"),
+        col("evar").round(6).alias("evar"), col("estd").round(6).alias("estd"),
+    ).spark
+
+
+_q81_sql = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+agg AS (
+  SELECT a.event_id, a.user_id,
+         sum(pow(0.5, a.rn - b.rn)) AS sumw,
+         sum(pow(0.5, 2 * (a.rn - b.rn))) AS sumw2,
+         sum(pow(0.5, a.rn - b.rn) * b.value) AS sumwx,
+         sum(pow(0.5, a.rn - b.rn) * b.value * b.value) AS sumwx2
+  FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+  GROUP BY a.event_id, a.user_id),
+v AS (
+  SELECT event_id, user_id,
+         greatest(sumwx2 / sumw - (sumwx / sumw) * (sumwx / sumw), 0)
+           * (sumw * sumw / NULLIF(sumw * sumw - sumw2, 0)) AS evar
+  FROM agg)
+SELECT event_id, user_id, round(evar, 6) AS evar,
+       round(sqrt(evar), 6) AS estd
+FROM v
+"""
+
+
+def _q82(spark, sf_dir):
+    """Distinctness predicate family: is_duplicated / is_unique /
+    is_first_distinct / is_last_distinct as value-partitioned count and
+    row_number windows (exprs.py; polars null-is-a-value semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.with_columns(
+        col("o_custkey").is_duplicated().alias("dup"),
+        col("o_custkey").is_unique().alias("uniq"),
+        col("o_custkey").is_first_distinct(order_by=[col("o_orderkey")]).alias("first_d"),
+        col("o_custkey").is_last_distinct(order_by=[col("o_orderkey")]).alias("last_d"),
+    ).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("dup"), col("uniq"), col("first_d"), col("last_d"),
+    ).spark
+
+
+_q82_sql = """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey) > 1 AS dup,
+       count(*) OVER (PARTITION BY o_custkey) = 1 AS uniq,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1 AS first_d,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1 AS last_d
+FROM orders
+"""
+
+
+def _q83(spark, sf_dir):
+    """mode() aggregate with Spark 4's deterministic smallest-value tie-break;
+    oracle picks max-count then min-value explicitly (exprs.py mode)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.group_by("o_orderstatus")
+        .agg(
+            col("o_orderpriority").mode().alias("mode_priority"),
+            col("o_orderkey").len().cast("long").alias("n"),
+        )
+        .sort("o_orderstatus")
+    )
+    return out.spark
+
+
+_q83_sql = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+r AS (
+  SELECT o_orderstatus, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority ASC) AS rk
+  FROM c),
+n AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus)
+SELECT r.o_orderstatus, r.o_orderpriority AS mode_priority, n.n
+FROM r JOIN n ON r.o_orderstatus = n.o_orderstatus
+WHERE r.rk = 1 ORDER BY r.o_orderstatus
+"""
+
+
+def _q84(spark, sf_dir):
+    """map_groups: per-user z-score via applyInPandas (one shuffle on the
+    keys, Arrow both ways, arbitrary per-group pandas logic — frame.py
+    map_groups; polars group_by().map_groups)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _z(pdf):
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=0)
+        out = pdf[["event_id", "user_id"]].copy()
+        out["z"] = (pdf["value"] - m) / s
+        return out
+
+    out = ev.group_by("user_id").map_groups(_z, "event_id bigint, user_id bigint, z double")
+    return out.select(
+        col("event_id"), col("user_id"), col("z").round(6).alias("z")
+    ).spark
+
+
+_q84_sql = """
+SELECT event_id, user_id,
+       round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 6) AS z
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2221,6 +2485,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_line_dedup": _q73,
         "q74_merge_upsert": _q74,
         "q75_cut_qcut": _q75,
+        "q76_value_counts": _q76,
+        "q77_pct_change": _q77,
+        "q78_rolling_quantile": _q78,
+        "q79_interpolate": _q79,
+        "q80_ewm_mean": _q80,
+        "q81_ewm_var_std": _q81,
+        "q82_distinct_flags": _q82,
+        "q83_mode": _q83,
+        "q84_map_groups": _q84,
     }
 
 
@@ -2301,4 +2574,13 @@ def oracle_sql() -> dict[str, str]:
         "q73_line_dedup": _q73_sql,
         "q74_merge_upsert": _q74_sql,
         "q75_cut_qcut": _q75_sql,
+        "q76_value_counts": _q76_sql,
+        "q77_pct_change": _q77_sql,
+        "q78_rolling_quantile": _q78_sql,
+        "q79_interpolate": _q79_sql,
+        "q80_ewm_mean": _q80_sql,
+        "q81_ewm_var_std": _q81_sql,
+        "q82_distinct_flags": _q82_sql,
+        "q83_mode": _q83_sql,
+        "q84_map_groups": _q84_sql,
     }

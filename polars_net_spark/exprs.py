@@ -17,6 +17,7 @@ is a single-task bottleneck by construction — callers should supply
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Iterable, Sequence
 
 from pyspark.sql import Column, Window
@@ -107,6 +108,19 @@ def _c(x: "Expr | Column | Any") -> Column:
 
 def _wrap(c: Column) -> "Expr":
     return Expr(c)
+
+
+def _warn_single_partition(op: str) -> None:
+    """Loudly flag ops whose empty ``partition_by`` collapses the frame to ONE
+    window task (same hazard class as asof-without-by; asof offers
+    ``range_buckets`` as its escape). At 100 TB supply ``partition_by`` — the
+    natural per-series key — or pre-bucket the order column."""
+    warnings.warn(
+        f"{op} without partition_by runs as a single global-window task; "
+        "pass partition_by=[...] (per-series key) for distributed execution",
+        UserWarning,
+        stacklevel=3,
+    )
 
 
 def _order_cols(order_by: Any) -> list[Column]:
@@ -577,19 +591,22 @@ class Expr:
         quantile: float,
         window_size: int | str,
         min_periods: int | None = None,
-        interpolation: str = "linear",
+        interpolation: str = "nearest",
         order_by: Any = None,
         partition_by: Sequence[Any] = (),
     ) -> "Expr":
         """Rolling quantile over the trailing ``window_size`` rows (polars
-        Expr.rolling_quantile). ``linear`` uses Spark's exact ``percentile``
-        aggregate over the window frame; the index-based modes reuse the
-        sorted-window-array logic from ``quantile`` (same tie rules).
+        Expr.rolling_quantile; default interpolation='nearest' like polars and
+        this repo's Expr.quantile). ``linear`` uses Spark's exact
+        ``percentile`` aggregate over the window frame; the index-based modes
+        reuse the sorted-window-array logic from ``quantile`` (same tie rules).
         """
         if isinstance(window_size, str):
             if not window_size.endswith("i"):
                 raise ValueError("fixed rolling windows use 'Ni' notation")
             window_size = int(window_size[:-1])
+        if not partition_by:
+            _warn_single_partition("rolling_quantile")
         w = (
             Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
             if partition_by
@@ -628,6 +645,8 @@ class Expr:
         stay null.  Pure window math: previous/next non-null value + its
         row position bracket each gap — no Python, no extra pass.
         """
+        if not partition_by:
+            _warn_single_partition("interpolate")
         part = (
             Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
             if partition_by
@@ -675,9 +694,17 @@ class Expr:
 
     def pct_change(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         """Fractional change vs the value ``n`` rows earlier (polars
-        Expr.pct_change): (x - x.shift(n)) / x.shift(n)."""
-        prev = self.shift(n, order_by, partition_by)._col
-        return _wrap((self._col - prev) / prev)
+        Expr.pct_change). Polars forward-fills nulls BEFORE the shift/diff, so
+        a null row inherits the previous value's change basis: on
+        [1, null, null, 4] polars yields [null, 0.0, 0.0, 3.0]."""
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        ff = F.last(self._col, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        prev = F.lag(ff, n).over(w)
+        return _wrap((ff - prev) / prev)
 
     # -- map/UDF (udf.rs:92-123; SURVEY §2.12) -----------------------------
     def map(self, fn, return_dtype: str | T.DataType | None = None) -> "Expr":

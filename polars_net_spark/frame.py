@@ -427,6 +427,8 @@ class LazyFrame:
         map-side combine.  ``sort=True`` orders by count desc then value asc
         (deterministic tie-break)."""
         cols_ = _flatten(columns)
+        if not cols_:
+            raise ValueError("value_counts requires at least one column")
         out = self._sdf.groupBy(*[F.col(c) for c in cols_]).agg(
             F.count(F.lit(1)).cast("long").alias(name)
         )
@@ -694,7 +696,10 @@ class GroupBy:
         if self._mode != "groupby":
             raise ValueError("map_groups only supports plain group_by (not cube/rollup)")
         key_cols = [F.col(k) if isinstance(k, str) else _c(k) for k in self._keys]
-        return LazyFrame(self._lf._sdf.groupBy(*key_cols).applyInPandas(fn, schema=schema))
+        # drop the hidden row-order column so the user fn sees only real
+        # columns, matching every other user-facing surface
+        sdf = self._lf._drop_order()._sdf
+        return LazyFrame(sdf.groupBy(*key_cols).applyInPandas(fn, schema=schema))
 
     # convenience aggregations (GroupByBuilder in the reference,
     # Polars.CSharp/GroupByBuilder.cs:7)
@@ -852,6 +857,18 @@ class DataFrame:
 
     def unique(self, subset=None, keep: str = "any", maintain_order: bool = False) -> "DataFrame":
         return self._wrap(self._lf.unique(subset, keep, maintain_order))
+
+    def value_counts(self, *columns: str, sort: bool = True, name: str = "count") -> "DataFrame":
+        return self._wrap(self._lf.value_counts(*columns, sort=sort, name=name))
+
+    def with_ewm_mean(self, column: str, **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.with_ewm_mean(column, **kwargs))
+
+    def with_ewm_std(self, column: str, **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.with_ewm_std(column, **kwargs))
+
+    def with_ewm_var(self, column: str, **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.with_ewm_var(column, **kwargs))
 
     def head(self, n: int = 5) -> "DataFrame":
         return self._wrap(self._lf.head(n))

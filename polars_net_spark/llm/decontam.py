@@ -98,7 +98,7 @@ def contamination_frame(
     # transform with the split inlined costs ~7x (see _grams_frame), and the
     # three consumers below (non-empty explode, empty re-attach) would each
     # recompute it.
-    grams = _grams_frame(corpus_sdf, text_col, id_col, n)
+    grams = _grams_frame(corpus_sdf, text_col, id_col, n, cache_words=True)
     nonempty = grams.filter(F.size("grams") > 0)
     counted = (
         nonempty.select(

@@ -64,19 +64,28 @@ def _word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
 
 
-def _grams_frame(sdf: SparkDF, text_col: str, id_col: str, n: int) -> SparkDF:
+def _grams_frame(
+    sdf: SparkDF, text_col: str, id_col: str, n: int, cache_words: bool = False
+) -> SparkDF:
     """(id, grams) projection, staged for downstream explodes/joins.
 
-    The words split is persisted *before* the shingle transform: when the
-    combined expression feeds a generator, evaluating split-inside-the-lambda
-    costs ~7x the staged form (measured) — Catalyst inlines the split instead
-    of sharing it.  Also rebalances single-file inputs across the cluster.
+    The words split is staged *below a repartition exchange* before the
+    shingle transform: when the split is inlined into the transform lambda,
+    Catalyst's project-collapse re-evaluates it per shingle (~7x, measured);
+    the exchange is a collapse barrier, so ``__ws__`` stays a materialized
+    attribute.  It also rebalances single-file inputs across the cluster.
+
+    ``cache_words=True`` additionally persists the words stage — only worth
+    it when the CALLER reads this frame's output more than once WITHOUT
+    persisting it (decontam's empty/non-empty split); callers that persist
+    the gram output themselves (minhash, jaccard) must not pay the extra
+    materialization (the r2 q31 3x regression).
     """
     par = sdf.sparkSession.sparkContext.defaultParallelism
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    staged = register_cache(
-        sdf.select(F.col(id_col).alias("id"), words.alias("__ws__")).repartition(par)
-    )
+    staged = sdf.select(F.col(id_col).alias("id"), words.alias("__ws__")).repartition(par)
+    if cache_words:
+        staged = register_cache(staged)
     ws = F.col("__ws__")
     cnt = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))

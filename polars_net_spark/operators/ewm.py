@@ -1,6 +1,7 @@
 """Exponentially-weighted moving aggregates (polars ``Expr.ewm_mean`` /
-``ewm_std`` / ``ewm_var``; reference exposes polars' ewm surface through the
-expression shim).
+``ewm_std`` / ``ewm_var``). Parity extra: the reference itself does NOT expose
+an ewm surface (zero hits in /root/reference); this exists for polars-API
+completeness.
 
 EWM is a linear recurrence (y_t = x_t + (1-alpha) * y_{t-1}); the closed-form
 two-cumsum rewrite ((1-alpha)^-i factors) overflows float64 after ~1k rows, so
@@ -62,7 +63,7 @@ def with_ewm(
     adjust: bool = True,
     bias: bool = False,
     min_periods: int = 1,
-    ignore_nulls: bool = True,
+    ignore_nulls: bool = False,
     order_by: str | Sequence[str] | None = None,
     partition_by: Sequence[str] = (),
     out_col: str | None = None,
@@ -71,15 +72,21 @@ def with_ewm(
     within each ``partition_by`` group.
 
     kind: 'mean' | 'var' | 'std' (var/std honor ``bias``, polars default
-    bias=False = debiased).  Nulls: with ignore_nulls=True weights are based
-    on relative positions of the non-null values (polars/pandas semantics);
-    rows before the first non-null, and rows masked by min_periods, yield
+    bias=False = debiased).  Nulls: default ignore_nulls=False matches modern
+    polars (>=1.0) and pandas ignore_na=False — weights are based on absolute
+    row positions, so intervening nulls decay older values; with
+    ignore_nulls=True weights use relative positions of the non-null values.
+    Rows before the first non-null, and rows masked by min_periods, yield
     null.
     """
     from ..frame import LazyFrame
 
     if kind not in ("mean", "var", "std"):
         raise ValueError(f"kind must be mean|var|std, got {kind!r}")
+    if not partition_by:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition(f"with_ewm_{kind}")
     a = resolve_alpha(alpha, com, span, half_life)
     out_col = out_col or f"{column}_ewm_{kind}"
 
@@ -111,5 +118,8 @@ def with_ewm(
         pdf[out_col] = res.astype("Float64")
         return pdf
 
-    grouped = sdf.groupBy(*[F.col(c) for c in part]) if part else sdf.groupBy(F.lit(1))
+    # note: a bare integer literal in groupBy is a GROUP-BY-ORDINAL in Spark 4
+    # (unresolvedordinal internal error) — use a string literal for the
+    # single-group case
+    grouped = sdf.groupBy(*[F.col(c) for c in part]) if part else sdf.groupBy(F.lit("__all__"))
     return LazyFrame(grouped.applyInPandas(_ewm, schema=schema))

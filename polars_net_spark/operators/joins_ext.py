@@ -63,6 +63,7 @@ def range_join(
     how: str = "inner",
     suffix: str = "_right",
     broadcast: bool = False,
+    bucket: str | int | float | None = None,
 ):
     """Join rows where ``right[right_anchor]`` falls in the interval
     ``[left[left_anchor] + lower, left[left_anchor] + upper)`` (closed per
@@ -72,6 +73,17 @@ def range_join(
     lower/upper accept polars duration strings for timestamp anchors ("0d",
     "7d", "-1h") or plain numbers for numeric anchors; either may be None
     (one-sided range).
+
+    ``bucket`` (skew guard, needs both bounds): quantize the anchor axis into
+    fixed-width buckets (duration string for timestamps, number for numeric
+    anchors) and join on (equi keys..., bucket) with the range as residual.
+    Each LEFT row explodes to its interval's bucket span
+    (ceil((upper-lower)/bucket)+1 copies); each RIGHT row emits exactly one
+    bucket, so every matching pair still meets exactly once and the output is
+    row-identical to the unbucketed join (tested).  Why: with only an equi
+    key, one hot key (a bot user at 100 TB) funnels into ONE task; adding the
+    time bucket to the join key bounds per-task pairs by events-per-key-per-
+    bucket.  how='left' recovers unmatched rows via an anti-join on a row id.
     """
     from ..frame import LazyFrame
 
@@ -94,15 +106,57 @@ def range_join(
             "broadcast=True to confirm the right side is broadcast-sized"
         )
 
-    lsdf = lf._sdf.alias("__l__")
-    rsdf = rf._sdf
-    if broadcast:
-        rsdf = F.broadcast(rsdf)
+    lcols, rcols = lf._sdf.columns, rf._sdf.columns
+
+    lbase = lf._sdf
+    rbase = rf._sdf
+    bucketed = bucket is not None
+    if bucketed:
+        if lower is None or upper is None:
+            raise ValueError("bucketed range_join requires both lower and upper bounds")
+        if how not in ("inner", "left"):
+            raise ValueError("bucketed range_join supports how='inner'|'left'")
+        temporal = isinstance(bucket, str)
+        width = parse_polars_duration_us(bucket) if temporal else float(bucket)
+        if width <= 0:
+            raise ValueError("bucket width must be positive")
+        if temporal != isinstance(lower, str) or temporal != isinstance(upper, str):
+            raise ValueError("bucket and lower/upper must agree on duration-vs-numeric")
+        lo_off = parse_polars_duration_us(lower) if temporal else float(lower)
+        hi_off = parse_polars_duration_us(upper) if temporal else float(upper)
+
+        def _num(c):
+            return F.unix_micros(c.cast("timestamp")) if temporal else c.cast("double")
+
+        lid_src = None
+        if how == "left":
+            # one shared plan for the id column: the exploded join side and
+            # the unmatched-recovery side must see identical ids
+            lid_src = lf._sdf.withColumn("__lid__", F.monotonically_increasing_id())
+            lbase = lid_src
+        nl = _num(F.col(left_anchor))
+        lbase = lbase.withColumn(
+            "__bkt__",
+            F.explode(
+                F.sequence(
+                    F.floor((nl + F.lit(lo_off)) / F.lit(width)).cast("long"),
+                    F.floor((nl + F.lit(hi_off)) / F.lit(width)).cast("long"),
+                )
+            ),
+        )
+        rbase = rbase.withColumn(
+            "__bkt__", F.floor(_num(F.col(right_anchor)) / F.lit(width)).cast("long")
+        )
+
+    lsdf = lbase.alias("__l__")
+    rsdf = F.broadcast(rbase) if broadcast else rbase
     rsdf = rsdf.alias("__r__")
 
     conds = [
         F.col(f"__l__.{lk}") == F.col(f"__r__.{rk}") for lk, rk in zip(lkeys, rkeys)
     ]
+    if bucketed:
+        conds.append(F.col("__l__.__bkt__") == F.col("__r__.__bkt__"))
     anchor_l = F.col(f"__l__.{left_anchor}")
     anchor_r = F.col(f"__r__.{right_anchor}")
     if lower is not None:
@@ -115,15 +169,33 @@ def range_join(
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    joined = lsdf.join(rsdf, cond, how)
 
-    lcols, rcols = lf._sdf.columns, rf._sdf.columns
     sel = [F.col(f"__l__.{c}").alias(c) for c in lcols]
-    for c in rcols:
-        if c in rkeys:
-            continue  # equi key coalesced away, polars-style
+    rkeep = [c for c in rcols if c not in rkeys]  # equi keys coalesced, polars-style
+    for c in rkeep:
         sel.append(F.col(f"__r__.{c}").alias(c + suffix if c in lcols else c))
-    return LazyFrame(joined.select(*sel))
+
+    if not bucketed:
+        joined = lsdf.join(rsdf, cond, how)
+        return LazyFrame(joined.select(*sel))
+
+    # bucketed: matching pairs meet exactly once (right emits one bucket), so
+    # the inner join is already duplicate-free; how='left' adds back the
+    # left rows whose every bucket copy went unmatched
+    inner = lsdf.join(rsdf, cond, "inner")
+    if how == "inner":
+        return LazyFrame(inner.select(*sel))
+    matched = inner.select(*sel, F.col("__l__.__lid__").alias("__lid__"))
+    matched_ids = inner.select(F.col("__l__.__lid__").alias("__lid__")).distinct()
+    rschema = {f.name: f.dataType for f in rf._sdf.schema.fields}
+    null_right = [
+        F.lit(None).cast(rschema[c]).alias(c + suffix if c in lcols else c) for c in rkeep
+    ]
+    unmatched = (
+        lid_src.join(matched_ids, "__lid__", "left_anti")
+        .select(*[F.col(c) for c in lcols], *null_right)
+    )
+    return LazyFrame(matched.drop("__lid__").unionByName(unmatched))
 
 
 def salted_join(

@@ -191,3 +191,44 @@ def test_merge_into_validation(spark):
         merge_into(t, s, on="k", when_matched="bogus")
     with pytest.raises(ValueError):
         merge_into(t, s, on="k", update_cols=["k"])
+
+
+def test_range_join_bucketed_identical_inner(spark):
+    kw = dict(on="cust", left_anchor="odate", right_anchor="ets", lower="0d", upper="7d")
+    plain = range_join(orders(spark), events(spark), **kw).collect()
+    buck = range_join(orders(spark), events(spark), bucket="2d", **kw).collect()
+    assert sorted(map(tuple, buck.rows())) == sorted(map(tuple, plain.rows()))
+    # bucket wider than the interval (1 or 2 copies per left row) also identical
+    buck2 = range_join(orders(spark), events(spark), bucket="30d", **kw).collect()
+    assert sorted(map(tuple, buck2.rows())) == sorted(map(tuple, plain.rows()))
+
+
+def test_range_join_bucketed_identical_left(spark):
+    kw = dict(on="cust", left_anchor="odate", right_anchor="ets",
+              lower="0d", upper="7d", closed="both", how="left")
+    plain = range_join(orders(spark), events(spark), **kw).collect()
+    buck = range_join(orders(spark), events(spark), bucket="3d", **kw).collect()
+    assert sorted(map(tuple, buck.rows())) == sorted(map(tuple, plain.rows()))
+    # unmatched left rows present exactly once with null right columns
+    n_unmatched = sum(1 for r in buck.rows() if r[3] is None)
+    assert n_unmatched == sum(1 for r in plain.rows() if r[3] is None)
+
+
+def test_range_join_bucketed_numeric(spark):
+    a = pl.from_records([(1, 10), (2, 50)], ["id", "x"]).lazy()
+    b = pl.from_records([(7, 12), (8, 30), (9, 54), (19, 55)], ["bid", "y"]).lazy()
+    kw = dict(on=None, left_on=[], right_on=[], left_anchor="x",
+              right_anchor="y", lower=0, upper=5, broadcast=True)
+    plain = range_join(a, b, **kw).collect()
+    buck = range_join(a, b, bucket=4, **kw).collect()
+    assert sorted(map(tuple, buck.rows())) == sorted(map(tuple, plain.rows()))
+
+
+def test_range_join_bucketed_join_keys_in_plan(spark):
+    out = range_join(
+        orders(spark), events(spark), on="cust", left_anchor="odate",
+        right_anchor="ets", lower="0d", upper="7d", bucket="7d",
+    )
+    plan = out._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt__" in plan  # bucket id participates in the join key
+    assert "CartesianProduct" not in plan
