@@ -53,6 +53,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
     # and make its runs match our tuned sessions.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "false")  # polars: /0 is data, not an error
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -2284,12 +2285,9 @@ def _q81(spark, sf_dir):
     oracle replicates pandas' reliability-weight debias factor
     sumw^2/(sumw^2 - sum(w^2)) in closed form (operators/ewm.py)."""
     ev = _t(spark, sf_dir, "events")
-    out = ev.with_ewm_var(
-        "value", alpha=0.5, order_by=["ts", "event_id"],
-        partition_by=["user_id"], out_col="evar",
-    ).with_ewm_std(
-        "value", alpha=0.5, order_by=["ts", "event_id"],
-        partition_by=["user_id"], out_col="estd",
+    out = ev.with_ewm(
+        "value", kind=["var", "std"], alpha=0.5, order_by=["ts", "event_id"],
+        partition_by=["user_id"], out_col=["evar", "estd"],
     )
     return out.select(
         col("event_id"), col("user_id"),

@@ -436,6 +436,13 @@ class LazyFrame:
             out = out.orderBy(F.col(name).desc(), *[F.col(c) for c in cols_])
         return LazyFrame(out)
 
+    def with_ewm(self, column: str, kind, **kwargs) -> "LazyFrame":
+        """EWM aggregate(s); ``kind`` may be a list (["var","std"]) to compute
+        several in ONE applyInPandas pass — see operators/ewm.py."""
+        from .operators.ewm import with_ewm
+
+        return with_ewm(self, column, kind=kind, **kwargs)
+
     def with_ewm_mean(self, column: str, **kwargs) -> "LazyFrame":
         """Exponentially-weighted moving mean — see operators/ewm.py."""
         from .operators.ewm import with_ewm
@@ -861,6 +868,9 @@ class DataFrame:
     def value_counts(self, *columns: str, sort: bool = True, name: str = "count") -> "DataFrame":
         return self._wrap(self._lf.value_counts(*columns, sort=sort, name=name))
 
+    def with_ewm(self, column: str, kind, **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.with_ewm(column, kind, **kwargs))
+
     def with_ewm_mean(self, column: str, **kwargs) -> "DataFrame":
         return self._wrap(self._lf.with_ewm_mean(column, **kwargs))
 
@@ -980,6 +990,19 @@ def concat(frames: Sequence[LazyFrame | DataFrame], how: str = "vertical") -> La
     if not lfs:
         raise ValueError("nothing to concat")
     if how in ("vertical", "vertical_relaxed"):
+        if how == "vertical":
+            # polars strict vertical: dtypes must match exactly — with ANSI
+            # off Spark's union would silently coerce (e.g. long+string), so
+            # validate here; 'vertical_relaxed' keeps Spark's supertype rules
+            first = {f.name: f.dataType for f in lfs[0].schema.fields}
+            for lf in lfs[1:]:
+                for f in lf.schema.fields:
+                    if f.name in first and f.dataType != first[f.name]:
+                        raise ValueError(
+                            f"vertical concat dtype mismatch on {f.name!r}: "
+                            f"{first[f.name].simpleString()} vs {f.dataType.simpleString()}"
+                            " (use how='vertical_relaxed' to coerce)"
+                        )
         out = reduce(lambda a, b: a.unionByName(b), [lf._sdf for lf in lfs])
         return LazyFrame(out)
     if how == "diagonal":

@@ -25,7 +25,7 @@ from .dedup import (
     simhash_signatures,
     embedding_near_dup_pairs,
 )
-from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids
+from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo
 from .quality import (
     gopher_quality_frame,
     unigram_logprob_frame,
@@ -76,4 +76,6 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_topk",
     "kmeans_centroids",
+    "kmeans_centroids_cached",
+    "clear_centroid_memo",
 ]

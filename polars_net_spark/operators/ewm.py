@@ -55,7 +55,7 @@ def with_ewm(
     lf,
     column: str,
     *,
-    kind: str = "mean",
+    kind: "str | Sequence[str]" = "mean",
     alpha: float | None = None,
     com: float | None = None,
     span: float | None = None,
@@ -66,10 +66,15 @@ def with_ewm(
     ignore_nulls: bool = False,
     order_by: str | Sequence[str] | None = None,
     partition_by: Sequence[str] = (),
-    out_col: str | None = None,
+    out_col: "str | Sequence[str] | None" = None,
 ):
     """Append ``out_col`` = EWM <kind> of ``column`` ordered by ``order_by``
     within each ``partition_by`` group.
+
+    ``kind`` may be a list (e.g. ``["var", "std"]``) to compute several EWM
+    aggregates in ONE applyInPandas pass — one shuffle and one Arrow round
+    trip instead of one per aggregate; ``out_col`` then takes a matching
+    list of names.
 
     kind: 'mean' | 'var' | 'std' (var/std honor ``bias``, polars default
     bias=False = debiased).  Nulls: default ignore_nulls=False matches modern
@@ -81,14 +86,21 @@ def with_ewm(
     """
     from ..frame import LazyFrame
 
-    if kind not in ("mean", "var", "std"):
-        raise ValueError(f"kind must be mean|var|std, got {kind!r}")
+    kinds = [kind] if isinstance(kind, str) else list(kind)
+    for knd in kinds:
+        if knd not in ("mean", "var", "std"):
+            raise ValueError(f"kind must be mean|var|std, got {knd!r}")
     if not partition_by:
         from ..exprs import _warn_single_partition
 
-        _warn_single_partition(f"with_ewm_{kind}")
+        _warn_single_partition(f"with_ewm_{'_'.join(kinds)}")
     a = resolve_alpha(alpha, com, span, half_life)
-    out_col = out_col or f"{column}_ewm_{kind}"
+    if out_col is None:
+        out_cols = [f"{column}_ewm_{knd}" for knd in kinds]
+    else:
+        out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(out_cols) != len(kinds):
+        raise ValueError("out_col must match kind in length")
 
     if order_by is None:
         lf = lf._order_col()
@@ -97,25 +109,28 @@ def with_ewm(
         order_names = [order_by] if isinstance(order_by, str) else list(order_by)
 
     sdf = lf._sdf
-    schema = T.StructType(sdf.schema.fields + [T.StructField(out_col, T.DoubleType(), True)])
+    schema = T.StructType(
+        sdf.schema.fields + [T.StructField(c, T.DoubleType(), True) for c in out_cols]
+    )
     part = list(partition_by)
     mp = int(min_periods)
-    adj, ign, b, knd, col_ = bool(adjust), bool(ignore_nulls), bool(bias), kind, column
+    adj, ign, b, col_ = bool(adjust), bool(ignore_nulls), bool(bias), column
 
     def _ewm(pdf):
         pdf = pdf.sort_values(order_names, kind="mergesort")
         ew = pdf[col_].astype("float64").ewm(
             alpha=a, adjust=adj, min_periods=mp, ignore_na=ign
         )
-        if knd == "mean":
-            res = ew.mean()
-        elif knd == "var":
-            res = ew.var(bias=b)
-        else:
-            res = ew.std(bias=b)
-        # nullable Float64 so masked/leading NaNs cross Arrow as SQL nulls,
-        # not double-NaN
-        pdf[out_col] = res.astype("Float64")
+        for knd, oc in zip(kinds, out_cols):
+            if knd == "mean":
+                res = ew.mean()
+            elif knd == "var":
+                res = ew.var(bias=b)
+            else:
+                res = ew.std(bias=b)
+            # nullable Float64 so masked/leading NaNs cross Arrow as SQL
+            # nulls, not double-NaN
+            pdf[oc] = res.astype("Float64")
         return pdf
 
     # note: a bare integer literal in groupBy is a GROUP-BY-ORDINAL in Spark 4

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # polars arithmetic never throws (x/0 -> inf for floats, null for
+        # ints; overflow wraps); Spark 4's ANSI default aborts the query on
+        # the first zero divisor in the data. Non-ANSI (null on /0) is the
+        # closest engine-wide match to the reference's kernel semantics.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet TIMESTAMP(NANOS) (e.g. the events table) reads as long;

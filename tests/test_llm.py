@@ -438,3 +438,22 @@ def test_dedup_fuzzy_driver_and_distributed_agree(spark):
         for r in dedup_fuzzy(d, threshold=0.5, driver_threshold=0).collect().rows()
     )
     assert fast == slow
+
+
+def test_kmeans_centroids_cached_memoizes(spark, sf_dir=None):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import similarity as sim
+    from polars_net_spark.llm import kmeans_centroids_cached, clear_centroid_memo
+
+    clear_centroid_memo()
+    e = pl.scan_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_centroids_cached(e, k=4, iters=1)
+    assert len(c1) == 4 and len(sim._CENTROID_MEMO) == 1
+    # second call: served from the memo (same object, no refit)
+    c2 = kmeans_centroids_cached(e, k=4, iters=1)
+    assert c2 is c1
+    # different params -> separate fit
+    c3 = kmeans_centroids_cached(e, k=2, iters=1)
+    assert len(c3) == 2 and len(sim._CENTROID_MEMO) == 2
+    clear_centroid_memo()
+    assert not sim._CENTROID_MEMO

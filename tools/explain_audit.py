@@ -82,6 +82,17 @@ CHECKS = {
     "q59_range_join": [
         ("!", "CartesianProduct", "interval join runs on the equi key"),
         ("!", "BroadcastNestedLoopJoin", "range predicate is residual, not the join"),
+        ("__bkt__", "time-bucket participates in the join key (skew guard)"),
+    ],
+    "q76_value_counts": [
+        ("partial_count", "value counts combine map-side"),
+    ],
+    "q81_ewm_var_std": [
+        ("count==1", "FlatMapGroupsInPandas", "var+std computed in ONE Arrow pass, not one per aggregate"),
+    ],
+    "q84_map_groups": [
+        ("FlatMapGroupsInPandas", "map_groups via Arrow-batched applyInPandas"),
+        ("!", "CartesianProduct", "grouped transform shuffles on keys only"),
     ],
     "q60_salted_join": [
         ("!", "CartesianProduct", "salted join stays an equi-join"),
@@ -170,6 +181,11 @@ def main() -> None:
                 ok = chk[1] not in text
                 desc = chk[2]
                 tag = f"absent:{chk[1]}"
+            elif chk[0].startswith("count=="):
+                # count only in the executed plan (the formatted dump repeats nodes)
+                ok = plan.count(chk[1]) == int(chk[0][7:])
+                desc = chk[2]
+                tag = f"{chk[0]}:{chk[1]}"
             else:
                 ok = chk[0] in text
                 desc = chk[1]
