@@ -2257,7 +2257,10 @@ def _q80(spark, sf_dir):
     """EWM mean (alpha=0.5, adjust=True) per user via Arrow applyInPandas;
     DuckDB oracle is the closed form sum((1-a)^(t-i) x_i)/sum((1-a)^(t-i))
     over a bounded per-user self-join (operators/ewm.py)."""
-    ev = _t(spark, sf_dir, "events")
+    # project BEFORE the pandas stage: Catalyst cannot prune columns through
+    # applyInPandas (the UDF schema pins them), and events.props is a fat
+    # string that would otherwise ride the Arrow round trip
+    ev = _t(spark, sf_dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
     out = ev.with_ewm_mean(
         "value", alpha=0.5, adjust=True,
         order_by=["ts", "event_id"], partition_by=["user_id"], out_col="ewm",
@@ -2284,7 +2287,7 @@ def _q81(spark, sf_dir):
     """Debiased EWM variance + std (alpha=0.5, adjust=True, bias=False);
     oracle replicates pandas' reliability-weight debias factor
     sumw^2/(sumw^2 - sum(w^2)) in closed form (operators/ewm.py)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
     out = ev.with_ewm(
         "value", kind=["var", "std"], alpha=0.5, order_by=["ts", "event_id"],
         partition_by=["user_id"], out_col=["evar", "estd"],
@@ -2381,7 +2384,8 @@ def _q84(spark, sf_dir):
     """map_groups: per-user z-score via applyInPandas (one shuffle on the
     keys, Arrow both ways, arbitrary per-group pandas logic — frame.py
     map_groups; polars group_by().map_groups)."""
-    ev = _t(spark, sf_dir, "events")
+    # project to the UDF's inputs before the Arrow stage (props is dead weight)
+    ev = _t(spark, sf_dir, "events").select(col("event_id"), col("user_id"), col("value"))
 
     def _z(pdf):
         m = pdf["value"].mean()
