@@ -64,6 +64,10 @@ class DynamicGroupBy:
 
         sdf = self._lf._sdf
         ts = F.col(self._index)
+        # defensive cast for epoch math: parquet tz-naive timestamps read as
+        # TIMESTAMP_NTZ and unix_micros rejects NTZ (the q37/NTZ hazard class);
+        # wall-clock-preserving under the UTC session tz
+        ts_epoch = ts.cast("timestamp")
 
         every_iv = duration_to_interval(self._every)
         period_iv = duration_to_interval(self._period)
@@ -90,7 +94,7 @@ class DynamicGroupBy:
                 # grouping itself, no driver round-trip.
                 from pyspark.sql import Window
 
-                gmin = F.min(F.unix_micros(ts)).over(
+                gmin = F.min(F.unix_micros(ts_epoch)).over(
                     Window.partitionBy(*[F.col(k) for k in self._group_by])
                 )
                 rel_col = "__rel__"
@@ -101,13 +105,19 @@ class DynamicGroupBy:
                 min_ts = sdf.agg(F.min(ts).alias("m")).collect()[0][0]
                 if min_ts is None:
                     raise ValueError("empty frame for start_by='datapoint'")
+                if min_ts.tzinfo is None:
+                    # NTZ collect gives a naive datetime; .timestamp() would
+                    # interpret it in the driver's LOCAL tz — pin to UTC
+                    import datetime as _dt
+
+                    min_ts = min_ts.replace(tzinfo=_dt.timezone.utc)
                 epoch_us = int(min_ts.timestamp() * 1_000_000)
                 offset_us += epoch_us % every_us
         elif self._start_by != "window" and self._start_by not in weekdays:
             raise ValueError(f"unknown start_by {self._start_by!r}")
 
         start_time = f"{offset_us} microseconds" if offset_us else "0 seconds"
-        ts_us = F.unix_micros(ts)
+        ts_us = F.unix_micros(ts_epoch)
         if rel_col is not None:
             ts_us = ts_us - F.col(rel_col)
         ts_left = F.timestamp_micros(ts_us) if rel_col is not None else ts  # [start, end)

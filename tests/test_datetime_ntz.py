@@ -111,3 +111,47 @@ def test_ntz_shift_diff_sessionize_pattern(ntz):
     gaps = [r[-1] for r in out.rows()]
     assert gaps[0] is None
     assert gaps[1] == (9 * 60 + 15) * 1_000_000 + 376544
+
+
+def test_ntz_group_by_dynamic_all_closed_modes(ntz):
+    # closed='right'/'both'/'none' plan unix_micros on the index column —
+    # the q37 hazard class; every mode must run on NTZ input
+    for closed in ("left", "right", "both", "none"):
+        out = (
+            ntz.group_by_dynamic("ts", every="1h", closed=closed)
+            .agg(pl.col("uid").len().alias("n"))
+        )
+        rows = out.sort("ts").collect().rows()
+        assert len(rows) >= 2, closed
+    # right-closed boundary semantics on a wall-clock hour
+    rows = (
+        ntz.group_by_dynamic("ts", every="1h", closed="left")
+        .agg(pl.col("uid").len().alias("n"))
+        .sort("ts")
+        .collect()
+        .rows()
+    )
+    assert sum(r[1] for r in rows) == 4
+
+
+def test_ntz_group_by_dynamic_datapoint_grouped(ntz):
+    out = (
+        ntz.group_by_dynamic(
+            "ts", every="30m", group_by=["uid"], start_by="datapoint", label="datapoint"
+        )
+        .agg(pl.col("uid").len().alias("n"))
+        .sort("uid", "ts")
+    )
+    rows = out.collect().rows()
+    assert sum(r[-1] for r in rows) == 4
+    # uid=1's first window anchors at its own first datapoint
+    assert rows[0][1].minute == 30 and rows[0][1].second == 45
+
+
+def test_ntz_group_by_dynamic_datapoint_ungrouped(ntz):
+    out = (
+        ntz.group_by_dynamic("ts", every="2h", start_by="datapoint")
+        .agg(pl.col("uid").len().alias("n"))
+        .sort("ts")
+    )
+    assert sum(r[-1] for r in out.collect().rows()) == 4
