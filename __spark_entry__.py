@@ -2407,6 +2407,115 @@ FROM events WINDOW w AS (PARTITION BY user_id)
 """
 
 
+def _q85(spark, sf_dir):
+    """Higher-moment + information aggregates (skew/kurtosis/entropy, corr/
+    cov): all map-side-combinable Column aggregates, no second pass
+    (exprs.py skew/kurtosis/entropy; pl.corr/pl.cov)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.group_by("l_returnflag")
+        .agg(
+            col("l_quantity").skew().round(6).alias("skew_b"),
+            col("l_quantity").skew(bias=False).round(6).alias("skew_u"),
+            col("l_quantity").kurtosis().round(6).alias("kurt"),
+            col("l_quantity").kurtosis(bias=False).round(6).alias("kurt_u"),
+            col("l_quantity").entropy().round(6).alias("ent"),
+            pls.corr("l_quantity", "l_extendedprice").round(6).alias("r"),
+            pls.cov("l_quantity", "l_extendedprice").round(2).alias("cs"),
+            pls.cov("l_quantity", "l_extendedprice", ddof=0).round(2).alias("cp"),
+        )
+        .sort("l_returnflag")
+    )
+    return out.spark
+
+
+_q85_sql = """
+WITH m AS (SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l.l_returnflag,
+         count(*) AS n,
+         avg(pow(l.l_quantity - m.mu, 2)) AS m2,
+         avg(pow(l.l_quantity - m.mu, 3)) AS m3,
+         avg(pow(l.l_quantity - m.mu, 4)) AS m4,
+         sum(l.l_quantity) AS s,
+         sum(l.l_quantity * ln(l.l_quantity)) AS xlx,
+         corr(l.l_quantity, l.l_extendedprice) AS r,
+         covar_samp(l.l_quantity, l.l_extendedprice) AS cs,
+         covar_pop(l.l_quantity, l.l_extendedprice) AS cp
+  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+  GROUP BY l.l_returnflag)
+SELECT l_returnflag,
+       round(m3 / pow(m2, 1.5), 6) AS skew_b,
+       round(sqrt(n * (n - 1)) / (n - 2) * m3 / pow(m2, 1.5), 6) AS skew_u,
+       round(m4 / (m2 * m2) - 3, 6) AS kurt,
+       round((n - 1) / ((n - 2.0) * (n - 3.0)) * ((n + 1) * (m4 / (m2 * m2) - 3) + 6), 6) AS kurt_u,
+       round(ln(s) - xlx / s, 6) AS ent,
+       round(r, 6) AS r, round(cs, 2) AS cs, round(cp, 2) AS cp
+FROM c ORDER BY l_returnflag
+"""
+
+
+def _q86(spark, sf_dir):
+    """Run ids + strict local peaks over per-user event series: stacked
+    lag/lead + cumsum windows on one (user, time) shuffle
+    (exprs.py rle_id/peak_max/peak_min)."""
+    ev = _t(spark, sf_dir, "events")
+    order = [col("ts"), col("event_id")]
+    out = ev.with_columns(
+        col("event_type").rle_id(order_by=order, partition_by=["user_id"]).alias("rid"),
+        col("value").peak_max(order_by=order, partition_by=["user_id"]).alias("pmax"),
+        col("value").peak_min(order_by=order, partition_by=["user_id"]).alias("pmin"),
+    ).select(col("event_id"), col("user_id"), col("rid"), col("pmax"), col("pmin"))
+    return out.spark
+
+
+_q86_sql = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN row_number() OVER ord = 1 THEN 0
+              WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER ord THEN 0
+              ELSE 1 END AS chg,
+         lag(value) OVER ord AS pv, lead(value) OVER ord AS nv
+  FROM events WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT event_id, user_id,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid,
+         (pv IS NULL OR value > pv) AND (nv IS NULL OR value > nv) AS pmax,
+         (pv IS NULL OR value < pv) AND (nv IS NULL OR value < nv) AS pmin
+  FROM w)
+SELECT * FROM s
+"""
+
+
+def _q87(spark, sf_dir):
+    """product() aggregate: exact multiplication fold over the collected
+    group (exprs.py product) on a bounded subset (compounded discount
+    factors)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sub = li.filter(col("l_partkey") % 997 == 0).with_columns(
+        (col("l_discount") + 1.0).alias("f")
+    )
+    out = (
+        sub.group_by("l_returnflag")
+        .agg(
+            col("f").product().round(6).alias("compound"),
+            col("f").len().cast("long").alias("n"),
+        )
+        .sort("l_returnflag")
+    )
+    return out.spark
+
+
+_q87_sql = """
+SELECT l_returnflag,
+       round(product(l_discount + 1.0), 6) AS compound,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_partkey % 997 = 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2496,6 +2605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_distinct_flags": _q82,
         "q83_mode": _q83,
         "q84_map_groups": _q84,
+        "q85_stats_agg": _q85,
+        "q86_rle_peaks": _q86,
+        "q87_product": _q87,
     }
 
 
@@ -2585,4 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_distinct_flags": _q82_sql,
         "q83_mode": _q83_sql,
         "q84_map_groups": _q84_sql,
+        "q85_stats_agg": _q85_sql,
+        "q86_rle_peaks": _q86_sql,
+        "q87_product": _q87_sql,
     }

@@ -12,6 +12,8 @@ from .exprs import (
     col,
     cols,
     concat_str,
+    corr,
+    cov,
     lit,
     lit_datetime,
     when,
@@ -52,6 +54,8 @@ __all__ = [
     "lit_datetime",
     "when",
     "concat_str",
+    "corr",
+    "cov",
     "as_struct",
     "DataFrame",
     "LazyFrame",

@@ -34,6 +34,8 @@ __all__ = [
     "lit_datetime",
     "when",
     "concat_str",
+    "corr",
+    "cov",
     "ROW_ORDER_COL",
 ]
 
@@ -391,6 +393,56 @@ class Expr:
     def median(self) -> "Expr":
         return _wrap(F.median(self._col))
 
+    # -- higher-moment / information aggregates (polars Expr.skew/kurtosis/
+    # entropy/product; parity extras — the reference shim exposes none of
+    # these, but polars users reach for them constantly) ------------------
+    def skew(self, bias: bool = True) -> "Expr":
+        """Skewness. bias=True (polars default) is the population estimator
+        m3/m2^1.5 — exactly Spark's ``skewness``; bias=False applies the
+        standard sqrt(n(n-1))/(n-2) correction."""
+        g1 = F.skewness(self._col)
+        if bias:
+            return _wrap(g1)
+        n = F.count(self._col).cast("double")
+        return _wrap(F.sqrt(n * (n - 1)) / (n - 2) * g1)
+
+    def kurtosis(self, fisher: bool = True, bias: bool = True) -> "Expr":
+        """Kurtosis. fisher=True → excess kurtosis (m4/m2^2 - 3, Spark's
+        ``kurtosis``); bias=False applies the G2 sample correction
+        ((n-1)/((n-2)(n-3))) * ((n+1)*g2 + 6), matching polars/scipy."""
+        g2 = F.kurtosis(self._col)  # fisher, biased
+        if not bias:
+            n = F.count(self._col).cast("double")
+            g2 = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + F.lit(6.0))
+        return _wrap(g2 if fisher else g2 + F.lit(3.0))
+
+    def entropy(self, base: float | None = None, normalize: bool = True) -> "Expr":
+        """Shannon entropy -sum(p ln p) of the group's values taken as a
+        (to-be-normalized) probability vector (polars Expr.entropy).
+        normalize=True: p = x / sum(x), algebraically H = ln(S) - sum(x ln x)/S
+        — two map-side-combinable aggregates, no second pass."""
+        x = self._col.cast("double")
+        s = F.sum(x)
+        xlx = F.sum(x * F.log(x))
+        h = F.log(s) - xlx / s if normalize else -F.sum(x * F.log(x))
+        if base is not None:
+            import math as _math
+
+            h = h / F.lit(_math.log(base))
+        return _wrap(h)
+
+    def product(self) -> "Expr":
+        """Product of the group (polars Expr.product): exact multiplication
+        fold over the collected group (same bit pattern as polars' fold —
+        exp(sum(log)) drifts in the last ulps). Like polars, the group is
+        materialized; overflow follows IEEE ±inf."""
+        x = self._col.cast("double")
+        return _wrap(
+            F.aggregate(
+                F.collect_list(x), F.lit(1.0).cast("double"), lambda acc, v: acc * v
+            )
+        )
+
     def quantile(self, q: float, interpolation: str = "nearest") -> "Expr":
         """Quantile with polars interpolation modes (expr.rs:1157-1176).
 
@@ -691,6 +743,46 @@ class Expr:
         across runs — polars returns ALL tied modes as a list; use
         ``.implode()`` + a count-window if the full tie set is needed."""
         return _wrap(F.mode(self._col, True))
+
+    def rle_id(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """Run id: 0-based counter that increments whenever the value changes
+        from the previous row (polars Expr.rle_id). lag + change-flag cumsum —
+        two stacked windows on the same (partition, order), one shuffle.
+        Null == null counts as 'same run', polars-style."""
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        prev = F.lag(self._col).over(w)
+        changed = F.when(
+            F.row_number().over(w) == 1, F.lit(0)
+        ).when(self._col.eqNullSafe(prev), F.lit(0)).otherwise(F.lit(1))
+        return _wrap(
+            F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+        )
+
+    def _peak(self, cmp, order_by, partition_by) -> "Expr":
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        prev, nxt = F.lag(self._col).over(w), F.lead(self._col).over(w)
+        # boundaries: a missing neighbor never disqualifies (polars peak_max
+        # marks an edge element that beats its single neighbor)
+        return _wrap(
+            (prev.isNull() | cmp(self._col, prev)) & (nxt.isNull() | cmp(self._col, nxt))
+        )
+
+    def peak_max(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """Local-maximum mask (polars Expr.peak_max): strictly greater than
+        both neighbors."""
+        return self._peak(lambda a, b: a > b, order_by, partition_by)
+
+    def peak_min(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """Local-minimum mask (polars Expr.peak_min)."""
+        return self._peak(lambda a, b: a < b, order_by, partition_by)
 
     def pct_change(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         """Fractional change vs the value ``n`` rows earlier (polars
@@ -1194,6 +1286,19 @@ class _WhenBranch:
 def when(predicate: Expr) -> _WhenBranch:
     """when(p).then(t).otherwise(f) — reference if_else (expr.rs:1105-1122)."""
     return _WhenBranch(None, predicate)
+
+
+def corr(a: "Expr | str", b: "Expr | str") -> Expr:
+    """Pearson correlation aggregate (polars pl.corr; Spark F.corr is the
+    same sample estimator)."""
+    return _wrap(F.corr(_c(col(a) if isinstance(a, str) else a), _c(col(b) if isinstance(b, str) else b)))
+
+
+def cov(a: "Expr | str", b: "Expr | str", ddof: int = 1) -> Expr:
+    """Covariance aggregate (polars pl.cov): ddof=1 sample, ddof=0 population."""
+    ca = _c(col(a) if isinstance(a, str) else a)
+    cb = _c(col(b) if isinstance(b, str) else b)
+    return _wrap(F.covar_samp(ca, cb) if ddof == 1 else F.covar_pop(ca, cb))
 
 
 def concat_str(exprs: Sequence[Expr], separator: str = "") -> Expr:

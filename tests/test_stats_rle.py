@@ -1,0 +1,109 @@
+"""Statistical aggregates (skew/kurtosis/entropy/product, corr/cov) and
+run/peak window ops (rle_id, peak_max/peak_min) — polars-parity extras,
+all pure Column expressions (no UDFs, map-side-combinable aggregates)."""
+
+import math
+
+import pytest
+
+import polars_net_spark as pl
+from polars_net_spark import col
+
+
+def test_skew_biased_and_corrected(spark):
+    df = pl.from_records([(1.0,), (2.0,), (9.0,)], ["x"])
+    r = df.lazy().group_by().agg(
+        col("x").skew().alias("b"), col("x").skew(bias=False).alias("u")
+    ).collect().rows()[0]
+    m2 = (9 + 4 + 25) / 3
+    m3 = (-27 - 8 + 125) / 3
+    g1 = m3 / m2**1.5
+    assert r[0] == pytest.approx(g1)
+    n = 3
+    assert r[1] == pytest.approx(math.sqrt(n * (n - 1)) / (n - 2) * g1)
+
+
+def test_kurtosis_variants(spark):
+    xs = [1.0, 2.0, 4.0, 8.0, 16.0]
+    df = pl.from_records([(x,) for x in xs], ["x"])
+    r = df.lazy().group_by().agg(
+        col("x").kurtosis().alias("f"),
+        col("x").kurtosis(fisher=False).alias("p"),
+        col("x").kurtosis(bias=False).alias("u"),
+    ).collect().rows()[0]
+    n = len(xs)
+    mean = sum(xs) / n
+    m2 = sum((x - mean) ** 2 for x in xs) / n
+    m4 = sum((x - mean) ** 4 for x in xs) / n
+    g2 = m4 / m2**2 - 3
+    assert r[0] == pytest.approx(g2)
+    assert r[1] == pytest.approx(g2 + 3)
+    assert r[2] == pytest.approx((n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6))
+
+
+def test_entropy(spark):
+    xs = [1.0, 1.0, 2.0]
+    df = pl.from_records([(x,) for x in xs], ["x"])
+    r = df.lazy().group_by().agg(
+        col("x").entropy().alias("h"), col("x").entropy(base=2).alias("h2")
+    ).collect().rows()[0]
+    s = sum(xs)
+    h = -sum((x / s) * math.log(x / s) for x in xs)
+    assert r[0] == pytest.approx(h)
+    assert r[1] == pytest.approx(h / math.log(2))
+
+
+def test_product_signs_and_zero(spark):
+    df = pl.from_records(
+        [("a", 2.0), ("a", -3.0), ("a", 4.0), ("b", 5.0), ("b", 0.0)], ["g", "x"]
+    )
+    out = df.lazy().group_by("g").agg(col("x").product().alias("p")).sort("g").collect()
+    assert out.rows() == [("a", -24.0), ("b", 0.0)]
+
+
+def test_corr_cov(spark):
+    rows = [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.2)]
+    df = pl.from_records(rows, ["x", "y"])
+    r = df.lazy().group_by().agg(
+        pl.corr("x", "y").alias("r"),
+        pl.cov("x", "y").alias("cs"),
+        pl.cov("x", "y", ddof=0).alias("cp"),
+    ).collect().rows()[0]
+    n = len(rows)
+    mx = sum(x for x, _ in rows) / n
+    my = sum(y for _, y in rows) / n
+    cp = sum((x - mx) * (y - my) for x, y in rows) / n
+    cs = cp * n / (n - 1)
+    sx = math.sqrt(sum((x - mx) ** 2 for x, _ in rows) / n)
+    sy = math.sqrt(sum((y - my) ** 2 for _, y in rows) / n)
+    assert r[0] == pytest.approx(cp / (sx * sy))
+    assert r[1] == pytest.approx(cs)
+    assert r[2] == pytest.approx(cp)
+
+
+def test_rle_id(spark):
+    xs = ["a", "a", "b", "b", "b", "a", None, None, "c"]
+    df = pl.from_records(list(enumerate(xs)), ["i", "x"])
+    out = df.with_columns(col("x").rle_id(order_by=[col("i")]).alias("r")).sort("i")
+    assert [r[-1] for r in out.rows()] == [0, 0, 1, 1, 1, 2, 3, 3, 4]
+
+
+def test_rle_id_partitioned(spark):
+    rows = [(0, "k1", 1), (1, "k1", 1), (2, "k1", 2), (0, "k2", 5), (1, "k2", 6)]
+    df = pl.from_records(rows, ["i", "k", "x"])
+    out = df.with_columns(
+        col("x").rle_id(order_by=[col("i")], partition_by=["k"]).alias("r")
+    ).sort("k", "i")
+    assert [r[-1] for r in out.rows()] == [0, 0, 1, 0, 1]
+
+
+def test_peak_max_min(spark):
+    xs = [1.0, 3.0, 2.0, 5.0, 5.0, 4.0, 6.0]
+    df = pl.from_records(list(enumerate(xs)), ["i", "x"])
+    out = df.with_columns(
+        col("x").peak_max(order_by=[col("i")]).alias("mx"),
+        col("x").peak_min(order_by=[col("i")]).alias("mn"),
+    ).sort("i")
+    # plateaus (5,5) are not strict peaks; edges count vs their one neighbor
+    assert [r[-2] for r in out.rows()] == [False, True, False, False, False, False, True]
+    assert [r[-1] for r in out.rows()] == [True, False, True, False, False, True, False]
