@@ -2516,6 +2516,42 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _q88(spark, sf_dir):
+    """join_where (polars 1.x inequality join): equi predicate on the
+    customer key -> hash join, with the date/price inequalities as residual
+    filters (frame.py join_where; never a cartesian — plan-audited)."""
+    o = _t(spark, sf_dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")
+    )
+    bigger_later = o.join_where(
+        o,
+        col("o_custkey") == col("o_custkey_right"),
+        col("o_orderdate_right") > col("o_orderdate"),
+        col("o_totalprice_right") > col("o_totalprice"),
+    )
+    out = (
+        bigger_later.spark.groupBy("o_orderkey")
+        .agg(
+            F.count("o_orderkey_right").cast("long").alias("n_later_bigger"),
+            F.round(F.max("o_totalprice_right"), 2).alias("max_later"),
+        )
+        .orderBy("o_orderkey")
+    )
+    return out
+
+
+_q88_sql = """
+SELECT a.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_later_bigger,
+       round(max(b.o_totalprice), 2) AS max_later
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_totalprice > a.o_totalprice
+GROUP BY a.o_orderkey ORDER BY a.o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2608,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_stats_agg": _q85,
         "q86_rle_peaks": _q86,
         "q87_product": _q87,
+        "q88_join_where": _q88,
     }
 
 
@@ -2700,4 +2737,5 @@ def oracle_sql() -> dict[str, str]:
         "q85_stats_agg": _q85_sql,
         "q86_rle_peaks": _q86_sql,
         "q87_product": _q87_sql,
+        "q88_join_where": _q88_sql,
     }

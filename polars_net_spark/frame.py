@@ -400,6 +400,38 @@ class LazyFrame:
             sel.append(F.col(f"__r__.{c}").alias(name))
         return LazyFrame(joined.select(*sel))
 
+    def join_where(self, other: "LazyFrame", *predicates, suffix: str = "_right") -> "LazyFrame":
+        """Inner join on arbitrary predicates (polars 1.x ``join_where``).
+
+        Right-side columns that collide with left names are renamed with
+        ``suffix`` BEFORE the predicates are resolved, so predicates reference
+        left columns by name and collided right columns as ``name_right``
+        (matching polars' output naming).  Include at least one equality
+        predicate where possible — Catalyst then plans a hash/sort-merge join
+        on it with the inequalities as residual filters; a pure-inequality
+        predicate set plans a nested-loop/cartesian join (a single
+        all-pairs stage at scale) and triggers a loud UserWarning.
+        """
+        if not predicates:
+            raise ValueError("join_where needs at least one predicate")
+        lcols = set(self._sdf.columns)
+        renames = {c: c + suffix for c in other._sdf.columns if c in lcols}
+        right = other._sdf.withColumnsRenamed(renames) if renames else other._sdf
+        cond = reduce(lambda a, b: a & b, [_c(p) for p in predicates])
+        joined = self._sdf.join(right, cond, "inner")
+        plan = joined._jdf.queryExecution().sparkPlan().toString()
+        if "NestedLoopJoin" in plan or "CartesianProduct" in plan:
+            import warnings
+
+            warnings.warn(
+                "join_where predicates contain no equality — Spark plans an "
+                "all-pairs nested-loop join; add an equi predicate to get a "
+                "hash join with the inequalities as residuals",
+                UserWarning,
+                stacklevel=2,
+            )
+        return LazyFrame(joined)
+
     def join_asof(self, other: "LazyFrame", **kwargs) -> "LazyFrame":
         from .operators.asof import join_asof
 
@@ -903,6 +935,9 @@ class DataFrame:
 
     def join_asof(self, other: "DataFrame", **kwargs) -> "DataFrame":
         return self._wrap(self._lf.join_asof(other._lf, **kwargs))
+
+    def join_where(self, other: "DataFrame", *predicates, suffix: str = "_right") -> "DataFrame":
+        return self._wrap(self._lf.join_where(other._lf, *predicates, suffix=suffix))
 
     def group_by(self, *keys, maintain_order: bool = False) -> "EagerGroupBy":
         return EagerGroupBy(self._lf.group_by(*keys, maintain_order=maintain_order))

@@ -232,3 +232,37 @@ def test_range_join_bucketed_join_keys_in_plan(spark):
     plan = out._sdf._jdf.queryExecution().executedPlan().toString()
     assert "__bkt__" in plan  # bucket id participates in the join key
     assert "CartesianProduct" not in plan
+
+
+def test_join_where_mixed_predicates(spark):
+    import warnings as _w
+
+    from polars_net_spark import col
+
+    a = pl.from_records([(1, 100, 10.0), (2, 100, 20.0), (3, 200, 5.0)],
+                        ["oid", "cust", "total"]).lazy()
+    b = pl.from_records([(4, 100, 15.0), (5, 100, 25.0), (6, 200, 1.0)],
+                        ["oid", "cust", "total"]).lazy()
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # equi predicate present -> no warning
+        out = a.join_where(
+            b,
+            col("cust") == col("cust_right"),
+            col("total_right") > col("total"),
+        ).collect()
+    pairs = sorted((r[0], r[3]) for r in out.rows())
+    assert pairs == [(1, 4), (1, 5), (2, 5)]
+    # collided right columns are suffixed, left names unsuffixed
+    assert out.columns == ["oid", "cust", "total", "oid_right", "cust_right", "total_right"]
+
+
+def test_join_where_pure_inequality_warns(spark):
+    import pytest as _pt
+
+    from polars_net_spark import col
+
+    a = pl.from_records([(1, 10.0)], ["i", "x"]).lazy()
+    b = pl.from_records([(2, 5.0)], ["j", "y"]).lazy()
+    with _pt.warns(UserWarning, match="no equality"):
+        out = a.join_where(b, col("y") < col("x"))
+    assert out.collect().rows() == [(1, 10.0, 2, 5.0)]

@@ -90,6 +90,10 @@ CHECKS = {
     "q81_ewm_var_std": [
         ("count==1", "FlatMapGroupsInPandas", "var+std computed in ONE Arrow pass, not one per aggregate"),
     ],
+    "q88_join_where": [
+        ("!", "CartesianProduct", "inequality join runs on the equi key"),
+        ("!", "BroadcastNestedLoopJoin", "inequalities are residual filters, not the join"),
+    ],
     "q84_map_groups": [
         ("FlatMapGroupsInPandas", "map_groups via Arrow-batched applyInPandas"),
         ("!", "CartesianProduct", "grouped transform shuffles on keys only"),
