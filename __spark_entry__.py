@@ -2552,6 +2552,40 @@ GROUP BY a.o_orderkey ORDER BY a.o_orderkey
 """
 
 
+def _q89(spark, sf_dir):
+    """Value remap + per-element list expressions: Expr.replace (map literal +
+    element_at, unmatched pass through), repeat_by, list.filter/list.eval
+    (F.filter/F.transform — codegen, no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    words = pls.Expr(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    long_upper = (
+        words.list.filter(lambda w: w.str.len_chars() > 4)
+        .list.eval(lambda w: w.str.to_uppercase())
+        .list.join(",")
+    )
+    out = d.with_columns(
+        col("lang").replace({"en": "english", "de": "german", "fr": "french"}).alias("lang_name"),
+        col("source").repeat_by((col("doc_id") % 3 + 1).cast("i32")).list.join("|").alias("src_rep"),
+        long_upper.alias("long_words"),
+    ).select(col("doc_id"), col("lang_name"), col("src_rep"), col("long_words"))
+    return out.spark
+
+
+_q89_sql = """
+SELECT doc_id,
+       CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                 WHEN 'fr' THEN 'french' ELSE lang END AS lang_name,
+       array_to_string(list_transform(range(1, CAST(doc_id % 3 + 2 AS BIGINT)),
+                                      x -> source), '|') AS src_rep,
+       array_to_string(
+         list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       w -> length(w) > 4),
+           w -> upper(w)), ',') AS long_words
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2645,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_rle_peaks": _q86,
         "q87_product": _q87,
         "q88_join_where": _q88,
+        "q89_replace_listops": _q89,
     }
 
 
@@ -2738,4 +2773,5 @@ def oracle_sql() -> dict[str, str]:
         "q86_rle_peaks": _q86_sql,
         "q87_product": _q87_sql,
         "q88_join_where": _q88_sql,
+        "q89_replace_listops": _q89_sql,
     }

@@ -41,6 +41,8 @@ __all__ = [
 
 ROW_ORDER_COL = "__row_order__"
 
+_NO_DEFAULT = object()  # sentinel: replace_strict without a default aborts
+
 # ---------------------------------------------------------------------------
 # dtype name → Spark type. Mirrors the reference's canonical enum
 # (native_shim/src/datatypes.rs:51-79) with the documented widenings for
@@ -356,6 +358,66 @@ class Expr:
             )
         # non-strict: invalid → null (Spark try_cast), matching CleaningTests.cs:76-100
         return _wrap(self._col.try_cast(t))
+
+    # -- value remapping (polars Expr.replace / replace_strict) -------------
+    def _replace_map(self, mapping: dict) -> tuple[Column | None, "Column | None", bool]:
+        non_null = {k: v for k, v in mapping.items() if k is not None}
+        null_new = mapping.get(None) if None in mapping else None
+        m = None
+        if non_null:
+            m = F.create_map(
+                *[x for k, v in non_null.items() for x in (F.lit(k), F.lit(v))]
+            )
+        return m, F.lit(null_new) if None in mapping else None, bool(non_null)
+
+    def replace(self, mapping: dict) -> "Expr":
+        """Remap values by dict; unmatched values pass through unchanged
+        (polars Expr.replace). Compiles to one map literal + element_at —
+        pure codegen, no join, no UDF. A ``None`` key remaps nulls."""
+        m, null_new, has = self._replace_map(mapping)
+        x = self._col
+        out = x
+        if has:
+            out = F.when(
+                F.map_contains_key(m, x), F.element_at(m, x)
+            ).otherwise(x)
+        if null_new is not None:
+            out = F.when(x.isNull(), null_new).otherwise(out)
+        return _wrap(out)
+
+    def replace_strict(self, mapping: dict, default: Any = _NO_DEFAULT) -> "Expr":
+        """Remap values by dict; unmatched values take ``default``, or ABORT
+        the query when no default is given (polars Expr.replace_strict)."""
+        m, null_new, has = self._replace_map(mapping)
+        x = self._col
+        matched = F.map_contains_key(m, x) if has else F.lit(False)
+        new = F.element_at(m, x) if has else F.lit(None)
+        if default is _NO_DEFAULT:
+            fallback = F.raise_error(
+                F.concat(
+                    F.lit("replace_strict: value not in mapping: "),
+                    F.coalesce(x.cast("string"), F.lit("null")),
+                )
+            ).try_cast("string")
+        else:
+            fallback = F.lit(default)
+        out = F.when(matched, new).otherwise(fallback)
+        if null_new is not None:
+            out = F.when(x.isNull(), null_new).otherwise(out)
+        elif default is _NO_DEFAULT:
+            # nulls not in the mapping and no default: polars errors too
+            out = F.when(x.isNull(), fallback).otherwise(out)
+        return _wrap(out)
+
+    def repeat_by(self, n: "Expr | int") -> "Expr":
+        """List of the value repeated ``n`` times (polars Expr.repeat_by)."""
+        count = n if isinstance(n, int) else _c(n).cast("int")  # array_repeat wants INT
+        return _wrap(F.array_repeat(self._col, count))
+
+    def hash(self, seed: int = 0) -> "Expr":
+        """Deterministic 64-bit hash (xxhash64; engine-stable, not polars'
+        bit pattern)."""
+        return _wrap(F.xxhash64(self._col, F.lit(int(seed))))
 
     # -- aggregations (expr.rs:208-211, 1126-1176, 817-824) ----------------
     def sum(self) -> "Expr":
@@ -1124,6 +1186,17 @@ class ExprListNamespace:
 
     def __init__(self, expr: Expr):
         self._c = expr._col
+
+    def eval(self, fn) -> Expr:
+        """Per-element expression (polars ``list.eval``): ``fn`` receives each
+        element as an Expr and returns the transformed Expr — the Spark-
+        idiomatic callable form of ``pl.element()`` (compiles to
+        ``F.transform``, pure codegen, no UDF)."""
+        return _wrap(F.transform(self._c, lambda x: _c(fn(_wrap(x)))))
+
+    def filter(self, fn) -> Expr:
+        """Keep elements where ``fn(element)`` is true (maps to F.filter)."""
+        return _wrap(F.filter(self._c, lambda x: _c(fn(_wrap(x)))))
 
     def first(self) -> Expr:
         return _wrap(F.element_at(self._c, 1))

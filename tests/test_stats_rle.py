@@ -107,3 +107,54 @@ def test_peak_max_min(spark):
     # plateaus (5,5) are not strict peaks; edges count vs their one neighbor
     assert [r[-2] for r in out.rows()] == [False, True, False, False, False, False, True]
     assert [r[-1] for r in out.rows()] == [True, False, True, False, False, True, False]
+
+
+def test_replace_keeps_unmatched(spark):
+    df = pl.from_records([("N",), ("A",), ("X",), (None,)], ["f"])
+    out = df.with_columns(
+        col("f").replace({"N": "none", "A": "acc"}).alias("r")
+    )
+    assert sorted(r[1] for r in out.rows() if r[1] is not None) == ["X", "acc", "none"]
+    assert any(r[0] is None and r[1] is None for r in out.rows())
+
+
+def test_replace_null_key(spark):
+    df = pl.from_records([("N",), (None,)], ["f"])
+    out = df.with_columns(col("f").replace({None: "missing"}).alias("r"))
+    assert sorted(r[1] for r in out.rows()) == ["N", "missing"]
+
+
+def test_replace_strict_default_and_abort(spark):
+    df = pl.from_records([("N",), ("X",)], ["f"])
+    out = df.with_columns(
+        col("f").replace_strict({"N": 1}, default=0).alias("r")
+    )
+    assert sorted(r[1] for r in out.rows()) == [0, 1]
+    strict = df.with_columns(col("f").replace_strict({"N": 1}).alias("r"))
+    with pytest.raises(Exception, match="not in mapping"):
+        strict.rows()
+
+
+def test_repeat_by_and_hash(spark):
+    df = pl.from_records([("a", 3), ("b", 0)], ["v", "n"])
+    out = df.with_columns(
+        col("v").repeat_by(col("n")).alias("rep"),
+        col("v").hash().alias("h"),
+        col("v").hash(seed=7).alias("h7"),
+    ).sort("v")
+    rows = out.rows()
+    assert rows[0][2] == ["a", "a", "a"] and rows[1][2] == []
+    assert isinstance(rows[0][3], int) and rows[0][3] != rows[0][4]  # seed changes hash
+    # deterministic across evaluation
+    assert out.rows()[0][3] == rows[0][3]
+
+
+def test_list_eval_filter(spark):
+    df = pl.from_records([([1, 2, 3, 4],)], ["xs"])
+    out = df.with_columns(
+        col("xs").list.eval(lambda e: e * 10).alias("t"),
+        col("xs").list.filter(lambda e: e % 2 == 0).alias("f"),
+    )
+    r = out.rows()[0]
+    assert r[1] == [10, 20, 30, 40]
+    assert r[2] == [2, 4]
