@@ -1,10 +1,13 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schemas, partitioning, Arrow-batched UDF signatures)
-is real and tested; the actual media decode is STUBBED — the image/audio
-libraries are not in this container.  Each stub either raises
-NotImplementedError (decode_*) or produces a deterministic fake
-(fake_image_features) so pipelines are testable end-to-end.
+Decode status (this container has no PIL/opencv/ffmpeg):
+- REAL decode for uncompressed formats via pure stdlib/numpy
+  (media_codecs.py): BMP 24-bpp + P6 PPM → pixels, mean RGB, 64-bit aHash
+  perceptual fingerprint; PCM WAV → samples, rate, duration, RMS.  Entry
+  point: :func:`decode_media_features` (mapInPandas).
+- Compressed formats (JPEG/PNG/GIF/MP4) stay honestly STUBBED — they return
+  status='unsupported:<mime>' (decode_media_features) or raise
+  NotImplementedError (_decode_image / sample_video_frames); no fake numbers.
 
 Pattern: media rows are wide (binary payload) → always process via
 mapInPandas so batches stream through Python without materializing a
@@ -26,8 +29,10 @@ from ..frame import LazyFrame
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
+    "MEDIA_FEATURE_SCHEMA",
     "attach_media_metadata",
     "extract_image_features",
+    "decode_media_features",
     "sample_video_frames",
 ]
 
@@ -120,6 +125,88 @@ def extract_image_features(
             )
 
     out = sdf.select(id_col, payload_col).mapInPandas(_batches, IMAGE_FEATURE_SCHEMA)
+    return LazyFrame(out)
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),  # decoded | unsupported:<mime> | error:<msg>
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType()), True),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_media_features(
+    frame: "LazyFrame | SparkDF",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> LazyFrame:
+    """REAL media decode for uncompressed formats, distributed via
+    mapInPandas (Arrow batches, no partition materialization).
+
+    BMP (24-bpp) and P6 PPM decode to actual pixel arrays → width/height,
+    per-channel means, and a 64-bit aHash perceptual fingerprint (the
+    candidate key for image near-dup: join on ahash or band its bits like
+    minhash).  PCM WAV decodes to real samples → sample_rate/channels/
+    duration/RMS.  Compressed formats (JPEG/PNG/GIF/MP4) need PIL/ffmpeg —
+    absent in this container — and return status='unsupported:<mime>' rather
+    than fake numbers; rows never error the job (status='error:...' carries
+    malformed payloads).  See media_codecs.py for the decoders.
+    """
+    from . import media_codecs as mc
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = dict.fromkeys(cols)
+                base["media_id"] = mid
+                if payload is None:
+                    base["status"] = "error:null payload"
+                    rows.append(base)
+                    continue
+                b = bytes(payload)
+                mime = mc.sniff_mime(b)
+                base["mime"] = mime
+                try:
+                    if mime == "image/bmp" or mime == "image/x-portable-pixmap":
+                        px = mc.decode_bmp(b) if mime == "image/bmp" else mc.decode_ppm(b)
+                        base.update(
+                            status="decoded",
+                            width=int(px.shape[1]),
+                            height=int(px.shape[0]),
+                            mean_rgb=[float(x) for x in px.reshape(-1, 3).mean(axis=0)],
+                            ahash=mc.ahash64(px),
+                        )
+                    elif mime == "audio/wav":
+                        rate, nch, samples = mc.decode_wav(b)
+                        base.update(
+                            status="decoded",
+                            sample_rate=int(rate),
+                            n_channels=int(nch),
+                            duration_ms=int(round(len(samples) / rate * 1000)),
+                            rms=float((samples**2).mean() ** 0.5),
+                        )
+                    else:
+                        base["status"] = f"unsupported:{mime}"
+                except Exception as exc:  # malformed payload must not kill the job
+                    base["status"] = f"error:{type(exc).__name__}: {exc}"[:200]
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = sdf.select(id_col, payload_col).mapInPandas(_batches, MEDIA_FEATURE_SCHEMA)
     return LazyFrame(out)
 
 
