@@ -33,6 +33,7 @@ __all__ = [
     "attach_media_metadata",
     "extract_image_features",
     "decode_media_features",
+    "image_near_dup_pairs",
     "sample_video_frames",
 ]
 
@@ -207,6 +208,67 @@ def decode_media_features(
             yield pd.DataFrame(rows, columns=cols)
 
     out = sdf.select(id_col, payload_col).mapInPandas(_batches, MEDIA_FEATURE_SCHEMA)
+    return LazyFrame(out)
+
+
+def image_near_dup_pairs(
+    frame: "LazyFrame | SparkDF",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> LazyFrame:
+    """Image near-dup candidate pairs over binary payloads: decode → 64-bit
+    aHash → banded bucket join → exact Hamming verify.
+
+    Same scale shape as minhash/simhash dedup: the hash splits into ``bands``
+    equal bit-slices and only images sharing at least one slice ever meet.
+    Pigeonhole guarantee: a pair at Hamming distance d < ``bands`` always
+    shares an untouched band (full recall); for bands=4 that covers d ≤ 3,
+    and larger d up to ``max_hamming`` is recalled unless the flipped bits
+    land in every band at once.  Verification is exact (``bit_count(xor)``),
+    so precision is 1 — banding only affects recall.  Only decodable payloads
+    (BMP/PPM here) participate; at 100 TB the hash computation is one
+    mapInPandas corpus pass and the join touches 16-bit-bucket candidates,
+    never all pairs.
+    """
+    feats = decode_media_features(frame, payload_col=payload_col, id_col=id_col)
+    hashed = feats._sdf.filter(F.col("ahash").isNotNull()).select("media_id", "ahash")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    entries = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ahash"), b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "ahash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    lhs = entries.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), "band", "val"
+    )
+    rhs = entries.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "val"
+    )
+    cands = (
+        lhs.join(rhs, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    out = (
+        cands.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
     return LazyFrame(out)
 
 

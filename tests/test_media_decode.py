@@ -115,3 +115,22 @@ def test_decode_media_features_distributed(spark, px):
     assert out[4]["status"] == "unsupported:image/jpeg" and out[4]["ahash"] is None
     assert out[5]["status"].startswith("unsupported:application/octet-stream")
     assert out[6]["status"].startswith("error:")
+
+
+def test_image_near_dup_pairs(spark, px):
+    from polars_net_spark.llm.multimodal import image_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    noisy = np.clip(px.astype(int) + rng.integers(-6, 7, size=px.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    rows = [(1, make_bmp(px)), (2, make_bmp(noisy)), (3, make_bmp(other)),
+            (4, b"\xff\xd8\xffJPEG")]  # undecodable: excluded, not crashing
+    sdf = pl.get_spark().createDataFrame(rows, "media_id long, payload binary")
+    pairs = image_near_dup_pairs(sdf, max_hamming=8).spark.collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 8
+    # identical images: distance 0
+    sdf2 = pl.get_spark().createDataFrame(
+        [(1, make_bmp(px)), (2, make_bmp(px.copy()))], "media_id long, payload binary")
+    p2 = image_near_dup_pairs(sdf2).spark.collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in p2] == [(1, 2, 0)]
