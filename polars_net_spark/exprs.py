@@ -455,6 +455,13 @@ class Expr:
     def median(self) -> "Expr":
         return _wrap(F.median(self._col))
 
+    def approx_quantile(self, q: float, accuracy: int = 10000) -> "Expr":
+        """Approximate quantile via Spark's streaming Greenwald-Khanna sketch
+        (percentile_approx) — the 100 TB path: exact ``quantile`` materializes
+        every group value, the sketch merges map-side in O(accuracy) memory.
+        Error bound: rank error ≤ 1/accuracy."""
+        return _wrap(F.percentile_approx(self._col, F.lit(float(q)), F.lit(int(accuracy))))
+
     # -- higher-moment / information aggregates (polars Expr.skew/kurtosis/
     # entropy/product; parity extras — the reference shim exposes none of
     # these, but polars users reach for them constantly) ------------------

@@ -158,3 +158,12 @@ def test_list_eval_filter(spark):
     r = out.rows()[0]
     assert r[1] == [10, 20, 30, 40]
     assert r[2] == [2, 4]
+
+
+def test_approx_quantile_close_to_exact(spark):
+    df = pl.from_records([(float(i),) for i in range(1, 1001)], ["x"])
+    r = df.lazy().group_by().agg(
+        col("x").approx_quantile(0.5).alias("a"),
+        col("x").quantile(0.5, interpolation="lower").alias("e"),
+    ).collect().rows()[0]
+    assert abs(r[0] - r[1]) <= 2  # rank error bound at accuracy=10000
