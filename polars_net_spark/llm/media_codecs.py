@@ -23,6 +23,7 @@ __all__ = [
     "decode_ppm",
     "decode_wav",
     "ahash64",
+    "audio_fingerprint64",
 ]
 
 
@@ -108,6 +109,28 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     else:
         raise ValueError(f"unsupported sample width {sw}")
     return rate, nch, x.reshape(-1, nch)
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint: mono-mix, split into 64 equal
+    segments, bit i = (segment RMS > median segment RMS). Amplitude-invariant
+    (median threshold) and robust to codec-level noise — the audio analog of
+    :func:`ahash64` for near-dup candidate generation."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n < 64:
+        mono = np.pad(mono, (0, 64 - n))
+        n = 64
+    edges = (np.arange(65) * n) // 64
+    rms = np.array([
+        np.sqrt((mono[edges[i]: max(edges[i + 1], edges[i] + 1)] ** 2).mean())
+        for i in range(64)
+    ])
+    bits = rms > np.median(rms)
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 def ahash64(px: np.ndarray) -> int:

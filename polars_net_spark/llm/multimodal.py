@@ -34,6 +34,7 @@ __all__ = [
     "extract_image_features",
     "decode_media_features",
     "image_near_dup_pairs",
+    "audio_near_dup_pairs",
     "sample_video_frames",
 ]
 
@@ -142,6 +143,7 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("n_channels", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
+        T.StructField("afp", T.LongType(), True),  # 64-bit audio energy fingerprint
     ]
 )
 
@@ -199,6 +201,7 @@ def decode_media_features(
                             n_channels=int(nch),
                             duration_ms=int(round(len(samples) / rate * 1000)),
                             rms=float((samples**2).mean() ** 0.5),
+                            afp=mc.audio_fingerprint64(samples),
                         )
                     else:
                         base["status"] = f"unsupported:{mime}"
@@ -234,29 +237,48 @@ def image_near_dup_pairs(
     """
     feats = decode_media_features(frame, payload_col=payload_col, id_col=id_col)
     hashed = feats._sdf.filter(F.col("ahash").isNotNull()).select("media_id", "ahash")
+    return _banded_hamming_pairs(hashed, "ahash", max_hamming, bands)
+
+
+def audio_near_dup_pairs(
+    frame: "LazyFrame | SparkDF",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> LazyFrame:
+    """Audio near-dup candidate pairs: PCM WAV decode → 64-bit energy-envelope
+    fingerprint (media_codecs.audio_fingerprint64, amplitude-invariant) →
+    the same banded-bucket join + exact Hamming verify as
+    :func:`image_near_dup_pairs`."""
+    feats = decode_media_features(frame, payload_col=payload_col, id_col=id_col)
+    hashed = feats._sdf.filter(F.col("afp").isNotNull()).select("media_id", "afp")
+    return _banded_hamming_pairs(hashed, "afp", max_hamming, bands)
+
+
+def _banded_hamming_pairs(
+    hashed: SparkDF, hash_col: str, max_hamming: int, bands: int
+) -> LazyFrame:
     width = 64 // bands
     mask = (1 << width) - 1
+    h = F.col(hash_col)
     entries = hashed.select(
         "media_id",
-        "ahash",
+        h.alias("__h__"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("ahash"), b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                        F.shiftright(h, b * width).bitwiseAND(F.lit(mask)).alias("val"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("media_id", "ahash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
-    lhs = entries.select(
-        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), "band", "val"
-    )
-    rhs = entries.select(
-        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "val"
-    )
+    ).select("media_id", "__h__", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    lhs = entries.select(F.col("media_id").alias("id_a"), F.col("__h__").alias("ha"), "band", "val")
+    rhs = entries.select(F.col("media_id").alias("id_b"), F.col("__h__").alias("hb"), "band", "val")
     cands = (
         lhs.join(rhs, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -134,3 +134,33 @@ def test_image_near_dup_pairs(spark, px):
         [(1, make_bmp(px)), (2, make_bmp(px.copy()))], "media_id long, payload binary")
     p2 = image_near_dup_pairs(sdf2).spark.collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in p2] == [(1, 2, 0)]
+
+
+def test_audio_fingerprint_amplitude_invariant():
+    _, _, s1 = mc.decode_wav(make_wav(freq=5.0, rate=8000, n=8000))
+    f1 = mc.audio_fingerprint64(s1)
+    # half the amplitude: envelope shape identical -> same fingerprint
+    quiet = (s1 * 0.5)
+    assert mc.audio_fingerprint64(quiet) == f1
+    # different envelope (different low freq) -> different fingerprint
+    _, _, s2 = mc.decode_wav(make_wav(freq=3.0, rate=8000, n=8000))
+    d = (f1 ^ mc.audio_fingerprint64(s2)) & ((1 << 64) - 1)
+    assert bin(d).count("1") >= 8
+
+
+def test_audio_near_dup_pairs(spark):
+    from polars_net_spark.llm.multimodal import audio_near_dup_pairs
+
+    base = make_wav(freq=5.0, rate=8000, n=8000)
+    # near-dup: same tone, slightly different amplitude via 8-bit re-encode
+    _, _, s = mc.decode_wav(base)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1); f.setsampwidth(2); f.setframerate(8000)
+        f.writeframes((s[:, 0] * 0.7 * 32767).astype("<i2").tobytes())
+    near = buf.getvalue()
+    other = make_wav(freq=3.0, rate=8000, n=8000)
+    sdf = pl.get_spark().createDataFrame(
+        [(1, base), (2, near), (3, other)], "media_id long, payload binary")
+    pairs = audio_near_dup_pairs(sdf, max_hamming=6).spark.collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
