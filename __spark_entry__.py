@@ -2586,6 +2586,34 @@ FROM documents
 """
 
 
+def _q90(spark, sf_dir):
+    """group_by().head/tail: rank window pruned map-side by WindowGroupLimit
+    (hot groups shed rows before the exchange — same plan family as q68/q73)."""
+    li = _t(spark, sf_dir, "lineitem")
+    order = [col("l_orderkey"), col("l_linenumber")]
+    first3 = li.group_by("l_returnflag").head(3, order_by=order)
+    last2 = li.group_by("l_returnflag").tail(2, order_by=order)
+    out = (
+        LazyFrame(first3._sdf.unionByName(last2._sdf))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    )
+    return out.spark
+
+
+_q90_sql = """
+WITH r AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_orderkey, l_linenumber) AS rn_a,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn_d
+  FROM lineitem)
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM r WHERE rn_a <= 3
+UNION ALL
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM r WHERE rn_d <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2680,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_product": _q87,
         "q88_join_where": _q88,
         "q89_replace_listops": _q89,
+        "q90_group_head_tail": _q90,
     }
 
 
@@ -2774,4 +2803,5 @@ def oracle_sql() -> dict[str, str]:
         "q87_product": _q87_sql,
         "q88_join_where": _q88_sql,
         "q89_replace_listops": _q89_sql,
+        "q90_group_head_tail": _q90_sql,
     }

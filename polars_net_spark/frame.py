@@ -724,6 +724,38 @@ class GroupBy:
             return LazyFrame(out.orderBy("__first_seen__").drop("__first_seen__"))
         return LazyFrame(self._lf._sdf.groupBy(*key_cols).agg(*agg_cols))
 
+    def head(self, n: int = 5, order_by=None) -> LazyFrame:
+        """First ``n`` rows per group (polars ``group_by().head``). Polars
+        uses frame order; a distributed engine needs an explicit ordering —
+        ``order_by`` (defaults to the hidden row-order column). Plans as a
+        rank window that Spark prunes map-side via WindowGroupLimit, so hot
+        groups shed rows before the exchange."""
+        return self._group_limit(n, order_by, desc=False)
+
+    def tail(self, n: int = 5, order_by=None) -> LazyFrame:
+        """Last ``n`` rows per group (polars ``group_by().tail``)."""
+        return self._group_limit(n, order_by, desc=True)
+
+    def _group_limit(self, n: int, order_by, desc: bool) -> LazyFrame:
+        if self._mode != "groupby":
+            raise ValueError("head/tail only supports plain group_by (not cube/rollup)")
+        lf = self._lf if order_by is not None else self._lf._order_col()
+        key_cols = [F.col(k) if isinstance(k, str) else _c(k) for k in self._keys]
+        order_cols = (
+            [_c(o) if not isinstance(o, str) else F.col(o) for o in order_by]
+            if order_by is not None
+            else [F.col(ROW_ORDER_COL)]
+        )
+        if desc:
+            order_cols = [o.desc() for o in order_cols]
+        w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        out = (
+            lf._sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .drop("__rn__")
+        )
+        return LazyFrame(out)._drop_order()
+
     def map_groups(self, fn, schema) -> LazyFrame:
         """Custom per-group transform (polars ``group_by().map_groups``):
         ``fn(pandas.DataFrame) -> pandas.DataFrame`` applied to each key
@@ -1002,6 +1034,12 @@ class EagerGroupBy:
 
     def agg(self, *aggs, **named) -> DataFrame:
         return DataFrame(self._gb.agg(*aggs, **named))
+
+    def head(self, n: int = 5, order_by=None) -> DataFrame:
+        return DataFrame(self._gb.head(n, order_by))
+
+    def tail(self, n: int = 5, order_by=None) -> DataFrame:
+        return DataFrame(self._gb.tail(n, order_by))
 
     def sum(self, *cols_) -> DataFrame:
         return DataFrame(self._gb.sum(*cols_))

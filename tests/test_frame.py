@@ -150,3 +150,21 @@ def test_collect_async(people):
 
 def test_repr_html(people):
     assert "<table" in people._repr_html_()
+
+
+def test_group_by_head_tail(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(2)]
+    df = pl.from_records(rows, ["g", "i"]).lazy()
+    head = df.group_by("g").head(2, order_by=[col("i")]).collect()
+    assert sorted(map(tuple, head.rows())) == [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+    tail = df.group_by("g").tail(2, order_by=[col("i")]).collect()
+    assert sorted(map(tuple, tail.rows())) == [("a", 3), ("a", 4), ("b", 0), ("b", 1)]
+    # default ordering = hidden row-order column (frame order)
+    h1 = df.group_by("g").head(1).collect()
+    assert sorted(map(tuple, h1.rows())) == [("a", 0), ("b", 0)]
+    # plan prunes map-side: WindowGroupLimit present
+    plan = df.group_by("g").head(2, order_by=[col("i")])._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
