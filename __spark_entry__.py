@@ -2614,6 +2614,42 @@ SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM r WHERE rn_d <= 2
 """
 
 
+def _q91(spark, sf_dir):
+    """Exact duplicated-substring spans (word 5-grams occurring >= 2 times in
+    the corpus, merged into maximal per-doc spans) — the substring-dedup
+    building block (llm/dedup.py duplicated_spans)."""
+    from polars_net_spark.llm import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, k=5, min_count=2).spark
+
+
+_q91_sql = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, array_to_string(ws[u.i:u.i+4], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS u(i)),
+hot AS (SELECT gram FROM tok GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM tok WHERE gram IN (SELECT gram FROM hot)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup),
+f AS (SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS flag
+      FROM m),
+s AS (SELECT doc_id, pos,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM f)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 5 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM s GROUP BY doc_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2709,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_join_where": _q88,
         "q89_replace_listops": _q89,
         "q90_group_head_tail": _q90,
+        "q91_dup_spans": _q91,
     }
 
 
@@ -2804,4 +2841,5 @@ def oracle_sql() -> dict[str, str]:
         "q88_join_where": _q88_sql,
         "q89_replace_listops": _q89_sql,
         "q90_group_head_tail": _q90_sql,
+        "q91_dup_spans": _q91_sql,
     }

@@ -17,6 +17,7 @@ from .text import (
 from .dedup import (
     dedup_exact,
     dedup_lines,
+    duplicated_spans,
     dedup_clusters,
     dedup_fuzzy,
     ngram_jaccard_pairs,
@@ -65,6 +66,7 @@ __all__ = [
     "shingle_fingerprint_frame",
     "dedup_exact",
     "dedup_lines",
+    "duplicated_spans",
     "dedup_clusters",
     "dedup_fuzzy",
     "ngram_jaccard_pairs",

@@ -755,6 +755,66 @@ def dedup_fuzzy(
     return LazyFrame(sdf.join(canon, id_col, "semi"))
 
 
+def duplicated_spans(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> LazyFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" building block, word
+    granularity): mark every position whose ``k``-gram occurs at least
+    ``min_count`` times in the corpus, then merge overlapping/adjacent marked
+    grams into maximal spans per document.  Output: (doc_id, span_start,
+    span_end, n_grams) in word offsets, span = [start, end).
+
+    Scale shape: one corpus scan builds (doc, pos, gram-hash); the hot-gram
+    set is a count aggregate; marking is a LEFT SEMI join on the hash (no
+    fan-out — an occurrence is marked once no matter how hot its gram); the
+    interval merge is a per-doc window (cumsum over gap flags), shuffling
+    only marked positions.  A true distributed suffix array is not needed:
+    any duplicated substring of length ≥ k words is a run of duplicated
+    k-grams, so spans over-approximate by at most k-1 words per end.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sdf = _sdf(frame)
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = sdf.select(F.col(id_col).alias("id"), words.alias("__ws__")).repartition(par)
+    ws = F.col("__ws__")
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(F.array().cast("array<int>"))
+    gram_at = lambda i: F.xxhash64(F.array_join(F.slice(ws, i + 1, k), " "))  # noqa: E731
+    tok = staged.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.struct(i.cast("int").alias("pos"), gram_at(i).alias("h")))
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    tok = register_cache(tok)
+    hot = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= min_count)
+    dup = tok.join(hot.select("h"), "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "flag", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    )
+    sid = F.sum("flag").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        flagged.withColumn("sid", sid)
+        .groupBy("id", "sid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end", "n_grams")
+    )
+    return LazyFrame(spans)
+
+
 def dedup_lines(
     frame,
     text_col: str = "text",

@@ -457,3 +457,39 @@ def test_kmeans_centroids_cached_memoizes(spark, sf_dir=None):
     assert len(c3) == 2 and len(sim._CENTROID_MEMO) == 2
     clear_centroid_memo()
     assert not sim._CENTROID_MEMO
+
+
+def test_duplicated_spans_merge_and_bounds(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h unique tail one"),
+        (2, "x a b c d e f g h y z completely different ending here"),
+        (3, "nothing shared with anyone at all in this one doc"),
+        (4, "r r r r r r r r r r"),  # self-repeating doc: duplicated within itself
+    ]
+    sdf = pl.get_spark().createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, duplicated_spans(sdf, k=5).spark.collect()))
+    # shared run "a b c d e f g h" (8 words = 4 overlapping 5-grams) merges to ONE span
+    assert (1, 0, 8, 4) in out
+    assert (2, 1, 9, 4) in out
+    # within-doc repetition counts too (gram "r r r r r" occurs 6x in doc 4)
+    assert (4, 0, 10, 6) in out
+    # doc 3 shares nothing
+    assert not any(r[0] == 3 for r in out)
+    pl.release_caches()
+
+
+def test_duplicated_spans_min_count_and_short_docs(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import duplicated_spans
+
+    rows = [(1, "a b c"), (2, "a b c"), (3, "one two three four five six")]
+    sdf = pl.get_spark().createDataFrame(rows, "doc_id long, text string")
+    # k=5 > doc length for docs 1/2 -> no grams -> no spans anywhere
+    assert duplicated_spans(sdf, k=5).spark.count() == 0
+    # k=3: docs 1 and 2 are a full duplicated span
+    out = sorted(map(tuple, duplicated_spans(sdf, k=3).spark.collect()))
+    assert out == [(1, 0, 3, 1), (2, 0, 3, 1)]
+    pl.release_caches()
