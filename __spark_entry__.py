@@ -2650,6 +2650,49 @@ FROM s GROUP BY doc_id, sid
 """
 
 
+def _q92(spark, sf_dir):
+    """Apply duplicated-substring spans: cut every marked region out of the
+    text (llm/dedup.py remove_duplicated_spans; codegen filter+exists over a
+    small per-doc span list)."""
+    from polars_net_spark.llm import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(d, k=5, min_count=2)
+    return out.select(col("doc_id"), col("cleaned_text"), col("n_removed_words")).spark
+
+
+_q92_sql = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, array_to_string(ws[u.i:u.i+4], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS u(i)),
+hot AS (SELECT gram FROM tok GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM tok WHERE gram IN (SELECT gram FROM hot)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup),
+f AS (SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS flag
+      FROM m),
+s AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM f),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e FROM s GROUP BY doc_id, sid),
+spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM spans GROUP BY doc_id)
+SELECT w.doc_id,
+       CASE WHEN spl.sp IS NULL THEN coalesce(array_to_string(ws, ' '), '')
+            ELSE coalesce(array_to_string([ws[j] for j in range(1, len(ws)+1)
+                   if len(list_filter(spl.sp, r -> (r.s <= j-1) AND (j-1 < r.e))) = 0], ' '), '')
+       END AS cleaned_text,
+       CAST(CASE WHEN spl.sp IS NULL THEN 0
+            ELSE len(ws) - len([ws[j] for j in range(1, len(ws)+1)
+                   if len(list_filter(spl.sp, r -> (r.s <= j-1) AND (j-1 < r.e))) = 0])
+       END AS BIGINT) AS n_removed_words
+FROM w LEFT JOIN spl ON w.doc_id = spl.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2746,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_replace_listops": _q89,
         "q90_group_head_tail": _q90,
         "q91_dup_spans": _q91,
+        "q92_span_removal": _q92,
     }
 
 
@@ -2842,4 +2886,5 @@ def oracle_sql() -> dict[str, str]:
         "q89_replace_listops": _q89_sql,
         "q90_group_head_tail": _q90_sql,
         "q91_dup_spans": _q91_sql,
+        "q92_span_removal": _q92_sql,
     }

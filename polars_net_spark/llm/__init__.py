@@ -18,6 +18,7 @@ from .dedup import (
     dedup_exact,
     dedup_lines,
     duplicated_spans,
+    remove_duplicated_spans,
     dedup_clusters,
     dedup_fuzzy,
     ngram_jaccard_pairs,
@@ -67,6 +68,7 @@ __all__ = [
     "dedup_exact",
     "dedup_lines",
     "duplicated_spans",
+    "remove_duplicated_spans",
     "dedup_clusters",
     "dedup_fuzzy",
     "ngram_jaccard_pairs",

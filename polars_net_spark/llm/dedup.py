@@ -815,6 +815,53 @@ def duplicated_spans(
     return LazyFrame(spans)
 
 
+def remove_duplicated_spans(
+    frame: "LazyFrame | SparkDF",
+    spans: "LazyFrame | SparkDF | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> LazyFrame:
+    """Cut the :func:`duplicated_spans` regions out of each document's text
+    (word granularity), keeping everything else in order.  Output: all input
+    columns + ``cleaned_text`` + ``n_removed_words``.
+
+    ``spans`` defaults to ``duplicated_spans(frame, ...)`` — pass a
+    precomputed/filtered span frame to control the removal policy (e.g. only
+    spans above a length threshold, or spans minus each cluster's canonical
+    occurrence).  The application is pure codegen: spans collect to a small
+    per-doc list (docs have few maximal spans), the word filter is one
+    ``F.filter`` with an ``exists`` over that list — no shuffle beyond the
+    span join itself.
+    """
+    sdf = _sdf(frame)
+    sp = _sdf(spans) if spans is not None else _sdf(
+        duplicated_spans(sdf, text_col=text_col, id_col=id_col, k=k, min_count=min_count)
+    )
+    sp_by_doc = sp.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))).alias(
+            "__spans__"
+        )
+    )
+    joined = sdf.join(sp_by_doc, id_col, "left")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    indexed = F.transform(words, lambda w, i: F.struct(w.alias("w"), i.cast("long").alias("i")))
+    in_span = lambda s: F.exists(  # noqa: E731
+        F.col("__spans__"), lambda r: (r["s"] <= s["i"]) & (s["i"] < r["e"])
+    )
+    kept = F.filter(indexed, lambda s: ~in_span(s))
+    cleaned = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    n_removed = (F.size(words) - F.size(kept)).cast("long")
+    out = joined.withColumn(
+        "cleaned_text",
+        F.when(F.col("__spans__").isNull(), F.array_join(words, " ")).otherwise(cleaned),
+    ).withColumn(
+        "n_removed_words", F.when(F.col("__spans__").isNull(), F.lit(0).cast("long")).otherwise(n_removed)
+    ).drop("__spans__")
+    return LazyFrame(out)
+
+
 def dedup_lines(
     frame,
     text_col: str = "text",

@@ -493,3 +493,25 @@ def test_duplicated_spans_min_count_and_short_docs(spark):
     out = sorted(map(tuple, duplicated_spans(sdf, k=3).spark.collect()))
     assert out == [(1, 0, 3, 1), (2, 0, 3, 1)]
     pl.release_caches()
+
+
+def test_remove_duplicated_spans(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import duplicated_spans, remove_duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h unique tail one"),
+        (2, "x a b c d e f g h y z completely different ending here"),
+        (3, "clean doc with no shared runs whatsoever in it here"),
+    ]
+    sdf = pl.get_spark().createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(sdf, k=5).spark.collect()}
+    assert out[1]["cleaned_text"] == "unique tail one" and out[1]["n_removed_words"] == 8
+    assert out[2]["cleaned_text"] == "x y z completely different ending here"
+    assert out[3]["cleaned_text"] == rows[2][1] and out[3]["n_removed_words"] == 0
+    # custom span policy: only remove spans of >= 10 words -> nothing removed
+    spans = duplicated_spans(sdf, k=5)
+    big = pl.LazyFrame(spans._sdf.filter("span_end - span_start >= 10"))
+    out2 = {r["doc_id"]: r for r in remove_duplicated_spans(sdf, spans=big).spark.collect()}
+    assert all(out2[i]["n_removed_words"] == 0 for i in (1, 2, 3))
+    pl.release_caches()
