@@ -2693,6 +2693,32 @@ FROM w LEFT JOIN spl ON w.doc_id = spl.doc_id
 """
 
 
+def _q93(spark, sf_dir):
+    """C4-style blocklist filter: phrase list compiled into the plan
+    (closure-broadcast), word-boundary regexp hits, map-only corpus pass
+    (llm/quality.py blocklist_metrics_frame)."""
+    from polars_net_spark.llm import blocklist_metrics_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_metrics_frame(d, ["slow", "spill shuffle", "vector"]).spark
+
+
+_q93_sql = """
+WITH h AS (
+  SELECT doc_id,
+         (CASE WHEN regexp_matches(lower(text), '(^|\\W)slow($|\\W)') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '(^|\\W)spill\\ shuffle($|\\W)') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '(^|\\W)vector($|\\W)') THEN 1 ELSE 0 END) AS hits,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> length(w) > 0)) AS n_words
+  FROM documents)
+SELECT doc_id, CAST(hits AS BIGINT) AS n_blocked_hits,
+       round(hits / greatest(n_words, 1), 6) AS blocked_frac,
+       hits > 0 AS blocked
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2790,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_group_head_tail": _q90,
         "q91_dup_spans": _q91,
         "q92_span_removal": _q92,
+        "q93_blocklist": _q93,
     }
 
 
@@ -2887,4 +2914,5 @@ def oracle_sql() -> dict[str, str]:
         "q90_group_head_tail": _q90_sql,
         "q91_dup_spans": _q91_sql,
         "q92_span_removal": _q92_sql,
+        "q93_blocklist": _q93_sql,
     }

@@ -29,6 +29,7 @@ from .dedup import (
 )
 from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo
 from .quality import (
+    blocklist_metrics_frame,
     gopher_quality_frame,
     unigram_logprob_frame,
     repetition_metrics_frame,
@@ -66,6 +67,7 @@ __all__ = [
     "text_metrics_frame",
     "shingle_fingerprint_frame",
     "dedup_exact",
+    "blocklist_metrics_frame",
     "dedup_lines",
     "duplicated_spans",
     "remove_duplicated_spans",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .._cache import register_cache
 
 __all__ = [
+    "blocklist_metrics_frame",
     "gopher_quality_frame",
     "unigram_logprob_frame",
     "repetition_metrics_frame",
@@ -302,3 +303,53 @@ def unigram_logprob_frame(
         F.lit(0.0).alias("mean_logprob"),
     )
     return LazyFrame(scored.unionByName(empty).withColumnRenamed("id", id_col))
+
+
+def blocklist_metrics_frame(
+    frame,
+    phrases: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_boundary: bool = True,
+    round_to: int = 6,
+):
+    """C4-style blocklist filtering: per-document hit count against a phrase
+    blocklist + keep/drop verdict.  Output: (doc_id, n_blocked_hits,
+    blocked_frac, blocked).
+
+    The phrase list compiles into the plan as an array literal (a few
+    thousand phrases is kilobytes — closure-broadcast, no join, no shuffle;
+    the whole operator is one map-only corpus pass).  ``word_boundary=True``
+    matches phrases only at word boundaries (C4 semantics: "ass" must not
+    flag "class") via a regexp per phrase; False does raw substring
+    containment.  ``blocked_frac`` = hits / word count, so long documents
+    aren't dropped for one incidental hit downstream.
+    """
+    import re as _re
+
+    from ..frame import LazyFrame
+
+    if not phrases:
+        raise ValueError("blocklist_metrics_frame needs at least one phrase")
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    low = F.lower(F.col(text_col))
+    if word_boundary:
+        hit_exprs = [
+            F.when(low.rlike(r"(^|\W)" + _re.escape(p.lower()) + r"($|\W)"), 1).otherwise(0)
+            for p in phrases
+        ]
+    else:
+        hit_exprs = [F.when(low.contains(p.lower()), 1).otherwise(0) for p in phrases]
+    hits = hit_exprs[0]
+    for h in hit_exprs[1:]:
+        hits = hits + h
+    n_words = F.size(_words(F.col(text_col)))
+    out = sdf.select(
+        F.col(id_col),
+        hits.cast("long").alias("n_blocked_hits"),
+        F.round(hits.cast("double") / F.greatest(n_words, F.lit(1)), round_to).alias(
+            "blocked_frac"
+        ),
+        (hits > 0).alias("blocked"),
+    )
+    return LazyFrame(out)

@@ -130,3 +130,22 @@ def test_bm25_empty_query_raises(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_blocklist_word_boundary_semantics(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import blocklist_metrics_frame
+
+    rows = [(1, "the Quick brown fox"), (2, "classy words only"), (3, "bad ass content")]
+    sdf = pl.get_spark().createDataFrame(rows, "doc_id long, text string")
+    out = {r[0]: tuple(r) for r in blocklist_metrics_frame(sdf, ["ass", "quick"]).spark.collect()}
+    assert out[1][1] == 1 and out[1][3] is True          # case-insensitive word hit
+    assert out[2][1] == 0 and out[2][3] is False          # 'classy' must NOT match 'ass'
+    assert out[3][1] == 1
+    # substring mode flags 'classy'
+    sub = {r[0]: r[1] for r in blocklist_metrics_frame(
+        sdf, ["ass"], word_boundary=False).spark.collect()}
+    assert sub[2] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        blocklist_metrics_frame(sdf, [])
