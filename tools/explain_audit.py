@@ -94,6 +94,18 @@ CHECKS = {
         ("!", "CartesianProduct", "inequality join runs on the equi key"),
         ("!", "BroadcastNestedLoopJoin", "inequalities are residual filters, not the join"),
     ],
+    "q90_group_head_tail": [
+        ("WindowGroupLimit", "per-group limit prunes map-side"),
+        (", Partial", "prune happens before the exchange"),
+    ],
+    "q91_dup_spans": [
+        ("LeftSemi", "hot-gram marking is a semi join (no fan-out on hot grams)"),
+        ("!", "CartesianProduct", "span pipeline never cross-joins"),
+    ],
+    "q93_blocklist": [
+        ("!", "Exchange hashpartitioning", "blocklist scoring is map-only, zero shuffles"),
+        ("!", "CartesianProduct", "phrase list is a plan literal, not a join"),
+    ],
     "q84_map_groups": [
         ("FlatMapGroupsInPandas", "map_groups via Arrow-batched applyInPandas"),
         ("!", "CartesianProduct", "grouped transform shuffles on keys only"),
