@@ -2719,6 +2719,69 @@ FROM h
 """
 
 
+def _q94(spark, sf_dir):
+    """dt namespace extras: quarter / ISO week / ISO year / leap year /
+    days-in-month (exprs.py ExprDtNamespace)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        col("event_id"),
+        col("ts").dt.quarter().cast("long").alias("q"),
+        col("ts").dt.week().cast("long").alias("wk"),
+        col("ts").dt.iso_year().cast("long").alias("iy"),
+        col("ts").dt.is_leap_year().alias("leap"),
+        col("ts").dt.days_in_month().cast("long").alias("dim"),
+    ).spark
+
+
+_q94_sql = """
+SELECT event_id,
+       CAST(date_part('quarter', ts) AS BIGINT) AS q,
+       CAST(date_part('week', ts) AS BIGINT) AS wk,
+       CAST(date_part('isoyear', ts) AS BIGINT) AS iy,
+       (date_part('year', ts) % 4 = 0 AND date_part('year', ts) % 100 <> 0)
+         OR date_part('year', ts) % 400 = 0 AS leap,
+       CAST(date_part('day', last_day(CAST(ts AS DATE))) AS BIGINT) AS dim
+FROM events
+"""
+
+
+def _q95(spark, sf_dir):
+    """str namespace extras: zfill (sign-aware), pad_start/pad_end
+    (longer-unchanged), extract_groups, splitn (exprs.py ExprStrNamespace)."""
+    d = _t(spark, sf_dir, "documents")
+    sid = col("doc_id").cast("string")
+    groups = col("source").str.extract_groups(r"(?P<stem>[a-z]+)(?P<num>\d+)")
+    return d.with_columns(
+        sid.str.zfill(6).alias("zid"),
+        col("source").str.pad_start(8, "_").alias("ps"),
+        col("source").str.pad_end(8, ".").alias("pe"),
+        groups.alias("g"),
+        col("lang").str.splitn("h", 2).alias("sp"),
+    ).select(
+        col("doc_id"), col("zid"), col("ps"), col("pe"),
+        pls.Expr(F.col("g.stem")).alias("stem"),
+        pls.Expr(F.col("g.num")).alias("num"),
+        pls.Expr(F.col("sp.field_0")).alias("sp0"),
+        pls.Expr(F.col("sp.field_1")).alias("sp1"),
+    ).spark
+
+
+_q95_sql = """
+SELECT doc_id,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS zid,
+       CASE WHEN length(source) >= 8 THEN source ELSE lpad(source, 8, '_') END AS ps,
+       CASE WHEN length(source) >= 8 THEN source ELSE rpad(source, 8, '.') END AS pe,
+       CASE WHEN regexp_matches(source, '([a-z]+)(\\d+)')
+            THEN regexp_extract(source, '([a-z]+)(\\d+)', 1) ELSE NULL END AS stem,
+       CASE WHEN regexp_matches(source, '([a-z]+)(\\d+)')
+            THEN regexp_extract(source, '([a-z]+)(\\d+)', 2) ELSE NULL END AS num,
+       string_split(lang, 'h')[1] AS sp0,
+       CASE WHEN len(string_split(lang, 'h')) >= 2
+            THEN array_to_string(string_split(lang, 'h')[2:], 'h') ELSE NULL END AS sp1
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2817,6 +2880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_dup_spans": _q91,
         "q92_span_removal": _q92,
         "q93_blocklist": _q93,
+        "q94_dt_extras": _q94,
+        "q95_str_extras": _q95,
     }
 
 
@@ -2915,4 +2980,6 @@ def oracle_sql() -> dict[str, str]:
         "q91_dup_spans": _q91_sql,
         "q92_span_removal": _q92_sql,
         "q93_blocklist": _q93_sql,
+        "q94_dt_extras": _q94_sql,
+        "q95_str_extras": _q95_sql,
     }

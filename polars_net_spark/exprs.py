@@ -1057,6 +1057,69 @@ class ExprStrNamespace:
     def concat(self, other: Any, sep: str = "") -> Expr:
         return _wrap(F.concat_ws(sep, self._c, _c(other)))
 
+    def pad_start(self, length: int, fill_char: str = " ") -> Expr:
+        """polars str.pad_start: pad to length (longer strings unchanged)."""
+        return _wrap(
+            F.when(F.length(self._c) >= length, self._c).otherwise(
+                F.lpad(self._c, length, fill_char)
+            )
+        )
+
+    def pad_end(self, length: int, fill_char: str = " ") -> Expr:
+        return _wrap(
+            F.when(F.length(self._c) >= length, self._c).otherwise(
+                F.rpad(self._c, length, fill_char)
+            )
+        )
+
+    def zfill(self, length: int) -> Expr:
+        """polars str.zfill: zero-pad to length, keeping a leading +/- sign in
+        front of the zeros."""
+        c = self._c
+        sign = F.substring(c, 1, 1)
+        signed = sign.isin("+", "-")
+        rest = F.substring(c, 2, 2_147_483_647)
+        padded_rest = F.concat(sign, F.lpad(rest, length - 1, "0"))
+        return _wrap(
+            F.when(F.length(c) >= length, c)
+            .when(signed, padded_rest)
+            .otherwise(F.lpad(c, length, "0"))
+        )
+
+    def extract_groups(self, pattern: str) -> Expr:
+        """All capture groups of ``pattern`` as a struct (polars
+        str.extract_groups): named groups become fields by name, unnamed ones
+        "1", "2", ...; a non-matching row yields nulls."""
+        import re as _re
+
+        compiled = _re.compile(pattern)
+        if compiled.groups == 0:
+            raise ValueError("pattern has no capture groups")
+        names = {v: k for k, v in compiled.groupindex.items()}
+        # Python names groups (?P<x>...); Java/Spark regex wants (?<x>...)
+        jpattern = pattern.replace("(?P<", "(?<").replace("(?P=", r"\k<").replace(
+            "(?P>", "(?"
+        )
+        fields = [
+            F.when(self._c.rlike(jpattern), F.regexp_extract(self._c, jpattern, i)).alias(
+                names.get(i, str(i))
+            )
+            for i in range(1, compiled.groups + 1)
+        ]
+        return _wrap(F.struct(*fields))
+
+    def splitn(self, by: str, n: int) -> Expr:
+        """Split into at most ``n`` pieces as a struct field_0..field_{n-1}
+        (polars str.splitn); missing pieces are null."""
+        import re as _re
+
+        parts = F.split(self._c, _re.escape(by), n)
+        return _wrap(
+            F.struct(
+                *[F.get(parts, i).alias(f"field_{i}") for i in range(n)]
+            )
+        )
+
 
 class ExprDtNamespace:
     """Temporal ops (expr.rs:247-700).
@@ -1083,6 +1146,26 @@ class ExprDtNamespace:
 
     def ordinal_day(self) -> Expr:
         return _wrap(F.dayofyear(self._c))
+
+    def quarter(self) -> Expr:
+        return _wrap(F.quarter(self._c))
+
+    def week(self) -> Expr:
+        """ISO 8601 week number (polars dt.week; Spark weekofyear is ISO)."""
+        return _wrap(F.weekofyear(self._c))
+
+    def iso_year(self) -> Expr:
+        """ISO week-numbering year: the year of this ISO week's Thursday
+        (differs from calendar year around Jan 1 / Dec 31)."""
+        thursday = F.date_add(self._c.cast("date"), 4 - (F.weekday(self._c) + 1))
+        return _wrap(F.year(thursday))
+
+    def is_leap_year(self) -> Expr:
+        y = F.year(self._c)
+        return _wrap(((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0))
+
+    def days_in_month(self) -> Expr:
+        return _wrap(F.dayofmonth(F.last_day(self._c)))
 
     def weekday(self) -> Expr:
         # polars: Monday=1..Sunday=7 ; Spark weekday(): Monday=0

@@ -90,3 +90,56 @@ def test_chained_strip_to_date(spark):
     df = frame(spark, "  2025-12-31  ")
     v = df.select(col("raw").str.strip_chars().str.to_date("%Y-%m-%d").alias("d")).rows()[0][0]
     assert v == datetime.date(2025, 12, 31)
+
+
+def test_pad_zfill(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    df = pl.from_records([("7",), ("-7",), ("+123456",), ("abc",)], ["s"])
+    out = df.select(
+        col("s").str.zfill(5).alias("z"),
+        col("s").str.pad_start(5, "_").alias("ps"),
+        col("s").str.pad_end(5, "_").alias("pe"),
+    )
+    rows = out.rows()
+    assert [r[0] for r in rows] == ["00007", "-0007", "+123456", "00abc"]
+    assert [r[1] for r in rows] == ["____7", "___-7", "+123456", "__abc"]
+    assert [r[2] for r in rows] == ["7____", "-7___", "+123456", "abc__"]
+
+
+def test_extract_groups_and_splitn(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    df = pl.from_records([("john:42",), ("nope",)], ["s"])
+    out = df.select(
+        col("s").str.extract_groups(r"(?P<name>\w+):(?P<age>\d+)").alias("g"),
+        col("s").str.splitn(":", 3).alias("p"),
+    )
+    rows = [r.asDict(recursive=True) for r in out.spark.collect()]
+    assert rows[0]["g"] == {"name": "john", "age": "42"}
+    assert rows[1]["g"] == {"name": None, "age": None}
+    assert rows[0]["p"] == {"field_0": "john", "field_1": "42", "field_2": None}
+
+
+def test_dt_extras(spark):
+    import datetime as dt
+
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    # 2021-01-01 is ISO week 53 of ISO year 2020; 2024 is a leap year
+    df = pl.from_records(
+        [(dt.datetime(2021, 1, 1),), (dt.datetime(2024, 2, 10),)], ["ts"]
+    )
+    out = df.select(
+        col("ts").dt.quarter().alias("q"),
+        col("ts").dt.week().alias("w"),
+        col("ts").dt.iso_year().alias("iy"),
+        col("ts").dt.is_leap_year().alias("leap"),
+        col("ts").dt.days_in_month().alias("dim"),
+    )
+    rows = out.rows()
+    assert rows[0] == (1, 53, 2020, False, 31)
+    assert rows[1] == (1, 6, 2024, True, 29)
