@@ -61,6 +61,25 @@ def main() -> None:
     decontaminated = capped.join(dirty, on="doc_id", how="anti")
     print("after cap + decontamination:", decontaminated.collect().height, "docs")
 
+    # 4b. blocklist filter: C4-style word-boundary phrase hits, map-only
+    from polars_net_spark.llm import blocklist_metrics_frame
+
+    flagged = blocklist_metrics_frame(decontaminated, ["forbidden phrase", "do not train"])
+    bad = flagged.filter(col("blocked")).select(col("doc_id"))
+    decontaminated = decontaminated.join(bad, on="doc_id", how="anti")
+
+    # 4c. substring dedup: cut corpus-wide duplicated word runs (boilerplate)
+    #     out of the surviving docs before document-level dedup
+    from polars_net_spark.llm import remove_duplicated_spans
+
+    despanned = remove_duplicated_spans(decontaminated, k=8, min_count=3)
+    decontaminated = (
+        despanned.drop("text")
+        .rename({"cleaned_text": "text"})
+        .drop("n_removed_words")
+    )
+    print("after blocklist + span removal:", decontaminated.collect().height, "docs")
+
     # 5. near-dup removal: minhash candidates -> exact verify -> components ->
     #    keep the lowest-id doc per cluster
     canonical = dedup_fuzzy(decontaminated, method="minhash", threshold=0.5, n=3,
