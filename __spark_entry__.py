@@ -2590,7 +2590,10 @@ def _q90(spark, sf_dir):
     """group_by().head/tail: rank window pruned map-side by WindowGroupLimit
     (hot groups shed rows before the exchange — same plan family as q68/q73)."""
     li = _t(spark, sf_dir, "lineitem")
-    order = [col("l_orderkey"), col("l_linenumber")]
+    # the synthetic (l_orderkey, l_linenumber) is NOT unique — include every
+    # output column in the order so ties can only be full-row duplicates
+    # (indistinguishable in the sorted compare)
+    order = [col("l_orderkey"), col("l_linenumber"), col("l_quantity")]
     first3 = li.group_by("l_returnflag").head(3, order_by=order)
     last2 = li.group_by("l_returnflag").tail(2, order_by=order)
     out = (
@@ -2604,9 +2607,9 @@ _q90_sql = """
 WITH r AS (
   SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
          row_number() OVER (PARTITION BY l_returnflag
-                            ORDER BY l_orderkey, l_linenumber) AS rn_a,
+                            ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn_a,
          row_number() OVER (PARTITION BY l_returnflag
-                            ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn_d
+                            ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC) AS rn_d
   FROM lineitem)
 SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM r WHERE rn_a <= 3
 UNION ALL
