@@ -2785,6 +2785,46 @@ FROM documents
 """
 
 
+def _q96(spark, sf_dir):
+    """Horizontal fold family (polars pl.*_horizontal / fold / coalesce):
+    pure Column arithmetic, one codegen stage, no UDF (exprs.py
+    sum_horizontal..cum_reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = when(col("l_discount") != 0).then(col("l_discount")).otherwise(lit(None))
+    return li.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        pls.sum_horizontal(col("l_quantity"), d, col("l_tax")).round(6).alias("hsum"),
+        pls.mean_horizontal(col("l_quantity"), d).round(6).alias("hmean"),
+        pls.min_horizontal(d, col("l_tax")).round(6).alias("hmin"),
+        pls.max_horizontal(col("l_quantity"), col("l_tax")).round(6).alias("hmax"),
+        pls.any_horizontal(d > 0.05, col("l_tax") > 0.05).alias("hany"),
+        pls.all_horizontal(d > 0.05, col("l_tax") > 0.05).alias("hall"),
+        pls.coalesce(d, col("l_tax")).round(6).alias("hcoal"),
+        pls.fold(
+            lit(0.0), lambda acc, x: acc + x.fill_null(0.0), [col("l_quantity"), d, col("l_tax")]
+        ).round(6).alias("hfold"),
+    ).spark
+
+
+_q96_sql = """
+WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity, l_tax,
+                  nullif(l_discount, 0) AS d
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity + coalesce(d, 0) + l_tax, 6) AS hsum,
+       round((l_quantity + coalesce(d, 0))
+             / (1 + CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END), 6) AS hmean,
+       round(least(d, l_tax), 6) AS hmin,
+       round(greatest(l_quantity, l_tax), 6) AS hmax,
+       (coalesce(d > 0.05, FALSE) OR coalesce(l_tax > 0.05, FALSE)) AS hany,
+       (coalesce(d > 0.05, TRUE) AND coalesce(l_tax > 0.05, TRUE)) AS hall,
+       round(coalesce(d, l_tax), 6) AS hcoal,
+       round(l_quantity + coalesce(d, 0) + coalesce(l_tax, 0), 6) AS hfold
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2885,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_blocklist": _q93,
         "q94_dt_extras": _q94,
         "q95_str_extras": _q95,
+        "q96_horizontal": _q96,
     }
 
 
@@ -2985,4 +3026,5 @@ def oracle_sql() -> dict[str, str]:
         "q93_blocklist": _q93_sql,
         "q94_dt_extras": _q94_sql,
         "q95_str_extras": _q95_sql,
+        "q96_horizontal": _q96_sql,
     }

@@ -8,14 +8,25 @@ optimizer and scheduler.  Public API mirrors the reference's `pl.*` module
 
 from .exprs import (
     Expr,
+    all_horizontal,
+    any_horizontal,
     as_struct,
+    coalesce,
     col,
     cols,
     concat_str,
     corr,
     cov,
+    cum_fold,
+    cum_reduce,
+    fold,
     lit,
     lit_datetime,
+    max_horizontal,
+    mean_horizontal,
+    min_horizontal,
+    reduce,
+    sum_horizontal,
     when,
 )
 from .frame import DataFrame, GroupBy, LazyFrame, concat
@@ -57,6 +68,17 @@ __all__ = [
     "corr",
     "cov",
     "as_struct",
+    "coalesce",
+    "sum_horizontal",
+    "mean_horizontal",
+    "min_horizontal",
+    "max_horizontal",
+    "any_horizontal",
+    "all_horizontal",
+    "fold",
+    "reduce",
+    "cum_fold",
+    "cum_reduce",
     "DataFrame",
     "LazyFrame",
     "GroupBy",

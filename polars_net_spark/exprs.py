@@ -1468,6 +1468,151 @@ def concat_str(exprs: Sequence[Expr], separator: str = "") -> Expr:
     return Expr(F.concat_ws(separator, *[_c(e) for e in exprs]))
 
 
+def _hcols(exprs) -> list[Column]:
+    out = []
+    for e in exprs:
+        out.append(_c(col(e) if isinstance(e, str) else e))
+    if not out:
+        raise ValueError("horizontal function needs at least one expression")
+    return out
+
+
+def coalesce(*exprs: "Expr | str") -> Expr:
+    """polars pl.coalesce: first non-null across columns, row-wise."""
+    return _wrap(F.coalesce(*_hcols(exprs)))
+
+
+def sum_horizontal(*exprs: "Expr | str", ignore_nulls: bool = True) -> Expr:
+    """polars pl.sum_horizontal. ignore_nulls=True (default) treats null as 0
+    (an all-null row sums to 0, like summing an empty set); ignore_nulls=False
+    propagates null. Pure Column arithmetic — stays in whole-stage codegen."""
+    cs = _hcols(exprs)
+    if ignore_nulls:
+        cs = [F.coalesce(c, F.lit(0)) for c in cs]
+    acc = cs[0]
+    for c in cs[1:]:
+        acc = acc + c
+    return _wrap(acc)
+
+
+def mean_horizontal(*exprs: "Expr | str", ignore_nulls: bool = True) -> Expr:
+    """polars pl.mean_horizontal: sum of non-null / count of non-null
+    (all-null row -> null). ignore_nulls=False: null if any input is null."""
+    cs = _hcols(exprs)
+    if not ignore_nulls:
+        total = cs[0].cast("double")
+        for c in cs[1:]:
+            total = total + c
+        return _wrap(total / F.lit(len(cs)))
+    total = F.lit(0.0)
+    cnt = F.lit(0)
+    for c in cs:
+        total = total + F.coalesce(c.cast("double"), F.lit(0.0))
+        cnt = cnt + F.when(c.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return _wrap(F.when(cnt > 0, total / cnt))
+
+
+def min_horizontal(*exprs: "Expr | str") -> Expr:
+    """polars pl.min_horizontal (nulls ignored; all-null -> null) = F.least."""
+    cs = _hcols(exprs)
+    return _wrap(cs[0] if len(cs) == 1 else F.least(*cs))
+
+
+def max_horizontal(*exprs: "Expr | str") -> Expr:
+    """polars pl.max_horizontal (nulls ignored; all-null -> null) = F.greatest."""
+    cs = _hcols(exprs)
+    return _wrap(cs[0] if len(cs) == 1 else F.greatest(*cs))
+
+
+def any_horizontal(*exprs: "Expr | str", ignore_nulls: bool = True) -> Expr:
+    """polars pl.any_horizontal. ignore_nulls=True: null counts as false
+    (all-null -> false). ignore_nulls=False: Kleene OR (Spark's boolean OR is
+    already Kleene: true|null=true, false|null=null)."""
+    cs = _hcols(exprs)
+    if ignore_nulls:
+        cs = [F.coalesce(c, F.lit(False)) for c in cs]
+    acc = cs[0]
+    for c in cs[1:]:
+        acc = acc | c
+    return _wrap(acc)
+
+
+def all_horizontal(*exprs: "Expr | str", ignore_nulls: bool = True) -> Expr:
+    """polars pl.all_horizontal. ignore_nulls=True: null counts as true
+    (all-null -> true). ignore_nulls=False: Kleene AND."""
+    cs = _hcols(exprs)
+    if ignore_nulls:
+        cs = [F.coalesce(c, F.lit(True)) for c in cs]
+    acc = cs[0]
+    for c in cs[1:]:
+        acc = acc & c
+    return _wrap(acc)
+
+
+def fold(acc: "Expr | Any", function, exprs: Sequence["Expr | str"]) -> Expr:
+    """polars pl.fold: left-fold `function(acc, x)` across columns, row-wise.
+    The fold unrolls at plan-build time into nested Column expressions — the
+    whole thing stays JVM-side (no UDF), one codegen stage."""
+    a = acc if isinstance(acc, Expr) else lit(acc)
+    for e in exprs:
+        x = col(e) if isinstance(e, str) else e
+        a = function(a, x)
+        if not isinstance(a, Expr):
+            a = _wrap(_c(a))
+    return a
+
+
+def reduce(function, exprs: Sequence["Expr | str"]) -> Expr:
+    """polars pl.reduce: fold seeded with the first column."""
+    exprs = list(exprs)
+    if not exprs:
+        raise ValueError("reduce needs at least one expression")
+    first = exprs[0]
+    return fold(col(first) if isinstance(first, str) else first, function, exprs[1:])
+
+
+def cum_fold(acc: "Expr | Any", function, exprs: Sequence["Expr | str"]) -> Expr:
+    """polars pl.cum_fold: struct of every intermediate accumulator, one field
+    per input expression (field names follow the inputs, polars-style)."""
+    a = acc if isinstance(acc, Expr) else lit(acc)
+    fields = []
+    for e in exprs:
+        x = col(e) if isinstance(e, str) else e
+        a = function(a, x)
+        if not isinstance(a, Expr):
+            a = _wrap(_c(a))
+        name = e if isinstance(e, str) else _col_name_of(x)
+        fields.append(_c(a).alias(name))
+    if not fields:
+        raise ValueError("cum_fold needs at least one expression")
+    return _wrap(F.struct(*fields))
+
+
+def cum_reduce(function, exprs: Sequence["Expr | str"]) -> Expr:
+    """polars pl.cum_reduce: cum_fold seeded with the first column."""
+    exprs = list(exprs)
+    if not exprs:
+        raise ValueError("cum_reduce needs at least one expression")
+    first = exprs[0] if isinstance(exprs[0], Expr) else col(exprs[0])
+    fields = [(_c(first)).alias(exprs[0] if isinstance(exprs[0], str) else _col_name_of(first))]
+    a = first
+    for e in exprs[1:]:
+        x = col(e) if isinstance(e, str) else e
+        a = function(a, x)
+        if not isinstance(a, Expr):
+            a = _wrap(_c(a))
+        fields.append(_c(a).alias(e if isinstance(e, str) else _col_name_of(x)))
+    return _wrap(F.struct(*fields))
+
+
+def _col_name_of(e: "Expr") -> str:
+    try:
+        jc = _c(e)._jc  # noqa: SLF001 — display name only
+        return jc.toString().split(" AS ")[-1].strip("`")
+    except Exception:
+        return "field"
+
+
 def as_struct(exprs: Sequence[Expr]) -> Expr:
     """expr.rs:920-930."""
     return Expr(F.struct(*[_c(e) for e in exprs]))
