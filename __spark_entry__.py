@@ -2825,6 +2825,31 @@ FROM t
 """
 
 
+def _q97(spark, sf_dir):
+    """SemDeDup: cluster-scoped embedding dedup (llm/similarity.py semdedup).
+    Cluster = the precomputed label column here (the oracle-replicable path);
+    production uses the hyperplane or kmeans assignment.  One shuffle keyed on
+    cluster; per-task pair math bounded by cluster size."""
+    from polars_net_spark.llm import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, threshold=0.45, cluster_col="label").spark
+
+
+_q97_sql = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id,
+             max(round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                       6)) AS mc
+      FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+      GROUP BY 1)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS cluster, p.mc AS max_cos_prev,
+       coalesce(p.mc >= 0.45, FALSE) AS is_dup
+FROM e LEFT JOIN p ON p.id = e.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2926,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_dt_extras": _q94,
         "q95_str_extras": _q95,
         "q96_horizontal": _q96,
+        "q97_semdedup": _q97,
     }
 
 
@@ -3027,4 +3053,5 @@ def oracle_sql() -> dict[str, str]:
         "q94_dt_extras": _q94_sql,
         "q95_str_extras": _q95_sql,
         "q96_horizontal": _q96_sql,
+        "q97_semdedup": _q97_sql,
     }

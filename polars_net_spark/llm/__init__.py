@@ -27,7 +27,7 @@ from .dedup import (
     simhash_signatures,
     embedding_near_dup_pairs,
 )
-from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo
+from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo, semdedup
 from .quality import (
     blocklist_metrics_frame,
     gopher_quality_frame,
@@ -79,6 +79,7 @@ __all__ = [
     "simhash_signatures",
     "embedding_near_dup_pairs",
     "cosine_topk",
+    "semdedup",
     "lsh_bucket_topk",
     "ivf_topk",
     "kmeans_centroids",

@@ -30,6 +30,7 @@ __all__ = [
     "sq8_quantize",
     "sq8_topk",
     "sq8_recall_frame",
+    "semdedup",
 ]
 
 
@@ -679,5 +680,96 @@ def sq8_recall_frame(
         .groupBy("query_id")
         .agg(F.round(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("double") / k, round_to).alias("recall"))
         .withColumn("ok", (F.col("recall") >= min_recall).cast("long"))
+    )
+    return LazyFrame(out)
+
+
+def semdedup(
+    frame: "LazyFrame | SparkDF",
+    threshold: float = 0.95,
+    cluster_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    round_to: int = 6,
+    dim: int | None = None,
+) -> LazyFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to embedding
+    clusters, so the quadratic pair check runs within clusters only.
+
+    A row is a duplicate when some SAME-CLUSTER row with a smaller id has
+    cosine similarity >= ``threshold`` to it ("dominated by an earlier
+    representative").  This is the deterministic parallel variant of the
+    paper's per-cluster pruning: order-free, one join, no sequential greedy
+    state — and it is exactly replicable in SQL, which is what the q97
+    oracle checks.
+
+    ``cluster_col=None`` assigns clusters with the deterministic hyperplane
+    quantizer (2^num_planes sign buckets, seeded LCG planes — no iterative
+    fit, identical across executors/runs).  Pass a real k-means assignment
+    (``kmeans_centroids_cached`` + argmin) or any precomputed partition
+    column for paper-faithful clustering.
+
+    Scale design (100 TB): one shuffle keyed on the cluster id; per-task work
+    is O(cluster_size^2) pair math — bounded by construction because the
+    clustering step exists precisely to keep clusters small (the paper
+    caps cluster size; raise num_planes / k to shrink them).  Cosines are
+    F.zip_with/F.aggregate Column math (JVM codegen); norms are computed
+    once per row, not once per pair.  The only driver-side action is the
+    bounded 1-row vector-length probe on the auto-cluster path — pass
+    ``dim`` (or ``cluster_col``) to skip it.
+
+    Returns (id, cluster, max_cos_prev, is_dup) for every input row.
+    """
+    sdf = _sdf(frame)
+    if cluster_col is None:
+        if dim is None:
+            row = sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+            if not row:
+                return LazyFrame(
+                    sdf.select(
+                        F.col(id_col),
+                        F.lit(None).cast("long").alias("cluster"),
+                        F.lit(None).cast("double").alias("max_cos_prev"),
+                        F.lit(False).alias("is_dup"),
+                    )
+                )
+            dim = int(row[0]["d"])
+        planes = [_hyperplane(dim, seed * 1000 + i) for i in range(num_planes)]
+        sdf = sdf.withColumn("__sem_cluster__", _bucket_expr(F.col(vec_col), planes).cast("long"))
+        cluster_col_eff = "__sem_cluster__"
+    else:
+        cluster_col_eff = cluster_col
+
+    a = sdf.select(
+        F.col(id_col).alias("a_id"),
+        F.col(cluster_col_eff).cast("long").alias("cluster"),
+        F.col(vec_col).alias("av"),
+        _norm_expr(F.col(vec_col)).alias("an"),
+    )
+    b = sdf.select(
+        F.col(id_col).alias("b_id"),
+        F.col(cluster_col_eff).cast("long").alias("cluster"),
+        F.col(vec_col).alias("bv"),
+        _norm_expr(F.col(vec_col)).alias("bn"),
+    )
+    pairs = a.join(b, ["cluster"]).filter(F.col("b_id") < F.col("a_id"))
+    scored = pairs.withColumn(
+        "cos",
+        F.round(_dot_expr(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), round_to),
+    )
+    prev = scored.groupBy("a_id").agg(F.max("cos").alias("max_cos_prev"))
+    base = sdf.select(
+        F.col(id_col), F.col(cluster_col_eff).cast("long").alias("cluster")
+    )
+    out = (
+        base.join(prev, base[id_col] == prev["a_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("max_cos_prev"),
+            F.coalesce(F.col("max_cos_prev") >= threshold, F.lit(False)).alias("is_dup"),
+        )
     )
     return LazyFrame(out)
