@@ -2850,6 +2850,56 @@ FROM e LEFT JOIN p ON p.id = e.vec_id
 """
 
 
+def _q98(spark, sf_dir):
+    """upsample: per-user 6h time grid from first to last event, exact-match
+    left join back (polars DataFrame.upsample; frame.py upsample). Grid rows
+    are generated map-side per group via F.sequence+explode — no driver work."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(col("user_id"), col("ts"), col("value"))
+        .upsample("ts", "6h", group_by=["user_id"])
+        .with_columns(col("value").round(6).alias("value"))
+        .spark
+    )
+
+
+_q98_sql = """
+WITH b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY 1),
+g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS ts FROM b)
+SELECT g.user_id, g.ts, round(e.value, 6) AS value
+FROM g LEFT JOIN events e ON e.user_id = g.user_id AND e.ts = g.ts
+"""
+
+
+def _q99(spark, sf_dir):
+    """Temporal rolling group-by (polars LazyFrame.rolling): one output row
+    per event with [t-6h, t] per-user aggregates, compiled to range-frame
+    windows over unix-micros (frame.py RollingGroupBy) — no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.rolling("ts", "6h", closed="both", group_by=["user_id"]).agg(
+        col("value").sum().alias("s"),
+        col("value").count().alias("n"),
+        col("value").max().alias("mx"),
+    )
+    return out.select(
+        col("user_id"), col("ts"),
+        col("s").round(6).alias("s"),
+        col("n").cast("long").alias("n"),
+        col("mx").round(6).alias("mx"),
+    ).spark
+
+
+_q99_sql = """
+SELECT user_id, ts,
+       round(sum(value) OVER w, 6) AS s,
+       CAST(count(value) OVER w AS BIGINT) AS n,
+       round(max(value) OVER w, 6) AS mx
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2952,6 +3002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_str_extras": _q95,
         "q96_horizontal": _q96,
         "q97_semdedup": _q97,
+        "q98_upsample": _q98,
+        "q99_rolling_frame": _q99,
     }
 
 
@@ -3054,4 +3106,6 @@ def oracle_sql() -> dict[str, str]:
         "q95_str_extras": _q95_sql,
         "q96_horizontal": _q96_sql,
         "q97_semdedup": _q97_sql,
+        "q98_upsample": _q98_sql,
+        "q99_rolling_frame": _q99_sql,
     }

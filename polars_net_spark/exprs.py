@@ -43,6 +43,16 @@ ROW_ORDER_COL = "__row_order__"
 
 _NO_DEFAULT = object()  # sentinel: replace_strict without a default aborts
 
+def _pb(partition_by) -> list:
+    """Normalize partition_by: a bare string/Expr means ONE key (iterating a
+    str would silently split it into characters)."""
+    if partition_by is None:
+        return []
+    if isinstance(partition_by, (str, Expr, Column)):
+        return [partition_by]
+    return list(partition_by)
+
+
 # ---------------------------------------------------------------------------
 # dtype name → Spark type. Mirrors the reference's canonical enum
 # (native_shim/src/datatypes.rs:51-79) with the documented widenings for
@@ -561,13 +571,13 @@ class Expr:
 
     # -- window ops (expr.rs:995-1101, SURVEY §2.6) ------------------------
     def over(self, *partition_by: "Expr | str") -> "Expr":
-        keys = [_c(col(p) if isinstance(p, str) else p) for p in partition_by]
+        keys = [_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]
         return _wrap(self._col.over(Window.partitionBy(*keys)))
 
     def shift(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         w = Window.orderBy(*_order_cols(order_by))
         if partition_by:
-            w = Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by]).orderBy(
+            w = Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]).orderBy(
                 *_order_cols(order_by)
             )
         if n >= 0:
@@ -581,7 +591,7 @@ class Expr:
         self, limit: int | None = None, order_by: Any = None, partition_by: Sequence[Any] = ()
     ) -> "Expr":
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))
@@ -592,7 +602,7 @@ class Expr:
         self, limit: int | None = None, order_by: Any = None, partition_by: Sequence[Any] = ()
     ) -> "Expr":
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))
@@ -602,7 +612,7 @@ class Expr:
     def cum_sum(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         """Running sum over the frame/partition order."""
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
@@ -610,7 +620,7 @@ class Expr:
 
     def cum_count(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
@@ -618,7 +628,7 @@ class Expr:
 
     def cum_max(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
@@ -626,7 +636,7 @@ class Expr:
 
     def cum_min(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
@@ -639,7 +649,7 @@ class Expr:
                 raise ValueError("fixed rolling windows use 'Ni' notation; for temporal use rolling_*_by")
             window_size = int(window_size[:-1])
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))
@@ -668,7 +678,7 @@ class Expr:
         # cast handles TIMESTAMP_NTZ (parquet ms/µs without tz reads as NTZ)
         order = (F.unix_micros(ts.cast("timestamp"))).cast("long")
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(order)
@@ -700,7 +710,7 @@ class Expr:
     # rank-style helpers (free in Spark; not in reference but useful)
     def rank(self, method: str = "dense", order_by: Any = None, partition_by=()):
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(self._col if order_by is None else _order_cols(order_by)[0])
@@ -729,7 +739,7 @@ class Expr:
         if not partition_by:
             _warn_single_partition("rolling_quantile")
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))
@@ -769,7 +779,7 @@ class Expr:
         if not partition_by:
             _warn_single_partition("interpolate")
         part = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         )
@@ -819,7 +829,7 @@ class Expr:
         two stacked windows on the same (partition, order), one shuffle.
         Null == null counts as 'same run', polars-style."""
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))
@@ -833,7 +843,7 @@ class Expr:
 
     def _peak(self, cmp, order_by, partition_by) -> "Expr":
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))
@@ -859,7 +869,7 @@ class Expr:
         a null row inherits the previous value's change basis: on
         [1, null, null, 4] polars yields [null, 0.0, 0.0, 3.0]."""
         w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in partition_by])
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
             if partition_by
             else Window.partitionBy()
         ).orderBy(*_order_cols(order_by))

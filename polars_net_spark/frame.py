@@ -325,6 +325,65 @@ class LazyFrame:
             start_by=start_by,
         )
 
+    def rolling(
+        self,
+        index_column: str,
+        period: str,
+        offset: str | None = None,
+        closed: str = "right",
+        group_by: Sequence[str] = (),
+    ) -> "RollingGroupBy":
+        """polars LazyFrame.rolling (temporal rolling group-by): one output
+        row PER INPUT ROW, aggregating the window
+        (t+offset, t+offset+period] (closed='right' default; offset defaults
+        to -period, i.e. a trailing window ending at the row itself).
+
+        Compiles to range-frame window functions over unix-microseconds
+        (Window.rangeBetween) — no self-join, no row explosion; partitioned
+        on ``group_by`` so it scales with key cardinality."""
+        return RollingGroupBy(self, index_column, period, offset, closed, list(group_by))
+
+    def upsample(
+        self,
+        time_column: str,
+        every: str,
+        group_by: Sequence[str] = (),
+    ) -> "LazyFrame":
+        """polars DataFrame.upsample (parity extra; the reference has no
+        resampler): insert a row at every ``every`` step from each group's
+        first to last ``time_column`` value, left-joining the original rows on
+        exact timestamp match — non-time columns are null on inserted grid
+        rows (chain ``forward_fill`` to interpolate).  Like polars, rows not
+        exactly on the grid anchored at the group's first timestamp only
+        survive if their timestamp equals a grid point.
+
+        Scale design: one groupBy(keys) min/max agg, then the grid is
+        generated map-side per group with F.sequence + explode (no driver
+        work, grid size = span/every per group), and rejoined equi-keyed on
+        (keys, time) — a plain hash join Catalyst can broadcast when the grid
+        side is small.  No windows, no cartesian.
+        """
+        from ._fmt import parse_polars_duration_us
+
+        us = parse_polars_duration_us(every)
+        if us <= 0:
+            raise ValueError(f"upsample every={every!r} must be positive")
+        keys = list(group_by)
+        sdf = self._drop_order()._sdf
+        tc = F.col(time_column).cast("timestamp")
+        bounds = sdf.groupBy(*[F.col(k) for k in keys]).agg(
+            F.min(tc).alias("__mn__"), F.max(tc).alias("__mx__")
+        )
+        step = F.expr(f"make_dt_interval(0, 0, 0, {us / 1_000_000!r})")
+        grid = bounds.select(
+            *[F.col(k) for k in keys],
+            F.explode(F.sequence(F.col("__mn__"), F.col("__mx__"), step)).alias(time_column),
+        )
+        right = sdf.withColumn(time_column, tc)
+        out = grid.join(right, on=keys + [time_column], how="left")
+        # keep original column order
+        return LazyFrame(out.select(*[F.col(c) for c in sdf.columns]))
+
     # -- joins (lazy.rs:463-569, utils.rs:99-109) ------------------------------
     _HOW_MAP = {
         "inner": "inner",
@@ -793,6 +852,74 @@ class GroupBy:
         return self.count()
 
 
+class RollingGroupBy:
+    """Builder returned by :meth:`LazyFrame.rolling` — call ``.agg(exprs)``.
+
+    Each aggregate expression is rewritten onto a
+    ``Window.partitionBy(group_by).orderBy(µs(index)).rangeBetween(lo, hi)``
+    frame, with (lo, hi) derived from period/offset/closed in integer
+    microseconds (range frames are inclusive on both ends, so half-open
+    polars bounds shift by 1 µs).  The index column is defensively cast to
+    TIMESTAMP before unix_micros (NTZ parquet input is the normal case)."""
+
+    def __init__(self, lf: LazyFrame, index_column: str, period: str,
+                 offset: str | None, closed: str, group_by: list):
+        from ._fmt import parse_polars_duration_us
+
+        self._lf = lf
+        self._index = index_column
+        self._keys = group_by
+        period_us = parse_polars_duration_us(period)
+        if period_us <= 0:
+            raise ValueError(f"rolling period={period!r} must be positive")
+        offset_us = parse_polars_duration_us(offset) if offset is not None else -period_us
+        start, end = offset_us, offset_us + period_us
+        if closed == "right":
+            self._bounds = (start + 1, end)
+        elif closed == "left":
+            self._bounds = (start, end - 1)
+        elif closed == "both":
+            self._bounds = (start, end)
+        elif closed == "none":
+            self._bounds = (start + 1, end - 1)
+        else:
+            raise ValueError(f"closed={closed!r} must be left/right/both/none")
+
+    @staticmethod
+    def _strip_alias(c: Column) -> tuple[Column, str | None]:
+        """Split an `agg.alias(name)` Column into (agg, name): `.over()` on
+        an Alias node mis-plans (Spark wraps the alias, not the aggregate),
+        so the window is applied to the bare aggregate and re-aliased."""
+        try:
+            node = c._jc.node()  # noqa: SLF001 — classic-mode ColumnNode
+            if node.getClass().getSimpleName() == "Alias":
+                spark = SparkSession.getActiveSession()
+                name = node.name().head()
+                inner = Column(spark._jvm.org.apache.spark.sql.Column(node.child()))
+                return inner, name
+        except Exception:
+            pass
+        return c, None
+
+    def agg(self, *aggs, **named_aggs) -> LazyFrame:
+        aggs = _flatten(aggs)
+        sdf = self._lf._drop_order()._sdf
+        order = F.unix_micros(F.col(self._index).cast("timestamp"))
+        w = (
+            Window.partitionBy(*[F.col(k) for k in self._keys])
+            .orderBy(order)
+            .rangeBetween(self._bounds[0], self._bounds[1])
+        )
+        cols = [F.col(k) for k in self._keys] + [F.col(self._index)]
+        for a in aggs:
+            c, name = self._strip_alias(_c(a))
+            cols.append(c.over(w).alias(name or _col_out_name(c)))
+        for n, a in named_aggs.items():
+            c, _ = self._strip_alias(_c(a))
+            cols.append(c.over(w).alias(n))
+        return LazyFrame(sdf.select(*cols))
+
+
 class DataFrame:
     """Eager frame = LazyFrame + immediate actions (eager.rs:48-51 pattern).
 
@@ -931,6 +1058,9 @@ class DataFrame:
 
     def value_counts(self, *columns: str, sort: bool = True, name: str = "count") -> "DataFrame":
         return self._wrap(self._lf.value_counts(*columns, sort=sort, name=name))
+
+    def upsample(self, time_column: str, every: str, group_by: Sequence[str] = ()) -> "DataFrame":
+        return self._wrap(self._lf.upsample(time_column, every, group_by))
 
     def with_ewm(self, column: str, kind, **kwargs) -> "DataFrame":
         return self._wrap(self._lf.with_ewm(column, kind, **kwargs))
