@@ -2900,6 +2900,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def _q100(spark, sf_dir):
+    """to_dummies one-hot encoding (polars to_dummies; frame.py): bounded
+    distinct-collect for the output schema (same driver action as pivot),
+    map-only CASE WHEN indicators, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(col("event_id"), col("event_type"))
+        .to_dummies("event_type")
+        .spark
+    )
+
+
+_q100_sql = """
+SELECT event_id,
+       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type_click,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type_error,
+       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type_purchase,
+       CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type_signup,
+       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3004,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_semdedup": _q97,
         "q98_upsample": _q98,
         "q99_rolling_frame": _q99,
+        "q100_to_dummies": _q100,
     }
 
 
@@ -3108,4 +3132,5 @@ def oracle_sql() -> dict[str, str]:
         "q97_semdedup": _q97_sql,
         "q98_upsample": _q98_sql,
         "q99_rolling_frame": _q99_sql,
+        "q100_to_dummies": _q100_sql,
     }

@@ -325,6 +325,46 @@ class LazyFrame:
             start_by=start_by,
         )
 
+    def to_dummies(
+        self,
+        *columns: str,
+        separator: str = "_",
+        drop_first: bool = False,
+    ) -> "LazyFrame":
+        """polars to_dummies (parity extra): one 0/1 indicator column per
+        distinct value of each given column (all columns when none given),
+        named ``{col}{separator}{value}`` in sorted value order (nulls last as
+        ``{col}{separator}null``, polars-style); the source columns are
+        replaced in place.
+
+        The distinct-value collect is the same bounded driver action pivot
+        performs (inherent to emitting a statically-typed wide schema — polars
+        does the identical scan); the indicator math itself is pure Column
+        CASE WHEN, map-only, no shuffle."""
+        sdf = self._drop_order()._sdf
+        cols_ = list(columns) or list(sdf.columns)
+        out_cols = []
+        for c in sdf.columns:
+            if c not in cols_:
+                out_cols.append(F.col(c))
+                continue
+            vals = sorted(
+                r[0] for r in sdf.select(c).distinct().collect() if r[0] is not None
+            )
+            has_null = sdf.select(c).where(F.col(c).isNull()).limit(1).count() > 0
+            keep = vals[1:] if drop_first else vals
+            for v in keep:
+                out_cols.append(
+                    F.when(F.col(c) == F.lit(v), 1).otherwise(0).cast("int")
+                    .alias(f"{c}{separator}{v}")
+                )
+            if has_null and not drop_first:
+                out_cols.append(
+                    F.when(F.col(c).isNull(), 1).otherwise(0).cast("int")
+                    .alias(f"{c}{separator}null")
+                )
+        return LazyFrame(sdf.select(*out_cols))
+
     def rolling(
         self,
         index_column: str,
@@ -1061,6 +1101,9 @@ class DataFrame:
 
     def upsample(self, time_column: str, every: str, group_by: Sequence[str] = ()) -> "DataFrame":
         return self._wrap(self._lf.upsample(time_column, every, group_by))
+
+    def to_dummies(self, *columns: str, separator: str = "_", drop_first: bool = False) -> "DataFrame":
+        return self._wrap(self._lf.to_dummies(*columns, separator=separator, drop_first=drop_first))
 
     def with_ewm(self, column: str, kind, **kwargs) -> "DataFrame":
         return self._wrap(self._lf.with_ewm(column, kind, **kwargs))

@@ -170,6 +170,81 @@ class Series:
             self._lf.select(col(self._name).is_finite().alias(self._name)), self._name
         )
 
+    # -- positional kernels (polars Series.arg_* / search_sorted) ------------
+    def _dense_indexed(self):
+        """(value, __i__) with a DENSE 0..n-1 position: row_number over the
+        sparse order id — a single-task window, fine for eager Series kernels
+        (same pattern as slice())."""
+        from pyspark.sql import Window
+
+        lf = self._lf.with_row_index("__mono__")
+        w = F.row_number().over(Window.orderBy("__mono__")) - 1
+        return lf._sdf.withColumn("__i__", w).select(self._name, "__i__")
+
+    def arg_max(self) -> int | None:
+        """Index of the maximum (first occurrence on ties, nulls ignored)."""
+        rows = (
+            self._dense_indexed()
+            .filter(F.col(self._name).isNotNull())
+            .orderBy(F.col(self._name).desc(), F.col("__i__").asc())
+            .select("__i__")
+            .take(1)
+        )
+        return int(rows[0][0]) if rows else None
+
+    def arg_min(self) -> int | None:
+        """Index of the minimum (first occurrence on ties, nulls ignored)."""
+        rows = (
+            self._dense_indexed()
+            .filter(F.col(self._name).isNotNull())
+            .orderBy(F.col(self._name).asc(), F.col("__i__").asc())
+            .select("__i__")
+            .take(1)
+        )
+        return int(rows[0][0]) if rows else None
+
+    def arg_sort(self, descending: bool = False, nulls_last: bool = False) -> "Series":
+        """Indices that would sort the series (polars arg_sort: stable, nulls
+        first unless nulls_last)."""
+        c = F.col(self._name)
+        if descending:
+            order = c.desc_nulls_last() if nulls_last else c.desc_nulls_first()
+        else:
+            order = c.asc_nulls_last() if nulls_last else c.asc_nulls_first()
+        out = (
+            self._dense_indexed()
+            .orderBy(order, F.col("__i__").asc())
+            .select(F.col("__i__").cast("long").alias(self._name))
+        )
+        return Series._from_lazy(LazyFrame(out), self._name)
+
+    def search_sorted(self, element: Any, side: str = "left") -> int:
+        """Insertion index that keeps a sorted series sorted: count of values
+        strictly below (side='left') or not above (side='right') the element."""
+        c = F.col(self._name)
+        if side == "left":
+            pred = c < F.lit(element)
+        elif side == "right":
+            pred = c <= F.lit(element)
+        else:
+            raise ValueError(f"side={side!r} must be 'left' or 'right'")
+        row = self._lf._sdf.select(
+            F.sum(F.when(pred, 1).otherwise(0)).alias("n")
+        ).collect()[0]
+        return int(row["n"] or 0)
+
+    def unique_counts(self) -> "Series":
+        """Counts of unique values in order of first appearance (polars
+        unique_counts)."""
+        out = (
+            self._dense_indexed()
+            .groupBy(self._name)
+            .agg(F.count(F.lit(1)).alias("__n__"), F.min("__i__").alias("__first__"))
+            .orderBy("__first__")
+            .select(F.col("__n__").cast("long").alias(self._name))
+        )
+        return Series._from_lazy(LazyFrame(out), self._name)
+
     def cast(self, dtype: str, strict: bool = False) -> "Series":
         return Series._from_lazy(
             self._lf.select(col(self._name).cast(dtype, strict).alias(self._name)), self._name
