@@ -2923,6 +2923,37 @@ FROM events
 """
 
 
+def _q101(spark, sf_dir):
+    """Time-decay EWM (polars ewm_mean_by; operators/ewm.py with_ewm_mean_by):
+    y_i = x_i + 0.5**(dt/half_life) * (y_prev - x_i), per-user applyInPandas
+    recurrence (one shuffle on user_id). Oracle replicates via the closed-form
+    weight expansion over a bounded per-user self-join."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.with_ewm_mean_by(
+        "value", by="ts", half_life="6h",
+        order_by=["ts", "event_id"], partition_by=["user_id"],
+    )
+    return out.select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("value_ewm_mean_by").round(6).alias("vewm"),
+    ).spark
+
+
+_q101_sql = """
+WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tu FROM events),
+o AS (SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS tp FROM e),
+c AS (SELECT *, CASE WHEN tp IS NULL THEN 1.0
+                     ELSE 1.0 - power(0.5, (tu - tp) / 21600000000.0) END AS cj
+      FROM o)
+SELECT a.user_id, a.event_id, a.ts,
+       round(sum(b.cj * power(0.5, (a.tu - b.tu) / 21600000000.0) * b.value), 6) AS vewm
+FROM c a JOIN c b
+  ON a.user_id = b.user_id
+ AND (b.tu < a.tu OR (b.tu = a.tu AND b.event_id <= a.event_id))
+GROUP BY a.user_id, a.event_id, a.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3028,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_upsample": _q98,
         "q99_rolling_frame": _q99,
         "q100_to_dummies": _q100,
+        "q101_ewm_mean_by": _q101,
     }
 
 
@@ -3133,4 +3165,5 @@ def oracle_sql() -> dict[str, str]:
         "q98_upsample": _q98_sql,
         "q99_rolling_frame": _q99_sql,
         "q100_to_dummies": _q100_sql,
+        "q101_ewm_mean_by": _q101_sql,
     }

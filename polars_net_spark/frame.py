@@ -590,6 +590,11 @@ class LazyFrame:
 
         return with_ewm(self, column, kind="var", **kwargs)
 
+    def with_ewm_mean_by(self, column: str, by: str, half_life: str, **kwargs) -> "LazyFrame":
+        from .operators.ewm import with_ewm_mean_by
+
+        return with_ewm_mean_by(self, column, by, half_life, **kwargs)
+
     def with_qcut(self, col_name: str, q, out_col: str | None = None) -> "LazyFrame":
         """Quantile binning (polars qcut with labels-as-indices): exact
         linear-interpolation quantile boundaries at i/q (or the given
@@ -1116,6 +1121,9 @@ class DataFrame:
 
     def with_ewm_var(self, column: str, **kwargs) -> "DataFrame":
         return self._wrap(self._lf.with_ewm_var(column, **kwargs))
+
+    def with_ewm_mean_by(self, column: str, by: str, half_life: str, **kwargs) -> "DataFrame":
+        return self._wrap(self._lf.with_ewm_mean_by(column, by, half_life, **kwargs))
 
     def head(self, n: int = 5) -> "DataFrame":
         return self._wrap(self._lf.head(n))

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..exprs import ROW_ORDER_COL
 
-__all__ = ["with_ewm", "resolve_alpha"]
+__all__ = ["with_ewm", "with_ewm_mean_by", "resolve_alpha"]
 
 
 def resolve_alpha(
@@ -138,3 +138,82 @@ def with_ewm(
     # single-group case
     grouped = sdf.groupBy(*[F.col(c) for c in part]) if part else sdf.groupBy(F.lit("__all__"))
     return LazyFrame(grouped.applyInPandas(_ewm, schema=schema))
+
+
+def with_ewm_mean_by(
+    lf,
+    column: str,
+    by: str,
+    half_life: str,
+    *,
+    order_by: "str | Sequence[str] | None" = None,
+    partition_by: Sequence[str] = (),
+    out_col: str | None = None,
+):
+    """polars ``Expr.ewm_mean_by`` (time-decay EWM; parity extra — the
+    reference has no ewm surface): with observations x at times t,
+
+        y_0 = x_0
+        y_i = x_i + a_i * (y_{i-1} - x_i),  a_i = 0.5 ** (dt_i / half_life)
+
+    i.e. irregularly-sampled series decay by elapsed time, not row count.
+    Null observations yield null and do not advance the state or the decay
+    clock (time is measured between non-null observations, polars
+    semantics).  ``half_life`` is a polars duration string ("2h", "30m").
+
+    ``order_by`` defaults to [by]; pass extra tie-break columns for
+    deterministic output when timestamps collide.  Scale: applyInPandas per
+    ``partition_by`` key (one shuffle, Arrow both ways); the per-group scan is
+    the same O(n) sequential recurrence polars runs per series — parallelism
+    comes from key partitioning.  Without ``partition_by`` the frame is one
+    task (warned, same class as asof-without-by).
+    """
+    import numpy as np
+
+    from .._fmt import parse_polars_duration_us
+    from ..frame import LazyFrame
+
+    if not partition_by:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("with_ewm_mean_by")
+    hl_us = float(parse_polars_duration_us(half_life))
+    if hl_us <= 0:
+        raise ValueError(f"half_life={half_life!r} must be positive")
+    oc = out_col or f"{column}_ewm_mean_by"
+    order_names = (
+        [by] if order_by is None
+        else ([order_by] if isinstance(order_by, str) else list(order_by))
+    )
+    sdf = lf._sdf
+    schema = T.StructType(sdf.schema.fields + [T.StructField(oc, T.DoubleType(), True)])
+    part = list(partition_by)
+    col_, by_ = column, by
+
+    def _fn(pdf):
+        pdf = pdf.sort_values(order_names, kind="mergesort")
+        t = pdf[by_].to_numpy(dtype="datetime64[us]").astype("int64")
+        x = pdf[col_].astype("float64").to_numpy()
+        out = np.full(len(x), np.nan)
+        state = 0.0
+        t_prev = 0
+        started = False
+        for i in range(len(x)):
+            xi = x[i]
+            if np.isnan(xi):
+                continue
+            if not started:
+                state, started = xi, True
+            else:
+                a = 0.5 ** ((t[i] - t_prev) / hl_us)
+                state = xi + a * (state - xi)
+            t_prev = t[i]
+            out[i] = state
+        import pandas as pd
+
+        # nullable Float64 so leading/masked NaNs cross Arrow as SQL nulls
+        pdf[oc] = pd.Series(out, index=pdf.index).astype("Float64")
+        return pdf
+
+    grouped = sdf.groupBy(*[F.col(c) for c in part]) if part else sdf.groupBy(F.lit("__all__"))
+    return LazyFrame(grouped.applyInPandas(_fn, schema=schema))

@@ -207,3 +207,84 @@ def test_no_warning_when_partitioned(spark):
             col("x").interpolate(order_by=[col("i")], partition_by=["k"]).alias("y")
         )
         df.with_ewm_mean("x", alpha=0.5, order_by=["i"], partition_by=["k"], out_col="e")
+
+
+class TestEwmMeanBy:
+    """Time-decay EWM (polars ewm_mean_by; operators/ewm.py)."""
+
+    def _frame(self, spark, rows):
+        return pl.LazyFrame(
+            spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+        )
+
+    def test_recursion(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 6, 0), 20.0),   # exactly one half-life later
+            (1, dt.datetime(2024, 1, 1, 18, 0), 40.0),  # two half-lives later
+        ]
+        out = (
+            self._frame(spark, rows)
+            .with_ewm_mean_by("v", by="ts", half_life="6h", partition_by=["uid"])
+            .sort("ts")
+            .collect()
+            .rows()
+        )
+        y0 = 10.0
+        y1 = 20.0 + 0.5 * (y0 - 20.0)      # a = 0.5**1
+        y2 = 40.0 + 0.25 * (y1 - 40.0)     # a = 0.5**2
+        got = [r[3] for r in out]
+        assert got[0] == pytest.approx(y0)
+        assert got[1] == pytest.approx(y1)
+        assert got[2] == pytest.approx(y2)
+
+    def test_null_skips_state_and_clock(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 3, 0), None),
+            (1, dt.datetime(2024, 1, 1, 6, 0), 20.0),
+        ]
+        out = (
+            self._frame(spark, rows)
+            .with_ewm_mean_by("v", by="ts", half_life="6h", partition_by=["uid"])
+            .sort("ts")
+            .collect()
+            .rows()
+        )
+        assert out[1][3] is None
+        # decay measured from the previous NON-NULL observation (6h span)
+        assert out[2][3] == pytest.approx(20.0 + 0.5 * (10.0 - 20.0))
+
+    def test_zero_dt_tie_keeps_state(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [(1, t, 10.0), (1, t, 99.0)]
+        out = (
+            self._frame(spark, rows)
+            .with_ewm_mean_by("v", by="ts", half_life="6h", partition_by=["uid"])
+            .collect()
+            .rows()
+        )
+        # dt=0 -> a=1 -> the tied second row contributes nothing
+        assert sorted(r[3] for r in out) == [10.0, 10.0]
+
+    def test_single_partition_warns(self, spark):
+        import datetime as dt
+
+        rows = [(1, dt.datetime(2024, 1, 1), 1.0)]
+        lf = self._frame(spark, rows)
+        with pytest.warns(UserWarning, match="single"):
+            lf.with_ewm_mean_by("v", by="ts", half_life="1h")
+
+    def test_bad_half_life(self, spark):
+        import datetime as dt
+
+        rows = [(1, dt.datetime(2024, 1, 1), 1.0)]
+        lf = self._frame(spark, rows)
+        with pytest.raises(ValueError):
+            lf.with_ewm_mean_by("v", by="ts", half_life="-1h", partition_by=["uid"])

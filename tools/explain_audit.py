@@ -106,6 +106,28 @@ CHECKS = {
         ("!", "Exchange hashpartitioning", "blocklist scoring is map-only, zero shuffles"),
         ("!", "CartesianProduct", "phrase list is a plan literal, not a join"),
     ],
+    "q96_horizontal": [
+        ("!", "Exchange hashpartitioning", "horizontal folds are map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "pure Column math, no Python UDF"),
+        ("!", "ArrowEvalPython", "pure Column math, no pandas UDF"),
+    ],
+    "q97_semdedup": [
+        ("!", "CartesianProduct", "pair check scoped to cluster equi-join"),
+        ("!", "BroadcastNestedLoopJoin", "no nested-loop fallback"),
+    ],
+    "q98_upsample": [
+        ("Generate explode(sequence", "grid generated map-side per group"),
+        ("!", "CartesianProduct", "grid rejoin is an equi-join"),
+    ],
+    "q99_rolling_frame": [
+        ("RangeFrame", "rolling agg is a range-frame window, not a self-join"),
+        ("!", "SortMergeJoin", "no join in the plan at all"),
+        ("!", "CartesianProduct", "no pair explosion"),
+    ],
+    "q100_to_dummies": [
+        ("!", "Exchange hashpartitioning", "indicators are map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "CASE WHEN indicators, no UDF"),
+    ],
     "q84_map_groups": [
         ("FlatMapGroupsInPandas", "map_groups via Arrow-batched applyInPandas"),
         ("!", "CartesianProduct", "grouped transform shuffles on keys only"),
