@@ -325,6 +325,19 @@ class LazyFrame:
             start_by=start_by,
         )
 
+    def null_count(self) -> "LazyFrame":
+        """polars null_count: one row, per-column null totals (map-side
+        partial counts, one tiny agg)."""
+        sdf = self._drop_order()._sdf
+        return LazyFrame(
+            sdf.agg(
+                *[
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
+                    for c in sdf.columns
+                ]
+            )
+        )
+
     def to_dummies(
         self,
         *columns: str,
@@ -1109,6 +1122,93 @@ class DataFrame:
 
     def to_dummies(self, *columns: str, separator: str = "_", drop_first: bool = False) -> "DataFrame":
         return self._wrap(self._lf.to_dummies(*columns, separator=separator, drop_first=drop_first))
+
+    def null_count(self) -> "DataFrame":
+        return self._wrap(self._lf.null_count())
+
+    def glimpse(self) -> str:
+        """polars glimpse: dtype + first values per column, one line each
+        (reads only a bounded head of the frame)."""
+        head = self._lf._drop_order()._sdf.take(10)
+        lines = [f"Rows: {self.height}", f"Columns: {self.width}"]
+        for name, dtype in self._lf.dtypes:
+            vals = ", ".join(repr(r[name]) for r in head)
+            lines.append(f"$ {name} <{dtype}> {vals}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+    def transpose(
+        self,
+        include_header: bool = True,
+        header_name: str = "column",
+        column_names: Sequence[str] | None = None,
+        max_rows: int = 10_000,
+    ) -> "DataFrame":
+        """polars transpose — inherently eager and small-data (the output
+        schema is one column PER INPUT ROW, so this cannot be distributed);
+        guarded by ``max_rows`` so it can't silently collect an unbounded
+        frame."""
+        sdf = self._lf._drop_order()._sdf
+        rows = sdf.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"transpose on > {max_rows} rows (one output column per row); "
+                "raise max_rows explicitly if this is intended"
+            )
+        cols = sdf.columns
+        names = (
+            list(column_names)
+            if column_names is not None
+            else [f"column_{i}" for i in range(len(rows))]
+        )
+        if len(names) != len(rows):
+            raise ValueError("column_names length must equal row count")
+        spark = SparkSession.getActiveSession()
+        out_rows = []
+        for c in cols:
+            rec = {header_name: c} if include_header else {}
+            for nm, r in zip(names, rows):
+                v = r[c]
+                rec[nm] = v if v is None else str(v)
+            out_rows.append(rec)
+        import pandas as pd
+
+        pdf = pd.DataFrame(out_rows)
+        return DataFrame(LazyFrame(spark.createDataFrame(pdf)))
+
+    def partition_by(
+        self,
+        *by: str,
+        as_dict: bool = False,
+        max_partitions: int = 1_000,
+    ) -> "list[DataFrame] | dict[tuple, DataFrame]":
+        """polars partition_by: split into one frame per distinct key combo,
+        in sorted key order.  The distinct-collect is bounded by
+        ``max_partitions`` (the output is a driver-side collection by
+        definition — same class of action as pivot's schema probe)."""
+        keys = list(by)
+        if not keys:
+            raise ValueError("partition_by needs at least one key column")
+        sdf = self._lf._drop_order()._sdf
+        vals = sdf.select(*keys).distinct().limit(max_partitions + 1).collect()
+        if len(vals) > max_partitions:
+            raise ValueError(
+                f"partition_by would produce > {max_partitions} frames; "
+                "raise max_partitions explicitly if this is intended"
+            )
+        combos = sorted(
+            (tuple(r[k] for k in keys) for r in vals),
+            key=lambda t: tuple((v is None, v if v is not None else "") for v in t),
+        )
+        out: dict[tuple, DataFrame] = {}
+        for combo in combos:
+            pred = None
+            for k, v in zip(keys, combo):
+                c = F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+                pred = c if pred is None else (pred & c)
+            out[combo] = DataFrame(LazyFrame(sdf.filter(pred)))
+        return out if as_dict else list(out.values())
 
     def with_ewm(self, column: str, kind, **kwargs) -> "DataFrame":
         return self._wrap(self._lf.with_ewm(column, kind, **kwargs))
