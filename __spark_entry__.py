@@ -2954,6 +2954,37 @@ GROUP BY a.user_id, a.event_id, a.ts
 """
 
 
+def _q102(spark, sf_dir):
+    """rolling_std / rolling_var (5-row frames, min_periods=window) and
+    temporal rolling_std_by ([t-6h, t] range frame) — exprs.py _rolling /
+    _rolling_by with sample-variance aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("value").rolling_std(5, order_by=["ts", "event_id"], partition_by=["user_id"])
+        .round(6).alias("rstd"),
+        col("value").rolling_var(5, order_by=["ts", "event_id"], partition_by=["user_id"])
+        .round(6).alias("rvar"),
+        col("value").rolling_std_by("ts", "6h", closed="both", partition_by=["user_id"])
+        .round(6).alias("rstd_t"),
+    ).spark
+
+
+_q102_sql = """
+SELECT user_id, event_id, ts,
+       round(CASE WHEN count(value) OVER w5 >= 5
+                  THEN stddev_samp(value) OVER w5 END, 6) AS rstd,
+       round(CASE WHEN count(value) OVER w5 >= 5
+                  THEN var_samp(value) OVER w5 END, 6) AS rvar,
+       round(stddev_samp(value) OVER wt, 6) AS rstd_t
+FROM events
+WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       wt AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3060,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_rolling_frame": _q99,
         "q100_to_dummies": _q100,
         "q101_ewm_mean_by": _q101,
+        "q102_rolling_std_var": _q102,
     }
 
 
@@ -3166,4 +3198,5 @@ def oracle_sql() -> dict[str, str]:
         "q99_rolling_frame": _q99_sql,
         "q100_to_dummies": _q100_sql,
         "q101_ewm_mean_by": _q101_sql,
+        "q102_rolling_std_var": _q102_sql,
     }

@@ -671,6 +671,17 @@ class Expr:
     def rolling_max(self, window_size, min_periods=None, order_by=None, partition_by=()):
         return self._rolling(F.max, window_size, min_periods, order_by, partition_by)
 
+    def rolling_std(self, window_size, min_periods=None, order_by=None, partition_by=(), ddof: int = 1):
+        """polars rolling_std (ddof=1 sample default; windows with fewer than
+        ddof+1 values yield null, matching both engines' var_samp)."""
+        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._rolling(fn, window_size, min_periods, order_by, partition_by)
+
+    def rolling_var(self, window_size, min_periods=None, order_by=None, partition_by=(), ddof: int = 1):
+        """polars rolling_var (ddof=1 sample default)."""
+        fn = F.var_samp if ddof == 1 else F.var_pop
+        return self._rolling(fn, window_size, min_periods, order_by, partition_by)
+
     # rolling temporal (expr.rs:151-191, 277-280)
     def _rolling_by(self, fn, window: str, by, closed: str, min_periods: int, partition_by):
         micros = parse_polars_duration_us(window)
@@ -706,6 +717,14 @@ class Expr:
 
     def rolling_max_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=()):
         return self._rolling_by(F.max, window, by, closed, min_periods, partition_by)
+
+    def rolling_std_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=(), ddof: int = 1):
+        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._rolling_by(fn, window, by, closed, min_periods, partition_by)
+
+    def rolling_var_by(self, by, window: str, closed: str = "right", min_periods: int = 1, partition_by=(), ddof: int = 1):
+        fn = F.var_samp if ddof == 1 else F.var_pop
+        return self._rolling_by(fn, window, by, closed, min_periods, partition_by)
 
     # rank-style helpers (free in Spark; not in reference but useful)
     def rank(self, method: str = "dense", order_by: Any = None, partition_by=()):

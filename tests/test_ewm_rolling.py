@@ -288,3 +288,51 @@ class TestEwmMeanBy:
         lf = self._frame(spark, rows)
         with pytest.raises(ValueError):
             lf.with_ewm_mean_by("v", by="ts", half_life="-1h", partition_by=["uid"])
+
+
+class TestRollingStdVar:
+    def test_values(self, spark):
+        import statistics
+
+        lf = pl.from_records(
+            [(1, i, float(v)) for i, v in enumerate([2, 4, 4, 4, 5, 5, 7, 9])],
+            ["k", "i", "v"],
+        ).lazy()
+        out = (
+            lf.select(
+                pl.col("i"),
+                pl.col("v").rolling_var(3, order_by="i", partition_by=["k"]).alias("rv"),
+                pl.col("v").rolling_std(3, order_by="i", partition_by=["k"]).alias("rs"),
+                pl.col("v").rolling_var(3, order_by="i", partition_by=["k"], ddof=0).alias("rvp"),
+            )
+            .sort("i")
+            .collect()
+            .rows()
+        )
+        assert out[0][1] is None and out[1][1] is None  # min_periods = window
+        vals = [2.0, 4.0, 4.0]
+        assert out[2][1] == pytest.approx(statistics.variance(vals))
+        assert out[2][2] == pytest.approx(statistics.stdev(vals))
+        assert out[2][3] == pytest.approx(statistics.pvariance(vals))
+
+    def test_rolling_std_by_temporal(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, dt.datetime(2024, 1, 1, 1, 0), 3.0),
+            (1, dt.datetime(2024, 1, 1, 9, 0), 5.0),
+        ]
+        lf = pl.LazyFrame(spark.createDataFrame(rows, "k long, ts timestamp, v double"))
+        out = (
+            lf.select(
+                pl.col("ts"),
+                pl.col("v").rolling_var_by("ts", "2h", closed="both", partition_by=["k"]).alias("rv"),
+            )
+            .sort("ts")
+            .collect()
+            .rows()
+        )
+        assert out[0][1] is None          # single value, sample var undefined
+        assert out[1][1] == pytest.approx(2.0)   # var([1,3])
+        assert out[2][1] is None          # 9:00 window excludes earlier rows
