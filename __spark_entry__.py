@@ -2985,6 +2985,31 @@ WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _q103(spark, sf_dir):
+    """Binary namespace (polars Expr.bin; exprs.py ExprBinNamespace): hex /
+    base64 encode, byte size, literal prefix test — all JVM built-ins,
+    map-only."""
+    d = _t(spark, sf_dir, "documents")
+    b = col("source").cast("binary")
+    return d.select(
+        col("doc_id"),
+        b.bin.encode("hex").alias("hx"),
+        b.bin.encode("base64").alias("b64"),
+        b.bin.size().cast("long").alias("nbytes"),
+        b.bin.starts_with(b"c").alias("sw"),
+    ).spark
+
+
+_q103_sql = """
+SELECT doc_id,
+       lower(hex(encode(source))) AS hx,
+       base64(encode(source)) AS b64,
+       CAST(octet_length(encode(source)) AS BIGINT) AS nbytes,
+       starts_with(source, 'c') AS sw
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3092,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_to_dummies": _q100,
         "q101_ewm_mean_by": _q101,
         "q102_rolling_std_var": _q102,
+        "q103_bin_namespace": _q103,
     }
 
 
@@ -3199,4 +3225,5 @@ def oracle_sql() -> dict[str, str]:
         "q100_to_dummies": _q100_sql,
         "q101_ewm_mean_by": _q101_sql,
         "q102_rolling_std_var": _q102_sql,
+        "q103_bin_namespace": _q103_sql,
     }

@@ -952,6 +952,46 @@ class Expr:
     def struct(self) -> "ExprStructNamespace":
         return ExprStructNamespace(self)
 
+    @property
+    def bin(self) -> "ExprBinNamespace":
+        return ExprBinNamespace(self)
+
+
+class ExprBinNamespace:
+    """Binary ops (polars Expr.bin — parity extra; all JVM built-ins)."""
+
+    def __init__(self, expr: Expr):
+        self._c = expr._col
+
+    def encode(self, encoding: str) -> Expr:
+        """bytes -> text: 'hex' (lowercase, polars-style) or 'base64'."""
+        if encoding == "hex":
+            return _wrap(F.lower(F.hex(self._c)))
+        if encoding == "base64":
+            return _wrap(F.base64(self._c))
+        raise ValueError(f"encoding={encoding!r} must be 'hex' or 'base64'")
+
+    def decode(self, encoding: str) -> Expr:
+        """text -> bytes (invalid input yields null, polars strict=False)."""
+        if encoding == "hex":
+            return _wrap(F.try_to_binary(self._c, F.lit("hex")))
+        if encoding == "base64":
+            return _wrap(F.try_to_binary(self._c, F.lit("base64")))
+        raise ValueError(f"encoding={encoding!r} must be 'hex' or 'base64'")
+
+    def size(self) -> Expr:
+        """Byte length (polars bin.size)."""
+        return _wrap(F.octet_length(self._c))
+
+    def contains(self, literal: bytes) -> Expr:
+        return _wrap(F.contains(self._c, F.lit(literal)))
+
+    def starts_with(self, literal: bytes) -> Expr:
+        return _wrap(F.startswith(self._c, F.lit(literal)))
+
+    def ends_with(self, literal: bytes) -> Expr:
+        return _wrap(F.endswith(self._c, F.lit(literal)))
+
 
 class ExprNameNamespace:
     """name.prefix/suffix (expr.rs:891-914). Resolved per-expression: requires

@@ -143,3 +143,47 @@ def test_dt_extras(spark):
     rows = out.rows()
     assert rows[0] == (1, 53, 2020, False, 31)
     assert rows[1] == (1, 6, 2024, True, 29)
+
+
+class TestBinNamespace:
+    """polars Expr.bin (exprs.py ExprBinNamespace) — parity extra."""
+
+    def test_roundtrip_and_predicates(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.from_records([(1, b"hello"), (2, b"\x00\xff"), (3, None)], ["id", "b"])
+        out = df.select(
+            col("id"),
+            col("b").bin.encode("hex").alias("h"),
+            col("b").bin.encode("base64").alias("b64"),
+            col("b").bin.size().alias("n"),
+            col("b").bin.contains(b"ell").alias("c"),
+            col("b").bin.starts_with(b"he").alias("s"),
+            col("b").bin.ends_with(b"\xff").alias("e"),
+            col("b").bin.encode("hex").bin.decode("hex").alias("rt"),
+            col("b").bin.encode("base64").bin.decode("base64").alias("rt64"),
+        ).sort("id").rows()
+        assert out[0][1] == "68656c6c6f" and out[0][2] == "aGVsbG8="
+        assert out[0][3] == 5 and out[0][4] is True and out[0][5] is True and out[0][6] is False
+        assert out[0][7] == b"hello" and out[0][8] == b"hello"
+        assert out[1][1] == "00ff" and out[1][6] is True
+        assert out[2][1] is None and out[2][3] is None
+
+    def test_decode_invalid_is_null(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.from_records([(1, "zz-not-hex")], ["id", "s"])
+        assert df.select(col("s").bin.decode("hex").alias("d")).rows()[0][0] is None
+
+    def test_bad_encoding(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+        import pytest as _pt
+
+        df = pl.from_records([(1, b"x")], ["id", "b"])
+        with _pt.raises(ValueError):
+            df.select(col("b").bin.encode("utf16"))
+        with _pt.raises(ValueError):
+            df.select(col("b").bin.decode("rot13"))
