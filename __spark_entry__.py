@@ -3010,6 +3010,50 @@ FROM documents
 """
 
 
+def _q104(spark, sf_dir):
+    """str.extract_all / count_matches / find (exprs.py ExprStrNamespace):
+    regexp built-ins, map-only."""
+    d = _t(spark, sf_dir, "documents")
+    arr = col("text").str.extract_all(r"[a-z]{6,}")
+    return d.select(
+        col("doc_id"),
+        arr.list.len().cast("long").alias("n_long_words"),
+        when(arr.list.len() > 0).then(arr.list.get(0)).otherwise(lit(None)).alias("first_long"),
+        col("text").str.count_matches("e", literal=True).cast("long").alias("n_e"),
+        col("text").str.find("data", literal=True).cast("long").alias("pos_data"),
+    ).spark
+
+
+_q104_sql = """
+WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '[a-z]{6,}') AS arr FROM documents)
+SELECT doc_id,
+       CAST(len(arr) AS BIGINT) AS n_long_words,
+       CASE WHEN len(arr) > 0 THEN arr[1] END AS first_long,
+       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e,
+       CASE WHEN strpos(text, 'data') > 0 THEN CAST(strpos(text, 'data') - 1 AS BIGINT) END AS pos_data
+FROM t
+"""
+
+
+def _q105(spark, sf_dir):
+    """dt.month_start / month_end (time-of-day preserved, polars semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        col("event_id"),
+        col("ts").dt.month_start().alias("ms"),
+        col("ts").dt.month_end().alias("me"),
+    ).spark
+
+
+_q105_sql = """
+SELECT event_id,
+       ts - (date_part('day', ts) - 1) * INTERVAL 1 DAY AS ms,
+       ts + (date_part('day', last_day(CAST(ts AS DATE))) - date_part('day', ts))
+            * INTERVAL 1 DAY AS me
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3118,6 +3162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_ewm_mean_by": _q101,
         "q102_rolling_std_var": _q102,
         "q103_bin_namespace": _q103,
+        "q104_str_matches": _q104,
+        "q105_month_bounds": _q105,
     }
 
 
@@ -3226,4 +3272,6 @@ def oracle_sql() -> dict[str, str]:
         "q101_ewm_mean_by": _q101_sql,
         "q102_rolling_std_var": _q102_sql,
         "q103_bin_namespace": _q103_sql,
+        "q104_str_matches": _q104_sql,
+        "q105_month_bounds": _q105_sql,
     }

@@ -1189,6 +1189,26 @@ class ExprStrNamespace:
             )
         )
 
+    def extract_all(self, pattern: str) -> Expr:
+        """All full regex matches as a list (polars str.extract_all)."""
+        return _wrap(F.regexp_extract_all(self._c, F.lit(pattern), F.lit(0)))
+
+    def count_matches(self, pattern: str, literal: bool = False) -> Expr:
+        """Number of non-overlapping matches (polars str.count_matches)."""
+        import re as _re
+
+        pat = _re.escape(pattern) if literal else pattern
+        return _wrap(F.regexp_count(self._c, F.lit(pat)))
+
+    def find(self, pattern: str, literal: bool = False) -> Expr:
+        """0-based offset of the first match, null when absent (polars
+        str.find)."""
+        import re as _re
+
+        pat = _re.escape(pattern) if literal else pattern
+        pos = F.regexp_instr(self._c, F.lit(pat))
+        return _wrap(F.when(pos > 0, pos - 1))
+
 
 class ExprDtNamespace:
     """Temporal ops (expr.rs:247-700).
@@ -1235,6 +1255,24 @@ class ExprDtNamespace:
 
     def days_in_month(self) -> Expr:
         return _wrap(F.dayofmonth(F.last_day(self._c)))
+
+    def month_start(self) -> Expr:
+        """Roll back to the first day of the month, keeping time-of-day
+        (polars dt.month_start)."""
+        return _wrap(
+            F.timestamp_add("DAY", -(F.dayofmonth(self._c) - F.lit(1)), self._c)
+        )
+
+    def month_end(self) -> Expr:
+        """Roll forward to the last day of the month, keeping time-of-day
+        (polars dt.month_end)."""
+        return _wrap(
+            F.timestamp_add(
+                "DAY",
+                F.dayofmonth(F.last_day(self._c)) - F.dayofmonth(self._c),
+                self._c,
+            )
+        )
 
     def weekday(self) -> Expr:
         # polars: Monday=1..Sunday=7 ; Spark weekday(): Monday=0

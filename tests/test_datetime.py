@@ -93,3 +93,22 @@ def test_replace_time_zone_policies(spark):
     late = df2.select(col("ts").dt.replace_time_zone("America/New_York", ambiguous="latest").alias("t")).rows()[0][0]
     assert early == dt.datetime(2024, 11, 3, 5, 30)
     assert late == dt.datetime(2024, 11, 3, 6, 30)
+
+
+class TestMonthBounds:
+    def test_month_start_end_keep_time(self, spark):
+        import datetime as dt
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        rows = [(1, dt.datetime(2024, 2, 15, 8, 30, 5)), (2, dt.datetime(2024, 2, 1, 0, 0))]
+        df = pl.LazyFrame(spark.createDataFrame(rows, "id long, ts timestamp"))
+        out = df.select(
+            col("id"),
+            col("ts").dt.month_start().alias("ms"),
+            col("ts").dt.month_end().alias("me"),
+        ).sort("id").collect().rows()
+        assert out[0][1] == dt.datetime(2024, 2, 1, 8, 30, 5)
+        assert out[0][2] == dt.datetime(2024, 2, 29, 8, 30, 5)  # leap year
+        assert out[1][1] == dt.datetime(2024, 2, 1, 0, 0)
+        assert out[1][2] == dt.datetime(2024, 2, 29, 0, 0)

@@ -187,3 +187,23 @@ class TestBinNamespace:
             df.select(col("b").bin.encode("utf16"))
         with _pt.raises(ValueError):
             df.select(col("b").bin.decode("rot13"))
+
+
+class TestStrMatchExtras:
+    def test_extract_all_count_find(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.from_records([(1, "the cat and the hat"), (2, "no match here"), (3, None)], ["id", "s"])
+        out = df.select(
+            col("id"),
+            col("s").str.extract_all(r"the \w+").alias("m"),
+            col("s").str.count_matches("the", literal=True).alias("n"),
+            col("s").str.find("hat", literal=True).alias("f"),
+            col("s").str.find(r"h\w+", literal=False).alias("fr"),
+        ).sort("id").rows()
+        assert list(out[0][1]) == ["the cat", "the hat"]
+        assert out[0][2] == 2 and out[0][3] == 16
+        assert out[0][4] == 1  # first h\w+ is "he" inside the leading "the"
+        assert list(out[1][1]) == [] and out[1][2] == 0 and out[1][3] is None
+        assert out[2][1] is None and out[2][3] is None
