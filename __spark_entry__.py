@@ -3054,6 +3054,28 @@ FROM events
 """
 
 
+def _q106(spark, sf_dir):
+    """Expr.top_k / bottom_k group aggregates (collect_list+sort_array+slice;
+    lists emitted as joined strings for the cross-engine hash)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            col("l_quantity").top_k(5).list.join(",").alias("top5"),
+            col("l_quantity").bottom_k(5).list.join(",").alias("bot5"),
+        )
+        .spark
+    )
+
+
+_q106_sql = """
+SELECT l_returnflag,
+       array_to_string(list_slice(list_sort(list(l_quantity), 'DESC'), 1, 5), ',') AS top5,
+       array_to_string(list_slice(list_sort(list(l_quantity), 'ASC'), 1, 5), ',') AS bot5
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3164,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_bin_namespace": _q103,
         "q104_str_matches": _q104,
         "q105_month_bounds": _q105,
+        "q106_topk_agg": _q106,
     }
 
 
@@ -3274,4 +3297,5 @@ def oracle_sql() -> dict[str, str]:
         "q103_bin_namespace": _q103_sql,
         "q104_str_matches": _q104_sql,
         "q105_month_bounds": _q105_sql,
+        "q106_topk_agg": _q106_sql,
     }

@@ -569,6 +569,21 @@ class Expr:
     def implode(self) -> "Expr":
         return _wrap(F.collect_list(self._col))
 
+    def top_k(self, k: int) -> "Expr":
+        """polars Expr.top_k (aggregate context): the k largest non-null
+        values, descending, as a list.  collect_list + sort_array + slice —
+        the collected group must fit an executor (same contract as implode);
+        for frame-level top-k use LazyFrame.top_k (TakeOrderedAndProject)."""
+        return _wrap(
+            F.slice(F.sort_array(F.collect_list(self._col), asc=False), 1, int(k))
+        )
+
+    def bottom_k(self, k: int) -> "Expr":
+        """polars Expr.bottom_k: the k smallest non-null values, ascending."""
+        return _wrap(
+            F.slice(F.sort_array(F.collect_list(self._col), asc=True), 1, int(k))
+        )
+
     # -- window ops (expr.rs:995-1101, SURVEY §2.6) ------------------------
     def over(self, *partition_by: "Expr | str") -> "Expr":
         keys = [_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]

@@ -183,3 +183,22 @@ def test_with_qcut_quartiles(spark):
 
     with pytest.raises(ValueError):
         d.with_qcut("v", [0.5, 0.2])
+
+
+class TestTopKAgg:
+    def test_top_bottom_k(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records(
+            [("a", 5), ("a", 1), ("a", 9), ("a", None), ("b", 2)], ["k", "v"]
+        ).lazy()
+        out = {
+            r[0]: (list(r[1]), list(r[2]))
+            for r in lf.group_by("k")
+            .agg(col("v").top_k(2).alias("t"), col("v").bottom_k(2).alias("b"))
+            .collect()
+            .rows()
+        }
+        assert out["a"] == ([9, 5], [1, 5])
+        assert out["b"] == ([2], [2])
