@@ -3076,6 +3076,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q107(spark, sf_dir):
+    """hist over explicit edges (polars (lo, hi] bins; frame.py hist):
+    map-side CASE bucket + tiny groupBy, empty bins kept."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.hist("l_quantity", [0, 10, 20, 30, 40, 50]).spark
+
+
+_q107_sql = """
+WITH b(bin, bin_start, bin_end) AS (VALUES
+  (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 50.0)),
+c AS (SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 0
+                  WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1
+                  WHEN l_quantity > 20 AND l_quantity <= 30 THEN 2
+                  WHEN l_quantity > 30 AND l_quantity <= 40 THEN 3
+                  WHEN l_quantity > 40 AND l_quantity <= 50 THEN 4 END AS bin
+      FROM lineitem),
+g AS (SELECT bin, count(*) AS n FROM c WHERE bin IS NOT NULL GROUP BY 1)
+SELECT b.bin_start, b.bin_end, CAST(coalesce(g.n, 0) AS BIGINT) AS count
+FROM b LEFT JOIN g USING (bin)
+"""
+
+
+def _q108(spark, sf_dir):
+    """datetime_range constructor (polars pl.datetime_range; io.py):
+    distributed spark.range grid — start + id*step per row, no single-row
+    sequence explode."""
+    return pls.datetime_range(
+        "2024-01-01", "2024-01-31", "1h", spark=spark
+    ).spark
+
+
+_q108_sql = """
+SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                              TIMESTAMP '2024-01-31', INTERVAL 1 HOUR)) AS datetime
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3187,6 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_str_matches": _q104,
         "q105_month_bounds": _q105,
         "q106_topk_agg": _q106,
+        "q107_hist": _q107,
+        "q108_datetime_range": _q108,
     }
 
 
@@ -3298,4 +3337,6 @@ def oracle_sql() -> dict[str, str]:
         "q104_str_matches": _q104_sql,
         "q105_month_bounds": _q105_sql,
         "q106_topk_agg": _q106_sql,
+        "q107_hist": _q107_sql,
+        "q108_datetime_range": _q108_sql,
     }

@@ -31,6 +31,9 @@ from .exprs import (
 )
 from .frame import DataFrame, GroupBy, LazyFrame, concat
 from .io import (
+    date_range,
+    datetime_range,
+    int_range,
     from_arrow,
     from_batches,
     from_pandas,
@@ -92,6 +95,9 @@ __all__ = [
     "stop_spark",
     "cs",
     "scan_parquet",
+    "int_range",
+    "datetime_range",
+    "date_range",
     "read_parquet",
     "scan_orc",
     "read_orc",

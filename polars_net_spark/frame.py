@@ -325,6 +325,42 @@ class LazyFrame:
             start_by=start_by,
         )
 
+    def hist(self, column: str, bins: Sequence[float]) -> "LazyFrame":
+        """Histogram of ``column`` over explicit bin edges (polars
+        Series.hist semantics: bin i counts values in (bins[i], bins[i+1]];
+        values outside [bins[0], bins[-1]] are dropped).  Compiles to one
+        map-side CASE bucket + a tiny groupBy — one shuffle of at most
+        len(bins)-1 rows per task.  Output: (bin_start, bin_end, count) in
+        edge order, empty bins included with count 0."""
+        edges = [float(b) for b in bins]
+        if len(edges) < 2 or any(nxt <= prev for nxt, prev in zip(edges[1:], edges)):
+            raise ValueError("bins must be at least 2 strictly increasing edges")
+        c = F.col(column).cast("double")
+        bucket = F.lit(None).cast("int")
+        for i in range(len(edges) - 1, 0, -1):
+            bucket = F.when((c > edges[i - 1]) & (c <= edges[i]), i - 1).otherwise(bucket)
+        sdf = self._drop_order()._sdf
+        counts = (
+            sdf.select(bucket.alias("__bin__"))
+            .where(F.col("__bin__").isNotNull())
+            .groupBy("__bin__")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        spark = SparkSession.getActiveSession()
+        grid = spark.createDataFrame(
+            [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)],
+            "__bin__ int, bin_start double, bin_end double",
+        )
+        out = (
+            grid.join(counts, "__bin__", "left")
+            .select(
+                "bin_start",
+                "bin_end",
+                F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+            )
+        )
+        return LazyFrame(out)
+
     def null_count(self) -> "LazyFrame":
         """polars null_count: one row, per-column null totals (map-side
         partial counts, one tiny agg)."""
@@ -1125,6 +1161,9 @@ class DataFrame:
 
     def null_count(self) -> "DataFrame":
         return self._wrap(self._lf.null_count())
+
+    def hist(self, column: str, bins: Sequence[float]) -> "DataFrame":
+        return self._wrap(self._lf.hist(column, bins))
 
     def glimpse(self) -> str:
         """polars glimpse: dtype + first values per column, one line each

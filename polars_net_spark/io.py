@@ -18,6 +18,9 @@ from .exprs import _to_spark_type
 from .frame import DataFrame, LazyFrame
 
 __all__ = [
+    "int_range",
+    "datetime_range",
+    "date_range",
     "scan_parquet",
     "read_parquet",
     "scan_csv",
@@ -326,3 +329,70 @@ def scan_jdbc(
             .option("upperBound", str(upper_bound))
         )
     return LazyFrame(reader.load())
+
+
+# -- range constructors (polars pl.int_range / date_range / datetime_range) ----
+
+
+def int_range(
+    start: int, end: int, step: int = 1, name: str = "int",
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """polars pl.int_range as a one-column frame ([start, end), like polars).
+    Compiles to spark.range — generated directly on the executors, already
+    partitioned, no driver materialization at any size."""
+    s = _spark(spark)
+    return LazyFrame(s.range(start, end, step).select(F.col("id").alias(name)))
+
+
+def datetime_range(
+    start,
+    end,
+    interval: str = "1d",
+    closed: str = "both",
+    name: str = "datetime",
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """polars pl.datetime_range as a one-column frame.  ``interval`` is a
+    polars duration string; ``closed`` in left/right/both/none.
+
+    Scale design: the grid is spark.range over the step count with
+    ts = start + id*interval computed per row — generated distributed, NOT a
+    single-row sequence() explode, so a billion-point range parallelizes."""
+    import datetime as _dt
+
+    from ._fmt import parse_polars_duration_us
+
+    if isinstance(start, str):
+        start = _dt.datetime.fromisoformat(start)
+    if isinstance(end, str):
+        end = _dt.datetime.fromisoformat(end)
+    step_us = parse_polars_duration_us(interval)
+    if step_us <= 0:
+        raise ValueError(f"interval={interval!r} must be positive")
+    if closed not in ("left", "right", "both", "none"):
+        raise ValueError(f"closed={closed!r} must be left/right/both/none")
+    start_us = int(start.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    end_us = int(end.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    if end_us < start_us:
+        raise ValueError("end must be >= start")
+    n = (end_us - start_us) // step_us  # index of last grid point <= end
+    lo = 1 if closed in ("right", "none") else 0
+    hi = n + 1
+    if closed in ("left", "none") and start_us + n * step_us == end_us:
+        hi = n  # drop the end point only if it lies exactly on the grid
+    s = _spark(spark)
+    return LazyFrame(
+        s.range(lo, hi).select(
+            F.timestamp_micros((F.lit(start_us) + F.col("id") * F.lit(step_us))).alias(name)
+        )
+    )
+
+
+def date_range(
+    start, end, interval: str = "1d", closed: str = "both", name: str = "date",
+    spark: SparkSession | None = None,
+) -> LazyFrame:
+    """polars pl.date_range: datetime_range cast to date."""
+    lf = datetime_range(start, end, interval, closed, name, spark)
+    return LazyFrame(lf._sdf.select(F.col(name).cast("date").alias(name)))

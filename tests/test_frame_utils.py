@@ -62,3 +62,57 @@ def test_partition_by_list_and_guard(frame):
         frame.partition_by("id", max_partitions=2)
     with pytest.raises(ValueError):
         frame.partition_by()
+
+
+class TestHistRanges:
+    def test_hist(self, spark):
+        df = pl.from_records([(v,) for v in [1.0, 5.0, 10.0, 10.5, 25.0, 99.0]], ["x"])
+        out = df.lazy().hist("x", [0, 10, 20, 30]).sort("bin_start").collect().rows()
+        # (0,10]: 1,5,10 ; (10,20]: 10.5 ; (20,30]: 25 ; 99 dropped
+        assert [(r[0], r[1], r[2]) for r in out] == [
+            (0.0, 10.0, 3), (10.0, 20.0, 1), (20.0, 30.0, 1),
+        ]
+
+    def test_hist_empty_bin_and_guard(self, spark):
+        import pytest as _pt
+
+        df = pl.from_records([(1.0,)], ["x"])
+        out = df.hist("x", [0, 1, 2]).rows()
+        assert out[1][2] == 0  # empty bin kept
+        with _pt.raises(ValueError):
+            df.hist("x", [1, 1, 2])
+        with _pt.raises(ValueError):
+            df.hist("x", [3])
+
+    def test_int_range(self, spark):
+        assert pl.int_range(0, 5).collect().rows() == [(0,), (1,), (2,), (3,), (4,)]
+        assert pl.int_range(0, 10, 3, name="n").collect().rows() == [(0,), (3,), (6,), (9,)]
+
+    def test_datetime_range_closed_modes(self, spark):
+        import datetime as dt
+
+        a, b = "2024-01-01", "2024-01-01T03:00:00"
+        both = pl.datetime_range(a, b, "1h").collect().rows()
+        assert len(both) == 4
+        assert both[0][0] == dt.datetime(2024, 1, 1, 0, 0)
+        assert both[-1][0] == dt.datetime(2024, 1, 1, 3, 0)
+        assert len(pl.datetime_range(a, b, "1h", closed="left").collect().rows()) == 3
+        assert len(pl.datetime_range(a, b, "1h", closed="right").collect().rows()) == 3
+        assert len(pl.datetime_range(a, b, "1h", closed="none").collect().rows()) == 2
+        # end off-grid: nothing to drop on the right
+        off = pl.datetime_range(a, "2024-01-01T02:30:00", "1h", closed="left").collect().rows()
+        assert len(off) == 3
+
+    def test_date_range(self, spark):
+        import datetime as dt
+
+        out = pl.date_range("2024-01-01", "2024-01-04", "1d").collect().rows()
+        assert out[0][0] == dt.date(2024, 1, 1) and len(out) == 4
+
+    def test_range_errors(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            pl.datetime_range("2024-01-02", "2024-01-01", "1h")
+        with _pt.raises(ValueError):
+            pl.datetime_range("2024-01-01", "2024-01-02", "1h", closed="weird")
