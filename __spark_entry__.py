@@ -3113,6 +3113,42 @@ SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
 """
 
 
+def _q109(spark, sf_dir):
+    """Math extras (sin/cos/tanh/sign/cbrt/log1p/degrees/arctan2) +
+    pl.format + pl.concat_list — all JVM built-ins, map-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = col("l_discount")
+    return li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        d.sin().round(6).alias("s"),
+        d.cos().round(6).alias("c"),
+        d.tanh().round(6).alias("th"),
+        (d - lit(0.05)).sign().alias("sg"),
+        d.cbrt().round(6).alias("cb"),
+        d.log1p().round(6).alias("l1p"),
+        d.degrees().round(6).alias("dg"),
+        pls.arctan2(col("l_tax"), d).round(6).alias("at2"),
+        pls.format("{}|{}", col("l_returnflag"), col("l_linestatus")).alias("fmt"),
+        pls.concat_list(col("l_quantity"), col("l_tax")).list.join(",").alias("cl"),
+    ).spark
+
+
+_q109_sql = """
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_discount), 6) AS s,
+       round(cos(l_discount), 6) AS c,
+       round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS th,
+       sign(l_discount - 0.05) AS sg,
+       round(cbrt(l_discount), 6) AS cb,
+       round(ln(1 + l_discount), 6) AS l1p,
+       round(degrees(l_discount), 6) AS dg,
+       round(atan2(l_tax, l_discount), 6) AS at2,
+       l_returnflag || '|' || l_linestatus AS fmt,
+       CAST(l_quantity AS VARCHAR) || ',' || CAST(l_tax AS VARCHAR) AS cl
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3226,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_topk_agg": _q106,
         "q107_hist": _q107,
         "q108_datetime_range": _q108,
+        "q109_math_extras": _q109,
     }
 
 
@@ -3339,4 +3376,5 @@ def oracle_sql() -> dict[str, str]:
         "q106_topk_agg": _q106_sql,
         "q107_hist": _q107_sql,
         "q108_datetime_range": _q108_sql,
+        "q109_math_extras": _q109_sql,
     }

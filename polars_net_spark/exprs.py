@@ -321,6 +321,52 @@ class Expr:
         # which is half-away-from-zero for both signs — exact match.
         return _wrap(F.round(self._col, decimals))
 
+    # polars math extras (all JVM built-ins, codegen)
+    def log10(self) -> "Expr":
+        return _wrap(F.log10(self._col))
+
+    def log1p(self) -> "Expr":
+        return _wrap(F.log1p(self._col))
+
+    def sign(self) -> "Expr":
+        return _wrap(F.signum(self._col))
+
+    def cbrt(self) -> "Expr":
+        return _wrap(F.cbrt(self._col))
+
+    def sin(self) -> "Expr":
+        return _wrap(F.sin(self._col))
+
+    def cos(self) -> "Expr":
+        return _wrap(F.cos(self._col))
+
+    def tan(self) -> "Expr":
+        return _wrap(F.tan(self._col))
+
+    def arcsin(self) -> "Expr":
+        return _wrap(F.asin(self._col))
+
+    def arccos(self) -> "Expr":
+        return _wrap(F.acos(self._col))
+
+    def arctan(self) -> "Expr":
+        return _wrap(F.atan(self._col))
+
+    def sinh(self) -> "Expr":
+        return _wrap(F.sinh(self._col))
+
+    def cosh(self) -> "Expr":
+        return _wrap(F.cosh(self._col))
+
+    def tanh(self) -> "Expr":
+        return _wrap(F.tanh(self._col))
+
+    def degrees(self) -> "Expr":
+        return _wrap(F.degrees(self._col))
+
+    def radians(self) -> "Expr":
+        return _wrap(F.radians(self._col))
+
     def floor(self) -> "Expr":
         return _wrap(F.floor(self._col))
 
@@ -1588,6 +1634,46 @@ def cov(a: "Expr | str", b: "Expr | str", ddof: int = 1) -> Expr:
 
 def concat_str(exprs: Sequence[Expr], separator: str = "") -> Expr:
     return Expr(F.concat_ws(separator, *[_c(e) for e in exprs]))
+
+
+def arctan2(y: "Expr | str", x: "Expr | str") -> Expr:
+    """polars pl.arctan2."""
+    cy = _c(col(y) if isinstance(y, str) else y)
+    cx = _c(col(x) if isinstance(x, str) else x)
+    return _wrap(F.atan2(cy, cx))
+
+
+def format(fstring: str, *exprs: "Expr | str") -> Expr:  # noqa: A001 — polars name
+    """polars pl.format: '{}' placeholders filled from exprs (nulls render
+    as null, whole-string; compiles to concat of literals + casts)."""
+    parts = fstring.split("{}")
+    if len(parts) - 1 != len(exprs):
+        raise ValueError(
+            f"format string has {len(parts) - 1} placeholders but {len(exprs)} exprs"
+        )
+    pieces: list[Column] = []
+    for i, p in enumerate(parts):
+        if p:
+            pieces.append(F.lit(p))
+        if i < len(exprs):
+            e = exprs[i]
+            pieces.append(_c(col(e) if isinstance(e, str) else e).cast("string"))
+    if not pieces:
+        return _wrap(F.lit(""))
+    return _wrap(F.concat(*pieces))
+
+
+def concat_list(*exprs: "Expr | str", lists: bool = False) -> Expr:
+    """polars pl.concat_list, row-wise.  Expressions are unbound Columns here
+    (no schema at build time), so the scalar-vs-list resolution polars does at
+    plan time needs a flag: default combines SCALAR columns into one list
+    (F.array); ``lists=True`` concatenates LIST columns (F.concat)."""
+    cs = []
+    for e in exprs:
+        cs.append(_c(col(e) if isinstance(e, str) else e))
+    if not cs:
+        raise ValueError("concat_list needs at least one expression")
+    return _wrap(F.concat(*cs) if lists else F.array(*cs))
 
 
 def _hcols(exprs) -> list[Column]:

@@ -202,3 +202,65 @@ class TestTopKAgg:
         }
         assert out["a"] == ([9, 5], [1, 5])
         assert out["b"] == ([2], [2])
+
+
+class TestMathExtras:
+    def test_trig_and_friends(self, spark):
+        import math
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.from_records([(0.5,), (-2.0,)], ["x"])
+        out = df.select(
+            col("x").sin().alias("s"), col("x").arcsin().alias("as_"),
+            col("x").cosh().alias("ch"), col("x").sign().alias("sg"),
+            col("x").log10().alias("l10"), col("x").log1p().alias("l1p"),
+            col("x").radians().alias("rad"), col("x").cbrt().alias("cb"),
+        ).rows()
+        r = out[0]
+        assert r[0] == pytest.approx(math.sin(0.5))
+        assert r[1] == pytest.approx(math.asin(0.5))
+        assert r[2] == pytest.approx(math.cosh(0.5))
+        assert r[3] == 1.0
+        assert r[4] == pytest.approx(math.log10(0.5))
+        assert r[5] == pytest.approx(math.log1p(0.5))
+        assert r[6] == pytest.approx(math.radians(0.5))
+        assert out[1][3] == -1.0
+        import math as m
+        assert out[1][7] == pytest.approx(-(2.0 ** (1 / 3)))
+
+    def test_arctan2_format_concat_list(self, spark):
+        import math
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.LazyFrame(
+            spark.createDataFrame([(1.0, 2.0, "a", None)], "y double, x double, s string, t string")
+        )
+        out = df.select(
+            pl.arctan2("y", "x").alias("a"),
+            pl.format("{}-{}!", col("s"), col("x")).alias("f"),
+            pl.format("{}:{}", col("s"), col("t")).alias("fn"),
+            pl.concat_list("y", "x").alias("cl"),
+        ).collect().rows()[0]
+        assert out[0] == pytest.approx(math.atan2(1.0, 2.0))
+        assert out[1] == "a-2.0!"
+        assert out[2] is None  # null poisons the whole formatted string
+        assert list(out[3]) == [1.0, 2.0]
+
+    def test_concat_list_lists_mode(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        sdf = spark.createDataFrame([([1, 2], [3])], "a array<int>, b array<int>")
+        out = pl.LazyFrame(sdf).select(
+            pl.concat_list("a", "b", lists=True).alias("cl")
+        ).collect().rows()[0]
+        assert list(out[0]) == [1, 2, 3]
+
+    def test_format_placeholder_mismatch(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        with pytest.raises(ValueError):
+            pl.format("{}-{}", col("x"))
