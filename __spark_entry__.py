@@ -3149,6 +3149,45 @@ FROM lineitem
 """
 
 
+def _q110(spark, sf_dir):
+    """Null-safe equality (eq_missing/ne_missing), is_finite/is_infinite,
+    str.head/tail with negative lengths — map-only Column built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    a = when(col("lang") != "en").then(col("lang")).otherwise(lit(None))
+    b = when(col("n_chars") > 200).then(col("lang")).otherwise(lit(None))
+    big = (col("n_chars").cast("double") * lit(10.0)).exp()
+    return d.select(
+        col("doc_id"),
+        a.eq_missing(b).alias("em"),
+        a.ne_missing(b).alias("nm"),
+        big.is_finite().alias("fin"),
+        big.is_infinite().alias("inf"),
+        col("source").str.head(3).alias("h3"),
+        col("source").str.tail(2).alias("t2"),
+        col("source").str.head(-2).alias("hneg"),
+        col("source").str.tail(-4).alias("tneg"),
+    ).spark
+
+
+_q110_sql = """
+WITH t AS (SELECT doc_id, source, n_chars,
+                  CASE WHEN lang <> 'en' THEN lang END AS a,
+                  CASE WHEN n_chars > 200 THEN lang END AS b,
+                  exp(n_chars * 10.0) AS big
+           FROM documents)
+SELECT doc_id,
+       a IS NOT DISTINCT FROM b AS em,
+       a IS DISTINCT FROM b AS nm,
+       isfinite(big) AS fin,
+       isinf(big) AS "inf",
+       substr(source, 1, 3) AS h3,
+       right(source, 2) AS t2,
+       substr(source, 1, greatest(length(source) - 2, 0)) AS hneg,
+       substr(source, 5) AS tneg
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3263,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_hist": _q107,
         "q108_datetime_range": _q108,
         "q109_math_extras": _q109,
+        "q110_nullsafe_strparts": _q110,
     }
 
 
@@ -3377,4 +3417,5 @@ def oracle_sql() -> dict[str, str]:
         "q107_hist": _q107_sql,
         "q108_datetime_range": _q108_sql,
         "q109_math_extras": _q109_sql,
+        "q110_nullsafe_strparts": _q110_sql,
     }

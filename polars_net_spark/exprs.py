@@ -253,6 +253,14 @@ class Expr:
         return self.__invert__()
 
     # -- null / NaN (expr.rs:216-217, 241, 1179-1192, 707-723) ------------
+    def eq_missing(self, other: Any) -> "Expr":
+        """Null-safe equality (polars eq_missing): null == null is True."""
+        return _wrap(self._col.eqNullSafe(_c(other)))
+
+    def ne_missing(self, other: Any) -> "Expr":
+        """Null-safe inequality (polars ne_missing)."""
+        return _wrap(~self._col.eqNullSafe(_c(other)))
+
     def is_null(self) -> "Expr":
         return _wrap(self._col.isNull())
 
@@ -1157,6 +1165,22 @@ class ExprStrNamespace:
         return _wrap(
             F.when(c.endswith(suffix), F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c)
         )
+
+    def head(self, n: int) -> Expr:
+        """First n characters (polars str.head; negative n = all but last
+        |n|).  Null in → null out; out-of-range clamps to ''."""
+        if n >= 0:
+            return _wrap(F.substring(self._c, 1, n))
+        return _wrap(F.substring(self._c, 1, F.greatest(F.length(self._c) + n, F.lit(0))))
+
+    def tail(self, n: int) -> Expr:
+        """Last n characters (polars str.tail; negative n = all but first |n|)."""
+        if n == 0:
+            return _wrap(F.when(self._c.isNotNull(), F.lit("")))
+        if n > 0:
+            start = F.greatest(F.length(self._c) - F.lit(n) + 1, F.lit(1))
+            return _wrap(F.substring(self._c, start, n))
+        return _wrap(F.substring(self._c, -n + 1, 2147483647))
 
     def starts_with(self, prefix: str) -> Expr:
         return _wrap(self._c.startswith(prefix))

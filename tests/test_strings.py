@@ -207,3 +207,36 @@ class TestStrMatchExtras:
         assert out[0][4] == 1  # first h\w+ is "he" inside the leading "the"
         assert list(out[1][1]) == [] and out[1][2] == 0 and out[1][3] is None
         assert out[2][1] is None and out[2][3] is None
+
+
+class TestStrHeadTailNullsafe:
+    def test_head_tail(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.LazyFrame(spark.createDataFrame(
+            [(1, "abcdef"), (2, "ab"), (3, None)], "id long, s string"))
+        out = df.select(
+            col("id"),
+            col("s").str.head(3).alias("h3"),
+            col("s").str.head(-2).alias("hm2"),
+            col("s").str.tail(2).alias("t2"),
+            col("s").str.tail(-4).alias("tm4"),
+            col("s").str.tail(0).alias("t0"),
+        ).sort("id").collect().rows()
+        assert out[0][1:] == ("abc", "abcd", "ef", "ef", "")
+        assert out[1][1:] == ("ab", "", "ab", "", "")
+        assert out[2][1:] == (None, None, None, None, None)
+
+    def test_eq_ne_missing(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.LazyFrame(spark.createDataFrame(
+            [(1, "a", "a"), (2, "a", None), (3, None, None)], "id long, x string, y string"))
+        out = df.select(
+            col("id"),
+            col("x").eq_missing(col("y")).alias("em"),
+            col("x").ne_missing(col("y")).alias("nm"),
+        ).sort("id").collect().rows()
+        assert [(r[1], r[2]) for r in out] == [(True, False), (False, True), (True, False)]
