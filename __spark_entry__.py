@@ -3188,6 +3188,40 @@ FROM t
 """
 
 
+_Q111_WEIGHTS = [0.8, -1.2, 0.3, 2.1, -0.7, 0.0, 1.5, -2.3,
+                 0.9, -0.4, 1.1, -1.8, 0.6, -0.2, 1.9, -0.9]
+
+
+def _q111(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (llm/quality.py
+    linear_quality_score_frame): md5-hash each word into 16 buckets, score =
+    sigmoid(bias + mean bucket weight).  Weights are plan literals — one
+    map-only corpus pass, no UDF, no vocabulary join."""
+    from polars_net_spark.llm import linear_quality_score_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return linear_quality_score_frame(d, _Q111_WEIGHTS, bias=0.1).spark
+
+
+_q111_sql = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              w -> length(w) > 0) AS ws
+           FROM documents),
+s AS (SELECT doc_id, len(ws) AS n,
+             list_sum(list_transform(ws, w ->
+               ({str(_Q111_WEIGHTS)})[
+                 (list_reduce(list_transform(generate_series(1, 8),
+                    i -> strpos('0123456789abcdef', substr(md5('lq' || w), i, 1)) - 1),
+                    (a, x) -> a * 16 + x) % 16) + 1])) AS contrib
+      FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       round(1 / (1 + exp(-(0.1 + coalesce(contrib, 0) / greatest(n, 1)))), 6) AS q_score,
+       round(1 / (1 + exp(-(0.1 + coalesce(contrib, 0) / greatest(n, 1)))), 6) >= 0.5 AS keep
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3303,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_datetime_range": _q108,
         "q109_math_extras": _q109,
         "q110_nullsafe_strparts": _q110,
+        "q111_linear_quality": _q111,
     }
 
 
@@ -3418,4 +3453,5 @@ def oracle_sql() -> dict[str, str]:
         "q108_datetime_range": _q108_sql,
         "q109_math_extras": _q109_sql,
         "q110_nullsafe_strparts": _q110_sql,
+        "q111_linear_quality": _q111_sql,
     }

@@ -29,6 +29,7 @@ from .dedup import (
 )
 from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo, semdedup
 from .quality import (
+    linear_quality_score_frame,
     blocklist_metrics_frame,
     gopher_quality_frame,
     unigram_logprob_frame,
@@ -54,6 +55,7 @@ __all__ = [
     "split_by_hash",
     "kfold_by_hash",
     "gopher_quality_frame",
+    "linear_quality_score_frame",
     "unigram_logprob_frame",
     "repetition_metrics_frame",
     "pii_metrics_frame",

@@ -353,3 +353,55 @@ def blocklist_metrics_frame(
         (hits > 0).alias("blocked"),
     )
     return LazyFrame(out)
+
+
+def linear_quality_score_frame(
+    frame,
+    weights: "list[float]",
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "lq",
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """fastText-style linear quality classifier over HASHED bag-of-words
+    features: each lowercased word hashes to a bucket in [0, len(weights))
+    (md5 hex-fold — engine-portable, llm/splits.py hash_bucket), the doc's
+    score is sigmoid(bias + mean of its words' bucket weights).
+
+    This is the serving half of the classic quality-filter setup (train a
+    linear model offline, score the corpus at ingest): weights ride into the
+    plan as an array literal (broadcast by closure), scoring is one map-only
+    pass — F.aggregate over the split words, element_at into the weight
+    array, no UDF, no shuffle, no vocabulary join.  At 100 TB this is the
+    cheapest possible classifier shape: corpus scanned once, zero state.
+
+    Output: (id, n_words, q_score, keep) with keep = q_score >= threshold.
+    """
+    from ..frame import LazyFrame
+    from .splits import hash_bucket
+
+    nb = len(weights)
+    if nb < 1:
+        raise ValueError("weights must be non-empty")
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    contrib = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc + F.element_at(warr, (hash_bucket(w, salt, nb) + 1).cast("int")),
+    )
+    n = F.size(words)
+    z = F.lit(float(bias)) + contrib / F.greatest(n, F.lit(1)).cast("double")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+    out = sdf.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        score.alias("q_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+    return LazyFrame(out)

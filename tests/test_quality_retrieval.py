@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import polars_net_spark as pl
 from polars_net_spark.llm import (
     bm25_topk,
@@ -149,3 +151,54 @@ def test_blocklist_word_boundary_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         blocklist_metrics_frame(sdf, [])
+
+
+class TestLinearQuality:
+    def test_score_closed_form(self, spark):
+        import math
+
+        import polars_net_spark as pl
+        from polars_net_spark.llm import linear_quality_score_frame
+        from polars_net_spark.llm.splits import hash_bucket
+        from pyspark.sql import functions as F
+
+        weights = [1.0, -1.0, 0.5, 2.0]
+        df = pl.from_records([(1, "Alpha beta beta"), (2, ""), (3, None)], ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in linear_quality_score_frame(df, weights, bias=0.2).spark.collect()
+        }
+        # replicate: bucket per lowercased word via the same hash
+        b = spark.createDataFrame([("alpha",), ("beta",)], "w string").select(
+            "w", hash_bucket(F.col("w"), "lq", 4).alias("b")
+        ).collect()
+        buckets = {r["w"]: r["b"] for r in b}
+        contrib = weights[buckets["alpha"]] + 2 * weights[buckets["beta"]]
+        want = 1 / (1 + math.exp(-(0.2 + contrib / 3)))
+        assert out[1]["q_score"] == pytest.approx(want, abs=1e-6)
+        assert out[1]["n_words"] == 3
+        assert out[1]["keep"] == (out[1]["q_score"] >= 0.5)
+        assert out[2]["n_words"] == 0 and out[2]["q_score"] == pytest.approx(
+            1 / (1 + math.exp(-0.2)), abs=1e-6
+        )
+
+    def test_no_udf_no_shuffle_plan(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import linear_quality_score_frame
+
+        df = pl.from_records([(1, "x y z")], ["doc_id", "text"])
+        txt = (
+            linear_quality_score_frame(df, [0.1, 0.2], bias=0.0)
+            .spark._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+        assert "Exchange hashpartitioning" not in txt
+
+    def test_empty_weights(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import linear_quality_score_frame
+        import pytest as _pt
+
+        df = pl.from_records([(1, "x")], ["doc_id", "text"])
+        with _pt.raises(ValueError):
+            linear_quality_score_frame(df, [])
