@@ -3222,6 +3222,37 @@ FROM s
 """
 
 
+def _q112(spark, sf_dir):
+    """Per-key token-budget trim (llm/sampling.py cap_tokens_per_key): keep
+    whole docs per source in priority order while the running token sum stays
+    under budget — one cumsum window, one shuffle keyed on source."""
+    from polars_net_spark.llm import cap_tokens_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_tokens_per_key(
+        d, key_col="source", token_col="n_chars", budget=5_000,
+        order_by="n_chars", tie_col="doc_id",
+    )
+    return out.select(
+        col("doc_id"), col("source"),
+        col("n_chars").cast("long").alias("n_chars"),
+        col("cum_tokens"),
+    ).spark
+
+
+_q112_sql = """
+WITH c AS (SELECT doc_id, source, n_chars,
+                  sum(coalesce(n_chars, 0)) OVER (
+                    PARTITION BY source
+                    ORDER BY n_chars DESC NULLS LAST, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 5000
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3338,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_math_extras": _q109,
         "q110_nullsafe_strparts": _q110,
         "q111_linear_quality": _q111,
+        "q112_token_budget_cap": _q112,
     }
 
 
@@ -3454,4 +3486,5 @@ def oracle_sql() -> dict[str, str]:
         "q109_math_extras": _q109_sql,
         "q110_nullsafe_strparts": _q110_sql,
         "q111_linear_quality": _q111_sql,
+        "q112_token_budget_cap": _q112_sql,
     }

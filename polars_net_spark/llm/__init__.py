@@ -40,7 +40,7 @@ from .retrieval import tfidf_top_terms, bm25_topk
 from .splits import hash_bucket, split_by_hash, kfold_by_hash
 from .chunking import chunk_documents, pack_sequences
 from .decontam import contamination_frame, oov_rate_frame
-from .sampling import cap_per_key, mixture_plan, mixture_sample, sample_stratified_hash
+from .sampling import cap_per_key, cap_tokens_per_key, mixture_plan, mixture_sample, sample_stratified_hash
 
 __all__ = [
     "chunk_documents",
@@ -48,6 +48,7 @@ __all__ = [
     "contamination_frame",
     "oov_rate_frame",
     "cap_per_key",
+    "cap_tokens_per_key",
     "sample_stratified_hash",
     "mixture_sample",
     "mixture_plan",

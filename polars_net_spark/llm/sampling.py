@@ -235,3 +235,51 @@ def mixture_sample(
         .select(*sdf.columns)
     )
     return LazyFrame(out)
+
+
+def cap_tokens_per_key(
+    frame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    order_by: str,
+    tie_col: str,
+    descending: bool = True,
+):
+    """Token-BUDGET cap per key: walk each key's rows in priority order
+    (``order_by`` desc by default, ``tie_col`` breaking ties) and keep whole
+    rows while the running sum of ``token_col`` stays within ``budget`` —
+    the per-domain token-budget trim of a pretraining data recipe (row
+    counts cap documents; this caps what the trainer actually consumes).
+
+    One cumulative-sum range window per key — a single shuffle keyed on
+    ``key_col``, no iteration.  A row is kept iff its own cumsum (inclusive)
+    is <= budget, so documents are never split; the first over-budget doc
+    and everything after it drop.  Null priorities sort last (they are the
+    first to be trimmed); null token counts count as 0.
+
+    Output: input columns + ``cum_tokens`` (the running total including the
+    row itself) for the kept rows.
+    """
+    from ..frame import LazyFrame
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    order = [
+        F.col(order_by).desc_nulls_last()
+        if descending
+        else F.col(order_by).asc_nulls_last(),
+        F.col(tie_col).asc(),
+    ]
+    w = (
+        Window.partitionBy(F.col(key_col))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    out = (
+        sdf.withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    return LazyFrame(out)

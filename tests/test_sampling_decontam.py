@@ -407,3 +407,47 @@ def test_hash_threshold_rounding_half_up(spark):
     # 0.00125 * 10000 = 12.5: banker's round() gives 12, SQL round gives 13
     assert _half_up(0.00125 * 10000) == 13
     assert _half_up(12.4) == 12
+
+
+class TestTokenBudgetCap:
+    def test_whole_doc_semantics(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import cap_tokens_per_key
+
+        rows = [
+            ("a", 1, 5.0, 40), ("a", 2, 4.0, 50), ("a", 3, 3.0, 30),
+            ("b", 4, 9.0, 200),
+        ]
+        df = pl.from_records(rows, ["src", "doc_id", "prio", "toks"])
+        out = cap_tokens_per_key(
+            df, key_col="src", token_col="toks", budget=100,
+            order_by="prio", tie_col="doc_id",
+        ).spark.collect()
+        kept = {r["doc_id"]: r["cum_tokens"] for r in out}
+        # a: 40 (cum 40), 50 (cum 90), 30 would hit 120 > 100 -> dropped whole
+        assert kept == {1: 40, 2: 90}
+
+    def test_null_priority_trims_first_and_null_tokens_zero(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import cap_tokens_per_key
+
+        sdf = spark.createDataFrame(
+            [("a", 1, 5.0, 60), ("a", 2, None, 60), ("a", 3, 1.0, None)],
+            "src string, doc_id long, prio double, toks int",
+        )
+        out = cap_tokens_per_key(
+            pl.LazyFrame(sdf), key_col="src", token_col="toks", budget=60,
+            order_by="prio", tie_col="doc_id",
+        ).spark.collect()
+        kept = sorted(r["doc_id"] for r in out)
+        # order: prio 5 (60) -> prio 1/null-toks (+0) -> null prio (drop at 120)
+        assert kept == [1, 3]
+
+    def test_bad_budget(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import cap_tokens_per_key
+        import pytest as _pt
+
+        df = pl.from_records([("a", 1, 1.0, 1)], ["src", "doc_id", "prio", "toks"])
+        with _pt.raises(ValueError):
+            cap_tokens_per_key(df, "src", "toks", -1, "prio", "doc_id")
