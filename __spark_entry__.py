@@ -3253,6 +3253,71 @@ FROM c WHERE cum <= 5000
 """
 
 
+def _q113(spark, sf_dir):
+    """str.json_path_match on the events props JSON column (get_json_object;
+    map-only)."""
+    ev = _t(spark, sf_dir, "events")
+    k = col("props").str.json_path_match("$.k")
+    return ev.select(
+        col("event_id"),
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+        col("props").str.json_path_match("$.missing").alias("m"),
+    ).spark
+
+
+_q113_sql = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       json_extract_string(props, '$.missing') AS m
+FROM events
+"""
+
+
+def _q114(spark, sf_dir):
+    """Embedding utilities (llm/similarity.py): L2 normalization and
+    matryoshka truncation — map-only F.transform math; at 100 TB a 4x dim
+    cut is a 4x scan cut."""
+    from polars_net_spark.llm import normalize_embeddings, truncate_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    normed = normalize_embeddings(e, out_col="nv")
+    out = truncate_embeddings(normed, dim=16, vec_col="embedding", out_col="tv")
+    from polars_net_spark.llm.similarity import _norm_expr
+
+    return out.select(
+        col("vec_id"),
+        pls.Expr(F.round(_norm_expr(F.col("nv")), 6)).alias("n_norm"),
+        pls.Expr(F.round(F.element_at(F.col("nv"), 1), 6)).alias("n0"),
+        pls.Expr(F.round(_norm_expr(F.col("tv")), 6)).alias("t_norm"),
+        pls.Expr(F.round(F.element_at(F.col("tv"), 1), 6)).alias("t0"),
+        pls.Expr(F.size(F.col("tv")).cast("long")).alias("t_dim"),
+    ).spark
+
+
+_q114_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             v[1:16] AS tv0
+      FROM e),
+t AS (SELECT vec_id, nrm,
+             list_transform(v, x -> x / nrm) AS nv,
+             sqrt(list_dot_product(tv0, tv0)) AS tnrm, tv0
+      FROM n),
+f AS (SELECT vec_id,
+             round(sqrt(list_dot_product(nv, nv)), 6) AS n_norm,
+             round(nv[1], 6) AS n0,
+             list_transform(tv0, x -> x / tnrm) AS tv
+      FROM t)
+SELECT vec_id, n_norm, n0,
+       round(sqrt(list_dot_product(tv, tv)), 6) AS t_norm,
+       round(tv[1], 6) AS t0,
+       CAST(len(tv) AS BIGINT) AS t_dim
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3370,6 +3435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_nullsafe_strparts": _q110,
         "q111_linear_quality": _q111,
         "q112_token_budget_cap": _q112,
+        "q113_json_path": _q113,
+        "q114_embedding_utils": _q114,
     }
 
 
@@ -3487,4 +3554,6 @@ def oracle_sql() -> dict[str, str]:
         "q110_nullsafe_strparts": _q110_sql,
         "q111_linear_quality": _q111_sql,
         "q112_token_budget_cap": _q112_sql,
+        "q113_json_path": _q113_sql,
+        "q114_embedding_utils": _q114_sql,
     }

@@ -1205,6 +1205,11 @@ class ExprStrNamespace:
             out = F.try_to_timestamp(self._c, F.lit(java)) if java else F.try_to_timestamp(self._c)
         return _wrap(out)
 
+    def json_path_match(self, path: str) -> Expr:
+        """First JSONPath match as a string, null on miss/invalid JSON
+        (polars str.json_path_match; Spark get_json_object)."""
+        return _wrap(F.get_json_object(self._c, path))
+
     def json_decode(self, dtype: str | T.DataType) -> Expr:
         return _wrap(F.from_json(self._c, _to_spark_type(dtype)))
 

@@ -27,7 +27,7 @@ from .dedup import (
     simhash_signatures,
     embedding_near_dup_pairs,
 )
-from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo, semdedup
+from .similarity import cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids, kmeans_centroids_cached, clear_centroid_memo, semdedup, normalize_embeddings, truncate_embeddings
 from .quality import (
     linear_quality_score_frame,
     blocklist_metrics_frame,
@@ -83,6 +83,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "cosine_topk",
     "semdedup",
+    "normalize_embeddings",
+    "truncate_embeddings",
     "lsh_bucket_topk",
     "ivf_topk",
     "kmeans_centroids",

@@ -31,6 +31,8 @@ __all__ = [
     "sq8_topk",
     "sq8_recall_frame",
     "semdedup",
+    "normalize_embeddings",
+    "truncate_embeddings",
 ]
 
 
@@ -773,3 +775,44 @@ def semdedup(
         )
     )
     return LazyFrame(out)
+
+
+def normalize_embeddings(
+    frame: "LazyFrame | SparkDF",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> LazyFrame:
+    """L2-normalize an embedding column (unit vectors make cosine == dot,
+    which every downstream scorer here can exploit).  Zero-norm vectors
+    yield null.  Pure F.transform Column math, map-only."""
+    sdf = _sdf(frame)
+    oc = out_col or vec_col
+    n = _norm_expr(F.col(vec_col))
+    normed = F.when(
+        n > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+    return LazyFrame(sdf.withColumn(oc, normed))
+
+
+def truncate_embeddings(
+    frame: "LazyFrame | SparkDF",
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    renormalize: bool = True,
+) -> LazyFrame:
+    """Matryoshka-style truncation: keep the first ``dim`` components
+    (optionally re-L2-normalized) — the standard cheap-recall trick for
+    MRL-trained embeddings; at 100 TB a 4x dim cut is a 4x scan/score cut.
+    Map-only Column math."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    sdf = _sdf(frame)
+    oc = out_col or vec_col
+    sliced = F.slice(F.col(vec_col), 1, dim)
+    if renormalize:
+        n = F.sqrt(
+            F.aggregate(sliced, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double"))
+        )
+        sliced = F.when(n > 0, F.transform(sliced, lambda x: x.cast("double") / n))
+    return LazyFrame(sdf.withColumn(oc, sliced))

@@ -59,3 +59,54 @@ def test_no_cartesian_plan(vecs):
         .spark._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+
+
+class TestEmbeddingUtils:
+    def test_normalize(self, spark):
+        from polars_net_spark.llm import normalize_embeddings
+
+        sdf = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        out = {r["vec_id"]: r["embedding"] for r in
+               normalize_embeddings(pl.LazyFrame(sdf)).spark.collect()}
+        assert out[1] == [0.6, 0.8]
+        assert out[2] is None  # zero-norm -> null
+
+    def test_truncate_renormalize(self, spark):
+        from polars_net_spark.llm import truncate_embeddings
+
+        sdf = spark.createDataFrame(
+            [(1, [3.0, 4.0, 100.0])], "vec_id long, embedding array<double>"
+        )
+        out = truncate_embeddings(pl.LazyFrame(sdf), dim=2).spark.collect()[0]["embedding"]
+        assert out == [0.6, 0.8]
+        raw = truncate_embeddings(pl.LazyFrame(sdf), dim=2, renormalize=False)
+        assert raw.spark.collect()[0]["embedding"] == [3.0, 4.0]
+
+    def test_truncate_guard(self, spark):
+        import pytest as _pt
+
+        from polars_net_spark.llm import truncate_embeddings
+
+        sdf = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+        with _pt.raises(ValueError):
+            truncate_embeddings(pl.LazyFrame(sdf), dim=0)
+
+
+class TestJsonPathMatch:
+    def test_extract_and_miss(self, spark):
+        from polars_net_spark import col
+
+        df = pl.LazyFrame(spark.createDataFrame(
+            [(1, '{"a": {"b": 7}, "c": "x"}'), (2, "not json"), (3, None)],
+            "id long, j string"))
+        out = df.select(
+            col("id"),
+            col("j").str.json_path_match("$.a.b").alias("ab"),
+            col("j").str.json_path_match("$.c").alias("c"),
+            col("j").str.json_path_match("$.zzz").alias("z"),
+        ).sort("id").collect().rows()
+        assert out[0][1:] == ("7", "x", None)
+        assert out[1][1:] == (None, None, None)
+        assert out[2][1:] == (None, None, None)
