@@ -3318,6 +3318,30 @@ FROM f
 """
 
 
+def _q115(spark, sf_dir):
+    """LazyFrame.update (polars overlay-by-key): customers' acctbal replaced
+    by their order-total where they have orders, kept otherwise — one
+    broadcast-eligible equi-join, coalesce overlay (frame.py update)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    upd = o.group_by("o_custkey").agg(
+        col("o_totalprice").sum().round(2).alias("c_acctbal")
+    ).rename({"o_custkey": "c_custkey"})
+    out = c.update(upd, on="c_custkey")
+    return out.select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").round(2).alias("c_acctbal"),
+    ).spark
+
+
+_q115_sql = """
+WITH u AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS nb
+           FROM orders GROUP BY 1)
+SELECT c_custkey, c_name, round(coalesce(u.nb, c_acctbal), 2) AS c_acctbal
+FROM customer LEFT JOIN u ON u.k = c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3437,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_token_budget_cap": _q112,
         "q113_json_path": _q113,
         "q114_embedding_utils": _q114,
+        "q115_update_overlay": _q115,
     }
 
 
@@ -3556,4 +3581,5 @@ def oracle_sql() -> dict[str, str]:
         "q112_token_budget_cap": _q112_sql,
         "q113_json_path": _q113_sql,
         "q114_embedding_utils": _q114_sql,
+        "q115_update_overlay": _q115_sql,
     }

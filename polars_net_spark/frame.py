@@ -595,6 +595,47 @@ class LazyFrame:
 
         return salted_join(self, other, on, **kwargs)
 
+    def update(
+        self,
+        other: "LazyFrame",
+        on: "str | Sequence[str]",
+        how: str = "left",
+        include_nulls: bool = False,
+    ) -> "LazyFrame":
+        """polars LazyFrame.update: overlay ``other``'s values onto matching
+        rows by key.  how='left' keeps every left row (default); how='inner'
+        keeps only matched rows.  Only ``other``'s NON-NULL values overwrite
+        unless ``include_nulls=True`` (then a null in ``other`` overwrites
+        too, polars semantics).  Columns of ``other`` outside the left schema
+        are ignored.  One equi-join shuffle; broadcast-eligible when the
+        update side is small."""
+        keys = [on] if isinstance(on, str) else list(on)
+        if how not in ("left", "inner"):
+            raise ValueError(f"how={how!r} must be 'left' or 'inner'")
+        left = self._drop_order()._sdf
+        right = other._drop_order()._sdf if isinstance(other, LazyFrame) else other.spark
+        overlap = [c for c in right.columns if c in left.columns and c not in keys]
+        r = right.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__upd_{c}__") for c in overlap],
+        )
+        if include_nulls:
+            # need a match flag so "matched but null" still overwrites
+            r = r.withColumn("__upd_hit__", F.lit(True))
+        joined = left.join(r, on=keys, how=how)
+        out_cols = []
+        for c in left.columns:
+            if c in overlap:
+                upd = F.col(f"__upd_{c}__")
+                if include_nulls:
+                    new = F.when(F.coalesce(F.col("__upd_hit__"), F.lit(False)), upd).otherwise(F.col(c))
+                else:
+                    new = F.coalesce(upd, F.col(c))
+                out_cols.append(new.alias(c))
+            else:
+                out_cols.append(F.col(c))
+        return LazyFrame(joined.select(*out_cols))
+
     def merge_into(self, source: "LazyFrame", on, **kwargs) -> "LazyFrame":
         """SQL-MERGE a change batch onto this frame (see operators.merge)."""
         from .operators.merge import merge_into
@@ -1158,6 +1199,10 @@ class DataFrame:
 
     def to_dummies(self, *columns: str, separator: str = "_", drop_first: bool = False) -> "DataFrame":
         return self._wrap(self._lf.to_dummies(*columns, separator=separator, drop_first=drop_first))
+
+    def update(self, other, on, how: str = "left", include_nulls: bool = False) -> "DataFrame":
+        return self._wrap(self._lf.update(
+            other.lazy() if isinstance(other, DataFrame) else other, on, how, include_nulls))
 
     def null_count(self) -> "DataFrame":
         return self._wrap(self._lf.null_count())

@@ -266,3 +266,40 @@ def test_join_where_pure_inequality_warns(spark):
     with _pt.warns(UserWarning, match="no equality"):
         out = a.join_where(b, col("y") < col("x"))
     assert out.collect().rows() == [(1, 10.0, 2, 5.0)]
+
+
+class TestUpdateOverlay:
+    def test_left_nonnull_overlay(self, spark):
+        import polars_net_spark as pl
+
+        left = pl.LazyFrame(spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"))
+        right = pl.LazyFrame(spark.createDataFrame(
+            [(1, 99.0), (2, None), (9, 1.0)], "k long, v double"))
+        out = {r[0]: (r[1], r[2]) for r in left.update(right, on="k").collect().rows()}
+        assert out == {1: ("a", 99.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+    def test_include_nulls_and_inner(self, spark):
+        import polars_net_spark as pl
+
+        left = pl.LazyFrame(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"))
+        right = pl.LazyFrame(spark.createDataFrame(
+            [(1, None)], "k long, v double"))
+        got = {r[0]: r[1] for r in
+               left.update(right, on="k", include_nulls=True).collect().rows()}
+        assert got == {1: None, 2: 20.0}
+        inner = left.update(right, on="k", how="inner").collect().rows()
+        assert [r[0] for r in inner] == [1] and inner[0][1] == 10.0  # null doesn't overwrite
+
+    def test_extra_right_columns_ignored_and_bad_how(self, spark):
+        import polars_net_spark as pl
+        import pytest as _pt
+
+        left = pl.LazyFrame(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+        right = pl.LazyFrame(spark.createDataFrame(
+            [(1, 5.0, "x")], "k long, v double, extra string"))
+        out = left.update(right, on="k")
+        assert out.columns == ["k", "v"]
+        with _pt.raises(ValueError):
+            left.update(right, on="k", how="full")
