@@ -80,11 +80,30 @@ def main() -> None:
     )
     print("after blocklist + span removal:", decontaminated.collect().height, "docs")
 
+    # 4d. model-based quality score: fastText-style hashed linear classifier
+    #     (weights trained offline; scoring is one map-only pass, no UDF)
+    from polars_net_spark.llm import linear_quality_score_frame
+
+    W = [0.8, -1.2, 0.3, 2.1, -0.7, 0.0, 1.5, -2.3,
+         0.9, -0.4, 1.1, -1.8, 0.6, -0.2, 1.9, -0.9]
+    scored = linear_quality_score_frame(decontaminated, W, bias=0.4, threshold=0.3)
+    good = scored.filter(col("keep")).select(col("doc_id"))
+    decontaminated = decontaminated.join(good, on="doc_id", how="semi")
+
     # 5. near-dup removal: minhash candidates -> exact verify -> components ->
     #    keep the lowest-id doc per cluster
     canonical = dedup_fuzzy(decontaminated, method="minhash", threshold=0.5, n=3,
                             num_hashes=64, bands=16)
-    print("after fuzzy dedup:", canonical.collect().height, "docs")
+    print("after classifier + fuzzy dedup:", canonical.collect().height, "docs")
+
+    # 5b. per-source TOKEN budget (what the trainer consumes, not doc counts):
+    #     whole docs kept in priority order until each source hits its budget
+    from polars_net_spark.llm import cap_tokens_per_key
+
+    canonical = cap_tokens_per_key(
+        canonical, key_col="source", token_col="n_chars", budget=50_000,
+        order_by="n_chars", tie_col="doc_id",
+    ).drop("cum_tokens")
 
     # 6. data mixing: largest subsample with n_chars mass split 50/30/20
     #    across three sources (fully in-plan, reproducible by hash)

@@ -128,6 +128,26 @@ CHECKS = {
         ("!", "Exchange hashpartitioning", "indicators are map-only, zero shuffles"),
         ("!", "BatchEvalPython", "CASE WHEN indicators, no UDF"),
     ],
+    "q109_math_extras": [
+        ("!", "Exchange hashpartitioning", "math extras are map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "all JVM built-ins, no UDF"),
+    ],
+    "q111_linear_quality": [
+        ("!", "Exchange hashpartitioning", "classifier scoring is map-only, zero shuffles"),
+        ("!", "ArrowEvalPython", "weights are plan literals, no pandas UDF"),
+        ("!", "BatchEvalPython", "no row-at-a-time UDF"),
+    ],
+    "q112_token_budget_cap": [
+        ("RowFrame, unboundedpreceding$(), currentrow$()", "budget trim is one cumsum frame"),
+        ("!", "CartesianProduct", "no join at all"),
+    ],
+    "q113_json_path": [
+        ("!", "Exchange hashpartitioning", "json extraction is map-only"),
+    ],
+    "q115_update_overlay": [
+        ("!", "CartesianProduct", "overlay is an equi-join"),
+        ("BroadcastHashJoin", "small update side broadcasts"),
+    ],
     "q84_map_groups": [
         ("FlatMapGroupsInPandas", "map_groups via Arrow-batched applyInPandas"),
         ("!", "CartesianProduct", "grouped transform shuffles on keys only"),
