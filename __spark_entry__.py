@@ -3342,6 +3342,32 @@ FROM customer LEFT JOIN u ON u.k = c_custkey
 """
 
 
+def _q116(spark, sf_dir):
+    """Rank methods incl. polars' default 'average' and 'max' (tie-count
+    window composition — one shuffle, no self-join; exprs.py Expr.rank)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = col("l_quantity")
+    return li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        q.rank("min", partition_by=["l_returnflag"]).cast("long").alias("rmin"),
+        q.rank("max", partition_by=["l_returnflag"]).cast("long").alias("rmax"),
+        q.rank("average", partition_by=["l_returnflag"]).alias("ravg"),
+        q.rank("dense", partition_by=["l_returnflag"]).cast("long").alias("rdense"),
+    ).spark
+
+
+_q116_sql = """
+SELECT l_orderkey, l_linenumber,
+       CAST(rank() OVER w AS BIGINT) AS rmin,
+       CAST(rank() OVER w + count(*) OVER tw - 1 AS BIGINT) AS rmax,
+       (rank() OVER w + rank() OVER w + count(*) OVER tw - 1) / 2.0 AS ravg,
+       CAST(dense_rank() OVER w AS BIGINT) AS rdense
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+       tw AS (PARTITION BY l_returnflag, l_quantity)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3462,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_json_path": _q113,
         "q114_embedding_utils": _q114,
         "q115_update_overlay": _q115,
+        "q116_rank_methods": _q116,
     }
 
 
@@ -3582,4 +3609,5 @@ def oracle_sql() -> dict[str, str]:
         "q113_json_path": _q113_sql,
         "q114_embedding_utils": _q114_sql,
         "q115_update_overlay": _q115_sql,
+        "q116_rank_methods": _q116_sql,
     }

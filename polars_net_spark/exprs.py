@@ -797,13 +797,27 @@ class Expr:
 
     # rank-style helpers (free in Spark; not in reference but useful)
     def rank(self, method: str = "dense", order_by: Any = None, partition_by=()):
-        w = (
-            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
-            if partition_by
-            else Window.partitionBy()
-        ).orderBy(self._col if order_by is None else _order_cols(order_by)[0])
-        fn = {"dense": F.dense_rank, "min": F.rank, "ordinal": F.row_number}[method]
-        return _wrap(fn().over(w))
+        """Rank within partitions.  Methods (polars names): 'dense', 'min'
+        (competition), 'ordinal' (row_number), 'max' (ties share the LAST
+        slot), 'average' (ties share the mean slot, polars' default method).
+        max/average compose rank() with a tie-count window over the same
+        value — still one shuffle, no self-join."""
+        keys = [_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]
+        order = self._col if order_by is None else _order_cols(order_by)[0]
+        w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(order)
+        if method in ("dense", "min", "ordinal"):
+            fn = {"dense": F.dense_rank, "min": F.rank, "ordinal": F.row_number}[method]
+            return _wrap(fn().over(w))
+        if method in ("max", "average"):
+            tie_w = Window.partitionBy(*keys, order)
+            rmin = F.rank().over(w)
+            rmax = rmin + F.count(F.lit(1)).over(tie_w) - F.lit(1)
+            if method == "max":
+                return _wrap(rmax)
+            return _wrap((rmin + rmax) / F.lit(2.0))
+        raise ValueError(
+            f"rank method={method!r} must be dense/min/ordinal/max/average"
+        )
 
     def rolling_quantile(
         self,

@@ -264,3 +264,38 @@ class TestMathExtras:
 
         with pytest.raises(ValueError):
             pl.format("{}-{}", col("x"))
+
+
+class TestRankMethods:
+    def test_all_methods(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records(
+            [("a", 10), ("a", 20), ("a", 20), ("a", 30)], ["k", "v"]
+        ).lazy()
+        out = (
+            lf.select(
+                col("v"),
+                col("v").rank("min", partition_by=["k"]).alias("rmin"),
+                col("v").rank("max", partition_by=["k"]).alias("rmax"),
+                col("v").rank("average", partition_by=["k"]).alias("ravg"),
+                col("v").rank("dense", partition_by=["k"]).alias("rdense"),
+            )
+            .sort("v")
+            .collect()
+            .rows()
+        )
+        # v=20 ties: min 2, max 3, average 2.5
+        assert [r[1] for r in out] == [1, 2, 2, 4]
+        assert [r[2] for r in out] == [1, 3, 3, 4]
+        assert [r[3] for r in out] == [1.0, 2.5, 2.5, 4.0]
+        assert [r[4] for r in out] == [1, 2, 2, 3]
+
+    def test_bad_method(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records([("a", 1)], ["k", "v"]).lazy()
+        with pytest.raises(ValueError):
+            lf.select(col("v").rank("random", partition_by=["k"]))
