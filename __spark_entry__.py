@@ -3368,6 +3368,30 @@ WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
 """
 
 
+def _q117(spark, sf_dir):
+    """Integer-index dynamic windows (polars every='1000i';
+    operators/dynamic.py _agg_int): pure integer bucket arithmetic, one
+    groupBy shuffle — no timestamps involved."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by_dynamic("l_orderkey", every="1000i", group_by=["l_returnflag"])
+        .agg(
+            col("l_quantity").sum().round(6).alias("sum_qty"),
+            col("l_orderkey").count().cast("long").alias("n"),
+        )
+        .spark
+    )
+
+
+_q117_sql = """
+SELECT l_returnflag,
+       CAST(floor(l_orderkey / 1000) * 1000 AS BIGINT) AS l_orderkey,
+       round(sum(l_quantity), 6) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3489,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_embedding_utils": _q114,
         "q115_update_overlay": _q115,
         "q116_rank_methods": _q116,
+        "q117_int_dynamic": _q117,
     }
 
 
@@ -3610,4 +3635,5 @@ def oracle_sql() -> dict[str, str]:
         "q114_embedding_utils": _q114_sql,
         "q115_update_overlay": _q115_sql,
         "q116_rank_methods": _q116_sql,
+        "q117_int_dynamic": _q117_sql,
     }

@@ -62,6 +62,9 @@ class DynamicGroupBy:
     def agg(self, *aggs, **named_aggs) -> LazyFrame:
         from ..frame import _flatten
 
+        if self._every.endswith("i"):
+            return self._agg_int(aggs, named_aggs)
+
         sdf = self._lf._sdf
         ts = F.col(self._index)
         # defensive cast for epoch math: parquet tz-naive timestamps read as
@@ -182,3 +185,64 @@ class DynamicGroupBy:
         out_cols += [F.col(c) for c in grouped.columns if c not in ("__w__", "__first_point__", "__rel__") and c not in self._group_by]
         out = grouped.select(*out_cols).orderBy(*self._group_by, self._index)
         return LazyFrame(out)
+
+
+def _int_every(s: str, what: str) -> int:
+    if not s.endswith("i"):
+        raise ValueError(f"{what} must use 'Ni' notation when every does (got {s!r})")
+    n = int(s[:-1])
+    if n <= 0:
+        raise ValueError(f"{what} must be positive, got {s!r}")
+    return n
+
+
+def _agg_int_impl(self, aggs, named_aggs):
+    """Integer-index dynamic windows (polars every='10i'): buckets are pure
+    integer arithmetic on the index — no timestamps, no F.window, one
+    groupBy shuffle on (keys, bucket_start).
+
+    Supported subset (documented): period == every (non-overlapping),
+    closed 'left' (polars default) or 'right', label left/right/datapoint,
+    include_boundaries, group_by keys, start_by='window'.
+    """
+    from ..frame import _flatten
+
+    aggs = _flatten(aggs)
+    every = _int_every(self._every, "every")
+    if _int_every(self._period, "period") != every:
+        raise ValueError("integer dynamic windows support period == every only")
+    off = int(self._offset[:-1]) if self._offset else 0
+    if self._closed not in ("left", "right"):
+        raise ValueError("integer dynamic windows support closed='left'/'right'")
+    if self._start_by != "window":
+        raise ValueError("integer dynamic windows support start_by='window' only")
+
+    sdf = self._lf._sdf
+    idx = F.col(self._index).cast("long")
+    shifted = idx - F.lit(off) - (F.lit(1) if self._closed == "right" else F.lit(0))
+    start = (
+        F.floor(shifted / F.lit(every)).cast("long") * F.lit(every) + F.lit(off)
+    ).alias("__start__")
+    key_cols = [F.col(k) for k in self._group_by]
+    agg_cols = [_c(a) for a in aggs] + [_c(a).alias(n) for n, a in named_aggs.items()]
+    grouped = sdf.withColumn("__start__", start).groupBy(*key_cols, F.col("__start__"))
+    out = grouped.agg(*agg_cols)
+    lab = F.col("__start__")
+    if self._label == "right":
+        lab = lab + F.lit(every)
+    elif self._label == "datapoint":
+        # smallest index actually in the bucket — recompute as an extra agg
+        out = grouped.agg(F.min(idx).alias("__dp__"), *agg_cols)
+        lab = F.col("__dp__")
+    sel = key_cols + [lab.alias(self._index)]
+    if self._include_boundaries:
+        sel += [
+            F.col("__start__").alias("_lower_boundary"),
+            (F.col("__start__") + F.lit(every)).alias("_upper_boundary"),
+        ]
+    sel += [F.col(c) for c in out.columns
+            if c not in ("__start__", "__dp__") and c not in self._group_by]
+    return LazyFrame(out.select(*sel).orderBy(*key_cols, "__start__"))
+
+
+DynamicGroupBy._agg_int = _agg_int_impl

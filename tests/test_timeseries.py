@@ -216,3 +216,50 @@ def test_dynamic_start_by_datapoint_ungrouped(spark):
     # grid anchored at first point: [10:00,10:45) → 0+1+2+3+4? no: 10:40 is
     # within [10:00,10:45) → vals 0..4 sum 10; [10:45,11:30) → val 5
     assert [(r[1]) for r in rows] == [10, 5]
+
+
+class TestIntDynamicWindows:
+    def test_left_right_offset_label(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records(
+            [(1, 1.0), (5, 2.0), (10, 3.0), (11, 4.0), (20, 5.0)], ["i", "v"]
+        ).lazy()
+        left = lf.group_by_dynamic("i", every="10i").agg(col("v").sum().alias("s")).collect().rows()
+        assert left == [(0, 3.0), (10, 7.0), (20, 5.0)]
+        right = (
+            lf.group_by_dynamic("i", every="10i", closed="right")
+            .agg(col("v").sum().alias("s")).collect().rows()
+        )
+        assert right == [(0, 6.0), (10, 9.0)]
+        dp = (
+            lf.group_by_dynamic("i", every="10i", offset="3i", label="datapoint")
+            .agg(col("v").sum().alias("s")).collect().rows()
+        )
+        assert dp == [(1, 1.0), (5, 9.0), (20, 5.0)]
+        bounds = (
+            lf.group_by_dynamic("i", every="10i", label="right", include_boundaries=True)
+            .agg(col("v").sum().alias("s")).collect().rows()
+        )
+        assert bounds[0] == (10, 0, 10, 3.0)
+
+    def test_grouped_and_guards(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+        import pytest as _pt
+
+        lf = pl.from_records(
+            [("a", 1, 1.0), ("a", 11, 2.0), ("b", 2, 3.0)], ["k", "i", "v"]
+        ).lazy()
+        out = (
+            lf.group_by_dynamic("i", every="10i", group_by=["k"])
+            .agg(col("v").sum().alias("s")).collect().rows()
+        )
+        assert ("a", 0, 1.0) in out and ("a", 10, 2.0) in out and ("b", 0, 3.0) in out
+        with _pt.raises(ValueError):
+            lf.group_by_dynamic("i", every="10i", period="20i").agg(col("v").sum())
+        with _pt.raises(ValueError):
+            lf.group_by_dynamic("i", every="10i", closed="both").agg(col("v").sum())
+        with _pt.raises(ValueError):
+            lf.group_by_dynamic("i", every="10i", start_by="datapoint").agg(col("v").sum())
