@@ -3392,6 +3392,49 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def _q118(spark, sf_dir):
+    """cum_prod (exact windowed multiplication fold; exprs.py): per-user
+    compounding factor — the return-index pattern."""
+    ev = _t(spark, sf_dir, "events")
+    factor = lit(1.0) + col("value") / lit(1000.0)
+    return ev.select(
+        col("user_id"), col("event_id"), col("ts"),
+        factor.cum_prod(order_by=["ts", "event_id"], partition_by=["user_id"])
+        .round(6).alias("cp"),
+    ).spark
+
+
+_q118_sql = """
+SELECT user_id, event_id, ts,
+       round(product(1.0 + value / 1000.0) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING), 6) AS cp
+FROM events
+"""
+
+
+def _q119(spark, sf_dir):
+    """Text hygiene (llm/text.py clean_text_frame): control-char strip +
+    whitespace collapse — pure regexp Column math, map-only."""
+    from polars_net_spark.llm import clean_text_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return clean_text_frame(d).spark
+
+
+_q119_sql = """
+WITH c AS (SELECT doc_id, text,
+                  regexp_replace(trim(regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g')),
+                                 '\\s+', ' ', 'g') AS ct
+           FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(ct) AS BIGINT) AS n_chars_after,
+       ct AS clean_text
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3514,6 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_update_overlay": _q115,
         "q116_rank_methods": _q116,
         "q117_int_dynamic": _q117,
+        "q118_cum_prod": _q118,
+        "q119_clean_text": _q119,
     }
 
 
@@ -3636,4 +3681,6 @@ def oracle_sql() -> dict[str, str]:
         "q115_update_overlay": _q115_sql,
         "q116_rank_methods": _q116_sql,
         "q117_int_dynamic": _q117_sql,
+        "q118_cum_prod": _q118_sql,
+        "q119_clean_text": _q119_sql,
     }

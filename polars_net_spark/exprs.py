@@ -711,6 +711,23 @@ class Expr:
         ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
         return _wrap(F.min(self._col).over(w))
 
+    def cum_prod(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+        """polars cum_prod: exact multiplication fold over the windowed
+        prefix (collect_list + aggregate — same bit pattern as product();
+        exp(sum(log)) would drift).  Null rows emit null and are excluded
+        from later products (polars semantics).  Prefix lists are O(n) per
+        row, so keep partitions to series-sized groups like other cum_* ops."""
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by)).rowsBetween(Window.unboundedPreceding, 0)
+        x = self._col.cast("double")
+        prefix_prod = F.aggregate(
+            F.collect_list(x).over(w), F.lit(1.0).cast("double"), lambda acc, v: acc * v
+        )
+        return _wrap(F.when(self._col.isNotNull(), prefix_prod))
+
     # rolling fixed-size (expr.rs:110-141, 272-275)
     def _rolling(self, fn, window_size: int | str, min_periods: int | None, order_by, partition_by):
         if isinstance(window_size, str):

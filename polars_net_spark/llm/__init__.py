@@ -6,6 +6,8 @@ exact verification so the O(n²) step only ever runs within small buckets.
 """
 
 from .text import (
+    clean_text,
+    clean_text_frame,
     token_count,
     quality_score,
     language_id,
@@ -68,6 +70,8 @@ __all__ = [
     "content_fingerprint",
     "shingle_fingerprints",
     "text_metrics_frame",
+    "clean_text",
+    "clean_text_frame",
     "shingle_fingerprint_frame",
     "dedup_exact",
     "blocklist_metrics_frame",

@@ -206,3 +206,55 @@ def _shingle_fp_expr(words: Column, k: int, keep_every: int) -> Column:
     hashes = F.transform(shingles, F.md5)
     kept = F.filter(hashes, lambda h: F.substring(h, 1, 1).isin(list(keep_chars)))
     return F.array_sort(F.array_distinct(kept))
+
+
+def clean_text(
+    text: Column,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    nfc: bool = False,
+) -> Column:
+    """Corpus text hygiene: strip C0/DEL control characters, collapse runs
+    of whitespace to single spaces and trim.  Pure regexp Column ops —
+    map-only at any scale.  ``nfc=True`` additionally applies Unicode NFC
+    normalization through an Arrow-batched pandas_udf (no JVM builtin
+    exists; this is the documented slow path — keep it off the 100 TB hot
+    path unless the corpus actually mixes compositions)."""
+    c = text
+    if strip_control:
+        c = F.regexp_replace(c, "[\\x00-\\x1F\\x7F]", "")
+    if collapse_whitespace:
+        c = F.regexp_replace(F.trim(c), "\\s+", " ")
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(lambda v: unicodedata.normalize("NFC", v) if v is not None else None)
+
+        c = _nfc(c)
+    return c
+
+
+def clean_text_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+    **kwargs,
+):
+    """Frame wrapper for :func:`clean_text`: (id, n_chars_before/after,
+    cleaned text)."""
+    from ..frame import LazyFrame
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    cleaned = clean_text(F.col(text_col), **kwargs)
+    out = sdf.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_before"),
+        F.length(cleaned).cast("long").alias("n_chars_after"),
+        cleaned.alias(out_col),
+    )
+    return LazyFrame(out)

@@ -515,3 +515,41 @@ def test_remove_duplicated_spans(spark):
     out2 = {r["doc_id"]: r for r in remove_duplicated_spans(sdf, spans=big).spark.collect()}
     assert all(out2[i]["n_removed_words"] == 0 for i in (1, 2, 3))
     pl.release_caches()
+
+
+class TestCleanText:
+    def test_control_and_whitespace(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import clean_text_frame
+
+        sdf = spark.createDataFrame(
+            [(1, "a\x00b\x1fc\x7fd"), (2, "  x \t\n y  "), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in clean_text_frame(pl.LazyFrame(sdf)).spark.collect()}
+        assert out[1]["clean_text"] == "abcd"
+        assert out[2]["clean_text"] == "x y"
+        assert out[3]["clean_text"] is None and out[3]["n_chars_after"] is None
+
+    def test_nfc_path(self, spark):
+        import unicodedata
+        import polars_net_spark as pl
+        from polars_net_spark.llm import clean_text_frame
+
+        decomposed = "éclair"  # e + combining acute
+        sdf = spark.createDataFrame([(1, decomposed)], "doc_id long, text string")
+        out = clean_text_frame(pl.LazyFrame(sdf), nfc=True).spark.collect()[0]
+        assert out["clean_text"] == unicodedata.normalize("NFC", decomposed)
+        assert out["clean_text"].startswith("é")
+
+    def test_cum_prod_semantics(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        sdf = spark.createDataFrame(
+            [(1, 2.0), (2, None), (3, 3.0), (4, -4.0)], "i long, v double"
+        )
+        out = pl.LazyFrame(sdf).select(
+            col("i"), col("v").cum_prod(order_by="i").alias("cp")
+        ).sort("i").collect().rows()
+        assert [r[1] for r in out] == [2.0, None, 6.0, -24.0]
