@@ -3435,6 +3435,34 @@ FROM c
 """
 
 
+def _q120(spark, sf_dir):
+    """Conditional aggregation (polars Expr.filter == SQL FILTER (WHERE)):
+    when(pred, x) feeding the aggregate — stays in the partial-agg plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            col("l_extendedprice").filter(col("l_quantity") > 30).sum()
+            .round(2).alias("rev_big"),
+            col("l_orderkey").filter(col("l_discount") > 0.05).count()
+            .cast("long").alias("n_disc"),
+            col("l_quantity")
+            .filter(col("l_discount") > 0.05, col("l_tax") < 0.05)
+            .mean().round(6).alias("avg_q"),
+        )
+        .spark
+    )
+
+
+_q120_sql = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice) FILTER (WHERE l_quantity > 30), 2) AS rev_big,
+       CAST(count(l_orderkey) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+       round(avg(l_quantity) FILTER (WHERE l_discount > 0.05 AND l_tax < 0.05), 6) AS avg_q
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3559,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_int_dynamic": _q117,
         "q118_cum_prod": _q118,
         "q119_clean_text": _q119,
+        "q120_cond_agg": _q120,
     }
 
 
@@ -3683,4 +3712,5 @@ def oracle_sql() -> dict[str, str]:
         "q117_int_dynamic": _q117_sql,
         "q118_cum_prod": _q118_sql,
         "q119_clean_text": _q119_sql,
+        "q120_cond_agg": _q120_sql,
     }

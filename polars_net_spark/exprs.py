@@ -620,6 +620,23 @@ class Expr:
     def last(self) -> "Expr":
         return _wrap(F.last(self._col, ignorenulls=False))
 
+    def filter(self, *predicates: "Expr") -> "Expr":
+        """polars Expr.filter (conditional aggregation): keep only elements
+        where every predicate holds before the enclosing aggregate —
+        ``col("x").filter(col("y") > 0).sum()`` == SQL ``sum(x) FILTER
+        (WHERE y > 0)``.  Compiles to when(pred, x): null where the
+        predicate fails, which every aggregate here already skips."""
+        if not predicates:
+            return self
+        pred = _c(predicates[0])
+        for p in predicates[1:]:
+            pred = pred & _c(p)
+        return _wrap(F.when(pred, self._col))
+
+    def where(self, *predicates: "Expr") -> "Expr":
+        """Alias of :meth:`filter` (polars Expr.where)."""
+        return self.filter(*predicates)
+
     def implode(self) -> "Expr":
         return _wrap(F.collect_list(self._col))
 

@@ -299,3 +299,35 @@ class TestRankMethods:
         lf = pl.from_records([("a", 1)], ["k", "v"]).lazy()
         with pytest.raises(ValueError):
             lf.select(col("v").rank("random", partition_by=["k"]))
+
+
+class TestCondAgg:
+    def test_filter_in_agg(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records(
+            [("a", 1, 10.0), ("a", 5, 20.0), ("a", 9, 30.0), ("b", 9, 40.0)],
+            ["k", "q", "p"],
+        ).lazy()
+        out = {
+            r[0]: (r[1], r[2], r[3])
+            for r in lf.group_by("k")
+            .agg(
+                col("p").filter(col("q") > 3).sum().alias("s"),
+                col("p").filter(col("q") > 3).count().alias("n"),
+                col("p").where(col("q") > 3, col("p") < 25.0).mean().alias("m"),
+            )
+            .collect()
+            .rows()
+        }
+        assert out["a"] == (50.0, 2, 20.0)
+        assert out["b"] == (40.0, 1, None)  # p=40 fails p<25 -> empty mean
+
+    def test_no_predicates_identity(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records([("a", 1.0)], ["k", "v"]).lazy()
+        got = lf.group_by("k").agg(col("v").filter().sum().alias("s")).collect().rows()
+        assert got == [("a", 1.0)]
