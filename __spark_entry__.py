@@ -3463,6 +3463,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q121(spark, sf_dir):
+    """dt.epoch (5 units) + list n_unique/index_of — map-only built-ins."""
+    ev = _t(spark, sf_dir, "events")
+    ws = col("props").str.split('"')
+    return ev.select(
+        col("event_id"),
+        col("ts").dt.epoch("us").alias("e_us"),
+        col("ts").dt.epoch("ms").alias("e_ms"),
+        col("ts").dt.epoch("s").alias("e_s"),
+        col("ts").dt.epoch("d").alias("e_d"),
+        ws.list.n_unique().cast("long").alias("nu"),
+        ws.list.index_of("k").cast("long").alias("ik"),
+    ).spark
+
+
+_q121_sql = """
+WITH t AS (SELECT event_id, ts, string_split(props, '"') AS ws FROM events)
+SELECT event_id,
+       epoch_us(ts) AS e_us,
+       CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS e_ms,
+       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS e_s,
+       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS e_d,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS nu,
+       CAST(list_position(ws, 'k') - 1 AS BIGINT) AS ik
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3588,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_cum_prod": _q118,
         "q119_clean_text": _q119,
         "q120_cond_agg": _q120,
+        "q121_epoch_listpos": _q121,
     }
 
 
@@ -3713,4 +3742,5 @@ def oracle_sql() -> dict[str, str]:
         "q118_cum_prod": _q118_sql,
         "q119_clean_text": _q119_sql,
         "q120_cond_agg": _q120_sql,
+        "q121_epoch_listpos": _q121_sql,
     }

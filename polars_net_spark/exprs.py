@@ -1394,6 +1394,24 @@ class ExprDtNamespace:
     def days_in_month(self) -> Expr:
         return _wrap(F.dayofmonth(F.last_day(self._c)))
 
+    def epoch(self, unit: str = "us") -> Expr:
+        """Time since the Unix epoch (polars dt.epoch): unit in
+        'd'/'s'/'ms'/'us'/'ns' (ns is us*1000 — Spark timestamps are
+        microsecond-precision).  NTZ input is cast defensively."""
+        ts = self._c.cast("timestamp")
+        us = F.unix_micros(ts)
+        if unit == "us":
+            return _wrap(us)
+        if unit == "ns":
+            return _wrap(us * F.lit(1000))
+        if unit == "ms":
+            return _wrap(F.floor(us / F.lit(1000)).cast("long"))
+        if unit == "s":
+            return _wrap(F.floor(us / F.lit(1_000_000)).cast("long"))
+        if unit == "d":
+            return _wrap(F.floor(us / F.lit(86_400_000_000)).cast("long"))
+        raise ValueError(f"epoch unit={unit!r} must be d/s/ms/us/ns")
+
     def month_start(self) -> Expr:
         """Roll back to the first day of the month, keeping time-of-day
         (polars dt.month_start)."""
@@ -1593,6 +1611,30 @@ class ExprListNamespace:
 
     def unique(self) -> Expr:
         return _wrap(F.array_distinct(self._c))
+
+    def n_unique(self) -> Expr:
+        """Distinct element count (polars list.n_unique; null list -> null,
+        not Spark's legacy size(null) = -1)."""
+        return _wrap(
+            F.when(self._c.isNotNull(), F.size(F.array_distinct(self._c)))
+        )
+
+    def index_of(self, value: Any) -> Expr:
+        """0-based position of the first occurrence, null when absent
+        (polars Series.index_of semantics at list level)."""
+        pos = F.array_position(self._c, _c(value))
+        return _wrap(F.when(pos > 0, pos - 1))
+
+    def arg_max(self) -> Expr:
+        """0-based index of the list's maximum (first on ties, nulls
+        ignored; null for empty/all-null lists)."""
+        pos = F.array_position(self._c, F.array_max(self._c))
+        return _wrap(F.when(pos > 0, pos - 1))
+
+    def arg_min(self) -> Expr:
+        """0-based index of the list's minimum (first on ties)."""
+        pos = F.array_position(self._c, F.array_min(self._c))
+        return _wrap(F.when(pos > 0, pos - 1))
 
     def slice(self, offset: int, length: int) -> Expr:
         start = offset + 1 if offset >= 0 else offset

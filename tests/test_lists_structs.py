@@ -70,3 +70,45 @@ def test_struct_rename_fields(spark):
     packed = df.select(as_struct([col("a"), col("b")]).alias("s"))
     renamed = packed.lazy().struct_rename_fields("s", ["p", "q"]).collect()
     assert [f.name for f in renamed.schema["s"].dataType.fields] == ["p", "q"]
+
+
+class TestListPosEpoch:
+    def test_list_positions(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        sdf = spark.createDataFrame(
+            [(1, [3, 1, 3, 2]), (2, []), (3, None)], "id long, xs array<int>"
+        )
+        out = pl.LazyFrame(sdf).select(
+            col("id"),
+            col("xs").list.n_unique().alias("nu"),
+            col("xs").list.index_of(3).alias("i3"),
+            col("xs").list.index_of(9).alias("i9"),
+            col("xs").list.arg_max().alias("am"),
+            col("xs").list.arg_min().alias("an"),
+        ).sort("id").collect().rows()
+        assert out[0][1:] == (3, 0, None, 0, 1)
+        assert out[1][1:] == (0, None, None, None, None)
+        assert out[2][1:] == (None, None, None, None, None)
+
+    def test_epoch_units(self, spark):
+        import datetime as dt
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        t = dt.datetime(2024, 1, 2, 0, 0, 1, 500000)
+        sdf = spark.createDataFrame([(1, t)], "id long, ts timestamp")
+        out = pl.LazyFrame(sdf).select(
+            col("ts").dt.epoch("us").alias("us"),
+            col("ts").dt.epoch("ns").alias("ns"),
+            col("ts").dt.epoch("ms").alias("ms"),
+            col("ts").dt.epoch("s").alias("s"),
+            col("ts").dt.epoch("d").alias("d"),
+        ).collect().rows()[0]
+        base = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        assert out == (base, base * 1000, base // 1000, base // 1_000_000, base // 86_400_000_000)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            col("ts").dt.epoch("weeks")
