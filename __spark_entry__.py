@@ -3491,6 +3491,41 @@ FROM t
 """
 
 
+def _q122(spark, sf_dir):
+    """Frame-level aggregates (polars df.sum()/mean()/min()/max(); frame.py
+    _frame_agg): one row, non-numeric columns null under sum, strings
+    covered by min/max — all partial-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    proj = li.select(
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag")
+    )
+    s = proj.sum().select(
+        col("l_quantity").round(2).alias("q_sum"),
+        col("l_extendedprice").round(2).alias("p_sum"),
+        col("l_returnflag").alias("f_sum"),
+    )
+    m = proj.mean().select(
+        col("l_quantity").round(6).alias("q_mean"),
+        col("l_extendedprice").round(6).alias("p_mean"),
+    )
+    mn = proj.min().select(col("l_returnflag").alias("f_min"))
+    mx = proj.max().select(col("l_returnflag").alias("f_max"))
+    out = pls.concat([s, m, mn, mx], how="horizontal")
+    return out.spark
+
+
+_q122_sql = """
+SELECT round(sum(l_quantity), 2) AS q_sum,
+       round(sum(l_extendedprice), 2) AS p_sum,
+       CAST(NULL AS VARCHAR) AS f_sum,
+       round(avg(l_quantity), 6) AS q_mean,
+       round(avg(l_extendedprice), 6) AS p_mean,
+       min(l_returnflag) AS f_min,
+       max(l_returnflag) AS f_max
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3617,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_clean_text": _q119,
         "q120_cond_agg": _q120,
         "q121_epoch_listpos": _q121,
+        "q122_frame_aggs": _q122,
     }
 
 
@@ -3743,4 +3779,5 @@ def oracle_sql() -> dict[str, str]:
         "q119_clean_text": _q119_sql,
         "q120_cond_agg": _q120_sql,
         "q121_epoch_listpos": _q121_sql,
+        "q122_frame_aggs": _q122_sql,
     }

@@ -361,6 +361,59 @@ class LazyFrame:
         )
         return LazyFrame(out)
 
+    _FRAME_AGGS = {
+        "sum": (F.sum, "numeric"),
+        "mean": (F.avg, "numeric"),
+        "median": (F.median, "numeric"),
+        "std": (F.stddev_samp, "numeric"),
+        "var": (F.var_samp, "numeric"),
+        "min": (F.min, "orderable"),
+        "max": (F.max, "orderable"),
+    }
+
+    def _frame_agg(self, which: str) -> "LazyFrame":
+        """polars frame-level aggregates (df.sum() etc.): one row, same
+        columns; non-applicable columns (strings under sum/mean/...) come
+        back null, min/max also cover strings/dates/bools — all map-side
+        partial aggregation, one tiny shuffle."""
+        fn, kind = self._FRAME_AGGS[which]
+        sdf = self._drop_order()._sdf
+        aggs = []
+        for f in sdf.schema.fields:
+            ok = isinstance(f.dataType, T.NumericType) or (
+                kind == "orderable"
+                and isinstance(
+                    f.dataType,
+                    (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType),
+                )
+            )
+            if ok:
+                aggs.append(fn(F.col(f.name)).alias(f.name))
+            else:
+                aggs.append(F.max(F.lit(None).cast(f.dataType)).alias(f.name))
+        return LazyFrame(sdf.agg(*aggs))
+
+    def sum(self) -> "LazyFrame":
+        return self._frame_agg("sum")
+
+    def mean(self) -> "LazyFrame":
+        return self._frame_agg("mean")
+
+    def median(self) -> "LazyFrame":
+        return self._frame_agg("median")
+
+    def std(self) -> "LazyFrame":
+        return self._frame_agg("std")
+
+    def var(self) -> "LazyFrame":
+        return self._frame_agg("var")
+
+    def min(self) -> "LazyFrame":
+        return self._frame_agg("min")
+
+    def max(self) -> "LazyFrame":
+        return self._frame_agg("max")
+
     def null_count(self) -> "LazyFrame":
         """polars null_count: one row, per-column null totals (map-side
         partial counts, one tiny agg)."""
@@ -1206,6 +1259,27 @@ class DataFrame:
 
     def null_count(self) -> "DataFrame":
         return self._wrap(self._lf.null_count())
+
+    def sum(self) -> "DataFrame":
+        return self._wrap(self._lf.sum())
+
+    def mean(self) -> "DataFrame":
+        return self._wrap(self._lf.mean())
+
+    def median(self) -> "DataFrame":
+        return self._wrap(self._lf.median())
+
+    def std(self) -> "DataFrame":
+        return self._wrap(self._lf.std())
+
+    def var(self) -> "DataFrame":
+        return self._wrap(self._lf.var())
+
+    def min(self) -> "DataFrame":
+        return self._wrap(self._lf.min())
+
+    def max(self) -> "DataFrame":
+        return self._wrap(self._lf.max())
 
     def hist(self, column: str, bins: Sequence[float]) -> "DataFrame":
         return self._wrap(self._lf.hist(column, bins))

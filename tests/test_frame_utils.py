@@ -116,3 +116,20 @@ class TestHistRanges:
             pl.datetime_range("2024-01-02", "2024-01-01", "1h")
         with _pt.raises(ValueError):
             pl.datetime_range("2024-01-01", "2024-01-02", "1h", closed="weird")
+
+
+class TestFrameAggs:
+    def test_sum_mean_min_max(self, spark):
+        df = pl.from_records(
+            [(1, 2.0, "b"), (3, 4.0, "a")], ["i", "v", "s"]
+        )
+        s = df.lazy().sum().collect().rows()[0]
+        assert s == (4, 6.0, None)  # string sum -> null
+        m = df.lazy().mean().collect().rows()[0]
+        assert m == (2.0, 3.0, None)
+        assert df.min().rows()[0] == (1, 2.0, "a")  # min/max cover strings
+        assert df.max().rows()[0] == (3, 4.0, "b")
+        md = df.median().rows()[0]
+        assert md[0] == 2.0 and md[1] == 3.0
+        st = df.std().rows()[0]
+        assert round(st[1], 9) == round((2.0) ** 0.5, 9)
