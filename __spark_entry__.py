@@ -3526,6 +3526,53 @@ FROM lineitem
 """
 
 
+def _q123(spark, sf_dir):
+    """Corpus vocabulary statistics (llm/retrieval.py
+    term_document_frequency): DF / total TF / DF-fraction / smoothed idf per
+    term, min_df pruning before the broadcast join."""
+    from polars_net_spark.llm import term_document_frequency
+
+    d = _t(spark, sf_dir, "documents")
+    return term_document_frequency(d, min_df=3).spark
+
+
+_q123_sql = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  w -> length(w) > 0)) AS t(term)),
+per_doc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+          FROM per_doc GROUP BY 1 HAVING count(*) >= 3),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+       round(df / nd, 6) AS df_frac,
+       round(ln((1.0 + nd) / (1.0 + df)) + 1.0, 6) AS idf
+FROM stats, n
+"""
+
+
+def _q124(spark, sf_dir):
+    """Winsorization at exact [5%, 95%] quantiles (frame.py winsorize):
+    1-row boundary aggregate broadcast onto the scan — no sort, no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.winsorize("l_extendedprice", 0.05, 0.95, out_col="w")
+    return out.select(
+        col("l_orderkey"), col("l_linenumber"), col("w").round(2).alias("w")
+    ).spark
+
+
+_q124_sql = """
+WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(least(greatest(l_extendedprice, lo), hi), 2) AS w
+FROM lineitem, q
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3653,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_cond_agg": _q120,
         "q121_epoch_listpos": _q121,
         "q122_frame_aggs": _q122,
+        "q123_term_df": _q123,
+        "q124_winsorize": _q124,
     }
 
 
@@ -3780,4 +3829,6 @@ def oracle_sql() -> dict[str, str]:
         "q120_cond_agg": _q120_sql,
         "q121_epoch_listpos": _q121_sql,
         "q122_frame_aggs": _q122_sql,
+        "q123_term_df": _q123_sql,
+        "q124_winsorize": _q124_sql,
     }

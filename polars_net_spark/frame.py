@@ -738,6 +738,35 @@ class LazyFrame:
 
         return with_ewm_mean_by(self, column, by, half_life, **kwargs)
 
+    def winsorize(
+        self,
+        column: str,
+        lower: float = 0.01,
+        upper: float = 0.99,
+        out_col: str | None = None,
+    ) -> "LazyFrame":
+        """Clip ``column`` to its [lower, upper] exact quantiles (linear
+        interpolation — Spark `percentile` == DuckDB quantile_cont), the
+        standard outlier-robust scaling step.  The two boundaries are one
+        1-row aggregate broadcast back onto the scan (same pattern as qcut)
+        — no global sort, no window."""
+        if not (0.0 <= lower < upper <= 1.0):
+            raise ValueError("need 0 <= lower < upper <= 1")
+        sdf = self._drop_order()._sdf
+        oc = out_col or column
+        bounds = sdf.agg(
+            F.expr(f"percentile({column}, {lower!r})").alias("__lo__"),
+            F.expr(f"percentile({column}, {upper!r})").alias("__hi__"),
+        )
+        out = (
+            sdf.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                oc, F.least(F.greatest(F.col(column), F.col("__lo__")), F.col("__hi__"))
+            )
+            .drop("__lo__", "__hi__")
+        )
+        return LazyFrame(out)
+
     def with_qcut(self, col_name: str, q, out_col: str | None = None) -> "LazyFrame":
         """Quantile binning (polars qcut with labels-as-indices): exact
         linear-interpolation quantile boundaries at i/q (or the given

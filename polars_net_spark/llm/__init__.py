@@ -38,7 +38,7 @@ from .quality import (
     repetition_metrics_frame,
     pii_metrics_frame,
 )
-from .retrieval import tfidf_top_terms, bm25_topk
+from .retrieval import term_document_frequency, tfidf_top_terms, bm25_topk
 from .splits import hash_bucket, split_by_hash, kfold_by_hash
 from .chunking import chunk_documents, pack_sequences
 from .decontam import contamination_frame, oov_rate_frame
@@ -63,6 +63,7 @@ __all__ = [
     "repetition_metrics_frame",
     "pii_metrics_frame",
     "tfidf_top_terms",
+    "term_document_frequency",
     "bm25_topk",
     "token_count",
     "quality_score",

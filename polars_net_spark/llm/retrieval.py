@@ -157,3 +157,44 @@ def bm25_topk(
         .select(F.col(id_col), F.col("score"), F.col("rank").cast("long").alias("rank"))
     )
     return LazyFrame(out)
+
+
+def term_document_frequency(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    round_to: int = 6,
+):
+    """Corpus vocabulary statistics: per term, document frequency, total
+    occurrences, corpus DF fraction and smoothed idf — the statistics pass
+    behind stopword discovery, OOV vocabularies and idf tables.
+
+    One explode + two keyed aggregations (term-keyed shuffle); the doc count
+    rides in as a 1-row broadcast.  ``min_df`` prunes the hapax tail BEFORE
+    the join, which at 100 TB is most of the vocabulary.
+
+    Output: (term, df, total_tf, df_frac, idf) with df >= min_df.
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    toks = _tokens(sdf, text_col, id_col)
+    per_doc = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    ).filter(F.col("df") >= min_df)
+    n_docs = sdf.agg(F.count("*").alias("__n_docs__"))
+    out = (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            F.round(F.col("df") / F.col("__n_docs__"), round_to).alias("df_frac"),
+            F.round(
+                F.log((1.0 + F.col("__n_docs__")) / (1.0 + F.col("df"))) + 1.0, round_to
+            ).alias("idf"),
+        )
+    )
+    return LazyFrame(out)

@@ -202,3 +202,33 @@ class TestLinearQuality:
         df = pl.from_records([(1, "x")], ["doc_id", "text"])
         with _pt.raises(ValueError):
             linear_quality_score_frame(df, [])
+
+
+class TestTermDFWinsorize:
+    def test_term_df(self, spark):
+        from polars_net_spark.llm import term_document_frequency
+
+        df = pl.from_records(
+            [(1, "a b a"), (2, "a c"), (3, "b b")], ["doc_id", "text"]
+        )
+        out = {r["term"]: r for r in term_document_frequency(df).spark.collect()}
+        assert out["a"]["df"] == 2 and out["a"]["total_tf"] == 3
+        assert out["b"]["df"] == 2 and out["b"]["total_tf"] == 3
+        assert out["c"]["df"] == 1
+        assert out["a"]["df_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out["a"]["idf"] == pytest.approx(math.log(4 / 3) + 1, abs=1e-6)
+        pruned = term_document_frequency(df, min_df=2).spark.collect()
+        assert sorted(r["term"] for r in pruned) == ["a", "b"]
+
+    def test_winsorize(self, spark):
+        df = pl.from_records([(float(i),) for i in range(1, 101)], ["x"])
+        out = df.lazy().winsorize("x", 0.05, 0.95, out_col="w").collect().rows()
+        ws = sorted(r[1] for r in out)
+        # exact linear-interp quantiles of 1..100: 5.95 and 95.05
+        assert ws[0] == pytest.approx(5.95)
+        assert ws[-1] == pytest.approx(95.05)
+        assert ws[50] == 51.0  # middle untouched
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            df.lazy().winsorize("x", 0.9, 0.1)
