@@ -802,12 +802,19 @@ class LazyFrame:
         *more_by,
         descending: bool | Sequence[bool] = False,
         nulls_last: bool = False,
+        maintain_order: bool = False,
     ) -> "LazyFrame":
+        """Multi-key sort.  ``maintain_order=True`` makes it STABLE like
+        polars' default (ties keep input order) by appending the hidden
+        order id as a final ascending key — opt-in because the extra key
+        costs sort width and Spark's range sort is otherwise free to break
+        ties per-partition."""
         keys = _flatten([by, *more_by])
         if isinstance(descending, bool):
             descending = [descending] * len(keys)
         if len(descending) != len(keys):
             raise ValueError("descending flags must match number of sort keys")
+        lf = self._order_col() if maintain_order else self
         sort_cols = []
         for k, d in zip(keys, descending):
             c = F.col(k) if isinstance(k, str) else _c(k)
@@ -815,7 +822,10 @@ class LazyFrame:
                 sort_cols.append(c.desc_nulls_last() if nulls_last else c.desc())
             else:
                 sort_cols.append(c.asc_nulls_last() if nulls_last else c.asc())
-        return LazyFrame(self._sdf.orderBy(*sort_cols))
+        if maintain_order:
+            sort_cols.append(F.col(ROW_ORDER_COL).asc())
+            return LazyFrame(lf._sdf.orderBy(*sort_cols).drop(ROW_ORDER_COL))
+        return LazyFrame(lf._sdf.orderBy(*sort_cols))
 
     def top_k(self, k: int, by: Any, descending: bool = True) -> "LazyFrame":
         """sort+limit; Catalyst rewrites to TakeOrderedAndProject (no full sort)."""
@@ -1285,6 +1295,48 @@ class DataFrame:
     def update(self, other, on, how: str = "left", include_nulls: bool = False) -> "DataFrame":
         return self._wrap(self._lf.update(
             other.lazy() if isinstance(other, DataFrame) else other, on, how, include_nulls))
+
+    def vstack(self, other: "DataFrame") -> "DataFrame":
+        """polars vstack: vertical concat (schemas must match by name)."""
+        return self._wrap(concat([self.lazy(), other.lazy()], how="vertical"))
+
+    def extend(self, other: "DataFrame") -> "DataFrame":
+        """polars extend: same as vstack here (Spark frames are immutable
+        plans — there is no in-place append to avoid)."""
+        return self.vstack(other)
+
+    def hstack(self, other: "DataFrame") -> "DataFrame":
+        """polars hstack: horizontal concat (row-index zip, equal heights)."""
+        return self._wrap(concat([self.lazy(), other.lazy()], how="horizontal"))
+
+    def get_column_index(self, name: str) -> int:
+        """polars get_column_index: position of a column, raising on miss."""
+        try:
+            return self.columns.index(name)
+        except ValueError:
+            raise ValueError(f"column {name!r} not found") from None
+
+    def insert_column(self, index: int, column) -> "DataFrame":
+        """polars insert_column: place an aliased expression at position
+        ``index`` (returns a new frame — plans are immutable)."""
+        cols_ = [F.col(c) for c in self.columns]
+        n = len(cols_)
+        if not (-n - 1 <= index <= n):
+            raise ValueError(f"index {index} out of range for width {n}")
+        if index < 0:
+            index += n + 1
+        cols_.insert(index, _c(column))
+        return self._wrap(LazyFrame(self._lf._drop_order()._sdf.select(*cols_)))
+
+    def replace_column(self, index: int, column) -> "DataFrame":
+        """polars replace_column: swap the column at ``index`` for an
+        aliased expression."""
+        names = self.columns
+        if not (-len(names) <= index < len(names)):
+            raise ValueError(f"index {index} out of range for width {len(names)}")
+        cols_ = [F.col(c) for c in names]
+        cols_[index] = _c(column)
+        return self._wrap(LazyFrame(self._lf._drop_order()._sdf.select(*cols_)))
 
     def null_count(self) -> "DataFrame":
         return self._wrap(self._lf.null_count())

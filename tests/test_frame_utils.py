@@ -133,3 +133,37 @@ class TestFrameAggs:
         assert md[0] == 2.0 and md[1] == 3.0
         st = df.std().rows()[0]
         assert round(st[1], 9) == round((2.0) ** 0.5, 9)
+
+
+class TestStackInsertStableSort:
+    def test_vstack_hstack_extend(self, spark):
+        a = pl.from_records([(1, "x")], ["i", "s"])
+        b = pl.from_records([(2, "y")], ["i", "s"])
+        assert a.vstack(b).height == 2 and a.extend(b).height == 2
+        c = pl.from_records([("z",)], ["t"])
+        h = a.hstack(c)
+        assert h.columns == ["i", "s", "t"] and h.rows()[0] == (1, "x", "z")
+
+    def test_column_index_insert_replace(self, spark):
+        from polars_net_spark import col, lit
+
+        df = pl.from_records([(1, 2)], ["a", "b"])
+        assert df.get_column_index("b") == 1
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            df.get_column_index("zzz")
+        ins = df.insert_column(1, lit(9).alias("m"))
+        assert ins.columns == ["a", "m", "b"]
+        rep = df.replace_column(0, (col("a") * 10).alias("a10"))
+        assert rep.columns == ["a10", "b"] and rep.rows()[0] == (10, 2)
+        with _pt.raises(ValueError):
+            df.insert_column(7, lit(1).alias("x"))
+
+    def test_stable_sort(self, spark):
+        rows = [(1, "a"), (0, "b"), (1, "c"), (0, "d"), (1, "e")]
+        lf = pl.from_records(rows, ["k", "tag"]).lazy()
+        out = lf.sort("k", maintain_order=True).collect().rows()
+        # ties keep input order
+        assert [r[1] for r in out] == ["b", "d", "a", "c", "e"]
+        assert [c for c, _ in lf.sort("k", maintain_order=True).dtypes] == ["k", "tag"]
