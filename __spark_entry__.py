@@ -3573,6 +3573,64 @@ FROM lineitem, q
 """
 
 
+def _q125(spark, sf_dir):
+    """str.contains_any / replace_many (single alternation-regex pass per
+    row — one scan regardless of pattern-list size)."""
+    d = _t(spark, sf_dir, "documents")
+    pats = ["vector", "spill", "shuffle"]
+    return d.select(
+        col("doc_id"),
+        col("text").str.contains_any(pats).alias("hit"),
+        col("text").str.replace_many(pats, "<X>").alias("redacted"),
+        col("text").str.replace_many(["spill", "vector"], ["S", "V"]).alias("mapped"),
+    ).spark
+
+
+_q125_sql = """
+SELECT doc_id,
+       regexp_matches(text, 'vector|spill|shuffle') AS hit,
+       regexp_replace(text, 'shuffle|vector|spill', '<X>', 'g') AS redacted,
+       regexp_replace(regexp_replace(text, 'vector', 'V', 'g'), 'spill', 'S', 'g') AS mapped
+FROM documents
+"""
+
+
+def _q126(spark, sf_dir):
+    """list set algebra (set_union/intersection/difference -> distinct
+    element sets; emitted as sizes + a sorted join for the cross-engine
+    hash)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = col("text").str.to_lowercase().str.split(" ").list.slice(0, 8)
+    sw = pls.Expr(F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]]))
+    inter = ws.list.set_intersection(sw)
+    return d.select(
+        col("doc_id"),
+        ws.list.set_union(sw).list.len().cast("long").alias("n_union"),
+        inter.list.len().cast("long").alias("n_inter"),
+        ws.list.set_difference(sw).list.len().cast("long").alias("n_diff"),
+        when(inter.list.len() > 0)
+        .then(inter.list.sort().list.join(","))
+        .otherwise(lit(None))
+        .alias("inter_sorted"),
+    ).spark
+
+
+_q126_sql = """
+WITH t AS (SELECT doc_id,
+                  list_distinct(string_split(lower(text), ' ')[1:8]) AS ws
+           FROM documents),
+s AS (SELECT doc_id, ws, ['the', 'a', 'of', 'and', 'to'] AS sw FROM t)
+SELECT doc_id,
+       CAST(len(list_distinct(list_concat(ws, sw))) AS BIGINT) AS n_union,
+       CAST(len(list_filter(ws, x -> list_contains(sw, x))) AS BIGINT) AS n_inter,
+       CAST(len(list_filter(ws, x -> NOT list_contains(sw, x))) AS BIGINT) AS n_diff,
+       CASE WHEN len(list_filter(ws, x -> list_contains(sw, x))) > 0
+            THEN array_to_string(list_sort(list_filter(ws, x -> list_contains(sw, x))), ',')
+       END AS inter_sorted
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3702,6 +3760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_frame_aggs": _q122,
         "q123_term_df": _q123,
         "q124_winsorize": _q124,
+        "q125_str_many": _q125,
+        "q126_list_sets": _q126,
     }
 
 
@@ -3831,4 +3891,6 @@ def oracle_sql() -> dict[str, str]:
         "q122_frame_aggs": _q122_sql,
         "q123_term_df": _q123_sql,
         "q124_winsorize": _q124_sql,
+        "q125_str_many": _q125_sql,
+        "q126_list_sets": _q126_sql,
     }

@@ -1327,6 +1327,41 @@ class ExprStrNamespace:
             )
         )
 
+    def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False) -> Expr:
+        """True when the string contains ANY of the literal patterns (polars
+        str.contains_any): compiled into one alternation regex — a single
+        scan per row regardless of pattern-list size."""
+        import re as _re
+
+        if not patterns:
+            raise ValueError("contains_any needs at least one pattern")
+        alt = "|".join(_re.escape(p) for p in patterns)
+        if ascii_case_insensitive:
+            alt = "(?i)" + alt
+        return _wrap(self._c.rlike(alt))
+
+    def replace_many(self, patterns: Sequence[str], replace_with: "str | Sequence[str]") -> Expr:
+        """Replace every occurrence of each literal pattern (polars
+        str.replace_many).  A single replacement string compiles to ONE
+        alternation regexp pass; per-pattern replacements chain one
+        regexp_replace per pattern (longer patterns first, polars'
+        leftmost-longest behaviour for overlapping literals)."""
+        import re as _re
+
+        if not patterns:
+            raise ValueError("replace_many needs at least one pattern")
+        if isinstance(replace_with, str):
+            ordered = sorted(patterns, key=len, reverse=True)
+            alt = "|".join(_re.escape(p) for p in ordered)
+            return _wrap(F.regexp_replace(self._c, alt, replace_with))
+        if len(replace_with) != len(patterns):
+            raise ValueError("replace_with must be a string or match patterns in length")
+        pairs = sorted(zip(patterns, replace_with), key=lambda pr: len(pr[0]), reverse=True)
+        c = self._c
+        for p, r in pairs:
+            c = F.regexp_replace(c, _re.escape(p), r)
+        return _wrap(c)
+
     def extract_all(self, pattern: str) -> Expr:
         """All full regex matches as a list (polars str.extract_all)."""
         return _wrap(F.regexp_extract_all(self._c, F.lit(pattern), F.lit(0)))
@@ -1618,6 +1653,18 @@ class ExprListNamespace:
         return _wrap(
             F.when(self._c.isNotNull(), F.size(F.array_distinct(self._c)))
         )
+
+    def set_union(self, other: "Expr") -> Expr:
+        """polars list.set_union (distinct elements of both, left-first order)."""
+        return _wrap(F.array_union(self._c, _c(other)))
+
+    def set_intersection(self, other: "Expr") -> Expr:
+        """polars list.set_intersection."""
+        return _wrap(F.array_intersect(self._c, _c(other)))
+
+    def set_difference(self, other: "Expr") -> Expr:
+        """polars list.set_difference (elements of self not in other)."""
+        return _wrap(F.array_except(self._c, _c(other)))
 
     def index_of(self, value: Any) -> Expr:
         """0-based position of the first occurrence, null when absent

@@ -112,3 +112,21 @@ class TestListPosEpoch:
 
         with _pt.raises(ValueError):
             col("ts").dt.epoch("weeks")
+
+
+class TestListSets:
+    def test_set_ops(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        sdf = spark.createDataFrame(
+            [(1, [1, 2, 2, 3], [2, 4])], "id long, a array<int>, b array<int>"
+        )
+        out = pl.LazyFrame(sdf).select(
+            col("a").list.set_union(col("b")).alias("u"),
+            col("a").list.set_intersection(col("b")).alias("i"),
+            col("a").list.set_difference(col("b")).alias("d"),
+        ).collect().rows()[0]
+        assert sorted(out[0]) == [1, 2, 3, 4]
+        assert list(out[1]) == [2]
+        assert sorted(out[2]) == [1, 3]

@@ -240,3 +240,35 @@ class TestStrHeadTailNullsafe:
             col("x").ne_missing(col("y")).alias("nm"),
         ).sort("id").collect().rows()
         assert [(r[1], r[2]) for r in out] == [(True, False), (False, True), (True, False)]
+
+
+class TestContainsReplaceMany:
+    def test_contains_any(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.from_records([(1, "big data day"), (2, "nothing here"), (3, "MODEL x")], ["id", "s"])
+        out = df.select(
+            col("id"),
+            col("s").str.contains_any(["data", "model"]).alias("h"),
+            col("s").str.contains_any(["data", "model"], ascii_case_insensitive=True).alias("hi"),
+        ).sort("id").rows()
+        assert [r[1] for r in out] == [True, False, False]
+        assert [r[2] for r in out] == [True, False, True]
+
+    def test_replace_many(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+        import pytest as _pt
+
+        df = pl.from_records([(1, "ab abc ab")], ["id", "s"])
+        one = df.select(col("s").str.replace_many(["ab", "abc"], "X").alias("r")).rows()[0][0]
+        assert one == "X X X"  # longest-first: abc wins over ab
+        per = df.select(
+            col("s").str.replace_many(["ab", "abc"], ["1", "2"]).alias("r")
+        ).rows()[0][0]
+        assert per == "1 2 1"
+        with _pt.raises(ValueError):
+            df.select(col("s").str.replace_many([], "x"))
+        with _pt.raises(ValueError):
+            df.select(col("s").str.replace_many(["a", "b"], ["only-one"]))
