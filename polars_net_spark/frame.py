@@ -414,6 +414,27 @@ class LazyFrame:
     def max(self) -> "LazyFrame":
         return self._frame_agg("max")
 
+    def cast(self, dtypes, strict: bool = False) -> "LazyFrame":
+        """polars LazyFrame.cast: a mapping {column: dtype} casts those
+        columns in place; a single dtype casts EVERY column.  strict=True
+        aborts on unconvertible values (Expr.cast's strict machinery),
+        otherwise failed casts yield null — all map-only."""
+        sdf = self._drop_order()._sdf
+        if not isinstance(dtypes, Mapping):
+            mapping = {c: dtypes for c in sdf.columns}
+        else:
+            missing = [c for c in dtypes if c not in sdf.columns]
+            if missing:
+                raise ValueError(f"cast: unknown columns {missing}")
+            mapping = dict(dtypes)
+        cols_ = []
+        for c in sdf.columns:
+            if c in mapping:
+                cols_.append(_c(col(c).cast(mapping[c], strict=strict)).alias(c))
+            else:
+                cols_.append(F.col(c))
+        return LazyFrame(sdf.select(*cols_))
+
     def null_count(self) -> "LazyFrame":
         """polars null_count: one row, per-column null totals (map-side
         partial counts, one tiny agg)."""
@@ -1364,6 +1385,9 @@ class DataFrame:
 
     def hist(self, column: str, bins: Sequence[float]) -> "DataFrame":
         return self._wrap(self._lf.hist(column, bins))
+
+    def cast(self, dtypes, strict: bool = False) -> "DataFrame":
+        return self._wrap(self._lf.cast(dtypes, strict=strict))
 
     def glimpse(self) -> str:
         """polars glimpse: dtype + first values per column, one line each

@@ -167,3 +167,23 @@ class TestStackInsertStableSort:
         # ties keep input order
         assert [r[1] for r in out] == ["b", "d", "a", "c", "e"]
         assert [c for c, _ in lf.sort("k", maintain_order=True).dtypes] == ["k", "tag"]
+
+
+class TestFrameCast:
+    def test_mapping_and_all(self, spark):
+        df = pl.from_records([("1", 2.7, "x")], ["a", "b", "c"])
+        out = df.lazy().cast({"a": "i64", "b": "i32"}).collect()
+        assert dict(out.dtypes) == {"a": "bigint", "b": "int", "c": "string"}
+        assert out.rows()[0] == (1, 2, "x")
+        allstr = df.cast("str")
+        assert all(t == "string" for _, t in allstr.dtypes)
+
+    def test_strict_and_unknown(self, spark):
+        import pytest as _pt
+
+        df = pl.from_records([("abc",)], ["a"])
+        assert df.cast({"a": "f64"}).rows()[0][0] is None  # non-strict -> null
+        with _pt.raises(Exception):
+            df.cast({"a": "f64"}, strict=True).rows()
+        with _pt.raises(ValueError):
+            df.cast({"zzz": "f64"})
