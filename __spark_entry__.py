@@ -3631,6 +3631,78 @@ FROM s
 """
 
 
+def _q127(spark, sf_dir):
+    """Pipeline-integration gate: quality filter -> exact dedup -> per-source
+    cap -> per-source rollup, all one lazy chain (the composed operators are
+    individually gated at q54/q29/q68; this checks they compose without
+    row-identity drift)."""
+    from polars_net_spark.llm import cap_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    quality = gopher_quality_frame(d, min_stop_hits=1)
+    kept = d.join(
+        LazyFrame(quality.spark.filter(F.col("passes")).select("doc_id")),
+        on="doc_id", how="semi",
+    )
+    deduped = dedup_exact(kept)
+    capped = cap_per_key(deduped, "source", 10, order_by="n_chars", tie_col="doc_id")
+    return (
+        capped.group_by("source")
+        .agg(
+            col("doc_id").count().cast("long").alias("n_docs"),
+            col("n_chars").sum().cast("long").alias("total_chars"),
+            col("doc_id").min().cast("long").alias("first_doc"),
+        )
+        .spark
+    )
+
+
+_q127_sql = r"""
+WITH w AS (
+  SELECT doc_id, text, source, n_chars,
+         string_split_regex(trim(text), '\s+') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id, source, n_chars, text,
+    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_words,
+    COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS word_chars,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+    len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*]'))) AS bullet_lines,
+    len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+    len(ls) AS n_lines,
+    len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w),
+passed AS (
+  SELECT doc_id, source, n_chars, text FROM m
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND (CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0 END) BETWEEN 3.0 AND 10.0
+    AND (CASE WHEN n_words > 0 THEN symbols::DOUBLE / n_words ELSE 0 END) <= 0.1
+    AND (CASE WHEN n_lines > 0 THEN bullet_lines::DOUBLE / n_lines ELSE 0 END) <= 0.9
+    AND (CASE WHEN n_lines > 0 THEN ellipsis_lines::DOUBLE / n_lines ELSE 0 END) <= 0.3
+    AND (CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words ELSE 0 END) >= 0.8
+    AND stop_hits >= 1),
+dedup AS (
+  SELECT p.* FROM passed p
+  JOIN (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS k,
+               min(doc_id) AS doc_id
+        FROM passed GROUP BY 1) keepers
+  ON keepers.doc_id = p.doc_id),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+    FROM dedup)
+  WHERE rn <= 10)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM capped GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3762,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_winsorize": _q124,
         "q125_str_many": _q125,
         "q126_list_sets": _q126,
+        "q127_pipeline_e2e": _q127,
     }
 
 
@@ -3893,4 +3966,5 @@ def oracle_sql() -> dict[str, str]:
         "q124_winsorize": _q124_sql,
         "q125_str_many": _q125_sql,
         "q126_list_sets": _q126_sql,
+        "q127_pipeline_e2e": _q127_sql,
     }
