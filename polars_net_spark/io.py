@@ -18,6 +18,8 @@ from .exprs import _to_spark_type
 from .frame import DataFrame, LazyFrame
 
 __all__ = [
+    "from_dict",
+    "from_dicts",
     "int_range",
     "datetime_range",
     "date_range",
@@ -299,6 +301,36 @@ def from_records(
 ) -> DataFrame:
     """POCO/record ingestion (reference From<T>, Polars.CSharp/DataFrame.cs:777)."""
     return DataFrame(LazyFrame(_spark(spark).createDataFrame(data, schema=schema)))
+
+
+def from_dict(
+    data: "dict[str, Sequence[Any]]", spark: SparkSession | None = None
+) -> DataFrame:
+    """polars pl.from_dict: column-name -> values mapping (columns must be
+    equal length)."""
+    names = list(data)
+    if not names:
+        raise ValueError("from_dict needs at least one column")
+    lengths = {len(v) for v in data.values()}
+    if len(lengths) != 1:
+        raise ValueError(f"columns differ in length: { {k: len(v) for k, v in data.items()} }")
+    rows = list(zip(*[data[n] for n in names]))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=names)
+    return DataFrame(LazyFrame(_spark(spark).createDataFrame(pdf)))
+
+
+def from_dicts(
+    data: "Sequence[dict]", spark: SparkSession | None = None
+) -> DataFrame:
+    """polars pl.from_dicts: row dicts (keys unioned across rows, missing ->
+    null)."""
+    if not data:
+        raise ValueError("from_dicts needs at least one row")
+    import pandas as pd
+
+    return DataFrame(LazyFrame(_spark(spark).createDataFrame(pd.DataFrame(list(data)))))
 
 
 # -- JDBC (reference scanDb/ReadDb, Polars.FSharp/Types.fs:1342-1363) ----------

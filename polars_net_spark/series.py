@@ -146,6 +146,42 @@ class Series:
     def max(self) -> Any:
         return self._agg(F.max)
 
+    def std(self, ddof: int = 1) -> Any:
+        return self._agg(F.stddev_samp if ddof == 1 else F.stddev_pop)
+
+    def var(self, ddof: int = 1) -> Any:
+        return self._agg(F.var_samp if ddof == 1 else F.var_pop)
+
+    def median(self) -> Any:
+        return self._agg(F.median)
+
+    def n_unique(self) -> int:
+        row = self._lf._sdf.select(
+            F.count_distinct(F.col(self._name)).alias("n")
+        ).collect()[0]
+        return int(row["n"])
+
+    def mode(self) -> Any:
+        """Most frequent value (smallest on ties, matching Expr.mode)."""
+        rows = (
+            self._lf._sdf.groupBy(self._name)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .orderBy(F.col("__n__").desc(), F.col(self._name).asc())
+            .take(1)
+        )
+        return rows[0][0] if rows else None
+
+    def value_counts(self) -> "Any":
+        """(value, count) frame sorted by count desc, value asc."""
+        from .frame import DataFrame, LazyFrame
+
+        out = (
+            self._lf._sdf.groupBy(self._name)
+            .agg(F.count(F.lit(1)).cast("long").alias("count"))
+            .orderBy(F.col("count").desc(), F.col(self._name).asc())
+        )
+        return DataFrame(LazyFrame(out))
+
     def null_count(self) -> int:
         return self._lf._sdf.filter(F.col(self._name).isNull()).count()
 

@@ -71,3 +71,31 @@ class TestSeriesPositional:
     def test_unique_counts(self, spark):
         s = pl.Series("x", ["b", "a", "b", "c", "b", "a"])
         assert s.unique_counts().to_list() == [3, 2, 1]  # first-appearance order
+
+
+class TestSeriesStatsConstructors:
+    def test_series_stats(self, spark):
+        s = pl.Series("x", [1.0, 2.0, 2.0, 3.0])
+        assert s.median() == 2.0
+        assert s.n_unique() == 3
+        assert s.mode() == 2.0
+        assert round(s.std() ** 2, 9) == round(s.var(), 9)
+        assert s.var(ddof=0) == pytest.approx(0.5)
+        vc = s.value_counts().rows()
+        assert vc[0] == (2.0, 2)
+
+    def test_mode_tie_smallest(self, spark):
+        assert pl.Series("x", [3, 1, 3, 1, 2]).mode() == 1
+
+    def test_from_dict_and_dicts(self, spark):
+        df = pl.from_dict({"a": [1, 2], "b": ["x", "y"]})
+        assert df.columns == ["a", "b"] and df.height == 2
+        df2 = pl.from_dicts([{"a": 1, "b": "x"}, {"a": 2}])
+        rows = df2.sort("a").rows()
+        assert rows[1][1] is None or rows[1][1] != rows[1][1]  # missing -> null/NaN
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            pl.from_dict({"a": [1], "b": [1, 2]})
+        with _pt.raises(ValueError):
+            pl.from_dicts([])
