@@ -264,6 +264,8 @@ def main() -> None:
         "q62_sq8_recall",           # 1-row quantization-stats attach + bounded query set
         "q72_unigram_logprob",      # 1-row corpus-total N attach
         "q75_cut_qcut",             # 1-row quantile-boundary attach
+        "q123_term_df",             # 1-row corpus-doc-count attach
+        "q124_winsorize",           # 1-row quantile-boundary attach
     }
     from polars_net_spark import release_caches
 
