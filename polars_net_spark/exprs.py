@@ -1727,6 +1727,25 @@ class ExprStructNamespace:
     def json_encode(self) -> Expr:
         return _wrap(F.to_json(self._c))
 
+    def with_fields(self, *exprs: "Expr", **named: "Expr") -> Expr:
+        """polars struct.with_fields: add or overwrite struct fields
+        (Column.withField — in-place schema surgery, no rebuild).  Positional
+        exprs must carry an alias; kwargs name the field directly."""
+        c = self._c
+        for e in exprs:
+            inner = _c(e)
+            name = _col_out_name_local(inner)
+            c = c.withField(name, inner)
+        for name, e in named.items():
+            c = c.withField(name, _c(e))
+        return _wrap(c)
+
+def _col_out_name_local(c: Column) -> str:
+    s = str(c)
+    # Column<'x AS name'> → name ; Column<'name'> → name
+    inner = s[8:-2] if s.startswith("Column<'") and s.endswith("'>") else s
+    return inner.split(" AS ")[-1].strip("`")
+
 
 # ---------------------------------------------------------------------------
 # module-level constructors (expr.rs:197-205, 294-299, 727-739, 787-805)

@@ -89,14 +89,39 @@ def scan_csv(
     schema_overrides: Mapping[str, str] | T.StructType | None = None,
     try_parse_dates: bool = False,
     infer_schema: bool = True,
+    null_values: "str | Sequence[str] | None" = None,
+    quote_char: str | None = None,
+    comment_prefix: str | None = None,
+    encoding: str | None = None,
     spark: SparkSession | None = None,
 ) -> LazyFrame:
+    """CSV scan (io.rs:17-92) + the polars reader knobs Spark's CSV source
+    maps directly: ``null_values`` (one string; Spark supports a single
+    nullValue sentinel — a LIST falls back to a post-scan replace),
+    ``quote_char``, ``comment_prefix`` (single char), ``encoding``."""
     s = _spark(spark)
     reader = (
         s.read.option("header", str(has_header).lower())
         .option("sep", separator)
         .option("inferSchema", str(infer_schema and schema_overrides is None).lower())
     )
+    multi_nulls: list[str] = []
+    if null_values is not None:
+        if isinstance(null_values, str):
+            reader = reader.option("nullValue", null_values)
+        else:
+            vals = list(null_values)
+            if vals:
+                reader = reader.option("nullValue", vals[0])
+                multi_nulls = vals[1:]
+    if quote_char is not None:
+        reader = reader.option("quote", quote_char)
+    if comment_prefix is not None:
+        if len(comment_prefix) != 1:
+            raise ValueError("Spark's CSV comment marker is a single character")
+        reader = reader.option("comment", comment_prefix)
+    if encoding is not None:
+        reader = reader.option("encoding", encoding)
     if skip_rows:
         # Spark CSV has no skipRows; emulate by dropping the first N physical lines.
         # The file is read as text once, sliced, then parsed — this stays
@@ -104,16 +129,40 @@ def scan_csv(
         text = s.read.text(path).rdd.zipWithIndex()
         kept = text.filter(lambda t: t[1] >= skip_rows).map(lambda t: t[0].value)
         reader2 = s.read.option("header", str(has_header).lower()).option("sep", separator)
+        if isinstance(null_values, str):
+            reader2 = reader2.option("nullValue", null_values)
+        elif multi_nulls or (null_values and not isinstance(null_values, str)):
+            reader2 = reader2.option("nullValue", list(null_values)[0])
+        if quote_char is not None:
+            reader2 = reader2.option("quote", quote_char)
+        if comment_prefix is not None:
+            reader2 = reader2.option("comment", comment_prefix)
+        if encoding is not None:
+            reader2 = reader2.option("encoding", encoding)
         if schema_overrides is not None:
             reader2 = reader2.schema(_schema_arg(schema_overrides))
         else:
             reader2 = reader2.option("inferSchema", "true")
         sdf = reader2.csv(kept)
-        return _maybe_parse_dates(LazyFrame(sdf), try_parse_dates)
+        return _post_nulls(_maybe_parse_dates(LazyFrame(sdf), try_parse_dates), multi_nulls)
     if schema_overrides is not None:
         reader = reader.schema(_schema_arg(schema_overrides))
     sdf = reader.csv(path)
-    return _maybe_parse_dates(LazyFrame(sdf), try_parse_dates)
+    return _post_nulls(_maybe_parse_dates(LazyFrame(sdf), try_parse_dates), multi_nulls)
+
+
+def _post_nulls(lf: LazyFrame, sentinels: Sequence[str]) -> LazyFrame:
+    """Extra null sentinels beyond Spark's single nullValue: one map-only
+    replace pass over string columns."""
+    if not sentinels:
+        return lf
+    sdf = lf._sdf
+    out = sdf
+    for n, t in sdf.dtypes:
+        if t == "string":
+            c = F.col(n)
+            out = out.withColumn(n, F.when(c.isin(list(sentinels)), F.lit(None)).otherwise(c))
+    return LazyFrame(out)
 
 
 def _maybe_parse_dates(lf: LazyFrame, try_parse_dates: bool) -> LazyFrame:

@@ -168,3 +168,48 @@ def test_orc_partitioned_sink_prunes(spark, tmp_path):
     plan = back._sdf._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.collect().height == src.filter(plx.col("n_regionkey") == 1).collect().height
+
+
+class TestCsvOptionsStructFields:
+    def test_csv_null_quote_comment(self, spark, tmp_path):
+        import polars_net_spark as pl
+
+        p = str(tmp_path / "opt.csv")
+        with open(p, "w") as f:
+            f.write("# leading comment\n")
+            f.write("a;b;c\n")
+            f.write("1;NA;'x;y'\n")
+            f.write("MISSING;2;z\n")
+        lf = pl.scan_csv(
+            p, separator=";", null_values=["NA", "MISSING"],
+            quote_char="'", comment_prefix="#",
+        )
+        rows = lf.collect().rows()
+        assert rows[0][1] is None and rows[0][2] == "x;y"
+        assert rows[1][0] is None and rows[1][1] == 2
+
+    def test_csv_single_null_and_bad_comment(self, spark, tmp_path):
+        import polars_net_spark as pl
+        import pytest as _pt
+
+        p = str(tmp_path / "single.csv")
+        with open(p, "w") as f:
+            f.write("a,b\nNA,1\n")
+        lf = pl.scan_csv(p, null_values="NA")
+        assert lf.collect().rows()[0][0] is None
+        with _pt.raises(ValueError):
+            pl.scan_csv(p, comment_prefix="//")
+
+    def test_struct_with_fields(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col, lit
+
+        sdf = spark.createDataFrame(
+            [(1, (2, "x"))], "id long, s struct<a:int, b:string>"
+        )
+        out = pl.LazyFrame(sdf).select(
+            col("s").struct.with_fields(
+                (col("id") * 100).alias("c"), a=lit(99)
+            ).alias("s2")
+        ).spark.collect()[0]["s2"].asDict()
+        assert out == {"a": 99, "b": "x", "c": 100}
