@@ -3703,6 +3703,29 @@ FROM capped GROUP BY source
 """
 
 
+def _q128(spark, sf_dir):
+    """SLIDING dynamic windows (period > every: every row lands in
+    period/every buckets; operators/dynamic.py via F.window slide) —
+    6h windows advancing every 2h, global count+sum per window."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.group_by_dynamic("ts", every="2h", period="6h").agg(
+        col("value").count().cast("long").alias("n"),
+        col("value").sum().round(6).alias("s"),
+    )
+    return out.spark
+
+
+_q128_sql = """
+WITH b AS (SELECT unnest(generate_series(
+             TIMESTAMP '2023-12-31 20:00:00', TIMESTAMP '2024-01-31 00:00:00',
+             INTERVAL 2 HOUR)) AS ws),
+j AS (SELECT b.ws, e.value
+      FROM b JOIN events e ON e.ts >= b.ws AND e.ts < b.ws + INTERVAL 6 HOUR)
+SELECT ws AS ts, CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS s
+FROM j GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3835,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_str_many": _q125,
         "q126_list_sets": _q126,
         "q127_pipeline_e2e": _q127,
+        "q128_sliding_windows": _q128,
     }
 
 
@@ -3967,4 +3991,5 @@ def oracle_sql() -> dict[str, str]:
         "q125_str_many": _q125_sql,
         "q126_list_sets": _q126_sql,
         "q127_pipeline_e2e": _q127_sql,
+        "q128_sliding_windows": _q128_sql,
     }
