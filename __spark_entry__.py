@@ -3726,6 +3726,38 @@ FROM j GROUP BY 1
 """
 
 
+def _q129(spark, sf_dir):
+    """asof join strategy='nearest' (operators/asof.py: closer of backward /
+    forward candidate, tie -> backward) — the one asof strategy with no
+    native DuckDB ASOF equivalent; oracle replicates via |dt|-argmin."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").select(
+        col("ts"), col("user_id"), col("event_id"), col("value")
+    )
+    out = o.join_asof(
+        ev,
+        left_on="o_orderdate",
+        right_on="ts",
+        by_left=["o_custkey"],
+        by_right=["user_id"],
+        strategy="nearest",
+    ).select(col("o_orderkey"), col("o_custkey"), col("event_id"), col("value"))
+    return out.spark
+
+
+_q129_sql = """
+WITH c AS (
+  SELECT o.o_orderkey, e.event_id, e.value,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)), e.ts, e.event_id
+         ) AS rn
+  FROM orders o JOIN events e ON o.o_custkey = e.user_id)
+SELECT o.o_orderkey, o.o_custkey, c.event_id, c.value
+FROM orders o LEFT JOIN (SELECT * FROM c WHERE rn = 1) c USING (o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3859,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_list_sets": _q126,
         "q127_pipeline_e2e": _q127,
         "q128_sliding_windows": _q128,
+        "q129_asof_nearest": _q129,
     }
 
 
@@ -3992,4 +4025,5 @@ def oracle_sql() -> dict[str, str]:
         "q126_list_sets": _q126_sql,
         "q127_pipeline_e2e": _q127_sql,
         "q128_sliding_windows": _q128_sql,
+        "q129_asof_nearest": _q129_sql,
     }
