@@ -3758,6 +3758,31 @@ FROM orders o LEFT JOIN (SELECT * FROM c WHERE rn = 1) c USING (o_orderkey)
 """
 
 
+def _q130(spark, sf_dir):
+    """concat(how='align'): frames full-joined on their common columns
+    (polars align concat) — here two per-nation rollups aligned on the
+    nation key."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.group_by("c_nationkey").agg(
+        col("c_custkey").count().cast("long").alias("n_cust")
+    ).rename({"c_nationkey": "nationkey"})
+    b = s.group_by("s_nationkey").agg(
+        col("s_suppkey").count().cast("long").alias("n_supp")
+    ).rename({"s_nationkey": "nationkey"})
+    return pls.concat([a, b], how="align").spark
+
+
+_q130_sql = """
+WITH a AS (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+           FROM customer GROUP BY 1),
+b AS (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1)
+SELECT coalesce(a.nationkey, b.nationkey) AS nationkey, a.n_cust, b.n_supp
+FROM a FULL JOIN b ON a.nationkey = b.nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3892,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_pipeline_e2e": _q127,
         "q128_sliding_windows": _q128,
         "q129_asof_nearest": _q129,
+        "q130_align_concat": _q130,
     }
 
 
@@ -4026,4 +4052,5 @@ def oracle_sql() -> dict[str, str]:
         "q127_pipeline_e2e": _q127_sql,
         "q128_sliding_windows": _q128_sql,
         "q129_asof_nearest": _q129_sql,
+        "q130_align_concat": _q130_sql,
     }

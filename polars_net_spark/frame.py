@@ -1631,4 +1631,19 @@ def concat(frames: Sequence[LazyFrame | DataFrame], how: str = "vertical") -> La
         from .operators.horizontal import concat_horizontal
 
         return concat_horizontal(lfs)
+    if how in ("align", "align_full", "align_left", "align_inner"):
+        # polars align concat: full/left/inner-join the frames on their
+        # COMMON columns (must exist in every frame), sorted by the keys.
+        join_how = {"align": "full", "align_full": "full",
+                    "align_left": "left", "align_inner": "inner"}[how]
+        common = set(lfs[0].columns)
+        for lf in lfs[1:]:
+            common &= set(lf.columns)
+        if not common:
+            raise ValueError("align concat needs at least one common column")
+        keys = [c for c in lfs[0].columns if c in common]  # first-frame order
+        out = lfs[0]._sdf
+        for lf in lfs[1:]:
+            out = out.join(lf._sdf, on=keys, how=join_how)
+        return LazyFrame(out.orderBy(*[F.col(k) for k in keys]))
     raise ValueError(f"unknown concat how={how!r}")

@@ -187,3 +187,25 @@ class TestFrameCast:
             df.cast({"a": "f64"}, strict=True).rows()
         with _pt.raises(ValueError):
             df.cast({"zzz": "f64"})
+
+
+class TestAlignConcat:
+    def test_align_variants(self, spark):
+        a = pl.from_records([(1, "x"), (2, "y")], ["k", "a"]).lazy()
+        b = pl.from_records([(2, "Y"), (3, "Z")], ["k", "b"]).lazy()
+        full = pl.concat([a, b], how="align").collect().rows()
+        assert [(r[0], r[1], r[2]) for r in full] == [
+            (1, "x", None), (2, "y", "Y"), (3, None, "Z"),
+        ]
+        inner = pl.concat([a, b], how="align_inner").collect().rows()
+        assert inner == [(2, "y", "Y")]
+        left = pl.concat([a, b], how="align_left").collect().rows()
+        assert [(r[0],) for r in left] == [(1,), (2,)]
+
+    def test_align_no_common(self, spark):
+        import pytest as _pt
+
+        a = pl.from_records([(1,)], ["x"]).lazy()
+        b = pl.from_records([(1,)], ["y"]).lazy()
+        with _pt.raises(ValueError):
+            pl.concat([a, b], how="align")
