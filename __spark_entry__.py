@@ -3783,6 +3783,34 @@ FROM a FULL JOIN b ON a.nationkey = b.nationkey
 """
 
 
+def _q131(spark, sf_dir):
+    """cut with category labels (array-literal lookup on the bucket index —
+    still pure codegen, no join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cut([10.0, 25.0, 40.0],
+                              labels=["tiny", "small", "mid", "large"]).alias("band"),
+        col("l_quantity").cut([10.0, 25.0, 40.0]).cast("long").alias("band_idx"),
+    ).spark
+
+
+_q131_sql = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity IS NULL THEN NULL
+            WHEN l_quantity <= 10 THEN 'tiny'
+            WHEN l_quantity <= 25 THEN 'small'
+            WHEN l_quantity <= 40 THEN 'mid'
+            ELSE 'large' END AS band,
+       CASE WHEN l_quantity IS NULL THEN NULL
+            WHEN l_quantity <= 10 THEN 0
+            WHEN l_quantity <= 25 THEN 1
+            WHEN l_quantity <= 40 THEN 2
+            ELSE 3 END AS band_idx
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3918,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_sliding_windows": _q128,
         "q129_asof_nearest": _q129,
         "q130_align_concat": _q130,
+        "q131_cut_labels": _q131,
     }
 
 
@@ -4053,4 +4082,5 @@ def oracle_sql() -> dict[str, str]:
         "q128_sliding_windows": _q128_sql,
         "q129_asof_nearest": _q129_sql,
         "q130_align_concat": _q130_sql,
+        "q131_cut_labels": _q131_sql,
     }

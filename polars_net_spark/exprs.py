@@ -389,20 +389,34 @@ class Expr:
             c = F.least(c, _c(upper))
         return _wrap(c)
 
-    def cut(self, breaks: list[float], left_closed: bool = False) -> "Expr":
-        """Bucket index for fixed bin edges (polars Expr.cut with
-        labels-as-indices): right-closed intervals ``(b_i, b_{i+1}]`` by
-        default, so index = #{b in breaks : value > b} — a pure when-free
-        comparison sum, fully codegen'd.  ``left_closed`` switches to
-        ``[b_i, b_{i+1})`` (index counts >=).  Null in → null out."""
+    def cut(
+        self,
+        breaks: list[float],
+        left_closed: bool = False,
+        labels: "Sequence[str] | None" = None,
+    ) -> "Expr":
+        """Bucket index for fixed bin edges (polars Expr.cut): right-closed
+        intervals ``(b_i, b_{i+1}]`` by default, so index = #{b in breaks :
+        value > b} — a pure when-free comparison sum, fully codegen'd.
+        ``left_closed`` switches to ``[b_i, b_{i+1})`` (index counts >=).
+        ``labels`` (len(breaks)+1 strings, polars-style) maps bucket index to
+        category name via an array-literal lookup.  Null in → null out."""
         if sorted(breaks) != list(breaks):
             raise ValueError("breaks must be sorted ascending")
+        if labels is not None and len(labels) != len(breaks) + 1:
+            raise ValueError(
+                f"labels must have len(breaks)+1 = {len(breaks) + 1} entries, got {len(labels)}"
+            )
         c = self._col
         acc = F.lit(0)
         for b in breaks:
             hit = (c >= F.lit(b)) if left_closed else (c > F.lit(b))
             acc = acc + hit.cast("int")
-        return _wrap(F.when(c.isNotNull(), acc.cast("long")).otherwise(F.lit(None)))
+        idx = F.when(c.isNotNull(), acc.cast("long")).otherwise(F.lit(None))
+        if labels is None:
+            return _wrap(idx)
+        arr = F.array(*[F.lit(str(x)) for x in labels])
+        return _wrap(F.when(c.isNotNull(), F.element_at(arr, (acc + 1).cast("int"))))
 
     # -- cast (expr.rs:1016-1033) ------------------------------------------
     def cast(self, dtype: str | T.DataType, strict: bool = False) -> "Expr":

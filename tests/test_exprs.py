@@ -331,3 +331,21 @@ class TestCondAgg:
         lf = pl.from_records([("a", 1.0)], ["k", "v"]).lazy()
         got = lf.group_by("k").agg(col("v").filter().sum().alias("s")).collect().rows()
         assert got == [("a", 1.0)]
+
+
+class TestCutLabels:
+    def test_labels_and_guard(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        sdf = spark.createDataFrame([(5.0,), (10.0,), (11.0,), (None,)], "v double")
+        out = pl.LazyFrame(sdf).select(
+            col("v").cut([10.0], labels=["lo", "hi"]).alias("b")
+        ).collect().rows()
+        assert [r[0] for r in out] == ["lo", "lo", "hi", None]  # right-closed: 10 -> lo
+        left = pl.LazyFrame(sdf).select(
+            col("v").cut([10.0], left_closed=True, labels=["lo", "hi"]).alias("b")
+        ).collect().rows()
+        assert [r[0] for r in left] == ["lo", "hi", "hi", None]
+        with pytest.raises(ValueError):
+            col("v").cut([10.0], labels=["only-one"])
