@@ -3811,6 +3811,28 @@ FROM lineitem
 """
 
 
+def _q132(spark, sf_dir):
+    """shift with fill_value (polars shift_and_fill): edge rows take the
+    fill instead of null — lag/lead defaults, one keyed window."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("value").shift(1, order_by=["ts", "event_id"], partition_by=["user_id"],
+                           fill_value=0.0).round(6).alias("prev_v"),
+        col("value").shift(-1, order_by=["ts", "event_id"], partition_by=["user_id"],
+                           fill_value=-1.0).round(6).alias("next_v"),
+    ).spark
+
+
+_q132_sql = """
+SELECT user_id, event_id, ts,
+       round(lag(value, 1, 0.0) OVER w, 6) AS prev_v,
+       round(lead(value, 1, -1.0) OVER w, 6) AS next_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3947,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_asof_nearest": _q129,
         "q130_align_concat": _q130,
         "q131_cut_labels": _q131,
+        "q132_shift_fill": _q132,
     }
 
 
@@ -4083,4 +4106,5 @@ def oracle_sql() -> dict[str, str]:
         "q129_asof_nearest": _q129_sql,
         "q130_align_concat": _q130_sql,
         "q131_cut_labels": _q131_sql,
+        "q132_shift_fill": _q132_sql,
     }

@@ -674,15 +674,24 @@ class Expr:
         keys = [_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]
         return _wrap(self._col.over(Window.partitionBy(*keys)))
 
-    def shift(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+    def shift(
+        self,
+        n: int = 1,
+        order_by: Any = None,
+        partition_by: Sequence[Any] = (),
+        fill_value: Any = None,
+    ) -> "Expr":
+        """Shift by n positions (negative = lead).  ``fill_value`` replaces
+        the rolled-off edge values (polars shift(fill_value=) /
+        shift_and_fill) — passed straight to lag/lead's default."""
         w = Window.orderBy(*_order_cols(order_by))
         if partition_by:
             w = Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]).orderBy(
                 *_order_cols(order_by)
             )
         if n >= 0:
-            return _wrap(F.lag(self._col, n).over(w))
-        return _wrap(F.lead(self._col, -n).over(w))
+            return _wrap(F.lag(self._col, n, fill_value).over(w))
+        return _wrap(F.lead(self._col, -n, fill_value).over(w))
 
     def diff(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
         return _wrap(self._col - self.shift(n, order_by, partition_by)._col)

@@ -263,3 +263,18 @@ class TestIntDynamicWindows:
             lf.group_by_dynamic("i", every="10i", closed="both").agg(col("v").sum())
         with _pt.raises(ValueError):
             lf.group_by_dynamic("i", every="10i", start_by="datapoint").agg(col("v").sum())
+
+
+def test_shift_fill_value(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    lf = pl.from_records([(1, 1, 10.0), (1, 2, 20.0)], ["k", "i", "v"]).lazy()
+    out = lf.select(
+        col("i"),
+        col("v").shift(1, order_by="i", partition_by=["k"], fill_value=0.0).alias("p"),
+        col("v").shift(-1, order_by="i", partition_by=["k"], fill_value=-1.0).alias("n"),
+        col("v").shift(1, order_by="i", partition_by=["k"]).alias("pn"),
+    ).sort("i").collect().rows()
+    assert out[0][1:] == (0.0, 20.0, None)
+    assert out[1][1:] == (10.0, -1.0, 10.0)
