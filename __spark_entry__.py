@@ -3833,6 +3833,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _q133(spark, sf_dir):
+    """interpolate_by: coordinate-aware linear interpolation over the time
+    axis (polars 1.x Expr.interpolate_by) — irregular gaps fill
+    proportionally to elapsed time, not row count."""
+    ev = _t(spark, sf_dir, "events")
+    masked = when(col("event_type") != "error").then(col("value")).otherwise(lit(None))
+    return ev.with_columns(masked.alias("mv")).select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("mv").interpolate_by("ts", partition_by=["user_id"]).round(6).alias("iv"),
+    ).spark
+
+
+_q133_sql = """
+WITH m AS (SELECT user_id, event_id, ts, epoch_us(ts) AS x,
+                  CASE WHEN event_type <> 'error' THEN value END AS mv
+           FROM events),
+b AS (SELECT *,
+        last_value(mv IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN mv IS NOT NULL THEN x END IGNORE NULLS) OVER wp AS px,
+        first_value(mv IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN mv IS NOT NULL THEN x END IGNORE NULLS) OVER wn AS nx
+      FROM m
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, event_id, ts,
+       round(CASE WHEN mv IS NOT NULL THEN mv
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (x - px) / (nx - px) END, 6) AS iv
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3970,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_align_concat": _q130,
         "q131_cut_labels": _q131,
         "q132_shift_fill": _q132,
+        "q133_interpolate_by": _q133,
     }
 
 
@@ -4107,4 +4142,5 @@ def oracle_sql() -> dict[str, str]:
         "q130_align_concat": _q130_sql,
         "q131_cut_labels": _q131_sql,
         "q132_shift_fill": _q132_sql,
+        "q133_interpolate_by": _q133_sql,
     }

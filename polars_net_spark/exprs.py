@@ -958,6 +958,45 @@ class Expr:
             )
         )
 
+    def interpolate_by(
+        self, by: "Expr | str", partition_by: Sequence[Any] = (), coordinate: str = "time"
+    ) -> "Expr":
+        """Coordinate-aware linear interpolation (polars Expr.interpolate_by):
+        nulls are filled proportionally to the ``by`` coordinate, not row
+        position — irregular sampling interpolates correctly.  Same
+        bracket-window shape as interpolate().  ``coordinate='time'``
+        (default) treats ``by`` as a timestamp (cast + epoch µs, NTZ-safe);
+        ``'numeric'`` uses the raw values (Columns are unbound here, so the
+        dtype branch polars resolves at plan time is a caller hint)."""
+        if not partition_by:
+            _warn_single_partition("interpolate_by")
+        if coordinate not in ("time", "numeric"):
+            raise ValueError(f"coordinate={coordinate!r} must be 'time' or 'numeric'")
+        bc = _c(col(by) if isinstance(by, str) else by)
+        if coordinate == "time":
+            x = F.unix_micros(bc.cast("timestamp")).cast("double")
+        else:
+            x = bc.cast("double")
+        part = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
+            if partition_by
+            else Window.partitionBy()
+        )
+        w = part.orderBy(bc)
+        c = self._col
+        prev = w.rowsBetween(Window.unboundedPreceding, 0)
+        nxt = w.rowsBetween(0, Window.unboundedFollowing)
+        pv = F.last(c, ignorenulls=True).over(prev)
+        px = F.last(F.when(c.isNotNull(), x), ignorenulls=True).over(prev)
+        nv = F.first(c, ignorenulls=True).over(nxt)
+        nx = F.first(F.when(c.isNotNull(), x), ignorenulls=True).over(nxt)
+        filled = pv + (nv - pv) * (x - px) / (nx - px)
+        return _wrap(
+            F.when(c.isNotNull(), c.cast("double")).when(
+                pv.isNotNull() & nv.isNotNull(), filled
+            )
+        )
+
     # distinctness predicates (polars is_duplicated/is_unique family).
     # Window.partitionBy groups nulls together, matching polars' null-is-a-
     # value semantics for these.

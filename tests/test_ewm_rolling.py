@@ -336,3 +336,34 @@ class TestRollingStdVar:
         assert out[0][1] is None          # single value, sample var undefined
         assert out[1][1] == pytest.approx(2.0)   # var([1,3])
         assert out[2][1] is None          # 9:00 window excludes earlier rows
+
+
+class TestInterpolateBy:
+    def test_time_weighted(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 0.0),
+            (1, dt.datetime(2024, 1, 1, 1, 0), None),
+            (1, dt.datetime(2024, 1, 1, 4, 0), 8.0),
+            (1, dt.datetime(2024, 1, 1, 5, 0), None),
+        ]
+        sdf = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = pl.LazyFrame(sdf).select(
+            pl.col("ts"),
+            pl.col("v").interpolate_by("ts", partition_by=["k"]).alias("iv"),
+        ).sort("ts").collect().rows()
+        assert [r[1] for r in out] == [0.0, 2.0, 8.0, None]  # 1h of 4h gap
+
+    def test_numeric_coordinate(self, spark):
+        rows = [(1, 0.0, 0.0), (1, 1.0, None), (1, 10.0, 100.0)]
+        sdf = spark.createDataFrame(rows, "k long, x double, v double")
+        out = pl.LazyFrame(sdf).select(
+            pl.col("x"),
+            pl.col("v").interpolate_by("x", partition_by=["k"], coordinate="numeric").alias("iv"),
+        ).sort("x").collect().rows()
+        assert out[1][1] == pytest.approx(10.0)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            pl.col("v").interpolate_by("x", partition_by=["k"], coordinate="log")
