@@ -148,10 +148,14 @@ def _order_cols(order_by: Any) -> list[Column]:
 class Expr:
     """Composable expression; wraps one pyspark Column."""
 
-    __slots__ = ("_col",)
+    __slots__ = ("_col", "_filter_pred")
 
-    def __init__(self, column: Column):
+    def __init__(self, column: Column, _filter_pred: Column | None = None):
         self._col = column
+        # Set only by Expr.filter(): the raw predicate, consumed by the
+        # aggregates whose null-masking compilation would otherwise be wrong
+        # (len counts masked-out rows; first/last return the mask's null).
+        self._filter_pred = _filter_pred
 
     # -- interop ----------------------------------------------------------
     def to_column(self) -> Column:
@@ -515,7 +519,11 @@ class Expr:
         return _wrap(F.count(self._col))
 
     def len(self) -> "Expr":
-        """Group/frame length including nulls (expr.rs:882-888)."""
+        """Group/frame length including nulls (expr.rs:882-888).  After
+        :meth:`filter`, counts only the surviving elements (null or not) —
+        count(when(pred, 1)), not the unfiltered group size."""
+        if self._filter_pred is not None:
+            return _wrap(F.count(F.when(self._filter_pred, F.lit(1))))
         return _wrap(F.count(F.lit(1)))
 
     def n_unique(self) -> "Expr":
@@ -629,9 +637,19 @@ class Expr:
         return _wrap(F.percentile(self._col, F.array(*[F.lit(float(q)) for q in qs])))
 
     def first(self) -> "Expr":
+        """First element of the group.  After :meth:`filter` the mask's
+        nulls are skipped (ignorenulls=True) so this returns the first
+        SURVIVING value; a surviving element that is itself null is
+        indistinguishable from the mask and also skipped — use
+        ``implode().list.first()`` if null survivors must be observable."""
+        if self._filter_pred is not None:
+            return _wrap(F.first(self._col, ignorenulls=True))
         return _wrap(F.first(self._col, ignorenulls=False))
 
     def last(self) -> "Expr":
+        """Last element of the group (filter-aware, see :meth:`first`)."""
+        if self._filter_pred is not None:
+            return _wrap(F.last(self._col, ignorenulls=True))
         return _wrap(F.last(self._col, ignorenulls=False))
 
     def filter(self, *predicates: "Expr") -> "Expr":
@@ -639,13 +657,16 @@ class Expr:
         where every predicate holds before the enclosing aggregate —
         ``col("x").filter(col("y") > 0).sum()`` == SQL ``sum(x) FILTER
         (WHERE y > 0)``.  Compiles to when(pred, x): null where the
-        predicate fails, which every aggregate here already skips."""
+        predicate fails, which the null-skipping aggregates (sum/mean/min/
+        max/count/...) handle for free; the predicate itself rides along on
+        the returned Expr so len()/first()/last() — whose defaults would
+        otherwise see the mask — compile filter-aware."""
         if not predicates:
             return self
         pred = _c(predicates[0])
         for p in predicates[1:]:
             pred = pred & _c(p)
-        return _wrap(F.when(pred, self._col))
+        return Expr(F.when(pred, self._col), _filter_pred=pred)
 
     def where(self, *predicates: "Expr") -> "Expr":
         """Alias of :meth:`filter` (polars Expr.where)."""
@@ -1410,18 +1431,23 @@ class ExprStrNamespace:
         leftmost-longest behaviour for overlapping literals)."""
         import re as _re
 
+        def _lit_repl(r: str) -> str:
+            # regexp_replace replacements interpret $N as a group ref and \
+            # as an escape; polars replace_many is fully literal — escape both
+            return _re.sub(r"([\\$])", r"\\\1", r)
+
         if not patterns:
             raise ValueError("replace_many needs at least one pattern")
         if isinstance(replace_with, str):
             ordered = sorted(patterns, key=len, reverse=True)
             alt = "|".join(_re.escape(p) for p in ordered)
-            return _wrap(F.regexp_replace(self._c, alt, replace_with))
+            return _wrap(F.regexp_replace(self._c, alt, _lit_repl(replace_with)))
         if len(replace_with) != len(patterns):
             raise ValueError("replace_with must be a string or match patterns in length")
         pairs = sorted(zip(patterns, replace_with), key=lambda pr: len(pr[0]), reverse=True)
         c = self._c
         for p, r in pairs:
-            c = F.regexp_replace(c, _re.escape(p), r)
+            c = F.regexp_replace(c, _re.escape(p), _lit_repl(r))
         return _wrap(c)
 
     def extract_all(self, pattern: str) -> Expr:

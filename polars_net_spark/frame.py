@@ -338,7 +338,10 @@ class LazyFrame:
         c = F.col(column).cast("double")
         bucket = F.lit(None).cast("int")
         for i in range(len(edges) - 1, 0, -1):
-            bucket = F.when((c > edges[i - 1]) & (c <= edges[i]), i - 1).otherwise(bucket)
+            # first bin is closed on the LEFT too (polars includes the
+            # minimum edge); later bins are (lo, hi]
+            lo_ok = (c >= edges[0]) if i == 1 else (c > edges[i - 1])
+            bucket = F.when(lo_ok & (c <= edges[i]), i - 1).otherwise(bucket)
         sdf = self._drop_order()._sdf
         counts = (
             sdf.select(bucket.alias("__bin__"))

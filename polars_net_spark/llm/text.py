@@ -222,7 +222,9 @@ def clean_text(
     path unless the corpus actually mixes compositions)."""
     c = text
     if strip_control:
-        c = F.regexp_replace(c, "[\\x00-\\x1F\\x7F]", "")
+        # C0 controls MINUS \t \n \r — line/word whitespace must survive
+        # to the collapse step, or words merge across line breaks.
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     if collapse_whitespace:
         c = F.regexp_replace(F.trim(c), "\\s+", " ")
     if nfc:

@@ -332,6 +332,52 @@ class TestCondAgg:
         got = lf.group_by("k").agg(col("v").filter().sum().alias("s")).collect().rows()
         assert got == [("a", 1.0)]
 
+    def test_filter_len_first_last(self, spark):
+        """filter + len counts SURVIVORS (polars: 2, not group size 3);
+        filter + first/last return the first/last surviving value, not the
+        mask's null (round-3 advice item)."""
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records(
+            [("a", 1, 10.0), ("a", 5, 20.0), ("a", 9, 30.0), ("b", 1, 40.0)],
+            ["k", "q", "p"],
+        ).lazy()
+        out = {
+            r[0]: (r[1], r[2], r[3])
+            for r in lf.group_by("k")
+            .agg(
+                col("p").filter(col("q") > 3).len().alias("n"),
+                col("p").filter(col("q") > 3).first().alias("f"),
+                col("p").filter(col("q") > 3).last().alias("l"),
+            )
+            .collect()
+            .rows()
+        }
+        assert out["a"] == (2, 20.0, 30.0)
+        assert out["b"] == (0, None, None)
+
+    def test_filter_len_counts_surviving_nulls(self, spark):
+        """A surviving element that is itself null still counts toward
+        filtered len (polars keeps it; count() would not)."""
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        lf = pl.from_records(
+            [("a", 5, None), ("a", 5, 20.0), ("a", 1, 30.0)],
+            ["k", "q", "p"],
+        ).lazy()
+        got = (
+            lf.group_by("k")
+            .agg(
+                col("p").filter(col("q") > 3).len().alias("n"),
+                col("p").filter(col("q") > 3).count().alias("c"),
+            )
+            .collect()
+            .rows()
+        )
+        assert got == [("a", 2, 1)]
+
 
 class TestCutLabels:
     def test_labels_and_guard(self, spark):

@@ -73,6 +73,13 @@ class TestHistRanges:
             (0.0, 10.0, 3), (10.0, 20.0, 1), (20.0, 30.0, 1),
         ]
 
+    def test_hist_min_edge_in_first_bin(self, spark):
+        """polars closes the first bin on the left: a value exactly equal to
+        bins[0] is counted, not dropped (round-3 advice item)."""
+        df = pl.from_records([(v,) for v in [0.0, 0.0, 5.0, 10.0]], ["x"])
+        out = df.lazy().hist("x", [0, 10, 20]).sort("bin_start").collect().rows()
+        assert [(r[0], r[1], r[2]) for r in out] == [(0.0, 10.0, 4), (10.0, 20.0, 0)]
+
     def test_hist_empty_bin_and_guard(self, spark):
         import pytest as _pt
 

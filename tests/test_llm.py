@@ -531,6 +531,22 @@ class TestCleanText:
         assert out[2]["clean_text"] == "x y"
         assert out[3]["clean_text"] is None and out[3]["n_chars_after"] is None
 
+    def test_newlines_survive_to_collapse(self, spark):
+        """\\t/\\n/\\r are NOT stripped as control chars — they collapse to
+        single spaces, so words never merge across line breaks (round-3
+        advice item: 'line1\\nline2' must not become 'line1line2')."""
+        import polars_net_spark as pl
+        from polars_net_spark.llm import clean_text_frame
+
+        sdf = spark.createDataFrame(
+            [(1, "line1\nline2"), (2, "a\tb\r\nc"), (3, "v\x0bf\x0cw")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in clean_text_frame(pl.LazyFrame(sdf)).spark.collect()}
+        assert out[1]["clean_text"] == "line1 line2"
+        assert out[2]["clean_text"] == "a b c"
+        assert out[3]["clean_text"] == "vfw"  # VT/FF are controls, stripped
+
     def test_nfc_path(self, spark):
         import unicodedata
         import polars_net_spark as pl

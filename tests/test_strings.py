@@ -272,3 +272,17 @@ class TestContainsReplaceMany:
             df.select(col("s").str.replace_many([], "x"))
         with _pt.raises(ValueError):
             df.select(col("s").str.replace_many(["a", "b"], ["only-one"]))
+
+    def test_replace_many_literal_replacement(self, spark):
+        """'$' and '\\' in replacements are literals (polars), not group
+        refs / escapes for the underlying regexp_replace (round-3 advice)."""
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        df = pl.from_records([(1, "price X and Y")], ["id", "s"])
+        one = df.select(col("s").str.replace_many(["X"], "$10").alias("r")).rows()[0][0]
+        assert one == "price $10 and Y"
+        per = df.select(
+            col("s").str.replace_many(["X", "Y"], ["$1", "a\\b"]).alias("r")
+        ).rows()[0][0]
+        assert per == "price $1 and a\\b"
