@@ -3424,7 +3424,7 @@ def _q119(spark, sf_dir):
 
 _q119_sql = """
 WITH c AS (SELECT doc_id, text,
-                  regexp_replace(trim(regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g')),
+                  regexp_replace(trim(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
                                  '\\s+', ' ', 'g') AS ct
            FROM documents)
 SELECT doc_id,
@@ -3449,6 +3449,9 @@ def _q120(spark, sf_dir):
             col("l_quantity")
             .filter(col("l_discount") > 0.05, col("l_tax") < 0.05)
             .mean().round(6).alias("avg_q"),
+            # len() after filter counts SURVIVORS (r4 fix: was unfiltered group size)
+            col("l_extendedprice").filter(col("l_quantity") > 30).len()
+            .cast("long").alias("n_big"),
         )
         .spark
     )
@@ -3458,7 +3461,8 @@ _q120_sql = """
 SELECT l_returnflag,
        round(sum(l_extendedprice) FILTER (WHERE l_quantity > 30), 2) AS rev_big,
        CAST(count(l_orderkey) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
-       round(avg(l_quantity) FILTER (WHERE l_discount > 0.05 AND l_tax < 0.05), 6) AS avg_q
+       round(avg(l_quantity) FILTER (WHERE l_discount > 0.05 AND l_tax < 0.05), 6) AS avg_q,
+       CAST(count(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS n_big
 FROM lineitem GROUP BY l_returnflag
 """
 

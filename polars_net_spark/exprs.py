@@ -310,9 +310,6 @@ class Expr:
             return _wrap(F.array_contains(values._col, self._col))
         return _wrap(self._col.isin(list(values)))
 
-    def is_duplicated_key_marker(self) -> "Expr":  # helper used by frame.unique
-        raise NotImplementedError
-
     # -- math (expr.rs:212, 219-220, 853-876) ------------------------------
     def abs(self) -> "Expr":
         return _wrap(F.abs(self._col))
@@ -590,7 +587,15 @@ class Expr:
         """Product of the group (polars Expr.product): exact multiplication
         fold over the collected group (same bit pattern as polars' fold —
         exp(sum(log)) drifts in the last ulps). Like polars, the group is
-        materialized; overflow follows IEEE ±inf."""
+        materialized; overflow follows IEEE ±inf.
+
+        **SIZE CONTRACT**: collect_list materializes the ENTIRE group as one
+        array on one executor — grouped use with bounded groups only.  An
+        UNGROUPED ``product()`` over a 100 TB column is one array of
+        everything and will OOM; at that scale compute
+        ``exp(sum(ln(abs(x))))`` with separate sign-parity
+        (``sum((x < 0)::int) % 2``) and any-zero tracking — streaming,
+        map-side-combinable, bit-inexact."""
         x = self._col.cast("double")
         return _wrap(
             F.aggregate(
@@ -607,6 +612,12 @@ class Expr:
         midpoint→ (lower+higher)/2
         nearest → lower/higher, whichever index is closer (ties → higher,
                   matching polars' round-half-up on (n-1)*q)
+
+        **SIZE CONTRACT**: the non-linear modes sort a collect_list of the
+        whole group on one executor — bounded groups only.  'linear' streams
+        through Spark's percentile aggregate (group-sized buffer on the
+        merging reducer — also not for an ungrouped 100 TB column).  At
+        scale use :meth:`approx_quantile` (constant-memory GK sketch).
         """
         c = self._col
         if interpolation == "linear":
@@ -678,14 +689,17 @@ class Expr:
     def top_k(self, k: int) -> "Expr":
         """polars Expr.top_k (aggregate context): the k largest non-null
         values, descending, as a list.  collect_list + sort_array + slice —
-        the collected group must fit an executor (same contract as implode);
-        for frame-level top-k use LazyFrame.top_k (TakeOrderedAndProject)."""
+        **SIZE CONTRACT**: the collected group must fit one executor (same
+        as implode); never call ungrouped on a 100 TB column.  For
+        frame-level top-k use LazyFrame.top_k (TakeOrderedAndProject — k
+        values per partition, no full materialization)."""
         return _wrap(
             F.slice(F.sort_array(F.collect_list(self._col), asc=False), 1, int(k))
         )
 
     def bottom_k(self, k: int) -> "Expr":
-        """polars Expr.bottom_k: the k smallest non-null values, ascending."""
+        """polars Expr.bottom_k: the k smallest non-null values, ascending
+        (same size contract as :meth:`top_k`)."""
         return _wrap(
             F.slice(F.sort_array(F.collect_list(self._col), asc=True), 1, int(k))
         )
@@ -1039,7 +1053,11 @@ class Expr:
         """Most frequent value (aggregation context). Ties resolve to the
         smallest value (Spark 4 deterministic mode), so results are stable
         across runs — polars returns ALL tied modes as a list; use
-        ``.implode()`` + a count-window if the full tie set is needed."""
+        ``.implode()`` + a count-window if the full tie set is needed.
+        Memory is O(distinct values in the group) on the merging reducer —
+        fine for categorical columns at any scale; for a high-cardinality
+        100 TB column prefer a groupBy(value).count().top_k(1) reformulation
+        (map-side combined)."""
         return _wrap(F.mode(self._col, True))
 
     def rle_id(self, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":

@@ -768,20 +768,38 @@ class LazyFrame:
         lower: float = 0.01,
         upper: float = 0.99,
         out_col: str | None = None,
+        approx: bool = False,
+        approx_accuracy: int = 10000,
     ) -> "LazyFrame":
-        """Clip ``column`` to its [lower, upper] exact quantiles (linear
+        """Clip ``column`` to its [lower, upper] quantiles (linear
         interpolation — Spark `percentile` == DuckDB quantile_cont), the
         standard outlier-robust scaling step.  The two boundaries are one
         1-row aggregate broadcast back onto the scan (same pattern as qcut)
-        — no global sort, no window."""
+        — no global sort, no window.
+
+        ``approx=True`` switches the boundary aggregate to
+        ``percentile_approx`` (Greenwald-Khanna sketch, constant memory per
+        partition, map-side combinable).  **Use it at scale**: the exact
+        default buffers every value of ``column`` on the merging reducer —
+        fine at test SFs, OOM-class on a 100 TB column.  ``approx_accuracy``
+        trades memory for error (err <= 1/accuracy of rank)."""
         if not (0.0 <= lower < upper <= 1.0):
             raise ValueError("need 0 <= lower < upper <= 1")
         sdf = self._drop_order()._sdf
         oc = out_col or column
-        bounds = sdf.agg(
-            F.expr(f"percentile({column}, {lower!r})").alias("__lo__"),
-            F.expr(f"percentile({column}, {upper!r})").alias("__hi__"),
-        )
+        if approx:
+            acc = int(approx_accuracy)
+            bounds = sdf.agg(
+                F.percentile_approx(F.col(column), F.lit(lower), F.lit(acc)).alias("__lo__"),
+                F.percentile_approx(F.col(column), F.lit(upper), F.lit(acc)).alias("__hi__"),
+            )
+        else:
+            # one percentile(col, array(lo, hi)) aggregate: a single sort
+            # buffer serves both boundaries instead of two
+            both = F.percentile(F.col(column), F.array(F.lit(lower), F.lit(upper)))
+            bounds = sdf.agg(both.alias("__b__")).select(
+                F.get("__b__", 0).alias("__lo__"), F.get("__b__", 1).alias("__hi__")
+            )
         out = (
             sdf.crossJoin(F.broadcast(bounds))
             .withColumn(
@@ -791,7 +809,14 @@ class LazyFrame:
         )
         return LazyFrame(out)
 
-    def with_qcut(self, col_name: str, q, out_col: str | None = None) -> "LazyFrame":
+    def with_qcut(
+        self,
+        col_name: str,
+        q,
+        out_col: str | None = None,
+        approx: bool = False,
+        approx_accuracy: int = 10000,
+    ) -> "LazyFrame":
         """Quantile binning (polars qcut with labels-as-indices): exact
         linear-interpolation quantile boundaries at i/q (or the given
         probability list), right-closed buckets.
@@ -799,15 +824,30 @@ class LazyFrame:
         The boundaries are ONE aggregate row broadcast back onto the scan —
         not a global window — so the frame never collapses to a single
         partition; the bucket assignment itself is a codegen'd comparison
-        sum (see Expr.cut)."""
+        sum (see Expr.cut).
+
+        ``approx=True`` computes the boundaries with ``percentile_approx``
+        (constant-memory sketch; see :meth:`winsorize`) — the exact default
+        buffers the whole column on one reducer, which does not survive
+        100 TB.  Bucket edges may shift by <= 1/approx_accuracy of rank."""
         probs = [i / q for i in range(1, q)] if isinstance(q, int) else list(q)
         if not probs or sorted(probs) != list(probs) or not all(0 < p < 1 for p in probs):
             raise ValueError("q must be an int >= 2 or sorted probabilities in (0, 1)")
         sdf = self._sdf
         names = [f"__qb{i}__" for i in range(len(probs))]
-        bounds = sdf.agg(
-            *[F.percentile(F.col(col_name), F.lit(p)).alias(n) for p, n in zip(probs, names)]
-        )
+        if approx:
+            acc = int(approx_accuracy)
+            bounds = sdf.agg(
+                *[
+                    F.percentile_approx(F.col(col_name), F.lit(p), F.lit(acc)).alias(n)
+                    for p, n in zip(probs, names)
+                ]
+            )
+        else:
+            both = F.percentile(F.col(col_name), F.array(*[F.lit(p) for p in probs]))
+            bounds = sdf.agg(both.alias("__b__")).select(
+                *[F.get("__b__", i).alias(n) for i, n in enumerate(names)]
+            )
         c = F.col(col_name)
         acc = F.lit(0)
         for n in names:

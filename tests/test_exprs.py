@@ -185,6 +185,20 @@ def test_with_qcut_quartiles(spark):
         d.with_qcut("v", [0.5, 0.2])
 
 
+def test_with_qcut_approx_matches_exact_here(spark):
+    """approx=True (sketch boundaries) assigns the same buckets as exact on
+    well-separated data — the scale-safe variant is a drop-in."""
+    import polars_net_spark as plx
+
+    d = plx.from_records([(i, float(i)) for i in range(1, 101)], ["i", "v"]).lazy()
+    exact = dict(d.with_qcut("v", 4, "qb").collect().select(plx.col("i"), plx.col("qb")).rows())
+    approx = dict(
+        d.with_qcut("v", 4, "qb", approx=True).collect().select(plx.col("i"), plx.col("qb")).rows()
+    )
+    diffs = sum(1 for k in exact if exact[k] != approx[k])
+    assert diffs <= 2  # sketch may shift an edge by <= 1 rank
+
+
 class TestTopKAgg:
     def test_top_bottom_k(self, spark):
         import polars_net_spark as pl

@@ -232,3 +232,14 @@ class TestTermDFWinsorize:
 
         with _pt.raises(ValueError):
             df.lazy().winsorize("x", 0.9, 0.1)
+
+    def test_winsorize_approx(self, spark):
+        """approx=True (percentile_approx sketch — the 100 TB path) clips to
+        boundaries within rank tolerance of the exact ones."""
+        df = pl.from_records([(float(i),) for i in range(1, 1001)], ["x"])
+        out = df.lazy().winsorize("x", 0.05, 0.95, out_col="w", approx=True).collect().rows()
+        ws = sorted(r[1] for r in out)
+        # GK sketch at default accuracy: boundary within ~1 rank of exact
+        assert ws[0] == pytest.approx(50.95, abs=2.0)
+        assert ws[-1] == pytest.approx(950.05, abs=2.0)
+        assert ws[500] == 501.0  # middle untouched either way
