@@ -605,6 +605,7 @@ def dedup_clusters(
     vertex_id: str | None = None,
     max_iter: int = 30,
     driver_threshold: int = 200_000,
+    checkpoint_dir: str | None = None,
 ) -> LazyFrame:
     """Connected components over a near-dup pair list: every id gets the
     minimum id reachable through pairs as its ``cluster_id`` — the step that
@@ -620,13 +621,16 @@ def dedup_clusters(
     connectedComponents): min-label propagation with path-halving, which
     converges in O(log diameter) rounds — near-dup graphs are
     small-diameter, so typically 3-5 rounds.  Each round is two
-    key-partitioned shuffles (neighbor min + label-of-label) and ends in
-    ``localCheckpoint()``: without lineage truncation the logical plan
-    doubles per round (labels feeds both joins) and Catalyst planning blows
-    the driver heap by ~10 rounds.  On a multi-node cluster prefer a
-    reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
-    variant (localCheckpoint loses blocks on executor death mid-job).
-    Raises RuntimeError after ``max_iter`` non-converged rounds rather than
+    key-partitioned shuffles (neighbor min + label-of-label) and ends in a
+    checkpoint: without lineage truncation the logical plan doubles per
+    round (labels feeds both joins) and Catalyst planning blows the driver
+    heap by ~10 rounds.  ``checkpoint_dir=None`` (default) uses
+    ``localCheckpoint()`` — fastest, but blocks live in executor memory and
+    die with an executor, so it is single-node grade.  **On a multi-node
+    cluster pass ``checkpoint_dir`` (an HDFS/S3 path)**: each round then
+    runs a reliable ``.checkpoint()`` whose blocks survive executor loss
+    (this sets the SparkContext checkpoint dir for the session).  Raises
+    RuntimeError after ``max_iter`` non-converged rounds rather than
     returning wrong clusters.
 
     ``driver_threshold``: near-dup edge lists are typically minuscule next to
@@ -682,6 +686,17 @@ def dedup_clusters(
     # and the edge staging is already persisted via the cache registry
     labels = active.select("id", F.col("id").alias("lbl"))
 
+    if checkpoint_dir is not None:
+        spark = _sdf(pairs).sparkSession
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df):
+            return df.checkpoint()  # reliable: blocks survive executor loss
+    else:
+
+        def _ckpt(df):
+            return df.localCheckpoint()
+
     for _ in range(max_iter):
         nmin = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -693,7 +708,8 @@ def dedup_clusters(
             labels.join(nmin, "id", "left")
             .join(parent, F.col("lbl") == F.col("p_id"), "left")
             .select("id", "lbl", F.least("lbl", "nlbl", "plbl").alias("new_lbl"))
-        ).localCheckpoint()
+        )
+        stage = _ckpt(stage)
         changed = stage.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = stage.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
@@ -720,6 +736,7 @@ def dedup_fuzzy(
     n: int = 3,
     max_iter: int = 30,
     driver_threshold: int = 200_000,
+    checkpoint_dir: str | None = None,
     **method_kwargs,
 ) -> LazyFrame:
     """End-to-end fuzzy dedup: keep one canonical document per near-dup
@@ -749,7 +766,7 @@ def dedup_fuzzy(
     )
     clusters = dedup_clusters(
         pairs, vertices=sdf, vertex_id=id_col, max_iter=max_iter,
-        driver_threshold=driver_threshold,
+        driver_threshold=driver_threshold, checkpoint_dir=checkpoint_dir,
     )
     canon = clusters.spark.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return LazyFrame(sdf.join(canon, id_col, "semi"))

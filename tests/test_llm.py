@@ -428,6 +428,26 @@ def test_dedup_clusters_driver_path_matches_distributed(spark):
     assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)]
 
 
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches the fixpoint to reliable .checkpoint()
+    (cluster-grade: blocks survive executor loss) with identical output."""
+    from polars_net_spark.llm import dedup_clusters
+
+    pairs = pl.from_records(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    ).lazy()
+    ckdir = str(tmp_path / "ck")
+    out = sorted(
+        dedup_clusters(
+            pairs, driver_threshold=0, checkpoint_dir=ckdir
+        ).collect().rows()
+    )
+    assert out == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
+    import os
+
+    assert os.listdir(ckdir)  # reliable checkpoint actually wrote blocks
+
+
 def test_dedup_fuzzy_driver_and_distributed_agree(spark):
     from polars_net_spark.llm import dedup_fuzzy
 

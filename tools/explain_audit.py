@@ -88,7 +88,8 @@ CHECKS = {
         ("partial_count", "value counts combine map-side"),
     ],
     "q81_ewm_var_std": [
-        ("count==1", "FlatMapGroupsInPandas", "var+std computed in ONE Arrow pass, not one per aggregate"),
+        ("count==1", "MapInPandas", "var+std computed in ONE partition-level Arrow pass, not one per aggregate"),
+        ("!", "FlatMapGroupsInPandas", "no per-group Arrow round trips (r4: partition-level mapInPandas)"),
     ],
     "q88_join_where": [
         ("!", "CartesianProduct", "inequality join runs on the equi key"),
