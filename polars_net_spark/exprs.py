@@ -892,8 +892,12 @@ class Expr:
         """Rank within partitions.  Methods (polars names): 'dense', 'min'
         (competition), 'ordinal' (row_number), 'max' (ties share the LAST
         slot), 'average' (ties share the mean slot, polars' default method).
-        max/average compose rank() with a tie-count window over the same
-        value — still one shuffle, no self-join."""
+        max/average ride the SAME window as rank(): the max rank of a tie
+        group is count(*) over the default RANGE frame (<= current order
+        value, ties included) — every method is one WindowExec, one shuffle,
+        one sort, no second tie-keyed exchange (r4: the old tie-count window
+        partitioned by (keys, value), adding an exchange and capping
+        parallelism at the distinct-value count)."""
         keys = [_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)]
         order = self._col if order_by is None else _order_cols(order_by)[0]
         w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(order)
@@ -901,11 +905,12 @@ class Expr:
             fn = {"dense": F.dense_rank, "min": F.rank, "ordinal": F.row_number}[method]
             return _wrap(fn().over(w))
         if method in ("max", "average"):
-            tie_w = Window.partitionBy(*keys, order)
-            rmin = F.rank().over(w)
-            rmax = rmin + F.count(F.lit(1)).over(tie_w) - F.lit(1)
+            # default aggregate frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+            # counts every row ordered <= current INCLUDING its ties
+            rmax = F.count(F.lit(1)).over(w)
             if method == "max":
                 return _wrap(rmax)
+            rmin = F.rank().over(w)
             return _wrap((rmin + rmax) / F.lit(2.0))
         raise ValueError(
             f"rank method={method!r} must be dense/min/ordinal/max/average"
