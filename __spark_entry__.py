@@ -3871,6 +3871,98 @@ FROM b
 """
 
 
+def _q134(spark, sf_dir):
+    """merge_sorted: two key-sorted frames merged into one key-sorted frame
+    (frame.py merge_sorted — unionByName + range-partitioned sort with
+    side/order tie-breaks; ties keep left's rows first, polars semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(col("o_orderstatus") == "F").sort("o_orderdate").with_columns(
+        lit("F").alias("side")
+    )
+    b = o.filter(col("o_orderstatus") == "O").sort("o_orderdate").with_columns(
+        lit("O").alias("side")
+    )
+    out = a.merge_sorted(b, "o_orderdate")
+    # re-derive a deterministic output: per-date counts by side prove the
+    # merge kept every row and the global sort is by date
+    return (
+        out.group_by("o_orderdate")
+        .agg(
+            col("o_orderkey").count().cast("long").alias("n"),
+            col("side").filter(col("side") == "F").count().cast("long").alias("n_f"),
+        )
+        .spark
+    )
+
+
+_q134_sql = """
+SELECT o_orderdate,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f
+FROM orders WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderdate
+"""
+
+
+def _q135(spark, sf_dir):
+    """Expr.dot (partial-aggregable sum of products) + frame gather_every
+    (dense scan-order index from monotonically_increasing_id partition
+    arithmetic — no global window — then a codegen'd modulo filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sampled = li.sort("l_orderkey", "l_linenumber").gather_every(7, 3)
+    return (
+        sampled.group_by("l_returnflag")
+        .agg(
+            col("l_extendedprice").dot(col("l_discount")).round(4).alias("disc_dot"),
+            col("l_quantity").count().cast("long").alias("n"),
+        )
+        .spark
+    )
+
+
+_q135_sql = """
+WITH s AS (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+           FROM lineitem)
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_discount), 4) AS disc_dot,
+       CAST(count(l_quantity) AS BIGINT) AS n
+FROM s WHERE rn >= 3 AND (rn - 3) % 7 = 0
+GROUP BY l_returnflag
+"""
+
+
+def _q136(spark, sf_dir):
+    """Expr.top_k_by / bottom_k_by: per-group values ordered by ANOTHER
+    column's largest/smallest k (struct collect + sort_array + slice)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by("o_orderpriority")
+        .agg(
+            col("o_orderkey").top_k_by("o_totalprice", 3).alias("top_orders"),
+            col("o_orderkey").bottom_k_by("o_totalprice", 2).alias("cheap_orders"),
+        )
+        .with_columns(
+            col("top_orders").cast("array<long>").alias("top_orders"),
+            col("cheap_orders").cast("array<long>").alias("cheap_orders"),
+        )
+        .spark
+    )
+
+
+_q136_sql = """
+WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+           FROM orders)
+SELECT o_orderpriority,
+       list(o_orderkey ORDER BY rd) FILTER (WHERE rd <= 3) AS top_orders,
+       list(o_orderkey ORDER BY ra) FILTER (WHERE ra <= 2) AS cheap_orders
+FROM r GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4009,6 +4101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_cut_labels": _q131,
         "q132_shift_fill": _q132,
         "q133_interpolate_by": _q133,
+        "q134_merge_sorted": _q134,
+        "q135_dot_gather_every": _q135,
+        "q136_topk_by": _q136,
     }
 
 
@@ -4147,4 +4242,7 @@ def oracle_sql() -> dict[str, str]:
         "q131_cut_labels": _q131_sql,
         "q132_shift_fill": _q132_sql,
         "q133_interpolate_by": _q133_sql,
+        "q134_merge_sorted": _q134_sql,
+        "q135_dot_gather_every": _q135_sql,
+        "q136_topk_by": _q136_sql,
     }

@@ -523,6 +523,13 @@ class Expr:
             return _wrap(F.count(F.when(self._filter_pred, F.lit(1))))
         return _wrap(F.count(F.lit(1)))
 
+    def dot(self, other: "Expr | str") -> "Expr":
+        """Dot product with another column (polars Expr.dot): sum(self *
+        other) — a plain partial-aggregable sum, null rows skipped like every
+        Spark sum."""
+        o = col(other) if isinstance(other, str) else other
+        return _wrap(F.sum(self._col * o._col))
+
     def n_unique(self) -> "Expr":
         return _wrap(F.countDistinct(self._col))
 
@@ -702,6 +709,29 @@ class Expr:
         (same size contract as :meth:`top_k`)."""
         return _wrap(
             F.slice(F.sort_array(F.collect_list(self._col), asc=True), 1, int(k))
+        )
+
+    def top_k_by(self, by: "Expr | str", k: int) -> "Expr":
+        """polars Expr.top_k_by: the values of self at the k LARGEST ``by``
+        values, as a list in descending-by order.  collect_list of
+        (by, value) structs + sort + slice — same size contract as
+        :meth:`top_k`; rows where ``by`` is null are dropped (polars
+        top_k semantics)."""
+        return self._k_by(by, k, asc=False)
+
+    def bottom_k_by(self, by: "Expr | str", k: int) -> "Expr":
+        """polars Expr.bottom_k_by: values of self at the k SMALLEST ``by``
+        values (ascending-by order; same contract as :meth:`top_k_by`)."""
+        return self._k_by(by, k, asc=True)
+
+    def _k_by(self, by: "Expr | str", k: int, asc: bool) -> "Expr":
+        b = (col(by) if isinstance(by, str) else by)._col
+        pairs = F.collect_list(
+            F.when(b.isNotNull(), F.struct(b.alias("b"), self._col.alias("v")))
+        )
+        ordered = F.sort_array(pairs, asc=asc)
+        return _wrap(
+            F.transform(F.slice(ordered, 1, int(k)), lambda s: s.getField("v"))
         )
 
     # -- window ops (expr.rs:995-1101, SURVEY §2.6) ------------------------

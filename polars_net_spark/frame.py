@@ -107,6 +107,54 @@ class LazyFrame:
     def _order_col(self) -> "LazyFrame":
         return self.with_row_index()
 
+    def with_dense_row_index(self, name: str = "index", offset: int = 0) -> "LazyFrame":
+        """Dense 0,1,2,... row index in scan order (polars with_row_index
+        semantics) WITHOUT a global single-task window: Spark's
+        ``monotonically_increasing_id`` is (partition_id << 33) | local_record
+        with local records contiguous from 0, so the dense index is
+        ``per-partition-offset + local_record`` where the offsets come from
+        one tiny count-per-partition aggregate (#partitions rows to the
+        driver, broadcast back as a plan literal).  Costs one extra
+        column-pruned pass to count; assumes a deterministic source (parquet
+        scans are — re-derived partition numbering must match between the
+        count pass and the main pass)."""
+        sdf = self._sdf
+        mid = F.monotonically_increasing_id()
+        pid = F.shiftrightunsigned(mid, 33)
+        local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+        counts = (
+            sdf.select(pid.alias("__pid__"))
+            .groupBy("__pid__")
+            .count()
+            .collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = int(offset)
+        for row in sorted(counts, key=lambda r: r["__pid__"]):
+            offsets[row["__pid__"]] = acc
+            acc += row["count"]
+        if offsets:
+            m = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            )
+            idx = F.element_at(m, pid.cast("int")) + local
+        else:
+            idx = F.lit(int(offset)) + local
+        return LazyFrame(sdf.withColumn(name, idx.cast("long")))
+
+    def gather_every(self, n: int, offset: int = 0) -> "LazyFrame":
+        """Every ``n``-th row starting at ``offset`` (polars gather_every),
+        in scan order.  Dense index via :meth:`with_dense_row_index` (no
+        global window), then a codegen'd modulo filter."""
+        if n <= 0:
+            raise ValueError("n must be positive")
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+        lf = self.with_dense_row_index("__gidx__")
+        c = F.col("__gidx__")
+        kept = lf._sdf.filter((c >= offset) & ((c - offset) % n == 0))
+        return LazyFrame(kept.drop("__gidx__"))
+
     def _drop_order(self) -> "LazyFrame":
         if ROW_ORDER_COL in self._sdf.columns:
             return LazyFrame(self._sdf.drop(ROW_ORDER_COL))
@@ -860,6 +908,30 @@ class LazyFrame:
         return LazyFrame(out)
 
     # -- sorting (lazy.rs:100-164) ----------------------------------------------
+    def merge_sorted(self, other: "LazyFrame | DataFrame", key: str) -> "LazyFrame":
+        """polars merge_sorted: merge two frames sorted by ``key`` into one
+        frame sorted by ``key``; ties keep self's rows before other's, each
+        side in its input order (polars' streaming-merge tie behavior).
+
+        Spark-first shape: unionByName + a range-partitioned sort on
+        (key, side, input order) — Catalyst samples the key for balanced
+        range partitions, so the merge scales with the data instead of
+        zipping two iterators on one node.  The side/order tie-break keys
+        cost sort width but make the output deterministic."""
+        o = other.lazy() if isinstance(other, DataFrame) else other
+        a = self._drop_order()._sdf.withColumn("__side__", F.lit(0))
+        b = o._drop_order()._sdf.withColumn("__side__", F.lit(1))
+        if set(a.columns) != set(b.columns):
+            raise ValueError(
+                f"merge_sorted frames must share columns; got {sorted(a.columns)} "
+                f"vs {sorted(b.columns)}"
+            )
+        u = a.unionByName(b).withColumn("__ord__", F.monotonically_increasing_id())
+        out = u.orderBy(
+            F.col(key).asc(), F.col("__side__").asc(), F.col("__ord__").asc()
+        ).drop("__side__", "__ord__")
+        return LazyFrame(out)
+
     def sort(
         self,
         by: Any,

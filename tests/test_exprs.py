@@ -409,3 +409,31 @@ class TestCutLabels:
         assert [r[0] for r in left] == ["lo", "hi", "hi", None]
         with pytest.raises(ValueError):
             col("v").cut([10.0], labels=["only-one"])
+
+
+class TestDotTopKBy:
+    def test_dot(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records([(1.0, 2.0), (3.0, 4.0), (None, 5.0)], ["a", "b"]).lazy()
+        assert d.select(col("a").dot("b").alias("d")).collect().rows() == [(14.0,)]
+
+    def test_top_bottom_k_by(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records(
+            [("g", "x", 1), ("g", "y", 9), ("g", "z", 5), ("g", "w", None)],
+            ["k", "name", "score"],
+        ).lazy()
+        out = (
+            d.group_by("k")
+            .agg(
+                col("name").top_k_by("score", 2).alias("top"),
+                col("name").bottom_k_by("score", 2).alias("bot"),
+            )
+            .collect()
+            .rows()
+        )
+        assert out == [("g", ["y", "z"], ["x", "z"])]

@@ -216,3 +216,38 @@ class TestAlignConcat:
         b = pl.from_records([(1,)], ["y"]).lazy()
         with _pt.raises(ValueError):
             pl.concat([a, b], how="align")
+
+
+class TestMergeSortedGather:
+    def test_merge_sorted(self, spark):
+        a = pl.from_records([(1, "a"), (3, "a"), (5, "a")], ["k", "src"]).lazy()
+        b = pl.from_records([(2, "b"), (3, "b"), (4, "b")], ["k", "src"]).lazy()
+        out = a.merge_sorted(b, "k").collect().rows()
+        assert out == [(1, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "b"), (5, "a")]
+
+    def test_merge_sorted_column_mismatch(self, spark):
+        import pytest as _pt
+
+        a = pl.from_records([(1,)], ["k"]).lazy()
+        b = pl.from_records([(1, 2)], ["k", "v"]).lazy()
+        with _pt.raises(ValueError):
+            a.merge_sorted(b, "k")
+
+    def test_gather_every(self, spark):
+        d = pl.from_records([(i,) for i in range(10)], ["x"]).lazy()
+        assert [r[0] for r in d.gather_every(3).collect().rows()] == [0, 3, 6, 9]
+        assert [r[0] for r in d.gather_every(3, 1).collect().rows()] == [1, 4, 7]
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            d.gather_every(0)
+
+    def test_dense_row_index_multi_partition(self, spark):
+        """Dense index must be 0..n-1 in scan order even across many
+        partitions (partition-offset arithmetic, no global window)."""
+        big = pl.LazyFrame(spark.range(0, 500, 1, 7).selectExpr("id as x"))
+        rows = big.with_dense_row_index("i").collect().rows()
+        assert sorted(r[1] for r in rows) == list(range(500))
+        # index follows scan order: x ascending within this deterministic range
+        by_idx = sorted(rows, key=lambda r: r[1])
+        assert [r[0] for r in by_idx] == sorted(r[0] for r in rows)
