@@ -3963,6 +3963,133 @@ FROM r GROUP BY o_orderpriority
 """
 
 
+def _q137(spark, sf_dir):
+    """str extras r4: split_exact (n splits -> n+1 struct fields),
+    to_titlecase (initcap), reverse, to_integer (validated conv)."""
+    c = _t(spark, sf_dir, "customer")
+    parts = col("c_name").str.split_exact("#", 1)
+    return c.select(
+        col("c_custkey"),
+        parts.struct.field("field_0").alias("name_head"),
+        parts.struct.field("field_1").alias("name_num"),
+        parts.struct.field("field_1").str.to_integer().alias("name_int"),
+        col("c_mktsegment").str.to_titlecase().alias("seg_tc"),
+        col("c_mktsegment").str.reverse().alias("seg_rev"),
+    ).spark
+
+
+_q137_sql = """
+SELECT c_custkey,
+       string_split(c_name, '#')[1] AS name_head,
+       string_split(c_name, '#')[2] AS name_num,
+       CAST(string_split(c_name, '#')[2] AS BIGINT) AS name_int,
+       -- DuckDB has no initcap-equivalent word semantics; TPC-H segments are
+       -- single uppercase words so title-case = upper(first)+lower(rest)
+       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg_tc,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer
+"""
+
+
+def _q138(spark, sf_dir):
+    """math extras r4: cot / arcsinh / arccosh / arctanh closed forms,
+    round_sig_figs, is_close — all pure codegen, map-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = col("l_discount") * 10  # 0..1 -> 0..10 spread
+    return li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        (x + 0.1).cot().round(6).alias("ct"),
+        x.arcsinh().round(6).alias("ash"),
+        (x + 1.0).arccosh().round(6).alias("ach"),
+        (col("l_discount") * 0.9).arctanh().round(6).alias("ath"),
+        col("l_extendedprice").round_sig_figs(3).alias("sf3"),
+        col("l_extendedprice").is_close(col("l_extendedprice") + 1e-10).alias("cl"),
+    ).spark
+
+
+_q138_sql = """
+SELECT l_orderkey, l_linenumber,
+       round(cos(l_discount * 10 + 0.1) / sin(l_discount * 10 + 0.1), 6) AS ct,
+       round(ln(l_discount * 10 + sqrt((l_discount*10)*(l_discount*10) + 1)), 6) AS ash,
+       round(ln(l_discount * 10 + 1 + sqrt((l_discount*10+1)*(l_discount*10+1) - 1)), 6) AS ach,
+       round(0.5 * ln((1 + l_discount*0.9) / (1 - l_discount*0.9)), 6) AS ath,
+       CASE WHEN l_extendedprice = 0 THEN 0
+            ELSE round(l_extendedprice * power(10, 2 - floor(log10(abs(l_extendedprice)))))
+                 / power(10, 2 - floor(log10(abs(l_extendedprice)))) END AS sf3,
+       abs(l_extendedprice - (l_extendedprice + 1e-10)) <=
+         greatest(1e-9 * greatest(abs(l_extendedprice), abs(l_extendedprice + 1e-10)), 1e-12) AS cl
+FROM lineitem
+"""
+
+
+def _q139(spark, sf_dir):
+    """list namespace extras r4: last/head/tail/diff/shift/median/std/gather/
+    any — pure higher-order-function codegen over a constructed list."""
+    li = _t(spark, sf_dir, "lineitem")
+    import polars_net_spark as _pl
+
+    arrs = (
+        li.group_by("l_orderkey")
+        .agg(col("l_quantity").implode().alias("qs"))
+        .with_columns(col("qs").list.sort().alias("qs"))
+    )
+    v = col("qs")
+    return arrs.select(
+        col("l_orderkey"),
+        v.list.last().round(2).alias("last_q"),
+        v.list.head(2).alias("head2"),
+        v.list.tail(2).alias("tail2"),
+        # drop the leading nulls so the cross-engine compare sees pure
+        # numeric lists (duckdb NULL-in-list -> NaN breaks the value hash)
+        v.list.diff().list.filter(lambda e: e.is_not_null()).alias("dif"),
+        v.list.shift(1).list.filter(lambda e: e.is_not_null()).alias("sh"),
+        v.list.median().round(6).alias("med"),
+        v.list.std().round(6).alias("sd"),
+        v.list.gather([0, -1], null_on_oob=True).alias("ends"),
+        v.list.eval(lambda e: e > 25.0).list.any().alias("has_big"),
+    ).spark
+
+
+_q139_sql = """
+WITH a AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+           FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey,
+       round(qs[-1], 2) AS last_q,
+       qs[1:2] AS head2,
+       CASE WHEN len(qs) <= 2 THEN qs ELSE qs[-2:] END AS tail2,
+       list_transform(generate_series(2, len(qs)), i -> qs[i] - qs[i-1]) AS dif,
+       qs[1:len(qs)-1] AS sh,
+       round(median(x.q), 6) AS med,
+       round(stddev_samp(x.q), 6) AS sd,
+       [qs[1], qs[-1]] AS ends,
+       len(list_filter(qs, q -> q > 25.0)) > 0 AS has_big
+FROM a, LATERAL (SELECT unnest(qs) AS q) AS x
+GROUP BY l_orderkey, qs
+"""
+
+
+def _q140(spark, sf_dir):
+    """to_physical (schema-driven temporal -> integer physical repr) and
+    shrink_dtype (1-row min/max probe -> narrowest int casts)."""
+    o = _t(spark, sf_dir, "orders")
+    phys = o.select(
+        col("o_orderkey"), col("o_orderdate"), col("o_custkey")
+    ).to_physical().shrink_dtype()
+    return phys.select(
+        col("o_orderkey").cast("long").alias("o_orderkey"),
+        col("o_orderdate").cast("long").alias("date_days"),  # ts col -> us since epoch
+        col("o_custkey").cast("long").alias("prio"),
+    ).spark
+
+
+_q140_sql = """
+SELECT o_orderkey,
+       epoch_us(o_orderdate) AS date_days,
+       CAST(o_custkey AS BIGINT) AS prio
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4104,6 +4231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_merge_sorted": _q134,
         "q135_dot_gather_every": _q135,
         "q136_topk_by": _q136,
+        "q137_str_extras": _q137,
+        "q138_math_extras": _q138,
+        "q139_list_extras": _q139,
+        "q140_physical_shrink": _q140,
     }
 
 
@@ -4245,4 +4376,8 @@ def oracle_sql() -> dict[str, str]:
         "q134_merge_sorted": _q134_sql,
         "q135_dot_gather_every": _q135_sql,
         "q136_topk_by": _q136_sql,
+        "q137_str_extras": _q137_sql,
+        "q138_math_extras": _q138_sql,
+        "q139_list_extras": _q139_sql,
+        "q140_physical_shrink": _q140_sql,
     }

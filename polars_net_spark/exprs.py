@@ -370,6 +370,64 @@ class Expr:
     def tanh(self) -> "Expr":
         return _wrap(F.tanh(self._col))
 
+    def cot(self) -> "Expr":
+        """Cotangent (polars Expr.cot): cos/sin — matches polars' 1/tan
+        including signed-infinity at multiples of pi."""
+        return _wrap(F.cos(self._col) / F.sin(self._col))
+
+    def arcsinh(self) -> "Expr":
+        """Inverse hyperbolic sine: ln(x + sqrt(x^2+1)) — exact closed form,
+        pure codegen."""
+        x = self._col.cast("double")
+        return _wrap(F.log(x + F.sqrt(x * x + F.lit(1.0))))
+
+    def arccosh(self) -> "Expr":
+        """Inverse hyperbolic cosine: ln(x + sqrt(x^2-1)); x<1 -> NaN like
+        polars (sqrt of negative)."""
+        x = self._col.cast("double")
+        return _wrap(F.log(x + F.sqrt(x * x - F.lit(1.0))))
+
+    def arctanh(self) -> "Expr":
+        """Inverse hyperbolic tangent: 0.5*ln((1+x)/(1-x)); x=1 -> inf,
+        x=-1 -> -inf, |x|>1 -> NaN like polars (Spark's ln(negative) is null,
+        so the out-of-domain case is re-mapped to NaN)."""
+        x = self._col.cast("double")
+        y = F.lit(0.5) * F.log((F.lit(1.0) + x) / (F.lit(1.0) - x))
+        return _wrap(F.when(x.isNull(), y).otherwise(F.coalesce(y, F.lit(float("nan")))))
+
+    def round_sig_figs(self, digits: int) -> "Expr":
+        """Round to ``digits`` significant figures (polars round_sig_figs):
+        scale by 10^(digits-1-floor(log10(|x|))), round, scale back — pure
+        codegen; 0 and null pass through."""
+        if digits < 1:
+            raise ValueError("digits must be >= 1")
+        x = self._col.cast("double")
+        mag = F.floor(F.log10(F.abs(x)))
+        scale = F.pow(F.lit(10.0), F.lit(float(digits - 1)) - mag)
+        return _wrap(
+            F.when(x == 0.0, x).otherwise(F.round(x * scale) / scale)
+        )
+
+    def is_close(
+        self,
+        other: "Expr | float",
+        abs_tol: float = 1e-12,
+        rel_tol: float = 1e-9,
+        nans_equal: bool = False,
+    ) -> "Expr":
+        """Approximate equality (polars is_close): |a-b| <= max(rel_tol *
+        max(|a|,|b|), abs_tol).  ``nans_equal=True`` additionally treats
+        NaN==NaN as close."""
+        a = self._col.cast("double")
+        b = _c(other).cast("double")
+        close = F.abs(a - b) <= F.greatest(
+            F.lit(float(rel_tol)) * F.greatest(F.abs(a), F.abs(b)),
+            F.lit(float(abs_tol)),
+        )
+        if nans_equal:
+            close = close | (F.isnan(a) & F.isnan(b))
+        return _wrap(close)
+
     def degrees(self) -> "Expr":
         return _wrap(F.degrees(self._col))
 
@@ -437,6 +495,60 @@ class Expr:
             )
         # non-strict: invalid → null (Spark try_cast), matching CleaningTests.cs:76-100
         return _wrap(self._col.try_cast(t))
+
+    def to_physical(self, kind: str = "datetime") -> "Expr":
+        """polars to_physical for temporal columns: 'date' -> days since
+        epoch, 'datetime' -> microseconds since epoch, 'time' ->
+        microseconds since midnight.  polars derives the branch from the
+        schema; an unbound Column has none, so pass ``kind`` (or use
+        LazyFrame.to_physical(), which IS schema-driven).  Pure codegen."""
+        c = self._col
+        if kind == "date":
+            return _wrap(F.datediff(c, F.lit("1970-01-01").cast("date")).cast("int"))
+        if kind == "datetime":
+            return _wrap(F.unix_micros(c.cast("timestamp")))
+        if kind == "time":
+            return _wrap(
+                (
+                    F.hour(c) * F.lit(3600_000_000)
+                    + F.minute(c) * F.lit(60_000_000)
+                    + F.second(c) * F.lit(1_000_000)
+                ).cast("long")
+            )
+        raise ValueError("kind must be date|datetime|time")
+
+    def extend_constant(self, value, n: int) -> "Expr":
+        """Append ``n`` copies of ``value`` after the group's elements
+        (polars extend_constant; aggregation context — returns a list like
+        implode).  Same size contract as implode."""
+        if n < 0:
+            raise ValueError("n must be >= 0")
+        return _wrap(
+            F.concat(
+                F.collect_list(self._col),
+                F.array_repeat(F.lit(value), int(n)),
+            )
+        )
+
+    def arg_unique(self) -> "Expr":
+        """Positions (0-based, collection order) of the FIRST occurrence of
+        each distinct value — nulls count as a value — as an ascending list
+        (polars arg_unique; aggregation context).  collect_list of
+        null-keeping structs + an O(n^2) duplicate scan per group: implode
+        size contract, keep groups bounded."""
+        vals = F.collect_list(F.struct(self._col.alias("v")))
+        n = F.size(vals)
+        return _wrap(
+            F.filter(
+                F.sequence(F.lit(0), n - F.lit(1)),
+                lambda i: ~F.exists(
+                    F.slice(vals, 1, i),
+                    lambda e: e.getField("v").eqNullSafe(
+                        F.element_at(vals, i + F.lit(1)).getField("v")
+                    ),
+                ),
+            )
+        )
 
     # -- value remapping (polars Expr.replace / replace_strict) -------------
     def _replace_map(self, mapping: dict) -> tuple[Column | None, "Column | None", bool]:
@@ -1463,6 +1575,51 @@ class ExprStrNamespace:
             )
         )
 
+    def split_exact(self, by: str, n: int) -> Expr:
+        """Split into EXACTLY n+1 pieces as a struct field_0..field_n (polars
+        str.split_exact — note the off-by-one vs splitn: n is the number of
+        SPLITS, so n+1 fields); extra content stays in the last field,
+        missing pieces are null."""
+        import re as _re
+
+        parts = F.split(self._c, _re.escape(by), n + 1)
+        return _wrap(
+            F.struct(*[F.get(parts, i).alias(f"field_{i}") for i in range(n + 1)])
+        )
+
+    def to_titlecase(self) -> Expr:
+        """polars str.to_titlecase: first letter of each word upper, rest
+        lower (Spark initcap matches polars' whitespace-word semantics)."""
+        return _wrap(F.initcap(self._c))
+
+    def reverse(self) -> Expr:
+        """polars str.reverse: code-point reversal (Spark reverse)."""
+        return _wrap(F.reverse(self._c))
+
+    def to_integer(self, base: int = 10, strict: bool = True) -> Expr:
+        """polars str.to_integer: parse in the given base.  base 10 is a
+        plain cast; base 2..36 uses Spark's conv (which returns garbage on
+        invalid digits, so invalid rows are pre-masked to null).  strict=True
+        aborts the query on an unparseable non-null value, polars-style."""
+        c = self._c
+        if base == 10:
+            out = c.cast("long")
+            valid = c.rlike(r"^[+-]?[0-9]+$")
+        else:
+            if not (2 <= base <= 36):
+                raise ValueError("base must be in 2..36")
+            digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
+            valid = F.lower(c).rlike(rf"^[+-]?[{digits}]+$")
+            out = F.conv(c, base, 10).cast("long")
+        masked = F.when(valid, out)
+        if strict:
+            masked = F.when(c.isNull(), F.lit(None).cast("long")).when(valid, out).otherwise(
+                F.raise_error(
+                    F.concat(F.lit(f"to_integer(base={base}): invalid value "), c)
+                ).cast("long")
+            )
+        return _wrap(masked)
+
     def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False) -> Expr:
         """True when the string contains ANY of the literal patterns (polars
         str.contains_any): compiled into one alternation regex — a single
@@ -1729,6 +1886,111 @@ class ExprListNamespace:
 
     def first(self) -> Expr:
         return _wrap(F.element_at(self._c, 1))
+
+    def last(self) -> Expr:
+        return _wrap(F.element_at(self._c, -1))
+
+    def head(self, n: int = 5) -> Expr:
+        """First n elements (polars list.head)."""
+        return _wrap(F.slice(self._c, 1, int(n)))
+
+    def tail(self, n: int = 5) -> Expr:
+        """Last n elements (polars list.tail)."""
+        sz = F.size(self._c)
+        start = F.greatest(sz - F.lit(int(n)) + F.lit(1), F.lit(1))
+        return _wrap(F.slice(self._c, start, F.lit(int(n))))
+
+    def gather(self, indices: "Sequence[int] | Expr", null_on_oob: bool = False) -> Expr:
+        """Elements at the given indices (polars list.gather): negative
+        indices count from the end.  Compiles to a transform over the index
+        array — pure codegen.  null_on_oob=False raises on an out-of-bounds
+        index like polars."""
+        c = self._c
+        idx = (
+            F.array(*[F.lit(int(i)) for i in indices])
+            if not isinstance(indices, Expr)
+            else indices._col
+        )
+        sz = F.size(c)
+
+        def pick(i):
+            pos = F.when(i >= 0, i + 1).otherwise(sz + i + 1)  # element_at is 1-based
+            val = F.element_at(c, pos)
+            if null_on_oob:
+                return F.when((pos >= 1) & (pos <= sz), val)
+            return F.when((pos >= 1) & (pos <= sz), val).otherwise(
+                F.raise_error(F.concat(F.lit("list.gather index out of bounds: "), i.cast("string")))
+            )
+
+        return _wrap(F.transform(idx, pick))
+
+    def diff(self, n: int = 1) -> Expr:
+        """Element-wise difference with the element n positions earlier
+        (polars list.diff, null_behavior='ignore' drops the first n):
+        here polars' default — first n elements are null."""
+        c = self._c
+        return _wrap(
+            F.transform(
+                c,
+                lambda x, i: F.when(i >= n, x - F.element_at(c, i - F.lit(n) + 1)),
+            )
+        )
+
+    def shift(self, n: int = 1) -> Expr:
+        """Shift elements by n (positive = toward the end), vacated slots
+        null (polars list.shift)."""
+        c = self._c
+        sz = F.size(c)
+        if n >= 0:
+            return _wrap(
+                F.transform(c, lambda x, i: F.when(i >= n, F.element_at(c, i - F.lit(n) + 1)))
+            )
+        m = -n
+        return _wrap(
+            F.transform(
+                c, lambda x, i: F.when(i < sz - m, F.element_at(c, i + F.lit(m) + 1))
+            )
+        )
+
+    def any(self) -> Expr:
+        """True when any element of a boolean list is true (polars list.any;
+        empty/all-null -> false like polars)."""
+        return _wrap(F.coalesce(F.exists(self._c, lambda x: x), F.lit(False)))
+
+    def all(self) -> Expr:
+        """True when every element is true (polars list.all; empty -> true)."""
+        return _wrap(F.coalesce(F.forall(self._c, lambda x: x), F.lit(True)))
+
+    def median(self) -> Expr:
+        """Median of the list elements (exact; sorts the list — per-row cost
+        O(len log len), same as polars)."""
+        c = F.array_sort(F.filter(self._c, lambda x: x.isNotNull()))
+        n = F.size(c)
+        mid = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")  # odd: exact middle
+        lo = F.element_at(c, F.floor(n / F.lit(2)).cast("int"))
+        hi = F.element_at(c, F.floor(n / F.lit(2)).cast("int") + F.lit(1))
+        return _wrap(
+            F.when(n == 0, F.lit(None).cast("double")).otherwise(
+                F.when(n % 2 == 1, F.element_at(c, mid).cast("double")).otherwise(
+                    (lo.cast("double") + hi.cast("double")) / 2.0
+                )
+            )
+        )
+
+    def std(self, ddof: int = 1) -> Expr:
+        """Standard deviation of the list elements (polars list.std)."""
+        return _wrap(F.sqrt(self._var_col(ddof)))
+
+    def var(self, ddof: int = 1) -> Expr:
+        """Variance of the list elements (polars list.var)."""
+        return _wrap(self._var_col(ddof))
+
+    def _var_col(self, ddof: int):
+        vals = F.filter(self._c, lambda x: x.isNotNull())
+        n = F.size(vals).cast("double")
+        s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        s2 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        return F.when(n > ddof, (s2 - s * s / n) / (n - F.lit(float(ddof))))
 
     def get(self, index: int, null_on_oob: bool = True) -> Expr:
         if index >= 0:

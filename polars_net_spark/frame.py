@@ -908,6 +908,58 @@ class LazyFrame:
         return LazyFrame(out)
 
     # -- sorting (lazy.rs:100-164) ----------------------------------------------
+    def to_physical(self) -> "LazyFrame":
+        """polars to_physical, schema-driven: every date column becomes days
+        since epoch (i32), timestamp/timestamp_ntz microseconds since epoch
+        (i64); everything else passes through.  Map-only codegen."""
+        outs = []
+        for f in self._sdf.schema.fields:
+            c = F.col(f.name)
+            t = f.dataType.simpleString()
+            if t == "date":
+                outs.append(F.datediff(c, F.lit("1970-01-01").cast("date")).cast("int").alias(f.name))
+            elif t.startswith("timestamp"):
+                outs.append(F.unix_micros(c.cast("timestamp")).alias(f.name))
+            else:
+                outs.append(c)
+        return LazyFrame(self._sdf.select(*outs))
+
+    def shrink_dtype(self) -> "LazyFrame":
+        """polars shrink_dtype: downcast every integer column to the
+        narrowest type that holds its observed min/max (i64 -> i32 -> i16 ->
+        i8).  Data-dependent schema, so this is semi-eager like pivot: ONE
+        1-row min/max aggregate over all integer columns runs now, the casts
+        stay lazy codegen."""
+        int_cols = [
+            f.name
+            for f in self._sdf.schema.fields
+            if f.dataType.simpleString() in ("bigint", "int", "smallint")
+        ]
+        if not int_cols:
+            return self
+        stats = self._sdf.agg(
+            *[F.min(c).alias(f"__mn_{c}") for c in int_cols],
+            *[F.max(c).alias(f"__mx_{c}") for c in int_cols],
+        ).collect()[0]
+        outs = []
+        for f in self._sdf.schema.fields:
+            c = F.col(f.name)
+            if f.name in int_cols:
+                mn, mx = stats[f"__mn_{f.name}"], stats[f"__mx_{f.name}"]
+                if mn is None:
+                    outs.append(c.cast("tinyint").alias(f.name))
+                elif -128 <= mn and mx <= 127:
+                    outs.append(c.cast("tinyint").alias(f.name))
+                elif -32768 <= mn and mx <= 32767:
+                    outs.append(c.cast("smallint").alias(f.name))
+                elif -2147483648 <= mn and mx <= 2147483647:
+                    outs.append(c.cast("int").alias(f.name))
+                else:
+                    outs.append(c)
+            else:
+                outs.append(c)
+        return LazyFrame(self._sdf.select(*outs))
+
     def merge_sorted(self, other: "LazyFrame | DataFrame", key: str) -> "LazyFrame":
         """polars merge_sorted: merge two frames sorted by ``key`` into one
         frame sorted by ``key``; ties keep self's rows before other's, each

@@ -437,3 +437,126 @@ class TestDotTopKBy:
             .rows()
         )
         assert out == [("g", ["y", "z"], ["x", "z"])]
+
+
+class TestMathExtras:
+    def test_inverse_hyperbolic_and_cot(self, spark):
+        import math
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records([(0.5,), (2.0,)], ["x"]).lazy()
+        r = d.select(
+            col("x").cot().alias("ct"), col("x").arcsinh().alias("ash"),
+            col("x").arccosh().alias("ach"), col("x").arctanh().alias("ath"),
+        ).collect().rows()
+        assert r[0][0] == pytest.approx(1 / math.tan(0.5))
+        assert r[0][1] == pytest.approx(math.asinh(0.5))
+        assert math.isnan(r[0][2])  # arccosh < 1 -> NaN
+        assert r[0][3] == pytest.approx(math.atanh(0.5))
+        assert r[1][2] == pytest.approx(math.acosh(2.0))
+        assert math.isnan(r[1][3])  # arctanh |x|>1 -> NaN, not null
+
+    def test_round_sig_figs_is_close(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col, lit
+
+        d = pl.from_records([(1234.567,), (0.0,), (0.0012345,)], ["x"]).lazy()
+        vals = [r[0] for r in d.select(col("x").round_sig_figs(3).alias("s")).collect().rows()]
+        assert vals == [1230.0, 0.0, 0.00123]
+        close = d.select(col("x").is_close(col("x") + lit(1e-13)).alias("c")).collect().rows()
+        assert all(r[0] for r in close)
+        with pytest.raises(ValueError):
+            col("x").round_sig_figs(0)
+
+
+class TestToPhysicalShrink:
+    def test_to_physical_frame(self, spark):
+        import datetime as dt
+        import polars_net_spark as pl
+
+        t = pl.from_records(
+            [(dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5), 7)],
+            ["d", "ts", "i"],
+        ).lazy()
+        row = t.to_physical().collect().rows()[0]
+        assert row == (19724, 1704164645000000, 7)
+
+    def test_shrink_dtype(self, spark):
+        import polars_net_spark as pl
+
+        out = pl.from_records(
+            [(1, 300, 100000, 3000000000)], ["a", "b", "c", "d"]
+        ).lazy().shrink_dtype().collect()
+        assert dict(out.dtypes) == {
+            "a": "tinyint", "b": "smallint", "c": "int", "d": "bigint"
+        }
+
+    def test_extend_constant_arg_unique(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        g = pl.from_records(
+            [("a", 10), ("a", 20), ("a", 10), ("a", None)], ["k", "v"]
+        ).lazy()
+        out = g.group_by("k").agg(
+            col("v").extend_constant(0, 2).alias("ec"),
+            col("v").arg_unique().alias("au"),
+        ).collect().rows()
+        assert out == [("a", [10, 20, 10, 0, 0], [0, 1, 3])]
+
+
+class TestListExtrasR4:
+    def test_list_positional(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        l = pl.from_records([(1, [3.0, 1.0, 2.0])], ["i", "v"]).lazy()
+        row = l.select(
+            col("v").list.last().alias("lst"),
+            col("v").list.head(2).alias("hd"),
+            col("v").list.tail(2).alias("tl"),
+            col("v").list.diff().alias("df"),
+            col("v").list.shift(1).alias("sh"),
+            col("v").list.shift(-1).alias("shn"),
+            col("v").list.gather([0, -1]).alias("g"),
+        ).collect().rows()[0]
+        assert row[0] == 2.0
+        assert row[1] == [3.0, 1.0] and row[2] == [1.0, 2.0]
+        assert row[3] == [None, -2.0, 1.0]
+        assert row[4] == [None, 3.0, 1.0] and row[5] == [1.0, 2.0, None]
+        assert row[6] == [3.0, 2.0]
+
+    def test_list_stats_any_all(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        l = pl.from_records(
+            [(1, [1.0, 2.0, 3.0, 4.0]), (2, [5.0]), (3, [])], ["i", "v"]
+        ).lazy()
+        rows = l.select(
+            col("i"),
+            col("v").list.median().alias("md"),
+            col("v").list.std().alias("sd"),
+            col("v").list.var(ddof=0).alias("vp"),
+        ).sort("i").collect().rows()
+        assert rows[0][1] == 2.5 and rows[0][2] == pytest.approx(1.2909944487358056)
+        assert rows[0][3] == pytest.approx(1.25)
+        assert rows[1][2] is None  # single element, ddof=1 -> null
+        assert rows[2][1] is None
+
+        b = pl.from_records([(1, [True, False]), (2, [None, None]), (3, [])], ["i", "v"]).lazy()
+        out = b.select(
+            col("i"), col("v").list.any().alias("a"), col("v").list.all().alias("l")
+        ).sort("i").collect().rows()
+        assert [(r[1], r[2]) for r in out] == [(True, False), (False, True), (False, True)]
+
+    def test_list_gather_oob(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+        import pytest as _pt
+
+        l = pl.from_records([(1, [1.0])], ["i", "v"]).lazy()
+        assert l.select(col("v").list.gather([0, 5], null_on_oob=True).alias("g")).collect().rows()[0][0] == [1.0, None]
+        with _pt.raises(Exception):
+            l.select(col("v").list.gather([5]).alias("g")).collect().rows()

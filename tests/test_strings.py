@@ -286,3 +286,31 @@ class TestContainsReplaceMany:
             col("s").str.replace_many(["X", "Y"], ["$1", "a\\b"]).alias("r")
         ).rows()[0][0]
         assert per == "price $1 and a\\b"
+
+
+class TestStrExtrasR4:
+    def test_split_exact_titlecase_reverse(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records([(1, "a-b-c")], ["i", "s"]).lazy()
+        row = d.select(
+            col("s").str.split_exact("-", 1).alias("se"),
+            col("s").str.to_titlecase().alias("tc"),
+            col("s").str.reverse().alias("rv"),
+        ).collect().rows()[0]
+        assert row[0] == ("a", "b-c")  # n splits -> n+1 fields, rest in last
+        assert row[1] == "A-b-c" and row[2] == "c-b-a"
+
+    def test_to_integer(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records([("ff",), ("10",)], ["h"]).lazy()
+        assert [r[0] for r in d.select(col("h").str.to_integer(16).alias("v")).collect().rows()] == [255, 16]
+        bad = pl.from_records([("xyz",)], ["h"]).lazy()
+        assert bad.select(col("h").str.to_integer(strict=False).alias("v")).collect().rows() == [(None,)]
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            bad.select(col("h").str.to_integer().alias("v")).collect().rows()
