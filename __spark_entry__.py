@@ -4090,6 +4090,107 @@ FROM orders
 """
 
 
+def _q141(spark, sf_dir):
+    """URL curation (llm/text.py url_*): canonical URL (fragment/tracking-
+    param/port stripping, host lowercasing), host, registrable domain, and
+    the md5 dedup key — the C4/RefinedWeb-style canonical-URL dedup prep.
+    The corpus has no URL column, so each doc gets a deterministic synthetic
+    URL exercising every normalization branch."""
+    from polars_net_spark.llm import url_metrics_frame
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("WWW"), (col("doc_id") % 7).to_column().cast("string"),
+        F.lit(".Site"), (col("doc_id") % 13).to_column().cast("string"),
+        F.when((col("doc_id") % 3 == 0).to_column(), F.lit(".co.uk")).otherwise(F.lit(".Example.COM")),
+    )
+    port = F.when((col("doc_id") % 2 == 0).to_column(), F.lit(":443")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), host, port,
+        F.lit("/p/"), col("doc_id").to_column().cast("string"),
+        F.lit("/?utm_source=feed&q="), (col("doc_id") % 5).to_column().cast("string"),
+        F.lit("&fbclid=xyz#sec"),
+    )
+    sdf = d._sdf.select(F.col("doc_id"), url.alias("url"))
+    return url_metrics_frame(sdf, "url").spark
+
+
+_q141_sql = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || 'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.Site' ||
+         CAST(doc_id % 13 AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.Example.COM' END ||
+         CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+         '/p/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&q=' ||
+         CAST(doc_id % 5 AS VARCHAR) || '&fbclid=xyz#sec' AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, url,
+         lower('www' || CAST(doc_id % 7 AS VARCHAR) || '.site' ||
+               CAST(doc_id % 13 AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.example.com' END) AS host,
+         'https://' || lower('www' || CAST(doc_id % 7 AS VARCHAR) || '.site' ||
+               CAST(doc_id % 13 AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.example.com' END) ||
+         '/p/' || CAST(doc_id AS VARCHAR) || '/?q=' || CAST(doc_id % 5 AS VARCHAR)
+           AS url_canonical
+  FROM u)
+SELECT doc_id, url_canonical, host,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'site' || CAST(doc_id % 13 AS VARCHAR) || '.co.uk'
+            ELSE 'example.com' END AS domain,
+       md5(url_canonical) AS url_key
+FROM h
+"""
+
+
+def _q142(spark, sf_dir):
+    """dt.add_business_days (closed-form Mon-Fri arithmetic, roll modes) +
+    join(nulls_equal=True) (null-safe <=> hash join, polars join_nulls)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").alias("d"),
+        # null key every 10th order to exercise the null-safe join
+        when(col("o_orderkey") % 10 == 0).then(lit(None)).otherwise(
+            col("o_orderkey") % 7
+        ).alias("bucket"),
+    )
+    dims = spark.createDataFrame(
+        [(None, "none"), (0, "b0"), (1, "b1"), (2, "b2"), (3, "b3")],
+        "bucket long, tag string",
+    )
+    import polars_net_spark as _pl
+
+    joined = base.join(_pl.LazyFrame(dims), on="bucket", how="left", nulls_equal=True)
+    return joined.select(
+        col("o_orderkey"),
+        col("d").dt.add_business_days(3, roll="forward").cast("str").alias("sla3"),
+        col("d").dt.add_business_days(-2, roll="backward").cast("str").alias("back2"),
+        col("tag"),
+    ).spark
+
+
+_q142_sql = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey % 7 END AS bucket
+  FROM orders),
+dims(bucket, tag) AS (VALUES (NULL, 'none'), (0, 'b0'), (1, 'b1'), (2, 'b2'), (3, 'b3')),
+rolled AS (
+  SELECT o_orderkey, bucket,
+         CASE WHEN isodow(d) >= 6 THEN d + CAST((8 - isodow(d)) AS INTEGER) ELSE d END AS fwd,
+         CASE WHEN isodow(d) >= 6 THEN d - CAST((isodow(d) - 5) AS INTEGER) ELSE d END AS bwd
+  FROM base)
+SELECT r.o_orderkey,
+       CAST(fwd + CAST(3 + CASE WHEN isodow(fwd) - 1 + 3 >= 5 THEN 2 ELSE 0 END AS INTEGER) AS VARCHAR) AS sla3,
+       CAST(bwd - CAST(2 + CASE WHEN isodow(bwd) - 1 - 2 < 0 THEN 2 ELSE 0 END AS INTEGER) AS VARCHAR) AS back2,
+       dm.tag
+FROM rolled r LEFT JOIN dims dm ON r.bucket IS NOT DISTINCT FROM dm.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4235,6 +4336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_math_extras": _q138,
         "q139_list_extras": _q139,
         "q140_physical_shrink": _q140,
+        "q141_url_curation": _q141,
+        "q142_business_days_nulljoin": _q142,
     }
 
 
@@ -4380,4 +4483,6 @@ def oracle_sql() -> dict[str, str]:
         "q138_math_extras": _q138_sql,
         "q139_list_extras": _q139_sql,
         "q140_physical_shrink": _q140_sql,
+        "q141_url_curation": _q141_sql,
+        "q142_business_days_nulljoin": _q142_sql,
     }

@@ -1763,6 +1763,42 @@ class ExprDtNamespace:
             )
         )
 
+    def add_business_days(self, n: int, roll: str = "raise") -> Expr:
+        """Add ``n`` Mon-Fri business days (polars dt.add_business_days with
+        the default week_mask; holiday calendars are not supported — compose
+        with an is_in(holidays) filter upstream if needed).
+
+        Weekend starts follow ``roll``: 'raise' aborts the query (polars
+        default), 'forward' rolls to Monday first, 'backward' to Friday.
+        Closed-form codegen: full_weeks*7 + remainder, +2 when the remainder
+        crosses a weekend — no UDF, no calendar table."""
+        if roll not in ("raise", "forward", "backward"):
+            raise ValueError("roll must be raise|forward|backward")
+        d = self._c
+        w = F.weekday(d)  # Mon=0..Sun=6
+        is_weekend = w >= 5
+        if roll == "forward":
+            start = F.when(is_weekend, F.date_add(d, (F.lit(7) - w).cast("int"))).otherwise(d)
+        elif roll == "backward":
+            start = F.when(is_weekend, F.date_sub(d, (w - F.lit(4)).cast("int"))).otherwise(d)
+        else:
+            start = F.when(
+                is_weekend,
+                F.raise_error(
+                    F.concat(F.lit("add_business_days: weekend start "), d.cast("string"))
+                ),
+            ).otherwise(d)
+        sw = F.weekday(start)
+        n_ = int(n)
+        weeks, rem = divmod(abs(n_), 5)
+        if n_ >= 0:
+            cross = (sw + F.lit(rem)) >= 5
+            off = F.lit(weeks * 7 + rem) + F.when(cross, F.lit(2)).otherwise(F.lit(0))
+            return _wrap(F.date_add(start.cast("date"), off.cast("int")))
+        cross = (sw - F.lit(rem)) < 0
+        off = F.lit(weeks * 7 + rem) + F.when(cross, F.lit(2)).otherwise(F.lit(0))
+        return _wrap(F.date_sub(start.cast("date"), off.cast("int")))
+
     def weekday(self) -> Expr:
         # polars: Monday=1..Sunday=7 ; Spark weekday(): Monday=0
         return _wrap(F.weekday(self._c) + F.lit(1))

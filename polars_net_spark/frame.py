@@ -618,11 +618,16 @@ class LazyFrame:
         right_on: str | Sequence[str] | None = None,
         suffix: str = "_right",
         broadcast: bool = False,
+        nulls_equal: bool = False,
     ) -> "LazyFrame":
         """Equi-join with polars naming semantics (SURVEY §2.4): join keys are
         coalesced into one column; non-key name collisions on the right get
         ``suffix``.  Catalyst/AQE picks broadcast vs sort-merge vs shuffled
-        hash; pass broadcast=True to hint a small right side."""
+        hash; pass broadcast=True to hint a small right side.
+
+        ``nulls_equal=True`` (polars join_nulls) matches null keys to null
+        keys via null-safe equality (``<=>``) — still a hash-joinable equi
+        condition, no plan degradation."""
         how_spark = self._HOW_MAP[how]
         right_sdf = other._sdf
         if broadcast:
@@ -649,9 +654,13 @@ class LazyFrame:
 
         left = self._sdf.alias("__l__")
         right = right_sdf.alias("__r__")
+        def _eq(lk, rk):
+            l, r = F.col(f"__l__.{lk}"), F.col(f"__r__.{rk}")
+            return l.eqNullSafe(r) if nulls_equal else l == r
+
         cond = reduce(
             lambda a, b: a & b,
-            [F.col(f"__l__.{lk}") == F.col(f"__r__.{rk}") for lk, rk in zip(left_keys, right_keys)],
+            [_eq(lk, rk) for lk, rk in zip(left_keys, right_keys)],
         )
         joined = left.join(right, cond, how_spark)
 

@@ -15,6 +15,10 @@ from .text import (
     shingle_fingerprints,
     text_metrics_frame,
     shingle_fingerprint_frame,
+    url_normalize,
+    url_host,
+    url_registrable_domain,
+    url_metrics_frame,
 )
 from .dedup import (
     dedup_exact,
@@ -74,6 +78,10 @@ __all__ = [
     "clean_text",
     "clean_text_frame",
     "shingle_fingerprint_frame",
+    "url_normalize",
+    "url_host",
+    "url_registrable_domain",
+    "url_metrics_frame",
     "dedup_exact",
     "blocklist_metrics_frame",
     "dedup_lines",

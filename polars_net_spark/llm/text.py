@@ -21,6 +21,10 @@ __all__ = [
     "shingle_fingerprints",
     "text_metrics_frame",
     "shingle_fingerprint_frame",
+    "url_normalize",
+    "url_host",
+    "url_registrable_domain",
+    "url_metrics_frame",
     "STOPWORDS_EN",
 ]
 
@@ -260,3 +264,80 @@ def clean_text_frame(
         cleaned.alias(out_col),
     )
     return LazyFrame(out)
+
+
+# -- URL curation (corpus-level dedup/filter keys) ---------------------------
+#
+# Web-scraped training corpora dedup and filter on canonical URLs and
+# domains (C4/RefinedWeb-style: strip tracking params, lowercase the host,
+# blocklist by registrable domain).  Everything here is a regexp_replace /
+# parse-free Column chain — map-only at any scale.
+
+_TRACKING_PARAMS = r"(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src|igshid)"
+
+# common two-level public suffixes: registrable domain keeps THREE labels
+_TWO_LEVEL_TLDS = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "co.nz", "co.kr", "com.br", "com.mx",
+    "com.cn", "com.tw", "co.in", "co.za",
+]
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for exact dedup: drop the #fragment, lowercase
+    scheme://host (path/query case preserved), strip default :80/:443
+    ports, remove tracking query params (utm_*, fbclid, gclid, ...), squash
+    the leftover ?&& debris, and drop a trailing slash.  Six
+    regexp_replace passes, one scan, no UDF."""
+    c = F.regexp_replace(url, r"#.*$", "")
+    # lowercase the scheme://host[:port] prefix only
+    head = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    c = F.when(head == "", c).otherwise(F.concat(F.lower(head), rest))
+    c = F.regexp_replace(c, r"^(https?://[^/?#:]*):(?:80|443)(?=[/?#]|$)", r"$1")
+    c = F.regexp_replace(c, r"([?&])" + _TRACKING_PARAMS + r"=[^&#]*", r"$1")
+    c = F.regexp_replace(c, r"&&+", "&")           # param debris
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+def url_host(url: Column) -> Column:
+    """Host part (lowercased, port stripped) — the domain filter key."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1))
+
+
+def url_registrable_domain(url: Column) -> Column:
+    """eTLD+1-ish registrable domain: the last two host labels, or three
+    when the suffix is a common two-level public suffix (co.uk, com.au, ...).
+    A heuristic list, not the full PSL — swap in the PSL as a broadcast map
+    for production crawls; the shape (pure Column regex) stays the same."""
+    h = url_host(url)
+    two = "|".join(t.replace(".", r"\.") for t in _TWO_LEVEL_TLDS)
+    three_label = F.regexp_extract(h, r"([^.]+\.(?:" + two + r"))$", 1)
+    two_label = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return F.when(three_label != "", three_label).otherwise(two_label)
+
+
+def url_metrics_frame(
+    frame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+):
+    """Frame wrapper: (id, canonical url, host, registrable domain, and a
+    dedup-ready md5 of the canonical url)."""
+    from ..frame import LazyFrame
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    u = F.col(url_col)
+    canon = url_normalize(u)
+    return LazyFrame(
+        sdf.select(
+            F.col(id_col),
+            canon.alias("url_canonical"),
+            url_host(u).alias("host"),
+            url_registrable_domain(u).alias("domain"),
+            F.md5(canon).alias("url_key"),
+        )
+    )

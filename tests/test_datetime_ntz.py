@@ -155,3 +155,37 @@ def test_ntz_group_by_dynamic_datapoint_ungrouped(ntz):
         .sort("ts")
     )
     assert sum(r[-1] for r in out.collect().rows()) == 4
+
+
+class TestBusinessDays:
+    def test_weekday_arithmetic(self, spark):
+        import datetime as dt
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records(
+            [(1, dt.date(2024, 1, 3)), (2, dt.date(2024, 1, 5))], ["i", "d"]
+        ).lazy()
+        rows = d.select(
+            col("i"),
+            col("d").dt.add_business_days(1).alias("p1"),
+            col("d").dt.add_business_days(5).alias("p5"),
+            col("d").dt.add_business_days(-1).alias("m1"),
+        ).sort("i").collect().rows()
+        assert rows[0][1:] == (dt.date(2024, 1, 4), dt.date(2024, 1, 10), dt.date(2024, 1, 2))
+        assert rows[1][1:] == (dt.date(2024, 1, 8), dt.date(2024, 1, 12), dt.date(2024, 1, 4))
+
+    def test_weekend_roll(self, spark):
+        import datetime as dt
+        import polars_net_spark as pl
+        from polars_net_spark import col
+        import pytest as _pt
+
+        sat = pl.from_records([(dt.date(2024, 1, 6),)], ["d"]).lazy()
+        f = sat.select(col("d").dt.add_business_days(1, roll="forward").alias("x")).collect().rows()[0][0]
+        b = sat.select(col("d").dt.add_business_days(1, roll="backward").alias("x")).collect().rows()[0][0]
+        assert f == dt.date(2024, 1, 9) and b == dt.date(2024, 1, 8)
+        with _pt.raises(Exception):
+            sat.select(col("d").dt.add_business_days(1).alias("x")).collect().rows()
+        with _pt.raises(ValueError):
+            col("d").dt.add_business_days(1, roll="sideways")

@@ -83,3 +83,23 @@ def test_join_broadcast_hint(spark):
     assert out.height == 2
     plan = out.lazy()._sdf._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+class TestNullsEqualJoin:
+    def test_null_keys_match(self, spark):
+        import polars_net_spark as pl
+
+        a = pl.from_records([(None, "l1"), (1, "l2"), (2, "l3")], ["k", "a"]).lazy()
+        b = pl.from_records([(None, "r1"), (1, "r2")], ["k", "b"]).lazy()
+        ne = sorted(a.join(b, on="k", nulls_equal=True).collect().rows(), key=str)
+        assert ne == [(1, "l2", "r2"), (None, "l1", "r1")]
+        default = a.join(b, on="k").collect().rows()
+        assert default == [(1, "l2", "r2")]  # null keys never match by default
+
+    def test_still_hash_joinable(self, spark):
+        import polars_net_spark as pl
+
+        a = pl.from_records([(None, "x"), (1, "w")], ["k", "a"]).lazy()
+        b = pl.from_records([(None, "y"), (2, "z")], ["k", "b"]).lazy()
+        plan = a.join(b, on="k", nulls_equal=True)._sdf._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -589,3 +589,33 @@ class TestCleanText:
             col("i"), col("v").cum_prod(order_by="i").alias("cp")
         ).sort("i").collect().rows()
         assert [r[1] for r in out] == [2.0, None, 6.0, -24.0]
+
+
+class TestUrlCuration:
+    def test_normalize_host_domain(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import url_metrics_frame
+
+        urls = [
+            (1, "HTTPS://Example.COM:443/Path?utm_source=x&q=1&fbclid=a#frag"),
+            (2, "http://sub.news.co.uk:80/a/b/"),
+            (3, "https://example.com/?ref=twitter"),
+        ]
+        sdf = spark.createDataFrame(urls, "doc_id long, url string")
+        out = {r["doc_id"]: r for r in url_metrics_frame(pl.LazyFrame(sdf), "url").spark.collect()}
+        assert out[1]["url_canonical"] == "https://example.com/Path?q=1"
+        assert out[1]["host"] == "example.com" and out[1]["domain"] == "example.com"
+        assert out[2]["url_canonical"] == "http://sub.news.co.uk/a/b"
+        assert out[2]["domain"] == "news.co.uk"  # two-level TLD keeps 3 labels
+        assert out[3]["url_canonical"] == "https://example.com"
+
+    def test_url_key_dedups_tracking_variants(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import url_metrics_frame
+
+        sdf = spark.createDataFrame(
+            [(1, "https://a.com/x?utm_c=1"), (2, "https://A.com/x"), (3, "https://a.com/y")],
+            "doc_id long, url string",
+        )
+        keys = [r["url_key"] for r in url_metrics_frame(pl.LazyFrame(sdf), "url").spark.collect()]
+        assert keys[0] == keys[1] and keys[0] != keys[2]
