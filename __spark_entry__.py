@@ -4191,6 +4191,51 @@ FROM rolled r LEFT JOIN dims dm ON r.bucket IS NOT DISTINCT FROM dm.bucket
 """
 
 
+def _q143(spark, sf_dir):
+    """rolling_skew / rolling_kurtosis: moment aggregates INSIDE the window
+    frame (one WindowExec, no self-join); oracle recomputes from raw power
+    sums over the same frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        # (l_orderkey, l_linenumber) is NOT unique in this corpus: the frame
+        # needs a total order or the two engines disagree on tie placement
+        col("l_quantity").rolling_skew(
+            4, order_by=["l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"],
+            partition_by=["l_orderkey"], min_periods=4
+        ).round(6).alias("rsk"),
+        col("l_quantity").rolling_kurtosis(
+            4, order_by=["l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"],
+            partition_by=["l_orderkey"], min_periods=4
+        ).round(6).alias("rku"),
+    ).spark
+
+
+_q143_sql = """
+WITH w AS (
+  SELECT l_orderkey, l_linenumber,
+         count(l_quantity) OVER f AS n,
+         avg(l_quantity) OVER f AS m1,
+         avg(l_quantity * l_quantity) OVER f AS p2,
+         avg(l_quantity * l_quantity * l_quantity) OVER f AS p3,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) OVER f AS p4
+  FROM lineitem
+  WINDOW f AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT l_orderkey, l_linenumber, n,
+         p2 - m1 * m1 AS m2,
+         p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1 AS m3,
+         p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1 AS m4
+  FROM w)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN n >= 4 THEN round(m3 / power(m2, 1.5), 6) END AS rsk,
+       CASE WHEN n >= 4 THEN round(m4 / (m2 * m2) - 3, 6) END AS rku
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4338,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_physical_shrink": _q140,
         "q141_url_curation": _q141,
         "q142_business_days_nulljoin": _q142,
+        "q143_rolling_moments": _q143,
     }
 
 
@@ -4485,4 +4531,5 @@ def oracle_sql() -> dict[str, str]:
         "q140_physical_shrink": _q140_sql,
         "q141_url_curation": _q141_sql,
         "q142_business_days_nulljoin": _q142_sql,
+        "q143_rolling_moments": _q143_sql,
     }

@@ -138,10 +138,15 @@ def _warn_single_partition(op: str) -> None:
 
 
 def _order_cols(order_by: Any) -> list[Column]:
+    """Order keys for window specs.  A bare string is a COLUMN NAME (polars
+    semantics) — it must not fall through _c's literal branch, which would
+    silently order by a constant (i.e. arbitrary order)."""
     if order_by is None:
         return [F.col(ROW_ORDER_COL)]
     if isinstance(order_by, (list, tuple)):
-        return [_c(o) for o in order_by]
+        return [F.col(o) if isinstance(o, str) else _c(o) for o in order_by]
+    if isinstance(order_by, str):
+        return [F.col(order_by)]
     return [_c(order_by)]
 
 
@@ -984,6 +989,48 @@ class Expr:
         """polars rolling_var (ddof=1 sample default)."""
         fn = F.var_samp if ddof == 1 else F.var_pop
         return self._rolling(fn, window_size, min_periods, order_by, partition_by)
+
+    def _rolling_frame(self, window_size, order_by, partition_by):
+        if isinstance(window_size, str):
+            if not window_size.endswith("i"):
+                raise ValueError("fixed rolling windows use 'Ni' notation")
+            window_size = int(window_size[:-1])
+        w = (
+            Window.partitionBy(*[_c(col(p) if isinstance(p, str) else p) for p in _pb(partition_by)])
+            if partition_by
+            else Window.partitionBy()
+        ).orderBy(*_order_cols(order_by))
+        return w.rowsBetween(-(window_size - 1), 0), window_size
+
+    def rolling_skew(self, window_size, bias: bool = True, min_periods=None,
+                     order_by=None, partition_by=()):
+        """polars rolling_skew: skewness over the trailing window.  Spark's
+        skewness is a declarative moment aggregate, so it runs inside the
+        window frame; the bias=False correction arithmetic rides the SAME
+        frame's count — one WindowExec either way, pure codegen."""
+        frame, ws = self._rolling_frame(window_size, order_by, partition_by)
+        cnt = F.count(self._col).over(frame)
+        g1 = F.skewness(self._col).over(frame)
+        if not bias:
+            n = cnt.cast("double")
+            g1 = F.sqrt(n * (n - 1)) / (n - 2) * g1
+        mp = min_periods if min_periods is not None else ws
+        return _wrap(F.when(cnt >= F.lit(mp), g1))
+
+    def rolling_kurtosis(self, window_size, fisher: bool = True, bias: bool = True,
+                         min_periods=None, order_by=None, partition_by=()):
+        """polars rolling_kurtosis (excess by default, same corrections as
+        Expr.kurtosis; one WindowExec)."""
+        frame, ws = self._rolling_frame(window_size, order_by, partition_by)
+        cnt = F.count(self._col).over(frame)
+        g2 = F.kurtosis(self._col).over(frame)
+        if not bias:
+            n = cnt.cast("double")
+            g2 = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + F.lit(6.0))
+        if not fisher:
+            g2 = g2 + F.lit(3.0)
+        mp = min_periods if min_periods is not None else ws
+        return _wrap(F.when(cnt >= F.lit(mp), g2))
 
     # rolling temporal (expr.rs:151-191, 277-280)
     def _rolling_by(self, fn, window: str, by, closed: str, min_periods: int, partition_by):

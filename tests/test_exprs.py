@@ -560,3 +560,40 @@ class TestListExtrasR4:
         assert l.select(col("v").list.gather([0, 5], null_on_oob=True).alias("g")).collect().rows()[0][0] == [1.0, None]
         with _pt.raises(Exception):
             l.select(col("v").list.gather([5]).alias("g")).collect().rows()
+
+
+class TestRollingMoments:
+    def test_rolling_skew_kurtosis(self, spark):
+        import numpy as np
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        vals = [1.0, 2.0, 4.0, 8.0, 16.0, 3.0]
+        d = pl.from_records([(i, v) for i, v in enumerate(vals)], ["i", "x"]).lazy()
+        rows = d.select(
+            col("i"),
+            col("x").rolling_skew(4, order_by="i").alias("sk"),
+            col("x").rolling_skew(4, bias=False, order_by="i").alias("skc"),
+            col("x").rolling_kurtosis(4, order_by="i").alias("ku"),
+        ).sort("i").collect().rows()
+        assert rows[2][1] is None  # min_periods defaults to window size
+        win = np.array(vals[0:4])
+        m = win.mean(); m2 = ((win - m) ** 2).mean(); m3 = ((win - m) ** 3).mean()
+        m4 = ((win - m) ** 4).mean()
+        assert rows[3][1] == pytest.approx(m3 / m2**1.5)
+        assert rows[3][2] == pytest.approx(np.sqrt(4 * 3) / 2 * m3 / m2**1.5)
+        assert rows[3][3] == pytest.approx(m4 / m2**2 - 3)
+
+    def test_string_order_by_is_column_not_literal(self, spark):
+        """Regression (r4): a bare-string order_by must order by the COLUMN —
+        _c's literal fallback silently ordered windows by a constant."""
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        # scan order deliberately different from the order_by column
+        d = pl.from_records([(3, 30.0), (1, 10.0), (2, 20.0)], ["t", "x"]).lazy()
+        rows = d.select(
+            col("t"),
+            col("x").rolling_sum(2, order_by="t", min_periods=1).alias("rs"),
+        ).sort("t").collect().rows()
+        assert rows == [(1, 10.0), (2, 30.0), (3, 50.0)]
