@@ -4236,6 +4236,68 @@ FROM c
 """
 
 
+def _q144(spark, sf_dir):
+    """Training-output prep (llm/sampling.py r4): temperature_weights
+    (w ∝ n^alpha mixture smoothing) + shuffle_by_hash (deterministic md5
+    global order — the reproducible pre-packing shuffle).  The shuffle is
+    verified positionally: dense rank in shuffled order must equal the
+    oracle's row_number over the same md5 key."""
+    from polars_net_spark.llm import temperature_weights, shuffle_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    sizes = {r["source"]: r["n"] for r in
+             d._sdf.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    w = temperature_weights(sizes, alpha=0.5)
+    shuffled = shuffle_by_hash(d, "doc_id", seed="r4")
+    pos = shuffled.with_dense_row_index("shuffle_pos")
+    out = pos._sdf.select(
+        F.col("doc_id"), F.col("source"), F.col("shuffle_pos"),
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in sorted(w.items()) for x in kv])
+    return out.withColumn("mix_weight", F.round(wmap[F.col("source")], 9))
+
+
+_q144_sql = """
+WITH sz AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tw AS (SELECT source, round(sqrt(n) / sum(sqrt(n)) OVER (), 9) AS mix_weight FROM sz),
+sh AS (SELECT doc_id, source,
+              row_number() OVER (ORDER BY md5('r4' || CAST(doc_id AS VARCHAR))) - 1
+                AS shuffle_pos
+       FROM documents)
+SELECT sh.doc_id, sh.source, sh.shuffle_pos, tw.mix_weight
+FROM sh JOIN tw USING (source)
+"""
+
+
+def _q145(spark, sf_dir):
+    """unique(keep='none') (drop every duplicated key entirely — one count
+    window, no second scan) + list.to_struct (declared-width list->struct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    solo = li.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity")
+    ).unique(subset=["l_quantity", "l_partkey"], keep="none")
+    arrs = (
+        solo.group_by("l_orderkey")
+        .agg(col("l_quantity").implode().alias("qs"))
+        .with_columns(col("qs").list.sort().alias("qs"))
+    )
+    s = col("qs").list.to_struct(2, fields=["q0", "q1"])
+    return arrs.select(
+        col("l_orderkey"),
+        s.struct.field("q0").alias("q0"),
+        s.struct.field("q1").alias("q1"),
+    ).spark
+
+
+_q145_sql = """
+WITH solo AS (
+  SELECT l_orderkey, l_quantity
+  FROM lineitem QUALIFY count(*) OVER (PARTITION BY l_quantity, l_partkey) = 1),
+a AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs FROM solo GROUP BY l_orderkey)
+SELECT l_orderkey, qs[1] AS q0, qs[2] AS q1 FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4384,6 +4446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_url_curation": _q141,
         "q142_business_days_nulljoin": _q142,
         "q143_rolling_moments": _q143,
+        "q144_temperature_shuffle": _q144,
+        "q145_unique_none_tostruct": _q145,
     }
 
 
@@ -4532,4 +4596,6 @@ def oracle_sql() -> dict[str, str]:
         "q141_url_curation": _q141_sql,
         "q142_business_days_nulljoin": _q142_sql,
         "q143_rolling_moments": _q143_sql,
+        "q144_temperature_shuffle": _q144_sql,
+        "q145_unique_none_tostruct": _q145_sql,
     }

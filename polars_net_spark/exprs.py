@@ -2173,6 +2173,18 @@ class ExprListNamespace:
         start = offset + 1 if offset >= 0 else offset
         return _wrap(F.slice(self._c, start, length))
 
+    def to_struct(self, width: int, fields: "Sequence[str] | None" = None) -> Expr:
+        """List -> struct of its first ``width`` elements (polars
+        list.to_struct).  polars' lazy engine also demands a declared width
+        (n_field_strategy='first_non_null' is eager-only); missing elements
+        are null.  Field names default to polars' field_0..field_{n-1}."""
+        names = list(fields) if fields is not None else [f"field_{i}" for i in range(width)]
+        if len(names) != width:
+            raise ValueError("fields must match width")
+        return _wrap(
+            F.struct(*[F.get(self._c, i).alias(n) for i, n in enumerate(names)])
+        )
+
 
 class ExprStructNamespace:
     """Struct ops (expr.rs:920-992)."""

@@ -197,9 +197,19 @@ class LazyFrame:
         self, subset: Sequence[str] | None = None, keep: str = "any", maintain_order: bool = False
     ) -> "LazyFrame":
         """Distinct rows. keep='any' → dropDuplicates (scales best);
-        keep='first'/'last' use the row-order column + min/max.
+        keep='first'/'last' use the row-order column + min/max; keep='none'
+        drops EVERY row whose key appears more than once (polars semantics —
+        a count window on the same keys, no second scan).
         maintain_order=True sorts the output by first appearance of the kept
         row (polars semantics) — an extra global sort, only ask if needed."""
+        if keep == "none":
+            keys = [F.col(c) for c in (subset or self.columns)]
+            lf0 = self._order_col() if maintain_order else self
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            kept = lf0._sdf.withColumn("__cnt__", cnt).filter(F.col("__cnt__") == 1)
+            if maintain_order:
+                kept = kept.orderBy(F.col(ROW_ORDER_COL).asc()).drop(ROW_ORDER_COL)
+            return LazyFrame(kept.drop("__cnt__"))
         if not maintain_order:
             if subset is None and keep == "any":
                 return LazyFrame(self._sdf.distinct())

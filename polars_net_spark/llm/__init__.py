@@ -46,7 +46,15 @@ from .retrieval import term_document_frequency, tfidf_top_terms, bm25_topk
 from .splits import hash_bucket, split_by_hash, kfold_by_hash
 from .chunking import chunk_documents, pack_sequences
 from .decontam import contamination_frame, oov_rate_frame
-from .sampling import cap_per_key, cap_tokens_per_key, mixture_plan, mixture_sample, sample_stratified_hash
+from .sampling import (
+    cap_per_key,
+    cap_tokens_per_key,
+    mixture_plan,
+    mixture_sample,
+    sample_stratified_hash,
+    shuffle_by_hash,
+    temperature_weights,
+)
 
 __all__ = [
     "chunk_documents",
@@ -58,6 +66,8 @@ __all__ = [
     "sample_stratified_hash",
     "mixture_sample",
     "mixture_plan",
+    "temperature_weights",
+    "shuffle_by_hash",
     "hash_bucket",
     "split_by_hash",
     "kfold_by_hash",

@@ -36,7 +36,7 @@ def _half_up(x: float) -> int:
     oracle."""
     return int(math.floor(x + 0.5))
 
-__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan"]
+__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan", "temperature_weights", "shuffle_by_hash"]
 
 
 def cap_per_key(
@@ -283,3 +283,40 @@ def cap_tokens_per_key(
         .filter(F.col("cum_tokens") <= budget)
     )
     return LazyFrame(out)
+
+
+def temperature_weights(
+    sizes: dict[str, int], alpha: float = 0.3, total: float = 1.0
+) -> dict[str, float]:
+    """Temperature-smoothed mixture weights w_i ∝ n_i^alpha (the standard
+    multilingual/多-source rebalancing rule: alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform).  Pure driver-side math over
+    the per-source size dict — feed the result to :func:`mixture_plan` /
+    :func:`mixture_sample`."""
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n < 0 for n in sizes.values()):
+        raise ValueError("sizes must be >= 0")
+    powed = {k: float(n) ** alpha if n > 0 else 0.0 for k, n in sizes.items()}
+    z = sum(powed.values())
+    if z == 0:
+        raise ValueError("all sizes are zero")
+    return {k: total * v / z for k, v in powed.items()}
+
+
+def shuffle_by_hash(
+    frame,
+    id_col: str = "doc_id",
+    seed: str = "",
+):
+    """Deterministic global shuffle for training output: order by
+    md5(seed || id) — decorrelates source/time ordering before sequence
+    packing, reproducible across engines and runs (no RNG state).  One
+    range-partitioned sort; at 100 TB this is exactly the sort a training
+    pipeline's final write pays anyway, and the hash key range-partitions
+    uniformly by construction (no skew)."""
+    from ..frame import LazyFrame
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return LazyFrame(sdf.withColumn("__shuf__", key).orderBy("__shuf__").drop("__shuf__"))

@@ -251,3 +251,62 @@ class TestMergeSortedGather:
         # index follows scan order: x ascending within this deterministic range
         by_idx = sorted(rows, key=lambda r: r[1])
         assert [r[0] for r in by_idx] == sorted(r[0] for r in rows)
+
+
+class TestUniqueKeepNone:
+    def test_keep_none_drops_all_dupes(self, spark):
+        d = pl.from_records(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"]
+        ).lazy()
+        out = sorted(d.unique(subset=["k"], keep="none").collect().rows())
+        assert out == [(2, "c"), (3, "d")]
+
+    def test_keep_none_full_row(self, spark):
+        d = pl.from_records([(1, "a"), (1, "a"), (1, "b")], ["k", "v"]).lazy()
+        out = d.unique(keep="none").collect().rows()
+        assert out == [(1, "b")]
+
+
+class TestSamplingExtrasR4:
+    def test_temperature_weights(self, spark):
+        from polars_net_spark.llm import temperature_weights
+
+        w = temperature_weights({"a": 100, "b": 1}, alpha=0.5)
+        assert w["a"] == pytest.approx(10 / 11) and w["b"] == pytest.approx(1 / 11)
+        flat = temperature_weights({"a": 100, "b": 1}, alpha=0.0)
+        assert flat["a"] == pytest.approx(0.5)
+        nat = temperature_weights({"a": 100, "b": 1}, alpha=1.0)
+        assert nat["a"] == pytest.approx(100 / 101)
+        with pytest.raises(ValueError):
+            temperature_weights({})
+        with pytest.raises(ValueError):
+            temperature_weights({"a": 0})
+
+    def test_shuffle_by_hash_deterministic(self, spark):
+        import hashlib
+        from polars_net_spark.llm import shuffle_by_hash
+
+        d = pl.from_records([(i,) for i in range(20)], ["doc_id"]).lazy()
+        got = [r[0] for r in shuffle_by_hash(d, "doc_id", seed="s").collect().rows()]
+        expect = sorted(range(20), key=lambda i: hashlib.md5(f"s{i}".encode()).hexdigest())
+        assert got == expect
+        # reruns identical
+        again = [r[0] for r in shuffle_by_hash(d, "doc_id", seed="s").collect().rows()]
+        assert got == again
+
+
+class TestListToStruct:
+    def test_width_and_fields(self, spark):
+        from polars_net_spark import col
+
+        d = pl.from_records([(1, [10.0, 20.0, 30.0]), (2, [5.0])], ["i", "v"]).lazy()
+        rows = [
+            r.asDict(recursive=True)
+            for r in d.select(
+                col("i"), col("v").list.to_struct(2).alias("s")
+            ).sort("i")._sdf.collect()
+        ]
+        assert rows[0]["s"] == {"field_0": 10.0, "field_1": 20.0}
+        assert rows[1]["s"] == {"field_0": 5.0, "field_1": None}
+        with pytest.raises(ValueError):
+            col("v").list.to_struct(2, fields=["only"])
