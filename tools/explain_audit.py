@@ -211,6 +211,38 @@ CHECKS = {
         ("!", "CartesianProduct", "never cartesian"),
         ("partial_sum", "audit aggregate combines map-side"),
     ],
+    "q116_rank_methods": [
+        ("count==1", "Window", "all four rank methods share ONE WindowExec (r4: RANGE-frame tie count, no second exchange)"),
+        ("count==1", "Exchange", "one shuffle for the whole rank family"),
+    ],
+    "q134_merge_sorted": [
+        ("rangepartitioning", "merge is a range-partitioned sort, not a single-node zip"),
+        ("!", "CartesianProduct", "no join at all"),
+    ],
+    "q135_dot_gather_every": [
+        ("partial_sum", "dot product combines map-side"),
+        ("!", "windowspecdefinition()", "dense index needs no empty-partition global window"),
+    ],
+    "q136_topk_by": [
+        ("partial_collect_list", "k-by structs combine map-side"),
+    ],
+    "q141_url_curation": [
+        ("!", "Exchange", "URL canonicalization is map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "no row-at-a-time Python"),
+    ],
+    "q142_business_days_nulljoin": [
+        # Catalyst rewrites <=> keys to (coalesce(k,0), isnull(k)) equi keys —
+        # the join stays hash/sort-merge-able, never nested-loop
+        ("isnull(bucket", "null-safe keys rewritten to equi keys"),
+        ("!", "BroadcastNestedLoopJoin", "nulls_equal never degrades the join"),
+        ("!", "CartesianProduct", "nulls_equal never degrades the join"),
+    ],
+    "q143_rolling_moments": [
+        ("count==1", "Window", "skew+kurtosis share one WindowExec"),
+    ],
+    "q145_unique_none_tostruct": [
+        ("!", "CartesianProduct", "keep='none' is one count window, no self-join"),
+    ],
 }
 
 
