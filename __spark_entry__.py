@@ -4298,6 +4298,48 @@ SELECT l_orderkey, qs[1] AS q0, qs[2] AS q1 FROM a
 """
 
 
+def _q146(spark, sf_dir):
+    """Bigram LM quality scoring (llm/quality.py bigram_logprob_frame):
+    stupid-backoff bigram mean log10-prob — two keyed count shuffles, both
+    models broadcast back over the bigram stream."""
+    from polars_net_spark.llm import bigram_logprob_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob_frame(d, vocab_size=5000).spark
+
+
+_q146_sql = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> length(w) > 0) AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM t, LATERAL unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2),
+words AS (SELECT unnest(ws) AS word FROM t),
+n AS (SELECT count(*) AS nn FROM words),
+uni AS (SELECT word, count(*) AS uc FROM words GROUP BY word),
+bv AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2
+       ORDER BY bc DESC, w1, w2 LIMIT 5000),
+scored AS (
+  SELECT bg.doc_id,
+         CASE WHEN bv.bc IS NOT NULL THEN log10(bv.bc * 1.0 / u1.uc)
+              ELSE log10(0.4 * coalesce(u2.uc, 1) * 1.0 / n.nn) END AS lp
+  FROM bg
+  LEFT JOIN bv ON bg.w1 = bv.w1 AND bg.w2 = bv.w2
+  LEFT JOIN uni u1 ON bg.w1 = u1.word
+  LEFT JOIN uni u2 ON bg.w2 = u2.word
+  CROSS JOIN n),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS mean_logprob
+        FROM scored GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.mean_logprob, 0.0) AS mean_logprob
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4448,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_rolling_moments": _q143,
         "q144_temperature_shuffle": _q144,
         "q145_unique_none_tostruct": _q145,
+        "q146_bigram_lm": _q146,
     }
 
 
@@ -4598,4 +4641,5 @@ def oracle_sql() -> dict[str, str]:
         "q143_rolling_moments": _q143_sql,
         "q144_temperature_shuffle": _q144_sql,
         "q145_unique_none_tostruct": _q145_sql,
+        "q146_bigram_lm": _q146_sql,
     }

@@ -39,6 +39,7 @@ from .quality import (
     blocklist_metrics_frame,
     gopher_quality_frame,
     unigram_logprob_frame,
+    bigram_logprob_frame,
     repetition_metrics_frame,
     pii_metrics_frame,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "gopher_quality_frame",
     "linear_quality_score_frame",
     "unigram_logprob_frame",
+    "bigram_logprob_frame",
     "repetition_metrics_frame",
     "pii_metrics_frame",
     "tfidf_top_terms",

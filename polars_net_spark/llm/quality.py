@@ -24,6 +24,7 @@ __all__ = [
     "blocklist_metrics_frame",
     "gopher_quality_frame",
     "unigram_logprob_frame",
+    "bigram_logprob_frame",
     "repetition_metrics_frame",
     "pii_metrics_frame",
     "REQUIRED_STOPWORDS",
@@ -405,3 +406,91 @@ def linear_quality_score_frame(
         (score >= F.lit(float(threshold))).alias("keep"),
     )
     return LazyFrame(out)
+
+
+def bigram_logprob_frame(
+    frame,
+    vocab_size: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+):
+    """Per-document mean BIGRAM log10-probability with stupid-backoff to the
+    unigram floor — one step closer to a real perplexity filter than
+    :func:`unigram_logprob_frame` (catches scrambled/boilerplate word order
+    that unigram stats cannot see).
+
+    Model = the corpus itself: p(w2|w1) = cnt(w1 w2)/cnt(w1) for the
+    top-``vocab_size`` bigrams by count, else backoff 0.4 * cnt(w2)/N (or
+    the 1/N floor for OOV w2).  Scale shape: ONE cached corpus scan
+    (``_staged_words``) feeds two map-side-combined count shuffles (bigrams,
+    unigrams — both keyed, both TakeOrdered'd), each broadcast back over the
+    bigram stream; one final ``doc_id`` shuffle.  Deterministic ties
+    (count desc, gram asc) keep the model ANSI-SQL-replicable.
+
+    Output: ``(doc_id, n_bigrams, mean_logprob)``; docs with < 2 words get
+    ``(0, 0.0)``.
+    """
+    from ..frame import LazyFrame
+    from .decontam import _staged_words
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    staged = _staged_words(sdf, text_col, id_col)
+    ws = F.col("__ws__")
+    bigrams = staged.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    lambda w, i: F.struct(
+                        w.alias("w1"), F.element_at(ws, i + F.lit(2)).alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    words = staged.select(F.explode(ws).alias("word"))
+    total = words.select(F.count("*").alias("__N__"))
+    uni = words.groupBy("word").agg(F.count("*").alias("__uc__"))
+    bi_vocab = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("__bc__"))
+        .orderBy(F.col("__bc__").desc(), F.col("w1"), F.col("w2"))
+        .limit(vocab_size)
+    )
+    scored = (
+        bigrams.join(F.broadcast(bi_vocab), ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1")
+                          .withColumnRenamed("__uc__", "__c1__")), "w1", "left")
+        .join(F.broadcast(uni.withColumnRenamed("word", "w2")
+                          .withColumnRenamed("__uc__", "__c2__")), "w2", "left")
+        .join(F.broadcast(total))
+        .withColumn(
+            "__lp__",
+            F.when(
+                F.col("__bc__").isNotNull(),
+                F.log10(F.col("__bc__").cast("double") / F.col("__c1__").cast("double")),
+            ).otherwise(
+                F.log10(
+                    F.lit(0.4)
+                    * F.coalesce(F.col("__c2__"), F.lit(1)).cast("double")
+                    / F.col("__N__").cast("double")
+                )
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("__lp__"), round_to).alias("mean_logprob"),
+        )
+    )
+    short = staged.filter(F.size(ws) < 2).select(
+        "id",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0.0).alias("mean_logprob"),
+    )
+    return LazyFrame(scored.unionByName(short).withColumnRenamed("id", id_col))

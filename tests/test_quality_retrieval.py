@@ -243,3 +243,33 @@ class TestTermDFWinsorize:
         assert ws[0] == pytest.approx(50.95, abs=2.0)
         assert ws[-1] == pytest.approx(950.05, abs=2.0)
         assert ws[500] == 501.0  # middle untouched either way
+
+
+class TestBigramLM:
+    def test_backoff_and_short_docs(self, spark):
+        import math
+        from polars_net_spark.llm import bigram_logprob_frame
+
+        d = pl.from_records(
+            [(1, "the cat sat on the mat"), (2, "the cat sat"), (3, "zz"), (4, None)],
+            ["doc_id", "text"],
+        ).lazy()
+        out = {r[0]: (r[1], r[2]) for r in bigram_logprob_frame(d, vocab_size=100).collect().rows()}
+        # doc2: p(cat|the)=2/3, p(sat|cat)=2/2 -> mean log10 = log10(2/3)/2
+        assert out[2][0] == 2
+        assert out[2][1] == pytest.approx(round(math.log10(2 / 3) / 2, 6))
+        assert out[3] == (0, 0.0) and out[4] == (0, 0.0)
+        pl.release_caches()
+
+    def test_vocab_cap_backs_off(self, spark):
+        from polars_net_spark.llm import bigram_logprob_frame
+
+        d = pl.from_records(
+            [(1, "a b a b"), (2, "c d")], ["doc_id", "text"]
+        ).lazy()
+        # vocab_size=1 keeps only the most frequent bigram; everything else
+        # takes the 0.4-backoff path (strictly lower prob than in-vocab)
+        out = {r[0]: r[2] for r in bigram_logprob_frame(d, vocab_size=1).collect().rows()}
+        full = {r[0]: r[2] for r in bigram_logprob_frame(d, vocab_size=100).collect().rows()}
+        assert out[2] <= full[2]
+        pl.release_caches()
