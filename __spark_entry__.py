@@ -4340,6 +4340,53 @@ FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q147(spark, sf_dir):
+    """Deterministic masked-LM prep (llm/chunking.py mask_tokens_frame):
+    hash-draw per (doc, position), fixed-span union, zip to corrupted text +
+    targets — map-only HOF codegen, zero shuffles.  The oracle replicates
+    the draw by comparing the md5 hex prefix LEXICOGRAPHICALLY against the
+    threshold's 8-digit hex (13333333) — identical to the numeric compare."""
+    from polars_net_spark.llm import mask_tokens_frame
+
+    d = _t(spark, sf_dir, "documents")
+    out = mask_tokens_frame(d, mask_rate=0.15, span_len=2, seed="r4")
+    return out.select(
+        col("doc_id"), col("corrupted"),
+        col("targets").list.join(" ").alias("targets"),
+        col("n_tokens"), col("n_masked"),
+    ).spark
+
+
+_q147_sql = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                             w -> length(w) > 0) AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         list_transform(generate_series(0, len(ws) - 1),
+                        i -> substr(md5('r4' || CAST(doc_id AS VARCHAR) || chr(31)
+                                        || CAST(i AS VARCHAR)), 1, 8)
+                             < '13333333') AS starts
+  FROM t),
+m AS (
+  SELECT doc_id, ws,
+         list_transform(generate_series(1, len(ws)),
+                        i -> starts[i] OR (i > 1 AND starts[i-1])) AS mk
+  FROM s)
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(1, len(ws)),
+                                      i -> CASE WHEN mk[i] THEN '<MASK>' ELSE ws[i] END),
+                       ' ') AS corrupted,
+       coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(ws)),
+                                                  i -> CASE WHEN mk[i] THEN ws[i] END),
+                                   x -> x IS NOT NULL), ' '), '') AS targets,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4491,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_temperature_shuffle": _q144,
         "q145_unique_none_tostruct": _q145,
         "q146_bigram_lm": _q146,
+        "q147_mask_tokens": _q147,
     }
 
 
@@ -4642,4 +4690,5 @@ def oracle_sql() -> dict[str, str]:
         "q144_temperature_shuffle": _q144_sql,
         "q145_unique_none_tostruct": _q145_sql,
         "q146_bigram_lm": _q146_sql,
+        "q147_mask_tokens": _q147_sql,
     }

@@ -45,7 +45,7 @@ from .quality import (
 )
 from .retrieval import term_document_frequency, tfidf_top_terms, bm25_topk
 from .splits import hash_bucket, split_by_hash, kfold_by_hash
-from .chunking import chunk_documents, pack_sequences
+from .chunking import chunk_documents, mask_tokens_frame, pack_sequences
 from .decontam import contamination_frame, oov_rate_frame
 from .sampling import (
     cap_per_key,
@@ -60,6 +60,7 @@ from .sampling import (
 __all__ = [
     "chunk_documents",
     "pack_sequences",
+    "mask_tokens_frame",
     "contamination_frame",
     "oov_rate_frame",
     "cap_per_key",

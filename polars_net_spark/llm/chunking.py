@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .splits import hash_bucket
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "pack_sequences", "mask_tokens_frame"]
 
 
 def chunk_documents(
@@ -111,5 +111,79 @@ def pack_sequences(
     out = staged.withColumn("cum_tokens", cum.cast("long")).withColumn(
         "pack_id",
         ((F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )
+    return LazyFrame(out)
+
+
+def mask_tokens_frame(
+    frame,
+    mask_rate: float = 0.15,
+    span_len: int = 1,
+    seed: str = "",
+    mask_token: str = "<MASK>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Deterministic masked-LM corpus prep: mask ``mask_rate`` of token
+    positions (BERT-style; ``span_len`` > 1 extends every selected start to
+    a fixed-length span, T5-ish span corruption without sentinel renumbering).
+
+    Randomness is a portable hash, not an RNG: position i of doc d draws
+    from md5(seed||d||'\\x1f'||i), so the same (seed, corpus) masks the same
+    positions on any engine and any partitioning — reproducible training
+    data, oracle-checkable.  Start rate is ``mask_rate / span_len`` so the
+    EXPECTED masked fraction stays ~mask_rate for any span length.
+
+    Pure higher-order-function Column math over the split words (one
+    transform for draws, one O(span_len) exists per position for the span
+    union, one filter for targets) — map-only, zero shuffles, no UDF.
+
+    Output: (id, corrupted text, targets = masked tokens in order,
+    n_tokens, n_masked).
+    """
+    from ..frame import LazyFrame
+
+    if not (0.0 < mask_rate < 1.0):
+        raise ValueError("mask_rate must be in (0, 1)")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    start_rate = mask_rate / span_len
+    # md5 -> first 8 hex chars -> uniform in [0, 16^8)
+    threshold = int(start_rate * 16**8)
+    text = F.col(text_col)
+    # null text behaves as empty: 0 tokens, empty targets, null corrupted
+    ws = F.filter(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"), lambda w: F.length(w) > 0)
+    did = F.col(id_col).cast("string")
+
+    def draw(i):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), did, F.lit("\x1f"), i.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+
+    def masked_at(i):
+        # position i is masked iff ANY start fired in [i-span_len+1, i].
+        # The draw happens INLINE per (i, j) — O(n * span_len) hashes.  A
+        # precomputed starts array looks cheaper but is a trap: Catalyst
+        # does not CSE an array referenced from inside another lambda, so
+        # element_at(starts, j) re-evaluates the whole O(n) transform per
+        # position — measured O(n^2): 112 s vs 2 s at sf0.1.
+        lo = F.greatest(i - F.lit(span_len - 1), F.lit(0))
+        return F.exists(F.sequence(lo, i), lambda j: draw(j) < threshold)
+
+    mask_flags = F.transform(ws, lambda w, i: masked_at(i))
+    corrupted = F.zip_with(
+        ws, mask_flags, lambda w, m: F.when(m, F.lit(mask_token)).otherwise(w)
+    )
+    targets = F.zip_with(ws, mask_flags, lambda w, m: F.when(m, w))
+    out = sdf.select(
+        F.col(id_col),
+        F.when(text.isNull(), F.lit(None)).otherwise(
+            F.array_join(corrupted, " ")
+        ).alias("corrupted"),
+        F.filter(targets, lambda t: t.isNotNull()).alias("targets"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.filter(mask_flags, lambda m: m)).cast("long").alias("n_masked"),
     )
     return LazyFrame(out)
