@@ -61,3 +61,60 @@ def test_pack_sequences_deterministic_and_bounded(spark):
     for toks in packs.values():
         assert sum(toks) - toks[-1] < 1000  # overflow bounded by one doc
     assert len(packs) > 30  # actually packs into many groups
+
+
+class TestMaskTokens:
+    def test_deterministic_and_consistent(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import mask_tokens_frame
+
+        sdf = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m n o p"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r[0]: r for r in mask_tokens_frame(
+            pl.LazyFrame(sdf), mask_rate=0.4, seed="s").collect().rows()}
+        again = {r[0]: r for r in mask_tokens_frame(
+            pl.LazyFrame(sdf), mask_rate=0.4, seed="s").collect().rows()}
+        assert out == again  # hash-driven, no RNG state
+        # corrupted/targets consistent: targets are exactly the masked slots
+        r = out[1]
+        corrupted, targets, n_tokens, n_masked = r[1], r[2], r[3], r[4]
+        assert corrupted.split().count("<MASK>") == n_masked == len(targets)
+        assert n_tokens == 16 and 0 < n_masked < 16
+        orig = "a b c d e f g h i j k l m n o p".split()
+        rebuilt = []
+        ti = iter(targets)
+        for w in corrupted.split():
+            rebuilt.append(next(ti) if w == "<MASK>" else w)
+        assert rebuilt == orig
+        assert out[2][1] == "" and out[2][3] == 0
+        assert out[3][1] is None and out[3][3] == 0
+
+    def test_span_extension_and_guards(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import mask_tokens_frame
+        import pytest as _pt
+
+        sdf = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(200)))], "doc_id long, text string"
+        )
+        one = mask_tokens_frame(pl.LazyFrame(sdf), mask_rate=0.3, span_len=1, seed="q").collect().rows()[0]
+        spn = mask_tokens_frame(pl.LazyFrame(sdf), mask_rate=0.3, span_len=3, seed="q").collect().rows()[0]
+        # same expected rate: both should mask a similar fraction (~0.3)
+        assert 0.15 < one[4] / one[3] < 0.45
+        assert 0.15 < spn[4] / spn[3] < 0.45
+        # span runs: masked positions in the span variant come in runs >= 1;
+        # at least one run of length >= 2 with 200 tokens at rate 0.3
+        flags = [w == "<MASK>" for w in spn[1].split()]
+        runs = []
+        cur = 0
+        for f in flags:
+            cur = cur + 1 if f else (runs.append(cur) if cur else None) or 0
+        if cur:
+            runs.append(cur)
+        assert max(runs) >= 2
+        with _pt.raises(ValueError):
+            mask_tokens_frame(pl.LazyFrame(sdf), mask_rate=0.0)
+        with _pt.raises(ValueError):
+            mask_tokens_frame(pl.LazyFrame(sdf), span_len=0)
