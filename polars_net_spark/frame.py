@@ -883,8 +883,10 @@ class LazyFrame:
         out_col: str | None = None,
         approx: bool = False,
         approx_accuracy: int = 10000,
+        labels: "Sequence[str] | None" = None,
     ) -> "LazyFrame":
-        """Quantile binning (polars qcut with labels-as-indices): exact
+        """Quantile binning (polars qcut; default labels-as-indices, or pass
+        ``labels`` — len(probs)+1 strings — for category names): exact
         linear-interpolation quantile boundaries at i/q (or the given
         probability list), right-closed buckets.
 
@@ -915,13 +917,23 @@ class LazyFrame:
             bounds = sdf.agg(both.alias("__b__")).select(
                 *[F.get("__b__", i).alias(n) for i, n in enumerate(names)]
             )
+        if labels is not None and len(labels) != len(probs) + 1:
+            raise ValueError(
+                f"labels must have len(probs)+1 = {len(probs) + 1} entries, got {len(labels)}"
+            )
         c = F.col(col_name)
         acc = F.lit(0)
         for n in names:
             acc = acc + (c > F.col(n)).cast("int")
+        bucket = F.when(c.isNotNull(), acc.cast("long"))
+        if labels is not None:
+            bucket = F.when(
+                c.isNotNull(),
+                F.element_at(F.array(*[F.lit(s) for s in labels]), acc.cast("int") + 1),
+            )
         out = (
             sdf.crossJoin(F.broadcast(bounds))
-            .withColumn(out_col or f"{col_name}_qcut", F.when(c.isNotNull(), acc.cast("long")))
+            .withColumn(out_col or f"{col_name}_qcut", bucket)
             .drop(*names)
         )
         return LazyFrame(out)

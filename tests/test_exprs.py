@@ -597,3 +597,18 @@ class TestRollingMoments:
             col("x").rolling_sum(2, order_by="t", min_periods=1).alias("rs"),
         ).sort("t").collect().rows()
         assert rows == [(1, 10.0), (2, 30.0), (3, 50.0)]
+
+
+def test_with_qcut_labels(spark):
+    import polars_net_spark as plx
+
+    d = plx.from_records([(i, float(i)) for i in range(1, 9)], ["i", "v"]).lazy()
+    out = dict(
+        d.with_qcut("v", 2, "b", labels=["low", "high"]).collect()
+        .select(plx.col("i"), plx.col("b")).rows()
+    )
+    assert out[1] == "low" and out[8] == "high"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        d.with_qcut("v", 2, labels=["only"])
