@@ -4387,6 +4387,76 @@ FROM m
 """
 
 
+def _q148(spark, sf_dir):
+    """End-to-end corpus-prep pipeline (r4 composition gate): synthetic URL ->
+    canonical-URL dedup (keep lowest doc_id per url_key) -> min-length
+    quality trim -> deterministic masked-LM corruption -> reproducible md5
+    shuffle position.  One lazy chain; every stage is an operator under its
+    own gate (q141/q147/q144), this row proves the COMPOSITION."""
+    from polars_net_spark.llm import url_metrics_frame, mask_tokens_frame, shuffle_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Site"), (col("doc_id") % 97).to_column().cast("string"),
+        F.lit(".Example.com:443/p/"), (col("doc_id") % 97).to_column().cast("string"),
+        F.lit("?utm_x=1"),
+    )
+    withu = d._sdf.select(F.col("doc_id"), F.col("text"), url.alias("url"))
+    um = url_metrics_frame(withu, "url")._sdf.select("doc_id", "url_key")
+    staged = withu.join(um, "doc_id")
+    from pyspark.sql import Window as W
+    keep = (
+        staged.withColumn(
+            "__rn__",
+            F.row_number().over(W.partitionBy("url_key").orderBy(F.col("doc_id").asc())),
+        )
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "url")
+    )
+    import polars_net_spark as _pl
+    quality = keep.filter(
+        F.size(F.filter(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                        lambda w: F.length(w) > 0)) >= 20
+    )
+    masked = mask_tokens_frame(quality, mask_rate=0.15, span_len=2, seed="r4")
+    shuffled = shuffle_by_hash(masked, "doc_id", seed="prep")
+    pos = shuffled.with_dense_row_index("shuffle_pos")
+    return pos._sdf.select(
+        F.col("doc_id"), F.col("n_tokens"), F.col("n_masked"), F.col("shuffle_pos")
+    )
+
+
+_q148_sql = """
+WITH u AS (
+  SELECT doc_id, text,
+         md5('https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+             || CAST(doc_id % 97 AS VARCHAR)) AS url_key
+  FROM documents),
+k AS (
+  SELECT doc_id, text FROM u
+  QUALIFY row_number() OVER (PARTITION BY url_key ORDER BY doc_id) = 1),
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                             w -> length(w) > 0) AS ws
+  FROM k),
+q AS (SELECT * FROM t WHERE len(ws) >= 20),
+m AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         len(list_filter(generate_series(1, len(ws)),
+             i -> substr(md5('r4' || CAST(doc_id AS VARCHAR) || chr(31)
+                              || CAST(i - 1 AS VARCHAR)), 1, 8) < '13333333'
+                  OR (i > 1 AND substr(md5('r4' || CAST(doc_id AS VARCHAR) || chr(31)
+                              || CAST(i - 2 AS VARCHAR)), 1, 8) < '13333333')))
+           AS n_masked
+  FROM q)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       CAST(row_number() OVER (ORDER BY md5('prep' || CAST(doc_id AS VARCHAR))) - 1
+            AS BIGINT) AS shuffle_pos
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4539,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_unique_none_tostruct": _q145,
         "q146_bigram_lm": _q146,
         "q147_mask_tokens": _q147,
+        "q148_pipeline_prep": _q148,
     }
 
 
@@ -4691,4 +4762,5 @@ def oracle_sql() -> dict[str, str]:
         "q145_unique_none_tostruct": _q145_sql,
         "q146_bigram_lm": _q146_sql,
         "q147_mask_tokens": _q147_sql,
+        "q148_pipeline_prep": _q148_sql,
     }
