@@ -95,6 +95,49 @@ class LazyFrame:
             self._sdf._jdf.queryExecution(), "formatted" if optimized else "simple"
         )
 
+    def profile(self) -> "tuple[DataFrame, list[dict]]":
+        """polars LazyFrame.profile analogue: execute the plan and return
+        (result, per-physical-operator metrics).  Each metrics row carries
+        the node name, tree depth, and Spark's SQL metrics (numOutputRows,
+        per-operator times, shuffle/spill bytes...) from the EXECUTED
+        adaptive plan — real runtime numbers, not estimates.  Execution runs
+        through the noop sink first so metrics cover full compute without
+        driver transfer; the returned DataFrame re-reads results lazily."""
+        sdf = self._drop_order()._sdf
+        qe = sdf._jdf.queryExecution()
+        # execute THIS QueryExecution (a .write would spawn a fresh one whose
+        # metrics we could not see); toRdd().count() runs the physical plan
+        # executor-side without shipping rows to Python
+        qe.toRdd().count()
+        plan = qe.executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.executedPlan()
+
+        rows: list[dict] = []
+
+        def walk(node, depth):
+            cls = node.getClass().getSimpleName()
+            # AQE wrapper stages (ResultQueryStage/ShuffleQueryStage/...)
+            # hide their subtree behind .plan() — descend transparently
+            if "QueryStage" in cls:
+                walk(node.plan(), depth)
+                return
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan(), depth)
+                return
+            md = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                md[kv._1()] = kv._2().value()
+            rows.append({"node": node.nodeName(), "depth": depth, "metrics": md})
+            kids = node.children()
+            for i in range(kids.length()):
+                walk(kids.apply(i), depth + 1)
+
+        walk(plan, 0)
+        return DataFrame(self), rows
+
     # -- row order (SURVEY §7.0) --------------------------------------------
     def with_row_index(self, name: str = ROW_ORDER_COL) -> "LazyFrame":
         """Attach an order-stable id. Sparse (not dense) by design: dense

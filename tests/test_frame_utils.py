@@ -310,3 +310,18 @@ class TestListToStruct:
         assert rows[1]["s"] == {"field_0": 5.0, "field_1": None}
         with pytest.raises(ValueError):
             col("v").list.to_struct(2, fields=["only"])
+
+
+class TestProfile:
+    def test_profile_metrics(self, spark):
+        lf = pl.from_records([(i % 3, float(i)) for i in range(50)], ["k", "v"]).lazy()
+        res, prof = lf.group_by("k").agg(pl.col("v").sum().alias("s")).profile()
+        assert res.height == 3
+        assert any("HashAggregate" in p["node"] for p in prof)
+        agg_rows = [
+            p["metrics"].get("numOutputRows")
+            for p in prof
+            if "HashAggregate" in p["node"]
+        ]
+        assert any(r == 3 for r in agg_rows)  # final agg emitted 3 groups
+        assert all(isinstance(p["depth"], int) for p in prof)
