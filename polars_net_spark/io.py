@@ -59,9 +59,25 @@ def _schema_arg(schema: Mapping[str, str] | T.StructType | None) -> T.StructType
 # -- parquet (io.rs:97-124) --------------------------------------------------
 
 
-def scan_parquet(path: str | Sequence[str], spark: SparkSession | None = None) -> LazyFrame:
+def scan_parquet(
+    path: str | Sequence[str],
+    spark: SparkSession | None = None,
+    merge_schema: bool = False,
+    recursive: bool = False,
+) -> LazyFrame:
+    """Lazy parquet scan (glob patterns and path lists both work —
+    Spark's file index expands them).  ``merge_schema=True`` unions the
+    schemas of all files (polars scan_parquet(allow_missing_columns)-ish /
+    schema evolution: files missing a column yield nulls) at the cost of a
+    footer read per file; ``recursive=True`` descends subdirectories that
+    are not hive partitions."""
     paths = [path] if isinstance(path, str) else list(path)
-    return LazyFrame(_spark(spark).read.parquet(*paths))
+    r = _spark(spark).read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return LazyFrame(r.parquet(*paths))
 
 
 def read_parquet(path: str | Sequence[str], spark: SparkSession | None = None) -> DataFrame:

@@ -213,3 +213,21 @@ class TestCsvOptionsStructFields:
             ).alias("s2")
         ).spark.collect()[0]["s2"].asDict()
         assert out == {"a": 99, "b": "x", "c": 100}
+
+
+class TestParquetSchemaEvolution:
+    def test_merge_schema(self, spark, tmp_path):
+        import polars_net_spark as pl
+
+        a = pl.from_records([(1, "x")], ["id", "s"])
+        b = pl.from_records([(2, "y", 9.5)], ["id", "s", "extra"])
+        a.write_parquet(str(tmp_path / "p" / "f1"))
+        b.write_parquet(str(tmp_path / "p" / "f2"))
+        merged = pl.scan_parquet(
+            [str(tmp_path / "p" / "f1"), str(tmp_path / "p" / "f2")],
+            merge_schema=True,
+        ).collect()
+        assert "extra" in merged.columns
+        rows = {r[0]: r for r in merged.rows()}
+        assert rows[1][merged.columns.index("extra")] is None  # evolved col null-filled
+        assert rows[2][merged.columns.index("extra")] == 9.5
