@@ -280,3 +280,49 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
         for r in spark.sql("SELECT * FROM state_out").collect()
     }
     assert got == {"a": (3.0, 2), "b": (5.0, 1)}
+
+
+def test_stream_corpus_prep_ops_compose(spark, tmp_path):
+    """The r4 map-only corpus ops (URL canonicalization, masked-LM
+    corruption) run unchanged inside a streaming pipeline — pure Column
+    math has no batch/stream divide."""
+    from polars_net_spark.llm import mask_tokens_frame, url_normalize
+    from polars_net_spark.streaming import scan_stream_parquet
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("url", T.StringType(), True),
+        ]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "HTTPS://A.com:443/x?utm_s=1"),
+            (2, "one two three four five six seven", "http://b.co.uk/y/"),
+        ],
+        doc_schema,
+    ).write.mode("append").parquet(src)
+
+    stream = scan_stream_parquet(src, schema=doc_schema)
+    canon = stream.with_columns(
+        pl.Expr(url_normalize(F.col("url"))).alias("url_canonical")
+    )
+    masked_sdf = mask_tokens_frame(
+        canon._sdf, mask_rate=0.4, seed="st"
+    )._sdf.join(canon._sdf.select("doc_id", "url_canonical"), "doc_id")
+    q = (
+        masked_sdf.writeStream.format("memory")
+        .queryName("corpus_prep_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM corpus_prep_stream").collect()}
+    assert rows[1]["url_canonical"] == "https://a.com/x"
+    assert rows[2]["url_canonical"] == "http://b.co.uk/y"
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_masked"] >= 1
+    assert rows[1]["corrupted"].count("<MASK>") == rows[1]["n_masked"]
