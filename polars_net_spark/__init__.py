@@ -59,6 +59,28 @@ from .io import (
     write_bucketed,
     read_table,
 )
+from . import pl_functions as _plf
+from .pl_functions import (
+    approx_n_unique,
+    count,
+    first,
+    implode,
+    last,
+    mean,
+    median,
+    n_unique,
+    quantile,
+    std,
+    struct,
+    var,
+)
+
+# polars names that shadow Python builtins — bound explicitly so `pl.len()`
+# / `pl.sum("x")` work without poisoning any module namespace
+len = _plf.len  # noqa: A001
+sum = _plf.sum  # noqa: A001
+min = _plf.min  # noqa: A001
+max = _plf.max  # noqa: A001
 from ._cache import cached_count, release_caches, scoped_caches
 from .series import Series
 from .session import get_spark, stop_spark
@@ -105,6 +127,22 @@ __all__ = [
     "stop_spark",
     "cs",
     "scan_parquet",
+    "len",
+    "count",
+    "sum",
+    "mean",
+    "median",
+    "min",
+    "max",
+    "std",
+    "var",
+    "first",
+    "last",
+    "n_unique",
+    "approx_n_unique",
+    "implode",
+    "quantile",
+    "struct",
     "write_bucketed",
     "read_table",
     "int_range",

@@ -2507,3 +2507,4 @@ def _col_name_of(e: "Expr") -> str:
 def as_struct(exprs: Sequence[Expr]) -> Expr:
     """expr.rs:920-930."""
     return Expr(F.struct(*[_c(e) for e in exprs]))
+

@@ -612,3 +612,36 @@ def test_with_qcut_labels(spark):
 
     with _pt.raises(ValueError):
         d.with_qcut("v", 2, labels=["only"])
+
+
+class TestTopLevelFunctions:
+    def test_named_aggs(self, spark):
+        import polars_net_spark as pl
+
+        d = pl.from_records([("a", 1.0), ("a", 3.0), ("b", 5.0)], ["k", "v"]).lazy()
+        out = d.group_by("k").agg(
+            pl.len(), pl.count("v").alias("c"), pl.sum("v"),
+            pl.first("v").alias("f"), pl.last("v").alias("l"),
+            pl.n_unique("v").alias("nu"), pl.implode("v").alias("vs"),
+        ).sort("k").collect().rows()
+        assert out[0][:3] == ("a", 2, 2)
+        assert out[0][3] == 4.0 and out[0][4] == 1.0 and out[0][5] == 3.0
+        assert out[0][6] == 2 and sorted(out[0][7]) == [1.0, 3.0]
+
+    def test_struct_schema(self, spark):
+        import polars_net_spark as pl
+
+        d = pl.from_records([(1, "x")], ["a", "b"]).lazy()
+        row = d.select(pl.struct("a", "b", schema=["l", "r"]).alias("s"))._sdf.collect()[0]
+        assert row["s"].asDict() == {"l": 1, "r": "x"}
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            pl.struct("a", "b", schema=["only"])
+
+    def test_builtins_unshadowed_in_package(self, spark):
+        # the polars-named shadows live on the package namespace only
+        import polars_net_spark.exprs as e
+
+        assert e.__builtins__ if isinstance(e.__builtins__, dict) else True
+        assert not hasattr(e, "sum")  # exprs module namespace stays clean
