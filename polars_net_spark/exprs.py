@@ -647,6 +647,33 @@ class Expr:
         o = col(other) if isinstance(other, str) else other
         return _wrap(F.sum(self._col * o._col))
 
+    def any(self, ignore_nulls: bool = True) -> "Expr":
+        """Boolean OR aggregate (polars Expr.any): true when any element is
+        true; empty/all-null groups give false (polars ignore_nulls=True
+        default).  ignore_nulls=False gives Kleene logic: null if no true
+        but nulls present."""
+        out = F.bool_or(self._col)
+        if ignore_nulls:
+            return _wrap(F.coalesce(out, F.lit(False)))
+        return _wrap(
+            F.when(out, F.lit(True)).otherwise(
+                F.when(F.count(F.lit(1)) > F.count(self._col), F.lit(None)).otherwise(F.lit(False))
+            )
+        )
+
+    def all(self, ignore_nulls: bool = True) -> "Expr":
+        """Boolean AND aggregate (polars Expr.all): true when every element
+        is true; empty groups give true.  ignore_nulls=False: null if all
+        non-null are true but nulls present (Kleene)."""
+        out = F.bool_and(self._col)
+        if ignore_nulls:
+            return _wrap(F.coalesce(out, F.lit(True)))
+        return _wrap(
+            F.when(~out, F.lit(False)).otherwise(
+                F.when(F.count(F.lit(1)) > F.count(self._col), F.lit(None)).otherwise(F.lit(True))
+            )
+        )
+
     def n_unique(self) -> "Expr":
         return _wrap(F.countDistinct(self._col))
 

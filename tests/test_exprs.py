@@ -645,3 +645,25 @@ class TestTopLevelFunctions:
 
         assert e.__builtins__ if isinstance(e.__builtins__, dict) else True
         assert not hasattr(e, "sum")  # exprs module namespace stays clean
+
+
+def test_expr_any_all_aggregates(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    sdf = pl.get_spark().createDataFrame(
+        [("a", True), ("a", None), ("b", False), ("b", None), ("c", True), ("c", False)],
+        "k string, v boolean",
+    )
+    rows = sorted(
+        pl.LazyFrame(sdf).group_by("k").agg(
+            col("v").any().alias("any"), col("v").all().alias("all"),
+            col("v").any(ignore_nulls=False).alias("anyk"),
+            col("v").all(ignore_nulls=False).alias("allk"),
+        ).collect().rows()
+    )
+    assert rows == [
+        ("a", True, True, True, None),   # all-kleene: null present, rest true
+        ("b", False, False, None, False),  # any-kleene: null could be true
+        ("c", True, False, True, False),
+    ]
