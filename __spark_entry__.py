@@ -4457,6 +4457,43 @@ FROM m
 """
 
 
+def _q149(spark, sf_dir):
+    """Top-level named aggregates (pl.len/pl.sum — polars convenience
+    surface) + boolean any/all aggregates incl. Kleene variants."""
+    import polars_net_spark as _pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.with_columns((col("l_discount") > 0.05).alias("disc"))
+    return (
+        flagged.group_by("l_returnflag")
+        .agg(
+            _pl.len(),
+            _pl.sum("l_quantity"),
+            col("disc").any().alias("any_disc"),
+            col("disc").all().alias("all_disc"),
+            col("disc").all(ignore_nulls=False).alias("all_k"),
+        )
+        .with_columns(
+            col("len").cast("long").alias("len"),
+            col("l_quantity").round(2).alias("l_quantity"),
+        )
+        .spark
+    )
+
+
+_q149_sql = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS len,
+       round(sum(l_quantity), 2) AS l_quantity,
+       coalesce(bool_or(l_discount > 0.05), false) AS any_disc,
+       coalesce(bool_and(l_discount > 0.05), true) AS all_disc,
+       CASE WHEN NOT bool_and(l_discount > 0.05) THEN false
+            WHEN count(*) > count(l_discount) THEN NULL
+            ELSE true END AS all_k
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4610,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_bigram_lm": _q146,
         "q147_mask_tokens": _q147,
         "q148_pipeline_prep": _q148,
+        "q149_named_aggs_boolagg": _q149,
     }
 
 
@@ -4763,4 +4801,5 @@ def oracle_sql() -> dict[str, str]:
         "q146_bigram_lm": _q146_sql,
         "q147_mask_tokens": _q147_sql,
         "q148_pipeline_prep": _q148_sql,
+        "q149_named_aggs_boolagg": _q149_sql,
     }
