@@ -77,6 +77,9 @@ from .pl_functions import (
 
 # polars names that shadow Python builtins — bound explicitly so `pl.len()`
 # / `pl.sum("x")` work without poisoning any module namespace
+from .selectors import all_ as all  # noqa: A001 — polars pl.all() == every column
+from .selectors import exclude
+
 len = _plf.len  # noqa: A001
 sum = _plf.sum  # noqa: A001
 min = _plf.min  # noqa: A001
@@ -143,6 +146,8 @@ __all__ = [
     "implode",
     "quantile",
     "struct",
+    "all",
+    "exclude",
     "write_bucketed",
     "read_table",
     "int_range",

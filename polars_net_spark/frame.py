@@ -203,13 +203,30 @@ class LazyFrame:
             return LazyFrame(self._sdf.drop(ROW_ORDER_COL))
         return self
 
+    def _expand_selectors(self, exprs: list) -> list:
+        """Resolve inline Selector objects (cs.numeric(), pl.exclude(...))
+        against THIS frame's schema — polars lets selectors appear anywhere
+        an expression list does."""
+        from .selectors import Selector
+
+        if not any(isinstance(e, Selector) for e in exprs):
+            return exprs
+        out: list = []
+        schema = self._sdf.schema
+        for e in exprs:
+            if isinstance(e, Selector):
+                out.extend(e.to_exprs(schema))
+            else:
+                out.append(e)
+        return out
+
     # -- projection / mutation (lazy.rs:84-88) --------------------------------
     def select(self, *exprs) -> "LazyFrame":
-        exprs = _flatten(exprs)
+        exprs = self._expand_selectors(_flatten(exprs))
         return LazyFrame(self._sdf.select(*_as_cols(exprs)))
 
     def with_columns(self, *exprs, **named) -> "LazyFrame":
-        exprs = _flatten(exprs)
+        exprs = self._expand_selectors(_flatten(exprs))
         sdf = self._sdf
         mapping: dict[str, Column] = {}
         for e in exprs:

@@ -55,3 +55,17 @@ def test_select_with_selector_exprs(spark):
     df = wide(spark)
     out = df.select(cs.starts_with("val_").to_exprs(df.schema))
     assert out.columns == ["val_a", "val_b"]
+
+
+def test_selectors_inline_in_select(spark):
+    """polars UX: a Selector can appear directly in select/with_columns —
+    resolved against the frame's schema, no explicit .resolve() needed."""
+    import polars_net_spark as pl
+    import polars_net_spark.selectors as cs
+
+    d = pl.from_records([(1, 2.0, "x")], ["a", "b", "c"]).lazy()
+    assert d.select(pl.all()).collect().columns == ["a", "b", "c"]
+    assert d.select(pl.exclude("c")).collect().columns == ["a", "b"]
+    assert d.select(cs.numeric()).collect().columns == ["a", "b"]
+    mixed = d.select(cs.string(), pl.col("a")).collect()
+    assert mixed.columns == ["c", "a"]
