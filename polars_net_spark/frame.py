@@ -1173,16 +1173,52 @@ class LazyFrame:
     # -- sinks (io.rs:392-479): Spark writes are already streaming/out-of-core --
     # A sink is a terminal action: operator-internal persists (llm staging
     # frames, see _cache.py) are released once the write completes.
-    def sink_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+    def sink_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] = (),
+        compression: str | None = None,
+        row_group_size: int | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """Parquet sink.  ``compression``: snappy (default)/zstd/gzip/lz4/
+        none — zstd is the usual 100 TB archive choice (~30% smaller than
+        snappy at similar scan speed).  ``row_group_size`` (rows per group)
+        tunes scan parallelism vs metadata overhead; ``max_records_per_file``
+        caps file size for downstream consumers with per-file limits."""
         from ._cache import release_caches
 
         w = self._drop_order()._sdf.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if compression is not None:
+            w = w.option("compression", compression)
+        if row_group_size is not None:
+            w = w.option("parquet.block.size", int(row_group_size))
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
         try:
             w.parquet(path)
         finally:
             release_caches()
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "LazyFrame":
+        """Persist this plan's result across reuses (Spark-native; polars has
+        no analogue because it re-executes).  Registered with the package
+        cache registry, so ``release_caches()`` frees it with everything
+        else.  Use when a frame feeds several downstream queries — otherwise
+        Catalyst recomputes the lineage per action."""
+        from pyspark import StorageLevel
+
+        from ._cache import _CACHES
+
+        level = getattr(StorageLevel, storage_level)
+        sdf = self._sdf.persist(level)
+        _CACHES.append(sdf)  # registry tracks it; register_cache would re-persist
+        return LazyFrame(sdf)
+
+    cache = persist
 
     def sink_csv(self, path: str, mode: str = "overwrite", include_header: bool = True) -> None:
         from ._cache import release_caches

@@ -231,3 +231,26 @@ class TestParquetSchemaEvolution:
         rows = {r[0]: r for r in merged.rows()}
         assert rows[1][merged.columns.index("extra")] is None  # evolved col null-filled
         assert rows[2][merged.columns.index("extra")] == 9.5
+
+
+class TestSinkOptionsPersist:
+    def test_sink_parquet_compression_and_file_cap(self, spark, tmp_path):
+        import os
+        import polars_net_spark as pl
+
+        lf = pl.from_records([(i, float(i)) for i in range(100)], ["a", "b"]).lazy()
+        out = str(tmp_path / "z")
+        lf.sink_parquet(out, compression="zstd", max_records_per_file=30)
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert files and all("zstd" in f for f in files)
+        assert pl.read_parquet(out).height == 100
+
+    def test_persist_registers_with_cache_registry(self, spark):
+        import polars_net_spark as pl
+
+        before = pl.cached_count()
+        d = pl.from_records([(1, 2.0)], ["a", "b"]).lazy().persist()
+        assert d.collect().rows() == [(1, 2.0)]
+        assert pl.cached_count() == before + 1
+        pl.release_caches()
+        assert pl.cached_count() == 0
