@@ -89,6 +89,7 @@ from .series import Series
 from .session import get_spark, stop_spark
 from .sql import SQLContext
 from . import selectors as cs  # polars convention: `import polars.selectors as cs`
+from . import testing  # polars convention: pl.testing.assert_frame_equal
 
 __version__ = "0.1.0"
 
