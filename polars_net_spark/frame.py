@@ -244,8 +244,29 @@ class LazyFrame:
     def drop(self, *names: str) -> "LazyFrame":
         return LazyFrame(self._sdf.drop(*_flatten(names)))
 
-    def rename(self, mapping: Mapping[str, str]) -> "LazyFrame":
+    def rename(self, mapping: "Mapping[str, str] | Callable[[str], str]") -> "LazyFrame":
+        """Rename columns by dict or by a callable applied to every name
+        (polars rename; e.g. ``rename(str.upper)``)."""
+        if callable(mapping) and not isinstance(mapping, Mapping):
+            mapping = {c: mapping(c) for c in self.columns}
         return LazyFrame(self._sdf.withColumnsRenamed(dict(mapping)))
+
+    def collect_schema(self) -> dict[str, str]:
+        """polars 1.x collect_schema: {name: dtype-string} without running
+        the plan (Spark schemas are always known at plan time)."""
+        return {n: t for n, t in self.dtypes}
+
+    def equals(self, other: "LazyFrame | DataFrame", null_equal: bool = True) -> bool:
+        """Row-order-sensitive frame equality (polars DataFrame.equals).
+        Driver-side test utility — collects both sides; see
+        polars_net_spark.testing for tolerance-aware assertions."""
+        from .testing import assert_frame_equal
+
+        try:
+            assert_frame_equal(self, other, check_dtypes=False, rtol=0.0, atol=0.0)
+            return True
+        except AssertionError:
+            return False
 
     def drop_nulls(self, subset: Sequence[str] | None = None) -> "LazyFrame":
         return LazyFrame(self._sdf.dropna(subset=list(subset) if subset else None))

@@ -325,3 +325,16 @@ class TestProfile:
         ]
         assert any(r == 3 for r in agg_rows)  # final agg emitted 3 groups
         assert all(isinstance(p["depth"], int) for p in prof)
+
+
+class TestRenameSchemaEquals:
+    def test_rename_callable(self, spark):
+        d = pl.from_records([(1, "x")], ["ab", "cd"]).lazy()
+        assert d.rename(str.upper).collect().columns == ["AB", "CD"]
+        assert d.rename({"ab": "zz"}).collect().columns == ["zz", "cd"]
+
+    def test_collect_schema_and_equals(self, spark):
+        d = pl.from_records([(1, "x")], ["ab", "cd"]).lazy()
+        assert d.collect_schema() == {"ab": "bigint", "cd": "string"}
+        assert d.equals(d)
+        assert not d.equals(d.rename({"ab": "zz"}))
