@@ -92,16 +92,7 @@ def _grams_frame(
     grams = F.array_distinct(
         F.when(
             cnt >= n,
-            # concat_ws over n element_at's, not array_join(slice(...)):
-            # slice allocates a fresh n-array per gram — measured 1.51 s ->
-            # 0.42 s for the gram stage at sf0.1 (identical strings: idx
-            # stops at cnt-n, so every gram has exactly n words)
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(ws, i + F.lit(j + 1)) for j in range(n)]
-                ),
-            ),
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")),
         ).otherwise(F.array())
     )
     return staged.select("id", grams.alias("grams"))
