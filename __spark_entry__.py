@@ -4494,6 +4494,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q150(spark, sf_dir):
+    """SFT chat flattening (llm/chunking.py flatten_chat_frame): JSON chat
+    transcripts -> role-tagged training text via from_json + HOF transforms,
+    map-only.  The corpus has no chat column, so each doc becomes a 2-turn
+    transcript (first 5 words = user, next 5 = assistant) built as REAL JSON
+    via to_json, then flattened by the operator under test."""
+    from polars_net_spark.llm import flatten_chat_frame
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0)
+    u = F.array_join(F.slice(ws, 1, 5), " ")
+    a = F.array_join(F.slice(ws, 6, 5), " ")
+    msgs = F.to_json(F.array(
+        F.struct(F.lit("user").alias("role"), u.alias("content")),
+        F.struct(F.lit("assistant").alias("role"), a.alias("content")),
+    ))
+    sdf = d._sdf.select(F.col("doc_id"), msgs.alias("messages"))
+    return flatten_chat_frame(sdf).spark
+
+
+_q150_sql = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS ws
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         array_to_string(ws[1:5], ' ') AS u,
+         array_to_string(ws[6:10], ' ') AS a
+  FROM w)
+SELECT doc_id,
+       '<|user|>' || chr(10) || u || chr(10) || '<|assistant|>' || chr(10) || a AS text,
+       CAST(2 AS BIGINT) AS n_turns,
+       CAST(length('<|user|>' || chr(10) || u || chr(10) || '<|assistant|>' || chr(10) || a)
+            AS BIGINT) AS n_chars
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4648,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_mask_tokens": _q147,
         "q148_pipeline_prep": _q148,
         "q149_named_aggs_boolagg": _q149,
+        "q150_chat_flatten": _q150,
     }
 
 
@@ -4802,4 +4842,5 @@ def oracle_sql() -> dict[str, str]:
         "q147_mask_tokens": _q147_sql,
         "q148_pipeline_prep": _q148_sql,
         "q149_named_aggs_boolagg": _q149_sql,
+        "q150_chat_flatten": _q150_sql,
     }

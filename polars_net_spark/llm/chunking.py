@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .splits import hash_bucket
 
-__all__ = ["chunk_documents", "pack_sequences", "mask_tokens_frame"]
+__all__ = ["chunk_documents", "pack_sequences", "mask_tokens_frame", "flatten_chat_frame"]
 
 
 def chunk_documents(
@@ -185,5 +185,68 @@ def mask_tokens_frame(
         F.filter(targets, lambda t: t.isNotNull()).alias("targets"),
         F.size(ws).cast("long").alias("n_tokens"),
         F.size(F.filter(mask_flags, lambda m: m)).cast("long").alias("n_masked"),
+    )
+    return LazyFrame(out)
+
+
+def flatten_chat_frame(
+    frame,
+    messages_col: str = "messages",
+    id_col: str = "doc_id",
+    role_field: str = "role",
+    content_field: str = "content",
+    template: str = "<|{role}|>\n{content}",
+    joiner: str = "\n",
+    roles_keep: "list[str] | None" = None,
+):
+    """SFT corpus prep: flatten a chat transcript column —
+    ``array<struct<role,content>>`` (or a JSON string of the same shape) —
+    into one role-tagged training text per conversation, plus turn counts.
+
+    Pure higher-order Column ops (optional from_json -> filter ->
+    transform -> array_join) — map-only at any scale, no UDF.  ``template``
+    formats each turn ({role}/{content} placeholders); ``roles_keep``
+    drops other roles (e.g. tool traces) BEFORE formatting.
+
+    Output: (id, text, n_turns, n_chars).
+    """
+    from pyspark.sql import types as T
+
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    c = F.col(messages_col)
+    dt = dict(sdf.dtypes).get(messages_col, "")
+    if dt.startswith("string"):
+        schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField(role_field, T.StringType()),
+                    T.StructField(content_field, T.StringType()),
+                ]
+            )
+        )
+        c = F.from_json(c, schema)
+    if roles_keep is not None:
+        kept = [F.lit(r) for r in roles_keep]
+        c = F.filter(c, lambda m: m.getField(role_field).isin(*roles_keep))
+    pre, mid_post = template.split("{role}", 1)
+    mid, post = mid_post.split("{content}", 1)
+    rendered = F.transform(
+        c,
+        lambda m: F.concat(
+            F.lit(pre),
+            F.coalesce(m.getField(role_field), F.lit("")),
+            F.lit(mid),
+            F.coalesce(m.getField(content_field), F.lit("")),
+            F.lit(post),
+        ),
+    )
+    text = F.array_join(rendered, joiner)
+    out = sdf.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.when(c.isNull(), F.lit(0)).otherwise(F.size(c)).cast("long").alias("n_turns"),
+        F.coalesce(F.length(text), F.lit(0)).cast("long").alias("n_chars"),
     )
     return LazyFrame(out)

@@ -118,3 +118,41 @@ class TestMaskTokens:
             mask_tokens_frame(pl.LazyFrame(sdf), mask_rate=0.0)
         with _pt.raises(ValueError):
             mask_tokens_frame(pl.LazyFrame(sdf), span_len=0)
+
+
+class TestFlattenChat:
+    def test_json_input_with_role_filter(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import flatten_chat_frame
+
+        sdf = spark.createDataFrame(
+            [
+                (1, '[{"role":"user","content":"hi"},{"role":"assistant","content":"hello!"},{"role":"tool","content":"{}"}]'),
+                (2, "[]"),
+                (3, None),
+            ],
+            "doc_id long, messages string",
+        )
+        out = {r[0]: r for r in flatten_chat_frame(sdf, roles_keep=["user", "assistant"]).collect().rows()}
+        assert out[1][1] == "<|user|>\nhi\n<|assistant|>\nhello!"
+        assert out[1][2] == 2
+        assert out[2] == (2, "", 0, 0)
+        assert out[3][1] is None and out[3][2] == 0
+
+    def test_struct_array_input_and_template(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import flatten_chat_frame
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("messages", T.ArrayType(T.StructType([
+                T.StructField("role", T.StringType()),
+                T.StructField("content", T.StringType()),
+            ]))),
+        ])
+        sdf = spark.createDataFrame(
+            [(1, [("user", "q?"), ("assistant", "a.")])], schema
+        )
+        out = flatten_chat_frame(sdf, template="{role}: {content}", joiner=" | ").collect().rows()[0]
+        assert out[1] == "user: q? | assistant: a."
