@@ -902,7 +902,16 @@ class Expr:
             return _wrap(F.lag(self._col, n, fill_value).over(w))
         return _wrap(F.lead(self._col, -n, fill_value).over(w))
 
-    def diff(self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = ()) -> "Expr":
+    def diff(
+        self, n: int = 1, order_by: Any = None, partition_by: Sequence[Any] = (),
+        null_behavior: str = "ignore",
+    ) -> "Expr":
+        """Difference with the value n rows earlier.  null_behavior='ignore'
+        (polars default) leaves the first n rows null; 'drop' is a FRAME
+        operation in polars (shrinks the series) — here the caller filters
+        the nulls (documented, a column expression cannot drop rows)."""
+        if null_behavior not in ("ignore", "drop"):
+            raise ValueError("null_behavior must be ignore|drop")
         return _wrap(self._col - self.shift(n, order_by, partition_by)._col)
 
     def forward_fill(
@@ -1693,6 +1702,31 @@ class ExprStrNamespace:
                 ).cast("long")
             )
         return _wrap(masked)
+
+    def extract_many(
+        self, patterns: Sequence[str], ascii_case_insensitive: bool = False,
+        overlapping: bool = False,
+    ) -> Expr:
+        """All occurrences of any literal pattern, in match order (polars
+        str.extract_many, the aho-corasick surface): ONE alternation regex
+        (longest-first, so overlapping literals prefer the longer match like
+        polars' leftmost-longest) driving a single regexp_extract_all scan.
+        ``overlapping=True`` is not expressible in one linear regex pass —
+        explicitly unsupported rather than silently wrong."""
+        import re as _re
+
+        if not patterns:
+            raise ValueError("extract_many needs at least one pattern")
+        if overlapping:
+            raise NotImplementedError(
+                "overlapping=True needs an aho-corasick pass; the regex "
+                "engine yields non-overlapping leftmost-longest matches"
+            )
+        ordered = sorted(patterns, key=len, reverse=True)
+        alt = "(" + "|".join(_re.escape(p) for p in ordered) + ")"
+        if ascii_case_insensitive:
+            alt = "(?i)" + alt
+        return _wrap(F.regexp_extract_all(self._c, F.lit(alt), F.lit(1)))
 
     def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False) -> Expr:
         """True when the string contains ANY of the literal patterns (polars

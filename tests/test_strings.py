@@ -314,3 +314,21 @@ class TestStrExtrasR4:
 
         with _pt.raises(Exception):
             bad.select(col("h").str.to_integer().alias("v")).collect().rows()
+
+
+def test_extract_many(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    d = pl.from_records([(1, "the cat and the cattle"), (2, None)], ["i", "s"]).lazy()
+    rows = d.select(col("i"), col("s").str.extract_many(["cat", "cattle", "the"]).alias("m")).sort("i").collect().rows()
+    assert list(rows[0][1]) == ["the", "cat", "the", "cattle"]  # longest-first on overlap
+    assert rows[1][1] is None
+    ci = d.select(col("s").str.extract_many(["THE"], ascii_case_insensitive=True).alias("m")).collect().rows()[0][0]
+    assert list(ci) == ["the", "the"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        col("s").str.extract_many([])
+    with _pt.raises(NotImplementedError):
+        col("s").str.extract_many(["x"], overlapping=True)
