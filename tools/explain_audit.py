@@ -243,6 +243,20 @@ CHECKS = {
     "q145_unique_none_tostruct": [
         ("!", "CartesianProduct", "keep='none' is one count window, no self-join"),
     ],
+    "q146_bigram_lm": [
+        ("BroadcastHashJoin", "bigram/unigram models broadcast onto the bigram stream"),
+        ("partial_count", "model counts combine map-side"),
+        ("!", "CartesianProduct", "only the 1-row N total broadcasts"),
+    ],
+    "q147_mask_tokens": [
+        ("!", "Exchange", "masked-LM prep is map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "hash draws are JVM codegen, no Python"),
+        ("!", "ArrowEvalPython", "no Arrow UDF either"),
+    ],
+    "q150_chat_flatten": [
+        ("!", "Exchange", "chat flattening is map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "from_json + HOFs, no Python"),
+    ],
 }
 
 
@@ -298,6 +312,7 @@ def main() -> None:
         "q72_unigram_logprob",      # 1-row corpus-total N attach
         "q75_cut_qcut",             # 1-row quantile-boundary attach
         "q123_term_df",             # 1-row corpus-doc-count attach
+        "q146_bigram_lm",           # 1-row corpus-total N attach (backoff floor)
         "q124_winsorize",           # 1-row quantile-boundary attach
     }
     from polars_net_spark import release_caches
