@@ -4533,6 +4533,56 @@ FROM t
 """
 
 
+def _q151(spark, sf_dir):
+    """TRUE Structured Streaming gate: events stream-read (file source) ->
+    watermark -> 6h tumbling window per event_type -> availableNow run to a
+    memory sink.  With one availableNow batch nothing is late, so the
+    result is deterministic and the DuckDB oracle replicates it as a plain
+    time-bucket GROUP BY — the gate hash-verifies a real streaming query."""
+    import shutil, tempfile, os
+
+    src_dir = os.path.join(tempfile.gettempdir(), "q151_stream_src")
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(
+        os.path.join(sf_dir, "events.parquet")
+    ):
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        # watermarks need TIMESTAMP (tz-aware); session tz is UTC so the
+        # NTZ wall times map 1:1 and the oracle's epoch() bucketing agrees
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("q151_win")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table("q151_win").select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "sum_v", "n",
+    )
+
+
+_q151_sql = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type,
+       round(sum(value), 6) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4688,6 +4738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_pipeline_prep": _q148,
         "q149_named_aggs_boolagg": _q149,
         "q150_chat_flatten": _q150,
+        "q151_streaming_window": _q151,
     }
 
 
@@ -4843,4 +4894,5 @@ def oracle_sql() -> dict[str, str]:
         "q148_pipeline_prep": _q148_sql,
         "q149_named_aggs_boolagg": _q149_sql,
         "q150_chat_flatten": _q150_sql,
+        "q151_streaming_window": _q151_sql,
     }
