@@ -4539,14 +4539,15 @@ def _q151(spark, sf_dir):
     memory sink.  With one availableNow batch nothing is late, so the
     result is deterministic and the DuckDB oracle replicates it as a plain
     time-bucket GROUP BY — the gate hash-verifies a real streaming query."""
-    import shutil, tempfile, os
+    import hashlib, shutil, tempfile, os
 
-    src_dir = os.path.join(tempfile.gettempdir(), "q151_stream_src")
+    # per-sf_dir staging dir: a shared one would silently serve the WRONG
+    # scale factor when gates run at several SFs in one session
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_dir = os.path.join(tempfile.gettempdir(), f"q151_stream_src_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     dst = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(
-        os.path.join(sf_dir, "events.parquet")
-    ):
+    if not os.path.exists(dst):
         shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
