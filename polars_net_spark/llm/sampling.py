@@ -289,7 +289,7 @@ def temperature_weights(
     sizes: dict[str, int], alpha: float = 0.3, total: float = 1.0
 ) -> dict[str, float]:
     """Temperature-smoothed mixture weights w_i ∝ n_i^alpha (the standard
-    multilingual/多-source rebalancing rule: alpha=1 keeps natural
+    multilingual/multi-source rebalancing rule: alpha=1 keeps natural
     proportions, alpha→0 approaches uniform).  Pure driver-side math over
     the per-source size dict — feed the result to :func:`mixture_plan` /
     :func:`mixture_sample`."""
