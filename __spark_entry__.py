@@ -4548,7 +4548,11 @@ def _q151(spark, sf_dir):
     os.makedirs(src_dir, exist_ok=True)
     dst = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(dst):
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+        ev = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(ev):  # Spark-written datasets are directories
+            shutil.copytree(ev, dst)
+        else:
+            shutil.copyfile(ev, dst)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema).parquet(src_dir)
