@@ -4546,13 +4546,18 @@ def _q151(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     src_dir = os.path.join(tempfile.gettempdir(), f"q151_stream_src_{tag}")
     os.makedirs(src_dir, exist_ok=True)
-    dst = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(dst):
+    done = os.path.join(src_dir, "_staged")
+    if not os.path.exists(done):
         ev = os.path.join(sf_dir, "events.parquet")
-        if os.path.isdir(ev):  # Spark-written datasets are directories
-            shutil.copytree(ev, dst)
+        if os.path.isdir(ev):
+            # Spark-written datasets are directories: flatten the part files
+            # into the stream dir (the file source does not recurse)
+            for f in os.listdir(ev):
+                if f.endswith(".parquet"):
+                    shutil.copyfile(os.path.join(ev, f), os.path.join(src_dir, f))
         else:
-            shutil.copyfile(ev, dst)
+            shutil.copyfile(ev, os.path.join(src_dir, "events.parquet"))
+        open(done, "w").close()
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema).parquet(src_dir)
