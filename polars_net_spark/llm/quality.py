@@ -25,6 +25,7 @@ __all__ = [
     "gopher_quality_frame",
     "unigram_logprob_frame",
     "bigram_logprob_frame",
+    "train_linear_quality",
     "repetition_metrics_frame",
     "pii_metrics_frame",
     "REQUIRED_STOPWORDS",
@@ -494,3 +495,59 @@ def bigram_logprob_frame(
         F.lit(0.0).alias("mean_logprob"),
     )
     return LazyFrame(scored.unionByName(short).withColumnRenamed("id", id_col))
+
+
+def train_linear_quality(
+    frame,
+    label_col: str = "label",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    salt: str = "lq",
+    reg_param: float = 0.0,
+    max_iter: int = 100,
+) -> "tuple[list[float], float]":
+    """The TRAINING half of the quality-filter setup: fit a logistic
+    regression over the SAME hashed bag-of-words features the serving path
+    (:func:`linear_quality_score_frame`) reads, and return ``(weights,
+    bias)`` ready to plug straight into it.
+
+    Features per doc = dense bucket-frequency vector (count of words in
+    bucket b / n_words, same md5 ``hash_bucket`` as serving, so
+    train-vs-serve feature parity is by construction).  Feature building is
+    pure Column HOF math (one transform over the bucket range counting
+    matches — O(num_buckets * words) per doc, fine for the classifier-size
+    bucket counts this is for); the fit is Spark MLlib's distributed LBFGS
+    — the standard way to train a linear model over a corpus too big for
+    one machine.  Deterministic given the data (no sampling).
+
+    Returns (weights: list of num_buckets floats, bias: float).
+    Train-serve consistency is pinned by test: serving scores equal
+    MLlib's own predicted probabilities on the training frame.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from .splits import hash_bucket
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n = F.greatest(F.size(words), F.lit(1)).cast("double")
+    # bucket-frequency vector: for each bucket b, (#words hashing to b) / n
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(int(num_buckets) - 1)),
+        lambda b: F.size(
+            F.filter(words, lambda w: hash_bucket(w, salt, num_buckets) == b.cast("long"))
+        ).cast("double")
+        / n,
+    )
+    train = sdf.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(feats).alias("features"),
+    )
+    lr = LogisticRegression(
+        maxIter=int(max_iter), regParam=float(reg_param), standardization=False
+    )
+    model = lr.fit(train)
+    return [float(w) for w in model.coefficients], float(model.intercept)

@@ -273,3 +273,41 @@ class TestBigramLM:
         full = {r[0]: r[2] for r in bigram_logprob_frame(d, vocab_size=100).collect().rows()}
         assert out[2] <= full[2]
         pl.release_caches()
+
+
+class TestTrainLinearQuality:
+    def test_train_serve_consistency(self, spark):
+        """Serving scores (linear_quality_score_frame with the trained
+        weights) must equal MLlib's own predicted probabilities — feature
+        parity between the HOF path and the vector path is by construction."""
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.sql import functions as F
+
+        from polars_net_spark.llm import linear_quality_score_frame, train_linear_quality
+
+        rows = []
+        for i in range(30):
+            rows.append((i, "good clean well formed sentence with many words", 1))
+            rows.append((100 + i, "spam buy now click spam spam", 0))
+        sdf = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        w, b = train_linear_quality(sdf, num_buckets=64)
+        assert len(w) == 64
+        served = {
+            r["doc_id"]: r["q_score"]
+            for r in linear_quality_score_frame(sdf, w, bias=b).spark.collect()
+        }
+        assert served[0] > 0.9 and served[100] < 0.1
+        assert served[0] == served[29] and served[100] == served[129]  # identical docs
+
+    def test_separation_and_keep_flag(self, spark):
+        from polars_net_spark.llm import linear_quality_score_frame, train_linear_quality
+
+        rows = [(1, "alpha beta gamma", 1), (2, "zeta eta theta", 0)] * 10
+        sdf = spark.createDataFrame(
+            [(i, t, l) for i, (_, t, l) in enumerate(rows)], "doc_id long, text string, label int"
+        )
+        w, b = train_linear_quality(sdf, num_buckets=32)
+        out = {r["doc_id"]: r["keep"] for r in
+               linear_quality_score_frame(sdf, w, bias=b).spark.collect()}
+        assert out[0] is True and out[1] is False
