@@ -193,3 +193,58 @@ def test_split_partitions_every_row_exactly_once(spark, rows):
     out = split_by_hash(df, "doc_id").collect().rows()
     assert len(out) == len(rows)
     assert all(r[1] in ("train", "val", "test") for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=8),
+    b=st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=8),
+)
+def test_merge_sorted_properties(spark, a, b):
+    """merge_sorted output is sorted by key and is the exact multiset union."""
+    if not a and not b:
+        return
+    la = pl.from_records([(v, "a") for v in sorted(a)] or [(0, "a")], ["k", "src"]).lazy()
+    lb = pl.from_records([(v, "b") for v in sorted(b)] or [(0, "b")], ["k", "src"]).lazy()
+    la = la if a else la.filter(col("k") > 10**9)
+    lb = lb if b else lb.filter(col("k") > 10**9)
+    out = la.merge_sorted(lb, "k").collect().rows()
+    keys = [r[0] for r in out]
+    assert keys == sorted(keys)
+    assert sorted(keys) == sorted(sorted(a) + sorted(b))
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=5),
+    offset=st.integers(min_value=0, max_value=4),
+    size=st.integers(min_value=0, max_value=20),
+)
+def test_gather_every_count_formula(spark, n, offset, size):
+    if size == 0:
+        return
+    d = pl.from_records([(i,) for i in range(size)], ["x"]).lazy()
+    got = [r[0] for r in d.gather_every(n, offset).collect().rows()]
+    assert sorted(got) == list(range(offset, size, n))
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.booleans() | st.none(), min_size=0, max_size=6
+    )
+)
+def test_any_all_match_python(spark, vals):
+    """Expr.any/all (ignore_nulls=True) agree with Python any/all over the
+    non-null values."""
+    sdf = pl.get_spark().createDataFrame(
+        [("k", v) for v in vals] or [("k", None)], "k string, v boolean"
+    )
+    row = (
+        pl.LazyFrame(sdf).group_by("k")
+        .agg(col("v").any().alias("a"), col("v").all().alias("l"))
+        .collect().rows()[0]
+    )
+    nn = [v for v in vals if v is not None]
+    assert row[1] == any(nn)
+    assert row[2] == all(nn)
