@@ -292,3 +292,66 @@ class Series:
 
     def to_arrow(self):
         return self._lf._sdf.toArrow().column(0)
+
+
+def _series_ext():  # appended methods (round 4): positional + hygiene ops
+    def _elem(self, expr: Expr) -> "Series":
+        return Series._from_lazy(
+            self._lf.select(expr.alias(self._name)), self._name
+        )
+
+    def abs(self) -> "Series":
+        return _elem(self, col(self._name).abs())
+
+    def round(self, decimals: int = 0) -> "Series":
+        return _elem(self, col(self._name).round(decimals))
+
+    def fill_null(self, value) -> "Series":
+        return _elem(self, col(self._name).fill_null(value))
+
+    def head(self, n: int = 10) -> "Series":
+        return Series._from_lazy(self._lf.limit(n), self._name)
+
+    def tail(self, n: int = 10) -> "Series":
+        return Series._from_lazy(self._lf.tail(n), self._name)
+
+    def filter(self, mask_fn) -> "Series":
+        """Keep elements where ``mask_fn(col)`` holds (callable form — a
+        distributed Series has no positional boolean-mask zip)."""
+        return Series._from_lazy(
+            self._lf.filter(mask_fn(col(self._name))), self._name
+        )
+
+    def sort(self, descending: bool = False) -> "Series":
+        return Series._from_lazy(
+            self._lf.sort(self._name, descending=descending), self._name
+        )
+
+    def shift(self, n: int = 1) -> "Series":
+        lf = self._lf._order_col()  # shift needs the hidden row-order column
+        return Series._from_lazy(
+            LazyFrame(
+                lf._sdf.select(
+                    col(self._name).shift(n).to_column().alias(self._name)
+                )
+            ),
+            self._name,
+        )
+
+    def append(self, other: "Series") -> "Series":
+        out = self._lf._drop_order()._sdf.unionByName(
+            other._lf._drop_order()._sdf.withColumnRenamed(other._name, self._name)
+        )
+        return Series._from_lazy(LazyFrame(out), self._name)
+
+    def rename_local(self, name: str) -> "Series":
+        return Series._from_lazy(
+            LazyFrame(self._lf._sdf.withColumnRenamed(self._name, name)), name
+        )
+
+    for fn in (abs, round, fill_null, head, tail, filter, sort, shift, append):
+        setattr(Series, fn.__name__, fn)
+
+
+_series_ext()
+del _series_ext

@@ -87,3 +87,18 @@ def test_map_column_same_as_input_dtype(spark):
     assert [r[0] for r in out.rows()] == [10, 20]
     changed = df.map_column("x", lambda s: s.astype(str), return_dtype="str")
     assert dict(changed.dtypes)["x"] == "string"
+
+
+class TestSeriesPositionalR4:
+    def test_elementwise_and_positional(self, spark):
+        import polars_net_spark as pl
+
+        s = pl.Series("x", [3.7, -1.2, None, 5.0])
+        assert s.abs().to_list() == [3.7, 1.2, None, 5.0]
+        assert s.round().to_list() == [4.0, -1.0, None, 5.0]
+        assert s.fill_null(0.0).to_list() == [3.7, -1.2, 0.0, 5.0]
+        assert s.sort().to_list() == [None, -1.2, 3.7, 5.0]
+        assert s.head(2).to_list() == [3.7, -1.2]
+        assert s.filter(lambda c: c > 0).sort().to_list() == [3.7, 5.0]
+        assert s.append(pl.Series("y", [9.0])).len() == 5
+        assert pl.Series("x", [1.0, 2.0, 3.0]).shift(1).to_list() == [None, 1.0, 2.0]
