@@ -58,6 +58,8 @@ from .io import (
     scan_orc,
     write_bucketed,
     read_table,
+    repeat,
+    from_numpy,
 )
 from . import pl_functions as _plf
 from .pl_functions import (
@@ -151,6 +153,8 @@ __all__ = [
     "exclude",
     "write_bucketed",
     "read_table",
+    "repeat",
+    "from_numpy",
     "int_range",
     "from_dict",
     "from_dicts",

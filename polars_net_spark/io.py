@@ -20,6 +20,8 @@ from .frame import DataFrame, LazyFrame
 __all__ = [
     "write_bucketed",
     "read_table",
+    "repeat",
+    "from_numpy",
     "from_dict",
     "from_dicts",
     "int_range",
@@ -533,3 +535,28 @@ def read_table(table: str, spark: SparkSession | None = None) -> LazyFrame:
     """Read a catalog table (incl. bucketed ones written by
     :func:`write_bucketed`) as a LazyFrame."""
     return LazyFrame(_spark(spark).table(table))
+
+
+def repeat(value, n: int, name: str = "repeat", spark: SparkSession | None = None) -> LazyFrame:
+    """polars pl.repeat: one column of ``value`` repeated n times —
+    spark.range + a literal projection, no driver materialization."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    return LazyFrame(_spark(spark).range(int(n)).select(F.lit(value).alias(name)))
+
+
+def from_numpy(arr, schema: "Sequence[str] | None" = None, spark: SparkSession | None = None) -> DataFrame:
+    """polars pl.from_numpy: 2-D array -> frame (columns = schema names or
+    column_0..).  Driver-side constructor, test-data sized by design."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    if a.ndim != 2:
+        raise ValueError("from_numpy needs a 1-D or 2-D array")
+    names = list(schema) if schema is not None else [f"column_{i}" for i in range(a.shape[1])]
+    if len(names) != a.shape[1]:
+        raise ValueError("schema must name every column")
+    rows = [tuple(r.tolist()) for r in a]
+    return from_records(rows, names, spark=spark)

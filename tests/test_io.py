@@ -254,3 +254,20 @@ class TestSinkOptionsPersist:
         assert pl.cached_count() == before + 1
         pl.release_caches()
         assert pl.cached_count() == 0
+
+
+def test_repeat_and_from_numpy(spark):
+    import numpy as np
+    import polars_net_spark as pl
+
+    assert pl.repeat("x", 3).collect().rows() == [("x",), ("x",), ("x",)]
+    assert pl.repeat(1, 0).collect().height == 0
+    df = pl.from_numpy(np.array([[1, 2], [3, 4]]), ["a", "b"])
+    assert df.rows() == [(1, 2), (3, 4)]
+    assert pl.from_numpy(np.array([1.5, 2.5])).columns == ["column_0"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pl.from_numpy(np.zeros((2, 2, 2)))
+    with _pt.raises(ValueError):
+        pl.from_numpy(np.zeros((2, 2)), ["only"])
