@@ -1072,6 +1072,24 @@ class LazyFrame:
                 outs.append(c)
         return LazyFrame(self._sdf.select(*outs))
 
+    def map_batches(self, fn: Callable, schema) -> "LazyFrame":
+        """Frame-level batch transform (polars LazyFrame.map_batches):
+        ``fn(pandas.DataFrame) -> pandas.DataFrame`` applied per Arrow batch
+        via ``mapInPandas`` — shape/columns may change; ``schema`` declares
+        the output (DDL string or StructType).  Unlike polars, batches are
+        PARTITION-LOCAL slices with no cross-batch state — for keyed custom
+        logic use group_by().map_groups; for elementwise math prefer
+        built-in expressions (this is the documented Python slow path)."""
+        sdf = self._drop_order()._sdf
+
+        def gen(batches):
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        return LazyFrame(sdf.mapInPandas(gen, schema=schema))
+
     def merge_sorted(self, other: "LazyFrame | DataFrame", key: str) -> "LazyFrame":
         """polars merge_sorted: merge two frames sorted by ``key`` into one
         frame sorted by ``key``; ties keep self's rows before other's, each

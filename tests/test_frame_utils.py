@@ -338,3 +338,11 @@ class TestRenameSchemaEquals:
         assert d.collect_schema() == {"ab": "bigint", "cd": "string"}
         assert d.equals(d)
         assert not d.equals(d.rename({"ab": "zz"}))
+
+
+def test_map_batches_transform(spark):
+    d = pl.from_records([(1, 2.0), (3, 4.0)], ["a", "b"]).lazy()
+    out = d.map_batches(
+        lambda pdf: pdf.assign(c=pdf.a + pdf.b), "a long, b double, c double"
+    ).collect()
+    assert sorted(out.rows()) == [(1, 2.0, 3.0), (3, 4.0, 7.0)]
