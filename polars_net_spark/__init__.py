@@ -89,7 +89,7 @@ max = _plf.max  # noqa: A001
 from ._cache import cached_count, release_caches, scoped_caches
 from .series import Series
 from .session import get_spark, stop_spark
-from .sql import SQLContext
+from .sql import SQLContext, sql
 from . import selectors as cs  # polars convention: `import polars.selectors as cs`
 from . import testing  # polars convention: pl.testing.assert_frame_equal
 
@@ -151,6 +151,7 @@ __all__ = [
     "struct",
     "all",
     "exclude",
+    "sql",
     "write_bucketed",
     "read_table",
     "repeat",

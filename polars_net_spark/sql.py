@@ -12,7 +12,7 @@ from pyspark.sql import SparkSession
 
 from .frame import DataFrame, LazyFrame
 
-__all__ = ["SQLContext"]
+__all__ = ["SQLContext", "sql"]
 
 
 class SQLContext:
@@ -40,3 +40,11 @@ class SQLContext:
 
     def execute(self, query: str) -> LazyFrame:
         return LazyFrame(self._spark.sql(query))
+
+
+def sql(query: str, spark: SparkSession | None = None, **frames) -> LazyFrame:
+    """polars pl.sql: run SQL over the given frames (registered as temp
+    views by keyword name for this call) and return a LazyFrame.  Without
+    frames it queries whatever views are already registered."""
+    ctx = SQLContext(spark=spark, **frames)
+    return ctx.execute(query)

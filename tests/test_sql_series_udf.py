@@ -102,3 +102,11 @@ class TestSeriesPositionalR4:
         assert s.filter(lambda c: c > 0).sort().to_list() == [3.7, 5.0]
         assert s.append(pl.Series("y", [9.0])).len() == 5
         assert pl.Series("x", [1.0, 2.0, 3.0]).shift(1).to_list() == [None, 1.0, 2.0]
+
+
+def test_pl_sql_inline_frames(spark):
+    import polars_net_spark as pl
+
+    d = pl.from_records([(1, "x"), (2, "y")], ["i", "s"]).lazy()
+    out = pl.sql("SELECT s, i*10 AS v FROM t WHERE i > 1", t=d).collect().rows()
+    assert out == [("y", 20)]
