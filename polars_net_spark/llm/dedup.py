@@ -65,9 +65,17 @@ def _word_ngrams(text: Column, n: int) -> Column:
 
 
 def _grams_frame(
-    sdf: SparkDF, text_col: str, id_col: str, n: int, cache_words: bool = False
+    sdf: SparkDF, text_col: str, id_col: str, n: int, cache_words: bool = False,
+    nonempty: bool = False,
 ) -> SparkDF:
     """(id, grams) projection, staged for downstream explodes/joins.
+
+    ``nonempty=True`` drops docs with fewer than n words BEFORE the gram
+    projection via the equivalent cheap predicate ``size(words) >= n``.
+    Callers must NOT filter ``size(grams) > 0`` afterwards: a filter on the
+    gram expression re-evaluates the whole shingle transform for the
+    predicate (no CSE through Filter+Project — measured 6.4 s vs 0.5 s
+    cache populate at sf0.1, a 12x tax).
 
     The words split is staged *below a repartition exchange* before the
     shingle transform: when the split is inlined into the transform lambda,
@@ -87,6 +95,9 @@ def _grams_frame(
     if cache_words:
         staged = register_cache(staged)
     ws = F.col("__ws__")
+    if nonempty:
+        # cheap pre-projection equivalent of size(grams) > 0
+        staged = staged.filter(F.size(ws) >= n)
     cnt = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     grams = F.array_distinct(
@@ -144,7 +155,7 @@ def ngram_jaccard_pairs(
     sdf = _sdf(frame)
     if max_gram_df is not None:
         grams = register_cache(
-            _grams_frame(sdf, text_col, id_col, n).filter(F.size("grams") > 0)
+            _grams_frame(sdf, text_col, id_col, n, nonempty=True)
         )
         exploded = grams.select(
             "id", F.size("grams").alias("g"), F.explode("grams").alias("gram")
@@ -225,7 +236,7 @@ def ngram_jaccard_pairs_prefix(
 
     sdf = _sdf(frame)
     grams = register_cache(
-        _grams_frame(sdf, text_col, id_col, n).filter(F.size("grams") > 0)
+        _grams_frame(sdf, text_col, id_col, n, nonempty=True)
     )
     exploded = grams.select("id", F.size("grams").alias("g"), F.explode("grams").alias("gram"))
     gram_df = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
@@ -288,7 +299,7 @@ def minhash_lsh_pairs(
     # persisted: feeds signature computation AND both sides of the
     # candidate-verification join
     grams = register_cache(
-        _grams_frame(sdf, text_col, id_col, n).filter(F.size("grams") > 0)
+        _grams_frame(sdf, text_col, id_col, n, nonempty=True)
     )
     # the per-gram base hashes must sit behind their OWN cache boundary:
     # referenced from inside the per-seed lambda, a plain projection would be
