@@ -18,6 +18,8 @@ import wave
 import numpy as np
 
 __all__ = [
+    "split_ppm_stream",
+    "resize_nearest",
     "sniff_mime",
     "decode_bmp",
     "decode_ppm",
@@ -157,3 +159,47 @@ def ahash64(px: np.ndarray) -> int:
     for bit in bits:
         out = (out << 1) | int(bit)
     return out - (1 << 64) if out >= (1 << 63) else out  # signed 64 for Spark
+
+
+def split_ppm_stream(b: bytes) -> "list[np.ndarray]":
+    """Split a concatenated-P6 'video' payload into frames.
+
+    P6 streams are self-delimiting (header declares w*h*3 pixel bytes), so a
+    sequence of P6 images is a legitimate uncompressed video container —
+    the same role y4m plays for real pipelines.  Returns decoded (H, W, 3)
+    uint8 frames; raises ValueError at the first malformed frame."""
+    frames = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        if b[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame boundary at byte {pos} is not a P6 header")
+        # parse header tokens to find the pixel block length
+        p, tokens = pos + 2, []
+        while len(tokens) < 3:
+            while p < n and b[p : p + 1].isspace():
+                p += 1
+            if b[p : p + 1] == b"#":
+                while p < n and b[p : p + 1] != b"\n":
+                    p += 1
+                continue
+            start = p
+            while p < n and not b[p : p + 1].isspace():
+                p += 1
+            tokens.append(int(b[start:p]))
+        p += 1
+        w, h, _maxval = tokens
+        end = p + w * h * 3
+        frames.append(decode_ppm(b[pos:end]))
+        pos = end
+    return frames
+
+
+def resize_nearest(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbour resize of an (H, W, C) array — pure numpy, the
+    deterministic resize kernel for the uncompressed decode path (real
+    pipelines swap in PIL/opencv; the operator shape stays identical)."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[rows][:, cols]

@@ -298,12 +298,67 @@ def sample_video_frames(
     frame: "LazyFrame | SparkDF",
     payload_col: str = "payload",
     id_col: str = "media_id",
-    every_ms: int = 1000,
+    every: int = 1,
+    fps: float = 25.0,
+    thumb: "tuple[int, int] | None" = (8, 8),
 ):
-    """STUB: frame sampling needs ffmpeg/opencv.  The real operator is
-    mapInPandas producing one row per sampled frame with schema
-    (media_id, frame_idx, ts_ms, frame_png binary)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg; plumbing pattern is identical "
-        "to extract_image_features (mapInPandas, one→many rows)"
+    """Video frame sampling — REAL for uncompressed concatenated-P6 streams
+    (the y4m-style container :func:`media_codecs.split_ppm_stream` parses);
+    compressed containers (mp4/webm) still raise NotImplementedError inside
+    the batch (ffmpeg is not in this environment — the Spark-side shape is
+    identical either way).
+
+    mapInPandas one->many: each sampled frame becomes a row
+    (media_id, frame_idx, ts_ms, height, width, ahash, thumb bytes) —
+    ``every`` keeps every k-th frame, ``fps`` derives ts_ms, ``thumb``
+    resizes (nearest-neighbour numpy) to a fixed small size whose raw RGB
+    bytes downstream ops treat as an opaque feature payload."""
+    import pandas as pd
+
+    from .media_codecs import ahash64, resize_nearest, sniff_mime, split_ppm_stream
+
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    schema = (
+        f"{id_col} long, frame_idx long, ts_ms long, height int, width int, "
+        "ahash long, thumb binary"
     )
+    th = thumb
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if not b.startswith(b"P6"):
+                    raise NotImplementedError(
+                        f"media {mid}: compressed video ({sniff_mime(b)}) needs "
+                        "ffmpeg; only concatenated-P6 streams decode here"
+                    )
+                for i, px in enumerate(split_ppm_stream(b)):
+                    if i % every:
+                        continue
+                    small = resize_nearest(px, th[0], th[1]) if th else px
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            int(i * 1000.0 / fps),
+                            int(px.shape[0]),
+                            int(px.shape[1]),
+                            _to_signed64(ahash64(px)),
+                            small.tobytes(),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "frame_idx", "ts_ms", "height", "width", "ahash", "thumb"],
+                )
+
+    return LazyFrame(sdf.mapInPandas(gen, schema=schema))
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
