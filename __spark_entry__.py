@@ -4593,6 +4593,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q152(spark, sf_dir):
+    """Video frame sampling (llm/multimodal.py sample_video_frames): REAL
+    concatenated-P6 decode — one row per sampled frame with ts/size/ahash/
+    thumb via one-to-many mapInPandas.  Synthetic per-doc videos are built
+    by construction ((doc_id % 3)+1 constant-color 4x6 frames), so the
+    oracle predicts the structural output closed-form; pixel-level decode
+    correctness is pinned by unit tests (bit-exact aHash/thumb)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_net_spark.llm.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d._sdf.select("doc_id").filter(F.col("doc_id") < 50)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = int(did) % 3 + 1
+                buf = b""
+                for i in range(n):
+                    px = np.full((4, 6, 3), (int(did) * 37 + i * 11) % 256, np.uint8)
+                    buf += b"P6\n6 4\n255\n" + px.tobytes()
+                rows.append((int(did), buf))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    videos = ids.mapInPandas(gen, schema="media_id long, payload binary")
+    out = sample_video_frames(videos, every=1, fps=25.0)
+    return out._sdf.select("media_id", "frame_idx", "ts_ms", "height", "width")
+
+
+_q152_sql = """
+SELECT doc_id AS media_id, i AS frame_idx,
+       CAST(i * 40 AS BIGINT) AS ts_ms,
+       CAST(4 AS INT) AS height, CAST(6 AS INT) AS width
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS t(i)
+WHERE doc_id < 50
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4749,6 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_named_aggs_boolagg": _q149,
         "q150_chat_flatten": _q150,
         "q151_streaming_window": _q151,
+        "q152_video_frames": _q152,
     }
 
 
@@ -4905,4 +4948,5 @@ def oracle_sql() -> dict[str, str]:
         "q149_named_aggs_boolagg": _q149_sql,
         "q150_chat_flatten": _q150_sql,
         "q151_streaming_window": _q151_sql,
+        "q152_video_frames": _q152_sql,
     }
