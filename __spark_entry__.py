@@ -4637,6 +4637,37 @@ WHERE doc_id < 50
 """
 
 
+def _q153(spark, sf_dir):
+    """Corpus health report (llm/text.py corpus_stats_frame): per-source doc
+    counts, token totals/means, exact p50/p90 token counts, empty/ASCII
+    fractions — one scan + one tiny groupBy."""
+    from polars_net_spark.llm import corpus_stats_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_stats_frame(d, source_col="source").spark
+
+
+_q153_sql = """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                         w -> length(w) > 0)) AS nt,
+         CASE WHEN len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   w -> length(w) > 0)) = 0 THEN 1 ELSE 0 END AS e,
+         CASE WHEN regexp_full_match(text, '[\\x00-\\x7F]*') THEN 1 ELSE 0 END AS a
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 6) AS mean_tokens,
+       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       round(avg(e), 6) AS empty_frac,
+       round(avg(a), 6) AS ascii_frac
+FROM t GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4794,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_chat_flatten": _q150,
         "q151_streaming_window": _q151,
         "q152_video_frames": _q152,
+        "q153_corpus_stats": _q153,
     }
 
 
@@ -4951,4 +4983,5 @@ def oracle_sql() -> dict[str, str]:
         "q150_chat_flatten": _q150_sql,
         "q151_streaming_window": _q151_sql,
         "q152_video_frames": _q152_sql,
+        "q153_corpus_stats": _q153_sql,
     }

@@ -25,6 +25,7 @@ __all__ = [
     "url_host",
     "url_registrable_domain",
     "url_metrics_frame",
+    "corpus_stats_frame",
     "STOPWORDS_EN",
 ]
 
@@ -341,3 +342,53 @@ def url_metrics_frame(
             F.md5(canon).alias("url_key"),
         )
     )
+
+
+def corpus_stats_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: "str | None" = None,
+    exact_percentiles: bool = True,
+):
+    """One-call corpus health report, per source (or one 'all' row): doc
+    count, token totals/mean, exact (or sketch) p50/p90 token counts, empty
+    and ASCII-pure fractions.  The pre-flight numbers a pipeline run logs
+    before burning 100 TB of compute.
+
+    One scan + one tiny groupBy; ``exact_percentiles=False`` switches to
+    percentile_approx (constant memory — at corpus scale the exact
+    percentile's per-group buffer is the usual OOM suspect, same contract
+    as describe/winsorize)."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_tok = F.size(words)
+    staged = sdf.select(
+        (F.col(source_col) if source_col else F.lit("all")).alias("source"),
+        n_tok.alias("__nt__"),
+        (n_tok == 0).cast("int").alias("__empty__"),
+        F.col(text_col).rlike(r"^[\x00-\x7F]*$").cast("int").alias("__ascii__"),
+    )
+    if exact_percentiles:
+        pct = F.percentile(F.col("__nt__"), F.array(F.lit(0.5), F.lit(0.9)))
+    else:
+        pct = F.percentile_approx(F.col("__nt__"), F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000))
+    out = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt__").cast("long").alias("total_tokens"),
+        F.round(F.avg("__nt__"), 6).alias("mean_tokens"),
+        pct.alias("__p__"),
+        F.round(F.avg("__empty__"), 6).alias("empty_frac"),
+        F.round(F.avg("__ascii__"), 6).alias("ascii_frac"),
+    ).select(
+        "source", "n_docs", "total_tokens", "mean_tokens",
+        F.round(F.get("__p__", 0), 6).alias("p50_tokens"),
+        F.round(F.get("__p__", 1), 6).alias("p90_tokens"),
+        "empty_frac", "ascii_frac",
+    )
+    return LazyFrame(out)

@@ -619,3 +619,32 @@ class TestUrlCuration:
         )
         keys = [r["url_key"] for r in url_metrics_frame(pl.LazyFrame(sdf), "url").spark.collect()]
         assert keys[0] == keys[1] and keys[0] != keys[2]
+
+
+class TestCorpusStats:
+    def test_report_per_source_and_all(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import corpus_stats_frame
+
+        sdf = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "", "s1"), (3, "héllo wörld", "s2"), (4, None, "s2")],
+            "doc_id long, text string, source string",
+        )
+        per = {r["source"]: r for r in corpus_stats_frame(sdf, source_col="source").collect().spark.collect()}
+        assert per["s1"]["n_docs"] == 2 and per["s1"]["total_tokens"] == 3
+        assert per["s1"]["empty_frac"] == 0.5 and per["s1"]["ascii_frac"] == 1.0
+        assert per["s2"]["ascii_frac"] == 0.0  # null text counts as non-ascii, héllo too
+        alle = corpus_stats_frame(sdf).collect().rows()
+        assert len(alle) == 1 and alle[0][1] == 4
+
+    def test_approx_percentiles_path(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import corpus_stats_frame
+
+        sdf = spark.createDataFrame(
+            [(i, " ".join("w" * 1 for _ in range(i))) for i in range(1, 101)],
+            "doc_id long, text string",
+        )
+        exact = corpus_stats_frame(sdf).collect().rows()[0]
+        approx = corpus_stats_frame(sdf, exact_percentiles=False).collect().rows()[0]
+        assert abs(exact[4] - approx[4]) <= 1.0  # p50 within a rank
