@@ -8,6 +8,8 @@ and returns Columns so they compose with any frame.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ __all__ = [
     "url_registrable_domain",
     "url_metrics_frame",
     "corpus_stats_frame",
+    "filter_by_domains",
     "STOPWORDS_EN",
 ]
 
@@ -392,3 +395,30 @@ def corpus_stats_frame(
         "empty_frac", "ascii_frac",
     )
     return LazyFrame(out)
+
+
+def filter_by_domains(
+    frame,
+    url_col: str = "url",
+    allow: "Sequence[str] | None" = None,
+    block: "Sequence[str] | None" = None,
+):
+    """Domain-level corpus filtering (the robots/licensing/blocklist pass):
+    keep rows whose registrable domain is in ``allow`` (when given) and not
+    in ``block``.  Domain extraction is the map-only
+    :func:`url_registrable_domain`; list membership is an isin literal for
+    small lists — for a million-domain blocklist join a broadcast frame on
+    the ``domain`` column instead (same extraction, one broadcast hash
+    join)."""
+    from ..frame import LazyFrame
+
+    if allow is None and block is None:
+        raise ValueError("give allow= and/or block=")
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    dom = url_registrable_domain(F.col(url_col))
+    cond = F.lit(True)
+    if allow is not None:
+        cond = cond & dom.isin([d.lower() for d in allow])
+    if block is not None:
+        cond = cond & ~dom.isin([d.lower() for d in block])
+    return LazyFrame(sdf.filter(cond))

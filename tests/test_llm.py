@@ -648,3 +648,21 @@ class TestCorpusStats:
         exact = corpus_stats_frame(sdf).collect().rows()[0]
         approx = corpus_stats_frame(sdf, exact_percentiles=False).collect().rows()[0]
         assert abs(exact[4] - approx[4]) <= 1.0  # p50 within a rank
+
+
+def test_filter_by_domains(spark):
+    from polars_net_spark.llm import filter_by_domains
+
+    sdf = spark.createDataFrame(
+        [(1, "https://good.com/a"), (2, "https://Spam.xyz/b"), (3, "http://sub.good.com/c")],
+        "doc_id long, url string",
+    )
+    assert sorted(r[0] for r in filter_by_domains(sdf, block=["spam.xyz"]).collect().rows()) == [1, 3]
+    assert sorted(r[0] for r in filter_by_domains(sdf, allow=["good.com"]).collect().rows()) == [1, 3]
+    assert sorted(
+        r[0] for r in filter_by_domains(sdf, allow=["good.com"], block=["good.com"]).collect().rows()
+    ) == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        filter_by_domains(sdf)
