@@ -738,13 +738,34 @@ class LazyFrame:
         if on is not None:
             left_keys = right_keys = [on] if isinstance(on, str) else list(on)
         else:
-            left_keys = [left_on] if isinstance(left_on, str) else list(left_on or [])
-            right_keys = [right_on] if isinstance(right_on, str) else list(right_on or [])
+            left_keys = [left_on] if isinstance(left_on, (str, Expr)) else list(left_on or [])
+            right_keys = [right_on] if isinstance(right_on, (str, Expr)) else list(right_on or [])
             if len(left_keys) != len(right_keys):
                 raise ValueError("left_on and right_on must have equal length")
 
-        left = self._sdf.alias("__l__")
-        right = right_sdf.alias("__r__")
+        # expression keys (polars: left_on=pl.col("a")+1): materialize each
+        # Expr as a hidden key column on its side, join on those, drop after
+        # — keys stay plain equi columns so the join is hash/SMJ-able
+        lsdf, rsdf = self._sdf, right_sdf
+        hidden: list[str] = []
+
+        def _mat(keys, sdf, side):
+            out_keys, out_sdf = [], sdf
+            for i, k in enumerate(keys):
+                if isinstance(k, Expr):
+                    name = f"__jk_{side}{i}__"
+                    out_sdf = out_sdf.withColumn(name, _c(k))
+                    out_keys.append(name)
+                    hidden.append(name)
+                else:
+                    out_keys.append(k)
+            return out_keys, out_sdf
+
+        left_keys, lsdf = _mat(left_keys, lsdf, "l")
+        right_keys, rsdf = _mat(right_keys, rsdf, "r")
+
+        left = lsdf.alias("__l__")
+        right = rsdf.alias("__r__")
         def _eq(lk, rk):
             l, r = F.col(f"__l__.{lk}"), F.col(f"__r__.{rk}")
             return l.eqNullSafe(r) if nulls_equal else l == r

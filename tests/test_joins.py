@@ -103,3 +103,20 @@ class TestNullsEqualJoin:
         b = pl.from_records([(None, "y"), (2, "z")], ["k", "b"]).lazy()
         plan = a.join(b, on="k", nulls_equal=True)._sdf._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_join_on_expressions(spark):
+    """polars left_on/right_on accept expressions — materialized as hidden
+    equi-key columns so the join stays hash-joinable."""
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    a = pl.from_records([(1, "a"), (2, "b")], ["k", "va"]).lazy()
+    b = pl.from_records([(10, "X"), (20, "Y")], ["k10", "vb"]).lazy()
+    out = sorted(a.join(b, left_on=col("k") * 10, right_on="k10").collect().rows())
+    assert out == [(1, "a", "X"), (2, "b", "Y")]
+    assert a.join(b, left_on=col("k") * 10, right_on="k10").collect().columns == ["k", "va", "k10", "vb"]
+    both = sorted(
+        a.join(b, left_on=[col("k") * 10], right_on=[col("k10") * 1]).collect().rows()
+    )
+    assert [r[:2] for r in both] == [(1, "a"), (2, "b")]
