@@ -4668,6 +4668,101 @@ FROM t GROUP BY source
 """
 
 
+def _q154(spark, sf_dir):
+    """SimHash near-dup pairs (llm/dedup.py simhash_near_dup_pairs): 60-bit
+    md5 signatures → 6-band bucket join → exact bit_count(xor) verify.
+    max_hamming=5 < bands=6 ⇒ pigeonhole total recall: output is EXACTLY
+    {pairs: Hamming ≤ 5}, so the banding strategy is value-invisible and the
+    DuckDB all-pairs oracle matches bit-for-bit."""
+    from polars_net_spark.llm import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        d, max_hamming=5, bands=6, bits=60, hash_fn="md5"
+    ).spark
+
+
+_q154_sql = f"""
+WITH sigs AS ({_simhash_md5_oracle_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
+
+
+def _q155(spark, sf_dir):
+    """DPO preference-pair prep (llm/preference.py): synthetic prompt groups
+    (doc_id % 100), score = n_chars; per group the struct-max/min aggregate
+    picks (chosen, rejected) deterministically — one map-side-combining
+    shuffle, one row per prompt, no window/sort."""
+    from polars_net_spark.llm import preference_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.spark.select(
+        (F.col("doc_id") % 100).alias("prompt_id"),
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("n_chars").alias("score"),
+    )
+    return preference_pairs(scored, min_margin=1.0).spark
+
+
+_q155_sql = """
+WITH t AS (
+  SELECT doc_id % 100 AS prompt_id, doc_id, text, CAST(n_chars AS DOUBLE) AS s
+  FROM documents),
+hi AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY s DESC, doc_id DESC) AS rn
+  FROM t) WHERE rn = 1),
+lo AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY s ASC, doc_id ASC) AS rn
+  FROM t) WHERE rn = 1)
+SELECT hi.prompt_id, hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+       hi.text AS chosen, lo.text AS rejected,
+       round(hi.s - lo.s, 6) AS margin
+FROM hi JOIN lo ON hi.prompt_id = lo.prompt_id
+WHERE hi.doc_id <> lo.doc_id AND hi.s - lo.s >= 1.0
+"""
+
+
+def _q156(spark, sf_dir):
+    """Deterministic epoch oversampling (llm/sampling.py oversample_by_weight):
+    weight 1 + (doc_id%5)/2 ∈ {1.0,1.5,2.0,2.5,3.0}; each doc appears
+    floor(w) times + 1 iff its md5 bucket lands under frac(w).  Map-only —
+    sequence+explode, zero shuffles; the copy index rides along for
+    downstream interleaving."""
+    from polars_net_spark.llm import oversample_by_weight
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.spark.select(
+        "doc_id", (F.lit(1.0) + (F.col("doc_id") % 5) / 2).alias("w")
+    )
+    return (
+        oversample_by_weight(base, key_col="doc_id", weight="w", salt="ep")
+        .spark.select("doc_id", "epoch_idx")
+    )
+
+
+_q156_sql = """
+WITH h AS (
+  SELECT doc_id, 1.0 + (doc_id % 5) / 2.0 AS w,
+         md5('ep' || CAST(doc_id AS VARCHAR)) AS hs
+  FROM documents),
+b AS (
+  SELECT doc_id, w,
+    CAST(floor(w) AS INT) +
+    CASE WHEN list_reduce(list_transform(generate_series(1, 8),
+                  i -> strpos('0123456789abcdef', substr(hs, i, 1)) - 1),
+                  (a, x) -> a * 16 + x) % 10000
+         < round((w - floor(w)) * 10000) THEN 1 ELSE 0 END AS n
+  FROM h)
+SELECT doc_id, CAST(i AS INT) AS epoch_idx
+FROM b, LATERAL unnest(generate_series(1, n)) AS u(i)
+WHERE n >= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4826,6 +4921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_streaming_window": _q151,
         "q152_video_frames": _q152,
         "q153_corpus_stats": _q153,
+        "q154_simhash_pairs": _q154,
+        "q155_preference_pairs": _q155,
+        "q156_epoch_oversample": _q156,
     }
 
 
@@ -4984,4 +5082,7 @@ def oracle_sql() -> dict[str, str]:
         "q151_streaming_window": _q151_sql,
         "q152_video_frames": _q152_sql,
         "q153_corpus_stats": _q153_sql,
+        "q154_simhash_pairs": _q154_sql,
+        "q155_preference_pairs": _q155_sql,
+        "q156_epoch_oversample": _q156_sql,
     }

@@ -25,6 +25,8 @@ __all__ = [
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
     "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "banded_hamming_pairs",
     "embedding_near_dup_pairs",
 ]
 
@@ -427,6 +429,101 @@ def simhash_signatures(
         )
     out = staged.select(F.col(id_col), sim.alias("simhash"))
     return LazyFrame(out)
+
+
+def banded_hamming_pairs(
+    hashed: "LazyFrame | SparkDF",
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = 64,
+) -> LazyFrame:
+    """All id pairs whose integer fingerprints are within ``max_hamming`` bits,
+    found via banded bucket joins — the shared candidate engine behind simhash,
+    image-aHash, and audio-fingerprint near-dup.
+
+    The ``bits``-bit hash splits into ``bands`` equal bit-slices; only rows
+    sharing at least one slice value ever meet (equi join on (band, slice)).
+    Pigeonhole: a pair at Hamming distance d < ``bands`` always has an
+    untouched band, so recall is TOTAL for max_hamming < bands — the output
+    is then exactly {pairs : Hamming ≤ max_hamming}, independent of banding.
+    Verification is exact (``bit_count(xor)``), so precision is always 1.
+
+    100 TB: one narrow (id, hash) projection explodes to ``bands`` rows, the
+    join shuffles on (band, slice-value) — bucket-bounded, never all-pairs;
+    AQE splits skewed buckets (e.g. the all-zero-band of near-empty docs).
+    """
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    sdf = _sdf(hashed)
+    width = bits // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    entries = sdf.select(
+        F.col(id_col),
+        h.alias("__h__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(h, b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__h__", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    lhs = entries.select(F.col(id_col).alias("id_a"), F.col("__h__").alias("ha"), "band", "val")
+    rhs = entries.select(F.col(id_col).alias("id_b"), F.col("__h__").alias("hb"), "band", "val")
+    cands = (
+        lhs.join(rhs, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    out = (
+        cands.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return LazyFrame(out)
+
+
+def simhash_near_dup_pairs(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 8,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> LazyFrame:
+    """SimHash near-duplicate pairs: per-doc simhash signature → banded
+    Hamming join (:func:`banded_hamming_pairs`) → exact bit_count verify.
+
+    Completes the dedup family alongside minhash-LSH (set-similarity) and
+    embedding near-dup (semantic): simhash captures *weighted token overlap*
+    in one 64-bit word, so the whole corpus comparison is integer math.
+
+    With the default max_hamming < bands the result is exactly
+    {(a, b) : Hamming(sig_a, sig_b) ≤ max_hamming, a < b} — reproducible by
+    any engine (the hash_fn='md5' path is engine-portable bit-for-bit).
+    Columns: id_a, id_b, hamming.
+    """
+    sigs = simhash_signatures(
+        frame, text_col=text_col, id_col=id_col, bits=bits, hash_fn=hash_fn
+    )
+    return banded_hamming_pairs(
+        sigs.spark.withColumnRenamed(id_col, "__id__"),
+        hash_col="simhash",
+        id_col="__id__",
+        max_hamming=max_hamming,
+        bands=bands,
+        bits=bits,
+    )
 
 
 def embedding_near_dup_pairs(

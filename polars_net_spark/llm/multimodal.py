@@ -259,39 +259,12 @@ def audio_near_dup_pairs(
 def _banded_hamming_pairs(
     hashed: SparkDF, hash_col: str, max_hamming: int, bands: int
 ) -> LazyFrame:
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = F.col(hash_col)
-    entries = hashed.select(
-        "media_id",
-        h.alias("__h__"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(h, b * width).bitwiseAND(F.lit(mask)).alias("val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("media_id", "__h__", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
-    lhs = entries.select(F.col("media_id").alias("id_a"), F.col("__h__").alias("ha"), "band", "val")
-    rhs = entries.select(F.col("media_id").alias("id_b"), F.col("__h__").alias("hb"), "band", "val")
-    cands = (
-        lhs.join(rhs, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .dropDuplicates(["id_a", "id_b"])
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        hashed, hash_col=hash_col, id_col="media_id",
+        max_hamming=max_hamming, bands=bands,
     )
-    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    out = (
-        cands.withColumn("hamming", dist.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    return LazyFrame(out)
 
 
 def sample_video_frames(

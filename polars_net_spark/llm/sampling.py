@@ -36,7 +36,49 @@ def _half_up(x: float) -> int:
     oracle."""
     return int(math.floor(x + 0.5))
 
-__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan", "temperature_weights", "shuffle_by_hash"]
+__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan", "temperature_weights", "shuffle_by_hash", "oversample_by_weight"]
+
+
+def oversample_by_weight(
+    frame,
+    key_col: str,
+    weight,
+    copy_col: str = "epoch_idx",
+    salt: str = "",
+):
+    """Deterministic epoch oversampling: emit each row ``floor(w)`` times plus
+    one more iff its hash draw lands under ``frac(w)`` — so a source with
+    weight 2.3 is seen ~2.3 times per training epoch, exactly replicable
+    across runs/engines/cluster sizes (the fractional draw is the portable
+    md5 bucket keyed on ``key_col``, no RNG).
+
+    ``weight`` is a Column / column name (per-row weight, e.g. a per-source
+    epoch factor broadcast-joined upstream, or ``temperature_weights``
+    output).  Weights below 1 downsample (floor 0 + bernoulli keep);
+    weight 0 drops the row.  Output adds ``copy_col`` (1-based copy index)
+    so downstream shuffles (:func:`shuffle_by_hash` keyed on
+    (key, copy_idx)) interleave the copies instead of clustering them.
+
+    100 TB: map-only — one sequence+explode per row, no shuffle, no RNG
+    state; output size is exactly sum(round-ed weights) of the input.
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    w = F.col(weight).cast("double") if isinstance(weight, str) else weight.cast("double")
+    whole = F.floor(w).cast("int")
+    fractional = w - F.floor(w)
+    extra = (
+        hash_bucket(F.col(key_col), salt=salt) < F.round(fractional * _BUCKETS)
+    ).cast("int")
+    n = whole + extra
+    # sequence(1, 0) would DESCEND in Spark — guard so n<1 yields an empty
+    # array and the row vanishes under explode.
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = sdf.withColumn(copy_col, F.explode(copies))
+    return LazyFrame(out)
 
 
 def cap_per_key(

@@ -214,8 +214,10 @@ def test_video_sampling_stub_raises(spark):
     from polars_net_spark.llm.multimodal import sample_video_frames
 
     media = spark.createDataFrame([(1, bytearray(b"x"))], ["media_id", "payload"])
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(LazyFrame(media))
+    # r4: decode is real for concatenated-P6 streams, so the stub raise moved
+    # INTO the mapInPandas batch — surfaces as a wrapped PythonException.
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_video_frames(LazyFrame(media)).collect().rows()
 
 
 def test_real_decoder_stub_raises(spark):

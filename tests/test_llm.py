@@ -53,6 +53,82 @@ def test_simhash_near_for_near_dups(spark):
     assert ham01 < ham02  # near-dup closer than unrelated
 
 
+def test_simhash_near_dup_pairs_exact_vs_bruteforce(spark):
+    from polars_net_spark.llm import simhash_near_dup_pairs
+
+    d = docs(spark).lazy()
+    # brute-force truth from the signatures themselves
+    sig = {r[0]: r[1] for r in simhash_signatures(d).collect().rows()}
+    k = 10
+    truth = sorted(
+        (a, b, bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= k
+    )
+    # max_hamming < bands ⇒ pigeonhole total recall ⇒ exact equality
+    got = sorted(
+        simhash_near_dup_pairs(d, max_hamming=k, bands=16).collect().rows()
+    )
+    assert got == truth
+    assert (0, 3, 0) in got  # exact dup pair at distance 0
+
+
+def test_banded_hamming_pairs_bits60(spark):
+    from polars_net_spark.llm import banded_hamming_pairs
+
+    rows = [(1, 0b111), (2, 0b110), (3, 0)]  # d(1,2)=1, d(1,3)=3, d(2,3)=2
+    hashed = spark.createDataFrame(rows, ["id", "h"])
+    out = sorted(
+        banded_hamming_pairs(
+            hashed, hash_col="h", id_col="id", max_hamming=2, bands=5, bits=60
+        ).collect().rows()
+    )
+    assert out == [(1, 2, 1), (2, 3, 2)]
+
+
+def test_preference_pairs_best_worst(spark):
+    from polars_net_spark.llm import preference_pairs
+
+    rows = [
+        # prompt 1: scores 5 > 3 > 1
+        (1, 10, "best", 5.0),
+        (1, 11, "mid", 3.0),
+        (1, 12, "worst", 1.0),
+        # prompt 2: tie on score → id breaks it (21 chosen, 20 rejected)
+        (2, 20, "a", 2.0),
+        (2, 21, "b", 2.0),
+        # prompt 3: single response → dropped (self-pair)
+        (3, 30, "solo", 9.0),
+    ]
+    d = spark.createDataFrame(rows, ["prompt_id", "doc_id", "text", "score"])
+    out = sorted(preference_pairs(d).collect().rows())
+    assert out == [
+        (1, 10, 12, "best", "worst", 4.0),
+        (2, 21, 20, "b", "a", 0.0),
+    ]
+    # min_margin drops the zero-margin tie pair
+    out2 = sorted(preference_pairs(d, min_margin=0.5).collect().rows())
+    assert out2 == [(1, 10, 12, "best", "worst", 4.0)]
+
+
+def test_preference_pairs_all_pairs(spark):
+    from polars_net_spark.llm import preference_pairs
+
+    rows = [(1, 10, "x", 3.0), (1, 11, "y", 2.0), (1, 12, "z", 1.0)]
+    d = spark.createDataFrame(rows, ["prompt_id", "doc_id", "text", "score"])
+    out = sorted(
+        preference_pairs(d, strategy="all_pairs").collect().rows()
+    )
+    assert [(r[1], r[2], r[5]) for r in out] == [
+        (10, 11, 1.0),
+        (10, 12, 2.0),
+        (11, 12, 1.0),
+    ]
+    out2 = preference_pairs(d, strategy="all_pairs", min_margin=1.5).collect().rows()
+    assert [(r[1], r[2]) for r in out2] == [(10, 12)]
+
+
 def test_token_count_quality_lang(spark):
     d = docs(spark)
     out = d.spark.select(

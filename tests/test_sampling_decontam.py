@@ -451,3 +451,42 @@ class TestTokenBudgetCap:
         df = pl.from_records([("a", 1, 1.0, 1)], ["src", "doc_id", "prio", "toks"])
         with _pt.raises(ValueError):
             cap_tokens_per_key(df, "src", "toks", -1, "prio", "doc_id")
+
+
+class TestOversampleByWeight:
+    def test_copy_counts_and_determinism(self, spark):
+        from polars_net_spark.llm import oversample_by_weight
+        from polars_net_spark.llm.splits import hash_bucket, _BUCKETS
+        from pyspark.sql import functions as F
+
+        rows = [(i, float(w)) for i, w in enumerate([0.0, 1.0, 2.0, 2.5, 0.5])]
+        d = spark.createDataFrame(rows, ["k", "w"])
+        out = oversample_by_weight(d, key_col="k", weight="w", salt="s").collect().rows()
+        counts = {}
+        for k, w, idx in out:
+            counts[k] = counts.get(k, 0) + 1
+        assert counts.get(0) is None          # weight 0 drops
+        assert counts[1] == 1 and counts[2] == 2
+        # fractional part decided by the md5 bucket — recompute the draw
+        draws = {
+            r[0]: r[1]
+            for r in d.select(
+                "k", (hash_bucket(F.col("k"), salt="s") < 0.5 * _BUCKETS).cast("int")
+            ).collect()
+        }
+        assert counts[3] == 2 + draws[3]
+        assert counts.get(4, 0) == draws[4]
+        # copy index is 1..n
+        idxs = sorted(i for k, w, i in out if k == 2)
+        assert idxs == [1, 2]
+        # deterministic across runs
+        out2 = oversample_by_weight(d, key_col="k", weight="w", salt="s").collect().rows()
+        assert sorted(out) == sorted(out2)
+
+    def test_expected_mass(self, spark):
+        from polars_net_spark.llm import oversample_by_weight
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit(1.3).alias("w"))
+        n = oversample_by_weight(d, key_col="k", weight="w").spark.count()
+        assert abs(n - 2600) < 150  # ~1.3x mass, hash-exact not RNG
