@@ -257,6 +257,19 @@ CHECKS = {
         ("!", "Exchange", "chat flattening is map-only, zero shuffles"),
         ("!", "BatchEvalPython", "from_json + HOFs, no Python"),
     ],
+    "q154_simhash_pairs": [
+        ("!", "CartesianProduct", "banded Hamming candidates via equi-join"),
+        ("!", "BroadcastNestedLoopJoin", "no nested-loop fallback"),
+    ],
+    "q155_preference_pairs": [
+        ("partial_max", "chosen/rejected struct aggregates combine map-side"),
+        ("!", "Window", "best-worst pair needs no window/sort"),
+        ("!", "CartesianProduct", "no cartesian"),
+    ],
+    "q156_epoch_oversample": [
+        ("!", "Exchange", "oversampling is map-only, zero shuffles"),
+        ("!", "BatchEvalPython", "hash draw + sequence are JVM codegen"),
+    ],
 }
 
 
