@@ -4763,6 +4763,93 @@ WHERE n >= 1
 """
 
 
+def _q157(spark, sf_dir):
+    """Deterministic contrastive negative sampling (llm/retrieval.py
+    negative_sample_pairs): 50 query vectors × 3 draws, each draw an md5
+    bucket probe into the 64-bucket corpus + min-md5 pick — one equi-join,
+    one map-side min-struct aggregate, zero RNG."""
+    from polars_net_spark.llm import negative_sample_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.spark.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("vec_id").alias("pos_id")
+    )
+    corpus = emb.spark.select("vec_id")
+    return negative_sample_pairs(
+        queries, corpus, corpus_id="vec_id", k=3, num_buckets=64, salt="neg"
+    ).spark
+
+
+_q157_sql = """
+WITH corpus AS (
+  SELECT vec_id AS neg,
+         list_reduce(list_transform(generate_series(1, 8),
+             i -> strpos('0123456789abcdef', substr(md5('neg' || CAST(vec_id AS VARCHAR)), i, 1)) - 1),
+             (a, x) -> a * 16 + x) % 64 AS b
+  FROM embeddings),
+draws AS (
+  SELECT vec_id AS query_id, vec_id AS pos, j,
+         list_reduce(list_transform(generate_series(1, 8),
+             i -> strpos('0123456789abcdef', substr(md5('neg' || CAST(vec_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), i, 1)) - 1),
+             (a, x) -> a * 16 + x) % 64 AS b
+  FROM embeddings, LATERAL unnest(generate_series(1, 3)) AS t(j)
+  WHERE vec_id < 50),
+cand AS (
+  SELECT d.query_id, d.j, c.neg,
+         md5('neg' || CAST(d.query_id AS VARCHAR) || '#' || CAST(d.j AS VARCHAR) || '#' || CAST(c.neg AS VARCHAR)) AS r
+  FROM draws d JOIN corpus c USING (b)
+  WHERE c.neg <> d.pos),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, j ORDER BY r, neg) AS rn
+  FROM cand)
+SELECT query_id, CAST(j AS INT) AS draw_idx, neg AS neg_id
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q158(spark, sf_dir):
+    """Length-bucketed batch assignment (llm/chunking.py
+    length_bucket_batches): bucket by n_chars edges, 4 hash shards, batches
+    of 8 inside each (bucket, shard) in deterministic md5 order — the
+    padding-efficient trainer batching step; one (bucket, shard)-keyed
+    shuffle, shards bound task size."""
+    from polars_net_spark.llm import length_bucket_batches
+
+    d = _t(spark, sf_dir, "documents")
+    out = length_bucket_batches(
+        d.spark.select("doc_id", "n_chars"),
+        token_col="n_chars",
+        id_col="doc_id",
+        batch_size=8,
+        edges=[200, 400, 800],
+        num_shards=4,
+        salt="lb",
+    )
+    return out.spark.select(
+        "doc_id", "length_bucket", "shard", "batch_idx", "pos_in_batch"
+    )
+
+
+_q158_sql = """
+WITH t AS (
+  SELECT doc_id,
+    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+   + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+   + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS length_bucket,
+    (list_reduce(list_transform(generate_series(1, 8),
+        i -> strpos('0123456789abcdef', substr(md5('lb|shard' || CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+        (a, x) -> a * 16 + x) % 10000) % 4 AS shard,
+    md5('lb' || CAST(doc_id AS VARCHAR)) AS r
+  FROM documents),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY length_bucket, shard ORDER BY r, doc_id) - 1 AS rn
+  FROM t)
+SELECT doc_id, CAST(length_bucket AS INT) AS length_bucket, CAST(shard AS BIGINT) AS shard,
+       CAST(rn // 8 AS INT) AS batch_idx, CAST(rn % 8 AS INT) AS pos_in_batch
+FROM o
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4924,6 +5011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_simhash_pairs": _q154,
         "q155_preference_pairs": _q155,
         "q156_epoch_oversample": _q156,
+        "q157_negative_sampling": _q157,
+        "q158_length_batches": _q158,
     }
 
 
@@ -5085,4 +5174,6 @@ def oracle_sql() -> dict[str, str]:
         "q154_simhash_pairs": _q154_sql,
         "q155_preference_pairs": _q155_sql,
         "q156_epoch_oversample": _q156_sql,
+        "q157_negative_sampling": _q157_sql,
+        "q158_length_batches": _q158_sql,
     }

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .splits import hash_bucket
 
-__all__ = ["chunk_documents", "pack_sequences", "mask_tokens_frame", "flatten_chat_frame"]
+__all__ = ["chunk_documents", "pack_sequences", "mask_tokens_frame", "flatten_chat_frame", "length_bucket_batches"]
 
 
 def chunk_documents(
@@ -248,5 +248,52 @@ def flatten_chat_frame(
         text.alias("text"),
         F.when(c.isNull(), F.lit(0)).otherwise(F.size(c)).cast("long").alias("n_turns"),
         F.coalesce(F.length(text), F.lit(0)).cast("long").alias("n_chars"),
+    )
+    return LazyFrame(out)
+
+
+def length_bucket_batches(
+    frame,
+    token_col: str,
+    id_col: str,
+    batch_size: int,
+    edges: "list[float]",
+    num_shards: int = 32,
+    salt: str = "",
+):
+    """Length-bucketed batch assignment: group rows of similar length into
+    fixed-size training batches so padding waste is bounded by the bucket
+    width, with a deterministic hash order inside each bucket (no RNG —
+    rerun-identical batch membership).
+
+    ``length_bucket`` = #edges ≤ value (0..len(edges)).  Rows are then split
+    into ``num_shards`` hash shards and numbered inside each
+    (bucket, shard) by md5(salt‖id); ``batch_idx`` / ``pos_in_batch`` tile
+    that order into runs of ``batch_size``.  Batches NEVER mix length
+    buckets or shards, so every batch except at most one trailing partial
+    per (bucket, shard) is exactly ``batch_size`` rows of one bucket.
+
+    Scale: one shuffle keyed on (bucket, shard).  The shard key is the
+    anti-skew lever — a single global bucket would funnel into one window
+    task; with shards the largest task sorts ~corpus/(buckets·shards) rows.
+    Set num_shards ≈ cluster cores (default 32 matches local[32]).
+    """
+    from pyspark.sql import Window
+
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    v = F.col(token_col)
+    bucket = sum(
+        (v >= F.lit(e)).cast("int") for e in edges
+    )
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    staged = sdf.withColumn("length_bucket", bucket).withColumn(
+        "shard", hash_bucket(F.col(id_col), salt=salt + "|shard") % num_shards
+    )
+    w = Window.partitionBy("length_bucket", "shard").orderBy(order, F.col(id_col))
+    rn = F.row_number().over(w) - 1
+    out = staged.withColumn("batch_idx", (rn / batch_size).cast("int")).withColumn(
+        "pos_in_batch", rn % batch_size
     )
     return LazyFrame(out)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_top_terms", "bm25_topk"]
+__all__ = ["tfidf_top_terms", "bm25_topk", "negative_sample_pairs"]
 
 
 def _tokens(sdf, text_col: str, id_col: str):
@@ -198,3 +198,74 @@ def term_document_frequency(
         )
     )
     return LazyFrame(out)
+
+
+def negative_sample_pairs(
+    queries,
+    corpus,
+    query_id: str = "query_id",
+    positive_col: str = "pos_id",
+    corpus_id: str = "doc_id",
+    k: int = 4,
+    num_buckets: int = 1024,
+    salt: str = "",
+):
+    """Deterministic in-batch-free negative sampling for contrastive /
+    embedding training: for every query row, pick ``k`` pseudo-random corpus
+    documents (excluding the query's own positive) with NO RNG — every draw
+    is an md5 computation, so the sample is identical across runs, engines,
+    and cluster layouts.
+
+    Mechanics: corpus docs land in ``num_buckets`` hash buckets; draw ``j``
+    of query ``q`` targets bucket md5(q#j) and takes the bucket member with
+    the smallest md5(q#j#doc) (a fresh hash per draw, so repeated draws from
+    one query are decorrelated).  A draw whose target bucket is empty or
+    holds only the positive emits nothing — size ``num_buckets`` well below
+    corpus/10 to make that negligible.
+
+    Scale: ONE equi-join on the bucket key (corpus side shuffles once,
+    bucket population ~ corpus/num_buckets rows per key) + one
+    map-side-combining min-struct aggregate per (query, draw).  No cartesian,
+    no window.  Output: (query_id, draw_idx, neg_id).
+    """
+    from ..frame import LazyFrame
+    from .splits import hash_bucket
+
+    qdf = queries._sdf if isinstance(queries, LazyFrame) else queries
+    cdf = corpus._sdf if isinstance(corpus, LazyFrame) else corpus
+    bucketed = cdf.select(
+        F.col(corpus_id).alias("__neg__"),
+        hash_bucket(F.col(corpus_id), salt=salt, num_buckets=num_buckets).alias("__b__"),
+    )
+    draws = qdf.select(
+        F.col(query_id),
+        F.col(positive_col).alias("__pos__"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("draw_idx"),
+    ).withColumn(
+        "__b__",
+        hash_bucket(
+            F.concat(
+                F.col(query_id).cast("string"), F.lit("#"), F.col("draw_idx").cast("string")
+            ),
+            salt=salt,
+            num_buckets=num_buckets,
+        ),
+    )
+    cand = draws.join(bucketed, "__b__").filter(F.col("__neg__") != F.col("__pos__"))
+    rank = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col(query_id).cast("string"),
+            F.lit("#"),
+            F.col("draw_idx").cast("string"),
+            F.lit("#"),
+            F.col("__neg__").cast("string"),
+        )
+    )
+    picked = (
+        cand.select(query_id, "draw_idx", F.struct(rank.alias("r"), F.col("__neg__").alias("n")).alias("__p__"))
+        .groupBy(query_id, "draw_idx")
+        .agg(F.min("__p__").alias("best"))
+        .select(query_id, "draw_idx", F.col("best.n").alias("neg_id"))
+    )
+    return LazyFrame(picked)

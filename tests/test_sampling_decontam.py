@@ -490,3 +490,75 @@ class TestOversampleByWeight:
         d = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit(1.3).alias("w"))
         n = oversample_by_weight(d, key_col="k", weight="w").spark.count()
         assert abs(n - 2600) < 150  # ~1.3x mass, hash-exact not RNG
+
+
+class TestNegativeSampling:
+    def test_no_positive_and_deterministic(self, spark):
+        from polars_net_spark.llm import negative_sample_pairs
+        from pyspark.sql import functions as F
+
+        corpus = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        queries = spark.range(0, 20).select(
+            F.col("id").alias("query_id"), F.col("id").alias("pos_id")
+        )
+        out = negative_sample_pairs(
+            queries, corpus, k=3, num_buckets=16, salt="t"
+        ).collect().rows()
+        assert 0 < len(out) <= 60
+        for qid, j, neg in out:
+            assert neg != qid          # positive excluded
+            assert 1 <= j <= 3
+        # at most one pick per (query, draw)
+        keys = [(q, j) for q, j, _ in out]
+        assert len(keys) == len(set(keys))
+        out2 = negative_sample_pairs(
+            queries, corpus, k=3, num_buckets=16, salt="t"
+        ).collect().rows()
+        assert sorted(out) == sorted(out2)
+
+    def test_salt_changes_draws(self, spark):
+        from polars_net_spark.llm import negative_sample_pairs
+        from pyspark.sql import functions as F
+
+        corpus = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        queries = spark.range(0, 30).select(
+            F.col("id").alias("query_id"), F.col("id").alias("pos_id")
+        )
+        a = sorted(negative_sample_pairs(queries, corpus, k=2, num_buckets=32, salt="a").collect().rows())
+        b = sorted(negative_sample_pairs(queries, corpus, k=2, num_buckets=32, salt="b").collect().rows())
+        assert a != b
+
+
+class TestLengthBucketBatches:
+    def test_batch_invariants(self, spark):
+        from collections import Counter
+
+        from polars_net_spark.llm import length_bucket_batches
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 7 % 1000).alias("tok")
+        )
+        out = length_bucket_batches(
+            d, token_col="tok", id_col="doc_id", batch_size=8,
+            edges=[200, 400, 800], num_shards=4, salt="s",
+        ).collect().rows()
+        assert len(out) == 300
+        # batch key = (bucket, shard, batch_idx); all full except trailing per key
+        sizes = Counter((b, s, bi) for _, _, b, s, bi, _ in out)
+        per_shard = Counter((b, s) for _, _, b, s, _, _ in out)
+        for (b, s, bi), n in sizes.items():
+            last_idx = (per_shard[(b, s)] - 1) // 8
+            assert n == 8 or (bi == last_idx and n == per_shard[(b, s)] % 8)
+        # bucket consistent with edges
+        for _, tok, b, _, _, _ in out:
+            assert b == sum(tok >= e for e in (200, 400, 800))
+        # positions are 0..n-1 within each batch
+        poss = {}
+        for row in out:
+            poss.setdefault(tuple(row[2:5]), []).append(row[5])
+        out2 = length_bucket_batches(
+            d, token_col="tok", id_col="doc_id", batch_size=8,
+            edges=[200, 400, 800], num_shards=4, salt="s",
+        ).collect().rows()
+        assert sorted(out) == sorted(out2)
