@@ -4533,31 +4533,38 @@ FROM t
 """
 
 
+def _stream_stage_dir(sf_dir: str, table: str = "events") -> str:
+    """Stage a parquet table into a flat tmp dir for the streaming file
+    source (which does not recurse into directory-shaped datasets).  Keyed
+    per (sf_dir, table): a shared dir would silently serve the WRONG scale
+    factor when gates run at several SFs in one session."""
+    import hashlib, shutil, tempfile, os
+
+    tag = hashlib.md5(f"{sf_dir}|{table}".encode()).hexdigest()[:8]
+    src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_{table}_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    done = os.path.join(src_dir, "_staged")
+    if not os.path.exists(done):
+        ev = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(ev):
+            for f in os.listdir(ev):
+                if f.endswith(".parquet"):
+                    shutil.copyfile(os.path.join(ev, f), os.path.join(src_dir, f))
+        else:
+            shutil.copyfile(ev, os.path.join(src_dir, f"{table}.parquet"))
+        open(done, "w").close()
+    return src_dir
+
+
 def _q151(spark, sf_dir):
     """TRUE Structured Streaming gate: events stream-read (file source) ->
     watermark -> 6h tumbling window per event_type -> availableNow run to a
     memory sink.  With one availableNow batch nothing is late, so the
     result is deterministic and the DuckDB oracle replicates it as a plain
     time-bucket GROUP BY — the gate hash-verifies a real streaming query."""
-    import hashlib, shutil, tempfile, os
+    import os
 
-    # per-sf_dir staging dir: a shared one would silently serve the WRONG
-    # scale factor when gates run at several SFs in one session
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src_dir = os.path.join(tempfile.gettempdir(), f"q151_stream_src_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    done = os.path.join(src_dir, "_staged")
-    if not os.path.exists(done):
-        ev = os.path.join(sf_dir, "events.parquet")
-        if os.path.isdir(ev):
-            # Spark-written datasets are directories: flatten the part files
-            # into the stream dir (the file source does not recurse)
-            for f in os.listdir(ev):
-                if f.endswith(".parquet"):
-                    shutil.copyfile(os.path.join(ev, f), os.path.join(src_dir, f))
-        else:
-            shutil.copyfile(ev, os.path.join(src_dir, "events.parquet"))
-        open(done, "w").close()
+    src_dir = _stream_stage_dir(sf_dir, "events")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema).parquet(src_dir)
@@ -4850,6 +4857,89 @@ FROM o
 """
 
 
+def _q159(spark, sf_dir):
+    """STREAM-STREAM interval join gate (second true Structured Streaming
+    gate; q151 covers windowed agg): click stream ⋈ purchase stream on
+    user_id with purchase within 1h after the click, watermarks on both
+    sides, availableNow append to a memory sink.  maxFilesPerTrigger is set
+    above the staged file count so all data lands in ONE micro-batch —
+    no cross-batch state eviction, so the pair set is deterministic and the
+    DuckDB oracle is a plain interval self-join."""
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("user_id") % 10 == 0)
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    buys = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("bu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("bts"),
+            F.col("value"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = joined.select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("bts")) - F.unix_micros(F.col("cts"))).alias("lag_us"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    # append-mode memory sink ACCUMULATES across runs in one session — reset
+    try:
+        spark.catalog.dropTempView("q159_ssjoin")
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory").queryName("q159_ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.table("q159_ssjoin")
+
+
+_q159_sql = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS lag_us,
+       round(p.value, 6) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND c.user_id % 10 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5013,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_epoch_oversample": _q156,
         "q157_negative_sampling": _q157,
         "q158_length_batches": _q158,
+        "q159_stream_stream_join": _q159,
     }
 
 
@@ -5176,4 +5267,5 @@ def oracle_sql() -> dict[str, str]:
         "q156_epoch_oversample": _q156_sql,
         "q157_negative_sampling": _q157_sql,
         "q158_length_batches": _q158_sql,
+        "q159_stream_stream_join": _q159_sql,
     }

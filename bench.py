@@ -40,11 +40,13 @@ def main() -> None:
     from polars_net_spark import release_caches
 
     for name, fn in qs.items():
+        print(f"# bench start {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            print(f"# bench done  {name} {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as ex:  # record failures distinctly, keep going
             timings[name] = -1.0
             print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
