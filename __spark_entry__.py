@@ -4940,6 +4940,43 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def _q160(spark, sf_dir):
+    """Order-sensitive aggregation via Expr.sort_by (polars sort_by in agg
+    context): first/last value by event time compile to min_by/max_by (true
+    aggregates, map-side combining — no window, no group materialization);
+    the event-type sequence is a comparator-sorted implode (size-contracted
+    like implode itself)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.group_by("user_id")
+        .agg(
+            col("value").sort_by("ts", "event_id").first().alias("first_value"),
+            col("value").sort_by("ts", "event_id").last().alias("last_value"),
+            col("event_type")
+            .sort_by("ts", "event_id", descending=True)
+            .implode()
+            .alias("types_desc"),
+        )
+        .with_columns(col("types_desc").list.join("|").alias("types_desc"))
+        .sort("user_id")
+        .spark.select(
+            "user_id",
+            F.round("first_value", 6).alias("first_value"),
+            F.round("last_value", 6).alias("last_value"),
+            "types_desc",
+        )
+    )
+
+
+_q160_sql = """
+SELECT user_id,
+       round(first(value ORDER BY ts, event_id), 6) AS first_value,
+       round(last(value ORDER BY ts, event_id), 6) AS last_value,
+       array_to_string(list(event_type ORDER BY ts DESC, event_id DESC), '|') AS types_desc
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5104,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_negative_sampling": _q157,
         "q158_length_batches": _q158,
         "q159_stream_stream_join": _q159,
+        "q160_sort_by_agg": _q160,
     }
 
 
@@ -5268,4 +5306,5 @@ def oracle_sql() -> dict[str, str]:
         "q157_negative_sampling": _q157_sql,
         "q158_length_batches": _q158_sql,
         "q159_stream_stream_join": _q159_sql,
+        "q160_sort_by_agg": _q160_sql,
     }

@@ -153,14 +153,23 @@ def _order_cols(order_by: Any) -> list[Column]:
 class Expr:
     """Composable expression; wraps one pyspark Column."""
 
-    __slots__ = ("_col", "_filter_pred")
+    __slots__ = ("_col", "_filter_pred", "_sort_by")
 
-    def __init__(self, column: Column, _filter_pred: Column | None = None):
+    def __init__(
+        self,
+        column: Column,
+        _filter_pred: Column | None = None,
+        _sort_by: "tuple | None" = None,
+    ):
         self._col = column
         # Set only by Expr.filter(): the raw predicate, consumed by the
         # aggregates whose null-masking compilation would otherwise be wrong
         # (len counts masked-out rows; first/last return the mask's null).
         self._filter_pred = _filter_pred
+        # Set only by Expr.sort_by(): (key Columns, descending flags,
+        # nulls_last), consumed by the order-sensitive aggregates
+        # (first/last/implode).
+        self._sort_by = _sort_by
 
     # -- interop ----------------------------------------------------------
     def to_column(self) -> Column:
@@ -803,16 +812,106 @@ class Expr:
         nulls are skipped (ignorenulls=True) so this returns the first
         SURVIVING value; a surviving element that is itself null is
         indistinguishable from the mask and also skipped — use
-        ``implode().list.first()`` if null survivors must be observable."""
+        ``implode().list.first()`` if null survivors must be observable.
+        After :meth:`sort_by` this is the value at the smallest sort key
+        (min_by — a true aggregate, no group materialization)."""
+        if self._sort_by is not None:
+            return self._sorted_pick(last=False)
         if self._filter_pred is not None:
             return _wrap(F.first(self._col, ignorenulls=True))
         return _wrap(F.first(self._col, ignorenulls=False))
 
     def last(self) -> "Expr":
-        """Last element of the group (filter-aware, see :meth:`first`)."""
+        """Last element of the group (filter-aware, see :meth:`first`;
+        sort_by-aware — value at the largest sort key via max_by)."""
+        if self._sort_by is not None:
+            return self._sorted_pick(last=True)
         if self._filter_pred is not None:
             return _wrap(F.last(self._col, ignorenulls=True))
         return _wrap(F.last(self._col, ignorenulls=False))
+
+    def sort_by(
+        self,
+        *by: "Expr | str",
+        descending: "bool | Sequence[bool]" = False,
+        nulls_last: bool = False,
+    ) -> "Expr":
+        """polars Expr.sort_by in AGGREGATION context: order the elements by
+        other expressions before an order-sensitive aggregate —
+        ``col("v").sort_by("ts").first()`` is "value at the earliest ts".
+
+        Compilation: first()/last() become min_by/max_by (true aggregates,
+        map-side combining, no group materialization — the 100 TB path);
+        implode() collects (keys, value) structs and sorts with an
+        array_sort comparator (group-sized array — same size contract as
+        plain implode).  Order-INsensitive aggregates (sum/mean/...) ignore
+        the ordering, as in polars.
+
+        Deviations (documented, not silent): min_by/max_by skip rows whose
+        sort key is null, while the implode path places null keys first
+        (polars nulls-first default) or last (``nulls_last=True``); ties are
+        nondeterministic unless the key set is unique — add a tie-break key
+        (polars' stable sort has row order to fall back on; a distributed
+        shuffle does not).  Outside an aggregate this marker has no effect.
+        """
+        # bare strings are COLUMN NAMES here (never literals — _c's fallback
+        # would silently sort by a constant, the order_by trap fixed in r4)
+        keys = [F.col(b) if isinstance(b, str) else _c(b) for b in by]
+        if not keys:
+            raise ValueError("sort_by needs at least one key")
+        desc = (
+            [bool(descending)] * len(keys)
+            if isinstance(descending, bool)
+            else [bool(d) for d in descending]
+        )
+        if len(desc) != len(keys):
+            raise ValueError("descending must match the number of keys")
+        return Expr(
+            self._col,
+            _filter_pred=self._filter_pred,
+            _sort_by=(keys, desc, bool(nulls_last)),
+        )
+
+    def _sorted_pick(self, last: bool) -> "Expr":
+        keys, desc, _nulls_last = self._sort_by
+        if len(set(desc)) > 1:
+            # mixed directions: comparator-sorted implode, element at edge
+            arr = self._sorted_implode_col()
+            return _wrap(F.element_at(arr, -1 if last else 1))
+        key = keys[0] if len(keys) == 1 else F.struct(*keys)
+        if self._filter_pred is not None:
+            key = F.when(self._filter_pred, key)
+        want_max = last != desc[0]  # descending flips which end is "first"
+        fn = F.max_by if want_max else F.min_by
+        return _wrap(fn(self._col, key))
+
+    def _sorted_implode_col(self) -> Column:
+        keys, desc, nulls_last = self._sort_by
+        packed = F.collect_list(
+            F.struct(
+                *[k.alias(f"k{i}") for i, k in enumerate(keys)],
+                self._col.alias("v"),
+            )
+        )
+
+        def comparator(a: Column, b: Column) -> Column:
+            result = F.lit(0)
+            for i in reversed(range(len(keys))):
+                av, bv = a[f"k{i}"], b[f"k{i}"]
+                lo, hi = (-1, 1) if not desc[i] else (1, -1)
+                n_first = 1 if nulls_last else -1
+                step = (
+                    F.when(av.isNull() & bv.isNull(), F.lit(0))
+                    .when(av.isNull(), F.lit(n_first))
+                    .when(bv.isNull(), F.lit(-n_first))
+                    .when(av < bv, F.lit(lo))
+                    .when(av > bv, F.lit(hi))
+                    .otherwise(F.lit(0))
+                )
+                result = F.when(step != 0, step).otherwise(result)
+            return result
+
+        return F.transform(F.array_sort(packed, comparator), lambda s: s["v"])
 
     def filter(self, *predicates: "Expr") -> "Expr":
         """polars Expr.filter (conditional aggregation): keep only elements
@@ -835,6 +934,8 @@ class Expr:
         return self.filter(*predicates)
 
     def implode(self) -> "Expr":
+        if self._sort_by is not None:
+            return _wrap(self._sorted_implode_col())
         return _wrap(F.collect_list(self._col))
 
     def top_k(self, k: int) -> "Expr":

@@ -667,3 +667,60 @@ def test_expr_any_all_aggregates(spark):
         ("b", False, False, None, False),  # any-kleene: null could be true
         ("c", True, False, True, False),
     ]
+
+
+class TestSortByAgg:
+    def test_first_last_implode(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        rows = [("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, None), ("b", 5, 50.0), ("b", 4, 40.0)]
+        d = pl.from_records(rows, ["g", "t", "v"]).lazy()
+        out = {
+            r[0]: r[1:]
+            for r in d.group_by("g")
+            .agg(
+                col("v").sort_by("t").first().alias("f"),
+                col("v").sort_by("t").last().alias("l"),
+                col("v").sort_by("t", descending=True).first().alias("fd"),
+                col("v").sort_by("t").implode().alias("vals"),
+            )
+            .collect()
+            .rows()
+        }
+        assert out["a"] == (10.0, 30.0, 30.0, [10.0, None, 30.0])
+        assert out["b"] == (40.0, 50.0, 50.0, [40.0, 50.0])
+
+    def test_nulls_placement_and_mixed_directions(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        rows = [("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, None)]
+        d = pl.from_records(rows, ["g", "t", "v"]).lazy()
+        out = d.group_by("g").agg(
+            col("v").sort_by("v").implode().alias("nf"),
+            col("v").sort_by("v", nulls_last=True).implode().alias("nl"),
+            col("t").sort_by("t", "v", descending=[False, True]).first().alias("m"),
+        ).collect().rows()[0]
+        assert out[1] == [None, 10.0, 30.0]   # polars nulls-first default
+        assert out[2] == [10.0, 30.0, None]
+        assert out[3] == 1
+
+    def test_string_key_is_column_not_literal(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        # regression: _c("t") falls back to F.lit — sort_by must treat bare
+        # strings as column names (min_by over a constant key picks arbitrarily)
+        rows = [("a", 2, 20.0), ("a", 1, 10.0)] * 50
+        d = pl.from_records(rows, ["g", "t", "v"]).lazy()
+        out = d.group_by("g").agg(col("v").sort_by("t").first().alias("f")).collect().rows()
+        assert out == [("a", 10.0)]
+
+    def test_order_insensitive_aggs_unaffected(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        d = pl.from_records([("a", 1, 10.0), ("a", 2, 30.0)], ["g", "t", "v"]).lazy()
+        out = d.group_by("g").agg(col("v").sort_by("t").sum().alias("s")).collect().rows()
+        assert out == [("a", 40.0)]
