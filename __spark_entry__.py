@@ -4977,6 +4977,76 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _q161(spark, sf_dir):
+    """Vocabulary build + token-id encoding (llm/vocab.py): top-50 vocab
+    (one map-side-combining count + TakeOrdered; rank window only over the
+    50-row result), then posexplode → broadcast vocab join → one doc-keyed
+    sorted-implode shuffle.  OOV encodes as -1."""
+    from polars_net_spark.llm import build_vocab, encode_tokens_frame
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, vocab_size=50)
+    enc = encode_tokens_frame(d, vocab)
+    return enc.spark.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.slice("token_ids", 1, 8), lambda x: x.cast("string")), "|"
+        ).alias("head_ids"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_q161_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> length(w) > 0) AS ws
+  FROM documents),
+counts AS (
+  SELECT w AS term, count(*) AS cnt
+  FROM toks, LATERAL unnest(ws) AS t(w) GROUP BY w),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term) - 1 AS token_id
+  FROM (SELECT * FROM counts ORDER BY cnt DESC, term LIMIT 50)),
+posed AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS term
+  FROM toks, LATERAL unnest(generate_series(1, len(ws))) AS g(i)),
+enc AS (
+  SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS tid
+  FROM posed p LEFT JOIN vocab v USING (term))
+SELECT doc_id,
+       array_to_string(list(tid ORDER BY pos)[1:8], '|') AS head_ids,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM enc GROUP BY doc_id
+"""
+
+
+def _q162(spark, sf_dir):
+    """Sentence segmentation (llm/text.py split_sentences_frame): lookaround-
+    free regex runs, map-only posexplode — the doc → sentence row explosion
+    of a curation pipeline."""
+    from polars_net_spark.llm import split_sentences_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return split_sentences_frame(d).spark.select(
+        "doc_id", F.col("sent_idx").cast("int").alias("sent_idx"), "sentence"
+    )
+
+
+_q162_sql = """
+WITH s AS (
+  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*', 0) AS raw
+  FROM documents),
+t AS (
+  SELECT doc_id, i AS ord0, trim(raw[i]) AS sentence
+  FROM s, LATERAL unnest(generate_series(1, len(raw))) AS g(i)),
+kept AS (SELECT * FROM t WHERE length(sentence) >= 1)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS INT) AS sent_idx,
+       sentence
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5142,6 +5212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_length_batches": _q158,
         "q159_stream_stream_join": _q159,
         "q160_sort_by_agg": _q160,
+        "q161_vocab_encode": _q161,
+        "q162_sentences": _q162,
     }
 
 
@@ -5307,4 +5379,6 @@ def oracle_sql() -> dict[str, str]:
         "q158_length_batches": _q158_sql,
         "q159_stream_stream_join": _q159_sql,
         "q160_sort_by_agg": _q160_sql,
+        "q161_vocab_encode": _q161_sql,
+        "q162_sentences": _q162_sql,
     }

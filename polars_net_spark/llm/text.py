@@ -29,6 +29,7 @@ __all__ = [
     "url_metrics_frame",
     "corpus_stats_frame",
     "filter_by_domains",
+    "split_sentences_frame",
     "STOPWORDS_EN",
 ]
 
@@ -422,3 +423,35 @@ def filter_by_domains(
     if block is not None:
         cond = cond & ~dom.isin([d.lower() for d in block])
     return LazyFrame(sdf.filter(cond))
+
+
+def split_sentences_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+):
+    """(id, sent_idx, sentence): regex sentence segmentation — maximal runs
+    of non-terminator characters plus their trailing ``.!?`` punctuation,
+    trimmed, empties dropped.  The pattern uses no lookaround, so it is
+    portable to RE2-based engines (the DuckDB oracle runs the same regex).
+
+    Map-only (regexp_extract_all + posexplode, zero shuffles); sentence
+    indexes are 0-based document order.  This is deliberately the cheap
+    JVM-side segmenter — abbreviation-aware splitting would need a Python
+    stage; compose with clean_text first for whitespace hygiene.
+    """
+    from pyspark.sql import DataFrame as _SDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, _SDF) else frame.spark
+    sents = F.expr(
+        f"regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0)"
+    )
+    trimmed = F.transform(sents, lambda s: F.trim(s))
+    kept = F.filter(trimmed, lambda s: F.length(s) >= min_chars)
+    out = sdf.select(
+        F.col(id_col), F.posexplode(kept).alias("sent_idx", "sentence")
+    )
+    return LazyFrame(out)

@@ -742,3 +742,55 @@ def test_filter_by_domains(spark):
 
     with _pt.raises(ValueError):
         filter_by_domains(sdf)
+
+
+def test_build_vocab_and_encode(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import build_vocab, encode_tokens_frame
+
+    rows = [(1, "a b a c"), (2, "a b b"), (3, "zz")]
+    d = pl.from_records(rows, ["doc_id", "text"])
+    vocab = build_vocab(d, vocab_size=2)
+    v = dict((r[0], r[1]) for r in vocab.collect().rows())
+    # a:3, b:3 tie -> term asc; c/zz cut
+    assert v == {"a": 0, "b": 1}
+    enc = sorted(encode_tokens_frame(d, vocab).collect().rows())
+    assert enc == [
+        (1, [0, 1, 0, -1], 4),
+        (2, [0, 1, 1], 3),
+        (3, [-1], 1),
+    ]
+    # oov_id=None drops OOV tokens (doc 3 vanishes entirely)
+    enc2 = sorted(encode_tokens_frame(d, vocab, oov_id=None).collect().rows())
+    assert enc2 == [(1, [0, 1, 0], 3), (2, [0, 1, 1], 3)]
+
+
+def test_build_vocab_min_count(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import build_vocab
+
+    d = pl.from_records([(1, "x x y")], ["doc_id", "text"])
+    out = build_vocab(d, vocab_size=10, min_count=2).collect().rows()
+    assert [(r[0], r[1], r[2]) for r in out] == [("x", 0, 2)]
+
+
+def test_split_sentences(spark):
+    import polars_net_spark as pl
+    from polars_net_spark.llm import split_sentences_frame
+
+    rows = [
+        (1, "Hello world. Second one!  Third?"),
+        (2, "no terminator at all"),
+        (3, "Multi!! Bang?! end"),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"])
+    out = sorted(split_sentences_frame(d).collect().rows())
+    assert out == [
+        (1, 0, "Hello world."),
+        (1, 1, "Second one!"),
+        (1, 2, "Third?"),
+        (2, 0, "no terminator at all"),
+        (3, 0, "Multi!!"),
+        (3, 1, "Bang?!"),
+        (3, 2, "end"),
+    ]

@@ -270,6 +270,18 @@ CHECKS = {
         ("!", "Exchange", "oversampling is map-only, zero shuffles"),
         ("!", "BatchEvalPython", "hash draw + sequence are JVM codegen"),
     ],
+    "q157_negative_sampling": [
+        ("!", "CartesianProduct", "negatives via bucket equi-join, not all-pairs"),
+        ("partial_min", "min-md5 pick combines map-side"),
+    ],
+    "q158_length_batches": [
+        ("!", "CartesianProduct", "no cartesian"),
+        ("Window", "one (bucket, shard)-keyed window"),
+    ],
+    "q160_sort_by_agg": [
+        ("partial_min_by", "sort_by().first() is a map-side-combining min_by"),
+        ("!", "Window", "order-sensitive aggregates need no window"),
+    ],
 }
 
 
