@@ -5047,6 +5047,79 @@ FROM kept
 """
 
 
+def _q163(spark, sf_dir):
+    """Z-order (Morton) layout key (operators/zorder.py): bit-interleaved
+    bucket ranks over (l_orderkey, l_partkey) — the multi-dimension scan-
+    pruning layout for 100 TB writes.  Pure Column math, map-only with the
+    explicit ranges used here."""
+    from polars_net_spark.operators.zorder import with_zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = with_zorder_key(
+        li,
+        ["l_orderkey", "l_partkey"],
+        bits=6,
+        ranges={"l_orderkey": (0.0, 61000.0), "l_partkey": (0.0, 21000.0)},
+    )
+    return out.spark.select("l_orderkey", "l_partkey", "l_linenumber", "zorder_key")
+
+
+def _zorder_oracle_sql(bits: int = 6) -> str:
+    b0 = "least(63, greatest(0, CAST(floor(l_orderkey / 61000.0 * 64) AS BIGINT)))"
+    b1 = "least(63, greatest(0, CAST(floor(l_partkey / 21000.0 * 64) AS BIGINT)))"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((b0 // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((b1 // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return f"""
+WITH t AS (
+  SELECT l_orderkey, l_partkey, l_linenumber, {b0} AS b0, {b1} AS b1
+  FROM lineitem)
+SELECT l_orderkey, l_partkey, l_linenumber,
+       CAST({' + '.join(terms)} AS BIGINT) AS zorder_key
+FROM t
+"""
+
+
+_q163_sql = _zorder_oracle_sql()
+
+
+def _q164(spark, sf_dir):
+    """Incremental dedup against a reference corpus (llm/dedup.py
+    dedup_against): even docs are the 'new crawl', odd docs the existing
+    corpus; new docs with an n-gram Jaccard ≥ 0.8 reference twin drop."""
+    from polars_net_spark.llm import dedup_against
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.spark.filter(F.col("doc_id") % 2 == 0)
+    ref = d.spark.filter(F.col("doc_id") % 2 == 1)
+    return dedup_against(new, ref, threshold=0.8).spark.select("doc_id", "n_chars")
+
+
+_q164_sql = """
+WITH nw AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+rf AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+wn AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM nw),
+gn AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+       FROM wn WHERE len(ws) >= 3),
+wr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM rf),
+gr AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+       FROM wr WHERE len(ws) >= 3),
+en AS (SELECT doc_id, len(grams) AS na, unnest(grams) AS gram FROM gn),
+er AS (SELECT doc_id AS rid, len(grams) AS nb, unnest(grams) AS gram FROM gr),
+p AS (SELECT en.doc_id, er.rid, en.na, er.nb, count(*) AS shared
+      FROM en JOIN er USING (gram) GROUP BY 1, 2, 3, 4),
+dups AS (SELECT DISTINCT doc_id FROM p
+         WHERE round(shared / (na + nb - shared), 6) >= 0.8)
+SELECT doc_id, n_chars FROM nw
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5214,6 +5287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_sort_by_agg": _q160,
         "q161_vocab_encode": _q161,
         "q162_sentences": _q162,
+        "q163_zorder_key": _q163,
+        "q164_dedup_against": _q164,
     }
 
 
@@ -5381,4 +5456,6 @@ def oracle_sql() -> dict[str, str]:
         "q160_sort_by_agg": _q160_sql,
         "q161_vocab_encode": _q161_sql,
         "q162_sentences": _q162_sql,
+        "q163_zorder_key": _q163_sql,
+        "q164_dedup_against": _q164_sql,
     }

@@ -21,6 +21,7 @@ __all__ = [
     "dedup_exact",
     "dedup_clusters",
     "dedup_fuzzy",
+    "dedup_against",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
@@ -1073,4 +1074,69 @@ def dedup_lines(
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+    return LazyFrame(out)
+
+
+def dedup_against(
+    frame: "LazyFrame | SparkDF",
+    reference: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+    max_gram_df: int | None = None,
+) -> LazyFrame:
+    """Incremental dedup: keep only rows of ``frame`` that are NOT near-
+    duplicates (n-gram Jaccard ≥ threshold) of ANY ``reference`` document —
+    the "dedup the new crawl against the existing corpus" step.  The new
+    batch is never compared against itself (use :func:`ngram_jaccard_pairs`
+    + :func:`dedup_clusters` for that).
+
+    Same inverted-index machinery as ngram_jaccard_pairs but the postings
+    join is new×reference only; verification computes the TRUE Jaccard on
+    full gram sets, so pruning never flips a keep/drop decision.
+    ``max_gram_df`` prunes hot grams from the reference postings (same
+    recall contract as ngram_jaccard_pairs).  Docs with fewer than ``n``
+    words have no grams and always survive.
+
+    100 TB: reference postings shuffle once by gram; at steady state the
+    reference gram index is the thing you'd persist (write_bucketed by gram)
+    so each new batch pays only its own explode + a bucketed join.
+    """
+    new_sdf, ref_sdf = _sdf(frame), _sdf(reference)
+    gn = register_cache(_grams_frame(new_sdf, text_col, id_col, n, nonempty=True))
+    gr = register_cache(_grams_frame(ref_sdf, text_col, id_col, n, nonempty=True))
+    en = gn.select("id", F.size("grams").alias("na"), F.explode("grams").alias("gram"))
+    er = gr.select(
+        F.col("id").alias("rid"), F.size("grams").alias("nb"),
+        F.explode("grams").alias("gram"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            er.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df).select("gram")
+        )
+        er = er.join(hot, "gram", "anti")
+    cands = (
+        en.join(er, "gram")
+        # size prefilter: |A∩B| ≤ min(|A|,|B|), so jac ≥ t needs t·|B| ≤ |A| ≤ |B|/t
+        .filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
+    )
+    ga = gn.select("id", F.col("grams").alias("sa"))
+    gb = gr.select(F.col("id").alias("rid"), F.col("grams").alias("sb"))
+    paired = cands.join(ga, "id").join(gb, "rid")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    dup_ids = (
+        paired.filter(F.round(inter / union, round_to) >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    out = new_sdf.join(dup_ids, id_col, "anti")
     return LazyFrame(out)

@@ -303,3 +303,62 @@ class TestUpdateOverlay:
         assert out.columns == ["k", "v"]
         with _pt.raises(ValueError):
             left.update(right, on="k", how="full")
+
+
+class TestZorder:
+    def test_key_matches_python_interleave(self, spark):
+        from polars_net_spark.operators.zorder import with_zorder_key
+
+        d = spark.createDataFrame(
+            [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 11)], ["x", "y"]
+        )
+        out = with_zorder_key(
+            d, ["x", "y"], bits=6, ranges={"x": (0, 64), "y": (0, 64)}
+        ).collect().rows()
+
+        def interleave(bx, by):
+            z = 0
+            for i in range(6):
+                z |= ((bx >> i) & 1) << (2 * i)
+                z |= ((by >> i) & 1) << (2 * i + 1)
+            return z
+
+        for x, y, z in out:
+            assert z == interleave(x, y), (x, y, z)
+
+    def test_computed_ranges_and_clamp(self, spark):
+        from polars_net_spark.operators.zorder import with_zorder_key
+
+        d = spark.createDataFrame([(0.0,), (50.0,), (100.0,)], ["v"])
+        out = dict(
+            (r[0], r[1])
+            for r in with_zorder_key(d, ["v"], bits=4).collect().rows()
+        )
+        assert out[0.0] == 0
+        assert out[100.0] == 15       # max clamps into the top bucket
+        assert out[50.0] == 8
+
+    def test_zorder_sort_locality(self, spark):
+        from polars_net_spark.operators.zorder import zorder_sort
+
+        d = spark.createDataFrame(
+            [(x, y, x * 100 + y) for x in range(32) for y in range(32)],
+            ["x", "y", "payload"],
+        )
+        out = zorder_sort(
+            d, ["x", "y"], bits=5, ranges={"x": (0, 32), "y": (0, 32)},
+            num_partitions=8,
+        )
+        sdf = out.spark
+        assert "zorder_key" not in sdf.columns
+        assert sdf.count() == 1024
+        # locality: consecutive rows within a partition stay close in BOTH dims
+        import pyspark.sql.functions as F
+        parts = sdf.withColumn("pid", F.spark_partition_id())
+        stats = parts.groupBy("pid").agg(
+            (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
+        ).collect()
+        # a 1024-row grid over 8 partitions: each z-range covers a sub-square,
+        # so neither dimension spans the full 0..31 extent in most partitions
+        tight = sum(1 for r in stats if r["sx"] <= 16 or r["sy"] <= 16)
+        assert tight >= len(stats) // 2

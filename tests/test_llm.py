@@ -794,3 +794,35 @@ def test_split_sentences(spark):
         (3, 1, "Bang?!"),
         (3, 2, "end"),
     ]
+
+
+def test_dedup_against_reference(spark):
+    from polars_net_spark.llm import dedup_against
+
+    new = pl.from_records(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally novel content nothing like the reference set"),
+            (4, "hi"),  # < n words: no grams, always survives
+        ],
+        ["doc_id", "text"],
+    )
+    ref = pl.from_records(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+            (3, "reference material about engines and turbines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(r[0] for r in dedup_against(new, ref, threshold=0.8).collect().rows())
+    assert out == [2, 4]
+    # threshold high enough -> nothing drops
+    out2 = sorted(r[0] for r in dedup_against(new, ref, threshold=1.01).collect().rows())
+    assert out2 == [0, 2, 4]
+    # new batch is never compared to itself: identical docs WITHIN new survive
+    new2 = pl.from_records(
+        [(0, "aa bb cc dd ee"), (2, "aa bb cc dd ee")], ["doc_id", "text"]
+    )
+    ref2 = pl.from_records([(1, "zz yy xx ww vv")], ["doc_id", "text"])
+    out3 = sorted(r[0] for r in dedup_against(new2, ref2).collect().rows())
+    assert out3 == [0, 2]
