@@ -5120,6 +5120,62 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 """
 
 
+def _q165(spark, sf_dir):
+    """Per-key OLS trend fit (operators/regression.py fit_linear_by_key):
+    value ~ days-since-2024-01-01 per user — five power sums in ONE
+    map-side-combining aggregate, closed-form slope/intercept/r2.  x is in
+    DAYS, not raw microseconds (power sums square x; docstring contract)."""
+    from polars_net_spark.operators.regression import fit_linear_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    x_days = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+        - F.lit(1704067200.0)
+    ) / F.lit(86400.0)
+    prepared = ev.spark.select("user_id", x_days.alias("x"), F.col("value").alias("y"))
+    return fit_linear_by_key(prepared, "user_id", "x", "y").spark
+
+
+_q165_sql = """
+WITH t AS (
+  SELECT user_id, (epoch(ts) - 1704067200) / 86400.0 AS x, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM t GROUP BY user_id)
+SELECT user_id, n,
+  CASE WHEN n*sxx - sx*sx > 0
+       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+  CASE WHEN n*sxx - sx*sx > 0
+       THEN round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) END AS intercept,
+  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+       THEN round((n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
+FROM a
+"""
+
+
+def _q166(spark, sf_dir):
+    """Key-skew probe (operators/regression.py key_skew_report): heaviest
+    event_type keys with corpus fraction — map-side count + TakeOrdered,
+    1-row total broadcast."""
+    from polars_net_spark.operators.regression import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "event_type", top_k=20).spark
+
+
+_q166_sql = """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT event_type, cnt, round(cnt / t.total, 6) AS frac,
+       CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS INT) AS rank
+FROM c, t
+ORDER BY cnt DESC, event_type LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5289,6 +5345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_sentences": _q162,
         "q163_zorder_key": _q163,
         "q164_dedup_against": _q164,
+        "q165_ols_by_key": _q165,
+        "q166_key_skew": _q166,
     }
 
 
@@ -5458,4 +5516,6 @@ def oracle_sql() -> dict[str, str]:
         "q162_sentences": _q162_sql,
         "q163_zorder_key": _q163_sql,
         "q164_dedup_against": _q164_sql,
+        "q165_ols_by_key": _q165_sql,
+        "q166_key_skew": _q166_sql,
     }

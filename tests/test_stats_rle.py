@@ -167,3 +167,28 @@ def test_approx_quantile_close_to_exact(spark):
         col("x").quantile(0.5, interpolation="lower").alias("e"),
     ).collect().rows()[0]
     assert abs(r[0] - r[1]) <= 2  # rank error bound at accuracy=10000
+
+
+class TestRegressionOps:
+    def test_fit_linear_exact_line(self, spark):
+        from polars_net_spark.operators.regression import fit_linear_by_key
+
+        rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)]
+        rows += [("b", float(x), 5.0) for x in range(5)]       # zero slope
+        rows += [("c", 1.0, 1.0), ("c", 1.0, 2.0)]             # zero x-variance
+        rows += [("d", 1.0, None), ("d", None, 3.0), ("d", 2.0, 7.0)]
+        d = spark.createDataFrame(rows, ["k", "x", "y"])
+        out = {r[0]: r[1:] for r in fit_linear_by_key(d, "k", "x", "y").collect().rows()}
+        assert out["a"] == (10, 2.0, 1.0, 1.0)
+        assert out["b"][:2] == (5, 0.0) and out["b"][3] is None  # r2 null (zero y-var)
+        assert out["c"] == (2, None, None, None)
+        assert out["d"][0] == 1 and out["d"][1] is None          # nulls excluded
+
+    def test_key_skew_report(self, spark):
+        from polars_net_spark.operators.regression import key_skew_report
+
+        rows = [("hot",)] * 70 + [("warm",)] * 20 + [("cold",)] * 10
+        d = spark.createDataFrame(rows, ["k"])
+        out = key_skew_report(d, "k", top_k=2).collect().rows()
+        assert out[0] == ("hot", 70, 0.7, 1)
+        assert out[1] == ("warm", 20, 0.2, 2)
