@@ -5176,6 +5176,114 @@ ORDER BY cnt DESC, event_type LIMIT 20
 """
 
 
+def _q167(spark, sf_dir):
+    """Per-key z-score outlier flags (operators/analytics.py
+    with_outlier_flags): one grouped aggregate joined back — map-side
+    combining, AQE picks the broadcast."""
+    from polars_net_spark.operators.analytics import with_outlier_flags
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_outlier_flags(
+        ev.spark.select("event_id", "event_type", "value"),
+        "value", by="event_type", threshold=2.5, score_col="score",
+    )
+    return out.spark.select("event_id", "event_type", "is_outlier", "score")
+
+
+_q167_sql = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, var_pop(value) AS v
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            WHEN sqrt(s.v) > 0 AND abs(e.value - s.m) / sqrt(s.v) > 2.5 THEN true
+            ELSE false END AS is_outlier,
+       CASE WHEN sqrt(s.v) > 0 THEN round(abs(e.value - s.m) / sqrt(s.v), 6) END AS score
+FROM events e JOIN s USING (event_type)
+"""
+
+
+def _q168(spark, sf_dir):
+    """Per-user silence gaps > 2 hours (operators/analytics.py find_gaps):
+    one lag window keyed on user_id, deterministic (event_id tie-break)."""
+    from polars_net_spark.operators.analytics import find_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return find_gaps(
+        ev.spark, "ts", by="user_id", min_gap="2 hours", tie_cols=["event_id"]
+    ).spark
+
+
+_q168_sql = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, prev AS gap_start, ts AS gap_end,
+       round(date_diff('microsecond', prev, ts) / 1000000.0, 6) AS gap_seconds
+FROM l WHERE date_diff('microsecond', prev, ts) / 1000000.0 > 7200
+"""
+
+
+def _q169(spark, sf_dir):
+    """Weekly cohort-retention triangle (operators/analytics.py
+    cohort_retention): first-seen week per user (map-side min) + distinct
+    users per (cohort, offset) — two shuffles total."""
+    from polars_net_spark.operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev.spark, "user_id", "ts", period="week").spark.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("period_offset").cast("int").alias("period_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+_q169_sql = """
+WITH e AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
+f AS (SELECT u, min(p) AS cohort FROM e GROUP BY u)
+SELECT CAST(cohort AS VARCHAR) AS cohort,
+       CAST(date_diff('day', cohort, p) // 7 AS INT) AS period_offset,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM e JOIN f USING (u)
+GROUP BY 1, 2
+"""
+
+
+def _q170(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase (operators/analytics.py
+    funnel_counts): per-user chained conditional mins over ONE grouped
+    collect — single user-keyed shuffle, greedy-earliest semantics."""
+    from polars_net_spark.operators.analytics import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev.spark, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).spark.select(
+        "step", F.col("step_idx").cast("int").alias("step_idx"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+_q170_sql = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS s, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+m0 AS (SELECT u, min(ts) AS t0 FROM e WHERE s = 'view' GROUP BY u),
+m1 AS (SELECT e.u, min(ts) AS t1 FROM e JOIN m0 ON e.u = m0.u
+       WHERE s = 'click' AND ts > t0 GROUP BY e.u),
+m2 AS (SELECT e.u, min(ts) AS t2 FROM e JOIN m1 ON e.u = m1.u
+       WHERE s = 'purchase' AND ts > t1 GROUP BY e.u)
+SELECT 'view' AS step, CAST(1 AS INT) AS step_idx,
+       CAST((SELECT count(*) FROM m0) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(2 AS INT), CAST((SELECT count(*) FROM m1) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(3 AS INT), CAST((SELECT count(*) FROM m2) AS BIGINT)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5347,6 +5455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_dedup_against": _q164,
         "q165_ols_by_key": _q165,
         "q166_key_skew": _q166,
+        "q167_outlier_flags": _q167,
+        "q168_find_gaps": _q168,
+        "q169_cohort_retention": _q169,
+        "q170_funnel": _q170,
     }
 
 
@@ -5518,4 +5630,8 @@ def oracle_sql() -> dict[str, str]:
         "q164_dedup_against": _q164_sql,
         "q165_ols_by_key": _q165_sql,
         "q166_key_skew": _q166_sql,
+        "q167_outlier_flags": _q167_sql,
+        "q168_find_gaps": _q168_sql,
+        "q169_cohort_retention": _q169_sql,
+        "q170_funnel": _q170_sql,
     }

@@ -192,3 +192,75 @@ class TestRegressionOps:
         out = key_skew_report(d, "k", top_k=2).collect().rows()
         assert out[0] == ("hot", 70, 0.7, 1)
         assert out[1] == ("warm", 20, 0.2, 2)
+
+
+class TestAnalyticsOps:
+    def test_outlier_flags_zscore_and_mad(self, spark):
+        from polars_net_spark.operators.analytics import with_outlier_flags
+
+        d = spark.createDataFrame(
+            [("a", float(v)) for v in [1, 2, 1, 2, 1, 2, 100]] + [("b", 5.0), ("a", None)],
+            ["k", "v"],
+        )
+        z = {(r[0], r[1]): r[2] for r in with_outlier_flags(d, "v", by="k").collect().rows()}
+        assert z[("a", None)] is None           # null value -> null flag
+        assert z[("b", 5.0)] is False           # zero spread flags nothing
+        m = with_outlier_flags(d, "v", by="k", method="mad", threshold=3.5).collect().rows()
+        flagged = [r[:2] for r in m if r[2]]
+        assert flagged == [("a", 100.0)]        # MAD is robust to its own outlier
+
+    def test_find_gaps(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import find_gaps
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, t0), (1, t0 + dt.timedelta(minutes=10)), (1, t0 + dt.timedelta(hours=3)), (2, t0)],
+            ["u", "ts"],
+        )
+        out = find_gaps(ev, "ts", by="u", min_gap="1 hour").collect().rows()
+        assert out == [
+            (1, t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(hours=3), 10200.0)
+        ]
+
+    def test_cohort_retention_week(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import cohort_retention
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 8)),
+            (2, dt.datetime(2024, 1, 8)),
+            (2, dt.datetime(2024, 1, 22)),
+        ]
+        out = sorted(
+            cohort_retention(spark.createDataFrame(rows, ["u", "ts"]), "u", "ts", "week")
+            .collect().rows()
+        )
+        assert out == [
+            (dt.date(2024, 1, 1), 0, 1),
+            (dt.date(2024, 1, 1), 1, 1),
+            (dt.date(2024, 1, 8), 0, 1),
+            (dt.date(2024, 1, 8), 2, 1),
+        ]
+
+    def test_funnel_order_matters(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import funnel_counts
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = dt.timedelta(minutes=1)
+        fr = [
+            (1, "view", t0), (1, "click", t0 + m), (1, "purchase", t0 + 2 * m),
+            (2, "view", t0), (2, "purchase", t0 + m),          # skips click
+            (3, "click", t0), (3, "view", t0 + m),             # wrong order
+            (4, "purchase", t0),                               # never viewed
+        ]
+        out = funnel_counts(
+            spark.createDataFrame(fr, ["u", "s", "ts"]), "u", "ts", "s",
+            ["view", "click", "purchase"],
+        ).collect().rows()
+        assert out == [("view", 1, 3), ("click", 2, 1), ("purchase", 3, 1)]
