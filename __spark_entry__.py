@@ -5284,6 +5284,159 @@ SELECT 'purchase', CAST(3 AS INT), CAST((SELECT count(*) FROM m2) AS BIGINT)
 """
 
 
+def _q171(spark, sf_dir):
+    """Blocked Levenshtein record linkage (operators/joins_ext.py
+    fuzzy_join): every part name vs its last-char-truncated variant —
+    candidates meet only inside shared 4-char blocks (two offset emissions
+    per side), exact edit-distance verify; never all-pairs."""
+    from polars_net_spark.operators.joins_ext import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    left = part.spark.select(F.col("p_partkey").alias("lid"), F.col("p_name").alias("name"))
+    right = part.spark.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("name"),
+    )
+    out = fuzzy_join(left, right, on="name", max_distance=2, block_chars=4)
+    return out.spark.select(
+        "lid", F.col("name").alias("lname"), "rid",
+        F.col("name_right").alias("rname"), F.col("edit_distance").cast("int").alias("edit_distance"),
+    )
+
+
+_q171_sql = """
+WITH l AS (SELECT p_partkey AS lid, p_name AS lname, lower(trim(p_name)) AS ln FROM part),
+r AS (SELECT p_partkey + 1000000 AS rid,
+             substr(p_name, 1, length(p_name) - 1) AS rname,
+             lower(trim(substr(p_name, 1, length(p_name) - 1))) AS rn
+      FROM part),
+lb AS (SELECT lid, lname, ln, unnest(list_distinct([substr(ln, 1, 4), substr(ln, 2, 4)])) AS blk FROM l),
+rb AS (SELECT rid, rname, rn, unnest(list_distinct([substr(rn, 1, 4), substr(rn, 2, 4)])) AS blk FROM r)
+SELECT DISTINCT lid, lname, rid, rname,
+       CAST(levenshtein(ln, rn) AS INT) AS edit_distance
+FROM lb JOIN rb USING (blk)
+WHERE levenshtein(ln, rn) <= 2
+"""
+
+
+def _q172(spark, sf_dir):
+    """SCD type-2 history apply (operators/merge.py scd2_apply): change
+    batch folded into a versioned dimension — changed keys close + re-open,
+    equal keys no-op, new keys insert; one full-outer join, 1-2 rows per key
+    via conditional array explode."""
+    from polars_net_spark.operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").spark
+    d0, d2 = F.lit("2020-01-01").cast("date"), F.lit("2024-06-01").cast("date")
+    hist = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+        d0.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(
+            F.when(F.col("c_custkey") % 6 == 0, F.col("c_acctbal"))
+            .otherwise(F.col("c_acctbal") + 100),
+            2,
+        ).alias("bal"),
+        d2.alias("ts"),
+    )
+    fresh = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 100000).alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+        d2.alias("ts"),
+    )
+    out = scd2_apply(hist, changed.unionByName(fresh), "k", "bal", "ts")
+    # dates as strings: Spark returns python date objects (object dtype),
+    # DuckDB datetime64 — string-typed output hashes identically
+    return out.spark.select(
+        "k", "bal",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+_q172_sql = """
+WITH h AS (
+  SELECT c_custkey AS k, round(c_acctbal, 2) AS bal,
+         DATE '2020-01-01' AS vf FROM customer),
+u AS (
+  SELECT c_custkey AS k,
+         round(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal ELSE c_acctbal + 100 END, 2) AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 100000, round(c_acctbal, 2) FROM customer WHERE c_custkey % 5 = 0),
+j AS (
+  SELECT coalesce(h.k, u.k) AS k, h.bal AS obal, u.bal AS ubal,
+         h.k IS NOT NULL AS has_o, u.k IS NOT NULL AS has_u, h.vf AS vf
+  FROM h FULL JOIN u ON h.k = u.k)
+SELECT k, obal AS bal, CAST(vf AS VARCHAR) AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+FROM j WHERE has_o AND (NOT has_u OR obal = ubal)
+UNION ALL
+SELECT k, obal, CAST(vf AS VARCHAR), '2024-06-01', false
+FROM j WHERE has_o AND has_u AND obal <> ubal
+UNION ALL
+SELECT k, ubal, '2024-06-01', CAST(NULL AS VARCHAR), true
+FROM j WHERE has_u AND (NOT has_o OR obal <> ubal)
+"""
+
+
+def _q173(spark, sf_dir):
+    """THIRD true Structured Streaming gate: native SESSION WINDOWS
+    (F.session_window, 30-min gap) per user under availableNow complete
+    mode — the stateful session operator itself, not the batch lag+cumsum
+    emulation (q37).  An event at exactly start+gap opens a NEW session
+    (half-open windows), which the oracle replicates as diff >= 1800s."""
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+    )
+    try:
+        spark.catalog.dropTempView("q173_sessions")
+    except Exception:
+        pass
+    q = (
+        stream.writeStream.format("memory").queryName("q173_sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table("q173_sessions").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        "sum_v",
+    )
+
+
+_q173_sql = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_v
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5459,6 +5612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_find_gaps": _q168,
         "q169_cohort_retention": _q169,
         "q170_funnel": _q170,
+        "q171_fuzzy_join": _q171,
+        "q172_scd2": _q172,
+        "q173_stream_sessions": _q173,
     }
 
 
@@ -5634,4 +5790,7 @@ def oracle_sql() -> dict[str, str]:
         "q168_find_gaps": _q168_sql,
         "q169_cohort_retention": _q169_sql,
         "q170_funnel": _q170_sql,
+        "q171_fuzzy_join": _q171_sql,
+        "q172_scd2": _q172_sql,
+        "q173_stream_sessions": _q173_sql,
     }

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .._fmt import parse_polars_duration_us
 
-__all__ = ["range_join", "salted_join"]
+__all__ = ["range_join", "salted_join", "fuzzy_join"]
 
 
 def _as_list(v) -> list[str]:
@@ -249,3 +249,87 @@ def salted_join(
             continue
         sel.append(F.col(f"__r__.{c}").alias(c + suffix if c in lcols else c))
     return LazyFrame(joined.select(*sel))
+
+
+def fuzzy_join(
+    left,
+    right,
+    on: str,
+    max_distance: int = 2,
+    block_chars: int = 2,
+    how: str = "inner",
+    suffix: str = "_right",
+    normalized: bool = False,
+):
+    """Blocked edit-distance join (record linkage): match rows whose ``on``
+    strings are within ``max_distance`` Levenshtein edits, without an
+    all-pairs comparison.
+
+    Blocking: each side emits candidate keys — the lowercase value's first
+    ``block_chars`` characters AND the same with one leading char dropped —
+    so two strings whose first characters differ by one edit still share a
+    block.  The join is an equi-join on the block key; Levenshtein runs only
+    on candidates.  RECALL CONTRACT: a pair is found iff the two strings
+    agree on some emitted block — edits entirely inside the first
+    ``block_chars`` chars of BOTH emissions can be missed (lower
+    block_chars, or block on an external key, for higher recall; blocking
+    is the standard precision-1/recall<1 trade of record linkage at scale).
+
+    ``normalized=True`` additionally strips non-alphanumerics before
+    blocking/compare.  Output: left columns + right columns (collisions
+    suffixed), plus ``edit_distance``.  100 TB: one (block-key)-keyed
+    shuffle, candidates bounded per block; a hot block (e.g. empty strings)
+    is the skew lever — pre-filter or raise block_chars.
+    """
+    from ..frame import LazyFrame
+
+    lsdf = left._sdf if isinstance(left, LazyFrame) else left
+    rsdf = right._sdf if isinstance(right, LazyFrame) else right
+    if how not in ("inner", "left"):
+        raise ValueError("fuzzy_join supports how='inner'|'left'")
+
+    def norm(c):
+        c = F.lower(F.trim(c))
+        if normalized:
+            c = F.regexp_replace(c, r"[^a-z0-9]", "")
+        return c
+
+    def blocks(c):
+        n = norm(c)
+        return F.array_distinct(
+            F.array(
+                F.substring(n, 1, block_chars),
+                F.substring(n, 2, block_chars),
+            )
+        )
+
+    lcols, rcols = lsdf.columns, rsdf.columns
+    renames = {c: c + suffix for c in rcols if c in lcols}
+    r2 = rsdf.withColumnsRenamed(renames)
+    ron = on + suffix if on in renames else on
+    le = lsdf.withColumn("__blk__", F.explode(blocks(F.col(on))))
+    re_ = r2.withColumn("__blk__", F.explode(blocks(F.col(ron))))
+    dist = F.levenshtein(norm(F.col(on)), norm(F.col(ron)))
+    # a pair sharing BOTH emitted blocks matches twice — dedup on the full
+    # output row (exact when input rows are distinct; byte-identical
+    # duplicate input rows collapse, documented)
+    matched = (
+        le.join(re_, "__blk__")
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") <= max_distance)
+        .drop("__blk__")
+        .dropDuplicates()
+    )
+    if how == "left":
+        out_cols = [F.col(c) for c in lcols] + [
+            F.col(renames.get(c, c)) for c in rcols
+        ] + [F.col("edit_distance")]
+        missed = le.join(matched.select(on).distinct(), on, "anti").drop("__blk__").dropDuplicates(lcols)
+        matched = matched.select(*out_cols)
+        pad = missed.select(
+            *[F.col(c) for c in lcols],
+            *[F.lit(None).cast(r2.schema[renames.get(c, c)].dataType).alias(renames.get(c, c)) for c in rcols],
+            F.lit(None).cast("int").alias("edit_distance"),
+        )
+        return LazyFrame(matched.unionByName(pad))
+    return LazyFrame(matched)

@@ -24,7 +24,7 @@ from typing import Sequence
 
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into"]
+__all__ = ["merge_into", "scd2_apply"]
 
 
 def merge_into(
@@ -93,3 +93,88 @@ def merge_into(
             expr = F.when(in_t, tc).otherwise(sc)
         out_cols.append(expr.alias(c))
     return LazyFrame(j.filter(keep).select(*out_cols))
+
+
+def scd2_apply(
+    history,
+    updates,
+    key_cols: "str | Sequence[str]",
+    compare_cols: "str | Sequence[str]",
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+):
+    """Slowly-Changing-Dimension **type 2** apply: fold a change batch into a
+    versioned history table.  For every update key whose ``compare_cols``
+    differ from the key's OPEN row, the open row closes (``valid_to`` = the
+    update's ``ts_col``, flag false) and a new open version inserts;
+    unchanged keys keep their open row; unseen keys insert fresh.  Closed
+    history rows pass through untouched.
+
+    The update batch is first reduced to ONE row per key (latest ``ts_col``,
+    struct-max tie-break) so intra-batch dup keys can't fork the history.
+    Plan shape: one map-side-combining reduce on the batch + ONE full-outer
+    join against the open slice, emitting 1-2 rows per key via a conditional
+    array explode — no second join, no window.  Closed rows union back by
+    scan.  AQE broadcasts small change batches.
+
+    ``history`` columns: key_cols + compare_cols + valid_from + valid_to +
+    current_flag.  Open rows have null ``valid_to``.  Output schema equals
+    the history schema.
+    """
+    from ..frame import LazyFrame
+
+    hsdf = history._sdf if isinstance(history, LazyFrame) else history
+    usdf = updates._sdf if isinstance(updates, LazyFrame) else updates
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attrs = [compare_cols] if isinstance(compare_cols, str) else list(compare_cols)
+
+    # latest update per key (deterministic: ts then attrs break ties)
+    packed = usdf.select(
+        *keys,
+        F.struct(F.col(ts_col).alias("__ts__"), *[F.col(a) for a in attrs]).alias("__u__"),
+    )
+    latest = packed.groupBy(*keys).agg(F.max("__u__").alias("__u__"))
+
+    open_rows = hsdf.filter(F.col(current_flag))
+    closed_rows = hsdf.filter(~F.col(current_flag))
+    j = open_rows.alias("o").join(latest.alias("u"), keys, "full")
+
+    has_open = F.col(f"o.{valid_from}").isNotNull()
+    has_upd = F.col("u.__u__").isNotNull()
+    same = F.forall(
+        F.array(*[
+            F.col(f"o.{a}").eqNullSafe(F.col("u.__u__").getField(a)) for a in attrs
+        ]),
+        lambda x: x,
+    )
+    uts = F.col("u.__u__").getField("__ts__")
+
+    def _row(from_, to_, flag, attr_src):
+        return F.struct(
+            from_.alias(valid_from),
+            to_.alias(valid_to),
+            flag.alias(current_flag),
+            *[attr_src(a).alias(a) for a in attrs],
+        )
+
+    open_attr = lambda a: F.col(f"o.{a}")
+    upd_attr = lambda a: F.col("u.__u__").getField(a)
+    keep_open = _row(F.col(f"o.{valid_from}"), F.col(f"o.{valid_to}"), F.lit(True), open_attr)
+    close_open = _row(F.col(f"o.{valid_from}"), uts, F.lit(False), open_attr)
+    new_open = _row(uts, F.lit(None).cast(open_rows.schema[valid_to].dataType), F.lit(True), upd_attr)
+
+    emit = (
+        F.when(has_open & ~has_upd, F.array(keep_open))
+        .when(~has_open & has_upd, F.array(new_open))
+        .when(same, F.array(keep_open))
+        .otherwise(F.array(close_open, new_open))
+    )
+    exploded = j.select(*[F.col(k) for k in keys], F.explode(emit).alias("__r__"))
+    out_cols = keys + [c for c in hsdf.columns if c not in keys]
+    versioned = exploded.select(
+        *[F.col(k) for k in keys],
+        *[F.col("__r__").getField(c).alias(c) for c in out_cols if c not in keys],
+    ).select(*out_cols)
+    return LazyFrame(versioned.unionByName(closed_rows.select(*out_cols)))

@@ -362,3 +362,57 @@ class TestZorder:
         # so neither dimension spans the full 0..31 extent in most partitions
         tight = sum(1 for r in stats if r["sx"] <= 16 or r["sy"] <= 16)
         assert tight >= len(stats) // 2
+
+
+class TestFuzzyJoin:
+    def test_inner_and_left(self, spark):
+        from polars_net_spark.operators.joins_ext import fuzzy_join
+
+        l = spark.createDataFrame([(1, "Johnson"), (2, "smith"), (3, "Quartz")], ["lid", "name"])
+        r = spark.createDataFrame([(10, "Jonson"), (11, "Smyth"), (12, "Diamond")], ["rid", "name"])
+        inner = sorted(fuzzy_join(l, r, on="name", max_distance=2).collect().rows())
+        assert inner == [(1, "Johnson", 10, "Jonson", 1), (2, "smith", 11, "Smyth", 1)]
+        left = sorted(fuzzy_join(l, r, on="name", max_distance=2, how="left").collect().rows(), key=str)
+        assert (3, "Quartz", None, None, None) in left and len(left) == 3
+
+    def test_normalized_and_no_cartesian(self, spark):
+        from polars_net_spark.operators.joins_ext import fuzzy_join
+
+        l = spark.createDataFrame([(1, "O'Brien")], ["lid", "name"])
+        r = spark.createDataFrame([(10, "OBrien!")], ["rid", "name"])
+        out = fuzzy_join(l, r, on="name", max_distance=0, normalized=True)
+        assert [r[4] for r in out.collect().rows()] == [0]
+        plan = out.spark._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+class TestScd2:
+    def test_close_reopen_insert_noop(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.merge import scd2_apply
+
+        d0, d1, d2 = dt.date(2020, 1, 1), dt.date(2023, 1, 1), dt.date(2024, 6, 1)
+        hist = spark.createDataFrame(
+            [(1, 100.0, d0, d1, False), (1, 150.0, d1, None, True),
+             (2, 200.0, d0, None, True), (3, 300.0, d0, None, True)],
+            ["k", "bal", "valid_from", "valid_to", "is_current"],
+        )
+        upd = spark.createDataFrame(
+            [(3, 333.0, d2), (3, 330.0, d1),  # intra-batch dup: latest wins
+             (2, 200.0, d2),                   # unchanged -> no-op
+             (9, 900.0, d2)],
+            ["k", "bal", "ts"],
+        )
+        out = sorted(scd2_apply(hist, upd, "k", "bal", "ts").collect().rows())
+        assert out == [
+            (1, 100.0, d0, d1, False),
+            (1, 150.0, d1, None, True),
+            (2, 200.0, d0, None, True),
+            (3, 300.0, d0, d2, False),
+            (3, 333.0, d2, None, True),
+            (9, 900.0, d2, None, True),
+        ]
+        # exactly one open row per live key
+        opens = [r for r in out if r[4]]
+        assert len({r[0] for r in opens}) == len(opens)
