@@ -5437,6 +5437,78 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _q174(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py): 3 power-iteration
+    rounds over a derived 500-node graph — per round one src-keyed join +
+    one dst-keyed map-side-combining aggregate; closed-form, so the oracle
+    is 3 chained CTEs."""
+    from polars_net_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.spark.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return pagerank(edges, iterations=3).spark
+
+
+def _pagerank_oracle_sql(iterations: int = 3, d: float = 0.85) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"c{i} AS (SELECT e.d AS v, sum({prev}.r / deg.deg) AS s "
+            f"FROM e JOIN {prev} ON e.s = {prev}.v JOIN deg ON e.s = deg.s GROUP BY e.d),\n"
+            f"r{i} AS (SELECT v.v, (1 - {d}) / (SELECT n FROM n) + {d} * coalesce(c{i}.s, 0) AS r "
+            f"FROM v LEFT JOIN c{i} ON v.v = c{i}.v)"
+        )
+        prev = f"r{i}"
+    return f"""
+WITH e AS (SELECT DISTINCT l_orderkey % 500 AS s, l_partkey % 500 AS d FROM lineitem),
+v AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+n AS (SELECT count(*) AS n FROM v),
+deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+r0 AS (SELECT v.v, 1.0 / (SELECT n FROM n) AS r FROM v),
+{', '.join(rounds)}
+SELECT v AS id, round(r, 6) AS rank FROM {prev}
+"""
+
+
+_q174_sql = _pagerank_oracle_sql()
+
+
+def _q175(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (llm/sampling.py
+    sample_weighted_hash, Efraimidis–Spirakis with the md5 hash as the RNG):
+    top-5 docs per source by u^(1/n_chars) — grouped window with
+    WindowGroupLimit map-side pruning, fully deterministic."""
+    from polars_net_spark.llm import sample_weighted_hash
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_weighted_hash(
+        d.spark.select("doc_id", "source", "n_chars"),
+        key_col="doc_id", weight_col="n_chars", k=5, by="source", salt="ws",
+    )
+    return out.spark.select("doc_id", "source")
+
+
+_q175_sql = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         (list_reduce(list_transform(generate_series(1, 12),
+             i -> strpos('0123456789abcdef', substr(md5('ws' || CAST(doc_id AS VARCHAR)), i, 1)) - 1),
+             (a, x) -> a * 16.0 + x) + 0.5) / 281474976710656.0 AS u
+  FROM documents WHERE n_chars > 0),
+s AS (
+  SELECT doc_id, source, pow(u, 1.0 / n_chars) AS score FROM h),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+  FROM s)
+SELECT doc_id, source FROM r WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5615,6 +5687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_fuzzy_join": _q171,
         "q172_scd2": _q172,
         "q173_stream_sessions": _q173,
+        "q174_pagerank": _q174,
+        "q175_weighted_sample": _q175,
     }
 
 
@@ -5793,4 +5867,6 @@ def oracle_sql() -> dict[str, str]:
         "q171_fuzzy_join": _q171_sql,
         "q172_scd2": _q172_sql,
         "q173_stream_sessions": _q173_sql,
+        "q174_pagerank": _q174_sql,
+        "q175_weighted_sample": _q175_sql,
     }

@@ -36,7 +36,7 @@ def _half_up(x: float) -> int:
     oracle."""
     return int(math.floor(x + 0.5))
 
-__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan", "temperature_weights", "shuffle_by_hash", "oversample_by_weight"]
+__all__ = ["cap_per_key", "sample_stratified_hash", "mixture_sample", "mixture_plan", "temperature_weights", "shuffle_by_hash", "oversample_by_weight", "sample_weighted_hash"]
 
 
 def oversample_by_weight(
@@ -362,3 +362,46 @@ def shuffle_by_hash(
     sdf = frame.spark if hasattr(frame, "spark") else frame
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     return LazyFrame(sdf.withColumn("__shuf__", key).orderBy("__shuf__").drop("__shuf__"))
+
+
+def sample_weighted_hash(
+    frame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: "str | list[str] | None" = None,
+    salt: str = "",
+):
+    """Weighted sampling WITHOUT replacement, deterministically: the
+    Efraimidis–Spirakis A-ES scheme with the RNG replaced by the portable
+    md5 hash — draw u = hash(key) ∈ (0,1), score = u^(1/w), keep the k
+    highest scores (per ``by`` group if given).  Inclusion probabilities
+    follow sequential weighted draws without replacement; reruns, engines,
+    and cluster layouts all agree because u is a pure function of the key.
+
+    Zero/negative/null weights are excluded.  Global k uses
+    TakeOrderedAndProject (per-partition heaps); grouped k is one window
+    shuffle on ``by`` with rank pruned map-side (WindowGroupLimit).
+    """
+    from ..frame import LazyFrame
+    from pyspark.sql import Window
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = F.col(weight_col).cast("double")
+    # 48-bit uniform from md5, strictly inside (0, 1)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 12), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    score = F.pow(u, 1.0 / w)
+    staged = sdf.filter(w > 0).withColumn("__score__", score)
+    if not keys:
+        out = staged.orderBy(F.col("__score__").desc(), F.col(key_col)).limit(int(k))
+        return LazyFrame(out.drop("__score__"))
+    rn = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("__score__").desc(), F.col(key_col))
+    )
+    out = staged.withColumn("__rn__", rn).filter(F.col("__rn__") <= int(k))
+    return LazyFrame(out.drop("__score__", "__rn__"))

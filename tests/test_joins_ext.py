@@ -416,3 +416,54 @@ class TestScd2:
         # exactly one open row per live key
         opens = [r for r in out if r[4]]
         assert len({r[0] for r in opens}) == len(opens)
+
+
+class TestPagerank:
+    def test_star_graph_and_mass(self, spark):
+        from polars_net_spark.operators.graph import pagerank
+
+        # star: 1..4 all point at 0; 0 points at 1
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 5)] + [(0, 1)], ["src", "dst"]
+        )
+        out = dict(pagerank(edges, iterations=40).collect().rows())
+        assert out[0] == max(out.values())          # hub dominates (converged)
+        assert abs(sum(out.values()) - 1.0) < 1e-3  # no dangling -> mass conserved
+        # leaf symmetry: 2, 3, 4 identical; 1 higher (receives from 0)
+        assert out[2] == out[3] == out[4]
+        assert out[1] > out[2]
+
+    def test_dangling_leaks_documented(self, spark):
+        from polars_net_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 dangles
+        out = dict(pagerank(edges, iterations=5).collect().rows())
+        assert sum(out.values()) < 1.0  # simple-variant leak, per docstring
+
+
+class TestWeightedSample:
+    def test_without_replacement_and_bias(self, spark):
+        from polars_net_spark.llm import sample_weighted_hash
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"),
+        )
+        out = [r[0] for r in sample_weighted_hash(d, "k", "w", k=50).collect().rows()]
+        assert len(out) == len(set(out)) == 50
+        heavy = sum(1 for k in out if k < 100)
+        assert heavy >= 40  # 100 heavy keys at weight 1000 dominate the top-50
+        out2 = [r[0] for r in sample_weighted_hash(d, "k", "w", k=50).collect().rows()]
+        assert sorted(out) == sorted(out2)  # deterministic
+
+    def test_grouped_k(self, spark):
+        from polars_net_spark.llm import sample_weighted_hash
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g"), F.lit(1.0).alias("w")
+        )
+        out = sample_weighted_hash(d, "k", "w", k=3, by="g").collect().rows()
+        from collections import Counter
+        assert Counter(r[1] for r in out) == {0: 3, 1: 3, 2: 3, 3: 3}

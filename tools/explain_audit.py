@@ -282,6 +282,29 @@ CHECKS = {
         ("partial_min_by", "sort_by().first() is a map-side-combining min_by"),
         ("!", "Window", "order-sensitive aggregates need no window"),
     ],
+    "q161_vocab_encode": [
+        ("BroadcastHashJoin", "vocab joins by broadcast"),
+        ("TakeOrderedAndProject", "top-V vocab avoids full sort"),
+    ],
+    "q163_zorder_key": [
+        ("!", "Exchange", "explicit-range zorder key is map-only"),
+        ("!", "BatchEvalPython", "bit interleave is JVM codegen"),
+    ],
+    "q164_dedup_against": [
+        ("!", "CartesianProduct", "new x ref candidates via gram equi-join"),
+    ],
+    "q165_ols_by_key": [
+        ("partial_", "power sums combine map-side"),
+        ("!", "Window", "closed-form fit needs no window"),
+    ],
+    "q171_fuzzy_join": [
+        ("!", "CartesianProduct", "blocked linkage never all-pairs"),
+        ("!", "BroadcastNestedLoopJoin", "no nested-loop fallback"),
+    ],
+    "q172_scd2": [
+        ("!", "CartesianProduct", "no cartesian"),
+        ("!", "Window", "SCD2 fold is join+explode, no window"),
+    ],
 }
 
 
