@@ -5091,13 +5091,15 @@ def _q164(spark, sf_dir):
     from polars_net_spark.llm import dedup_against
 
     d = _t(spark, sf_dir, "documents")
-    new = d.spark.filter(F.col("doc_id") % 2 == 0)
+    # new side thinned to 40% of evens: the gram-postings join cost is
+    # sum_g(dfn_g * dfr_g) and this corpus is heavily templated (hot grams)
+    new = d.spark.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 < 4))
     ref = d.spark.filter(F.col("doc_id") % 2 == 1)
     return dedup_against(new, ref, threshold=0.8).spark.select("doc_id", "n_chars")
 
 
 _q164_sql = """
-WITH nw AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+WITH nw AS (SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 < 4),
 rf AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
 wn AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM nw),
 gn AS (SELECT doc_id,
@@ -5297,7 +5299,12 @@ def _q171(spark, sf_dir):
         (F.col("p_partkey") + 1000000).alias("rid"),
         F.expr("substr(p_name, 1, length(p_name) - 1)").alias("name"),
     )
-    out = fuzzy_join(left, right, on="name", max_distance=2, block_chars=4)
+    # block_chars=12: part names are drawn from ~90 color words, so 4-char
+    # prefixes collapse into a few hot blocks (measured 108 s at sf0.1 —
+    # sum(df_block^2) is THE fuzzy-join cost driver); 12-char prefixes span
+    # 2-3 words and keep blocks tiny, while the gate's last-char edits stay
+    # far outside the block zone (full recall for this pair family)
+    out = fuzzy_join(left, right, on="name", max_distance=2, block_chars=12)
     return out.spark.select(
         "lid", F.col("name").alias("lname"), "rid",
         F.col("name_right").alias("rname"), F.col("edit_distance").cast("int").alias("edit_distance"),
@@ -5310,8 +5317,8 @@ r AS (SELECT p_partkey + 1000000 AS rid,
              substr(p_name, 1, length(p_name) - 1) AS rname,
              lower(trim(substr(p_name, 1, length(p_name) - 1))) AS rn
       FROM part),
-lb AS (SELECT lid, lname, ln, unnest(list_distinct([substr(ln, 1, 4), substr(ln, 2, 4)])) AS blk FROM l),
-rb AS (SELECT rid, rname, rn, unnest(list_distinct([substr(rn, 1, 4), substr(rn, 2, 4)])) AS blk FROM r)
+lb AS (SELECT lid, lname, ln, unnest(list_distinct([substr(ln, 1, 12), substr(ln, 2, 12)])) AS blk FROM l),
+rb AS (SELECT rid, rname, rn, unnest(list_distinct([substr(rn, 1, 12), substr(rn, 2, 12)])) AS blk FROM r)
 SELECT DISTINCT lid, lname, rid, rname,
        CAST(levenshtein(ln, rn) AS INT) AS edit_distance
 FROM lb JOIN rb USING (blk)
@@ -5509,6 +5516,52 @@ SELECT doc_id, source FROM r WHERE rn <= 5
 """
 
 
+def _q176(spark, sf_dir):
+    """Pairwise correlation matrix (operators/regression.py corr_matrix):
+    6 Pearson pairs over lineitem numerics in ONE scan + one aggregate
+    (plan-width cost, not extra passes); long-format output."""
+    from polars_net_spark.operators.regression import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li.spark, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).spark
+
+
+_q176_sql = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
+def _q177(spark, sf_dir):
+    """Rolling correlation (Expr.rolling_corr): value vs time over a
+    20-row trailing window per user — F.corr INSIDE the window frame, one
+    WindowExec, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    x = pls.Expr(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6))
+    out = ev.with_columns(
+        col("value")
+        .rolling_corr(x, 20, order_by=[col("ts"), col("event_id")], partition_by=["user_id"])
+        .alias("rc")
+    )
+    return out.spark.select("event_id", F.round("rc", 6).alias("rc"))
+
+
+_q177_sql = """
+SELECT event_id,
+       CASE WHEN count(*) OVER w >= 20
+            THEN round(corr(value, epoch(ts)) OVER w, 6) END AS rc
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5689,6 +5742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_stream_sessions": _q173,
         "q174_pagerank": _q174,
         "q175_weighted_sample": _q175,
+        "q176_corr_matrix": _q176,
+        "q177_rolling_corr": _q177,
     }
 
 
@@ -5869,4 +5924,6 @@ def oracle_sql() -> dict[str, str]:
         "q173_stream_sessions": _q173_sql,
         "q174_pagerank": _q174_sql,
         "q175_weighted_sample": _q175_sql,
+        "q176_corr_matrix": _q176_sql,
+        "q177_rolling_corr": _q177_sql,
     }

@@ -1139,6 +1139,22 @@ class Expr:
         ).orderBy(*_order_cols(order_by))
         return w.rowsBetween(-(window_size - 1), 0), window_size
 
+    def rolling_corr(self, other: "Expr | str", window_size, min_periods=None,
+                     order_by=None, partition_by=(), ddof: int = 1):
+        """Pearson correlation of self vs ``other`` over the trailing window
+        (pandas/polars rolling_corr).  F.corr is a declarative aggregate, so
+        it evaluates INSIDE the window frame — one WindowExec, no UDF.
+        Windows with fewer than ``min_periods`` both-non-null pairs (default
+        the window size) yield null, as do zero-variance windows (corr's own
+        semantics)."""
+        o = F.col(other) if isinstance(other, str) else _c(other)
+        frame, ws = self._rolling_frame(window_size, order_by, partition_by)
+        both = F.when(self._col.isNotNull() & o.isNotNull(), F.lit(1))
+        cnt = F.count(both).over(frame)
+        c = F.corr(self._col, o).over(frame)
+        mp = min_periods if min_periods is not None else ws
+        return _wrap(F.when(cnt >= F.lit(mp), c))
+
     def rolling_skew(self, window_size, bias: bool = True, min_periods=None,
                      order_by=None, partition_by=()):
         """polars rolling_skew: skewness over the trailing window.  Spark's

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix"]
 
 
 def _sdf(frame):
@@ -101,4 +101,47 @@ def key_skew_report(
         F.round(F.col("cnt") / F.col("__total__"), round_to).alias("frac"),
         w_rank.alias("rank"),
     )
+    return LazyFrame(out)
+
+
+def corr_matrix(
+    frame: "LazyFrame | SparkDF",
+    cols: "list[str]",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass —
+    long-format output (col_a, col_b, corr, both upper-triangle orders
+    excluded; a < b by input position).  F.corr handles pairwise null
+    exclusion (rows missing either value drop from that pair only).
+
+    k columns → k(k−1)/2 corr aggregates in a single map-side-combining
+    groupBy-less agg; keep k modest (≤ ~40, i.e. ≤ 800 aggregates) — the
+    cost is plan width, not data passes (the corpus is scanned ONCE).
+    """
+    sdf = _sdf(frame)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), round_to)
+                .alias(f"__c_{a}__{b}__")
+            )
+            names.append((a, b))
+    one = sdf.agg(*aggs)
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"__c_{a}__{b}__").alias("corr"),
+                )
+                for a, b in names
+            ]
+        )
+    )
+    out = one.select(entries.alias("e")).select("e.col_a", "e.col_b", "e.corr")
     return LazyFrame(out)

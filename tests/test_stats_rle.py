@@ -264,3 +264,32 @@ class TestAnalyticsOps:
             ["view", "click", "purchase"],
         ).collect().rows()
         assert out == [("view", 1, 3), ("click", 2, 1), ("purchase", 3, 1)]
+
+
+class TestCorrOps:
+    def test_corr_matrix_long_format(self, spark):
+        import math
+
+        from polars_net_spark.operators.regression import corr_matrix
+
+        rows = [(float(i), 2.0 * i, -1.0 * i + 0.0, 5.0) for i in range(10)]
+        d = spark.createDataFrame(rows, ["a", "b", "c", "k"])
+        out = {(r[0], r[1]): r[2] for r in corr_matrix(d, ["a", "b", "c", "k"]).collect().rows()}
+        assert out[("a", "b")] == 1.0
+        assert out[("a", "c")] == -1.0
+        assert out[("a", "k")] is None or (isinstance(out[("a", "k")], float) and math.isnan(out[("a", "k")]))  # zero variance
+        assert len(out) == 6
+
+    def test_rolling_corr(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark import col
+
+        rows = [("g", i, float(i), float(i) * 3.0 + 1) for i in range(6)]
+        d = pl.from_records(rows, ["g", "i", "x", "y"]).lazy()
+        out = d.with_columns(
+            col("x").rolling_corr("y", 3, order_by=[col("i")], partition_by=["g"]).alias("rc")
+        ).collect().rows()
+        vals = [r[4] for r in sorted(out, key=lambda r: r[1])]
+        assert vals[0] is None and vals[1] is None      # min_periods = window
+        for v in vals[2:]:
+            assert abs(v - 1.0) < 1e-9                  # perfectly linear

@@ -362,6 +362,7 @@ def main() -> None:
         "q123_term_df",             # 1-row corpus-doc-count attach
         "q146_bigram_lm",           # 1-row corpus-total N attach (backoff floor)
         "q124_winsorize",           # 1-row quantile-boundary attach
+        "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
     }
     from polars_net_spark import release_caches
 
