@@ -5562,6 +5562,132 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _daily_series(spark, sf_dir):
+    """Shared prep for the time-series stat gates: per-type daily value sums
+    with a day index."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.spark.groupBy(
+        F.col("event_type"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+
+
+_DAILY_SQL = """
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _q178(spark, sf_dir):
+    """Additive seasonal decomposition (operators/analytics.py
+    seasonal_decompose): weekly period over per-type daily sums — centered
+    rolling-mean trend (one WindowExec), per-phase seasonal means
+    re-centered to zero, residual; statsmodels' classic recipe as pure
+    window+aggregate composition."""
+    from polars_net_spark.operators.analytics import seasonal_decompose
+
+    s = _daily_series(spark, sf_dir)
+    out = seasonal_decompose(s, "v", "d", period=7, by="event_type")
+    return out.spark.select("event_type", "d", "v", "trend", "seasonal", "residual")
+
+
+_q178_sql = f"""
+WITH s AS ({_DAILY_SQL}),
+t AS (
+  SELECT *, CASE WHEN count(*) OVER w = 7 THEN avg(v) OVER w END AS trend
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+pm AS (SELECT event_type, d % 7 AS ph, avg(v - trend) AS pm
+       FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+gm AS (SELECT event_type, avg(pm) AS gm FROM pm GROUP BY 1),
+se AS (SELECT pm.event_type, ph, pm - gm AS seas FROM pm JOIN gm USING (event_type))
+SELECT t.event_type, t.d, t.v, round(trend, 6) AS trend, round(seas, 6) AS seasonal,
+       round(v - trend - seas, 6) AS residual
+FROM t JOIN se ON t.event_type = se.event_type AND t.d % 7 = se.ph
+"""
+
+
+def _q179(spark, sf_dir):
+    """Autocorrelation function (operators/analytics.py acf): lags 1..3 of
+    the per-type daily series — all lag columns from ONE window, pairwise
+    corr aggregates, long-format output."""
+    from polars_net_spark.operators.analytics import acf
+
+    s = _daily_series(spark, sf_dir)
+    return acf(s, "v", "d", lags=3, by="event_type").spark.select(
+        "event_type", F.col("lag").cast("int").alias("lag"), "acf"
+    )
+
+
+_q179_sql = f"""
+WITH s AS ({_DAILY_SQL}),
+l AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2, lag(v, 3) OVER w AS l3
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+a AS (
+  SELECT event_type, round(corr(v, l1), 6) AS a1, round(corr(v, l2), 6) AS a2,
+         round(corr(v, l3), 6) AS a3
+  FROM l GROUP BY event_type)
+SELECT event_type, CAST(1 AS INT) AS lag, a1 AS acf FROM a
+UNION ALL SELECT event_type, CAST(2 AS INT), a2 FROM a
+UNION ALL SELECT event_type, CAST(3 AS INT), a3 FROM a
+"""
+
+
+def _q180(spark, sf_dir):
+    """CUSUM drift screen (operators/analytics.py cusum_flags): per-type
+    running sum of (x − mean) with a threshold·std flag — one stats
+    aggregate + one cumulative window."""
+    from polars_net_spark.operators.analytics import cusum_flags
+
+    s = _daily_series(spark, sf_dir)
+    return cusum_flags(s, "v", "d", by="event_type", threshold=3.0).spark.select(
+        "event_type", "d", "cusum", "is_drift"
+    )
+
+
+_q180_sql = f"""
+WITH s AS ({_DAILY_SQL}),
+st AS (SELECT event_type, avg(v) AS m, sqrt(var_pop(v)) AS sd FROM s GROUP BY 1)
+SELECT s.event_type, s.d,
+       round(sum(s.v - st.m) OVER (PARTITION BY s.event_type ORDER BY s.d
+                                   ROWS UNBOUNDED PRECEDING), 6) AS cusum,
+       CASE WHEN st.sd > 0
+            THEN abs(sum(s.v - st.m) OVER (PARTITION BY s.event_type ORDER BY s.d
+                                           ROWS UNBOUNDED PRECEDING)) > 3.0 * st.sd
+            ELSE false END AS is_drift
+FROM s JOIN st USING (event_type)
+"""
+
+
+def _q181(spark, sf_dir):
+    """Per-key trimmed mean (operators/analytics.py trimmed_mean_by_key):
+    mean inside the [0.1, 0.9] exact-quantile band per event_type."""
+    from polars_net_spark.operators.analytics import trimmed_mean_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean_by_key(
+        ev.spark.select("event_type", "value"), "value", by="event_type", trim=0.1
+    ).spark
+
+
+_q181_sql = """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       round(avg(CASE WHEN e.value BETWEEN b.lo AND b.hi THEN e.value END), 6) AS trimmed_mean,
+       CAST(count(CASE WHEN e.value BETWEEN b.lo AND b.hi THEN 1 END) AS BIGINT) AS n_used
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5744,6 +5870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_weighted_sample": _q175,
         "q176_corr_matrix": _q176,
         "q177_rolling_corr": _q177,
+        "q178_seasonal_decompose": _q178,
+        "q179_acf": _q179,
+        "q180_cusum": _q180,
+        "q181_trimmed_mean": _q181,
     }
 
 
@@ -5926,4 +6056,8 @@ def oracle_sql() -> dict[str, str]:
         "q175_weighted_sample": _q175_sql,
         "q176_corr_matrix": _q176_sql,
         "q177_rolling_corr": _q177_sql,
+        "q178_seasonal_decompose": _q178_sql,
+        "q179_acf": _q179_sql,
+        "q180_cusum": _q180_sql,
+        "q181_trimmed_mean": _q181_sql,
     }

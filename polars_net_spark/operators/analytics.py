@@ -17,6 +17,10 @@ __all__ = [
     "find_gaps",
     "cohort_retention",
     "funnel_counts",
+    "seasonal_decompose",
+    "acf",
+    "cusum_flags",
+    "trimmed_mean_by_key",
 ]
 
 
@@ -243,3 +247,173 @@ def funnel_counts(
     )
     rows = counts.select(entries.alias("e")).select("e.step", "e.step_idx", "e.n_users")
     return LazyFrame(rows)
+
+
+def seasonal_decompose(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    period: int,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Moving-average seasonal decomposition (STL-lite): trend = centered
+    rolling mean over one period; seasonal = the per-phase mean of
+    (value − trend), re-centered to sum 0 over a period; residual =
+    value − trend − seasonal.  Additive model, the classic
+    statsmodels 'seasonal_decompose(model="additive")' recipe as pure
+    window + aggregate composition.
+
+    ``order_col`` must be a dense integer position per key (use
+    with_dense_row_index / row_number upstream).  Edges (first/last
+    half-period) have null trend/residual like statsmodels.  Two shuffles:
+    the trend window and the phase aggregate (joined back keyed, AQE
+    broadcastable).
+    """
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    half = period // 2
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy(F.col(order_col))
+    v = F.col(value_col).cast("double")
+    if period % 2 == 0:
+        # even period: 2x(period)-MA — window of period+1 with half-weight ends
+        frame_w = w.rowsBetween(-half, half)
+        cnt = F.count(v).over(frame_w)
+        s = F.sum(v).over(frame_w)
+        first_ = F.first(v).over(frame_w)
+        last_ = F.last(v).over(frame_w)
+        trend = F.when(
+            cnt == period + 1, (s - (first_ + last_) / 2) / period
+        )
+    else:
+        frame_w = w.rowsBetween(-half, half)
+        cnt = F.count(v).over(frame_w)
+        trend = F.when(cnt == period, F.avg(v).over(frame_w))
+    staged = sdf.withColumn("__trend__", trend).withColumn(
+        "__phase__", F.pmod(F.col(order_col), F.lit(period))
+    )
+    phase_means = (
+        staged.filter(F.col("__trend__").isNotNull())
+        .groupBy(*keys, "__phase__")
+        .agg(F.avg(v - F.col("__trend__")).alias("__pm__"))
+    )
+    # re-center so the seasonal component sums to ~0 over one period
+    grand = phase_means.groupBy(*keys).agg(F.avg("__pm__").alias("__gm__"))
+    seas = phase_means.join(grand, keys) if keys else phase_means.join(F.broadcast(grand))
+    seas = seas.select(*keys, "__phase__", (F.col("__pm__") - F.col("__gm__")).alias("__seas__"))
+    out = (
+        staged.join(seas, keys + ["__phase__"] if keys else ["__phase__"])
+        .select(
+            *sdf.columns,
+            F.round("__trend__", round_to).alias("trend"),
+            F.round("__seas__", round_to).alias("seasonal"),
+            F.round(v - F.col("__trend__") - F.col("__seas__"), round_to).alias("residual"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def acf(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    lags: int,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Autocorrelation at lags 1..``lags``: corr(x_t, x_{t−l}) per key —
+    the Pearson variant (statsmodels acf(adjusted=False) differs slightly;
+    this is the SQL-standard pairwise-complete estimator, documented).
+    One window building all lag columns (single WindowExec) + one aggregate;
+    output long-format (key..., lag, acf)."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy(F.col(order_col))
+    v = F.col(value_col).cast("double")
+    staged = sdf.select(
+        *keys, v.alias("__v__"),
+        *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
+    )
+    agg = staged.groupBy(*keys).agg(
+        *[
+            F.round(F.corr(F.col("__v__"), F.col(f"__l{l}__")), round_to).alias(f"__a{l}__")
+            for l in range(1, lags + 1)
+        ]
+    )
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(l).alias("lag"), F.col(f"__a{l}__").alias("acf"))
+                for l in range(1, lags + 1)
+            ]
+        )
+    )
+    out = agg.select(*keys, entries.alias("e")).select(*keys, "e.lag", "e.acf")
+    return LazyFrame(out)
+
+
+def cusum_flags(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    by: "str | list[str] | None" = None,
+    threshold: float = 5.0,
+    round_to: int = 6,
+) -> LazyFrame:
+    """CUSUM drift detection: s_t = Σ_{i≤t} (x_i − mean) per key, flagged
+    where |s_t| > threshold·std (population).  A sustained level shift
+    accumulates linearly in s_t while noise cancels — the standard
+    changepoint screen as one stats aggregate + one cumulative window."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    stats = sdf.groupBy(*keys).agg(
+        F.avg(v).alias("__m__"), F.sqrt(F.var_pop(v)).alias("__s__")
+    )
+    joined = sdf.join(stats, keys) if keys else sdf.join(F.broadcast(stats))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, 0)
+    cusum = F.sum(v - F.col("__m__")).over(w)
+    out = joined.select(
+        *sdf.columns,
+        F.round(cusum, round_to).alias("cusum"),
+        F.when(
+            F.col("__s__") > 0, F.abs(cusum) > threshold * F.col("__s__")
+        ).otherwise(F.lit(False)).alias("is_drift"),
+    )
+    return LazyFrame(out)
+
+
+def trimmed_mean_by_key(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    trim: float = 0.1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Per-key trimmed mean: average of values inside the [trim, 1−trim]
+    quantile band (exact percentile bounds — same buffer caveat as
+    describe(exact); for 100 TB swap in percentile_approx via approx=True).
+    Two aggregates: the bounds, then the band-filtered mean."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    bounds = sdf.groupBy(*keys).agg(
+        F.percentile(v, F.lit(float(trim))).alias("__lo__"),
+        F.percentile(v, F.lit(1.0 - float(trim))).alias("__hi__"),
+    )
+    joined = sdf.join(bounds, keys) if keys else sdf.join(F.broadcast(bounds))
+    band = v.between(F.col("__lo__"), F.col("__hi__"))
+    out = (
+        joined.groupBy(*keys)
+        .agg(
+            F.round(F.avg(F.when(band, v)), round_to).alias("trimmed_mean"),
+            F.count(F.when(band, F.lit(1))).cast("long").alias("n_used"),
+        )
+    )
+    return LazyFrame(out)

@@ -293,3 +293,57 @@ class TestCorrOps:
         assert vals[0] is None and vals[1] is None      # min_periods = window
         for v in vals[2:]:
             assert abs(v - 1.0) < 1e-9                  # perfectly linear
+
+
+class TestTimeSeriesStats:
+    def test_seasonal_decompose_additive(self, spark):
+        import math
+
+        from polars_net_spark.operators.analytics import seasonal_decompose
+
+        # pure signal: trend 0.5*t + seasonal pattern of period 4
+        pat = [2.0, -1.0, 0.5, -1.5]
+        rows = [("k", t, 0.5 * t + pat[t % 4]) for t in range(40)]
+        d = spark.createDataFrame(rows, ["g", "t", "v"])
+        out = {r[1]: r[3:] for r in seasonal_decompose(d, "v", "t", 4, by="g").collect().rows()}
+        # interior points recover the components (up to the even-period MA)
+        for t in range(4, 36):
+            trend, seas, resid = out[t]
+            assert abs(trend - 0.5 * t) < 1e-6
+            assert abs(resid) < 1e-6
+        # seasonal sums to ~0 over one period
+        assert abs(sum(out[10 + i][1] for i in range(4))) < 1e-6
+        # edges have null trend like statsmodels
+        assert out[0][0] is None and out[39][0] is None
+
+    def test_acf_lag_structure(self, spark):
+        from polars_net_spark.operators.analytics import acf
+
+        # period-2 alternating series: acf(1) ~ -1, acf(2) ~ +1
+        rows = [("k", t, float((-1) ** t)) for t in range(30)]
+        d = spark.createDataFrame(rows, ["g", "t", "v"])
+        out = {r[1]: r[2] for r in acf(d, "v", "t", lags=2, by="g").collect().rows()}
+        assert abs(out[1] + 1.0) < 1e-6
+        assert abs(out[2] - 1.0) < 1e-6
+
+    def test_cusum_flags_level_shift(self, spark):
+        from polars_net_spark.operators.analytics import cusum_flags
+
+        rows = [("k", t, 0.0) for t in range(50)] + [("k", t, 10.0) for t in range(50, 100)]
+        d = spark.createDataFrame(rows, ["g", "t", "v"])
+        out = sorted(cusum_flags(d, "v", "t", by="g", threshold=3.0).collect().rows())
+        flagged_ts = [r[1] for r in out if r[4]]
+        assert flagged_ts  # a 2-sigma-class shift is detected
+        # the changepoint property: |cusum| peaks exactly at the shift
+        peak_t = max(out, key=lambda r: abs(r[3]))[1]
+        assert peak_t == 49
+        # and the series ends back near zero (mass balances around the mean)
+        assert abs(out[-1][3]) < 1e-6
+
+    def test_trimmed_mean(self, spark):
+        from polars_net_spark.operators.analytics import trimmed_mean_by_key
+
+        vals = list(range(1, 11))  # 1..10, 10% trim -> band [1.9, 9.1] -> 2..9
+        d = spark.createDataFrame([("k", float(v)) for v in vals], ["g", "v"])
+        out = trimmed_mean_by_key(d, "v", by="g", trim=0.1).collect().rows()
+        assert out == [("k", 5.5, 8)]
