@@ -248,3 +248,88 @@ def test_any_all_match_python(spark, vals):
     nn = [v for v in vals if v is not None]
     assert row[1] == any(nn)
     assert row[2] == all(nn)
+
+
+@settings(**SETTINGS)
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2, max_size=8, unique=True,
+    ),
+    k=st.integers(min_value=0, max_value=7),
+)
+def test_banded_hamming_total_recall_under_bands(spark, hashes, k):
+    """banded_hamming_pairs with max_hamming < bands equals brute force
+    EXACTLY (pigeonhole guarantee) on arbitrary 64-bit fingerprints."""
+    from polars_net_spark.llm import banded_hamming_pairs
+
+    sdf = pl.get_spark().createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id long, h long"
+    )
+    got = sorted(
+        banded_hamming_pairs(sdf, "h", "id", max_hamming=k, bands=8).collect().rows()
+    )
+    mask = (1 << 64) - 1
+    truth = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & mask).count("1"))
+        for a in range(len(hashes))
+        for b in range(a + 1, len(hashes))
+        if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= k
+    )
+    assert got == truth
+
+
+@settings(**SETTINGS)
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 1), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=1, max_size=8,
+    )
+)
+def test_preference_pairs_match_python(spark, scores):
+    """best_worst chosen/rejected equal the Python argmax/argmin under the
+    (score, id) tie-break."""
+    from polars_net_spark.llm import preference_pairs
+
+    rows = [(g, i, f"r{i}", s) for i, (g, s) in enumerate(scores)]
+    d = pl.get_spark().createDataFrame(rows, "g int, i int, t string, s double")
+    out = {r[0]: (r[1], r[2]) for r in preference_pairs(
+        d, group_col="g", response_col="t", score_col="s", id_col="i"
+    ).collect().rows()}
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for g, i, t, s in rows:
+        groups[g].append((s, i))
+    for g, members in groups.items():
+        hi = max(members)
+        lo = min(members)
+        if hi[1] == lo[1]:
+            assert g not in out  # single-element group dropped
+        else:
+            assert out[g] == (hi[1], lo[1])
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(min_value=-50, max_value=50, allow_nan=False)),
+        min_size=1, max_size=10,
+    )
+)
+def test_sort_by_first_last_match_python(spark, vals):
+    """sort_by(t).first()/.last() equal Python min/max-by-key."""
+    rows = [(g, i, v) for i, (g, v) in enumerate(vals)]
+    d = pl.get_spark().createDataFrame(rows, "g int, t int, v double")
+    out = {
+        r[0]: (r[1], r[2])
+        for r in pl.LazyFrame(d).group_by("g").agg(
+            col("v").sort_by("t").first().alias("f"),
+            col("v").sort_by("t").last().alias("l"),
+        ).collect().rows()
+    }
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for g, t, v in rows:
+        groups[g].append((t, v))
+    for g, members in groups.items():
+        assert out[g] == (min(members)[1], max(members)[1])
