@@ -577,6 +577,49 @@ class LazyFrame:
                 cols_.append(F.col(c))
         return LazyFrame(sdf.select(*cols_))
 
+    def match_to_schema(
+        self,
+        schema,
+        missing_columns: str = "insert",
+        extra_columns: str = "ignore",
+        cast: bool = True,
+    ) -> "LazyFrame":
+        """polars 1.x match_to_schema: conform this frame to a target schema
+        (a {name: dtype} mapping or StructType) — column ORDER follows the
+        target; missing columns null-fill (``missing_columns='insert'``) or
+        raise; extra columns drop (``extra_columns='ignore'``) or raise;
+        dtype mismatches cast (non-strict) unless ``cast=False`` (raise).
+        The ingestion-normalization step before a union/sink — map-only."""
+        from pyspark.sql import types as T
+
+        from .exprs import _to_spark_type
+
+        if isinstance(schema, T.StructType):
+            target = [(f.name, f.dataType) for f in schema.fields]
+        else:
+            target = [(n, _to_spark_type(d)) for n, d in dict(schema).items()]
+        sdf = self._drop_order()._sdf
+        have = dict(zip(sdf.columns, [f.dataType for f in sdf.schema.fields]))
+        extras = [c for c in sdf.columns if c not in {n for n, _ in target}]
+        if extras and extra_columns == "raise":
+            raise ValueError(f"match_to_schema: extra columns {extras}")
+        cols_ = []
+        for name, dtype in target:
+            if name not in have:
+                if missing_columns == "raise":
+                    raise ValueError(f"match_to_schema: missing column {name!r}")
+                cols_.append(F.lit(None).cast(dtype).alias(name))
+            elif have[name] != dtype:
+                if not cast:
+                    raise ValueError(
+                        f"match_to_schema: {name!r} is {have[name].simpleString()}, "
+                        f"expected {dtype.simpleString()} (cast=False)"
+                    )
+                cols_.append(F.col(name).cast(dtype).alias(name))
+            else:
+                cols_.append(F.col(name))
+        return LazyFrame(sdf.select(*cols_))
+
     def null_count(self) -> "LazyFrame":
         """polars null_count: one row, per-column null totals (map-side
         partial counts, one tiny agg)."""

@@ -113,12 +113,21 @@ def scan_csv(
     quote_char: str | None = None,
     comment_prefix: str | None = None,
     encoding: str | None = None,
+    ignore_errors: bool = False,
+    corrupt_record_col: str | None = None,
     spark: SparkSession | None = None,
 ) -> LazyFrame:
     """CSV scan (io.rs:17-92) + the polars reader knobs Spark's CSV source
     maps directly: ``null_values`` (one string; Spark supports a single
     nullValue sentinel — a LIST falls back to a post-scan replace),
-    ``quote_char``, ``comment_prefix`` (single char), ``encoding``."""
+    ``quote_char``, ``comment_prefix`` (single char), ``encoding``.
+
+    Malformed-row policy (polars ``ignore_errors``): default PERMISSIVE
+    (unparseable fields null out); ``ignore_errors=True`` → DROPMALFORMED
+    (whole bad rows vanish); ``corrupt_record_col='_bad'`` keeps PERMISSIVE
+    and lands each raw malformed line in that string column for triage
+    (requires an explicit schema including that column per Spark's CSV
+    contract)."""
     s = _spark(spark)
     reader = (
         s.read.option("header", str(has_header).lower())
@@ -142,6 +151,12 @@ def scan_csv(
         reader = reader.option("comment", comment_prefix)
     if encoding is not None:
         reader = reader.option("encoding", encoding)
+    if ignore_errors:
+        reader = reader.option("mode", "DROPMALFORMED")
+    if corrupt_record_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_record_col
+        )
     if skip_rows:
         # Spark CSV has no skipRows; emulate by dropping the first N physical lines.
         # The file is read as text once, sliced, then parsed — this stays

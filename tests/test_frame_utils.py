@@ -346,3 +346,46 @@ def test_map_batches_transform(spark):
         lambda pdf: pdf.assign(c=pdf.a + pdf.b), "a long, b double, c double"
     ).collect()
     assert sorted(out.rows()) == [(1, 2.0, 3.0), (3, 4.0, 7.0)]
+
+
+class TestMatchToSchema:
+    def test_insert_cast_reorder_drop(self, spark):
+        import polars_net_spark as pl
+
+        d = pl.from_records([(1, "a", 2.5)], ["x", "s", "extra"]).lazy()
+        out = d.match_to_schema({"s": "string", "x": "f64", "missing": "i64"})
+        got = out.collect()
+        assert got.columns == ["s", "x", "missing"]
+        assert got.rows() == [("a", 1.0, None)]
+
+    def test_raise_modes(self, spark):
+        import pytest
+
+        import polars_net_spark as pl
+
+        d = pl.from_records([(1,)], ["x"]).lazy()
+        with pytest.raises(ValueError, match="missing column"):
+            d.match_to_schema({"x": "i64", "y": "i64"}, missing_columns="raise")
+        d2 = pl.from_records([(1, 2)], ["x", "y"]).lazy()
+        with pytest.raises(ValueError, match="extra columns"):
+            d2.match_to_schema({"x": "i64"}, extra_columns="raise")
+        with pytest.raises(ValueError, match="cast=False"):
+            d.match_to_schema({"x": "string"}, cast=False)
+
+
+class TestHllSketches:
+    def test_rollup_matches_exact_within_tolerance(self, spark):
+        from polars_net_spark.operators.sketches import (
+            distinct_sketches, rollup_sketches, sketch_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 50000).select(
+            (F.col("id") % 10).alias("g"), (F.col("id") % 9000).alias("v")
+        )
+        sk = distinct_sketches(d, "v", by="g")
+        grand = sketch_estimate(rollup_sketches(sk)).spark.collect()[0]["approx_distinct"]
+        exact = d.select("v").distinct().count()
+        assert abs(grand - exact) / exact < 0.03
+        # rollup touches only the 10 sketch rows, never the raw 50k
+        assert sk.spark.count() == 10

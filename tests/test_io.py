@@ -271,3 +271,24 @@ def test_repeat_and_from_numpy(spark):
         pl.from_numpy(np.zeros((2, 2, 2)))
     with _pt.raises(ValueError):
         pl.from_numpy(np.zeros((2, 2)), ["only"])
+
+
+def test_scan_csv_bad_lines_policies(spark, tmp_path):
+    import polars_net_spark as pl
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnotanint,5\n3,4\n")
+    schema = {"a": "i64", "b": "i64"}
+    # PERMISSIVE default: unparseable field nulls out
+    perm = pl.scan_csv(str(p), schema_overrides=schema).collect().rows()
+    assert sorted(perm, key=str) == sorted([(1, 2), (None, 5), (3, 4)], key=str)
+    # DROPMALFORMED: the bad row vanishes
+    dropped = pl.scan_csv(str(p), schema_overrides=schema, ignore_errors=True).collect().rows()
+    assert sorted(dropped) == [(1, 2), (3, 4)]
+    # corrupt-record column captures the raw line
+    schema2 = {"a": "i64", "b": "i64", "_bad": "string"}
+    kept = pl.scan_csv(
+        str(p), schema_overrides=schema2, corrupt_record_col="_bad"
+    ).collect().rows()
+    bad = [r for r in kept if r[2] is not None]
+    assert len(bad) == 1 and bad[0][2].startswith("notanint")
