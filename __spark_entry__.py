@@ -5688,6 +5688,37 @@ GROUP BY e.event_type
 """
 
 
+def _q182(spark, sf_dir):
+    """Interval-overlap join (operators/joins_ext.py overlap_join): click
+    1h-windows × view 30m-windows per user, bucket=1800 s — intervals tile
+    to buckets, pairs meet once (first-common-bucket rule), per-task pairs
+    bounded by events-per-user-per-bucket."""
+    from polars_net_spark.operators.joins_ext import overlap_join
+
+    ev = _t(spark, sf_dir, "events").spark
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        sec.alias("s"), (sec + 3600).alias("e"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        sec.alias("s"), (sec + 1800).alias("e"),
+    )
+    out = overlap_join(clicks, views, "s", "e", "s", "e", on="user_id", bucket=1800)
+    return out.spark.select("user_id", "click_id", "view_id")
+
+
+_q182_sql = """
+WITH c AS (SELECT user_id, event_id AS click_id, epoch(ts) AS s, epoch(ts) + 3600 AS e
+           FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id AS view_id, epoch(ts) AS s, epoch(ts) + 1800 AS e
+      FROM events WHERE event_type = 'view')
+SELECT c.user_id, click_id, view_id
+FROM c JOIN v ON c.user_id = v.user_id AND c.s <= v.e AND v.s <= c.e
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5874,6 +5905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_acf": _q179,
         "q180_cusum": _q180,
         "q181_trimmed_mean": _q181,
+        "q182_overlap_join": _q182,
     }
 
 
@@ -6060,4 +6092,5 @@ def oracle_sql() -> dict[str, str]:
         "q179_acf": _q179_sql,
         "q180_cusum": _q180_sql,
         "q181_trimmed_mean": _q181_sql,
+        "q182_overlap_join": _q182_sql,
     }

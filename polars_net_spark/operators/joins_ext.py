@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .._fmt import parse_polars_duration_us
 
-__all__ = ["range_join", "salted_join", "fuzzy_join"]
+__all__ = ["range_join", "salted_join", "fuzzy_join", "overlap_join"]
 
 
 def _as_list(v) -> list[str]:
@@ -333,3 +333,76 @@ def fuzzy_join(
         )
         return LazyFrame(matched.unionByName(pad))
     return LazyFrame(matched)
+
+
+def overlap_join(
+    left,
+    right,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: "str | Sequence[str] | None" = None,
+    bucket: "int | float | None" = None,
+    suffix: str = "_right",
+):
+    """Interval-overlap join: pairs where ``[left_start, left_end]`` and
+    ``[right_start, right_end]`` intersect (closed intervals:
+    ``ls <= re AND rs <= le``), optionally under equi keys ``on``.
+
+    Without ``bucket`` the overlap predicate rides an equi-join on ``on``
+    (fine when keys are selective) or warns about the nested-loop plan when
+    keyless.  With ``bucket=b`` (same units as the bounds, numeric) each
+    interval explodes to the b-buckets it covers and candidates meet on
+    (keys, bucket); the pair is kept only in the FIRST bucket both cover
+    (``bucket == floor(greatest(ls, rs)/b)``), so every overlapping pair
+    appears exactly once — no distinct, no row ids.  Per-task work is then
+    bounded by events-per-key-per-bucket (the range_join skew guard, but
+    for interval×interval).  Pick b near the typical interval length:
+    copies-per-row ≈ 1 + len/b, bucket population ≈ rate·b.
+    """
+    from ..frame import LazyFrame
+
+    lsdf = left._sdf if isinstance(left, LazyFrame) else left
+    rsdf = right._sdf if isinstance(right, LazyFrame) else right
+    keys = [on] if isinstance(on, str) else list(on or [])
+    lcols, rcols = lsdf.columns, rsdf.columns
+    renames = {c: c + suffix for c in rcols if c in lcols and c not in keys}
+    r2 = rsdf.withColumnsRenamed(renames)
+    rs_, re_ = renames.get(right_start, right_start), renames.get(right_end, right_end)
+    ls_, le_ = left_start, left_end
+    overlap = (F.col(ls_) <= F.col(re_)) & (F.col(rs_) <= F.col(le_))
+    if bucket is None:
+        if not keys:
+            import warnings
+
+            warnings.warn(
+                "overlap_join without keys or bucket plans a nested-loop join; "
+                "pass bucket= for the scalable path",
+                UserWarning,
+                stacklevel=2,
+            )
+            joined = lsdf.join(r2, overlap, "inner")
+        else:
+            joined = lsdf.join(r2, keys, "inner").filter(overlap)
+        return LazyFrame(joined)
+    b = float(bucket)
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(ls_) / b).cast("long"), F.floor(F.col(le_) / b).cast("long")
+        )
+    ).alias("__bk__")
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(rs_) / b).cast("long"), F.floor(F.col(re_) / b).cast("long")
+        )
+    ).alias("__bk__")
+    le2 = lsdf.select("*", lb)
+    re2 = r2.select("*", rb)
+    first_common = F.floor(F.greatest(F.col(ls_), F.col(rs_)) / b).cast("long")
+    joined = (
+        le2.join(re2, keys + ["__bk__"])
+        .filter(overlap & (F.col("__bk__") == first_common))
+        .drop("__bk__")
+    )
+    return LazyFrame(joined)

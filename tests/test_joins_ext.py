@@ -467,3 +467,32 @@ class TestWeightedSample:
         out = sample_weighted_hash(d, "k", "w", k=3, by="g").collect().rows()
         from collections import Counter
         assert Counter(r[1] for r in out) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+class TestOverlapJoin:
+    def test_bucketed_equals_plain(self, spark):
+        from polars_net_spark.operators.joins_ext import overlap_join
+
+        l = spark.createDataFrame([(1, 0, 10), (1, 20, 30), (2, 0, 5)], ["k", "s", "e"])
+        r = spark.createDataFrame(
+            [(1, 5, 25, "a"), (1, 40, 50, "b"), (2, 6, 9, "c")], ["k", "s", "e", "tag"]
+        )
+        plain = sorted(overlap_join(l, r, "s", "e", "s", "e", on="k").collect().rows())
+        assert plain == [(1, 0, 10, 5, 25, "a"), (1, 20, 30, 5, 25, "a")]
+        for b in (3, 7, 1000):  # pair set invariant under bucket width
+            got = sorted(
+                overlap_join(l, r, "s", "e", "s", "e", on="k", bucket=b).collect().rows()
+            )
+            assert got == plain
+
+    def test_keyless_warns(self, spark):
+        import warnings
+
+        from polars_net_spark.operators.joins_ext import overlap_join
+
+        l = spark.createDataFrame([(0, 10)], ["s", "e"])
+        r = spark.createDataFrame([(5, 25)], ["s", "e"])
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            overlap_join(l, r, "s", "e", "s", "e")
+            assert any("nested-loop" in str(x.message) for x in w)
