@@ -95,6 +95,32 @@ class LazyFrame:
             self._sdf._jdf.queryExecution(), "formatted" if optimized else "simple"
         )
 
+    def plan_summary(self) -> dict:
+        """Static plan health probe WITHOUT executing anything: counts of the
+        plan nodes that matter at 100 TB — exchanges (shuffles), scans,
+        window operators, Python/Arrow eval stages, broadcast vs sort-merge
+        joins, cartesian/nested-loop hazards — from the optimized physical
+        plan (pre-AQE; AQE can only improve on it at runtime).  Use before
+        shipping a pipeline: ``assert plan_summary()['cartesian'] == 0``.
+        """
+        plan = self._drop_order()._sdf._jdf.queryExecution().executedPlan().toString()
+        count = plan.count
+        return {
+            "exchanges": count("Exchange"),
+            "scans": count("FileScan"),
+            "windows": count("Window"),
+            "sort_merge_joins": count("SortMergeJoin"),
+            "broadcast_joins": count("BroadcastHashJoin"),
+            "cartesian": count("CartesianProduct"),
+            "nested_loop_joins": count("BroadcastNestedLoopJoin"),
+            "python_stages": count("BatchEvalPython"),
+            "arrow_stages": count("ArrowEvalPython")
+            + count("MapInPandas")
+            + count("FlatMapGroupsInPandas")
+            + count("MapInArrow"),
+            "aggregates": count("HashAggregate") + count("SortAggregate") + count("ObjectHashAggregate"),
+        }
+
     def profile(self) -> "tuple[DataFrame, list[dict]]":
         """polars LazyFrame.profile analogue: execute the plan and return
         (result, per-physical-operator metrics).  Each metrics row carries

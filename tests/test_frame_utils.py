@@ -389,3 +389,20 @@ class TestHllSketches:
         assert abs(grand - exact) / exact < 0.03
         # rollup touches only the 10 sketch rows, never the raw 50k
         assert sk.spark.count() == 10
+
+
+def test_plan_summary_counts(spark):
+    import polars_net_spark as pl
+    from polars_net_spark import col
+
+    a = pl.scan_parquet("/root/testdata/sf0.001/orders.parquet")
+    b = pl.scan_parquet("/root/testdata/sf0.001/customer.parquet")
+    j = a.join(b, left_on="o_custkey", right_on="c_custkey").group_by(
+        "o_orderpriority"
+    ).agg(col("o_totalprice").sum().alias("s"))
+    ps = j.plan_summary()
+    assert ps["cartesian"] == 0 and ps["nested_loop_joins"] == 0
+    assert ps["scans"] == 2
+    assert ps["broadcast_joins"] + ps["sort_merge_joins"] >= 1
+    assert ps["aggregates"] >= 2  # partial + final
+    assert ps["python_stages"] == 0
