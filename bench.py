@@ -71,8 +71,10 @@ def main() -> None:
     # committed artifact with ALL per-query times (the driver's BENCH_r{N}.json
     # has been observed tail-truncated); same JSON, pretty-printed
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json"), "w") as f:
+        # default-SF runs own BENCH_local.json; other scales write a tagged
+        # file so a slope run can never clobber the committed sf0.1 record
+        name = "BENCH_local.json" if abs(sf - 0.1) < 1e-9 else f"BENCH_local_sf{sf}.json"
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name), "w") as f:
             json.dump(payload, f, indent=2)
     except OSError:
         pass  # read-only checkout: stdout line is still the contract
