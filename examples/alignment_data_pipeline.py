@@ -24,6 +24,7 @@ from polars_net_spark.llm import (
 
 
 def main() -> None:
+    pl.get_spark()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     docs = pl.scan_parquet(f"{sf_dir}/documents.parquet")
 
@@ -41,7 +42,7 @@ def main() -> None:
     # 2. Oversample the scarce source 2.5x (deterministic epoch repetition).
     weighted = docs.spark.select(
         "doc_id", "text", "source", "n_chars",
-        F.when(F.col("source") == "wiki", 2.5).otherwise(1.0).alias("w"),
+        F.when(F.col("doc_id") % 3 == 0, 2.5).otherwise(1.0).alias("w"),
     )
     epochs = oversample_by_weight(weighted, key_col="doc_id", weight="w")
     print(f"rows after oversampling: {epochs.spark.count()}")

@@ -23,6 +23,7 @@ from polars_net_spark.operators.zorder import zorder_sort
 
 
 def main() -> None:
+    pl.get_spark()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     cust = pl.scan_parquet(f"{sf_dir}/customer.parquet").spark
     li = pl.scan_parquet(f"{sf_dir}/lineitem.parquet").spark
@@ -58,7 +59,7 @@ def main() -> None:
 
     # 4. Skew probe before joining on suppkey.
     print("hottest suppkeys:")
-    for r in key_skew_report(li, "l_suppkey", top_k=3).collect():
+    for r in key_skew_report(li, "l_suppkey", top_k=3).collect().rows():
         print(f"  suppkey={r[0]} rows={r[1]} frac={r[2]}")
 
 

@@ -1697,7 +1697,24 @@ class DataFrame:
         return Series._from_lazy(self._lf.select(name), name)
 
     def __getitem__(self, name: str):
+        if not isinstance(name, str):
+            # without this, `for row in df` would silently fall back to
+            # __getitem__(0), __getitem__(1), ... building lit-select frames
+            # forever (observed in the wild) — fail loudly instead
+            raise TypeError(
+                f"DataFrame[...] takes a column name, got {type(name).__name__}; "
+                "iterate df.iter_columns() for Series or df.rows() for tuples"
+            )
         return self.get_column(name)
+
+    def __iter__(self):
+        """polars semantics: iterating a DataFrame yields its columns as
+        Series (use .rows() for row tuples)."""
+        return self.iter_columns()
+
+    def iter_columns(self):
+        for name in self.columns:
+            yield self.get_column(name)
 
     # -- eager mirrors of lazy ops ---------------------------------------------
     def _wrap(self, lf: LazyFrame) -> "DataFrame":

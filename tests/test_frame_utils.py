@@ -406,3 +406,16 @@ def test_plan_summary_counts(spark):
     assert ps["broadcast_joins"] + ps["sort_merge_joins"] >= 1
     assert ps["aggregates"] >= 2  # partial + final
     assert ps["python_stages"] == 0
+
+
+def test_dataframe_iteration_yields_series_and_rejects_int_index(spark):
+    import pytest
+
+    import polars_net_spark as pl
+
+    d = pl.from_records([(1, "a"), (2, "b")], ["x", "s"])
+    cols = list(d)
+    assert [c.name for c in cols] == ["x", "s"]
+    assert cols[0].to_list() == [1, 2]
+    with pytest.raises(TypeError, match="column name"):
+        d[0]
