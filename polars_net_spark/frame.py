@@ -1829,6 +1829,39 @@ class DataFrame:
     def cast(self, dtypes, strict: bool = False) -> "DataFrame":
         return self._wrap(self._lf.cast(dtypes, strict=strict))
 
+    def to_html(self, max_rows: int = 100) -> str:
+        """HTML table of (a bounded head of) the frame — parity with the
+        reference's DataFrame.ToHtml (Polars.CSharp/DataFrame.cs:1005).
+        Dtypes render under the column names; a trailing ellipsis row marks
+        truncation.  Also wired as ``_repr_html_`` so notebooks render
+        frames natively."""
+        import html as _html
+
+        head = self._lf._drop_order()._sdf.take(max_rows + 1)
+        truncated = len(head) > max_rows
+        head = head[:max_rows]
+        dtypes = dict(self._lf.dtypes)
+        cells = "".join(
+            f"<th>{_html.escape(c)}<br/><small>{_html.escape(dtypes[c])}</small></th>"
+            for c in self.columns
+        )
+        parts = [f"<table border='1'><thead><tr>{cells}</tr></thead><tbody>"]
+        for r in head:
+            tds = "".join(
+                f"<td>{'null' if r[c] is None else _html.escape(str(r[c]))}</td>"
+                for c in self.columns
+            )
+            parts.append(f"<tr>{tds}</tr>")
+        if truncated:
+            parts.append(
+                f"<tr>{''.join('<td>…</td>' for _ in self.columns)}</tr>"
+            )
+        parts.append("</tbody></table>")
+        return "".join(parts)
+
+    def _repr_html_(self) -> str:  # pragma: no cover - notebook hook
+        return self.to_html()
+
     def glimpse(self) -> str:
         """polars glimpse: dtype + first values per column, one line each
         (reads only a bounded head of the frame)."""

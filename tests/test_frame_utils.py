@@ -419,3 +419,16 @@ def test_dataframe_iteration_yields_series_and_rejects_int_index(spark):
     assert cols[0].to_list() == [1, 2]
     with pytest.raises(TypeError, match="column name"):
         d[0]
+
+
+def test_to_html(spark):
+    import polars_net_spark as pl
+
+    d = pl.from_records([(1, "a<b"), (2, None)], ["x", "s"])
+    h = d.to_html()
+    assert "<table" in h and "a&lt;b" in h and "null" in h
+    assert "<th>x<br/>" in h
+    # truncation marker
+    big = pl.from_records([(i,) for i in range(5)], ["x"])
+    assert "…" in big.to_html(max_rows=2)
+    assert "…" not in big.to_html(max_rows=10)
