@@ -779,6 +779,8 @@ class LazyFrame:
         suffix: str = "_right",
         broadcast: bool = False,
         nulls_equal: bool = False,
+        validate: str = "m:m",
+        coalesce: bool | None = None,
     ) -> "LazyFrame":
         """Equi-join with polars naming semantics (SURVEY §2.4): join keys are
         coalesced into one column; non-key name collisions on the right get
@@ -787,8 +789,20 @@ class LazyFrame:
 
         ``nulls_equal=True`` (polars join_nulls) matches null keys to null
         keys via null-safe equality (``<=>``) — still a hash-joinable equi
-        condition, no plan degradation."""
+        condition, no plan degradation.
+
+        ``validate`` (polars): '1:1' / '1:m' / 'm:1' / 'm:m' — raise if a
+        side that must be unique has duplicate key tuples.  The check is one
+        count-aggregate probe per validated side (an extra action, eager by
+        necessity — polars also checks at execution); 'm:m' (default) costs
+        nothing.
+
+        ``coalesce=False`` (polars 1.x) keeps the right key columns
+        (suffixed on collision) instead of merging them away; None/True is
+        the polars default merge behavior."""
         how_spark = self._HOW_MAP[how]
+        if validate not in ("1:1", "1:m", "m:1", "m:m"):
+            raise ValueError("validate must be one of '1:1', '1:m', 'm:1', 'm:m'")
         right_sdf = other._sdf
         if broadcast:
             right_sdf = F.broadcast(right_sdf)
@@ -833,6 +847,23 @@ class LazyFrame:
         left_keys, lsdf = _mat(left_keys, lsdf, "l")
         right_keys, rsdf = _mat(right_keys, rsdf, "r")
 
+        if validate != "m:m":
+            def _assert_unique(sdf, keys, side):
+                dup = (
+                    sdf.groupBy(*[F.col(k) for k in keys])
+                    .count().filter(F.col("count") > 1).limit(1).count()
+                )
+                if dup:
+                    raise ValueError(
+                        f"join validate={validate!r}: {side} side has duplicate "
+                        f"key tuples on {keys}"
+                    )
+
+            if validate in ("1:1", "1:m"):
+                _assert_unique(lsdf, left_keys, "left")
+            if validate in ("1:1", "m:1"):
+                _assert_unique(rsdf, right_keys, "right")
+
         left = lsdf.alias("__l__")
         right = rsdf.alias("__r__")
         def _eq(lk, rk):
@@ -857,7 +888,7 @@ class LazyFrame:
             else:
                 sel.append(F.col(f"__l__.{c}").alias(c))
         for c in rcols:
-            if c in right_keys:
+            if c in right_keys and coalesce is not False:
                 continue  # key coalesced away (polars drops the right key column)
             name = c + suffix if c in lcols else c
             sel.append(F.col(f"__r__.{c}").alias(name))

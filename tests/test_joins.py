@@ -122,3 +122,36 @@ def test_join_on_expressions(spark):
         a.join(b, left_on=[col("k") * 10], right_on=[col("k10") * 1]).collect().rows()
     )
     assert [r[:2] for r in both] == [(1, "a"), (2, "b")]
+
+
+def test_join_validate(spark):
+    import pytest
+
+    import polars_net_spark as pl
+
+    a = pl.from_records([(1, "x"), (2, "y")], ["k", "va"]).lazy()
+    dup = pl.from_records([(1, "p"), (1, "q")], ["k", "vb"]).lazy()
+    # m:1 requires a UNIQUE right side -> raises
+    with pytest.raises(ValueError, match="right side has duplicate"):
+        a.join(dup, on="k", validate="m:1")
+    with pytest.raises(ValueError, match="left side has duplicate"):
+        dup.join(a, on="k", validate="1:m")
+    # satisfied contract passes through
+    out = a.join(dup, on="k", validate="1:m").collect().rows()
+    assert sorted(out) == [(1, "x", "p"), (1, "x", "q")]
+    with pytest.raises(ValueError, match="validate must be"):
+        a.join(dup, on="k", validate="nope")
+
+
+def test_join_coalesce_false_keeps_right_keys(spark):
+    import polars_net_spark as pl
+
+    a = pl.from_records([(1, "x")], ["k", "va"]).lazy()
+    b = pl.from_records([(1, "y")], ["k", "vb"]).lazy()
+    out = a.join(b, on="k", coalesce=False).collect()
+    assert out.columns == ["k", "va", "k_right", "vb"]
+    assert out.rows() == [(1, "x", 1, "y")]
+    # different key names: right key kept under its own name
+    c = pl.from_records([(1, "z")], ["k2", "vc"]).lazy()
+    out2 = a.join(c, left_on="k", right_on="k2", coalesce=False).collect()
+    assert out2.columns == ["k", "va", "k2", "vc"]
