@@ -5719,6 +5719,34 @@ FROM c JOIN v ON c.user_id = v.user_id AND c.s <= v.e AND v.s <= c.e
 """
 
 
+def _q183(spark, sf_dir):
+    """Cross-frame embedding threshold join (llm/similarity.py
+    embedding_threshold_join): even vectors × odd vectors at cosine ≥ 0.45 —
+    broadcast-right chunked-BLAS path (left never shuffles); the
+    both-sides-huge route is the hyperplane-bucketed equi-join (plan-tested
+    in unit tests)."""
+    from polars_net_spark.llm import embedding_threshold_join
+
+    emb = _t(spark, sf_dir, "embeddings").spark
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_threshold_join(
+        left, right, threshold=0.45, method="numpy"
+    ).spark
+
+
+_q183_sql = """
+WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1)
+SELECT l.vec_id AS vec_id_left, r.vec_id AS vec_id_right,
+       round(list_dot_product(l.v, r.v) /
+             (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+FROM l, r
+WHERE round(list_dot_product(l.v, r.v) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.45
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5906,6 +5934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_cusum": _q180,
         "q181_trimmed_mean": _q181,
         "q182_overlap_join": _q182,
+        "q183_embedding_join": _q183,
     }
 
 
@@ -6093,4 +6122,5 @@ def oracle_sql() -> dict[str, str]:
         "q180_cusum": _q180_sql,
         "q181_trimmed_mean": _q181_sql,
         "q182_overlap_join": _q182_sql,
+        "q183_embedding_join": _q183_sql,
     }

@@ -22,6 +22,7 @@ from ..frame import LazyFrame
 
 __all__ = [
     "cosine_topk",
+    "embedding_threshold_join",
     "lsh_bucket_topk",
     "ivf_topk",
     "kmeans_centroids",
@@ -816,3 +817,112 @@ def truncate_embeddings(
         )
         sliced = F.when(n > 0, F.transform(sliced, lambda x: x.cast("double") / n))
     return LazyFrame(sdf.withColumn(oc, sliced))
+
+
+def embedding_threshold_join(
+    left,
+    right,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+    method: str = "auto",
+    broadcast_limit: int = 200_000,
+    num_planes: int = 8,
+    num_tables: int = 16,
+) -> "LazyFrame":
+    """Cross-frame cosine THRESHOLD join: every (left, right) pair with
+    cosine ≥ threshold — the ANN-join behind retrieval labeling, weak
+    supervision, and cross-corpus semantic linking (the two-frame sibling of
+    :func:`~.dedup.embedding_near_dup_pairs`).
+
+    method='numpy' (auto when the RIGHT side fits ``broadcast_limit``):
+    broadcast the right id/vector matrix; each executor scores its left
+    Arrow batches with chunked BLAS matmuls and emits only passing pairs —
+    left never shuffles, right ships once.
+
+    method='bucketed' (auto above the limit — the both-sides-huge path):
+    shared random-hyperplane buckets on both frames, equi-join on
+    (table, bucket), exact cosine verify.  Precision 1 always; recall
+    ≥ 1-(1-p^planes)^tables per true pair (documented LSH trade).
+
+    Output: (left_id, right_id, cosine).
+    """
+    from pyspark.sql import DataFrame as SparkDF
+
+    from .._cache import register_cache
+    from ..frame import LazyFrame
+
+    lsdf = left if isinstance(left, SparkDF) else left.spark
+    rsdf = right if isinstance(right, SparkDF) else right.spark
+    out_l = left_id if left_id != right_id else left_id + "_left"
+    out_r = right_id if left_id != right_id else right_id + "_right"
+    if method == "auto":
+        n = rsdf.limit(broadcast_limit + 1).count()
+        method = "numpy" if n <= broadcast_limit else "bucketed"
+    if method == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        rows = rsdf.select(right_id, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        bc = lsdf.sparkSession.sparkContext.broadcast((ids, M, norms))
+        CHUNK = 8192
+
+        def gen(it):
+            b_ids, b_M, b_norms = bc.value
+            n_r = b_ids.shape[0]
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                ids_a = pdf[left_id].to_numpy(dtype=np.int64)
+                Ma = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                na = np.sqrt((Ma * Ma).sum(axis=1))
+                for s in range(0, n_r, CHUNK):
+                    e = min(s + CHUNK, n_r)
+                    S = Ma @ b_M[s:e].T
+                    S /= na[:, None] * b_norms[s:e]
+                    np.round(S, round_to, out=S)
+                    ia, ib = np.where(S >= threshold)
+                    if len(ia):
+                        yield pd.DataFrame(
+                            {
+                                out_l: ids_a[ia],
+                                out_r: b_ids[s:e][ib],
+                                "cosine": S[ia, ib],
+                            }
+                        )
+
+        schema = f"{out_l} long, {out_r} long, cosine double"
+        return LazyFrame(lsdf.select(left_id, vec_col).mapInPandas(gen, schema))
+    if method != "bucketed":
+        raise ValueError(f"unknown method {method!r}")
+    lb = register_cache(
+        hyperplane_buckets(lsdf, left_id, vec_col, "id", "v", num_planes, num_tables)
+        .withColumn("nrm", _norm_expr(F.col("v")))
+    )
+    rb = register_cache(
+        hyperplane_buckets(rsdf, right_id, vec_col, "id", "v", num_planes, num_tables)
+        .withColumn("nrm", _norm_expr(F.col("v")))
+    )
+    lhs = lb.select(
+        F.col("id").alias(out_l), F.col("v").alias("va"), F.col("nrm").alias("na"),
+        "table", "bucket",
+    )
+    rhs = rb.select(
+        F.col("id").alias(out_r), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        "table", "bucket",
+    )
+    cands = lhs.join(rhs, ["table", "bucket"]).dropDuplicates([out_l, out_r])
+    out = (
+        cands.withColumn(
+            "cosine",
+            F.round(_dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(out_l, out_r, "cosine")
+    )
+    return LazyFrame(out)

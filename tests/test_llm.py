@@ -826,3 +826,34 @@ def test_dedup_against_reference(spark):
     ref2 = pl.from_records([(1, "zz yy xx ww vv")], ["doc_id", "text"])
     out3 = sorted(r[0] for r in dedup_against(new2, ref2).collect().rows())
     assert out3 == [0, 2]
+
+
+def test_embedding_threshold_join_paths_agree(spark):
+    from polars_net_spark.llm import embedding_threshold_join
+
+    left = pl.from_records(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    ).lazy()
+    right = pl.from_records(
+        [(1, [0.99, 0.1, 0.0]), (3, [0.0, 0.0, 1.0]), (5, [0.1, 0.99, 0.0])],
+        ["vec_id", "embedding"],
+    ).lazy()
+    numpy_out = sorted(
+        embedding_threshold_join(left, right, threshold=0.9, method="numpy")
+        .collect().rows()
+    )
+    assert [(a, b) for a, b, _ in numpy_out] == [(0, 1), (2, 5)]
+    # bucketed path: same pairs (recall holds at these settings), precision 1
+    bucketed = sorted(
+        embedding_threshold_join(
+            left, right, threshold=0.9, method="bucketed",
+            num_planes=4, num_tables=16,
+        ).collect().rows()
+    )
+    assert bucketed == numpy_out
+    # bucketed plan never cross-joins
+    plan = (
+        embedding_threshold_join(left, right, threshold=0.9, method="bucketed")
+        .spark._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
