@@ -5747,6 +5747,32 @@ WHERE round(list_dot_product(l.v, r.v) /
 """
 
 
+def _q184(spark, sf_dir):
+    """Quantile (rank) normalization (operators/analytics.py
+    with_rank_normalized): (avg_rank − 0.5)/n per event_type — ties share
+    their average rank, one window ordering."""
+    from polars_net_spark.operators.analytics import with_rank_normalized
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_rank_normalized(
+        ev.spark.select("event_id", "event_type", "value"), "value", by="event_type"
+    )
+    return out.spark.select("event_id", "event_type", "rank_norm")
+
+
+_q184_sql = """
+SELECT event_id, event_type,
+       CASE WHEN value IS NOT NULL THEN
+         round((avg(rk) OVER (PARTITION BY event_type, value) - 0.5)
+               / (count(value) OVER (PARTITION BY event_type)), 6)
+       END AS rank_norm
+FROM (
+  SELECT event_id, event_type, value,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value ASC NULLS LAST) AS DOUBLE) AS rk
+  FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5935,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_trimmed_mean": _q181,
         "q182_overlap_join": _q182,
         "q183_embedding_join": _q183,
+        "q184_rank_normalize": _q184,
     }
 
 
@@ -6123,4 +6150,5 @@ def oracle_sql() -> dict[str, str]:
         "q181_trimmed_mean": _q181_sql,
         "q182_overlap_join": _q182_sql,
         "q183_embedding_join": _q183_sql,
+        "q184_rank_normalize": _q184_sql,
     }

@@ -21,6 +21,7 @@ __all__ = [
     "acf",
     "cusum_flags",
     "trimmed_mean_by_key",
+    "with_rank_normalized",
 ]
 
 
@@ -415,5 +416,36 @@ def trimmed_mean_by_key(
             F.round(F.avg(F.when(band, v)), round_to).alias("trimmed_mean"),
             F.count(F.when(band, F.lit(1))).cast("long").alias("n_used"),
         )
+    )
+    return LazyFrame(out)
+
+
+def with_rank_normalized(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    out_col: str = "rank_norm",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Quantile (rank) normalization: map values to (0, 1) uniformly within
+    each key via (avg_rank − 0.5) / n — ties share their average rank, so
+    equal inputs get equal outputs and the result is distribution-free (the
+    feature-engineering standard before mixing heterogeneous score columns).
+    One window (rank + tie count ride the same ordering) + the group count.
+    Null values pass through as null."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col)
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    # nulls must sort LAST or they consume rank 1 and shift everything
+    w = wp.orderBy(v.asc_nulls_last())
+    # average rank of a tie group = rank + (ties-1)/2, from ONE window order
+    rk = F.rank().over(w)
+    ties = F.count(v).over(wp.orderBy(v.asc_nulls_last()).rangeBetween(0, 0))
+    n = F.count(v).over(wp)
+    avg_rank = rk + (ties - F.lit(1)) / 2.0
+    out = sdf.withColumn(
+        out_col,
+        F.when(v.isNotNull(), F.round((avg_rank - 0.5) / n, round_to)),
     )
     return LazyFrame(out)

@@ -347,3 +347,16 @@ class TestTimeSeriesStats:
         d = spark.createDataFrame([("k", float(v)) for v in vals], ["g", "v"])
         out = trimmed_mean_by_key(d, "v", by="g", trim=0.1).collect().rows()
         assert out == [("k", 5.5, 8)]
+
+
+def test_rank_normalized_ties_and_nulls(spark):
+    from polars_net_spark.operators.analytics import with_rank_normalized
+
+    d = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0), ("a", None)], ["k", "v"]
+    )
+    out = sorted(with_rank_normalized(d, "v", by="k").collect().rows(), key=str)
+    assert out == [
+        ("a", 10.0, 0.125), ("a", 20.0, 0.5), ("a", 20.0, 0.5),
+        ("a", 40.0, 0.875), ("a", None, None),
+    ]
