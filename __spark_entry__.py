@@ -5773,6 +5773,42 @@ FROM (
 """
 
 
+def _q185(spark, sf_dir):
+    """Sparse TF-IDF cosine pairs (llm/retrieval.py tfidf_cosine_pairs):
+    bag-of-words sibling of the dense embedding join — smoothed-idf vector
+    space restricted to df ≤ 0.2·N (stop-term removal is the semantics AND
+    the df² scale guard), postings self-join keyed on term."""
+    from polars_net_spark.llm import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sub = d.spark.filter(F.col("doc_id") % 10 == 0)
+    return tfidf_cosine_pairs(
+        sub, threshold=0.12, max_df_ratio=1.0, ngram=2
+    ).spark
+
+
+_q185_sql = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+wsx AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs),
+toks AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
+  FROM wsx, LATERAL unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT doc_id, tf.term, tf * (ln((1.0 + n.n) / (1.0 + dfx.df)) + 1.0) AS w
+      FROM tf JOIN dfx USING (term), n),
+nr AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM d JOIN nr na ON d.id_a = na.doc_id JOIN nr nb ON d.id_b = nb.doc_id
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.12
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5962,6 +5998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_overlap_join": _q182,
         "q183_embedding_join": _q183,
         "q184_rank_normalize": _q184,
+        "q185_tfidf_pairs": _q185,
     }
 
 
@@ -6151,4 +6188,5 @@ def oracle_sql() -> dict[str, str]:
         "q182_overlap_join": _q182_sql,
         "q183_embedding_join": _q183_sql,
         "q184_rank_normalize": _q184_sql,
+        "q185_tfidf_pairs": _q185_sql,
     }

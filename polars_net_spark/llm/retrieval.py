@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_top_terms", "bm25_topk", "negative_sample_pairs"]
+__all__ = ["tfidf_top_terms", "bm25_topk", "negative_sample_pairs", "tfidf_cosine_pairs"]
 
 
 def _tokens(sdf, text_col: str, id_col: str):
@@ -269,3 +269,92 @@ def negative_sample_pairs(
         .select(query_id, "draw_idx", F.col("best.n").alias("neg_id"))
     )
     return LazyFrame(picked)
+
+
+def tfidf_cosine_pairs(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df_ratio: float = 0.2,
+    ngram: int = 1,
+    round_to: int = 6,
+):
+    """Sparse TF-IDF cosine document pairs (id_a < id_b, cosine ≥
+    threshold) — the bag-of-words sibling of the dense
+    :func:`~.similarity.embedding_threshold_join`.
+
+    ``ngram`` > 1 switches terms to word n-grams — on tiny/templated
+    vocabularies unigram spaces are degenerate (every term near-ubiquitous,
+    so the df cap either empties the space or admits a df² join); n-grams
+    restore df spread.
+
+    Vector space: tf·idf with sklearn's smoothed idf ln((1+N)/(1+df))+1,
+    restricted to terms with df ≤ max_df_ratio·N — stop-term removal IS part
+    of the semantics (and the scale guard: a term in every doc would create
+    a df² postings join).  Norms use the same restricted space, so scores
+    are exact cosines of the declared vectors.
+
+    Plan: one postings aggregate (map-side combining), df/N attached by
+    broadcast, postings self-join keyed on term (never all-pairs), one
+    (a, b)-keyed dot aggregate, norm verify.  All deterministic and
+    ANSI-replicable.
+    """
+    from .._cache import register_cache
+    from ..frame import LazyFrame
+
+    from pyspark.sql import DataFrame as _SDF
+
+    sdf = frame if isinstance(frame, _SDF) else frame.spark
+    if ngram <= 1:
+        toks = _tokens(sdf, text_col, id_col)
+    else:
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - ngram, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(ngram)]
+            ),
+        )
+        toks = sdf.filter(F.size(words) >= ngram).select(
+            F.col(id_col), F.explode(grams).alias("term")
+        )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = sdf.select(F.count_distinct(id_col).alias("__n__"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        df.join(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("__n__") * F.lit(float(max_df_ratio)))
+        .select("term", "df", "__n__")
+    )
+    idf = F.log((F.lit(1.0) + F.col("__n__")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    weighted = register_cache(
+        tf.join(kept, "term").select(
+            id_col, "term", (F.col("tf") * idf).alias("w")
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    lhs = weighted.select(
+        F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    rhs = weighted.select(
+        F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        lhs.join(rhs, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return LazyFrame(out)

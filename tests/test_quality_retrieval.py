@@ -311,3 +311,28 @@ class TestTrainLinearQuality:
         out = {r["doc_id"]: r["keep"] for r in
                linear_quality_score_frame(sdf, w, bias=b).spark.collect()}
         assert out[0] is True and out[1] is False
+
+
+def test_tfidf_cosine_pairs_exact(spark):
+    import math
+
+    import polars_net_spark as pl
+    from polars_net_spark.llm import tfidf_cosine_pairs
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana dates"),      # shares 2 of 3 with doc 1
+        (3, "xylophone zebra quartz"),  # disjoint
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"])
+    out = tfidf_cosine_pairs(d, threshold=0.1, max_df_ratio=1.0).collect().rows()
+    assert [(a, b) for a, b, _ in out] == [(1, 2)]
+    # closed form: shared terms apple/banana have df=2, unique terms df=1, N=3
+    idf2 = math.log(4 / 3) + 1
+    idf1 = math.log(4 / 2) + 1
+    dot = 2 * idf2 * idf2
+    nrm = math.sqrt(2 * idf2**2 + idf1**2)
+    assert abs(out[0][2] - round(dot / (nrm * nrm), 6)) < 1e-9
+    # df cap removes the shared terms -> no pair survives
+    out2 = tfidf_cosine_pairs(d, threshold=0.1, max_df_ratio=0.5).collect().rows()
+    assert out2 == []
