@@ -5809,6 +5809,41 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.12
 """
 
 
+def _q186(spark, sf_dir):
+    """FOURTH true Structured Streaming gate: the gopher quality screen
+    (q54's exact operator) applied to a DOCUMENT STREAM — map-only Column
+    math, so append mode is deterministic and the batch oracle (q54's SQL)
+    hash-verifies the streaming run row-for-row."""
+    import os
+
+    from polars_net_spark.llm import gopher_quality_frame
+
+    src_dir = _stream_stage_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000)
+        .parquet(src_dir)
+    )
+    scored = gopher_quality_frame(stream, min_stop_hits=1).spark.withColumn(
+        "passes", F.col("passes").cast("long")
+    )
+    try:
+        spark.catalog.dropTempView("q186_stream_quality")
+    except Exception:
+        pass
+    q = (
+        scored.writeStream.format("memory").queryName("q186_stream_quality")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table("q186_stream_quality")
+
+
+_q186_sql = _q54_sql
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5999,6 +6034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_embedding_join": _q183,
         "q184_rank_normalize": _q184,
         "q185_tfidf_pairs": _q185,
+        "q186_stream_quality": _q186,
     }
 
 
@@ -6189,4 +6225,5 @@ def oracle_sql() -> dict[str, str]:
         "q183_embedding_join": _q183_sql,
         "q184_rank_normalize": _q184_sql,
         "q185_tfidf_pairs": _q185_sql,
+        "q186_stream_quality": _q186_sql,
     }
