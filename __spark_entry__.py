@@ -5844,6 +5844,45 @@ def _q186(spark, sf_dir):
 _q186_sql = _q54_sql
 
 
+def _q187(spark, sf_dir):
+    """Exact DECIMAL money arithmetic (dtype #22, datatypes.rs:77): prices
+    cast to DECIMAL(14,2), revenue = price·(1−disc)·(1+tax) in DECIMAL
+    lattice arithmetic, grouped exact sums — the floating-point-free
+    accounting path (double sums of 6M line items drift; decimals cannot)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    tax = F.col("l_tax").cast("decimal(5,2)")
+    rev = (price * (F.lit(1).cast("decimal(3,2)") - disc) * (F.lit(1).cast("decimal(3,2)") + tax))
+    return (
+        li.spark.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("decimal(24,2)").alias("sum_price"),
+            F.sum(rev.cast("decimal(20,6)")).cast("decimal(30,6)").alias("sum_rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("sum_price").cast("string").alias("sum_price"),
+            F.col("sum_rev").cast("string").alias("sum_rev"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+_q187_sql = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS sum_price,
+       CAST(sum(CAST(
+           CAST(l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))
+         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(5,2)))
+           AS DECIMAL(20,6))) AS VARCHAR) AS sum_rev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6035,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_rank_normalize": _q184,
         "q185_tfidf_pairs": _q185,
         "q186_stream_quality": _q186,
+        "q187_decimal_exact": _q187,
     }
 
 
@@ -6226,4 +6266,5 @@ def oracle_sql() -> dict[str, str]:
         "q184_rank_normalize": _q184_sql,
         "q185_tfidf_pairs": _q185_sql,
         "q186_stream_quality": _q186_sql,
+        "q187_decimal_exact": _q187_sql,
     }
