@@ -5883,6 +5883,41 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q188(spark, sf_dir):
+    """Event debounce: first event per (user, type) in each 10-minute
+    tumbling bucket — dedup noise bursts from telemetry.  Composed from the
+    engine's own surface: epoch bucket math + group_by + sort_by().first()
+    (min_by aggregates, no window)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = pls.Expr(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(600_000_000)).cast("long")
+    )
+    out = (
+        ev.with_columns(bucket.alias("bkt"))
+        .group_by("user_id", "event_type", "bkt")
+        .agg(
+            col("event_id").sort_by("ts", "event_id").first().alias("first_event"),
+            col("value").sort_by("ts", "event_id").first().alias("first_value"),
+            col("event_id").len().alias("n_burst"),
+        )
+    )
+    return out.spark.select(
+        "user_id", "event_type", F.col("bkt").cast("long").alias("bkt"),
+        "first_event", F.round("first_value", 6).alias("first_value"),
+        F.col("n_burst").cast("long").alias("n_burst"),
+    )
+
+
+_q188_sql = """
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts) / 600) AS BIGINT) AS bkt,
+       first(event_id ORDER BY ts, event_id) AS first_event,
+       round(first(value ORDER BY ts, event_id), 6) AS first_value,
+       CAST(count(*) AS BIGINT) AS n_burst
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6075,6 +6110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_tfidf_pairs": _q185,
         "q186_stream_quality": _q186,
         "q187_decimal_exact": _q187,
+        "q188_debounce": _q188,
     }
 
 
@@ -6267,4 +6303,5 @@ def oracle_sql() -> dict[str, str]:
         "q185_tfidf_pairs": _q185_sql,
         "q186_stream_quality": _q186_sql,
         "q187_decimal_exact": _q187_sql,
+        "q188_debounce": _q188_sql,
     }
