@@ -363,6 +363,7 @@ def main() -> None:
         "q146_bigram_lm",           # 1-row corpus-total N attach (backoff floor)
         "q124_winsorize",           # 1-row quantile-boundary attach
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
+        "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
     }
     from polars_net_spark import release_caches
 
