@@ -5918,6 +5918,73 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def _q189(spark, sf_dir):
+    """Poisson-bootstrap mean CI (operators/regression.py bootstrap_ci):
+    30 deterministic hash-drawn replicates per event_type — each replicate
+    is one weighted aggregate (data never resampled/shuffled per replicate),
+    zero RNG state."""
+    from polars_net_spark.operators.regression import bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_ci(
+        ev.spark.select("event_id", "event_type", "value"),
+        "value", by="event_type", n_boot=30, salt="bs", id_col="event_id",
+    ).spark
+
+
+_q189_sql = """
+WITH s AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+d AS (
+  SELECT event_type, value, b,
+         CASE WHEN u <= 0.367879 THEN 0 WHEN u <= 0.735759 THEN 1
+              WHEN u <= 0.919699 THEN 2 WHEN u <= 0.981012 THEN 3
+              WHEN u <= 0.996340 THEN 4 WHEN u <= 0.999406 THEN 5
+              ELSE 6 END AS m
+  FROM (
+    SELECT event_type, value, b,
+           (list_reduce(list_transform(generate_series(1, 12),
+               i -> strpos('0123456789abcdef',
+                           substr(md5('bs' || CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)), i, 1)) - 1),
+               (a, x) -> a * 16.0 + x) + 0.5) / 281474976710656.0 AS u
+    FROM s, LATERAL unnest(generate_series(1, 30)) AS t(b))),
+reps AS (SELECT event_type, b, sum(m * value) / sum(m) AS mb FROM d GROUP BY 1, 2),
+ci AS (SELECT event_type, quantile_cont(mb, 0.025) AS lo, quantile_cont(mb, 0.975) AS hi
+       FROM reps GROUP BY 1),
+base AS (SELECT event_type, avg(value) AS mean, count(value) AS n FROM events GROUP BY 1)
+SELECT base.event_type, round(mean, 6) AS mean, round(lo, 6) AS ci_lo,
+       round(hi, 6) AS ci_hi, CAST(n AS BIGINT) AS n
+FROM base JOIN ci USING (event_type)
+"""
+
+
+def _q190(spark, sf_dir):
+    """Welch's two-sample t (operators/regression.py welch_ttest): click vs
+    purchase event values — one aggregate pass, closed-form t and
+    Welch–Satterthwaite df."""
+    from polars_net_spark.operators.regression import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev.spark, "event_type", "value", "click", "purchase").spark
+
+
+_q190_sql = """
+WITH a AS (
+  SELECT avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+         avg(CASE WHEN event_type = 'purchase' THEN value END) AS mb,
+         var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+         var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS vb,
+         CAST(count(CASE WHEN event_type = 'click' THEN value END) AS DOUBLE) AS na,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE) AS nb
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round(ma - mb, 6) AS diff,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t,
+       round(pow(va / na + vb / nb, 2) /
+             (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6) AS df,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6111,6 +6178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_stream_quality": _q186,
         "q187_decimal_exact": _q187,
         "q188_debounce": _q188,
+        "q189_bootstrap_ci": _q189,
+        "q190_welch_ttest": _q190,
     }
 
 
@@ -6304,4 +6373,6 @@ def oracle_sql() -> dict[str, str]:
         "q186_stream_quality": _q186_sql,
         "q187_decimal_exact": _q187_sql,
         "q188_debounce": _q188_sql,
+        "q189_bootstrap_ci": _q189_sql,
+        "q190_welch_ttest": _q190_sql,
     }

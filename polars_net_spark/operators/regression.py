@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest"]
 
 
 def _sdf(frame):
@@ -144,4 +144,129 @@ def corr_matrix(
         )
     )
     out = one.select(entries.alias("e")).select("e.col_a", "e.col_b", "e.corr")
+    return LazyFrame(out)
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap draw:
+# P(X<=k) for k = 0..5; u above the last threshold -> multiplicity 6.
+_POISSON1_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406]
+
+
+def bootstrap_ci(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    salt: str = "",
+    id_col: str | None = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Poisson-bootstrap confidence interval for the MEAN, with zero RNG
+    state: replicate b gives row i multiplicity m_ib ~ Poisson(1) drawn by
+    inverse-CDF over the portable md5 hash of (salt, id, b) — the standard
+    scalable bootstrap (each replicate is one weighted aggregate; the data
+    is never resampled or shuffled per replicate) made rerun/engine/layout
+    deterministic.
+
+    Output per key: mean, ci_lo, ci_hi (percentile method over the
+    ``n_boot`` replicate means), n.  Cost: one explode to ``n_boot`` light
+    (key, b, m·x, m) rows per input row + one aggregate — tune n_boot to
+    the budget.  ``id_col`` seeds the draw (default: the value's row
+    identity must come from somewhere — pass a unique id for exactness;
+    falling back to monotonically_increasing_id would break rerun
+    determinism across partitionings, so it is required).
+    """
+    sdf = _sdf(frame)
+    if id_col is None:
+        raise ValueError("bootstrap_ci needs id_col (a stable unique row id)")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    b = F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))).alias("__b__")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        F.lit("#"),
+                        F.col("__b__").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    m = F.lit(len(_POISSON1_CDF))
+    for k in reversed(range(len(_POISSON1_CDF))):
+        m = F.when(u <= _POISSON1_CDF[k], F.lit(k)).otherwise(m)
+    staged = sdf.filter(v.isNotNull()).select(*keys, v.alias("__v__"), F.col(id_col), b)
+    drawn = staged.withColumn("__m__", m.cast("double"))
+    reps = drawn.groupBy(*keys, "__b__").agg(
+        (F.sum(F.col("__m__") * F.col("__v__")) / F.sum("__m__")).alias("__mean_b__")
+    )
+    lo, hi = alpha / 2, 1 - alpha / 2
+    cis = reps.groupBy(*keys).agg(
+        F.percentile(F.col("__mean_b__"), F.lit(lo)).alias("__lo__"),
+        F.percentile(F.col("__mean_b__"), F.lit(hi)).alias("__hi__"),
+    )
+    base = sdf.groupBy(*keys).agg(
+        F.avg(v).alias("__mean__"), F.count(v).alias("__n__")
+    )
+    joined = base.join(cis, keys) if keys else base.join(F.broadcast(cis))
+    out = joined.select(
+        *keys,
+        F.round("__mean__", round_to).alias("mean"),
+        F.round("__lo__", round_to).alias("ci_lo"),
+        F.round("__hi__", round_to).alias("ci_hi"),
+        F.col("__n__").cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def welch_ttest(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Welch's unequal-variance two-sample t statistic from one aggregate
+    pass: t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b), with the
+    Welch–Satterthwaite degrees of freedom.  The A/B-test primitive; the
+    p-value needs a t CDF (no closed form in-plan) — feed (t, df) to scipy
+    driver-side, the data never leaves the cluster.  One row output:
+    (mean_a, mean_b, diff, t, df, n_a, n_b)."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    agg = sdf.filter(g.isin([group_a, group_b])).agg(
+        F.avg(F.when(g == group_a, v)).alias("ma"),
+        F.avg(F.when(g == group_b, v)).alias("mb"),
+        F.var_samp(F.when(g == group_a, v)).alias("va"),
+        F.var_samp(F.when(g == group_b, v)).alias("vb"),
+        F.count(F.when(g == group_a, v)).cast("double").alias("na"),
+        F.count(F.when(g == group_b, v)).cast("double").alias("nb"),
+    )
+    sa = F.col("va") / F.col("na")
+    sb = F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
+    df_ = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1)
+    )
+    out = agg.select(
+        F.round("ma", round_to).alias("mean_a"),
+        F.round("mb", round_to).alias("mean_b"),
+        F.round(F.col("ma") - F.col("mb"), round_to).alias("diff"),
+        F.round(t, round_to).alias("t"),
+        F.round(df_, round_to).alias("df"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )
     return LazyFrame(out)

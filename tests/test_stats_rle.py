@@ -360,3 +360,42 @@ def test_rank_normalized_ties_and_nulls(spark):
         ("a", 10.0, 0.125), ("a", 20.0, 0.5), ("a", 20.0, 0.5),
         ("a", 40.0, 0.875), ("a", None, None),
     ]
+
+
+class TestInference:
+    def test_bootstrap_ci_brackets_truth(self, spark):
+        from polars_net_spark.operators.regression import bootstrap_ci
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 2000).select(
+            F.col("id").alias("i"), (F.col("id") % 100).cast("double").alias("v")
+        )
+        (mean, lo, hi, n), = bootstrap_ci(d, "v", n_boot=50, id_col="i").collect().rows()
+        assert mean == 49.5 and n == 2000
+        assert lo < 49.5 < hi
+        assert hi - lo < 5  # width ~ 2*1.96*sigma/sqrt(n) ≈ 2.5
+        # deterministic across runs
+        again = bootstrap_ci(d, "v", n_boot=50, id_col="i").collect().rows()
+        assert again == [(mean, lo, hi, n)]
+        import pytest
+        with pytest.raises(ValueError, match="id_col"):
+            bootstrap_ci(d, "v")
+
+    def test_welch_ttest_exact(self, spark):
+        import math
+
+        from polars_net_spark.operators.regression import welch_ttest
+        from pyspark.sql import functions as F
+
+        g = spark.range(0, 1000).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+            (F.col("id") % 10 + F.when(F.col("id") % 2 == 0, 2.0).otherwise(0.0))
+            .cast("double").alias("v"),
+        )
+        (ma, mb, diff, t, df, na, nb), = welch_ttest(g, "g", "v", "a", "b").collect().rows()
+        assert (ma, mb, diff, na, nb) == (6.0, 5.0, 1.0, 500, 500)
+        # equal variances and sizes: df = 2n - 2
+        assert abs(df - 998.0) < 1e-6
+        # t from the closed form
+        var = sum((x - 4) ** 2 for x in [0, 2, 4, 6, 8]) / 5 * 500 / 499
+        assert abs(t - 1.0 / math.sqrt(2 * var / 500)) < 1e-6
