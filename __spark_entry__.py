@@ -5985,6 +5985,32 @@ FROM a
 """
 
 
+def _q191(spark, sf_dir):
+    """Pearson χ² independence (operators/regression.py chi2_independence):
+    event_type × user-cohort contingency — margins joined back, no collect."""
+    from polars_net_spark.operators.regression import chi2_independence
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.spark.select(
+        "event_type", (F.col("user_id") % 3).cast("string").alias("cohort")
+    )
+    return chi2_independence(d, "event_type", "cohort").spark
+
+
+_q191_sql = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS cohort, count(*) AS o
+  FROM events GROUP BY 1, 2),
+ra AS (SELECT event_type, sum(o) AS ra FROM cells GROUP BY 1),
+rb AS (SELECT cohort, sum(o) AS rb FROM cells GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM cells)
+SELECT round(sum((o - ra * rb / n.n) * (o - ra * rb / n.n) / (ra * rb / n.n)), 6) AS chi2,
+       CAST((count(DISTINCT cells.event_type) - 1) * (count(DISTINCT cells.cohort) - 1) AS BIGINT) AS df,
+       CAST(max(n.n) AS BIGINT) AS n
+FROM cells JOIN ra USING (event_type) JOIN rb USING (cohort), n
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6180,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_debounce": _q188,
         "q189_bootstrap_ci": _q189,
         "q190_welch_ttest": _q190,
+        "q191_chi2": _q191,
     }
 
 
@@ -6375,4 +6402,5 @@ def oracle_sql() -> dict[str, str]:
         "q188_debounce": _q188_sql,
         "q189_bootstrap_ci": _q189_sql,
         "q190_welch_ttest": _q190_sql,
+        "q191_chi2": _q191_sql,
     }

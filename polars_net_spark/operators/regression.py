@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence"]
 
 
 def _sdf(frame):
@@ -268,5 +268,38 @@ def welch_ttest(
         F.round(df_, round_to).alias("df"),
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
+    )
+    return LazyFrame(out)
+
+
+def chi2_independence(
+    frame: "LazyFrame | SparkDF",
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Pearson χ² test of independence for two categorical columns:
+    χ² = Σ (observed − expected)² / expected over the contingency table,
+    plus degrees of freedom (r−1)(c−1).  Two aggregate passes (cell counts,
+    then the margin-joined sum) — no collect, any cardinality that fits a
+    groupBy.  Feed (chi2, df) to scipy driver-side for the p-value.
+    Output: chi2, df, n."""
+    sdf = _sdf(frame)
+    cells = sdf.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
+    rb = cells.groupBy(col_b).agg(F.sum("o").alias("rb"))
+    n = cells.agg(F.sum("o").alias("n"))
+    full = cells.join(ra, col_a).join(rb, col_b).join(F.broadcast(n))
+    e = F.col("ra") * F.col("rb") / F.col("n")
+    stat = full.agg(
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.count_distinct(col_a).alias("r"),
+        F.count_distinct(col_b).alias("c"),
+        F.first("n").alias("n"),
+    )
+    out = stat.select(
+        F.round("chi2", round_to).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+        F.col("n").cast("long").alias("n"),
     )
     return LazyFrame(out)

@@ -399,3 +399,21 @@ class TestInference:
         # t from the closed form
         var = sum((x - 4) ** 2 for x in [0, 2, 4, 6, 8]) / 5 * 500 / 499
         assert abs(t - 1.0 / math.sqrt(2 * var / 500)) < 1e-6
+
+
+def test_chi2_independence(spark):
+    from polars_net_spark.operators.regression import chi2_independence
+    from pyspark.sql import functions as F
+
+    # perfectly independent 2x2 -> chi2 == 0, df == 1
+    ind = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        ((F.col("id") % 4) < 2).cast("string").alias("b"),
+    )
+    assert chi2_independence(ind, "a", "b").collect().rows() == [(0.0, 1, 1000)]
+    # perfectly dependent (a == b) -> chi2 == n
+    dep = spark.range(0, 800).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 2).cast("string").alias("b"),
+    )
+    assert chi2_independence(dep, "a", "b").collect().rows() == [(800.0, 1, 800)]
