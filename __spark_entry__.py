@@ -6003,11 +6003,16 @@ WITH cells AS (
   FROM events GROUP BY 1, 2),
 ra AS (SELECT event_type, sum(o) AS ra FROM cells GROUP BY 1),
 rb AS (SELECT cohort, sum(o) AS rb FROM cells GROUP BY 1),
-n AS (SELECT sum(o) AS n FROM cells)
+n AS (SELECT sum(o) AS n FROM cells),
+grid AS (SELECT ra.event_type, rb.cohort, ra, rb FROM ra, rb),
+fgrid AS (
+  SELECT g.event_type, g.cohort, g.ra, g.rb, coalesce(c.o, 0) AS o
+  FROM grid g LEFT JOIN cells c
+    ON g.event_type = c.event_type AND g.cohort = c.cohort)
 SELECT round(sum((o - ra * rb / n.n) * (o - ra * rb / n.n) / (ra * rb / n.n)), 6) AS chi2,
-       CAST((count(DISTINCT cells.event_type) - 1) * (count(DISTINCT cells.cohort) - 1) AS BIGINT) AS df,
+       CAST((count(DISTINCT fgrid.event_type) - 1) * (count(DISTINCT fgrid.cohort) - 1) AS BIGINT) AS df,
        CAST(max(n.n) AS BIGINT) AS n
-FROM cells JOIN ra USING (event_type) JOIN rb USING (cohort), n
+FROM fgrid, n
 """
 
 

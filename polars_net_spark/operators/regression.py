@@ -289,7 +289,15 @@ def chi2_independence(
     ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
     rb = cells.groupBy(col_b).agg(F.sum("o").alias("rb"))
     n = cells.agg(F.sum("o").alias("n"))
-    full = cells.join(ra, col_a).join(rb, col_b).join(F.broadcast(n))
+    # the FULL r x c grid: zero cells contribute (0-e)^2/e and skipping them
+    # understates chi2 (caught by the perfect-dependence test) — margins are
+    # tiny aggregates, so their cross join is bounded by the category counts
+    grid = ra.crossJoin(rb)
+    full = (
+        grid.join(cells, [col_a, col_b], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .join(F.broadcast(n))
+    )
     e = F.col("ra") * F.col("rb") / F.col("n")
     stat = full.agg(
         F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
