@@ -6016,6 +6016,39 @@ FROM fgrid, n
 """
 
 
+def _q192(spark, sf_dir):
+    """Mann–Whitney U with tie correction (operators/regression.py
+    mann_whitney_u): click vs purchase values — tie-averaged ranks from one
+    global ordering, closed-form z."""
+    from polars_net_spark.operators.regression import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev.spark, "event_type", "value", "click", "purchase").spark
+
+
+_q192_sql = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+ranked AS (
+  SELECT g, v,
+         avg(rn) OVER (PARTITION BY v) AS r,
+         count(*) OVER (PARTITION BY v) AS t
+  FROM (SELECT g, v, CAST(row_number() OVER (ORDER BY v) AS DOUBLE) AS rn FROM base)),
+a AS (
+  SELECT sum(CASE WHEN g = 'click' THEN r END) AS ra,
+         CAST(count(CASE WHEN g = 'click' THEN 1 END) AS DOUBLE) AS na,
+         CAST(count(CASE WHEN g = 'purchase' THEN 1 END) AS DOUBLE) AS nb,
+         sum(t * t - 1) AS tt
+  FROM ranked)
+SELECT round(ra - na * (na + 1) / 2, 6) AS u,
+       round((ra - na * (na + 1) / 2 - na * nb / 2)
+             / sqrt(na * nb / 12.0 * ((na + nb + 1) - tt / ((na + nb) * (na + nb - 1)))), 6) AS z,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6212,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_bootstrap_ci": _q189,
         "q190_welch_ttest": _q190,
         "q191_chi2": _q191,
+        "q192_mann_whitney": _q192,
     }
 
 
@@ -6408,4 +6442,5 @@ def oracle_sql() -> dict[str, str]:
         "q189_bootstrap_ci": _q189_sql,
         "q190_welch_ttest": _q190_sql,
         "q191_chi2": _q191_sql,
+        "q192_mann_whitney": _q192_sql,
     }

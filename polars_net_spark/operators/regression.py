@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u"]
 
 
 def _sdf(frame):
@@ -309,5 +309,56 @@ def chi2_independence(
         F.round("chi2", round_to).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
         F.col("n").cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def mann_whitney_u(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) with tie correction: the
+    nonparametric two-sample test — U from tie-averaged ranks (one global
+    window ordering), z from the normal approximation with the tie-corrected
+    variance.  Output: u, z, n_a, n_b.  Feed z to a normal CDF driver-side
+    for the p-value.  The ranking is one global sort — fine for the
+    aggregate-sized inputs tests run on; pre-aggregate or sample first at
+    corpus scale (documented single-ordering contract)."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(g.isin([group_a, group_b]) & v.isNotNull()).select(
+        g.alias("__g__"), v.alias("__v__")
+    )
+    w = Window.orderBy(F.col("__v__"))
+    rk = F.rank().over(w)
+    ties = F.count(F.lit(1)).over(Window.orderBy(F.col("__v__")).rangeBetween(0, 0))
+    avg_rank = rk + (ties - F.lit(1)) / 2.0
+    ranked = base.select("__g__", "__v__", avg_rank.alias("__r__"), ties.alias("__t__"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__g__") == group_a, F.col("__r__"))).alias("ra"),
+        F.count(F.when(F.col("__g__") == group_a, F.lit(1))).cast("double").alias("na"),
+        F.count(F.when(F.col("__g__") == group_b, F.lit(1))).cast("double").alias("nb"),
+        # tie term sum(t^3 - t): each tie group of size t appears t times here,
+        # so sum over ROWS of (t^2 - 1) = sum over GROUPS of t*(t^2-1) = t^3 - t
+        F.sum(F.col("__t__") * F.col("__t__") - 1).cast("double").alias("tt"),
+    )
+    n = F.col("na") + F.col("nb")
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    mean_u = F.col("na") * F.col("nb") / 2
+    var_u = (
+        F.col("na") * F.col("nb") / 12.0
+        * ((n + 1) - F.col("tt") / (n * (n - 1)))
+    )
+    z = (u - mean_u) / F.sqrt(var_u)
+    out = agg.select(
+        F.round(u, round_to).alias("u"),
+        F.round(z, round_to).alias("z"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
     )
     return LazyFrame(out)

@@ -417,3 +417,21 @@ def test_chi2_independence(spark):
         (F.col("id") % 2).cast("string").alias("b"),
     )
     assert chi2_independence(dep, "a", "b").collect().rows() == [(800.0, 1, 800)]
+
+
+def test_mann_whitney_u_known_values(spark):
+    from polars_net_spark.operators.regression import mann_whitney_u
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5]] + [
+        ("b", float(v)) for v in [6, 7, 8, 9, 10]
+    ]
+    d = spark.createDataFrame(rows, ["g", "v"])
+    out = mann_whitney_u(d, "g", "v", "a", "b").collect().rows()
+    assert out == [(0.0, -2.611165, 5, 5)]  # fully separated: U=0
+    rows2 = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    (u, z, na, nb), = mann_whitney_u(
+        spark.createDataFrame(rows2, ["g", "v"]), "g", "v", "a", "b"
+    ).collect().rows()
+    # ranks: 1 -> 1; the three 2s share (2+3+4)/3 = 3; 3 -> 5
+    # Ra = 1 + 3 + 3 = 7, U = 7 - 6 = 1
+    assert (u, na, nb) == (1.0, 3, 2)
