@@ -6049,6 +6049,98 @@ FROM a
 """
 
 
+def _eval_scored(spark, sf_dir):
+    """Deterministic score/label columns for the classifier-eval gates."""
+    d = _t(spark, sf_dir, "documents")
+    return d.spark.select(
+        ((F.col("n_chars") % 997) / 997.0).alias("score"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+
+
+_EVAL_SQL = """
+  SELECT (n_chars % 997) / 997.0 AS score, CAST(doc_id % 2 AS INT) AS label
+  FROM documents
+"""
+
+
+def _q193(spark, sf_dir):
+    """Calibration / reliability table (llm/evaluation.py
+    calibration_report): 10 equal-width score bins, mean score vs observed
+    positive rate + gap — one map-side aggregate."""
+    from polars_net_spark.llm import calibration_report
+
+    return calibration_report(_eval_scored(spark, sf_dir), "score", "label").spark
+
+
+_q193_sql = f"""
+WITH s AS ({_EVAL_SQL})
+SELECT CAST(least(9, greatest(0, floor(score * 10))) AS INT) AS bin,
+       round(avg(score), 6) AS mean_score,
+       round(avg(label), 6) AS pos_rate,
+       CAST(count(*) AS BIGINT) AS n,
+       round(abs(avg(score) - avg(label)), 6) AS abs_gap
+FROM s GROUP BY 1
+"""
+
+
+def _q194(spark, sf_dir):
+    """Exact ROC-AUC via the tie-averaged rank statistic (llm/evaluation.py
+    roc_auc) — no threshold sweep, one ordering + one aggregate."""
+    from polars_net_spark.llm import roc_auc
+
+    return roc_auc(_eval_scored(spark, sf_dir), "score", "label").spark
+
+
+_q194_sql = f"""
+WITH s AS ({_EVAL_SQL}),
+ranked AS (
+  SELECT label, avg(rn) OVER (PARTITION BY score) AS r
+  FROM (SELECT score, label, CAST(row_number() OVER (ORDER BY score) AS DOUBLE) AS rn FROM s)),
+a AS (
+  SELECT sum(CASE WHEN label = 1 THEN r END) AS rp,
+         CAST(count(CASE WHEN label = 1 THEN 1 END) AS DOUBLE) AS np,
+         CAST(count(CASE WHEN label = 0 THEN 1 END) AS DOUBLE) AS nn
+  FROM ranked)
+SELECT round((rp - np * (np + 1) / 2) / (np * nn), 6) AS auc,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM a
+"""
+
+
+def _q195(spark, sf_dir):
+    """Thresholded P/R/F1/accuracy (llm/evaluation.py prf1_report): three
+    thresholds from ONE scan (fused conditional counts)."""
+    from polars_net_spark.llm import prf1_report
+
+    return prf1_report(
+        _eval_scored(spark, sf_dir), "score", "label", [0.25, 0.5, 0.75]
+    ).spark
+
+
+_q195_sql = f"""
+WITH s AS ({_EVAL_SQL}),
+t(threshold) AS (VALUES (0.25), (0.5), (0.75)),
+c AS (
+  SELECT t.threshold,
+         sum(CASE WHEN score >= t.threshold AND label = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN score >= t.threshold AND label = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN score <  t.threshold AND label = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN score <  t.threshold AND label = 0 THEN 1 ELSE 0 END) AS tn
+  FROM s, t GROUP BY t.threshold)
+SELECT threshold,
+       round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND (tp / CAST(tp + fp AS DOUBLE) + tp / CAST(tp + fn AS DOUBLE)) > 0
+             THEN 2 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(tp + fn AS DOUBLE))
+                  / (tp / CAST(tp + fp AS DOUBLE) + tp / CAST(tp + fn AS DOUBLE)) END, 6) AS f1,
+       round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6246,6 +6338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_welch_ttest": _q190,
         "q191_chi2": _q191,
         "q192_mann_whitney": _q192,
+        "q193_calibration": _q193,
+        "q194_roc_auc": _q194,
+        "q195_prf1": _q195,
     }
 
 
@@ -6443,4 +6538,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_welch_ttest": _q190_sql,
         "q191_chi2": _q191_sql,
         "q192_mann_whitney": _q192_sql,
+        "q193_calibration": _q193_sql,
+        "q194_roc_auc": _q194_sql,
+        "q195_prf1": _q195_sql,
     }

@@ -1,0 +1,142 @@
+"""Classifier evaluation at corpus scale: calibration, ROC-AUC, thresholded
+P/R/F1.  The evaluation half of the quality-filter loop (train_linear_quality
+fits the model, linear_quality_score_frame serves it — these measure it), all
+as aggregate/window compositions with exact closed forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+
+from ..frame import LazyFrame
+
+__all__ = ["calibration_report", "roc_auc", "prf1_report"]
+
+
+def _sdf(frame):
+    return frame if isinstance(frame, SparkDF) else frame.spark
+
+
+def calibration_report(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Reliability table: scores cut into ``n_bins`` equal-width bins over
+    [0, 1]; per bin the mean predicted score, observed positive rate, count,
+    and |gap| — the rows of a reliability diagram, whose count-weighted gap
+    sum is the expected calibration error (ECE).  One map-side-combining
+    aggregate.  Scores outside [0, 1] clamp into the edge bins."""
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(s * n_bins).cast("int")),
+    )
+    out = (
+        sdf.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.round(F.avg(s), round_to).alias("mean_score"),
+            F.round(F.avg(y), round_to).alias("pos_rate"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.abs(F.avg(s) - F.avg(y)), round_to).alias("abs_gap"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def roc_auc(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact ROC-AUC via the rank statistic: AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻) with tie-averaged ranks (equivalent to the trapezoidal ROC
+    integral, ties handled as half-credit).  One global score ordering +
+    one aggregate — no threshold sweep, no collect.  Output: auc, n_pos,
+    n_neg."""
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = sdf.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s__"), (y > 0).cast("int").alias("__y__")
+    )
+    w = Window.orderBy(F.col("__s__"))
+    rk = F.rank().over(w)
+    ties = F.count(F.lit(1)).over(Window.orderBy(F.col("__s__")).rangeBetween(0, 0))
+    avg_rank = rk + (ties - F.lit(1)) / 2.0
+    ranked = base.select("__y__", avg_rank.alias("__r__"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__y__") == 1, F.col("__r__"))).alias("rp"),
+        F.count(F.when(F.col("__y__") == 1, F.lit(1))).cast("double").alias("np"),
+        F.count(F.when(F.col("__y__") == 0, F.lit(1))).cast("double").alias("nn"),
+    )
+    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2) / (F.col("np") * F.col("nn"))
+    out = agg.select(
+        F.round(auc, round_to).alias("auc"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+    )
+    return LazyFrame(out)
+
+
+def prf1_report(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    thresholds: "list[float]",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Precision/recall/F1/accuracy at each threshold — ALL thresholds from
+    ONE scan (one conditional-count aggregate per threshold, fused in a
+    single agg; long-format output).  Empty-prediction thresholds yield null
+    precision/F1 rather than dividing by zero."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") > 0).cast("int")
+    base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull())
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = (s >= F.lit(float(t))).cast("int")
+        aggs += [
+            F.sum(pred * y).alias(f"__tp{i}__"),
+            F.sum(pred * (1 - y)).alias(f"__fp{i}__"),
+            F.sum((1 - pred) * y).alias(f"__fn{i}__"),
+            F.sum((1 - pred) * (1 - y)).alias(f"__tn{i}__"),
+        ]
+    one = base.agg(*aggs)
+    rows = []
+    for i, t in enumerate(thresholds):
+        tp, fp = F.col(f"__tp{i}__"), F.col(f"__fp{i}__")
+        fn, tn = F.col(f"__fn{i}__"), F.col(f"__tn{i}__")
+        prec = F.when(tp + fp > 0, tp / (tp + fp))
+        rec = F.when(tp + fn > 0, tp / (tp + fn))
+        f1 = F.when(
+            prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+            2 * prec * rec / (prec + rec),
+        )
+        acc = (tp + tn) / (tp + fp + fn + tn)
+        rows.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.round(prec, round_to).alias("precision"),
+                F.round(rec, round_to).alias("recall"),
+                F.round(f1, round_to).alias("f1"),
+                F.round(acc, round_to).alias("accuracy"),
+                tp.cast("long").alias("tp"),
+                fp.cast("long").alias("fp"),
+                fn.cast("long").alias("fn"),
+                tn.cast("long").alias("tn"),
+            )
+        )
+    entries = F.explode(F.array(*rows))
+    out = one.select(entries.alias("e")).select("e.*")
+    return LazyFrame(out)

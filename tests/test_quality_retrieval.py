@@ -336,3 +336,36 @@ def test_tfidf_cosine_pairs_exact(spark):
     # df cap removes the shared terms -> no pair survives
     out2 = tfidf_cosine_pairs(d, threshold=0.1, max_df_ratio=0.5).collect().rows()
     assert out2 == []
+
+
+class TestEvaluation:
+    def test_roc_auc_known(self, spark):
+        from polars_net_spark.llm import roc_auc
+        from pyspark.sql import functions as F
+
+        sep = spark.range(0, 100).select(
+            (F.col("id") / 100.0).alias("s"), (F.col("id") >= 50).cast("int").alias("y")
+        )
+        assert roc_auc(sep, "s", "y").collect().rows() == [(1.0, 50, 50)]
+        # constant scores: AUC = 0.5 by tie half-credit
+        const = spark.range(0, 100).select(
+            F.lit(0.7).alias("s"), (F.col("id") % 2).cast("int").alias("y")
+        )
+        assert roc_auc(const, "s", "y").collect().rows() == [(0.5, 50, 50)]
+
+    def test_prf1_and_calibration(self, spark):
+        from polars_net_spark.llm import calibration_report, prf1_report
+        from pyspark.sql import functions as F
+
+        d = spark.range(0, 100).select(
+            (F.col("id") / 100.0).alias("s"), (F.col("id") >= 50).cast("int").alias("y")
+        )
+        rows = prf1_report(d, "s", "y", [0.5, 0.99]).collect().rows()
+        by_t = {r[0]: r for r in rows}
+        assert by_t[0.5][1:5] == (1.0, 1.0, 1.0, 1.0)
+        # at 0.99 only score 0.99 predicted positive -> precision 1, recall 1/50
+        assert by_t[0.99][1] == 1.0 and by_t[0.99][2] == 0.02
+        cal = calibration_report(d, "s", "y", n_bins=2).collect().rows()
+        assert sorted(r[0] for r in cal) == [0, 1]
+        low = [r for r in cal if r[0] == 0][0]
+        assert low[2] == 0.0 and low[3] == 50  # low bin: no positives
