@@ -6141,6 +6141,74 @@ FROM c
 """
 
 
+def _q196(spark, sf_dir):
+    """Per-key ROC-AUC (llm/evaluation.py roc_auc(by=)): the score ordering
+    shards on the key — per-source model quality without a global sort."""
+    from polars_net_spark.llm import roc_auc
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.spark.select(
+        "source",
+        ((F.col("n_chars") % 997) / 997.0).alias("score"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+    return roc_auc(scored, "score", "label", by="source").spark
+
+
+_q196_sql = """
+WITH s AS (
+  SELECT source, (n_chars % 997) / 997.0 AS score, CAST(doc_id % 2 AS INT) AS label
+  FROM documents),
+ranked AS (
+  SELECT source, label, avg(rn) OVER (PARTITION BY source, score) AS r
+  FROM (SELECT source, score, label,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY score) AS DOUBLE) AS rn
+        FROM s)),
+a AS (
+  SELECT source,
+         sum(CASE WHEN label = 1 THEN r END) AS rp,
+         CAST(count(CASE WHEN label = 1 THEN 1 END) AS DOUBLE) AS np,
+         CAST(count(CASE WHEN label = 0 THEN 1 END) AS DOUBLE) AS nn
+  FROM ranked GROUP BY source)
+SELECT source,
+       round(CASE WHEN np > 0 AND nn > 0
+                  THEN (rp - np * (np + 1) / 2) / (np * nn) END, 6) AS auc,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM a
+"""
+
+
+def _q197(spark, sf_dir):
+    """Asymmetric near-containment pairs (llm/dedup.py containment_pairs):
+    |A∩B|/|A| ≥ 0.8 over 3-gram sets — catches excerpt/quote duplication
+    symmetric Jaccard misses; exact verification, both directions scored."""
+    from polars_net_spark.llm import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8).spark
+
+
+_q197_sql = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w WHERE len(ws) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(grams) AS ng FROM g),
+scored AS (
+  SELECT p.ia AS id_a, p.ib AS id_b, round(shared / sa.ng, 6) AS containment
+  FROM p JOIN sizes sa ON p.ia = sa.doc_id
+  UNION ALL
+  SELECT p.ib, p.ia, round(shared / sb.ng, 6)
+  FROM p JOIN sizes sb ON p.ib = sb.doc_id)
+SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6341,6 +6409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_calibration": _q193,
         "q194_roc_auc": _q194,
         "q195_prf1": _q195,
+        "q196_auc_by_key": _q196,
+        "q197_containment": _q197,
     }
 
 
@@ -6541,4 +6611,6 @@ def oracle_sql() -> dict[str, str]:
         "q193_calibration": _q193_sql,
         "q194_roc_auc": _q194_sql,
         "q195_prf1": _q195_sql,
+        "q196_auc_by_key": _q196_sql,
+        "q197_containment": _q197_sql,
     }

@@ -22,6 +22,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_fuzzy",
     "dedup_against",
+    "containment_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "minhash_lsh_pairs",
@@ -1139,4 +1140,62 @@ def dedup_against(
         .distinct()
     )
     out = new_sdf.join(dup_ids, id_col, "anti")
+    return LazyFrame(out)
+
+
+def containment_pairs(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Asymmetric near-CONTAINMENT pairs: |grams(A) ∩ grams(B)| / |grams(A)|
+    ≥ threshold, emitted as (id_a, id_b, containment) meaning "A is nearly
+    contained in B" — catches quotes, excerpts, and prefix/suffix copies
+    that symmetric Jaccard misses (a short doc inside a long one has tiny
+    Jaccard but containment ≈ 1).  Both directions of each candidate pair
+    are scored.
+
+    Same inverted-index machinery as ngram_jaccard_pairs: candidates share
+    ≥ 1 gram, verification is exact on full gram sets (precision 1).  No
+    size prefilter — containment is exactly the asymmetric case where sizes
+    may differ arbitrarily.
+    """
+    sdf = _sdf(frame)
+    grams = register_cache(_grams_frame(sdf, text_col, id_col, n, nonempty=True))
+    e = grams.select("id", F.explode("grams").alias("gram"))
+    lhs = e.select(F.col("id").alias("id_a"), "gram")
+    rhs = e.select(F.col("id").alias("id_b"), "gram")
+    cands = (
+        lhs.join(rhs, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("sa"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("sb"))
+    paired = cands.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+                F.round(inter / F.size("sa"), round_to).alias("c"),
+            ),
+            F.struct(
+                F.col("id_b").alias("a"), F.col("id_a").alias("b"),
+                F.round(inter / F.size("sb"), round_to).alias("c"),
+            ),
+        )
+    )
+    out = (
+        paired.select(both.alias("e"))
+        .select(
+            F.col("e.a").alias("id_a"), F.col("e.b").alias("id_b"),
+            F.col("e.c").alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
     return LazyFrame(out)

@@ -54,31 +54,39 @@ def roc_auc(
     frame: "LazyFrame | SparkDF",
     score_col: str,
     label_col: str,
+    by: "str | list[str] | None" = None,
     round_to: int = 6,
 ) -> LazyFrame:
     """Exact ROC-AUC via the rank statistic: AUC = (R⁺ − n⁺(n⁺+1)/2) /
     (n⁺·n⁻) with tie-averaged ranks (equivalent to the trapezoidal ROC
-    integral, ties handled as half-credit).  One global score ordering +
-    one aggregate — no threshold sweep, no collect.  Output: auc, n_pos,
-    n_neg."""
+    integral, ties handled as half-credit).  One score ordering (global, or
+    per ``by`` key — the window keys shard the sort) + one aggregate — no
+    threshold sweep, no collect.  Keys with only one class yield null AUC.
+    Output: [keys...,] auc, n_pos, n_neg."""
     sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     base = sdf.filter(s.isNotNull() & y.isNotNull()).select(
-        s.alias("__s__"), (y > 0).cast("int").alias("__y__")
+        *keys, s.alias("__s__"), (y > 0).cast("int").alias("__y__")
     )
-    w = Window.orderBy(F.col("__s__"))
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = wp.orderBy(F.col("__s__"))
     rk = F.rank().over(w)
-    ties = F.count(F.lit(1)).over(Window.orderBy(F.col("__s__")).rangeBetween(0, 0))
+    ties = F.count(F.lit(1)).over(wp.orderBy(F.col("__s__")).rangeBetween(0, 0))
     avg_rank = rk + (ties - F.lit(1)) / 2.0
-    ranked = base.select("__y__", avg_rank.alias("__r__"))
-    agg = ranked.agg(
+    ranked = base.select(*keys, "__y__", avg_rank.alias("__r__"))
+    agg = ranked.groupBy(*keys).agg(
         F.sum(F.when(F.col("__y__") == 1, F.col("__r__"))).alias("rp"),
         F.count(F.when(F.col("__y__") == 1, F.lit(1))).cast("double").alias("np"),
         F.count(F.when(F.col("__y__") == 0, F.lit(1))).cast("double").alias("nn"),
     )
-    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2) / (F.col("np") * F.col("nn"))
+    auc = F.when(
+        (F.col("np") > 0) & (F.col("nn") > 0),
+        (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2) / (F.col("np") * F.col("nn")),
+    )
     out = agg.select(
+        *keys,
         F.round(auc, round_to).alias("auc"),
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),

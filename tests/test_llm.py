@@ -857,3 +857,20 @@ def test_embedding_threshold_join_paths_agree(spark):
         .spark._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_containment_pairs_asymmetric(spark):
+    from polars_net_spark.llm import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),     # long doc
+        (2, "alpha beta gamma delta"),                  # prefix excerpt of 1
+        (3, "totally different words entirely here now"),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"])
+    out = {(a, b): c for a, b, c in containment_pairs(d, threshold=0.9).collect().rows()}
+    # doc2's grams are all inside doc1 -> containment(2 in 1) = 1.0
+    assert out == {(2, 1): 1.0}
+    # symmetric jaccard would be 2/4 = 0.5 — the asymmetric score is the point
+    low = containment_pairs(d, threshold=0.4).collect().rows()
+    assert (1, 2, 0.5) in [tuple(r) for r in low]
