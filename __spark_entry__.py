@@ -6209,6 +6209,61 @@ SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.8
 """
 
 
+def _q198(spark, sf_dir):
+    """Expected calibration error (llm/evaluation.py
+    expected_calibration_error): one-row ECE/MCE over the reliability bins."""
+    from polars_net_spark.llm import expected_calibration_error
+
+    return expected_calibration_error(
+        _eval_scored(spark, sf_dir), "score", "label"
+    ).spark
+
+
+_q198_sql = f"""
+WITH s AS ({_EVAL_SQL}),
+b AS (
+  SELECT CAST(least(9, greatest(0, floor(score * 10))) AS INT) AS bin,
+         avg(score) AS ms, avg(label) AS pr, count(*) AS n
+  FROM s GROUP BY 1)
+SELECT round(sum(abs(ms - pr) * n) / sum(n), 6) AS ece,
+       round(max(abs(ms - pr)), 6) AS mce,
+       CAST(sum(n) AS BIGINT) AS n
+FROM b
+"""
+
+
+def _q199(spark, sf_dir):
+    """NDCG@10 per query (llm/evaluation.py ndcg_at_k): model-vs-ideal
+    discounted gains from two windows in one query-keyed shuffle."""
+    from polars_net_spark.llm import ndcg_at_k
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.spark.select(
+        (F.col("user_id") % 20).alias("qid"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 4).cast("double").alias("rel"),
+    )
+    return ndcg_at_k(scored, "qid", "score", "rel", k=10).spark
+
+
+_q199_sql = """
+WITH b AS (
+  SELECT user_id % 20 AS qid, value AS s, CAST(event_id % 4 AS DOUBLE) AS r
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT qid, r,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, r DESC) AS pm,
+         row_number() OVER (PARTITION BY qid ORDER BY r DESC) AS pi
+  FROM b),
+a AS (
+  SELECT qid,
+         sum(CASE WHEN pm <= 10 THEN r / log2(pm + 1) ELSE 0 END) AS dcg,
+         sum(CASE WHEN pi <= 10 THEN r / log2(pi + 1) ELSE 0 END) AS idcg
+  FROM m GROUP BY qid)
+SELECT qid, round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6411,6 +6466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_prf1": _q195,
         "q196_auc_by_key": _q196,
         "q197_containment": _q197,
+        "q198_ece": _q198,
+        "q199_ndcg": _q199,
     }
 
 
@@ -6613,4 +6670,6 @@ def oracle_sql() -> dict[str, str]:
         "q195_prf1": _q195_sql,
         "q196_auc_by_key": _q196_sql,
         "q197_containment": _q197_sql,
+        "q198_ece": _q198_sql,
+        "q199_ndcg": _q199_sql,
     }

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["calibration_report", "roc_auc", "prf1_report"]
+__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k"]
 
 
 def _sdf(frame):
@@ -147,4 +147,70 @@ def prf1_report(
         )
     entries = F.explode(F.array(*rows))
     out = one.select(entries.alias("e")).select("e.*")
+    return LazyFrame(out)
+
+
+def expected_calibration_error(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """ECE in one row: the count-weighted |pos_rate − mean_score| over the
+    reliability bins of :func:`calibration_report`, plus the max gap (MCE)
+    and n."""
+    rep = calibration_report(
+        frame, score_col, label_col, n_bins=n_bins, round_to=12
+    ).spark
+    out = rep.agg(
+        F.round(
+            F.sum(F.col("abs_gap") * F.col("n")) / F.sum("n"), round_to
+        ).alias("ece"),
+        F.round(F.max("abs_gap"), round_to).alias("mce"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def ndcg_at_k(
+    frame: "LazyFrame | SparkDF",
+    query_col: str,
+    score_col: str,
+    relevance_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """NDCG@k per query: DCG of the model's top-k (by score, tie-broken by
+    relevance DESC then arbitrary-but-deterministic is NOT enough — callers
+    must ensure a deterministic total order; here ties break by relevance
+    then by score row order via relevance desc) over the ideal DCG of the
+    top-k relevances.  Standard log2 discount, gain = relevance (linear).
+    Two windows per query partition (model order, ideal order) — one
+    query-keyed shuffle.  Queries with zero total relevance yield null.
+    """
+    sdf = _sdf(frame)
+    q = F.col(query_col)
+    s = F.col(score_col).cast("double")
+    r = F.col(relevance_col).cast("double")
+    base = sdf.filter(s.isNotNull() & r.isNotNull()).select(
+        q.alias("__q__"), s.alias("__s__"), r.alias("__r__")
+    )
+    w_model = Window.partitionBy("__q__").orderBy(
+        F.col("__s__").desc(), F.col("__r__").desc()
+    )
+    w_ideal = Window.partitionBy("__q__").orderBy(F.col("__r__").desc())
+    pos_m = F.row_number().over(w_model)
+    pos_i = F.row_number().over(w_ideal)
+    disc_m = F.when(pos_m <= k, F.col("__r__") / F.log2(pos_m + 1)).otherwise(0.0)
+    disc_i = F.when(pos_i <= k, F.col("__r__") / F.log2(pos_i + 1)).otherwise(0.0)
+    agg = base.select("__q__", disc_m.alias("dm"), disc_i.alias("di")).groupBy(
+        "__q__"
+    ).agg(F.sum("dm").alias("dcg"), F.sum("di").alias("idcg"))
+    out = agg.select(
+        F.col("__q__").alias(query_col),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), round_to
+        ).alias("ndcg"),
+    )
     return LazyFrame(out)

@@ -369,3 +369,22 @@ class TestEvaluation:
         assert sorted(r[0] for r in cal) == [0, 1]
         low = [r for r in cal if r[0] == 0][0]
         assert low[2] == 0.0 and low[3] == 50  # low bin: no positives
+
+
+def test_ndcg_and_ece(spark):
+    from polars_net_spark.llm import expected_calibration_error, ndcg_at_k
+    from pyspark.sql import functions as F
+
+    rows = [(1, 3.0, 3.0), (1, 2.0, 2.0), (1, 1.0, 1.0),
+            (2, 1.0, 3.0), (2, 2.0, 2.0), (2, 3.0, 1.0),
+            (3, 9.0, 0.0), (3, 8.0, 0.0)]  # zero relevance -> null
+    d = spark.createDataFrame(rows, ["q", "score", "rel"])
+    out = dict(ndcg_at_k(d, "q", "score", "rel", k=3).collect().rows())
+    assert out[1] == 1.0          # perfect ranking
+    assert 0.7 < out[2] < 0.8     # inverted
+    assert out[3] is None         # no relevant docs
+    e = spark.range(0, 100).select(
+        (F.col("id") / 100).alias("s"), (F.col("id") >= 50).cast("int").alias("y")
+    )
+    (ece, mce, n), = expected_calibration_error(e, "s", "y", n_bins=2).collect().rows()
+    assert (ece, n) == (0.25, 100) and mce >= ece
