@@ -6264,6 +6264,40 @@ SELECT qid, round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg FROM a
 """
 
 
+def _q200(spark, sf_dir):
+    """Spearman rank correlation (operators/regression.py spearman_corr):
+    tie-averaged ranks + Pearson over the rank vectors (the tie-correct
+    definition), value vs time per event_type."""
+    from polars_net_spark.operators.regression import spearman_corr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.spark.select(
+        "event_type",
+        F.col("value").alias("a"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("b"),
+    )
+    return spearman_corr(d, "a", "b", by="event_type").spark
+
+
+_q200_sql = """
+WITH b AS (
+  SELECT event_type, value AS a, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS bb
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT event_type,
+         avg(rna) OVER (PARTITION BY event_type, a) AS ra,
+         avg(rnb) OVER (PARTITION BY event_type, bb) AS rb
+  FROM (
+    SELECT event_type, a, bb,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY a) AS DOUBLE) AS rna,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY bb) AS DOUBLE) AS rnb
+    FROM b))
+SELECT event_type, round(corr(ra, rb), 6) AS spearman,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6468,6 +6502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_containment": _q197,
         "q198_ece": _q198,
         "q199_ndcg": _q199,
+        "q200_spearman": _q200,
     }
 
 
@@ -6672,4 +6707,5 @@ def oracle_sql() -> dict[str, str]:
         "q197_containment": _q197_sql,
         "q198_ece": _q198_sql,
         "q199_ndcg": _q199_sql,
+        "q200_spearman": _q200_sql,
     }

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr"]
 
 
 def _sdf(frame):
@@ -362,3 +362,40 @@ def mann_whitney_u(
         F.col("nb").cast("long").alias("n_b"),
     )
     return LazyFrame(out)
+
+
+def spearman_corr(
+    frame: "LazyFrame | SparkDF",
+    col_a: str,
+    col_b: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Spearman rank correlation with tie-averaged ranks: Pearson's r over
+    the two rank vectors (the exact tie-general definition, not the
+    6Σd²/n(n²−1) shortcut which is tie-wrong).  Rows with a null in either
+    column are excluded pairwise.  Two rank windows + one corr aggregate,
+    all sharded by ``by`` keys when given."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = sdf.filter(a.isNotNull() & b.isNotNull()).select(
+        *keys, a.alias("__a__"), b.alias("__b__")
+    )
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+
+    def avg_rank(c):
+        rk = F.rank().over(wp.orderBy(c.asc()))
+        ties = F.count(F.lit(1)).over(wp.orderBy(c.asc()).rangeBetween(0, 0))
+        return rk + (ties - F.lit(1)) / 2.0
+
+    ranked = base.select(
+        *keys, avg_rank(F.col("__a__")).alias("__ra__"),
+        avg_rank(F.col("__b__")).alias("__rb__"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.round(F.corr("__ra__", "__rb__"), round_to).alias("spearman"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return LazyFrame(agg)

@@ -435,3 +435,20 @@ def test_mann_whitney_u_known_values(spark):
     # ranks: 1 -> 1; the three 2s share (2+3+4)/3 = 3; 3 -> 5
     # Ra = 1 + 3 + 3 = 7, U = 7 - 6 = 1
     assert (u, na, nb) == (1.0, 3, 2)
+
+
+def test_spearman_corr(spark):
+    from polars_net_spark.operators.regression import spearman_corr
+    from pyspark.sql import functions as F
+
+    # monotone nonlinear -> exactly 1 (Pearson would be < 1)
+    d = spark.range(0, 100).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * F.col("id")).cast("double").alias("b"),
+    )
+    assert spearman_corr(d, "a", "b").collect().rows() == [(1.0, 100)]
+    # ties: [1,2,2,3] vs [10,20,20,40] still perfectly concordant
+    t = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)], ["a", "b"]
+    )
+    assert spearman_corr(t, "a", "b").collect().rows() == [(1.0, 4)]
