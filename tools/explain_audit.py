@@ -364,6 +364,7 @@ def main() -> None:
         "q124_winsorize",           # 1-row quantile-boundary attach
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
+        "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
     }
     from polars_net_spark import release_caches
 
