@@ -6298,6 +6298,33 @@ FROM r GROUP BY event_type
 """
 
 
+def _q201(spark, sf_dir):
+    """Average precision / PR-AUC (llm/evaluation.py average_precision):
+    cumulative precision at each relevant rank over the model ordering —
+    the imbalance-robust companion to q194's ROC-AUC."""
+    from polars_net_spark.llm import average_precision
+
+    return average_precision(_eval_scored(spark, sf_dir), "score", "label").spark
+
+
+_q201_sql = f"""
+WITH s AS ({_EVAL_SQL}),
+o AS (
+  SELECT label,
+         CAST(row_number() OVER (ORDER BY score DESC, label DESC) AS DOUBLE) AS k,
+         CAST(sum(label) OVER (ORDER BY score DESC, label DESC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cp
+  FROM s),
+a AS (
+  SELECT sum(CASE WHEN label = 1 THEN cp / k ELSE 0 END) AS ap_sum,
+         CAST(sum(label) AS DOUBLE) AS np, count(*) AS n
+  FROM o)
+SELECT round(CASE WHEN np > 0 THEN ap_sum / np END, 6) AS average_precision,
+       CAST(np AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6503,6 +6530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_ece": _q198,
         "q199_ndcg": _q199,
         "q200_spearman": _q200,
+        "q201_avg_precision": _q201,
     }
 
 
@@ -6708,4 +6736,5 @@ def oracle_sql() -> dict[str, str]:
         "q198_ece": _q198_sql,
         "q199_ndcg": _q199_sql,
         "q200_spearman": _q200_sql,
+        "q201_avg_precision": _q201_sql,
     }

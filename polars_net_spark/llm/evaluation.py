@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k"]
+__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision"]
 
 
 def _sdf(frame):
@@ -212,5 +212,46 @@ def ndcg_at_k(
         F.round(
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), round_to
         ).alias("ndcg"),
+    )
+    return LazyFrame(out)
+
+
+def average_precision(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Average precision (area under the precision–recall curve, step
+    interpolation): AP = Σ_k precision@k · 1[rel_k] / n⁺ over the model
+    ordering — the imbalance-robust companion to ROC-AUC.  Ties in score
+    break by label DESC (the optimistic convention — document order is not
+    defined distributed; fully tied scores give the optimistic AP).  One
+    ordering + one cumulative window per key."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") > 0).cast("int")
+    base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull()).select(
+        *keys, s.alias("__s__"), y.alias("__y__")
+    )
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = wp.orderBy(F.col("__s__").desc(), F.col("__y__").desc())
+    k = F.row_number().over(w)
+    cum_pos = F.sum("__y__").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    contrib = F.when(F.col("__y__") == 1, cum_pos / k).otherwise(0.0)
+    agg = base.select(*keys, "__y__", contrib.alias("__c__")).groupBy(*keys).agg(
+        F.sum("__c__").alias("ap_sum"),
+        F.sum("__y__").cast("double").alias("np"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = agg.select(
+        *keys,
+        F.round(F.when(F.col("np") > 0, F.col("ap_sum") / F.col("np")), round_to).alias(
+            "average_precision"
+        ),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("n"),
     )
     return LazyFrame(out)

@@ -388,3 +388,16 @@ def test_ndcg_and_ece(spark):
     )
     (ece, mce, n), = expected_calibration_error(e, "s", "y", n_bins=2).collect().rows()
     assert (ece, n) == (0.25, 100) and mce >= ece
+
+
+def test_average_precision_known(spark):
+    from polars_net_spark.llm import average_precision
+
+    d = spark.createDataFrame([(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)], ["s", "y"])
+    assert average_precision(d, "s", "y").collect().rows() == [(0.833333, 2, 4)]
+    # all positives ranked first -> AP = 1
+    top = spark.createDataFrame([(0.9, 1), (0.8, 1), (0.1, 0)], ["s", "y"])
+    assert average_precision(top, "s", "y").collect().rows()[0][0] == 1.0
+    # no positives -> null
+    none = spark.createDataFrame([(0.9, 0), (0.8, 0)], ["s", "y"])
+    assert average_precision(none, "s", "y").collect().rows()[0][0] is None
