@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision"]
+__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic"]
 
 
 def _sdf(frame):
@@ -255,3 +255,72 @@ def average_precision(
         F.col("n"),
     )
     return LazyFrame(out)
+
+
+def calibrate_isotonic(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+) -> LazyFrame:
+    """Fit isotonic (PAVA) calibration of P(label | score) with Spark
+    MLlib's distributed IsotonicRegression — the step after training a
+    quality filter (train_linear_quality) when its scores must act as
+    probabilities.  Returns the calibration map as a (boundary, prediction)
+    frame — plain data, serveable anywhere (:func:`apply_isotonic` replays
+    it as pure Column math; no MLlib at serve time, mirroring the
+    train/serve split of the linear quality filter).  Test-gated: PAVA has
+    no closed SQL form (documented weaker-check class)."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    sdf = _sdf(frame)
+    prepared = sdf.select(
+        F.col(score_col).cast("double").alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    ).dropna()
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="label", isotonic=True
+    ).fit(prepared)
+    bounds = [float(b) for b in model.boundaries]
+    preds = [float(p) for p in model.predictions]
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        list(zip(bounds, preds)), "boundary double, prediction double"
+    )
+    return LazyFrame(out)
+
+
+def apply_isotonic(
+    frame: "LazyFrame | SparkDF",
+    calibration: "LazyFrame | SparkDF",
+    score_col: str,
+    out_col: str = "calibrated",
+) -> LazyFrame:
+    """Apply a :func:`calibrate_isotonic` map: piecewise-LINEAR
+    interpolation between the (boundary, prediction) knots, clamped at the
+    ends — MLlib's own transform semantics, replayed as pure Column math
+    over the broadcast knot arrays (an O(#knots) array scan per row; the
+    knot count is bounded by the PAVA pool count — collect contract
+    documented)."""
+    sdf = _sdf(frame)
+    cal = _sdf(calibration).orderBy("boundary").collect()
+    bs = [r["boundary"] for r in cal]
+    ps = [r["prediction"] for r in cal]
+    if not bs:
+        raise ValueError("empty calibration map")
+    s = F.col(score_col).cast("double")
+    barr = F.array(*[F.lit(b) for b in bs])
+    # idx = #boundaries <= s  (0 -> below the first knot)
+    idx = F.size(F.filter(barr, lambda b: b <= s))
+    lo_b = F.element_at(barr, F.greatest(idx, F.lit(1)))
+    hi_b = F.element_at(barr, F.least(idx + 1, F.lit(len(bs))))
+    parr = F.array(*[F.lit(p) for p in ps])
+    lo_p = F.element_at(parr, F.greatest(idx, F.lit(1)))
+    hi_p = F.element_at(parr, F.least(idx + 1, F.lit(len(ps))))
+    frac = F.when(hi_b > lo_b, (s - lo_b) / (hi_b - lo_b)).otherwise(F.lit(0.0))
+    interp = lo_p + frac * (hi_p - lo_p)
+    value = (
+        F.when(s <= F.lit(bs[0]), F.lit(ps[0]))
+        .when(s >= F.lit(bs[-1]), F.lit(ps[-1]))
+        .otherwise(interp)
+    )
+    return LazyFrame(sdf.withColumn(out_col, value))

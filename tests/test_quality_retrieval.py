@@ -401,3 +401,33 @@ def test_average_precision_known(spark):
     # no positives -> null
     none = spark.createDataFrame([(0.9, 0), (0.8, 0)], ["s", "y"])
     assert average_precision(none, "s", "y").collect().rows()[0][0] is None
+
+
+def test_isotonic_calibration_roundtrip(spark):
+    from polars_net_spark.llm import apply_isotonic, calibrate_isotonic
+    from pyspark.sql import functions as F
+
+    # deterministic miscalibrated data: P(y|s) = s^2 via hash draw
+    d = spark.range(0, 2000).select(
+        ((F.col("id") % 100) / 100.0).alias("s"),
+        (
+            (F.xxhash64("id") % 1000 + 1000) % 1000 / 1000.0
+            < ((F.col("id") % 100) / 100.0) ** 2
+        ).cast("int").alias("y"),
+    )
+    cal = calibrate_isotonic(d, "s", "y")
+    knots = cal.collect().rows()
+    assert len(knots) >= 2
+    # knot predictions are non-decreasing (isotonic contract)
+    preds = [p for _, p in sorted(knots)]
+    assert all(a <= b + 1e-12 for a, b in zip(preds, preds[1:]))
+    out = apply_isotonic(d.select("s").distinct(), cal, "s").spark.orderBy("s").collect()
+    vals = [r["calibrated"] for r in out]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))  # monotone serve
+    assert 0.0 <= vals[0] and vals[-1] <= 1.0
+    # calibrated curve tracks s^2 better than identity: compare MSE vs true p
+    import statistics
+    svals = [r["s"] for r in out]
+    mse_cal = statistics.mean((v - s * s) ** 2 for v, s in zip(vals, svals))
+    mse_raw = statistics.mean((s - s * s) ** 2 for s in svals)
+    assert mse_cal < mse_raw
