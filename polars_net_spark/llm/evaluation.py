@@ -59,9 +59,13 @@ def roc_auc(
 ) -> LazyFrame:
     """Exact ROC-AUC via the rank statistic: AUC = (R⁺ − n⁺(n⁺+1)/2) /
     (n⁺·n⁻) with tie-averaged ranks (equivalent to the trapezoidal ROC
-    integral, ties handled as half-credit).  One score ordering (global, or
-    per ``by`` key — the window keys shard the sort) + one aggregate — no
-    threshold sweep, no collect.  Keys with only one class yield null AUC.
+    integral, ties handled as half-credit).  Per ``by`` key the window keys
+    shard the ordering; the GLOBAL path (``by=None``) never runs a
+    single-partition window: scores collapse to a distinct-score count table
+    (the rank statistic only needs per-score (count, positives)), whose
+    global cumulative counts come from deterministic range buckets + driver
+    prefix totals (operators/distsort.py) — every task holds ~1/nbuckets of
+    the DISTINCT scores.  Keys with only one class yield null AUC.
     Output: [keys...,] auc, n_pos, n_neg."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
@@ -70,17 +74,53 @@ def roc_auc(
     base = sdf.filter(s.isNotNull() & y.isNotNull()).select(
         *keys, s.alias("__s__"), (y > 0).cast("int").alias("__y__")
     )
-    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    w = wp.orderBy(F.col("__s__"))
-    rk = F.rank().over(w)
-    ties = F.count(F.lit(1)).over(wp.orderBy(F.col("__s__")).rangeBetween(0, 0))
-    avg_rank = rk + (ties - F.lit(1)) / 2.0
-    ranked = base.select(*keys, "__y__", avg_rank.alias("__r__"))
-    agg = ranked.groupBy(*keys).agg(
-        F.sum(F.when(F.col("__y__") == 1, F.col("__r__"))).alias("rp"),
-        F.count(F.when(F.col("__y__") == 1, F.lit(1))).cast("double").alias("np"),
-        F.count(F.when(F.col("__y__") == 0, F.lit(1))).cast("double").alias("nn"),
-    )
+    if keys:
+        wp = Window.partitionBy(*keys)
+        w = wp.orderBy(F.col("__s__"))
+        rk = F.rank().over(w)
+        ties = F.count(F.lit(1)).over(wp.orderBy(F.col("__s__")).rangeBetween(0, 0))
+        avg_rank = rk + (ties - F.lit(1)) / 2.0
+        ranked = base.select(*keys, "__y__", avg_rank.alias("__r__"))
+        agg = ranked.groupBy(*keys).agg(
+            F.sum(F.when(F.col("__y__") == 1, F.col("__r__"))).alias("rp"),
+            F.count(F.when(F.col("__y__") == 1, F.lit(1))).cast("double").alias("np"),
+            F.count(F.when(F.col("__y__") == 0, F.lit(1))).cast("double").alias("nn"),
+        )
+    else:
+        from .._cache import register_cache
+        from ..operators.distsort import with_prefix_offsets, with_range_buckets
+
+        # distinct-score sufficient statistics: avg_rank of a tie group of
+        # size t starting after c earlier rows is c + (t+1)/2, so
+        # Σ⁺avg_rank = Σ_groups pos · (cum_before + (cnt+1)/2) — exact
+        # half-integer arithmetic, identical to the per-row rank window
+        d = register_cache(
+            base.groupBy("__s__").agg(
+                F.count(F.lit(1)).alias("__cnt__"),
+                F.sum("__y__").alias("__pos__"),
+            )
+        )
+        d2, gb = with_range_buckets(d, "__s__")
+        d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+        wexcl = (
+            Window.partitionBy(gb)
+            .orderBy(F.col("__s__"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cumb = F.col("__off_cnt__") + F.coalesce(
+            F.sum("__cnt__").over(wexcl), F.lit(0)
+        )
+        avg_rank = cumb + (F.col("__cnt__") + F.lit(1)) / 2.0
+        staged = d3.select(
+            "__cnt__", "__pos__", avg_rank.alias("__r__")
+        )
+        agg = staged.agg(
+            F.sum(F.when(F.col("__pos__") > 0, F.col("__pos__") * F.col("__r__"))).alias("rp"),
+            F.coalesce(F.sum("__pos__"), F.lit(0)).cast("double").alias("np"),
+            F.coalesce(
+                F.sum(F.col("__cnt__") - F.col("__pos__")), F.lit(0)
+            ).cast("double").alias("nn"),
+        )
     auc = F.when(
         (F.col("np") > 0) & (F.col("nn") > 0),
         (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2) / (F.col("np") * F.col("nn")),
@@ -227,8 +267,12 @@ def average_precision(
     interpolation): AP = Σ_k precision@k · 1[rel_k] / n⁺ over the model
     ordering — the imbalance-robust companion to ROC-AUC.  Ties in score
     break by label DESC (the optimistic convention — document order is not
-    defined distributed; fully tied scores give the optimistic AP).  One
-    ordering + one cumulative window per key."""
+    defined distributed; fully tied scores give the optimistic AP).  Per
+    ``by`` key the window keys shard the ordering; the GLOBAL path
+    (``by=None``) shards the desc-score ordering over deterministic range
+    buckets (operators/distsort.py) — global k and cumulative positives are
+    bucket-prefix totals + a within-bucket window, no single-partition
+    WindowExec."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     s = F.col(score_col).cast("double")
@@ -236,10 +280,29 @@ def average_precision(
     base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull()).select(
         *keys, s.alias("__s__"), y.alias("__y__")
     )
-    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    w = wp.orderBy(F.col("__s__").desc(), F.col("__y__").desc())
-    k = F.row_number().over(w)
-    cum_pos = F.sum("__y__").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    if keys:
+        wp = Window.partitionBy(*keys)
+        w = wp.orderBy(F.col("__s__").desc(), F.col("__y__").desc())
+        k = F.row_number().over(w)
+        cum_pos = F.sum("__y__").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        from .._cache import register_cache
+        from ..operators.distsort import with_prefix_offsets, with_range_buckets
+
+        base = register_cache(base)
+        b2, gb = with_range_buckets(base, "__s__", desc=True)
+        base, _tot = with_prefix_offsets(
+            b2, gb, {"cnt": F.lit(1), "pos": F.col("__y__")}
+        )
+        # ties of __s__ share a bucket (bucket id is a function of the
+        # score), so the within-bucket label-desc tie-break is global
+        w = Window.partitionBy(gb).orderBy(
+            F.col("__s__").desc(), F.col("__y__").desc()
+        )
+        k = F.col("__off_cnt__") + F.row_number().over(w)
+        cum_pos = F.col("__off_pos__") + F.sum("__y__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
     contrib = F.when(F.col("__y__") == 1, cum_pos / k).otherwise(0.0)
     agg = base.select(*keys, "__y__", contrib.alias("__c__")).groupBy(*keys).agg(
         F.sum("__c__").alias("ap_sum"),

@@ -273,6 +273,10 @@ def seasonal_decompose(
     """
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("seasonal_decompose")
     half = period // 2
     w = (
         Window.partitionBy(*keys) if keys else Window.partitionBy()
@@ -331,6 +335,10 @@ def acf(
     output long-format (key..., lag, acf)."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("acf")
     w = (
         Window.partitionBy(*keys) if keys else Window.partitionBy()
     ).orderBy(F.col(order_col))
@@ -376,6 +384,10 @@ def cusum_flags(
         F.avg(v).alias("__m__"), F.sqrt(F.var_pop(v)).alias("__s__")
     )
     joined = sdf.join(stats, keys) if keys else sdf.join(F.broadcast(stats))
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("cusum_flags")
     w = (
         Window.partitionBy(*keys) if keys else Window.partitionBy()
     ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, 0)
@@ -431,11 +443,45 @@ def with_rank_normalized(
     each key via (avg_rank − 0.5) / n — ties share their average rank, so
     equal inputs get equal outputs and the result is distribution-free (the
     feature-engineering standard before mixing heterogeneous score columns).
-    One window (rank + tie count ride the same ordering) + the group count.
-    Null values pass through as null."""
+    Per ``by`` key one window (rank + tie count ride the same ordering) +
+    the group count; the GLOBAL path (``by=None``, numeric columns) builds
+    the value→avg_rank table from distinct-value counts over deterministic
+    range buckets (operators/distsort.py) and joins it back — no
+    single-partition window.  Null values pass through as null."""
+    from pyspark.sql.types import NumericType
+
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col)
+    if not keys and isinstance(sdf.schema[value_col].dataType, NumericType):
+        from .._cache import register_cache
+        from .distsort import with_prefix_offsets, with_range_buckets
+
+        d = register_cache(
+            sdf.filter(v.isNotNull())
+            .groupBy(v.alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+        )
+        d2, gb = with_range_buckets(d, "__v__")
+        d3, totals = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+        n = float(totals.get("cnt", 0) or 0)
+        wexcl = (
+            Window.partitionBy(gb)
+            .orderBy(F.col("__v__"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cumb = F.col("__off_cnt__") + F.coalesce(F.sum("__cnt__").over(wexcl), F.lit(0))
+        avg_rank = cumb + (F.col("__cnt__") + F.lit(1)) / 2.0
+        ranks = d3.select(
+            "__v__",
+            F.round((avg_rank - 0.5) / F.lit(max(n, 1.0)), round_to).alias(out_col),
+        )
+        out = sdf.join(ranks, v == F.col("__v__"), "left").drop("__v__")
+        return LazyFrame(out)
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("with_rank_normalized (non-numeric column)")
     wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
     # nulls must sort LAST or they consume rank 1 and shift everything
     w = wp.orderBy(v.asc_nulls_last())

@@ -1,0 +1,130 @@
+"""Scale-safe global ordering: deterministic range buckets + driver-side
+exclusive prefix totals.
+
+The anti-pattern this replaces is ``Window.partitionBy()`` — an empty
+partition spec moves EVERY row to one task for the global sort (an OOM at
+corpus scale).  The distributed equivalent of "global rank / global running
+total" used here:
+
+1. **Bucket boundaries** from ONE ``percentile_approx`` aggregate (a
+   Greenwald–Khanna sketch — constant executor memory, one small driver
+   row).  Unlike ``repartitionByRange`` (whose sampled boundaries differ
+   between re-executions of the same plan), the collected boundaries become
+   *plan literals*, so bucket assignment is a pure deterministic function of
+   the value — consistent across the totals pass and the main pass.
+2. **Bucket id** = number of boundary literals strictly below (asc) /
+   above (desc) the value.  Ties share a bucket by construction (the id is a
+   function of the value alone), so tie-averaged ranks never split across
+   buckets.
+3. **Per-bucket totals** from one map-side-combining aggregate, collected
+   (≤ nbuckets rows) and prefix-summed on the driver; the exclusive prefix
+   comes back as a ``create_map`` plan literal.
+4. Global cumulant = prefix-of-earlier-buckets + an ordinary
+   ``Window.partitionBy(bucket).orderBy(value)`` within-bucket cumulant —
+   every window task holds ~1/nbuckets of the data.
+
+Skewed boundaries (a value spanning whole quantile steps) merely leave some
+buckets empty/hot in proportion to the tie mass — the same exposure a keyed
+window has to a hot key, and tunable via ``nbuckets``.
+
+Beyond-reference scaffolding (the reference computes rank statistics on a
+single node); consumers: roc_auc / average_precision (llm/evaluation.py),
+mann_whitney_u / spearman_corr (operators/regression.py),
+with_rank_normalized (operators/analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_range_buckets", "with_prefix_offsets", "BUCKET_COL"]
+
+BUCKET_COL = "__gb__"
+
+
+def _default_nbuckets(sdf: SparkDF) -> int:
+    try:
+        return max(int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")), 8)
+    except Exception:  # noqa: BLE001 — e.g. "auto" under AQE-only configs
+        return 32
+
+
+def with_range_buckets(
+    sdf: SparkDF,
+    col_name: str,
+    desc: bool = False,
+    nbuckets: int | None = None,
+    accuracy: int = 10_000,
+) -> tuple[SparkDF, str]:
+    """Attach ``BUCKET_COL``: a deterministic range-bucket id that increases
+    along the requested ordering of ``col_name`` (must be numeric and
+    non-null — filter nulls upstream).  All rows with equal values land in
+    the same bucket.  Costs one sketch aggregate (one extra pass over
+    ``sdf`` — persist it upstream if the plan is expensive)."""
+    if nbuckets is None:
+        nbuckets = _default_nbuckets(sdf)
+    c = F.col(col_name).cast("double")
+    if nbuckets > 1:
+        qs = [i / nbuckets for i in range(1, nbuckets)]
+        row = sdf.agg(
+            F.percentile_approx(
+                c, F.array(*[F.lit(q) for q in qs]), F.lit(int(accuracy))
+            ).alias("b")
+        ).first()
+        raw = row["b"] if row is not None else None
+        bounds = sorted({float(b) for b in (raw or []) if b is not None})
+    else:
+        bounds = []
+    if not bounds:
+        return sdf.withColumn(BUCKET_COL, F.lit(0)), BUCKET_COL
+    arr = F.array(*[F.lit(b) for b in bounds])
+    # strictly-below/above so a value equal to a boundary stays in the lower
+    # (asc) / higher-scoring (desc) bucket — any consistent rule works, this
+    # one keeps ties with their boundary twin
+    pred = (lambda b: b > c) if desc else (lambda b: b < c)
+    bucket = F.size(F.filter(arr, pred))
+    return sdf.withColumn(BUCKET_COL, bucket), BUCKET_COL
+
+
+def with_prefix_offsets(
+    sdf: SparkDF,
+    bucket_col: str,
+    sums: "dict[str, Column]",
+    offset_prefix: str = "__off_",
+) -> tuple[SparkDF, "dict[str, float]"]:
+    """For each named expression, attach ``__off_<name>__`` = its total over
+    all STRICTLY EARLIER buckets, so a global running total is
+    ``__off_x__ + <within-bucket cumulative>``.  One map-side-combining
+    aggregate, ≤ nbuckets rows to the driver, offsets return as a
+    ``create_map`` literal.  Also returns the grand totals (exact — sums of
+    the per-bucket longs/doubles)."""
+    names = list(sums)
+    rows = (
+        sdf.groupBy(bucket_col)
+        .agg(*[F.sum(sums[n]).alias(n) for n in names])
+        .collect()
+    )
+    rows.sort(key=lambda r: r[bucket_col])
+    offsets: dict[str, dict[int, float]] = {n: {} for n in names}
+    totals: dict[str, float] = {n: 0 for n in names}
+    for r in rows:
+        for n in names:
+            offsets[n][r[bucket_col]] = totals[n]
+            totals[n] += r[n] or 0
+    out = sdf
+    for n in names:
+        col_name = f"{offset_prefix}{n}__"
+        if offsets[n]:
+            m = F.create_map(
+                *[
+                    lit
+                    for k, v in offsets[n].items()
+                    for lit in (F.lit(int(k)), F.lit(float(v)))
+                ]
+            )
+            off = F.coalesce(F.element_at(m, F.col(bucket_col)), F.lit(0.0))
+        else:
+            off = F.lit(0.0)
+        out = out.withColumn(col_name, off)
+    return out, totals

@@ -322,30 +322,55 @@ def mann_whitney_u(
     round_to: int = 6,
 ) -> LazyFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) with tie correction: the
-    nonparametric two-sample test — U from tie-averaged ranks (one global
-    window ordering), z from the normal approximation with the tie-corrected
-    variance.  Output: u, z, n_a, n_b.  Feed z to a normal CDF driver-side
-    for the p-value.  The ranking is one global sort — fine for the
-    aggregate-sized inputs tests run on; pre-aggregate or sample first at
-    corpus scale (documented single-ordering contract)."""
+    nonparametric two-sample test — U from tie-averaged ranks, z from the
+    normal approximation with the tie-corrected variance.  Output: u, z,
+    n_a, n_b.  Feed z to a normal CDF driver-side for the p-value.
+
+    The ranking never runs a single-partition window: values collapse to a
+    distinct-value count table (the rank sum only needs per-value
+    (count, count_a)), whose global cumulative counts come from
+    deterministic range buckets + driver prefix totals
+    (operators/distsort.py) — each task holds ~1/nbuckets of the DISTINCT
+    values, so the test scales to corpus-sized inputs."""
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
     g = F.col(group_col)
     base = sdf.filter(g.isin([group_a, group_b]) & v.isNotNull()).select(
         g.alias("__g__"), v.alias("__v__")
     )
-    w = Window.orderBy(F.col("__v__"))
-    rk = F.rank().over(w)
-    ties = F.count(F.lit(1)).over(Window.orderBy(F.col("__v__")).rangeBetween(0, 0))
-    avg_rank = rk + (ties - F.lit(1)) / 2.0
-    ranked = base.select("__g__", "__v__", avg_rank.alias("__r__"), ties.alias("__t__"))
-    agg = ranked.agg(
-        F.sum(F.when(F.col("__g__") == group_a, F.col("__r__"))).alias("ra"),
-        F.count(F.when(F.col("__g__") == group_a, F.lit(1))).cast("double").alias("na"),
-        F.count(F.when(F.col("__g__") == group_b, F.lit(1))).cast("double").alias("nb"),
-        # tie term sum(t^3 - t): each tie group of size t appears t times here,
-        # so sum over ROWS of (t^2 - 1) = sum over GROUPS of t*(t^2-1) = t^3 - t
-        F.sum(F.col("__t__") * F.col("__t__") - 1).cast("double").alias("tt"),
+    from .._cache import register_cache
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    # avg_rank of a tie group of size t after c earlier rows = c + (t+1)/2,
+    # so ra = Σ_groups count_a · (cum_before + (cnt+1)/2); the tie term
+    # Σ(t³ − t) reads straight off the group sizes — exact half-integer math,
+    # identical to the per-row rank window
+    d = register_cache(
+        base.groupBy("__v__").agg(
+            F.count(F.lit(1)).alias("__cnt__"),
+            F.count(F.when(F.col("__g__") == group_a, F.lit(1))).alias("__ca__"),
+        )
+    )
+    d2, gb = with_range_buckets(d, "__v__")
+    d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+    wexcl = (
+        Window.partitionBy(gb)
+        .orderBy(F.col("__v__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumb = F.col("__off_cnt__") + F.coalesce(F.sum("__cnt__").over(wexcl), F.lit(0))
+    avg_rank = cumb + (F.col("__cnt__") + F.lit(1)) / 2.0
+    staged = d3.select("__cnt__", "__ca__", avg_rank.alias("__r__"))
+    agg = staged.agg(
+        F.sum(F.when(F.col("__ca__") > 0, F.col("__ca__") * F.col("__r__"))).alias("ra"),
+        F.coalesce(F.sum("__ca__"), F.lit(0)).cast("double").alias("na"),
+        F.coalesce(F.sum(F.col("__cnt__") - F.col("__ca__")), F.lit(0))
+        .cast("double")
+        .alias("nb"),
+        # sum over groups of t^3 - t (zero for untied values)
+        F.sum(
+            F.col("__cnt__") * F.col("__cnt__") * F.col("__cnt__") - F.col("__cnt__")
+        ).cast("double").alias("tt"),
     )
     n = F.col("na") + F.col("nb")
     u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
@@ -374,8 +399,11 @@ def spearman_corr(
     """Spearman rank correlation with tie-averaged ranks: Pearson's r over
     the two rank vectors (the exact tie-general definition, not the
     6Σd²/n(n²−1) shortcut which is tie-wrong).  Rows with a null in either
-    column are excluded pairwise.  Two rank windows + one corr aggregate,
-    all sharded by ``by`` keys when given."""
+    column are excluded pairwise.  Sharded by ``by`` keys when given; the
+    GLOBAL path (``by=None``) builds each column's value→avg_rank table from
+    distinct-value counts over deterministic range buckets
+    (operators/distsort.py) and joins the ranks back — no single-partition
+    window, ~1/nbuckets of the DISTINCT values per task."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     a = F.col(col_a).cast("double")
@@ -383,17 +411,47 @@ def spearman_corr(
     base = sdf.filter(a.isNotNull() & b.isNotNull()).select(
         *keys, a.alias("__a__"), b.alias("__b__")
     )
-    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    if keys:
+        wp = Window.partitionBy(*keys)
 
-    def avg_rank(c):
-        rk = F.rank().over(wp.orderBy(c.asc()))
-        ties = F.count(F.lit(1)).over(wp.orderBy(c.asc()).rangeBetween(0, 0))
-        return rk + (ties - F.lit(1)) / 2.0
+        def avg_rank(c):
+            rk = F.rank().over(wp.orderBy(c.asc()))
+            ties = F.count(F.lit(1)).over(wp.orderBy(c.asc()).rangeBetween(0, 0))
+            return rk + (ties - F.lit(1)) / 2.0
 
-    ranked = base.select(
-        *keys, avg_rank(F.col("__a__")).alias("__ra__"),
-        avg_rank(F.col("__b__")).alias("__rb__"),
-    )
+        ranked = base.select(
+            *keys, avg_rank(F.col("__a__")).alias("__ra__"),
+            avg_rank(F.col("__b__")).alias("__rb__"),
+        )
+    else:
+        from .._cache import register_cache
+        from .distsort import with_prefix_offsets, with_range_buckets
+
+        base = register_cache(base)
+
+        def rank_table(col: str, out: str):
+            d = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt__"))
+            d2, gb = with_range_buckets(d, col)
+            d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+            wexcl = (
+                Window.partitionBy(gb)
+                .orderBy(F.col(col))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            cumb = F.col("__off_cnt__") + F.coalesce(
+                F.sum("__cnt__").over(wexcl), F.lit(0)
+            )
+            return d3.select(
+                col, (cumb + (F.col("__cnt__") + F.lit(1)) / 2.0).alias(out)
+            )
+
+        # the rank tables are distinct-value sized — AQE broadcasts the
+        # small side; otherwise both joins shuffle on the value key
+        ranked = (
+            base.join(rank_table("__a__", "__ra__"), "__a__")
+            .join(rank_table("__b__", "__rb__"), "__b__")
+            .select("__ra__", "__rb__")
+        )
     agg = ranked.groupBy(*keys).agg(
         F.round(F.corr("__ra__", "__rb__"), round_to).alias("spearman"),
         F.count(F.lit(1)).cast("long").alias("n"),

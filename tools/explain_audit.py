@@ -305,6 +305,24 @@ CHECKS = {
         ("!", "CartesianProduct", "no cartesian"),
         ("!", "Window", "SCD2 fold is join+explode, no window"),
     ],
+    # r5: the exact rank statistics shard their global ordering over
+    # deterministic range buckets (operators/distsort.py) — the ONLY
+    # single-partition exchange left is the 1-row final aggregate
+    "q192_mann_whitney": [
+        ("count==1", "Exchange SinglePartition", "only the 1-row final aggregate is single-partition"),
+        ("windowspecdefinition(__gb__", "rank cumulants ride a bucket-keyed window, never a global one"),
+    ],
+    "q194_roc_auc": [
+        ("count==1", "Exchange SinglePartition", "only the 1-row final aggregate is single-partition"),
+        ("windowspecdefinition(__gb__", "rank cumulants ride a bucket-keyed window, never a global one"),
+    ],
+    "q201_avg_precision": [
+        ("count==1", "Exchange SinglePartition", "only the 1-row final aggregate is single-partition"),
+        ("windowspecdefinition(__gb__", "global k/cum-positives ride a bucket-keyed window"),
+    ],
+    "q184_rank_normalize": [
+        ("!", "Exchange SinglePartition", "per-key quantile normalization never funnels to one task"),
+    ],
 }
 
 
