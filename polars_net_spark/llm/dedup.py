@@ -1150,6 +1150,8 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     round_to: int = 6,
+    max_gram_df: int | None = None,
+    prefix_order: str | None = "lex",
 ) -> LazyFrame:
     """Asymmetric near-CONTAINMENT pairs: |grams(A) ∩ grams(B)| / |grams(A)|
     ≥ threshold, emitted as (id_a, id_b, containment) meaning "A is nearly
@@ -1158,20 +1160,86 @@ def containment_pairs(
     Jaccard but containment ≈ 1).  Both directions of each candidate pair
     are scored.
 
-    Same inverted-index machinery as ngram_jaccard_pairs: candidates share
-    ≥ 1 gram, verification is exact on full gram sets (precision 1).  No
-    size prefilter — containment is exactly the asymmetric case where sizes
-    may differ arbitrarily.
+    Candidate generation is the inverted-index join of ngram_jaccard_pairs,
+    hardened for hot grams two ways (verification is always exact on full
+    gram sets, so precision is 1 regardless):
+
+    * Containment PREFIX filter (``prefix_order``, EXACT — recall 1): the
+      symmetric Jaccard SIZE prefilter can't apply here (sizes may differ
+      arbitrarily), but the AllPairs prefix bound survives asymmetry on the
+      contained side.  If A is t-contained in B then B misses fewer than
+      ``L = |A| - ceil(t·|A|) + 1`` of A's grams, so B must share one of
+      A's first L grams under ANY fixed canonical gram order.  Only each
+      doc's L-gram prefix is indexed on the CONTAINED side of the join; the
+      container side keeps full postings — pruning the contained side only
+      is what preserves the |A∩B|/|A| bound.  Orders:
+
+      - ``"lex"`` (default): lexicographic — computed from the gram array
+        with ``array_sort``+``slice``, pure codegen, ZERO extra shuffles;
+        cuts the postings join to ~(1-t)·Σ_g df_g² uniformly.
+      - ``"df"``: ascending global document frequency (rarest first) — pays
+        one gram-df aggregate + a per-doc rank window, but hot boilerplate
+        grams almost never make a prefix, so the Σ_g df_g² blowup collapses
+        to Σ_g prefix_df_g·df_g.  Pick this for templated corpora at scale.
+      - ``None``: no prefix filter (full postings both sides).
+    * ``max_gram_df`` (optional, approximate): additionally drops grams with
+      document frequency above the cap from the CONTAINER-side postings —
+      same recall contract as :func:`dedup_against`: a directed pair
+      (A contained in B) can be missed only if every prefix gram of A that
+      B shares is hotter than the cap; pick the cap above the expected
+      duplicate-cluster size.  Emitted containments are still true values.
+
+    100 TB: run ``prefix_order="df"`` (+ ``max_gram_df`` if boilerplate is
+    extreme) — cost is short rare-gram prefix lists joined against df-capped
+    container postings, never the raw sum-of-df² self-join.
     """
+    if prefix_order not in (None, "lex", "df"):
+        raise ValueError("prefix_order must be 'lex', 'df', or None")
     sdf = _sdf(frame)
     grams = register_cache(_grams_frame(sdf, text_col, id_col, n, nonempty=True))
-    e = grams.select("id", F.explode("grams").alias("gram"))
-    lhs = e.select(F.col("id").alias("id_a"), "gram")
-    rhs = e.select(F.col("id").alias("id_b"), "gram")
+    g = F.size("grams")
+    exploded = grams.select("id", g.alias("g"), F.explode("grams").alias("gram"))
+    rhs_post = exploded
+    if max_gram_df is not None:
+        gram_df_tbl = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        rhs_post = exploded.join(
+            gram_df_tbl.filter(F.col("df") <= max_gram_df).select("gram"), "gram"
+        )
+    prefix_len = (F.col("g") - F.ceil(F.lit(threshold) * F.col("g")) + 1).cast("int")
+    if prefix_order == "lex":
+        lex_len = (g - F.ceil(F.lit(threshold) * g) + 1).cast("int")
+        lhs_post = grams.select(
+            "id", g.alias("g"),
+            F.explode(F.slice(F.array_sort("grams"), F.lit(1), lex_len)).alias("gram"),
+        )
+    elif prefix_order == "df":
+        from pyspark.sql import Window
+
+        gram_df_full = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        lhs_post = (
+            exploded.join(gram_df_full, "gram")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("df"), F.col("gram"))
+                ),
+            )
+            .filter(F.col("rnk") <= prefix_len)
+            .select("id", "g", "gram")
+        )
+    else:
+        lhs_post = exploded
+    lhs = lhs_post.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), "gram")
+    rhs = rhs_post.select(F.col("id").alias("id_b"), F.col("g").alias("gb"), "gram")
     cands = (
         lhs.join(rhs, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # container must be able to hold t·|contained| grams
+        .filter(F.col("gb") >= threshold * F.col("ga"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("sa"))

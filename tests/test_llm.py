@@ -874,3 +874,64 @@ def test_containment_pairs_asymmetric(spark):
     # symmetric jaccard would be 2/4 = 0.5 — the asymmetric score is the point
     low = containment_pairs(d, threshold=0.4).collect().rows()
     assert (1, 2, 0.5) in [tuple(r) for r in low]
+
+
+def test_containment_prefix_orders_exact(spark):
+    """Both prefix orders are EXACT (recall 1): identical output to the
+    unfiltered postings join on a corpus with shared boilerplate grams."""
+    from polars_net_spark.llm import containment_pairs
+
+    boiler = "all rights reserved by the site"
+    rows = [
+        (i, f"{boiler} unique tail words {i} {'x'*(i % 3)} y{i} z{i}")
+        for i in range(1, 21)
+    ] + [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon"),          # contained in 100
+        (102, f"{boiler} unique tail words 1 x y1 z1 and more trailing text"),
+    ]
+    d = pl.from_records(rows, ["doc_id", "text"])
+    for t in (0.5, 0.8):
+        base = sorted(
+            tuple(r) for r in
+            containment_pairs(d, threshold=t, prefix_order=None).collect().rows()
+        )
+        for order in ("lex", "df"):
+            got = sorted(
+                tuple(r) for r in
+                containment_pairs(d, threshold=t, prefix_order=order).collect().rows()
+            )
+            assert got == base, (t, order)
+    assert any(a == 101 and b == 100 for a, b, _ in base)
+
+
+def test_containment_max_gram_df_recall_contract(spark):
+    """max_gram_df is approximate: capped output ⊆ uncapped output, every
+    emitted value is the true containment, and a generous cap changes
+    nothing.  A pair is missed only when every prefix gram the container
+    shares is hotter than the cap."""
+    from polars_net_spark.llm import containment_pairs
+
+    hot = "the quick brown fox jumps over dog"   # shared by many docs
+    rows = [(i, f"{hot} filler{i} pad{i} tail{i}") for i in range(1, 16)]
+    rows += [(200, hot), (201, hot + " extra trailing words here")]
+    d = pl.from_records(rows, ["doc_id", "text"])
+    full = {
+        (a, b): c for a, b, c in
+        containment_pairs(d, threshold=0.9).collect().rows()
+    }
+    generous = {
+        (a, b): c for a, b, c in
+        containment_pairs(d, threshold=0.9, max_gram_df=1000).collect().rows()
+    }
+    assert generous == full
+    capped = {
+        (a, b): c for a, b, c in
+        containment_pairs(d, threshold=0.9, max_gram_df=3).collect().rows()
+    }
+    assert set(capped) <= set(full)              # never invents pairs
+    for k, v in capped.items():
+        assert v == full[k]                      # emitted values stay exact
+    # doc 200 is fully contained in 201 via hot grams only -> capped run
+    # may drop it, the uncapped run must have it
+    assert (200, 201) in full
