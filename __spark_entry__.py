@@ -4556,6 +4556,28 @@ def _stream_stage_dir(sf_dir: str, table: str = "events") -> str:
     return src_dir
 
 
+def _stream_gate_conf(spark, n: int = 8):
+    """State-store sizing for the streaming gates: Structured Streaming
+    allocates ONE state-store instance per shuffle partition per stateful
+    operator, and availableNow micro-batch fixed overhead scales with the
+    store count, not the data.  The gates keep a few hundred state keys, so
+    8 stores are plenty at gate scale (32 → 8 measured ≈11.5 s → ≈7.3 s
+    across the four gates); on a production stream you size this UP with
+    key cardinality × throughput.  Restores the session conf on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _ctx()
+
+
 def _q151(spark, sf_dir):
     """TRUE Structured Streaming gate: events stream-read (file source) ->
     watermark -> 6h tumbling window per event_type -> availableNow run to a
@@ -4578,12 +4600,13 @@ def _q151(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
         )
     )
-    q = (
-        stream.writeStream.format("memory").queryName("q151_win")
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    with _stream_gate_conf(spark):
+        q = (
+            stream.writeStream.format("memory").queryName("q151_win")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
     return spark.table("q151_win").select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type", "sum_v", "n",
@@ -4919,12 +4942,13 @@ def _q159(spark, sf_dir):
         spark.catalog.dropTempView("q159_ssjoin")
     except Exception:
         pass
-    q = (
-        out.writeStream.format("memory").queryName("q159_ssjoin")
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(180)
-    q.stop()
+    with _stream_gate_conf(spark):
+        q = (
+            out.writeStream.format("memory").queryName("q159_ssjoin")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        q.stop()
     return spark.table("q159_ssjoin")
 
 
@@ -5414,12 +5438,13 @@ def _q173(spark, sf_dir):
         spark.catalog.dropTempView("q173_sessions")
     except Exception:
         pass
-    q = (
-        stream.writeStream.format("memory").queryName("q173_sessions")
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    with _stream_gate_conf(spark):
+        q = (
+            stream.writeStream.format("memory").queryName("q173_sessions")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
     return spark.table("q173_sessions").select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "user_id",
@@ -5832,12 +5857,13 @@ def _q186(spark, sf_dir):
         spark.catalog.dropTempView("q186_stream_quality")
     except Exception:
         pass
-    q = (
-        scored.writeStream.format("memory").queryName("q186_stream_quality")
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    with _stream_gate_conf(spark):
+        q = (
+            scored.writeStream.format("memory").queryName("q186_stream_quality")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
     return spark.table("q186_stream_quality")
 
 

@@ -22,6 +22,8 @@ __all__ = [
     "dedup_clusters",
     "dedup_fuzzy",
     "dedup_against",
+    "build_gram_index",
+    "dedup_against_index",
     "containment_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
@@ -1141,6 +1143,101 @@ def dedup_against(
     )
     out = new_sdf.join(dup_ids, id_col, "anti")
     return LazyFrame(out)
+
+
+def build_gram_index(
+    reference: "LazyFrame | SparkDF",
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 32,
+    max_gram_df: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the reference-corpus gram index for STEADY-STATE incremental
+    dedup — the pay-the-shuffle-once pattern :func:`dedup_against`'s
+    docstring prescribes.  Writes two bucketed catalog tables:
+
+    * ``{table}_postings`` — ``(gram, rid, nb)`` bucketed by ``gram``: the
+      candidate-generation side.  ``nb`` is each reference doc's FULL gram
+      count (captured before any pruning, so the Jaccard size prefilter
+      stays exact).  ``max_gram_df`` prunes hot grams here at build time,
+      with the same recall contract as :func:`dedup_against`.
+    * ``{table}_grams`` — ``(rid, sb)`` full gram sets bucketed by ``rid``:
+      the exact-verification side (always unpruned, so every keep/drop
+      decision is made on the TRUE Jaccard).
+
+    At 100 TB the reference corpus explodes + shuffles ONCE here; every
+    later crawl batch run through :func:`dedup_against_index` pays only its
+    own explode plus joins in which the reference side reads pre-bucketed
+    files with no Exchange (plan-asserted in tests/test_llm.py).
+    """
+    from ..io import write_bucketed
+
+    ref_sdf = _sdf(reference)
+    gr = register_cache(_grams_frame(ref_sdf, text_col, id_col, n, nonempty=True))
+    er = gr.select(
+        F.col("id").alias("rid"), F.size("grams").alias("nb"),
+        F.explode("grams").alias("gram"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            er.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df).select("gram")
+        )
+        er = er.join(hot, "gram", "anti")
+    write_bucketed(er, f"{table}_postings", "gram", num_buckets=num_buckets, mode=mode)
+    write_bucketed(
+        gr.select(F.col("id").alias("rid"), F.col("grams").alias("sb")),
+        f"{table}_grams", "rid", num_buckets=num_buckets, mode=mode,
+    )
+
+
+def dedup_against_index(
+    frame: "LazyFrame | SparkDF",
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Incremental dedup of a new batch against a PRE-BUILT reference gram
+    index (:func:`build_gram_index`) — same output as
+    :func:`dedup_against(frame, reference, max_gram_df=<build cap>)` but the
+    reference corpus is never re-exploded or re-shuffled: the postings scan
+    is bucketed by gram and the verification gram-set scan is bucketed by
+    rid, so both reference-side joins run without an Exchange.  The only
+    shuffle each recurring crawl batch pays is its own postings.
+    """
+    new_sdf = _sdf(frame)
+    sp = new_sdf.sparkSession
+    postings = sp.table(f"{table}_postings")
+    ref_grams = sp.table(f"{table}_grams")
+    gn = register_cache(_grams_frame(new_sdf, text_col, id_col, n, nonempty=True))
+    en = gn.select("id", F.size("grams").alias("na"), F.explode("grams").alias("gram"))
+    cands = (
+        en.join(postings, "gram")
+        # size prefilter: jac >= t needs t·|B| <= |A| <= |B|/t (nb is the
+        # FULL reference gram count, stored at build time)
+        .filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
+    )
+    ga = gn.select("id", F.col("grams").alias("sa"))
+    paired = cands.join(ga, "id").join(ref_grams, "rid")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    dup_ids = (
+        paired.filter(F.round(inter / union, round_to) >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return LazyFrame(new_sdf.join(dup_ids, id_col, "anti"))
 
 
 def containment_pairs(

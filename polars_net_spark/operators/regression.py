@@ -283,7 +283,12 @@ def chi2_independence(
     plus degrees of freedom (r−1)(c−1).  Two aggregate passes (cell counts,
     then the margin-joined sum) — no collect, any cardinality that fits a
     groupBy.  Feed (chi2, df) to scipy driver-side for the p-value.
-    Output: chi2, df, n."""
+    Output: chi2, df, n.
+
+    Size contract: the zero-cell correction materializes the FULL r×c
+    margins grid (r·c rows, one per category pair) — bounded by category
+    cardinality, never by row count; with r·c in the millions, bin or
+    top-N the categories first (that is the lever)."""
     sdf = _sdf(frame)
     cells = sdf.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
     ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))

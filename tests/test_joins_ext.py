@@ -440,6 +440,28 @@ class TestPagerank:
         out = dict(pagerank(edges, iterations=5).collect().rows())
         assert sum(out.values()) < 1.0  # simple-variant leak, per docstring
 
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        """checkpoint_dir= swaps localCheckpoint for reliable checkpoints
+        (blocks survive executor loss); ranks must be identical and the
+        checkpoint files must actually land in the given directory."""
+        import os
+        from polars_net_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3) % 7) for i in range(7)] + [(0, 1), (2, 5)],
+            ["src", "dst"],
+        )
+        base = dict(pagerank(edges, iterations=6, checkpoint_every=2).collect().rows())
+        ckpt = str(tmp_path / "pr_ckpt")
+        out = dict(
+            pagerank(
+                edges, iterations=6, checkpoint_every=2, checkpoint_dir=ckpt
+            ).collect().rows()
+        )
+        assert out == base
+        found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert found, "reliable checkpoint wrote nothing to checkpoint_dir"
+
 
 class TestWeightedSample:
     def test_without_replacement_and_bias(self, spark):

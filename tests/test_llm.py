@@ -876,6 +876,88 @@ def test_containment_pairs_asymmetric(spark):
     assert (1, 2, 0.5) in [tuple(r) for r in low]
 
 
+def test_dedup_against_index_steady_state(spark):
+    """Persisted gram index: build once, dedup many batches against it.
+    Output must be identical to the direct dedup_against path, and the
+    reference side must read pre-bucketed files (no Exchange above either
+    reference scan — the new batch's own shuffle is the only one)."""
+    from polars_net_spark.llm import (
+        build_gram_index, dedup_against, dedup_against_index,
+    )
+
+    ref_rows = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "pack my box with five dozen liquor jugs right now"),
+        (102, "sphinx of black quartz judge my vow said the king"),
+    ]
+    new_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),   # dup of 100
+        (2, "a completely novel document with fresh unseen words"),
+        (3, "pack my box with five dozen liquor jugs right now"),   # dup of 101
+        (4, "another unique crawl page nothing like the reference"),
+    ]
+    ref = pl.from_records(ref_rows, ["doc_id", "text"])
+    new = pl.from_records(new_rows, ["doc_id", "text"])
+    try:
+        build_gram_index(ref, "t_gram_idx", num_buckets=8)
+        direct = sorted(r[0] for r in dedup_against(new, ref).collect().rows())
+        for _ in range(2):  # recurring batches reuse the same index
+            got = dedup_against_index(new, "t_gram_idx")
+            assert sorted(r[0] for r in got.collect().rows()) == direct == [2, 4]
+        # plan: bucketed reference scans, and strictly fewer shuffles than
+        # the direct path (which must explode + shuffle the reference)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            idx_plan = (
+                dedup_against_index(new, "t_gram_idx")
+                .spark._jdf.queryExecution().executedPlan().toString()
+            )
+            direct_plan = (
+                dedup_against(new, ref)
+                .spark._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Bucketed: true" in idx_plan
+        assert idx_plan.count("Exchange") < direct_plan.count("Exchange")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_gram_idx_postings")
+        spark.sql("DROP TABLE IF EXISTS t_gram_idx_grams")
+
+
+def test_dedup_against_index_capped_matches_direct_cap(spark):
+    """A build-time max_gram_df cap reproduces the direct capped path:
+    candidates prune on the capped postings, verification stays exact."""
+    from polars_net_spark.llm import (
+        build_gram_index, dedup_against, dedup_against_index,
+    )
+
+    hot = "copyright two thousand all rights reserved worldwide"
+    ref = pl.from_records(
+        [(i, f"{hot} ref tail {i} alpha{i} beta{i}") for i in range(50, 60)],
+        ["doc_id", "text"],
+    )
+    new = pl.from_records(
+        [(1, f"{hot} ref tail 51 alpha51 beta51"),    # true dup of ref 51
+         (2, f"{hot} brand new body text here")],     # shares only hot grams
+        ["doc_id", "text"],
+    )
+    try:
+        build_gram_index(ref, "t_gram_idx_cap", num_buckets=8, max_gram_df=3)
+        got = sorted(
+            r[0] for r in dedup_against_index(new, "t_gram_idx_cap", threshold=0.5)
+            .collect().rows()
+        )
+        direct = sorted(
+            r[0] for r in dedup_against(new, ref, threshold=0.5, max_gram_df=3)
+            .collect().rows()
+        )
+        assert got == direct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_gram_idx_cap_postings")
+        spark.sql("DROP TABLE IF EXISTS t_gram_idx_cap_grams")
+
+
 def test_containment_prefix_orders_exact(spark):
     """Both prefix orders are EXACT (recall 1): identical output to the
     unfiltered postings join on a corpus with shared boilerplate grams."""
