@@ -6351,6 +6351,210 @@ FROM a
 """
 
 
+def _q202(spark, sf_dir):
+    """MRR@10 per query (llm/evaluation.py mrr_at_k): reciprocal rank of the
+    first relevant result under the optimistic tie convention — one
+    query-keyed window + one aggregate, ordering shards on the key."""
+    from polars_net_spark.llm import mrr_at_k
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.spark.select(
+        (F.col("user_id") % 20).alias("qid"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 4).cast("double").alias("rel"),
+    )
+    return mrr_at_k(scored, "qid", "score", "rel", k=10, rel_threshold=1.5).spark
+
+
+_q202_sql = """
+WITH b AS (
+  SELECT user_id % 20 AS qid, value AS s, CAST(event_id % 4 AS DOUBLE) AS r
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT qid, r,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, r DESC) AS pos
+  FROM b)
+SELECT qid,
+       round(max(CASE WHEN r > 1.5 AND pos <= 10 THEN 1.0 / pos ELSE 0 END), 6) AS rr
+FROM m GROUP BY qid
+"""
+
+
+def _q203(spark, sf_dir):
+    """Recall@10 per query (llm/evaluation.py recall_at_k): relevant-in-top-k
+    over relevant-overall; the relevance-DESC tiebreak keeps the boundary
+    count deterministic."""
+    from polars_net_spark.llm import recall_at_k
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.spark.select(
+        (F.col("user_id") % 20).alias("qid"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 4).cast("double").alias("rel"),
+    )
+    return recall_at_k(scored, "qid", "score", "rel", k=10, rel_threshold=1.5).spark
+
+
+_q203_sql = """
+WITH b AS (
+  SELECT user_id % 20 AS qid, value AS s, CAST(event_id % 4 AS DOUBLE) AS r
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT qid, r,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, r DESC) AS pos
+  FROM b),
+a AS (
+  SELECT qid,
+         sum(CASE WHEN pos <= 10 AND r > 1.5 THEN 1.0 ELSE 0 END) AS hits,
+         sum(CASE WHEN r > 1.5 THEN 1.0 ELSE 0 END) AS n_rel
+  FROM m GROUP BY qid)
+SELECT qid, round(CASE WHEN n_rel > 0 THEN hits / n_rel END, 6) AS recall,
+       CAST(n_rel AS BIGINT) AS n_rel
+FROM a
+"""
+
+
+def _q204(spark, sf_dir):
+    """Cohen's κ inter-rater agreement (operators/regression.py
+    cohens_kappa): two derived binary raters over events — cell counts +
+    margin joins, bounded by category cardinality."""
+    from polars_net_spark.operators.regression import cohens_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.spark.select(
+        F.when(F.col("value") > 50, "hi").otherwise("lo").alias("ra"),
+        F.when(F.col("event_id") % 3 == 0, "hi").otherwise("lo").alias("rb"),
+    )
+    return cohens_kappa(d, "ra", "rb").spark
+
+
+_q204_sql = """
+WITH b AS (
+  SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS ra,
+         CASE WHEN event_id % 3 = 0 THEN 'hi' ELSE 'lo' END AS rb
+  FROM events WHERE value IS NOT NULL),
+t AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree
+  FROM b),
+pe AS (
+  SELECT sum(na * nb) / (max(n) * max(n)) AS pe
+  FROM (SELECT ra AS c, count(*) AS na FROM b GROUP BY ra) a
+  JOIN (SELECT rb AS c, count(*) AS nb FROM b GROUP BY rb) bb USING (c)
+  CROSS JOIN t)
+SELECT round(CASE WHEN pe < 1.0 THEN (agree * 1.0 / n - pe) / (1.0 - pe) END, 6) AS kappa,
+       round(agree * 1.0 / n, 6) AS po,
+       round(pe, 6) AS pe,
+       CAST(n AS BIGINT) AS n
+FROM t CROSS JOIN pe
+"""
+
+
+def _q205(spark, sf_dir):
+    """Jensen–Shannon divergence between two corpus halves
+    (llm/text.py corpus_divergence): term-count aggregates + one full-outer
+    term join + a one-row aggregate — the train/eval drift probe."""
+    from polars_net_spark.llm import corpus_divergence
+
+    d = _t(spark, sf_dir, "documents").spark
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return corpus_divergence(a, b).spark
+
+
+_q205_sql = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents),
+ea AS (SELECT unnest(ws) AS term FROM w WHERE doc_id % 2 = 0),
+eb AS (SELECT unnest(ws) AS term FROM w WHERE doc_id % 2 = 1),
+ta AS (SELECT term, count(*) AS ca FROM ea GROUP BY term),
+tb AS (SELECT term, count(*) AS cb FROM eb GROUP BY term),
+j AS (SELECT coalesce(ta.term, tb.term) AS term,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+               sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a,
+               sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b,
+               sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vocab_shared
+        FROM j)
+SELECT round(sum(
+         CASE WHEN ca > 0
+              THEN 0.5 * (ca * 1.0 / na)
+                   * log2((ca * 1.0 / na) / (((ca * 1.0 / na) + (cb * 1.0 / nb)) / 2))
+              ELSE 0 END
+       + CASE WHEN cb > 0
+              THEN 0.5 * (cb * 1.0 / nb)
+                   * log2((cb * 1.0 / nb) / (((ca * 1.0 / na) + (cb * 1.0 / nb)) / 2))
+              ELSE 0 END), 6) AS js_divergence,
+       CAST(max(vocab_a) AS BIGINT) AS vocab_a,
+       CAST(max(vocab_b) AS BIGINT) AS vocab_b,
+       CAST(max(vocab_shared) AS BIGINT) AS vocab_shared,
+       CAST(max(na) AS BIGINT) AS tokens_a,
+       CAST(max(nb) AS BIGINT) AS tokens_b
+FROM j CROSS JOIN tot
+"""
+
+
+def _q206(spark, sf_dir):
+    """Per-document unigram Shannon entropy (llm/quality.py
+    word_entropy_frame): zero-shuffle sorted-run-length Column math — the
+    prose-vs-boilerplate quality feature at scan speed."""
+    from polars_net_spark.llm import word_entropy_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return word_entropy_frame(d).spark.select("doc_id", "n_words", "word_entropy")
+
+
+_q206_sql = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents),
+e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM e GROUP BY doc_id, word),
+p AS (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM c),
+ent AS (
+  SELECT doc_id, max(n) AS n,
+         0 - sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)) AS h
+  FROM p GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(coalesce(ent.n, 0) AS BIGINT) AS n_words,
+       round(ent.h, 6) AS word_entropy
+FROM w LEFT JOIN ent ON w.doc_id = ent.doc_id
+"""
+
+
+def _q207(spark, sf_dir):
+    """Equi-width histogram with pinned edges (operators/describe.py
+    histogram_frame): one map-side-combining bucket aggregate left-joined to
+    a bins-sized edge grid; out-of-range values clamp into the edge bins."""
+    from polars_net_spark.operators.describe import histogram_frame
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_frame(li, "l_extendedprice", n_bins=20, lo=0.0, hi=100000.0).spark
+
+
+_q207_sql = """
+WITH params AS (SELECT 0.0 AS lo, 100000.0 AS hi, 20 AS nb),
+b AS (
+  SELECT least(nb - 1, greatest(0, CAST(floor((l_extendedprice - lo) / ((hi - lo) / nb)) AS INT))) AS bin
+  FROM lineitem CROSS JOIN params
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+cnt AS (SELECT bin, count(*) AS count FROM b GROUP BY bin),
+grid AS (
+  SELECT CAST(g AS INT) AS bin,
+         round(lo + g * (hi - lo) / nb, 9) AS bin_lo,
+         round(lo + (g + 1) * (hi - lo) / nb, 9) AS bin_hi
+  FROM generate_series(0, 19) t(g) CROSS JOIN params)
+SELECT grid.bin, bin_lo, bin_hi, coalesce(cnt.count, 0) AS count
+FROM grid LEFT JOIN cnt ON grid.bin = cnt.bin
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6557,6 +6761,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_ndcg": _q199,
         "q200_spearman": _q200,
         "q201_avg_precision": _q201,
+        "q202_mrr": _q202,
+        "q203_recall_at_k": _q203,
+        "q204_cohens_kappa": _q204,
+        "q205_corpus_divergence": _q205,
+        "q206_word_entropy": _q206,
+        "q207_histogram": _q207,
     }
 
 
@@ -6763,4 +6973,10 @@ def oracle_sql() -> dict[str, str]:
         "q199_ndcg": _q199_sql,
         "q200_spearman": _q200_sql,
         "q201_avg_precision": _q201_sql,
+        "q202_mrr": _q202_sql,
+        "q203_recall_at_k": _q203_sql,
+        "q204_cohens_kappa": _q204_sql,
+        "q205_corpus_divergence": _q205_sql,
+        "q206_word_entropy": _q206_sql,
+        "q207_histogram": _q207_sql,
     }

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic"]
+__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic", "mrr_at_k", "recall_at_k"]
 
 
 def _sdf(frame):
@@ -252,6 +252,87 @@ def ndcg_at_k(
         F.round(
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), round_to
         ).alias("ndcg"),
+    )
+    return LazyFrame(out)
+
+
+def mrr_at_k(
+    frame: "LazyFrame | SparkDF",
+    query_col: str,
+    score_col: str,
+    relevance_col: str,
+    k: int = 10,
+    rel_threshold: float = 0.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Reciprocal rank of the FIRST relevant result in the model's top-k,
+    per query — the retrieval-eval companion to :func:`ndcg_at_k` (averaging
+    the ``rr`` column gives MRR@k).  A row is relevant when
+    ``relevance_col > rel_threshold``.  Ties in score break by relevance
+    DESC (optimistic, same convention as ndcg_at_k/average_precision), which
+    makes ``rr`` tie-invariant: equal-scored relevant rows share the same
+    first-relevant position.  Queries with no relevant result in the top-k
+    get rr = 0 (never null, so the mean IS the MRR).
+
+    One query-keyed window + one aggregate — the ordering shards on the
+    query key, no global sort."""
+    sdf = _sdf(frame)
+    q = F.col(query_col)
+    s = F.col(score_col).cast("double")
+    r = F.col(relevance_col).cast("double")
+    base = sdf.filter(s.isNotNull() & r.isNotNull()).select(
+        q.alias("__q__"), s.alias("__s__"), r.alias("__r__")
+    )
+    w = Window.partitionBy("__q__").orderBy(F.col("__s__").desc(), F.col("__r__").desc())
+    pos = F.row_number().over(w)
+    rel = F.col("__r__") > rel_threshold
+    rr_cand = F.when(rel & (pos <= k), 1.0 / pos).otherwise(0.0)
+    out = (
+        base.select("__q__", rr_cand.alias("rrc"))
+        .groupBy("__q__")
+        .agg(F.round(F.max("rrc"), round_to).alias("rr"))
+        .select(F.col("__q__").alias(query_col), "rr")
+    )
+    return LazyFrame(out)
+
+
+def recall_at_k(
+    frame: "LazyFrame | SparkDF",
+    query_col: str,
+    score_col: str,
+    relevance_col: str,
+    k: int = 10,
+    rel_threshold: float = 0.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Recall@k per query: (# relevant results in the model's top-k) /
+    (# relevant results overall).  Relevance and tie conventions as
+    :func:`mrr_at_k`; the relevance-DESC tiebreak makes the top-k relevant
+    COUNT deterministic even when equal scores straddle the k boundary.
+    Queries with zero relevant results yield null (undefined recall).
+
+    One query-keyed window + one aggregate — shards on the query key."""
+    sdf = _sdf(frame)
+    q = F.col(query_col)
+    s = F.col(score_col).cast("double")
+    r = F.col(relevance_col).cast("double")
+    base = sdf.filter(s.isNotNull() & r.isNotNull()).select(
+        q.alias("__q__"), s.alias("__s__"), r.alias("__r__")
+    )
+    w = Window.partitionBy("__q__").orderBy(F.col("__s__").desc(), F.col("__r__").desc())
+    pos = F.row_number().over(w)
+    rel = (F.col("__r__") > rel_threshold).cast("double")
+    agg = (
+        base.select("__q__", rel.alias("rel"), F.when(pos <= k, rel).otherwise(0.0).alias("hit"))
+        .groupBy("__q__")
+        .agg(F.sum("hit").alias("hits"), F.sum("rel").alias("n_rel"))
+    )
+    out = agg.select(
+        F.col("__q__").alias(query_col),
+        F.round(
+            F.when(F.col("n_rel") > 0, F.col("hits") / F.col("n_rel")), round_to
+        ).alias("recall"),
+        F.col("n_rel").cast("long").alias("n_rel"),
     )
     return LazyFrame(out)
 

@@ -28,6 +28,7 @@ __all__ = [
     "train_linear_quality",
     "repetition_metrics_frame",
     "pii_metrics_frame",
+    "word_entropy_frame",
     "REQUIRED_STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -551,3 +552,56 @@ def train_linear_quality(
     )
     model = lr.fit(train)
     return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def word_entropy_frame(
+    frame,
+    text_col: str = "text",
+    round_to: int = 6,
+    lowercase: bool = True,
+) -> "LazyFrame":
+    """Shannon entropy (bits) of each document's unigram distribution —
+    the classic "is this prose or a keyword dump / repeated boilerplate"
+    quality feature: low entropy = few distinct words dominate, high
+    entropy = diverse vocabulary.  Appends ``n_words`` and ``word_entropy``
+    (empty docs → 0 words, null entropy).
+
+    ZERO-shuffle design: no explode + per-doc groupBy (two corpus-wide
+    shuffles keyed by doc).  Instead each doc's word array is sorted and
+    run lengths are taken from the boundaries of equal runs — sort +
+    zip_with arithmetic, all whole-stage codegen, O(d log d) per doc:
+    entropy = −Σ (len_i/n)·log2(len_i/n) over the runs.
+    """
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    raw = F.trim(F.col(text_col))
+    if lowercase:
+        raw = F.lower(raw)
+    words = F.filter(F.split(raw, r"\s+"), lambda w: F.length(w) > 0)
+    sw = F.array_sort(words)
+    n = F.size(sw)
+    idx = F.sequence(F.lit(0), n - 1)
+    # positions where a new run of equal words starts (0-based)
+    starts = F.filter(
+        idx, lambda i: (i == 0) | (F.element_at(sw, i + 1) != F.element_at(sw, i))
+    )
+    # run lengths: next start (or n) minus this start
+    nexts = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n))
+    lens = F.zip_with(starts, nexts, lambda a, b: (b - a).cast("double"))
+    nd = n.cast("double")
+    # 0.0 - acc (not -acc): a single-run doc accumulates exactly 0.0 and
+    # unary negation would emit -0.0, which value-hash compares unequal
+    ent = F.lit(0.0) - F.aggregate(
+        lens,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / nd) * F.log2(c / nd),
+    )
+    out = sdf.withColumn("n_words", n.cast("long")).withColumn(
+        "word_entropy",
+        F.when(n > 0, F.round(ent, round_to)),
+    )
+    # guard: split("") yields [""] filtered to [] -> n=0 -> null entropy
+    return LazyFrame(out)

@@ -28,6 +28,7 @@ __all__ = [
     "url_registrable_domain",
     "url_metrics_frame",
     "corpus_stats_frame",
+    "corpus_divergence",
     "filter_by_domains",
     "split_sentences_frame",
     "STOPWORDS_EN",
@@ -453,5 +454,79 @@ def split_sentences_frame(
     kept = F.filter(trimmed, lambda s: F.length(s) >= min_chars)
     out = sdf.select(
         F.col(id_col), F.posexplode(kept).alias("sent_idx", "sentence")
+    )
+    return LazyFrame(out)
+
+
+def corpus_divergence(
+    frame_a,
+    frame_b,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> "LazyFrame":
+    """Jensen–Shannon divergence (base-2 bits, 0 = identical, 1 = disjoint)
+    between the unigram term distributions of two corpora — the drift /
+    contamination-shift probe a pipeline runs between a new crawl batch and
+    the training mix, or between train and eval splits.  Output is ONE row:
+    ``js_divergence``, vocab sizes, shared-vocab count, and token totals.
+
+    JS is used (not raw KL) because corpora always have disjoint tail terms
+    and KL(P‖Q) is infinite the moment Q misses one of P's terms; JS mixes
+    through M = (P+Q)/2, which is finite and symmetric by construction —
+    no smoothing constant to tune.
+
+    Scale shape: each side is one explode + one (term) count aggregate
+    (map-side combining), then a full-outer join of the two term tables and
+    one final one-row aggregate — all keyed shuffles on the term, bounded
+    by vocabulary size, never an all-pairs structure.
+    """
+    from ..frame import LazyFrame
+
+    def _term_counts(frame, side):
+        from pyspark.sql import DataFrame as SparkDF
+        sdf = frame if isinstance(frame, SparkDF) else frame.spark
+        words = F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+        return (
+            sdf.select(F.explode(words).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    ta, tb = _term_counts(frame_a, "a"), _term_counts(frame_b, "b")
+    joined = ta.join(tb, "term", "full").select(
+        "term",
+        F.coalesce("c_a", F.lit(0)).alias("ca"),
+        F.coalesce("c_b", F.lit(0)).alias("cb"),
+    )
+    tot = joined.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("vocab_all"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0)).alias("vocab_shared"),
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).alias("vocab_a"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).alias("vocab_b"),
+    )
+    w = joined.join(F.broadcast(tot))
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    m = (p + q) / 2.0
+    # 0·log(0/m) = 0: guard each side on its own count
+    contrib = (
+        F.when(F.col("ca") > 0, 0.5 * p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, 0.5 * q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    out = (
+        w.groupBy("na", "nb", "vocab_a", "vocab_b", "vocab_shared")
+        .agg(F.sum(contrib).alias("js"))
+        .select(
+            F.round("js", round_to).alias("js_divergence"),
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("vocab_shared").cast("long").alias("vocab_shared"),
+            F.col("na").cast("long").alias("tokens_a"),
+            F.col("nb").cast("long").alias("tokens_b"),
+        )
     )
     return LazyFrame(out)

@@ -62,3 +62,63 @@ def describe(lf: LazyFrame, exact_percentiles: bool = True, accuracy: int = 10_0
     )
     out = sdf.sparkSession.createDataFrame(data, schema)
     return LazyFrame(out)
+
+
+def histogram_frame(
+    lf: "LazyFrame",
+    col: str,
+    n_bins: int = 10,
+    lo: "float | None" = None,
+    hi: "float | None" = None,
+    by: "str | None" = None,
+) -> LazyFrame:
+    """Equi-width histogram of a numeric column: one row per bin with its
+    [bin_lo, bin_hi) edges and count — the data-profiling primitive behind
+    distribution dashboards and drift monitors.  The last bin is closed on
+    both ends (max lands in bin n_bins−1, the standard convention).  Nulls
+    and NaNs are excluded.  Empty bins are emitted with count 0 so the
+    shape is stable (a bins×1 driver-built frame left-joined to counts —
+    bounded by n_bins, not data).
+
+    ``lo``/``hi`` default to the column's min/max via ONE tiny extra
+    aggregate (a bounded 1-row probe); pass them explicitly to skip that
+    pass or to pin comparable edges across runs — at 100 TB pinned edges
+    also make successive daily histograms directly diffable.  ``by``
+    produces one histogram per key (bins shared globally so keys are
+    comparable).  One map-side-combining aggregate either way.
+    """
+    sdf = lf._sdf if hasattr(lf, "_sdf") else lf
+    x = F.col(col).cast("double")
+    clean = sdf.filter(x.isNotNull() & ~F.isnan(x))
+    if lo is None or hi is None:
+        row = clean.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate single-value column: one catch-all bin
+    width = (hi - lo) / n_bins
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor((x - lo) / width).cast("int")))
+    spark = clean.sparkSession
+    edges = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"),
+        F.round(lo + F.col("id") * width, 9).alias("bin_lo"),
+        F.round(lo + (F.col("id") + 1) * width, 9).alias("bin_hi"),
+    )
+    if by is None:
+        counts = clean.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("count"))
+        out = (
+            edges.join(counts, "bin", "left")
+            .select("bin", "bin_lo", "bin_hi", F.coalesce("count", F.lit(0)).alias("count"))
+        )
+    else:
+        keys = clean.select(F.col(by)).distinct()
+        grid = keys.crossJoin(edges)  # |keys| x n_bins — bounded by key cardinality
+        counts = clean.groupBy(F.col(by), b.alias("bin")).agg(F.count(F.lit(1)).alias("count"))
+        out = (
+            grid.join(counts, [by, "bin"], "left")
+            .select(by, "bin", "bin_lo", "bin_hi", F.coalesce("count", F.lit(0)).alias("count"))
+        )
+    return LazyFrame(out)
+
+
+__all__.append("histogram_frame")

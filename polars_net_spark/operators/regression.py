@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa"]
 
 
 def _sdf(frame):
@@ -313,6 +313,55 @@ def chi2_independence(
     out = stat.select(
         F.round("chi2", round_to).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def cohens_kappa(
+    frame: "LazyFrame | SparkDF",
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cohen's κ inter-rater agreement between two categorical label
+    columns (rows = items labeled by both raters): κ = (p_o − p_e)/(1 − p_e)
+    with p_o the observed agreement rate and p_e = Σ_c p_a(c)·p_b(c) the
+    chance agreement under independent marginals — the labeling-pipeline QA
+    statistic (annotator vs annotator, model vs human).
+
+    One cell-count aggregate + two tiny margin aggregates joined on the
+    category (bounded by category cardinality, like chi2_independence) —
+    no collect, any row count.  Rows with a null on either side are
+    excluded (both raters must have labeled the item).  Perfect chance
+    agreement (p_e = 1, both raters constant and equal) leaves κ undefined
+    → null.  Output: kappa, po, pe, n."""
+    sdf = _sdf(frame)
+    a, b = F.col(col_a), F.col(col_b)
+    base = sdf.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a__"), b.alias("__b__")
+    )
+    cells = base.groupBy("__a__", "__b__").agg(F.count(F.lit(1)).alias("o"))
+    ma = cells.groupBy(F.col("__a__").alias("c")).agg(F.sum("o").alias("na"))
+    mb = cells.groupBy(F.col("__b__").alias("c")).agg(F.sum("o").alias("nb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.sum(F.when(F.col("__a__") == F.col("__b__"), F.col("o")).otherwise(F.lit(0))).alias("agree"),
+    )
+    # chance agreement: inner join of the marginals on the category —
+    # categories one rater never used contribute p_a·0 = 0
+    pe_row = (
+        ma.join(mb, "c")
+        .join(F.broadcast(tot.select("n")))
+        .agg(F.sum(F.col("na") * F.col("nb") / (F.col("n") * F.col("n"))).alias("pe"))
+    )
+    stat = tot.join(F.broadcast(pe_row))
+    po = F.col("agree") / F.col("n")
+    pe = F.coalesce(F.col("pe"), F.lit(0.0))
+    out = stat.select(
+        F.round(F.when(pe < 1.0, (po - pe) / (1.0 - pe)), round_to).alias("kappa"),
+        F.round(po, round_to).alias("po"),
+        F.round(pe, round_to).alias("pe"),
         F.col("n").cast("long").alias("n"),
     )
     return LazyFrame(out)

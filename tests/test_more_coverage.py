@@ -273,3 +273,46 @@ def test_describe_approx_mode(spark):
         assert ex[stat] == ap[stat]
     for stat in ("25%", "50%", "75%"):
         assert abs(ex[stat] - ap[stat]) <= 1.0  # GK sketch within one element
+
+
+class TestHistogramFrame:
+    def test_equi_width_known(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.operators.describe import histogram_frame
+
+        d = pl.from_records([(float(i),) for i in range(10)], ["x"]).lazy()
+        rows = histogram_frame(d, "x", n_bins=5, lo=0.0, hi=10.0).collect().rows()
+        assert [(r[0], r[3]) for r in sorted(rows)] == [
+            (0, 2), (1, 2), (2, 2), (3, 2), (4, 2)
+        ]
+        assert sorted(rows)[0][1:3] == (0.0, 2.0)
+
+    def test_auto_edges_max_closed_and_empty_bins(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.operators.describe import histogram_frame
+
+        # auto lo/hi from data; max value lands in the LAST bin; the middle
+        # bin is empty but still emitted with count 0
+        d = pl.from_records([(0.0,), (1.0,), (9.0,), (10.0,)], ["x"]).lazy()
+        rows = sorted(histogram_frame(d, "x", n_bins=5).collect().rows())
+        assert [r[3] for r in rows] == [2, 0, 0, 0, 2]
+
+    def test_by_key_shared_edges(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.operators.describe import histogram_frame
+
+        d = pl.from_records(
+            [("a", 1.0), ("a", 2.0), ("b", 9.0)], ["k", "x"]
+        ).lazy()
+        rows = histogram_frame(d, "x", n_bins=2, lo=0.0, hi=10.0, by="k").collect().rows()
+        got = {(r[0], r[1]): r[4] for r in rows}
+        # every key emits every bin (grid), shared global edges
+        assert got == {("a", 0): 2, ("a", 1): 0, ("b", 0): 0, ("b", 1): 1}
+
+    def test_degenerate_constant(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.operators.describe import histogram_frame
+
+        d = pl.from_records([(5.0,), (5.0,)], ["x"]).lazy()
+        rows = sorted(histogram_frame(d, "x", n_bins=3).collect().rows())
+        assert sum(r[3] for r in rows) == 2 and rows[0][3] == 2

@@ -431,3 +431,132 @@ def test_isotonic_calibration_roundtrip(spark):
     mse_cal = statistics.mean((v - s * s) ** 2 for v, s in zip(vals, svals))
     mse_raw = statistics.mean((s - s * s) ** 2 for s in svals)
     assert mse_cal < mse_raw
+
+
+class TestRetrievalEvalExtras:
+    def test_mrr_at_k_known(self, spark):
+        from polars_net_spark.llm import mrr_at_k
+
+        # q1: relevant doc at model rank 2 -> rr = 0.5
+        # q2: first relevant at rank 1 -> rr = 1.0
+        # q3: relevant exists but only at rank 3 with k=2 -> rr = 0
+        rows = [
+            ("q1", 0.9, 0.0), ("q1", 0.8, 1.0), ("q1", 0.7, 0.0),
+            ("q2", 0.9, 1.0), ("q2", 0.5, 0.0),
+            ("q3", 0.9, 0.0), ("q3", 0.8, 0.0), ("q3", 0.7, 1.0),
+        ]
+        d = spark.createDataFrame(rows, ["q", "s", "r"])
+        out = dict((r[0], r[1]) for r in mrr_at_k(d, "q", "s", "r", k=2).collect().rows())
+        assert out == {"q1": 0.5, "q2": 1.0, "q3": 0.0}
+
+    def test_mrr_tie_optimistic(self, spark):
+        from polars_net_spark.llm import mrr_at_k
+
+        # relevant ties an irrelevant at the same score -> relevance-desc
+        # tiebreak puts the relevant first (rr = 1.0, deterministic)
+        d = spark.createDataFrame(
+            [("q", 0.5, 1.0), ("q", 0.5, 0.0)], ["q", "s", "r"]
+        )
+        assert mrr_at_k(d, "q", "s", "r", k=2).collect().rows() == [("q", 1.0)]
+
+    def test_recall_at_k_known(self, spark):
+        from polars_net_spark.llm import recall_at_k
+
+        # q1: 3 relevant, 2 inside top-3 -> 2/3; q2: no relevant -> null
+        rows = [
+            ("q1", 0.9, 1.0), ("q1", 0.8, 0.0), ("q1", 0.7, 1.0),
+            ("q1", 0.6, 1.0), ("q1", 0.5, 0.0),
+            ("q2", 0.9, 0.0), ("q2", 0.8, 0.0),
+        ]
+        d = spark.createDataFrame(rows, ["q", "s", "r"])
+        got = {r[0]: (r[1], r[2]) for r in recall_at_k(d, "q", "s", "r", k=3).collect().rows()}
+        assert got["q1"] == (round(2 / 3, 6), 3)
+        assert got["q2"] == (None, 0)
+
+
+class TestCohensKappa:
+    def test_known_value(self, spark):
+        from polars_net_spark.operators.regression import cohens_kappa
+
+        a = ["y", "y", "y", "y", "y", "y", "y", "n", "n", "n"]
+        b = ["y", "y", "y", "y", "y", "n", "n", "y", "n", "n"]
+        d = spark.createDataFrame(list(zip(a, b)), ["ra", "rb"])
+        (kappa, po, pe, n), = cohens_kappa(d, "ra", "rb").collect().rows()
+        assert n == 10 and po == 0.7
+        assert pe == round(0.7 * 0.6 + 0.3 * 0.4, 6)
+        assert kappa == round((0.7 - 0.54) / (1 - 0.54), 6)
+
+    def test_perfect_chance_agreement_null(self, spark):
+        from polars_net_spark.operators.regression import cohens_kappa
+
+        d = spark.createDataFrame([("x", "x")] * 5, ["ra", "rb"])
+        (kappa, po, pe, n), = cohens_kappa(d, "ra", "rb").collect().rows()
+        assert kappa is None and po == 1.0 and pe == 1.0
+
+    def test_nulls_excluded(self, spark):
+        from polars_net_spark.operators.regression import cohens_kappa
+
+        d = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("a", None), (None, "b")], ["ra", "rb"]
+        )
+        (kappa, po, pe, n), = cohens_kappa(d, "ra", "rb").collect().rows()
+        assert n == 2 and po == 1.0 and kappa == 1.0
+
+
+class TestCorpusDivergence:
+    def test_identical_zero(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import corpus_divergence
+
+        a = pl.from_records([(1, "alpha beta gamma"), (2, "beta beta")], ["doc_id", "text"])
+        out = corpus_divergence(a, a).collect().rows()[0]
+        assert out[0] == 0.0                      # js
+        assert out[1] == out[2] == out[3] == 3    # vocabs all shared
+
+    def test_disjoint_one_bit(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import corpus_divergence
+
+        a = pl.from_records([(1, "aa bb")], ["doc_id", "text"])
+        b = pl.from_records([(1, "cc dd")], ["doc_id", "text"])
+        out = corpus_divergence(a, b).collect().rows()[0]
+        assert out[0] == 1.0 and out[3] == 0
+
+    def test_halfway_closed_form(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import corpus_divergence
+
+        a = pl.from_records([(1, "a a")], ["doc_id", "text"])
+        b = pl.from_records([(1, "a b")], ["doc_id", "text"])
+        import math
+        p_term = 0.5 * math.log2(1 / 0.75)
+        q_term = 0.5 * (0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25))
+        out = corpus_divergence(a, b).collect().rows()[0]
+        assert out[0] == round(p_term + q_term, 6)
+        assert (out[4], out[5]) == (2, 2)         # token totals
+
+
+class TestWordEntropy:
+    def test_closed_forms(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import word_entropy_frame
+
+        d = pl.from_records(
+            [(1, "a a b b"), (2, "a a a a"), (3, "a b c d"), (4, ""), (5, "Mixed MIXED mixed")],
+            ["doc_id", "text"],
+        )
+        got = {r[0]: (r[1], r[2]) for r in
+               word_entropy_frame(d).collect().select("doc_id", "n_words", "word_entropy").rows()}
+        assert got[1] == (4, 1.0)        # two runs of two -> 1 bit
+        assert got[2] == (4, 0.0)        # single word repeated -> 0 bits
+        assert got[3] == (4, 2.0)        # four distinct -> 2 bits
+        assert got[4] == (0, None)       # empty doc -> null entropy
+        assert got[5] == (3, 0.0)        # lowercased -> one run
+
+    def test_two_bits(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import word_entropy_frame
+
+        d = pl.from_records([(1, "w x y z")], ["doc_id", "text"])
+        (row,) = word_entropy_frame(d).collect().select("n_words", "word_entropy").rows()
+        assert row == (4, 2.0)
