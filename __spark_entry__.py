@@ -5870,6 +5870,49 @@ def _q186(spark, sf_dir):
 _q186_sql = _q54_sql
 
 
+def _q208(spark, sf_dir):
+    """FIFTH true Structured Streaming gate: content DEDUP ON INGEST — the
+    streaming form of dedup_exact.  Documents stream in, each is fingerprinted
+    (md5 of lowercased whitespace-collapsed text, llm/text.py
+    content_fingerprint) and dropDuplicates keeps state per fingerprint so
+    re-crawled bodies never enter the corpus twice.  Emitting the fingerprint
+    set (not surviving doc_ids) keeps the gate deterministic — WHICH copy
+    survives is arrival order, WHAT content survives is not.  availableNow
+    single batch; production runs put an ingest-time watermark on the stream
+    and use dropDuplicatesWithinWatermark to bound state."""
+    import os
+
+    from polars_net_spark.llm import content_fingerprint
+
+    src_dir = _stream_stage_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000)
+        .parquet(src_dir)
+        .select(content_fingerprint(F.col("text")).alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    try:
+        spark.catalog.dropTempView("q208_stream_dedup")
+    except Exception:
+        pass
+    with _stream_gate_conf(spark):
+        q = (
+            stream.writeStream.format("memory").queryName("q208_stream_dedup")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table("q208_stream_dedup")
+
+
+_q208_sql = """
+SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
 def _q187(spark, sf_dir):
     """Exact DECIMAL money arithmetic (dtype #22, datatypes.rs:77): prices
     cast to DECIMAL(14,2), revenue = price·(1−disc)·(1+tax) in DECIMAL
@@ -6555,6 +6598,80 @@ FROM grid LEFT JOIN cnt ON grid.bin = cnt.bin
 """
 
 
+def _q209(spark, sf_dir):
+    """Distributed BPE trainer (llm/vocab.py train_bpe): 10 merges learned
+    from the documents corpus.  One corpus-wide word-count shuffle total;
+    every merge iteration is a vocabulary-sized pair aggregate + 1-row
+    argmax + map-only array rewrite.  The oracle replays the exact trainer
+    as 10 unrolled DuckDB CTE blocks (list_reduce fold, lexicographic
+    tie-break) — full hash verification of an iterative algorithm."""
+    from polars_net_spark.llm.vocab import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe(d, num_merges=10, min_pair_count=2).spark
+
+
+def _bpe_oracle_chain(num_merges: int, eow: str = "</w>") -> str:
+    """Shared WITH-chain for the BPE oracles: wc word counts, v0 char
+    symbols, then one (pair-count, argmax, fold-merge) block per merge."""
+    blocks = ["""
+wc AS (SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> length(x) > 0)) AS word FROM documents) GROUP BY word),
+v0 AS (SELECT word, cnt,
+  list_append(list_transform(generate_series(1, length(word)), i -> word[i]), '%s') AS sym
+  FROM wc)""" % eow]
+    for r in range(num_merges):
+        blocks.append(f"""
+p{r} AS (
+  SELECT sym[i] AS l, sym[i+1] AS r, sum(cnt) AS c
+  FROM v{r}, unnest(generate_series(1, len(sym)-1)) AS t(i)
+  WHERE len(sym) >= 2 GROUP BY 1, 2),
+b{r} AS (SELECT l AS bl, r AS br, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+v{r + 1} AS (
+  SELECT word, cnt,
+    list_reduce(list_prepend([]::VARCHAR[], list_transform(sym, x -> [x])),
+      (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = bl AND s[1] = br
+                       THEN list_append(acc[:-2], bl || br)
+                       ELSE list_append(acc, s[1]) END) AS sym
+  FROM v{r} CROSS JOIN b{r})""")
+    return "WITH " + ",".join(blocks)
+
+
+_q209_sql = _bpe_oracle_chain(10) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT {r} AS rank, bl AS left, br AS right, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+    for r in range(10)
+) + "\nORDER BY rank"
+
+
+def _q210(spark, sf_dir):
+    """BPE encoding (llm/vocab.py bpe_encode_frame) under the merges q209
+    trains: per-doc token counts.  The Python stage (Arrow pandas_udf)
+    touches DISTINCT WORDS only; the oracle exploits the classic
+    equivalence "min-rank encode == training segmentation" and reads token
+    counts straight from the replayed trainer's final vocab — so the
+    encoder is hash-verified against an independent construction."""
+    from polars_net_spark.llm.vocab import bpe_encode_frame, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, num_merges=10, min_pair_count=2)
+    return (
+        bpe_encode_frame(d, merges)
+        .spark.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
+
+
+_q210_sql = _bpe_oracle_chain(10) + """,
+dw AS (SELECT doc_id,
+              unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0)) AS word
+       FROM documents)
+SELECT doc_id, CAST(sum(len(v10.sym)) AS BIGINT) AS n_tokens
+FROM dw JOIN v10 USING (word)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6767,6 +6884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_corpus_divergence": _q205,
         "q206_word_entropy": _q206,
         "q207_histogram": _q207,
+        "q208_stream_dedup": _q208,
+        "q209_bpe_train": _q209,
+        "q210_bpe_encode": _q210,
     }
 
 
@@ -6979,4 +7099,7 @@ def oracle_sql() -> dict[str, str]:
         "q205_corpus_divergence": _q205_sql,
         "q206_word_entropy": _q206_sql,
         "q207_histogram": _q207_sql,
+        "q208_stream_dedup": _q208_sql,
+        "q209_bpe_train": _q209_sql,
+        "q210_bpe_encode": _q210_sql,
     }

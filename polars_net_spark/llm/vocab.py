@@ -96,3 +96,206 @@ def encode_tokens_frame(
         )
     )
     return LazyFrame(out)
+
+
+def train_bpe(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    end_of_word: str = "</w>",
+    checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
+) -> LazyFrame:
+    """Byte-pair-encoding MERGE TABLE learned from the corpus: the standard
+    BPE trainer (Sennrich et al. 2016) run distributed.  Returns
+    (rank, left, right, pair_count) — rank r is the r-th merge learned;
+    feed it to :func:`bpe_encode_frame` to tokenize.
+
+    Scale design — the corpus is shuffled EXACTLY ONCE: the only
+    corpus-sized job is the initial word-count aggregate (map-side
+    combining).  Every merge iteration then runs on the DISTINCT-WORD table
+    (vocabulary-sized, weighted by word count): one pair-count aggregate +
+    a 1-row argmax collect + one map-only array rewrite.  That makes the
+    per-iteration cost O(vocab), not O(corpus) — the property that makes
+    BPE trainable on 100 TB at all.  Ties in pair count break
+    lexicographically (left asc, right asc) so the merge table is
+    deterministic across runs/partitionings.
+
+    The iterative loop is checkpoint-truncated like dedup_clusters /
+    pagerank: each iteration re-persists the vocab symbols and unpersists
+    the previous; ``checkpoint_dir`` upgrades the periodic lineage cut to
+    reliable checkpoints for long cluster runs.  Stops early when the best
+    pair's count falls below ``min_pair_count`` (merging hapax pairs only
+    memorizes noise).
+
+    Greedy left-to-right merge semantics within a word ("aaa" under (a,a)
+    → ["aa","a"]), matching the reference implementation; ``end_of_word``
+    is appended as a trailing symbol so word-final units are distinct.
+    """
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    spark = sdf.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    wc = (
+        sdf.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # initial symbols: characters + the end-of-word marker.  Spark's split
+    # keeps trailing empties (limit -1) and "(?!^)" matches at end-of-string,
+    # so drop empty symbols explicitly.
+    chars = F.filter(F.split(F.col("word"), "(?!^)"), lambda s: F.length(s) > 0)
+    vocab = wc.select(
+        "cnt", F.concat(chars, F.array(F.lit(end_of_word))).alias("sym")
+    ).persist()
+
+    merges: list[tuple[int, str, str, int]] = []
+    prev = None
+    for r in range(int(num_merges)):
+        sym = F.col("sym")
+        lefts = F.slice(sym, 1, F.size(sym) - 1)
+        rights = F.slice(sym, 2, F.size(sym) - 1)
+        pairs = (
+            vocab.filter(F.size(sym) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(lefts, rights, lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        # the argmax collect doubles as the job that fills vocab's cache —
+        # ONE job per iteration, no separate materialization pass
+        best = pairs.orderBy(F.col("c").desc(), F.col("l"), F.col("r")).first()
+        if prev is not None:
+            prev.unpersist()  # safe: vocab's cache is now populated
+            prev = None
+        if best is None or best["c"] < min_pair_count:
+            break
+        l, rr, c = best["l"], best["r"], int(best["c"])
+        merges.append((r, l, rr, c))
+        merged = l + rr
+        # greedy left-to-right fold: pop-and-replace when the running tail
+        # is `l` and the next symbol is `r`
+        fold = F.aggregate(
+            sym,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(rr)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        staged = vocab.select("cnt", fold.alias("sym"))
+        if checkpoint_every and (r + 1) % int(checkpoint_every) == 0:
+            # lineage cut; both checkpoint flavors also store the data, so
+            # no extra persist on these iterations
+            new_vocab = (
+                staged.checkpoint(eager=False) if checkpoint_dir is not None
+                else staged.localCheckpoint(eager=False)
+            )
+        else:
+            new_vocab = staged.persist()
+        prev, vocab = vocab, new_vocab
+    vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
+
+    schema = "rank INT, left STRING, right STRING, pair_count BIGINT"
+    out = spark.createDataFrame(merges, schema=schema)
+    return LazyFrame(out)
+
+
+def bpe_encode_frame(
+    frame: "LazyFrame | SparkDF",
+    merges: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+) -> LazyFrame:
+    """(id, tokens, n_tokens): documents tokenized under a
+    :func:`train_bpe` merge table — merges apply in rank order, exactly as
+    the reference BPE encoder does.
+
+    Scale design: the Python stage touches DISTINCT WORDS ONLY.  Words
+    posexplode map-side, dedupe to the vocabulary, an Arrow-batched
+    pandas_udf (never per-row Python) encodes each distinct word once with
+    the broadcast merge ranks, and the corpus reassembles through one
+    broadcast join + one id-keyed shuffle (same shape as
+    encode_tokens_frame).  Encoding work is O(vocab · merge depth), not
+    O(corpus)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    mdf = merges if isinstance(merges, SparkDF) else merges.spark
+    rank_rows = mdf.select("rank", "left", "right").collect()
+    ranks = {(row["left"], row["right"]): int(row["rank"]) for row in rank_rows}
+    bc = sdf.sparkSession.sparkContext.broadcast(ranks)
+    eow = end_of_word
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark's hint parser can't resolve the function-local pd import
+    def _encode(words):
+        table = bc.value
+
+        def enc(word):
+            # reference semantics: find the lowest-rank pair present, merge
+            # ALL its occurrences left-to-right, repeat until none applies —
+            # the same greedy pass train_bpe's fold uses per merge
+            syms = list(word) + [eow]
+            while len(syms) >= 2:
+                best, bl, br = None, None, None
+                for i in range(len(syms) - 1):
+                    rk = table.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best, bl, br = rk, syms[i], syms[i + 1]
+                if best is None:
+                    break
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == bl and syms[i + 1] == br:
+                        nxt.append(bl + br)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            return syms
+
+        cache: dict[str, list[str]] = {}
+        out = []
+        for w in words:
+            if w not in cache:
+                cache[w] = enc(w)
+            out.append(cache[w])
+        return pd.Series(out)
+
+    _encode = pandas_udf(_encode, "array<string>")
+
+    posed = sdf.select(
+        F.col(id_col), F.posexplode(_words(text_col)).alias("pos", "word")
+    )
+    distinct_words = posed.select("word").distinct().withColumn("toks", _encode("word"))
+    joined = posed.join(F.broadcast(distinct_words), "word")
+    packed = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("toks"))))
+    out = (
+        joined.groupBy(id_col)
+        .agg(packed.alias("__p__"))
+        .select(
+            id_col,
+            F.flatten(F.transform("__p__", lambda s: s["toks"])).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["train_bpe", "bpe_encode_frame"])

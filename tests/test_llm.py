@@ -1017,3 +1017,100 @@ def test_containment_max_gram_df_recall_contract(spark):
     # doc 200 is fully contained in 201 via hot grams only -> capped run
     # may drop it, the uncapped run must have it
     assert (200, 201) in full
+
+
+class TestBPE:
+    @staticmethod
+    def _reference_bpe(word_counts, num_merges, eow="</w>", min_pair_count=2):
+        """Single-node reference trainer (Sennrich-style) the distributed
+        trainer must reproduce exactly, ties broken lexicographically."""
+        vocab = {tuple(list(w) + [eow]): c for w, c in word_counts.items()}
+        merges = []
+        for r in range(num_merges):
+            pairs = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            (l, rr), c = best
+            if c < min_pair_count:
+                break
+            merges.append((r, l, rr, c))
+            new_vocab = {}
+            for syms, cnt in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == rr:
+                        out.append(l + rr)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+            vocab = new_vocab
+        return merges
+
+    def test_matches_reference_trainer(self, spark):
+        from collections import Counter
+        from polars_net_spark.llm.vocab import train_bpe
+
+        corpus = [
+            "low low low low low",
+            "lower lower newest newest",
+            "newest newest newest newest widest",
+            "widest widest low lower",
+        ]
+        d = pl.from_records([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+        got = [tuple(r) for r in train_bpe(d, num_merges=8).collect().rows()]
+        wc = Counter(w for t in corpus for w in t.split())
+        want = self._reference_bpe(wc, 8)
+        assert got == [(r, l, rr, c) for r, l, rr, c in want]
+        assert len(got) == 8
+
+    def test_min_pair_count_stops(self, spark):
+        from polars_net_spark.llm.vocab import train_bpe
+
+        d = pl.from_records([(1, "ab cd ef")], ["doc_id", "text"])  # all pairs count 1
+        assert train_bpe(d, num_merges=5, min_pair_count=2).collect().height == 0
+
+    def test_greedy_overlap(self, spark):
+        from polars_net_spark.llm.vocab import train_bpe
+
+        # "aaa": pair (a,a) counts twice per word (overlapping occurrences
+        # both counted), merge is greedy left-to-right -> ["aa","a","</w>"]
+        d = pl.from_records([(1, "aaa aaa aaa")], ["doc_id", "text"])
+        rows = train_bpe(d, num_merges=1, min_pair_count=2).collect().rows()
+        assert [tuple(r) for r in rows] == [(0, "a", "a", 6)]
+
+    def test_encode_roundtrip(self, spark):
+        from collections import Counter
+        from polars_net_spark.llm.vocab import train_bpe, bpe_encode_frame
+
+        corpus = ["low low lower lowest", "newest newest lowest low"]
+        d = pl.from_records([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+        merges = train_bpe(d, num_merges=6, min_pair_count=2)
+        enc = bpe_encode_frame(d, merges)
+        got = {r[0]: (r[1], r[2]) for r in enc.collect().rows()}
+        # every doc encodes; concatenating token strings reproduces the words
+        for i, t in enumerate(corpus):
+            toks, n = got[i]
+            assert n == len(toks) > 0
+            rebuilt = "".join(toks).replace("</w>", " ").strip()
+            assert rebuilt == t
+        # high-frequency words compress below character count
+        toks0 = got[0][0]
+        assert len(toks0) < sum(len(w) + 1 for w in corpus[0].split())
+
+    def test_checkpoint_dir(self, spark, tmp_path):
+        from polars_net_spark.llm.vocab import train_bpe
+
+        d = pl.from_records(
+            [(1, "banana banana bandana banana bandana")], ["doc_id", "text"]
+        )
+        base = [tuple(r) for r in train_bpe(d, num_merges=4, checkpoint_every=2).collect().rows()]
+        ck = [tuple(r) for r in train_bpe(
+            d, num_merges=4, checkpoint_every=2, checkpoint_dir=str(tmp_path / "bpe")
+        ).collect().rows()]
+        assert base == ck and len(base) >= 1
