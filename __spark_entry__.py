@@ -6672,6 +6672,52 @@ GROUP BY doc_id
 """
 
 
+def _q211(spark, sf_dir):
+    """Product-quantization ADC search (llm/similarity.py pq_encode/pq_topk):
+    dim-64 embeddings → 8 codes (16 centroids per subspace), queries carry
+    their m·k distance table, scoring is table lookups — the scan never
+    touches float vectors.  Codebooks here are the closed-form init
+    (subvectors of the 16 lowest-id vectors, pq_init_codebooks) so DuckDB
+    replays encode + ADC exactly; Lloyd-refined codebooks (pq_train) are
+    the production path, verified by objective-monotonicity tests."""
+    from polars_net_spark.llm.similarity import pq_init_codebooks, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_init_codebooks(e, m=8, k=16)
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
+    return pq_topk(e, q, cb, k=5).spark
+
+
+_q211_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+sd AS (SELECT e.vec_id, ss.s, cb.j,
+              list_sum(list_transform(generate_series(1, 8),
+                       p -> (e.v[ss.s * 8 + p] - cb.v[ss.s * 8 + p]) ^ 2)) AS d2
+       FROM e CROSS JOIN ss CROSS JOIN cb),
+codes AS (SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM sd)
+          WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qt AS (SELECT q.query_id, ss.s, cb.j,
+              list_sum(list_transform(generate_series(1, 8),
+                       p -> (q.qv[ss.s * 8 + p] - cb.v[ss.s * 8 + p]) ^ 2)) AS qd2
+       FROM q CROSS JOIN ss CROSS JOIN cb),
+adc AS (SELECT qt.query_id, codes.vec_id AS corpus_id, sum(qt.qd2) AS ad
+        FROM codes JOIN qt ON qt.s = codes.s AND qt.j = codes.code
+        WHERE codes.vec_id <> qt.query_id
+        GROUP BY 1, 2)
+SELECT query_id, corpus_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, corpus_id, round(ad, 6) AS approx_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(ad, 6), corpus_id) AS rank
+  FROM adc)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6887,6 +6933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_stream_dedup": _q208,
         "q209_bpe_train": _q209,
         "q210_bpe_encode": _q210,
+        "q211_pq_adc": _q211,
     }
 
 
@@ -7102,4 +7149,5 @@ def oracle_sql() -> dict[str, str]:
         "q208_stream_dedup": _q208_sql,
         "q209_bpe_train": _q209_sql,
         "q210_bpe_encode": _q210_sql,
+        "q211_pq_adc": _q211_sql,
     }

@@ -926,3 +926,256 @@ def embedding_threshold_join(
         .select(out_l, out_r, "cosine")
     )
     return LazyFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m subspaces x k-centroid codebooks, ADC search
+
+
+def _pq_check(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def _pq_cb_frame(spark, codebooks):
+    """The codebooks as ONE broadcast row (array<array<array<double>>>).
+
+    Carrying centroids as DATA instead of thousands of nested literals keeps
+    the expression tree (and Janino compile time) CONSTANT in m·k — the
+    literal form spent ~5 s compiling per plan at m=8, k=16 while executing
+    in milliseconds."""
+    cb = [[[float(x) for x in c] for c in sub] for sub in codebooks]
+    return spark.createDataFrame(
+        [(cb,)], "__cb__ array<array<array<double>>>"
+    )
+
+
+def _pq_sub(vec: Column, s, sub_dim: int) -> Column:
+    start = (s * sub_dim + 1) if isinstance(s, int) else (s * F.lit(sub_dim) + 1)
+    return F.slice(vec, start, sub_dim if isinstance(s, int) else F.lit(sub_dim))
+
+
+def _pq_d2(sub: Column, cent: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(sub, cent, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes_expr(vec: Column, cbcol: Column, m: int, sub_dim: int) -> Column:
+    """All m codes in one expression: per subspace, a single fold over the
+    centroid array tracking (index, argmin, min) — each distance evaluated
+    at most twice, first-minimum tie-break (strict <) keeps the lowest j."""
+    def code_for(s):
+        sub = _pq_sub(vec, s, sub_dim)
+        return F.aggregate(
+            F.element_at(cbcol, s.cast("int") + 1),
+            F.struct(
+                F.lit(0).alias("i"), F.lit(-1).alias("j"),
+                F.lit(float("inf")).alias("d"),
+            ),
+            lambda acc, c: F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.when(_pq_d2(sub, c) < acc["d"], acc["i"]).otherwise(acc["j"]).alias("j"),
+                F.when(_pq_d2(sub, c) < acc["d"], _pq_d2(sub, c)).otherwise(acc["d"]).alias("d"),
+            ),
+        )["j"].cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def pq_init_codebooks(
+    corpus: "LazyFrame | SparkDF",
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[list[float]]]":
+    """Deterministic closed-form codebooks: subvectors of the ``k``
+    lowest-id corpus vectors — the Lloyd seed (and, alone, an
+    oracle-replicable quantizer: no iteration, so an external SQL engine
+    can reproduce every code exactly; the q211 gate uses this)."""
+    sdf = _sdf(corpus)
+    rows = (
+        sdf.orderBy(id_col).limit(k)
+        .select(F.col(vec_col).alias("v")).collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(rows)}")
+    dim = len(rows[0][0])
+    sub_dim = _pq_check(dim, m)
+    return [
+        [[float(x) for x in r[0][s * sub_dim:(s + 1) * sub_dim]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_train(
+    corpus: "LazyFrame | SparkDF",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[list[float]]]":
+    """Product-quantization codebooks: an independent k-means (L2 Lloyd)
+    per subspace, all ``m`` subspaces refined in the SAME pass — per
+    iteration ONE job whose shuffle carries only (subspace, code, pos)
+    partial means (m·k·sub_dim doubles per partition, map-side combining),
+    never the corpus.  Like kmeans_centroids this is a FIT step and
+    eager by construction; empty clusters keep their previous centroid.
+    Returns codebooks[m][k][sub_dim] for pq_encode/pq_topk."""
+    sdf = _sdf(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = pq_init_codebooks(sdf, m=m, k=k, vec_col="v", id_col="id")
+    sub_dim = len(cents[0][0])
+    spark = sdf.sparkSession
+
+    for _ in range(int(iters)):
+        cbf = _pq_cb_frame(spark, cents)
+        staged = sdf.crossJoin(F.broadcast(cbf)).select(
+            "v", _pq_codes_expr(F.col("v"), F.col("__cb__"), m, sub_dim).alias("codes")
+        )
+        entries = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.element_at("codes", s.cast("int") + 1).alias("c"),
+                _pq_sub(F.col("v"), s, sub_dim).alias("sv"),
+            ),
+        )
+        flat = (
+            staged.select(F.explode(entries).alias("e"))
+            .select("e.s", "e.c", F.posexplode("e.sv").alias("pos", "val"))
+            .groupBy("s", "c", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mu"))
+        )
+        new = {(r["s"], r["c"], r["pos"]): r["mu"] for r in flat.collect()}
+        for s in range(m):
+            for c in range(k):
+                if (s, c, 0) in new:
+                    cents[s][c] = [new[(s, c, p)] for p in range(sub_dim)]
+    return cents
+
+
+def pq_encode(
+    corpus: "LazyFrame | SparkDF",
+    codebooks: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> LazyFrame:
+    """(id, codes): each vector as its ``m`` nearest-subspace-centroid
+    indices — dim·4 bytes compressed to m bytes-ish.  Codebooks ride along
+    as one broadcast row, so encoding is a linear scan: no shuffle, and a
+    plan whose size does not grow with m·k."""
+    sdf = _sdf(corpus)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cbf = _pq_cb_frame(sdf.sparkSession, codebooks)
+    out = sdf.crossJoin(F.broadcast(cbf)).select(
+        F.col(id_col),
+        _pq_codes_expr(F.col(vec_col), F.col("__cb__"), m, sub_dim).alias("codes"),
+    )
+    return LazyFrame(out)
+
+
+def pq_topk(
+    corpus: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    codebooks: "list[list[list[float]]]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Asymmetric-distance (ADC) PQ top-k by approximate squared L2:
+    dist(q, x) ≈ Σ_s ‖q_s − codebook_s[code_s(x)]‖².  Each query carries
+    its flattened m·k distance TABLE (computed once per query against the
+    broadcast codebook row); scoring a corpus row is then m array lookups
+    + adds — the scan never touches float vectors.  Corpus scanned once,
+    queries broadcast, per-query window rank: the exact sq8_topk/
+    cosine_topk join shape.  Output: query_id, corpus_id, approx_dist
+    (asc), rank."""
+    qid = query_id_col or id_col
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)._sdf.select(
+        F.col(id_col).alias("corpus_id"), "codes"
+    )
+    cbf = _pq_cb_frame(_sdf(queries).sparkSession, codebooks)
+    qv = F.col(vec_col)
+    table = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(F.col("__cb__"), s.cast("int") + 1),
+                lambda c: _pq_d2(_pq_sub(qv, s, sub_dim), c),
+            ),
+        )
+    )
+    q = (
+        _sdf(queries).crossJoin(F.broadcast(cbf))
+        .select(F.col(qid).alias("query_id"), table.alias("tbl"))
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.col("tbl"), (s * kc + F.element_at(F.col("codes"), s + 1) + 1).cast("int")),
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .withColumn("approx_dist", F.round(approx, round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("corpus_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_dist", "rank")
+    )
+    return LazyFrame(out)
+
+
+def pq_recall_frame(
+    corpus: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    codebooks: "list[list[list[float]]]",
+    k: int = 10,
+    min_recall: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Per-query recall@k of PQ/ADC search vs EXACT squared-L2 search —
+    the quality gate before switching a serving index to codes (PQ trades
+    more recall than SQ8 for ~dim·4/m× compression; measure, don't guess)."""
+    approx = pq_topk(corpus, queries, codebooks, k=k, vec_col=vec_col, id_col=id_col)
+    c = _sdf(corpus).select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = _sdf(queries).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__d2__").asc(), F.col("corpus_id"))
+    exact = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .withColumn("__d2__", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "corpus_id", F.lit(1).alias("__hit__"))
+    )
+    out = (
+        approx._sdf.select("query_id", "corpus_id")
+        .join(F.broadcast(exact), ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("double") / k, round_to).alias("recall"))
+        .withColumn("ok", (F.col("recall") >= min_recall).cast("long"))
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["pq_init_codebooks", "pq_train", "pq_encode", "pq_topk", "pq_recall_frame"])

@@ -75,3 +75,115 @@ def test_sq8_recall_frame(spark):
         assert 0.0 <= recall <= 1.0
         assert ok == (1 if recall >= 0.6 else 0)
         assert recall >= 0.6
+
+
+class TestPQ:
+    def _toy(self, spark):
+        import polars_net_spark as pl
+
+        # 8 vectors in dim 4, two obvious clusters per 2-dim subspace
+        rows = [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [0.1, 0.0, 10.0, 9.9]),
+            (2, [0.0, 0.2, 9.8, 10.0]),
+            (3, [5.0, 5.0, 0.0, 0.0]),
+            (4, [5.1, 5.0, 0.1, 0.0]),
+            (5, [5.0, 4.9, 0.0, 0.2]),
+            (6, [0.0, 0.1, 0.0, 0.1]),
+            (7, [5.0, 5.1, 10.0, 10.1]),
+        ]
+        return pl.from_records(rows, ["vec_id", "embedding"]).lazy()
+
+    def test_encode_deterministic_and_in_range(self, spark):
+        from polars_net_spark.llm.similarity import pq_init_codebooks, pq_encode
+
+        d = self._toy(spark)
+        cb = pq_init_codebooks(d, m=2, k=4)
+        assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 2
+        codes = {r[0]: r[1] for r in pq_encode(d, cb).collect().rows()}
+        assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in codes.values())
+        # codebook vectors encode to themselves (distance 0 at own index)
+        assert codes[0] == [0, 0] and codes[3] == [3, 3]
+        codes2 = {r[0]: r[1] for r in pq_encode(d, cb).collect().rows()}
+        assert codes == codes2
+
+    def test_exact_when_codebook_covers(self, spark):
+        """With every distinct subvector in the codebook, ADC distances are
+        EXACT squared L2 -> top-k equals brute force."""
+        import itertools
+        import polars_net_spark as pl
+        from polars_net_spark.llm.similarity import pq_topk
+
+        vecs = {
+            0: [0.0, 0.0, 1.0, 1.0],
+            1: [0.0, 0.0, 2.0, 2.0],
+            2: [3.0, 3.0, 1.0, 1.0],
+            3: [3.0, 3.0, 2.0, 2.0],
+        }
+        d = pl.from_records(sorted(vecs.items()), ["vec_id", "embedding"]).lazy()
+        cb = [
+            [[0.0, 0.0], [3.0, 3.0], [9.0, 9.0], [8.0, 8.0]],
+            [[1.0, 1.0], [2.0, 2.0], [9.0, 9.0], [8.0, 8.0]],
+        ]
+        got = pq_topk(d, d, cb, k=3).collect().rows()
+        # brute-force truth
+        def l2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+        for qid in vecs:
+            want = sorted(
+                ((l2(vecs[qid], vecs[c]), c) for c in vecs if c != qid)
+            )[:3]
+            mine = sorted(
+                (r for r in got if r[0] == qid), key=lambda r: r[3]
+            )
+            assert [(r[1]) for r in mine] == [c for _, c in want]
+            assert [r[2] for r in mine] == [round(float(dd), 6) for dd, _ in want]
+
+    def test_train_reduces_quantization_error(self, spark):
+        """Lloyd monotonically reduces the k-means objective: total squared
+        distance to the assigned centroid must not increase with iterations
+        (the guaranteed invariant; recall@k on random vectors is not)."""
+        from polars_net_spark.llm.similarity import pq_init_codebooks, pq_train
+        import polars_net_spark as pl
+
+        d = pl.scan_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        vecs = [list(map(float, r[1])) for r in d.collect().rows()]
+
+        def objective(cb):
+            m, sub = len(cb), len(cb[0][0])
+            tot = 0.0
+            for v in vecs:
+                for s in range(m):
+                    sv = v[s * sub:(s + 1) * sub]
+                    tot += min(
+                        sum((a - b) ** 2 for a, b in zip(sv, c)) for c in cb[s]
+                    )
+            return tot
+
+        cb0 = pq_init_codebooks(d, m=8, k=16)
+        cb1 = pq_train(d, m=8, k=16, iters=1)
+        cb2 = pq_train(d, m=8, k=16, iters=3)
+        o0, o1, o2 = objective(cb0), objective(cb1), objective(cb2)
+        assert o1 <= o0 and o2 <= o1
+        assert o2 < o0 * 0.9  # and materially so on random vectors
+
+    def test_recall_frame_shape(self, spark):
+        from polars_net_spark.llm.similarity import pq_init_codebooks, pq_recall_frame
+        import polars_net_spark as pl
+        from pyspark.sql import functions as F
+
+        d = pl.scan_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = pl.LazyFrame(d.spark.filter(F.col("vec_id") < 5))
+        cb = pq_init_codebooks(d, m=8, k=16)
+        rows = pq_recall_frame(d, q, cb, k=10).collect().rows()
+        assert len(rows) == 5
+        assert all(0.0 <= r[1] <= 1.0 and r[2] in (0, 1) for r in rows)
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest
+        import polars_net_spark as pl
+        from polars_net_spark.llm.similarity import pq_init_codebooks
+
+        d = pl.from_records([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]).lazy()
+        with pytest.raises(ValueError):
+            pq_init_codebooks(d, m=2, k=1)
