@@ -323,6 +323,25 @@ CHECKS = {
     "q184_rank_normalize": [
         ("!", "Exchange SinglePartition", "per-key quantile normalization never funnels to one task"),
     ],
+    # r6: retrieval eval shards on the query key; profiling/encoding stay
+    # map-only or Arrow-batched
+    "q202_mrr": [
+        ("!", "Exchange SinglePartition", "MRR ordering shards on the query key"),
+    ],
+    "q203_recall_at_k": [
+        ("!", "Exchange SinglePartition", "recall@k ordering shards on the query key"),
+    ],
+    "q206_word_entropy": [
+        ("!", "Exchange", "zero-shuffle entropy: sorted-run-length Column math, no explode/groupBy"),
+    ],
+    "q207_histogram": [
+        ("partial_count", "map-side combining bucket counts"),
+        ("!", "Exchange SinglePartition", "bin counts never funnel to one task"),
+    ],
+    "q210_bpe_encode": [
+        ("ArrowEvalPython", "encode is Arrow-batched pandas_udf"),
+        ("!", "BatchEvalPython", "no row-at-a-time Python"),
+    ],
 }
 
 
@@ -383,6 +402,9 @@ def main() -> None:
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
+        "q204_cohens_kappa",        # 1-row totals + 1-row chance-agreement attach
+        "q205_corpus_divergence",   # 1-row token-total/vocab attach onto term table
+        "q211_pq_adc",              # 1-row broadcast codebook attach (corpus + queries)
     }
     from polars_net_spark import release_caches
 
