@@ -6718,6 +6718,48 @@ WHERE rank <= 5
 """
 
 
+def _q212(spark, sf_dir):
+    """Canonical-doc selection (llm/dedup.py dedup_keep_best): near-dup
+    clusters from the q51 jaccard pair graph, but the survivor is the BEST
+    copy (max n_chars, ties lowest id) instead of the arbitrary lowest id —
+    the keep policy a real pipeline wants.  Cluster-keyed window, no global
+    ordering."""
+    from polars_net_spark.llm import dedup_keep_best, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    out = dedup_keep_best(d, pairs, "n_chars")
+    return out.spark.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+_q212_sql = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w WHERE len(ws) >= 3),
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb, count(*) AS shared
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+pr AS (SELECT id_a, id_b FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.id
+),
+cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM documents d JOIN cl ON d.doc_id = cl.doc_id)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6934,6 +6976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_bpe_train": _q209,
         "q210_bpe_encode": _q210,
         "q211_pq_adc": _q211,
+        "q212_dedup_keep_best": _q212,
     }
 
 
@@ -7150,4 +7193,5 @@ def oracle_sql() -> dict[str, str]:
         "q209_bpe_train": _q209_sql,
         "q210_bpe_encode": _q210_sql,
         "q211_pq_adc": _q211_sql,
+        "q212_dedup_keep_best": _q212_sql,
     }

@@ -22,6 +22,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_fuzzy",
     "dedup_against",
+    "dedup_keep_best",
     "build_gram_index",
     "dedup_against_index",
     "containment_pairs",
@@ -1363,4 +1364,53 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    return LazyFrame(out)
+
+
+def dedup_keep_best(
+    frame: "LazyFrame | SparkDF",
+    pairs: "LazyFrame | SparkDF",
+    quality_col,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    keep_cluster_id: bool = False,
+    **cluster_kwargs,
+) -> LazyFrame:
+    """Canonical-document selection: cluster the near-dup ``pairs``
+    (:func:`dedup_clusters` connected components, singletons included) and
+    keep ONE row per cluster — the highest ``quality_col``, ties broken by
+    lowest id.  This is the policy step real pipelines want instead of
+    dedup_fuzzy's "keep lowest id": given jaccard/minhash/simhash/embedding
+    pair output and any quality signal (gopher score, length, recency), the
+    survivor is the BEST copy, not an arbitrary one.
+
+    ``quality_col`` is a column name or Column expression evaluated against
+    ``frame`` (e.g. ``F.length("text")``).  All original columns survive.
+    Selection is a cluster-keyed window (rank within cluster) — shards on
+    the cluster id, no global ordering.  ``keep_cluster_id=True`` appends
+    the cluster_id column for audit trails.
+    """
+    sdf = _sdf(frame)
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(
+        _sdf(pairs), id_a=id_a, id_b=id_b,
+        vertices=sdf, vertex_id=id_col, **cluster_kwargs,
+    )
+    joined = sdf.withColumn("__q__", q.cast("double")).join(
+        clusters.spark.withColumnRenamed(id_col, "__cid__"),
+        F.col(id_col) == F.col("__cid__"),
+    ).drop("__cid__")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q__").desc_nulls_last(), F.col(id_col).asc()
+    )
+    out = (
+        joined.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__q__")
+    )
+    if not keep_cluster_id:
+        out = out.drop("cluster_id")
     return LazyFrame(out)

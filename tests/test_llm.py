@@ -1114,3 +1114,38 @@ class TestBPE:
             d, num_merges=4, checkpoint_every=2, checkpoint_dir=str(tmp_path / "bpe")
         ).collect().rows()]
         assert base == ck and len(base) >= 1
+
+
+class TestDedupKeepBest:
+    def test_keeps_highest_quality_per_cluster(self, spark):
+        from polars_net_spark.llm import dedup_keep_best
+
+        docs = pl.from_records(
+            [
+                (1, "aa", 0.2), (2, "aa2", 0.9), (3, "aa3", 0.9),   # cluster {1,2,3}
+                (4, "bb", 0.5),                                     # singleton
+                (5, "cc", 0.1), (6, "cc2", 0.7),                    # cluster {5,6}
+            ],
+            ["doc_id", "text", "score"],
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+        out = dedup_keep_best(docs, pairs, "score").collect()
+        kept = sorted(r[0] for r in out.rows())
+        # cluster {1,2,3}: 2 and 3 tie on 0.9 -> lowest id (2) wins
+        assert kept == [2, 4, 6]
+        assert set(out.columns) == {"doc_id", "text", "score"}
+
+    def test_expression_quality_and_cluster_audit(self, spark):
+        from polars_net_spark.llm import dedup_keep_best
+
+        docs = pl.from_records(
+            [(1, "short"), (2, "the much longer body"), (3, "x")],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = dedup_keep_best(
+            docs, pairs, F.length("text"), keep_cluster_id=True
+        ).collect()
+        rows = {r[0]: r for r in out.rows()}
+        assert sorted(rows) == [2, 3]            # longest of {1,2}; singleton 3
+        assert rows[2][out.columns.index("cluster_id")] == 1
