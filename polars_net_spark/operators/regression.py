@@ -205,7 +205,16 @@ def bootstrap_ci(
     m = F.lit(len(_POISSON1_CDF))
     for k in reversed(range(len(_POISSON1_CDF))):
         m = F.when(u <= _POISSON1_CDF[k], F.lit(k)).otherwise(m)
-    staged = sdf.filter(v.isNotNull()).select(*keys, v.alias("__v__"), F.col(id_col), b)
+    # rebalance BEFORE the n_boot-way fan-out: a single-file input otherwise
+    # runs the whole explode + md5 chain in one task (measured 6.3 s -> 0.7 s
+    # at sf0.1 on local[32])
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        sdf.filter(v.isNotNull())
+        .select(*keys, v.alias("__v__"), F.col(id_col))
+        .repartition(par)
+        .select(*keys, "__v__", F.col(id_col), b)
+    )
     drawn = staged.withColumn("__m__", m.cast("double"))
     reps = drawn.groupBy(*keys, "__b__").agg(
         (F.sum(F.col("__m__") * F.col("__v__")) / F.sum("__m__")).alias("__mean_b__")
