@@ -6760,6 +6760,60 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM ranked WHERE rn = 1
 """
 
 
+def _q213(spark, sf_dir):
+    """SFT tensor prep (llm/chunking.py build_sft_examples): each doc split
+    into a 5-word prompt + rest response, encoded under a top-50 vocab into
+    ONE token sequence with prompt positions loss-masked to -100 — emitted
+    as scalar checksums (response-token-id sum is sensitive to every id and
+    every mask position).  One id-keyed shuffle, vocab broadcast."""
+    from polars_net_spark.llm import build_sft_examples, build_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, vocab_size=50)
+    ws = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: F.length(w) > 0)
+    split = d._sdf.select(
+        "doc_id",
+        F.array_join(F.slice(ws, 1, 5), " ").alias("prompt"),
+        F.array_join(F.slice(ws, 6, F.greatest(F.size(ws) - 5, F.lit(0))), " ").alias("response"),
+    )
+    out = build_sft_examples(split, vocab)
+    lbl_sum = F.aggregate(
+        F.filter("labels", lambda x: x != -100),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.spark.select(
+        "doc_id", "n_tokens", "n_prompt_tokens",
+        lbl_sum.alias("response_id_sum"),
+    )
+
+
+_q213_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> length(w) > 0) AS ws
+  FROM documents),
+counts AS (
+  SELECT w AS term, count(*) AS cnt
+  FROM toks, LATERAL unnest(ws) AS t(w) GROUP BY w),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term) - 1 AS token_id
+  FROM (SELECT * FROM counts ORDER BY cnt DESC, term LIMIT 50)),
+posed AS (
+  SELECT doc_id, i - 1 AS pos, len(ws) AS n, least(len(ws), 5) AS np, ws[i] AS term
+  FROM toks, LATERAL unnest(generate_series(1, len(ws))) AS g(i)),
+enc AS (
+  SELECT p.doc_id, p.pos, p.n, p.np, coalesce(v.token_id, -1) AS tid
+  FROM posed p LEFT JOIN vocab v USING (term))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(max(np) AS BIGINT) AS n_prompt_tokens,
+       CAST(coalesce(sum(CASE WHEN pos >= np THEN tid END), 0) AS BIGINT) AS response_id_sum
+FROM enc
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6977,6 +7031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_bpe_encode": _q210,
         "q211_pq_adc": _q211,
         "q212_dedup_keep_best": _q212,
+        "q213_sft_examples": _q213,
     }
 
 
@@ -7194,4 +7249,5 @@ def oracle_sql() -> dict[str, str]:
         "q210_bpe_encode": _q210_sql,
         "q211_pq_adc": _q211_sql,
         "q212_dedup_keep_best": _q212_sql,
+        "q213_sft_examples": _q213_sql,
     }

@@ -297,3 +297,71 @@ def length_bucket_batches(
         "pos_in_batch", rn % batch_size
     )
     return LazyFrame(out)
+
+
+def build_sft_examples(
+    frame,
+    vocab,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    id_col: str = "doc_id",
+    mask_label: int = -100,
+    oov_id: int = -1,
+) -> "LazyFrame":
+    """Supervised-fine-tuning example prep: encode prompt + response into ONE
+    token sequence and emit the matching ``labels`` with every prompt
+    position masked to ``mask_label`` (-100, the loss-ignore convention) and
+    every response position carrying its token id — the tensor pair a
+    trainer consumes directly.
+
+    Output: (id, input_ids, labels, n_tokens, n_prompt_tokens).
+
+    ONE corpus shuffle: prompt and response words concatenate BEFORE the
+    posexplode, the vocabulary joins by broadcast (a build_vocab output or
+    any (term, token_id) frame; OOV encodes as ``oov_id``), and the sequence
+    reassembles position-sorted per id — the encode_tokens_frame shape, not
+    two encodes plus a join.  Label masking is pure array math off the
+    carried prompt length.
+    """
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    vdf = vocab if isinstance(vocab, SparkDF) else vocab.spark
+
+    def _w(c):
+        w = F.split(F.lower(F.trim(F.coalesce(F.col(c), F.lit("")))), r"\s+")
+        return F.filter(w, lambda t: F.length(t) > 0)
+
+    pw, rw = _w(prompt_col), _w(response_col)
+    posed = sdf.select(
+        F.col(id_col),
+        F.size(pw).alias("__np__"),
+        F.posexplode(F.concat(pw, rw)).alias("pos", "term"),
+    )
+    joined = (
+        posed.join(F.broadcast(vdf.select("term", "token_id")), "term", "left")
+        .withColumn("token_id", F.coalesce(F.col("token_id"), F.lit(int(oov_id))))
+    )
+    packed = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("token_id"))))
+    agg = joined.groupBy(id_col).agg(
+        F.first("__np__").alias("__np__"), packed.alias("__p__")
+    )
+    ids = F.transform("__p__", lambda s: s["token_id"])
+    labels = F.transform(
+        "__p__",
+        lambda s: F.when(s["pos"] < F.col("__np__"), F.lit(int(mask_label)))
+        .otherwise(s["token_id"]),
+    )
+    out = agg.select(
+        id_col,
+        ids.alias("input_ids"),
+        labels.alias("labels"),
+        F.size("__p__").cast("long").alias("n_tokens"),
+        F.col("__np__").cast("long").alias("n_prompt_tokens"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("build_sft_examples")

@@ -156,3 +156,36 @@ class TestFlattenChat:
         )
         out = flatten_chat_frame(sdf, template="{role}: {content}", joiner=" | ").collect().rows()[0]
         assert out[1] == "user: q? | assistant: a."
+
+
+class TestBuildSFTExamples:
+    def test_mask_and_ids(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import build_sft_examples
+
+        vocab = spark.createDataFrame(
+            [("hello", 0), ("world", 1), ("answer", 2)], ["term", "token_id"]
+        )
+        d = pl.from_records(
+            [(1, "Hello world", "answer hello"),
+             (2, "", "world world"),          # empty prompt: nothing masked
+             (3, "hello unknown", "answer")], # OOV in prompt
+            ["doc_id", "prompt", "response"],
+        )
+        out = {r[0]: r for r in build_sft_examples(d, vocab).collect().rows()}
+        assert out[1][1] == [0, 1, 2, 0]                 # input_ids
+        assert out[1][2] == [-100, -100, 2, 0]           # prompt masked
+        assert (out[1][3], out[1][4]) == (4, 2)
+        assert out[2][1] == [1, 1] and out[2][2] == [1, 1] and out[2][4] == 0
+        assert out[3][1] == [0, -1, 2]                   # OOV -> -1
+        assert out[3][2] == [-100, -100, 2]
+
+    def test_one_shuffle_shape(self, spark):
+        import polars_net_spark as pl
+        from polars_net_spark.llm import build_sft_examples
+
+        vocab = spark.createDataFrame([("a", 0)], ["term", "token_id"])
+        d = pl.from_records([(1, "a", "a a")], ["doc_id", "prompt", "response"])
+        plan = build_sft_examples(d, vocab).spark._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1  # one id-keyed shuffle
+        assert "BroadcastHashJoin" in plan                   # vocab broadcast
