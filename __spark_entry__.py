@@ -6814,6 +6814,22 @@ GROUP BY doc_id
 """
 
 
+def _q214(spark, sf_dir):
+    """Containment pairs via the DF-ORDERED prefix filter (the templated-
+    corpora scale path of llm/dedup.py containment_pairs: rarest-first
+    prefixes collapse hot grams from the candidate index entirely).  The
+    prefix bound is exact under any canonical order, so this shares q197's
+    oracle verbatim — both prefix orders are hash-verified against the same
+    unfiltered semantics."""
+    from polars_net_spark.llm import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8, prefix_order="df").spark
+
+
+_q214_sql = _q197_sql  # same exact output contract: the prefix filter is lossless
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7032,6 +7048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_pq_adc": _q211,
         "q212_dedup_keep_best": _q212,
         "q213_sft_examples": _q213,
+        "q214_containment_df_prefix": _q214,
     }
 
 
@@ -7250,4 +7267,5 @@ def oracle_sql() -> dict[str, str]:
         "q211_pq_adc": _q211_sql,
         "q212_dedup_keep_best": _q212_sql,
         "q213_sft_examples": _q213_sql,
+        "q214_containment_df_prefix": _q214_sql,
     }
