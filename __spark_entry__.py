@@ -6559,14 +6559,14 @@ WITH w AS (
   FROM documents),
 e AS (SELECT doc_id, unnest(ws) AS word FROM w),
 c AS (SELECT doc_id, word, count(*) AS cnt FROM e GROUP BY doc_id, word),
-p AS (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM c),
 ent AS (
-  SELECT doc_id, max(n) AS n,
-         0 - sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)) AS h
-  FROM p GROUP BY doc_id)
+  SELECT doc_id, sum(cnt) AS n,
+         log2(CAST(sum(cnt) AS DOUBLE))
+           - sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) / sum(cnt) AS h
+  FROM c GROUP BY doc_id)
 SELECT w.doc_id,
        CAST(coalesce(ent.n, 0) AS BIGINT) AS n_words,
-       round(ent.h, 6) AS word_entropy
+       round(ent.h, 6) + 0.0 AS word_entropy
 FROM w LEFT JOIN ent ON w.doc_id = ent.doc_id
 """
 

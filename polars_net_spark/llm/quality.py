@@ -567,10 +567,15 @@ def word_entropy_frame(
     (empty docs → 0 words, null entropy).
 
     ZERO-shuffle design: no explode + per-doc groupBy (two corpus-wide
-    shuffles keyed by doc).  Instead each doc's word array is sorted and
-    run lengths are taken from the boundaries of equal runs — sort +
-    zip_with arithmetic, all whole-stage codegen, O(d log d) per doc:
-    entropy = −Σ (len_i/n)·log2(len_i/n) over the runs.
+    shuffles keyed by doc).  Each doc's word array is sorted, then ONE
+    ``aggregate`` fold walks it tracking (previous word, current run
+    length, Σ run·log2(run)); the finish lambda flushes the last run.
+    Entropy = log2(n) − Σ run·log2(run) / n.  O(d log d) per doc, whole
+    codegen, and — critically — the sorted array is an aggregate OPERAND,
+    evaluated once.  The first cut indexed into the sorted-array
+    EXPRESSION from inside per-element lambdas, and Catalyst re-evaluates
+    a non-attribute expression at every lambda reference: the sort ran
+    per element, O(d²·log d) — 47 s instead of 1.4 s over 5 000 docs.
     """
     from pyspark.sql import DataFrame as SparkDF
 
@@ -583,25 +588,31 @@ def word_entropy_frame(
     words = F.filter(F.split(raw, r"\s+"), lambda w: F.length(w) > 0)
     sw = F.array_sort(words)
     n = F.size(sw)
-    idx = F.sequence(F.lit(0), n - 1)
-    # positions where a new run of equal words starts (0-based)
-    starts = F.filter(
-        idx, lambda i: (i == 0) | (F.element_at(sw, i + 1) != F.element_at(sw, i))
-    )
-    # run lengths: next start (or n) minus this start
-    nexts = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n))
-    lens = F.zip_with(starts, nexts, lambda a, b: (b - a).cast("double"))
     nd = n.cast("double")
-    # 0.0 - acc (not -acc): a single-run doc accumulates exactly 0.0 and
-    # unary negation would emit -0.0, which value-hash compares unequal
-    ent = F.lit(0.0) - F.aggregate(
-        lens,
-        F.lit(0.0),
-        lambda acc, c: acc + (c / nd) * F.log2(c / nd),
+
+    def term(run):
+        return F.when(run > 0, run.cast("double") * F.log2(run.cast("double"))).otherwise(F.lit(0.0))
+
+    s_runs = F.aggregate(
+        sw,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0.0).alias("s")
+        ),
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(x.alias("prev"), (acc["run"] + 1).alias("run"), acc["s"].alias("s")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).alias("run"), (acc["s"] + term(acc["run"])).alias("s"))
+        ),
+        lambda acc: acc["s"] + term(acc["run"]),
     )
+    # trailing "+ 0.0" normalizes a 1-ulp negative residual's round to +0.0
+    # (-0.0 would value-hash unequal); the oracle applies the same formula
+    # and the same normalization
+    ent = F.round(F.log2(nd) - s_runs / nd, round_to) + F.lit(0.0)
     out = sdf.withColumn("n_words", n.cast("long")).withColumn(
         "word_entropy",
-        F.when(n > 0, F.round(ent, round_to)),
+        F.when(n > 0, ent),
     )
     # guard: split("") yields [""] filtered to [] -> n=0 -> null entropy
     return LazyFrame(out)
