@@ -6830,6 +6830,156 @@ def _q214(spark, sf_dir):
 _q214_sql = _q197_sql  # same exact output contract: the prefix filter is lossless
 
 
+def _q215(spark, sf_dir):
+    """PSI drift report (operators/analytics.py psi_report): reference =
+    even events, current = odd events shifted/scaled — the train/serve
+    drift probe.  Bin grid from reference min/max, eps-floored shares,
+    all bins materialized; output is n_bins rows at any input size."""
+    from polars_net_spark.operators.analytics import psi_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.07 + 3).alias("value")
+    )
+    return psi_report(ref, cur, "value", n_bins=10).spark
+
+
+_q215_sql = """
+WITH ref AS (SELECT value FROM events WHERE event_id%2=0 AND value IS NOT NULL),
+cur AS (SELECT value*1.07+3 AS value FROM events WHERE event_id%2=1 AND value IS NOT NULL),
+mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ref),
+grid AS (SELECT CAST(g AS INT) AS bin, mn+(mx-mn)*g/10 AS lo, mn+(mx-mn)*(g+1)/10 AS hi
+         FROM generate_series(0,9) s(g) CROSS JOIN mm),
+rb AS (SELECT least(9, greatest(0, CASE WHEN mx>mn THEN CAST(floor((value-mn)/((mx-mn)/10)) AS INT) ELSE 0 END)) AS bin
+       FROM ref CROSS JOIN mm),
+cb AS (SELECT least(9, greatest(0, CASE WHEN mx>mn THEN CAST(floor((value-mn)/((mx-mn)/10)) AS INT) ELSE 0 END)) AS bin
+       FROM cur CROSS JOIN mm),
+rs AS (SELECT bin, count(*)*1.0/(SELECT count(*) FROM rb) AS p_ref FROM rb GROUP BY 1),
+cs AS (SELECT bin, count(*)*1.0/(SELECT count(*) FROM cb) AS p_cur FROM cb GROUP BY 1)
+SELECT g.bin, round(lo,6) AS lo, round(hi,6) AS hi,
+ round(greatest(coalesce(p_ref,0),1e-6),6) AS p_ref,
+ round(greatest(coalesce(p_cur,0),1e-6),6) AS p_cur,
+ round((greatest(coalesce(p_cur,0),1e-6)-greatest(coalesce(p_ref,0),1e-6))
+       * ln(greatest(coalesce(p_cur,0),1e-6)/greatest(coalesce(p_ref,0),1e-6)),6) AS psi_term
+FROM grid g LEFT JOIN rs ON g.bin=rs.bin LEFT JOIN cs ON g.bin=cs.bin
+"""
+
+
+def _q216(spark, sf_dir):
+    """Proper-scoring losses (llm/evaluation.py classification_loss):
+    log-loss + Brier + pos-rate in ONE fused all-reduce aggregate over a
+    derived probability/label pair — the probability-value complement to
+    the rank (AUC) and threshold (P/R/F1) gates."""
+    from polars_net_spark.llm import classification_loss
+
+    ev = _t(spark, sf_dir, "events").spark
+    scored = ev.select(
+        (F.col("value") / 100).alias("p"),
+        F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    ).filter((F.col("p") >= 0) & (F.col("p") <= 1))
+    return classification_loss(scored, "p", "y").spark
+
+
+_q216_sql = """
+WITH b AS (
+ SELECT value/100 AS p, CASE WHEN event_id%3=0 THEN 1 ELSE 0 END AS y
+ FROM events WHERE value IS NOT NULL AND value/100 BETWEEN 0 AND 1),
+c AS (SELECT least(greatest(p,1e-15),1-1e-15) AS pc, p, CAST(y AS DOUBLE) AS y FROM b)
+SELECT round(avg(-(y*ln(pc)+(1-y)*ln(1-pc))),6) AS log_loss,
+       round(avg((p-y)*(p-y)),6) AS brier,
+       round(avg(y),6) AS pos_rate,
+       count(*) AS n
+FROM c
+"""
+
+
+def _q217(spark, sf_dir):
+    """Fleiss' kappa multi-rater agreement (operators/regression.py
+    fleiss_kappa): events bucketed into 97 items, each rating = one row —
+    variable raters per item, items with <2 ratings excluded everywhere.
+    Cell counts + item aggregate + category marginals, no collect."""
+    from polars_net_spark.operators.regression import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events").spark
+    rat = ev.select(
+        (F.col("event_id") % 97).alias("item"),
+        F.when(F.col("value") > 66, "hi")
+        .when(F.col("value") > 33, "mid")
+        .otherwise("lo")
+        .alias("cat"),
+    )
+    return fleiss_kappa(rat, "item", "cat").spark
+
+
+_q217_sql = """
+WITH r AS (
+ SELECT event_id%97 AS item,
+        CASE WHEN value>66 THEN 'hi' WHEN value>33 THEN 'mid' ELSE 'lo' END AS cat
+ FROM events WHERE value IS NOT NULL),
+cells AS (SELECT item, cat, count(*) AS o FROM r GROUP BY 1,2),
+items AS (SELECT item, sum(o) AS ni, sum(o*o) AS sq FROM cells GROUP BY 1 HAVING sum(o)>=2),
+pbar AS (SELECT avg((sq-ni)*1.0/(ni*(ni-1))) AS p_bar, count(*) AS n_items, sum(ni) AS n_ratings FROM items),
+kept AS (SELECT c.* FROM cells c JOIN items i USING (item)),
+pe AS (SELECT sum((nc*1.0/t.n_ratings)*(nc*1.0/t.n_ratings)) AS p_e
+       FROM (SELECT cat, sum(o) AS nc FROM kept GROUP BY 1) m CROSS JOIN pbar t)
+SELECT round(CASE WHEN p_e<1.0 THEN (p_bar-p_e)/(1.0-p_e) END,6) AS kappa,
+       round(p_bar,6) AS p_bar, round(p_e,6) AS p_e,
+       CAST(n_items AS BIGINT) AS n_items, CAST(n_ratings AS BIGINT) AS n_ratings
+FROM pbar CROSS JOIN pe
+"""
+
+
+def _q218(spark, sf_dir):
+    """k-anonymity audit (operators/analytics.py k_anonymity_report) over
+    customer quasi-identifiers (nation, market segment): one map-side-
+    combining groupBy + one all-reduce — the privacy release gate as a
+    1-row answer at any scale."""
+    from polars_net_spark.operators.analytics import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").spark
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=5).spark
+
+
+_q218_sql = """
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz FROM customer GROUP BY 1,2)
+SELECT min(sz) AS min_k, count(*) AS n_groups,
+       sum(CASE WHEN sz<5 THEN 1 ELSE 0 END) AS n_violating_groups,
+       sum(CASE WHEN sz<5 THEN sz ELSE 0 END) AS n_violating_rows,
+       sum(sz) AS n_rows
+FROM g
+"""
+
+
+def _q219(spark, sf_dir):
+    """Readability scores (llm/text.py readability_frame): Flesch reading
+    ease + FK grade from pure Column math (whitespace words, [.!?]+
+    sentences, vowel-group syllables) — zero shuffles, zero Python, a
+    scan-speed corpus-quality feature."""
+    from polars_net_spark.llm import readability_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return readability_frame(d, "text", "doc_id").spark
+
+
+_q219_sql = r"""
+WITH w AS (
+ SELECT doc_id,
+   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS words,
+   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+ FROM documents),
+s AS (
+ SELECT doc_id, len(words) AS n_words, n_sentences,
+   coalesce(list_sum(list_transform(words, x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))), 0) AS n_syllables
+ FROM w)
+SELECT doc_id AS id, CAST(n_words AS INT) AS n_words, CAST(n_sentences AS INT) AS n_sentences,
+  CAST(n_syllables AS INT) AS n_syllables,
+  round(CASE WHEN n_words>0 THEN 206.835 - 1.015*(n_words*1.0/n_sentences) - 84.6*(n_syllables*1.0/n_words) END, 6) AS flesch_reading_ease,
+  round(CASE WHEN n_words>0 THEN 0.39*(n_words*1.0/n_sentences) + 11.8*(n_syllables*1.0/n_words) - 15.59 END, 6) AS fk_grade
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7049,6 +7199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_dedup_keep_best": _q212,
         "q213_sft_examples": _q213,
         "q214_containment_df_prefix": _q214,
+        "q215_psi_drift": _q215,
+        "q216_class_loss": _q216,
+        "q217_fleiss_kappa": _q217,
+        "q218_k_anonymity": _q218,
+        "q219_readability": _q219,
     }
 
 
@@ -7268,4 +7423,9 @@ def oracle_sql() -> dict[str, str]:
         "q212_dedup_keep_best": _q212_sql,
         "q213_sft_examples": _q213_sql,
         "q214_containment_df_prefix": _q214_sql,
+        "q215_psi_drift": _q215_sql,
+        "q216_class_loss": _q216_sql,
+        "q217_fleiss_kappa": _q217_sql,
+        "q218_k_anonymity": _q218_sql,
+        "q219_readability": _q219_sql,
     }

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic", "mrr_at_k", "recall_at_k"]
+__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic", "mrr_at_k", "recall_at_k", "classification_loss"]
 
 
 def _sdf(frame):
@@ -468,3 +468,44 @@ def apply_isotonic(
         .otherwise(interp)
     )
     return LazyFrame(sdf.withColumn(out_col, value))
+
+
+def classification_loss(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    by: "str | list[str] | None" = None,
+    eps: float = 1e-15,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Proper-scoring-rule losses for a probabilistic classifier in ONE fused
+    aggregate: log-loss (cross-entropy with probabilities clipped to
+    [eps, 1-eps] so a confident miss stays finite), Brier score
+    (mean squared error of the probability), plus n and the positive rate.
+
+    Complements the threshold metrics of :func:`prf1_report` and the ranking
+    metrics of :func:`roc_auc` — these score the probability VALUES, which is
+    what a quality-filter threshold transfer between corpora depends on.
+
+    Global (``by=None``) is a single all-reduce aggregate; per-key shards on
+    the key.  Output size is 1 row (or one per key) regardless of input size —
+    no collect, no window.  Rows with a null score or label are excluded.
+    """
+    sdf = _sdf(frame)
+    p = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") > 0).cast("double")
+    base = sdf.filter(p.isNotNull() & F.col(label_col).isNotNull())
+    pc = F.least(F.greatest(p, F.lit(float(eps))), F.lit(1.0 - float(eps)))
+    ll = -(y * F.log(pc) + (1.0 - y) * F.log(1.0 - pc))
+    aggs = [
+        F.round(F.avg(ll), round_to).alias("log_loss"),
+        F.round(F.avg((p - y) * (p - y)), round_to).alias("brier"),
+        F.round(F.avg(y), round_to).alias("pos_rate"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if by is None:
+        out = base.agg(*aggs)
+    else:
+        keys = [by] if isinstance(by, str) else list(by)
+        out = base.groupBy(*keys).agg(*aggs)
+    return LazyFrame(out)

@@ -22,6 +22,9 @@ __all__ = [
     "cusum_flags",
     "trimmed_mean_by_key",
     "with_rank_normalized",
+    "psi_report",
+    "k_anonymity_report",
+    "with_k_anonymity",
 ]
 
 
@@ -493,5 +496,154 @@ def with_rank_normalized(
     out = sdf.withColumn(
         out_col,
         F.when(v.isNotNull(), F.round((avg_rank - 0.5) / n, round_to)),
+    )
+    return LazyFrame(out)
+
+
+def psi_report(
+    ref: "LazyFrame | SparkDF",
+    cur: "LazyFrame | SparkDF",
+    value_col: str,
+    n_bins: int = 10,
+    breaks: "list[float] | None" = None,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``value_col`` — THE train/serve drift probe for a quality
+    score or feature column (PSI < 0.1 stable, > 0.25 shifted).
+
+    Bin edges are ``n_bins`` equal-width bins over the REFERENCE min/max
+    (or explicit ``breaks``, len = n_bins+1 ascending); current values
+    outside the reference range clamp into the edge bins, so drift OUT of
+    the training range is visible as edge-bin mass, never dropped.  Shares
+    are floored at ``eps`` so empty bins keep the sum finite (standard PSI
+    practice).  All ``n_bins`` bins are materialized from a literal grid —
+    empty bins appear with p=eps rather than vanishing.
+
+    Shuffle shape: one tiny min/max aggregate on ref (1-row broadcast),
+    one bin-keyed count per side (map-side combine), a bins-sized join —
+    output is exactly ``n_bins`` rows regardless of input size.  Output:
+    bin, lo, hi, p_ref, p_cur, psi_term (sum psi_term for the index).
+    """
+    rdf, cdf = _sdf(ref), _sdf(cur)
+    v = F.col(value_col).cast("double")
+    if breaks is not None:
+        if len(breaks) < 2 or sorted(breaks) != list(breaks):
+            raise ValueError("breaks must be ascending with at least 2 edges")
+        edges = [float(b) for b in breaks]
+        n_bins = len(edges) - 1
+        spark = rdf.sparkSession
+        grid = spark.range(n_bins).select(
+            F.col("id").cast("int").alias("bin"),
+            F.element_at(F.lit(edges), F.col("id").cast("int") + 1).alias("lo"),
+            F.element_at(F.lit(edges), F.col("id").cast("int") + 2).alias("hi"),
+        )
+        def binned(df):
+            # bin = number of interior edges ≤ v, clamped into [0, n_bins-1]
+            # (out-of-range values land in the edge bins, same as the
+            # ref-min/max path)
+            le = F.lit(0)
+            for e in edges[1:-1]:
+                le = le + (v >= F.lit(e)).cast("int")
+            return df.filter(v.isNotNull()).select(
+                F.least(F.lit(n_bins - 1), le).cast("int").alias("bin")
+            )
+    else:
+        mm = rdf.agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+        spark = rdf.sparkSession
+        grid = (
+            spark.range(n_bins)
+            .select(F.col("id").cast("int").alias("bin"))
+            .join(F.broadcast(mm))
+            .select(
+                "bin",
+                (F.col("mn") + (F.col("mx") - F.col("mn")) * F.col("bin") / n_bins).alias("lo"),
+                (F.col("mn") + (F.col("mx") - F.col("mn")) * (F.col("bin") + 1) / n_bins).alias("hi"),
+            )
+        )
+        def binned(df):
+            d = df.filter(v.isNotNull()).join(F.broadcast(mm))
+            width = (F.col("mx") - F.col("mn")) / n_bins
+            raw = F.when(width > 0, F.floor((v - F.col("mn")) / width).cast("int")).otherwise(F.lit(0))
+            return d.select(
+                F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).alias("bin")
+            )
+    def share(df, name):
+        cnt = binned(df).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.agg(F.sum("c").alias("t"))
+        return cnt.join(F.broadcast(tot)).select(
+            "bin", (F.col("c") / F.col("t")).alias(name)
+        )
+    e = F.lit(float(eps))
+    pr = F.greatest(F.coalesce(F.col("p_ref"), F.lit(0.0)), e)
+    pc = F.greatest(F.coalesce(F.col("p_cur"), F.lit(0.0)), e)
+    out = (
+        grid.join(share(rdf, "p_ref"), "bin", "left")
+        .join(share(cdf, "p_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.round(F.col("lo"), round_to).alias("lo"),
+            F.round(F.col("hi"), round_to).alias("hi"),
+            F.round(pr, round_to).alias("p_ref"),
+            F.round(pc, round_to).alias("p_cur"),
+            F.round((pc - pr) * F.log(pc / pr), round_to).alias("psi_term"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def with_k_anonymity(
+    frame: "LazyFrame | SparkDF",
+    quasi_cols: "list[str]",
+    k: int = 5,
+    size_col: str = "group_size",
+    flag_col: str = "is_k_anonymous",
+) -> LazyFrame:
+    """Annotate each row with its quasi-identifier equivalence-class size and
+    whether that class meets the ``k``-anonymity bar — the release gate for
+    training data carrying demographic/segment columns (a class smaller than
+    k re-identifies its members).  NULL quasi-identifier values form their
+    own class (null-safe grouping), matching the report.
+
+    One keyed window count — shards on the quasi-identifier tuple, no join,
+    no collect."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    sdf = _sdf(frame)
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    size = F.count(F.lit(1)).over(w)
+    return LazyFrame(
+        sdf.withColumn(size_col, size.cast("long")).withColumn(
+            flag_col, F.col(size_col) >= F.lit(int(k))
+        )
+    )
+
+
+def k_anonymity_report(
+    frame: "LazyFrame | SparkDF",
+    quasi_cols: "list[str]",
+    k: int = 5,
+) -> LazyFrame:
+    """One-row k-anonymity audit over the quasi-identifier tuple: the
+    smallest equivalence class, how many classes/rows fall below ``k``, and
+    totals.  Grouping is null-safe (NULL = its own class, like GROUP BY).
+
+    One map-side-combining groupBy + a 5-column all-reduce — output is one
+    row at any input size.  Output: min_k, n_groups, n_violating_groups,
+    n_violating_rows, n_rows."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    sdf = _sdf(frame)
+    grp = sdf.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__sz__")
+    )
+    viol = F.col("__sz__") < F.lit(int(k))
+    out = grp.agg(
+        F.min("__sz__").cast("long").alias("min_k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(viol.cast("long")).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("__sz__")).otherwise(F.lit(0))).cast("long").alias("n_violating_rows"),
+        F.sum("__sz__").cast("long").alias("n_rows"),
     )
     return LazyFrame(out)

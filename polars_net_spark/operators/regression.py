@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa", "fleiss_kappa"]
 
 
 def _sdf(frame):
@@ -520,3 +520,61 @@ def spearman_corr(
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     return LazyFrame(agg)
+
+
+def fleiss_kappa(
+    frame: "LazyFrame | SparkDF",
+    item_col: str,
+    category_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Fleiss' \u03ba multi-rater agreement, generalized to a variable number
+    of ratings per item: input is one row per RATING (item, category) — the
+    shape a labeling pipeline with 3+ annotators naturally lands in.
+
+    P_i = (\u03a3_j n_ij\u00b2 − n_i) / (n_i (n_i − 1)) per item, P\u0304 their mean,
+    p_j the pooled category shares, P\u0304_e = \u03a3 p_j\u00b2, \u03ba = (P\u0304 − P\u0304_e)/(1 − P\u0304_e).
+    Items with fewer than 2 ratings carry no agreement signal and are
+    excluded everywhere (counts AND marginals — the oracle must match).
+
+    Shuffle shape: one (item, category) cell count, one item-keyed
+    aggregate, one category-keyed marginal aggregate joined as a 1-row
+    broadcast — bounded by items + category cardinality, no collect, no
+    window.  P\u0304_e = 1 (all kept ratings in one category) leaves \u03ba
+    undefined → null.  Output: kappa, p_bar, p_e, n_items, n_ratings."""
+    sdf = _sdf(frame)
+    it, c = F.col(item_col), F.col(category_col)
+    cells = (
+        sdf.filter(it.isNotNull() & c.isNotNull())
+        .groupBy(it.alias("__i__"), c.alias("__c__"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    items = (
+        cells.groupBy("__i__")
+        .agg(F.sum("o").alias("ni"), F.sum(F.col("o") * F.col("o")).alias("sq"))
+        .filter(F.col("ni") >= 2)
+    )
+    # P̄ over kept items + the pooled rating total in one aggregate
+    pbar_row = items.agg(
+        F.avg((F.col("sq") - F.col("ni")) / (F.col("ni") * (F.col("ni") - 1))).alias("p_bar"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("ni").alias("n_ratings"),
+    )
+    # category marginals over the SAME kept items (semi join on the item key)
+    kept = cells.join(items.select("__i__"), "__i__", "semi")
+    pe_row = (
+        kept.groupBy("__c__")
+        .agg(F.sum("o").alias("nc"))
+        .join(F.broadcast(pbar_row.select("n_ratings")))
+        .agg(F.sum((F.col("nc") / F.col("n_ratings")) * (F.col("nc") / F.col("n_ratings"))).alias("p_e"))
+    )
+    stat = pbar_row.join(F.broadcast(pe_row))
+    pe = F.col("p_e")
+    out = stat.select(
+        F.round(F.when(pe < 1.0, (F.col("p_bar") - pe) / (1.0 - pe)), round_to).alias("kappa"),
+        F.round(F.col("p_bar"), round_to).alias("p_bar"),
+        F.round(pe, round_to).alias("p_e"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_ratings").cast("long").alias("n_ratings"),
+    )
+    return LazyFrame(out)

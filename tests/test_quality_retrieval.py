@@ -560,3 +560,179 @@ class TestWordEntropy:
         d = pl.from_records([(1, "w x y z")], ["doc_id", "text"])
         (row,) = word_entropy_frame(d).collect().select("n_words", "word_entropy").rows()
         assert row == (4, 2.0)
+
+
+class TestFleissKappa:
+    def test_known_value(self, spark):
+        from polars_net_spark.operators.regression import fleiss_kappa
+
+        # 3 items x 2 raters: (A,A), (A,B), (B,B) -> P_i = 1, 0, 1;
+        # p_A = p_B = 0.5 -> Pe = 0.5; kappa = (2/3 - 1/2)/(1/2) = 1/3
+        rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B"), (3, "B"), (3, "B")]
+        d = spark.createDataFrame(rows, ["item", "cat"])
+        (kappa, p_bar, p_e, n_items, n_ratings), = fleiss_kappa(d, "item", "cat").collect().rows()
+        assert kappa == round(1 / 3, 6)
+        assert p_bar == round(2 / 3, 6) and p_e == 0.5
+        assert n_items == 3 and n_ratings == 6
+
+    def test_single_rating_items_excluded(self, spark):
+        from polars_net_spark.operators.regression import fleiss_kappa
+
+        rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B"), (3, "B"), (3, "B"),
+                (4, "C")]  # item 4 has one rating: no agreement signal
+        d = spark.createDataFrame(rows, ["item", "cat"])
+        (kappa, p_bar, p_e, n_items, n_ratings), = fleiss_kappa(d, "item", "cat").collect().rows()
+        assert kappa == round(1 / 3, 6)  # identical to the 3-item case
+        assert n_items == 3 and n_ratings == 6
+
+    def test_all_one_category_null(self, spark):
+        from polars_net_spark.operators.regression import fleiss_kappa
+
+        d = spark.createDataFrame([(1, "x"), (1, "x"), (2, "x"), (2, "x")], ["item", "cat"])
+        (kappa, p_bar, p_e, _, _), = fleiss_kappa(d, "item", "cat").collect().rows()
+        assert kappa is None and p_bar == 1.0 and p_e == 1.0
+
+
+class TestClassificationLoss:
+    def test_known_value(self, spark):
+        import math
+
+        from polars_net_spark.llm import classification_loss
+
+        d = spark.createDataFrame([(0.9, 1), (0.1, 0)], ["p", "y"])
+        (ll, brier, pos, n), = classification_loss(d, "p", "y").collect().rows()
+        assert ll == round(-math.log(0.9), 6)
+        assert brier == 0.01 and pos == 0.5 and n == 2
+
+    def test_confident_miss_clipped_finite(self, spark):
+        import math
+
+        from polars_net_spark.llm import classification_loss
+
+        d = spark.createDataFrame([(0.0, 1)], ["p", "y"])
+        (ll, brier, pos, n), = classification_loss(d, "p", "y").collect().rows()
+        assert ll == round(-math.log(1e-15), 6) and brier == 1.0
+
+    def test_per_key(self, spark):
+        from polars_net_spark.llm import classification_loss
+
+        d = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 0.0, 0), ("b", 0.5, 1)], ["k", "p", "y"]
+        )
+        got = {r[0]: r[1:] for r in classification_loss(d, "p", "y", by="k").collect().rows()}
+        assert got["a"][0] == round(-__import__("math").log(1 - 1e-15), 6)
+        assert got["b"][1] == 0.25  # brier (0.5-1)^2
+
+
+class TestPSIReport:
+    def test_identical_distributions_zero(self, spark):
+        from polars_net_spark.operators.analytics import psi_report
+
+        vals = [(float(i),) for i in range(10)]
+        ref = spark.createDataFrame(vals, ["value"])
+        cur = spark.createDataFrame(vals, ["value"])
+        rows = psi_report(ref, cur, "value", n_bins=5).collect().rows()
+        assert len(rows) == 5
+        assert all(r[5] == 0.0 for r in rows)
+        assert all(r[3] == r[4] for r in rows)
+
+    def test_empty_bins_materialized_with_eps(self, spark):
+        from polars_net_spark.operators.analytics import psi_report
+
+        ref = spark.createDataFrame([(0.0,), (10.0,)], ["value"])
+        cur = spark.createDataFrame([(0.0,), (10.0,)], ["value"])
+        rows = sorted(psi_report(ref, cur, "value", n_bins=5).collect().rows())
+        assert len(rows) == 5
+        # middle bins are empty on both sides: floored at eps, psi_term 0
+        assert rows[2][3] == 1e-06 and rows[2][4] == 1e-06 and rows[2][5] == 0.0
+
+    def test_shift_detected_and_clamped(self, spark):
+        from polars_net_spark.operators.analytics import psi_report
+
+        ref = spark.createDataFrame([(float(i),) for i in range(10)], ["value"])
+        cur = spark.createDataFrame([(float(i) + 50,) for i in range(10)], ["value"])
+        rows = psi_report(ref, cur, "value", n_bins=5).collect().rows()
+        # all current mass clamps into the top bin -> large positive PSI
+        total = sum(r[5] for r in rows)
+        assert total > 1.0
+        top = [r for r in rows if r[0] == 4][0]
+        assert top[4] == 1.0
+
+    def test_explicit_breaks(self, spark):
+        from polars_net_spark.operators.analytics import psi_report
+
+        ref = spark.createDataFrame([(1.0,), (6.0,)], ["value"])
+        cur = spark.createDataFrame([(-5.0,), (99.0,)], ["value"])
+        rows = sorted(psi_report(ref, cur, "value", breaks=[0.0, 5.0, 10.0]).collect().rows())
+        assert [r[0] for r in rows] == [0, 1]
+        assert rows[0][1] == 0.0 and rows[0][2] == 5.0
+        assert rows[0][3] == 0.5 and rows[1][3] == 0.5
+        # out-of-range current values clamp into the edge bins
+        assert rows[0][4] == 0.5 and rows[1][4] == 0.5
+
+    def test_bad_breaks_raise(self, spark):
+        import pytest as _pytest
+
+        from polars_net_spark.operators.analytics import psi_report
+
+        ref = spark.createDataFrame([(1.0,)], ["value"])
+        with _pytest.raises(ValueError):
+            psi_report(ref, ref, "value", breaks=[5.0, 0.0])
+
+
+class TestKAnonymity:
+    def test_report(self, spark):
+        from polars_net_spark.operators.analytics import k_anonymity_report
+
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 1), ("b", 2)], ["q1", "q2"]
+        )
+        (mk, ng, nvg, nvr, nr), = k_anonymity_report(d, ["q1", "q2"], k=2).collect().rows()
+        assert (mk, ng, nvg, nvr, nr) == (1, 2, 1, 1, 4)
+
+    def test_with_flags_and_null_class(self, spark):
+        from polars_net_spark.operators.analytics import with_k_anonymity
+
+        d = spark.createDataFrame(
+            [("a",), ("a",), (None,), (None,), (None,)], "q1: string"
+        )
+        rows = with_k_anonymity(d, ["q1"], k=3).collect().rows()
+        by_q = {}
+        for q, sz, flag in rows:
+            by_q[q] = (sz, flag)
+        assert by_q["a"] == (2, False)
+        assert by_q[None] == (3, True)  # NULLs form their own class
+
+    def test_empty_quasi_raises(self, spark):
+        import pytest as _pytest
+
+        from polars_net_spark.operators.analytics import k_anonymity_report
+
+        d = spark.createDataFrame([(1,)], ["x"])
+        with _pytest.raises(ValueError):
+            k_anonymity_report(d, [], k=2)
+
+
+class TestReadability:
+    def test_known_value(self, spark):
+        from polars_net_spark.llm import readability_frame
+
+        d = spark.createDataFrame([(1, "The cat sat. It ran!")], ["doc_id", "text"])
+        (i, nw, ns, syl, fre, fk), = readability_frame(d, "text", "doc_id").collect().rows()
+        assert (nw, ns, syl) == (5, 2, 5)
+        assert fre == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 6)
+        assert fk == round(0.39 * 2.5 + 11.8 * 1.0 - 15.59, 6)
+
+    def test_empty_doc_null_scores(self, spark):
+        from polars_net_spark.llm import readability_frame
+
+        d = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+        (i, nw, ns, syl, fre, fk), = readability_frame(d, "text", "doc_id").collect().rows()
+        assert nw == 0 and fre is None and fk is None
+
+    def test_vowelless_words_floor_one_syllable(self, spark):
+        from polars_net_spark.llm import readability_frame
+
+        d = spark.createDataFrame([(1, "hmm pfft tsk")], ["doc_id", "text"])
+        (_, nw, ns, syl, _, _), = readability_frame(d, "text", "doc_id").collect().rows()
+        assert nw == 3 and ns == 1 and syl == 3

@@ -342,6 +342,19 @@ CHECKS = {
         ("ArrowEvalPython", "encode is Arrow-batched pandas_udf"),
         ("!", "BatchEvalPython", "no row-at-a-time Python"),
     ],
+    "q215_psi_drift": [
+        ("partial_count", "bin counts combine map-side"),
+    ],
+    "q216_class_loss": [
+        ("partial_avg", "log-loss/Brier reduce map-side (one fused aggregate)"),
+    ],
+    "q218_k_anonymity": [
+        ("partial_count", "quasi-identifier class sizes combine map-side"),
+    ],
+    "q219_readability": [
+        ("!", "Exchange", "zero-shuffle readability: pure Column math per document"),
+        ("!", "EvalPython", "no Python in the scoring path"),
+    ],
 }
 
 
@@ -405,6 +418,8 @@ def main() -> None:
         "q204_cohens_kappa",        # 1-row totals + 1-row chance-agreement attach
         "q205_corpus_divergence",   # 1-row token-total/vocab attach onto term table
         "q211_pq_adc",              # 1-row broadcast codebook attach (corpus + queries)
+        "q215_psi_drift",           # 1-row ref-min/max + 1-row total attaches
+        "q217_fleiss_kappa",        # 1-row rating-total + 1-row chance-agreement attach
     }
     from polars_net_spark import release_caches
 
