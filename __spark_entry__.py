@@ -6980,6 +6980,188 @@ FROM s
 """
 
 
+def _q220(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov (operators/regression.py
+    ks_test): distribution-shift screen over derived even/odd event groups.
+    ECDFs from DISTINCT-value counts + range buckets + driver prefix
+    offsets — no single-partition window at any scale."""
+    from polars_net_spark.operators.regression import ks_test
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("g"), "value"
+    )
+    return ks_test(d, "g", "value", "a", "b").spark
+
+
+_q220_sql = """
+WITH b AS (SELECT CASE WHEN event_id%2=0 THEN 'a' ELSE 'b' END AS g, value
+           FROM events WHERE value IS NOT NULL),
+v AS (SELECT value AS v, sum(CASE WHEN g='a' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN g='b' THEN 1 ELSE 0 END) AS cb FROM b GROUP BY 1),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM v),
+c AS (SELECT sum(ca) OVER (ORDER BY v) * 1.0 AS cum_a,
+             sum(cb) OVER (ORDER BY v) * 1.0 AS cum_b FROM v)
+SELECT round(max(abs(cum_a/na - cum_b/nb)),6) AS d,
+       round(max(abs(cum_a/na - cum_b/nb)) * sqrt(na*nb/(na+nb)),6) AS z,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+FROM c CROSS JOIN t GROUP BY na, nb
+"""
+
+
+def _q221(spark, sf_dir):
+    """Global Gini coefficient (operators/analytics.py gini_coefficient)
+    of lineitem extended price — source-concentration as one number.  The
+    global sort collapses to DISTINCT-value run-length rank math over range
+    buckets (operators/distsort.py); the oracle's row_number window proves
+    the closed form equals the per-row rank definition."""
+    from polars_net_spark.operators.analytics import gini_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return gini_coefficient(li, "l_extendedprice").spark
+
+
+_q221_sql = """
+WITH b AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM b)
+SELECT round(2.0*sum(i*x)/(count(*)*sum(x)) - (count(*)+1.0)/count(*), 6) AS gini,
+       count(*) AS n
+FROM r
+"""
+
+
+def _q222(spark, sf_dir):
+    """Benford first-digit audit (operators/analytics.py benford_report)
+    of lineitem extended price: 9-row observed-vs-log10(1+1/d) table with
+    chi2 terms, decade picked ULP-robustly (pow-of-10 with a one-step
+    correction) so JVM and DuckDB libm agree bit-for-bit."""
+    from polars_net_spark.operators.analytics import benford_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return benford_report(li, "l_extendedprice").spark
+
+
+_q222_sql = """
+WITH b AS (SELECT abs(l_extendedprice) AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0),
+p0 AS (SELECT x, pow(10.0, floor(log10(x))) AS p0 FROM b),
+p1 AS (SELECT x, CASE WHEN p0 > x THEN p0/10.0 ELSE p0 END AS p1 FROM p0),
+pp AS (SELECT x, CASE WHEN p1*10.0 <= x THEN p1*10.0 ELSE p1 END AS p FROM p1),
+d AS (SELECT CAST(floor(x/p) AS INT) AS digit FROM pp),
+cnt AS (SELECT digit, count(*) AS n_d FROM d GROUP BY 1),
+tot AS (SELECT sum(n_d) AS n FROM cnt),
+grid AS (SELECT CAST(g AS INT) AS digit FROM generate_series(1,9) s(g))
+SELECT grid.digit, CAST(coalesce(n_d,0) AS BIGINT) AS n_d,
+  round(coalesce(n_d,0)*1.0/n, 6) AS p_obs,
+  round(log10(1.0+1.0/grid.digit), 6) AS p_exp,
+  round((coalesce(n_d,0) - n*log10(1.0+1.0/grid.digit))
+        *(coalesce(n_d,0) - n*log10(1.0+1.0/grid.digit))
+        /(n*log10(1.0+1.0/grid.digit)), 6) AS chi2_term
+FROM grid LEFT JOIN cnt ON grid.digit=cnt.digit CROSS JOIN tot
+"""
+
+
+def _q223(spark, sf_dir):
+    """SIXTH true Structured Streaming gate: DRIFT MONITORING ON A STREAM.
+    A static 10-bin reference histogram (share per equal-width value bin
+    over the full corpus) is stream-static equi-JOINED onto the live event
+    stream inside the streaming query; a 6h tumbling window then counts per
+    (window, bin) — i.e., the per-window PSI inputs are maintained BY the
+    stream.  The batch-side select turns the sink into per-window PSI terms
+    (p_cur vs the joined p_ref, eps-floored).  availableNow single batch →
+    deterministic; the DuckDB oracle replicates it as time-bucket GROUP BYs.
+    Production: same query with a watermark + append sink feeding an
+    alerting table — drift fires per window, not per batch job."""
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    row = ev.agg(
+        F.min(F.col("value").cast("double")).alias("mn"),
+        F.max(F.col("value").cast("double")).alias("mx"),
+        F.count(F.when(F.col("value").isNotNull(), 1)).alias("n"),
+    ).first()
+    mn, mx, n_ref = float(row["mn"]), float(row["mx"]), int(row["n"])
+    width = (mx - mn) / 10.0
+
+    def bin_of(c):
+        raw = (
+            F.floor((c.cast("double") - F.lit(mn)) / F.lit(width)).cast("int")
+            if width > 0
+            else F.lit(0)
+        )
+        return F.least(F.lit(9), F.greatest(F.lit(0), raw))
+
+    ref = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(bin_of(F.col("value")).alias("bin"))
+        .agg((F.count(F.lit(1)) / F.lit(float(n_ref))).alias("p_ref"))
+    )
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000)
+        .parquet(src_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("bin", bin_of(F.col("value")))
+        .join(ref, "bin")  # stream-static equi-join inside the stream
+        .groupBy(F.window("ts", "6 hours").alias("w"), F.col("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cur"),
+            F.first("p_ref").alias("p_ref"),
+        )
+    )
+    try:
+        spark.catalog.dropTempView("q223_stream_drift")
+    except Exception:
+        pass
+    with _stream_gate_conf(spark):
+        q = (
+            stream.writeStream.format("memory").queryName("q223_stream_drift")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    from pyspark.sql import Window
+
+    sink = spark.table("q223_stream_drift")
+    wtot = Window.partitionBy("w")
+    eps = F.lit(1e-6)
+    p_cur = F.greatest(F.col("n_cur") / F.sum("n_cur").over(wtot), eps)
+    p_ref = F.greatest(F.col("p_ref"), eps)
+    return sink.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "bin",
+        F.col("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+_q223_sql = """
+WITH base AS (SELECT value, ts FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(value) AS mn, max(value) AS mx, count(*) AS n FROM base),
+rb AS (SELECT least(9, greatest(0, CASE WHEN mx>mn THEN CAST(floor((value-mn)/((mx-mn)/10)) AS INT) ELSE 0 END)) AS bin
+       FROM base CROSS JOIN mm),
+ref AS (SELECT bin, count(*)*1.0/(SELECT n FROM mm) AS p_ref FROM rb GROUP BY 1),
+cur AS (SELECT to_timestamp(floor(epoch(ts)/21600)*21600) AS w,
+               least(9, greatest(0, CASE WHEN mx>mn THEN CAST(floor((value-mn)/((mx-mn)/10)) AS INT) ELSE 0 END)) AS bin,
+               count(*) AS n_cur
+        FROM base CROSS JOIN mm GROUP BY 1, 2),
+tot AS (SELECT w, sum(n_cur) AS nw FROM cur GROUP BY 1)
+SELECT strftime(cur.w, '%Y-%m-%d %H:%M:%S') AS win_start,
+       cur.bin,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(greatest(p_ref, 1e-6), 6) AS p_ref,
+       round(greatest(n_cur*1.0/nw, 1e-6), 6) AS p_cur,
+       round((greatest(n_cur*1.0/nw,1e-6) - greatest(p_ref,1e-6))
+             * ln(greatest(n_cur*1.0/nw,1e-6)/greatest(p_ref,1e-6)), 6) AS psi_term
+FROM cur JOIN ref ON cur.bin = ref.bin JOIN tot ON cur.w = tot.w
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7204,6 +7386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_fleiss_kappa": _q217,
         "q218_k_anonymity": _q218,
         "q219_readability": _q219,
+        "q220_ks_test": _q220,
+        "q221_gini": _q221,
+        "q222_benford": _q222,
+        "q223_stream_drift": _q223,
     }
 
 
@@ -7428,4 +7614,8 @@ def oracle_sql() -> dict[str, str]:
         "q217_fleiss_kappa": _q217_sql,
         "q218_k_anonymity": _q218_sql,
         "q219_readability": _q219_sql,
+        "q220_ks_test": _q220_sql,
+        "q221_gini": _q221_sql,
+        "q222_benford": _q222_sql,
+        "q223_stream_drift": _q223_sql,
     }

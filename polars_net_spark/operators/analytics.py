@@ -25,6 +25,8 @@ __all__ = [
     "psi_report",
     "k_anonymity_report",
     "with_k_anonymity",
+    "gini_coefficient",
+    "benford_report",
 ]
 
 
@@ -645,5 +647,135 @@ def k_anonymity_report(
         F.sum(viol.cast("long")).cast("long").alias("n_violating_groups"),
         F.sum(F.when(viol, F.col("__sz__")).otherwise(F.lit(0))).cast("long").alias("n_violating_rows"),
         F.sum("__sz__").cast("long").alias("n_rows"),
+    )
+    return LazyFrame(out)
+
+
+def gini_coefficient(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Gini concentration coefficient of ``value_col``: G = 2·Σᵢ i·x₍ᵢ₎ /
+    (n·Σx) − (n+1)/n over the ascending sort — "how dominated is my corpus
+    by a few sources" as one number (0 = uniform, →1 = one source is
+    everything).  Ties are permutation-invariant (equal values contribute
+    the same Σ i·x under any tie order), so the result is deterministic.
+    Intended for non-negative quantities (bytes, doc counts, revenue);
+    a zero or negative total yields null.
+
+    Per-key (``by=``) shards the sort on the key.  The GLOBAL path never
+    runs a single-partition window: values collapse to a DISTINCT-value
+    (count, value) table and the rank-run sum Σ i·x over a tie run of c
+    copies of v starting after m rows is v·(c·m + c(c+1)/2) — global run
+    starts come from deterministic range buckets + driver prefix offsets
+    (operators/distsort.py).  Output: [keys...,] gini, n."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    if by is not None:
+        keys = [by] if isinstance(by, str) else list(by)
+        base = sdf.filter(v.isNotNull()).select(*keys, v.alias("__x__"))
+        w = Window.partitionBy(*keys).orderBy(F.col("__x__"))
+        rn = F.row_number().over(w)
+        staged = base.select(*keys, "__x__", rn.alias("__i__"))
+        agg = staged.groupBy(*keys).agg(
+            F.sum(F.col("__i__") * F.col("__x__")).alias("iw"),
+            F.sum("__x__").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    else:
+        from .._cache import register_cache
+        from .distsort import with_prefix_offsets, with_range_buckets
+
+        d = register_cache(
+            sdf.filter(v.isNotNull())
+            .groupBy(v.alias("__x__"))
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        d2, gb = with_range_buckets(d, "__x__")
+        d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__c__")})
+        wexcl = (
+            Window.partitionBy(gb)
+            .orderBy(F.col("__x__"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        m = F.col("__off_cnt__") + F.coalesce(F.sum("__c__").over(wexcl), F.lit(0))
+        c = F.col("__c__")
+        run_iw = F.col("__x__") * (c * m + c * (c + 1) / 2.0)
+        staged = d3.select(
+            run_iw.alias("__iw__"),
+            (F.col("__x__") * c).alias("__sx__"),
+            c.alias("__c__"),
+        )
+        agg = staged.agg(
+            F.sum("__iw__").alias("iw"),
+            F.sum("__sx__").alias("sx"),
+            F.sum("__c__").alias("n"),
+        )
+        keys = []
+    g = F.when(
+        (F.col("n") > 0) & (F.col("sx") > 0),
+        2.0 * F.col("iw") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1.0) / F.col("n"),
+    )
+    out = agg.select(
+        *keys,
+        F.round(g, round_to).alias("gini"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def benford_report(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Benford first-significant-digit audit of ``value_col``: per digit
+    1-9 the observed share vs the Benford expectation log₁₀(1+1/d) and the
+    χ² contribution — the classic fabricated/synthetic-numbers screen for
+    an ingested table (sum chi2_term ≫ 20 on natural wide-range data is a
+    red flag).  Zeros and nulls carry no leading digit and are excluded.
+
+    The digit comes from p = 10^⌊log₁₀|x|⌋ with a one-step correction
+    (p > |x| → p/10; 10p ≤ |x| → 10p), so a ±1 ULP libm log₁₀ never
+    misplaces the decade.  One map-side-combining 9-group aggregate joined
+    onto a literal digit grid (all 9 digits always present) — output is 9
+    rows at any input size.  Output: digit, n_d, p_obs, p_exp, chi2_term."""
+    import math
+
+    sdf = _sdf(frame)
+    x = F.abs(F.col(value_col).cast("double"))
+    ok = F.col(value_col).isNotNull() & (x > 0)
+    p0 = F.pow(F.lit(10.0), F.floor(F.log10(x)).cast("double"))
+    p1 = F.when(p0 > x, p0 / 10.0).otherwise(p0)
+    p = F.when(p1 * 10.0 <= x, p1 * 10.0).otherwise(p1)
+    digit = F.floor(x / p).cast("int")
+    counts = (
+        sdf.filter(ok)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    tot = counts.agg(F.sum("n_d").alias("n"))
+    spark = sdf.sparkSession
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    nd = F.coalesce(F.col("n_d"), F.lit(0))
+    obs = nd / F.col("n")
+    out = (
+        grid.join(counts, "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            nd.cast("long").alias("n_d"),
+            F.round(obs, round_to).alias("p_obs"),
+            F.round(exp_p, round_to).alias("p_exp"),
+            F.round(
+                (nd - F.col("n") * exp_p) * (nd - F.col("n") * exp_p)
+                / (F.col("n") * exp_p),
+                round_to,
+            ).alias("chi2_term"),
+        )
     )
     return LazyFrame(out)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa", "fleiss_kappa"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa", "fleiss_kappa", "ks_test"]
 
 
 def _sdf(frame):
@@ -576,5 +576,69 @@ def fleiss_kappa(
         F.round(pe, round_to).alias("p_e"),
         F.col("n_items").cast("long").alias("n_items"),
         F.col("n_ratings").cast("long").alias("n_ratings"),
+    )
+    return LazyFrame(out)
+
+
+def ks_test(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic: D = max |ECDF_a −
+    ECDF_b| over the pooled support — the distribution-shift test that sees
+    SHAPE changes PSI's fixed bins blur (complements :func:`psi_report`
+    for drift and :func:`mann_whitney_u` for location).
+
+    Scale shape mirrors :func:`roc_auc`'s global path: values collapse to a
+    DISTINCT-value (count_a, count_b) table, global running counts come from
+    deterministic range buckets + driver prefix offsets
+    (operators/distsort.py) — the ECDF steps exist only at distinct values,
+    every task holds ~1/nbuckets of them, and no single-partition window
+    runs.  One distinct-value aggregate + one bounded offsets aggregate +
+    one all-reduce max.
+
+    Output: d, z (= D·√(n_a·n_b/(n_a+n_b)), the statistic the asymptotic
+    Kolmogorov p-value is computed from, null if either sample is empty),
+    n_a, n_b.  Nulls are excluded; rows in neither group are ignored."""
+    from .._cache import register_cache
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull() & ((g == group_a) | (g == group_b)))
+    d = register_cache(
+        base.groupBy(v.alias("__v__")).agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__ca__"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__cb__"),
+        )
+    )
+    d2, gb = with_range_buckets(d, "__v__")
+    d3, tot = with_prefix_offsets(
+        d2, gb, {"ca": F.col("__ca__"), "cb": F.col("__cb__")}
+    )
+    na, nb = float(tot["ca"]), float(tot["cb"])
+    w = (
+        Window.partitionBy(gb)
+        .orderBy(F.col("__v__"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_a = (F.col("__off_ca__") + F.sum("__ca__").over(w)) / F.lit(na)
+    cum_b = (F.col("__off_cb__") + F.sum("__cb__").over(w)) / F.lit(nb)
+    staged = d3.select(F.abs(cum_a - cum_b).alias("__gap__"))
+    agg = staged.agg(F.max("__gap__").alias("d"))
+    en = (na * nb / (na + nb)) ** 0.5 if na > 0 and nb > 0 else None
+    out = agg.select(
+        F.round(F.col("d"), round_to).alias("d"),
+        F.round(
+            F.col("d") * F.lit(en) if en is not None else F.lit(None).cast("double"),
+            round_to,
+        ).alias("z"),
+        F.lit(int(na)).cast("long").alias("n_a"),
+        F.lit(int(nb)).cast("long").alias("n_b"),
     )
     return LazyFrame(out)

@@ -452,3 +452,116 @@ def test_spearman_corr(spark):
         [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)], ["a", "b"]
     )
     assert spearman_corr(t, "a", "b").collect().rows() == [(1.0, 4)]
+
+
+class TestKSTest:
+    def test_identical_samples_zero(self, spark):
+        from polars_net_spark.operators.regression import ks_test
+
+        rows = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)]
+        d = spark.createDataFrame(rows, ["g", "v"])
+        (dd, z, na, nb), = ks_test(d, "g", "v", "a", "b").collect().rows()
+        assert dd == 0.0 and z == 0.0 and na == 10 and nb == 10
+
+    def test_disjoint_supports_one(self, spark):
+        from polars_net_spark.operators.regression import ks_test
+
+        rows = [("a", float(v)) for v in range(5)] + [("b", float(v) + 100) for v in range(5)]
+        d = spark.createDataFrame(rows, ["g", "v"])
+        (dd, z, na, nb), = ks_test(d, "g", "v", "a", "b").collect().rows()
+        assert dd == 1.0
+        assert z == round((5 * 5 / 10) ** 0.5, 6)
+
+    def test_known_small_case(self, spark):
+        from polars_net_spark.operators.regression import ks_test
+
+        # a = {1,2,3,4}, b = {3,4,5,6}: max gap at v=2 -> |2/4 - 0/4| = 0.5
+        rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [("b", v) for v in [3.0, 4.0, 5.0, 6.0]]
+        d = spark.createDataFrame(rows, ["g", "v"])
+        (dd, _, _, _), = ks_test(d, "g", "v", "a", "b").collect().rows()
+        assert dd == 0.5
+
+    def test_empty_group_null(self, spark):
+        from polars_net_spark.operators.regression import ks_test
+
+        d = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+        (dd, z, na, nb), = ks_test(d, "g", "v", "a", "b").collect().rows()
+        assert nb == 0 and z is None
+
+
+class TestGini:
+    def test_uniform_zero(self, spark):
+        from polars_net_spark.operators.analytics import gini_coefficient
+
+        d = spark.createDataFrame([(5.0,)] * 8, ["x"])
+        (g, n), = gini_coefficient(d, "x").collect().rows()
+        assert g == 0.0 and n == 8
+
+    def test_total_concentration(self, spark):
+        from polars_net_spark.operators.analytics import gini_coefficient
+
+        # one holder of everything among n=4 -> G = (n-1)/n = 0.75
+        d = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (100.0,)], ["x"])
+        (g, n), = gini_coefficient(d, "x").collect().rows()
+        assert g == 0.75
+
+    def test_known_value_and_tie_invariance(self, spark):
+        from polars_net_spark.operators.analytics import gini_coefficient
+
+        # [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+        d = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], ["x"])
+        (g, _), = gini_coefficient(d, "x").collect().rows()
+        assert g == 0.25
+        # with duplicated values the run-length closed form must equal the
+        # row_number definition: [1,1,2,2] -> 2*(1+2+6+8)/(4*6) - 5/4
+        d2 = spark.createDataFrame([(1.0,), (1.0,), (2.0,), (2.0,)], ["x"])
+        (g2, _), = gini_coefficient(d2, "x").collect().rows()
+        assert g2 == round(2 * (1 + 2 + 6 + 8) / (4 * 6) - 5 / 4, 6)
+
+    def test_zero_total_null(self, spark):
+        from polars_net_spark.operators.analytics import gini_coefficient
+
+        d = spark.createDataFrame([(0.0,), (0.0,)], ["x"])
+        (g, n), = gini_coefficient(d, "x").collect().rows()
+        assert g is None and n == 2
+
+    def test_per_key(self, spark):
+        from polars_net_spark.operators.analytics import gini_coefficient
+
+        rows = [("k1", 1.0), ("k1", 2.0), ("k1", 3.0), ("k1", 4.0), ("k2", 7.0)]
+        d = spark.createDataFrame(rows, ["k", "x"])
+        got = {r[0]: r[1] for r in gini_coefficient(d, "x", by="k").collect().rows()}
+        assert got["k1"] == 0.25 and got["k2"] == 0.0
+
+
+class TestBenford:
+    def test_digit_extraction_across_decades(self, spark):
+        from polars_net_spark.operators.analytics import benford_report
+
+        vals = [1.0, 9.0, 10.0, 99.0, 100.0, 0.02, 0.5, -30.0, 7000.0]
+        d = spark.createDataFrame([(v,) for v in vals], ["x"])
+        rows = benford_report(d, "x").collect().rows()
+        got = {r[0]: r[1] for r in rows}
+        # digits: 1,9,1,9,1,2,5,3,7
+        assert got[1] == 3 and got[9] == 2 and got[2] == 1
+        assert got[5] == 1 and got[3] == 1 and got[7] == 1
+        assert len(rows) == 9  # all digits materialized
+        assert got[4] == 0 and got[8] == 0
+
+    def test_zeros_and_nulls_excluded(self, spark):
+        from polars_net_spark.operators.analytics import benford_report
+
+        d = spark.createDataFrame([(0.0,), (None,), (20.0,)], "x: double")
+        rows = benford_report(d, "x").collect().rows()
+        total = sum(r[1] for r in rows)
+        assert total == 1
+
+    def test_expected_shares(self, spark):
+        import math
+
+        from polars_net_spark.operators.analytics import benford_report
+
+        d = spark.createDataFrame([(1.0,)], ["x"])
+        rows = benford_report(d, "x").collect().rows()
+        for digit, _, _, p_exp, _ in rows:
+            assert p_exp == round(math.log10(1 + 1 / digit), 6)

@@ -326,3 +326,40 @@ def test_stream_corpus_prep_ops_compose(spark, tmp_path):
     assert rows[2]["url_canonical"] == "http://b.co.uk/y"
     assert rows[1]["n_tokens"] == 6 and rows[1]["n_masked"] >= 1
     assert rows[1]["corrupted"].count("<MASK>") == rows[1]["n_masked"]
+
+
+def test_stream_static_join_drift(spark, tmp_path):
+    """Stream-static equi-join inside a streaming query (the q223 shape):
+    a static reference-share table joins onto the stream by bin, a tumbling
+    window counts per (window, bin)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "drift_src")
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (base, "u", 1.0),
+        (base + dt.timedelta(minutes=5), "u", 1.0),
+        (base + dt.timedelta(minutes=10), "u", 9.0),
+        (base + dt.timedelta(hours=6), "u", 9.0),
+    ]
+    _write_batch(spark, src, rows)
+    ref = spark.createDataFrame([(0, 0.5), (1, 0.5)], ["bin", "p_ref"])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .withColumn("bin", F.when(F.col("v") < 5, 0).otherwise(1))
+        .join(ref, "bin")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"), F.first("p_ref").alias("p_ref"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("drift_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    got = {
+        (r["w"]["start"].hour, r["bin"]): (r["n_cur"], r["p_ref"])
+        for r in spark.table("drift_out").collect()
+    }
+    assert got == {(0, 0): (2, 0.5), (0, 1): (1, 0.5), (6, 1): (1, 0.5)}

@@ -355,6 +355,17 @@ CHECKS = {
         ("!", "Exchange", "zero-shuffle readability: pure Column math per document"),
         ("!", "EvalPython", "no Python in the scoring path"),
     ],
+    "q220_ks_test": [
+        ("count==1", "Exchange SinglePartition", "only the 1-row final max is single-partition"),
+        ("windowspecdefinition(__gb__", "ECDF cumulants ride a bucket-keyed window, never a global one"),
+    ],
+    "q221_gini": [
+        ("count==1", "Exchange SinglePartition", "only the 1-row final aggregate is single-partition"),
+        ("windowspecdefinition(__gb__", "rank-run cumulants ride a bucket-keyed window, never a global one"),
+    ],
+    "q222_benford": [
+        ("partial_count", "digit counts combine map-side"),
+    ],
 }
 
 
@@ -420,6 +431,7 @@ def main() -> None:
         "q211_pq_adc",              # 1-row broadcast codebook attach (corpus + queries)
         "q215_psi_drift",           # 1-row ref-min/max + 1-row total attaches
         "q217_fleiss_kappa",        # 1-row rating-total + 1-row chance-agreement attach
+        "q222_benford",             # 1-row digit-total attach onto the 9-digit grid
     }
     from polars_net_spark import release_caches
 
