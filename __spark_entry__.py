@@ -7162,6 +7162,157 @@ FROM cur JOIN ref ON cur.bin = ref.bin JOIN tot ON cur.w = tot.w
 """
 
 
+def _q224(spark, sf_dir):
+    """Per-key feature scaling (operators/analytics.py with_scaled): z-score
+    of quantity and price within each return flag — ONE fused stats
+    aggregate for all columns, one keyed join back.  The model-input prep
+    step beside to_dummies/winsorize/rank_normalize."""
+    from polars_net_spark.operators.analytics import with_scaled
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    out = with_scaled(
+        li, ["l_quantity", "l_extendedprice"], method="zscore",
+        by="l_returnflag", round_to=6,
+    )
+    return out.spark.select(
+        "l_orderkey", "l_returnflag",
+        F.col("l_quantity_scaled").alias("qty_z"),
+        F.col("l_extendedprice_scaled").alias("price_z"),
+    )
+
+
+_q224_sql = """
+WITH s AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS mq, stddev_pop(l_quantity) AS sq,
+         avg(l_extendedprice) AS mp, stddev_pop(l_extendedprice) AS sp
+  FROM lineitem GROUP BY 1)
+SELECT l_orderkey, l.l_returnflag,
+  round(CASE WHEN sq > 0 THEN (l_quantity - mq) / sq END, 6) AS qty_z,
+  round(CASE WHEN sp > 0 THEN (l_extendedprice - mp) / sp END, 6) AS price_z
+FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+"""
+
+
+def _q225(spark, sf_dir):
+    """l-diversity audit (operators/analytics.py l_diversity_report): the
+    k-anonymity companion — distinct sensitive values (account-balance
+    band) per quasi-identifier class, as one row.  Two map-side-combining
+    aggregates + an all-reduce."""
+    from polars_net_spark.operators.analytics import l_diversity_report
+
+    c = _t(spark, sf_dir, "customer").spark
+    d = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("hi")
+        .alias("bal_band"),
+    )
+    return l_diversity_report(d, ["c_nationkey", "c_mktsegment"], "bal_band", l=3).spark
+
+
+_q225_sql = """
+WITH d AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid' ELSE 'hi' END AS bal_band
+  FROM customer),
+cells AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n
+          FROM d GROUP BY 1, 2, 3),
+g AS (SELECT c_nationkey, c_mktsegment, count(*) AS nl, sum(n) AS sz
+      FROM cells GROUP BY 1, 2)
+SELECT min(nl) AS min_l, count(*) AS n_groups,
+       sum(CASE WHEN nl < 3 THEN 1 ELSE 0 END) AS n_violating_groups,
+       sum(sz) AS n_rows
+FROM g
+"""
+
+
+def _q226(spark, sf_dir):
+    """Reciprocal Rank Fusion (llm/retrieval.py rrf_fuse): two synthetic
+    rankers' top-10 lists per source (length-ranked and hash-ranked) fused
+    by Σ 1/(60+rank) — the zero-tuning hybrid-retrieval combiner.  One
+    (query, doc) aggregate + a query-keyed rank window."""
+    from pyspark.sql import Window
+
+    from polars_net_spark.llm.retrieval import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").spark
+    w1 = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") % 7).asc(), F.col("doc_id").asc()
+    )
+    r1 = d.select(
+        F.col("source").alias("query_id"), F.col("doc_id"),
+        F.lit("len").alias("ranker"), F.row_number().over(w1).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    r2 = d.select(
+        F.col("source").alias("query_id"), F.col("doc_id"),
+        F.lit("hash").alias("ranker"), F.row_number().over(w2).alias("rank"),
+    ).filter(F.col("rank") <= 10)
+    return rrf_fuse(r1.unionByName(r2), top_n=10).spark
+
+
+_q226_sql = """
+WITH r1 AS (
+  SELECT source AS query_id, doc_id, 'len' AS ranker,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents),
+r2 AS (
+  SELECT source AS query_id, doc_id, 'hash' AS ranker,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id % 7 ASC, doc_id ASC) AS rank
+  FROM documents),
+lists AS (SELECT * FROM r1 WHERE rank <= 10 UNION ALL SELECT * FROM r2 WHERE rank <= 10),
+fused AS (
+  SELECT query_id AS query, doc_id AS doc, sum(1.0/(60.0 + rank)) AS s
+  FROM lists GROUP BY 1, 2),
+ranked AS (
+  SELECT query, doc, round(s, 6) AS rrf_score,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc ASC) AS fused_rank
+  FROM fused)
+SELECT * FROM ranked WHERE fused_rank <= 10
+"""
+
+
+def _q227(spark, sf_dir):
+    """Two-proportion z-test (operators/regression.py prop_ztest): A/B
+    conversion comparison over derived even/odd event arms — one fused
+    conditional-count aggregate, 1-row answer at any scale."""
+    from polars_net_spark.operators.regression import prop_ztest
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("value") > 50).cast("int").alias("converted"),
+    )
+    return prop_ztest(d, "arm", "converted", "a", "b").spark
+
+
+_q227_sql = """
+WITH b AS (
+  SELECT CASE WHEN event_id%2=0 THEN 'a' ELSE 'b' END AS arm,
+         CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL),
+t AS (
+  SELECT sum(CASE WHEN arm='a' THEN y END) AS sa,
+         count(CASE WHEN arm='a' THEN 1 END) * 1.0 AS na,
+         sum(CASE WHEN arm='b' THEN y END) AS sb,
+         count(CASE WHEN arm='b' THEN 1 END) * 1.0 AS nb
+  FROM b)
+SELECT round(CASE WHEN (sa+sb)/(na+nb) > 0 AND (sa+sb)/(na+nb) < 1
+             THEN (sa/na - sb/nb)
+                  / sqrt((sa+sb)/(na+nb) * (1.0-(sa+sb)/(na+nb)) * (1.0/na + 1.0/nb)) END, 6) AS z,
+       round(sa/na, 6) AS p_a,
+       round(sb/nb, 6) AS p_b,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7390,6 +7541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_gini": _q221,
         "q222_benford": _q222,
         "q223_stream_drift": _q223,
+        "q224_scaled": _q224,
+        "q225_l_diversity": _q225,
+        "q226_rrf_fusion": _q226,
+        "q227_prop_ztest": _q227,
     }
 
 
@@ -7618,4 +7773,8 @@ def oracle_sql() -> dict[str, str]:
         "q221_gini": _q221_sql,
         "q222_benford": _q222_sql,
         "q223_stream_drift": _q223_sql,
+        "q224_scaled": _q224_sql,
+        "q225_l_diversity": _q225_sql,
+        "q226_rrf_fusion": _q226_sql,
+        "q227_prop_ztest": _q227_sql,
     }

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_top_terms", "bm25_topk", "negative_sample_pairs", "tfidf_cosine_pairs"]
+__all__ = ["tfidf_top_terms", "bm25_topk", "negative_sample_pairs", "tfidf_cosine_pairs", "rrf_fuse"]
 
 
 def _tokens(sdf, text_col: str, id_col: str):
@@ -357,4 +357,52 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return LazyFrame(out)
+
+
+def rrf_fuse(
+    frame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    ranker_col: str = "ranker",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int | None = None,
+    round_to: int = 6,
+):
+    """Reciprocal Rank Fusion over multiple rankers' result lists: input is
+    long-format (query, doc, ranker, rank); fused score per (query, doc) =
+    Σ_rankers 1/(k + rank) — the standard zero-tuning way to combine BM25 +
+    dense ANN + any other retriever into one list (k=60 per the RRF paper;
+    larger k flattens the head).  A doc missing from one ranker's list
+    simply contributes nothing for that ranker (the practical convention —
+    no penalty term, no imputed rank).
+
+    One (query, doc)-keyed map-side-combining aggregate, then a query-keyed
+    window for the fused rank — shards on the query key at any scale.
+    Ties break by doc id ascending (deterministic).  ``top_n`` keeps the
+    best n per query after fusion.  Output: query, doc, rrf_score,
+    fused_rank."""
+    from pyspark.sql import DataFrame as SparkDF, Window
+    from pyspark.sql import functions as F
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col).cast("double")
+    base = sdf.filter(q.isNotNull() & d.isNotNull() & r.isNotNull())
+    fused = base.groupBy(q.alias("query"), d.alias("doc")).agg(
+        F.sum(1.0 / (F.lit(float(k)) + r)).alias("__s__"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("__s__").desc(), F.col("doc").asc()
+    )
+    out = fused.select(
+        "query",
+        "doc",
+        F.round(F.col("__s__"), round_to).alias("rrf_score"),
+        F.row_number().over(w).alias("fused_rank"),
+    )
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= int(top_n))
     return LazyFrame(out)

@@ -27,6 +27,8 @@ __all__ = [
     "with_k_anonymity",
     "gini_coefficient",
     "benford_report",
+    "with_scaled",
+    "l_diversity_report",
 ]
 
 
@@ -777,5 +779,102 @@ def benford_report(
                 round_to,
             ).alias("chi2_term"),
         )
+    )
+    return LazyFrame(out)
+
+
+def with_scaled(
+    frame: "LazyFrame | SparkDF",
+    cols: "list[str]",
+    method: str = "zscore",
+    by: "str | list[str] | None" = None,
+    suffix: str = "_scaled",
+    round_to: int | None = None,
+) -> LazyFrame:
+    """Feature scaling for model-input prep: ``zscore`` = (x − mean)/std
+    (population std), ``minmax`` = (x − min)/(max − min), ``robust`` =
+    (x − median)/IQR — each appended as ``<col><suffix>``.  Zero spread
+    (constant column) scales to null rather than dividing by zero; null
+    inputs stay null.
+
+    ONE grouped aggregate computes the stats for ALL columns (fused), then
+    one join back — global stats ride a 1-row broadcast, per-key (``by=``)
+    stats join on the key (AQE broadcasts small stat sides).  zscore/minmax
+    stats combine map-side; robust's median/IQR uses the exact percentile
+    buffer — at extreme scale prefer zscore or pre-aggregate.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [
+                F.avg(v).alias(f"__ctr_{c}__"),
+                F.stddev_pop(v).alias(f"__spr_{c}__"),
+            ]
+        elif method == "minmax":
+            aggs += [
+                F.min(v).alias(f"__ctr_{c}__"),
+                (F.max(v) - F.min(v)).alias(f"__spr_{c}__"),
+            ]
+        elif method == "robust":
+            aggs += [
+                F.percentile(v, F.lit(0.5)).alias(f"__ctr_{c}__"),
+                (
+                    F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25))
+                ).alias(f"__spr_{c}__"),
+            ]
+        else:
+            raise ValueError(f"unknown method {method!r}")
+    stats = sdf.groupBy(*keys).agg(*aggs)
+    joined = sdf.join(stats, keys) if keys else sdf.join(F.broadcast(stats))
+    out_cols = [F.col(c) for c in sdf.columns]
+    for c in cols:
+        v = F.col(c).cast("double")
+        scaled = F.when(
+            F.col(f"__spr_{c}__") > 0,
+            (v - F.col(f"__ctr_{c}__")) / F.col(f"__spr_{c}__"),
+        )
+        if round_to is not None:
+            scaled = F.round(scaled, round_to)
+        out_cols.append(scaled.alias(f"{c}{suffix}"))
+    return LazyFrame(joined.select(*out_cols))
+
+
+def l_diversity_report(
+    frame: "LazyFrame | SparkDF",
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 2,
+) -> LazyFrame:
+    """One-row l-diversity audit: within each quasi-identifier equivalence
+    class, how many DISTINCT values of the sensitive attribute appear — a
+    class where everyone shares one sensitive value leaks it even when
+    k-anonymity holds (the standard companion check to
+    :func:`k_anonymity_report`).  Null-safe grouping; null sensitive values
+    count as a distinct value (they are an observable outcome).
+
+    One two-level aggregate (distinct-per-group via a (quasi, sensitive)
+    pre-group, both map-side combining) + a 4-column all-reduce.
+    Output: min_l, n_groups, n_violating_groups, n_rows."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    sdf = _sdf(frame)
+    qs = [F.col(c) for c in quasi_cols]
+    cells = sdf.groupBy(*qs, F.col(sensitive_col)).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    grp = cells.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__nl__"), F.sum("__n__").alias("__sz__")
+    )
+    viol = F.col("__nl__") < F.lit(int(l))
+    out = grp.agg(
+        F.min("__nl__").cast("long").alias("min_l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(viol.cast("long")).cast("long").alias("n_violating_groups"),
+        F.sum("__sz__").cast("long").alias("n_rows"),
     )
     return LazyFrame(out)

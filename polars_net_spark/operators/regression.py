@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa", "fleiss_kappa", "ks_test"]
+__all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa", "fleiss_kappa", "ks_test", "prop_ztest"]
 
 
 def _sdf(frame):
@@ -640,5 +640,48 @@ def ks_test(
         ).alias("z"),
         F.lit(int(na)).cast("long").alias("n_a"),
         F.lit(int(nb)).cast("long").alias("n_b"),
+    )
+    return LazyFrame(out)
+
+
+def prop_ztest(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Two-proportion z-test (pooled): the A/B conversion-rate companion to
+    :func:`welch_ttest` (means) and :func:`ks_test` (distributions).
+    z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    success rate.  ``success_col`` is truthy (cast >0) per trial row.
+
+    ONE fused conditional-count aggregate — a 1-row answer at any scale.
+    Degenerate pooled rates (p̂ ∈ {0, 1}) leave z undefined → null.
+    Output: z, p_a, p_b, n_a, n_b."""
+    sdf = _sdf(frame)
+    g = F.col(group_col)
+    y = (F.col(success_col).cast("double") > 0).cast("double")
+    base = sdf.filter(
+        F.col(success_col).isNotNull() & ((g == group_a) | (g == group_b))
+    )
+    agg = base.agg(
+        F.sum(F.when(g == group_a, y)).alias("sa"),
+        F.count(F.when(g == group_a, F.lit(1))).cast("double").alias("na"),
+        F.sum(F.when(g == group_b, y)).alias("sb"),
+        F.count(F.when(g == group_b, F.lit(1))).cast("double").alias("nb"),
+    )
+    pa = F.col("sa") / F.col("na")
+    pb = F.col("sb") / F.col("nb")
+    pool = (F.col("sa") + F.col("sb")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    z = F.when((pool > 0) & (pool < 1), (pa - pb) / se)
+    out = agg.select(
+        F.round(z, round_to).alias("z"),
+        F.round(pa, round_to).alias("p_a"),
+        F.round(pb, round_to).alias("p_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
     )
     return LazyFrame(out)

@@ -736,3 +736,56 @@ class TestReadability:
         d = spark.createDataFrame([(1, "hmm pfft tsk")], ["doc_id", "text"])
         (_, nw, ns, syl, _, _), = readability_frame(d, "text", "doc_id").collect().rows()
         assert nw == 3 and ns == 1 and syl == 3
+
+
+class TestRRFFuse:
+    def test_known_fusion(self, spark):
+        from polars_net_spark.llm.retrieval import rrf_fuse
+
+        rows = [
+            ("q1", "d1", "bm25", 1), ("q1", "d2", "bm25", 2),
+            ("q1", "d2", "dense", 1), ("q1", "d3", "dense", 2),
+        ]
+        d = spark.createDataFrame(rows, ["query_id", "doc_id", "ranker", "rank"])
+        got = {r[1]: (r[2], r[3]) for r in rrf_fuse(d, k=60).collect().rows()}
+        # d2 appears in both lists -> highest fused score
+        assert got["d2"] == (round(1 / 62 + 1 / 61, 6), 1)
+        assert got["d1"] == (round(1 / 61, 6), 2)  # tie with d3 at 1/61? no: d3=1/62
+        assert got["d3"] == (round(1 / 62, 6), 3)
+
+    def test_tie_breaks_by_doc(self, spark):
+        from polars_net_spark.llm.retrieval import rrf_fuse
+
+        rows = [("q", "b", "r1", 1), ("q", "a", "r2", 1)]
+        d = spark.createDataFrame(rows, ["query_id", "doc_id", "ranker", "rank"])
+        got = {r[1]: r[3] for r in rrf_fuse(d).collect().rows()}
+        assert got["a"] == 1 and got["b"] == 2
+
+    def test_top_n(self, spark):
+        from polars_net_spark.llm.retrieval import rrf_fuse
+
+        rows = [("q", f"d{i}", "r", i) for i in range(1, 6)]
+        d = spark.createDataFrame(rows, ["query_id", "doc_id", "ranker", "rank"])
+        out = rrf_fuse(d, top_n=2).collect().rows()
+        assert len(out) == 2 and {r[1] for r in out} == {"d1", "d2"}
+
+
+class TestPropZTest:
+    def test_known_value(self, spark):
+        from polars_net_spark.operators.regression import prop_ztest
+
+        # arm a: 30/100 convert, arm b: 20/100 convert
+        rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+        d = spark.createDataFrame(rows, ["arm", "y"])
+        (z, pa, pb, na, nb), = prop_ztest(d, "arm", "y", "a", "b").collect().rows()
+        assert (pa, pb, na, nb) == (0.3, 0.2, 100, 100)
+        pool = 0.25
+        se = (pool * 0.75 * (0.01 + 0.01)) ** 0.5
+        assert z == round(0.1 / se, 6)
+
+    def test_degenerate_pool_null(self, spark):
+        from polars_net_spark.operators.regression import prop_ztest
+
+        d = spark.createDataFrame([("a", 1), ("b", 1)], ["arm", "y"])
+        (z, pa, pb, _, _), = prop_ztest(d, "arm", "y", "a", "b").collect().rows()
+        assert z is None and pa == 1.0 and pb == 1.0

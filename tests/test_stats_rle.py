@@ -565,3 +565,60 @@ class TestBenford:
         rows = benford_report(d, "x").collect().rows()
         for digit, _, _, p_exp, _ in rows:
             assert p_exp == round(math.log10(1 + 1 / digit), 6)
+
+
+class TestWithScaled:
+    def test_zscore_global(self, spark):
+        from polars_net_spark.operators.analytics import with_scaled
+
+        d = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["x"])
+        rows = sorted(r[1] for r in with_scaled(d, ["x"], round_to=6).collect().rows())
+        sd = (2.0 / 3) ** 0.5  # population std of [1,2,3]
+        assert rows == [round(v, 6) for v in (-1 / sd, 0.0, 1 / sd)]
+
+    def test_minmax_and_constant_null(self, spark):
+        from polars_net_spark.operators.analytics import with_scaled
+
+        d = spark.createDataFrame([(0.0, 7.0), (5.0, 7.0), (10.0, 7.0)], ["a", "b"])
+        rows = with_scaled(d, ["a", "b"], method="minmax").collect().rows()
+        got = sorted((r[2], r[3]) for r in rows)
+        assert got == [(0.0, None), (0.5, None), (1.0, None)]
+
+    def test_robust_per_key(self, spark):
+        from polars_net_spark.operators.analytics import with_scaled
+
+        vals = [("k", float(v)) for v in [1, 2, 3, 4, 5]]
+        d = spark.createDataFrame(vals, ["k", "x"])
+        rows = with_scaled(d, ["x"], method="robust", by="k").collect().rows()
+        got = sorted(r[2] for r in rows)
+        # median 3, IQR 2 -> (x-3)/2
+        assert got == [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+    def test_bad_method_raises(self, spark):
+        import pytest as _pytest
+
+        from polars_net_spark.operators.analytics import with_scaled
+
+        d = spark.createDataFrame([(1.0,)], ["x"])
+        with _pytest.raises(ValueError):
+            with_scaled(d, ["x"], method="log")
+
+
+class TestLDiversity:
+    def test_report(self, spark):
+        from polars_net_spark.operators.analytics import l_diversity_report
+
+        rows = [
+            ("a", "flu"), ("a", "flu"), ("a", "cold"),   # group a: 2 distinct
+            ("b", "flu"), ("b", "flu"),                   # group b: 1 distinct
+        ]
+        d = spark.createDataFrame(rows, ["q", "s"])
+        (ml, ng, nvg, nr), = l_diversity_report(d, ["q"], "s", l=2).collect().rows()
+        assert (ml, ng, nvg, nr) == (1, 2, 1, 5)
+
+    def test_null_sensitive_counts_distinct(self, spark):
+        from polars_net_spark.operators.analytics import l_diversity_report
+
+        d = spark.createDataFrame([("a", "x"), ("a", None)], ["q", "s"])
+        (ml, _, nvg, _), = l_diversity_report(d, ["q"], "s", l=2).collect().rows()
+        assert ml == 2 and nvg == 0

@@ -366,6 +366,20 @@ CHECKS = {
     "q222_benford": [
         ("partial_count", "digit counts combine map-side"),
     ],
+    "q224_scaled": [
+        ("partial_avg", "scaling stats reduce map-side in one fused aggregate"),
+        ("!", "Exchange SinglePartition", "per-key scaling never funnels to one task"),
+    ],
+    "q225_l_diversity": [
+        ("partial_count", "distinct-sensitive pre-group combines map-side"),
+    ],
+    "q226_rrf_fusion": [
+        ("partial_sum", "RRF contributions combine map-side"),
+        ("!", "Exchange SinglePartition", "fusion windows shard on the query key"),
+    ],
+    "q227_prop_ztest": [
+        ("partial_count", "arm counts reduce map-side in one fused aggregate"),
+    ],
 }
 
 
