@@ -7313,6 +7313,117 @@ FROM t
 """
 
 
+def _q228(spark, sf_dir):
+    """Kaplan–Meier survival curve (operators/analytics.py survival_curve),
+    GLOBAL path: time = whole-unit value bucket, event = 3 of 4 subjects
+    (rest censored).  Both running sums (at-risk and Σ ln(1−d/n)) ride
+    range buckets + driver prefix offsets — no single-partition window."""
+    from polars_net_spark.operators.analytics import survival_curve
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("double").alias("t_obs"),
+        (F.col("event_id") % 4 != 0).cast("int").alias("event"),
+    )
+    return survival_curve(d, "t_obs", "event").spark
+
+
+_q228_sql = """
+WITH b AS (
+  SELECT floor(value) AS t, CASE WHEN event_id%4<>0 THEN 1 ELSE 0 END AS ev
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT t, sum(ev) AS d, sum(1-ev) AS c FROM b GROUP BY 1),
+r AS (SELECT t, d, c,
+        (SELECT sum(d+c) FROM g) - coalesce(sum(d+c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g),
+s AS (SELECT t, d, c, n_risk,
+        CASE WHEN d > 0 AND 1.0 - d*1.0/n_risk > 0 THEN ln(1.0 - d*1.0/n_risk) ELSE 0.0 END AS lg,
+        CASE WHEN d > 0 AND 1.0 - d*1.0/n_risk <= 0 THEN 1 ELSE 0 END AS zf
+      FROM r)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+  round(CASE WHEN sum(zf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+        THEN 0.0 ELSE exp(sum(lg) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS survival
+FROM s
+"""
+
+
+def _q229(spark, sf_dir):
+    """Time-weighted average per user (operators/analytics.py
+    time_weighted_average, trapezoid): the honest mean for irregularly
+    sampled signals — one lag window sharded on the user key + one
+    aggregate."""
+    from polars_net_spark.operators.analytics import time_weighted_average
+
+    ev = _t(spark, sf_dir, "events").spark
+    out = time_weighted_average(ev, "ts", "value", by="user_id").spark
+    return out.select(
+        "user_id", "twa",
+        F.date_format("t_min", "yyyy-MM-dd HH:mm:ss").alias("t0"),
+        F.date_format("t_max", "yyyy-MM-dd HH:mm:ss").alias("t1"),
+        "n",
+    )
+
+
+_q229_sql = """
+WITH b AS (
+  SELECT user_id, epoch(ts) AS t, value AS v FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL),
+l AS (SELECT user_id, t, v,
+        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt,
+        lag(v) OVER (PARTITION BY user_id ORDER BY t) AS pv
+      FROM b),
+a AS (SELECT user_id,
+        sum((t - pt) * (pv + v) / 2.0) AS area,
+        min(t) AS t0, max(t) AS t1, count(*) AS n, avg(v) AS vbar
+      FROM l GROUP BY 1)
+SELECT user_id,
+  round(CASE WHEN t1 > t0 THEN area / (t1 - t0) ELSE vbar END, 6) AS twa,
+  strftime(to_timestamp(t0), '%Y-%m-%d %H:%M:%S') AS t0,
+  strftime(to_timestamp(t1), '%Y-%m-%d %H:%M:%S') AS t1,
+  CAST(n AS BIGINT) AS n
+FROM a
+"""
+
+
+def _q230(spark, sf_dir):
+    """Decile lift / cumulative gains (llm/evaluation.py lift_table):
+    exact-quantile score deciles (1-row broadcast edges, parity-proven
+    interpolation), per-decile lift vs base rate, cumulative gain walking
+    down from the top — the targeting readout beside AUC."""
+    from polars_net_spark.llm import lift_table
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.select(
+        (F.col("value") / 100).alias("score"),
+        F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    ).filter(F.col("score").isNotNull())
+    return lift_table(d, "score", "y", n_bins=10).spark
+
+
+_q230_sql = """
+WITH b AS (
+  SELECT value/100 AS s, CASE WHEN event_id%3=0 THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+e AS (SELECT quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM b),
+binned AS (
+  SELECT 10 - len(list_filter(edges, x -> s >= x)) AS decile, y
+  FROM b CROSS JOIN e),
+cnt AS (SELECT decile, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM cnt),
+grid AS (SELECT CAST(g AS INT) AS decile FROM generate_series(1,10) s(g)),
+filled AS (
+  SELECT grid.decile, coalesce(n,0) AS n, coalesce(n_pos,0) AS n_pos, tn, tp
+  FROM grid LEFT JOIN cnt ON grid.decile = cnt.decile CROSS JOIN tot)
+SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+  round(CASE WHEN n > 0 THEN n_pos*1.0/n END, 6) AS pos_rate,
+  round(CASE WHEN tp > 0 AND n > 0 THEN (n_pos*1.0/n)/(tp*1.0/tn) END, 6) AS lift,
+  round(CASE WHEN tp > 0 THEN sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*1.0/tp END, 6) AS cum_gain,
+  round(CASE WHEN tp > 0 THEN (sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*1.0
+        / sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))/(tp*1.0/tn) END, 6) AS cum_lift
+FROM filled
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7545,6 +7656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_l_diversity": _q225,
         "q226_rrf_fusion": _q226,
         "q227_prop_ztest": _q227,
+        "q228_survival": _q228,
+        "q229_twa": _q229,
+        "q230_lift": _q230,
     }
 
 
@@ -7777,4 +7891,7 @@ def oracle_sql() -> dict[str, str]:
         "q225_l_diversity": _q225_sql,
         "q226_rrf_fusion": _q226_sql,
         "q227_prop_ztest": _q227_sql,
+        "q228_survival": _q228_sql,
+        "q229_twa": _q229_sql,
+        "q230_lift": _q230_sql,
     }

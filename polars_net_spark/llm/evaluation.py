@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
 
-__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic", "mrr_at_k", "recall_at_k", "classification_loss"]
+__all__ = ["calibration_report", "roc_auc", "prf1_report", "expected_calibration_error", "ndcg_at_k", "average_precision", "calibrate_isotonic", "apply_isotonic", "mrr_at_k", "recall_at_k", "classification_loss", "lift_table"]
 
 
 def _sdf(frame):
@@ -508,4 +508,84 @@ def classification_loss(
     else:
         keys = [by] if isinstance(by, str) else list(by)
         out = base.groupBy(*keys).agg(*aggs)
+    return LazyFrame(out)
+
+
+def lift_table(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Decile lift / cumulative-gains table: rows bucketed by exact score
+    quantiles (bin 1 = highest scores), per bin the positive rate, lift vs
+    the base rate, and cumulative gain/lift walking down from the top —
+    "how much better than random is my top 10/20/30%", the campaign- and
+    filter-targeting readout beside ROC-AUC.
+
+    Quantile edges come from ONE exact-percentile aggregate attached as a
+    1-row broadcast (same parity-proven interpolation as qcut); binning is
+    a count of edges ≤ score, so ties route identically in any engine.
+    Per-bin counts combine map-side; the cumulative window rides on the
+    ``n_bins``-row result (bounded by construction).  All bins materialize
+    — heavy score ties can leave a bin empty (n=0, null rates).
+    Output: decile, n, n_pos, pos_rate, lift, cum_gain, cum_lift."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") > 0).cast("long")
+    base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull()).select(
+        s.alias("__s__"), y.alias("__y__")
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = base.agg(
+        F.percentile(F.col("__s__"), F.array(*[F.lit(q) for q in qs])).alias("__e__")
+    )
+    with_e = base.join(F.broadcast(edges_row))
+    n_le = F.size(F.filter(F.col("__e__"), lambda e: F.col("__s__") >= e))
+    decile = F.lit(n_bins) - n_le
+    binned = with_e.select(decile.alias("decile"), "__y__")
+    cnt = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y__").alias("n_pos")
+    )
+    spark = sdf.sparkSession
+    grid = spark.range(1, n_bins + 1).select(F.col("id").cast("int").alias("decile"))
+    tot = cnt.agg(
+        F.sum("n").alias("tn"), F.sum("n_pos").alias("tp")
+    )
+    filled = (
+        grid.join(cnt.select(F.col("decile").cast("int").alias("decile"), "n", "n_pos"), "decile", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+            "tn", "tp",
+        )
+    )
+    wcum = (
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )  # n_bins rows only — bounded by construction
+    cum_n = F.sum("n").over(wcum)
+    cum_pos = F.sum("n_pos").over(wcum)
+    base_rate = F.col("tp") / F.col("tn")
+    pos_rate = F.when(F.col("n") > 0, F.col("n_pos") / F.col("n"))
+    out = filled.select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(pos_rate, round_to).alias("pos_rate"),
+        F.round(
+            F.when(base_rate > 0, pos_rate / base_rate), round_to
+        ).alias("lift"),
+        F.round(
+            F.when(F.col("tp") > 0, cum_pos / F.col("tp")), round_to
+        ).alias("cum_gain"),
+        F.round(
+            F.when((base_rate > 0) & (cum_n > 0), (cum_pos / cum_n) / base_rate),
+            round_to,
+        ).alias("cum_lift"),
+    )
     return LazyFrame(out)

@@ -29,6 +29,8 @@ __all__ = [
     "benford_report",
     "with_scaled",
     "l_diversity_report",
+    "survival_curve",
+    "time_weighted_average",
 ]
 
 
@@ -876,5 +878,171 @@ def l_diversity_report(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum(viol.cast("long")).cast("long").alias("n_violating_groups"),
         F.sum("__sz__").cast("long").alias("n_rows"),
+    )
+    return LazyFrame(out)
+
+
+def survival_curve(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    event_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Kaplan–Meier survival estimator with right-censoring: rows are
+    subjects, ``time_col`` the observation time, ``event_col`` truthy if the
+    event (churn/failure/death) occurred at that time and falsy if the
+    subject was censored then.  S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct
+    event times — the churn/retention curve done right (censoring-aware,
+    unlike a naive survival fraction).
+
+    The subject table collapses to DISTINCT (key, time) rows first (one
+    map-side-combining aggregate), so all windows ride on time cardinality,
+    not subjects.  Per-key (``by=``) windows shard on the key.  The GLOBAL
+    path reuses the range-bucket + driver-prefix-offset machinery
+    (operators/distsort.py) for both running sums (at-risk counts and
+    Σ ln(1−d/n)), so no single-partition window runs at any scale.  Keep
+    ``time_col`` at a sensible granularity (day/week buckets) — the output
+    has one row per distinct time.
+
+    Output: [keys...,] t, n_risk, d (events), c (censored), survival —
+    survival is the post-t value, rows only at times with ≥1 event or
+    censoring.  S hits exact 0 when the last at-risk subject events."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    t = F.col(time_col).cast("double")
+    ev = (F.col(event_col).cast("double") > 0).cast("long")
+    base = sdf.filter(t.isNotNull() & F.col(event_col).isNotNull())
+    grp = base.groupBy(*keys, t.alias("t")).agg(
+        F.sum(ev).alias("d"), F.sum(1 - ev).alias("c")
+    )
+    if keys:
+        wtot = Window.partitionBy(*keys)
+        wexcl = (
+            Window.partitionBy(*keys)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        n_total = F.sum(F.col("d") + F.col("c")).over(wtot)
+        n_risk = n_total - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(wexcl), F.lit(0)
+        )
+        term = 1.0 - F.col("d") / n_risk
+        logv = F.when((F.col("d") > 0) & (term > 0), F.log(term)).otherwise(F.lit(0.0))
+        zflag = F.when((F.col("d") > 0) & (term <= 0), 1).otherwise(0)
+        staged = grp.select(
+            *keys, "t", "d", "c", n_risk.alias("n_risk"),
+            logv.alias("__lg__"), zflag.alias("__zf__"),
+        )
+        cum_lg = F.sum("__lg__").over(
+            Window.partitionBy(*keys).orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum_zf = F.sum("__zf__").over(
+            Window.partitionBy(*keys).orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = staged.select(
+            *keys, "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d"),
+            F.col("c").cast("long").alias("c"),
+            F.round(
+                F.when(cum_zf > 0, F.lit(0.0)).otherwise(F.exp(cum_lg)), round_to
+            ).alias("survival"),
+        )
+        return LazyFrame(out)
+    from .._cache import register_cache
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    g = register_cache(grp)
+    d2, gb = with_range_buckets(g, "t")
+    d3, tot = with_prefix_offsets(d2, gb, {"dc": F.col("d") + F.col("c")})
+    n_total = float(tot["dc"])
+    wexcl = (
+        Window.partitionBy(gb).orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_risk = F.lit(n_total) - (
+        F.col("__off_dc__")
+        + F.coalesce(F.sum(F.col("d") + F.col("c")).over(wexcl), F.lit(0))
+    )
+    term = 1.0 - F.col("d") / n_risk
+    logv = F.when((F.col("d") > 0) & (term > 0), F.log(term)).otherwise(F.lit(0.0))
+    zflag = F.when((F.col("d") > 0) & (term <= 0), 1).otherwise(0)
+    staged = register_cache(
+        d3.select(
+            gb, "t", "d", "c", n_risk.alias("n_risk"),
+            logv.alias("__lg__"), zflag.alias("__zf__"),
+        )
+    )
+    s2, _tot2 = with_prefix_offsets(
+        staged, gb, {"lg": F.col("__lg__"), "zf": F.col("__zf__")}
+    )
+    wincl = (
+        Window.partitionBy(gb).orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_lg = F.col("__off_lg__") + F.sum("__lg__").over(wincl)
+    cum_zf = F.col("__off_zf__") + F.sum("__zf__").over(wincl)
+    out = s2.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        F.round(
+            F.when(cum_zf > 0, F.lit(0.0)).otherwise(F.exp(cum_lg)), round_to
+        ).alias("survival"),
+    )
+    return LazyFrame(out)
+
+
+def time_weighted_average(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    method: str = "trapezoid",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Time-weighted average of an irregularly sampled signal per key:
+    trapezoid = Σ Δt·(vᵢ+vᵢ₊₁)/2 / (t_n − t₀) (linear between samples),
+    ``step`` = Σ Δt·vᵢ / (t_n − t₀) (last-observation-carried-forward) —
+    the honest mean for sensor/price/gauge data where a plain avg
+    over-weights bursts of samples.
+
+    One lag window per key + one aggregate.  Keys with a single sample (no
+    span) yield that value; null values/timestamps are excluded.  Output:
+    [keys...,] twa, t_min, t_max, n."""
+    if method not in ("trapezoid", "step"):
+        raise ValueError("method must be trapezoid or step")
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ts = F.col(ts_col).cast("timestamp")
+    tsec = F.unix_micros(ts) / 1e6
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(ts.isNotNull() & v.isNotNull()).select(
+        *keys, tsec.alias("__t__"), v.alias("__v__")
+    )
+    w = Window.partitionBy(*keys).orderBy("__t__") if keys else Window.orderBy("__t__")
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("time_weighted_average(by=None)")
+    pt, pv = F.lag("__t__").over(w), F.lag("__v__").over(w)
+    dt = F.col("__t__") - pt
+    area = dt * (pv + F.col("__v__")) / 2.0 if method == "trapezoid" else dt * pv
+    staged = base.select(*keys, "__t__", "__v__", area.alias("__a__"))
+    agg = staged.groupBy(*keys).agg(
+        F.sum("__a__").alias("area"),
+        F.min("__t__").alias("t0"),
+        F.max("__t__").alias("t1"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__v__").alias("vbar"),
+    )
+    span = F.col("t1") - F.col("t0")
+    twa = F.when(span > 0, F.col("area") / span).otherwise(F.col("vbar"))
+    out = agg.select(
+        *keys,
+        F.round(twa, round_to).alias("twa"),
+        F.to_timestamp(F.col("t0")).alias("t_min"),
+        F.to_timestamp(F.col("t1")).alias("t_max"),
+        F.col("n").cast("long").alias("n"),
     )
     return LazyFrame(out)

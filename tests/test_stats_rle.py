@@ -622,3 +622,111 @@ class TestLDiversity:
         d = spark.createDataFrame([("a", "x"), ("a", None)], ["q", "s"])
         (ml, _, nvg, _), = l_diversity_report(d, ["q"], "s", l=2).collect().rows()
         assert ml == 2 and nvg == 0
+
+
+class TestSurvivalCurve:
+    ROWS = [(1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (4.0, 0)]
+
+    def test_global_known_curve(self, spark):
+        from polars_net_spark.operators.analytics import survival_curve
+
+        d = spark.createDataFrame(self.ROWS, ["t_obs", "event"])
+        got = {r[0]: (r[1], r[2], r[3], r[4]) for r in survival_curve(d, "t_obs", "event").collect().rows()}
+        assert got[1.0] == (5, 1, 0, 0.8)
+        assert got[2.0] == (4, 0, 1, 0.8)
+        assert got[3.0] == (3, 2, 0, round(0.8 / 3, 6))
+        assert got[4.0] == (1, 0, 1, round(0.8 / 3, 6))
+
+    def test_per_key_matches_global(self, spark):
+        from polars_net_spark.operators.analytics import survival_curve
+
+        rows = [("a", *r) for r in self.ROWS] + [("b", *r) for r in self.ROWS]
+        d = spark.createDataFrame(rows, ["k", "t_obs", "event"])
+        out = survival_curve(d, "t_obs", "event", by="k").collect().rows()
+        assert len(out) == 8
+        for k, t, n_risk, dd, c, s in out:
+            if t == 3.0:
+                assert (n_risk, dd, s) == (3, 2, round(0.8 / 3, 6))
+
+    def test_survival_hits_zero(self, spark):
+        from polars_net_spark.operators.analytics import survival_curve
+
+        d = spark.createDataFrame([(5.0, 1)], ["t_obs", "event"])
+        (t, n_risk, dd, c, s), = survival_curve(d, "t_obs", "event").collect().rows()
+        assert (n_risk, dd, s) == (1, 1, 0.0)
+
+
+class TestTimeWeightedAverage:
+    def test_trapezoid_vs_step(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import time_weighted_average
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u", base, 0.0),
+            ("u", base + dt.timedelta(seconds=10), 10.0),
+        ]
+        d = spark.createDataFrame(rows, ["k", "ts", "v"])
+        (k, twa, t0, t1, n), = time_weighted_average(d, "ts", "v", by="k").collect().rows()
+        assert twa == 5.0 and n == 2
+        (k, twa_s, *_), = time_weighted_average(d, "ts", "v", by="k", method="step").collect().rows()
+        assert twa_s == 0.0
+
+    def test_burst_not_overweighted(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import time_weighted_average
+
+        base = dt.datetime(2024, 1, 1)
+        # value 0 for 100s, then a burst of three 10.0 samples in 2s
+        rows = [("u", base, 0.0), ("u", base + dt.timedelta(seconds=100), 10.0),
+                ("u", base + dt.timedelta(seconds=101), 10.0), ("u", base + dt.timedelta(seconds=102), 10.0)]
+        d = spark.createDataFrame(rows, ["k", "ts", "v"])
+        (k, twa, *_), = time_weighted_average(d, "ts", "v", by="k").collect().rows()
+        # naive mean = 7.5; TWA = (100*5 + 2*10)/102
+        assert twa == round((100 * 5 + 2 * 10) / 102, 6)
+
+    def test_single_sample_identity(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import time_weighted_average
+
+        d = spark.createDataFrame([("u", dt.datetime(2024, 1, 1), 7.0)], ["k", "ts", "v"])
+        (k, twa, t0, t1, n), = time_weighted_average(d, "ts", "v", by="k").collect().rows()
+        assert twa == 7.0 and n == 1
+
+
+class TestLiftTable:
+    def test_two_bins_known(self, spark):
+        from polars_net_spark.llm import lift_table
+
+        d = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], ["s", "y"]
+        )
+        rows = {r[0]: r[1:] for r in lift_table(d, "s", "y", n_bins=2).collect().rows()}
+        n, n_pos, pr, lift, cg, cl = rows[1]
+        assert (n, n_pos, pr, lift) == (2, 2, 1.0, 2.0)
+        assert (cg, cl) == (1.0, 2.0)
+        n, n_pos, pr, lift, cg, cl = rows[2]
+        assert (n, n_pos, pr, lift) == (2, 0, 0.0, 0.0)
+        assert (cg, cl) == (1.0, 1.0)
+
+    def test_empty_bin_materialized(self, spark):
+        from polars_net_spark.llm import lift_table
+
+        # all scores equal: every row lands in the BOTTOM decile bucket
+        d = spark.createDataFrame([(5.0, 1)] * 4, ["s", "y"])
+        rows = lift_table(d, "s", "y", n_bins=4).collect().rows()
+        assert len(rows) == 4
+        by_d = {r[0]: r[1] for r in rows}
+        assert sum(by_d.values()) == 4
+
+    def test_bad_bins_raise(self, spark):
+        import pytest as _pytest
+
+        from polars_net_spark.llm import lift_table
+
+        d = spark.createDataFrame([(1.0, 1)], ["s", "y"])
+        with _pytest.raises(ValueError):
+            lift_table(d, "s", "y", n_bins=1)

@@ -380,6 +380,12 @@ CHECKS = {
     "q227_prop_ztest": [
         ("partial_count", "arm counts reduce map-side in one fused aggregate"),
     ],
+    "q228_survival": [
+        ("windowspecdefinition(__gb__", "KM running sums ride bucket-keyed windows, never a global one"),
+    ],
+    "q229_twa": [
+        ("!", "Exchange SinglePartition", "per-user lag/agg shards on the user key"),
+    ],
 }
 
 
@@ -446,6 +452,7 @@ def main() -> None:
         "q215_psi_drift",           # 1-row ref-min/max + 1-row total attaches
         "q217_fleiss_kappa",        # 1-row rating-total + 1-row chance-agreement attach
         "q222_benford",             # 1-row digit-total attach onto the 9-digit grid
+        "q230_lift",                # 1-row quantile-edge + totals attach (qcut class)
     }
     from polars_net_spark import release_caches
 
