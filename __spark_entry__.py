@@ -7424,6 +7424,155 @@ FROM filled
 """
 
 
+def _q231(spark, sf_dir):
+    """PMI collocation mining (llm/retrieval.py pmi_collocations): adjacent
+    bigrams built map-side per document (slice+zip_with, no positional
+    self-join); min_count prunes the pair tail before the unigram joins;
+    shared-token-total NPMI normalization."""
+    from polars_net_spark.llm import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5).spark
+
+
+_q231_sql = """
+WITH w AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> length(t) > 0) AS ws
+  FROM documents),
+uni AS (
+  SELECT t.term AS term, count(*) AS c
+  FROM w, LATERAL unnest(ws) AS t(term) GROUP BY 1),
+nt AS (SELECT sum(c) AS n FROM uni),
+bg AS (
+  SELECT ws[r.i] AS a, ws[r.i + 1] AS b
+  FROM w, LATERAL unnest(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2),
+pc AS (SELECT a, b, count(*) AS pair_count FROM bg GROUP BY 1, 2
+       HAVING count(*) >= 5)
+SELECT pc.a, pc.b, CAST(pair_count AS BIGINT) AS pair_count,
+  round(ln((pair_count * 1.0 / n) / ((ca.c * 1.0 / n) * (cb.c * 1.0 / n))), 6) AS pmi,
+  round(ln((pair_count * 1.0 / n) / ((ca.c * 1.0 / n) * (cb.c * 1.0 / n)))
+        / -ln(pair_count * 1.0 / n), 6) AS npmi
+FROM pc JOIN uni ca ON pc.a = ca.term JOIN uni cb ON pc.b = cb.term, nt
+"""
+
+
+def _q232(spark, sf_dir):
+    """Smoothed mean target encoding (operators/analytics.py target_encode):
+    per order priority, shrinkage-blended mean order value — one category-
+    keyed aggregate + 1-row prior broadcast."""
+    from polars_net_spark.operators.analytics import target_encode
+
+    o = _t(spark, sf_dir, "orders").spark
+    return target_encode(o, "o_orderpriority", "o_totalprice", smoothing=25.0).spark
+
+
+_q232_sql = """
+WITH b AS (
+  SELECT o_orderpriority AS c, o_totalprice AS y FROM orders
+  WHERE o_totalprice IS NOT NULL),
+p AS (SELECT avg(y) AS prior FROM b),
+g AS (SELECT c, count(*) AS n, sum(y) AS s FROM b GROUP BY 1)
+SELECT c AS o_orderpriority, CAST(n AS BIGINT) AS n,
+  round(s / n, 6) AS target_mean,
+  round((s + 25.0 * prior) / (n + 25.0), 6) AS encoding
+FROM g, p
+"""
+
+
+def _q233(spark, sf_dir):
+    """Hashing-trick featurizer (llm/vocab.py feature_hash_frame): md5
+    bucket + signed collision cancellation, entirely map-side array math —
+    the plan has ZERO Exchange (audited).  Gate stringifies the sparse
+    arrays for the hash compare."""
+    from polars_net_spark.llm import feature_hash_frame
+
+    d = _t(spark, sf_dir, "documents").spark
+    out = feature_hash_frame(d, n_features=64, seed="fh").spark
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("indices", lambda i: i.cast("string")), ",").alias("indices"),
+        F.array_join(
+            F.transform("values", lambda v: v.cast("long").cast("string")), ","
+        ).alias("vals"),
+    )
+
+
+_q233_sql = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> length(t) > 0) AS ws
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(ws, w -> CAST(
+      list_reduce(list_transform(generate_series(1, 8),
+                  i -> strpos('0123456789abcdef', substr(md5('fh' || w), i, 1)) - 1),
+                  (a, x) -> a * 16 + x) % 64 AS INTEGER)) AS bs,
+    list_transform(ws, w -> CASE
+      WHEN (strpos('0123456789abcdef', substr(md5('fh' || w), 9, 1)) - 1) % 2 = 1
+      THEN -1 ELSE 1 END) AS ss
+  FROM d),
+v AS (
+  SELECT doc_id, bs, ss, list_sort(list_distinct(bs)) AS ib FROM h),
+vv AS (
+  SELECT doc_id, ib,
+    list_transform(ib, b -> list_sum(list_transform(generate_series(1, len(bs)),
+                   j -> CASE WHEN bs[j] = b THEN ss[j] ELSE 0 END))) AS vs
+  FROM v),
+k AS (
+  SELECT doc_id, ib, vs,
+    list_filter(generate_series(1, len(ib)), j -> vs[j] <> 0) AS keep
+  FROM vv)
+SELECT doc_id,
+  array_to_string(list_transform(keep, j -> CAST(ib[j] AS VARCHAR)), ',') AS indices,
+  array_to_string(list_transform(keep, j -> CAST(CAST(vs[j] AS BIGINT) AS VARCHAR)), ',') AS vals
+FROM k
+"""
+
+
+def _q234(spark, sf_dir):
+    """Declarative data-quality audit (operators/validate.py
+    validate_frame): five rules — uniqueness, null screen, range, set
+    membership, regex — compiled into ONE fused all-reduce (the distinct
+    count rides the same aggregate chain), one audit row per rule."""
+    from polars_net_spark.operators.validate import validate_frame
+
+    o = _t(spark, sf_dir, "orders").spark
+    rules = [
+        {"col": "o_orderkey", "check": "unique"},
+        {"col": "o_custkey", "check": "not_null"},
+        {"col": "o_totalprice", "check": "min", "value": 0.0},
+        {"col": "o_orderstatus", "check": "in_set", "values": ["O", "F", "P"]},
+        {"col": "o_orderpriority", "check": "regex", "pattern": "^[1-5]-",
+         "max_violation_rate": 0.5},
+    ]
+    return validate_frame(o, rules).spark
+
+
+_q234_sql = """
+WITH s AS (
+  SELECT count(*) AS n,
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS v0,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0.0 THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v3,
+    sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS v4
+  FROM orders),
+r AS (
+  SELECT 'unique' AS rule, 'o_orderkey' AS "column", v0 AS nv, 0.0 AS thr FROM s
+  UNION ALL SELECT 'not_null', 'o_custkey', v1, 0.0 FROM s
+  UNION ALL SELECT 'min 0.0', 'o_totalprice', v2, 0.0 FROM s
+  UNION ALL SELECT 'in_set', 'o_orderstatus', v3, 0.0 FROM s
+  UNION ALL SELECT 'regex', 'o_orderpriority', v4, 0.5 FROM s)
+SELECT rule, "column", CAST(n AS BIGINT) AS n_rows, CAST(nv AS BIGINT) AS n_violations,
+  round(nv * 1.0 / n, 6) AS violation_rate, (nv * 1.0 / n) <= thr AS passed
+FROM r, s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7659,6 +7808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_survival": _q228,
         "q229_twa": _q229,
         "q230_lift": _q230,
+        "q231_pmi": _q231,
+        "q232_target_encode": _q232,
+        "q233_feature_hash": _q233,
+        "q234_validate": _q234,
     }
 
 
@@ -7894,4 +8047,8 @@ def oracle_sql() -> dict[str, str]:
         "q228_survival": _q228_sql,
         "q229_twa": _q229_sql,
         "q230_lift": _q230_sql,
+        "q231_pmi": _q231_sql,
+        "q232_target_encode": _q232_sql,
+        "q233_feature_hash": _q233_sql,
+        "q234_validate": _q234_sql,
     }

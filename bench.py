@@ -57,17 +57,20 @@ def main() -> None:
 
     ok_timings = [t for t in timings.values() if t >= 0]
     total = round(sum(ok_timings), 3)
+    # queries dict FIRST, summary scalars LAST: the driver's capture keeps the
+    # TAIL of the line when it truncates, so ordering the small fields at the
+    # end guarantees metric/value/n_failed always survive truncation
     payload = {
+        "queries": timings,
         "metric": "suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok_timings),
         "sec_per_query": round(total / max(len(ok_timings), 1), 3),
         "sf": sf,
     }
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
     # committed artifact with ALL per-query times (the driver's BENCH_r{N}.json
     # has been observed tail-truncated); same JSON, pretty-printed
     try:

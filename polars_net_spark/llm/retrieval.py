@@ -406,3 +406,77 @@ def rrf_fuse(
     if top_n is not None:
         out = out.filter(F.col("fused_rank") <= int(top_n))
     return LazyFrame(out)
+
+
+def pmi_collocations(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    round_to: int = 6,
+):
+    """Adjacent-bigram collocation mining by pointwise mutual information:
+    which word pairs co-occur far more than their unigram frequencies
+    predict — the corpus-analysis primitive behind phrase detection
+    (``new york``-style merges), tokenizer-vocab seeding and boilerplate
+    discovery.
+
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) with every probability over the SAME
+    denominator — the corpus token total (the word2phrase/gensim-Phrases
+    convention; one shared space keeps p(a,b) ≤ min(p(a), p(b)));
+    NPMI = PMI / −ln p(a,b) then normalizes to [−1, 1] so scores are
+    comparable across corpus sizes.
+
+    Scale design: bigrams are built map-side per document (two ``slice``s +
+    ``zip_with`` on the token array — no positional self-join), so the only
+    corpus-sized shuffles are the (a, b) and unigram hash aggregates, both
+    map-side combining.  ``min_count`` prunes the pair tail BEFORE the two
+    term-keyed joins against the unigram table — at 100 TB the hapax pair
+    tail is most of the output, so this is the cost lever.  The two corpus
+    totals ride in as a 1-row broadcast.
+
+    Output: (a, b, pair_count, pmi, npmi) with pair_count >= min_count.
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    docs = sdf.select(words.alias("__w__")).filter(F.size("__w__") >= 2)
+    n = F.size("__w__")
+    bigrams = F.zip_with(
+        F.slice("__w__", 1, n - 1),
+        F.slice("__w__", 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pairs = docs.select(F.explode(bigrams).alias("bg")).select("bg.a", "bg.b")
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    toks = sdf.select(F.explode(words).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c__"))
+    totals = toks.agg(F.count(F.lit(1)).alias("__nt__"))
+    joined = (
+        pair_counts.join(uni.withColumnRenamed("term", "a").withColumnRenamed("__c__", "__ca__"), "a")
+        .join(uni.withColumnRenamed("term", "b").withColumnRenamed("__c__", "__cb__"), "b")
+        .join(F.broadcast(totals))
+    )
+    p_ab = F.col("pair_count") / F.col("__nt__")
+    p_a = F.col("__ca__") / F.col("__nt__")
+    p_b = F.col("__cb__") / F.col("__nt__")
+    pmi = F.log(p_ab / (p_a * p_b))
+    out = joined.select(
+        "a",
+        "b",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.round(pmi, round_to).alias("pmi"),
+        F.round(pmi / -F.log(p_ab), round_to).alias("npmi"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["term_document_frequency", "pmi_collocations"])

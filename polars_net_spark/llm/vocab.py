@@ -299,3 +299,77 @@ def bpe_encode_frame(
 
 
 __all__.extend(["train_bpe", "bpe_encode_frame"])
+
+
+def feature_hash_frame(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+    seed: str = "fh",
+    signed: bool = True,
+) -> LazyFrame:
+    """Hashing-trick featurizer: each document becomes a sparse
+    ``n_features``-dimensional bag-of-words vector with NO vocabulary pass —
+    bucket = md5(seed‖term) mod n_features, and (``signed=True``, the
+    Weinberger et al. convention) a second md5 digit flips the contribution
+    sign so hash collisions cancel in expectation instead of accumulating.
+
+    Entirely map-side: token→bucket, per-document bucket aggregation, and
+    zero-weight elimination are all array expressions inside whole-stage
+    codegen — ZERO shuffles, no vocabulary state, no driver round trip.
+    That statelessness is the point at 100 TB: featurization composes with
+    any upstream scan without a trainer artifact to version or broadcast.
+    Per-document cost is O(unique_buckets × tokens) array work; documents
+    cap unique_buckets at min(tokens, n_features).
+
+    Output: (id_col, indices array<int> ascending, values array<double>) —
+    exactly-zero entries (signed cancellation) are dropped, so empty docs
+    yield empty arrays."""
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+
+    def bucket(w):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(seed), w)), 1, 8), 16, 10)
+            .cast("long") % F.lit(int(n_features))
+        ).cast("int")
+
+    def sign(w):
+        if not signed:
+            return F.lit(1)
+        odd = F.conv(F.substring(F.md5(F.concat(F.lit(seed), w)), 9, 1), 16, 10).cast("int") % 2
+        return F.when(odd == 1, F.lit(-1)).otherwise(F.lit(1))
+
+    words = _words(text_col)
+    staged = sdf.select(
+        F.col(id_col),
+        F.transform(words, bucket).alias("__b__"),
+        F.transform(words, sign).alias("__s__"),
+    )
+    idx = F.array_sort(F.array_distinct(F.col("__b__")))
+    val = F.transform(
+        idx,
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.col("__b__"),
+                F.col("__s__"),
+                lambda k, s: F.when(k == b, s).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    pairs = F.filter(
+        F.arrays_zip(idx.alias("i"), val.alias("v")), lambda p: p["v"] != 0
+    )
+    out = staged.select(
+        id_col,
+        F.transform(pairs, lambda p: p["i"]).alias("indices"),
+        F.transform(pairs, lambda p: p["v"].cast("double")).alias("values"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("feature_hash_frame")

@@ -31,6 +31,8 @@ __all__ = [
     "l_diversity_report",
     "survival_curve",
     "time_weighted_average",
+    "target_encode",
+    "with_target_encoded",
 ]
 
 
@@ -1046,3 +1048,82 @@ def time_weighted_average(
         F.col("n").cast("long").alias("n"),
     )
     return LazyFrame(out)
+
+
+def target_encode(
+    frame: "LazyFrame | SparkDF",
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Smoothed mean target encoding table: per category, the
+    shrinkage-blended target mean enc = (Σy + m·prior) / (n + m) with
+    ``m = smoothing`` pseudo-observations of the global prior — the
+    high-cardinality-categorical feature encoder (rare categories shrink to
+    the prior instead of memorizing noise).
+
+    One map-side-combining aggregate keyed on the category plus a 1-row
+    broadcast for the prior; output is category-cardinality-sized.  Null
+    categories form their own group (they encode like any other level).
+    Rows with a null target are excluded from both the prior and the
+    per-category statistics.
+
+    Output: (cat_col, n, target_mean, encoding)."""
+    sdf = _sdf(frame)
+    m = float(smoothing)
+    if m < 0:
+        raise ValueError("smoothing must be >= 0")
+    y = F.col(target_col).cast("double")
+    base = sdf.filter(y.isNotNull()).select(F.col(cat_col), y.alias("__y__"))
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y__").alias("__sum__")
+    )
+    prior = base.agg(F.avg("__y__").alias("__prior__"))
+    out = per_cat.join(F.broadcast(prior)).select(
+        cat_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__sum__") / F.col("n"), round_to).alias("target_mean"),
+        F.round(
+            (F.col("__sum__") + F.lit(m) * F.col("__prior__")) / (F.col("n") + F.lit(m)),
+            round_to,
+        ).alias("encoding"),
+    )
+    return LazyFrame(out)
+
+
+def with_target_encoded(
+    frame: "LazyFrame | SparkDF",
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: "str | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Row-level companion of :func:`target_encode`: attaches the smoothed
+    encoding to every row as ``out_col`` (default ``{cat_col}_enc``).
+
+    The encodings table is category-cardinality-sized and joins back via an
+    explicit broadcast (null-safe on the category so null levels get their
+    encoding too); unseen-at-scoring categories would get the global prior —
+    here every row's category is by construction in the table, so the
+    fallback only matters for rows whose target was null everywhere in the
+    category (they fall back to the prior as well)."""
+    sdf = _sdf(frame)
+    out_col = out_col or f"{cat_col}_enc"
+    enc = target_encode(sdf, cat_col, target_col, smoothing, round_to=12).spark.select(
+        F.col(cat_col).alias("__cat__"), F.col("encoding").alias("__enc__")
+    )
+    prior = (
+        sdf.filter(F.col(target_col).isNotNull())
+        .agg(F.avg(F.col(target_col).cast("double")).alias("__prior__"))
+    )
+    joined = (
+        sdf.join(F.broadcast(enc), F.col(cat_col).eqNullSafe(F.col("__cat__")), "left")
+        .join(F.broadcast(prior))
+        .select(
+            *sdf.columns,
+            F.round(F.coalesce(F.col("__enc__"), F.col("__prior__")), round_to).alias(out_col),
+        )
+    )
+    return LazyFrame(joined)

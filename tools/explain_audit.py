@@ -386,6 +386,21 @@ CHECKS = {
     "q229_twa": [
         ("!", "Exchange SinglePartition", "per-user lag/agg shards on the user key"),
     ],
+    "q231_pmi": [
+        ("partial_count", "bigram/unigram counts combine map-side"),
+        ("!", "CartesianProduct", "token-total broadcast, no cartesian"),
+    ],
+    "q232_target_encode": [
+        ("partial_sum", "category sums combine map-side"),
+        ("BroadcastNestedLoopJoin BuildRight", "1-row prior rides in as a bounded broadcast"),
+    ],
+    "q233_feature_hash": [
+        ("!", "Exchange", "hashing trick is pure map-side array math — zero shuffles"),
+        ("!", "EvalPython", "no Python in the featurizer path"),
+    ],
+    "q234_validate": [
+        ("partial_count(distinct", "uniqueness distinct-count fuses into the same aggregate chain, combining map-side"),
+    ],
 }
 
 
@@ -443,6 +458,8 @@ def main() -> None:
         "q123_term_df",             # 1-row corpus-doc-count attach
         "q146_bigram_lm",           # 1-row corpus-total N attach (backoff floor)
         "q124_winsorize",           # 1-row quantile-boundary attach
+        "q231_pmi",                 # 1-row token-total attach
+        "q232_target_encode",       # 1-row global-prior attach
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
