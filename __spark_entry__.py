@@ -7573,6 +7573,75 @@ FROM r, s
 """
 
 
+
+def _q235(spark, sf_dir):
+    """IVF-PQ composite ANN (llm/similarity.py ivfpq_index/ivfpq_topk —
+    the FAISS layout): coarse inverted lists bound WHICH vectors a query
+    scores (nprobe/nlist of the corpus), residual PQ/ADC bounds WHAT
+    scoring costs (m table lookups, the scan never touches floats).  Index
+    build is plan-audited zero-Exchange; search is one broadcast equi-join
+    on centroid_id.  Closed-form init centroids + codebooks keep the whole
+    path DuckDB-replicable; production refines both with k-means (pinned
+    by the Lloyd monotonicity tests)."""
+    from polars_net_spark.llm.similarity import ivfpq_topk, pq_init_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_init_codebooks(e, m=8, k=16)
+    q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
+    return ivfpq_topk(e, q, cb, k=5, nlist=8, nprobe=3).spark
+
+
+_q235_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+cd AS (SELECT e.vec_id, cent.cid,
+              list_sum(list_transform(generate_series(1, 64),
+                       p -> (e.v[p] - cent.cv[p]) ^ 2)) AS d2
+       FROM e CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1),
+res AS (SELECT e.vec_id, asg.cid,
+               list_transform(generate_series(1, 64), p -> e.v[p] - cent.cv[p]) AS rv
+        FROM e JOIN asg USING (vec_id) JOIN cent ON asg.cid = cent.cid),
+sd AS (SELECT res.vec_id, res.cid, ss.s, cb.j,
+              list_sum(list_transform(generate_series(1, 8),
+                       p -> (res.rv[ss.s * 8 + p] - cb.v[ss.s * 8 + p]) ^ 2)) AS d2
+       FROM res CROSS JOIN ss CROSS JOIN cb),
+codes AS (SELECT vec_id, cid, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM sd) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qd AS (SELECT q.query_id, cent.cid,
+              list_sum(list_transform(generate_series(1, 64),
+                       p -> (q.qv[p] - cent.cv[p]) ^ 2)) AS d2
+       FROM q CROSS JOIN cent),
+qprob AS (SELECT query_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+            FROM qd) WHERE rn <= 3),
+qres AS (SELECT q.query_id, qprob.cid,
+                list_transform(generate_series(1, 64), p -> q.qv[p] - cent.cv[p]) AS qr
+         FROM q JOIN qprob USING (query_id) JOIN cent ON qprob.cid = cent.cid),
+qt AS (SELECT qres.query_id, qres.cid, ss.s, cb.j,
+              list_sum(list_transform(generate_series(1, 8),
+                       p -> (qres.qr[ss.s * 8 + p] - cb.v[ss.s * 8 + p]) ^ 2)) AS qd2
+       FROM qres CROSS JOIN ss CROSS JOIN cb),
+adc AS (SELECT qt.query_id, codes.vec_id AS corpus_id, sum(qt.qd2) AS ad
+        FROM codes JOIN qt ON qt.cid = codes.cid AND qt.s = codes.s AND qt.j = codes.code
+        WHERE codes.vec_id <> qt.query_id
+        GROUP BY 1, 2)
+SELECT query_id, corpus_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, corpus_id, round(ad, 6) AS approx_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(ad, 6), corpus_id) AS rank
+  FROM adc)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7812,6 +7881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_target_encode": _q232,
         "q233_feature_hash": _q233,
         "q234_validate": _q234,
+        "q235_ivfpq": _q235,
     }
 
 
@@ -8051,4 +8121,5 @@ def oracle_sql() -> dict[str, str]:
         "q232_target_encode": _q232_sql,
         "q233_feature_hash": _q233_sql,
         "q234_validate": _q234_sql,
+        "q235_ivfpq": _q235_sql,
     }

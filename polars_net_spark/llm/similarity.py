@@ -1179,3 +1179,215 @@ def pq_recall_frame(
 
 
 __all__.extend(["pq_init_codebooks", "pq_train", "pq_encode", "pq_topk", "pq_recall_frame"])
+
+
+def _cent_row_frame(spark, centroids):
+    """Coarse centroids as ONE broadcast row (array<array<double>>) — same
+    constant-plan-size rationale as _pq_cb_frame."""
+    cv = [[float(x) for x in c] for c in centroids]
+    return spark.createDataFrame([(cv,)], "__cent__ array<array<double>>")
+
+
+def _nearest_centroid_expr(vec: Column, centcol: Column) -> Column:
+    """argmin_i ||vec - cent_i||² as one fold; strict < keeps the LOWEST
+    centroid id on exact ties (matches every oracle's ORDER BY d2, id)."""
+    return F.aggregate(
+        centcol,
+        F.struct(
+            F.lit(0).alias("i"), F.lit(-1).alias("j"),
+            F.lit(float("inf")).alias("d"),
+        ),
+        lambda acc, c: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(_pq_d2(vec, c) < acc["d"], acc["i"]).otherwise(acc["j"]).alias("j"),
+            F.when(_pq_d2(vec, c) < acc["d"], _pq_d2(vec, c)).otherwise(acc["d"]).alias("d"),
+        ),
+    )["j"].cast("int")
+
+
+def ivfpq_init_centroids(
+    corpus: "LazyFrame | SparkDF",
+    nlist: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list[list[float]]":
+    """Deterministic coarse quantizer: the ``nlist`` lowest-id corpus
+    vectors (the ivf_topk convention) — a FIT step an external engine can
+    replay exactly; refine with kmeans_centroids for production recall."""
+    sdf = _sdf(corpus)
+    rows = sdf.orderBy(id_col).limit(nlist).select(F.col(vec_col).alias("v")).collect()
+    if len(rows) < nlist:
+        raise ValueError(f"need at least nlist={nlist} vectors, got {len(rows)}")
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivfpq_index(
+    corpus: "LazyFrame | SparkDF",
+    codebooks: "list[list[list[float]]]",
+    nlist: int = 32,
+    centroids: "list[list[float]] | None" = None,
+    residual: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> LazyFrame:
+    """The persistable IVF-PQ index: (id, centroid_id, codes) — each vector
+    assigned to its nearest coarse centroid (inverted list) and PQ-encoded,
+    by default on the RESIDUAL v − centroid (the FAISS IVFPQ layout:
+    residual energy is much smaller than raw vector energy, so the same
+    codebook budget quantizes finer).
+
+    Entirely map-side: the coarse centroids and the codebooks each travel
+    as one broadcast row, and assignment + residual + encoding are folds
+    inside whole-stage codegen — ZERO shuffles, so building the index over
+    100 TB of embeddings is a linear scan.  Persist with
+    write_bucketed(centroid_id) and searches join the bucketed lists with
+    no exchange.  Train ``codebooks`` on residuals for best recall
+    (pq_train over the residual frame); closed-form init codebooks keep the
+    whole path oracle-replicable."""
+    sdf = _sdf(corpus)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    if centroids is None:
+        centroids = ivfpq_init_centroids(sdf, nlist, vec_col=vec_col, id_col=id_col)
+    spark = sdf.sparkSession
+    staged = (
+        sdf.crossJoin(F.broadcast(_cent_row_frame(spark, centroids)))
+        .crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v__"),
+            F.col("__cent__"),
+            F.col("__cb__"),
+            _nearest_centroid_expr(F.col(vec_col), F.col("__cent__")).alias("centroid_id"),
+        )
+    )
+    enc_in = (
+        F.zip_with(
+            "__v__",
+            F.element_at("__cent__", F.col("centroid_id") + 1),
+            lambda a, b: a.cast("double") - b,
+        )
+        if residual
+        else F.col("__v__")
+    )
+    out = staged.select(
+        id_col,
+        "centroid_id",
+        _pq_codes_expr(enc_in, F.col("__cb__"), m, sub_dim).alias("codes"),
+    )
+    return LazyFrame(out)
+
+
+def ivfpq_topk(
+    corpus: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    codebooks: "list[list[list[float]]]",
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    centroids: "list[list[float]] | None" = None,
+    residual: bool = True,
+    index: "LazyFrame | SparkDF | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: "str | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """IVF-PQ approximate top-k (the FAISS composite, Jégou et al. 2011):
+    coarse inverted lists bound WHICH vectors each query scores
+    (~nprobe/nlist of the corpus) and PQ/ADC bounds WHAT scoring costs
+    (m table lookups per candidate — the scan never touches floats).
+
+    Per (query, probed list) the m·k ADC distance table is built on the
+    query RESIDUAL against that list's centroid (``residual=True``), so
+    approximation error tracks the encoded residuals.  Probing sorts the
+    per-query centroid-distance array map-side (array_sort on (d², id)
+    structs — no window, no shuffle).  The only data-sized operation is ONE
+    hash equi-join: broadcast(|Q|·nprobe probe rows with their tables) ⋈
+    inverted lists on centroid_id.  Pass ``index=`` (a persisted
+    :func:`ivfpq_index` frame, e.g. read_table of a centroid_id-bucketed
+    write) to skip re-encoding — the steady-state serving path.
+
+    Output: (query_id, corpus_id, approx_dist asc, rank), self-matches
+    excluded; ties break on (rounded dist, corpus_id) for cross-engine
+    reproducibility."""
+    q_sdf = _sdf(queries)
+    qid = query_id_col or id_col
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    if centroids is None:
+        centroids = ivfpq_init_centroids(_sdf(corpus), nlist, vec_col=vec_col, id_col=id_col)
+    if index is None:
+        index = ivfpq_index(
+            corpus, codebooks, nlist=nlist, centroids=centroids,
+            residual=residual, vec_col=vec_col, id_col=id_col,
+        )
+    inv = _sdf(index).select(
+        F.col(id_col).alias("corpus_id"), "centroid_id", "codes"
+    )
+    spark = q_sdf.sparkSession
+
+    probe_structs = F.transform(
+        F.col("__cent__"),
+        lambda c, i: F.struct(_pq_d2(F.col("__qv__"), c).alias("d"), i.cast("int").alias("cid")),
+    )
+    probed = (
+        q_sdf.crossJoin(F.broadcast(_cent_row_frame(spark, centroids)))
+        .select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("__qv__"),
+            F.col("__cent__"),
+        )
+        .select(
+            "query_id", "__qv__", "__cent__",
+            F.explode(F.slice(F.array_sort(probe_structs), 1, int(nprobe))).alias("p"),
+        )
+        .select(
+            "query_id",
+            F.col("p.cid").alias("centroid_id"),
+            (
+                F.zip_with(
+                    "__qv__",
+                    F.element_at("__cent__", F.col("p.cid") + 1),
+                    lambda a, b: a.cast("double") - b,
+                )
+                if residual
+                else F.col("__qv__")
+            ).alias("__qr__"),
+        )
+    )
+    table = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(F.col("__cb__"), s.cast("int") + 1),
+                lambda c: _pq_d2(_pq_sub(F.col("__qr__"), s, sub_dim), c),
+            ),
+        )
+    )
+    qtab = (
+        probed.crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
+        .select("query_id", "centroid_id", table.alias("tbl"))
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.col("tbl"), (s * kc + F.element_at(F.col("codes"), s + 1) + 1).cast("int")),
+    )
+    scored = (
+        inv.join(F.broadcast(qtab), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("approx_dist", F.round(approx, round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("corpus_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_dist", F.col("rank").cast("int").alias("rank"))
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["ivfpq_init_centroids", "ivfpq_index", "ivfpq_topk"])

@@ -187,3 +187,96 @@ class TestPQ:
         d = pl.from_records([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]).lazy()
         with pytest.raises(ValueError):
             pq_init_codebooks(d, m=2, k=1)
+
+
+class TestIVFPQ:
+    def _fixture(self, spark):
+        from polars_net_spark.llm.similarity import pq_init_codebooks
+
+        c = vecs(spark, n=48, dim=8)
+        cb = pq_init_codebooks(c, m=2, k=8)
+        q = pl.LazyFrame(c._sdf.filter("vec_id < 4"))
+        return c, q, cb
+
+    def test_index_layout_and_determinism(self, spark):
+        from polars_net_spark.llm.similarity import ivfpq_index, pq_init_codebooks
+
+        c, _, cb = self._fixture(spark)
+        idx = ivfpq_index(c, cb, nlist=4).collect()
+        rows = idx.rows()
+        assert len(rows) == 48
+        for _, cid, codes in rows:
+            assert 0 <= cid < 4
+            assert len(codes) == 2 and all(0 <= j < 8 for j in codes)
+        assert ivfpq_index(c, cb, nlist=4).collect().rows() == rows
+
+    def test_index_build_has_zero_exchange(self, spark):
+        import io, contextlib
+
+        from polars_net_spark.llm.similarity import ivfpq_index
+
+        c, _, cb = self._fixture(spark)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ivfpq_index(c, cb, nlist=4).spark.explain("formatted")
+        plan = buf.getvalue()
+        # the two 1-row broadcasts are BroadcastExchange; assert no SHUFFLE
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_prebuilt_index_identical_to_inline(self, spark):
+        from polars_net_spark.llm.similarity import ivfpq_index, ivfpq_topk
+
+        c, q, cb = self._fixture(spark)
+        inline = ivfpq_topk(c, q, cb, k=3, nlist=4, nprobe=2).collect().rows()
+        idx = ivfpq_index(c, cb, nlist=4)
+        via_index = (
+            ivfpq_topk(c, q, cb, k=3, nlist=4, nprobe=2, index=idx).collect().rows()
+        )
+        assert sorted(inline) == sorted(via_index)
+
+    def test_full_probe_matches_pq_ranking_order(self, spark):
+        # nprobe == nlist with residual=False scores every corpus vector with
+        # plain PQ/ADC — ranking must equal pq_topk's
+        from polars_net_spark.llm.similarity import ivfpq_topk, pq_topk
+
+        c, q, cb = self._fixture(spark)
+        a = sorted(ivfpq_topk(c, q, cb, k=3, nlist=4, nprobe=4, residual=False).collect().rows())
+        b = sorted(pq_topk(c, q, cb, k=3).collect().rows())
+        assert a == b
+
+    def test_recall_against_exact(self, spark):
+        # residual IVF-PQ on a 2-lobe corpus: top-3 of exact L2 should be
+        # mostly recovered with half the lists probed
+        from polars_net_spark.llm.similarity import ivfpq_topk
+        from pyspark.sql import functions as F
+
+        c, q, cb = self._fixture(spark)
+        approx = ivfpq_topk(c, q, cb, k=3, nlist=4, nprobe=2).collect().rows()
+        cs, qs = c._sdf.alias("c"), q._sdf.alias("q")
+        d2 = F.aggregate(
+            F.zip_with("q.embedding", "c.embedding", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy("d2", "corpus_id")
+        exact = (
+            qs.crossJoin(cs)
+            .filter(F.col("c.vec_id") != F.col("q.vec_id"))
+            .select(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("corpus_id"), d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w)).filter("rn <= 3").collect()
+        )
+        exact_set = {(r["query_id"], r["corpus_id"]) for r in exact}
+        hits = sum(1 for r in approx if (r[0], r[1]) in exact_set)
+        assert hits >= len(approx) // 2
+
+    def test_too_few_vectors_raises(self, spark):
+        import pytest
+
+        from polars_net_spark.llm.similarity import ivfpq_init_centroids
+
+        c = vecs(spark, n=3, dim=8)
+        with pytest.raises(ValueError, match="nlist"):
+            ivfpq_init_centroids(c, nlist=8)

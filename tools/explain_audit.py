@@ -401,6 +401,9 @@ CHECKS = {
     "q234_validate": [
         ("partial_count(distinct", "uniqueness distinct-count fuses into the same aggregate chain, combining map-side"),
     ],
+    "q235_ivfpq": [
+        ("BroadcastHashJoin [centroid_id", "probe tables reach inverted lists via ONE broadcast equi-join on centroid_id"),
+    ],
 }
 
 
@@ -460,6 +463,7 @@ def main() -> None:
         "q124_winsorize",           # 1-row quantile-boundary attach
         "q231_pmi",                 # 1-row token-total attach
         "q232_target_encode",       # 1-row global-prior attach
+        "q235_ivfpq",               # 1-row centroid/codebook rows + bounded probe broadcast
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
