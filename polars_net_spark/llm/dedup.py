@@ -1109,6 +1109,7 @@ def dedup_against(
     threshold: float = 0.8,
     round_to: int = 6,
     max_gram_df: int | None = None,
+    gram_hash: bool = True,
 ) -> LazyFrame:
     """Incremental dedup: keep only rows of ``frame`` that are NOT near-
     duplicates (n-gram Jaccard ≥ threshold) of ANY ``reference`` document —
@@ -1126,10 +1127,13 @@ def dedup_against(
     100 TB: reference postings shuffle once by gram; at steady state the
     reference gram index is the thing you'd persist (write_bucketed by gram)
     so each new batch pays only its own explode + a bucketed join.
+    ``gram_hash`` as in :func:`ngram_jaccard_pairs` (both sides must use the
+    same setting; the keep/drop decision is unchanged modulo a 2^-64-class
+    collision).
     """
     new_sdf, ref_sdf = _sdf(frame), _sdf(reference)
-    gn = register_cache(_grams_frame(new_sdf, text_col, id_col, n, nonempty=True))
-    gr = register_cache(_grams_frame(ref_sdf, text_col, id_col, n, nonempty=True))
+    gn = register_cache(_grams_frame(new_sdf, text_col, id_col, n, nonempty=True, hash_grams=gram_hash))
+    gr = register_cache(_grams_frame(ref_sdf, text_col, id_col, n, nonempty=True, hash_grams=gram_hash))
     en = gn.select("id", F.size("grams").alias("na"), F.explode("grams").alias("gram"))
     er = gr.select(
         F.col("id").alias("rid"), F.size("grams").alias("nb"),
@@ -1174,6 +1178,7 @@ def build_gram_index(
     num_buckets: int = 32,
     max_gram_df: int | None = None,
     mode: str = "overwrite",
+    gram_hash: bool = True,
 ) -> None:
     """Persist the reference-corpus gram index for STEADY-STATE incremental
     dedup — the pay-the-shuffle-once pattern :func:`dedup_against`'s
@@ -1196,7 +1201,9 @@ def build_gram_index(
     from ..io import write_bucketed
 
     ref_sdf = _sdf(reference)
-    gr = register_cache(_grams_frame(ref_sdf, text_col, id_col, n, nonempty=True))
+    gr = register_cache(
+        _grams_frame(ref_sdf, text_col, id_col, n, nonempty=True, hash_grams=gram_hash)
+    )
     er = gr.select(
         F.col("id").alias("rid"), F.size("grams").alias("nb"),
         F.explode("grams").alias("gram"),
@@ -1222,6 +1229,7 @@ def dedup_against_index(
     n: int = 3,
     threshold: float = 0.8,
     round_to: int = 6,
+    gram_hash: bool = True,
 ) -> LazyFrame:
     """Incremental dedup of a new batch against a PRE-BUILT reference gram
     index (:func:`build_gram_index`) — same output as
@@ -1230,12 +1238,16 @@ def dedup_against_index(
     is bucketed by gram and the verification gram-set scan is bucketed by
     rid, so both reference-side joins run without an Exchange.  The only
     shuffle each recurring crawl batch pays is its own postings.
+    ``gram_hash`` MUST match the :func:`build_gram_index` setting — the
+    persisted postings/grams carry whichever gram identity the build used.
     """
     new_sdf = _sdf(frame)
     sp = new_sdf.sparkSession
     postings = sp.table(f"{table}_postings")
     ref_grams = sp.table(f"{table}_grams")
-    gn = register_cache(_grams_frame(new_sdf, text_col, id_col, n, nonempty=True))
+    gn = register_cache(
+        _grams_frame(new_sdf, text_col, id_col, n, nonempty=True, hash_grams=gram_hash)
+    )
     en = gn.select("id", F.size("grams").alias("na"), F.explode("grams").alias("gram"))
     cands = (
         en.join(postings, "gram")
