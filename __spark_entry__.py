@@ -7642,6 +7642,121 @@ WHERE rank <= 5
 """
 
 
+
+def _q236(spark, sf_dir):
+    """Embedding-space drift (llm/similarity.py embedding_drift_report):
+    centroid cosine/shift + single-pass dispersion (E||x||^2 - ||c||^2)
+    between two corpus halves — each side ONE fused all-reduce with dim
+    per-position averages, the vector complement of psi_report/
+    corpus_divergence."""
+    from polars_net_spark.llm.similarity import embedding_drift_report
+
+    e = _t(spark, sf_dir, "embeddings").spark
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cur = e.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift_report(ref, cur, dim=64).spark
+
+
+_q236_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+r AS (SELECT v FROM e WHERE vec_id % 2 = 0),
+c AS (SELECT v FROM e WHERE vec_id % 2 = 1),
+rs AS (SELECT count(*) AS n_ref,
+              avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS norm_mean_ref,
+              avg(list_sum(list_transform(v, x -> x * x))) AS sq_ref
+       FROM r),
+cs AS (SELECT count(*) AS n_cur,
+              avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS norm_mean_cur,
+              avg(list_sum(list_transform(v, x -> x * x))) AS sq_cur
+       FROM c),
+rcent AS (SELECT list(a ORDER BY p) AS cr FROM (
+            SELECT t.p AS p, avg(v[t.p]) AS a
+            FROM r, unnest(generate_series(1, 64)) AS t(p) GROUP BY 1)),
+ccent AS (SELECT list(a ORDER BY p) AS cc FROM (
+            SELECT t.p AS p, avg(v[t.p]) AS a
+            FROM c, unnest(generate_series(1, 64)) AS t(p) GROUP BY 1)),
+m AS (SELECT n_ref, n_cur, norm_mean_ref, norm_mean_cur, sq_ref, sq_cur, cr, cc,
+             list_sum(list_transform(generate_series(1, 64), p -> cr[p] * cc[p])) AS dot,
+             sqrt(list_sum(list_transform(cr, x -> x * x))) AS nr,
+             sqrt(list_sum(list_transform(cc, x -> x * x))) AS nc,
+             list_sum(list_transform(cr, x -> x * x)) AS rr,
+             list_sum(list_transform(cc, x -> x * x)) AS ncc,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+                  p -> (cr[p] - cc[p]) * (cr[p] - cc[p])))) AS shift
+      FROM rs, cs, rcent, ccent)
+SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+  round(norm_mean_ref, 6) AS norm_mean_ref,
+  round(norm_mean_cur, 6) AS norm_mean_cur,
+  round(CASE WHEN nr > 0 AND nc > 0 THEN dot / (nr * nc) END, 6) AS centroid_cosine,
+  round(shift, 6) AS centroid_shift_l2,
+  round(sq_ref - rr, 6) AS msd_ref,
+  round(sq_cur - ncc, 6) AS msd_cur
+FROM m
+"""
+
+
+
+def _q237(spark, sf_dir):
+    """First-order Markov transition matrix (operators/analytics.py
+    markov_transitions): P(next event_type | event_type) per user sequence —
+    one lag window sharded on the user key, pair counts + state-cardinality
+    normalization join."""
+    from polars_net_spark.operators.analytics import markov_transitions
+
+    ev = _t(spark, sf_dir, "events").spark
+    return markov_transitions(ev, "event_type", "ts", by="user_id",
+                              tie_cols=["event_id"]).spark
+
+
+_q237_sql = """
+WITH l AS (
+  SELECT event_type AS t,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f
+  FROM events),
+p AS (SELECT f, t, count(*) AS n FROM l
+      WHERE f IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT f, sum(n) AS tt FROM p GROUP BY 1)
+SELECT p.f AS from_state, p.t AS to_state, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / tt, 6) AS p
+FROM p JOIN tot ON p.f = tot.f
+"""
+
+
+def _q238(spark, sf_dir):
+    """Split-conformal calibration + held-out coverage (llm/evaluation.py
+    conformal_threshold/conformal_coverage): q-hat = the ceil((n+1)(1-a))-th
+    smallest calibration score, fetched as the (n-k+1)-th LARGEST via
+    TakeOrderedAndProject (no global sort); coverage is one fused
+    all-reduce with q-hat as a 1-row broadcast."""
+    from polars_net_spark.llm.evaluation import conformal_threshold, conformal_coverage
+
+    ev = _t(spark, sf_dir, "events").spark
+    cal = ev.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull())
+    test = ev.filter((F.col("event_id") % 2 == 1) & F.col("value").isNotNull())
+    th = conformal_threshold(cal, "value", alpha=0.1)
+    cov = conformal_coverage(test, "value", th)
+    return th.spark.crossJoin(cov.spark)
+
+
+_q238_sql = """
+WITH cal AS (SELECT value AS s FROM events
+             WHERE event_id % 2 = 0 AND value IS NOT NULL),
+tst AS (SELECT value AS s FROM events
+        WHERE event_id % 2 = 1 AND value IS NOT NULL),
+nn AS (SELECT count(*) AS n, CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k
+       FROM cal),
+q AS (SELECT round(s, 6) AS qhat FROM cal, nn
+      ORDER BY s LIMIT 1 OFFSET (SELECT k - 1 FROM nn)),
+cov AS (SELECT count(*) AS n_test,
+               sum(CASE WHEN tst.s <= q.qhat THEN 1 ELSE 0 END) AS n_covered
+        FROM tst, q)
+SELECT CAST(n AS BIGINT) AS n, k, qhat,
+       CAST(n_test AS BIGINT) AS n_test, CAST(n_covered AS BIGINT) AS n_covered,
+       round(n_covered * 1.0 / n_test, 6) AS coverage
+FROM nn, q, cov
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7882,6 +7997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_feature_hash": _q233,
         "q234_validate": _q234,
         "q235_ivfpq": _q235,
+        "q236_embedding_drift": _q236,
+        "q237_markov": _q237,
+        "q238_conformal": _q238,
     }
 
 
@@ -8122,4 +8240,7 @@ def oracle_sql() -> dict[str, str]:
         "q233_feature_hash": _q233_sql,
         "q234_validate": _q234_sql,
         "q235_ivfpq": _q235_sql,
+        "q236_embedding_drift": _q236_sql,
+        "q237_markov": _q237_sql,
+        "q238_conformal": _q238_sql,
     }

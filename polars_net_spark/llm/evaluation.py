@@ -589,3 +589,84 @@ def lift_table(
         ).alias("cum_lift"),
     )
     return LazyFrame(out)
+
+
+def conformal_threshold(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2022): from
+    a CALIBRATION set of nonconformity scores (|y − ŷ| for regression,
+    1 − p̂_y for classification), the threshold q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest score.  Predicting {y : score(x,y) ≤ q̂} then
+    guarantees ≥ 1−α marginal coverage on exchangeable data — the
+    distribution-free uncertainty wrapper for ANY model's outputs.
+
+    The k-th smallest is fetched as the (n−k+1)-th LARGEST — an
+    orderBy(desc).limit(r) Spark executes as TakeOrderedAndProject
+    (per-partition heaps, no global sort); r ≈ α·(n+1), so the heap is a
+    small fraction of the calibration set — and calibration sets are
+    sampled small by construction (the method needs only hundreds-to-
+    thousands of points).  When ⌈(n+1)(1−α)⌉ > n (α too small for n) q̂ is
+    null: no finite threshold certifies 1−α — add calibration data.
+
+    Output (1 row): n, k, qhat."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    base = sdf.filter(s.isNotNull()).select(s.alias("__s__"))
+    n = base.count()  # eager: k and the heap size depend on it
+    import math
+
+    k = math.ceil((n + 1) * (1.0 - alpha))
+    spark = sdf.sparkSession
+    if n == 0 or k > n:
+        out = spark.createDataFrame([(n, k, None)], "n long, k long, qhat double")
+        return LazyFrame(out)
+    r = n - k + 1
+    qhat = (
+        base.orderBy(F.col("__s__").desc())
+        .limit(r)
+        .agg(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(k).cast("long").alias("k"),
+            F.round(F.min("__s__"), round_to).alias("qhat"),
+        )
+    )
+    return LazyFrame(qhat)
+
+
+def conformal_coverage(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    threshold: "LazyFrame | SparkDF",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Empirical coverage check for :func:`conformal_threshold` on a held-
+    out test set: the fraction of test nonconformity scores ≤ q̂ (expected
+    ≥ 1−α up to finite-sample noise).  One fused all-reduce; q̂ rides in as
+    a 1-row broadcast.  Output (1 row): n_test, n_covered, coverage (null
+    when q̂ is null — the threshold certified nothing)."""
+    sdf = _sdf(frame)
+    th = _sdf(threshold).select("qhat")
+    s = F.col(score_col).cast("double")
+    base = sdf.filter(s.isNotNull()).select(s.alias("__s__"))
+    out = (
+        base.join(F.broadcast(th))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("__s__") <= F.col("qhat")).cast("long")).alias("n_covered"),
+        )
+        .select(
+            "n_test",
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.round(F.col("n_covered") / F.col("n_test"), round_to).alias("coverage"),
+        )
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["conformal_threshold", "conformal_coverage"])

@@ -1391,3 +1391,75 @@ def ivfpq_topk(
 
 
 __all__.extend(["ivfpq_init_centroids", "ivfpq_index", "ivfpq_topk"])
+
+
+def embedding_drift_report(
+    reference: "LazyFrame | SparkDF",
+    current: "LazyFrame | SparkDF",
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Embedding-space drift between a reference corpus (train) and a
+    current one (serve/new crawl) — the vector complement of psi_report
+    (scalars) and corpus_divergence (terms).  One row:
+
+    n_ref/n_cur, norm_mean_ref/cur (mean L2 norms), centroid_cosine
+    (cosine between the two mean vectors — the headline drift signal),
+    centroid_shift_l2 (L2 distance between centroids), and msd_ref/cur
+    (mean squared distance to own centroid = E‖x‖² − ‖centroid‖², the
+    single-pass dispersion identity — no second pass over the data).
+
+    Each side is ONE fused all-reduce: ``dim`` per-position averages plus
+    the norm/count scalars, all map-side combining (plan cost linear in
+    dim, shuffle cost ONE row per partition).  The two 1-row results meet
+    in a bounded broadcast.  ``dim`` is probed from one reference row when
+    not given (a 1-row eager probe)."""
+    r_sdf, c_sdf = _sdf(reference), _sdf(current)
+    if dim is None:
+        probe = r_sdf.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not probe:
+            raise ValueError("reference frame is empty; pass dim= explicitly")
+        dim = probe[0][0]
+
+    def side(sdf, tag):
+        v = F.col(vec_col)
+        base = sdf.filter(v.isNotNull() & (F.size(v) == dim))
+        aggs = [
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg(F.sqrt(_dot_expr(v, v))).alias(f"norm_mean_{tag}"),
+            F.avg(_dot_expr(v, v)).alias(f"sq_mean_{tag}"),
+        ] + [
+            F.avg(F.element_at(v, i + 1).cast("double")).alias(f"__c{tag}{i}__")
+            for i in range(dim)
+        ]
+        out = base.agg(*aggs)
+        cent = F.array(*[F.col(f"__c{tag}{i}__") for i in range(dim)])
+        return out.select(
+            f"n_{tag}", f"norm_mean_{tag}", f"sq_mean_{tag}", cent.alias(f"cent_{tag}")
+        )
+
+    joined = side(r_sdf, "ref").join(F.broadcast(side(c_sdf, "cur")))
+    cr, cc = F.col("cent_ref"), F.col("cent_cur")
+    dot = _dot_expr(cr, cc)
+    nr, nc = F.sqrt(_dot_expr(cr, cr)), F.sqrt(_dot_expr(cc, cc))
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(cr, cc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    out = joined.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("norm_mean_ref", round_to).alias("norm_mean_ref"),
+        F.round("norm_mean_cur", round_to).alias("norm_mean_cur"),
+        F.round(F.when((nr > 0) & (nc > 0), dot / (nr * nc)), round_to).alias("centroid_cosine"),
+        F.round(shift, round_to).alias("centroid_shift_l2"),
+        F.round(F.col("sq_mean_ref") - _dot_expr(cr, cr), round_to).alias("msd_ref"),
+        F.round(F.col("sq_mean_cur") - _dot_expr(cc, cc), round_to).alias("msd_cur"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("embedding_drift_report")

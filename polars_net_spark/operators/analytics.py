@@ -33,6 +33,7 @@ __all__ = [
     "time_weighted_average",
     "target_encode",
     "with_target_encoded",
+    "markov_transitions",
 ]
 
 
@@ -1127,3 +1128,47 @@ def with_target_encoded(
         )
     )
     return LazyFrame(joined)
+
+
+def markov_transitions(
+    frame: "LazyFrame | SparkDF",
+    state_col: str,
+    ts_col: str,
+    by: "str | list[str] | None" = None,
+    tie_cols: "list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """First-order Markov transition matrix over event sequences: for each
+    observed (from_state, to_state) adjacency (consecutive events within a
+    ``by`` sequence, ordered by ``ts_col`` then ``tie_cols``), the count and
+    the row-normalized probability P(to | from) — the behavioral model
+    behind next-event prediction, anomalous-flow detection and funnel
+    generalization.
+
+    One lag window sharded on the sequence key + two map-side-combining
+    aggregates (pair counts, then a from-state total attached by a
+    broadcast-sized join bounded by state cardinality).  Null states and
+    sequence-initial events (no predecessor) contribute no transition.
+
+    Output: (from_state, to_state, n, p) with Σ_to p = 1 per from_state."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("markov_transitions(by=None)")
+    staged = sdf.select(
+        F.col(state_col).alias("__to__"),
+        F.lag(F.col(state_col)).over(w).alias("__from__"),
+    ).filter(F.col("__from__").isNotNull() & F.col("__to__").isNotNull())
+    pairs = staged.groupBy("__from__", "__to__").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("__from__").agg(F.sum("n").alias("__tot__"))
+    out = pairs.join(F.broadcast(totals), "__from__").select(
+        F.col("__from__").alias("from_state"),
+        F.col("__to__").alias("to_state"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("__tot__"), round_to).alias("p"),
+    )
+    return LazyFrame(out)

@@ -280,3 +280,45 @@ class TestIVFPQ:
         c = vecs(spark, n=3, dim=8)
         with pytest.raises(ValueError, match="nlist"):
             ivfpq_init_centroids(c, nlist=8)
+
+
+class TestEmbeddingDrift:
+    def test_identical_corpora(self, spark):
+        from polars_net_spark.llm.similarity import embedding_drift_report
+
+        c = vecs(spark, n=20, dim=8)
+        (r,) = embedding_drift_report(c, c, dim=8).collect().rows()
+        assert r[0] == r[1] == 20
+        assert r[4] == 1.0 and r[5] == 0.0  # cosine 1, shift 0
+        assert r[6] == r[7]  # same dispersion
+
+    def test_opposite_centroids(self, spark):
+        from polars_net_spark.llm.similarity import embedding_drift_report
+        import polars_net_spark as pl
+
+        a = pl.from_records([(i, [1.0, 0.0]) for i in range(5)], ["vec_id", "embedding"]).lazy()
+        b = pl.from_records([(i, [-1.0, 0.0]) for i in range(5)], ["vec_id", "embedding"]).lazy()
+        (r,) = embedding_drift_report(a, b).collect().rows()  # dim probed
+        assert r[4] == -1.0 and r[5] == 2.0
+        assert r[6] == 0.0 and r[7] == 0.0  # degenerate clouds: no spread
+
+    def test_dim_mismatch_rows_excluded(self, spark):
+        from polars_net_spark.llm.similarity import embedding_drift_report
+        import polars_net_spark as pl
+
+        a = pl.from_records(
+            [(0, [1.0, 1.0]), (1, [1.0])], ["vec_id", "embedding"]
+        ).lazy()
+        (r,) = embedding_drift_report(a, a, dim=2).collect().rows()
+        assert r[0] == r[1] == 1  # the dim-1 row is screened out
+
+    def test_empty_reference_raises(self, spark):
+        import pytest
+
+        from polars_net_spark.llm.similarity import embedding_drift_report
+        import polars_net_spark as pl
+
+        a = pl.from_records([(0, [1.0, 1.0])], ["vec_id", "embedding"]).lazy()
+        empty = pl.LazyFrame(a._sdf.filter("vec_id < 0"))
+        with pytest.raises(ValueError, match="dim"):
+            embedding_drift_report(empty, a)

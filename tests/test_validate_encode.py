@@ -161,3 +161,69 @@ class TestPMICollocations:
         out = {(r[0], r[1]): r for r in rows(pmi_collocations(df, min_count=5))}
         # every adjacent pair occurs 10x; none is a strong collocation
         assert all(r[4] < 1.0 for r in out.values())
+
+
+class TestMarkovTransitions:
+    def test_counts_and_normalization(self, spark):
+        from polars_net_spark.operators.analytics import markov_transitions
+
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"), (2, 1, "a"), (2, 2, "a")],
+            "u long, t long, s string",
+        )
+        out = {(r[0], r[1]): r for r in rows(markov_transitions(df, "s", "t", by="u"))}
+        assert out[("a", "b")][2] == 2 and out[("a", "b")][3] == pytest.approx(2 / 3)
+        assert out[("a", "a")][2] == 1
+        assert out[("b", "a")][3] == 1.0
+        # rows sum to 1 per from_state
+        import collections
+
+        sums = collections.defaultdict(float)
+        for (f, _), r in out.items():
+            sums[f] += r[3]
+        assert all(abs(v - 1.0) < 1e-5 for v in sums.values())
+
+    def test_sequence_boundaries_do_not_leak(self, spark):
+        from polars_net_spark.operators.analytics import markov_transitions
+
+        # user 1 ends with 'x', user 2 starts with 'y': no x->y transition
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "x"), (2, 1, "y"), (2, 2, "a")],
+            "u long, t long, s string",
+        )
+        out = rows(markov_transitions(df, "s", "t", by="u"))
+        assert ("x", "y") not in {(r[0], r[1]) for r in out}
+
+
+class TestConformal:
+    def test_known_quantile(self, spark):
+        from polars_net_spark.llm.evaluation import conformal_threshold
+
+        cal = spark.createDataFrame([(float(i),) for i in range(1, 101)], "s double")
+        (r,) = rows(conformal_threshold(cal, "s", alpha=0.1))
+        assert r == (100, 91, 91.0)  # ceil(101*0.9) = 91
+
+    def test_alpha_too_small_gives_null(self, spark):
+        from polars_net_spark.llm.evaluation import conformal_threshold
+
+        cal = spark.createDataFrame([(1.0,), (2.0,)], "s double")
+        (r,) = rows(conformal_threshold(cal, "s", alpha=0.01))
+        assert r[2] is None
+
+    def test_coverage_guarantee_on_exchangeable_data(self, spark):
+        from polars_net_spark.llm.evaluation import conformal_threshold, conformal_coverage
+
+        # deterministic pseudo-random scores, same distribution both halves
+        vals = [((i * 2654435761) % 10007) / 10007.0 for i in range(2000)]
+        cal = spark.createDataFrame([(v,) for v in vals[:1000]], "s double")
+        tst = spark.createDataFrame([(v,) for v in vals[1000:]], "s double")
+        th = conformal_threshold(cal, "s", alpha=0.2)
+        (c,) = rows(conformal_coverage(tst, "s", th))
+        assert c[2] >= 0.75  # 1 - alpha minus finite-sample slack
+
+    def test_bad_alpha_raises(self, spark):
+        from polars_net_spark.llm.evaluation import conformal_threshold
+
+        cal = spark.createDataFrame([(1.0,)], "s double")
+        with pytest.raises(ValueError):
+            conformal_threshold(cal, "s", alpha=1.5)

@@ -404,6 +404,16 @@ CHECKS = {
     "q235_ivfpq": [
         ("BroadcastHashJoin [centroid_id", "probe tables reach inverted lists via ONE broadcast equi-join on centroid_id"),
     ],
+    "q236_embedding_drift": [
+        ("partial_avg", "per-position centroid averages combine map-side (one fused all-reduce per side)"),
+    ],
+    "q237_markov": [
+        ("partial_count", "transition pair counts combine map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "lag window shards on the user key"),
+    ],
+    "q238_conformal": [
+        ("TakeOrderedAndProject", "k-th order statistic via per-partition heaps, no global sort"),
+    ],
 }
 
 
@@ -464,6 +474,8 @@ def main() -> None:
         "q231_pmi",                 # 1-row token-total attach
         "q232_target_encode",       # 1-row global-prior attach
         "q235_ivfpq",               # 1-row centroid/codebook rows + bounded probe broadcast
+        "q236_embedding_drift",     # two 1-row fused aggregates meet in a bounded broadcast
+        "q238_conformal",           # 1-row q-hat broadcast onto the coverage reduce
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
