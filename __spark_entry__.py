@@ -7738,6 +7738,169 @@ def _q238(spark, sf_dir):
     return th.spark.crossJoin(cov.spark)
 
 
+def _q239(spark, sf_dir):
+    """Gap-based sessionization (operators/analytics.py sessionize /
+    session_summary): a new session opens after >2h of user silence; the
+    lag-flag and running-sum windows share ONE user-keyed Exchange, and the
+    summary aggregate reuses that co-location."""
+    from polars_net_spark.operators.analytics import session_summary
+
+    ev = _t(spark, sf_dir, "events").spark
+    return session_summary(
+        ev, "ts", by="user_id", gap="2 hours", tie_cols=["event_id"]
+    ).spark
+
+
+_q239_sql = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000::BIGINT
+              THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+         AS duration_seconds
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _q240(spark, sf_dir):
+    """Pairwise association rules (operators/basket.py association_rules):
+    brand co-purchase over orders — exact Apriori item prune, ONE basket
+    shuffle, map-side i<j pair fan-out from the sorted item array (no
+    positional self-join), bounded-broadcast count attachments."""
+    from polars_net_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    pt = _t(spark, sf_dir, "part").spark
+    bi = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(bi, "basket", "item", min_support=0.01).spark
+
+
+_q240_sql = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+freq AS (SELECT i, ni FROM ic, nb WHERE ni * 1.0 / n >= 0.01),
+pe AS (SELECT x.b AS b, x.i AS a, y.i AS c
+       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+       WHERE x.i IN (SELECT i FROM freq) AND y.i IN (SELECT i FROM freq)),
+pc AS (SELECT a, c, count(*) AS np FROM pe GROUP BY 1, 2),
+pf AS (SELECT a, c, np FROM pc, nb WHERE np * 1.0 / n >= 0.01),
+d AS (SELECT a AS ante, c AS cons, np FROM pf
+      UNION ALL SELECT c, a, np FROM pf)
+SELECT d.ante AS antecedent, d.cons AS consequent,
+       CAST(np AS BIGINT) AS n_pair,
+       round(np * 1.0 / nb.n, 6) AS support,
+       round(np * 1.0 / fa.ni, 6) AS confidence,
+       round(np * 1.0 * nb.n / (fa.ni * fc.ni), 6) AS lift
+FROM d
+JOIN freq fa ON d.ante = fa.i
+JOIN freq fc ON d.cons = fc.i
+CROSS JOIN nb
+"""
+
+
+def _q241(spark, sf_dir):
+    """CUPED variance reduction (operators/regression.py cuped_report):
+    pooled theta = cov(X,Y)/var(X) from ONE fused global all-reduce, group
+    stats for the adjusted metric from per-group moment sums (no second
+    pass), 1-row theta broadcast.  Metric scaled 1e-5 so 6-decimal rounding
+    sits far above double-summation noise."""
+    from polars_net_spark.operators.regression import cuped_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    staged = li.select(
+        (F.col("l_extendedprice") * 1e-5).alias("y"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_returnflag").alias("g"),
+    )
+    return cuped_report(staged, "y", "x", "g").spark
+
+
+_q241_sql = """
+WITH b AS (SELECT l_returnflag AS g, l_extendedprice * 1e-5 AS y,
+                  l_quantity::DOUBLE AS x
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+gl AS (SELECT (sum(x * y) - sum(x) * sum(y) / count(*))
+              / (sum(x * x) - sum(x) * sum(x) / count(*)) AS theta,
+              avg(x) AS mx
+       FROM b),
+p AS (SELECT g, count(*) AS n, avg(y) AS my, avg(x) AS mxg,
+             var_samp(y) AS vy, var_samp(x) AS vx, covar_samp(x, y) AS cxy
+      FROM b GROUP BY 1)
+SELECT g AS "group", CAST(n AS BIGINT) AS n, round(theta, 6) AS theta,
+       round(my, 6) AS mean_raw,
+       round(my - theta * (mxg - mx), 6) AS mean_adj,
+       round(vy, 6) AS var_raw,
+       round(vy - 2 * theta * cxy + theta * theta * vx, 6) AS var_adj,
+       round(1 - (vy - 2 * theta * cxy + theta * theta * vx) / vy, 6)
+         AS var_reduction
+FROM p, gl
+"""
+
+
+def _q242(spark, sf_dir):
+    """Exact triangle counting (operators/graph.py triangle_count) on the
+    domestic co-supply graph (suppliers sharing an order AND a nation):
+    degree-ordered orientation bounds the wedge self-join at Sigma outdeg^2 =
+    O(m^1.5) — no hub blowup; per-node credit is the clustering-coefficient
+    numerator."""
+    from polars_net_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    su = _t(spark, sf_dir, "supplier").spark
+    sn = su.select("s_suppkey", "s_nationkey")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(sn.select(F.col("s_suppkey").alias("s1"), F.col("s_nationkey").alias("n1")), "s1")
+        .join(sn.select(F.col("s_suppkey").alias("s2"), F.col("s_nationkey").alias("n2")), "s2")
+        .filter(F.col("n1") == F.col("n2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    return triangle_count(edges, per_node=True).spark
+
+
+_q242_sql = """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x
+  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  JOIN supplier sa ON sa.s_suppkey = x.l_suppkey
+  JOIN supplier sb ON sb.s_suppkey = y.l_suppkey
+  WHERE sa.s_nationkey = sb.s_nationkey),
+t AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+c AS (SELECT u AS node FROM t UNION ALL SELECT v FROM t
+      UNION ALL SELECT w FROM t),
+nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
+SELECT nodes.node AS node,
+       CAST(count(c.node) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN c ON nodes.node = c.node
+GROUP BY 1
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8000,6 +8163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_embedding_drift": _q236,
         "q237_markov": _q237,
         "q238_conformal": _q238,
+        "q239_sessionize": _q239,
+        "q240_basket_rules": _q240,
+        "q241_cuped": _q241,
+        "q242_triangles": _q242,
     }
 
 
@@ -8243,4 +8410,8 @@ def oracle_sql() -> dict[str, str]:
         "q236_embedding_drift": _q236_sql,
         "q237_markov": _q237_sql,
         "q238_conformal": _q238_sql,
+        "q239_sessionize": _q239_sql,
+        "q240_basket_rules": _q240_sql,
+        "q241_cuped": _q241_sql,
+        "q242_triangles": _q242_sql,
     }

@@ -34,6 +34,8 @@ __all__ = [
     "target_encode",
     "with_target_encoded",
     "markov_transitions",
+    "sessionize",
+    "session_summary",
 ]
 
 
@@ -1170,5 +1172,76 @@ def markov_transitions(
         F.col("__to__").alias("to_state"),
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("__tot__"), round_to).alias("p"),
+    )
+    return LazyFrame(out)
+
+
+def sessionize(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    by: "str | list[str] | None" = None,
+    gap: str = "30 minutes",
+    tie_cols: "list[str] | None" = None,
+    session_col: str = "session_id",
+) -> LazyFrame:
+    """Gap-based session labeling (the row-labeling sibling of
+    :func:`find_gaps`): within each ``by`` sequence ordered by ``ts_col``
+    (then ``tie_cols``), a new session starts at the first event and at any
+    event whose time since the previous one exceeds ``gap``.  Adds
+    ``session_col`` — the 1-based session index within the key, so the full
+    session identity is (*by, session_id*).
+
+    Two windows (lag flag + running sum of flags) over the SAME key
+    partitioning/order — Spark plans ONE Exchange and sorts once; with
+    ``by`` given, state shards on the key and no partition ever holds more
+    than one key's rows (the at-scale contract).  ``by=None`` degrades to a
+    single-partition global window and warns."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("sessionize(by=None)")
+    ts = F.col(ts_col).cast("timestamp")
+    gap_s = F.unix_micros(ts) / 1e6 - F.unix_micros(F.lag(ts).over(w)) / 1e6
+    new_flag = F.when(
+        gap_s.isNull() | (gap_s > F.lit(_interval_seconds(gap))), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = sdf.withColumn(session_col, F.sum(new_flag).over(run).cast("long"))
+    return LazyFrame(out)
+
+
+def session_summary(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    by: "str | list[str] | None" = None,
+    gap: str = "30 minutes",
+    tie_cols: "list[str] | None" = None,
+) -> LazyFrame:
+    """One row per session from :func:`sessionize`: (*by, session_id,
+    session_start, session_end, n_events, duration_seconds*).  The groupBy
+    keys are a superset of the sessionize window keys, so the aggregate
+    reuses the session shuffle's co-location (map-side combine on top)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    lab = sessionize(frame, ts_col, by=by, gap=gap, tie_cols=tie_cols).spark
+    ts = F.col(ts_col).cast("timestamp")
+    out = (
+        lab.groupBy(*keys, "session_id")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .withColumn(
+            "duration_seconds",
+            F.round(
+                F.unix_micros(F.col("session_end")) / 1e6
+                - F.unix_micros(F.col("session_start")) / 1e6,
+                6,
+            ),
+        )
     )
     return LazyFrame(out)

@@ -91,3 +91,87 @@ def pagerank(
             ranks = _ckpt(ranks)
     out = ranks.select(F.col("v").alias(vertex_id), F.round("r", round_to).alias("rank"))
     return LazyFrame(out)
+
+
+def triangle_count(
+    edges: "LazyFrame | SparkDF",
+    src: str = "src",
+    dst: str = "dst",
+    per_node: bool = False,
+) -> LazyFrame:
+    """Exact triangle counting on an undirected graph via degree-ordered
+    orientation (the Suri–Vassilvitskii / GraphX design): orient each edge
+    from the (degree, id)-smaller endpoint to the larger, enumerate wedges
+    by self-joining oriented edges on their source, and confirm each wedge's
+    closing edge with one equi-join.  Orientation makes every triangle
+    countable exactly once AND bounds the wedge fan-out: Σ outdeg² = O(m^1.5)
+    on any graph, so no hub node ever explodes the join (the naive
+    direction-free wedge count is Σ deg², quadratic in hub degree).
+
+    Input edges are treated as undirected: self-loops drop, duplicates and
+    reversed duplicates collapse.  Output: one row ``(n_triangles)``; with
+    ``per_node=True``, ``(node, n_triangles)`` for every vertex (triangle
+    membership credited to all three corners — the clustering-coefficient
+    numerator), isolated-in-triangle-terms vertices included with 0.
+
+    Shuffle shape: two node-keyed joins to attach degrees, one src-keyed
+    wedge self-join, one (lo, hi)-keyed closing join — all equi-joins,
+    all map-side combinable aggregates."""
+    esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    canon = (
+        esdf.filter(F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst)))
+        .select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .union(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # (deg, id) total order; orient low → high.  Carrying both endpoint keys
+    # lets the wedge stage order its two spokes without re-joining degrees.
+    keyed = (
+        canon.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("i")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("i")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kw"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("w").alias("w1"), F.col("kw").alias("k1"))
+    e2 = oriented.select(F.col("u"), F.col("w").alias("w2"), F.col("kw").alias("k2"))
+    wedges = e1.join(e2, "u").filter(F.col("k1") < F.col("k2")).select(
+        "u", F.col("w1").alias("lo"), F.col("w2").alias("hi")
+    )
+    closing = oriented.select(F.col("u").alias("lo"), F.col("w").alias("hi"))
+    tris = wedges.join(closing, ["lo", "hi"])
+    if not per_node:
+        out = tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        return LazyFrame(out)
+    credited = (
+        tris.select(F.explode(F.array("u", "lo", "hi")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    out = (
+        deg.select("v")
+        .join(credited, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.coalesce("nt", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+    return LazyFrame(out)
+
+
+__all__.append("triangle_count")

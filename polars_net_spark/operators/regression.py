@@ -685,3 +685,75 @@ def prop_ztest(
         F.col("nb").cast("long").alias("n_b"),
     )
     return LazyFrame(out)
+
+
+def cuped_report(
+    frame: "LazyFrame | SparkDF",
+    metric_col: str,
+    covariate_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """CUPED variance reduction for A/B experiments (Deng, Xu, Kohavi &
+    Walker 2013): with a pre-experiment covariate X uncorrelated with
+    assignment, the adjusted metric Y' = Y − θ(X − E[X]) with
+    θ = cov(X, Y) / var(X) (pooled across groups) has the SAME expected
+    treatment effect but variance shrunk by (1 − ρ²).
+
+    All statistics are moment sums: ONE global fused all-reduce (n, ΣX, ΣY,
+    ΣXY, ΣX² → θ, x̄) plus ONE per-group aggregate (the same moments + ΣY²)
+    — group stats for Y' need no second pass, since
+    var_g(Y−θX) = var_g(Y) − 2θ·cov_g(X,Y) + θ²·var_g(X).  The 1-row θ
+    frame attaches by broadcast; output is bounded by group cardinality.
+
+    Rows with a null metric, covariate, or group drop.  Output per group:
+    (group, n, theta, mean_raw, mean_adj, var_raw, var_adj,
+    var_reduction = 1 − var_adj/var_raw)."""
+    sdf = _sdf(frame)
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(y.isNotNull() & x.isNotNull() & g.isNotNull()).select(
+        g.alias("__g__"), y.alias("__y__"), x.alias("__x__")
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum("__y__").alias("__sy__"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("__sxy__"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
+    ).select(
+        (
+            (F.col("__sxy__") - F.col("__sx__") * F.col("__sy__") / F.col("__n__"))
+            / (F.col("__sxx__") - F.col("__sx__") * F.col("__sx__") / F.col("__n__"))
+        ).alias("__theta__"),
+        (F.col("__sx__") / F.col("__n__")).alias("__mx__"),
+    )
+    per = base.groupBy("__g__").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__y__").alias("__my__"),
+        F.avg("__x__").alias("__mxg__"),
+        F.var_samp("__y__").alias("__vy__"),
+        F.var_samp("__x__").alias("__vx__"),
+        F.covar_samp("__x__", "__y__").alias("__cxy__"),
+    )
+    th = F.col("__theta__")
+    var_adj = (
+        F.col("__vy__") - 2.0 * th * F.col("__cxy__") + th * th * F.col("__vx__")
+    )
+    out = per.join(F.broadcast(glob)).select(
+        F.col("__g__").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.round(th, round_to).alias("theta"),
+        F.round(F.col("__my__"), round_to).alias("mean_raw"),
+        F.round(
+            F.col("__my__") - th * (F.col("__mxg__") - F.col("__mx__")), round_to
+        ).alias("mean_adj"),
+        F.round(F.col("__vy__"), round_to).alias("var_raw"),
+        F.round(var_adj, round_to).alias("var_adj"),
+        F.round(1.0 - var_adj / F.col("__vy__"), round_to).alias("var_reduction"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("cuped_report")

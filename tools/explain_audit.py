@@ -414,6 +414,21 @@ CHECKS = {
     "q238_conformal": [
         ("TakeOrderedAndProject", "k-th order statistic via per-partition heaps, no global sort"),
     ],
+    "q239_sessionize": [
+        ("!", "Exchange SinglePartition, ENSURE", "session windows shard on the user key"),
+        ("partial_count", "session summary combines map-side"),
+    ],
+    "q240_basket_rules": [
+        ("BroadcastHashJoin", "frequent-item prune and count attachments are broadcast equi-joins"),
+        ("partial_count", "pair counts combine map-side"),
+    ],
+    "q241_cuped": [
+        ("partial_avg", "per-group moment sums combine map-side (no second pass for adjusted stats)"),
+    ],
+    "q242_triangles": [
+        ("partial_count", "degree and per-node credit counts combine map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "wedge and closing joins are key-sharded"),
+    ],
 }
 
 
@@ -476,6 +491,8 @@ def main() -> None:
         "q235_ivfpq",               # 1-row centroid/codebook rows + bounded probe broadcast
         "q236_embedding_drift",     # two 1-row fused aggregates meet in a bounded broadcast
         "q238_conformal",           # 1-row q-hat broadcast onto the coverage reduce
+        "q240_basket_rules",        # 1-row basket-count N attach (support denominators)
+        "q241_cuped",               # 1-row pooled-theta broadcast onto group stats
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
