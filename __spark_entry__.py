@@ -7587,8 +7587,12 @@ def _q235(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     cb = pq_init_codebooks(e, m=8, k=16)
+    # codebooks[s][j] is subvector s of the j-th lowest-id vector, so the
+    # init centroids (the 8 lowest-id vectors) are their concatenations —
+    # one TakeOrdered scan instead of two.
+    cents = [[x for s in range(8) for x in cb[s][i]] for i in range(8)]
     q = LazyFrame(e._sdf.filter(F.col("vec_id") < 10))
-    return ivfpq_topk(e, q, cb, k=5, nlist=8, nprobe=3).spark
+    return ivfpq_topk(e, q, cb, k=5, nlist=8, nprobe=3, centroids=cents).spark
 
 
 _q235_sql = """

@@ -1261,6 +1261,11 @@ def ivfpq_index(
             _nearest_centroid_expr(F.col(vec_col), F.col("__cent__")).alias("centroid_id"),
         )
     )
+    # The residual MUST land as its own projection column before the codes
+    # fold: built inline it is textually copied into every fold-step branch
+    # (~3·m·k re-evaluations of a dim-wide zip_with per row).  As a column
+    # it is referenced ≥3 times by the codes expression, so CollapseProject
+    # keeps the barrier (non-cheap + multi-ref) and it evaluates ONCE per row.
     enc_in = (
         F.zip_with(
             "__v__",
@@ -1270,10 +1275,11 @@ def ivfpq_index(
         if residual
         else F.col("__v__")
     )
-    out = staged.select(
+    res = staged.select(id_col, "centroid_id", "__cb__", enc_in.alias("__r__"))
+    out = res.select(
         id_col,
         "centroid_id",
-        _pq_codes_expr(enc_in, F.col("__cb__"), m, sub_dim).alias("codes"),
+        _pq_codes_expr(F.col("__r__"), F.col("__cb__"), m, sub_dim).alias("codes"),
     )
     return LazyFrame(out)
 
