@@ -7905,6 +7905,160 @@ GROUP BY 1
 """
 
 
+def _q243(spark, sf_dir):
+    """Per-row ROUGE-1 (llm/evaluation.py rouge_n_frame): clipped unigram
+    overlap between each document's 200-char prefix (the 'summary') and its
+    full text — ZERO-shuffle: both gram multisets merge into one sorted
+    struct array per row and a single run-length fold flushes
+    min(cand_run, ref_run) at gram boundaries."""
+    from polars_net_spark.llm.evaluation import rouge_n_frame
+
+    d = _t(spark, sf_dir, "documents").spark
+    pairs = d.select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return rouge_n_frame(pairs, "cand", "ref", n=1).spark.select(
+        "doc_id", "n_cand", "n_ref", "n_overlap", "rouge_p", "rouge_r", "rouge_f1"
+    )
+
+
+_q243_sql = """
+WITH d AS (SELECT doc_id, substr(text, 1, 200) AS cand, text AS ref
+           FROM documents),
+w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(coalesce(cand, ''))),
+                         '\\s+'), x -> len(x) > 0) AS wc,
+             list_filter(string_split_regex(lower(trim(coalesce(ref, ''))),
+                         '\\s+'), x -> len(x) > 0) AS wr
+      FROM d),
+cc AS (SELECT doc_id, g, count(*) AS nc FROM
+        (SELECT doc_id, unnest(wc) AS g FROM w) GROUP BY 1, 2),
+rc AS (SELECT doc_id, g, count(*) AS nr FROM
+        (SELECT doc_id, unnest(wr) AS g FROM w) GROUP BY 1, 2),
+ov AS (SELECT w.doc_id,
+              coalesce(sum(least(coalesce(cc.nc, 0), coalesce(rc.nr, 0))), 0)
+                AS n_overlap
+       FROM w
+       LEFT JOIN cc ON cc.doc_id = w.doc_id
+       LEFT JOIN rc ON rc.doc_id = cc.doc_id AND rc.g = cc.g
+       GROUP BY 1),
+m AS (SELECT w.doc_id, len(wc) AS n_cand, len(wr) AS n_ref, ov.n_overlap,
+             CASE WHEN len(wc) > 0 THEN ov.n_overlap * 1.0 / len(wc) END AS p,
+             CASE WHEN len(wr) > 0 THEN ov.n_overlap * 1.0 / len(wr) END AS r
+      FROM w JOIN ov ON ov.doc_id = w.doc_id)
+SELECT doc_id, CAST(n_cand AS BIGINT) AS n_cand, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+       CASE WHEN p IS NOT NULL AND r IS NOT NULL THEN
+         CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6) ELSE 0.0 END
+       END AS rouge_f1
+FROM m
+"""
+
+
+def _q244(spark, sf_dir):
+    """Character-level edit metrics (llm/evaluation.py edit_distance_report):
+    Levenshtein / CER / normalized similarity between neighboring documents'
+    80-char prefixes — pure map-side JVM levenshtein after one id-shifted
+    equi-join."""
+    from polars_net_spark.llm.evaluation import edit_distance_report
+
+    d = _t(spark, sf_dir, "documents").spark
+    a = d.select(F.col("doc_id"), F.lower(F.substring("text", 1, 80)).alias("cand"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.lower(F.substring("text", 1, 80)).alias("ref"),
+    )
+    pairs = a.join(b, "doc_id")
+    return edit_distance_report(pairs, "cand", "ref").spark.select(
+        "doc_id", "edit_distance", "cer", "similarity", "exact_match"
+    )
+
+
+_q244_sql = """
+WITH a AS (SELECT doc_id, lower(substr(text, 1, 80)) AS cand FROM documents),
+b AS (SELECT doc_id - 1 AS doc_id, lower(substr(text, 1, 80)) AS ref
+      FROM documents),
+p AS (SELECT a.doc_id, coalesce(cand, '') AS c, coalesce(ref, '') AS r
+      FROM a JOIN b ON a.doc_id = b.doc_id),
+m AS (SELECT doc_id, c, r, levenshtein(c, r) AS d FROM p)
+SELECT doc_id, CAST(d AS BIGINT) AS edit_distance,
+       round(CASE WHEN len(r) > 0 THEN d * 1.0 / len(r) END, 6) AS cer,
+       round(CASE WHEN greatest(len(c), len(r)) > 0
+                  THEN 1.0 - d * 1.0 / greatest(len(c), len(r))
+                  ELSE 1.0 END, 6) AS similarity,
+       d = 0 AS exact_match
+FROM m
+"""
+
+
+def _q245(spark, sf_dir):
+    """Sample-ratio-mismatch check (operators/regression.py srm_check): χ²
+    goodness-of-fit of observed event_type assignment counts against a
+    designed 50/30/20 split — one count aggregate LEFT-joined onto the
+    literal expected grid; types outside the design are excluded."""
+    from polars_net_spark.operators.regression import srm_check
+
+    ev = _t(spark, sf_dir, "events").spark
+    return srm_check(
+        ev, "event_type", {"view": 0.5, "click": 0.3, "purchase": 0.2}
+    ).spark
+
+
+_q245_sql = """
+WITH grid AS (SELECT * FROM (VALUES ('click', 0.3), ('purchase', 0.2),
+                                    ('view', 0.5)) AS t(g, share)),
+obs AS (SELECT event_type AS g, count(*) AS o FROM events
+        WHERE event_type IN ('view', 'click', 'purchase') GROUP BY 1),
+j AS (SELECT grid.g, grid.share / (SELECT sum(share) FROM grid) AS share,
+             coalesce(obs.o, 0) AS o
+      FROM grid LEFT JOIN obs ON grid.g = obs.g),
+n AS (SELECT sum(o) AS n FROM j)
+SELECT CAST(n.n AS BIGINT) AS n,
+       round(sum((o - share * n.n) * (o - share * n.n) / (share * n.n)), 6)
+         AS chi2,
+       CAST(count(*) - 1 AS BIGINT) AS df,
+       round(max(abs(o * 1.0 / n.n - share)), 6) AS max_abs_diff
+FROM j, n GROUP BY n.n
+"""
+
+
+def _q246(spark, sf_dir):
+    """Squared Mahalanobis outlier score (operators/regression.py
+    with_mahalanobis) over (quantity, scaled price): ONE fused all-reduce
+    fits means + covariances, a driver-side numpy inverse of the bounded
+    d×d matrix, and serving is pure map-side quadratic-form Column math."""
+    from polars_net_spark.operators.regression import with_mahalanobis
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice") * 1e-5).alias("y"),
+    )
+    return with_mahalanobis(staged, ["x", "y"]).spark.select(
+        "l_orderkey", "l_linenumber", "mahalanobis_sq"
+    )
+
+
+_q246_sql = """
+WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity::DOUBLE AS x,
+                  l_extendedprice * 1e-5 AS y
+           FROM lineitem),
+s AS (SELECT avg(x) AS mx, avg(y) AS my, var_samp(x) AS vx, var_samp(y) AS vy,
+             covar_samp(x, y) AS cxy
+      FROM b WHERE x IS NOT NULL AND y IS NOT NULL)
+SELECT l_orderkey, l_linenumber,
+       round((vy * (x - mx) * (x - mx) - 2 * cxy * (x - mx) * (y - my)
+              + vx * (y - my) * (y - my)) / (vx * vy - cxy * cxy), 6)
+         AS mahalanobis_sq
+FROM b, s
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8171,6 +8325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_basket_rules": _q240,
         "q241_cuped": _q241,
         "q242_triangles": _q242,
+        "q243_rouge1": _q243,
+        "q244_edit_distance": _q244,
+        "q245_srm": _q245,
+        "q246_mahalanobis": _q246,
     }
 
 
@@ -8418,4 +8576,8 @@ def oracle_sql() -> dict[str, str]:
         "q240_basket_rules": _q240_sql,
         "q241_cuped": _q241_sql,
         "q242_triangles": _q242_sql,
+        "q243_rouge1": _q243_sql,
+        "q244_edit_distance": _q244_sql,
+        "q245_srm": _q245_sql,
+        "q246_mahalanobis": _q246_sql,
     }

@@ -670,3 +670,141 @@ def conformal_coverage(
 
 
 __all__.extend(["conformal_threshold", "conformal_coverage"])
+
+
+def rouge_n_frame(
+    frame: "LazyFrame | SparkDF",
+    cand_col: str,
+    ref_col: str,
+    n: int = 1,
+    lowercase: bool = True,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Per-row ROUGE-N (Lin 2004): clipped n-gram overlap between a
+    candidate text (summary / generation) and its reference —
+    ``n_overlap = Σ_g min(count_cand(g), count_ref(g))`` over word n-grams,
+    with precision = overlap/|cand grams|, recall = overlap/|ref grams|,
+    and their F1.  The supervised generation-eval complement of the
+    corpus-level jaccard/containment family.
+
+    ZERO-shuffle design (the word_entropy_frame construction): both gram
+    multisets become ONE sorted array of (gram, side) structs per row, and
+    a single fold walks it run-length-wise, flushing min(cand_run, ref_run)
+    at each gram boundary — O((|c|+|r|) log) map-side, no explode/groupBy.
+    Word arrays and gram arrays land as their own projection columns so
+    Catalyst never re-evaluates them from inside the lambdas.  Null or
+    empty texts yield 0 grams and null precision/recall on that side."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    sdf = _sdf(frame)
+
+    def words(c):
+        raw = F.trim(F.coalesce(F.col(c), F.lit("")))
+        if lowercase:
+            raw = F.lower(raw)
+        return F.filter(F.split(raw, r"\s+"), lambda w: F.length(w) > 0)
+
+    staged = sdf.select("*", words(cand_col).alias("__wc__"), words(ref_col).alias("__wr__"))
+
+    def grams(col):
+        w = F.col(col)
+        if n == 1:
+            return w
+        cnt = F.size(w) - (n - 1)
+        # sequence(1, 0) DESCENDS in Spark, so short texts need the guard
+        return F.when(
+            cnt > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # grams reference their word column >=2 times (operand + lambda body),
+    # so CollapseProject keeps this barrier and each array builds once.
+    g = staged.select("*", grams("__wc__").alias("__gc__"), grams("__wr__").alias("__gr__"))
+    merged = F.array_sort(
+        F.concat(
+            F.transform("__gc__", lambda x: F.struct(x.alias("g"), F.lit(1).alias("c"), F.lit(0).alias("r"))),
+            F.transform("__gr__", lambda x: F.struct(x.alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r"))),
+        )
+    )
+    overlap = F.aggregate(
+        merged,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cc"), F.lit(0).alias("rc"), F.lit(0).alias("s"),
+        ),
+        lambda acc, x: F.when(
+            acc["prev"].isNull() | (x["g"] != acc["prev"]),
+            F.struct(
+                x["g"].alias("prev"), x["c"].alias("cc"), x["r"].alias("rc"),
+                (acc["s"] + F.least(acc["cc"], acc["rc"])).alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                x["g"].alias("prev"), (acc["cc"] + x["c"]).alias("cc"),
+                (acc["rc"] + x["r"]).alias("rc"), acc["s"].alias("s"),
+            )
+        ),
+        lambda acc: acc["s"] + F.least(acc["cc"], acc["rc"]),
+    )
+    nc, nr = F.size("__gc__"), F.size("__gr__")
+    scored = g.select(
+        "*",
+        nc.cast("long").alias("n_cand"),
+        nr.cast("long").alias("n_ref"),
+        overlap.cast("long").alias("n_overlap"),
+    )
+    p = F.when(F.col("n_cand") > 0, F.col("n_overlap") / F.col("n_cand"))
+    r = F.when(F.col("n_ref") > 0, F.col("n_overlap") / F.col("n_ref"))
+    out = (
+        scored.withColumn("rouge_p", F.round(p, round_to))
+        .withColumn("rouge_r", F.round(r, round_to))
+        .withColumn(
+            "rouge_f1",
+            F.round(
+                F.when((p + r) > 0, 2.0 * p * r / (p + r)).otherwise(
+                    F.when(p.isNotNull() & r.isNotNull(), F.lit(0.0))
+                ),
+                round_to,
+            ),
+        )
+        .drop("__wc__", "__wr__", "__gc__", "__gr__")
+    )
+    return LazyFrame(out)
+
+
+def edit_distance_report(
+    frame: "LazyFrame | SparkDF",
+    cand_col: str,
+    ref_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Per-row character-level edit metrics — the ASR/OCR/transcription eval
+    block: Levenshtein distance, CER = distance / |ref| (null when the
+    reference is empty), normalized similarity 1 − distance/max(|c|, |r|)
+    (1.0 when both empty), and an exact-match flag.  Pure map-side Column
+    math (JVM levenshtein); cost is O(|c|·|r|) per row — cap or chunk very
+    long texts upstream, the standard CER contract."""
+    sdf = _sdf(frame)
+    c = F.coalesce(F.col(cand_col), F.lit(""))
+    r = F.coalesce(F.col(ref_col), F.lit(""))
+    dist = F.levenshtein(c, r)
+    lc, lr = F.length(c), F.length(r)
+    out = (
+        sdf.withColumn("edit_distance", dist.cast("long"))
+        .withColumn("cer", F.round(F.when(lr > 0, dist / lr), round_to))
+        .withColumn(
+            "similarity",
+            F.round(
+                F.when(F.greatest(lc, lr) > 0, 1.0 - dist / F.greatest(lc, lr)).otherwise(1.0),
+                round_to,
+            ),
+        )
+        .withColumn("exact_match", (dist == 0).alias("exact_match"))
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["rouge_n_frame", "edit_distance_report"])

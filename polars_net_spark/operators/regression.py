@@ -757,3 +757,119 @@ def cuped_report(
 
 
 __all__.append("cuped_report")
+
+
+def srm_check(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    expected: "dict[str, float]",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Sample-ratio-mismatch check — the first A/B-test health gate: a χ²
+    goodness-of-fit of observed assignment counts against the designed
+    allocation ``expected`` (e.g. ``{"control": 0.5, "treatment": 0.5}``;
+    ratios normalize, so weights work too).  Units whose group is not in
+    ``expected`` are EXCLUDED (they are a different bug); expected groups
+    observed zero times still contribute (0−E)²/E.  χ² here is NOT the
+    experiment metric — a significant SRM means the assignment plumbing is
+    broken and the experiment is unreadable (Fabijan et al. 2019).
+
+    One map-side-combining count aggregate, LEFT-joined onto the literal
+    expected-grid (bounded by group cardinality); feed (chi2, df) to a χ²
+    CDF driver-side for the p-value, as chi2_independence does.
+    Output (1 row): n, chi2, df, max_abs_diff (largest |observed −
+    expected| share across groups — the "which arm" pointer)."""
+    if not expected:
+        raise ValueError("expected must name at least one group")
+    tot_w = float(sum(expected.values()))
+    if tot_w <= 0:
+        raise ValueError("expected ratios must sum to a positive value")
+    sdf = _sdf(frame)
+    spark = sdf.sparkSession
+    grid = spark.createDataFrame(
+        [(k, float(v) / tot_w) for k, v in sorted(expected.items())],
+        "__g__ string, __share__ double",
+    )
+    obs = (
+        sdf.filter(F.col(group_col).isin(list(expected.keys())))
+        .groupBy(F.col(group_col).cast("string").alias("__g__"))
+        .agg(F.count(F.lit(1)).alias("__o__"))
+    )
+    joined = (
+        grid.join(obs, "__g__", "left")
+        .withColumn("__o__", F.coalesce("__o__", F.lit(0)))
+    )
+    n = joined.agg(F.sum("__o__").alias("__n__"))
+    e = F.col("__share__") * F.col("__n__")
+    out = (
+        joined.join(F.broadcast(n))
+        .agg(
+            F.first("__n__").cast("long").alias("n"),
+            F.round(
+                F.sum((F.col("__o__") - e) * (F.col("__o__") - e) / e), round_to
+            ).alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+            F.round(
+                F.max(F.abs(F.col("__o__") / F.col("__n__") - F.col("__share__"))),
+                round_to,
+            ).alias("max_abs_diff"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def with_mahalanobis(
+    frame: "LazyFrame | SparkDF",
+    cols: "list[str]",
+    out_col: str = "mahalanobis_sq",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Squared Mahalanobis distance of each row from the column means under
+    the sample covariance — the multivariate outlier score (compare against
+    χ²_d quantiles; the d-dimensional generalization of with_outlier_flags'
+    z-score).  Rows with any null feature get a null score and are excluded
+    from the fit.
+
+    ONE fused all-reduce collects the d means and d(d+1)/2 covariances
+    (size contract: the 1-row fit is O(d²) values and the serving
+    expression O(d²) terms — fine to d in the dozens, use a projection
+    first beyond that); the d×d inverse is a driver-side numpy solve of a
+    BOUNDED matrix, and serving is pure map-side Column math
+    Σᵢⱼ inv[i,j]·(xᵢ−μᵢ)·(xⱼ−μⱼ).  Raises if the covariance matrix is
+    singular (drop collinear features)."""
+    import numpy as np
+
+    if len(cols) < 1:
+        raise ValueError("cols must name at least one column")
+    sdf = _sdf(frame)
+    d = len(cols)
+    xs = [F.col(c).cast("double") for c in cols]
+    ok = xs[0].isNotNull()
+    for x in xs[1:]:
+        ok = ok & x.isNotNull()
+    fit_aggs = [F.avg(x).alias(f"m{i}") for i, x in enumerate(xs)] + [
+        F.covar_samp(xs[i], xs[j]).alias(f"c{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = sdf.filter(ok).agg(*fit_aggs).collect()[0]
+    mu = [float(row[f"m{i}"]) for i in range(d)]
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = float(row[f"c{i}_{j}"])
+    det = float(np.linalg.det(cov))
+    if not np.isfinite(det) or abs(det) < 1e-300:
+        raise ValueError("covariance matrix is singular; drop collinear features")
+    inv = np.linalg.inv(cov)
+    md2 = F.lit(0.0)
+    for i in range(d):
+        for j in range(d):
+            md2 = md2 + F.lit(float(inv[i, j])) * (xs[i] - F.lit(mu[i])) * (
+                xs[j] - F.lit(mu[j])
+            )
+    out = sdf.withColumn(out_col, F.round(F.when(ok, md2), round_to))
+    return LazyFrame(out)
+
+
+__all__.extend(["srm_check", "with_mahalanobis"])

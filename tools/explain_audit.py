@@ -429,6 +429,21 @@ CHECKS = {
         ("partial_count", "degree and per-node credit counts combine map-side"),
         ("!", "Exchange SinglePartition, ENSURE", "wedge and closing joins are key-sharded"),
     ],
+    "q243_rouge1": [
+        ("!", "Exchange", "zero-shuffle ROUGE: merged-run-length fold per row, no explode/groupBy"),
+        ("!", "EvalPython", "no Python in the scoring path"),
+    ],
+    "q244_edit_distance": [
+        ("!", "EvalPython", "JVM levenshtein, no Python"),
+        ("!", "Exchange SinglePartition, ENSURE", "id-shifted join stays key-sharded"),
+    ],
+    "q245_srm": [
+        ("partial_count", "assignment counts combine map-side"),
+    ],
+    "q246_mahalanobis": [
+        ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
+        ("!", "EvalPython", "no Python in the serving path"),
+    ],
 }
 
 
@@ -493,6 +508,7 @@ def main() -> None:
         "q238_conformal",           # 1-row q-hat broadcast onto the coverage reduce
         "q240_basket_rules",        # 1-row basket-count N attach (support denominators)
         "q241_cuped",               # 1-row pooled-theta broadcast onto group stats
+        "q245_srm",                 # 1-row observed-total N attach onto the expected grid
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
