@@ -8059,6 +8059,105 @@ FROM b, s
 """
 
 
+def _q247(spark, sf_dir):
+    """Multi-touch attribution (operators/analytics.py attribution_frame):
+    each purchase claims the touches since the user's previous purchase
+    within a 2h lookback; first/last/linear credit per channel — ONE
+    user-keyed reverse-running-count window assigns touches to conversions
+    (no touch×conversion join)."""
+    from polars_net_spark.operators.analytics import attribution_frame
+
+    ev = _t(spark, sf_dir, "events").spark
+    return attribution_frame(
+        ev, "ts", "user_id", "event_type", "purchase",
+        touch_types=["view", "click", "signup"], lookback="2 hours",
+        tie_cols=["event_id"],
+    ).spark
+
+
+_q247_sql = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM events),
+s2 AS (SELECT *, max(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id, seg) AS conv_ts
+       FROM s WHERE seg > 0),
+t AS (SELECT * FROM s2
+      WHERE event_type IN ('view', 'click', 'signup')
+        AND ts < conv_ts
+        AND epoch_us(ts) >= epoch_us(conv_ts) - 7200000000::BIGINT),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY user_id, seg
+                           ORDER BY ts, event_id) AS ra,
+        row_number() OVER (PARTITION BY user_id, seg
+                           ORDER BY ts DESC, event_id DESC) AS rd,
+        count(*) OVER (PARTITION BY user_id, seg) AS n
+      FROM t)
+SELECT event_type AS channel,
+       round(sum(CASE WHEN ra = 1 THEN 1.0 ELSE 0.0 END), 6) AS first_touch,
+       round(sum(CASE WHEN rd = 1 THEN 1.0 ELSE 0.0 END), 6) AS last_touch,
+       round(sum(1.0 / n), 6) AS linear
+FROM r GROUP BY 1
+"""
+
+
+def _q248(spark, sf_dir):
+    """RAKE keyphrase extraction (llm/retrieval.py rake_keywords): maximal
+    non-stopword runs score Σ degree/freq of member words; boundary
+    splitting is RE2-compatible regex Column math (replayed verbatim by the
+    oracle), stats are (doc, word)-keyed map-side-combining aggregates,
+    ranking cuts on the ROUNDED score for cross-engine determinism."""
+    from polars_net_spark.llm.retrieval import rake_keywords
+
+    d = _t(spark, sf_dir, "documents").spark
+    return rake_keywords(d, "text", "doc_id", top_k=3, max_words=4).spark
+
+
+_q248_sql = (
+    """
+WITH d AS (SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS t
+           FROM documents),
+p1 AS (SELECT doc_id, regexp_replace(t, '[^a-z0-9\\s]+', ' | ', 'g') AS t FROM d),
+p2 AS (SELECT doc_id, regexp_replace(t, '\\s+', ' ', 'g') AS t FROM p1),
+p3 AS (SELECT doc_id, regexp_replace(t, ' (?:__ALT__)(?: (?:__ALT__))* ',
+                                     ' | ', 'g') AS t FROM p2),
+ph AS (SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS n_words FROM
+        (SELECT doc_id, trim(u.s) AS phrase
+         FROM p3, unnest(string_split(t, '|')) AS u(s))
+       WHERE len(phrase) > 0),
+phf AS (SELECT * FROM ph WHERE n_words BETWEEN 1 AND 4),
+wd AS (SELECT doc_id, n_words, u.w AS word
+       FROM phf, unnest(string_split(phrase, ' ')) AS u(w)),
+ws AS (SELECT doc_id, word, count(*) AS freq, sum(n_words) AS deg
+       FROM wd GROUP BY 1, 2),
+pw AS (SELECT doc_id, phrase, n_words, u.w AS word
+       FROM phf, unnest(string_split(phrase, ' ')) AS u(w)),
+sc AS (SELECT pw.doc_id, pw.phrase, pw.n_words,
+              sum(ws.deg * 1.0 / ws.freq) AS s,
+              count(*) * 1.0 / pw.n_words AS occ
+       FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.word = pw.word
+       GROUP BY 1, 2, 3),
+rr AS (SELECT doc_id, phrase, n_words, round(s / occ, 6) AS score FROM sc),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, phrase) AS rank
+       FROM rr)
+SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words, score,
+       CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 3
+"""
+).replace(
+    "__ALT__",
+    "|".join(sorted(
+        "a an and are as at be but by for from has have he her his i in is it "
+        "its of on or she that the their them they this to was we were which "
+        "will with you your not no so if then than too very can could would".split()
+    )),
+)
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8329,6 +8428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_edit_distance": _q244,
         "q245_srm": _q245,
         "q246_mahalanobis": _q246,
+        "q247_attribution": _q247,
+        "q248_rake": _q248,
     }
 
 
@@ -8580,4 +8681,6 @@ def oracle_sql() -> dict[str, str]:
         "q244_edit_distance": _q244_sql,
         "q245_srm": _q245_sql,
         "q246_mahalanobis": _q246_sql,
+        "q247_attribution": _q247_sql,
+        "q248_rake": _q248_sql,
     }

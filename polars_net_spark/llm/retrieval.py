@@ -480,3 +480,98 @@ def pmi_collocations(
 
 
 __all__.extend(["term_document_frequency", "pmi_collocations"])
+
+
+# 50 high-frequency English function words; the RAKE phrase-boundary set.
+# Kept deliberately small and FROZEN: the oracle SQL embeds the same list.
+RAKE_STOPWORDS = (
+    "a an and are as at be but by for from has have he her his i in is it "
+    "its of on or she that the their them they this to was we were which "
+    "will with you your not no so if then than too very can could would"
+).split()
+
+
+def rake_keywords(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    stopwords: "list[str] | None" = None,
+    min_words: int = 1,
+    max_words: int = 4,
+    round_to: int = 6,
+):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword words between stopword/punctuation
+    boundaries; each word scores degree/frequency (degree = Σ |phrase| over
+    its phrase occurrences — co-occurrence weight including itself; freq =
+    occurrence count), and a phrase scores the sum of its words' scores.
+    The phrase-level complement of tfidf_top_terms (which ranks single
+    terms): multi-word keyphrases with no corpus statistics needed —
+    documents score independently, so the pipeline shards on doc_id alone.
+
+    Boundary splitting is pure regex Column math (RE2-compatible — no
+    lookarounds — so the DuckDB oracle replays it exactly): punctuation
+    folds to '|', then maximal stopword RUNS fold to '|' in one pass.
+    Phrase/word stats are two (doc, word)-keyed map-side-combining
+    aggregates; phrases longer than ``max_words`` are dropped (classic RAKE
+    noise control).  Output: (id, phrase, n_words, score, rank), top_k per
+    document by (score desc, phrase)."""
+    from ..frame import LazyFrame
+
+    sdf = frame.spark if hasattr(frame, "spark") else frame
+    sw = stopwords if stopwords is not None else RAKE_STOPWORDS
+    if not sw:
+        raise ValueError("stopwords must be non-empty (RAKE needs boundaries)")
+    alt = "|".join(sorted(sw))
+    pad = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
+    p1 = F.regexp_replace(pad, r"[^a-z0-9\s]+", " | ")
+    p2 = F.regexp_replace(p1, r"\s+", " ")
+    p3 = F.regexp_replace(p2, f" (?:{alt})(?: (?:{alt}))* ", " | ")
+    phrases = F.filter(
+        F.transform(F.split(p3, r"\|"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    ph = (
+        sdf.select(F.col(id_col), F.explode(phrases).alias("phrase"))
+        .withColumn("__w__", F.split("phrase", " "))
+        .withColumn("n_words", F.size("__w__"))
+        .filter((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
+    )
+    words = ph.select(id_col, "n_words", F.explode("__w__").alias("word"))
+    wstats = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__freq__"),
+        F.sum("n_words").alias("__deg__"),
+    )
+    scored = (
+        ph.select(id_col, "phrase", "n_words", F.explode("__w__").alias("word"))
+        .join(wstats, [id_col, "word"])
+        .groupBy(id_col, "phrase", "n_words")
+        .agg(
+            F.sum(F.col("__deg__") / F.col("__freq__")).alias("__s__"),
+            (F.count(F.lit(1)) / F.col("n_words")).alias("__occ__"),
+        )
+    )
+    # rank on the ROUNDED score: mathematically-equal scores (common in
+    # RAKE — small-integer ratio sums) may differ by an ulp across engines
+    # depending on addition order; rounding first keeps the (score, phrase)
+    # order — and therefore the top_k cut — engine-independent.
+    final = scored.withColumn(
+        "score", F.round(F.col("__s__") / F.col("__occ__"), round_to)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("phrase"))
+    out = (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            id_col,
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return LazyFrame(out)
+
+
+__all__.append("rake_keywords")

@@ -1245,3 +1245,74 @@ def session_summary(
         )
     )
     return LazyFrame(out)
+
+
+def attribution_frame(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    user_col: str,
+    event_col: str,
+    conversion: str,
+    touch_types: "list[str] | None" = None,
+    lookback: "str | None" = None,
+    tie_cols: "list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Multi-touch attribution: every ``conversion`` event per user claims
+    the touch events since that user's previous conversion (and, with
+    ``lookback``, no older than that window), and each channel
+    (``event_col`` value) receives credit under the three standard models —
+    first-touch (1 to the earliest touch), last-touch (1 to the latest),
+    linear (1/n to each).  Total credit per model = number of conversions
+    that had at least one touch.
+
+    Scale shape: ONE user-keyed window pass assigns touches to their next
+    conversion via a reverse running count of conversion flags (no
+    touch×conversion join), two more windows on the same (user, segment)
+    partitioning rank touches and count them, then one channel aggregate.
+    Ties at the first/last timestamp break on ``tie_cols`` so credit is
+    deterministic.  Output: (channel, first_touch, last_touch, linear),
+    channels with zero credit omitted."""
+    sdf = _sdf(frame)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    wu = Window.partitionBy(user_col).orderBy(*[o.desc() for o in order])
+    conv_flag = (F.col(event_col) == conversion).cast("int")
+    seg = F.sum(conv_flag).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = sdf.withColumn("__seg__", seg).filter(F.col("__seg__") > 0)
+    wseg = Window.partitionBy(user_col, "__seg__")
+    conv_ts = F.max(
+        F.when(F.col(event_col) == conversion, F.col(ts_col).cast("timestamp"))
+    ).over(wseg)
+    is_touch = F.col(event_col) != conversion
+    if touch_types is not None:
+        is_touch = F.col(event_col).isin(list(touch_types))
+    if lookback is not None:
+        is_touch = is_touch & (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            >= F.unix_micros(F.col("__ct__"))
+            - F.lit(int(_interval_seconds(lookback) * 1e6))
+        )
+    touches = staged.withColumn("__ct__", conv_ts).filter(
+        is_touch & (F.col(ts_col).cast("timestamp") < F.col("__ct__"))
+    )
+    wseq = Window.partitionBy(user_col, "__seg__").orderBy(*order)
+    wseq_d = Window.partitionBy(user_col, "__seg__").orderBy(*[o.desc() for o in order])
+    scored = (
+        touches.withColumn("__rn_a__", F.row_number().over(wseq))
+        .withColumn("__rn_d__", F.row_number().over(wseq_d))
+        .withColumn("__n__", F.count(F.lit(1)).over(wseg))
+    )
+    out = (
+        scored.groupBy(F.col(event_col).alias("channel"))
+        .agg(
+            F.round(F.sum((F.col("__rn_a__") == 1).cast("double")), round_to).alias("first_touch"),
+            F.round(F.sum((F.col("__rn_d__") == 1).cast("double")), round_to).alias("last_touch"),
+            F.round(F.sum(1.0 / F.col("__n__")), round_to).alias("linear"),
+        )
+    )
+    return LazyFrame(out)
+
+
+__all__.append("attribution_frame")

@@ -440,6 +440,14 @@ CHECKS = {
     "q245_srm": [
         ("partial_count", "assignment counts combine map-side"),
     ],
+    "q247_attribution": [
+        ("!", "Exchange SinglePartition, ENSURE", "all windows shard on the user key"),
+        ("partial_sum", "channel credit sums combine map-side"),
+    ],
+    "q248_rake": [
+        ("partial_count", "word stats combine map-side"),
+        ("!", "EvalPython", "boundary splitting is pure regex Column math"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
