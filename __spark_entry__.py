@@ -8158,6 +8158,78 @@ FROM rk WHERE rank <= 3
 )
 
 
+def _q249(spark, sf_dir):
+    """Deequ-style column profiling (operators/describe.py profile_frame):
+    row/null/exact-distinct counts + modal value per column — ONE map-side
+    melt, then two map-side-combining aggregates ((column, value) counts,
+    column rollup via min(struct(-count, value))) — hot columns never pool
+    raw rows."""
+    from polars_net_spark.operators.describe import profile_frame
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_frame(
+        li, ["l_returnflag", "l_linestatus", "l_suppkey", "l_orderkey"]
+    ).spark
+
+
+_q249_sql = """
+WITH p AS (
+  SELECT 'l_returnflag' AS col, l_returnflag::VARCHAR AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', l_orderkey::VARCHAR FROM lineitem),
+base AS (SELECT col, count(*) AS n,
+                sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+         FROM p GROUP BY 1),
+vc AS (SELECT col, v, count(*) AS cnt FROM p WHERE v IS NOT NULL
+       GROUP BY 1, 2),
+roll AS (SELECT col, count(*) AS n_distinct FROM vc GROUP BY 1),
+top AS (SELECT col, v AS top_value, cnt AS top_count FROM (
+          SELECT *, row_number() OVER (PARTITION BY col
+                                       ORDER BY cnt DESC, v) AS rn
+          FROM vc) WHERE rn = 1)
+SELECT base.col AS "column", CAST(n AS BIGINT) AS n,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+       top_value, CAST(top_count AS BIGINT) AS top_count
+FROM base LEFT JOIN roll ON base.col = roll.col
+LEFT JOIN top ON base.col = top.col
+"""
+
+
+def _q250(spark, sf_dir):
+    """Exact GLOBAL weighted quantiles (operators/describe.py
+    weighted_quantile): quantity-weighted price percentiles — distinct
+    values collapse map-side, then the distsort range-bucket +
+    driver-prefix-offset machinery keeps every window task at ~1/nbuckets
+    of the distinct values (no single-partition window at any scale)."""
+    from polars_net_spark.operators.describe import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9]
+    ).spark
+
+
+_q250_sql = """
+WITH b AS (SELECT l_extendedprice::DOUBLE AS v, l_quantity::DOUBLE AS w
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_quantity > 0),
+d AS (SELECT v, sum(w) AS w FROM b GROUP BY 1),
+c AS (SELECT v, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM d),
+t AS (SELECT sum(w) AS tw FROM d)
+SELECT round(q, 6) AS q,
+       round(min(CASE WHEN cw >= q * tw - 1e-12 THEN v END), 6) AS value
+FROM c, t, (VALUES (0.25), (0.5), (0.9)) AS qs(q)
+GROUP BY q
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8430,6 +8502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_mahalanobis": _q246,
         "q247_attribution": _q247,
         "q248_rake": _q248,
+        "q249_profile": _q249,
+        "q250_weighted_quantile": _q250,
     }
 
 
@@ -8683,4 +8757,6 @@ def oracle_sql() -> dict[str, str]:
         "q246_mahalanobis": _q246_sql,
         "q247_attribution": _q247_sql,
         "q248_rake": _q248_sql,
+        "q249_profile": _q249_sql,
+        "q250_weighted_quantile": _q250_sql,
     }

@@ -122,3 +122,151 @@ def histogram_frame(
 
 
 __all__.append("histogram_frame")
+
+
+def profile_frame(
+    frame: "LazyFrame | SparkDF",
+    cols: "list[str] | None" = None,
+) -> LazyFrame:
+    """Deequ-style column profiling — the audit sibling of describe()
+    (which summarizes numeric distributions) and validate_frame (which
+    checks declared expectations): one row per column with row count, null
+    count, exact distinct count, and the modal value (most frequent
+    non-null, ties to the smallest value string).
+
+    Values profile in their string form so one frame covers mixed types.
+    Shuffle shape: columns melt map-side into (column, value) pairs — ONE
+    pass, rows × |cols| fan-out — then (column, value) counts combine
+    map-side, and the per-column rollup (distinct = one row per surviving
+    (column, value); mode = min(struct(-count, value))) is a second
+    map-side-combining aggregate keyed by column, so hot columns never pool
+    raw rows.  Output: (column, n, n_null, n_distinct, top_value, top_count).
+
+    Caveat for cross-engine comparisons: float-to-string renderings differ
+    between engines; profile numeric columns via an explicit cast/round
+    upstream if the string form matters."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    names = list(cols) if cols is not None else list(sdf.columns)
+    if not names:
+        raise ValueError("cols must name at least one column")
+    melted = sdf.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in names
+            ])
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+    base = melted.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+    )
+    vc = (
+        melted.filter(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    roll = vc.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("value").alias("v"))).alias("__top__"),
+    )
+    out = (
+        base.join(roll, "column", "left")
+        .select(
+            "column",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            F.col("__top__.v").alias("top_value"),
+            (-F.col("__top__.nc")).cast("long").alias("top_count"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def weighted_quantile(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    weight_col: str,
+    qs: "list[float]",
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact weighted quantiles: the smallest value whose cumulative weight
+    reaches q·W (the weighted generalization of quantile 'lower'
+    interpolation) — survey weighting, importance-weighted percentiles,
+    token-weighted length stats.  Null/zero/negative weights and null
+    values drop.
+
+    Per-``by``-key the cumulative weight is one window sharded on the key.
+    The GLOBAL path never uses a single-partition window: distinct values
+    collapse first (map-side combine), then the distsort range-bucket +
+    driver-prefix-offset machinery (operators/distsort.py) gives each
+    bucket its exclusive prefix, and the within-bucket window holds
+    ~1/nbuckets of the DISTINCT values.  Output: (*by, q, value)."""
+    from pyspark.sql import DataFrame as SparkDF, Window
+
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError("each q must be in (0, 1]")
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = sdf.filter(v.isNotNull() & w.isNotNull() & (w > 0)).select(
+        *keys, v.alias("__v__"), w.alias("__w__")
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    if keys:
+        wk = Window.partitionBy(*keys).orderBy("__v__")
+        cum = F.sum("__w__").over(
+            wk.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = F.sum("__w__").over(Window.partitionBy(*keys))
+        staged = base.select(*keys, "__v__", cum.alias("__cw__"), tot.alias("__tw__"))
+        picked = (
+            staged.select(*keys, "__v__", "__cw__", "__tw__", F.explode(qarr).alias("q"))
+            .groupBy(*keys, "q")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("__cw__") >= F.col("q") * F.col("__tw__") - F.lit(1e-12),
+                        F.col("__v__"),
+                    )
+                ).alias("value")
+            )
+            .select(*keys, F.round("q", 6).alias("q"), F.round("value", round_to).alias("value"))
+        )
+        return LazyFrame(picked)
+    dv = base.groupBy("__v__").agg(F.sum("__w__").alias("__w__"))
+    bucketed, bcol = with_range_buckets(dv, "__v__")
+    offs, totals = with_prefix_offsets(bucketed, bcol, {"w": F.col("__w__")})
+    wtot = float(totals["w"])
+    wb = Window.partitionBy(bcol).orderBy("__v__")
+    cum = F.col("__off_w__") + F.sum("__w__").over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = offs.select("__v__", cum.alias("__cw__"))
+    picked = (
+        staged.select("__v__", "__cw__", F.explode(qarr).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(F.col("__cw__") >= F.col("q") * F.lit(wtot) - F.lit(1e-12), F.col("__v__"))
+            ).alias("value")
+        )
+        .select(F.round("q", 6).alias("q"), F.round("value", round_to).alias("value"))
+    )
+    return LazyFrame(picked)
+
+
+__all__.extend(["profile_frame", "weighted_quantile"])

@@ -448,6 +448,14 @@ CHECKS = {
         ("partial_count", "word stats combine map-side"),
         ("!", "EvalPython", "boundary splitting is pure regex Column math"),
     ],
+    "q249_profile": [
+        ("partial_count", "(column, value) counts and rollups combine map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "no column pools raw rows in one task"),
+    ],
+    "q250_weighted_quantile": [
+        ("partial_sum", "distinct-value weight collapse combines map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "distsort buckets replace the global window"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
