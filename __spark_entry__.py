@@ -8230,6 +8230,101 @@ GROUP BY q
 """
 
 
+def _q251(spark, sf_dir):
+    """Synchronous label propagation (operators/graph.py
+    label_propagation): 3 deterministic rounds (most-frequent neighbor
+    label, ties to the smallest) on the domestic co-supply graph — per
+    round one adjacency⋈labels equi-join + one (v, label) count + argmax
+    via min(struct(-count, label)), all map-side combining; the oracle
+    replays the rounds as unrolled CTEs."""
+    from polars_net_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    su = _t(spark, sf_dir, "supplier").spark
+    sn = su.select("s_suppkey", "s_nationkey")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(sn.select(F.col("s_suppkey").alias("s1"), F.col("s_nationkey").alias("n1")), "s1")
+        .join(sn.select(F.col("s_suppkey").alias("s2"), F.col("s_nationkey").alias("n2")), "s2")
+        .filter(F.col("n1") == F.col("n2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    return label_propagation(edges, iterations=3).spark
+
+
+_q251_sql = """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x
+  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  JOIN supplier sa ON sa.s_suppkey = x.l_suppkey
+  JOIN supplier sb ON sb.s_suppkey = y.l_suppkey
+  WHERE sa.s_nationkey = sb.s_nationkey),
+adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+l0 AS (SELECT DISTINCT v, v AS lab FROM adj),
+c1 AS (SELECT adj.v, l0.lab, count(*) AS c
+       FROM adj JOIN l0 ON adj.n = l0.v GROUP BY 1, 2),
+l1 AS (SELECT v, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lab) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT adj.v, l1.lab, count(*) AS c
+       FROM adj JOIN l1 ON adj.n = l1.v GROUP BY 1, 2),
+l2 AS (SELECT v, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lab) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT adj.v, l2.lab, count(*) AS c
+       FROM adj JOIN l2 ON adj.n = l2.v GROUP BY 1, 2),
+l3 AS (SELECT v, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lab) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT v AS id, lab AS label FROM l3
+"""
+
+
+def _q252(spark, sf_dir):
+    """Holt linear smoothing per user series (operators/ewm.py
+    holt_forecast): level/trend recurrence folded over ONE ts-sorted array
+    per key (whole-row Column math, no Python); dyadic α=0.5 β=0.25 keep
+    the fold bit-identical to the oracle's list_reduce replay."""
+    from polars_net_spark.operators.ewm import holt_forecast
+
+    ev = _t(spark, sf_dir, "events").spark
+    return holt_forecast(
+        ev, "value", "ts", by="user_id", alpha=0.5, beta=0.25, horizon=2
+    ).spark
+
+
+_q252_sql = """
+-- state travels as a 2-element LIST [l, b]: DuckDB 1.0 list_reduce with a
+-- STRUCT accumulator rebinds earlier fields mid-lambda (acc.l resolves to
+-- the new l inside the b expression); the list form keeps acc immutable.
+WITH s AS (SELECT user_id, list(value ORDER BY ts, value) AS xs
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+f AS (SELECT user_id, len(xs) AS n,
+             CASE WHEN len(xs) >= 2 THEN
+               list_reduce(
+                 list_prepend(
+                   [xs[1], xs[2] - xs[1]],
+                   list_transform(xs[3:], x -> [x, 0.0])),
+                 (acc, e) -> [
+                   0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                   0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                     + 0.75 * acc[2]])
+             END AS st
+      FROM s)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[1] + 2.0 * st[2], 6) AS forecast
+FROM f
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8504,6 +8599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_rake": _q248,
         "q249_profile": _q249,
         "q250_weighted_quantile": _q250,
+        "q251_label_propagation": _q251,
+        "q252_holt": _q252,
     }
 
 
@@ -8759,4 +8856,6 @@ def oracle_sql() -> dict[str, str]:
         "q248_rake": _q248_sql,
         "q249_profile": _q249_sql,
         "q250_weighted_quantile": _q250_sql,
+        "q251_label_propagation": _q251_sql,
+        "q252_holt": _q252_sql,
     }

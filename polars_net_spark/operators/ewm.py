@@ -259,3 +259,82 @@ def with_ewm_mean_by(
         sdf.repartition(*[F.col(c) for c in part]) if part else sdf.repartition(1)
     ).sortWithinPartitions(*(part + order_names))
     return LazyFrame(shuffled.mapInPandas(_fn_part, schema=schema))
+
+
+def holt_forecast(
+    frame,
+    value_col: str,
+    ts_col: str,
+    by: "str | list[str] | None" = None,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 1,
+    round_to: int = 6,
+):
+    """Holt's linear (double exponential) smoothing per series — the
+    trend-aware step past ewm_mean: level l_t = α·x_t + (1−α)(l_{t−1} +
+    b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized
+    l_1 = x_1, b_1 = x_2 − x_1 (the textbook init), forecast at
+    ``horizon`` steps = l_n + h·b_n.
+
+    The recurrence is one in-order fold per series: values collect into ONE
+    ts-sorted array per key (size contract: a series must fit a row — the
+    same bound ewm's partition pass and any per-series model share; split
+    longer series upstream) and F.aggregate walks it — whole-row Column
+    math, no Python, shuffle = one groupBy on the key.  Series with < 2
+    points return nulls.  The fold's expression tree matches the oracle's
+    list_reduce term-for-term, so results are bit-identical cross-engine
+    (dyadic default α/β make the products exact).  Output per key:
+    (*by, n, level, trend, forecast)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError("alpha must be in (0,1], beta in [0,1]")
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull()).select(
+        *keys, F.struct(F.col(ts_col).alias("t"), v.alias("x")).alias("__p__")
+    )
+    grouped = base.groupBy(*keys).agg(
+        F.transform(F.array_sort(F.collect_list("__p__")), lambda p: p["x"]).alias("__xs__")
+    )
+    xs = F.col("__xs__")
+    n = F.size(xs)
+    a, b = float(alpha), float(beta)
+    fold = F.aggregate(
+        F.slice(xs, 3, F.greatest(n - 2, F.lit(0))),
+        F.struct(
+            F.element_at(xs, 1).alias("l"),
+            (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(b)
+                * ((F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])) - acc["l"])
+                + F.lit(1.0 - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    # the l_2/b_2 update for the SECOND point is the init itself (l=x1's
+    # smoothed value): textbook init treats (x1, x2) as consumed; the fold
+    # starts at x3.
+    staged = grouped.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.when(n >= 2, fold).alias("__f__"),
+    )
+    out = staged.select(
+        *keys,
+        "n",
+        F.round(F.col("__f__.l"), round_to).alias("level"),
+        F.round(F.col("__f__.b"), round_to).alias("trend"),
+        F.round(F.col("__f__.l") + F.lit(float(horizon)) * F.col("__f__.b"), round_to).alias("forecast"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("holt_forecast")

@@ -175,3 +175,68 @@ def triangle_count(
 
 
 __all__.append("triangle_count")
+
+
+def label_propagation(
+    edges: "LazyFrame | SparkDF",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
+) -> LazyFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the GraphX LPA
+    variant) for community detection: every vertex starts as its own label;
+    each round it adopts the most frequent label among its neighbors, ties
+    to the SMALLEST label — fully deterministic, so a fixed ``iterations``
+    is closed-form and the oracle replays it as unrolled CTE rounds (the
+    pagerank/BPE convention; synchronous LPA on bipartite structures can
+    oscillate, which a fixed round count makes an explicit, reproducible
+    choice).
+
+    Edges are undirected (loops drop, duplicates/reversals collapse);
+    the vertex set is the edge endpoints.  Per round: one adjacency⋈labels
+    equi-join + one (vertex, label) count aggregate + one per-vertex argmax
+    via min(struct(-count, label)) — all map-side combining, lineage
+    checkpoint-truncated like pagerank (same ``checkpoint_dir`` semantics).
+    Output: (id, label)."""
+    esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    if checkpoint_dir is not None:
+        esdf.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df):
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+    canon = (
+        esdf.filter(
+            F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+        )
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+        canon.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
+    for i in range(int(iterations)):
+        counts = (
+            adj.join(labels.withColumnRenamed("v", "n"), "n")
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = counts.groupBy("v").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l")))
+            .getField("l")
+            .alias("lab")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = _ckpt(labels)
+    out = labels.select(F.col("v").alias("id"), F.col("lab").alias("label"))
+    return LazyFrame(out)
+
+
+__all__.append("label_propagation")

@@ -456,6 +456,14 @@ CHECKS = {
         ("partial_sum", "distinct-value weight collapse combines map-side"),
         ("!", "Exchange SinglePartition, ENSURE", "distsort buckets replace the global window"),
     ],
+    "q251_label_propagation": [
+        ("partial_count", "neighbor-label counts combine map-side"),
+        ("!", "CartesianProduct", "rounds are equi-joins"),
+    ],
+    "q252_holt": [
+        ("!", "EvalPython", "the fold is whole-row Column math, no Python"),
+        ("!", "Exchange SinglePartition, ENSURE", "series collect shards on the user key"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
