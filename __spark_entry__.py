@@ -8325,6 +8325,68 @@ FROM f
 """
 
 
+def _q253(spark, sf_dir):
+    """Arbitrary GROUPING SETS (frame.py LazyFrame.grouping_sets — the
+    general form of cube/rollup): one Expand + one aggregate, cost
+    |sets| × input map-side, never |all subsets|."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.grouping_sets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []]
+    ).agg(
+        col("l_quantity").sum().round(2).alias("sum_qty"),
+        col("l_orderkey").len().cast("long").alias("n"),
+    )
+    return out.spark
+
+
+_q253_sql = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def _q254(spark, sf_dir):
+    """RFM segmentation (operators/analytics.py rfm_frame): recency/
+    frequency/monetary per user with exact-quantile band scores — one
+    user-keyed aggregate, one fused 1-row edge aggregate broadcast back,
+    pure Column scoring; monetary rounds BEFORE banding so summation-order
+    ulps can't flip a band."""
+    from polars_net_spark.operators.analytics import rfm_frame
+
+    ev = _t(spark, sf_dir, "events").spark
+    return rfm_frame(ev, "user_id", "ts", "value", n_bins=5).spark
+
+
+_q254_sql = """
+WITH u AS (SELECT user_id, max(ts::DATE) AS last_d,
+                  count(*) AS frequency, round(sum(value), 6) AS monetary
+           FROM events GROUP BY 1),
+a AS (SELECT max(last_d) AS anchor FROM u),
+r AS (SELECT user_id, date_diff('day', last_d, anchor) AS rec,
+             frequency, monetary
+      FROM u, a),
+e AS (SELECT quantile_cont(rec::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS re,
+             quantile_cont(frequency::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS fe,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS me
+      FROM r),
+s AS (SELECT user_id, rec, frequency, monetary,
+             5 - len(list_filter(re, x -> x < rec)) AS rs,
+             len(list_filter(fe, x -> x < frequency)) + 1 AS fs,
+             CASE WHEN monetary IS NOT NULL
+                  THEN len(list_filter(me, x -> x < monetary)) + 1 END AS ms
+      FROM r, e)
+SELECT user_id, CAST(rec AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(rs AS INT) AS r_score, CAST(fs AS INT) AS f_score,
+       CAST(ms AS INT) AS m_score,
+       CASE WHEN monetary IS NOT NULL
+            THEN rs::VARCHAR || fs::VARCHAR || ms::VARCHAR END AS rfm
+FROM s
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8601,6 +8663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_weighted_quantile": _q250,
         "q251_label_propagation": _q251,
         "q252_holt": _q252,
+        "q253_grouping_sets": _q253,
+        "q254_rfm": _q254,
     }
 
 
@@ -8858,4 +8922,6 @@ def oracle_sql() -> dict[str, str]:
         "q250_weighted_quantile": _q250_sql,
         "q251_label_propagation": _q251_sql,
         "q252_holt": _q252_sql,
+        "q253_grouping_sets": _q253_sql,
+        "q254_rfm": _q254_sql,
     }

@@ -463,6 +463,20 @@ class LazyFrame:
         """Hierarchical subtotals (beyond reference — free in Spark)."""
         return GroupBy(self, _flatten(keys), mode="rollup")
 
+    def grouping_sets(self, sets: "Sequence[Sequence[str]]") -> "GroupBy":
+        """Arbitrary GROUPING SETS (beyond reference — the general form of
+        cube/rollup): ``sets`` is a list of key subsets, e.g.
+        ``[["a", "b"], ["a"], []]``; keys absent from a set come back null
+        for that set's rows, exactly the ANSI semantics.  One Expand + one
+        aggregate in Spark — the same plan shape as cube/rollup, cost
+        |sets| × input map-side, never |all subsets|."""
+        seen: list[str] = []
+        for s in sets:
+            for k in s:
+                if k not in seen:
+                    seen.append(k)
+        return GroupBy(self, seen, mode="grouping_sets", sets=[list(s) for s in sets])
+
     def group_by_dynamic(
         self,
         index_column: str,
@@ -1464,11 +1478,13 @@ class GroupBy:
         keys: Sequence[Expr | str],
         maintain_order: bool = False,
         mode: str = "groupby",
+        sets: "Sequence[Sequence[str]] | None" = None,
     ):
         self._lf = lf
         self._keys = keys
         self._maintain_order = maintain_order
         self._mode = mode
+        self._sets = sets
 
     def agg(self, *aggs, **named_aggs) -> LazyFrame:
         aggs = _flatten(aggs)
@@ -1478,6 +1494,9 @@ class GroupBy:
             return LazyFrame(self._lf._sdf.cube(*key_cols).agg(*agg_cols))
         if self._mode == "rollup":
             return LazyFrame(self._lf._sdf.rollup(*key_cols).agg(*agg_cols))
+        if self._mode == "grouping_sets":
+            gs = [[F.col(c) for c in s] for s in (self._sets or [])]
+            return LazyFrame(self._lf._sdf.groupingSets(gs, *key_cols).agg(*agg_cols))
         if self._maintain_order:
             lf = self._lf._order_col()
             first_seen = F.min(F.col(ROW_ORDER_COL)).alias("__first_seen__")

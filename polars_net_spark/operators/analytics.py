@@ -1316,3 +1316,79 @@ def attribution_frame(
 
 
 __all__.append("attribution_frame")
+
+
+def rfm_frame(
+    frame: "LazyFrame | SparkDF",
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_bins: int = 5,
+    as_of: "str | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """RFM customer segmentation: per user the Recency (days since last
+    event, relative to ``as_of`` — default the corpus max date), Frequency
+    (event count) and Monetary (value sum), each scored into ``n_bins``
+    quantile bands (1..n; recency reversed so the most recent users score
+    highest), plus the concatenated segment code ("545").
+
+    One user-keyed map-side-combining aggregate, ONE fused exact-quantile
+    edge aggregate over the (small) per-user frame broadcast back as a
+    1-row array triple, then pure Column scoring — the lift_table edge
+    convention (linear-interpolated exact quantiles).  Monetary rounds
+    BEFORE scoring so engine summation-order ulps can't flip a band.
+    A value exactly on an edge scores the lower band (strict <).  Users
+    with all-null values get null monetary/m_score and no rfm code."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    sdf = _sdf(frame)
+    u = (
+        sdf.groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(F.col(ts_col).cast("date")).alias("__last__"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col(value_col).cast("double")), round_to).alias("monetary"),
+        )
+    )
+    if as_of is None:
+        anchor = u.agg(F.max("__last__").alias("__asof__"))
+        u = u.join(F.broadcast(anchor))
+    else:
+        u = u.withColumn("__asof__", F.lit(as_of).cast("date"))
+    u = u.withColumn("recency_days", F.datediff("__asof__", "__last__"))
+    qs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    edges = u.agg(
+        F.percentile(F.col("recency_days").cast("double"), qs).alias("__re__"),
+        F.percentile(F.col("frequency").cast("double"), qs).alias("__fe__"),
+        F.percentile(F.col("monetary"), qs).alias("__me__"),
+    )
+    scored = u.join(F.broadcast(edges))
+
+    def below(edges_col, x):
+        return F.size(F.filter(F.col(edges_col), lambda e: e < x))
+
+    r_score = F.lit(n_bins) - below("__re__", F.col("recency_days").cast("double"))
+    f_score = below("__fe__", F.col("frequency").cast("double")) + 1
+    m_score = F.when(
+        F.col("monetary").isNotNull(), below("__me__", F.col("monetary")) + 1
+    )
+    out = scored.select(
+        F.col("user").alias(user_col),
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+        F.when(
+            F.col("monetary").isNotNull(),
+            F.concat(
+                r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+            ),
+        ).alias("rfm"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("rfm_frame")

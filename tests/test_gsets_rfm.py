@@ -1,0 +1,82 @@
+"""Tests for LazyFrame.grouping_sets and rfm_frame (q253-q254 operators)."""
+
+import datetime as dt
+
+import pytest
+
+import polars_net_spark as pl
+from polars_net_spark.operators.analytics import rfm_frame
+
+
+def _lf(spark, data, schema):
+    return pl.LazyFrame(spark.createDataFrame(data, schema))
+
+
+class TestGroupingSets:
+    def test_sets_and_null_fill(self, spark):
+        lf = _lf(spark, [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+                 "g string, h string, v long")
+        out = lf.grouping_sets([["g", "h"], ["g"], []]).agg(
+            pl.col("v").sum().alias("s")
+        ).collect().rows()
+        d = {(r[0], r[1]): r[2] for r in out}
+        assert d[("a", "x")] == 1 and d[("a", "y")] == 2 and d[("b", "x")] == 4
+        assert d[("a", None)] == 3 and d[("b", None)] == 4  # set (g)
+        assert d[(None, None)] == 7  # grand total
+        assert len(out) == 6  # no (None, h) rows: set (h) not requested
+
+    def test_single_set_equals_groupby(self, spark):
+        lf = _lf(spark, [("a", 1), ("a", 2), ("b", 5)], "g string, v long")
+        gs = dict(lf.grouping_sets([["g"]]).agg(pl.col("v").sum().alias("s"))
+                  .collect().rows())
+        gb = dict(lf.group_by("g").agg(pl.col("v").sum().alias("s"))
+                  .collect().rows())
+        assert gs == gb
+
+
+class TestRfm:
+    def _events(self, spark):
+        rows = []
+        eid = 0
+        # 5 users with increasing activity/value; user u5 most recent+valuable
+        for i, u in enumerate(["u1", "u2", "u3", "u4", "u5"]):
+            for j in range(i + 1):
+                rows.append((u, dt.datetime(2024, 1, 1 + i, 0, j), float(10 * (i + 1))))
+                eid += 1
+        return spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    def test_scores_monotone(self, spark):
+        out = {r[0]: r for r in
+               rfm_frame(self._events(spark), "user_id", "ts", "value",
+                         n_bins=5).collect().rows()}
+        # u5: most recent, most frequent, highest value -> 555
+        assert out["u5"][7] == "555"
+        assert out["u1"][4] == 1 and out["u1"][5] == 1 and out["u1"][6] == 1
+        # recency_days of u5 is 0 (as_of = max date)
+        assert out["u5"][1] == 0 and out["u1"][1] == 4
+        assert out["u3"][2] == 3  # frequency
+
+    def test_explicit_as_of(self, spark):
+        out = {r[0]: r for r in
+               rfm_frame(self._events(spark), "user_id", "ts", "value",
+                         as_of="2024-01-10").collect().rows()}
+        assert out["u5"][1] == 5 and out["u1"][1] == 9
+
+    def test_null_values_null_monetary(self, spark):
+        df = spark.createDataFrame(
+            [("u1", dt.datetime(2024, 1, 1), None),
+             ("u2", dt.datetime(2024, 1, 2), 5.0)],
+            "user_id string, ts timestamp, value double",
+        )
+        out = {r[0]: r for r in
+               rfm_frame(df, "user_id", "ts", "value", n_bins=2).collect().rows()}
+        assert out["u1"][3] is None and out["u1"][6] is None and out["u1"][7] is None
+        assert out["u2"][7] is not None
+
+    def test_bad_bins_raise(self, spark):
+        df = spark.createDataFrame(
+            [("u", dt.datetime(2024, 1, 1), 1.0)],
+            "user_id string, ts timestamp, value double",
+        )
+        with pytest.raises(ValueError):
+            rfm_frame(df, "user_id", "ts", "value", n_bins=1)

@@ -464,6 +464,13 @@ CHECKS = {
         ("!", "EvalPython", "the fold is whole-row Column math, no Python"),
         ("!", "Exchange SinglePartition, ENSURE", "series collect shards on the user key"),
     ],
+    "q253_grouping_sets": [
+        ("Expand", "one Expand + one aggregate — the cube/rollup plan shape"),
+        ("partial_sum", "set aggregates combine map-side"),
+    ],
+    "q254_rfm": [
+        ("partial_count", "per-user aggregate combines map-side"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -533,6 +540,7 @@ def main() -> None:
         "q240_basket_rules",        # 1-row basket-count N attach (support denominators)
         "q241_cuped",               # 1-row pooled-theta broadcast onto group stats
         "q245_srm",                 # 1-row observed-total N attach onto the expected grid
+        "q254_rfm",                 # 1-row as-of anchor + 1-row quantile-edge attach
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
