@@ -8387,6 +8387,96 @@ FROM s
 """
 
 
+def _q255(spark, sf_dir):
+    """WOE / Information Value per category (operators/regression.py
+    woe_iv_report): event = high-value event (value > 50); one
+    category-keyed map-side aggregate + a 1-row totals broadcast, 0.5
+    additive smoothing keeps empty cells finite."""
+    from polars_net_spark.operators.regression import woe_iv_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    staged = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", (F.col("value") > 50).cast("int").alias("label")
+    )
+    return woe_iv_report(staged, "event_type", "label").spark
+
+
+_q255_sql = """
+WITH b AS (SELECT event_type AS c, CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+cells AS (SELECT c, count(*) AS n, sum(y) AS e FROM b GROUP BY 1),
+tot AS (SELECT sum(e) AS te, sum(n - e) AS tn FROM cells)
+SELECT c AS category, CAST(n AS BIGINT) AS n, CAST(e AS BIGINT) AS n_event,
+       round(ln(((e + 0.5) / (te + 0.5)) / ((n - e + 0.5) / (tn + 0.5))), 6)
+         AS woe,
+       round((((e + 0.5) / (te + 0.5)) - ((n - e + 0.5) / (tn + 0.5)))
+             * ln(((e + 0.5) / (te + 0.5)) / ((n - e + 0.5) / (tn + 0.5))), 6)
+         AS iv
+FROM cells, tot
+"""
+
+
+def _q256(spark, sf_dir):
+    """ABC / Pareto concentration (operators/analytics.py abc_analysis):
+    parts ranked by revenue, cumulative share classes at 80/95% — the
+    ranked cumulative runs over KEYS via distsort range buckets + driver
+    prefix offsets, no single-partition window however many keys."""
+    from polars_net_spark.operators.analytics import abc_analysis
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return abc_analysis(li, "l_partkey", "l_extendedprice").spark
+
+
+_q256_sql = """
+WITH k AS (SELECT l_partkey AS key, round(sum(l_extendedprice), 6) AS value
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(value) AS g FROM k),
+c AS (SELECT key, value,
+             row_number() OVER (ORDER BY value DESC, key) AS rank,
+             sum(value) OVER (ORDER BY value DESC, key
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k)
+SELECT key AS l_partkey, value, CAST(rank AS BIGINT) AS rank,
+       round(cum / g, 6) AS cum_share,
+       CASE WHEN (cum - value) / g < 0.8 - 1e-12 THEN 'A'
+            WHEN (cum - value) / g < 0.95 - 1e-12 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c, t
+"""
+
+
+def _q257(spark, sf_dir):
+    """2-D Pareto frontier (operators/analytics.py pareto_front): the
+    users no one beats on BOTH activity and spend — distinct-x collapse +
+    range-bucketed prefix-MAX sweep (the distsort trick with max), then a
+    semi-join recovers frontier rows.  Monetary rounds before the skyline
+    so summation ulps can't flip a dominance test."""
+    from polars_net_spark.operators.analytics import pareto_front
+
+    ev = _t(spark, sf_dir, "events").spark
+    u = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("spend"),
+        )
+    )
+    return pareto_front(u, "n_events", "spend").spark
+
+
+_q257_sql = """
+WITH u AS (SELECT user_id, count(*)::DOUBLE AS n_events,
+                  round(sum(value), 6) AS spend
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT * FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u d
+  WHERE d.n_events >= a.n_events AND d.spend >= a.spend
+    AND (d.n_events > a.n_events OR d.spend > a.spend))
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8665,6 +8755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_holt": _q252,
         "q253_grouping_sets": _q253,
         "q254_rfm": _q254,
+        "q255_woe_iv": _q255,
+        "q256_abc": _q256,
+        "q257_pareto_front": _q257,
     }
 
 
@@ -8924,4 +9017,7 @@ def oracle_sql() -> dict[str, str]:
         "q252_holt": _q252_sql,
         "q253_grouping_sets": _q253_sql,
         "q254_rfm": _q254_sql,
+        "q255_woe_iv": _q255_sql,
+        "q256_abc": _q256_sql,
+        "q257_pareto_front": _q257_sql,
     }

@@ -1392,3 +1392,119 @@ def rfm_frame(
 
 
 __all__.append("rfm_frame")
+
+
+def abc_analysis(
+    frame: "LazyFrame | SparkDF",
+    key_col: str,
+    value_col: str,
+    thresholds: "tuple[float, float]" = (0.8, 0.95),
+    round_to: int = 6,
+) -> LazyFrame:
+    """ABC / Pareto concentration analysis (the 80/20 table): keys ranked
+    by total value descending; each key's cumulative share of the grand
+    total assigns its class — A while cum-share ≤ t1, B while ≤ t2, C
+    beyond (strictly-before-this-key share is compared, so the key that
+    CROSSES a threshold still belongs to the higher class, the inventory-
+    management convention).
+
+    One key aggregate (map-side combining) collapses rows to keys; the
+    ranked cumulative runs over KEYS via the distsort range-bucket +
+    prefix-offset machinery — no single-partition window however many keys.
+    Ties rank deterministically ((−value, key) bucket order is by value
+    only, within-bucket order by value desc then key).  Output:
+    (key, value, rank, cum_share, abc_class)."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    t1, t2 = float(thresholds[0]), float(thresholds[1])
+    if not (0.0 < t1 < t2 <= 1.0):
+        raise ValueError("thresholds must satisfy 0 < t1 < t2 <= 1")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    keys = (
+        sdf.filter(v.isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.round(F.sum(v), round_to).alias("value"))
+    )
+    bucketed, bcol = with_range_buckets(keys, "value", desc=True)
+    offs, totals = with_prefix_offsets(
+        bucketed, bcol, {"v": F.col("value"), "c": F.lit(1)}
+    )
+    gtot = float(totals["v"])
+    w = Window.partitionBy(bcol).orderBy(F.col("value").desc(), F.col("key"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.col("__off_v__") + F.sum("value").over(run)
+    rank = F.col("__off_c__") + F.row_number().over(w)
+    prev_share = (cum - F.col("value")) / F.lit(gtot)
+    out = offs.select(
+        F.col("key").alias(key_col),
+        "value",
+        rank.cast("long").alias("rank"),
+        F.round(cum / F.lit(gtot), round_to).alias("cum_share"),
+        F.when(prev_share < F.lit(t1) - F.lit(1e-12), F.lit("A"))
+        .when(prev_share < F.lit(t2) - F.lit(1e-12), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return LazyFrame(out)
+
+
+def pareto_front(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """2-D Pareto frontier (skyline, both dimensions maximized): the rows
+    no other row weakly dominates with at least one strict improvement.
+    Exact duplicates of a frontier point all stay (neither dominates).
+
+    Scale shape: x collapses to DISTINCT values with their max-y (map-side
+    combine); the "max y over all strictly larger x" sweep runs as a
+    range-bucketed window with driver PREFIX-MAX offsets (the distsort
+    trick with max instead of sum) — no single-partition window however
+    many distinct x.  A frontier x-group survives iff its max-y strictly
+    exceeds every larger-x max-y; surviving rows are the group's max-y
+    rows, recovered with one semi-join back to the input.  Nulls drop."""
+    from .distsort import with_range_buckets
+
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & y.isNotNull())
+    gx = base.groupBy(x.alias("__x__")).agg(F.max(y).alias("__ym__"))
+    bucketed, bcol = with_range_buckets(gx, "__x__", desc=True)
+    # driver prefix-MAX per bucket: max __ym__ over all STRICTLY EARLIER
+    # (larger-x) buckets — ≤ nbuckets rows to the driver, back as a map
+    # literal (the with_prefix_offsets pattern with max instead of sum)
+    rows = bucketed.groupBy(bcol).agg(F.max("__ym__").alias("m")).collect()
+    rows.sort(key=lambda r: r[bcol])
+    prefix: dict[int, float] = {}
+    running = float("-inf")
+    for r in rows:
+        prefix[r[bcol]] = running
+        running = max(running, float(r["m"]))
+    if prefix:
+        m = F.create_map(
+            *[lit for k, v in prefix.items() for lit in (F.lit(int(k)), F.lit(float(v)))]
+        )
+        off = F.coalesce(F.element_at(m, F.col(bcol)), F.lit(float("-inf")))
+    else:
+        off = F.lit(float("-inf"))
+    wb = Window.partitionBy(bcol).orderBy(F.col("__x__").desc())
+    in_bucket_prev = F.max("__ym__").over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.greatest(off, F.coalesce(in_bucket_prev, F.lit(float("-inf"))))
+    frontier_x = bucketed.withColumn("__pm__", prev_max).filter(
+        F.col("__ym__") > F.col("__pm__")
+    )
+    out = base.join(
+        frontier_x.select("__x__", "__ym__"),
+        (x == F.col("__x__")) & (y == F.col("__ym__")),
+        "leftsemi",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["abc_analysis", "pareto_front"])

@@ -873,3 +873,53 @@ def with_mahalanobis(
 
 
 __all__.extend(["srm_check", "with_mahalanobis"])
+
+
+def woe_iv_report(
+    frame: "LazyFrame | SparkDF",
+    feature_col: str,
+    label_col: str,
+    eps: float = 0.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Weight of Evidence / Information Value per feature category — the
+    credit-scoring feature screen (Siddiqi 2006) and the categorical
+    complement of target_encode: per category WOE = ln(%events/%nonevents)
+    and its IV term (%e − %ne)·WOE; Σ IV grades the feature (<0.02
+    useless, >0.3 strong).  ``label_col`` is 0/1 (cast, nulls drop);
+    ``eps`` is the additive smoothing on both counts so empty cells stay
+    finite (the standard 0.5 adjustment).
+
+    One category-keyed map-side-combining aggregate + a 1-row totals
+    broadcast — bounded by category cardinality; bin continuous features
+    first (cut/qcut), that is the lever.  Output per category:
+    (category, n, n_event, woe, iv) — Σ iv over rows is the feature's IV."""
+    sdf = _sdf(frame)
+    y = F.col(label_col).cast("double")
+    base = sdf.filter(y.isNotNull()).select(
+        F.col(feature_col).alias("__c__"), y.alias("__y__")
+    )
+    cells = base.groupBy("__c__").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y__").alias("__e__"),
+    )
+    tot = cells.agg(
+        F.sum("__e__").alias("__te__"),
+        F.sum(F.col("n") - F.col("__e__")).alias("__tn__"),
+    )
+    e = F.col("__e__") + F.lit(float(eps))
+    ne = F.col("n") - F.col("__e__") + F.lit(float(eps))
+    pe = e / (F.col("__te__") + F.lit(float(eps)))
+    pne = ne / (F.col("__tn__") + F.lit(float(eps)))
+    woe = F.log(pe / pne)
+    out = cells.join(F.broadcast(tot)).select(
+        F.col("__c__").alias("category"),
+        F.col("n").cast("long").alias("n"),
+        F.col("__e__").cast("long").alias("n_event"),
+        F.round(woe, round_to).alias("woe"),
+        F.round((pe - pne) * woe, round_to).alias("iv"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("woe_iv_report")

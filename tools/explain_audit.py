@@ -471,6 +471,17 @@ CHECKS = {
     "q254_rfm": [
         ("partial_count", "per-user aggregate combines map-side"),
     ],
+    "q255_woe_iv": [
+        ("partial_count", "category cells combine map-side"),
+    ],
+    "q256_abc": [
+        ("partial_sum", "key revenue collapse combines map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "ranked cumulative rides distsort buckets"),
+    ],
+    "q257_pareto_front": [
+        ("partial_max", "distinct-x max-y collapse combines map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "prefix-max sweep rides distsort buckets"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -541,6 +552,7 @@ def main() -> None:
         "q241_cuped",               # 1-row pooled-theta broadcast onto group stats
         "q245_srm",                 # 1-row observed-total N attach onto the expected grid
         "q254_rfm",                 # 1-row as-of anchor + 1-row quantile-edge attach
+        "q255_woe_iv",              # 1-row event/nonevent totals attach
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
