@@ -8477,6 +8477,113 @@ WHERE NOT EXISTS (
 """
 
 
+def _q258(spark, sf_dir):
+    """Dataset regression diff (operators/validate.py frame_diff): two
+    deterministic 'versions' of orders — keyed FULL OUTER join + ONE fused
+    all-reduce counting added/removed/changed/unchanged and per-column
+    change counts (null-safe compares)."""
+    from polars_net_spark.operators.validate import frame_diff
+
+    o = _t(spark, sf_dir, "orders").spark
+    left = o.filter(F.col("o_orderkey") % 3 != 0)
+    right = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return frame_diff(
+        left, right, "o_orderkey", compare_cols=["o_totalprice", "o_orderstatus"]
+    ).spark
+
+
+_q258_sql = """
+WITH l AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+           FROM orders WHERE o_orderkey % 3 != 0),
+r AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS p,
+             o_orderstatus AS s
+      FROM orders WHERE o_orderkey % 5 != 0),
+j AS (SELECT l.k AS lk, r.k AS rk,
+             l.p AS lp, r.p AS rp, l.s AS ls, r.s AS rs
+      FROM l FULL OUTER JOIN r ON l.k = r.k),
+w AS (SELECT
+        sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS added,
+        sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS removed,
+        sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                  AND (lp IS DISTINCT FROM rp OR ls IS DISTINCT FROM rs)
+             THEN 1 ELSE 0 END) AS changed,
+        sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                  AND lp IS NOT DISTINCT FROM rp AND ls IS NOT DISTINCT FROM rs
+             THEN 1 ELSE 0 END) AS unchanged,
+        sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                  AND lp IS DISTINCT FROM rp THEN 1 ELSE 0 END) AS c_p,
+        sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                  AND ls IS DISTINCT FROM rs THEN 1 ELSE 0 END) AS c_s
+      FROM j)
+SELECT 'added' AS metric, CAST(added AS BIGINT) AS n FROM w
+UNION ALL SELECT 'removed', CAST(removed AS BIGINT) FROM w
+UNION ALL SELECT 'changed', CAST(changed AS BIGINT) FROM w
+UNION ALL SELECT 'unchanged', CAST(unchanged AS BIGINT) FROM w
+UNION ALL SELECT 'col:o_totalprice', CAST(c_p AS BIGINT) FROM w
+UNION ALL SELECT 'col:o_orderstatus', CAST(c_s AS BIGINT) FROM w
+"""
+
+
+def _q259(spark, sf_dir):
+    """Multi-label eval (llm/evaluation.py multilabel_report): per-user
+    event-type sets from even vs odd event ids — pure map-side set math
+    into ONE fused all-reduce (subset accuracy, mean Jaccard, micro
+    P/R/F1)."""
+    from polars_net_spark.llm.evaluation import multilabel_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    p = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("pred"))
+    )
+    t = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("labels"))
+    )
+    pairs = p.join(t, "user_id", "full_outer")
+    return multilabel_report(pairs, "pred", "labels").spark
+
+
+_q259_sql = """
+WITH p AS (SELECT user_id, list(DISTINCT event_type) AS pr FROM events
+           WHERE event_id % 2 = 0 GROUP BY 1),
+t AS (SELECT user_id, list(DISTINCT event_type) AS tr FROM events
+      WHERE event_id % 2 = 1 GROUP BY 1),
+j AS (SELECT coalesce(pr, CAST([] AS VARCHAR[])) AS pr,
+             coalesce(tr, CAST([] AS VARCHAR[])) AS tr
+      FROM p FULL OUTER JOIN t ON p.user_id = t.user_id),
+m AS (SELECT len(list_intersect(pr, tr)) AS i,
+             len(list_distinct(pr || tr)) AS u,
+             len(pr) AS np, len(tr) AS nt
+      FROM j),
+agg AS (SELECT count(*) AS n,
+               avg(CASE WHEN i = u THEN 1.0 ELSE 0.0 END) AS sa,
+               avg(CASE WHEN u > 0 THEN i * 1.0 / u ELSE 1.0 END) AS mj,
+               sum(i) AS si, sum(np) AS sp, sum(nt) AS st
+        FROM m),
+pr AS (SELECT n, sa, mj,
+              CASE WHEN sp > 0 THEN si * 1.0 / sp END AS p,
+              CASE WHEN st > 0 THEN si * 1.0 / st END AS r
+       FROM agg)
+SELECT CAST(n AS BIGINT) AS n, round(sa, 6) AS subset_accuracy,
+       round(mj, 6) AS mean_jaccard, round(p, 6) AS micro_p,
+       round(r, 6) AS micro_r,
+       CASE WHEN p IS NOT NULL AND r IS NOT NULL THEN
+         CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6) ELSE 0.0 END
+       END AS micro_f1
+FROM pr
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8758,6 +8865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_woe_iv": _q255,
         "q256_abc": _q256,
         "q257_pareto_front": _q257,
+        "q258_frame_diff": _q258,
+        "q259_multilabel": _q259,
     }
 
 
@@ -9020,4 +9129,6 @@ def oracle_sql() -> dict[str, str]:
         "q255_woe_iv": _q255_sql,
         "q256_abc": _q256_sql,
         "q257_pareto_front": _q257_sql,
+        "q258_frame_diff": _q258_sql,
+        "q259_multilabel": _q259_sql,
     }

@@ -808,3 +808,61 @@ def edit_distance_report(
 
 
 __all__.extend(["rouge_n_frame", "edit_distance_report"])
+
+
+def multilabel_report(
+    frame: "LazyFrame | SparkDF",
+    pred_col: str,
+    true_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Multi-label classification metrics over array-valued labels (tag
+    prediction, topic assignment): subset accuracy (exact set match),
+    mean per-row Jaccard, and micro-averaged precision/recall/F1 (label
+    instances pooled across rows).  Labels are SETS — duplicates and order
+    ignored, nulls inside arrays dropped, a null array = empty set; both
+    empty counts as a perfect row (Jaccard 1, exact match).
+
+    Pure map-side set math per row (array_distinct/intersect/union) into
+    ONE fused all-reduce — no shuffle beyond the final 1-row combine.
+    Output (1 row): n, subset_accuracy, mean_jaccard, micro_p, micro_r,
+    micro_f1."""
+    sdf = _sdf(frame)
+
+    def clean(c):
+        return F.array_distinct(
+            F.filter(F.coalesce(F.col(c), F.array()), lambda x: x.isNotNull())
+        )
+
+    staged = sdf.select(clean(pred_col).alias("__p__"), clean(true_col).alias("__t__"))
+    i = F.size(F.array_intersect("__p__", "__t__"))
+    u = F.size(F.array_union("__p__", "__t__"))
+    jac = F.when(u > 0, i / u).otherwise(F.lit(1.0))
+    exact = (i == u).cast("double")
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(exact).alias("__sa__"),
+        F.avg(jac).alias("__mj__"),
+        F.sum(i).alias("__si__"),
+        F.sum(F.size("__p__")).alias("__sp__"),
+        F.sum(F.size("__t__")).alias("__st__"),
+    )
+    p = F.when(F.col("__sp__") > 0, F.col("__si__") / F.col("__sp__"))
+    r = F.when(F.col("__st__") > 0, F.col("__si__") / F.col("__st__"))
+    out = agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("__sa__", round_to).alias("subset_accuracy"),
+        F.round("__mj__", round_to).alias("mean_jaccard"),
+        F.round(p, round_to).alias("micro_p"),
+        F.round(r, round_to).alias("micro_r"),
+        F.round(
+            F.when((p + r) > 0, 2.0 * p * r / (p + r)).otherwise(
+                F.when(p.isNotNull() & r.isNotNull(), F.lit(0.0))
+            ),
+            round_to,
+        ).alias("micro_f1"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("multilabel_report")

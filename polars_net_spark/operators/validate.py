@@ -110,3 +110,74 @@ def validate_frame(
         )
     )
     return LazyFrame(out)
+
+
+def frame_diff(
+    left: "LazyFrame | SparkDF",
+    right: "LazyFrame | SparkDF",
+    key_cols: "list[str] | str",
+    compare_cols: "list[str] | None" = None,
+) -> "LazyFrame":
+    """Dataset regression diff — the audit for "what changed between two
+    versions of this table": keyed FULL OUTER join, then ONE fused
+    all-reduce counting rows added (key only in ``right``), removed (only
+    in ``left``), changed (key in both, any compared column differs,
+    null-safe), unchanged — plus one per-column changed count.
+
+    Keys are assumed unique per side (pre-aggregate otherwise — a dup key
+    would fan the join out).  Output: (metric, n) rows — 'added',
+    'removed', 'changed', 'unchanged', 'col:<name>' per compared column.
+    Shuffle shape: one key-sharded join + map-side-combining counts; at
+    100 TB bucket both sides by the key (write_bucketed) and the join
+    plans with no exchange."""
+    lsdf = left if isinstance(left, SparkDF) else left.spark
+    rsdf = right if isinstance(right, SparkDF) else right.spark
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in lsdf.columns if c not in keys and c in rsdf.columns]
+    a = lsdf.select(
+        *[F.col(k).alias(f"__k{i}__") for i, k in enumerate(keys)],
+        F.lit(1).alias("__inl__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in compare_cols],
+    )
+    b = rsdf.select(
+        *[F.col(k).alias(f"__k{i}__") for i, k in enumerate(keys)],
+        F.lit(1).alias("__inr__"),
+        *[F.col(c).alias(f"__r_{c}__") for c in compare_cols],
+    )
+    j = a.join(b, [f"__k{i}__" for i in range(len(keys))], "full_outer")
+    in_l, in_r = F.col("__inl__").isNotNull(), F.col("__inr__").isNotNull()
+    col_diff = {
+        c: ~F.col(f"__l_{c}__").eqNullSafe(F.col(f"__r_{c}__")) for c in compare_cols
+    }
+    any_diff = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | col_diff[c]
+    both = in_l & in_r
+    aggs = [
+        F.sum((~in_l & in_r).cast("long")).alias("added"),
+        F.sum((in_l & ~in_r).cast("long")).alias("removed"),
+        F.sum((both & any_diff).cast("long")).alias("changed"),
+        F.sum((both & ~any_diff).cast("long")).alias("unchanged"),
+    ] + [
+        F.sum((both & col_diff[c]).cast("long")).alias(f"col:{c}") for c in compare_cols
+    ]
+    wide = j.agg(*aggs)
+    metrics = ["added", "removed", "changed", "unchanged"] + [
+        f"col:{c}" for c in compare_cols
+    ]
+    out = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("metric"),
+                    F.coalesce(F.col(f"`{m}`"), F.lit(0)).cast("long").alias("n"),
+                )
+                for m in metrics
+            ])
+        ).alias("kv")
+    ).select("kv.metric", "kv.n")
+    return LazyFrame(out)
+
+
+__all__.append("frame_diff")

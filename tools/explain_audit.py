@@ -482,6 +482,14 @@ CHECKS = {
         ("partial_max", "distinct-x max-y collapse combines map-side"),
         ("!", "Exchange SinglePartition, ENSURE", "prefix-max sweep rides distsort buckets"),
     ],
+    "q258_frame_diff": [
+        ("SortMergeJoin", "version diff is one keyed full-outer join"),
+        ("partial_sum", "status counts combine map-side"),
+    ],
+    "q259_multilabel": [
+        ("!", "EvalPython", "set math is pure Column ops"),
+        ("partial_count", "the all-reduce combines map-side (the 1-row final exchange is post-combine)"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
