@@ -8584,6 +8584,90 @@ FROM pr
 """
 
 
+def _q260(spark, sf_dir):
+    """Difference-in-differences (operators/regression.py did_report):
+    open-vs-finished lineitems before/after a cutover date — the four
+    cells' n/mean/var are conditional aggregates in ONE fused all-reduce
+    (no pivot, no join); metric scaled 1e-5 for 6-decimal hash stability."""
+    from polars_net_spark.operators.regression import did_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    staged = li.select(
+        F.col("l_linestatus").alias("g"),
+        (F.col("l_shipdate") >= F.lit("1995-06-17").cast("date"))
+        .cast("int")
+        .alias("p"),
+        (F.col("l_extendedprice") * 1e-5).alias("y"),
+    )
+    return did_report(staged, "g", "p", "y", treat_value="O", post_value=1).spark
+
+
+_q260_sql = """
+WITH b AS (SELECT CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS t,
+                  CASE WHEN l_shipdate >= DATE '1995-06-17' THEN 1 ELSE 0 END
+                    AS p,
+                  l_extendedprice * 1e-5 AS y
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_linestatus IS NOT NULL
+             AND l_shipdate IS NOT NULL),
+w AS (SELECT count(*) AS n,
+        count(CASE WHEN t = 0 AND p = 0 THEN y END) AS n_c_pre,
+        avg(CASE WHEN t = 0 AND p = 0 THEN y END) AS m_c_pre,
+        var_samp(CASE WHEN t = 0 AND p = 0 THEN y END) AS v_c_pre,
+        count(CASE WHEN t = 0 AND p = 1 THEN y END) AS n_c_post,
+        avg(CASE WHEN t = 0 AND p = 1 THEN y END) AS m_c_post,
+        var_samp(CASE WHEN t = 0 AND p = 1 THEN y END) AS v_c_post,
+        count(CASE WHEN t = 1 AND p = 0 THEN y END) AS n_t_pre,
+        avg(CASE WHEN t = 1 AND p = 0 THEN y END) AS m_t_pre,
+        var_samp(CASE WHEN t = 1 AND p = 0 THEN y END) AS v_t_pre,
+        count(CASE WHEN t = 1 AND p = 1 THEN y END) AS n_t_post,
+        avg(CASE WHEN t = 1 AND p = 1 THEN y END) AS m_t_post,
+        var_samp(CASE WHEN t = 1 AND p = 1 THEN y END) AS v_t_post
+      FROM b),
+d AS (SELECT n, m_c_pre, m_c_post, m_t_pre, m_t_post,
+             (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+             sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                  + v_c_post / n_c_post + v_c_pre / n_c_pre) AS se
+      FROM w)
+SELECT CAST(n AS BIGINT) AS n,
+       round(m_c_pre, 6) AS mean_c_pre, round(m_c_post, 6) AS mean_c_post,
+       round(m_t_pre, 6) AS mean_t_pre, round(m_t_post, 6) AS mean_t_post,
+       round(did, 6) AS did, round(se, 6) AS se,
+       round(CASE WHEN se > 0 THEN did / se END, 6) AS z
+FROM d
+"""
+
+
+def _q261(spark, sf_dir):
+    """Benjamini–Hochberg FDR adjustment (operators/regression.py
+    bh_adjust): the suffix-min over the ascending-p ranking runs as a
+    DESCENDING-p running min on distsort range buckets with driver
+    PREFIX-MIN offsets — no single-partition window however many tests."""
+    from polars_net_spark.operators.regression import bh_adjust
+
+    ev = _t(spark, sf_dir, "events").spark
+    tests = ev.select(
+        "user_id", (((F.col("user_id") * 37) % 997 + 1) / 998.0).alias("p")
+    ).distinct()
+    return bh_adjust(tests, "p", id_cols="user_id").spark
+
+
+_q261_sql = """
+WITH b AS (SELECT DISTINCT user_id, ((user_id * 37 % 997) + 1) / 998.0 AS p
+           FROM events),
+m AS (SELECT count(*) AS m FROM b),
+r AS (SELECT user_id, p,
+             row_number() OVER (ORDER BY p, user_id) AS rk
+      FROM b),
+raw AS (SELECT user_id, p, p * m.m / rk AS raw FROM r, m)
+SELECT user_id, p,
+       round(least(1.0, min(raw) OVER (ORDER BY p, user_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+         AS p_adj
+FROM raw
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8867,6 +8951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_pareto_front": _q257,
         "q258_frame_diff": _q258,
         "q259_multilabel": _q259,
+        "q260_did": _q260,
+        "q261_bh_adjust": _q261,
     }
 
 
@@ -9131,4 +9217,6 @@ def oracle_sql() -> dict[str, str]:
         "q257_pareto_front": _q257_sql,
         "q258_frame_diff": _q258_sql,
         "q259_multilabel": _q259_sql,
+        "q260_did": _q260_sql,
+        "q261_bh_adjust": _q261_sql,
     }

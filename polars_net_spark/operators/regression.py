@@ -923,3 +923,135 @@ def woe_iv_report(
 
 
 __all__.append("woe_iv_report")
+
+
+def did_report(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    period_col: str,
+    metric_col: str,
+    treat_value,
+    post_value,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Difference-in-differences estimator (the quasi-experiment companion
+    to cuped_report/prop_ztest): DiD = (T̄_post − T̄_pre) − (C̄_post −
+    C̄_pre) with the Welch-style standard error √Σ s²ᵢ/nᵢ over the four
+    cells and its z statistic.  Rows whose group/period/metric is null
+    drop; 'treatment' is ``group == treat_value``, 'post' is
+    ``period == post_value`` (everything else is control/pre).
+
+    ONE fused all-reduce: each cell's n/mean/var are conditional
+    aggregates in a single agg — no pivot, no join, no collect.  Output
+    (1 row): n, the four cell means, did, se, z (null se/z when any cell
+    has < 2 points)."""
+    sdf = _sdf(frame)
+    y = F.col(metric_col).cast("double")
+    t = (F.col(group_col) == F.lit(treat_value)).cast("int")
+    p = (F.col(period_col) == F.lit(post_value)).cast("int")
+    base = sdf.filter(
+        y.isNotNull() & F.col(group_col).isNotNull() & F.col(period_col).isNotNull()
+    ).select(t.alias("__t__"), p.alias("__p__"), y.alias("__y__"))
+
+    def cell(ti, pi, tag):
+        m = (F.col("__t__") == ti) & (F.col("__p__") == pi)
+        v = F.when(m, F.col("__y__"))
+        return [
+            F.count(v).alias(f"n_{tag}"),
+            F.avg(v).alias(f"m_{tag}"),
+            F.var_samp(v).alias(f"v_{tag}"),
+        ]
+
+    aggs = (
+        [F.count(F.lit(1)).alias("n")]
+        + cell(0, 0, "c_pre") + cell(0, 1, "c_post")
+        + cell(1, 0, "t_pre") + cell(1, 1, "t_post")
+    )
+    wide = base.agg(*aggs)
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    se = F.sqrt(
+        F.col("v_t_post") / F.col("n_t_post")
+        + F.col("v_t_pre") / F.col("n_t_pre")
+        + F.col("v_c_post") / F.col("n_c_post")
+        + F.col("v_c_pre") / F.col("n_c_pre")
+    )
+    out = wide.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("m_c_pre", round_to).alias("mean_c_pre"),
+        F.round("m_c_post", round_to).alias("mean_c_post"),
+        F.round("m_t_pre", round_to).alias("mean_t_pre"),
+        F.round("m_t_post", round_to).alias("mean_t_post"),
+        F.round(did, round_to).alias("did"),
+        F.round(se, round_to).alias("se"),
+        F.round(F.when(se > 0, did / se), round_to).alias("z"),
+    )
+    return LazyFrame(out)
+
+
+def bh_adjust(
+    frame: "LazyFrame | SparkDF",
+    p_col: str,
+    id_cols: "list[str] | str | None" = None,
+    adj_col: str = "p_adj",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Benjamini–Hochberg FDR adjustment over a frame of p-values (the
+    multiple-testing step after running welch_ttest/chi2/ks per slice):
+    adjusted pᵢ = min(1, min_{j ≥ i} p₍ⱼ₎·m/j) over the ascending-p
+    ranking — reject adjusted p ≤ α to control FDR at α.
+
+    The suffix-min over the ranked p's is a DESCENDING-p running min, so
+    it rides the distsort machinery: p-values collapse into range buckets
+    ordered desc, driver PREFIX-MIN offsets (≤ nbuckets rows) give each
+    bucket the min of every larger-p bucket, and the within-bucket window
+    holds ~1/nbuckets of the data — no single-partition window however
+    many tests.  Ascending ranks come from the same bucket counts.  Ties
+    in p adjust identically regardless of tie order (the suffix-min
+    absorbs the rank difference).  Null p-values drop; ``id_cols`` break
+    ordering ties deterministically (default: all other columns are
+    carried but ordering ties break on p alone — fine, ties adjust
+    equally).  Appends ``adj_col``."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    pv = F.col(p_col).cast("double")
+    base = sdf.filter(pv.isNotNull())
+    bucketed, bcol = with_range_buckets(base, p_col, desc=True)
+    # prefix counts (for the ascending rank) and prefix MIN of raw values
+    # need different machineries: counts via with_prefix_offsets, the
+    # running raw-min needs the rank first — two passes over tiny
+    # per-bucket aggregates, both driver-bounded.
+    offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
+    m = float(totals["c"])
+    tie = [F.col(c) for c in ([id_cols] if isinstance(id_cols, str) else (id_cols or []))]
+    wd = Window.partitionBy(bcol).orderBy(pv.desc(), *[c.desc() for c in tie])
+    pos_desc = F.col("__off_c__") + F.row_number().over(wd)
+    rank_asc = F.lit(m) - pos_desc + 1
+    raw = pv * F.lit(m) / rank_asc
+    staged = offs.withColumn("__raw__", raw)
+    # per-bucket raw minima -> driver prefix-min map (larger-p buckets first)
+    rows = staged.groupBy(bcol).agg(F.min("__raw__").alias("mn")).collect()
+    rows.sort(key=lambda r: r[bcol])
+    prefix: dict[int, float] = {}
+    running = float("inf")
+    for r in rows:
+        prefix[r[bcol]] = running
+        running = min(running, float(r["mn"]))
+    if prefix:
+        mp = F.create_map(
+            *[lit for k, v in prefix.items() for lit in (F.lit(int(k)), F.lit(float(v)))]
+        )
+        off_min = F.coalesce(F.element_at(mp, F.col(bcol)), F.lit(float("inf")))
+    else:
+        off_min = F.lit(float("inf"))
+    run_min = F.min("__raw__").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.least(F.lit(1.0), F.least(off_min, run_min))
+    out = staged.withColumn(adj_col, F.round(adj, round_to)).drop(bcol, "__off_c__", "__raw__")
+    return LazyFrame(out)
+
+
+__all__.extend(["did_report", "bh_adjust"])

@@ -1,0 +1,95 @@
+"""Tests for did_report and bh_adjust (q260-q261 operators)."""
+
+import pytest
+
+from polars_net_spark.operators.regression import bh_adjust, did_report
+
+
+def rows(lf):
+    return lf.collect().rows()
+
+
+class TestDid:
+    def test_known_effect(self, spark):
+        # control: 10 -> 12 (+2); treatment: 20 -> 27 (+7); DiD = +5
+        data = []
+        for v in [9.0, 10.0, 11.0]:
+            data.append(("c", "pre", v))
+        for v in [11.0, 12.0, 13.0]:
+            data.append(("c", "post", v))
+        for v in [19.0, 20.0, 21.0]:
+            data.append(("t", "pre", v))
+        for v in [26.0, 27.0, 28.0]:
+            data.append(("t", "post", v))
+        df = spark.createDataFrame(data, "g string, per string, y double")
+        out = rows(did_report(df, "g", "per", "y", "t", "post"))[0]
+        n, mcp, mcq, mtp, mtq, did, se, z = out
+        assert n == 12
+        assert (mcp, mcq, mtp, mtq) == (10.0, 12.0, 20.0, 27.0)
+        assert did == pytest.approx(5.0)
+        # each cell var = 1, n = 3 -> se = sqrt(4/3)
+        assert se == pytest.approx((4 / 3) ** 0.5, abs=1e-6)
+        assert z == pytest.approx(5.0 / (4 / 3) ** 0.5, abs=1e-6)
+
+    def test_parallel_trends_zero(self, spark):
+        data = [("c", 0, 1.0), ("c", 0, 3.0), ("c", 1, 2.0), ("c", 1, 4.0),
+                ("t", 0, 5.0), ("t", 0, 7.0), ("t", 1, 6.0), ("t", 1, 8.0)]
+        df = spark.createDataFrame(data, "g string, per int, y double")
+        out = rows(did_report(df, "g", "per", "y", "t", 1))[0]
+        assert out[5] == pytest.approx(0.0)
+
+    def test_singleton_cell_null_se(self, spark):
+        data = [("c", 0, 1.0), ("c", 1, 2.0), ("t", 0, 3.0), ("t", 1, 4.0)]
+        df = spark.createDataFrame(data, "g string, per int, y double")
+        out = rows(did_report(df, "g", "per", "y", "t", 1))[0]
+        assert out[5] == pytest.approx(0.0) and out[6] is None and out[7] is None
+
+
+class TestBhAdjust:
+    def test_matches_statsmodels_reference(self, spark):
+        # classic example: p = [.01, .02, .03, .04, .05] m=5
+        # raw = [.05, .05, .05, .05, .05] -> all adjust to 0.05
+        ps = [0.01, 0.02, 0.03, 0.04, 0.05]
+        df = spark.createDataFrame([(i, p) for i, p in enumerate(ps)],
+                                   "id long, p double")
+        out = {r[0]: r[2] for r in rows(bh_adjust(df, "p", id_cols="id"))}
+        for i in range(5):
+            assert out[i] == pytest.approx(0.05, abs=1e-9)
+
+    def test_suffix_min_and_clamp(self, spark):
+        # p = [.001, .8, .9] m=3: raw = [.003, 1.2, .9] -> adj = [.003, .9, .9]
+        df = spark.createDataFrame(
+            [(1, 0.001), (2, 0.8), (3, 0.9)], "id long, p double"
+        )
+        out = {r[0]: r[2] for r in rows(bh_adjust(df, "p", id_cols="id"))}
+        assert out[1] == pytest.approx(0.003, abs=1e-9)
+        assert out[2] == pytest.approx(0.9, abs=1e-9)
+        assert out[3] == pytest.approx(0.9, abs=1e-9)
+
+    def test_ties_adjust_identically(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.02), (2, 0.02), (3, 0.5)], "id long, p double"
+        )
+        out = {r[0]: r[2] for r in rows(bh_adjust(df, "p", id_cols="id"))}
+        assert out[1] == out[2] == pytest.approx(0.03, abs=1e-9)  # .02*3/2
+
+    def test_matches_scipy_on_random_block(self, spark):
+        # deterministic pseudo-random p's, checked against the textbook
+        # O(m log m) reference implementation
+        ps = [((i * 37) % 97 + 1) / 98.0 for i in range(40)]
+        df = spark.createDataFrame([(i, p) for i, p in enumerate(ps)],
+                                   "id long, p double")
+        out = {r[0]: r[2] for r in rows(bh_adjust(df, "p", id_cols="id"))}
+        m = len(ps)
+        order = sorted(range(m), key=lambda i: (ps[i], i))
+        raw = [ps[i] * m / (k + 1) for k, i in enumerate(order)]
+        suffix = raw[:]
+        for k in range(m - 2, -1, -1):
+            suffix[k] = min(suffix[k], suffix[k + 1])
+        ref = {order[k]: min(1.0, suffix[k]) for k in range(m)}
+        for i in range(m):
+            assert out[i] == pytest.approx(ref[i], abs=1e-6)
+
+    def test_null_p_drops(self, spark):
+        df = spark.createDataFrame([(1, 0.5), (2, None)], "id long, p double")
+        assert len(rows(bh_adjust(df, "p"))) == 1

@@ -15,7 +15,12 @@ import sys
 
 
 def _load(path):
-    for line in open(path):
+    text = open(path).read()
+    try:
+        return json.loads(text)  # whole-file JSON (pretty-printed records)
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
