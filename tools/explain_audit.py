@@ -490,6 +490,13 @@ CHECKS = {
         ("!", "EvalPython", "set math is pure Column ops"),
         ("partial_count", "the all-reduce combines map-side (the 1-row final exchange is post-combine)"),
     ],
+    "q260_did": [
+        ("partial_count", "cell statistics are ONE fused all-reduce"),
+        ("!", "SortMergeJoin", "no pivot/join — conditional aggregates only"),
+    ],
+    "q261_bh_adjust": [
+        ("!", "Exchange SinglePartition, ENSURE", "suffix-min rides distsort buckets"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
