@@ -8668,6 +8668,44 @@ FROM raw
 """
 
 
+def _q262(spark, sf_dir):
+    """Funnel step timing (operators/analytics.py funnel_timing): seconds
+    between adjacent funnel steps under the greedy-earliest walk — one
+    user-keyed grouped collect + conditional-min chain + ONE step-pair
+    aggregate with exact percentiles."""
+    from polars_net_spark.operators.analytics import funnel_timing
+
+    ev = _t(spark, sf_dir, "events").spark
+    return funnel_timing(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).spark
+
+
+_q262_sql = """
+WITH ev AS (SELECT user_id AS u, event_type AS s, ts AS t FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')),
+r0 AS (SELECT u, min(CASE WHEN s = 'view' THEN t END) AS t0
+       FROM ev GROUP BY 1),
+r1 AS (SELECT ev.u, min(t) AS t1 FROM ev JOIN r0 ON ev.u = r0.u
+       WHERE s = 'click' AND t0 IS NOT NULL AND t > t0 GROUP BY 1),
+r2 AS (SELECT ev.u, min(t) AS t2 FROM ev JOIN r1 ON ev.u = r1.u
+       WHERE s = 'purchase' AND t > t1 GROUP BY 1),
+d AS (
+  SELECT 'view' AS step_from, 'click' AS step_to,
+         epoch_us(t1) / 1000000.0 - epoch_us(t0) / 1000000.0 AS delay
+  FROM r0 JOIN r1 ON r0.u = r1.u
+  UNION ALL
+  SELECT 'click', 'purchase',
+         epoch_us(t2) / 1000000.0 - epoch_us(t1) / 1000000.0
+  FROM r1 JOIN r2 ON r1.u = r2.u)
+SELECT step_from, step_to, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(delay), 6) AS avg_seconds,
+       round(quantile_cont(delay, 0.5), 6) AS median_seconds,
+       round(quantile_cont(delay, 0.9), 6) AS p90_seconds
+FROM d GROUP BY 1, 2
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8953,6 +8991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_multilabel": _q259,
         "q260_did": _q260,
         "q261_bh_adjust": _q261,
+        "q262_funnel_timing": _q262,
     }
 
 
@@ -9219,4 +9258,5 @@ def oracle_sql() -> dict[str, str]:
         "q259_multilabel": _q259_sql,
         "q260_did": _q260_sql,
         "q261_bh_adjust": _q261_sql,
+        "q262_funnel_timing": _q262_sql,
     }

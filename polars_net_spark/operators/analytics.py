@@ -1508,3 +1508,77 @@ def pareto_front(
 
 
 __all__.extend(["abc_analysis", "pareto_front"])
+
+
+def funnel_timing(
+    frame: "LazyFrame | SparkDF",
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: "list[str]",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Time-to-convert between adjacent funnel steps: for users who reach
+    step k+1 under the same greedy-earliest walk as funnel_counts (step
+    k+1's earliest occurrence strictly after step k's chosen time), the
+    delay in seconds — count, mean, median, and p90 per step pair.
+
+    Same shuffle shape as funnel_counts: one user-keyed grouped collect +
+    the conditional-min chain, then ONE step-pair aggregate (the exact
+    percentiles buffer per-pair delay multisets — the with_outlier_flags
+    'mad' contract; switch to approx off-gate if a pair has billions of
+    converters).  Output: (step_from, step_to, n_users, avg_seconds,
+    median_seconds, p90_seconds)."""
+    if len(steps) < 2:
+        raise ValueError("steps must name at least two steps")
+    sdf = _sdf(frame)
+    ev = sdf.filter(F.col(step_col).isin(steps)).select(
+        F.col(user_col).alias("u"),
+        F.col(step_col).alias("s"),
+        F.col(ts_col).cast("timestamp").alias("t"),
+    )
+    agg = ev.groupBy("u").agg(
+        F.min(F.when(F.col("s") == steps[0], F.col("t"))).alias("__r0__"),
+        F.collect_list(F.struct("s", "t")).alias("__evs__"),
+    )
+    chain = agg
+    prev = F.col("__r0__")
+    for i, st in enumerate(steps[1:], start=1):
+        def _after(_st, _prev):
+            return lambda e: (e["s"] == F.lit(_st)) & (e["t"] > _prev)
+
+        cand = F.array_min(F.filter(F.col("__evs__"), _after(st, prev)).getField("t"))
+        chain = chain.withColumn(f"__r{i}__", F.when(prev.isNotNull(), cand))
+        prev = F.col(f"__r{i}__")
+    delays = chain.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(steps[i]).alias("step_from"),
+                    F.lit(steps[i + 1]).alias("step_to"),
+                    F.lit(i).alias("__i__"),
+                    (
+                        F.unix_micros(F.col(f"__r{i + 1}__")) / 1e6
+                        - F.unix_micros(F.col(f"__r{i}__")) / 1e6
+                    ).alias("delay"),
+                )
+                for i in range(len(steps) - 1)
+            ])
+        ).alias("d")
+    ).select("d.step_from", "d.step_to", "d.__i__", "d.delay").filter(
+        F.col("delay").isNotNull()
+    )
+    out = (
+        delays.groupBy("step_from", "step_to", "__i__")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("delay"), round_to).alias("avg_seconds"),
+            F.round(F.percentile("delay", F.lit(0.5)), round_to).alias("median_seconds"),
+            F.round(F.percentile("delay", F.lit(0.9)), round_to).alias("p90_seconds"),
+        )
+        .drop("__i__")
+    )
+    return LazyFrame(out)
+
+
+__all__.append("funnel_timing")

@@ -114,3 +114,47 @@ class TestRake:
         out = rows(rake_keywords(df, stopwords=["stop"], top_k=2))
         assert len(out) == 2
         assert out[0][1] == "z w" and out[0][4] == 1  # 2-word phrase wins
+
+
+class TestFunnelTiming:
+    def test_delays(self, spark):
+        import datetime as dt
+        from polars_net_spark.operators.analytics import funnel_timing
+
+        def t(m):
+            return dt.datetime(2024, 1, 1, 0, m)
+
+        ev = spark.createDataFrame(
+            [("u1", t(0), "a"), ("u1", t(10), "b"), ("u1", t(40), "c"),
+             ("u2", t(0), "a"), ("u2", t(20), "b"),
+             ("u3", t(5), "b")],  # b before any a: no conversion
+            "u string, ts timestamp, s string",
+        )
+        out = {(r[0], r[1]): r for r in
+               funnel_timing(ev, "u", "ts", "s", ["a", "b", "c"]).collect().rows()}
+        ab = out[("a", "b")]
+        assert ab[2] == 2 and ab[3] == pytest.approx((600 + 1200) / 2)
+        assert ab[4] == pytest.approx(900.0)  # median of 600, 1200
+        bc = out[("b", "c")]
+        assert bc[2] == 1 and bc[3] == pytest.approx(1800.0)
+
+    def test_greedy_earliest_ordering(self, spark):
+        import datetime as dt
+        from polars_net_spark.operators.analytics import funnel_timing
+
+        def t(m):
+            return dt.datetime(2024, 1, 1, 0, m)
+
+        # b occurs before AND after a: the walk picks the one after a
+        ev = spark.createDataFrame(
+            [("u", t(0), "b"), ("u", t(10), "a"), ("u", t(30), "b")],
+            "u string, ts timestamp, s string",
+        )
+        out = funnel_timing(ev, "u", "ts", "s", ["a", "b"]).collect().rows()
+        assert len(out) == 1 and out[0][3] == pytest.approx(1200.0)
+
+    def test_requires_two_steps(self, spark):
+        from polars_net_spark.operators.analytics import funnel_timing
+        df = spark.createDataFrame([("u", None, "a")], "u string, ts timestamp, s string")
+        with pytest.raises(ValueError):
+            funnel_timing(df, "u", "ts", "s", ["a"])

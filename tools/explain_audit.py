@@ -497,6 +497,10 @@ CHECKS = {
     "q261_bh_adjust": [
         ("!", "Exchange SinglePartition, ENSURE", "suffix-min rides distsort buckets"),
     ],
+    "q262_funnel_timing": [
+        ("partial_min", "the conditional-min chain combines map-side"),
+        ("!", "CartesianProduct", "the per-user walk is one grouped collect, no self-join"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
