@@ -8706,6 +8706,81 @@ FROM d GROUP BY 1, 2
 """
 
 
+def _q263(spark, sf_dir):
+    """MMR diversified re-ranking (llm/similarity.py mmr_rerank): per query
+    greedily pick k=3 of 20 candidates maximizing λ·rel −
+    (1−λ)·max_cos_to_selected — bounded rounds of query-keyed equi-joins +
+    map-side argmax; scores round before each argmax so the greedy choice
+    is cross-engine deterministic.  The oracle replays all three rounds as
+    unrolled CTEs."""
+    from polars_net_spark.llm.similarity import _dot_expr, mmr_rerank
+
+    e = _t(spark, sf_dir, "embeddings").spark
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 23)).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+    )
+    qn = F.sqrt(_dot_expr(F.col("qv"), F.col("qv")))
+    cn = F.sqrt(_dot_expr(F.col("cv"), F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        F.round(_dot_expr(F.col("qv"), F.col("cv")) / (qn * cn), 6).alias("rel"),
+        F.col("cv").alias("embedding"),
+    )
+    return mmr_rerank(pairs, k=3, lam=0.7).spark
+
+
+_q263_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+c AS (SELECT vec_id AS did, v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+      FROM e WHERE vec_id >= 3 AND vec_id < 23),
+cand AS (SELECT qid, did, cv, cn,
+           round(list_sum(list_transform(generate_series(1, 64),
+                          p -> qv[p] * cv[p]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x))) * cn), 6)
+             AS rel
+         FROM q, c),
+p1 AS (SELECT qid, did, rel, cv, cn,
+              round(0.7 * rel, 6) + 0.0 AS sc,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY round(0.7 * rel, 6) + 0.0 DESC, did)
+                AS rn
+       FROM cand),
+s1 AS (SELECT qid, did, rel, cv, cn, sc FROM p1 WHERE rn = 1),
+c2 AS (SELECT cand.qid, cand.did, cand.rel, cand.cv, cand.cn,
+              list_sum(list_transform(generate_series(1, 64),
+                       p -> cand.cv[p] * s1.cv[p])) / (cand.cn * s1.cn) AS sim1
+       FROM cand JOIN s1 ON cand.qid = s1.qid AND cand.did <> s1.did),
+p2 AS (SELECT qid, did, rel, cv, cn, sim1,
+              round(0.7 * rel - (1.0 - 0.7) * sim1, 6) + 0.0 AS sc,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY round(0.7 * rel - (1.0 - 0.7) * sim1, 6) + 0.0 DESC,
+                         did) AS rn
+       FROM c2),
+s2 AS (SELECT qid, did, rel, cv, cn, sc FROM p2 WHERE rn = 1),
+c3 AS (SELECT c2.qid, c2.did, c2.rel, c2.sim1,
+              list_sum(list_transform(generate_series(1, 64),
+                       p -> c2.cv[p] * s2.cv[p])) / (c2.cn * s2.cn) AS sim2
+       FROM c2 JOIN s2 ON c2.qid = s2.qid AND c2.did <> s2.did),
+p3 AS (SELECT qid, did,
+              round(0.7 * rel - (1.0 - 0.7) * greatest(sim1, sim2), 6) + 0.0
+                AS sc,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY round(0.7 * rel - (1.0 - 0.7) * greatest(sim1, sim2),
+                               6) + 0.0 DESC, did) AS rn
+       FROM c3),
+s3 AS (SELECT qid, did, sc FROM p3 WHERE rn = 1)
+SELECT qid AS query_id, did AS doc_id, 1 AS rank, sc AS mmr_score FROM s1
+UNION ALL SELECT qid, did, 2, sc FROM s2
+UNION ALL SELECT qid, did, 3, sc FROM s3
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -8992,6 +9067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_did": _q260,
         "q261_bh_adjust": _q261,
         "q262_funnel_timing": _q262,
+        "q263_mmr_rerank": _q263,
     }
 
 
@@ -9259,4 +9335,5 @@ def oracle_sql() -> dict[str, str]:
         "q260_did": _q260_sql,
         "q261_bh_adjust": _q261_sql,
         "q262_funnel_timing": _q262_sql,
+        "q263_mmr_rerank": _q263_sql,
     }

@@ -1469,3 +1469,110 @@ def embedding_drift_report(
 
 
 __all__.append("embedding_drift_report")
+
+
+def mmr_rerank(
+    frame: "LazyFrame | SparkDF",
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    the diversification stage after a relevance retriever (bm25_topk /
+    cosine_topk / rrf_fuse): per query, greedily select ``k`` candidates
+    maximizing λ·rel − (1−λ)·max_cosine_to_already_selected, so near-
+    duplicate results stop crowding the top.
+
+    Input: one row per (query, candidate) with a relevance score and the
+    candidate's embedding (candidate lists are retriever top-N bounded —
+    that bound is the size contract).  Each of the k rounds is one
+    query-keyed equi-join (candidates × selected-so-far, selected ≤ round
+    index) + a map-side-combining per-query argmax via
+    min(struct(-score, doc)) — the pagerank-style bounded-round shape, all
+    shuffles on the query key.  Rounds 6-decimal-round the MMR score
+    before the argmax so ulp-level cosine differences can't flip the
+    greedy choice cross-engine; remaining ties break on doc id.  Output:
+    (query, doc, rank, mmr_score ordered by selection round)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+    sdf = _sdf(frame)
+    cand = sdf.select(
+        F.col(query_col).alias("__q__"),
+        F.col(doc_col).alias("__d__"),
+        F.col(rel_col).cast("double").alias("__rel__"),
+        F.col(vec_col).alias("__v__"),
+    ).filter(
+        F.col("__rel__").isNotNull() & F.col("__v__").isNotNull()
+    )
+    norm = F.sqrt(_dot_expr(F.col("__v__"), F.col("__v__")))
+    cand = cand.withColumn("__n__", norm).filter(F.col("__n__") > 0)
+
+    def argmax(scored):
+        best = scored.groupBy("__q__").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__sc__")).alias("ns"),
+                    F.col("__d__").alias("d"),
+                )
+            ).alias("__b__")
+        )
+        return best.select(
+            "__q__", F.col("__b__.d").alias("__d__"), (-F.col("__b__.ns")).alias("__sc__")
+        )
+
+    first = argmax(
+        cand.withColumn(
+            "__sc__", F.round(F.lit(lam) * F.col("__rel__"), round_to) + F.lit(0.0)
+        )
+    ).select("__q__", "__d__", F.lit(1).alias("rank"), F.col("__sc__").alias("mmr_score"))
+    selected = first
+    for r in range(2, int(k) + 1):
+        sel_vecs = selected.join(
+            cand.select("__q__", "__d__", F.col("__v__").alias("__sv__"), F.col("__n__").alias("__sn__")),
+            ["__q__", "__d__"],
+        ).select("__q__", F.col("__d__").alias("__sd__"), "__sv__", "__sn__")
+        remaining = cand.join(
+            selected.select("__q__", "__d__"), ["__q__", "__d__"], "left_anti"
+        )
+        sims = (
+            remaining.join(sel_vecs, "__q__")
+            .withColumn(
+                "__sim__",
+                _dot_expr(F.col("__v__"), F.col("__sv__")) / (F.col("__n__") * F.col("__sn__")),
+            )
+            .groupBy("__q__", "__d__")
+            .agg(
+                F.first("__rel__").alias("__rel__"),
+                F.max("__sim__").alias("__ms__"),
+            )
+        )
+        # trailing "+ 0.0" folds a rounded -0.0 to +0.0 (value-hash parity —
+        # the word_entropy convention); the oracle applies the same term
+        scored = sims.withColumn(
+            "__sc__",
+            F.round(
+                F.lit(lam) * F.col("__rel__") - F.lit(1.0 - lam) * F.col("__ms__"),
+                round_to,
+            )
+            + F.lit(0.0),
+        )
+        nxt = argmax(scored).select(
+            "__q__", "__d__", F.lit(r).alias("rank"), F.col("__sc__").alias("mmr_score")
+        )
+        selected = selected.union(nxt)
+    out = selected.select(
+        F.col("__q__").alias(query_col),
+        F.col("__d__").alias(doc_col),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("mmr_score"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("mmr_rerank")

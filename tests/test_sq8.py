@@ -322,3 +322,61 @@ class TestEmbeddingDrift:
         empty = pl.LazyFrame(a._sdf.filter("vec_id < 0"))
         with pytest.raises(ValueError, match="dim"):
             embedding_drift_report(empty, a)
+
+
+class TestMmrRerank:
+    def test_diversification_beats_near_dup(self, spark):
+        from polars_net_spark.llm.similarity import mmr_rerank
+
+        rows_ = [
+            (1, "a", 0.9, [1.0, 0.0]),
+            (1, "b", 0.85, [0.999, 0.04]),  # near-dup of a
+            (1, "c", 0.5, [0.0, 1.0]),      # orthogonal
+        ]
+        df = spark.createDataFrame(
+            rows_, "query_id long, doc_id string, rel double, embedding array<double>"
+        )
+        out = sorted(mmr_rerank(df, k=3, lam=0.5).collect().rows(),
+                     key=lambda r: r[2])
+        assert [r[1] for r in out] == ["a", "c", "b"]
+        assert out[0][3] == 0.45  # lam * rel
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from polars_net_spark.llm.similarity import mmr_rerank
+
+        rows_ = [
+            (1, "a", 0.9, [1.0, 0.0]), (1, "b", 0.8, [1.0, 0.0]),
+            (1, "c", 0.7, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows_, "query_id long, doc_id string, rel double, embedding array<double>"
+        )
+        out = sorted(mmr_rerank(df, k=3, lam=1.0).collect().rows(),
+                     key=lambda r: r[2])
+        assert [r[1] for r in out] == ["a", "b", "c"]
+
+    def test_short_candidate_lists_stop_early(self, spark):
+        from polars_net_spark.llm.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.9, [1.0]), (2, "x", 0.5, [1.0]), (2, "y", 0.4, [0.5])],
+            "query_id long, doc_id string, rel double, embedding array<double>",
+        )
+        out = mmr_rerank(df, k=3, lam=0.7).collect().rows()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r[0], []).append(r)
+        assert len(per_q[1]) == 1 and len(per_q[2]) == 2
+
+    def test_param_validation(self, spark):
+        from polars_net_spark.llm.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.9, [1.0])],
+            "query_id long, doc_id string, rel double, embedding array<double>",
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            mmr_rerank(df, k=0)
+        with _pt.raises(ValueError):
+            mmr_rerank(df, lam=1.5)

@@ -501,6 +501,10 @@ CHECKS = {
         ("partial_min", "the conditional-min chain combines map-side"),
         ("!", "CartesianProduct", "the per-user walk is one grouped collect, no self-join"),
     ],
+    "q263_mmr_rerank": [
+        ("partial_min", "per-query argmax combines map-side"),
+        ("LeftAnti", "remaining candidates via anti-join, never recomputed lists"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -572,6 +576,7 @@ def main() -> None:
         "q245_srm",                 # 1-row observed-total N attach onto the expected grid
         "q254_rfm",                 # 1-row as-of anchor + 1-row quantile-edge attach
         "q255_woe_iv",              # 1-row event/nonevent totals attach
+        "q263_mmr_rerank",          # gate input: 3 query rows broadcast onto candidates
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
