@@ -8781,6 +8781,42 @@ UNION ALL SELECT qid, did, 3, sc FROM s3
 """
 
 
+def _q264(spark, sf_dir):
+    """Cohort LTV triangle (operators/analytics.py cohort_value): value
+    sums + running cumulative per (first-seen cohort, week offset) — the
+    cumulative window runs over the tiny triangle, never user-sized
+    partitions."""
+    from polars_net_spark.operators.analytics import cohort_value
+
+    ev = _t(spark, sf_dir, "events").spark
+    out = cohort_value(ev, "user_id", "ts", "value", period="week").spark
+    return out.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "period_offset", "n_active", "value", "cum_value",
+    )
+
+
+_q264_sql = """
+WITH ev AS (SELECT user_id AS u, date_trunc('week', ts)::DATE AS p,
+                   coalesce(value, 0.0) AS v
+            FROM events),
+f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY 1),
+a AS (SELECT ev.u, f.cohort,
+             CAST(date_diff('day', f.cohort, ev.p) / 7 AS INT)
+               AS period_offset,
+             ev.v
+      FROM ev JOIN f ON ev.u = f.u),
+tri AS (SELECT cohort, period_offset,
+               CAST(count(DISTINCT u) AS BIGINT) AS n_active,
+               round(sum(v), 6) AS value
+        FROM a GROUP BY 1, 2)
+SELECT CAST(cohort AS VARCHAR) AS cohort, period_offset, n_active, value,
+       round(sum(value) OVER (PARTITION BY cohort ORDER BY period_offset
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+FROM tri
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9068,6 +9104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q261_bh_adjust": _q261,
         "q262_funnel_timing": _q262,
         "q263_mmr_rerank": _q263,
+        "q264_cohort_value": _q264,
     }
 
 
@@ -9336,4 +9373,5 @@ def oracle_sql() -> dict[str, str]:
         "q261_bh_adjust": _q261_sql,
         "q262_funnel_timing": _q262_sql,
         "q263_mmr_rerank": _q263_sql,
+        "q264_cohort_value": _q264_sql,
     }

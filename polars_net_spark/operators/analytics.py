@@ -1582,3 +1582,59 @@ def funnel_timing(
 
 
 __all__.append("funnel_timing")
+
+
+def cohort_value(
+    frame: "LazyFrame | SparkDF",
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "week",
+    max_periods: "int | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cohort LTV triangle — cohort_retention's monetary sibling: users
+    grouped by first-seen period; per (cohort, period offset) the active
+    user count, the period's value sum, and the running cumulative value
+    (the LTV curve numerator; divide by the cohort's offset-0 n_active for
+    LTV per acquired user).
+
+    Shuffles: first-seen per user (map-side min), the (cohort, offset)
+    aggregate, then ONE cohort-keyed cumulative window over the tiny
+    triangle (rows = cohorts × offsets, never user-sized).  Null values
+    count as activity with zero value."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day/week/month")
+    sdf = _sdf(frame)
+    ts = F.col(ts_col).cast("timestamp")
+    bucket = F.date_trunc(period, ts).cast("date")
+    ev = sdf.select(
+        F.col(user_col).alias("u"),
+        bucket.alias("p"),
+        F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("v"),
+    )
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    joined = ev.join(first, "u")
+    if period == "day":
+        off = F.datediff(F.col("p"), F.col("cohort"))
+    elif period == "week":
+        off = (F.datediff(F.col("p"), F.col("cohort")) / 7).cast("int")
+    else:
+        off = (F.year("p") - F.year("cohort")) * 12 + (F.month("p") - F.month("cohort"))
+    acts = joined.select("u", "cohort", off.alias("period_offset"), "v")
+    if max_periods is not None:
+        acts = acts.filter(F.col("period_offset") < max_periods)
+    tri = acts.groupBy("cohort", "period_offset").agg(
+        F.count_distinct("u").alias("n_active"),
+        F.round(F.sum("v"), round_to).alias("value"),
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tri.withColumn("cum_value", F.round(F.sum("value").over(wc), round_to))
+    return LazyFrame(out)
+
+
+__all__.append("cohort_value")

@@ -80,3 +80,32 @@ class TestRfm:
         )
         with pytest.raises(ValueError):
             rfm_frame(df, "user_id", "ts", "value", n_bins=1)
+
+
+class TestCohortValue:
+    def test_triangle(self, spark):
+        import datetime as dt
+        from polars_net_spark.operators.analytics import cohort_value
+
+        ev = spark.createDataFrame(
+            [("u1", dt.datetime(2024, 1, 1), 10.0),   # week 0 (Mon)
+             ("u1", dt.datetime(2024, 1, 9), 5.0),    # week 1
+             ("u2", dt.datetime(2024, 1, 2), 2.0),    # same cohort, week 0
+             ("u3", dt.datetime(2024, 1, 9), None)],  # cohort 2, null value
+            "u string, ts timestamp, v double",
+        )
+        out = {(str(r[0]), r[1]): r for r in
+               cohort_value(ev, "u", "ts", "v").collect().rows()}
+        w0 = out[("2024-01-01", 0)]
+        assert w0[2] == 2 and w0[3] == 12.0 and w0[4] == 12.0
+        w1 = out[("2024-01-01", 1)]
+        assert w1[2] == 1 and w1[3] == 5.0 and w1[4] == 17.0  # cumulative
+        c2 = out[("2024-01-08", 0)]
+        assert c2[2] == 1 and c2[3] == 0.0  # null value = activity, zero value
+
+    def test_bad_period(self, spark):
+        from polars_net_spark.operators.analytics import cohort_value
+        df = spark.createDataFrame([("u", None, 1.0)], "u string, ts timestamp, v double")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            cohort_value(df, "u", "ts", "v", period="hour")

@@ -505,6 +505,10 @@ CHECKS = {
         ("partial_min", "per-query argmax combines map-side"),
         ("LeftAnti", "remaining candidates via anti-join, never recomputed lists"),
     ],
+    "q264_cohort_value": [
+        ("partial_min", "first-seen cohort combines map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "the cumulative window shards on the cohort"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
