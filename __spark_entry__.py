@@ -8817,6 +8817,96 @@ FROM tri
 """
 
 
+def _q265(spark, sf_dir):
+    """Delta-method ratio test (operators/regression.py ratio_ttest):
+    per-user CTR = clicks/views with the user as the analysis unit — the
+    correct SE when events cluster within users; ONE fused conditional-
+    aggregate all-reduce."""
+    from polars_net_spark.operators.regression import ratio_ttest
+
+    ev = _t(spark, sf_dir, "events").spark
+    u = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("double")).alias("clicks"),
+        F.sum((F.col("event_type") == "view").cast("double")).alias("views"),
+    ).withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    return ratio_ttest(u, "clicks", "views", "grp", treat_value=1).spark
+
+
+_q265_sql = """
+WITH u AS (SELECT user_id,
+                  sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END)
+                    AS x,
+                  sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END)
+                    AS y,
+                  CAST(user_id % 2 AS INT) AS g
+           FROM events GROUP BY user_id),
+w AS (SELECT
+        count(CASE WHEN g = 0 THEN 1 END) AS n_c,
+        avg(CASE WHEN g = 0 THEN x END) AS mx_c,
+        avg(CASE WHEN g = 0 THEN y END) AS my_c,
+        var_samp(CASE WHEN g = 0 THEN x END) AS vx_c,
+        var_samp(CASE WHEN g = 0 THEN y END) AS vy_c,
+        covar_samp(CASE WHEN g = 0 THEN x END,
+                   CASE WHEN g = 0 THEN y END) AS cxy_c,
+        count(CASE WHEN g = 1 THEN 1 END) AS n_t,
+        avg(CASE WHEN g = 1 THEN x END) AS mx_t,
+        avg(CASE WHEN g = 1 THEN y END) AS my_t,
+        var_samp(CASE WHEN g = 1 THEN x END) AS vx_t,
+        var_samp(CASE WHEN g = 1 THEN y END) AS vy_t,
+        covar_samp(CASE WHEN g = 1 THEN x END,
+                   CASE WHEN g = 1 THEN y END) AS cxy_t
+      FROM u),
+d AS (SELECT n_c, n_t,
+             mx_c / my_c AS rc, mx_t / my_t AS rt,
+             (vx_c - 2 * (mx_c / my_c) * cxy_c
+              + (mx_c / my_c) * (mx_c / my_c) * vy_c) / (n_c * my_c * my_c)
+               AS varc,
+             (vx_t - 2 * (mx_t / my_t) * cxy_t
+              + (mx_t / my_t) * (mx_t / my_t) * vy_t) / (n_t * my_t * my_t)
+               AS vart
+      FROM w)
+SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+       round(rc, 6) AS ratio_c, round(rt, 6) AS ratio_t,
+       round(sqrt(varc), 6) AS se_c, round(sqrt(vart), 6) AS se_t,
+       round(rt - rc, 6) AS diff,
+       round(sqrt(vart + varc), 6) AS se_diff,
+       round(CASE WHEN sqrt(vart + varc) > 0
+                  THEN (rt - rc) / sqrt(vart + varc) END, 6) AS z
+FROM d
+"""
+
+
+def _q266(spark, sf_dir):
+    """Market-concentration scalars (operators/analytics.py
+    concentration_report): HHI / normalized HHI / share entropy /
+    top-1 & top-5 revenue share over parts — one key aggregate, one fused
+    share all-reduce, TakeOrderedAndProject head."""
+    from polars_net_spark.operators.analytics import concentration_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return concentration_report(li, "l_partkey", "l_extendedprice", top_k=5).spark
+
+
+_q266_sql = """
+WITH k AS (SELECT l_partkey AS k, sum(l_extendedprice) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+           GROUP BY 1 HAVING sum(l_extendedprice) > 0),
+t AS (SELECT sum(v) AS t FROM k),
+s AS (SELECT v / t.t AS s FROM k, t),
+sc AS (SELECT count(*) AS n, sum(s * s) AS hhi,
+              -sum(s * log2(s)) AS ent
+       FROM s),
+tp AS (SELECT max(s) AS t1, sum(s) AS tk FROM
+        (SELECT s FROM s ORDER BY s DESC LIMIT 5))
+SELECT CAST(n AS BIGINT) AS n_keys, round(hhi, 6) AS hhi,
+       round(CASE WHEN n > 1 THEN (hhi - 1.0 / n) / (1.0 - 1.0 / n)
+                  ELSE 1.0 END, 6) AS hhi_normalized,
+       round(ent, 6) + 0.0 AS entropy_bits,
+       round(t1, 6) AS top1_share, round(tk, 6) AS top5_share
+FROM sc, tp
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9105,6 +9195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_funnel_timing": _q262,
         "q263_mmr_rerank": _q263,
         "q264_cohort_value": _q264,
+        "q265_ratio_ttest": _q265,
+        "q266_concentration": _q266,
     }
 
 
@@ -9374,4 +9466,6 @@ def oracle_sql() -> dict[str, str]:
         "q262_funnel_timing": _q262_sql,
         "q263_mmr_rerank": _q263_sql,
         "q264_cohort_value": _q264_sql,
+        "q265_ratio_ttest": _q265_sql,
+        "q266_concentration": _q266_sql,
     }

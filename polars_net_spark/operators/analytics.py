@@ -1638,3 +1638,67 @@ def cohort_value(
 
 
 __all__.append("cohort_value")
+
+
+def concentration_report(
+    frame: "LazyFrame | SparkDF",
+    key_col: str,
+    value_col: str,
+    top_k: int = 5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Market/corpus concentration in one row: number of keys, HHI
+    (Σ share², 1/n..1), normalized HHI ((HHI − 1/n)/(1 − 1/n), 0..1),
+    Shannon entropy of the share distribution (bits), and the top-1 /
+    top-``top_k`` share — the "is this corpus dominated by a few
+    domains/sources" audit beside abc_analysis (which lists every key;
+    this is the scalar summary).  Keys with non-positive total drop (log
+    and share semantics need positive mass).
+
+    One key aggregate (map-side combining), one fused share all-reduce,
+    and a TakeOrderedAndProject top-k for the head shares — no global
+    sort, no single-partition window."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    keys = (
+        sdf.filter(v.isNotNull())
+        .groupBy(F.col(key_col).alias("__k__"))
+        .agg(F.sum(v).alias("__v__"))
+        .filter(F.col("__v__") > 0)
+    )
+    tot = keys.agg(F.sum("__v__").alias("__t__"))
+    shares = keys.join(F.broadcast(tot)).select(
+        (F.col("__v__") / F.col("__t__")).alias("__s__")
+    )
+    scalars = shares.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("__s__") * F.col("__s__")).alias("__hhi__"),
+        (-F.sum(F.col("__s__") * F.log2("__s__"))).alias("__ent__"),
+    )
+    top = (
+        shares.orderBy(F.col("__s__").desc())
+        .limit(int(top_k))
+        .agg(
+            F.max("__s__").alias("__top1__"),
+            F.sum("__s__").alias("__topk__"),
+        )
+    )
+    n = F.col("n_keys")
+    hhi = F.col("__hhi__")
+    out = scalars.join(F.broadcast(top)).select(
+        n.cast("long").alias("n_keys"),
+        F.round(hhi, round_to).alias("hhi"),
+        F.round(
+            F.when(n > 1, (hhi - 1.0 / n) / (1.0 - 1.0 / n)).otherwise(1.0),
+            round_to,
+        ).alias("hhi_normalized"),
+        (F.round(F.col("__ent__"), round_to) + F.lit(0.0)).alias("entropy_bits"),
+        F.round(F.col("__top1__"), round_to).alias("top1_share"),
+        F.round(F.col("__topk__"), round_to).alias(f"top{top_k}_share"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("concentration_report")

@@ -1055,3 +1055,78 @@ def bh_adjust(
 
 
 __all__.extend(["did_report", "bh_adjust"])
+
+
+def ratio_ttest(
+    frame: "LazyFrame | SparkDF",
+    num_col: str,
+    den_col: str,
+    group_col: str,
+    treat_value,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Two-sample test on a RATIO-of-sums metric (CTR = clicks/views,
+    revenue-per-session …) via the delta method (Deng, Knoblich & Lu
+    2018): per unit (row) a numerator and denominator; the group metric is
+    ΣX/ΣY, whose variance is (var X − 2r·cov XY + r²·var Y) / (n·Ȳ²) with
+    r = the ratio — the correct SE when the unit of analysis (user) is
+    coarser than the event the ratio counts, where a naive event-level
+    proportion test is anticonservative.
+
+    ONE fused all-reduce (per-group moment sums as conditional aggregates,
+    like did_report); output (1 row): per-group n/ratio/se, diff, se_diff,
+    z.  Rows with null numerator/denominator/group drop; a group with
+    ΣY = 0 yields nulls."""
+    sdf = _sdf(frame)
+    x = F.col(num_col).cast("double")
+    yv = F.col(den_col).cast("double")
+    g = (F.col(group_col) == F.lit(treat_value)).cast("int")
+    base = sdf.filter(
+        x.isNotNull() & yv.isNotNull() & F.col(group_col).isNotNull()
+    ).select(g.alias("__g__"), x.alias("__x__"), yv.alias("__y__"))
+
+    def side(gi, tag):
+        m = F.col("__g__") == gi
+        xx = F.when(m, F.col("__x__"))
+        yy = F.when(m, F.col("__y__"))
+        return [
+            F.count(xx).alias(f"n_{tag}"),
+            F.avg(xx).alias(f"mx_{tag}"),
+            F.avg(yy).alias(f"my_{tag}"),
+            F.var_samp(xx).alias(f"vx_{tag}"),
+            F.var_samp(yy).alias(f"vy_{tag}"),
+            F.covar_samp(xx, yy).alias(f"cxy_{tag}"),
+        ]
+
+    wide = base.agg(*(side(0, "c") + side(1, "t")))
+
+    def ratio(tag):
+        return F.when(
+            F.col(f"my_{tag}") != 0, F.col(f"mx_{tag}") / F.col(f"my_{tag}")
+        )
+
+    def var_ratio(tag):
+        r = ratio(tag)
+        return (
+            F.col(f"vx_{tag}")
+            - 2.0 * r * F.col(f"cxy_{tag}")
+            + r * r * F.col(f"vy_{tag}")
+        ) / (F.col(f"n_{tag}") * F.col(f"my_{tag}") * F.col(f"my_{tag}"))
+
+    diff = ratio("t") - ratio("c")
+    se = F.sqrt(var_ratio("t") + var_ratio("c"))
+    out = wide.select(
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.round(ratio("c"), round_to).alias("ratio_c"),
+        F.round(ratio("t"), round_to).alias("ratio_t"),
+        F.round(F.sqrt(var_ratio("c")), round_to).alias("se_c"),
+        F.round(F.sqrt(var_ratio("t")), round_to).alias("se_t"),
+        F.round(diff, round_to).alias("diff"),
+        F.round(se, round_to).alias("se_diff"),
+        F.round(F.when(se > 0, diff / se), round_to).alias("z"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("ratio_ttest")

@@ -509,6 +509,14 @@ CHECKS = {
         ("partial_min", "first-seen cohort combines map-side"),
         ("!", "Exchange SinglePartition, ENSURE", "the cumulative window shards on the cohort"),
     ],
+    "q265_ratio_ttest": [
+        ("partial_count", "group moments are ONE fused all-reduce"),
+        ("!", "SortMergeJoin", "no pivot/join — conditional aggregates only"),
+    ],
+    "q266_concentration": [
+        ("TakeOrderedAndProject", "head shares via per-partition heaps, no global sort"),
+        ("partial_sum", "key totals combine map-side"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -581,6 +589,7 @@ def main() -> None:
         "q254_rfm",                 # 1-row as-of anchor + 1-row quantile-edge attach
         "q255_woe_iv",              # 1-row event/nonevent totals attach
         "q263_mmr_rerank",          # gate input: 3 query rows broadcast onto candidates
+        "q266_concentration",       # 1-row grand-total + 1-row head-share attach
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
