@@ -8907,6 +8907,65 @@ FROM sc, tp
 """
 
 
+def _q267(spark, sf_dir):
+    """SEVENTH true Structured Streaming gate: CDC-style streaming UPSERT
+    (streaming/stream.py streaming_upsert_sink) — events stream in across
+    multiple micro-batches and a foreachBatch sink materializes the per-user
+    LATEST row (max (ts, event_id) winner).  The converged table is
+    batching-independent by construction (per-key max is associative), so
+    the gate is deterministic however the file source slices batches —
+    the property a CDC pipeline needs under replay."""
+    import os
+    import tempfile
+
+    from polars_net_spark.streaming.stream import (
+        read_upsert_target,
+        streaming_upsert_sink,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}|events4".encode()).hexdigest()[:8]
+    src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_events4_{tag}")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        spark.read.parquet(ev_path).repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(ev_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    target = tempfile.mkdtemp(prefix="q267_upsert_")
+    ckpt = tempfile.mkdtemp(prefix="q267_ckpt_")
+    with _stream_gate_conf(spark):
+        q = streaming_upsert_sink(
+            stream, target, keys="user_id", order_by="ts",
+            tie_cols=["event_id"], checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+        q.stop()
+    out = read_upsert_target(spark, target).spark
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_q267_sql = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9197,6 +9256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_cohort_value": _q264,
         "q265_ratio_ttest": _q265,
         "q266_concentration": _q266,
+        "q267_stream_upsert": _q267,
     }
 
 
@@ -9468,4 +9528,5 @@ def oracle_sql() -> dict[str, str]:
         "q264_cohort_value": _q264_sql,
         "q265_ratio_ttest": _q265_sql,
         "q266_concentration": _q266_sql,
+        "q267_stream_upsert": _q267_sql,
     }

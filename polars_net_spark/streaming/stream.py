@@ -263,3 +263,90 @@ class StreamingGroupBy:
     def agg(self, *aggs, **named) -> StreamingFrame:
         agg_cols = [_c(a) for a in _flatten(aggs)] + [_c(a).alias(n) for n, a in named.items()]
         return StreamingFrame(self._sdf.groupBy(*self._keys).agg(*agg_cols))
+
+
+def streaming_upsert_sink(
+    stream: "StreamingFrame | SparkDF",
+    target_dir: str,
+    keys: "Sequence[str] | str",
+    order_by: str,
+    tie_cols: "Sequence[str] | None" = None,
+    checkpoint: "str | None" = None,
+    trigger=None,
+):
+    """CDC-style streaming UPSERT materialization (SCD1): a foreachBatch
+    sink that keeps, per key, the row with the greatest (``order_by``,
+    ``tie_cols``) — the streaming twin of merge_into's
+    when_matched_update-by-recency.  The final table is BATCHING-INDEPENDENT
+    by construction: per-key max is associative/commutative, so however the
+    file source slices micro-batches (or retries one), the converged state
+    is the same — the property a real CDC pipeline needs when the source
+    replays.
+
+    (``order_by``, ``tie_cols``) must be per-key unique for a deterministic
+    winner (version stamp + change id, here ts + event id); payload columns
+    travel inside max_by's value struct and are never compared, so maps and
+    other unorderable types are fine.  Each batch writes a NEW versioned
+    snapshot dir ``v<batch_id>`` built from the latest snapshot with version
+    < batch_id plus the batch's winners — a retried batch re-reads the same
+    parent snapshot and overwrites its own output (idempotent recovery).
+    Read the converged table with :func:`read_upsert_target`.  At 100 TB
+    swap the snapshot rewrite for a storage layer with real MERGE
+    (Delta/Iceberg); the foreachBatch shape and winner logic are identical.
+
+    Returns the started StreamingQuery."""
+    import os
+
+    sdf = stream._sdf if isinstance(stream, StreamingFrame) else stream
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order = [order_by] + list(tie_cols or [])
+    payload = [c for c in sdf.columns if c not in key_list]
+
+    def _winner(df):
+        val = F.struct(*[F.col(c) for c in payload])
+        ordc = F.struct(*[F.col(c) for c in order])
+        agg = df.groupBy(*key_list).agg(F.max_by(val, ordc).alias("__w__"))
+        return agg.select(
+            *key_list, *[F.col(f"__w__.{c}").alias(c) for c in payload]
+        )
+
+    def _latest_version(below: int) -> "int | None":
+        if not os.path.isdir(target_dir):
+            return None
+        vs = [
+            int(d[1:])
+            for d in os.listdir(target_dir)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < below
+        ]
+        return max(vs) if vs else None
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        w = _winner(batch_df)
+        prev = _latest_version(int(batch_id))
+        if prev is not None:
+            cur = spark.read.parquet(os.path.join(target_dir, f"v{prev}"))
+            w = _winner(cur.select(*key_list, *payload).unionByName(w))
+        w.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"v{int(batch_id)}")
+        )
+
+    writer = sdf.writeStream.foreachBatch(_apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def read_upsert_target(spark: SparkSession, target_dir: str) -> LazyFrame:
+    """The converged table from :func:`streaming_upsert_sink` — the highest
+    versioned snapshot."""
+    import os
+
+    vs = [
+        int(d[1:])
+        for d in os.listdir(target_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    if not vs:
+        raise ValueError(f"no snapshots under {target_dir}")
+    return LazyFrame(spark.read.parquet(os.path.join(target_dir, f"v{max(vs)}")))

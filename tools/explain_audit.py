@@ -517,6 +517,9 @@ CHECKS = {
         ("TakeOrderedAndProject", "head shares via per-partition heaps, no global sort"),
         ("partial_sum", "key totals combine map-side"),
     ],
+    "q267_stream_upsert": [
+        ("!", "Exchange", "the converged snapshot reads back map-only (winners were reduced inside the streaming batches)"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
