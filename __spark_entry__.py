@@ -8966,6 +8966,131 @@ WHERE rn = 1
 """
 
 
+def _q268(spark, sf_dir):
+    """Forecast accuracy metrics (operators/regression.py
+    forecast_accuracy): MAE/RMSE/MAPE/sMAPE/bias of the naive
+    lag-1 forecast per user — ONE fused map-side-combining aggregate per
+    key, no window beyond the user-sharded lag."""
+    from polars_net_spark.operators.regression import forecast_accuracy
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").spark
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.col("value").alias("actual"),
+        F.lag("value").over(w).alias("pred"),
+    )
+    return forecast_accuracy(staged, "actual", "pred", by="user_id").spark
+
+
+_q268_sql = """
+WITH s AS (SELECT user_id, value AS a,
+                  lag(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS p
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT user_id, a, p FROM s WHERE p IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(avg(abs(p - a)), 6) AS mae,
+       round(sqrt(avg((p - a) * (p - a))), 6) AS rmse,
+       round(avg(CASE WHEN a != 0 THEN abs(p - a) / abs(a) END), 6) AS mape,
+       CAST(count(CASE WHEN a != 0 THEN 1 END) AS BIGINT) AS n_mape,
+       round(avg(CASE WHEN abs(a) + abs(p) > 0
+                      THEN 2.0 * abs(p - a) / (abs(a) + abs(p))
+                      ELSE 0.0 END), 6) AS smape,
+       round(avg(p - a), 6) AS bias
+FROM b GROUP BY user_id
+"""
+
+
+def _q269(spark, sf_dir):
+    """Referential-integrity audit (operators/validate.py
+    fk_integrity_report): orders→(thinned) customers — orphan keys/rows,
+    null keys, unused parents; two anti-joins on distinct keys + count
+    aggregates, all map-side combining."""
+    from polars_net_spark.operators.validate import fk_integrity_report
+
+    o = _t(spark, sf_dir, "orders").spark
+    c = _t(spark, sf_dir, "customer").spark.filter(F.col("c_custkey") % 50 != 0)
+    return fk_integrity_report(o, c, "o_custkey", "c_custkey").spark
+
+
+_q269_sql = """
+WITH p AS (SELECT DISTINCT c_custkey AS k FROM customer
+           WHERE c_custkey % 50 != 0),
+ck AS (SELECT o_custkey AS k, count(*) AS rows_ FROM orders
+       WHERE o_custkey IS NOT NULL GROUP BY 1),
+orph AS (SELECT ck.k, rows_ FROM ck LEFT JOIN p ON ck.k = p.k
+         WHERE p.k IS NULL),
+unused AS (SELECT p.k FROM p LEFT JOIN ck ON p.k = ck.k WHERE ck.k IS NULL)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey IS NULL) AS n_child_null_key,
+       (SELECT CAST(count(*) AS BIGINT) FROM orph) AS n_orphans,
+       (SELECT CAST(coalesce(sum(rows_), 0) AS BIGINT) FROM orph)
+         AS orphan_row_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_parent_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM unused) AS n_parent_unused
+"""
+
+
+def _q270(spark, sf_dir):
+    """Theil–Sen robust trend per user (operators/regression.py
+    theil_sen_by_key): median of pairwise slopes over a thinned per-user
+    series (event_id % 8 — the O(n²) pair array is the documented
+    per-series size contract), value ~ days-since-2024-01-01."""
+    from polars_net_spark.operators.regression import theil_sen_by_key
+
+    ev = _t(spark, sf_dir, "events").spark.filter(F.col("event_id") % 8 == 0)
+    x_days = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+        - F.lit(1704067200.0)
+    ) / F.lit(86400.0)
+    staged = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", x_days.alias("x"), F.col("value").alias("y")
+    )
+    return theil_sen_by_key(staged, "x", "y", by="user_id").spark
+
+
+_q270_sql = """
+WITH b AS (SELECT user_id,
+                  (epoch_us(ts) / 1000000.0 - 1704067200.0) / 86400.0 AS x,
+                  value AS y
+           FROM events
+           WHERE value IS NOT NULL AND event_id % 8 = 0),
+g AS (SELECT user_id,
+             list(struct_pack(x := x, y := y) ORDER BY x, y) AS pts
+      FROM b GROUP BY 1),
+s AS (SELECT user_id, len(pts) AS n, pts,
+             list_sort(list_filter(flatten(list_transform(
+               generate_series(1, greatest(len(pts) - 1, 1)),
+               i -> list_transform(pts[i+1:],
+                 q -> CASE WHEN q.x != pts[i].x
+                           THEN (q.y - pts[i].y) / (q.x - pts[i].x) END))),
+               v -> v IS NOT NULL)) AS sl
+      FROM g),
+m AS (SELECT user_id, n, pts,
+             CASE WHEN n >= 2 AND len(sl) > 0 THEN
+               CASE WHEN len(sl) % 2 = 1
+                    THEN sl[CAST((len(sl) + 1) / 2 AS INT)]
+                    ELSE (sl[CAST(len(sl) / 2 AS INT)]
+                          + sl[CAST(len(sl) / 2 AS INT) + 1]) / 2.0 END
+             END AS slope
+      FROM s),
+r AS (SELECT user_id, n, slope,
+             list_sort(list_transform(pts, p -> p.y - slope * p.x)) AS res
+      FROM m)
+SELECT user_id, CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+       round(CASE WHEN slope IS NOT NULL THEN
+         CASE WHEN len(res) % 2 = 1
+              THEN res[CAST((len(res) + 1) / 2 AS INT)]
+              ELSE (res[CAST(len(res) / 2 AS INT)]
+                    + res[CAST(len(res) / 2 AS INT) + 1]) / 2.0 END
+       END, 6) AS intercept
+FROM r
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9257,6 +9382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_ratio_ttest": _q265,
         "q266_concentration": _q266,
         "q267_stream_upsert": _q267,
+        "q268_forecast_accuracy": _q268,
+        "q269_fk_integrity": _q269,
+        "q270_theil_sen": _q270,
     }
 
 
@@ -9529,4 +9657,7 @@ def oracle_sql() -> dict[str, str]:
         "q265_ratio_ttest": _q265_sql,
         "q266_concentration": _q266_sql,
         "q267_stream_upsert": _q267_sql,
+        "q268_forecast_accuracy": _q268_sql,
+        "q269_fk_integrity": _q269_sql,
+        "q270_theil_sen": _q270_sql,
     }

@@ -1130,3 +1130,118 @@ def ratio_ttest(
 
 
 __all__.append("ratio_ttest")
+
+
+def forecast_accuracy(
+    frame: "LazyFrame | SparkDF",
+    actual_col: str,
+    pred_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Forecast / regression error metrics in one pass: MAE, RMSE, MAPE
+    (over rows with actual ≠ 0 — its count reported separately), sMAPE
+    (0 where both sides are 0, the standard convention), and mean bias
+    (pred − actual).  ONE fused map-side-combining all-reduce, per ``by``
+    key or global (a 1-row aggregate, not a window — no single-partition
+    hazard).  Rows with null actual or pred drop."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    base = sdf.filter(a.isNotNull() & p.isNotNull()).select(
+        *keys, a.alias("__a__"), p.alias("__p__")
+    )
+    err = F.col("__p__") - F.col("__a__")
+    ape = F.when(F.col("__a__") != 0, F.abs(err) / F.abs(F.col("__a__")))
+    sden = F.abs(F.col("__a__")) + F.abs(F.col("__p__"))
+    smape_term = F.when(sden > 0, 2.0 * F.abs(err) / sden).otherwise(F.lit(0.0))
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(F.abs(err)), round_to).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), round_to).alias("rmse"),
+        F.round(F.avg(ape), round_to).alias("mape"),
+        F.count(ape).cast("long").alias("n_mape"),
+        F.round(F.avg(smape_term), round_to).alias("smape"),
+        F.round(F.avg(err), round_to).alias("bias"),
+    )
+    return LazyFrame(agg)
+
+
+def theil_sen_by_key(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Theil–Sen robust regression per key — the median-of-pairwise-slopes
+    estimator (up to ~29% outlier breakdown vs OLS's zero; the robust
+    companion to fit_linear_by_key): slope = median over all point pairs
+    with distinct x of (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept = median of
+    (yᵢ − slope·xᵢ).
+
+    Per key the series collects into ONE (x, y)-sorted array and the pair
+    slopes build map-side via index-lambda fan-out (size contract: the
+    O(n²) pair array must fit a row — the per-series bound holt_forecast
+    documents; sample long series upstream).  Median = exact middle (avg
+    of the two middles when even), deterministic because the sort order
+    (x, then y) is total.  Keys with < 2 distinct x yield null slope.
+    Output: (*by, n, slope, intercept)."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    x = F.col(x_col).cast("double")
+    yv = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & yv.isNotNull()).select(
+        *keys, F.struct(x.alias("x"), yv.alias("y")).alias("__p__")
+    )
+    grouped = base.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("__p__")).alias("__pts__")
+    )
+    pts = F.col("__pts__")
+    n = F.size(pts)
+    slopes_nested = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.transform(
+            F.slice(pts, i + 1, n - i),
+            lambda q: F.when(
+                q["x"] != F.element_at(pts, i)["x"],
+                (q["y"] - F.element_at(pts, i)["y"])
+                / (q["x"] - F.element_at(pts, i)["x"]),
+            ),
+        ),
+    )
+    slopes = F.array_sort(
+        F.filter(F.flatten(slopes_nested), lambda s: s.isNotNull())
+    )
+
+    def median(arr):
+        m = F.size(arr)
+        mid = F.element_at(arr, ((m + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (m / 2).cast("int"))
+            + F.element_at(arr, (m / 2).cast("int") + 1)
+        ) / 2.0
+        return F.when(m > 0, F.when(m % 2 == 1, mid).otherwise(even))
+
+    staged = grouped.select(
+        *keys, n.cast("long").alias("n"), pts.alias("__pts__"),
+        F.when(n >= 2, median(slopes)).alias("__slope__"),
+    )
+    resid = F.array_sort(
+        F.transform(
+            F.col("__pts__"), lambda p: p["y"] - F.col("__slope__") * p["x"]
+        )
+    )
+    out = staged.select(
+        *keys,
+        "n",
+        F.round(F.col("__slope__"), round_to).alias("slope"),
+        F.round(
+            F.when(F.col("__slope__").isNotNull(), median(resid)), round_to
+        ).alias("intercept"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["forecast_accuracy", "theil_sen_by_key"])

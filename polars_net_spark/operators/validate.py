@@ -181,3 +181,67 @@ def frame_diff(
 
 
 __all__.append("frame_diff")
+
+
+def fk_integrity_report(
+    child: "LazyFrame | SparkDF",
+    parent: "LazyFrame | SparkDF",
+    child_key: "str | list[str]",
+    parent_key: "str | list[str] | None" = None,
+) -> "LazyFrame":
+    """Referential-integrity audit between a fact and its dimension: child
+    rows whose key has no parent (orphans), null-key child rows, and
+    parent keys never referenced — the join-health check to run before
+    trusting any inner-join metric (silently dropped orphans are the
+    classic under-count).
+
+    One anti-join each way on distinct keys + two count aggregates, all
+    map-side combining.  Output (1 row): n_child, n_child_null_key,
+    n_orphans (distinct orphan KEY count), orphan_row_count (child ROWS
+    with those keys), n_parent_keys, n_parent_unused."""
+    csdf = child if isinstance(child, SparkDF) else child.spark
+    psdf = parent if isinstance(parent, SparkDF) else parent.spark
+    ck = [child_key] if isinstance(child_key, str) else list(child_key)
+    pk = ck if parent_key is None else (
+        [parent_key] if isinstance(parent_key, str) else list(parent_key)
+    )
+    null_pred = F.lit(False)
+    for k in ck:
+        null_pred = null_pred | F.col(k).isNull()
+    c_nonnull = csdf.filter(~null_pred)
+    ckeys = c_nonnull.groupBy(*[F.col(k).alias(f"__k{i}__") for i, k in enumerate(ck)]).agg(
+        F.count(F.lit(1)).alias("__rows__")
+    )
+    pkeys = psdf.select(
+        *[F.col(k).alias(f"__k{i}__") for i, k in enumerate(pk)]
+    ).distinct()
+    join_keys = [f"__k{i}__" for i in range(len(ck))]
+    orphans = ckeys.join(pkeys, join_keys, "left_anti")
+    unused = pkeys.join(ckeys, join_keys, "left_anti")
+    totals = csdf.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(null_pred.cast("long")).alias("n_child_null_key"),
+    )
+    o = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.coalesce(F.sum("__rows__"), F.lit(0)).alias("orphan_row_count"),
+    )
+    p = pkeys.agg(F.count(F.lit(1)).alias("n_parent_keys"))
+    u = unused.agg(F.count(F.lit(1)).alias("n_parent_unused"))
+    out = (
+        totals.join(F.broadcast(o))
+        .join(F.broadcast(p))
+        .join(F.broadcast(u))
+        .select(
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_child_null_key").cast("long").alias("n_child_null_key"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.col("orphan_row_count").cast("long").alias("orphan_row_count"),
+            F.col("n_parent_keys").cast("long").alias("n_parent_keys"),
+            F.col("n_parent_unused").cast("long").alias("n_parent_unused"),
+        )
+    )
+    return LazyFrame(out)
+
+
+__all__.append("fk_integrity_report")

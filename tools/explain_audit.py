@@ -520,6 +520,17 @@ CHECKS = {
     "q267_stream_upsert": [
         ("!", "Exchange", "the converged snapshot reads back map-only (winners were reduced inside the streaming batches)"),
     ],
+    "q268_forecast_accuracy": [
+        ("partial_count", "error metrics are ONE fused per-key aggregate"),
+        ("!", "Exchange SinglePartition, ENSURE", "the naive-lag window shards on the user key"),
+    ],
+    "q269_fk_integrity": [
+        ("LeftAnti", "orphans/unused via anti-joins on distinct keys"),
+    ],
+    "q270_theil_sen": [
+        ("!", "EvalPython", "pairwise slopes are whole-row Column lambda math"),
+        ("!", "Exchange SinglePartition, ENSURE", "series collect shards on the user key"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -593,6 +604,7 @@ def main() -> None:
         "q255_woe_iv",              # 1-row event/nonevent totals attach
         "q263_mmr_rerank",          # gate input: 3 query rows broadcast onto candidates
         "q266_concentration",       # 1-row grand-total + 1-row head-share attach
+        "q269_fk_integrity",        # four 1-row audit scalars meet in bounded broadcasts
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
