@@ -9091,6 +9091,64 @@ FROM r
 """
 
 
+def _q271(spark, sf_dir):
+    """Period-over-period report (operators/analytics.py
+    period_over_period): weekly revenue vs previous week — the lag window
+    runs over the one-row-per-bucket period table (never data-sized)."""
+    from polars_net_spark.operators.analytics import period_over_period
+
+    ev = _t(spark, sf_dir, "events").spark
+    out = period_over_period(ev, "ts", "value", every="week").spark
+    return out.select(
+        F.col("period").cast("string").alias("period"),
+        "value", "prev_value", "change", "pct_change",
+    )
+
+
+_q271_sql = """
+WITH p AS (SELECT date_trunc('week', ts)::DATE AS period,
+                  round(sum(coalesce(value, 0.0)), 6) AS value
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+l AS (SELECT period, value,
+             lag(value) OVER (ORDER BY period) AS prev_value
+      FROM p)
+SELECT CAST(period AS VARCHAR) AS period, value, prev_value,
+       round(value - prev_value, 6) AS change,
+       round(CASE WHEN prev_value IS NOT NULL AND prev_value != 0
+                  THEN (value - prev_value) / abs(prev_value) END, 6)
+         AS pct_change
+FROM l
+"""
+
+
+def _q272(spark, sf_dir):
+    """Frequent consecutive event trigrams (operators/analytics.py
+    frequent_sequences): the order-3 generalization of markov bigrams —
+    one lag-chain window sharded on the user key + one map-side count."""
+    from polars_net_spark.operators.analytics import frequent_sequences
+
+    ev = _t(spark, sf_dir, "events").spark
+    return frequent_sequences(
+        ev, "event_type", "ts", by="user_id", length=3, min_count=5,
+        tie_cols=["event_id"],
+    ).spark
+
+
+_q272_sql = """
+WITH l AS (
+  SELECT lag(event_type, 2) OVER w AS step_1,
+         lag(event_type, 1) OVER w AS step_2,
+         event_type AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT) AS n
+FROM l
+WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL AND step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING count(*) >= 5
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9385,6 +9443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_forecast_accuracy": _q268,
         "q269_fk_integrity": _q269,
         "q270_theil_sen": _q270,
+        "q271_pop_report": _q271,
+        "q272_freq_sequences": _q272,
     }
 
 
@@ -9660,4 +9720,6 @@ def oracle_sql() -> dict[str, str]:
         "q268_forecast_accuracy": _q268_sql,
         "q269_fk_integrity": _q269_sql,
         "q270_theil_sen": _q270_sql,
+        "q271_pop_report": _q271_sql,
+        "q272_freq_sequences": _q272_sql,
     }

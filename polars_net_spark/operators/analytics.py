@@ -1702,3 +1702,95 @@ def concentration_report(
 
 
 __all__.append("concentration_report")
+
+
+def period_over_period(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    value_col: str,
+    every: str = "month",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Period-over-period report: per calendar bucket the value total, the
+    previous period's total, absolute and percent change — the BI
+    heartbeat table.  One map-side-combining period aggregate; the lag
+    window runs over the TINY period table (one row per bucket, never
+    data-sized), ordered by the bucket itself so calendar gaps compare
+    against the previous EXISTING period (document-noted; densify upstream
+    for strict adjacency).  Null values count as zero mass.  Output:
+    (period, value, prev_value, change, pct_change — null on the first
+    period or a zero base)."""
+    if every not in ("day", "week", "month", "quarter", "year"):
+        raise ValueError("every must be day/week/month/quarter/year")
+    sdf = _sdf(frame)
+    ts = F.col(ts_col).cast("timestamp")
+    bucket = F.date_trunc(every, ts).cast("date")
+    per = (
+        sdf.filter(ts.isNotNull())
+        .groupBy(bucket.alias("period"))
+        .agg(F.round(F.sum(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))), round_to).alias("value"))
+    )
+    w = Window.orderBy("period")
+    # single-partition window is FINE here: the frame is one row per
+    # calendar bucket (a few thousand rows for decades of days)
+    out = per.withColumn("prev_value", F.lag("value").over(w)).select(
+        "period",
+        "value",
+        "prev_value",
+        F.round(F.col("value") - F.col("prev_value"), round_to).alias("change"),
+        F.round(
+            F.when(
+                F.col("prev_value").isNotNull() & (F.col("prev_value") != 0),
+                (F.col("value") - F.col("prev_value")) / F.abs(F.col("prev_value")),
+            ),
+            round_to,
+        ).alias("pct_change"),
+    )
+    return LazyFrame(out)
+
+
+def frequent_sequences(
+    frame: "LazyFrame | SparkDF",
+    state_col: str,
+    ts_col: str,
+    by: "str | list[str] | None" = None,
+    length: int = 3,
+    min_count: int = 2,
+    tie_cols: "list[str] | None" = None,
+) -> LazyFrame:
+    """Top consecutive event n-grams (the order-n generalization of
+    markov_transitions' bigrams): every run of ``length`` consecutive
+    events within a ``by`` sequence, counted corpus-wide and pruned at
+    ``min_count``.  One lag-chain window sharded on the key + one
+    map-side-combining count — sequence boundaries leak-free (a window
+    never crosses keys), null states break runs.  Output: (step_1..step_n,
+    n), most frequent patterns for next-event models and anomalous-flow
+    review."""
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    if not keys:
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("frequent_sequences(by=None)")
+    cols = [
+        F.lag(F.col(state_col), length - 1 - i).over(w).alias(f"step_{i + 1}")
+        for i in range(length)
+    ]
+    staged = sdf.select(*cols)
+    pred = F.lit(True)
+    for i in range(length):
+        pred = pred & F.col(f"step_{i + 1}").isNotNull()
+    out = (
+        staged.filter(pred)
+        .groupBy(*[f"step_{i + 1}" for i in range(length)])
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["period_over_period", "frequent_sequences"])

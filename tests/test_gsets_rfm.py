@@ -109,3 +109,52 @@ class TestCohortValue:
         import pytest as _pt
         with _pt.raises(ValueError):
             cohort_value(df, "u", "ts", "v", period="hour")
+
+
+class TestPopAndSequences:
+    def test_period_over_period(self, spark):
+        import datetime as dt
+        from polars_net_spark.operators.analytics import period_over_period
+
+        ev = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 10.0), (dt.datetime(2024, 1, 2), 10.0),
+             (dt.datetime(2024, 2, 1), 30.0), (dt.datetime(2024, 3, 1), None)],
+            "ts timestamp, v double",
+        )
+        out = {str(r[0]): r for r in
+               period_over_period(ev, "ts", "v", every="month").collect().rows()}
+        jan = out["2024-01-01"]
+        assert jan[1] == 20.0 and jan[2] is None and jan[4] is None
+        feb = out["2024-02-01"]
+        assert feb[2] == 20.0 and feb[3] == 10.0 and feb[4] == 0.5
+        mar = out["2024-03-01"]
+        assert mar[1] == 0.0 and mar[4] == -1.0  # null value = zero mass
+
+    def test_frequent_sequences(self, spark):
+        import datetime as dt
+        from polars_net_spark.operators.analytics import frequent_sequences
+
+        def t(m):
+            return dt.datetime(2024, 1, 1, 0, m)
+
+        rows_ = []
+        eid = 0
+        for u in ("u1", "u2", "u3"):
+            for i, s in enumerate(["a", "b", "c", "a", "b"]):
+                rows_.append((u, eid, t(i), s)); eid += 1
+        ev = spark.createDataFrame(
+            rows_, "u string, eid long, ts timestamp, s string"
+        )
+        out = {(r[0], r[1], r[2]): r[3] for r in frequent_sequences(
+            ev, "s", "ts", by="u", length=3, min_count=3,
+            tie_cols=["eid"]).collect().rows()}
+        assert out[("a", "b", "c")] == 3
+        assert out[("b", "c", "a")] == 3 and out[("c", "a", "b")] == 3
+        assert len(out) == 3  # boundary runs never cross users
+
+    def test_sequence_validation(self, spark):
+        from polars_net_spark.operators.analytics import frequent_sequences
+        df = spark.createDataFrame([("u", None, "a")], "u string, ts timestamp, s string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            frequent_sequences(df, "s", "ts", length=1)

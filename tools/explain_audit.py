@@ -531,6 +531,13 @@ CHECKS = {
         ("!", "EvalPython", "pairwise slopes are whole-row Column lambda math"),
         ("!", "Exchange SinglePartition, ENSURE", "series collect shards on the user key"),
     ],
+    "q271_pop_report": [
+        ("partial_sum", "period totals combine map-side (the lag window sees one row per bucket)"),
+    ],
+    "q272_freq_sequences": [
+        ("partial_count", "trigram counts combine map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "the lag chain shards on the user key"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
