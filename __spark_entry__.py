@@ -9149,6 +9149,53 @@ HAVING count(*) >= 5
 """
 
 
+def _q273(spark, sf_dir):
+    """IPF raking (operators/regression.py ipf_weights): calibrate the
+    (event_type × user-segment) contingency to target marginals — one
+    data-sized cell aggregate, then bounded-cardinality rounds (two
+    marginal sums + broadcast joins each), lineage checkpoint-truncated;
+    the oracle unrolls the 3 rounds as CTEs."""
+    from polars_net_spark.operators.regression import ipf_weights
+
+    ev = _t(spark, sf_dir, "events").spark.withColumn(
+        "segment", (F.col("user_id") % 3).cast("string")
+    )
+    return ipf_weights(
+        ev, "event_type", "segment",
+        {"view": 0.2, "click": 0.2, "purchase": 0.2, "signup": 0.2, "error": 0.2},
+        {"0": 0.4, "1": 0.35, "2": 0.25},
+        iterations=3,
+    ).spark
+
+
+_q273_sql = """
+WITH cells AS (SELECT event_type AS r, CAST(user_id % 3 AS VARCHAR) AS c,
+                      count(*) AS n
+               FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY 1, 2),
+rt AS (SELECT * FROM (VALUES ('click', 0.2), ('error', 0.2),
+                             ('purchase', 0.2), ('signup', 0.2),
+                             ('view', 0.2)) AS t(r, tr)),
+ct AS (SELECT * FROM (VALUES ('0', 0.4), ('1', 0.35), ('2', 0.25))
+        AS t(c, tc)),
+base AS (SELECT cells.r, cells.c, n, tr, tc
+         FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c),
+nt AS (SELECT sum(n) AS total FROM base),
+m0 AS (SELECT r, c, n, tr, tc, n / nt.total AS m FROM base, nt),
+r1 AS (SELECT m0.*, m * tr / sum(m) OVER (PARTITION BY r) AS m1 FROM m0),
+c1 AS (SELECT r1.*, m1 * tc / sum(m1) OVER (PARTITION BY c) AS m2 FROM r1),
+r2 AS (SELECT c1.*, m2 * tr / sum(m2) OVER (PARTITION BY r) AS m3 FROM c1),
+c2 AS (SELECT r2.*, m3 * tc / sum(m3) OVER (PARTITION BY c) AS m4 FROM r2),
+r3 AS (SELECT c2.*, m4 * tr / sum(m4) OVER (PARTITION BY r) AS m5 FROM c2),
+c3 AS (SELECT r3.*, m5 * tc / sum(m5) OVER (PARTITION BY c) AS m6 FROM r3)
+SELECT r AS event_type, c AS segment, CAST(n AS BIGINT) AS n,
+       round(m6 / (n / nt.total), 6) AS weight,
+       round(m6, 6) AS mass
+FROM c3, nt
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9445,6 +9492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_theil_sen": _q270,
         "q271_pop_report": _q271,
         "q272_freq_sequences": _q272,
+        "q273_ipf_raking": _q273,
     }
 
 
@@ -9722,4 +9770,5 @@ def oracle_sql() -> dict[str, str]:
         "q270_theil_sen": _q270_sql,
         "q271_pop_report": _q271_sql,
         "q272_freq_sequences": _q272_sql,
+        "q273_ipf_raking": _q273_sql,
     }

@@ -1245,3 +1245,98 @@ def theil_sen_by_key(
 
 
 __all__.extend(["forecast_accuracy", "theil_sen_by_key"])
+
+
+def ipf_weights(
+    frame: "LazyFrame | SparkDF",
+    row_col: str,
+    col_col: str,
+    row_targets: "dict[str, float]",
+    col_targets: "dict[str, float]",
+    iterations: int = 3,
+    round_to: int = 6,
+    checkpoint_every: int = 2,
+    checkpoint_dir: "str | None" = None,
+) -> LazyFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940) —
+    survey post-stratification: reweight the (row, col) contingency cells
+    so the weighted marginals match the target shares on BOTH dimensions.
+    ``row_targets``/``col_targets`` are proportions (normalized
+    internally); cells whose category is missing from its target dict
+    drop (they cannot be calibrated).  A fixed ``iterations`` keeps the
+    computation closed-form (the pagerank/LPA convention — the oracle
+    replays the rounds as unrolled CTEs); IPF converges geometrically, so
+    a handful of rounds is the practical regime.
+
+    Scale shape: ONE data-sized map-side-combining aggregate collapses
+    rows to cells; every round is two marginal aggregates + broadcast
+    joins over the CELL table (bounded by category cardinality, never row
+    count).  Round lineage is checkpoint-truncated every
+    ``checkpoint_every`` rounds (plans double per round otherwise — the
+    pagerank/dedup_clusters pattern; ``checkpoint_dir`` upgrades to
+    reliable checkpoints).  Output per cell: (row, col, n, weight, mass)
+    where mass is the calibrated cell share (Σ mass = 1) and
+    weight = mass / (n/N) is the per-record multiplier to apply back onto
+    the microdata."""
+    if not row_targets or not col_targets:
+        raise ValueError("row_targets and col_targets must be non-empty")
+    sdf = _sdf(frame)
+    spark = sdf.sparkSession
+    rt_tot = float(sum(row_targets.values()))
+    ct_tot = float(sum(col_targets.values()))
+    if rt_tot <= 0 or ct_tot <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    rt = spark.createDataFrame(
+        [(k, float(v) / rt_tot) for k, v in sorted(row_targets.items())],
+        "__r__ string, __tr__ double",
+    )
+    ct = spark.createDataFrame(
+        [(k, float(v) / ct_tot) for k, v in sorted(col_targets.items())],
+        "__c__ string, __tc__ double",
+    )
+    cells = (
+        sdf.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(
+            F.col(row_col).cast("string").alias("__r__"),
+            F.col(col_col).cast("string").alias("__c__"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(rt), "__r__")
+        .join(F.broadcast(ct), "__c__")
+    )
+    if checkpoint_dir is not None:
+        sdf.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df):
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+    ntot = cells.agg(F.sum("n").alias("__N__"))
+    cur = cells.join(F.broadcast(ntot)).withColumn(
+        "__m__", F.col("n") / F.col("__N__")
+    )
+    for i in range(int(iterations)):
+        rsum = cur.groupBy("__r__").agg(F.sum("__m__").alias("__rs__"))
+        cur = cur.join(F.broadcast(rsum), "__r__").withColumn(
+            "__m__", F.col("__m__") * F.col("__tr__") / F.col("__rs__")
+        ).drop("__rs__")
+        csum = cur.groupBy("__c__").agg(F.sum("__m__").alias("__cs__"))
+        cur = cur.join(F.broadcast(csum), "__c__").withColumn(
+            "__m__", F.col("__m__") * F.col("__tc__") / F.col("__cs__")
+        ).drop("__cs__")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            cur = _ckpt(cur)
+    out = cur.select(
+        F.col("__r__").alias(row_col),
+        F.col("__c__").alias(col_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__m__") / (F.col("n") / F.col("__N__")), round_to).alias("weight"),
+        F.round(F.col("__m__"), round_to).alias("mass"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("ipf_weights")

@@ -93,3 +93,38 @@ class TestBhAdjust:
     def test_null_p_drops(self, spark):
         df = spark.createDataFrame([(1, 0.5), (2, None)], "id long, p double")
         assert len(rows(bh_adjust(df, "p"))) == 1
+
+
+class TestIpf:
+    def test_converges_to_targets(self, spark):
+        from polars_net_spark.operators.regression import ipf_weights
+
+        data = ([("a", "x")] * 30 + [("a", "y")] * 10
+                + [("b", "x")] * 20 + [("b", "y")] * 40)
+        df = spark.createDataFrame(data, "r string, c string")
+        out = rows(ipf_weights(df, "r", "c", {"a": 0.5, "b": 0.5},
+                               {"x": 0.6, "y": 0.4}, iterations=8))
+        masses = {(r[0], r[1]): r[4] for r in out}
+        assert sum(v for (r, _), v in masses.items() if r == "a") == pytest.approx(0.5, abs=1e-4)
+        assert sum(v for (_, c), v in masses.items() if c == "x") == pytest.approx(0.6, abs=1e-4)
+        # weight * observed share reproduces mass
+        for (r, c, n, w, m) in out:
+            assert w * (n / 100.0) == pytest.approx(m, abs=1e-5)
+
+    def test_weights_normalize_and_prune(self, spark):
+        from polars_net_spark.operators.regression import ipf_weights
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("b", "x"), ("zzz", "x")], "r string, c string"
+        )
+        out = rows(ipf_weights(df, "r", "c", {"a": 1, "b": 1}, {"x": 1},
+                               iterations=2))
+        # 'zzz' not in targets -> dropped; shares renormalize over kept cells
+        assert {r[0] for r in out} == {"a", "b"}
+        assert sum(r[4] for r in out) == pytest.approx(1.0, abs=1e-9)
+
+    def test_empty_targets_raise(self, spark):
+        from polars_net_spark.operators.regression import ipf_weights
+        df = spark.createDataFrame([("a", "x")], "r string, c string")
+        with pytest.raises(ValueError):
+            ipf_weights(df, "r", "c", {}, {"x": 1})

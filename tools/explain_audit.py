@@ -538,6 +538,9 @@ CHECKS = {
         ("partial_count", "trigram counts combine map-side"),
         ("!", "Exchange SinglePartition, ENSURE", "the lag chain shards on the user key"),
     ],
+    "q273_ipf_raking": [
+        ("BroadcastHashJoin", "marginal scalings attach by broadcast over the bounded cell table (pre-checkpoint stages hold the map-side cell collapse)"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
