@@ -9196,6 +9196,42 @@ FROM c3, nt
 """
 
 
+def _q274(spark, sf_dir):
+    """Kendall τ-b (operators/regression.py kendall_tau): quantity vs
+    line-number concordance — exact via the bounded joint contingency
+    (|cells|² self-join, the chi2-margins size contract), tie-corrected
+    denominators."""
+    from polars_net_spark.operators.regression import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return kendall_tau(li, "l_quantity", "l_linenumber").spark
+
+
+_q274_sql = """
+WITH b AS (SELECT l_quantity::DOUBLE AS x, l_linenumber::DOUBLE AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+cells AS (SELECT x, y, count(*) AS n FROM b GROUP BY 1, 2),
+cd AS (SELECT
+         coalesce(sum(CASE WHEN bb.y > aa.y THEN aa.n * bb.n END), 0) AS c,
+         coalesce(sum(CASE WHEN bb.y < aa.y THEN aa.n * bb.n END), 0) AS d
+       FROM cells aa JOIN cells bb ON bb.x > aa.x),
+m AS (SELECT sum(n) AS nn FROM cells),
+t1 AS (SELECT sum(t * (t - 1) / 2) AS n1 FROM
+        (SELECT sum(n) AS t FROM cells GROUP BY x)),
+t2 AS (SELECT sum(t * (t - 1) / 2) AS n2 FROM
+        (SELECT sum(n) AS t FROM cells GROUP BY y))
+SELECT round(CASE WHEN sqrt((nn * (nn - 1) / 2 - n1)
+                            * (nn * (nn - 1) / 2 - n2)) > 0
+                  THEN (c - d) / sqrt((nn * (nn - 1) / 2 - n1)
+                                      * (nn * (nn - 1) / 2 - n2)) END, 6)
+         AS tau_b,
+       CAST(nn AS BIGINT) AS n,
+       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant
+FROM cd, m, t1, t2
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9493,6 +9529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_pop_report": _q271,
         "q272_freq_sequences": _q272,
         "q273_ipf_raking": _q273,
+        "q274_kendall_tau": _q274,
     }
 
 
@@ -9771,4 +9808,5 @@ def oracle_sql() -> dict[str, str]:
         "q271_pop_report": _q271_sql,
         "q272_freq_sequences": _q272_sql,
         "q273_ipf_raking": _q273_sql,
+        "q274_kendall_tau": _q274_sql,
     }

@@ -1340,3 +1340,80 @@ def ipf_weights(
 
 
 __all__.append("ipf_weights")
+
+
+def kendall_tau(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Kendall's τ-b rank correlation (the concordance companion to
+    spearman_corr — less sensitive to a few large rank displacements,
+    standard for ordinal/rating data): τ-b = (C − D) /
+    √((n₀−n₁)(n₀−n₂)) with concordant/discordant pair counts and the
+    tie-corrected denominators.
+
+    EXACT via the joint distinct-value contingency: pairs collapse to
+    (x, y) cells first (ONE map-side-combining aggregate), and C/D come
+    from the cell-table self-join on x-order — cost |cells|², so this is
+    the BOUNDED-CARDINALITY path (ratings, grades, small-integer scores;
+    the same contract as chi2's margins grid — bin continuous data first,
+    that is the lever).  Ties contribute to neither C nor D and enter
+    through n₁/n₂, the τ-b convention.  Output (1 row): tau_b, n,
+    concordant, discordant."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    yv = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & yv.isNotNull()).select(
+        x.alias("__x__"), yv.alias("__y__")
+    )
+    cells = base.groupBy("__x__", "__y__").agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(
+        F.col("__x__").alias("ax"), F.col("__y__").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("__x__").alias("bx"), F.col("__y__").alias("by"), F.col("n").alias("bn")
+    )
+    pairs = a.join(b, F.col("bx") > F.col("ax"))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("by") > F.col("ay"), F.col("an") * F.col("bn"))),
+            F.lit(0),
+        ).alias("c"),
+        F.coalesce(
+            F.sum(F.when(F.col("by") < F.col("ay"), F.col("an") * F.col("bn"))),
+            F.lit(0),
+        ).alias("d"),
+    )
+    margins = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("__tjoint__"),
+    )
+    tx = (
+        cells.groupBy("__x__").agg(F.sum("n").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1"))
+    )
+    ty = (
+        cells.groupBy("__y__").agg(F.sum("n").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2"))
+    )
+    n0 = F.col("nn") * (F.col("nn") - 1) / 2
+    denom = F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2")))
+    out = (
+        cd.join(F.broadcast(margins))
+        .join(F.broadcast(tx))
+        .join(F.broadcast(ty))
+        .select(
+            F.round(
+                F.when(denom > 0, (F.col("c") - F.col("d")) / denom), round_to
+            ).alias("tau_b"),
+            F.col("nn").cast("long").alias("n"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+        )
+    )
+    return LazyFrame(out)
+
+
+__all__.append("kendall_tau")

@@ -128,3 +128,33 @@ class TestIpf:
         df = spark.createDataFrame([("a", "x")], "r string, c string")
         with pytest.raises(ValueError):
             ipf_weights(df, "r", "c", {}, {"x": 1})
+
+
+class TestKendall:
+    def test_matches_scipy_example(self, spark):
+        from polars_net_spark.operators.regression import kendall_tau
+        df = spark.createDataFrame(
+            list(zip([1, 2, 3, 4, 5], [2, 1, 4, 3, 5])), "x long, y long"
+        )
+        tau, n, c, d = rows(kendall_tau(df, "x", "y"))[0]
+        assert (tau, n, c, d) == (0.6, 5, 8, 2)
+
+    def test_perfect_and_inverse(self, spark):
+        from polars_net_spark.operators.regression import kendall_tau
+        df = spark.createDataFrame([(i, i) for i in range(6)], "x long, y long")
+        assert rows(kendall_tau(df, "x", "y"))[0][0] == 1.0
+        df2 = spark.createDataFrame([(i, -i) for i in range(6)], "x long, y long")
+        assert rows(kendall_tau(df2, "x", "y"))[0][0] == -1.0
+
+    def test_tie_correction(self, spark):
+        from polars_net_spark.operators.regression import kendall_tau
+        df = spark.createDataFrame(
+            [(1, 1), (1, 2), (2, 1), (2, 2)], "x long, y long"
+        )
+        tau, n, c, d = rows(kendall_tau(df, "x", "y"))[0]
+        assert tau == 0.0 and c == 1 and d == 1
+
+    def test_constant_column_null(self, spark):
+        from polars_net_spark.operators.regression import kendall_tau
+        df = spark.createDataFrame([(1, 1), (1, 2)], "x long, y long")
+        assert rows(kendall_tau(df, "x", "y"))[0][0] is None

@@ -541,6 +541,9 @@ CHECKS = {
     "q273_ipf_raking": [
         ("BroadcastHashJoin", "marginal scalings attach by broadcast over the bounded cell table (pre-checkpoint stages hold the map-side cell collapse)"),
     ],
+    "q274_kendall_tau": [
+        ("partial_count", "the joint contingency collapse combines map-side"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -615,6 +618,7 @@ def main() -> None:
         "q263_mmr_rerank",          # gate input: 3 query rows broadcast onto candidates
         "q266_concentration",       # 1-row grand-total + 1-row head-share attach
         "q269_fk_integrity",        # four 1-row audit scalars meet in bounded broadcasts
+        "q274_kendall_tau",         # |cells|^2 x-order self-join, bounded by joint cardinality (chi2-margins contract)
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
