@@ -9232,6 +9232,82 @@ FROM cd, m, t1, t2
 """
 
 
+def _q275(spark, sf_dir):
+    """Cramér's V effect size (operators/regression.py cramers_v) for
+    event_type × user-segment association — chi2_independence's bounded
+    margins-grid plan plus one cardinality broadcast."""
+    from polars_net_spark.operators.regression import cramers_v
+
+    ev = _t(spark, sf_dir, "events").spark.withColumn(
+        "segment", (F.col("user_id") % 3).cast("string")
+    )
+    return cramers_v(ev, "event_type", "segment").spark
+
+
+_q275_sql = """
+WITH b AS (SELECT event_type AS a, CAST(user_id % 3 AS VARCHAR) AS c
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT a, c, count(*) AS o FROM b GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+rb AS (SELECT c, sum(o) AS rb FROM cells GROUP BY 1),
+nt AS (SELECT sum(o) AS n FROM cells),
+grid AS (SELECT ra.a, rb.c, ra.ra, rb.rb FROM ra, rb),
+full_ AS (SELECT grid.a, grid.c, coalesce(cells.o, 0) AS o, ra, rb, nt.n
+          FROM grid LEFT JOIN cells ON grid.a = cells.a AND grid.c = cells.c,
+               nt),
+st AS (SELECT sum((o - ra * rb / n) * (o - ra * rb / n) / (ra * rb / n))
+                AS chi2,
+              count(DISTINCT a) AS r, count(DISTINCT c) AS cc,
+              max(n) AS n
+       FROM full_)
+SELECT round(sqrt(chi2 / (n * least(r - 1, cc - 1))), 6) AS v,
+       round(chi2, 6) AS chi2,
+       CAST((r - 1) * (cc - 1) AS BIGINT) AS df,
+       CAST(n AS BIGINT) AS n
+FROM st
+"""
+
+
+def _q276(spark, sf_dir):
+    """2×2 odds ratio / relative risk (operators/regression.py
+    odds_ratio): high-value exposure vs purchase outcome per event — ONE
+    fused conditional-count all-reduce, Woolf SE."""
+    from polars_net_spark.operators.regression import odds_ratio
+
+    ev = _t(spark, sf_dir, "events").spark.filter(F.col("value").isNotNull())
+    staged = ev.select(
+        (F.col("value") > 50).cast("int").alias("exposed"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return odds_ratio(staged, "exposed", "converted").spark
+
+
+_q276_sql = """
+WITH b AS (SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS e,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+           FROM events WHERE value IS NOT NULL),
+w AS (SELECT sum(e * o) AS a, sum(e * (1 - o)) AS b2,
+             sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+      FROM b)
+SELECT CAST(a AS BIGINT) AS a, CAST(b2 AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       round(CASE WHEN a > 0 AND b2 > 0 AND c > 0 AND d > 0
+                  THEN (a * d) * 1.0 / (b2 * c) END, 6) AS odds_ratio_,
+       round(CASE WHEN a + b2 > 0 AND c + d > 0 AND c > 0
+                  THEN (a * 1.0 / (a + b2)) / (c * 1.0 / (c + d)) END, 6)
+         AS relative_risk,
+       round(CASE WHEN a > 0 AND b2 > 0 AND c > 0 AND d > 0
+                  THEN sqrt(1.0 / a + 1.0 / b2 + 1.0 / c + 1.0 / d) END, 6)
+         AS log_or_se,
+       round(CASE WHEN a > 0 AND b2 > 0 AND c > 0 AND d > 0
+                  THEN ln((a * d) * 1.0 / (b2 * c))
+                       / sqrt(1.0 / a + 1.0 / b2 + 1.0 / c + 1.0 / d) END, 6)
+         AS z
+FROM w
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9530,6 +9606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q272_freq_sequences": _q272,
         "q273_ipf_raking": _q273,
         "q274_kendall_tau": _q274,
+        "q275_cramers_v": _q275,
+        "q276_odds_ratio": _q276,
     }
 
 
@@ -9809,4 +9887,6 @@ def oracle_sql() -> dict[str, str]:
         "q272_freq_sequences": _q272_sql,
         "q273_ipf_raking": _q273_sql,
         "q274_kendall_tau": _q274_sql,
+        "q275_cramers_v": _q275_sql,
+        "q276_odds_ratio": _q276_sql,
     }

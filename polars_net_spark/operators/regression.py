@@ -1417,3 +1417,94 @@ def kendall_tau(
 
 
 __all__.append("kendall_tau")
+
+
+def cramers_v(
+    frame: "LazyFrame | SparkDF",
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cramér's V — the [0, 1] effect size behind chi2_independence
+    (χ² alone grows with n; V answers "how strongly associated"):
+    V = √(χ² / (n · min(r−1, c−1))).  Same plan as chi2_independence
+    (cell counts + full margins grid, bounded by category cardinality).
+    Output (1 row): v, chi2, df, n."""
+    inner = chi2_independence(_sdf(frame), col_a, col_b, round_to=12).spark
+    # min(r-1, c-1) recovered from the category cardinalities directly
+    cells = (
+        _sdf(frame)
+        .filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .agg(
+            F.count_distinct(col_a).alias("__r__"),
+            F.count_distinct(col_b).alias("__c__"),
+        )
+    )
+    out = inner.join(F.broadcast(cells)).select(
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("__r__") - 1, F.col("__c__") - 1)
+                )
+            ),
+            round_to,
+        ).alias("v"),
+        F.round("chi2", round_to).alias("chi2"),
+        F.col("df"),
+        F.col("n"),
+    )
+    return LazyFrame(out)
+
+
+def odds_ratio(
+    frame: "LazyFrame | SparkDF",
+    exposure_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """2×2 odds ratio and relative risk with Woolf's log-OR standard error
+    — the case-control/cohort companion to prop_ztest: exposure and
+    outcome are truthy columns (cast to 0/1, nulls drop);
+    OR = (a·d)/(b·c) over the exposed/unexposed × outcome table,
+    RR = risk_exposed / risk_unexposed, SE(ln OR) = √(1/a+1/b+1/c+1/d),
+    z = ln(OR)/SE.  Any empty cell yields null OR/SE/z (apply the 0.5
+    Haldane correction upstream if needed — kept out so counts stay
+    exact).  ONE fused conditional-count all-reduce.
+    Output (1 row): a, b, c, d (exposed+/exposed−/unexposed+/unexposed−),
+    odds_ratio_, relative_risk, log_or_se, z."""
+    sdf = _sdf(frame)
+    e = (F.col(exposure_col).cast("double") > 0).cast("int")
+    o = (F.col(outcome_col).cast("double") > 0).cast("int")
+    base = sdf.filter(
+        F.col(exposure_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(e.alias("__e__"), o.alias("__o__"))
+    cnt = base.agg(
+        F.sum((F.col("__e__") * F.col("__o__"))).alias("a"),
+        F.sum((F.col("__e__") * (1 - F.col("__o__")))).alias("b"),
+        F.sum(((1 - F.col("__e__")) * F.col("__o__"))).alias("c"),
+        F.sum(((1 - F.col("__e__")) * (1 - F.col("__o__")))).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    orr = (a * d) / (b * c)
+    rr = F.when(
+        (a + b > 0) & (c + d > 0) & (c > 0),
+        (a / (a + b)) / (c / (c + d)),
+    )
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    out = cnt.select(
+        a.cast("long").alias("a"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+        d.cast("long").alias("d"),
+        F.round(F.when(ok, orr), round_to).alias("odds_ratio_"),
+        F.round(rr, round_to).alias("relative_risk"),
+        F.round(F.when(ok, se), round_to).alias("log_or_se"),
+        F.round(F.when(ok, F.log(orr) / se), round_to).alias("z"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["cramers_v", "odds_ratio"])

@@ -158,3 +158,39 @@ class TestKendall:
         from polars_net_spark.operators.regression import kendall_tau
         df = spark.createDataFrame([(1, 1), (1, 2)], "x long, y long")
         assert rows(kendall_tau(df, "x", "y"))[0][0] is None
+
+
+class TestCramersOdds:
+    def test_cramers_v_known(self, spark):
+        from polars_net_spark.operators.regression import cramers_v
+        df = spark.createDataFrame(
+            [("x", "p")] * 30 + [("x", "q")] * 10
+            + [("y", "p")] * 10 + [("y", "q")] * 30,
+            "a string, b string",
+        )
+        v, chi2, dof, n = rows(cramers_v(df, "a", "b"))[0]
+        assert (v, chi2, dof, n) == (0.5, 20.0, 1, 80)
+
+    def test_cramers_v_independence_zero(self, spark):
+        from polars_net_spark.operators.regression import cramers_v
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")], "a string, b string"
+        )
+        assert rows(cramers_v(df, "a", "b"))[0][0] == 0.0
+
+    def test_odds_ratio_known(self, spark):
+        from polars_net_spark.operators.regression import odds_ratio
+        df = spark.createDataFrame(
+            [(1, 1)] * 20 + [(1, 0)] * 80 + [(0, 1)] * 10 + [(0, 0)] * 90,
+            "e int, o int",
+        )
+        a, b, c, d, orr, rr, se, z = rows(odds_ratio(df, "e", "o"))[0]
+        assert (a, b, c, d) == (20, 80, 10, 90)
+        assert orr == 2.25 and rr == 2.0
+        assert se == pytest.approx((1/20 + 1/80 + 1/10 + 1/90) ** 0.5, abs=1e-6)
+
+    def test_empty_cell_null_or(self, spark):
+        from polars_net_spark.operators.regression import odds_ratio
+        df = spark.createDataFrame([(1, 1), (0, 0)], "e int, o int")
+        out = rows(odds_ratio(df, "e", "o"))[0]
+        assert out[4] is None and out[7] is None

@@ -544,6 +544,13 @@ CHECKS = {
     "q274_kendall_tau": [
         ("partial_count", "the joint contingency collapse combines map-side"),
     ],
+    "q275_cramers_v": [
+        ("partial_count", "contingency cells combine map-side"),
+    ],
+    "q276_odds_ratio": [
+        ("partial_sum", "the 2x2 table is ONE fused all-reduce"),
+        ("!", "SortMergeJoin", "no pivot/join — conditional counts only"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
@@ -619,6 +626,7 @@ def main() -> None:
         "q266_concentration",       # 1-row grand-total + 1-row head-share attach
         "q269_fk_integrity",        # four 1-row audit scalars meet in bounded broadcasts
         "q274_kendall_tau",         # |cells|^2 x-order self-join, bounded by joint cardinality (chi2-margins contract)
+        "q275_cramers_v",           # chi2 margins grid + 1-row cardinality attach (q191 class)
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
