@@ -9308,6 +9308,80 @@ FROM w
 """
 
 
+def _q277(spark, sf_dir):
+    """McNemar paired-binary test (operators/regression.py mcnemar_test):
+    per user, 'active early' vs 'active late' in the observation window —
+    only discordant users carry signal; ONE fused all-reduce."""
+    from polars_net_spark.operators.regression import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events").spark
+    u = ev.groupBy("user_id").agg(
+        F.max((F.dayofmonth("ts") <= 10).cast("int")).alias("early"),
+        F.max((F.dayofmonth("ts") >= 20).cast("int")).alias("late"),
+    )
+    return mcnemar_test(u, "early", "late").spark
+
+
+_q277_sql = """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN extract(day FROM ts) <= 10 THEN 1 ELSE 0 END)
+                    AS early,
+                  max(CASE WHEN extract(day FROM ts) >= 20 THEN 1 ELSE 0 END)
+                    AS late
+           FROM events GROUP BY 1),
+w AS (SELECT count(*) AS n,
+             sum((1 - early) * late) AS n01,
+             sum(early * (1 - late)) AS n10
+      FROM u)
+SELECT CAST(n AS BIGINT) AS n, CAST(n01 AS BIGINT) AS n01,
+       CAST(n10 AS BIGINT) AS n10,
+       round(CASE WHEN n01 + n10 > 0 THEN
+         greatest(abs(n10 - n01) - 1.0, 0.0)
+         * greatest(abs(n10 - n01) - 1.0, 0.0) / (n01 + n10) END, 6) AS chi2
+FROM w
+"""
+
+
+def _q278(spark, sf_dir):
+    """Cohen's d / Hedges' g (operators/regression.py cohens_d): the
+    standardized open-vs-finished price effect — ONE fused conditional
+    all-reduce; metric scaled 1e-5 for 6-decimal hash stability."""
+    from polars_net_spark.operators.regression import cohens_d
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    staged = li.select(
+        F.col("l_linestatus").alias("g"),
+        (F.col("l_extendedprice") * 1e-5).alias("y"),
+    )
+    return cohens_d(staged, "y", "g", "O").spark
+
+
+_q278_sql = """
+WITH b AS (SELECT CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS g,
+                  l_extendedprice * 1e-5 AS y
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_linestatus IS NOT NULL),
+w AS (SELECT count(CASE WHEN g = 0 THEN 1 END) AS n_c,
+             count(CASE WHEN g = 1 THEN 1 END) AS n_t,
+             avg(CASE WHEN g = 0 THEN y END) AS m_c,
+             avg(CASE WHEN g = 1 THEN y END) AS m_t,
+             var_samp(CASE WHEN g = 0 THEN y END) AS v_c,
+             var_samp(CASE WHEN g = 1 THEN y END) AS v_t
+      FROM b),
+d AS (SELECT n_c, n_t, m_c, m_t,
+             sqrt(((n_c - 1) * v_c + (n_t - 1) * v_t) / (n_c + n_t - 2))
+               AS pooled
+      FROM w)
+SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+       round(m_c, 6) AS mean_c, round(m_t, 6) AS mean_t,
+       round(pooled, 6) AS pooled_sd,
+       round(CASE WHEN pooled > 0 THEN (m_t - m_c) / pooled END, 6) AS d,
+       round(CASE WHEN pooled > 0 THEN (m_t - m_c) / pooled
+                  * (1.0 - 3.0 / (4.0 * (n_c + n_t) - 9.0)) END, 6) AS g
+FROM d
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9608,6 +9682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_kendall_tau": _q274,
         "q275_cramers_v": _q275,
         "q276_odds_ratio": _q276,
+        "q277_mcnemar": _q277,
+        "q278_cohens_d": _q278,
     }
 
 
@@ -9889,4 +9965,6 @@ def oracle_sql() -> dict[str, str]:
         "q274_kendall_tau": _q274_sql,
         "q275_cramers_v": _q275_sql,
         "q276_odds_ratio": _q276_sql,
+        "q277_mcnemar": _q277_sql,
+        "q278_cohens_d": _q278_sql,
     }

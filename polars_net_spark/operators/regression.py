@@ -1508,3 +1508,92 @@ def odds_ratio(
 
 
 __all__.extend(["cramers_v", "odds_ratio"])
+
+
+def mcnemar_test(
+    frame: "LazyFrame | SparkDF",
+    before_col: str,
+    after_col: str,
+    correction: bool = True,
+    round_to: int = 6,
+) -> LazyFrame:
+    """McNemar's test for PAIRED binary outcomes (same units measured
+    twice — model A vs model B on the same examples, before/after a
+    change): only the discordant cells carry signal, χ² =
+    (|b−c| − 1)²/(b+c) with the Edwards continuity correction (drop via
+    ``correction=False``), df = 1.  Null b+c = 0 → null χ².  ONE fused
+    conditional-count all-reduce; truthy casts, null pairs drop.
+    Output (1 row): n, n01, n10, chi2."""
+    sdf = _sdf(frame)
+    x = (F.col(before_col).cast("double") > 0).cast("int")
+    yv = (F.col(after_col).cast("double") > 0).cast("int")
+    base = sdf.filter(
+        F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+    ).select(x.alias("__b__"), yv.alias("__a__"))
+    cnt = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((1 - F.col("__b__")) * F.col("__a__")).alias("n01"),
+        F.sum(F.col("__b__") * (1 - F.col("__a__"))).alias("n10"),
+    )
+    b, c = F.col("n10"), F.col("n01")
+    diff = F.abs(b - c) - (F.lit(1.0) if correction else F.lit(0.0))
+    diff = F.greatest(diff, F.lit(0.0))
+    chi2 = F.when(b + c > 0, diff * diff / (b + c))
+    out = cnt.select(
+        F.col("n").cast("long").alias("n"),
+        c.cast("long").alias("n01"),
+        b.cast("long").alias("n10"),
+        F.round(chi2, round_to).alias("chi2"),
+    )
+    return LazyFrame(out)
+
+
+def cohens_d(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    group_col: str,
+    treat_value,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cohen's d / Hedges' g standardized effect size — the "how big,
+    units-free" companion to welch_ttest (which only answers "how
+    unlikely"): d = (x̄₁ − x̄₀) / s_pooled with the pooled SD, g = d ·
+    (1 − 3/(4(n₀+n₁)−9)) small-sample correction.  ONE fused
+    conditional-aggregate all-reduce.  Output (1 row): n_c, n_t, mean_c,
+    mean_t, pooled_sd, d, g (null when either group has < 2 points or
+    zero pooled variance)."""
+    sdf = _sdf(frame)
+    yv = F.col(value_col).cast("double")
+    g = (F.col(group_col) == F.lit(treat_value)).cast("int")
+    base = sdf.filter(yv.isNotNull() & F.col(group_col).isNotNull()).select(
+        g.alias("__g__"), yv.alias("__y__")
+    )
+    c = F.when(F.col("__g__") == 0, F.col("__y__"))
+    t = F.when(F.col("__g__") == 1, F.col("__y__"))
+    wide = base.agg(
+        F.count(c).alias("n_c"),
+        F.count(t).alias("n_t"),
+        F.avg(c).alias("m_c"),
+        F.avg(t).alias("m_t"),
+        F.var_samp(c).alias("v_c"),
+        F.var_samp(t).alias("v_t"),
+    )
+    nc, nt = F.col("n_c"), F.col("n_t")
+    pooled = F.sqrt(
+        ((nc - 1) * F.col("v_c") + (nt - 1) * F.col("v_t")) / (nc + nt - 2)
+    )
+    d = F.when(pooled > 0, (F.col("m_t") - F.col("m_c")) / pooled)
+    corr = 1.0 - 3.0 / (4.0 * (nc + nt) - 9.0)
+    out = wide.select(
+        nc.cast("long").alias("n_c"),
+        nt.cast("long").alias("n_t"),
+        F.round("m_c", round_to).alias("mean_c"),
+        F.round("m_t", round_to).alias("mean_t"),
+        F.round(pooled, round_to).alias("pooled_sd"),
+        F.round(d, round_to).alias("d"),
+        F.round(d * corr, round_to).alias("g"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["mcnemar_test", "cohens_d"])

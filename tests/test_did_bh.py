@@ -194,3 +194,40 @@ class TestCramersOdds:
         df = spark.createDataFrame([(1, 1), (0, 0)], "e int, o int")
         out = rows(odds_ratio(df, "e", "o"))[0]
         assert out[4] is None and out[7] is None
+
+
+class TestMcnemarCohens:
+    def test_mcnemar_classic(self, spark):
+        from polars_net_spark.operators.regression import mcnemar_test
+        rows_ = [(0, 1)] * 15 + [(1, 0)] * 5 + [(1, 1)] * 30 + [(0, 0)] * 50
+        df = spark.createDataFrame(rows_, "b int, a int")
+        n, n01, n10, chi2 = rows(mcnemar_test(df, "b", "a"))[0]
+        assert (n, n01, n10) == (100, 15, 5)
+        assert chi2 == pytest.approx((10 - 1) ** 2 / 20, abs=1e-6)
+
+    def test_mcnemar_no_discordance_null(self, spark):
+        from polars_net_spark.operators.regression import mcnemar_test
+        df = spark.createDataFrame([(1, 1), (0, 0)], "b int, a int")
+        assert rows(mcnemar_test(df, "b", "a"))[0][3] is None
+
+    def test_mcnemar_no_correction(self, spark):
+        from polars_net_spark.operators.regression import mcnemar_test
+        df = spark.createDataFrame([(0, 1)] * 4 + [(1, 0)] * 2, "b int, a int")
+        chi2 = rows(mcnemar_test(df, "b", "a", correction=False))[0][3]
+        assert chi2 == pytest.approx(4 / 6, abs=1e-6)
+
+    def test_cohens_d_known(self, spark):
+        from polars_net_spark.operators.regression import cohens_d
+        data = ([("c", float(v)) for v in [1, 2, 3, 4, 5]]
+                + [("t", float(v)) for v in [3, 4, 5, 6, 7]])
+        df = spark.createDataFrame(data, "g string, y double")
+        out = rows(cohens_d(df, "y", "g", "t"))[0]
+        assert out[5] == pytest.approx(2 / 2.5 ** 0.5, abs=1e-5)
+        assert out[6] == pytest.approx(out[5] * (1 - 3 / 31), abs=1e-5)
+
+    def test_cohens_d_zero_variance_null(self, spark):
+        from polars_net_spark.operators.regression import cohens_d
+        df = spark.createDataFrame(
+            [("c", 1.0), ("c", 1.0), ("t", 2.0), ("t", 2.0)], "g string, y double"
+        )
+        assert rows(cohens_d(df, "y", "g", "t"))[0][5] is None

@@ -551,6 +551,13 @@ CHECKS = {
         ("partial_sum", "the 2x2 table is ONE fused all-reduce"),
         ("!", "SortMergeJoin", "no pivot/join — conditional counts only"),
     ],
+    "q277_mcnemar": [
+        ("partial_max", "per-user early/late flags combine map-side"),
+    ],
+    "q278_cohens_d": [
+        ("partial_count", "group moments are ONE fused all-reduce"),
+        ("!", "SortMergeJoin", "no pivot/join — conditional aggregates only"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
