@@ -9382,6 +9382,63 @@ FROM d
 """
 
 
+def _q279(spark, sf_dir):
+    """Murphy decomposition of the Brier score (llm/evaluation.py
+    brier_decomposition): BS = reliability − resolution + uncertainty
+    over 10 score bins — ONE binned aggregate, the overall rate recovered
+    algebraically (variance decomposition), no self-join."""
+    from polars_net_spark.llm.evaluation import brier_decomposition
+
+    return brier_decomposition(_eval_scored(spark, sf_dir), "score", "label").spark
+
+
+_q279_sql = f"""
+WITH s AS ({_EVAL_SQL}),
+bins AS (SELECT CAST(least(9, greatest(0, floor(score * 10))) AS INT) AS b,
+                count(*) AS n, avg(score) AS sb, avg(label) AS ob
+         FROM s GROUP BY 1),
+w AS (SELECT sum(n) AS N, sum(n * ob) AS so, sum(n * ob * ob) AS soo,
+             sum(n * (sb - ob) * (sb - ob)) AS sd2
+      FROM bins)
+SELECT CAST(N AS BIGINT) AS n,
+       round(sd2 / N - (soo / N - (so / N) * (so / N))
+             + (so / N) * (1.0 - so / N), 6) AS brier,
+       round(sd2 / N, 6) AS reliability,
+       round(soo / N - (so / N) * (so / N), 6) AS resolution,
+       round((so / N) * (1.0 - so / N), 6) AS uncertainty
+FROM w
+"""
+
+
+def _q280(spark, sf_dir):
+    """Lorenz curve points (operators/analytics.py lorenz_curve) for part
+    revenue inequality — distinct-value collapse + distsort prefix sums,
+    each decile point one bounded argmax (the curve behind
+    gini_coefficient)."""
+    from polars_net_spark.operators.analytics import lorenz_curve
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return lorenz_curve(li, "l_extendedprice", n_points=10).spark
+
+
+_q280_sql = """
+WITH b AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+d AS (SELECT v, count(*) AS c, sum(v) AS s FROM b GROUP BY 1),
+cum AS (SELECT v,
+               sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+               sum(s) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cv
+        FROM d),
+t AS (SELECT sum(c) AS nt, sum(s) AS st FROM d),
+pts AS (SELECT k / 10.0 AS p FROM unnest(generate_series(1, 10)) AS u(k))
+SELECT round(p, 6) AS p,
+       round(max(cv) / t.st, 6) AS cum_value_share
+FROM cum, t, pts
+WHERE cr <= p * t.nt + 1e-9
+GROUP BY p, t.st
+"""
+
+
 _q238_sql = """
 WITH cal AS (SELECT value AS s FROM events
              WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -9684,6 +9741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_odds_ratio": _q276,
         "q277_mcnemar": _q277,
         "q278_cohens_d": _q278,
+        "q279_brier_decomposition": _q279,
+        "q280_lorenz": _q280,
     }
 
 
@@ -9967,4 +10026,6 @@ def oracle_sql() -> dict[str, str]:
         "q276_odds_ratio": _q276_sql,
         "q277_mcnemar": _q277_sql,
         "q278_cohens_d": _q278_sql,
+        "q279_brier_decomposition": _q279_sql,
+        "q280_lorenz": _q280_sql,
     }

@@ -866,3 +866,67 @@ def multilabel_report(
 
 
 __all__.append("multilabel_report")
+
+
+def brier_decomposition(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973): over score
+    bins, BS = reliability − resolution + uncertainty, where reliability
+    = Σ nₖ(s̄ₖ − ōₖ)²/n (calibration error — want 0), resolution =
+    Σ nₖ(ōₖ − ō)²/n (how much the bins separate outcomes — want big),
+    uncertainty = ō(1 − ō) (the data's own entropy — model-independent).
+    The decomposed complement of classification_loss's raw Brier and
+    calibration_report's per-bin table; the identity is exact for BINNED
+    scores (bs here uses the bin-mean forecast, the standard convention).
+
+    One binned map-side-combining aggregate + a 1-row overall-rate
+    broadcast.  Scores clamp into [0, 1] edge bins like
+    calibration_report.  Output (1 row): n, brier, reliability,
+    resolution, uncertainty."""
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(s * n_bins).cast("int"))
+    )
+    bins = (
+        sdf.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("__b__"))
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.avg(s).alias("__s__"),
+            F.avg(y).alias("__o__"),
+        )
+    )
+    # ONE pass, no self-join: resolution = Σn·ō_k²/N − ō² (the variance
+    # decomposition), so the overall rate never needs a second aggregate.
+    wide = bins.agg(
+        F.sum("__n__").alias("N"),
+        F.sum(F.col("__n__") * F.col("__o__")).alias("so"),
+        F.sum(F.col("__n__") * F.col("__o__") * F.col("__o__")).alias("soo"),
+        F.sum(
+            F.col("__n__")
+            * (F.col("__s__") - F.col("__o__"))
+            * (F.col("__s__") - F.col("__o__"))
+        ).alias("sd2"),
+    )
+    obar = F.col("so") / F.col("N")
+    rel = F.col("sd2") / F.col("N")
+    res = F.col("soo") / F.col("N") - obar * obar
+    unc = obar * (1.0 - obar)
+    out = wide.select(
+        F.col("N").cast("long").alias("n"),
+        F.round(rel - res + unc, round_to).alias("brier"),
+        F.round(rel, round_to).alias("reliability"),
+        F.round(res, round_to).alias("resolution"),
+        F.round(unc, round_to).alias("uncertainty"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("brier_decomposition")

@@ -1794,3 +1794,62 @@ def frequent_sequences(
 
 
 __all__.extend(["period_over_period", "frequent_sequences"])
+
+
+def lorenz_curve(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    n_points: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Lorenz curve points — the curve behind gini_coefficient: for each
+    population share p = k/n_points (rows ranked by value ascending), the
+    share of total value held by that bottom fraction (step-function
+    evaluation at the largest rank ≤ p·N — exact and deterministic, no
+    interpolation).  Perfect equality tracks the diagonal; the bow is the
+    inequality (area gap × 2 = Gini).
+
+    Scale shape: values collapse to DISTINCT levels with (count, sum)
+    map-side, global cumulative rows/value ride the distsort range-bucket
+    + driver-prefix machinery, and each curve point is one bounded
+    argmax — no single-partition window however many rows.  Negative
+    values are rejected (Lorenz shares need non-negative mass).
+    Output: (p, cum_value_share), n_points rows."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    if n_points < 1:
+        raise ValueError("n_points must be >= 1")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull()).select(v.alias("__v__"))
+    neg = base.filter(F.col("__v__") < 0).limit(1).count()
+    if neg:
+        raise ValueError("lorenz_curve requires non-negative values")
+    dv = base.groupBy("__v__").agg(
+        F.count(F.lit(1)).alias("__c__"), F.sum("__v__").alias("__s__")
+    )
+    bucketed, bcol = with_range_buckets(dv, "__v__")
+    offs, totals = with_prefix_offsets(
+        bucketed, bcol, {"c": F.col("__c__"), "s": F.col("__s__")}
+    )
+    ntot, stot = float(totals["c"]), float(totals["s"])
+    wb = Window.partitionBy(bcol).orderBy("__v__")
+    run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_rows = F.col("__off_c__") + F.sum("__c__").over(run)
+    cum_val = F.col("__off_s__") + F.sum("__s__").over(run)
+    staged = offs.select(cum_rows.alias("__cr__"), cum_val.alias("__cv__"))
+    pts = F.array(*[F.lit(k / n_points) for k in range(1, n_points + 1)])
+    picked = (
+        staged.select("__cr__", "__cv__", F.explode(pts).alias("p"))
+        .filter(F.col("__cr__") <= F.col("p") * F.lit(ntot) + F.lit(1e-9))
+        .groupBy("p")
+        .agg(F.max("__cv__").alias("__best__"))
+        .select(
+            F.round("p", 6).alias("p"),
+            F.round(F.col("__best__") / F.lit(stot), round_to).alias("cum_value_share"),
+        )
+    )
+    return LazyFrame(picked)
+
+
+__all__.append("lorenz_curve")

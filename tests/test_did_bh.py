@@ -231,3 +231,43 @@ class TestMcnemarCohens:
             [("c", 1.0), ("c", 1.0), ("t", 2.0), ("t", 2.0)], "g string, y double"
         )
         assert rows(cohens_d(df, "y", "g", "t"))[0][5] is None
+
+
+class TestBrierLorenz:
+    def test_perfectly_calibrated_decomposition(self, spark):
+        from polars_net_spark.llm.evaluation import brier_decomposition
+        rows_ = ([(0.25, 1)] * 25 + [(0.25, 0)] * 75
+                 + [(0.75, 1)] * 75 + [(0.75, 0)] * 25)
+        df = spark.createDataFrame(rows_, "s double, y int")
+        n, bs, rel, res, unc = rows(brier_decomposition(df, "s", "y"))[0]
+        assert n == 200 and rel == 0.0
+        assert res == pytest.approx(0.0625) and unc == pytest.approx(0.25)
+        assert bs == pytest.approx(0.1875)
+
+    def test_uninformative_forecast(self, spark):
+        from polars_net_spark.llm.evaluation import brier_decomposition
+        df = spark.createDataFrame(
+            [(0.5, 1)] * 5 + [(0.5, 0)] * 5, "s double, y int"
+        )
+        n, bs, rel, res, unc = rows(brier_decomposition(df, "s", "y"))[0]
+        assert rel == 0.0 and res == 0.0 and bs == unc == 0.25
+
+    def test_lorenz_step_points(self, spark):
+        from polars_net_spark.operators.analytics import lorenz_curve
+        df = spark.createDataFrame([(float(v),) for v in [1, 1, 1, 1, 6]], "v double")
+        out = dict(rows(lorenz_curve(df, "v", n_points=5)))
+        # only complete distinct levels count: bottom 4/5 rows hold 4/10
+        assert out == {0.8: 0.4, 1.0: 1.0}
+
+    def test_lorenz_equality_diagonal(self, spark):
+        from polars_net_spark.operators.analytics import lorenz_curve
+        df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+        out = dict(rows(lorenz_curve(df, "v", n_points=4)))
+        assert out[1.0] == 1.0
+        assert out[0.5] == pytest.approx(sum(range(1, 51)) / sum(range(1, 101)), abs=1e-6)
+
+    def test_lorenz_negative_raises(self, spark):
+        from polars_net_spark.operators.analytics import lorenz_curve
+        df = spark.createDataFrame([(-1.0,), (2.0,)], "v double")
+        with pytest.raises(ValueError, match="non-negative"):
+            lorenz_curve(df, "v")

@@ -558,6 +558,14 @@ CHECKS = {
         ("partial_count", "group moments are ONE fused all-reduce"),
         ("!", "SortMergeJoin", "no pivot/join — conditional aggregates only"),
     ],
+    "q279_brier_decomposition": [
+        ("partial_count", "binned statistics combine map-side; no self-join"),
+        ("!", "SortMergeJoin", "overall rate recovered algebraically, not joined"),
+    ],
+    "q280_lorenz": [
+        ("partial_sum", "distinct-level (count, sum) collapse combines map-side"),
+        ("!", "Exchange SinglePartition, ENSURE", "cumulatives ride distsort buckets"),
+    ],
     "q246_mahalanobis": [
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
