@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .._cache import register_cache
 from ..frame import LazyFrame
+from ..session import scoped_checkpoint_dir
 
 __all__ = [
     "dedup_exact",
@@ -833,9 +834,10 @@ def dedup_clusters(
     # and the edge staging is already persisted via the cache registry
     labels = active.select("id", F.col("id").alias("lbl"))
 
+    _scope = scoped_checkpoint_dir(
+        _sdf(pairs).sparkSession.sparkContext, checkpoint_dir
+    ).__enter__()
     if checkpoint_dir is not None:
-        spark = _sdf(pairs).sparkSession
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df):
             return df.checkpoint()  # reliable: blocks survive executor loss
@@ -862,10 +864,12 @@ def dedup_clusters(
         if changed == 0:
             break
     else:
+        _scope.__exit__()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds; "
             "raise max_iter (graph has a very long path)"
         )
+    _scope.__exit__()
     clustered = labels.select("id", F.col("lbl").alias("cluster_id"))
     if verts is not None:
         clustered = verts.join(clustered, "id", "left").select(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
+from ..session import scoped_checkpoint_dir
 
 __all__ = ["build_vocab", "encode_tokens_frame"]
 
@@ -135,8 +136,7 @@ def train_bpe(
     """
     sdf = frame if isinstance(frame, SparkDF) else frame.spark
     spark = sdf.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    _scope = scoped_checkpoint_dir(spark.sparkContext, checkpoint_dir).__enter__()
 
     wc = (
         sdf.select(F.explode(_words(text_col)).alias("word"))
@@ -210,6 +210,7 @@ def train_bpe(
 
     schema = "rank INT, left STRING, right STRING, pair_count BIGINT"
     out = spark.createDataFrame(merges, schema=schema)
+    _scope.__exit__()
     return LazyFrame(out)
 
 
@@ -219,6 +220,7 @@ def bpe_encode_frame(
     text_col: str = "text",
     id_col: str = "doc_id",
     end_of_word: str = "</w>",
+    broadcast_vocab: bool = False,
 ) -> LazyFrame:
     """(id, tokens, n_tokens): documents tokenized under a
     :func:`train_bpe` merge table — merges apply in rank order, exactly as
@@ -227,10 +229,20 @@ def bpe_encode_frame(
     Scale design: the Python stage touches DISTINCT WORDS ONLY.  Words
     posexplode map-side, dedupe to the vocabulary, an Arrow-batched
     pandas_udf (never per-row Python) encodes each distinct word once with
-    the broadcast merge ranks, and the corpus reassembles through one
-    broadcast join + one id-keyed shuffle (same shape as
+    the broadcast merge ranks, and the corpus reassembles through a plain
+    word-keyed equi-join + one id-keyed shuffle (same shape as
     encode_tokens_frame).  Encoding work is O(vocab · merge depth), not
-    O(corpus)."""
+    O(corpus).
+
+    Size contract: the distinct-word frame is CORPUS-DERIVED and unbounded —
+    on web-scale text the raw vocabulary (typos, URLs, numerals) reaches
+    10^8–10^9 rows, far past any broadcast budget.  The reassembly join is
+    therefore NOT hinted: AQE broadcasts it automatically when the measured
+    size fits ``spark.sql.autoBroadcastJoinThreshold``, and falls back to a
+    word-keyed shuffle join otherwise (perfectly fine — both sides hash on
+    ``word``).  Pass ``broadcast_vocab=True`` only when the CALLER knows the
+    vocabulary is bounded (e.g. pre-normalized token streams); the collected
+    merge table itself stays bounded by ``num_merges`` regardless."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -284,7 +296,9 @@ def bpe_encode_frame(
         F.col(id_col), F.posexplode(_words(text_col)).alias("pos", "word")
     )
     distinct_words = posed.select("word").distinct().withColumn("toks", _encode("word"))
-    joined = posed.join(F.broadcast(distinct_words), "word")
+    if broadcast_vocab:
+        distinct_words = F.broadcast(distinct_words)
+    joined = posed.join(distinct_words, "word")
     packed = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("toks"))))
     out = (
         joined.groupBy(id_col)

@@ -1814,7 +1814,10 @@ def lorenz_curve(
     + driver-prefix machinery, and each curve point is one bounded
     argmax — no single-partition window however many rows.  Negative
     values are rejected (Lorenz shares need non-negative mass).
-    Output: (p, cum_value_share), n_points rows."""
+    Output: (p, cum_value_share), ALWAYS exactly n_points rows: a p whose
+    p·N falls before the first distinct-value group's cumulative count (tiny
+    frames, or one dominant lowest value) joins back onto the literal p grid
+    with share 0.0 instead of silently dropping."""
     from .distsort import with_prefix_offsets, with_range_buckets
 
     if n_points < 1:
@@ -1844,12 +1847,23 @@ def lorenz_curve(
         .filter(F.col("__cr__") <= F.col("p") * F.lit(ntot) + F.lit(1e-9))
         .groupBy("p")
         .agg(F.max("__cv__").alias("__best__"))
+    )
+    # re-anchor on the literal grid so a p with no rank <= p*N (tiny frames,
+    # dominant lowest value) still emits a row with share 0.0 — the grid is
+    # n_points rows, so this join is a broadcast no-op at any data scale
+    grid = sdf.sparkSession.range(1, n_points + 1).select(
+        (F.col("id").cast("double") / F.lit(float(n_points))).alias("p")
+    )
+    out = (
+        grid.join(picked, "p", "left")
         .select(
             F.round("p", 6).alias("p"),
-            F.round(F.col("__best__") / F.lit(stot), round_to).alias("cum_value_share"),
+            F.round(
+                F.coalesce(F.col("__best__") / F.lit(stot), F.lit(0.0)), round_to
+            ).alias("cum_value_share"),
         )
     )
-    return LazyFrame(picked)
+    return LazyFrame(out)
 
 
 __all__.append("lorenz_curve")

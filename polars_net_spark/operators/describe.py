@@ -92,6 +92,11 @@ def histogram_frame(
     clean = sdf.filter(x.isNotNull() & ~F.isnan(x))
     if lo is None or hi is None:
         row = clean.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"histogram_frame: column {col!r} has no non-null, non-NaN "
+                "values to infer lo/hi from — pass lo= and hi= explicitly"
+            )
         lo = float(row["lo"]) if lo is None else float(lo)
         hi = float(row["hi"]) if hi is None else float(hi)
     if not hi > lo:

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
+from ..session import scoped_checkpoint_dir
 
 __all__ = ["pagerank"]
 
@@ -52,8 +53,10 @@ def pagerank(
     as dedup_clusters.
     """
     esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    _scope = scoped_checkpoint_dir(
+        esdf.sparkSession.sparkContext, checkpoint_dir
+    ).__enter__()
     if checkpoint_dir is not None:
-        esdf.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df, eager=True):
             return df.checkpoint(eager=eager)
@@ -90,6 +93,7 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = _ckpt(ranks)
     out = ranks.select(F.col("v").alias(vertex_id), F.round("r", round_to).alias("rank"))
+    _scope.__exit__()
     return LazyFrame(out)
 
 
@@ -201,8 +205,10 @@ def label_propagation(
     checkpoint-truncated like pagerank (same ``checkpoint_dir`` semantics).
     Output: (id, label)."""
     esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    _scope = scoped_checkpoint_dir(
+        esdf.sparkSession.sparkContext, checkpoint_dir
+    ).__enter__()
     if checkpoint_dir is not None:
-        esdf.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df):
             return df.checkpoint(eager=True)
@@ -236,6 +242,7 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = _ckpt(labels)
     out = labels.select(F.col("v").alias("id"), F.col("lab").alias("label"))
+    _scope.__exit__()
     return LazyFrame(out)
 
 

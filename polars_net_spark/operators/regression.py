@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
+from ..session import scoped_checkpoint_dir
 
 __all__ = ["fit_linear_by_key", "key_skew_report", "corr_matrix", "bootstrap_ci", "welch_ttest", "chi2_independence", "mann_whitney_u", "spearman_corr", "cohens_kappa", "fleiss_kappa", "ks_test", "prop_ztest"]
 
@@ -787,12 +788,16 @@ def srm_check(
     sdf = _sdf(frame)
     spark = sdf.sparkSession
     grid = spark.createDataFrame(
-        [(k, float(v) / tot_w) for k, v in sorted(expected.items())],
+        sorted((str(k), float(v) / tot_w) for k, v in expected.items()),
         "__g__ string, __share__ double",
     )
+    # cast BEFORE the isin filter: with a non-string group column (int
+    # arms) and string dict keys, an uncast isin silently excludes every
+    # row — the health check would report n=0/null chi2 instead of failing
+    gs = F.col(group_col).cast("string")
     obs = (
-        sdf.filter(F.col(group_col).isin(list(expected.keys())))
-        .groupBy(F.col(group_col).cast("string").alias("__g__"))
+        sdf.filter(gs.isin([str(k) for k in expected]))
+        .groupBy(gs.alias("__g__"))
         .agg(F.count(F.lit(1)).alias("__o__"))
     )
     joined = (
@@ -1304,8 +1309,10 @@ def ipf_weights(
         .join(F.broadcast(rt), "__r__")
         .join(F.broadcast(ct), "__c__")
     )
+    _scope = scoped_checkpoint_dir(
+        sdf.sparkSession.sparkContext, checkpoint_dir
+    ).__enter__()
     if checkpoint_dir is not None:
-        sdf.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df):
             return df.checkpoint(eager=True)
@@ -1336,6 +1343,7 @@ def ipf_weights(
         F.round(F.col("__m__") / (F.col("n") / F.col("__N__")), round_to).alias("weight"),
         F.round(F.col("__m__"), round_to).alias("mass"),
     )
+    _scope.__exit__()
     return LazyFrame(out)
 
 

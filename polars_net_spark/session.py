@@ -67,3 +67,35 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+class scoped_checkpoint_dir:
+    """Set ``sc.setCheckpointDir(path)`` for the duration of a with-block,
+    restoring the PREVIOUS directory on exit so an iterative operator's
+    ``checkpoint_dir=`` argument never silently redirects other code's
+    reliable checkpoints in the same session.
+
+    If no directory was set before, there is no public API to unset one,
+    so the new directory remains after exit (documented residual).  A
+    checkpoint deferred with ``eager=False`` that materializes after exit
+    writes to the restored/global directory — functionally equivalent, the
+    directory is just block storage."""
+
+    def __init__(self, sc, path: "str | None"):
+        self._sc = sc
+        self._path = path
+        self._prev = None
+
+    def __enter__(self):
+        if self._path is not None:
+            self._prev = self._sc.getCheckpointDir()
+            self._sc.setCheckpointDir(self._path)
+        return self
+
+    def __exit__(self, *exc):
+        if self._path is not None and self._prev is not None:
+            self._sc.setCheckpointDir(self._prev)
+        return False
+
+
+__all__.append("scoped_checkpoint_dir")

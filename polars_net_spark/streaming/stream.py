@@ -265,6 +265,25 @@ class StreamingGroupBy:
         return StreamingFrame(self._sdf.groupBy(*self._keys).agg(*agg_cols))
 
 
+def _snapshot_versions(spark: SparkSession, target_dir: str) -> "list[int]":
+    """Versioned-snapshot ids under ``target_dir`` (dirs named ``v<int>``),
+    discovered through the Hadoop FileSystem API so hdfs:// / s3a:// /
+    file:/ targets all work — never the driver-local os.listdir."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
 def streaming_upsert_sink(
     stream: "StreamingFrame | SparkDF",
     target_dir: str,
@@ -273,6 +292,7 @@ def streaming_upsert_sink(
     tie_cols: "Sequence[str] | None" = None,
     checkpoint: "str | None" = None,
     trigger=None,
+    retain_versions: int = 2,
 ):
     """CDC-style streaming UPSERT materialization (SCD1): a foreachBatch
     sink that keeps, per key, the row with the greatest (``order_by``,
@@ -294,9 +314,16 @@ def streaming_upsert_sink(
     swap the snapshot rewrite for a storage layer with real MERGE
     (Delta/Iceberg); the foreachBatch shape and winner logic are identical.
 
-    Returns the started StreamingQuery."""
-    import os
+    Snapshot discovery goes through the Hadoop FileSystem API, so
+    ``target_dir`` may live on ANY Hadoop-supported store (hdfs://, s3a://,
+    file:/...), not just the driver's local POSIX filesystem — an os.listdir
+    here would silently see nothing on a remote store and drop all prior
+    upsert state.  After each successful snapshot write, versions older than
+    the newest ``retain_versions`` are pruned (keep >= 2 so a concurrent
+    reader of the previous snapshot never loses its files mid-scan; raise it
+    for longer reader windows or time travel).
 
+    Returns the started StreamingQuery."""
     sdf = stream._sdf if isinstance(stream, StreamingFrame) else stream
     key_list = [keys] if isinstance(keys, str) else list(keys)
     order = [order_by] + list(tie_cols or [])
@@ -310,26 +337,33 @@ def streaming_upsert_sink(
             *key_list, *[F.col(f"__w__.{c}").alias(c) for c in payload]
         )
 
-    def _latest_version(below: int) -> "int | None":
-        if not os.path.isdir(target_dir):
-            return None
-        vs = [
-            int(d[1:])
-            for d in os.listdir(target_dir)
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < below
-        ]
-        return max(vs) if vs else None
+    keep = max(2, int(retain_versions))
 
     def _apply(batch_df, batch_id: int):
         spark = batch_df.sparkSession
         w = _winner(batch_df)
-        prev = _latest_version(int(batch_id))
-        if prev is not None:
-            cur = spark.read.parquet(os.path.join(target_dir, f"v{prev}"))
+        versions = _snapshot_versions(spark, target_dir)
+        prior = [v for v in versions if v < int(batch_id)]
+        if prior:
+            cur = spark.read.parquet(f"{target_dir.rstrip('/')}/v{max(prior)}")
             w = _winner(cur.select(*key_list, *payload).unionByName(w))
         w.write.mode("overwrite").parquet(
-            os.path.join(target_dir, f"v{int(batch_id)}")
+            f"{target_dir.rstrip('/')}/v{int(batch_id)}"
         )
+        # prune superseded snapshots (all but the newest `keep`, which now
+        # includes the one just written) — a retried batch never needs a
+        # parent older than its immediate predecessor
+        survivors = sorted(set(prior + [int(batch_id)]))[:-keep]
+        if survivors:
+            jvm = spark._jvm
+            fs = jvm.org.apache.hadoop.fs.Path(target_dir).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            for v in survivors:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{target_dir.rstrip('/')}/v{v}"),
+                    True,
+                )
 
     writer = sdf.writeStream.foreachBatch(_apply)
     if checkpoint:
@@ -339,14 +373,9 @@ def streaming_upsert_sink(
 
 def read_upsert_target(spark: SparkSession, target_dir: str) -> LazyFrame:
     """The converged table from :func:`streaming_upsert_sink` — the highest
-    versioned snapshot."""
-    import os
-
-    vs = [
-        int(d[1:])
-        for d in os.listdir(target_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
+    versioned snapshot (discovered via the Hadoop FileSystem API, so remote
+    stores work)."""
+    vs = _snapshot_versions(spark, target_dir)
     if not vs:
         raise ValueError(f"no snapshots under {target_dir}")
-    return LazyFrame(spark.read.parquet(os.path.join(target_dir, f"v{max(vs)}")))
+    return LazyFrame(spark.read.parquet(f"{target_dir.rstrip('/')}/v{max(vs)}"))

@@ -256,8 +256,10 @@ class TestBrierLorenz:
         from polars_net_spark.operators.analytics import lorenz_curve
         df = spark.createDataFrame([(float(v),) for v in [1, 1, 1, 1, 6]], "v double")
         out = dict(rows(lorenz_curve(df, "v", n_points=5)))
-        # only complete distinct levels count: bottom 4/5 rows hold 4/10
-        assert out == {0.8: 0.4, 1.0: 1.0}
+        # only complete distinct levels count: bottom 4/5 rows hold 4/10;
+        # grid points before the first complete level emit share 0.0, so
+        # the output is ALWAYS n_points rows
+        assert out == {0.2: 0.0, 0.4: 0.0, 0.6: 0.0, 0.8: 0.4, 1.0: 1.0}
 
     def test_lorenz_equality_diagonal(self, spark):
         from polars_net_spark.operators.analytics import lorenz_curve

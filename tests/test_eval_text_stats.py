@@ -113,6 +113,16 @@ class TestSrm:
         with pytest.raises(ValueError):
             srm_check(df, "g", {})
 
+    def test_integer_arms_with_string_keys(self, spark):
+        # regression: an uncast isin with int arms vs string dict keys
+        # silently excluded every row (n=0, null chi2)
+        df = spark.createDataFrame([(1,)] * 50 + [(2,)] * 50 + [(9,)] * 3, "g int")
+        n, chi2, df_, mad = rows(srm_check(df, "g", {"1": 0.5, "2": 0.5}))[0]
+        assert n == 100 and chi2 == 0.0 and df_ == 1 and mad == 0.0
+        # int dict keys work identically
+        n2, chi22, _, _ = rows(srm_check(df, "g", {1: 0.5, 2: 0.5}))[0]
+        assert n2 == 100 and chi22 == 0.0
+
 
 class TestMahalanobis:
     def test_1d_equals_squared_zscore(self, spark):

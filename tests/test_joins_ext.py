@@ -462,6 +462,25 @@ class TestPagerank:
         found = [f for _, _, fs in os.walk(ckpt) for f in fs]
         assert found, "reliable checkpoint wrote nothing to checkpoint_dir"
 
+    def test_checkpoint_dir_restored(self, spark, tmp_path):
+        """checkpoint_dir= must not leak: a previously-set session
+        checkpoint dir is restored after the call instead of being
+        silently redirected for all later code."""
+        from polars_net_spark.operators.graph import pagerank
+
+        sc = spark.sparkContext
+        sc.setCheckpointDir(str(tmp_path / "session_ckpt"))
+        edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+        pagerank(
+            edges, iterations=4, checkpoint_every=2,
+            checkpoint_dir=str(tmp_path / "pr_scoped"),
+        ).collect()
+        restored = sc.getCheckpointDir()
+        # Spark nests a fresh UUID dir under the path on every
+        # setCheckpointDir call, so check containment, not equality
+        assert restored is not None and "session_ckpt" in restored
+        assert "pr_scoped" not in restored
+
 
 class TestWeightedSample:
     def test_without_replacement_and_bias(self, spark):

@@ -1103,6 +1103,28 @@ class TestBPE:
         toks0 = got[0][0]
         assert len(toks0) < sum(len(w) + 1 for w in corpus[0].split())
 
+    def test_encode_no_forced_broadcast(self, spark):
+        # scale contract: distinct_words is corpus-derived and unbounded —
+        # the reassembly join must NOT carry a forced broadcast hint (AQE
+        # may still pick broadcast at runtime when the measured size fits;
+        # that is exactly the behavior we want)
+        from polars_net_spark.llm.vocab import train_bpe, bpe_encode_frame
+
+        d = pl.from_records(
+            [(0, "low low lower"), (1, "newest lowest low")], ["doc_id", "text"]
+        )
+        merges = train_bpe(d, num_merges=4, min_pair_count=2)
+        plain = bpe_encode_frame(d, merges)
+        analyzed = plain.spark._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        forced = bpe_encode_frame(d, merges, broadcast_vocab=True)
+        analyzed_f = forced.spark._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in analyzed_f
+        # results identical either way
+        a = sorted(plain.collect().rows())
+        b = sorted(forced.collect().rows())
+        assert a == b
+
     def test_checkpoint_dir(self, spark, tmp_path):
         from polars_net_spark.llm.vocab import train_bpe
 

@@ -316,3 +316,17 @@ class TestHistogramFrame:
         d = pl.from_records([(5.0,), (5.0,)], ["x"]).lazy()
         rows = sorted(histogram_frame(d, "x", n_bins=3).collect().rows())
         assert sum(r[3] for r in rows) == 2 and rows[0][3] == 2
+
+    def test_all_null_column_clear_error(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        import polars_net_spark as pl
+        from polars_net_spark.operators.describe import histogram_frame
+
+        d = pl.from_records([(1.0,), (2.0,)], ["x"]).lazy()
+        empty = d._sdf.select(F.lit(None).cast("double").alias("x"))
+        with pytest.raises(ValueError, match="pass lo= and hi="):
+            histogram_frame(empty, "x").collect()
+        # explicit edges still work on an empty column: all-zero counts
+        rows = histogram_frame(empty, "x", n_bins=3, lo=0.0, hi=3.0).collect().rows()
+        assert len(rows) == 3 and all(r[3] == 0 for r in rows)

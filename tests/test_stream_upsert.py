@@ -63,4 +63,42 @@ class TestStreamingUpsert:
         _run(spark, src, schema, str(tmp_path), "v", 1)
         target = os.path.join(str(tmp_path), "target_v")
         versions = [d for d in os.listdir(target) if d.startswith("v")]
-        assert len(versions) >= 2  # one snapshot per micro-batch
+        assert len(versions) == 2  # both retained (retain_versions=2)
+
+    def test_superseded_snapshots_pruned(self, spark, tmp_path):
+        # 4 files x 1-per-trigger -> 4 micro-batches; only the newest 2
+        # snapshot dirs survive, and the converged result is unchanged
+        src, schema = _stage(spark, str(tmp_path), 4)
+        out = _run(spark, src, schema, str(tmp_path), "p", 1)
+        target = os.path.join(str(tmp_path), "target_p")
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(target) if d.startswith("v")
+        )
+        # >=3 micro-batches ran, but only the newest 2 snapshots survive
+        assert len(versions) == 2 and versions[-1] >= 2
+        assert out == [
+            ("u1", dt.datetime(2024, 1, 1, 0, 5), 4, "d"),
+            ("u2", dt.datetime(2024, 1, 1, 0, 1), 3, "c"),
+        ]
+
+    def test_hadoop_fs_scheme_target(self, spark, tmp_path):
+        # target_dir as a file:/ URI — os.listdir would not resolve this
+        # reliably; the Hadoop FileSystem discovery path must
+        src, schema = _stage(spark, str(tmp_path), 3)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        target = "file:" + os.path.join(str(tmp_path), "target_uri")
+        q = streaming_upsert_sink(
+            stream, target, keys="u", order_by="ts", tie_cols=["eid"],
+            checkpoint=os.path.join(str(tmp_path), "ckpt_uri"),
+        )
+        q.awaitTermination(120)
+        q.stop()
+        out = sorted(read_upsert_target(spark, target).collect().rows())
+        assert out == [
+            ("u1", dt.datetime(2024, 1, 1, 0, 5), 4, "d"),
+            ("u2", dt.datetime(2024, 1, 1, 0, 1), 3, "c"),
+        ]

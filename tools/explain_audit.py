@@ -341,6 +341,9 @@ CHECKS = {
     "q210_bpe_encode": [
         ("ArrowEvalPython", "encode is Arrow-batched pandas_udf"),
         ("!", "BatchEvalPython", "no row-at-a-time Python"),
+        # r7: the corpus-derived vocab must never carry a FORCED broadcast
+        # hint (AQE may still choose broadcast when the measured size fits)
+        ("analyzed!", "ResolvedHint", "no forced broadcast of the unbounded distinct-word frame"),
     ],
     "q215_psi_drift": [
         ("partial_count", "bin counts combine map-side"),
@@ -595,7 +598,12 @@ def main() -> None:
             continue
         text = plan + "\n" + formatted
         for chk in checks:
-            if chk[0] == "!":
+            if chk[0] == "analyzed!":
+                analyzed = df._jdf.queryExecution().analyzed().toString()
+                ok = chk[1] not in analyzed
+                desc = chk[2]
+                tag = f"analyzed-absent:{chk[1]}"
+            elif chk[0] == "!":
                 ok = chk[1] not in text
                 desc = chk[2]
                 tag = f"absent:{chk[1]}"
