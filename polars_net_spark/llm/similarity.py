@@ -965,23 +965,22 @@ def _pq_d2(sub: Column, cent: Column) -> Column:
 
 
 def _pq_codes_expr(vec: Column, cbcol: Column, m: int, sub_dim: int) -> Column:
-    """All m codes in one expression: per subspace, a single fold over the
-    centroid array tracking (index, argmin, min) — each distance evaluated
-    at most twice, first-minimum tie-break (strict <) keeps the lowest j."""
+    """All m codes in one expression: per subspace, array_min over
+    (d², j) structs — each distance evaluated exactly ONCE, and the
+    lexicographic struct order ties to the lowest j (matching every
+    oracle's ORDER BY d2, j).  The struct-min form compiles to roughly a
+    third of the Janino surface of the equivalent when-branched fold —
+    first-plan compile time is the dominant cost of small index builds."""
     def code_for(s):
         sub = _pq_sub(vec, s, sub_dim)
-        return F.aggregate(
-            F.element_at(cbcol, s.cast("int") + 1),
-            F.struct(
-                F.lit(0).alias("i"), F.lit(-1).alias("j"),
-                F.lit(float("inf")).alias("d"),
-            ),
-            lambda acc, c: F.struct(
-                (acc["i"] + 1).alias("i"),
-                F.when(_pq_d2(sub, c) < acc["d"], acc["i"]).otherwise(acc["j"]).alias("j"),
-                F.when(_pq_d2(sub, c) < acc["d"], _pq_d2(sub, c)).otherwise(acc["d"]).alias("d"),
-            ),
-        )["j"].cast("int")
+        return F.array_min(
+            F.transform(
+                F.element_at(cbcol, s.cast("int") + 1),
+                lambda c, j: F.struct(
+                    _pq_d2(sub, c).alias("d"), j.cast("int").alias("j")
+                ),
+            )
+        )["j"]
 
     return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
@@ -1064,6 +1063,7 @@ def pq_encode(
     codebooks: "list[list[list[float]]]",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _cbf: "SparkDF | None" = None,
 ) -> LazyFrame:
     """(id, codes): each vector as its ``m`` nearest-subspace-centroid
     indices — dim·4 bytes compressed to m bytes-ish.  Codebooks ride along
@@ -1072,7 +1072,7 @@ def pq_encode(
     sdf = _sdf(corpus)
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    cbf = _pq_cb_frame(sdf.sparkSession, codebooks)
+    cbf = _cbf if _cbf is not None else _pq_cb_frame(sdf.sparkSession, codebooks)
     out = sdf.crossJoin(F.broadcast(cbf)).select(
         F.col(id_col),
         _pq_codes_expr(F.col(vec_col), F.col("__cb__"), m, sub_dim).alias("codes"),
@@ -1102,10 +1102,10 @@ def pq_topk(
     m = len(codebooks)
     kc = len(codebooks[0])
     sub_dim = len(codebooks[0][0])
-    enc = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)._sdf.select(
-        F.col(id_col).alias("corpus_id"), "codes"
-    )
     cbf = _pq_cb_frame(_sdf(queries).sparkSession, codebooks)
+    enc = pq_encode(
+        corpus, codebooks, vec_col=vec_col, id_col=id_col, _cbf=cbf
+    )._sdf.select(F.col(id_col).alias("corpus_id"), "codes")
     qv = F.col(vec_col)
     table = F.flatten(
         F.transform(
@@ -1188,21 +1188,30 @@ def _cent_row_frame(spark, centroids):
     return spark.createDataFrame([(cv,)], "__cent__ array<array<double>>")
 
 
+def _ivfpq_aux_frame(spark, centroids, codebooks):
+    """Coarse centroids AND PQ codebooks as ONE broadcast row.  One frame
+    instead of two halves the broadcast-build jobs per action, and sharing
+    the SAME DataFrame between the index and probe sides lets Spark reuse
+    the broadcast exchange instead of shipping it twice."""
+    cv = [[float(x) for x in c] for c in centroids]
+    cb = [[[float(x) for x in c] for c in sub] for sub in codebooks]
+    return spark.createDataFrame(
+        [(cv, cb)],
+        "__cent__ array<array<double>>, __cb__ array<array<array<double>>>",
+    )
+
+
 def _nearest_centroid_expr(vec: Column, centcol: Column) -> Column:
-    """argmin_i ||vec - cent_i||² as one fold; strict < keeps the LOWEST
-    centroid id on exact ties (matches every oracle's ORDER BY d2, id)."""
-    return F.aggregate(
-        centcol,
-        F.struct(
-            F.lit(0).alias("i"), F.lit(-1).alias("j"),
-            F.lit(float("inf")).alias("d"),
-        ),
-        lambda acc, c: F.struct(
-            (acc["i"] + 1).alias("i"),
-            F.when(_pq_d2(vec, c) < acc["d"], acc["i"]).otherwise(acc["j"]).alias("j"),
-            F.when(_pq_d2(vec, c) < acc["d"], _pq_d2(vec, c)).otherwise(acc["d"]).alias("d"),
-        ),
-    )["j"].cast("int")
+    """argmin_i ||vec - cent_i||² via array_min over (d², i) structs —
+    each distance evaluated once; lexicographic struct order keeps the
+    LOWEST centroid id on exact ties (matches every oracle's ORDER BY
+    d2, id)."""
+    return F.array_min(
+        F.transform(
+            centcol,
+            lambda c, i: F.struct(_pq_d2(vec, c).alias("d"), i.cast("int").alias("j")),
+        )
+    )["j"]
 
 
 def ivfpq_init_centroids(
@@ -1229,6 +1238,7 @@ def ivfpq_index(
     residual: bool = True,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _aux: "SparkDF | None" = None,
 ) -> LazyFrame:
     """The persistable IVF-PQ index: (id, centroid_id, codes) — each vector
     assigned to its nearest coarse centroid (inverted list) and PQ-encoded,
@@ -1250,9 +1260,9 @@ def ivfpq_index(
     if centroids is None:
         centroids = ivfpq_init_centroids(sdf, nlist, vec_col=vec_col, id_col=id_col)
     spark = sdf.sparkSession
+    aux = _aux if _aux is not None else _ivfpq_aux_frame(spark, centroids, codebooks)
     staged = (
-        sdf.crossJoin(F.broadcast(_cent_row_frame(spark, centroids)))
-        .crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
+        sdf.crossJoin(F.broadcast(aux))
         .select(
             F.col(id_col),
             F.col(vec_col).alias("__v__"),
@@ -1324,33 +1334,36 @@ def ivfpq_topk(
     sub_dim = len(codebooks[0][0])
     if centroids is None:
         centroids = ivfpq_init_centroids(_sdf(corpus), nlist, vec_col=vec_col, id_col=id_col)
+    spark = q_sdf.sparkSession
+    aux = _ivfpq_aux_frame(spark, centroids, codebooks)
     if index is None:
         index = ivfpq_index(
             corpus, codebooks, nlist=nlist, centroids=centroids,
-            residual=residual, vec_col=vec_col, id_col=id_col,
+            residual=residual, vec_col=vec_col, id_col=id_col, _aux=aux,
         )
     inv = _sdf(index).select(
         F.col(id_col).alias("corpus_id"), "centroid_id", "codes"
     )
-    spark = q_sdf.sparkSession
 
     probe_structs = F.transform(
         F.col("__cent__"),
         lambda c, i: F.struct(_pq_d2(F.col("__qv__"), c).alias("d"), i.cast("int").alias("cid")),
     )
     probed = (
-        q_sdf.crossJoin(F.broadcast(_cent_row_frame(spark, centroids)))
+        q_sdf.crossJoin(F.broadcast(aux))
         .select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("__qv__"),
             F.col("__cent__"),
+            F.col("__cb__"),
         )
         .select(
-            "query_id", "__qv__", "__cent__",
+            "query_id", "__qv__", "__cent__", "__cb__",
             F.explode(F.slice(F.array_sort(probe_structs), 1, int(nprobe))).alias("p"),
         )
         .select(
             "query_id",
+            "__cb__",
             F.col("p.cid").alias("centroid_id"),
             (
                 F.zip_with(
@@ -1372,10 +1385,7 @@ def ivfpq_topk(
             ),
         )
     )
-    qtab = (
-        probed.crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
-        .select("query_id", "centroid_id", table.alias("tbl"))
-    )
+    qtab = probed.select("query_id", "centroid_id", table.alias("tbl"))
     approx = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
