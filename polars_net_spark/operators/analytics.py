@@ -284,17 +284,25 @@ def seasonal_decompose(
     half-period) have null trend/residual like statsmodels.  Two shuffles:
     the trend window and the phase aggregate (joined back keyed, AQE
     broadcastable).
+
+    With ``by=None`` the trend window rides distsort halo buckets
+    (with_halo_buckets): each range bucket borrows ±half-period neighbor
+    rows, so the centered moving average is exact with NO single-partition
+    window at any scale; global edges keep their statsmodels nulls because
+    the first/last buckets have no halo beyond the data.
     """
     sdf = _sdf(frame)
+    base_cols = sdf.columns
     keys = [by] if isinstance(by, str) else list(by or [])
-    if not keys:
-        from ..exprs import _warn_single_partition
-
-        _warn_single_partition("seasonal_decompose")
     half = period // 2
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy(F.col(order_col))
+    halo_col = None
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    else:
+        from .distsort import with_halo_buckets
+
+        sdf, bcol, halo_col = with_halo_buckets(sdf, order_col, before=half, after=half)
+        w = Window.partitionBy(bcol).orderBy(F.col(order_col))
     v = F.col(value_col).cast("double")
     if period % 2 == 0:
         # even period: 2x(period)-MA — window of period+1 with half-weight ends
@@ -313,6 +321,10 @@ def seasonal_decompose(
     staged = sdf.withColumn("__trend__", trend).withColumn(
         "__phase__", F.pmod(F.col(order_col), F.lit(period))
     )
+    if halo_col is not None:
+        # halo rows exist only to complete neighbor windows — drop them
+        # (and the bucket plumbing) once the trend is computed
+        staged = staged.filter(~F.col(halo_col)).drop(halo_col, bcol)
     phase_means = (
         staged.filter(F.col("__trend__").isNotNull())
         .groupBy(*keys, "__phase__")
@@ -325,7 +337,7 @@ def seasonal_decompose(
     out = (
         staged.join(seas, keys + ["__phase__"] if keys else ["__phase__"])
         .select(
-            *sdf.columns,
+            *base_cols,
             F.round("__trend__", round_to).alias("trend"),
             F.round("__seas__", round_to).alias("seasonal"),
             F.round(v - F.col("__trend__") - F.col("__seas__"), round_to).alias("residual"),
@@ -346,21 +358,31 @@ def acf(
     the Pearson variant (statsmodels acf(adjusted=False) differs slightly;
     this is the SQL-standard pairwise-complete estimator, documented).
     One window building all lag columns (single WindowExec) + one aggregate;
-    output long-format (key..., lag, acf)."""
+    output long-format (key..., lag, acf).
+
+    With ``by=None`` the lag window rides distsort halo buckets: each
+    range bucket borrows its predecessor's last ``lags`` rows, so every
+    lag pair a global ordered window would see is present with NO
+    single-partition stage; the final corr reduce is the ordinary 1-row
+    map-side-combining aggregate."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
-    if not keys:
-        from ..exprs import _warn_single_partition
-
-        _warn_single_partition("acf")
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy(F.col(order_col))
     v = F.col(value_col).cast("double")
-    staged = sdf.select(
-        *keys, v.alias("__v__"),
-        *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
-    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+        staged = sdf.select(
+            *keys, v.alias("__v__"),
+            *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
+        )
+    else:
+        from .distsort import with_halo_buckets
+
+        haloed, bcol, halo_col = with_halo_buckets(sdf, order_col, before=lags)
+        w = Window.partitionBy(bcol).orderBy(F.col(order_col))
+        staged = haloed.select(
+            F.col(halo_col), v.alias("__v__"),
+            *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
+        ).filter(~F.col(halo_col))
     agg = staged.groupBy(*keys).agg(
         *[
             F.round(F.corr(F.col("__v__"), F.col(f"__l{l}__")), round_to).alias(f"__a{l}__")
@@ -390,24 +412,39 @@ def cusum_flags(
     """CUSUM drift detection: s_t = Σ_{i≤t} (x_i − mean) per key, flagged
     where |s_t| > threshold·std (population).  A sustained level shift
     accumulates linearly in s_t while noise cancels — the standard
-    changepoint screen as one stats aggregate + one cumulative window."""
+    changepoint screen as one stats aggregate + one cumulative window.
+
+    With ``by=None`` the global running sum rides the distsort
+    range-bucket + driver-prefix-offset machinery (an unkeyed cumulative
+    sum is exactly a prefix total): no single-partition window at any
+    scale, same shape as the global rank statistics."""
     sdf = _sdf(frame)
+    base_cols = sdf.columns
     keys = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col).cast("double")
     stats = sdf.groupBy(*keys).agg(
         F.avg(v).alias("__m__"), F.sqrt(F.var_pop(v)).alias("__s__")
     )
-    joined = sdf.join(stats, keys) if keys else sdf.join(F.broadcast(stats))
-    if not keys:
-        from ..exprs import _warn_single_partition
+    if keys:
+        joined = sdf.join(stats, keys)
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col)).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cusum = F.sum(v - F.col("__m__")).over(w)
+    else:
+        from .distsort import with_prefix_offsets, with_range_buckets
 
-        _warn_single_partition("cusum_flags")
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, 0)
-    cusum = F.sum(v - F.col("__m__")).over(w)
+        joined = sdf.join(F.broadcast(stats))
+        bucketed, bcol = with_range_buckets(joined, order_col)
+        joined, _totals = with_prefix_offsets(
+            bucketed, bcol, {"d": v - F.col("__m__")}
+        )
+        w = Window.partitionBy(bcol).orderBy(F.col(order_col)).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cusum = F.col("__off_d__") + F.sum(v - F.col("__m__")).over(w)
     out = joined.select(
-        *sdf.columns,
+        *base_cols,
         F.round(cusum, round_to).alias("cusum"),
         F.when(
             F.col("__s__") > 0, F.abs(cusum) > threshold * F.col("__s__")

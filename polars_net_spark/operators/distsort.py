@@ -128,3 +128,67 @@ def with_prefix_offsets(
             off = F.lit(0.0)
         out = out.withColumn(col_name, off)
     return out, totals
+
+
+HALO_COL = "__halo__"
+
+
+def with_halo_buckets(
+    sdf: SparkDF,
+    order_col: str,
+    before: int = 0,
+    after: int = 0,
+    nbuckets: int | None = None,
+) -> tuple[SparkDF, str, str]:
+    """Range buckets PLUS neighbor halo rows — the distributed form of an
+    unkeyed bounded-window sequence op (moving average, lag): each bucket
+    additionally receives the last ``before`` rows of its predecessor and
+    the first ``after`` rows of its successor, flagged ``HALO_COL=True``.
+    A ``Window.partitionBy(bucket).orderBy(order_col)`` with a row frame
+    inside [-before, +after] then sees exactly the rows a GLOBAL ordered
+    window would — consumers compute over all rows and keep
+    ``~HALO_COL``.  Global edges stay edges: bucket 0 gets no
+    predecessor halo, so edge semantics (e.g. null trend where the window
+    is short) are preserved.
+
+    ``order_col`` must be unique per row (a dense position index — the
+    same contract the single-partition form had).  Cost: the boundary
+    sketch pass + ONE bucket-keyed exchange carrying two row_number
+    windows, then the explode fan-out of ≤ (before+after) rows per
+    bucket — no single-partition stage at any scale."""
+    bucketed, bcol = with_range_buckets(sdf, order_col, nbuckets=nbuckets)
+    before, after = int(before), int(after)
+    if before <= 0 and after <= 0:
+        return bucketed.withColumn(HALO_COL, F.lit(False)), bcol, HALO_COL
+    wa = Window.partitionBy(bcol).orderBy(F.col(order_col).asc())
+    wd = Window.partitionBy(bcol).orderBy(F.col(order_col).desc())
+    tagged = bucketed.withColumn("__ra__", F.row_number().over(wa)).withColumn(
+        "__rd__", F.row_number().over(wd)
+    )
+    etype = "array<struct<b:int,h:boolean>>"
+    own = F.array(F.struct(F.col(bcol).alias("b"), F.lit(False).alias("h")))
+    assigns = [own]
+    if before > 0:
+        assigns.append(
+            F.when(
+                F.col("__rd__") <= before,
+                F.array(F.struct((F.col(bcol) + 1).alias("b"), F.lit(True).alias("h"))),
+            ).otherwise(F.array().cast(etype))
+        )
+    if after > 0:
+        assigns.append(
+            F.when(
+                F.col("__ra__") <= after,
+                F.array(F.struct((F.col(bcol) - 1).alias("b"), F.lit(True).alias("h"))),
+            ).otherwise(F.array().cast(etype))
+        )
+    out = (
+        tagged.withColumn("__assign__", F.explode(F.concat(*assigns)))
+        .withColumn(bcol, F.col("__assign__.b"))
+        .withColumn(HALO_COL, F.col("__assign__.h"))
+        .drop("__assign__", "__ra__", "__rd__")
+    )
+    return out, bcol, HALO_COL
+
+
+__all__.extend(["with_halo_buckets", "HALO_COL"])

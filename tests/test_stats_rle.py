@@ -340,6 +340,73 @@ class TestTimeSeriesStats:
         # and the series ends back near zero (mass balances around the mean)
         assert abs(out[-1][3]) < 1e-6
 
+    def test_unkeyed_paths_match_keyed_no_single_partition(self, spark):
+        """by=None rides distsort halo buckets / prefix offsets: results
+        identical to the keyed path on single-key data, and the plan has
+        no whole-data single-partition Exchange."""
+        from polars_net_spark.operators.analytics import (
+            acf, cusum_flags, seasonal_decompose,
+        )
+
+        pat = [2.0, -1.0, 0.5, -1.5]
+        rows = [("k", t, 0.5 * t + pat[t % 4]) for t in range(40)]
+        d = spark.createDataFrame(rows, ["g", "t", "v"]).repartition(6)
+
+        def plan(lf):
+            return lf.spark._jdf.queryExecution().executedPlan().toString()
+
+        keyed = sorted(
+            r[1:] for r in seasonal_decompose(d, "v", "t", 4, by="g").collect().rows()
+        )
+        glob = seasonal_decompose(d, "v", "t", 4)
+        assert sorted(r[1:] for r in glob.collect().rows()) == keyed
+        # the data-sized trend window is bucket-keyed; the only
+        # single-partition exchanges left are BOUNDED 1-row reduces (the
+        # <=period-row grand-mean and the boundary sketch aggregate)
+        p = plan(glob)
+        assert "windowspecdefinition(__gb__" in p
+        assert p.count("Exchange SinglePartition") <= 2
+
+        keyed_acf = sorted(r[1:] for r in acf(d, "v", "t", lags=3, by="g").collect().rows())
+        glob_acf = acf(d, "v", "t", lags=3)
+        assert sorted(glob_acf.collect().rows()) == keyed_acf
+        p = plan(glob_acf)
+        assert "windowspecdefinition(__gb__" in p
+        # allowed: the 1-row final corr reduce + the boundary sketch
+        assert p.count("Exchange SinglePartition") <= 2
+
+        keyed_cu = sorted(r[1:] for r in cusum_flags(d, "v", "t", by="g").collect().rows())
+        glob_cu = cusum_flags(d, "v", "t")
+        assert sorted(r[1:] for r in glob_cu.collect().rows()) == keyed_cu
+        p = plan(glob_cu)
+        assert "windowspecdefinition(__gb__" in p
+        # allowed: the 1-row mean/sigma stats reduce + the boundary sketch
+        assert p.count("Exchange SinglePartition") <= 2
+
+    def test_unkeyed_halo_crosses_bucket_boundaries(self, spark):
+        """Force many tiny buckets so halo exchange is actually exercised:
+        results must equal the single-bucket answer."""
+        from polars_net_spark.operators import distsort
+        from polars_net_spark.operators.analytics import acf, seasonal_decompose
+
+        rows = [(t, float((-1) ** t) + 0.1 * t) for t in range(60)]
+        d = spark.createDataFrame(rows, ["t", "v"]).repartition(8)
+        old = distsort._default_nbuckets
+        distsort._default_nbuckets = lambda sdf: 7
+        try:
+            many = sorted(seasonal_decompose(d, "v", "t", 4).collect().rows())
+            many_acf = sorted(acf(d, "v", "t", lags=2).collect().rows())
+        finally:
+            distsort._default_nbuckets = old
+        distsort._default_nbuckets = lambda sdf: 1
+        try:
+            one = sorted(seasonal_decompose(d, "v", "t", 4).collect().rows())
+            one_acf = sorted(acf(d, "v", "t", lags=2).collect().rows())
+        finally:
+            distsort._default_nbuckets = old
+        assert many == one
+        assert many_acf == one_acf
+
     def test_trimmed_mean(self, spark):
         from polars_net_spark.operators.analytics import trimmed_mean_by_key
 
