@@ -112,3 +112,95 @@ def preference_pairs(
         )
         return LazyFrame(out)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def bradley_terry(
+    frame: "LazyFrame | SparkDF",
+    winner_col: str = "chosen",
+    loser_col: str = "rejected",
+    iterations: int = 8,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Bradley–Terry strength scores from pairwise preference outcomes —
+    the model behind RLHF reward-data QA and ranker evaluation: item i
+    beats j with probability pᵢ/(pᵢ+pⱼ).  Fit by Hunter's (2004) MM
+    iteration: pᵢ ← Wᵢ / Σ_j nᵢⱼ/(pᵢ+pⱼ) over items j compared with i,
+    with Wᵢ total wins and nᵢⱼ the number of i-vs-j comparisons.  A FIXED
+    ``iterations`` count (monotone in likelihood; default 8 is
+    plateau-close on typical preference sets) keeps the result a
+    deterministic function of the data — replayable by an external
+    engine as unrolled rounds.  Scores normalize to sum 1; an item with
+    zero wins converges to score 0 (kept, not dropped).
+
+    Scale shape mirrors pagerank: comparisons collapse once to canonical
+    (lo, hi, n, wins_lo) edges (one map-side-combining aggregate), and
+    each round is one item-keyed join of scores onto edge endpoints + one
+    item-keyed sum — all equi-joins, rounds bounded by ``iterations``.
+
+    Output: (item, n_comparisons, wins, score) — score descending is the
+    preference ranking."""
+    sdf = _sdf_pref(frame)
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")
+    base = sdf.filter(w.isNotNull() & l.isNotNull() & (w != l)).select(
+        w.alias("__w__"), l.alias("__l__")
+    )
+    lo, hi = F.least("__w__", "__l__"), F.greatest("__w__", "__l__")
+    edges = base.groupBy(lo.alias("a"), hi.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__w__") == F.least("__w__", "__l__")).cast("long")).alias("wa"),
+    )
+    per_item = (
+        edges.select(F.col("a").alias("item"), F.col("n"), F.col("wa").alias("wins"))
+        .unionByName(
+            edges.select(
+                F.col("b").alias("item"), F.col("n"), (F.col("n") - F.col("wa")).alias("wins")
+            )
+        )
+        .groupBy("item")
+        .agg(F.sum("n").alias("n_comparisons"), F.sum("wins").alias("wins"))
+    )
+    per_item = per_item.persist()
+    p = per_item.select("item", F.lit(1.0).alias("p"))
+    for _ in range(int(iterations)):
+        ej = (
+            edges.join(p.select(F.col("item").alias("a"), F.col("p").alias("pa")), "a")
+            .join(p.select(F.col("item").alias("b"), F.col("p").alias("pb")), "b")
+        )
+        denom = (
+            ej.select(F.col("a").alias("item"), (F.col("n") / (F.col("pa") + F.col("pb"))).alias("t"))
+            .unionByName(
+                ej.select(F.col("b").alias("item"), (F.col("n") / (F.col("pa") + F.col("pb"))).alias("t"))
+            )
+            .groupBy("item")
+            .agg(F.sum("t").alias("dn"))
+        )
+        p = (
+            per_item.join(denom, "item")
+            .select("item", (F.col("wins") / F.col("dn")).alias("p"))
+        )
+        p = p.localCheckpoint(eager=False)
+    tot = p.agg(F.sum("p").alias("__tp__"))
+    out = (
+        per_item.join(p, "item")
+        .join(F.broadcast(tot))
+        .select(
+            "item",
+            F.col("n_comparisons").cast("long").alias("n_comparisons"),
+            F.col("wins").cast("long").alias("wins"),
+            F.round(
+                F.when(F.col("__tp__") > 0, F.col("p") / F.col("__tp__")).otherwise(
+                    F.lit(0.0)
+                ),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    return LazyFrame(out)
+
+
+def _sdf_pref(frame):
+    return frame if isinstance(frame, SparkDF) else frame.spark
+
+
+__all__.append("bradley_terry")

@@ -592,3 +592,72 @@ def readability_frame(
         ).alias("fk_grade"),
     )
     return LazyFrame(out)
+
+
+def zipf_fit(
+    frame,
+    text_col: str = "text",
+    lower: bool = True,
+    min_count: int = 1,
+    round_to: int = 6,
+) -> "LazyFrame":
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    ln(count) on ln(rank) over the vocabulary (rank 1 = most frequent).
+    A healthy natural-language corpus slopes ≈ −1; templated or
+    deduplicate-me corpora flatten (repeated boilerplate inflates the
+    head) and OCR-noise corpora steepen the tail — a one-row corpus
+    health probe to sit beside word entropy and JS divergence.
+
+    Ranks are GLOBAL over the vocabulary and ride the distsort
+    range-bucket + driver-prefix machinery (desc on count; ties share a
+    bucket and break deterministically by term within it) — no
+    single-partition window however large the vocabulary.  One explode +
+    count aggregate, the rank pass, then one fused 1-row OLS reduce.
+
+    Output (1 row): n_terms, slope, intercept, r2."""
+    from ..frame import LazyFrame
+    from ..operators.distsort import with_prefix_offsets, with_range_buckets
+    from pyspark.sql import Window
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    text = F.col(text_col)
+    if lower:
+        text = F.lower(text)
+    counts = (
+        sdf.select(F.explode(_words(text)).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    counts = register_cache(counts)
+    bucketed, gb = with_range_buckets(counts, "cnt", desc=True)
+    offs, tot = with_prefix_offsets(bucketed, gb, {"r": F.lit(1)})
+    w = Window.partitionBy(gb).orderBy(F.col("cnt").desc(), F.col("term").asc())
+    rank = F.col("__off_r__") + F.row_number().over(w)
+    pts = offs.select(
+        F.log(rank).alias("__x__"), F.log(F.col("cnt").cast("double")).alias("__y__")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__x__").alias("mx"),
+        F.avg("__y__").alias("my"),
+        F.covar_pop("__x__", "__y__").alias("cxy"),
+        F.var_pop("__x__").alias("vx"),
+        F.var_pop("__y__").alias("vy"),
+    )
+    slope = F.when(F.col("vx") > 0, F.col("cxy") / F.col("vx"))
+    r2 = F.when(
+        (F.col("vx") > 0) & (F.col("vy") > 0),
+        (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy")),
+    )
+    out = agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("zipf_fit")

@@ -1904,3 +1904,229 @@ def lorenz_curve(
 
 
 __all__.append("lorenz_curve")
+
+
+def mad_outliers(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    threshold: float = 3.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Robust outlier screen (Iglewicz & Hoaglin 1993): modified z-score
+    M = 0.6745·(x − median)/MAD with MAD = median(|x − median|), flagged
+    where |M| > ``threshold`` (3.5 is their recommended cut).  Unlike
+    mean/σ z-scores, the screen itself is not dragged by the outliers it
+    hunts — the right default for data-quality gates on heavy-tailed
+    metrics.
+
+    Two exact-median aggregates (median, then MAD about it) + two joins
+    back; medians are exact percentile aggregates, so per group the value
+    buffer is the memory contract (same as quantile()) — key by segment at
+    100 TB, or pin the cut points upstream.  When MAD = 0 (>=half the
+    group at the median) the z-score is null and nothing in the group is
+    flagged — the documented degenerate convention.
+
+    Output: all input columns + robust_z + is_outlier."""
+    sdf = _sdf(frame)
+    base_cols = sdf.columns
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    med = sdf.filter(v.isNotNull()).groupBy(*keys).agg(F.median(v).alias("__med__"))
+    j1 = sdf.join(med, keys) if keys else sdf.join(F.broadcast(med))
+    mad = (
+        j1.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg(F.median(F.abs(v - F.col("__med__"))).alias("__mad__"))
+    )
+    j2 = j1.join(mad, keys) if keys else j1.join(F.broadcast(mad))
+    z = F.when(
+        F.col("__mad__") > 0,
+        F.lit(0.6745) * (v - F.col("__med__")) / F.col("__mad__"),
+    )
+    out = j2.select(
+        *base_cols,
+        F.round(z, round_to).alias("robust_z"),
+        F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )
+    return LazyFrame(out)
+
+
+def log_rank_test(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Two-sample log-rank test (Mantel 1966) — the hypothesis test behind
+    :func:`survival_curve`: do two groups share a survival distribution?
+    At each distinct event time, group 1's observed events d1 compare to
+    the hypergeometric expectation d·n1/n given the at-risk sets; the
+    statistic is (Σd1 − ΣE1)²/ΣV, ~χ²(1) under H0.  Right-censoring enters
+    through the at-risk counts exactly as in Kaplan–Meier.
+
+    Exactly two observed groups are required (checked with a bounded
+    3-row probe); 'group one' is the lexicographically smaller label.
+    Scale shape mirrors survival_curve's global path: subjects collapse to
+    distinct times (one map-side-combining aggregate), at-risk running
+    sums ride the distsort range-bucket + driver-prefix machinery, and the
+    statistic is one 1-row reduce — no single-partition window at any
+    number of subjects.
+
+    Output (1 row): n, group_one, o1 (observed), e1 (expected), var,
+    chi2 (null when var = 0; feed (chi2, df=1) to a χ² CDF driver-side)."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    t = F.col(time_col).cast("double")
+    ev = (F.col(event_col).cast("double") > 0).cast("long")
+    g = F.col(group_col).cast("string")
+    base = sdf.filter(
+        t.isNotNull() & F.col(event_col).isNotNull() & g.isNotNull()
+    ).select(t.alias("__t__"), ev.alias("__e__"), g.alias("__g__"))
+    probe = [r[0] for r in base.select("__g__").distinct().limit(3).collect()]
+    if len(probe) != 2:
+        raise ValueError(
+            f"log_rank_test needs exactly 2 groups, found {sorted(probe)}"
+        )
+    g1 = sorted(probe)[0]
+    is1 = (F.col("__g__") == F.lit(g1)).cast("long")
+    cells = base.groupBy("__t__").agg(
+        F.sum(F.col("__e__") * is1).alias("d1"),
+        F.sum("__e__").alias("d"),
+        F.sum(is1).alias("m1"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    bucketed, gb = with_range_buckets(cells, "__t__")
+    offs, tot = with_prefix_offsets(
+        bucketed, gb, {"m1": F.col("m1"), "m": F.col("m")}
+    )
+    wexcl = (
+        Window.partitionBy(gb).orderBy("__t__").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n1r = F.lit(float(tot["m1"])) - (
+        F.col("__off_m1__") + F.coalesce(F.sum("m1").over(wexcl), F.lit(0))
+    )
+    nr = F.lit(float(tot["m"])) - (
+        F.col("__off_m__") + F.coalesce(F.sum("m").over(wexcl), F.lit(0))
+    )
+    p1 = n1r / nr
+    e1t = F.col("d") * p1
+    vt = F.when(
+        nr > 1,
+        F.col("d") * p1 * (1 - p1) * (nr - F.col("d")) / (nr - 1),
+    ).otherwise(F.lit(0.0))
+    staged = offs.filter(F.col("d") > 0).select(
+        F.col("d1").alias("__o1__"), e1t.alias("__e1__"), vt.alias("__v__")
+    )
+    agg = staged.agg(
+        F.sum("__o1__").alias("o1"),
+        F.sum("__e1__").alias("e1"),
+        F.sum("__v__").alias("var"),
+    )
+    chi2 = F.when(
+        F.col("var") > 0,
+        (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("var"),
+    )
+    out = agg.select(
+        F.lit(int(tot["m"])).alias("n"),
+        F.lit(g1).alias("group_one"),
+        F.col("o1").cast("long").alias("o1"),
+        F.round("e1", round_to).alias("e1"),
+        F.round("var", round_to).alias("var"),
+        F.round(chi2, round_to).alias("chi2"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["mad_outliers", "log_rank_test"])
+
+
+def holt_forecast(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    by: "str | list[str] | None" = None,
+    alpha: float = 0.5,
+    beta: "float | None" = None,
+    horizon: int = 1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exponential-smoothing point forecast per series: simple (SES,
+    ``beta=None``) or Holt's linear trend method.  SES: ℓ_t = α·x_t +
+    (1−α)·ℓ_{t−1}, forecast flat at ℓ_n.  Holt: ℓ_t = α·x_t +
+    (1−α)(ℓ_{t−1}+b_{t−1}); b_t = β(ℓ_t−ℓ_{t−1}) + (1−β)b_{t−1};
+    forecast ℓ_n + h·b_n.  Standard initialization ℓ₁ = x₁,
+    b₁ = x₂ − x₁ (Hyndman & Athanasopoulos); a Holt series with < 2
+    points yields nulls.
+
+    The recurrence is inherently sequential WITHIN a series, so each
+    series folds as one array expression: values gather via
+    array_sort(collect_list(struct(order, value))) — the per-key memory
+    contract is the series length (same as every per-series op here; the
+    scale lever is keying by series, which real forecast pipelines do) —
+    and the fold runs inside codegen, no Python.  ``by=None`` treats the
+    whole frame as ONE series under that same contract.
+
+    Output: ([keys...,] n, level, trend, forecast)."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    a = float(alpha)
+    if not 0 < a <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    b = None if beta is None else float(beta)
+    if b is not None and not 0 < b <= 1:
+        raise ValueError("beta must be in (0, 1]")
+    v = F.col(value_col).cast("double")
+    o = F.col(order_col)
+    base = sdf.filter(v.isNotNull() & o.isNotNull())
+    gathered = base.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+            lambda s: s["v"],
+        ).alias("__xs__")
+    )
+    xs = F.col("__xs__")
+    n = F.size(xs)
+    if b is None:
+        level = F.aggregate(
+            F.slice(xs, 2, F.greatest(n - 1, F.lit(0))),
+            F.element_at(xs, 1),
+            lambda acc, x: F.lit(a) * x + F.lit(1 - a) * acc,
+        )
+        trend = F.lit(0.0)
+        fc = level
+    else:
+        init = F.struct(
+            F.element_at(xs, 1).alias("l"),
+            (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+        )
+        folded = F.aggregate(
+            F.slice(xs, 2, F.greatest(n - 1, F.lit(0))),
+            init,
+            lambda acc, x: F.struct(
+                (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])).alias("l"),
+                (
+                    F.lit(b)
+                    * ((F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])) - acc["l"])
+                    + F.lit(1 - b) * acc["b"]
+                ).alias("b"),
+            ),
+        )
+        level = F.when(n >= 2, folded["l"])
+        trend = F.when(n >= 2, folded["b"])
+        fc = level + F.lit(float(horizon)) * trend
+    out = gathered.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.round(level, round_to).alias("level"),
+        F.round(trend, round_to).alias("trend"),
+        F.round(fc, round_to).alias("forecast"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("holt_forecast")

@@ -275,3 +275,77 @@ def weighted_quantile(
 
 
 __all__.extend(["profile_frame", "weighted_quantile"])
+
+
+def profile_diff(
+    reference: "LazyFrame",
+    current: "LazyFrame",
+    cols: "list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Schema/profile drift between two snapshots of the same table (e.g.
+    yesterday's crawl vs today's): per column, the row counts, null rates,
+    distinct counts, and modal values of BOTH sides plus the headline
+    deltas — the structural companion to psi_report (which compares value
+    DISTRIBUTIONS; this catches pipeline breaks: a column going all-null,
+    cardinality collapsing, a new sentinel flooding the mode).
+
+    Columns profiled are the intersection of both schemas unless ``cols``
+    is given; columns present on only one side appear with null metrics on
+    the missing side (full-outer join on column name), so added/dropped
+    columns surface instead of vanishing.  Cost: one profile_frame pass
+    per side (each ONE melt + map-side-combining aggregates) joined on the
+    bounded column-name key.
+
+    Output per column: (column, n_ref, n_cur, null_rate_ref, null_rate_cur,
+    null_rate_delta, n_distinct_ref, n_distinct_cur, distinct_ratio,
+    top_value_ref, top_value_cur, top_changed)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    r_sdf = reference if isinstance(reference, SparkDF) else reference.spark
+    c_sdf = current if isinstance(current, SparkDF) else current.spark
+    if cols is None:
+        shared = [c for c in r_sdf.columns if c in set(c_sdf.columns)]
+        union = shared + [c for c in r_sdf.columns if c not in set(shared)] + [
+            c for c in c_sdf.columns if c not in set(r_sdf.columns)
+        ]
+    else:
+        union = list(cols)
+    rp = profile_frame(r_sdf, [c for c in union if c in r_sdf.columns])._sdf
+    cp = profile_frame(c_sdf, [c for c in union if c in c_sdf.columns])._sdf
+    rp = rp.select(*[F.col(c).alias(f"{c}_ref") for c in rp.columns]).withColumnRenamed(
+        "column_ref", "column"
+    )
+    cp = cp.select(*[F.col(c).alias(f"{c}_cur") for c in cp.columns]).withColumnRenamed(
+        "column_cur", "column"
+    )
+    j = rp.join(cp, "column", "full_outer")
+    nr_ref = F.col("n_null_ref") / F.col("n_ref")
+    nr_cur = F.col("n_null_cur") / F.col("n_cur")
+    out = j.select(
+        "column",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(nr_ref, round_to).alias("null_rate_ref"),
+        F.round(nr_cur, round_to).alias("null_rate_cur"),
+        F.round(nr_cur - nr_ref, round_to).alias("null_rate_delta"),
+        F.col("n_distinct_ref").cast("long").alias("n_distinct_ref"),
+        F.col("n_distinct_cur").cast("long").alias("n_distinct_cur"),
+        F.round(
+            F.when(
+                F.col("n_distinct_ref") > 0,
+                F.col("n_distinct_cur") / F.col("n_distinct_ref"),
+            ),
+            round_to,
+        ).alias("distinct_ratio"),
+        F.col("top_value_ref"),
+        F.col("top_value_cur"),
+        F.coalesce(
+            F.col("top_value_ref") != F.col("top_value_cur"),
+            F.col("top_value_ref").isNotNull() | F.col("top_value_cur").isNotNull(),
+        ).alias("top_changed"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("profile_diff")

@@ -68,3 +68,213 @@ def sketch_estimate(
     sdf = _sdf(sketches)
     out = sdf.withColumn(estimate_col, F.hll_sketch_estimate(F.col(sketch_col)))
     return LazyFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) cardinality — the DETERMINISTIC sketch family:
+# md5-derived hashes mean the estimate is a pure function of the data, so a
+# DuckDB oracle can replay it bit-for-bit (unlike HLL's engine-specific
+# binaries).  Beyond-reference scaffolding for the 100 TB cardinality story.
+
+
+def _hex_unit(hcol, digits: int = 13):
+    """First ``digits`` hex chars as a double in [0, 1).  13 hex digits =
+    52 bits — exactly representable, so Spark's conv() and DuckDB's
+    digit-fold produce the identical double."""
+    return F.conv(F.substring(hcol, 1, digits), 16, 10).cast("double") / float(
+        16 ** digits
+    )
+
+
+def kmv_distinct(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    k: int = 256,
+    by: "str | list[str] | None" = None,
+    seed: str = "kmv",
+    out_col: str = "approx_distinct",
+) -> LazyFrame:
+    """KMV (bottom-k) distinct-count estimate (Bar-Yossef et al. 2002):
+    hash every value to a uniform point via md5, keep the k smallest
+    DISTINCT hashes; with u_k the k-th smallest as a fraction of the hash
+    space, estimate = (k−1)/u_k (exact count when fewer than k distinct
+    values exist).  Standard error ≈ 1/√(k−2) (~6% at k=256).
+
+    Unkeyed path is CONSTANT-MEMORY and shuffle-light: an Arrow-batched
+    mapInPandas emits each batch's k smallest unique hashes (vectorized
+    numpy, never per-row Python), the ≤ batches·k survivors dedupe and
+    TakeOrdered to the global bottom-k, and one 1-row aggregate finishes —
+    raw values never shuffle, which is the whole point at 100 TB.
+
+    Keyed path: per-key ``slice(array_sort(collect_set(hash)), 1, k)`` in
+    ONE map-side-combining aggregate.  Memory contract: partial collect_set
+    holds each key's distinct hashes before the slice — suited to the
+    many-keys/moderate-cardinality-per-key regime; for few keys with huge
+    cardinality, filter per key and use the unkeyed path.
+
+    Deterministic: same data + seed + k → same estimate, on any engine.
+    Output: ([keys...,] n_min_hashes, out_col)."""
+    sdf = _sdf(frame)
+    kk = int(k)
+    if kk < 2:
+        raise ValueError("k must be >= 2")
+    h = F.md5(
+        F.concat(F.lit(str(seed)), F.lit("|"), F.col(value_col).cast("string"))
+    )
+    keys = [by] if isinstance(by, str) else list(by or [])
+    base = sdf.filter(F.col(value_col).isNotNull())
+    if keys:
+        agg = base.groupBy(*keys).agg(
+            F.slice(F.array_sort(F.collect_set(h)), 1, kk).alias("__kmv__")
+        )
+        n = F.size("__kmv__")
+        u = _hex_unit(F.element_at("__kmv__", kk))
+        est = F.when(n < kk, n.cast("double")).otherwise(F.lit(kk - 1) / u)
+        out = agg.select(
+            *keys,
+            n.cast("long").alias("n_min_hashes"),
+            F.round(est).cast("long").alias(out_col),
+        )
+        return LazyFrame(out)
+
+    import pandas as pd
+
+    def kmin(batches):
+        import numpy as np
+
+        for pdf in batches:
+            vals = np.unique(pdf["__h__"].to_numpy())  # sorted unique
+            yield pd.DataFrame({"__h__": vals[:kk]})
+
+    cand = (
+        base.select(h.alias("__h__"))
+        .mapInPandas(kmin, "__h__ string")
+        .distinct()
+        .orderBy("__h__")
+        .limit(kk)
+    )
+    n = F.count(F.lit(1))
+    u = _hex_unit(F.max("__h__"))
+    stats = cand.agg(n.alias("__n__"), u.alias("__u__"))
+    est = F.when(F.col("__n__") < kk, F.col("__n__").cast("double")).otherwise(
+        F.lit(kk - 1) / F.col("__u__")
+    )
+    out = stats.select(
+        F.col("__n__").cast("long").alias("n_min_hashes"),
+        F.round(est).cast("long").alias(out_col),
+    )
+    return LazyFrame(out)
+
+
+def cms_build(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> LazyFrame:
+    """Count-min sketch TABLE (Cormode & Muthukrishnan 2005): ``depth``
+    md5-seeded hash rows x ``width`` buckets; cell (r, b) holds the count
+    of values hashing to bucket b under row r.  ONE explode (depth rows
+    per input row) + ONE map-side-combining count aggregate — output is
+    depth·width rows REGARDLESS of data size, the persistable
+    frequency-sketch artifact (union sketches of two corpora by summing
+    cell counts).  Deterministic md5 bucketing → DuckDB-replicable.
+    Output: (row, bucket, cnt)."""
+    sdf = _sdf(frame)
+    d, w = int(depth), int(width)
+    if d < 1 or w < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda r: F.struct(
+                r.cast("int").alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(seed)),
+                                    r.cast("string"),
+                                    F.lit("|"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(w)
+                ).cast("int").alias("bucket"),
+            ),
+        )
+    )
+    out = (
+        sdf.filter(F.col(value_col).isNotNull())
+        .select(rows.alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return LazyFrame(out)
+
+
+def cms_query(
+    sketch: "LazyFrame | SparkDF",
+    queries: "LazyFrame | SparkDF",
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    out_col: str = "est_count",
+) -> LazyFrame:
+    """Point-frequency estimates from a :func:`cms_build` sketch: each
+    query value hashes to its ``depth`` cells and the estimate is the MIN
+    cell count (≥ the true count; over-estimate bounded by εN with
+    ε = e/width at the usual analysis).  Missing cells read 0.  The join
+    is (row, bucket)-keyed onto the depth·width-row sketch — broadcast by
+    construction.  Output: (value, out_col)."""
+    ssdf = _sdf(sketch)
+    qsdf = _sdf(queries)
+    d, w = int(depth), int(width)
+    cells = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda r: F.struct(
+                r.cast("int").alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(seed)),
+                                    r.cast("string"),
+                                    F.lit("|"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(w)
+                ).cast("int").alias("bucket"),
+            ),
+        )
+    )
+    probed = qsdf.select(F.col(value_col).alias("value"), cells.alias("rb")).select(
+        "value", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    out = (
+        probed.join(F.broadcast(ssdf), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["kmv_distinct", "cms_build", "cms_query"])

@@ -1,0 +1,266 @@
+"""Round-7 operators: KMV / count-min sketches, MAD outliers, log-rank
+test, Zipf fit, profile drift diff, Holt forecast, Bradley-Terry."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def rows(lf):
+    return [tuple(r) for r in lf.collect().rows()]
+
+
+class TestKmv:
+    def test_exact_under_k(self, spark):
+        from polars_net_spark.operators.sketches import kmv_distinct
+
+        d = spark.range(50).selectExpr("id as v")
+        assert rows(kmv_distinct(d, "v", k=256)) == [(50, 50)]
+
+    def test_estimate_within_error(self, spark):
+        from polars_net_spark.operators.sketches import kmv_distinct
+
+        d = spark.range(100_000).selectExpr("id % 20000 as v")
+        (_, est), = rows(kmv_distinct(d, "v", k=512))
+        # se ~ 1/sqrt(k-2) ~ 4.4%; allow 4 sigma
+        assert abs(est - 20000) / 20000 < 0.18
+
+    def test_keyed_and_deterministic(self, spark):
+        from polars_net_spark.operators.sketches import kmv_distinct
+
+        d = spark.range(5000).selectExpr("id % 997 as v", "id % 3 as g")
+        a = sorted(rows(kmv_distinct(d, "v", by="g", k=64)))
+        b = sorted(rows(kmv_distinct(d.repartition(13), "v", by="g", k=64)))
+        assert a == b and len(a) == 3
+        for _, n, est in a:
+            assert n == 64 and est > 0
+
+    def test_k_validation(self, spark):
+        from polars_net_spark.operators.sketches import kmv_distinct
+
+        with pytest.raises(ValueError):
+            kmv_distinct(spark.range(3), "id", k=1)
+
+
+class TestCms:
+    def test_overestimate_bound_and_hits(self, spark):
+        from polars_net_spark.operators.sketches import cms_build, cms_query
+
+        d = spark.range(2000).selectExpr("id % 100 as v")
+        sk = cms_build(d, "v", depth=4, width=4096)
+        q = spark.createDataFrame([(0,), (5,), (777,)], "v long")
+        out = dict(
+            (r[0], r[1]) for r in rows(cms_query(sk, q, "v", depth=4, width=4096))
+        )
+        # wide sketch, 100 distinct values: collisions vanishingly rare
+        assert out[0] == 20 and out[5] == 20
+        assert out[777] >= 0  # unseen value: min cell may be 0 or a collision
+        # CMS never underestimates
+        assert all(v >= 0 for v in out.values())
+
+    def test_sketch_size_bounded(self, spark):
+        from polars_net_spark.operators.sketches import cms_build
+
+        d = spark.range(10_000).selectExpr("id as v")
+        sk = cms_build(d, "v", depth=3, width=64)
+        n = sk.spark.count()
+        assert n <= 3 * 64
+        total = sk.spark.agg(F.sum("cnt")).first()[0]
+        assert total == 3 * 10_000  # each value hits every row once
+
+
+class TestMadOutliers:
+    def test_flags_outlier_keyed(self, spark):
+        from polars_net_spark.operators.analytics import mad_outliers
+
+        d = spark.createDataFrame(
+            [("a", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 50]],
+            ["g", "x"],
+        )
+        out = {(r[0], r[1]): (r[2], r[3]) for r in rows(mad_outliers(d, "x", by="g"))}
+        assert out[("a", 50.0)][1] is True
+        assert all(not flag for (g, x), (_, flag) in out.items() if x != 50.0)
+
+    def test_zero_mad_convention(self, spark):
+        from polars_net_spark.operators.analytics import mad_outliers
+
+        d = spark.createDataFrame([(5.0,)] * 6 + [(9.0,)], "x double")
+        out = rows(mad_outliers(d, "x"))
+        # >= half at the median -> MAD 0 -> null z, nothing flagged
+        assert all(r[1] is None and r[2] is False for r in out)
+
+    def test_global_plan_no_data_sized_single_partition_window(self, spark):
+        from polars_net_spark.operators.analytics import mad_outliers
+
+        d = spark.range(100).selectExpr("cast(id as double) as x")
+        lf = mad_outliers(d, "x")
+        plan = lf.spark._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # medians are aggregates, no window at all
+
+
+class TestLogRank:
+    def test_identical_groups_zero(self, spark):
+        from polars_net_spark.operators.analytics import log_rank_test
+
+        r = [("a", t, 1) for t in [1, 2, 3, 4, 5]] + [
+            ("b", t, 1) for t in [1, 2, 3, 4, 5]
+        ]
+        d = spark.createDataFrame(r, ["g", "t", "e"])
+        (n, g1, o1, e1, var, chi2), = rows(log_rank_test(d, "t", "e", "g"))
+        assert n == 10 and g1 == "a" and chi2 == 0.0 and o1 == 5 and e1 == 5.0
+
+    def test_hand_computed_separated(self, spark):
+        from polars_net_spark.operators.analytics import log_rank_test
+
+        r = [("a", t, 1) for t in [1, 1, 2, 2, 3]] + [
+            ("b", t, 1) for t in [8, 9, 9, 10, 11]
+        ]
+        d = spark.createDataFrame(r, ["g", "t", "e"])
+        (n, g1, o1, e1, var, chi2), = rows(log_rank_test(d, "t", "e", "g"))
+        # hand computation: E1 = 1 + 0.75 + 1/6; V = 4/9*... (see docstring)
+        assert o1 == 5
+        assert e1 == pytest.approx(1.916667, abs=1e-6)
+        assert var == pytest.approx(0.985119, abs=1e-6)
+        assert chi2 == pytest.approx(9.650554, abs=1e-5)
+
+    def test_censoring_reduces_at_risk(self, spark):
+        from polars_net_spark.operators.analytics import log_rank_test
+
+        # censored subjects count in at-risk until their time, add no events
+        r = [("a", 1, 1), ("a", 2, 0), ("b", 3, 1), ("b", 4, 0)]
+        d = spark.createDataFrame(r, ["g", "t", "e"])
+        (n, g1, o1, e1, var, chi2), = rows(log_rank_test(d, "t", "e", "g"))
+        assert n == 4 and o1 == 1
+        # t=1: n1=2, n=4 -> E1 += 0.5 ; t=3: n1=0, n=2 -> E1 += 0
+        assert e1 == pytest.approx(0.5)
+
+    def test_requires_two_groups(self, spark):
+        from polars_net_spark.operators.analytics import log_rank_test
+
+        d = spark.createDataFrame([("a", 1, 1)], ["g", "t", "e"])
+        with pytest.raises(ValueError, match="exactly 2 groups"):
+            log_rank_test(d, "t", "e", "g")
+
+
+class TestZipf:
+    def test_recovers_slope_minus_one(self, spark):
+        from polars_net_spark.llm.text import zipf_fit
+
+        words = []
+        for i in range(1, 101):
+            words += [f"w{i:03d}"] * max(1, 1000 // i)
+        d = spark.createDataFrame([(" ".join(words),)], "text string")
+        (n, slope, intercept, r2), = rows(zipf_fit(d))
+        assert n == 100
+        assert slope == pytest.approx(-1.0, abs=0.05)
+        assert r2 > 0.99
+
+    def test_single_term_degenerate(self, spark):
+        from polars_net_spark.llm.text import zipf_fit
+
+        d = spark.createDataFrame([("hello hello hello",)], "text string")
+        (n, slope, intercept, r2), = rows(zipf_fit(d))
+        assert n == 1 and slope is None and r2 is None
+
+
+class TestProfileDiff:
+    def test_null_flood_and_cardinality_collapse(self, spark):
+        from polars_net_spark.operators.describe import profile_diff
+
+        a = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", None), (3, "x", 3.0)], "id int, c string, v double"
+        )
+        b = spark.createDataFrame([(1, None, None), (2, None, None)], "id int, c string, v double")
+        out = {r[0]: r[1:] for r in rows(profile_diff(a, b))}
+        assert out["c"][2:5] == (0.0, 1.0, 1.0)        # null rate 0 -> 1
+        assert out["c"][7] == 0.0                       # distinct collapse
+        assert out["id"][-1] is False                   # mode unchanged
+        assert out["v"][-1] is True
+
+    def test_added_dropped_columns_surface(self, spark):
+        from polars_net_spark.operators.describe import profile_diff
+
+        a = spark.createDataFrame([(1, "p")], "id int, old_col string")
+        b = spark.createDataFrame([(1, 2.0)], "id int, new_col double")
+        out = {r[0]: r for r in rows(profile_diff(a, b))}
+        assert out["old_col"][2] is None  # n_cur null
+        assert out["new_col"][1] is None  # n_ref null
+        assert "id" in out
+
+
+class TestHoltForecast:
+    def test_ses_constant_series(self, spark):
+        from polars_net_spark.operators.analytics import holt_forecast
+
+        d = spark.createDataFrame([(t, 7.0) for t in range(10)], ["t", "v"])
+        (n, level, trend, fc), = rows(holt_forecast(d, "v", "t", alpha=0.3))
+        assert n == 10 and level == 7.0 and trend == 0.0 and fc == 7.0
+
+    def test_holt_linear_exact(self, spark):
+        from polars_net_spark.operators.analytics import holt_forecast
+
+        d = spark.createDataFrame(
+            [("a", t, 2.0 * t + 1.0) for t in range(10)], ["g", "t", "v"]
+        )
+        (g, n, level, trend, fc), = rows(
+            holt_forecast(d, "v", "t", by="g", alpha=0.4, beta=0.3, horizon=3)
+        )
+        # Holt is exact on a noiseless line: level = last value, trend = slope
+        assert (level, trend, fc) == (19.0, 2.0, 25.0)
+
+    def test_holt_needs_two_points(self, spark):
+        from polars_net_spark.operators.analytics import holt_forecast
+
+        d = spark.createDataFrame([(0, 5.0)], ["t", "v"])
+        (n, level, trend, fc), = rows(holt_forecast(d, "v", "t", alpha=0.5, beta=0.5))
+        assert n == 1 and level is None and fc is None
+
+    def test_order_insensitive_to_partitioning(self, spark):
+        from polars_net_spark.operators.analytics import holt_forecast
+
+        import random
+
+        vals = [(t, float(((t * 37) % 11))) for t in range(50)]
+        shuffled = list(vals)
+        random.Random(7).shuffle(shuffled)
+        d1 = spark.createDataFrame(vals, ["t", "v"])
+        d2 = spark.createDataFrame(shuffled, ["t", "v"]).repartition(7)
+        assert rows(holt_forecast(d1, "v", "t", alpha=0.5, beta=0.5)) == rows(
+            holt_forecast(d2, "v", "t", alpha=0.5, beta=0.5)
+        )
+
+    def test_alpha_validation(self, spark):
+        from polars_net_spark.operators.analytics import holt_forecast
+
+        with pytest.raises(ValueError):
+            holt_forecast(spark.range(3), "id", "id", alpha=0.0)
+
+
+class TestBradleyTerry:
+    def test_transitive_ordering(self, spark):
+        from polars_net_spark.llm.preference import bradley_terry
+
+        r = (
+            [("A", "B")] * 9 + [("B", "A")] + [("B", "C")] * 9 + [("C", "B")]
+            + [("A", "C")] * 9 + [("C", "A")]
+        )
+        d = spark.createDataFrame(r, "chosen string, rejected string")
+        out = sorted(rows(bradley_terry(d, iterations=8)))
+        assert out[0][0] == "A" and out[0][3] > out[1][3] > out[2][3]
+        assert sum(x[3] for x in out) == pytest.approx(1.0, abs=1e-4)
+
+    def test_symmetric_equal_scores(self, spark):
+        from polars_net_spark.llm.preference import bradley_terry
+
+        r = [("A", "B")] * 5 + [("B", "A")] * 5
+        d = spark.createDataFrame(r, "chosen string, rejected string")
+        out = dict((x[0], x[3]) for x in rows(bradley_terry(d)))
+        assert out["A"] == pytest.approx(out["B"])
+
+    def test_zero_win_item(self, spark):
+        from polars_net_spark.llm.preference import bradley_terry
+
+        r = [("A", "B")] * 4
+        d = spark.createDataFrame(r, "chosen string, rejected string")
+        out = dict((x[0], x[3]) for x in rows(bradley_terry(d, iterations=4)))
+        assert out["B"] == 0.0 and out["A"] == pytest.approx(1.0)
