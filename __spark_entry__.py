@@ -9478,6 +9478,405 @@ FROM nn, q, cov
 # ---------------------------------------------------------------------------
 
 
+
+
+# ---------------------------------------------------------------------------
+# round 7: deterministic sketches, survival testing, corpus power law,
+# snapshot drift, forecasting, preference fitting
+
+
+def _q281(spark, sf_dir):
+    """KMV bottom-k cardinality (operators/sketches.py kmv_distinct): the
+    DETERMINISTIC distinct-count sketch — md5 hashes, per-batch k-min via
+    Arrow-batched mapInPandas (raw values never shuffle), bounded
+    TakeOrdered merge, (k-1)/u_k estimator.  Unlike HLL binaries this
+    replays bit-for-bit on any engine — hence a full hash oracle."""
+    from polars_net_spark.operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", k=256).spark
+
+
+_q281_sql = """
+WITH h AS (SELECT DISTINCT md5('kmv|' || CAST(l_partkey AS VARCHAR)) AS hs
+           FROM lineitem WHERE l_partkey IS NOT NULL),
+k AS (SELECT hs FROM h ORDER BY hs LIMIT 256),
+s AS (SELECT count(*) AS n, max(hs) AS hk FROM k),
+u AS (SELECT n, list_reduce(list_transform(generate_series(1, 13),
+           i -> strpos('0123456789abcdef', substr(hk, i, 1)) - 1),
+           (a, x) -> a * 16 + x) / power(16, 13) AS uk FROM s)
+SELECT CAST(n AS BIGINT) AS n_min_hashes,
+       CAST(round(CASE WHEN n < 256 THEN n ELSE 255 / uk END) AS BIGINT)
+         AS approx_distinct
+FROM u
+"""
+
+
+def _q282(spark, sf_dir):
+    """Per-key KMV (kmv_distinct by=): one map-side-combining
+    slice(array_sort(collect_set)) aggregate per return flag — the
+    grouped-cardinality shape that replaces per-group count_distinct
+    re-shuffles at 100 TB."""
+    from polars_net_spark.operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", k=128, by="l_returnflag").spark
+
+
+_q282_sql = """
+WITH h AS (SELECT DISTINCT l_returnflag AS g,
+                  md5('kmv|' || CAST(l_partkey AS VARCHAR)) AS hs
+           FROM lineitem WHERE l_partkey IS NOT NULL),
+r AS (SELECT g, hs, row_number() OVER (PARTITION BY g ORDER BY hs) AS rn FROM h),
+k AS (SELECT g, count(*) AS n, max(hs) AS hk FROM r WHERE rn <= 128 GROUP BY g),
+u AS (SELECT g, n, list_reduce(list_transform(generate_series(1, 13),
+           i -> strpos('0123456789abcdef', substr(hk, i, 1)) - 1),
+           (a, x) -> a * 16 + x) / power(16, 13) AS uk FROM k)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_min_hashes,
+       CAST(round(CASE WHEN n < 128 THEN n ELSE 127 / uk END) AS BIGINT)
+         AS approx_distinct
+FROM u
+"""
+
+
+def _q283(spark, sf_dir):
+    """Count-min point-frequency estimates (operators/sketches.py
+    cms_build + cms_query): the sketch table is depth x width rows no
+    matter the corpus size, md5-seeded so the estimate is a deterministic
+    function of the data — the bounded-memory frequency primitive."""
+    from polars_net_spark.operators.sketches import cms_build, cms_query
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cms_build(li, "l_suppkey", depth=3, width=512)
+    q = spark.range(1, 11).selectExpr("id as l_suppkey")
+    return cms_query(sk, q, "l_suppkey", depth=3, width=512).spark
+
+
+_q283_sql = """
+WITH rs AS (SELECT unnest(generate_series(0, 2)) AS r),
+sk AS (
+  SELECT r, bucket, count(*) AS cnt FROM (
+    SELECT rs.r,
+           list_reduce(list_transform(generate_series(1, 13),
+                i -> strpos('0123456789abcdef',
+                     substr(md5('cms' || CAST(rs.r AS VARCHAR) || '|' ||
+                                CAST(l_suppkey AS VARCHAR)), i, 1)) - 1),
+                (a, x) -> a * 16 + x) % 512 AS bucket
+    FROM lineitem, rs WHERE l_suppkey IS NOT NULL)
+  GROUP BY 1, 2),
+q AS (SELECT unnest(generate_series(1, 10)) AS value),
+probe AS (
+  SELECT q.value, rs.r,
+         list_reduce(list_transform(generate_series(1, 13),
+              i -> strpos('0123456789abcdef',
+                   substr(md5('cms' || CAST(rs.r AS VARCHAR) || '|' ||
+                              CAST(q.value AS VARCHAR)), i, 1)) - 1),
+              (a, x) -> a * 16 + x) % 512 AS bucket
+  FROM q, rs)
+SELECT value, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+FROM probe LEFT JOIN sk USING (r, bucket)
+GROUP BY value
+"""
+
+
+def _q284(spark, sf_dir):
+    """Robust outlier screen (operators/analytics.py mad_outliers):
+    modified z = 0.6745(x - median)/MAD per event type, flagged > 3.5 --
+    the data-quality gate that outliers cannot drag (unlike mean/sigma)."""
+    from polars_net_spark.operators.analytics import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev.spark, "value", by="event_type")
+    return (
+        out.spark.filter(F.col("is_outlier"))
+        .select("event_id", "event_type", "robust_z")
+    )
+
+
+_q284_sql = """
+WITH med AS (SELECT event_type, median(value) AS m FROM events
+             WHERE value IS NOT NULL GROUP BY 1),
+mad AS (SELECT e.event_type, median(abs(e.value - med.m)) AS s
+        FROM events e JOIN med USING (event_type)
+        WHERE e.value IS NOT NULL GROUP BY 1),
+z AS (SELECT e.event_id, e.event_type,
+             CASE WHEN mad.s > 0
+                  THEN 0.6745::DOUBLE * (e.value - med.m) / mad.s END AS rz
+      FROM events e JOIN med USING (event_type) JOIN mad USING (event_type))
+SELECT event_id, event_type, round(rz, 6) AS robust_z
+FROM z WHERE abs(rz) > 3.5
+"""
+
+
+def _q285(spark, sf_dir):
+    """Two-sample log-rank test (operators/analytics.py log_rank_test):
+    urgent-priority vs other orders' time-to-finalization with
+    open orders right-censored; at-risk running sums ride distsort
+    prefix offsets (survival_curve's global shape), one 1-row reduce."""
+    from polars_net_spark.operators.analytics import log_rank_test
+
+    o = _t(spark, sf_dir, "orders").spark
+    d = o.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("t"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("e"),
+        F.when(F.col("o_orderpriority").startswith("1"), "urgent")
+        .otherwise("other")
+        .alias("g"),
+    )
+    return log_rank_test(d, "t", "e", "g").spark
+
+
+_q285_sql = """
+WITH s AS (SELECT date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS t,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e,
+                  CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+                       ELSE 'other' END AS g
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+cells AS (SELECT t,
+                 sum(CASE WHEN g = 'other' THEN e ELSE 0 END) AS d1,
+                 sum(e) AS d,
+                 sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS m1,
+                 count(*) AS m
+          FROM s GROUP BY 1),
+tot AS (SELECT sum(m1) AS n1tot, sum(m) AS ntot FROM cells),
+ar AS (SELECT t, d1, d,
+              (n1tot - coalesce(sum(m1) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE AS n1r,
+              (ntot - coalesce(sum(m) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE AS nr
+       FROM cells, tot),
+terms AS (SELECT d1, d * n1r / nr AS e1t,
+                 CASE WHEN nr > 1
+                      THEN d * (n1r / nr) * (1 - n1r / nr) * (nr - d) / (nr - 1)
+                      ELSE 0 END AS vt
+          FROM ar WHERE d > 0),
+agg AS (SELECT sum(d1) AS o1, sum(e1t) AS e1, sum(vt) AS v FROM terms)
+SELECT (SELECT CAST(ntot AS BIGINT) FROM tot) AS n,
+       'other' AS group_one,
+       CAST(o1 AS BIGINT) AS o1,
+       round(e1, 6) AS e1,
+       round(v, 6) AS var,
+       round(CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v END, 6) AS chi2
+FROM agg
+"""
+
+
+def _q286(spark, sf_dir):
+    """Zipf's-law fit of the document corpus (llm/text.py zipf_fit):
+    global vocabulary ranks via distsort buckets + prefix offsets, one
+    fused OLS reduce -- corpus-health probe (slope ~ -1 for natural
+    language; boilerplate flattens it)."""
+    from polars_net_spark.llm.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, "text").spark
+
+
+_q286_sql = """
+WITH toks AS (
+  SELECT t.term FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  w -> length(w) > 0)) AS t(term)),
+c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, term ASC)) AS x,
+             ln(cnt) AS y
+      FROM c),
+a AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(cxy / vx, 6) AS slope,
+       round(my - (cxy / vx) * mx, 6) AS intercept,
+       round(cxy * cxy / (vx * vy), 6) AS r2
+FROM a
+"""
+
+
+def _q287(spark, sf_dir):
+    """Snapshot profile drift (operators/describe.py profile_diff):
+    even vs odd document halves compared column-by-column (null-rate
+    delta, cardinality ratio, mode change) -- the pipeline-break monitor
+    beside psi_report's distribution drift."""
+    from polars_net_spark.operators.describe import profile_diff
+
+    d = _t(spark, sf_dir, "documents").spark
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    return profile_diff(ref, cur, cols=["lang", "source", "n_chars"]).spark
+
+
+_q287_sql = """
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+mr AS (SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS value FROM ref
+       UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM ref
+       UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM ref),
+mc AS (SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS value FROM cur
+       UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM cur
+       UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM cur),
+br AS (SELECT col, count(*) AS n,
+              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn
+       FROM mr GROUP BY 1),
+bc AS (SELECT col, count(*) AS n,
+              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn
+       FROM mc GROUP BY 1),
+vr AS (SELECT col, value, count(*) AS c FROM mr WHERE value IS NOT NULL GROUP BY 1, 2),
+vc AS (SELECT col, value, count(*) AS c FROM mc WHERE value IS NOT NULL GROUP BY 1, 2),
+rr AS (SELECT col, count(*) AS nd FROM vr GROUP BY 1),
+rc AS (SELECT col, count(*) AS nd FROM vc GROUP BY 1),
+tr AS (SELECT col, value FROM (
+         SELECT col, value,
+                row_number() OVER (PARTITION BY col ORDER BY c DESC, value ASC) AS rn
+         FROM vr) WHERE rn = 1),
+tc AS (SELECT col, value FROM (
+         SELECT col, value,
+                row_number() OVER (PARTITION BY col ORDER BY c DESC, value ASC) AS rn
+         FROM vc) WHERE rn = 1)
+SELECT br.col AS "column",
+       CAST(br.n AS BIGINT) AS n_ref, CAST(bc.n AS BIGINT) AS n_cur,
+       round(br.nn::DOUBLE / br.n, 6) AS null_rate_ref,
+       round(bc.nn::DOUBLE / bc.n, 6) AS null_rate_cur,
+       round(bc.nn::DOUBLE / bc.n - br.nn::DOUBLE / br.n, 6) AS null_rate_delta,
+       CAST(rr.nd AS BIGINT) AS n_distinct_ref,
+       CAST(rc.nd AS BIGINT) AS n_distinct_cur,
+       round(CASE WHEN rr.nd > 0 THEN rc.nd::DOUBLE / rr.nd END, 6) AS distinct_ratio,
+       tr.value AS top_value_ref, tc.value AS top_value_cur,
+       coalesce(tr.value <> tc.value,
+                tr.value IS NOT NULL OR tc.value IS NOT NULL) AS top_changed
+FROM br JOIN bc USING (col)
+LEFT JOIN rr USING (col) LEFT JOIN rc USING (col)
+LEFT JOIN tr USING (col) LEFT JOIN tc USING (col)
+"""
+
+
+def _q288(spark, sf_dir):
+    """Holt linear-trend forecast per event-type series (operators/
+    analytics.py holt_forecast): the smoothing recurrence folds as one
+    codegen array expression over each gathered series -- per-key memory
+    contract, zero Python."""
+    from polars_net_spark.operators.analytics import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_forecast(
+        ev.spark, "value", "event_id", by="event_type",
+        alpha=0.3, beta=0.1, horizon=7,
+    ).spark
+
+
+_q288_sql = f"""
+WITH s AS (SELECT event_type, list(value ORDER BY event_id) AS xs
+           FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+           GROUP BY 1),
+f AS (SELECT event_type, len(xs) AS n,
+             list_reduce(
+               list_prepend([xs[1], xs[2] - xs[1]],
+                            list_transform(xs[2:], x -> [x, 0.0::DOUBLE])),
+               (acc, e) -> [
+                 {0.3!r}::DOUBLE * e[1] + {0.7!r}::DOUBLE * (acc[1] + acc[2]),
+                 {0.1!r}::DOUBLE * (({0.3!r}::DOUBLE * e[1]
+                     + {0.7!r}::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + {0.9!r}::DOUBLE * acc[2]]) AS lb
+      FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(lb[1], 6) AS level, round(lb[2], 6) AS trend,
+       round(lb[1] + 7.0::DOUBLE * lb[2], 6) AS forecast
+FROM f
+"""
+
+
+def _q289(spark, sf_dir):
+    """Bradley-Terry brand preference strengths (llm/preference.py
+    bradley_terry): each order's first two line items stage a pairwise
+    'which brand won the bigger line' comparison; 6 MM rounds of
+    item-keyed joins fit the strengths (pagerank-shaped, deterministic
+    by fixed iteration count -- the oracle replays the rounds
+    unrolled)."""
+    from pyspark.sql import Window as W
+
+    from polars_net_spark.llm.preference import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    pt = _t(spark, sf_dir, "part").spark
+    st = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_linenumber").alias("ln"),
+            F.col("p_brand").alias("brand"), F.col("l_extendedprice").alias("price"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o").orderBy("ln", "brand", "price")
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    pair = st.groupBy("o").agg(
+        F.max(F.when(F.col("rn") == 1, F.struct("brand", "price"))).alias("r1"),
+        F.max(F.when(F.col("rn") == 2, F.struct("brand", "price"))).alias("r2"),
+    ).filter(
+        F.col("r2").isNotNull()
+        & (F.col("r1.brand") != F.col("r2.brand"))
+        & (F.col("r1.price") != F.col("r2.price"))
+    )
+    pf = pair.select(
+        F.when(F.col("r1.price") > F.col("r2.price"), F.col("r1.brand"))
+        .otherwise(F.col("r2.brand")).alias("chosen"),
+        F.when(F.col("r1.price") > F.col("r2.price"), F.col("r2.brand"))
+        .otherwise(F.col("r1.brand")).alias("rejected"),
+    )
+    return bradley_terry(pf, iterations=6).spark
+
+
+def _bt_oracle_sql(iterations: int = 6) -> str:
+    rounds = []
+    for r in range(1, iterations + 1):
+        prev = "p0" if r == 1 else f"p{r - 1}"
+        rounds.append(f"""
+d{r} AS MATERIALIZED (SELECT item, sum(t) AS dn FROM (
+   SELECT e.a AS item, e.n / (pa.p + pb.p) AS t
+   FROM edges e JOIN {prev} pa ON e.a = pa.item JOIN {prev} pb ON e.b = pb.item
+   UNION ALL
+   SELECT e.b, e.n / (pa.p + pb.p)
+   FROM edges e JOIN {prev} pa ON e.a = pa.item JOIN {prev} pb ON e.b = pb.item
+ ) GROUP BY 1),
+p{r} AS MATERIALIZED (SELECT items.item, items.wins::DOUBLE / d{r}.dn AS p
+         FROM items JOIN d{r} USING (item))""")
+    return f"""
+WITH st AS (SELECT l_orderkey AS o, p_brand AS brand, l_extendedprice AS price,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, p_brand,
+                                               l_extendedprice) AS rn
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+pair AS (SELECT o,
+          max(CASE WHEN rn = 1 THEN brand END) AS b1,
+          max(CASE WHEN rn = 1 THEN price END) AS p1,
+          max(CASE WHEN rn = 2 THEN brand END) AS b2,
+          max(CASE WHEN rn = 2 THEN price END) AS p2
+         FROM st WHERE rn <= 2 GROUP BY o),
+pf AS (SELECT CASE WHEN p1 > p2 THEN b1 ELSE b2 END AS w,
+              CASE WHEN p1 > p2 THEN b2 ELSE b1 END AS l
+       FROM pair WHERE b2 IS NOT NULL AND b1 <> b2 AND p1 <> p2),
+edges AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b, count(*) AS n,
+                 sum(CASE WHEN w = least(w, l) THEN 1 ELSE 0 END) AS wa
+          FROM pf GROUP BY 1, 2),
+items AS MATERIALIZED (SELECT item, sum(n) AS nc, sum(wins) AS wins FROM (
+            SELECT a AS item, n, wa AS wins FROM edges
+            UNION ALL SELECT b, n, n - wa FROM edges)
+          GROUP BY 1),
+p0 AS MATERIALIZED (SELECT item, 1.0::DOUBLE AS p FROM items),{",".join(rounds)},
+tot AS (SELECT sum(p) AS tp FROM p{iterations})
+SELECT items.item, CAST(items.nc AS BIGINT) AS n_comparisons,
+       CAST(items.wins AS BIGINT) AS wins,
+       round(CASE WHEN tot.tp > 0 THEN pn.p / tot.tp ELSE 0 END, 6) AS score
+FROM items JOIN p{iterations} pn USING (item), tot
+"""
+
+
+_q289_sql = _bt_oracle_sql(6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -9760,6 +10159,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_cohens_d": _q278,
         "q279_brier_decomposition": _q279,
         "q280_lorenz": _q280,
+        "q281_kmv_distinct": _q281,
+        "q282_kmv_grouped": _q282,
+        "q283_cms_freq": _q283,
+        "q284_mad_outliers": _q284,
+        "q285_log_rank": _q285,
+        "q286_zipf_fit": _q286,
+        "q287_profile_diff": _q287,
+        "q288_holt_forecast": _q288,
+        "q289_bradley_terry": _q289,
     }
 
 
@@ -10045,4 +10453,13 @@ def oracle_sql() -> dict[str, str]:
         "q278_cohens_d": _q278_sql,
         "q279_brier_decomposition": _q279_sql,
         "q280_lorenz": _q280_sql,
+        "q281_kmv_distinct": _q281_sql,
+        "q282_kmv_grouped": _q282_sql,
+        "q283_cms_freq": _q283_sql,
+        "q284_mad_outliers": _q284_sql,
+        "q285_log_rank": _q285_sql,
+        "q286_zipf_fit": _q286_sql,
+        "q287_profile_diff": _q287_sql,
+        "q288_holt_forecast": _q288_sql,
+        "q289_bradley_terry": _q289_sql,
     }

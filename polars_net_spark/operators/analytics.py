@@ -2013,13 +2013,17 @@ def log_rank_test(
     nr = F.lit(float(tot["m"])) - (
         F.col("__off_m__") + F.coalesce(F.sum("m").over(wexcl), F.lit(0))
     )
-    p1 = n1r / nr
+    # materialize the at-risk window columns BEFORE the d>0 filter — the
+    # cumulative entry counts must run over ALL distinct times, including
+    # censoring-only ones
+    ar = offs.select("d1", "d", n1r.alias("__n1r__"), nr.alias("__nr__"))
+    p1 = F.col("__n1r__") / F.col("__nr__")
     e1t = F.col("d") * p1
     vt = F.when(
-        nr > 1,
-        F.col("d") * p1 * (1 - p1) * (nr - F.col("d")) / (nr - 1),
+        F.col("__nr__") > 1,
+        F.col("d") * p1 * (1 - p1) * (F.col("__nr__") - F.col("d")) / (F.col("__nr__") - 1),
     ).otherwise(F.lit(0.0))
-    staged = offs.filter(F.col("d") > 0).select(
+    staged = ar.filter(F.col("d") > 0).select(
         F.col("d1").alias("__o1__"), e1t.alias("__e1__"), vt.alias("__v__")
     )
     agg = staged.agg(
@@ -2032,7 +2036,7 @@ def log_rank_test(
         (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("var"),
     )
     out = agg.select(
-        F.lit(int(tot["m"])).alias("n"),
+        F.lit(int(tot["m"])).cast("long").alias("n"),
         F.lit(g1).alias("group_one"),
         F.col("o1").cast("long").alias("o1"),
         F.round("e1", round_to).alias("e1"),

@@ -573,6 +573,38 @@ CHECKS = {
         ("!", "Exchange", "serving is pure map-side quadratic-form Column math"),
         ("!", "EvalPython", "no Python in the serving path"),
     ],
+    # r7: deterministic sketches, survival test, power-law fit, forecast fold
+    "q281_kmv_distinct": [
+        ("MapInPandas", "per-batch k-min is Arrow-batched mapInPandas"),
+        ("!", "BatchEvalPython", "no row-at-a-time Python"),
+        ("TakeOrderedAndProject", "global bottom-k merges via TakeOrdered, never a full sort"),
+    ],
+    "q282_kmv_grouped": [
+        ("partial_collect_set", "per-key hash sets combine map-side"),
+        ("!", "EvalPython", "keyed path is pure Column math"),
+    ],
+    "q283_cms_freq": [
+        ("partial_count", "sketch cell counts combine map-side"),
+        ("!", "CartesianProduct", "probe meets sketch via (row, bucket) equi-join"),
+    ],
+    "q284_mad_outliers": [
+        ("!", "Window", "medians are aggregates - no window at all"),
+        ("!", "EvalPython", "pure Column math"),
+    ],
+    "q285_log_rank": [
+        ("windowspecdefinition(__gb__", "at-risk cumulants ride a bucket-keyed window, never a global one"),
+    ],
+    "q286_zipf_fit": [
+        ("windowspecdefinition(__gb__", "vocabulary ranks ride a bucket-keyed window"),
+        ("partial_count", "term counts combine map-side"),
+    ],
+    "q288_holt_forecast": [
+        ("!", "EvalPython", "smoothing fold is a codegen array expression, no Python"),
+        ("partial_collect_list", "series gather combines map-side"),
+    ],
+    "q289_bradley_terry": [
+        ("!", "CartesianProduct", "MM rounds are item-keyed equi-joins"),
+    ],
 }
 
 
@@ -650,6 +682,7 @@ def main() -> None:
         "q269_fk_integrity",        # four 1-row audit scalars meet in bounded broadcasts
         "q274_kendall_tau",         # |cells|^2 x-order self-join, bounded by joint cardinality (chi2-margins contract)
         "q275_cramers_v",           # chi2 margins grid + 1-row cardinality attach (q191 class)
+        "q289_bradley_terry",       # 1-row score-total attach for normalization
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
