@@ -9877,6 +9877,167 @@ FROM items JOIN p{iterations} pn USING (item), tot
 _q289_sql = _bt_oracle_sql(6)
 
 
+
+
+def _q290(spark, sf_dir):
+    """One-way ANOVA F-test (operators/regression.py anova_oneway): does
+    mean event value differ across the 5 event types?  ONE group-keyed
+    map-side-combining aggregate + a bounded k-row reduce."""
+    from polars_net_spark.operators.regression import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev.spark, "event_type", "value").spark
+
+
+_q290_sql = """
+WITH g AS (SELECT event_type,
+                  count(*) AS ng, avg(value) AS mg,
+                  var_pop(value) * count(*) AS ssw_g
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
+red AS (SELECT count(*) AS k, sum(ng) AS n, sum(ng * mg) AS sw,
+               sum(ng * mg * mg) AS sww, sum(ssw_g) AS ssw
+        FROM g),
+c AS (SELECT k, n, ssw, sww - n * (sw / n) * (sw / n) AS ssb FROM red)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                  THEN (ssb / (k - 1)) / (ssw / (n - k)) END, 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+FROM c
+"""
+
+
+def _q291(spark, sf_dir):
+    """Information-gain feature screen (operators/regression.py
+    info_gain_report): which of line status / quantity decile carries
+    information about the return flag?  One melt + map-side-combining
+    counts + bounded rollups (profile_frame's shuffle shape) — the label
+    leakage hunt at feature-screen scale."""
+    from polars_net_spark.operators.regression import info_gain_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    staged = li.select(
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.floor(F.col("l_quantity") / 10).cast("int").alias("qbucket"),
+    )
+    return info_gain_report(staged, ["l_linestatus", "qbucket"], "l_returnflag").spark
+
+
+_q291_sql = """
+WITH base AS (SELECT CAST(l_returnflag AS VARCHAR) AS y,
+                     coalesce(CAST(l_linestatus AS VARCHAR), '__null__') AS f1,
+                     coalesce(CAST(CAST(floor(l_quantity / 10) AS INT) AS VARCHAR),
+                              '__null__') AS f2
+              FROM lineitem WHERE l_returnflag IS NOT NULL),
+melted AS (SELECT 'l_linestatus' AS feature, f1 AS value, y FROM base
+           UNION ALL SELECT 'qbucket', f2, y FROM base),
+cell AS (SELECT feature, value, y, count(*) AS c FROM melted GROUP BY 1, 2, 3),
+vtot AS (SELECT feature, value, sum(c) AS cv FROM cell GROUP BY 1, 2),
+hv AS (SELECT cell.feature, cell.value,
+              -sum((c::DOUBLE / cv) * ln(c::DOUBLE / cv)) AS hv,
+              max(cv) AS cv
+       FROM cell JOIN vtot USING (feature, value) GROUP BY 1, 2),
+ftot AS (SELECT feature, sum(cv) AS cf FROM vtot GROUP BY 1),
+pf AS (SELECT hv.feature, max(cf) AS n,
+              sum(cv * hv.hv) / max(cf) AS h_cond,
+              -sum((cv::DOUBLE / cf) * ln(cv::DOUBLE / cf)) AS h_feat
+       FROM hv JOIN ftot USING (feature) GROUP BY 1),
+ytot AS (SELECT y, count(*) AS c FROM base GROUP BY 1),
+hy AS (SELECT -sum((c::DOUBLE / tc) * ln(c::DOUBLE / tc)) AS h_label
+       FROM ytot, (SELECT sum(c) AS tc FROM ytot))
+SELECT feature, CAST(n AS BIGINT) AS n,
+       round(h_label, 6) AS h_label,
+       round(h_cond, 6) AS h_cond,
+       round(h_label - h_cond, 6) AS info_gain,
+       round(CASE WHEN h_feat > 0 THEN (h_label - h_cond) / h_feat END, 6)
+         AS gain_ratio
+FROM pf, hy
+"""
+
+
+def _q292(spark, sf_dir):
+    """Degree summary + assortativity (operators/graph.py degree_report)
+    of the supplier-part bipartite graph: one degree aggregate + two
+    node-keyed joins + one fused corr reduce — the structural health
+    check beside triangle_count.  Node ids disambiguate with an s/p
+    prefix so the two key spaces cannot collide."""
+    from polars_net_spark.operators.graph import degree_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return degree_report(edges).spark
+
+
+_q292_sql = """
+WITH canon AS (SELECT DISTINCT
+                 least('s' || CAST(l_suppkey AS VARCHAR),
+                       'p' || CAST(l_partkey AS VARCHAR)) AS a,
+                 greatest('s' || CAST(l_suppkey AS VARCHAR),
+                          'p' || CAST(l_partkey AS VARCHAR)) AS b
+               FROM lineitem
+               WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+deg AS (SELECT v, count(*) AS deg FROM (
+          SELECT a AS v FROM canon UNION ALL SELECT b FROM canon)
+        GROUP BY 1),
+ends AS (SELECT a AS u, b AS w FROM canon UNION ALL SELECT b, a FROM canon),
+j AS (SELECT du.deg AS du, dw.deg AS dw
+      FROM ends JOIN deg du ON ends.u = du.v JOIN deg dw ON ends.w = dw.v),
+r AS (SELECT corr(du::DOUBLE, dw::DOUBLE) AS r FROM j),
+ds AS (SELECT count(*) AS n_nodes, sum(deg) / 2 AS n_edges,
+              avg(deg) AS mean_degree, max(deg) AS max_degree
+       FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+       round(mean_degree, 6) AS mean_degree,
+       CAST(max_degree AS BIGINT) AS max_degree,
+       round(r.r, 6) AS assortativity
+FROM ds, r
+"""
+
+
+def _q293(spark, sf_dir):
+    """Always-valid mSPRT (operators/regression.py msprt_report): peek at
+    the running event-value mean against mu0=45 at every observation
+    without inflating type-I error; the running S_k cumulants ride
+    distsort prefix offsets, the max_k reduce is one 1-row aggregate,
+    and the likelihood ratio stays in LOG space."""
+    from polars_net_spark.operators.regression import msprt_report
+
+    ev = _t(spark, sf_dir, "events")
+    return msprt_report(ev.spark, "value", "event_id", mu0=45.0, tau=1.0).spark
+
+
+_q293_sql = """
+WITH base AS (SELECT event_id AS o, value - 45.0::DOUBLE AS d
+              FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+stats AS (SELECT count(*) AS n, var_samp(d) AS s2 FROM base),
+run AS (SELECT o,
+               sum(d) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) AS s_k,
+               count(*) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) AS k
+        FROM base),
+lam AS (SELECT s_k, k,
+               0.5::DOUBLE * ln(s2 / (s2 + k * 1.0::DOUBLE))
+               + 1.0::DOUBLE * s_k * s_k
+                 / (2.0::DOUBLE * s2 * (s2 + k * 1.0::DOUBLE)) AS ll
+        FROM run, stats),
+red AS (SELECT max(ll) AS llm,
+               max_by(s_k, k) AS s_n
+        FROM lam)
+SELECT (SELECT CAST(n AS BIGINT) FROM stats) AS n,
+       round(s_n, 6) AS s_n,
+       round((SELECT sqrt(s2) FROM stats), 6) AS sigma,
+       round(llm, 6) AS log_lambda_max,
+       round(least(1.0::DOUBLE, exp(-llm)), 6) AS always_valid_p,
+       least(1.0::DOUBLE, exp(-llm)) < 0.05::DOUBLE AS reject
+FROM red
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10168,6 +10329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_profile_diff": _q287,
         "q288_holt_forecast": _q288,
         "q289_bradley_terry": _q289,
+        "q290_anova": _q290,
+        "q291_info_gain": _q291,
+        "q292_degree_report": _q292,
+        "q293_msprt": _q293,
     }
 
 
@@ -10462,4 +10627,8 @@ def oracle_sql() -> dict[str, str]:
         "q287_profile_diff": _q287_sql,
         "q288_holt_forecast": _q288_sql,
         "q289_bradley_terry": _q289_sql,
+        "q290_anova": _q290_sql,
+        "q291_info_gain": _q291_sql,
+        "q292_degree_report": _q292_sql,
+        "q293_msprt": _q293_sql,
     }

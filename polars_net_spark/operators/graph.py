@@ -247,3 +247,65 @@ def label_propagation(
 
 
 __all__.append("label_propagation")
+
+
+def degree_report(
+    edges: "LazyFrame | SparkDF",
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Degree summary + degree assortativity of an undirected graph
+    (Newman 2002): assortativity is the Pearson correlation of the two
+    endpoint degrees over every edge counted in BOTH directions (the
+    standard convention) — positive means hubs attach to hubs (social
+    graphs), negative means hub-and-spoke (the web, infrastructure).
+    The one-row structural health check to sit beside triangle_count.
+
+    Edges canonicalize as in triangle_count (loops drop, duplicates and
+    reversals collapse).  Shuffle shape: one degree aggregate + two
+    node-keyed joins to attach endpoint degrees + one fused 1-row corr
+    reduce — all map-side combining.  Output (1 row): n_nodes, n_edges,
+    mean_degree, max_degree, assortativity (null on degree-regular
+    graphs, where the correlation is undefined)."""
+    esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    canon = (
+        esdf.filter(
+            F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+        )
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .union(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    both = canon.select(F.col("a").alias("u"), F.col("b").alias("w")).union(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    joined = (
+        both.join(deg.select(F.col("v").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("v").alias("w"), F.col("deg").alias("dw")), "w")
+    )
+    stats = joined.agg(
+        F.corr(F.col("du").cast("double"), F.col("dw").cast("double")).alias("r"),
+    )
+    dstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).alias("n_edges"),
+        F.avg("deg").alias("mean_degree"),
+        F.max("deg").alias("max_degree"),
+    )
+    out = dstats.join(F.broadcast(stats)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round("mean_degree", round_to).alias("mean_degree"),
+        F.col("max_degree").cast("long").alias("max_degree"),
+        F.round("r", round_to).alias("assortativity"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("degree_report")

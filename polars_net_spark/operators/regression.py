@@ -1605,3 +1605,220 @@ def cohens_d(
 
 
 __all__.extend(["mcnemar_test", "cohens_d"])
+
+
+def anova_oneway(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """One-way ANOVA F-test (Fisher): does the metric mean differ across
+    k groups?  F = (SSB/(k−1)) / (SSW/(n−k)) with the usual between/within
+    sum-of-squares split; η² = SSB/SST is the effect size.  The k-group
+    generalization of welch_ttest's 2-sample question (classic ANOVA
+    assumes equal variances; use pairwise Welch post-hoc when that is in
+    doubt).
+
+    ONE group-keyed map-side-combining aggregate (per-group n/mean/M2) +
+    one bounded k-row reduce — no window, no join, no collect.  Output
+    (1 row): k, n, f_stat, df1, df2, eta_sq (f null when any df ≤ 0 or
+    SSW = 0)."""
+    sdf = _sdf(frame)
+    y = F.col(value_col).cast("double")
+    g = sdf.filter(y.isNotNull() & F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.avg(y).alias("mg"),
+        (F.var_pop(y) * F.count(F.lit(1))).alias("ssw_g"),
+    )
+    red = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(F.col("ng") * F.col("mg")).alias("sw"),
+        F.sum(F.col("ng") * F.col("mg") * F.col("mg")).alias("sww"),
+        F.sum("ssw_g").alias("ssw"),
+    )
+    grand = F.col("sw") / F.col("n")
+    ssb = F.col("sww") - F.col("n") * grand * grand
+    df1 = F.col("k") - 1
+    df2 = F.col("n") - F.col("k")
+    fstat = F.when(
+        (df1 > 0) & (df2 > 0) & (F.col("ssw") > 0),
+        (ssb / df1) / (F.col("ssw") / df2),
+    )
+    eta = F.when(
+        ssb + F.col("ssw") > 0, ssb / (ssb + F.col("ssw"))
+    )
+    out = red.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(fstat, round_to).alias("f_stat"),
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+        F.round(eta, round_to).alias("eta_sq"),
+    )
+    return LazyFrame(out)
+
+
+def info_gain_report(
+    frame: "LazyFrame | SparkDF",
+    feature_cols: "list[str]",
+    label_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Information-gain feature screen: per categorical feature,
+    IG = H(label) − Σ_v p(v)·H(label | value=v) in nats, plus the
+    gain ratio IG/H(feature) (Quinlan's split-info normalization, null
+    for constant features) — the decision-tree-era ranking that still
+    reads well on label leakage hunts (IG ≈ H(label) means the feature IS
+    the label).  Nulls in a feature form their own category; null-label
+    rows drop.
+
+    One melt (rows × |features| map-side fan-out) + (feature, value,
+    label) counts with map-side combine + two bounded rollups — same
+    shuffle shape as profile_frame.  Output per feature: (feature, n,
+    h_label, h_cond, info_gain, gain_ratio), info_gain descending."""
+    if not feature_cols:
+        raise ValueError("feature_cols must name at least one column")
+    sdf = _sdf(frame)
+    lab = F.col(label_col).cast("string")
+    base = sdf.filter(lab.isNotNull())
+    melted = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias("value"),
+                )
+                for c in feature_cols
+            ])
+        ).alias("fv"),
+        lab.alias("__y__"),
+    ).select("fv.feature", "fv.value", "__y__")
+    cell = melted.groupBy("feature", "value", "__y__").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vtot = cell.groupBy("feature", "value").agg(F.sum("c").alias("cv"))
+    # H(label | value=v) per (feature, value): -sum p log p within the cell
+    hv = (
+        cell.join(vtot, ["feature", "value"])
+        .groupBy("feature", "value")
+        .agg(
+            (-F.sum((F.col("c") / F.col("cv")) * F.log(F.col("c") / F.col("cv"))))
+            .alias("hv"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    ftot = vtot.groupBy("feature").agg(F.sum("cv").alias("cf"))
+    share = F.col("cv") / F.col("cf")
+    per_feature = (
+        hv.join(ftot, "feature")
+        .withColumn("__sh__", share)
+        .groupBy("feature")
+        .agg(
+            F.max("cf").alias("n"),
+            (F.sum(F.col("cv") * F.col("hv")) / F.max("cf")).alias("h_cond"),
+            (-F.sum(F.col("__sh__") * F.log("__sh__"))).alias("h_feat"),
+        )
+    )
+    ytot = base.groupBy(lab.alias("__y__")).agg(F.count(F.lit(1)).alias("c"))
+    ytotal = ytot.agg(F.sum("c").alias("tc"))
+    hy = (
+        ytot.join(F.broadcast(ytotal))
+        .withColumn("__sh__", F.col("c") / F.col("tc"))
+        .agg((-F.sum(F.col("__sh__") * F.log("__sh__"))).alias("h_label"))
+    )
+    ig = F.col("h_label") - F.col("h_cond")
+    out = (
+        per_feature.join(F.broadcast(hy))
+        .select(
+            "feature",
+            F.col("n").cast("long").alias("n"),
+            F.round("h_label", round_to).alias("h_label"),
+            F.round("h_cond", round_to).alias("h_cond"),
+            F.round(ig, round_to).alias("info_gain"),
+            F.round(
+                F.when(F.col("h_feat") > 0, ig / F.col("h_feat")), round_to
+            ).alias("gain_ratio"),
+        )
+        .orderBy(F.col("info_gain").desc(), F.col("feature"))
+    )
+    return LazyFrame(out)
+
+
+def msprt_report(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    mu0: float = 0.0,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Mixture sequential probability ratio test (mSPRT; Johari et al.
+    2017 'Peeking at A/B tests') — the ALWAYS-VALID test: peek at the
+    running statistic at every observation without inflating type-I
+    error.  With S_k = Σᵢ≤k (xᵢ−μ₀), σ̂² estimated from the data, and
+    mixture variance ``tau`` over the effect size, the normal-mixture
+    likelihood ratio is Λ_k = √(σ̂²/(σ̂²+k·τ)) ·
+    exp(τ·S_k² / (2·σ̂²·(σ̂²+k·τ))) (Johari et al., eq. for the normal
+    conjugate mixture), and the always-valid p-value is
+    min(1, 1/max_{k≤n} Λ_k); reject when it drops below ``alpha``.
+    Λ is carried in LOG space (no overflow on strong effects; stable
+    relative precision for cross-engine replay).
+
+    Scale shape: one 1-row σ̂ probe, then the running S_k/k cumulants
+    ride the distsort range-bucket + driver-prefix machinery (the same
+    path as every global rank statistic) and the max_k Λ_k is ONE
+    map-side-combining 1-row reduce — no single-partition window at any
+    n.  Output (1 row): n, s_n, sigma, lambda_max, always_valid_p,
+    reject."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    x = F.col(value_col).cast("double")
+    o = F.col(order_col)
+    base = sdf.filter(x.isNotNull() & o.isNotNull()).select(
+        o.alias("__o__"), (x - F.lit(float(mu0))).alias("__d__")
+    )
+    srow = base.agg(
+        F.count(F.lit(1)).alias("n"), F.var_samp("__d__").alias("v")
+    ).first()
+    n_total, sig2 = int(srow["n"]), srow["v"]
+    if not n_total or sig2 is None or sig2 <= 0:
+        raise ValueError("msprt_report needs >= 2 observations with variance > 0")
+    bucketed, gb = with_range_buckets(base, "__o__")
+    offs, tot = with_prefix_offsets(
+        bucketed, gb, {"s": F.col("__d__"), "c": F.lit(1)}
+    )
+    wrun = (
+        Window.partitionBy(gb).orderBy("__o__").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s_k = F.col("__off_s__") + F.sum("__d__").over(wrun)
+    k = F.col("__off_c__") + F.sum(F.lit(1)).over(wrun)
+    s2 = F.lit(float(sig2))
+    t = F.lit(float(tau))
+    loglam = F.lit(0.5) * F.log(s2 / (s2 + k * t)) + t * s_k * s_k / (
+        F.lit(2.0) * s2 * (s2 + k * t)
+    )
+    red = offs.select(
+        loglam.alias("__ll__"), s_k.alias("__s__"), k.alias("__k__")
+    ).agg(
+        F.max("__ll__").alias("log_lambda_max"),
+        F.max_by("__s__", "__k__").alias("s_n"),
+    )
+    pav = F.least(F.lit(1.0), F.exp(-F.col("log_lambda_max")))
+    out = red.select(
+        F.lit(n_total).cast("long").alias("n"),
+        F.round("s_n", round_to).alias("s_n"),
+        F.round(F.lit(float(sig2) ** 0.5), round_to).alias("sigma"),
+        F.round("log_lambda_max", round_to).alias("log_lambda_max"),
+        F.round(pav, round_to).alias("always_valid_p"),
+        (pav < F.lit(float(alpha))).alias("reject"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["anova_oneway", "info_gain_report", "msprt_report"])

@@ -264,3 +264,130 @@ class TestBradleyTerry:
         d = spark.createDataFrame(r, "chosen string, rejected string")
         out = dict((x[0], x[3]) for x in rows(bradley_terry(d, iterations=4)))
         assert out["B"] == 0.0 and out["A"] == pytest.approx(1.0)
+
+
+class TestAnova:
+    def test_separated_groups(self, spark):
+        from polars_net_spark.operators.regression import anova_oneway
+
+        d = spark.createDataFrame(
+            [("a", v) for v in [1.0, 2.0, 3.0]]
+            + [("b", v) for v in [4.0, 5.0, 6.0]]
+            + [("c", v) for v in [10.0, 11.0, 12.0]],
+            ["g", "x"],
+        )
+        (k, n, f, df1, df2, eta), = rows(anova_oneway(d, "g", "x"))
+        # hand computation: SSB = 126, SSW = 6 -> F = (126/2)/(6/6) = 63
+        assert (k, n, df1, df2) == (3, 9, 2, 6)
+        assert f == pytest.approx(63.0)
+        assert eta == pytest.approx(126.0 / 132.0)
+
+    def test_identical_groups_f_zero(self, spark):
+        from polars_net_spark.operators.regression import anova_oneway
+
+        d = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], ["g", "x"]
+        )
+        (k, n, f, df1, df2, eta), = rows(anova_oneway(d, "g", "x"))
+        assert f == 0.0 and eta == 0.0
+
+    def test_degenerate_single_group(self, spark):
+        from polars_net_spark.operators.regression import anova_oneway
+
+        d = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "x"])
+        (k, n, f, df1, df2, eta), = rows(anova_oneway(d, "g", "x"))
+        assert k == 1 and f is None
+
+
+class TestInfoGain:
+    def test_perfect_predictor(self, spark):
+        import math
+
+        from polars_net_spark.operators.regression import info_gain_report
+
+        d = spark.createDataFrame(
+            [("x", "p", 1), ("x", "q", 0), ("y", "p", 1),
+             ("y", "q", 0), ("x", "p", 1), ("y", "q", 0)],
+            ["f1", "f2", "y"],
+        )
+        out = {r[0]: r[1:] for r in rows(info_gain_report(d, ["f1", "f2"], "y"))}
+        # f2 = p <=> y = 1: IG(f2) = H(y) = ln 2, gain ratio 1
+        assert out["f2"][1] == pytest.approx(math.log(2), abs=1e-5)
+        assert out["f2"][3] == pytest.approx(math.log(2), abs=1e-5)
+        assert out["f2"][4] == pytest.approx(1.0, abs=1e-5)
+        assert out["f1"][3] < out["f2"][3]
+
+    def test_constant_feature_zero_gain_null_ratio(self, spark):
+        from polars_net_spark.operators.regression import info_gain_report
+
+        d = spark.createDataFrame([("c", 0), ("c", 1)], ["f", "y"])
+        (feat, n, hl, hc, ig, gr), = rows(info_gain_report(d, ["f"], "y"))
+        assert ig == 0.0 and gr is None
+
+    def test_nulls_form_category(self, spark):
+        from polars_net_spark.operators.regression import info_gain_report
+
+        d = spark.createDataFrame(
+            [(None, 1), (None, 1), ("a", 0), ("a", 0)], "f string, y int"
+        )
+        (feat, n, hl, hc, ig, gr), = rows(info_gain_report(d, ["f"], "y"))
+        # null category perfectly separates the label
+        assert n == 4 and ig == pytest.approx(hl)
+
+
+class TestMsprt:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        import numpy as np
+
+        from polars_net_spark.operators.regression import msprt_report
+
+        rng = np.random.RandomState(1)
+        for mu, expect_reject in [(0.5, True), (0.0, False)]:
+            vals = [(int(i), float(v)) for i, v in enumerate(rng.normal(mu, 1.0, 400))]
+            d = spark.createDataFrame(vals, ["t", "x"]).repartition(8)
+            (n, s_n, sigma, llmax, p, rej), = rows(
+                msprt_report(d, "x", "t", mu0=0.0, tau=1.0)
+            )
+            xs = [v for _, v in vals]
+            s2 = float(np.var(xs, ddof=1))
+            S, ref = 0.0, -1e18
+            for k, x in enumerate(xs, 1):
+                S += x
+                ref = max(ref, 0.5 * math.log(s2 / (s2 + k)) + S * S / (2 * s2 * (s2 + k)))
+            assert llmax == pytest.approx(ref, abs=1e-4)
+            assert rej is expect_reject
+
+    def test_needs_variance(self, spark):
+        from polars_net_spark.operators.regression import msprt_report
+
+        d = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["t", "x"])
+        with pytest.raises(ValueError):
+            msprt_report(d, "x", "t")
+
+
+class TestDegreeReport:
+    def test_star_disassortative(self, spark):
+        from polars_net_spark.operators.graph import degree_report
+
+        star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+        (nn, ne, md, mx, r), = rows(degree_report(star))
+        assert (nn, ne, mx) == (6, 5, 5)
+        assert r == pytest.approx(-1.0)
+
+    def test_regular_graph_null(self, spark):
+        from polars_net_spark.operators.graph import degree_report
+
+        ring = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], ["src", "dst"])
+        (nn, ne, md, mx, r), = rows(degree_report(ring))
+        assert (nn, ne, md, mx) == (6, 6, 2.0, 2) and r is None
+
+    def test_dedup_and_loops(self, spark):
+        from polars_net_spark.operators.graph import degree_report
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)], ["src", "dst"]
+        )
+        (nn, ne, md, mx, r), = rows(degree_report(e))
+        assert (nn, ne) == (3, 2)  # loop dropped, duplicates collapsed

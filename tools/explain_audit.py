@@ -605,6 +605,21 @@ CHECKS = {
     "q289_bradley_terry": [
         ("!", "CartesianProduct", "MM rounds are item-keyed equi-joins"),
     ],
+    "q290_anova": [
+        ("partial_count", "per-group moments combine map-side"),
+        ("!", "Window", "no window anywhere - one aggregate + one bounded reduce"),
+    ],
+    "q291_info_gain": [
+        ("partial_count", "(feature, value, label) counts combine map-side"),
+        ("!", "CartesianProduct", "rollups meet on the feature key"),
+    ],
+    "q292_degree_report": [
+        ("!", "CartesianProduct", "degree attach is node-keyed"),
+        ("partial_count", "degree counts combine map-side"),
+    ],
+    "q293_msprt": [
+        ("windowspecdefinition(__gb__", "running S_k rides a bucket-keyed window, never a global one"),
+    ],
 }
 
 
@@ -683,6 +698,8 @@ def main() -> None:
         "q274_kendall_tau",         # |cells|^2 x-order self-join, bounded by joint cardinality (chi2-margins contract)
         "q275_cramers_v",           # chi2 margins grid + 1-row cardinality attach (q191 class)
         "q289_bradley_terry",       # 1-row score-total attach for normalization
+        "q291_info_gain",           # 1-row label-entropy attach
+        "q292_degree_report",       # two 1-row reduces meet in a bounded broadcast
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
