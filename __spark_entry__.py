@@ -10038,6 +10038,90 @@ FROM red
 """
 
 
+
+
+def _q294(spark, sf_dir):
+    """EIGHTH true Structured Streaming gate — ARBITRARY STATEFUL
+    processing (streaming/stream.py apply_in_pandas_with_state /
+    applyInPandasWithState): a per-user GroupState carries running
+    (count, sum) across micro-batches and each batch emits the user's
+    cumulative totals so far.  The CONVERGED value per user (the emission
+    with the largest count) is batching-independent by construction —
+    however the file source slices batches, the final state equals the
+    batch aggregate, which is exactly what the DuckDB oracle computes.
+    This is the custom-stateful-operator class the reference cannot
+    express and Spark's GroupState is built for."""
+    import hashlib
+    import os
+    import tempfile
+
+    from polars_net_spark.streaming.stream import StreamingFrame
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(f"{sf_dir}|events5".encode()).hexdigest()[:8]
+    src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_events5_{tag}")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        spark.read.parquet(ev_path).repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(ev_path).schema
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        (user,) = key
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].fillna(0.0).sum())
+        state.update((int(cnt), float(tot)))
+        yield pd.DataFrame(
+            {"user_id": [int(user)], "n": [int(cnt)], "total": [float(tot)]}
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("user_id", "value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="q294_out_")
+    ckpt = tempfile.mkdtemp(prefix="q294_ckpt_")
+    emitted = StreamingFrame(stream).apply_in_pandas_with_state(
+        _fn,
+        "user_id long, n long, total double",
+        "cnt long, tot double",
+        group_by=["user_id"],
+        output_mode="append",
+    )
+    with _stream_gate_conf(spark):
+        q = (
+            emitted._sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    res = spark.read.parquet(out_dir)
+    final = res.groupBy("user_id").agg(
+        F.max_by(F.struct("n", "total"), "n").alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n").alias("n_events"),
+        F.round(F.col("s.total"), 6).alias("total_value"),
+    )
+
+
+_q294_sql = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(coalesce(value, 0.0)), 6) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10333,6 +10417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q291_info_gain": _q291,
         "q292_degree_report": _q292,
         "q293_msprt": _q293,
+        "q294_stream_stateful": _q294,
     }
 
 
@@ -10631,4 +10716,5 @@ def oracle_sql() -> dict[str, str]:
         "q291_info_gain": _q291_sql,
         "q292_degree_report": _q292_sql,
         "q293_msprt": _q293_sql,
+        "q294_stream_stateful": _q294_sql,
     }
