@@ -10122,6 +10122,42 @@ GROUP BY user_id
 """
 
 
+
+
+def _q295(spark, sf_dir):
+    """Incremental rollup maintenance (operators/merge.py build_rollup +
+    merge_rollup): the even-event half builds a partial-aggregate state
+    table, the odd half folds in WITHOUT rescanning the first half, and
+    the merged state must equal the full recompute — the associativity
+    contract that makes daily 100 TB rollups one-aggregate-per-day
+    instead of a history rescan.  The oracle IS the full recompute."""
+    from polars_net_spark.operators.merge import build_rollup, merge_rollup
+
+    ev = _t(spark, sf_dir, "events").spark
+    state = build_rollup(ev.filter(F.col("event_id") % 2 == 0), "event_type", ["value"])
+    merged = merge_rollup(state, ev.filter(F.col("event_id") % 2 == 1), "event_type", ["value"])
+    m = merged.spark
+    return m.select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.round("value_sum", 6).alias("value_sum"),
+        F.col("value_min"),
+        F.col("value_max"),
+        F.round(F.col("value_sum") / F.col("value_n"), 6).alias("value_mean"),
+    )
+
+
+_q295_sql = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       round(sum(value) / count(value), 6) AS value_mean
+FROM events
+GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10418,6 +10454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q292_degree_report": _q292,
         "q293_msprt": _q293,
         "q294_stream_stateful": _q294,
+        "q295_rollup_merge": _q295,
     }
 
 
@@ -10717,4 +10754,5 @@ def oracle_sql() -> dict[str, str]:
         "q292_degree_report": _q292_sql,
         "q293_msprt": _q293_sql,
         "q294_stream_stateful": _q294_sql,
+        "q295_rollup_merge": _q295_sql,
     }

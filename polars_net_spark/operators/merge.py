@@ -178,3 +178,73 @@ def scd2_apply(
         *[F.col("__r__").getField(c).alias(c) for c in out_cols if c not in keys],
     ).select(*out_cols)
     return LazyFrame(versioned.unionByName(closed_rows.select(*out_cols)))
+
+
+def build_rollup(
+    frame,
+    keys: "Sequence[str] | str",
+    value_cols: "Sequence[str]",
+) -> "LazyFrame":
+    """Partial-aggregate STATE table for incremental rollup maintenance:
+    per key, ``n`` plus for each value column its ``{c}_sum``, ``{c}_min``,
+    ``{c}_max``, ``{c}_n`` (non-null count) — every statistic here is
+    ASSOCIATIVE, so states merge without touching raw history.  This is
+    the 100 TB daily-rollup pattern: aggregate each day's partition once,
+    then :func:`merge_rollup` folds new days into the persisted state —
+    the full recompute (rescanning all history for every refresh) never
+    happens.  Derive means downstream as sum/n.
+
+    One map-side-combining aggregate.  Output: (keys..., n, per-column
+    sum/min/max/n)."""
+    from ..frame import LazyFrame
+
+    sdf = frame if not hasattr(frame, "_sdf") else frame._sdf
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.sum(v).alias(f"{c}_sum"),
+            F.min(v).alias(f"{c}_min"),
+            F.max(v).alias(f"{c}_max"),
+            F.count(v).cast("long").alias(f"{c}_n"),
+        ]
+    return LazyFrame(sdf.groupBy(*key_list).agg(*aggs))
+
+
+def merge_rollup(
+    state,
+    batch,
+    keys: "Sequence[str] | str",
+    value_cols: "Sequence[str]",
+    batch_is_state: bool = False,
+) -> "LazyFrame":
+    """Fold a new raw batch (or another state table, ``batch_is_state=
+    True``) into a :func:`build_rollup` state: union the two partial-state
+    tables and re-combine per key (sum the sums and counts, min the mins,
+    max the maxes).  The result is IDENTICAL to rebuilding the rollup over
+    all raw data — the associativity contract — but costs one aggregate
+    over |state| + |batch| rows instead of a full history rescan.
+
+    Shuffle shape: the batch's own aggregate + one key-sharded combine of
+    two state tables; at 100 TB persist the state with write_bucketed on
+    the keys and the combine plans with no exchange on the state side."""
+    from ..frame import LazyFrame
+
+    s_sdf = state if not hasattr(state, "_sdf") else state._sdf
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    b = batch if batch_is_state else build_rollup(batch, key_list, value_cols)
+    b_sdf = b if not hasattr(b, "_sdf") else b._sdf
+    unioned = s_sdf.unionByName(b_sdf)
+    aggs = [F.sum("n").cast("long").alias("n")]
+    for c in value_cols:
+        aggs += [
+            F.sum(f"{c}_sum").alias(f"{c}_sum"),
+            F.min(f"{c}_min").alias(f"{c}_min"),
+            F.max(f"{c}_max").alias(f"{c}_max"),
+            F.sum(f"{c}_n").cast("long").alias(f"{c}_n"),
+        ]
+    return LazyFrame(unioned.groupBy(*key_list).agg(*aggs))
+
+
+__all__.extend(["build_rollup", "merge_rollup"])

@@ -391,3 +391,40 @@ class TestDegreeReport:
         )
         (nn, ne, md, mx, r), = rows(degree_report(e))
         assert (nn, ne) == (3, 2)  # loop dropped, duplicates collapsed
+
+
+class TestRollupMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        from polars_net_spark.operators.merge import build_rollup, merge_rollup
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        full = sorted(rows(build_rollup(ev, "event_type", ["value"])))
+        state = build_rollup(ev.filter("event_id % 3 = 0"), "event_type", ["value"])
+        s1 = merge_rollup(state, ev.filter("event_id % 3 = 1"), "event_type", ["value"])
+        s2 = merge_rollup(s1, ev.filter("event_id % 3 = 2"), "event_type", ["value"],
+                          batch_is_state=False)
+        merged = sorted(rows(s2))
+        assert [r[0] for r in full] == [r[0] for r in merged]
+        for ra, rb in zip(full, merged):
+            for a, b in zip(ra, rb):
+                if isinstance(a, float):
+                    assert b == pytest.approx(a, abs=1e-9)
+                else:
+                    assert a == b
+
+    def test_state_plus_state(self, spark):
+        from polars_net_spark.operators.merge import build_rollup, merge_rollup
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = build_rollup(ev.filter("event_id % 2 = 0"), "event_type", ["value"])
+        b = build_rollup(ev.filter("event_id % 2 = 1"), "event_type", ["value"])
+        m = sorted(rows(merge_rollup(a, b, "event_type", ["value"], batch_is_state=True)))
+        full = sorted(rows(build_rollup(ev, "event_type", ["value"])))
+        assert [r[:2] for r in m] == [r[:2] for r in full]
+
+    def test_nulls_counted_in_n_not_in_col_n(self, spark):
+        from polars_net_spark.operators.merge import build_rollup
+
+        d = spark.createDataFrame([("a", 1.0), ("a", None)], ["k", "v"])
+        (k, n, vs, vmin, vmax, vn), = rows(build_rollup(d, "k", ["v"]))
+        assert n == 2 and vn == 1 and vs == 1.0
