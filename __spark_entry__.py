@@ -10158,6 +10158,66 @@ GROUP BY event_type
 """
 
 
+
+
+def _q296(spark, sf_dir):
+    """Seeded Laplace-mechanism noisy counts (operators/analytics.py
+    dp_count_report): the DP publishable-histogram primitive with
+    md5-seeded inverse-CDF draws (deterministic for replay — the
+    docstring spells out why a real release must swap the seed for
+    entropy).  One map-side-combining count + map-only noise math."""
+    from polars_net_spark.operators.analytics import dp_count_report
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_count_report(ev.spark, "event_type", epsilon=0.5).spark
+
+
+_q296_sql = """
+WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+u AS (SELECT event_type, n,
+             list_reduce(list_transform(generate_series(1, 13),
+                  i -> strpos('0123456789abcdef',
+                       substr(md5('dp' || '|' || CAST(event_type AS VARCHAR)), i, 1)) - 1),
+                  (a, x) -> a * 16 + x) / power(16, 13) AS u
+      FROM counts),
+lap AS (SELECT event_type, n,
+               -(1.0::DOUBLE / 0.5::DOUBLE)
+               * CASE WHEN u - 0.5::DOUBLE > 0 THEN 1.0::DOUBLE
+                      WHEN u - 0.5::DOUBLE < 0 THEN -1.0::DOUBLE
+                      ELSE 0.0::DOUBLE END
+               * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(u - 0.5::DOUBLE)) AS noise
+        FROM u)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       greatest(0.0::DOUBLE, round(n + noise, 6)) AS noisy_n
+FROM lap
+"""
+
+
+def _q297(spark, sf_dir):
+    """Rare-level collapsing (operators/analytics.py
+    collapse_rare_levels): languages under a 13% corpus share fold into
+    __other__ before encoding — survivor set bounded by 1/min_share, so
+    the rejoin broadcasts at any corpus size."""
+    from polars_net_spark.operators.analytics import collapse_rare_levels
+
+    d = _t(spark, sf_dir, "documents").spark.select("doc_id", "lang")
+    out = collapse_rare_levels(d, "lang", min_share=0.13)
+    return out.spark.select("doc_id", F.col("lang").alias("lang_collapsed"))
+
+
+_q297_sql = """
+WITH counts AS (SELECT lang AS lv, count(*) AS c FROM documents
+                WHERE lang IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM counts),
+keep AS (SELECT lv FROM counts, tot WHERE c::DOUBLE / t >= 0.13::DOUBLE)
+SELECT doc_id,
+       CASE WHEN lang IS NULL THEN NULL
+            WHEN lang IN (SELECT lv FROM keep) THEN lang
+            ELSE '__other__' END AS lang_collapsed
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10455,6 +10515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q293_msprt": _q293,
         "q294_stream_stateful": _q294,
         "q295_rollup_merge": _q295,
+        "q296_dp_counts": _q296,
+        "q297_collapse_rare": _q297,
     }
 
 
@@ -10755,4 +10817,6 @@ def oracle_sql() -> dict[str, str]:
         "q293_msprt": _q293_sql,
         "q294_stream_stateful": _q294_sql,
         "q295_rollup_merge": _q295_sql,
+        "q296_dp_counts": _q296_sql,
+        "q297_collapse_rare": _q297_sql,
     }

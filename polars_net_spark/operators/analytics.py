@@ -2134,3 +2134,104 @@ def holt_forecast(
 
 
 __all__.append("holt_forecast")
+
+
+def dp_count_report(
+    frame: "LazyFrame | SparkDF",
+    keys: "str | list[str]",
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: str = "dp",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Laplace-mechanism noisy counts per key — the publishable-histogram
+    primitive of differential privacy: noisy_n = n + Lap(sensitivity/ε),
+    via inverse-CDF sampling of a uniform drawn from md5(seed‖key).
+
+    DETERMINISM CAVEAT (read this): the draw is SEEDED so pipelines are
+    reproducible and an external engine can replay the release
+    bit-for-bit — which is exactly what real ε-DP forbids (a replayable
+    seed lets an adversary subtract the noise).  For an actual private
+    release, swap ``seed`` for fresh entropy per release and keep an ε
+    budget ledger; the mechanism, sensitivity handling, and plan shape
+    are identical.
+
+    One map-side-combining count aggregate + map-only noise math — no
+    extra shuffle.  Output: (keys..., n, noisy_n) with noisy_n clipped at
+    0 (counts cannot be negative)."""
+    sdf = _sdf(frame)
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    counts = sdf.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n"))
+    tag = F.concat_ws("|", F.lit(str(seed)), *[F.col(k).cast("string") for k in key_list])
+    u = (
+        F.conv(F.substring(F.md5(tag), 1, 13), 16, 10).cast("double")
+        / F.lit(float(16 ** 13))
+    )
+    b = F.lit(float(sensitivity) / float(epsilon))
+    centered = u - F.lit(0.5)
+    lap = -b * F.signum(centered) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    )
+    out = counts.select(
+        *key_list,
+        F.col("n").cast("long").alias("n"),
+        F.greatest(
+            F.lit(0.0), F.round(F.col("n") + lap, round_to)
+        ).alias("noisy_n"),
+    )
+    return LazyFrame(out)
+
+
+def collapse_rare_levels(
+    frame: "LazyFrame | SparkDF",
+    col: str,
+    min_count: "int | None" = None,
+    min_share: "float | None" = 0.01,
+    other: str = "__other__",
+) -> LazyFrame:
+    """Collapse rare categories of a column into one ``other`` bucket —
+    the feature-prep step before one-hot/target encoding that stops
+    long-tail levels from exploding the feature space (and the privacy
+    step that stops singleton categories identifying rows).  A level
+    survives when its count ≥ ``min_count`` (absolute) or its share ≥
+    ``min_share`` (relative, the 1% default) — passing ``min_count``
+    switches to the absolute rule.  Nulls pass through unchanged (they
+    are their own signal; combine with fill upstream).
+
+    Shuffle shape: one map-side-combining level count + a LEFT SEMI-style
+    broadcast of the SURVIVOR set joined back — at any scale the survivor
+    set is bounded by 1/min_share (or data/min_count), so the join side
+    stays broadcastable.  All other columns pass through untouched."""
+    if min_count is not None:
+        min_share = None
+    if min_share is None and min_count is None:
+        raise ValueError("pass one of min_count / min_share")
+    sdf = _sdf(frame)
+    base_cols = sdf.columns
+    counts = sdf.filter(F.col(col).isNotNull()).groupBy(F.col(col).alias("__lv__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    if min_count is not None:
+        keep = counts.filter(F.col("__c__") >= int(min_count))
+    else:
+        tot = counts.agg(F.sum("__c__").alias("__t__"))
+        keep = (
+            counts.join(F.broadcast(tot))
+            .filter(F.col("__c__") / F.col("__t__") >= float(min_share))
+        )
+    keep = keep.select(F.col("__lv__"), F.lit(True).alias("__keep__"))
+    j = sdf.join(
+        F.broadcast(keep), sdf[col] == keep["__lv__"], "left"
+    )
+    replaced = F.when(
+        F.col(col).isNull() | F.col("__keep__").isNotNull(), F.col(col)
+    ).otherwise(F.lit(other))
+    out = j.select(
+        *[replaced.alias(c) if c == col else F.col(c) for c in base_cols]
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["dp_count_report", "collapse_rare_levels"])

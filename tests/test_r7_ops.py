@@ -428,3 +428,53 @@ class TestRollupMerge:
         d = spark.createDataFrame([("a", 1.0), ("a", None)], ["k", "v"])
         (k, n, vs, vmin, vmax, vn), = rows(build_rollup(d, "k", ["v"]))
         assert n == 2 and vn == 1 and vs == 1.0
+
+
+class TestDpCounts:
+    def test_deterministic_and_clipped(self, spark):
+        from polars_net_spark.operators.analytics import dp_count_report
+
+        d = spark.createDataFrame([("a",)] * 50 + [("b",)] * 1, "k string")
+        a = sorted(rows(dp_count_report(d, "k", epsilon=1.0)))
+        b = sorted(rows(dp_count_report(d.repartition(7), "k", epsilon=1.0)))
+        assert a == b  # seeded draw is partition-independent
+        for k, n, noisy in a:
+            assert noisy >= 0.0
+        # tighter epsilon -> more noise for the same key
+        loose = dict((r[0], abs(r[2] - r[1])) for r in rows(dp_count_report(d, "k", epsilon=10.0)))
+        tight = dict((r[0], abs(r[2] - r[1])) for r in rows(dp_count_report(d, "k", epsilon=0.1)))
+        assert tight["a"] > loose["a"]
+
+    def test_epsilon_validation(self, spark):
+        from polars_net_spark.operators.analytics import dp_count_report
+
+        with pytest.raises(ValueError):
+            dp_count_report(spark.range(3), "id", epsilon=0.0)
+
+
+class TestCollapseRare:
+    def test_share_and_count_rules(self, spark):
+        from polars_net_spark.operators.analytics import collapse_rare_levels
+
+        d = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 2 + [(None,)] * 3, "k string"
+        )
+        by_share = dict(
+            (r[0], r[1])
+            for r in collapse_rare_levels(d, "k", min_share=0.1)
+            .spark.groupBy("k").count().collect()
+        )
+        assert by_share == {"a": 50, "b": 30, "__other__": 2, None: 3}
+        by_count = dict(
+            (r[0], r[1])
+            for r in collapse_rare_levels(d, "k", min_count=40)
+            .spark.groupBy("k").count().collect()
+        )
+        assert by_count == {"a": 50, "__other__": 32, None: 3}
+
+    def test_other_columns_untouched(self, spark):
+        from polars_net_spark.operators.analytics import collapse_rare_levels
+
+        d = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "k"])
+        out = sorted(rows(collapse_rare_levels(d, "k", min_count=2)))
+        assert out == [(1, "x"), (2, "x"), (3, "__other__")]
