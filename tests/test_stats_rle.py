@@ -360,28 +360,27 @@ class TestTimeSeriesStats:
         )
         glob = seasonal_decompose(d, "v", "t", 4)
         assert sorted(r[1:] for r in glob.collect().rows()) == keyed
-        # the data-sized trend window is bucket-keyed; the only
-        # single-partition exchanges left are BOUNDED 1-row reduces (the
-        # <=period-row grand-mean and the boundary sketch aggregate)
+        # the data-sized trend window is bucket-keyed, and no window
+        # orders the raw sequence without a partition key (the old
+        # single-partition signature); bounded 1-row reduces may plan as
+        # SinglePartition exchanges and are fine
         p = plan(glob)
         assert "windowspecdefinition(__gb__" in p
-        assert p.count("Exchange SinglePartition") <= 2
+        assert "windowspecdefinition(t#" not in p
 
         keyed_acf = sorted(r[1:] for r in acf(d, "v", "t", lags=3, by="g").collect().rows())
         glob_acf = acf(d, "v", "t", lags=3)
         assert sorted(glob_acf.collect().rows()) == keyed_acf
         p = plan(glob_acf)
         assert "windowspecdefinition(__gb__" in p
-        # allowed: the 1-row final corr reduce + the boundary sketch
-        assert p.count("Exchange SinglePartition") <= 2
+        assert "windowspecdefinition(t#" not in p
 
         keyed_cu = sorted(r[1:] for r in cusum_flags(d, "v", "t", by="g").collect().rows())
         glob_cu = cusum_flags(d, "v", "t")
         assert sorted(r[1:] for r in glob_cu.collect().rows()) == keyed_cu
         p = plan(glob_cu)
         assert "windowspecdefinition(__gb__" in p
-        # allowed: the 1-row mean/sigma stats reduce + the boundary sketch
-        assert p.count("Exchange SinglePartition") <= 2
+        assert "windowspecdefinition(t#" not in p
 
     def test_unkeyed_halo_crosses_bucket_boundaries(self, spark):
         """Force many tiny buckets so halo exchange is actually exercised:

@@ -620,6 +620,18 @@ CHECKS = {
     "q293_msprt": [
         ("windowspecdefinition(__gb__", "running S_k rides a bucket-keyed window, never a global one"),
     ],
+    "q295_rollup_merge": [
+        ("partial_sum", "state combine is map-side (associative partials)"),
+        ("!", "Window", "incremental rollup is pure aggregation"),
+    ],
+    "q296_dp_counts": [
+        ("partial_count", "counts combine map-side; noise is map-only Column math"),
+        ("!", "EvalPython", "no Python in the mechanism"),
+    ],
+    "q297_collapse_rare": [
+        ("!", "CartesianProduct", "survivor rejoin is a broadcast equi-join"),
+        ("BroadcastHashJoin", "bounded survivor set broadcasts"),
+    ],
 }
 
 
@@ -700,6 +712,7 @@ def main() -> None:
         "q289_bradley_terry",       # 1-row score-total attach for normalization
         "q291_info_gain",           # 1-row label-entropy attach
         "q292_degree_report",       # two 1-row reduces meet in a bounded broadcast
+        "q297_collapse_rare",       # 1-row level-total attach for the share rule
         "q166_key_skew",            # 1-row corpus-total attach onto top-k keys
         "q185_tfidf_pairs",         # 1-row doc-count N attach (idf smoothing)
         "q191_chi2",                # margins cross join (r x c category grid) + 1-row n
