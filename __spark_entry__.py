@@ -10218,6 +10218,123 @@ FROM documents
 """
 
 
+
+
+def _q298(spark, sf_dir):
+    """Row-level snapshot diff (operators/validate.py snapshot_rows_diff):
+    the actual added/removed/changed rows between two table versions with
+    per-row changed-column lists — frame_diff's counts, opened up for the
+    CDC debugging session.  Unchanged mass excluded by construction."""
+    from polars_net_spark.operators.validate import snapshot_rows_diff
+
+    d = _t(spark, sf_dir, "documents").spark
+    ref = d.select("doc_id", "lang", "source")
+    cur = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+            "source",
+        )
+    )
+    out = snapshot_rows_diff(ref, cur, "doc_id").spark
+    return out.select(
+        "doc_id", "status", F.array_join("changed_cols", ",").alias("changed_cols")
+    )
+
+
+_q298_sql = """
+WITH ref AS (SELECT doc_id, lang, source FROM documents),
+cur AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+               source
+        FROM documents WHERE doc_id % 7 <> 0),
+j AS (SELECT coalesce(ref.doc_id, cur.doc_id) AS doc_id,
+             ref.doc_id IS NOT NULL AS inl, cur.doc_id IS NOT NULL AS inr,
+             ref.lang AS ll, cur.lang AS rl, ref.source AS ls, cur.source AS rs
+      FROM ref FULL OUTER JOIN cur ON ref.doc_id = cur.doc_id),
+st AS (SELECT doc_id, inl, inr,
+              CASE WHEN NOT inl AND inr THEN 'added'
+                   WHEN inl AND NOT inr THEN 'removed'
+                   WHEN (ll IS DISTINCT FROM rl) OR (ls IS DISTINCT FROM rs)
+                        THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              CASE WHEN inl AND inr THEN
+                array_to_string(list_filter([
+                  CASE WHEN ll IS DISTINCT FROM rl THEN 'lang' END,
+                  CASE WHEN ls IS DISTINCT FROM rs THEN 'source' END], x -> x IS NOT NULL), ',')
+              ELSE '' END AS changed_cols
+       FROM j)
+SELECT doc_id, status, changed_cols FROM st WHERE status <> 'unchanged'
+"""
+
+
+def _q299(spark, sf_dir):
+    """Exact-duplicate cluster diagnostics (llm/dedup.py
+    dedup_cluster_stats): content-fingerprint sizes + one bounded
+    reduce — the is-dedup-worth-running probe (dup rate, max cluster,
+    top-heavy share)."""
+    from polars_net_spark.llm.dedup import dedup_cluster_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_cluster_stats(d).spark
+
+
+_q299_sql = """
+WITH sizes AS (SELECT md5(CAST(text AS VARCHAR)) AS fp, count(*) AS sz
+               FROM documents WHERE text IS NOT NULL GROUP BY 1)
+SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz - 1) AS BIGINT) AS n_dup_docs,
+       round(sum(sz - 1)::DOUBLE / sum(sz), 6) AS dup_rate,
+       CAST(max(sz) AS BIGINT) AS max_cluster,
+       round(CASE WHEN sum(sz - 1) > 0
+                  THEN (max(sz) - 1)::DOUBLE / sum(sz - 1)
+                  ELSE 0.0 END, 6) AS top_cluster_dup_share
+FROM sizes
+"""
+
+
+def _q300(spark, sf_dir):
+    """Neyman-optimal stratified allocation (llm/sampling.py
+    neyman_allocation): event-type strata sized n_h ∝ N_h·σ_h for a
+    500-row eval draw — the variance-minimizing sampling design, with
+    min-2 floors, population caps, and largest-remainder rounding so the
+    budget lands exactly."""
+    from polars_net_spark.llm.sampling import neyman_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    return neyman_allocation(ev.spark, "event_type", "value", total_n=500).spark
+
+
+_q300_sql = """
+WITH stats AS (SELECT event_type AS stratum, count(*) AS n_pop,
+                      coalesce(stddev_samp(value), 0.0) AS sigma
+               FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1),
+fl AS (SELECT stratum, n_pop, sigma,
+              least(2, n_pop) AS floor_n, n_pop * sigma AS w
+       FROM stats),
+tot AS (SELECT sum(floor_n) AS fsum, sum(w) AS wtot FROM fl),
+sh AS (SELECT stratum, n_pop, sigma, floor_n,
+              (500 - tot.fsum) * w / tot.wtot AS share
+       FROM fl, tot),
+base AS (SELECT *, CAST(floor(share) AS BIGINT) AS base_n,
+                share - floor(share) AS frac
+         FROM sh),
+lft AS (SELECT 500 - sum(floor_n) - sum(base_n) AS leftover FROM base),
+rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, CAST(stratum AS VARCHAR)) AS rn
+       FROM base)
+SELECT stratum, CAST(n_pop AS BIGINT) AS n_pop,
+       round(sigma, 6) AS sigma,
+       CAST(floor_n + base_n
+            + CASE WHEN rn <= (SELECT leftover FROM lft) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_alloc
+FROM rk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10517,6 +10634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q295_rollup_merge": _q295,
         "q296_dp_counts": _q296,
         "q297_collapse_rare": _q297,
+        "q298_rows_diff": _q298,
+        "q299_dup_stats": _q299,
+        "q300_neyman": _q300,
     }
 
 
@@ -10819,4 +10939,7 @@ def oracle_sql() -> dict[str, str]:
         "q295_rollup_merge": _q295_sql,
         "q296_dp_counts": _q296_sql,
         "q297_collapse_rare": _q297_sql,
+        "q298_rows_diff": _q298_sql,
+        "q299_dup_stats": _q299_sql,
+        "q300_neyman": _q300_sql,
     }

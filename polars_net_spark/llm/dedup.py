@@ -1456,3 +1456,48 @@ def dedup_keep_best(
     if not keep_cluster_id:
         out = out.drop("cluster_id")
     return LazyFrame(out)
+
+
+def dedup_cluster_stats(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact-duplicate cluster diagnostics — the one-row corpus health
+    probe that tells you whether dedup is even worth running: documents
+    group by content fingerprint (md5 of the text), and the report gives
+    n_docs, n_clusters (distinct contents), n_dup_docs (docs beyond each
+    cluster's first), dup_rate, max_cluster, and the top-heavy share
+    (fraction of all duplicate mass held by the single largest cluster —
+    boilerplate detectors key off this).
+
+    Shuffle shape: one fingerprint-keyed map-side-combining count + one
+    bounded 1-row reduce.  Null texts are excluded (they are a quality
+    problem, not a dedup problem)."""
+    sdf = _sdf(frame)
+    sizes = (
+        sdf.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col).cast("string")).alias("__fp__"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    out = sizes.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_dup_docs"),
+        F.round(
+            F.sum(F.col("sz") - 1) / F.sum("sz"), round_to
+        ).alias("dup_rate"),
+        F.max("sz").cast("long").alias("max_cluster"),
+        F.round(
+            F.when(
+                F.sum(F.col("sz") - 1) > 0,
+                (F.max("sz") - 1) / F.sum(F.col("sz") - 1),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("top_cluster_dup_share"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("dedup_cluster_stats")

@@ -160,7 +160,9 @@ def bradley_terry(
         .groupBy("item")
         .agg(F.sum("n").alias("n_comparisons"), F.sum("wins").alias("wins"))
     )
-    per_item = per_item.persist()
+    from .._cache import register_cache
+
+    per_item = register_cache(per_item)
     p = per_item.select("item", F.lit(1.0).alias("p"))
     for _ in range(int(iterations)):
         ej = (

@@ -405,3 +405,83 @@ def sample_weighted_hash(
     )
     out = staged.withColumn("__rn__", rn).filter(F.col("__rn__") <= int(k))
     return LazyFrame(out.drop("__score__", "__rn__"))
+
+
+def neyman_allocation(
+    frame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    min_per_stratum: int = 2,
+) -> "LazyFrame":
+    """Optimal (Neyman) sample-size allocation for stratified estimation
+    of a mean/total: stratum h gets n_h ∝ N_h·σ_h (bigger and noisier
+    strata get more of the budget) — the survey-sampling design that
+    minimizes estimator variance for a fixed ``total_n``, and the right
+    way to size eval-set draws per source/language bucket instead of
+    proportional-only allocation.  σ_h is the sample standard deviation;
+    single-value or constant strata (σ=0) receive ``min_per_stratum``
+    (they still need representation), with the remaining budget split by
+    N_h·σ_h shares and rounded largest-remainder so Σ n_h == total_n and
+    no stratum exceeds its population.
+
+    One stratum-keyed map-side-combining aggregate + driver math over the
+    (bounded) stratum table.  Output: (stratum, n_pop, sigma, n_alloc)."""
+    from ..frame import LazyFrame
+    from pyspark.sql import DataFrame as SparkDF
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    v = F.col(value_col).cast("double")
+    stats = (
+        sdf.filter(F.col(stratum_col).isNotNull() & v.isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.coalesce(F.stddev_samp(v), F.lit(0.0)).alias("sigma"),
+        )
+    )
+    rows = stats.collect()  # bounded by stratum cardinality (the contract)
+    if not rows:
+        raise ValueError("no strata (all-null stratum or value column)")
+    floors = {r["stratum"]: min(int(min_per_stratum), int(r["n_pop"])) for r in rows}
+    budget = int(total_n) - sum(floors.values())
+    weights = {r["stratum"]: float(r["n_pop"]) * float(r["sigma"]) for r in rows}
+    wtot = sum(weights.values())
+    alloc = dict(floors)
+    if budget > 0 and wtot > 0:
+        shares = {
+            s: budget * w / wtot for s, w in weights.items()
+        }
+        caps = {r["stratum"]: int(r["n_pop"]) for r in rows}
+        base = {s: min(int(shares[s]), caps[s] - alloc[s]) for s in shares}
+        for s in base:
+            alloc[s] += base[s]
+        left = budget - sum(base.values())
+        # largest remainder, ties broken by stratum name for determinism
+        order = sorted(
+            shares, key=lambda s: (-(shares[s] - int(shares[s])), str(s))
+        )
+        i = 0
+        while left > 0 and i < len(order) * 2:
+            s = order[i % len(order)]
+            if alloc[s] < caps[s]:
+                alloc[s] += 1
+                left -= 1
+            i += 1
+    spark = sdf.sparkSession
+    out_rows = [
+        (r["stratum"], int(r["n_pop"]), float(r["sigma"]), int(alloc[r["stratum"]]))
+        for r in rows
+    ]
+    schema_t = stats.schema["stratum"].dataType.simpleString()
+    out = spark.createDataFrame(
+        out_rows, f"stratum {schema_t}, n_pop bigint, sigma double, n_alloc bigint"
+    )
+    return LazyFrame(out.select(
+        "stratum", "n_pop", F.round("sigma", 6).alias("sigma"), "n_alloc"
+    ))
+
+
+__all__.append("neyman_allocation")

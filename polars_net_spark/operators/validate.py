@@ -245,3 +245,69 @@ def fk_integrity_report(
 
 
 __all__.append("fk_integrity_report")
+
+
+def snapshot_rows_diff(
+    left: "LazyFrame | SparkDF",
+    right: "LazyFrame | SparkDF",
+    key_cols: "list[str] | str",
+    compare_cols: "list[str] | None" = None,
+    include_unchanged: bool = False,
+) -> "LazyFrame":
+    """Row-level companion to :func:`frame_diff` (which returns counts):
+    the actual added / removed / changed rows between two versions of a
+    table, each with the LIST of columns that differ — what a CDC debug
+    session or a data-contract incident actually needs to look at.
+
+    Output: (keys..., status ∈ {added, removed, changed[, unchanged]},
+    changed_cols array<string> — null-safe comparison, empty for
+    added/removed).  Unchanged rows are EXCLUDED by default: at 100 TB
+    the unchanged mass is the bulk and materializing it defeats the
+    point; ``include_unchanged=True`` for small audits.  Keys are assumed
+    unique per side (pre-aggregate otherwise).  One key-sharded FULL
+    OUTER join; bucket both sides by the key at scale and it plans with
+    no exchange."""
+    lsdf = left if isinstance(left, SparkDF) else left.spark
+    rsdf = right if isinstance(right, SparkDF) else right.spark
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in lsdf.columns if c not in keys and c in rsdf.columns]
+    a = lsdf.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__inl__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in compare_cols],
+    )
+    b = rsdf.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__inr__"),
+        *[F.col(c).alias(f"__r_{c}__") for c in compare_cols],
+    )
+    j = a.join(b, keys, "full_outer")
+    in_l, in_r = F.col("__inl__").isNotNull(), F.col("__inr__").isNotNull()
+    diffs = F.array_compact(
+        F.array(*[
+            F.when(
+                ~F.col(f"__l_{c}__").eqNullSafe(F.col(f"__r_{c}__")), F.lit(c)
+            )
+            for c in compare_cols
+        ])
+    ) if compare_cols else F.array().cast("array<string>")
+    status = (
+        F.when(~in_l & in_r, F.lit("added"))
+        .when(in_l & ~in_r, F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *keys,
+        status.alias("status"),
+        F.when(in_l & in_r, diffs)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return LazyFrame(out)
+
+
+__all__.append("snapshot_rows_diff")

@@ -478,3 +478,81 @@ class TestCollapseRare:
         d = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "k"])
         out = sorted(rows(collapse_rare_levels(d, "k", min_count=2)))
         assert out == [(1, "x"), (2, "x"), (3, "__other__")]
+
+
+class TestSnapshotRowsDiff:
+    def test_statuses_and_changed_cols(self, spark):
+        from polars_net_spark.operators.validate import snapshot_rows_diff
+
+        a = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "id int, c string, v double"
+        )
+        b = spark.createDataFrame(
+            [(2, "y", 2.0), (3, "zz", 9.0), (4, "w", 4.0)], "id int, c string, v double"
+        )
+        out = {r[0]: (r[1], sorted(r[2])) for r in rows(snapshot_rows_diff(a, b, "id"))}
+        assert out == {
+            1: ("removed", []),
+            3: ("changed", ["c", "v"]),
+            4: ("added", []),
+        }
+        full = rows(snapshot_rows_diff(a, b, "id", include_unchanged=True))
+        assert ("unchanged" in [r[1] for r in full]) and len(full) == 4
+
+    def test_null_safe_compare(self, spark):
+        from polars_net_spark.operators.validate import snapshot_rows_diff
+
+        a = spark.createDataFrame([(1, None)], "id int, c string")
+        b = spark.createDataFrame([(1, None)], "id int, c string")
+        assert rows(snapshot_rows_diff(a, b, "id")) == []  # null == null
+
+
+class TestDupStats:
+    def test_counts(self, spark):
+        from polars_net_spark.llm.dedup import dedup_cluster_stats
+
+        d = spark.createDataFrame(
+            [("dup",)] * 5 + [("u1",), ("u2",), ("u3",)], "text string"
+        ).selectExpr("text", "monotonically_increasing_id() as doc_id")
+        (n, nc, nd, rate, mx, share), = rows(dedup_cluster_stats(d))
+        assert (n, nc, nd, mx) == (8, 4, 4, 5)
+        assert rate == 0.5 and share == 1.0
+
+    def test_no_dups(self, spark):
+        from polars_net_spark.llm.dedup import dedup_cluster_stats
+
+        d = spark.createDataFrame([("a",), ("b",)], "text string")
+        (n, nc, nd, rate, mx, share), = rows(dedup_cluster_stats(d))
+        assert nd == 0 and rate == 0.0 and share == 0.0
+
+
+class TestNeyman:
+    def test_allocation_sums_and_prefers_noisy(self, spark):
+        from polars_net_spark.llm.sampling import neyman_allocation
+
+        s = spark.createDataFrame(
+            [("a", float(v)) for v in range(100)]
+            + [("b", 5.0)] * 100
+            + [("c", float(v % 7)) for v in range(50)],
+            ["g", "x"],
+        )
+        out = {r[0]: r[1:] for r in rows(neyman_allocation(s, "g", "x", 30))}
+        assert sum(v[2] for v in out.values()) == 30
+        assert out["a"][2] > out["c"][2] > out["b"][2]  # sigma-driven
+        assert out["b"][2] == 2  # zero-sigma stratum gets the floor
+
+    def test_caps_respected(self, spark):
+        from polars_net_spark.llm.sampling import neyman_allocation
+
+        s = spark.createDataFrame(
+            [("tiny", 1.0), ("tiny", 9.0)] + [("big", float(v)) for v in range(50)],
+            ["g", "x"],
+        )
+        out = {r[0]: r[3] for r in rows(neyman_allocation(s, "g", "x", 40))}
+        assert out["tiny"] <= 2  # cannot exceed population
+
+    def test_total_n_validation(self, spark):
+        from polars_net_spark.llm.sampling import neyman_allocation
+
+        with pytest.raises(ValueError):
+            neyman_allocation(spark.range(3), "id", "id", total_n=0)
