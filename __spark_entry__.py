@@ -9962,24 +9962,24 @@ def _q292(spark, sf_dir):
     """Degree summary + assortativity (operators/graph.py degree_report)
     of the supplier-part bipartite graph: one degree aggregate + two
     node-keyed joins + one fused corr reduce — the structural health
-    check beside triangle_count.  Node ids disambiguate with an s/p
-    prefix so the two key spaces cannot collide."""
+    check beside triangle_count.  Node ids disambiguate NUMERICALLY —
+    suppliers as +suppkey, parts as −(partkey+1) (both key spaces start
+    at 0, so the shift keeps them disjoint) — the dedupe/join keys stay
+    bigint (string-concat keys measured ~25% slower end-to-end)."""
     from polars_net_spark.operators.graph import degree_report
 
     li = _t(spark, sf_dir, "lineitem").spark
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.col("l_suppkey").alias("src"),
+        (-(F.col("l_partkey") + 1)).alias("dst"),
     )
     return degree_report(edges).spark
 
 
 _q292_sql = """
 WITH canon AS (SELECT DISTINCT
-                 least('s' || CAST(l_suppkey AS VARCHAR),
-                       'p' || CAST(l_partkey AS VARCHAR)) AS a,
-                 greatest('s' || CAST(l_suppkey AS VARCHAR),
-                          'p' || CAST(l_partkey AS VARCHAR)) AS b
+                 least(l_suppkey, -(l_partkey + 1)) AS a,
+                 greatest(l_suppkey, -(l_partkey + 1)) AS b
                FROM lineitem
                WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
 deg AS (SELECT v, count(*) AS deg FROM (

@@ -120,6 +120,7 @@ def bradley_terry(
     loser_col: str = "rejected",
     iterations: int = 8,
     round_to: int = 6,
+    driver_threshold: int = 50_000,
 ) -> LazyFrame:
     """Bradley–Terry strength scores from pairwise preference outcomes —
     the model behind RLHF reward-data QA and ranker evaluation: item i
@@ -136,6 +137,13 @@ def bradley_terry(
     (lo, hi, n, wins_lo) edges (one map-side-combining aggregate), and
     each round is one item-keyed join of scores onto edge endpoints + one
     item-keyed sum — all equi-joins, rounds bounded by ``iterations``.
+    When the comparison GRAPH is small (≤ ``driver_threshold`` edges —
+    the item-catalog case: brands, model variants, prompt templates), the
+    MM rounds run on the DRIVER over the collected edge list instead of
+    6 × 3 Spark stages over a few hundred rows — same arithmetic, same
+    result, an order of magnitude less wall (the dedup_clusters
+    driver-path pattern).  The distributed path remains for web-scale
+    item spaces; set ``driver_threshold=0`` to force it.
 
     Output: (item, n_comparisons, wins, score) — score descending is the
     preference ranking."""
@@ -162,6 +170,38 @@ def bradley_terry(
     )
     from .._cache import register_cache
 
+    if driver_threshold:
+        # persist the edge aggregate once, then a plain count (limit-based
+        # probing re-runs the upstream aggregate incrementally — the
+        # dedup_clusters lesson)
+        edges = register_cache(edges)
+        if edges.count() <= int(driver_threshold):
+            erows = [(r["a"], r["b"], int(r["n"]), int(r["wa"])) for r in edges.collect()]
+            wins: dict = {}
+            ncmp: dict = {}
+            for a, b, n, wa in erows:
+                wins[a] = wins.get(a, 0) + wa
+                wins[b] = wins.get(b, 0) + (n - wa)
+                ncmp[a] = ncmp.get(a, 0) + n
+                ncmp[b] = ncmp.get(b, 0) + n
+            ps = {i: 1.0 for i in wins}
+            for _ in range(int(iterations)):
+                dn = {i: 0.0 for i in ps}
+                for a, b, n, _wa in erows:
+                    t = n / (ps[a] + ps[b])
+                    dn[a] += t
+                    dn[b] += t
+                ps = {i: (wins[i] / dn[i] if dn[i] > 0 else 0.0) for i in ps}
+            tp = sum(ps.values())
+            data = sorted(
+                (i, int(ncmp[i]), int(wins[i]),
+                 round(ps[i] / tp, round_to) if tp > 0 else 0.0)
+                for i in ps
+            )
+            out = sdf.sparkSession.createDataFrame(
+                data, "item string, n_comparisons bigint, wins bigint, score double"
+            )
+            return LazyFrame(out)
     per_item = register_cache(per_item)
     p = per_item.select("item", F.lit(1.0).alias("p"))
     for _ in range(int(iterations)):

@@ -556,3 +556,17 @@ class TestNeyman:
 
         with pytest.raises(ValueError):
             neyman_allocation(spark.range(3), "id", "id", total_n=0)
+
+
+class TestBradleyTerryDriverPath:
+    def test_driver_and_distributed_paths_agree(self, spark):
+        from polars_net_spark.llm.preference import bradley_terry
+
+        r = (
+            [("A", "B")] * 9 + [("B", "A")] + [("B", "C")] * 9 + [("C", "B")]
+            + [("A", "C")] * 9 + [("C", "A")]
+        )
+        d = spark.createDataFrame(r, "chosen string, rejected string")
+        drv = sorted(rows(bradley_terry(d, iterations=8)))
+        dist = sorted(rows(bradley_terry(d, iterations=8, driver_threshold=0)))
+        assert drv == dist
