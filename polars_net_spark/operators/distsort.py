@@ -153,13 +153,41 @@ def with_halo_buckets(
 
     ``order_col`` must be unique per row (a dense position index — the
     same contract the single-partition form had).  Cost: the boundary
-    sketch pass + ONE bucket-keyed exchange carrying two row_number
-    windows, then the explode fan-out of ≤ (before+after) rows per
-    bucket — no single-partition stage at any scale."""
+    sketch pass + one bounded per-bucket count (adjacent buckets COALESCE
+    until each holds at least max(before, after) rows — a single-hop halo
+    only reaches the immediate neighbor, so a bucket thinner than the
+    window would otherwise starve it: the bug class where a 40-row frame
+    under 32 shuffle partitions silently nulled every centered window) +
+    ONE bucket-keyed exchange carrying two row_number windows, then the
+    explode fan-out of ≤ (before+after) rows per bucket — no
+    single-partition stage at any scale."""
     bucketed, bcol = with_range_buckets(sdf, order_col, nbuckets=nbuckets)
     before, after = int(before), int(after)
     if before <= 0 and after <= 0:
         return bucketed.withColumn(HALO_COL, F.lit(False)), bcol, HALO_COL
+    # coalesce thin buckets: every surviving bucket must hold >= need rows
+    # so its halo alone can complete the neighbor's window
+    need = max(before, after)
+    counts = bucketed.groupBy(bcol).count().collect()  # <= nbuckets rows
+    counts.sort(key=lambda r: r[bcol])
+    mapping: dict[int, int] = {}
+    gid, acc = 0, 0
+    for r in counts:
+        mapping[r[bcol]] = gid
+        acc += r["count"]
+        if acc >= need:
+            gid += 1
+            acc = 0
+    if acc and gid > 0:
+        # trailing group too thin: fold it into the previous one
+        for k, v in mapping.items():
+            if v == gid:
+                mapping[k] = gid - 1
+    if len(set(mapping.values())) < len(counts):
+        m = F.create_map(
+            *[lit for k, v in mapping.items() for lit in (F.lit(int(k)), F.lit(int(v)))]
+        )
+        bucketed = bucketed.withColumn(bcol, F.element_at(m, F.col(bcol)))
     wa = Window.partitionBy(bcol).orderBy(F.col(order_col).asc())
     wd = Window.partitionBy(bcol).orderBy(F.col(order_col).desc())
     tagged = bucketed.withColumn("__ra__", F.row_number().over(wa)).withColumn(

@@ -27,7 +27,21 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    When a session is already active, it is returned UNCHANGED: on
+    Spark 4, ``builder.config(...).getOrCreate()`` silently re-applies
+    runtime confs (shuffle partitions, ANSI, timezone) to the existing
+    session — so a library helper called mid-pipeline would stomp
+    whatever the application configured.  Explicit overrides for an
+    active session belong to ``spark.conf.set`` at the call site."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            if not active.sparkContext._jsc.sc().isStopped():
+                return active
+        except Exception:
+            pass  # stopped/broken session: fall through and build fresh
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -403,8 +403,17 @@ class TestTimeSeriesStats:
             one_acf = sorted(acf(d, "v", "t", lags=2).collect().rows())
         finally:
             distsort._default_nbuckets = old
-        assert many == one
-        assert many_acf == one_acf
+        # buckets THINNER than the window: single-hop halo alone would
+        # starve the centered windows (the empty-output bug the full-suite
+        # run caught) — bucket coalescing must keep results exact
+        distsort._default_nbuckets = lambda sdf: 64
+        try:
+            thin = sorted(seasonal_decompose(d, "v", "t", 4).collect().rows())
+            thin_acf = sorted(acf(d, "v", "t", lags=2).collect().rows())
+        finally:
+            distsort._default_nbuckets = old
+        assert many == one == thin
+        assert many_acf == one_acf == thin_acf
 
     def test_trimmed_mean(self, spark):
         from polars_net_spark.operators.analytics import trimmed_mean_by_key
