@@ -10335,6 +10335,60 @@ FROM rk
 """
 
 
+
+
+def _q301(spark, sf_dir):
+    """NINTH Structured Streaming gate — SLIDING windows: 6-hour windows
+    every 3 hours (each event lands in exactly two overlapping windows),
+    per event type, availableNow to a memory sink.  Completes the window
+    palette beside tumbling (q151) and session (q173) windows; the DuckDB
+    oracle expands each row into its two slide buckets."""
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    with _stream_gate_conf(spark):
+        q = (
+            stream.writeStream.format("memory").queryName("q301_slide")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table("q301_slide").select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "sum_v", "n",
+    )
+
+
+_q301_sql = """
+WITH expanded AS (
+  SELECT event_type, value,
+         to_timestamp((floor(epoch(ts) / 10800) - k) * 10800) AS win_start,
+         ts
+  FROM events, (SELECT unnest(generate_series(0, 1)) AS k)
+  WHERE epoch(ts) < (floor(epoch(ts) / 10800) - k) * 10800 + 21600
+    AND epoch(ts) >= (floor(epoch(ts) / 10800) - k) * 10800)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       round(sum(value), 6) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10637,6 +10691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_rows_diff": _q298,
         "q299_dup_stats": _q299,
         "q300_neyman": _q300,
+        "q301_stream_sliding": _q301,
     }
 
 
@@ -10942,4 +10997,5 @@ def oracle_sql() -> dict[str, str]:
         "q298_rows_diff": _q298_sql,
         "q299_dup_stats": _q299_sql,
         "q300_neyman": _q300_sql,
+        "q301_stream_sliding": _q301_sql,
     }
