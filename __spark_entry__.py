@@ -10389,6 +10389,39 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+
+
+def _q302(spark, sf_dir):
+    """Distribution-free median CI (operators/regression.py median_ci):
+    order-statistic interval for the median line price — exact ranks
+    resolve through distsort prefix offsets, no single-partition sort."""
+    from polars_net_spark.operators.regression import median_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    return median_ci(li.spark, "l_extendedprice").spark
+
+
+_q302_sql = """
+WITH base AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+nn AS (SELECT count(*) AS n FROM base),
+rk AS (SELECT greatest(1, CAST(floor((n - 1.96::DOUBLE * sqrt(n)) / 2) AS BIGINT)) AS lo_r,
+              least(n, CAST(ceil((n + 1.96::DOUBLE * sqrt(n)) / 2) AS BIGINT) + 1) AS hi_r
+       FROM nn),
+ordered AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM base),
+b AS (SELECT min(CASE WHEN r = rk.lo_r THEN x END) AS lo,
+             min(CASE WHEN r = rk.hi_r THEN x END) AS hi
+      FROM ordered, rk),
+m AS (SELECT median(x) AS mv FROM base)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+       round(m.mv, 6) AS median,
+       round(b.lo, 6) AS ci_lo,
+       round(b.hi, 6) AS ci_hi,
+       1.96::DOUBLE AS z
+FROM b, m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10692,6 +10725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q299_dup_stats": _q299,
         "q300_neyman": _q300,
         "q301_stream_sliding": _q301,
+        "q302_median_ci": _q302,
     }
 
 
@@ -10998,4 +11032,5 @@ def oracle_sql() -> dict[str, str]:
         "q299_dup_stats": _q299_sql,
         "q300_neyman": _q300_sql,
         "q301_stream_sliding": _q301_sql,
+        "q302_median_ci": _q302_sql,
     }

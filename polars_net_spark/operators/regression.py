@@ -1822,3 +1822,60 @@ def msprt_report(
 
 
 __all__.extend(["anova_oneway", "info_gain_report", "msprt_report"])
+
+
+def median_ci(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Distribution-free confidence interval for the MEDIAN via order
+    statistics: the interval [x_(l), x_(u)] with ranks l = ⌊(n − z·√n)/2⌋
+    and u = ⌈(n + z·√n)/2⌉ + 1 (normal approximation to the binomial
+    order-statistic argument; Conover 1999) covers the true median with
+    ≈ the z-level confidence REGARDLESS of the distribution — the right
+    interval for skewed latency/quality metrics where a mean ± t·se is
+    meaningless.
+
+    Scale shape: one 1-row count probe, then the two order statistics
+    resolve through distsort range buckets + prefix offsets (global rank
+    = offset + within-bucket row_number) — no single-partition window;
+    the median itself is the exact percentile aggregate.  Output
+    (1 row): n, median, ci_lo, ci_hi, z."""
+    import math
+
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    x = F.col(value_col).cast("double")
+    base = sdf.filter(x.isNotNull()).select(x.alias("__x__"))
+    n = base.count()
+    if n < 2:
+        raise ValueError("median_ci needs >= 2 non-null values")
+    zz = float(z)
+    lo_rank = max(1, int(math.floor((n - zz * math.sqrt(n)) / 2.0)))
+    hi_rank = min(n, int(math.ceil((n + zz * math.sqrt(n)) / 2.0)) + 1)
+    bucketed, gb = with_range_buckets(base, "__x__")
+    offs, _tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    w = Window.partitionBy(gb).orderBy("__x__")
+    rank = F.col("__off_c__") + F.row_number().over(w)
+    picked = offs.select("__x__", rank.alias("__r__")).filter(
+        F.col("__r__").isin([lo_rank, hi_rank])
+    )
+    bounds = picked.agg(
+        F.min(F.when(F.col("__r__") == lo_rank, F.col("__x__"))).alias("lo"),
+        F.min(F.when(F.col("__r__") == hi_rank, F.col("__x__"))).alias("hi"),
+    )
+    med = base.agg(F.median("__x__").alias("m"))
+    out = bounds.join(F.broadcast(med)).select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.round("m", round_to).alias("median"),
+        F.round("lo", round_to).alias("ci_lo"),
+        F.round("hi", round_to).alias("ci_hi"),
+        F.lit(zz).alias("z"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("median_ci")

@@ -570,3 +570,36 @@ class TestBradleyTerryDriverPath:
         drv = sorted(rows(bradley_terry(d, iterations=8)))
         dist = sorted(rows(bradley_terry(d, iterations=8, driver_threshold=0)))
         assert drv == dist
+
+
+class TestMedianCi:
+    def test_brackets_true_median(self, spark):
+        import numpy as np
+
+        from polars_net_spark.operators.regression import median_ci
+
+        rng = np.random.RandomState(3)
+        d = spark.createDataFrame(
+            [(float(v),) for v in rng.exponential(10.0, 2001)], "x double"
+        ).repartition(8)
+        (n, med, lo, hi, z), = rows(median_ci(d, "x"))
+        import math
+
+        true_med = 10.0 * math.log(2)
+        assert n == 2001 and lo < med < hi
+        assert lo < true_med < hi  # 95% CI on 2001 draws: essentially certain
+
+    def test_small_n_validation(self, spark):
+        from polars_net_spark.operators.regression import median_ci
+
+        d = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            median_ci(d, "x")
+
+    def test_partition_invariant(self, spark):
+        from polars_net_spark.operators.regression import median_ci
+
+        vals = [(float((v * 37) % 101),) for v in range(500)]
+        a = rows(median_ci(spark.createDataFrame(vals, "x double"), "x"))
+        b = rows(median_ci(spark.createDataFrame(vals, "x double").repartition(13), "x"))
+        assert a == b
