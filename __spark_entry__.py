@@ -10422,6 +10422,46 @@ FROM b, m
 """
 
 
+
+
+def _q303(spark, sf_dir):
+    """Cochran-Armitage trend test (operators/regression.py
+    cochran_armitage): does the finalization rate trend with the numeric
+    order-priority tier?  One score-keyed aggregate + bounded reduce —
+    the dose-response screen beside chi2 (unordered) and prop_ztest
+    (two arms)."""
+    from polars_net_spark.operators.regression import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders").spark
+    d = o.select(
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("double").alias("tier"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("final"),
+    )
+    return cochran_armitage(d, "tier", "final").spark
+
+
+_q303_sql = """
+WITH base AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS s,
+                     CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+g AS (SELECT s, count(*) AS ni, sum(y) AS ri FROM base
+      WHERE s IS NOT NULL GROUP BY 1),
+red AS (SELECT sum(ni) AS n, count(*) AS k, sum(ri) AS r,
+               sum(s * ri) AS sr, sum(s * ni) AS sn, sum(s * s * ni) AS ssn
+        FROM g),
+c AS (SELECT n, k, r / n AS pbar,
+             sr - (r / n) * sn AS t,
+             (r / n) * (1 - r / n) * (ssn - sn * sn / n) AS var_t
+      FROM red)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(pbar, 6) AS pbar, round(t, 6) AS t_stat,
+       round(var_t, 6) AS var_t,
+       round(CASE WHEN var_t > 0 THEN t / sqrt(var_t) END, 6) AS z
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10726,6 +10766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q300_neyman": _q300,
         "q301_stream_sliding": _q301,
         "q302_median_ci": _q302,
+        "q303_ca_trend": _q303,
     }
 
 
@@ -11033,4 +11074,5 @@ def oracle_sql() -> dict[str, str]:
         "q300_neyman": _q300_sql,
         "q301_stream_sliding": _q301_sql,
         "q302_median_ci": _q302_sql,
+        "q303_ca_trend": _q303_sql,
     }

@@ -1879,3 +1879,54 @@ def median_ci(
 
 
 __all__.append("median_ci")
+
+
+def cochran_armitage(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cochran–Armitage test for TREND in proportions across ordered
+    groups: is the event rate monotonically moving with the ordinal score
+    (dose, priority tier, bucket index)?  More powerful than the r×2 χ²
+    when the alternative is ordered — the standard dose-response screen.
+    T = Σ sᵢ(rᵢ − nᵢ·p̄), Var(T) = p̄(1−p̄)·(Σ nᵢsᵢ² − (Σ nᵢsᵢ)²/N),
+    z = T/√Var ~ N(0,1) under no trend.
+
+    ``score_col`` is numeric-ordinal (cast to double), ``label_col`` 0/1;
+    null rows drop.  ONE score-keyed map-side-combining aggregate +
+    one bounded reduce over the (score-cardinality) group table.
+    Output (1 row): n, k (groups), pbar, t_stat, var_t, z (null when
+    Var = 0 — a constant score or an all-0/all-1 label)."""
+    sdf = _sdf(frame)
+    sc = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    g = (
+        sdf.filter(sc.isNotNull() & y.isNotNull())
+        .groupBy(sc.alias("__s__"))
+        .agg(F.count(F.lit(1)).alias("ni"), F.sum(y).alias("ri"))
+    )
+    red = g.agg(
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ri").alias("r"),
+        F.sum(F.col("__s__") * F.col("ri")).alias("sr"),
+        F.sum(F.col("__s__") * F.col("ni")).alias("sn"),
+        F.sum(F.col("__s__") * F.col("__s__") * F.col("ni")).alias("ssn"),
+    )
+    pbar = F.col("r") / F.col("n")
+    t = F.col("sr") - pbar * F.col("sn")
+    var_t = pbar * (1 - pbar) * (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("n"))
+    out = red.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(pbar, round_to).alias("pbar"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(var_t, round_to).alias("var_t"),
+        F.round(F.when(var_t > 0, t / F.sqrt(var_t)), round_to).alias("z"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("cochran_armitage")

@@ -603,3 +603,34 @@ class TestMedianCi:
         a = rows(median_ci(spark.createDataFrame(vals, "x double"), "x"))
         b = rows(median_ci(spark.createDataFrame(vals, "x double").repartition(13), "x"))
         assert a == b
+
+
+class TestCochranArmitage:
+    def test_hand_computed_trend(self, spark):
+        from polars_net_spark.operators.regression import cochran_armitage
+
+        r = (
+            [(1.0, 1)] * 10 + [(1.0, 0)] * 90 + [(2.0, 1)] * 30 + [(2.0, 0)] * 70
+            + [(3.0, 1)] * 50 + [(3.0, 0)] * 50
+        )
+        d = spark.createDataFrame(r, ["s", "y"])
+        (n, k, pbar, t, var, z), = rows(cochran_armitage(d, "s", "y"))
+        # T = 220 - 0.3*600 = 40; Var = 0.21*(1400 - 1200) = 42
+        assert (n, k) == (300, 3)
+        assert t == pytest.approx(40.0) and var == pytest.approx(42.0)
+        assert z == pytest.approx(40.0 / 42.0 ** 0.5, abs=1e-5)
+
+    def test_flat_rates_zero(self, spark):
+        from polars_net_spark.operators.regression import cochran_armitage
+
+        r = [(1.0, 1)] * 30 + [(1.0, 0)] * 70 + [(2.0, 1)] * 30 + [(2.0, 0)] * 70
+        d = spark.createDataFrame(r, ["s", "y"])
+        (_, _, _, t, _, z), = rows(cochran_armitage(d, "s", "y"))
+        assert t == 0.0 and z == 0.0
+
+    def test_degenerate_null_z(self, spark):
+        from polars_net_spark.operators.regression import cochran_armitage
+
+        d = spark.createDataFrame([(1.0, 1), (1.0, 0)], ["s", "y"])
+        (_, k, _, _, var, z), = rows(cochran_armitage(d, "s", "y"))
+        assert k == 1 and var == 0.0 and z is None
