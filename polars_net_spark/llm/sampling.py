@@ -423,7 +423,12 @@ def neyman_allocation(
     single-value or constant strata (σ=0) receive ``min_per_stratum``
     (they still need representation), with the remaining budget split by
     N_h·σ_h shares and rounded largest-remainder so Σ n_h == total_n and
-    no stratum exceeds its population.
+    no stratum exceeds its population.  When a high-weight stratum hits
+    its population cap, its overflow is REDISTRIBUTED proportionally
+    over the still-open strata (standard iterative capping), so the
+    Σ n_h == total_n contract holds whenever the population allows it;
+    ``total_n`` > Σ N_h or < Σ floors raises ValueError (the contract
+    is unsatisfiable either way).
 
     One stratum-keyed map-side-combining aggregate + driver math over the
     (bounded) stratum table.  Output: (stratum, n_pop, sigma, n_alloc)."""
@@ -446,30 +451,58 @@ def neyman_allocation(
     if not rows:
         raise ValueError("no strata (all-null stratum or value column)")
     floors = {r["stratum"]: min(int(min_per_stratum), int(r["n_pop"])) for r in rows}
-    budget = int(total_n) - sum(floors.values())
-    weights = {r["stratum"]: float(r["n_pop"]) * float(r["sigma"]) for r in rows}
-    wtot = sum(weights.values())
-    alloc = dict(floors)
-    if budget > 0 and wtot > 0:
-        shares = {
-            s: budget * w / wtot for s, w in weights.items()
-        }
-        caps = {r["stratum"]: int(r["n_pop"]) for r in rows}
-        base = {s: min(int(shares[s]), caps[s] - alloc[s]) for s in shares}
-        for s in base:
-            alloc[s] += base[s]
-        left = budget - sum(base.values())
-        # largest remainder, ties broken by stratum name for determinism
-        order = sorted(
-            shares, key=lambda s: (-(shares[s] - int(shares[s])), str(s))
+    caps = {r["stratum"]: int(r["n_pop"]) for r in rows}
+    cap_total = sum(caps.values())
+    floor_total = sum(floors.values())
+    if int(total_n) > cap_total:
+        raise ValueError(
+            f"total_n={total_n} exceeds the population Σ N_h={cap_total}; "
+            "cannot allocate more samples than rows exist"
         )
-        i = 0
-        while left > 0 and i < len(order) * 2:
-            s = order[i % len(order)]
-            if alloc[s] < caps[s]:
+    if int(total_n) < floor_total:
+        raise ValueError(
+            f"total_n={total_n} is below the floor sum Σ min(min_per_stratum, "
+            f"N_h)={floor_total}; lower min_per_stratum or raise total_n"
+        )
+    budget = int(total_n) - floor_total
+    weights = {r["stratum"]: float(r["n_pop"]) * float(r["sigma"]) for r in rows}
+    alloc = dict(floors)
+    left = budget
+    # iterative capping: split the remaining budget by N_h·σ_h shares over
+    # the still-open strata; when a stratum hits its population cap its
+    # overflow re-enters the pool and is re-split proportionally next pass.
+    while left > 0:
+        open_s = [s for s in caps if alloc[s] < caps[s]]
+        if not open_s:  # unreachable given total_n <= cap_total; belt & braces
+            break
+        wsum = sum(weights[s] for s in open_s)
+        if wsum <= 0:
+            # no variance signal left: fill by stratum name for determinism
+            for s in sorted(open_s, key=str):
+                take = min(left, caps[s] - alloc[s])
+                alloc[s] += take
+                left -= take
+                if left <= 0:
+                    break
+            break
+        shares = {s: left * weights[s] / wsum for s in open_s}
+        given = 0
+        for s in open_s:
+            add = min(int(shares[s]), caps[s] - alloc[s])
+            alloc[s] += add
+            given += add
+        left -= given
+        if left > 0:
+            # largest remainder among still-open strata, name-tiebroken
+            order = sorted(
+                (s for s in open_s if alloc[s] < caps[s]),
+                key=lambda s: (-(shares[s] - int(shares[s])), str(s)),
+            )
+            for s in order:
+                if left <= 0:
+                    break
                 alloc[s] += 1
                 left -= 1
-            i += 1
     spark = sdf.sparkSession
     out_rows = [
         (r["stratum"], int(r["n_pop"]), float(r["sigma"]), int(alloc[r["stratum"]]))

@@ -7,7 +7,7 @@ get exported to pandas happen in-plan instead, at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame as SparkDF, Window
+from pyspark.sql import Column, DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
 from ..frame import LazyFrame
@@ -1838,11 +1838,13 @@ def median_ci(
     interval for skewed latency/quality metrics where a mean ± t·se is
     meaningless.
 
-    Scale shape: one 1-row count probe, then the two order statistics
-    resolve through distsort range buckets + prefix offsets (global rank
-    = offset + within-bucket row_number) — no single-partition window;
-    the median itself is the exact percentile aggregate.  Output
-    (1 row): n, median, ci_lo, ci_hi, z."""
+    Scale shape: distsort range buckets + prefix offsets give every row
+    its global rank (= offset + within-bucket row_number) with no
+    single-partition window; n comes back as the prefix pass's grand
+    total (no separate count() action), and the MEDIAN is read off the
+    same rank column as order statistics m1=(n+1)//2, m2=n//2+1 —
+    bounds and median fuse into ONE final aggregate, no keyless join.
+    Output (1 row): n, median, ci_lo, ci_hi, z."""
     import math
 
     from .distsort import with_prefix_offsets, with_range_buckets
@@ -1850,32 +1852,41 @@ def median_ci(
     sdf = _sdf(frame)
     x = F.col(value_col).cast("double")
     base = sdf.filter(x.isNotNull()).select(x.alias("__x__"))
-    n = base.count()
-    if n < 2:
-        raise ValueError("median_ci needs >= 2 non-null values")
-    zz = float(z)
-    lo_rank = max(1, int(math.floor((n - zz * math.sqrt(n)) / 2.0)))
-    hi_rank = min(n, int(math.ceil((n + zz * math.sqrt(n)) / 2.0)) + 1)
-    bucketed, gb = with_range_buckets(base, "__x__")
-    offs, _tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
-    w = Window.partitionBy(gb).orderBy("__x__")
-    rank = F.col("__off_c__") + F.row_number().over(w)
-    picked = offs.select("__x__", rank.alias("__r__")).filter(
-        F.col("__r__").isin([lo_rank, hi_rank])
-    )
-    bounds = picked.agg(
-        F.min(F.when(F.col("__r__") == lo_rank, F.col("__x__"))).alias("lo"),
-        F.min(F.when(F.col("__r__") == hi_rank, F.col("__x__"))).alias("hi"),
-    )
-    med = base.agg(F.median("__x__").alias("m"))
-    out = bounds.join(F.broadcast(med)).select(
-        F.lit(int(n)).cast("long").alias("n"),
-        F.round("m", round_to).alias("median"),
-        F.round("lo", round_to).alias("ci_lo"),
-        F.round("hi", round_to).alias("ci_hi"),
-        F.lit(zz).alias("z"),
-    )
-    return LazyFrame(out)
+    base.persist()
+    try:
+        bucketed, gb = with_range_buckets(base, "__x__")
+        offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+        n = int(tot["c"])
+        if n < 2:
+            raise ValueError("median_ci needs >= 2 non-null values")
+        zz = float(z)
+        lo_rank = max(1, int(math.floor((n - zz * math.sqrt(n)) / 2.0)))
+        hi_rank = min(n, int(math.ceil((n + zz * math.sqrt(n)) / 2.0)) + 1)
+        m1 = (n + 1) // 2
+        m2 = n // 2 + 1
+        w = Window.partitionBy(gb).orderBy("__x__")
+        rank = (F.col("__off_c__") + F.row_number().over(w)).cast("long")
+        wanted = sorted({lo_rank, hi_rank, m1, m2})
+        picked = offs.select("__x__", rank.alias("__r__")).filter(
+            F.col("__r__").isin(wanted)
+        )
+
+        def _at(r: int) -> Column:
+            return F.min(F.when(F.col("__r__") == r, F.col("__x__")))
+
+        out = picked.agg(
+            F.lit(int(n)).cast("long").alias("n"),
+            F.round((_at(m1) + _at(m2)) / 2.0, round_to).alias("median"),
+            F.round(_at(lo_rank), round_to).alias("ci_lo"),
+            F.round(_at(hi_rank), round_to).alias("ci_hi"),
+            F.lit(zz).alias("z"),
+        )
+        # materialise before unpersist so the cached base backs all passes
+        rows = out.collect()
+    finally:
+        base.unpersist()
+    spark = sdf.sparkSession
+    return LazyFrame(spark.createDataFrame(rows, out.schema))
 
 
 __all__.append("median_ci")

@@ -557,6 +557,33 @@ class TestNeyman:
         with pytest.raises(ValueError):
             neyman_allocation(spark.range(3), "id", "id", total_n=0)
 
+    def test_cap_overflow_redistributes(self, spark):
+        # the r7 ADVICE scenario: a high-weight stratum hits its population
+        # cap; the overflow must be redistributed, not silently dropped.
+        from polars_net_spark.llm.sampling import neyman_allocation
+
+        data = (
+            [("a", float(v) * 100.0) for v in range(5)]          # n=5, huge sigma
+            + [("b", 5.0 + 0.1 * (v % 2)) for v in range(100)]   # n=100, tiny sigma
+            + [("c", 7.0 + 0.1 * (v % 2)) for v in range(100)]   # n=100, tiny sigma
+        )
+        s = spark.createDataFrame(data, ["g", "x"])
+        out = {r[0]: r[3] for r in rows(neyman_allocation(s, "g", "x", 50))}
+        assert sum(out.values()) == 50          # full budget allocated
+        assert out["a"] == 5                     # capped at population
+        assert out["b"] >= 20 and out["c"] >= 20  # overflow went to open strata
+
+    def test_total_n_infeasible_raises(self, spark):
+        from polars_net_spark.llm.sampling import neyman_allocation
+
+        s = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "x"]
+        )
+        with pytest.raises(ValueError, match="exceeds the population"):
+            neyman_allocation(s, "g", "x", total_n=5)
+        with pytest.raises(ValueError, match="below the floor sum"):
+            neyman_allocation(s, "g", "x", total_n=3)
+
 
 class TestBradleyTerryDriverPath:
     def test_driver_and_distributed_paths_agree(self, spark):
