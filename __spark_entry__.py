@@ -47,8 +47,20 @@ from polars_net_spark.operators.joins_ext import range_join, salted_join
 STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
 
 
-_T_CONF_DONE: "set[int]" = set()
-_T_MEMO: "dict[tuple[int, str, str], LazyFrame]" = {}
+_T_CONF_DONE: "set[str]" = set()
+_T_MEMO: "dict[tuple[str, str, str], LazyFrame]" = {}
+
+
+def _session_key(spark) -> str:
+    """Session-lifetime identifier for the memo/conf caches.  id(spark) is
+    UNSAFE here: CPython reuses addresses after GC, so a new session
+    allocated where a stopped one lived would inherit stale memoized
+    LazyFrames bound to the dead session (r7 ADVICE).  applicationId is
+    unique per SparkContext lifetime."""
+    try:
+        return str(spark.sparkContext.applicationId)
+    except Exception:
+        return f"id:{id(spark)}"  # last resort (no context yet)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
@@ -61,7 +73,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
     is safe — every operator derives new frames."""
     # The driver passes its own SparkSession; these are all runtime-settable
     # and make its runs match our tuned sessions.
-    if id(spark) not in _T_CONF_DONE:
+    skey = _session_key(spark)
+    if skey not in _T_CONF_DONE:
         try:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.ansi.enabled", "false")  # polars: /0 is data, not an error
@@ -71,10 +84,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
             )
-            _T_CONF_DONE.add(id(spark))
+            _T_CONF_DONE.add(skey)
         except Exception:
             pass
-    key = (id(spark), sf_dir, name)
+    key = (skey, sf_dir, name)
     hit = _T_MEMO.get(key)
     if hit is not None:
         return hit

@@ -834,9 +834,6 @@ def dedup_clusters(
     # and the edge staging is already persisted via the cache registry
     labels = active.select("id", F.col("id").alias("lbl"))
 
-    _scope = scoped_checkpoint_dir(
-        _sdf(pairs).sparkSession.sparkContext, checkpoint_dir
-    ).__enter__()
     if checkpoint_dir is not None:
 
         def _ckpt(df):
@@ -846,30 +843,31 @@ def dedup_clusters(
         def _ckpt(df):
             return df.localCheckpoint()
 
-    for _ in range(max_iter):
-        nmin = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        parent = labels.select(F.col("id").alias("p_id"), F.col("lbl").alias("plbl"))
-        stage = (
-            labels.join(nmin, "id", "left")
-            .join(parent, F.col("lbl") == F.col("p_id"), "left")
-            .select("id", "lbl", F.least("lbl", "nlbl", "plbl").alias("new_lbl"))
-        )
-        stage = _ckpt(stage)
-        changed = stage.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = stage.select("id", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
-    else:
-        _scope.__exit__()
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds; "
-            "raise max_iter (graph has a very long path)"
-        )
-    _scope.__exit__()
+    # with-block: restore the previous checkpoint dir on ALL exit paths —
+    # convergence, non-convergence raise, or a mid-round failure (r7 ADVICE)
+    with scoped_checkpoint_dir(_sdf(pairs).sparkSession.sparkContext, checkpoint_dir):
+        for _ in range(max_iter):
+            nmin = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            parent = labels.select(F.col("id").alias("p_id"), F.col("lbl").alias("plbl"))
+            stage = (
+                labels.join(nmin, "id", "left")
+                .join(parent, F.col("lbl") == F.col("p_id"), "left")
+                .select("id", "lbl", F.least("lbl", "nlbl", "plbl").alias("new_lbl"))
+            )
+            stage = _ckpt(stage)
+            changed = stage.filter(F.col("new_lbl") != F.col("lbl")).count()
+            labels = stage.select("id", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} rounds; "
+                "raise max_iter (graph has a very long path)"
+            )
     clustered = labels.select("id", F.col("lbl").alias("cluster_id"))
     if verts is not None:
         clustered = verts.join(clustered, "id", "left").select(

@@ -136,81 +136,82 @@ def train_bpe(
     """
     sdf = frame if isinstance(frame, SparkDF) else frame.spark
     spark = sdf.sparkSession
-    _scope = scoped_checkpoint_dir(spark.sparkContext, checkpoint_dir).__enter__()
+    # with-block: restore the previous checkpoint dir on ALL exit paths,
+    # including a mid-merge exception (r7 ADVICE)
+    with scoped_checkpoint_dir(spark.sparkContext, checkpoint_dir):
 
-    wc = (
-        sdf.select(F.explode(_words(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # initial symbols: characters + the end-of-word marker.  Spark's split
-    # keeps trailing empties (limit -1) and "(?!^)" matches at end-of-string,
-    # so drop empty symbols explicitly.
-    chars = F.filter(F.split(F.col("word"), "(?!^)"), lambda s: F.length(s) > 0)
-    vocab = wc.select(
-        "cnt", F.concat(chars, F.array(F.lit(end_of_word))).alias("sym")
-    ).persist()
-
-    merges: list[tuple[int, str, str, int]] = []
-    prev = None
-    for r in range(int(num_merges)):
-        sym = F.col("sym")
-        lefts = F.slice(sym, 1, F.size(sym) - 1)
-        rights = F.slice(sym, 2, F.size(sym) - 1)
-        pairs = (
-            vocab.filter(F.size(sym) >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.zip_with(lefts, rights, lambda a, b: F.struct(a.alias("l"), b.alias("r")))
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("c"))
+        wc = (
+            sdf.select(F.explode(_words(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # the argmax collect doubles as the job that fills vocab's cache —
-        # ONE job per iteration, no separate materialization pass
-        best = pairs.orderBy(F.col("c").desc(), F.col("l"), F.col("r")).first()
+        # initial symbols: characters + the end-of-word marker.  Spark's split
+        # keeps trailing empties (limit -1) and "(?!^)" matches at end-of-string,
+        # so drop empty symbols explicitly.
+        chars = F.filter(F.split(F.col("word"), "(?!^)"), lambda s: F.length(s) > 0)
+        vocab = wc.select(
+            "cnt", F.concat(chars, F.array(F.lit(end_of_word))).alias("sym")
+        ).persist()
+
+        merges: list[tuple[int, str, str, int]] = []
+        prev = None
+        for r in range(int(num_merges)):
+            sym = F.col("sym")
+            lefts = F.slice(sym, 1, F.size(sym) - 1)
+            rights = F.slice(sym, 2, F.size(sym) - 1)
+            pairs = (
+                vocab.filter(F.size(sym) >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.zip_with(lefts, rights, lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("c"))
+            )
+            # the argmax collect doubles as the job that fills vocab's cache —
+            # ONE job per iteration, no separate materialization pass
+            best = pairs.orderBy(F.col("c").desc(), F.col("l"), F.col("r")).first()
+            if prev is not None:
+                prev.unpersist()  # safe: vocab's cache is now populated
+                prev = None
+            if best is None or best["c"] < min_pair_count:
+                break
+            l, rr, c = best["l"], best["r"], int(best["c"])
+            merges.append((r, l, rr, c))
+            merged = l + rr
+            # greedy left-to-right fold: pop-and-replace when the running tail
+            # is `l` and the next symbol is `r`
+            fold = F.aggregate(
+                sym,
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (s == F.lit(rr)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            staged = vocab.select("cnt", fold.alias("sym"))
+            if checkpoint_every and (r + 1) % int(checkpoint_every) == 0:
+                # lineage cut; both checkpoint flavors also store the data, so
+                # no extra persist on these iterations
+                new_vocab = (
+                    staged.checkpoint(eager=False) if checkpoint_dir is not None
+                    else staged.localCheckpoint(eager=False)
+                )
+            else:
+                new_vocab = staged.persist()
+            prev, vocab = vocab, new_vocab
+        vocab.unpersist()
         if prev is not None:
-            prev.unpersist()  # safe: vocab's cache is now populated
-            prev = None
-        if best is None or best["c"] < min_pair_count:
-            break
-        l, rr, c = best["l"], best["r"], int(best["c"])
-        merges.append((r, l, rr, c))
-        merged = l + rr
-        # greedy left-to-right fold: pop-and-replace when the running tail
-        # is `l` and the next symbol is `r`
-        fold = F.aggregate(
-            sym,
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (s == F.lit(rr)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        staged = vocab.select("cnt", fold.alias("sym"))
-        if checkpoint_every and (r + 1) % int(checkpoint_every) == 0:
-            # lineage cut; both checkpoint flavors also store the data, so
-            # no extra persist on these iterations
-            new_vocab = (
-                staged.checkpoint(eager=False) if checkpoint_dir is not None
-                else staged.localCheckpoint(eager=False)
-            )
-        else:
-            new_vocab = staged.persist()
-        prev, vocab = vocab, new_vocab
-    vocab.unpersist()
-    if prev is not None:
-        prev.unpersist()
+            prev.unpersist()
 
     schema = "rank INT, left STRING, right STRING, pair_count BIGINT"
     out = spark.createDataFrame(merges, schema=schema)
-    _scope.__exit__()
     return LazyFrame(out)
 
 

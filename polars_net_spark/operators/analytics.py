@@ -2200,10 +2200,14 @@ def collapse_rare_levels(
     switches to the absolute rule.  Nulls pass through unchanged (they
     are their own signal; combine with fill upstream).
 
-    Shuffle shape: one map-side-combining level count + a LEFT SEMI-style
-    broadcast of the SURVIVOR set joined back — at any scale the survivor
-    set is bounded by 1/min_share (or data/min_count), so the join side
-    stays broadcastable.  All other columns pass through untouched."""
+    Shuffle shape: one map-side-combining level count + the SURVIVOR set
+    joined back.  The broadcast hint applies ONLY on the ``min_share``
+    path, where the survivor set is bounded by 1/min_share; under
+    ``min_count`` the survivor set is unbounded (min_count=2 on an id-like
+    column keeps nearly every level), so that join is left unhinted and
+    AQE broadcasts it when the measured size allows (r7 ADVICE: no forced
+    broadcast of an arbitrarily large frame).  All other columns pass
+    through untouched."""
     if min_count is not None:
         min_share = None
     if min_share is None and min_count is None:
@@ -2222,9 +2226,9 @@ def collapse_rare_levels(
             .filter(F.col("__c__") / F.col("__t__") >= float(min_share))
         )
     keep = keep.select(F.col("__lv__"), F.lit(True).alias("__keep__"))
-    j = sdf.join(
-        F.broadcast(keep), sdf[col] == keep["__lv__"], "left"
-    )
+    if min_count is None:
+        keep = F.broadcast(keep)  # bounded by 1/min_share — always safe
+    j = sdf.join(keep, sdf[col] == keep["__lv__"], "left")
     replaced = F.when(
         F.col(col).isNull() | F.col("__keep__").isNotNull(), F.col(col)
     ).otherwise(F.lit(other))

@@ -53,9 +53,6 @@ def pagerank(
     as dedup_clusters.
     """
     esdf = edges if isinstance(edges, SparkDF) else edges.spark
-    _scope = scoped_checkpoint_dir(
-        esdf.sparkSession.sparkContext, checkpoint_dir
-    ).__enter__()
     if checkpoint_dir is not None:
 
         def _ckpt(df, eager=True):
@@ -65,35 +62,37 @@ def pagerank(
         def _ckpt(df, eager=True):
             return df.localCheckpoint(eager=eager)
 
-    e = esdf.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    verts = e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v"))).distinct()
-    if vertices is not None:
-        vsdf = vertices if isinstance(vertices, SparkDF) else vertices.spark
-        verts = verts.union(vsdf.select(F.col(vertex_id).alias("v"))).distinct()
-    verts = _ckpt(verts, eager=False)
-    n = verts.count()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = verts.select("v", (F.lit(1.0) / n).alias("r"))
-    base = (1.0 - damping) / n
-    for i in range(int(iterations)):
-        contribs = (
-            e.join(ranks.withColumnRenamed("v", "s"), "s")
-            .join(deg, "s")
-            .select(F.col("d").alias("v"), (F.col("r") / F.col("deg")).alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            verts.join(contribs, "v", "left")
-            .select(
-                "v",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias("r"),
+    # with-block: restore the previous checkpoint dir on ALL exit paths,
+    # including a mid-iteration exception (r7 ADVICE)
+    with scoped_checkpoint_dir(esdf.sparkSession.sparkContext, checkpoint_dir):
+        e = esdf.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+        verts = e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v"))).distinct()
+        if vertices is not None:
+            vsdf = vertices if isinstance(vertices, SparkDF) else vertices.spark
+            verts = verts.union(vsdf.select(F.col(vertex_id).alias("v"))).distinct()
+        verts = _ckpt(verts, eager=False)
+        n = verts.count()
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        ranks = verts.select("v", (F.lit(1.0) / n).alias("r"))
+        base = (1.0 - damping) / n
+        for i in range(int(iterations)):
+            contribs = (
+                e.join(ranks.withColumnRenamed("v", "s"), "s")
+                .join(deg, "s")
+                .select(F.col("d").alias("v"), (F.col("r") / F.col("deg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("in_sum"))
             )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = _ckpt(ranks)
-    out = ranks.select(F.col("v").alias(vertex_id), F.round("r", round_to).alias("rank"))
-    _scope.__exit__()
+            ranks = (
+                verts.join(contribs, "v", "left")
+                .select(
+                    "v",
+                    (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias("r"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                ranks = _ckpt(ranks)
+        out = ranks.select(F.col("v").alias(vertex_id), F.round("r", round_to).alias("rank"))
     return LazyFrame(out)
 
 
@@ -205,9 +204,6 @@ def label_propagation(
     checkpoint-truncated like pagerank (same ``checkpoint_dir`` semantics).
     Output: (id, label)."""
     esdf = edges if isinstance(edges, SparkDF) else edges.spark
-    _scope = scoped_checkpoint_dir(
-        esdf.sparkSession.sparkContext, checkpoint_dir
-    ).__enter__()
     if checkpoint_dir is not None:
 
         def _ckpt(df):
@@ -217,32 +213,33 @@ def label_propagation(
         def _ckpt(df):
             return df.localCheckpoint(eager=True)
 
-    canon = (
-        esdf.filter(
-            F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    # with-block: restore the previous checkpoint dir on ALL exit paths
+    with scoped_checkpoint_dir(esdf.sparkSession.sparkContext, checkpoint_dir):
+        canon = (
+            esdf.filter(
+                F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+            )
+            .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+            .distinct()
         )
-        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .distinct()
-    )
-    adj = canon.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
-        canon.select(F.col("b").alias("v"), F.col("a").alias("n"))
-    )
-    labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
-    for i in range(int(iterations)):
-        counts = (
-            adj.join(labels.withColumnRenamed("v", "n"), "n")
-            .groupBy("v", "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
+        adj = canon.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+            canon.select(F.col("b").alias("v"), F.col("a").alias("n"))
         )
-        labels = counts.groupBy("v").agg(
-            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l")))
-            .getField("l")
-            .alias("lab")
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            labels = _ckpt(labels)
-    out = labels.select(F.col("v").alias("id"), F.col("lab").alias("label"))
-    _scope.__exit__()
+        labels = adj.select("v").distinct().select("v", F.col("v").alias("lab"))
+        for i in range(int(iterations)):
+            counts = (
+                adj.join(labels.withColumnRenamed("v", "n"), "n")
+                .groupBy("v", "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = counts.groupBy("v").agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l")))
+                .getField("l")
+                .alias("lab")
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                labels = _ckpt(labels)
+        out = labels.select(F.col("v").alias("id"), F.col("lab").alias("label"))
     return LazyFrame(out)
 
 

@@ -1309,9 +1309,6 @@ def ipf_weights(
         .join(F.broadcast(rt), "__r__")
         .join(F.broadcast(ct), "__c__")
     )
-    _scope = scoped_checkpoint_dir(
-        sdf.sparkSession.sparkContext, checkpoint_dir
-    ).__enter__()
     if checkpoint_dir is not None:
 
         def _ckpt(df):
@@ -1321,29 +1318,32 @@ def ipf_weights(
         def _ckpt(df):
             return df.localCheckpoint(eager=True)
 
-    ntot = cells.agg(F.sum("n").alias("__N__"))
-    cur = cells.join(F.broadcast(ntot)).withColumn(
-        "__m__", F.col("n") / F.col("__N__")
-    )
-    for i in range(int(iterations)):
-        rsum = cur.groupBy("__r__").agg(F.sum("__m__").alias("__rs__"))
-        cur = cur.join(F.broadcast(rsum), "__r__").withColumn(
-            "__m__", F.col("__m__") * F.col("__tr__") / F.col("__rs__")
-        ).drop("__rs__")
-        csum = cur.groupBy("__c__").agg(F.sum("__m__").alias("__cs__"))
-        cur = cur.join(F.broadcast(csum), "__c__").withColumn(
-            "__m__", F.col("__m__") * F.col("__tc__") / F.col("__cs__")
-        ).drop("__cs__")
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            cur = _ckpt(cur)
-    out = cur.select(
-        F.col("__r__").alias(row_col),
-        F.col("__c__").alias(col_col),
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("__m__") / (F.col("n") / F.col("__N__")), round_to).alias("weight"),
-        F.round(F.col("__m__"), round_to).alias("mass"),
-    )
-    _scope.__exit__()
+    # with-block so the previous checkpoint dir is restored even when an
+    # iteration raises (r7 ADVICE: manual __enter__/__exit__ leaked the
+    # redirected dir on any mid-loop exception)
+    with scoped_checkpoint_dir(sdf.sparkSession.sparkContext, checkpoint_dir):
+        ntot = cells.agg(F.sum("n").alias("__N__"))
+        cur = cells.join(F.broadcast(ntot)).withColumn(
+            "__m__", F.col("n") / F.col("__N__")
+        )
+        for i in range(int(iterations)):
+            rsum = cur.groupBy("__r__").agg(F.sum("__m__").alias("__rs__"))
+            cur = cur.join(F.broadcast(rsum), "__r__").withColumn(
+                "__m__", F.col("__m__") * F.col("__tr__") / F.col("__rs__")
+            ).drop("__rs__")
+            csum = cur.groupBy("__c__").agg(F.sum("__m__").alias("__cs__"))
+            cur = cur.join(F.broadcast(csum), "__c__").withColumn(
+                "__m__", F.col("__m__") * F.col("__tc__") / F.col("__cs__")
+            ).drop("__cs__")
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                cur = _ckpt(cur)
+        out = cur.select(
+            F.col("__r__").alias(row_col),
+            F.col("__c__").alias(col_col),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("__m__") / (F.col("n") / F.col("__N__")), round_to).alias("weight"),
+            F.round(F.col("__m__"), round_to).alias("mass"),
+        )
     return LazyFrame(out)
 
 

@@ -34,11 +34,33 @@ def get_spark(
     runtime confs (shuffle partitions, ANSI, timezone) to the existing
     session — so a library helper called mid-pipeline would stomp
     whatever the application configured.  Explicit overrides for an
-    active session belong to ``spark.conf.set`` at the call site."""
+    active session belong to ``spark.conf.set`` at the call site; a
+    warning is emitted when explicit arguments are passed but an active
+    session makes them moot (r7 ADVICE: no silent discard)."""
     active = SparkSession.getActiveSession()
     if active is not None:
         try:
             if not active.sparkContext._jsc.sc().isStopped():
+                ignored = [
+                    name
+                    for name, val in (
+                        ("master", master),
+                        ("shuffle_partitions", shuffle_partitions),
+                        ("extra_conf", extra_conf),
+                    )
+                    if val is not None
+                ]
+                if ignored:
+                    import warnings
+
+                    warnings.warn(
+                        "get_spark: an active SparkSession exists; explicit "
+                        f"argument(s) {', '.join(ignored)} are IGNORED — use "
+                        "spark.conf.set(...) on the active session, or "
+                        "stop_spark() first to rebuild with new settings",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 return active
         except Exception:
             pass  # stopped/broken session: fall through and build fresh
