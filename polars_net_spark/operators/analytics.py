@@ -43,6 +43,25 @@ def _sdf(frame):
     return frame if isinstance(frame, SparkDF) else frame.spark
 
 
+def _halo_order(sdf: SparkDF, ts_col: str):
+    """Order-preserving numeric Column for distsort halo bucketing of a
+    sequence keyed on ``ts_col``, or None when the dtype has no
+    order-preserving numeric form (string/binary — the caller falls back
+    to the warned single-partition global window).  Null timestamps map
+    to -inf so they sort first, matching Spark's asc-nulls-first default
+    on the global window they replace."""
+    dt = dict(sdf.dtypes).get(ts_col, "")
+    if dt.startswith("timestamp") or dt == "date":
+        c = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        "decimal"
+    ):
+        c = F.col(ts_col).cast("double")
+    else:
+        return None
+    return F.coalesce(c, F.lit(float("-inf")))
+
+
 def with_outlier_flags(
     frame: "LazyFrame | SparkDF",
     value_col: str,
@@ -1050,7 +1069,10 @@ def time_weighted_average(
     over-weights bursts of samples.
 
     One lag window per key + one aggregate.  Keys with a single sample (no
-    span) yield that value; null values/timestamps are excluded.  Output:
+    span) yield that value; null values/timestamps are excluded.  With
+    ``by=None`` the lag-1 window rides distsort halo buckets (each bucket
+    borrows its predecessor's last sample), so the global form is exact
+    AND distributed — no single-partition window at any scale.  Output:
     [keys...,] twa, t_min, t_max, n."""
     if method not in ("trapezoid", "step"):
         raise ValueError("method must be trapezoid or step")
@@ -1062,15 +1084,22 @@ def time_weighted_average(
     base = sdf.filter(ts.isNotNull() & v.isNotNull()).select(
         *keys, tsec.alias("__t__"), v.alias("__v__")
     )
-    w = Window.partitionBy(*keys).orderBy("__t__") if keys else Window.orderBy("__t__")
-    if not keys:
-        from ..exprs import _warn_single_partition
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__t__")
+        halo_col = None
+    else:
+        from .distsort import with_halo_buckets
 
-        _warn_single_partition("time_weighted_average(by=None)")
+        base, bcol, halo_col = with_halo_buckets(base, "__t__", before=1)
+        w = Window.partitionBy(bcol).orderBy("__t__")
     pt, pv = F.lag("__t__").over(w), F.lag("__v__").over(w)
     dt = F.col("__t__") - pt
     area = dt * (pv + F.col("__v__")) / 2.0 if method == "trapezoid" else dt * pv
-    staged = base.select(*keys, "__t__", "__v__", area.alias("__a__"))
+    staged = base.select(*keys, "__t__", "__v__", area.alias("__a__"), *(
+        [F.col(halo_col)] if halo_col else []
+    ))
+    if halo_col:
+        staged = staged.filter(~F.col(halo_col)).drop(halo_col)
     agg = staged.groupBy(*keys).agg(
         F.sum("__a__").alias("area"),
         F.min("__t__").alias("t0"),
@@ -1188,20 +1217,51 @@ def markov_transitions(
     aggregates (pair counts, then a from-state total attached by a
     broadcast-sized join bounded by state cardinality).  Null states and
     sequence-initial events (no predecessor) contribute no transition.
+    With ``by=None`` and a temporal/numeric ``ts_col`` the lag-1 window
+    rides distsort halo buckets (exact and distributed — no
+    single-partition stage); a non-orderable-numeric ts falls back to the
+    warned global window.
 
     Output: (from_state, to_state, n, p) with Σ_to p = 1 per from_state."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
-    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
-    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
-    if not keys:
-        from ..exprs import _warn_single_partition
+    ties = list(tie_cols or [])
+    ordn = None if keys else _halo_order(sdf, ts_col)
+    if keys or ordn is None:
+        order = [F.col(ts_col)] + [F.col(c) for c in ties]
+        w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+        if not keys:
+            from ..exprs import _warn_single_partition
 
-        _warn_single_partition("markov_transitions(by=None)")
-    staged = sdf.select(
-        F.col(state_col).alias("__to__"),
-        F.lag(F.col(state_col)).over(w).alias("__from__"),
-    ).filter(F.col("__from__").isNotNull() & F.col("__to__").isNotNull())
+            _warn_single_partition("markov_transitions(by=None, non-numeric ts)")
+        staged = sdf.select(
+            F.col(state_col).alias("__to__"),
+            F.lag(F.col(state_col)).over(w).alias("__from__"),
+        )
+    else:
+        from .distsort import with_halo_buckets
+
+        pre = sdf.select(
+            F.col(state_col).alias("__st__"),
+            ordn.alias("__ord__"),
+            *[F.col(c) for c in ties],
+        )
+        haloed, bcol, halo_col = with_halo_buckets(
+            pre, "__ord__", before=1, tie_cols=ties
+        )
+        w = Window.partitionBy(bcol).orderBy(
+            F.col("__ord__"), *[F.col(c) for c in ties]
+        )
+        staged = (
+            haloed.select(
+                F.col("__st__").alias("__to__"),
+                F.lag("__st__").over(w).alias("__from__"),
+                F.col(halo_col),
+            )
+            .filter(~F.col(halo_col))
+            .drop(halo_col)
+        )
+    staged = staged.filter(F.col("__from__").isNotNull() & F.col("__to__").isNotNull())
     pairs = staged.groupBy("__from__", "__to__").agg(F.count(F.lit(1)).alias("n"))
     totals = pairs.groupBy("__from__").agg(F.sum("n").alias("__tot__"))
     out = pairs.join(F.broadcast(totals), "__from__").select(
@@ -1231,23 +1291,46 @@ def sessionize(
     Two windows (lag flag + running sum of flags) over the SAME key
     partitioning/order — Spark plans ONE Exchange and sorts once; with
     ``by`` given, state shards on the key and no partition ever holds more
-    than one key's rows (the at-scale contract).  ``by=None`` degrades to a
-    single-partition global window and warns."""
+    than one key's rows (the at-scale contract).  With ``by=None`` the
+    lag flag rides distsort halo buckets (each bucket borrows the
+    predecessor's last event) and the global running session count is the
+    bucket-local running sum plus a driver prefix offset of per-bucket
+    flag totals — exact and distributed, no single-partition window; a
+    non-orderable-numeric ts falls back to the warned global window."""
     sdf = _sdf(frame)
+    base_cols = sdf.columns
     keys = [by] if isinstance(by, str) else list(by or [])
-    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
-    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
-    if not keys:
-        from ..exprs import _warn_single_partition
-
-        _warn_single_partition("sessionize(by=None)")
+    ties = list(tie_cols or [])
     ts = F.col(ts_col).cast("timestamp")
+    gap_lim = F.lit(_interval_seconds(gap))
+    ordn = None if keys else _halo_order(sdf, ts_col)
+    if keys or ordn is None:
+        order = [F.col(ts_col)] + [F.col(c) for c in ties]
+        w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+        if not keys:
+            from ..exprs import _warn_single_partition
+
+            _warn_single_partition("sessionize(by=None, non-numeric ts)")
+        gap_s = F.unix_micros(ts) / 1e6 - F.unix_micros(F.lag(ts).over(w)) / 1e6
+        new_flag = F.when(gap_s.isNull() | (gap_s > gap_lim), F.lit(1)).otherwise(F.lit(0))
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = sdf.withColumn(session_col, F.sum(new_flag).over(run).cast("long"))
+        return LazyFrame(out)
+    from .distsort import with_halo_buckets, with_prefix_offsets
+
+    haloed, bcol, halo_col = with_halo_buckets(
+        sdf.withColumn("__ord__", ordn), "__ord__", before=1, tie_cols=ties
+    )
+    w = Window.partitionBy(bcol).orderBy(F.col("__ord__"), *[F.col(c) for c in ties])
     gap_s = F.unix_micros(ts) / 1e6 - F.unix_micros(F.lag(ts).over(w)) / 1e6
-    new_flag = F.when(
-        gap_s.isNull() | (gap_s > F.lit(_interval_seconds(gap))), F.lit(1)
-    ).otherwise(F.lit(0))
+    new_flag = F.when(gap_s.isNull() | (gap_s > gap_lim), F.lit(1)).otherwise(F.lit(0))
+    flagged = haloed.withColumn("__nf__", new_flag).filter(~F.col(halo_col))
+    offs, _tot = with_prefix_offsets(flagged, bcol, {"nf": F.col("__nf__")})
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = sdf.withColumn(session_col, F.sum(new_flag).over(run).cast("long"))
+    out = offs.withColumn(
+        session_col,
+        (F.col("__off_nf__") + F.sum("__nf__").over(run)).cast("long"),
+    ).select(*base_cols, session_col)
     return LazyFrame(out)
 
 
@@ -1800,24 +1883,53 @@ def frequent_sequences(
     events within a ``by`` sequence, counted corpus-wide and pruned at
     ``min_count``.  One lag-chain window sharded on the key + one
     map-side-combining count — sequence boundaries leak-free (a window
-    never crosses keys), null states break runs.  Output: (step_1..step_n,
+    never crosses keys), null states break runs.  With ``by=None`` the
+    lag chain rides distsort halo buckets with a ``length-1``-row
+    predecessor halo (exact and distributed); a non-orderable-numeric ts
+    falls back to the warned global window.  Output: (step_1..step_n,
     n), most frequent patterns for next-event models and anomalous-flow
     review."""
     if length < 2:
         raise ValueError("length must be >= 2")
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
-    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
-    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
-    if not keys:
-        from ..exprs import _warn_single_partition
+    ties = list(tie_cols or [])
+    ordn = None if keys else _halo_order(sdf, ts_col)
+    if keys or ordn is None:
+        order = [F.col(ts_col)] + [F.col(c) for c in ties]
+        w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+        if not keys:
+            from ..exprs import _warn_single_partition
 
-        _warn_single_partition("frequent_sequences(by=None)")
-    cols = [
-        F.lag(F.col(state_col), length - 1 - i).over(w).alias(f"step_{i + 1}")
-        for i in range(length)
-    ]
-    staged = sdf.select(*cols)
+            _warn_single_partition("frequent_sequences(by=None, non-numeric ts)")
+        cols = [
+            F.lag(F.col(state_col), length - 1 - i).over(w).alias(f"step_{i + 1}")
+            for i in range(length)
+        ]
+        staged = sdf.select(*cols)
+    else:
+        from .distsort import with_halo_buckets
+
+        pre = sdf.select(
+            F.col(state_col).alias("__st__"),
+            ordn.alias("__ord__"),
+            *[F.col(c) for c in ties],
+        )
+        haloed, bcol, halo_col = with_halo_buckets(
+            pre, "__ord__", before=length - 1, tie_cols=ties
+        )
+        w = Window.partitionBy(bcol).orderBy(
+            F.col("__ord__"), *[F.col(c) for c in ties]
+        )
+        cols = [
+            F.lag(F.col("__st__"), length - 1 - i).over(w).alias(f"step_{i + 1}")
+            for i in range(length)
+        ]
+        staged = (
+            haloed.select(*cols, F.col(halo_col))
+            .filter(~F.col(halo_col))
+            .drop(halo_col)
+        )
     pred = F.lit(True)
     for i in range(length):
         pred = pred & F.col(f"step_{i + 1}").isNotNull()

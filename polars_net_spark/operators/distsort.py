@@ -139,6 +139,7 @@ def with_halo_buckets(
     before: int = 0,
     after: int = 0,
     nbuckets: int | None = None,
+    tie_cols: "list[str] | None" = None,
 ) -> tuple[SparkDF, str, str]:
     """Range buckets PLUS neighbor halo rows — the distributed form of an
     unkeyed bounded-window sequence op (moving average, lag): each bucket
@@ -152,7 +153,13 @@ def with_halo_buckets(
     is short) are preserved.
 
     ``order_col`` must be unique per row (a dense position index — the
-    same contract the single-partition form had).  Cost: the boundary
+    same contract the single-partition form had) — OR, when ties exist,
+    pass ``tie_cols``: equal ``order_col`` values always land in the same
+    bucket (range-bucket guarantee), and the halo rows are then selected
+    under the full (order_col, *tie_cols) ordering so the borrowed
+    neighbor rows are exactly the rows a global (order_col, *tie_cols)
+    window would see.  Consumers must order their bucket window by the
+    same (order_col, *tie_cols).  Cost: the boundary
     sketch pass + one bounded per-bucket count (adjacent buckets COALESCE
     until each holds at least max(before, after) rows — a single-hop halo
     only reaches the immediate neighbor, so a bucket thinner than the
@@ -188,8 +195,13 @@ def with_halo_buckets(
             *[lit for k, v in mapping.items() for lit in (F.lit(int(k)), F.lit(int(v)))]
         )
         bucketed = bucketed.withColumn(bcol, F.element_at(m, F.col(bcol)))
-    wa = Window.partitionBy(bcol).orderBy(F.col(order_col).asc())
-    wd = Window.partitionBy(bcol).orderBy(F.col(order_col).desc())
+    ties = [F.col(c) for c in (tie_cols or [])]
+    wa = Window.partitionBy(bcol).orderBy(
+        F.col(order_col).asc(), *[t.asc() for t in ties]
+    )
+    wd = Window.partitionBy(bcol).orderBy(
+        F.col(order_col).desc(), *[t.desc() for t in ties]
+    )
     tagged = bucketed.withColumn("__ra__", F.row_number().over(wa)).withColumn(
         "__rd__", F.row_number().over(wd)
     )

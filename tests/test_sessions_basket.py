@@ -63,8 +63,25 @@ class TestSessionize:
         assert out[("u1", 2)][4] == 1 and out[("u1", 2)][5] == 0.0
         assert out[("u2", 1)][4] == 1
 
-    def test_global_path_warns(self, spark):
-        df = spark.createDataFrame([(1, _ts(0))], "eid long, ts timestamp")
+    def test_global_path_distributed_no_warning(self, spark):
+        # by=None on a temporal ts rides halo buckets + prefix offsets:
+        # no single-partition warning, exact results
+        import warnings
+
+        df = spark.createDataFrame(
+            [(1, _ts(0)), (2, _ts(10)), (3, _ts(50)), (4, _ts(55))],
+            "eid long, ts timestamp",
+        ).repartition(3)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = rows(sessionize(df, "ts", tie_cols=["eid"]))
+        ids = {r[0]: r[2] for r in out}
+        assert ids == {1: 1, 2: 1, 3: 2, 4: 2}
+
+    def test_global_path_string_ts_falls_back_and_warns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00")], "eid long, ts string"
+        )
         with pytest.warns(UserWarning, match="single global-window"):
             rows(sessionize(df, "ts", tie_cols=["eid"]))
 
