@@ -5342,22 +5342,25 @@ SELECT 'purchase', CAST(3 AS INT), CAST((SELECT count(*) FROM m2) AS BIGINT)
 
 def _q171(spark, sf_dir):
     """Blocked Levenshtein record linkage (operators/joins_ext.py
-    fuzzy_join): every part name vs its last-char-truncated variant —
-    candidates meet only inside shared 4-char blocks (two offset emissions
-    per side), exact edit-distance verify; never all-pairs."""
+    fuzzy_join): every part name vs its FIRST-char-dropped variant —
+    exactly the edit family the two-offset block emission is built for
+    (left's offset-2 block == right's offset-1 block), so recall is total
+    AND the gate is non-empty: every (name, name[1:]) pair verifies at
+    distance 1, plus duplicate-name cross pairs.  Exact edit-distance
+    verify inside shared 12-char blocks; never all-pairs."""
     from polars_net_spark.operators.joins_ext import fuzzy_join
 
     part = _t(spark, sf_dir, "part")
     left = part.spark.select(F.col("p_partkey").alias("lid"), F.col("p_name").alias("name"))
     right = part.spark.select(
         (F.col("p_partkey") + 1000000).alias("rid"),
-        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("name"),
+        F.expr("substr(p_name, 2)").alias("name"),
     )
-    # block_chars=12: part names are drawn from ~90 color words, so 4-char
-    # prefixes collapse into a few hot blocks (measured 108 s at sf0.1 —
-    # sum(df_block^2) is THE fuzzy-join cost driver); 12-char prefixes span
-    # 2-3 words and keep blocks tiny, while the gate's last-char edits stay
-    # far outside the block zone (full recall for this pair family)
+    # block_chars=12: part names are 7-12 chars drawn from ~90 word combos,
+    # so 4-char prefixes collapse into a few hot blocks (measured 108 s at
+    # sf0.1 — sum(df_block^2) is THE fuzzy-join cost driver); 12-char blocks
+    # are (nearly) whole names and stay tiny, and the drop-first-char edit
+    # is caught by the offset emission by construction
     out = fuzzy_join(left, right, on="name", max_distance=2, block_chars=12)
     return out.spark.select(
         "lid", F.col("name").alias("lname"), "rid",
@@ -5368,8 +5371,8 @@ def _q171(spark, sf_dir):
 _q171_sql = """
 WITH l AS (SELECT p_partkey AS lid, p_name AS lname, lower(trim(p_name)) AS ln FROM part),
 r AS (SELECT p_partkey + 1000000 AS rid,
-             substr(p_name, 1, length(p_name) - 1) AS rname,
-             lower(trim(substr(p_name, 1, length(p_name) - 1))) AS rn
+             substr(p_name, 2) AS rname,
+             lower(trim(substr(p_name, 2))) AS rn
       FROM part),
 lb AS (SELECT lid, lname, ln, unnest(list_distinct([substr(ln, 1, 12), substr(ln, 2, 12)])) AS blk FROM l),
 rb AS (SELECT rid, rname, rn, unnest(list_distinct([substr(rn, 1, 12), substr(rn, 2, 12)])) AS blk FROM r)
