@@ -5352,7 +5352,12 @@ def _q171(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part")
     left = part.spark.select(F.col("p_partkey").alias("lid"), F.col("p_name").alias("name"))
-    right = part.spark.select(
+    # right: a deterministic 1-in-50 probe set — part names repeat heavily
+    # (~90 distinct over 2k-20k rows), so an unsampled right side yields a
+    # quadratic dup-name cross product (measured 21 s at sf0.1); the probe
+    # keeps the gate value-rich (hundreds-thousands of verified pairs)
+    # while the output stays linear in the corpus
+    right = part.spark.filter(F.col("p_partkey") % 50 == 7).select(
         (F.col("p_partkey") + 1000000).alias("rid"),
         F.expr("substr(p_name, 2)").alias("name"),
     )
@@ -5373,7 +5378,7 @@ WITH l AS (SELECT p_partkey AS lid, p_name AS lname, lower(trim(p_name)) AS ln F
 r AS (SELECT p_partkey + 1000000 AS rid,
              substr(p_name, 2) AS rname,
              lower(trim(substr(p_name, 2))) AS rn
-      FROM part),
+      FROM part WHERE p_partkey % 50 = 7),
 lb AS (SELECT lid, lname, ln, unnest(list_distinct([substr(ln, 1, 12), substr(ln, 2, 12)])) AS blk FROM l),
 rb AS (SELECT rid, rname, rn, unnest(list_distinct([substr(rn, 1, 12), substr(rn, 2, 12)])) AS blk FROM r)
 SELECT DISTINCT lid, lname, rid, rname,

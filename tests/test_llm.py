@@ -1075,6 +1075,21 @@ class TestBPE:
         d = pl.from_records([(1, "ab cd ef")], ["doc_id", "text"])  # all pairs count 1
         assert train_bpe(d, num_merges=5, min_pair_count=2).collect().height == 0
 
+    def test_driver_and_distributed_paths_identical(self, spark):
+        # driver_threshold=0 forces the distributed loop; both paths must
+        # produce the identical merge table (the r8 fast-path contract)
+        from polars_net_spark.llm.vocab import train_bpe
+
+        corpus = [
+            "low low low lower newest",
+            "newest newest widest low lowest",
+            "wide wider widest newest ab",
+        ]
+        d = pl.from_records([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+        fast = train_bpe(d, num_merges=6).collect().rows()
+        dist = train_bpe(d, num_merges=6, driver_threshold=0).collect().rows()
+        assert fast == dist and len(fast) > 0
+
     def test_greedy_overlap(self, spark):
         from polars_net_spark.llm.vocab import train_bpe
 
