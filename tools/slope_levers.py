@@ -1,0 +1,134 @@
+"""Demonstrate (not just argue) the production levers for the two
+by-construction sf1 slope outliers in BENCH_SF1.md — the r7 verdict asked
+for an assertion-only run proving the slope flattens when the documented
+lever is applied:
+
+- q97_semdedup: the gate PINS the clustering (the precomputed ``label``
+  column — a fixed number of clusters) for oracle stability, so 10x corpus
+  means 10x cluster occupancy and up to 100x within-cluster pairs.  The
+  production lever is scaling the cluster count with the corpus: here the
+  hyperplane quantizer's ``num_planes`` grows by log2(scale), keeping
+  bucket occupancy ~constant and per-row pair work bounded.
+
+- q154_simhash_pairs: the gate pins (bands=6, bits=60, hamming<=5), so
+  band-bucket occupancy grows 10x and candidate pairs superlinearly.  The
+  production lever is growing the per-band slice width with the corpus
+  (bucket space 2^width ~ N): both scales below run the SAME rule —
+  width = the smallest divisor-compatible slice with 2^width >= N*8 —
+  giving (bands=5, width=12, h<=4)@sf0.1 and (bands=4, width=15, h<=3)@sf1.
+  Fixed 60-bit md5 budget means wider slices cost pigeonhole radius
+  (bands-1); at a real deployment you grow bits instead (128-bit simhash).
+
+Each lever row reports wall(sf1)/wall(sf0.1) on 10x data; the suite-median
+data-dominated slope is ~1.7x, so <= ~2.5x is "linear with amortization"
+and the point of the demonstration is the contrast with the pinned gate's
+7.4x / 4.9x.
+
+Usage: python tools/slope_levers.py [--out=SLOPE_LEVERS.json]
+Requires /root/repo/.scratch/sf1.0 (tools/gen_scale.py 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/.scratch/sf1.0"
+
+
+def _time(fn, spark, *, runs=2):
+    """min-of-N wall for one levered query (matches BENCH_SF1 methodology)."""
+    from polars_net_spark import release_caches
+
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        release_caches()
+    return round(best, 3)
+
+
+def q97_lever(sf_dir, num_planes):
+    def run(spark):
+        import __spark_entry__ as E
+        from polars_net_spark.llm import semdedup
+
+        e = E._t(spark, sf_dir, "embeddings")
+        return semdedup(
+            e, threshold=0.45, cluster_col=None, num_planes=num_planes
+        ).spark
+
+    return run
+
+
+def q154_lever(sf_dir, bands, max_hamming):
+    def run(spark):
+        import __spark_entry__ as E
+        from polars_net_spark.llm import simhash_near_dup_pairs
+
+        d = E._t(spark, sf_dir, "documents")
+        return simhash_near_dup_pairs(
+            d, max_hamming=max_hamming, bands=bands, bits=60, hash_fn="md5"
+        ).spark
+
+    return run
+
+
+def main() -> None:
+    out_path = "SLOPE_LEVERS.json"
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    if not os.path.isdir(SF1):
+        raise SystemExit(f"{SF1} missing — run tools/gen_scale.py 10 first")
+
+    from polars_net_spark import get_spark
+
+    spark = get_spark(app_name="slope_levers")
+    spark.range(1).count()
+
+    rows = []
+    # q97: num_planes 8 (256 buckets / ~6.4k vecs) -> 11 (2048 / ~64k):
+    # occupancy ~25 vectors per bucket at BOTH scales
+    a = _time(q97_lever(SF01, 8), spark)
+    b = _time(q97_lever(SF1, 11), spark)
+    rows.append(
+        {
+            "query": "q97_semdedup",
+            "lever": "num_planes 8 -> 11 (cluster count ~ corpus; occupancy constant)",
+            "sf01_sec": a,
+            "sf1_sec": b,
+            "ratio": round(b / a, 2),
+        }
+    )
+    print(f"q97 lever: {a}s -> {b}s = {b / a:.2f}x on 10x data", flush=True)
+
+    # q154: slice width 12 (4096 buckets / 5k docs) -> 15 (32768 / 50k):
+    # occupancy ~1.2-1.5 docs per bucket at BOTH scales
+    a = _time(q154_lever(SF01, 5, 4), spark)
+    b = _time(q154_lever(SF1, 4, 3), spark)
+    rows.append(
+        {
+            "query": "q154_simhash_pairs",
+            "lever": "band width 12 -> 15 bits (bucket space ~ corpus; fixed 60-bit budget)",
+            "sf01_sec": a,
+            "sf1_sec": b,
+            "ratio": round(b / a, 2),
+        }
+    )
+    print(f"q154 lever: {a}s -> {b}s = {b / a:.2f}x on 10x data", flush=True)
+
+    rec = {"metric": "sf1_slope_levers", "rows": rows}
+    json.dump(rec, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
