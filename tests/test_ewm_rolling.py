@@ -195,8 +195,16 @@ def test_single_partition_warnings(spark):
         df.with_columns(
             col("x").rolling_quantile(0.5, 2, min_periods=1, order_by=[col("i")]).alias("y")
         )
-    with pytest.warns(UserWarning, match="single global-window task"):
+    # r8: unkeyed EWM over a numeric order column is now distributed
+    # (bucket fold + carry) — no warning; alpha=1 still degenerates to the
+    # warned single-task path (rho=0 has no carry)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
         df.with_ewm_mean("x", alpha=0.5, order_by=["i"], out_col="e")
+    with pytest.warns(UserWarning, match="single global-window task"):
+        df.with_ewm_mean("x", alpha=1.0, order_by=["i"], out_col="e")
 
 
 def test_no_warning_when_partitioned(spark):
