@@ -699,6 +699,156 @@ def with_ewm(
     return LazyFrame(shuffled.mapInPandas(_ewm_part, schema=schema))
 
 
+def _ewm_mean_by_unkeyed(lf, column, by, hl_us, order_by, oc):
+    """Distributed unkeyed time-decay EWM: y_i = a_i·y_{i-1} + (1−a_i)·x_i
+    with a_i = 0.5^{Δt/half_life} is affine with data coefficients, so the
+    bucket fold is the adjust=False machinery with a single chain; the
+    carry is (y, t_last_obs) — Δt for a bucket's first observation reaches
+    back to the previous bucket's last observation, which only the driver
+    knows when folding the ≤ nbuckets summaries in order."""
+    import numpy as np
+
+    from .._cache import register_cache
+    from ..frame import LazyFrame
+    from .distsort import with_range_buckets
+
+    sdf = lf._sdf
+    order_names = (
+        [by] if order_by is None
+        else ([order_by] if isinstance(order_by, str) else list(order_by))
+    )
+    ordc = F.unix_micros(F.col(by).cast("timestamp")).cast("double")
+    bucketed, bcol = with_range_buckets(
+        sdf.withColumn("__ewm_ord__", F.coalesce(ordc, F.lit(float("-inf")))),
+        "__ewm_ord__",
+    )
+    staged = register_cache(
+        bucketed.repartition(F.col(bcol)).sortWithinPartitions(bcol, *order_names)
+    )
+    col_, by_ = column, by
+
+    def _bucket(t, x, y_in, t_in, started, want_rows):
+        """One bucket of the recursion; returns (y, t_last, started, per-obs
+        y array or None, obs positions)."""
+        mask = ~np.isnan(x)
+        pos = np.nonzero(mask)[0]
+        k = len(pos)
+        if k == 0:
+            return y_in, t_in, started, None, pos
+        xo = x[pos].astype(np.float64)
+        to = t[pos].astype(np.float64)
+        prev_t = np.empty(k)
+        prev_t[0] = t_in if started else to[0]
+        prev_t[1:] = to[:-1]
+        a = 0.5 ** ((to - prev_t) / hl_us)
+        start = 0
+        if not started:
+            y0 = float(xo[0])
+            start = 1
+        else:
+            y0 = y_in
+        if k > start:
+            a_ln = np.log(a[start:])
+            bm = (1.0 - a[start:]) * xo[start:]
+            z = np.zeros(k - start)
+            (y_end, _, _, _), per = _ewm_affine_eval(
+                a_ln, bm, z, z, z, (y0, 0.0, 0.0, 0.0), want_rows
+            )
+        else:
+            y_end, per = y0, None
+        if not want_rows:
+            return y_end, float(to[-1]), True, None, pos
+        Y = np.empty(k)
+        if start == 1:
+            Y[0] = y0
+        if per is not None:
+            Y[start:] = per[0]
+        return y_end, float(to[-1]), True, Y, pos
+
+    sum_schema = "bucket long, k long, t_first double, x_first double, t_last double, am double, bm double"
+
+    def _summarize(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = []
+        for bk, g in pdf.groupby(bcol, sort=True):
+            x = g[col_].astype("float64").to_numpy()
+            t = g[by_].to_numpy(dtype="datetime64[us]").astype("int64").astype("float64")
+            mask = ~np.isnan(x)
+            pos = np.nonzero(mask)[0]
+            k = len(pos)
+            if k == 0:
+                rows.append((int(bk), 0, None, None, None, 1.0, 0.0))
+                continue
+            xo, to = x[pos], t[pos]
+            if k > 1:
+                a = 0.5 ** (np.diff(to) / hl_us)
+                a_ln = np.log(a)
+                bm = (1.0 - a) * xo[1:]
+                z = np.zeros(k - 1)
+                (B, _, _, _), _ = _ewm_affine_eval(
+                    a_ln, bm, z, z, z, (0.0, 0.0, 0.0, 0.0), False
+                )
+                A = float(np.exp(np.sum(a_ln)))
+            else:
+                A, B = 1.0, 0.0
+            rows.append(
+                (int(bk), k, float(to[0]), float(xo[0]), float(to[-1]), A, B)
+            )
+        yield pd.DataFrame(
+            rows, columns=["bucket", "k", "t_first", "x_first", "t_last", "am", "bm"]
+        )
+
+    summaries = sorted(
+        staged.mapInPandas(_summarize, schema=sum_schema).collect(),
+        key=lambda r: r["bucket"],
+    )
+    in_state: dict[int, tuple[float, float, bool]] = {}
+    y, t_last, started = 0.0, 0.0, False
+    for r in summaries:
+        in_state[int(r["bucket"])] = (y, t_last, started)
+        k = int(r["k"])
+        if k == 0:
+            continue
+        x1, t1 = float(r["x_first"]), float(r["t_first"])
+        if started:
+            a1 = 0.5 ** ((t1 - t_last) / hl_us)
+            y = x1 + a1 * (y - x1)
+        else:
+            y = x1
+        y = float(r["am"]) * y + float(r["bm"])
+        t_last, started = float(r["t_last"]), True
+
+    schema = T.StructType(sdf.schema.fields + [T.StructField(oc, T.DoubleType(), True)])
+    field_names = [f.name for f in schema.fields]
+
+    def _rows(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out = np.full(len(pdf), np.nan)
+        for bk, g in pdf.groupby(bcol, sort=True):
+            x = g[col_].astype("float64").to_numpy()
+            t = g[by_].to_numpy(dtype="datetime64[us]").astype("int64").astype("float64")
+            y_in, t_in, st = in_state.get(int(bk), (0.0, 0.0, False))
+            _, _, _, Y, pos = _bucket(t, x, y_in, t_in, st, True)
+            if Y is not None:
+                seg = np.full(len(x), np.nan)
+                seg[pos] = Y
+                out[g.index.to_numpy()] = seg
+        pdf[oc] = pd.Series(out).astype("Float64")
+        yield pdf[field_names]
+
+    return LazyFrame(staged.mapInPandas(_rows, schema=schema))
+
+
 def with_ewm_mean_by(
     lf,
     column: str,
@@ -727,22 +877,27 @@ def with_ewm_mean_by(
     an Arrow round trip per group; this pays one per task).  The recurrence
     itself is one fused scan over the task's rows with state resets at group
     boundaries — the same O(n) sequential work polars runs per series;
-    parallelism comes from key partitioning.  Without ``partition_by`` the
-    frame is one task (warned, same class as asof-without-by).
+    parallelism comes from key partitioning.  Without ``partition_by``
+    (r8): the recursion y' = a·y + (1−a)·x is data-coefficient AFFINE, so
+    the global form rides the same distsort bucket fold + driver carry as
+    with_ewm — carry = (y, t_last_obs) per bucket, exact at any scale.
     """
     import numpy as np
 
     from .._fmt import parse_polars_duration_us
     from ..frame import LazyFrame
 
-    if not partition_by:
-        from ..exprs import _warn_single_partition
-
-        _warn_single_partition("with_ewm_mean_by")
     hl_us = float(parse_polars_duration_us(half_life))
     if hl_us <= 0:
         raise ValueError(f"half_life={half_life!r} must be positive")
     oc = out_col or f"{column}_ewm_mean_by"
+    if not partition_by:
+        bdt = dict(lf._sdf.dtypes).get(by, "")
+        if bdt.startswith("timestamp") or bdt == "date":
+            return _ewm_mean_by_unkeyed(lf, column, by, hl_us, order_by, oc)
+        from ..exprs import _warn_single_partition
+
+        _warn_single_partition("with_ewm_mean_by (non-temporal by)")
     order_names = (
         [by] if order_by is None
         else ([order_by] if isinstance(order_by, str) else list(order_by))

@@ -95,3 +95,43 @@ class TestUnkeyedEwmDistributed:
         df = _frame(spark, n=50)
         with pytest.warns(UserWarning, match="single global-window"):
             with_ewm(df, "x", alpha=1.0, order_by="i")
+
+
+class TestUnkeyedEwmMeanByDistributed:
+    def test_matches_keyed_constant_key(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.ewm import with_ewm_mean_by
+
+        rng = np.random.RandomState(11)
+        n = 1500
+        base = dt.datetime(2024, 1, 1)
+        ts = [base + dt.timedelta(seconds=int(s)) for s in np.cumsum(rng.randint(1, 7200, n))]
+        vals = rng.randn(n) * 5
+        mask = rng.rand(n) < 0.2
+        data = [(i, "k", ts[i], None if mask[i] else float(vals[i])) for i in range(n)]
+        df = LazyFrame(
+            spark.createDataFrame(data, "i long, g string, ts timestamp, x double").repartition(7)
+        )
+        kp = (
+            with_ewm_mean_by(df, "x", "ts", "2h", order_by=["ts", "i"],
+                             partition_by=["g"], out_col="e")
+            .collect().to_pandas().sort_values("i").reset_index(drop=True)
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            gp = (
+                with_ewm_mean_by(df, "x", "ts", "2h", order_by=["ts", "i"], out_col="e")
+                .collect().to_pandas().sort_values("i").reset_index(drop=True)
+            )
+        assert np.allclose(
+            kp["e"].to_numpy(dtype=float), gp["e"].to_numpy(dtype=float),
+            rtol=1e-9, atol=1e-12, equal_nan=True,
+        )
+
+    def test_non_temporal_by_warns(self, spark):
+        from polars_net_spark.operators.ewm import with_ewm_mean_by
+
+        df = LazyFrame(spark.createDataFrame([(1, 1.0)], "t long, x double"))
+        with pytest.warns(UserWarning, match="single global-window"):
+            with_ewm_mean_by(df, "x", "t", "2h")

@@ -281,13 +281,20 @@ class TestEwmMeanBy:
         # dt=0 -> a=1 -> the tied second row contributes nothing
         assert sorted(r[3] for r in out) == [10.0, 10.0]
 
-    def test_single_partition_warns(self, spark):
+    def test_unkeyed_distributed_no_warn(self, spark):
+        # r8: unkeyed time-decay EWM over a temporal by column is now
+        # distributed (bucket fold + (y, t_last) carry) — no warning
         import datetime as dt
+        import warnings as _w
 
-        rows = [(1, dt.datetime(2024, 1, 1), 1.0)]
+        rows = [(1, dt.datetime(2024, 1, 1), 1.0), (2, dt.datetime(2024, 1, 1, 2), 3.0)]
         lf = self._frame(spark, rows)
-        with pytest.warns(UserWarning, match="single"):
-            lf.with_ewm_mean_by("v", by="ts", half_life="1h")
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            out = lf.with_ewm_mean_by("v", by="ts", half_life="1h").collect().rows()
+        got = {r[0]: r[-1] for r in out}
+        assert got[1] == 1.0
+        assert abs(got[2] - (3.0 + 0.25 * (1.0 - 3.0))) < 1e-12  # a=0.5^2
 
     def test_bad_half_life(self, spark):
         import datetime as dt
