@@ -514,25 +514,40 @@ def with_rank_normalized(
     equal inputs get equal outputs and the result is distribution-free (the
     feature-engineering standard before mixing heterogeneous score columns).
     Per ``by`` key one window (rank + tie count ride the same ordering) +
-    the group count; the GLOBAL path (``by=None``, numeric columns) builds
-    the value→avg_rank table from distinct-value counts over deterministic
-    range buckets (operators/distsort.py) and joins it back — no
-    single-partition window.  Null values pass through as null."""
+    the group count; the GLOBAL path (``by=None``) builds the value →
+    avg_rank table from distinct-value counts — over deterministic
+    percentile range buckets (operators/distsort.py) for numeric columns,
+    and over Spark's own range-sort exchange (orderBy +
+    spark_partition_id as the bucket, frozen behind a persist) for any
+    other orderable type (strings, dates) — and joins it back: no
+    single-partition window for ANY dtype.  Null values pass through as
+    null."""
     from pyspark.sql.types import NumericType
 
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col)
-    if not keys and isinstance(sdf.schema[value_col].dataType, NumericType):
+    if not keys:
         from .._cache import register_cache
         from .distsort import with_prefix_offsets, with_range_buckets
 
-        d = register_cache(
+        d = (
             sdf.filter(v.isNotNull())
             .groupBy(v.alias("__v__"))
             .agg(F.count(F.lit(1)).alias("__cnt__"))
         )
-        d2, gb = with_range_buckets(d, "__v__")
+        if isinstance(sdf.schema[value_col].dataType, NumericType):
+            d = register_cache(d)
+            d2, gb = with_range_buckets(d, "__v__")
+        else:
+            # non-numeric: Spark's range partitioner orders any orderable
+            # type; the partition id IS a range bucket.  Persist freezes
+            # the sampled boundaries so the prefix pass and the final
+            # window see the same assignment.
+            gb = "__gb__"
+            d2 = register_cache(
+                d.orderBy(F.col("__v__")).withColumn(gb, F.spark_partition_id())
+            )
         d3, totals = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
         n = float(totals.get("cnt", 0) or 0)
         wexcl = (
@@ -548,10 +563,6 @@ def with_rank_normalized(
         )
         out = sdf.join(ranks, v == F.col("__v__"), "left").drop("__v__")
         return LazyFrame(out)
-    if not keys:
-        from ..exprs import _warn_single_partition
-
-        _warn_single_partition("with_rank_normalized (non-numeric column)")
     wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
     # nulls must sort LAST or they consume rank 1 and shift everything
     w = wp.orderBy(v.asc_nulls_last())

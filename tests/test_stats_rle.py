@@ -437,6 +437,32 @@ def test_rank_normalized_ties_and_nulls(spark):
     ]
 
 
+def test_rank_normalized_string_global_distributed(spark):
+    # r8: the unkeyed NON-NUMERIC path now rides Spark's range-sort
+    # exchange (partition id as range bucket) — exact vs the keyed window
+    # on a constant key, no warning, nulls pass through
+    import warnings
+
+    from polars_net_spark.operators.analytics import with_rank_normalized
+
+    words = [f"w{(i * 37) % 101:03d}" for i in range(300)] + ["dup"] * 20 + [None] * 5
+    d = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i long, s string"
+    ).repartition(7)
+    keyed = {
+        r["i"]: r["rank_norm"]
+        for r in with_rank_normalized(d.withColumn("g", d.i * 0), "s", by="g")
+        .spark.collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        glob = {
+            r["i"]: r["rank_norm"] for r in with_rank_normalized(d, "s").spark.collect()
+        }
+    assert all(keyed[k] == glob[k] for k in keyed)
+    assert all(glob[i] is None for i, w in enumerate(words) if w is None)
+
+
 class TestInference:
     def test_bootstrap_ci_brackets_truth(self, spark):
         from polars_net_spark.operators.regression import bootstrap_ci
