@@ -10483,6 +10483,233 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8: model-evaluation family (operators/mleval.py) + weighted
+# quantiles / Theil / RMST (operators/analytics.py)
+
+
+def _q304(spark, sf_dir):
+    """ROC AUC via the Mann-Whitney rank statistic (operators/mleval.py
+    auc_report): is `value` predictive of the error event type?  Distinct
+    scores + distsort prefix ranks + one fused reduce — no data-sized
+    window, exact tie handling (average ranks)."""
+    from polars_net_spark.operators.mleval import auc_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    lab = ev.select("value", (F.col("event_type") == "error").cast("int").alias("y"))
+    return auc_report(lab, "value", "y").spark
+
+
+_q304_sql = """
+WITH s AS (SELECT value AS sc, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+g AS (SELECT sc, count(*) AS c, sum(y) AS cp FROM s GROUP BY 1),
+cum AS (SELECT sc, c, cp,
+          coalesce(sum(c) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt
+        FROM g),
+red AS (SELECT sum(cp * (c_lt + (c + 1) / 2.0)) AS rps, sum(cp) AS npos, sum(c) AS n FROM cum),
+a AS (SELECT CASE WHEN npos > 0 AND n - npos > 0
+             THEN (rps - npos * (npos + 1) / 2.0) / (npos * (n - npos)) END AS auc,
+             npos, n - npos AS nneg FROM red)
+SELECT round(auc, 6) AS auc, round(2 * auc - 1, 6) AS gini,
+       CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+FROM a
+"""
+
+
+def _q305(spark, sf_dir):
+    """Reliability-diagram bins (operators/mleval.py reliability_bins):
+    pseudo-probability p = min(value/50, 1) vs the error label over 10
+    equal-width bins — map-only bin math + one aggregate."""
+    from polars_net_spark.operators.mleval import reliability_bins
+
+    ev = _t(spark, sf_dir, "events").spark
+    lab = ev.select(
+        F.least(F.col("value") / F.lit(50.0), F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "error").cast("int").alias("y"),
+    )
+    return reliability_bins(lab, "p", "y", n_bins=10).spark
+
+
+_q305_sql = """
+WITH s AS (SELECT least(greatest(least(value / 50.0, 1.0), 0.0), 1.0) AS p,
+                  CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM s),
+g AS (SELECT bin, count(*) AS n, sum(p) AS sp, sum(y) AS sy FROM b GROUP BY 1)
+SELECT bin, round(bin / 10.0, 6) AS p_lo, round((bin + 1) / 10.0, 6) AS p_hi,
+       CAST(n AS BIGINT) AS n,
+       round(sp / n, 6) AS mean_pred, round(sy / n, 6) AS frac_pos,
+       round((sy - sp) / n, 6) AS gap
+FROM g ORDER BY bin
+"""
+
+
+def _q306(spark, sf_dir):
+    """One-row calibration summary (operators/mleval.py
+    calibration_report): Brier + ECE + MCE + Hosmer-Lemeshow over the
+    q305 bins — two bounded aggregates."""
+    from polars_net_spark.operators.mleval import calibration_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    lab = ev.select(
+        F.least(F.col("value") / F.lit(50.0), F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "error").cast("int").alias("y"),
+    )
+    return calibration_report(lab, "p", "y", n_bins=10).spark
+
+
+_q306_sql = """
+WITH s AS (SELECT least(greatest(least(value / 50.0, 1.0), 0.0), 1.0) AS p,
+                  CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y, (p - y) * (p - y) AS sq FROM s),
+g AS (SELECT bin, count(*) AS n, sum(p) AS sp, sum(y) AS sy, sum(sq) AS ssq FROM b GROUP BY 1),
+t AS (SELECT sum(n) AS n, sum(ssq) / sum(n) AS brier,
+             sum(abs(sy - sp)) / sum(n) AS ece,
+             max(abs(sy - sp) / n) AS mce,
+             sum(CASE WHEN sp / n > 0 AND sp / n < 1
+                 THEN (sy - sp) * (sy - sp) / (n * (sp / n) * (1 - sp / n)) END) AS hl,
+             count(CASE WHEN sp / n > 0 AND sp / n < 1 THEN 1 END) - 2 AS hl_df
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n, round(brier, 6) AS brier, round(ece, 6) AS ece,
+       round(mce, 6) AS mce, round(hl, 6) AS hl_chi2, CAST(hl_df AS BIGINT) AS hl_df
+FROM t
+"""
+
+
+def _q307(spark, sf_dir):
+    """Cumulative gains / lift deciles (operators/mleval.py gains_chart):
+    events ranked by value desc (event_id tie-break), exact rank slices
+    floor((rank-1)*10/n) — distsort desc buckets + prefix offsets, then
+    two bounded k-row reduces."""
+    from polars_net_spark.operators.mleval import gains_chart
+
+    ev = _t(spark, sf_dir, "events").spark
+    lab = ev.select(
+        "value", (F.col("event_type") == "error").cast("int").alias("y"), "event_id"
+    )
+    return gains_chart(lab, "value", "y", "event_id", n_buckets=10).spark
+
+
+_q307_sql = """
+WITH s AS (SELECT value AS sc, event_id,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (SELECT y, row_number() OVER (ORDER BY sc DESC, event_id) AS rk,
+             count(*) OVER () AS n
+      FROM s),
+g AS (SELECT CAST(floor((rk - 1) * 10 / n) AS INT) AS bucket,
+             count(*) AS n, sum(y) AS n_pos
+      FROM r GROUP BY 1),
+c AS (SELECT bucket, n, n_pos,
+             sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(n_pos) OVER () AS tot_pos, sum(n) OVER () AS tot_n
+      FROM g)
+SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(n_pos * 1.0 / n, 6) AS pos_rate,
+       round(CASE WHEN tot_pos > 0 THEN cum_pos * 1.0 / tot_pos END, 6) AS cum_pos_share,
+       round(CASE WHEN tot_pos > 0 THEN (n_pos * 1.0 / n) / (tot_pos * 1.0 / tot_n) END, 6) AS lift
+FROM c ORDER BY bucket
+"""
+
+
+def _q308(spark, sf_dir):
+    """Theil T inequality index (operators/analytics.py theil_index) of
+    extended price: ONE fused aggregate via T = Σ(x·ln x)/Σx − ln μ —
+    the decomposable companion to the q144 Gini."""
+    from polars_net_spark.operators.analytics import theil_index
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return theil_index(li, "l_extendedprice").spark
+
+
+_q308_sql = """
+WITH s AS (SELECT l_extendedprice AS x FROM lineitem),
+t AS (SELECT count(CASE WHEN x > 0 THEN 1 END) AS n,
+             count(*) - count(CASE WHEN x > 0 THEN 1 END) AS n_excluded,
+             sum(CASE WHEN x > 0 THEN x END) AS sx,
+             sum(CASE WHEN x > 0 THEN x * ln(x) END) AS sxl
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_excluded AS BIGINT) AS n_excluded,
+       round(sx / n, 6) AS mean, round(sxl / sx - ln(sx / n), 6) AS theil
+FROM t
+"""
+
+
+def _q309(spark, sf_dir):
+    """Exact weighted quantiles (operators/analytics.py
+    weighted_quantiles): price quantiles weighted by quantity — distinct
+    values + distsort prefix weights + ONE fused conditional reduce
+    against literal q·W thresholds (no per-q join)."""
+    from polars_net_spark.operators.analytics import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", (0.25, 0.5, 0.75, 0.9)
+    ).spark
+
+
+_q309_sql = """
+WITH s AS (SELECT l_extendedprice AS v, l_quantity AS w FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0),
+g AS (SELECT v, sum(w) AS w FROM s GROUP BY 1),
+c AS (SELECT v, sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER () AS tw
+      FROM g),
+q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+SELECT q.q AS q,
+       round((SELECT min(v) FROM c WHERE cw >= q.q * (SELECT max(tw) FROM c)), 6) AS value,
+       round((SELECT max(tw) FROM c), 6) AS total_weight
+FROM q ORDER BY q
+"""
+
+
+def _q310(spark, sf_dir):
+    """Restricted mean survival time (operators/analytics.py rmst): area
+    under the q228 Kaplan-Meier curve to tau=60 — the lag over the curve
+    rides halo buckets (1-row predecessor halo), no single-partition
+    window."""
+    from polars_net_spark.operators.analytics import rmst
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("double").alias("t_obs"),
+        (F.col("event_id") % 4 != 0).cast("int").alias("event"),
+    )
+    return rmst(d, "t_obs", "event", tau=60.0).spark
+
+
+_q310_sql = """
+WITH b AS (
+  SELECT floor(value) AS t, CASE WHEN event_id%4<>0 THEN 1 ELSE 0 END AS ev
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT t, sum(ev) AS d, sum(1-ev) AS c FROM b GROUP BY 1),
+r AS (SELECT t, d, c,
+        (SELECT sum(d+c) FROM g) - coalesce(sum(d+c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g),
+s AS (SELECT t, d, c, n_risk,
+        CASE WHEN d > 0 AND 1.0 - d*1.0/n_risk > 0 THEN ln(1.0 - d*1.0/n_risk) ELSE 0.0 END AS lg,
+        CASE WHEN d > 0 AND 1.0 - d*1.0/n_risk <= 0 THEN 1 ELSE 0 END AS zf
+      FROM r),
+k AS (SELECT t,
+        round(CASE WHEN sum(zf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+              THEN 0.0 ELSE exp(sum(lg) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS sv
+      FROM s),
+seg AS (SELECT t, sv,
+          coalesce(lag(t) OVER (ORDER BY t), 0.0) AS pt,
+          coalesce(lag(sv) OVER (ORDER BY t), 1.0) AS ps
+        FROM k),
+agg AS (SELECT sum(ps * (least(t, 60.0) - least(pt, 60.0))) AS area,
+               count(*) AS n_times,
+               max_by(sv, t) AS last_sv, max(t) AS last_t
+        FROM seg)
+SELECT 60.0 AS tau, CAST(n_times AS BIGINT) AS n_times,
+       round(area + last_sv * greatest(0.0, 60.0 - least(last_t, 60.0)), 6) AS rmst
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -10788,6 +11015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q301_stream_sliding": _q301,
         "q302_median_ci": _q302,
         "q303_ca_trend": _q303,
+        "q304_auc": _q304,
+        "q305_reliability_bins": _q305,
+        "q306_calibration": _q306,
+        "q307_gains_chart": _q307,
+        "q308_theil": _q308,
+        "q309_weighted_quantiles": _q309,
+        "q310_rmst": _q310,
     }
 
 
@@ -11096,4 +11330,11 @@ def oracle_sql() -> dict[str, str]:
         "q301_stream_sliding": _q301_sql,
         "q302_median_ci": _q302_sql,
         "q303_ca_trend": _q303_sql,
+        "q304_auc": _q304_sql,
+        "q305_reliability_bins": _q305_sql,
+        "q306_calibration": _q306_sql,
+        "q307_gains_chart": _q307_sql,
+        "q308_theil": _q308_sql,
+        "q309_weighted_quantiles": _q309_sql,
+        "q310_rmst": _q310_sql,
     }

@@ -727,6 +727,163 @@ def k_anonymity_report(
     return LazyFrame(out)
 
 
+def theil_index(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Theil T inequality index — the entropy-based companion to
+    :func:`gini_coefficient` (0 = perfectly even, ln n = one holder has
+    everything; unlike Gini it DECOMPOSES additively across groups, which
+    is why corpus-share audits prefer it):
+
+        T = Σ (xᵢ/Σx)·ln(xᵢ/μ) = Σ(x·ln x)/Σx − ln μ
+
+    — the right-hand identity makes it ONE fused map-side-combining
+    aggregate, no sort, no second pass.  Only strictly positive values
+    carry Theil mass; zero/negative/null rows are excluded and counted.
+    Output (1 row): n, n_excluded, mean, theil."""
+    sdf = _sdf(frame)
+    x = F.col(value_col).cast("double")
+    ok = x.isNotNull() & (x > 0)
+    out = sdf.agg(
+        F.count(F.when(ok, 1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count(F.when(ok, 1))).cast("long").alias("n_excluded"),
+        F.round(F.sum(F.when(ok, x)) / F.count(F.when(ok, 1)), round_to).alias("mean"),
+        F.round(
+            F.sum(F.when(ok, x * F.log(x))) / F.sum(F.when(ok, x))
+            - F.log(F.sum(F.when(ok, x)) / F.count(F.when(ok, 1))),
+            round_to,
+        ).alias("theil"),
+    )
+    return LazyFrame(out)
+
+
+def weighted_quantiles(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    weight_col: str,
+    qs: "tuple[float, ...] | list[float]" = (0.25, 0.5, 0.75),
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact weighted quantiles: for each q, the smallest value whose
+    cumulative weight reaches q·W (the left-continuous inverse of the
+    weighted CDF) — the sampling-weight / importance-weight form of
+    median and friends that a plain percentile can't answer.
+
+    Scale shape: values collapse to DISTINCT levels with summed weights
+    map-side; the cumulative weight rides distsort range buckets + driver
+    prefix offsets; every requested q resolves in ONE fused conditional
+    reduce against literal q·W thresholds (W is exact from the prefix
+    totals) — no per-q join, no data-sized window.  Rows with null value
+    or null/non-positive weight are excluded.  Output: (q, value,
+    total_weight), one row per q ascending."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    qlist = sorted(float(q) for q in qs)
+    if not qlist or qlist[0] <= 0 or qlist[-1] > 1:
+        raise ValueError("qs must be in (0, 1]")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    g = (
+        sdf.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(v.alias("__v__"))
+        .agg(F.sum(w).alias("__w__"))
+    )
+    g2, gb = with_range_buckets(g, "__v__")
+    g3, tot = with_prefix_offsets(g2, gb, {"w": F.col("__w__")})
+    W = float(tot.get("w", 0) or 0)
+    if W <= 0:
+        raise ValueError("weighted_quantiles: no rows with positive weight")
+    wincl = (
+        Window.partitionBy(gb)
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumw = F.col("__off_w__") + F.sum("__w__").over(wincl)
+    staged = g3.select("__v__", cumw.alias("__cw__"))
+    picked = staged.agg(
+        *[
+            F.min(F.when(F.col("__cw__") >= q * W, F.col("__v__"))).alias(f"__q{i}__")
+            for i, q in enumerate(qlist)
+        ]
+    )
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.round(F.col(f"__q{i}__"), round_to).alias("value"),
+                )
+                for i, q in enumerate(qlist)
+            ]
+        )
+    )
+    out = picked.select(entries.alias("e")).select(
+        "e.q", "e.value", F.round(F.lit(W), round_to).alias("total_weight")
+    )
+    return LazyFrame(out)
+
+
+def rmst(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    event_col: str,
+    tau: float,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Restricted mean survival time — the area under the Kaplan–Meier
+    curve up to horizon ``tau``: the model-free "average survival time in
+    the next τ units" that a median can't give when the curve never
+    crosses 0.5, and the standard effect measure when hazards aren't
+    proportional.  Builds on :func:`survival_curve` (same censoring
+    semantics): RMST = Σ S(tᵢ₋₁)·(min(tᵢ,τ) − min(tᵢ₋₁,τ)) + S(t_last)·
+    (τ − min(t_last, τ)), with S = 1 before the first event time.
+
+    The lag over the curve shards on the key; the GLOBAL path rides halo
+    buckets (1-row predecessor halo) — no single-partition window at any
+    scale.  Output: [keys...,] tau, n_times, rmst."""
+    tau = float(tau)
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    curve = survival_curve(frame, time_col, event_col, by=by).spark
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("t")
+        staged = curve
+        halo_col = None
+    else:
+        from .distsort import with_halo_buckets
+
+        staged, bcol, halo_col = with_halo_buckets(curve, "t", before=1)
+        w = Window.partitionBy(bcol).orderBy("t")
+    pt = F.coalesce(F.lag("t").over(w), F.lit(0.0))
+    ps = F.coalesce(F.lag("survival").over(w), F.lit(1.0))
+    seg = ps * (F.least(F.col("t"), F.lit(tau)) - F.least(pt, F.lit(tau)))
+    staged = staged.select(*keys, "t", "survival", seg.alias("__seg__"), *(
+        [F.col(halo_col)] if halo_col else []
+    ))
+    if halo_col:
+        staged = staged.filter(~F.col(halo_col)).drop(halo_col)
+    agg = staged.groupBy(*keys).agg(
+        F.sum("__seg__").alias("__area__"),
+        F.max(F.struct(F.col("t"), F.col("survival"))).alias("__last__"),
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+    )
+    tail = F.col("__last__.survival") * F.greatest(
+        F.lit(0.0), F.lit(tau) - F.least(F.col("__last__.t"), F.lit(tau))
+    )
+    out = agg.select(
+        *keys,
+        F.lit(tau).alias("tau"),
+        F.col("n_times"),
+        F.round(F.col("__area__") + tail, round_to).alias("rmst"),
+    )
+    return LazyFrame(out)
+
+
 def gini_coefficient(
     frame: "LazyFrame | SparkDF",
     value_col: str,

@@ -1,0 +1,247 @@
+"""Classifier/score evaluation at corpus scale: AUC, calibration,
+reliability bins, cumulative-gains — the model-quality end of a training
+pipeline (the quality.py linear screens and llm/evaluation.py retrieval
+metrics produce scores; these grade them against labels).
+
+All are exact and distributed: ranks ride the distsort range-bucket +
+driver-prefix machinery (no data-sized single-partition window), bins are
+map-only Column math, summaries are single fused aggregates.  Reference:
+the ErrorLSC/Polars.NET surface has no model-eval layer (this extends the
+engine the way the statistics family does); every operator here is
+SQL-replicable and oracle-gated (q304-q307).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+
+from ..frame import LazyFrame
+
+__all__ = [
+    "auc_report",
+    "reliability_bins",
+    "calibration_report",
+    "gains_chart",
+]
+
+
+def _sdf(frame):
+    return frame if isinstance(frame, SparkDF) else frame.spark
+
+
+def auc_report(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """ROC AUC via the Mann-Whitney rank statistic — the exact AUC with
+    tie handling (tied scores take their average rank), no threshold
+    sweep, no sort of the raw data:
+
+        AUC = (Σ_{positives} avg_rank − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    Scale shape: scores collapse to DISTINCT values with (count,
+    positives) map-side, the cumulative count below each value rides the
+    distsort range buckets + driver prefix offsets (global avg-rank =
+    below-count + (ties+1)/2 — no data-sized window), and the statistic
+    is one fused reduce.  Labels are truthy (> 0); null scores/labels
+    drop.  Output (1 row): auc, gini (2·AUC−1), n_pos, n_neg.  AUC is
+    null when either class is empty."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") > 0).cast("long")
+    base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull())
+    g = base.groupBy(s.alias("__s__")).agg(
+        F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__cp__")
+    )
+    g2, gb = with_range_buckets(g, "__s__")
+    g3, _tot = with_prefix_offsets(g2, gb, {"c": F.col("__c__")})
+    wexcl = (
+        Window.partitionBy(gb)
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c_lt = F.col("__off_c__") + F.coalesce(F.sum("__c__").over(wexcl), F.lit(0))
+    avg_rank = c_lt + (F.col("__c__") + 1) / 2.0
+    stats = g3.select(
+        "__c__", "__cp__", avg_rank.alias("__ar__")
+    ).agg(
+        F.sum(F.col("__cp__") * F.col("__ar__")).alias("rps"),
+        F.sum("__cp__").alias("npos"),
+        F.sum("__c__").alias("n"),
+    )
+    npos, n = F.col("npos"), F.col("n")
+    nneg = n - npos
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        (F.col("rps") - npos * (npos + 1) / 2.0) / (npos * nneg),
+    )
+    out = stats.select(
+        F.round(auc, round_to).alias("auc"),
+        F.round(2.0 * auc - 1.0, round_to).alias("gini"),
+        npos.cast("long").alias("n_pos"),
+        nneg.cast("long").alias("n_neg"),
+    )
+    return LazyFrame(out)
+
+
+def _binned(sdf, prob_col, label_col, n_bins):
+    """Shared staging: clip p into [0, 1], assign equal-width bins, return
+    the per-bin aggregate (map-only bin math + ONE map-side-combining
+    aggregate)."""
+    p = F.least(F.greatest(F.col(prob_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    y = (F.col(label_col).cast("double") > 0).cast("double")
+    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(int(n_bins) - 1))
+    base = sdf.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(p.alias("__p__"), y.alias("__y__"), b.alias("bin"))
+    sq = (F.col("__p__") - F.col("__y__")) ** 2
+    return base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__p__").alias("__sp__"),
+        F.sum("__y__").alias("__sy__"),
+        F.sum(sq).alias("__sq__"),
+    )
+
+
+def reliability_bins(
+    frame: "LazyFrame | SparkDF",
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Reliability-diagram table: predicted probabilities bucket into
+    ``n_bins`` equal-width bins on [0, 1] (values outside clip in;
+    p = 1.0 joins the top bin) and each bin reports its size, mean
+    prediction, observed positive rate and the calibration gap.  Map-only
+    bin assignment + one aggregate; output is n_bins-bounded.  Output:
+    (bin, p_lo, p_hi, n, mean_pred, frac_pos, gap) for non-empty bins,
+    bin ascending."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    agg = _binned(_sdf(frame), prob_col, label_col, int(n_bins))
+    out = agg.select(
+        F.col("bin"),
+        F.round(F.col("bin") / n_bins, round_to).alias("p_lo"),
+        F.round((F.col("bin") + 1) / n_bins, round_to).alias("p_hi"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__sp__") / F.col("n"), round_to).alias("mean_pred"),
+        F.round(F.col("__sy__") / F.col("n"), round_to).alias("frac_pos"),
+        F.round((F.col("__sy__") - F.col("__sp__")) / F.col("n"), round_to).alias("gap"),
+    ).orderBy("bin")
+    return LazyFrame(out)
+
+
+def calibration_report(
+    frame: "LazyFrame | SparkDF",
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """One-row calibration summary over the same equal-width bins as
+    :func:`reliability_bins`:
+
+    - brier — mean squared error of the probability, the proper score;
+    - ece — expected calibration error Σ (n_b/N)·|frac_pos − mean_pred|;
+    - mce — the worst bin's absolute gap;
+    - hl_chi2 — Hosmer–Lemeshow Σ (O_b − E_b)²/(n_b·p̄_b·(1−p̄_b)) over
+      bins whose mean prediction is strictly inside (0, 1), with df =
+      that bin count − 2 (the classic fit test; compare to χ²_df).
+
+    Two bounded aggregates (per-bin then 1-row), map-only otherwise.
+    Output (1 row): n, brier, ece, mce, hl_chi2, hl_df."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    agg = _binned(_sdf(frame), prob_col, label_col, int(n_bins))
+    pbar = F.col("__sp__") / F.col("n")
+    gap_abs = F.abs(F.col("__sy__") - F.col("__sp__")) / F.col("n")
+    hl_ok = (pbar > 0) & (pbar < 1)
+    hl_term = F.when(
+        hl_ok,
+        (F.col("__sy__") - F.col("__sp__")) ** 2 / (F.col("n") * pbar * (1 - pbar)),
+    )
+    out = agg.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("__sq__") / F.sum("n"), round_to).alias("brier"),
+        F.round(F.sum(F.col("n") * gap_abs) / F.sum("n"), round_to).alias("ece"),
+        F.round(F.max(gap_abs), round_to).alias("mce"),
+        F.round(F.sum(hl_term), round_to).alias("hl_chi2"),
+        (F.count(F.when(hl_ok, 1)) - F.lit(2)).cast("long").alias("hl_df"),
+    )
+    return LazyFrame(out)
+
+
+def gains_chart(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cumulative gains / lift table: rows rank by score DESCENDING
+    (``id_col`` breaks ties so the table is deterministic), split into
+    ``n_buckets`` exact rank slices (bucket = ⌊(rank−1)·k/n⌋ — replicable
+    in any engine, unlike NTILE's remainder rule), and each slice reports
+    its positive count, the cumulative share of all positives captured
+    (the gains curve) and the lift over the base rate.
+
+    Scale shape: the global descending rank = distsort range buckets
+    (desc) + driver prefix offsets + a per-bucket row_number — no
+    data-sized single-partition window; the k-row slice table then takes
+    two bounded reduces.  Output: (bucket, n, n_pos, pos_rate,
+    cum_pos_share, lift), bucket 0 = best-scored slice."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") > 0).cast("long")
+    base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull()).select(
+        s.alias("__s__"), F.col(id_col).alias("__id__"), y.alias("__y__")
+    )
+    bucketed, gb = with_range_buckets(base, "__s__", desc=True)
+    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    n = int(tot["c"])
+    if n == 0:
+        raise ValueError("gains_chart: no scored labeled rows")
+    w = Window.partitionBy(gb).orderBy(F.col("__s__").desc(), F.col("__id__"))
+    rank = (F.col("__off_c__") + F.row_number().over(w)).cast("long")
+    k = int(n_buckets)
+    slice_id = F.floor((rank - 1) * k / n).cast("int")
+    per = (
+        offs.withColumn("bucket", slice_id)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y__").alias("n_pos"))
+    )
+    # k-row table: cumulative + totals ride one bounded window
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_pos = F.sum("n_pos").over(wc)
+    tot_pos = F.sum("n_pos").over(wt)
+    tot_n = F.sum("n").over(wt)
+    out = per.select(
+        F.col("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("n_pos") / F.col("n"), round_to).alias("pos_rate"),
+        F.round(
+            F.when(tot_pos > 0, cum_pos / tot_pos).otherwise(F.lit(None)), round_to
+        ).alias("cum_pos_share"),
+        F.round(
+            F.when(
+                tot_pos > 0, (F.col("n_pos") / F.col("n")) / (tot_pos / tot_n)
+            ),
+            round_to,
+        ).alias("lift"),
+    ).orderBy("bucket")
+    return LazyFrame(out)

@@ -1,0 +1,162 @@
+"""Model-evaluation family (operators/mleval.py) + weighted quantiles /
+Theil / RMST (operators/analytics.py) — the round-8 q304-q310 operators."""
+
+import math
+
+import pytest
+
+from polars_net_spark.operators.analytics import (
+    rmst,
+    theil_index,
+    weighted_quantiles,
+)
+from polars_net_spark.operators.mleval import (
+    auc_report,
+    calibration_report,
+    gains_chart,
+    reliability_bins,
+)
+
+
+def rows(lf):
+    return lf.collect().rows()
+
+
+class TestAuc:
+    def test_perfect_separation(self, spark):
+        d = spark.createDataFrame(
+            [(float(i), 1 if i >= 5 else 0) for i in range(10)], "s double, y int"
+        )
+        (auc, gini, npos, nneg), = rows(auc_report(d, "s", "y"))
+        assert auc == 1.0 and gini == 1.0 and npos == 5 and nneg == 5
+
+    def test_random_is_half_with_ties(self, spark):
+        # constant score: every pair is a tie -> AUC exactly 0.5
+        d = spark.createDataFrame([(1.0, i % 2) for i in range(40)], "s double, y int")
+        (auc, gini, npos, nneg), = rows(auc_report(d, "s", "y"))
+        assert auc == 0.5 and gini == 0.0
+
+    def test_matches_sklearn_formula(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        s = rng.rand(500)
+        y = (rng.rand(500) < s).astype(int)  # score is informative
+        d = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)], "s double, y int"
+        ).repartition(7)
+        (auc, _, npos, nneg), = rows(auc_report(d, "s", "y"))
+        # reference: Mann-Whitney U by explicit pair counting
+        pos, neg = s[y == 1], s[y == 0]
+        u = sum((pos_v > neg).sum() + 0.5 * (pos_v == neg).sum() for pos_v in pos)
+        assert abs(auc - u / (len(pos) * len(neg))) < 1e-6
+
+    def test_single_class_null(self, spark):
+        d = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+        (auc, gini, npos, nneg), = rows(auc_report(d, "s", "y"))
+        assert auc is None and nneg == 0
+
+
+class TestCalibration:
+    def test_perfectly_calibrated_bins(self, spark):
+        # p = 0.25 with 25% positives, p = 0.75 with 75% positives
+        data = [(0.25, 1 if i < 25 else 0) for i in range(100)] + [
+            (0.75, 1 if i < 75 else 0) for i in range(100)
+        ]
+        d = spark.createDataFrame(data, "p double, y int")
+        out = {r[0]: r for r in rows(reliability_bins(d, "p", "y", 10))}
+        assert out[2][5] == 0.25 and out[7][5] == 0.75  # frac_pos
+        assert out[2][6] == 0.0 and out[7][6] == 0.0  # gap
+        (n, brier, ece, mce, hl, df), = rows(calibration_report(d, "p", "y", 10))
+        assert n == 200 and ece == 0.0 and mce == 0.0 and hl == 0.0
+        assert abs(brier - (0.25 * 0.75)) < 1e-9  # p(1-p) for calibrated bins
+
+    def test_clipping_and_top_bin(self, spark):
+        d = spark.createDataFrame(
+            [(1.0, 1), (1.2, 1), (-0.1, 0)], "p double, y int"
+        )
+        out = {r[0]: r for r in rows(reliability_bins(d, "p", "y", 10))}
+        assert out[9][3] == 2  # p=1.0 and clipped 1.2 both in top bin
+        assert out[0][3] == 1  # clipped -0.1 in bottom bin
+
+
+class TestGains:
+    def test_deciles_and_cumulative(self, spark):
+        # positives exactly in the top 20 scores
+        d = spark.createDataFrame(
+            [(float(i), 1 if i >= 80 else 0, i) for i in range(100)],
+            "s double, y int, id long",
+        ).repartition(5)
+        out = rows(gains_chart(d, "s", "y", "id", n_buckets=10))
+        assert [r[0] for r in out] == list(range(10))
+        assert all(r[1] == 10 for r in out)  # exact slices
+        assert out[0][2] == 10 and out[1][2] == 10  # top two deciles all pos
+        assert out[0][4] == 0.5 and out[1][4] == 1.0  # cumulative share
+        assert out[0][5] == 5.0  # lift = 1.0 / 0.2
+        assert out[9][2] == 0
+
+    def test_tie_break_deterministic(self, spark):
+        d = spark.createDataFrame(
+            [(1.0, i % 2, i) for i in range(20)], "s double, y int, id long"
+        )
+        a = rows(gains_chart(d, "s", "y", "id", n_buckets=4))
+        b = rows(gains_chart(d.repartition(7), "s", "y", "id", n_buckets=4))
+        assert a == b
+
+
+class TestTheil:
+    def test_uniform_is_zero(self, spark):
+        d = spark.createDataFrame([(5.0,)] * 50, "x double")
+        (n, nexc, mean, theil), = rows(theil_index(d, "x"))
+        assert n == 50 and nexc == 0 and mean == 5.0 and abs(theil) < 1e-9
+
+    def test_concentration_approaches_ln_n(self, spark):
+        d = spark.createDataFrame([(1e9,)] + [(1e-6,)] * 9, "x double")
+        (n, _, _, theil), = rows(theil_index(d, "x"))
+        assert abs(theil - math.log(10)) < 1e-3
+
+    def test_nonpositive_excluded(self, spark):
+        d = spark.createDataFrame([(2.0,), (0.0,), (-1.0,), (None,)], "x double")
+        (n, nexc, mean, theil), = rows(theil_index(d, "x"))
+        assert n == 1 and nexc == 3 and theil == 0.0
+
+
+class TestWeightedQuantiles:
+    def test_weighted_median_shifts(self, spark):
+        # value 10 carries 90% of the weight -> every q <= 0.9 returns 10
+        d = spark.createDataFrame([(10.0, 90.0), (20.0, 10.0)], "v double, w double")
+        out = {r[0]: r[1] for r in rows(weighted_quantiles(d, "v", "w", (0.5, 0.9, 1.0)))}
+        assert out[0.5] == 10.0 and out[0.9] == 10.0 and out[1.0] == 20.0
+
+    def test_unit_weights_match_classic(self, spark):
+        d = spark.createDataFrame([(float(v), 1.0) for v in range(1, 101)], "v double, w double")
+        out = {r[0]: r[1] for r in rows(weighted_quantiles(d, "v", "w", (0.25, 0.5)))}
+        assert out[0.25] == 25.0 and out[0.5] == 50.0
+
+    def test_validation(self, spark):
+        d = spark.createDataFrame([(1.0, 1.0)], "v double, w double")
+        with pytest.raises(ValueError):
+            weighted_quantiles(d, "v", "w", (0.0, 0.5))
+        with pytest.raises(ValueError):
+            weighted_quantiles(d.filter("v > 5"), "v", "w")
+
+
+class TestRmst:
+    def test_no_events_full_horizon(self, spark):
+        # all censored: S = 1 everywhere, RMST = tau
+        d = spark.createDataFrame([(float(t), 0) for t in (5, 10)], "t double, e int")
+        (tau, n_times, val), = rows(rmst(d, "t", "e", tau=20.0))
+        assert val == 20.0
+
+    def test_all_die_at_t5(self, spark):
+        # S = 1 until 5 then 0: RMST(20) = 5
+        d = spark.createDataFrame([(5.0, 1)] * 4, "t double, e int")
+        (tau, n_times, val), = rows(rmst(d, "t", "e", tau=20.0))
+        assert val == 5.0
+
+    def test_keyed_matches_global_single_key(self, spark):
+        data = [("k", float((i * 7) % 40 + 1), 1 if i % 3 else 0) for i in range(200)]
+        d = spark.createDataFrame(data, "g string, t double, e int").repartition(6)
+        (keyed,) = rows(rmst(d, "t", "e", tau=30.0, by="g"))
+        (glob,) = rows(rmst(d, "t", "e", tau=30.0))
+        assert keyed[1:] == glob  # drop the key column
