@@ -10710,6 +10710,176 @@ FROM agg
 """
 
 
+def _q311(spark, sf_dir):
+    """Per-segment ROC AUC (operators/mleval.py group_auc): does value
+    predict the md5-free deterministic label within each event type?
+    Mann-Whitney ranks sharded on the segment key — keyed windows, no
+    global stage."""
+    from polars_net_spark.operators.mleval import group_auc
+
+    ev = _t(spark, sf_dir, "events").spark
+    lab = ev.select(
+        "value", (F.col("event_id") % 3 == 0).cast("int").alias("y"), "event_type"
+    )
+    return group_auc(lab, "value", "y", by="event_type").spark
+
+
+_q311_sql = """
+WITH s AS (SELECT event_type AS g, value AS sc,
+                  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+gr AS (SELECT g, sc, count(*) AS c, sum(y) AS cp FROM s GROUP BY 1, 2),
+cum AS (SELECT g, sc, c, cp,
+          coalesce(sum(c) OVER (PARTITION BY g ORDER BY sc
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt
+        FROM gr),
+red AS (SELECT g, sum(cp * (c_lt + (c + 1) / 2.0)) AS rps,
+               sum(cp) AS npos, sum(c) AS n
+        FROM cum GROUP BY 1)
+SELECT g AS event_type,
+       round(CASE WHEN npos > 0 AND n - npos > 0
+             THEN (rps - npos * (npos + 1) / 2.0) / (npos * (n - npos)) END, 6) AS auc,
+       CAST(npos AS BIGINT) AS n_pos, CAST(n - npos AS BIGINT) AS n_neg
+FROM red
+"""
+
+
+def _q312(spark, sf_dir):
+    """Average precision / PR-AUC by the step rule (operators/mleval.py
+    average_precision): AP = mean of P@k at the positive ranks, event_id
+    tie-break — global ranks AND the cumulative positive count both ride
+    the same distsort prefix chain."""
+    from polars_net_spark.operators.mleval import average_precision
+
+    ev = _t(spark, sf_dir, "events").spark
+    lab = ev.select(
+        "value", (F.col("event_type") == "error").cast("int").alias("y"), "event_id"
+    )
+    return average_precision(lab, "value", "y", "event_id").spark
+
+
+_q312_sql = """
+WITH s AS (SELECT value AS sc, event_id,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (SELECT y,
+             row_number() OVER (ORDER BY sc DESC, event_id) AS rk,
+             sum(y) OVER (ORDER BY sc DESC, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+      FROM s),
+red AS (SELECT sum(CASE WHEN y = 1 THEN cp * 1.0 / rk END) AS apsum,
+               sum(y) AS npos, count(*) AS n FROM r)
+SELECT round(CASE WHEN npos > 0 THEN apsum / npos END, 6) AS ap,
+       CAST(npos AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n
+FROM red
+"""
+
+
+def _q313(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (llm/text.py heaps_law): V(T) ≈
+    k·T^β via first-occurrence doc ids (the cumulative-distinct trick: one
+    min-aggregate per word) + two fused grid reduces + a driver OLS over
+    the 8-point grid."""
+    from polars_net_spark.llm.text import heaps_law
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_law(d, "text", "doc_id", n_points=8).spark
+
+
+_q313_sql = """
+WITH docs AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+toks AS (SELECT doc_id,
+                len(list_filter(string_split_regex(tx, '\\s+'), x -> length(x) > 0)) AS ntok
+         FROM docs),
+dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(tx, '\\s+'), x -> length(x) > 0)) AS word
+       FROM docs),
+firsts AS (SELECT word, min(doc_id) AS fid FROM dw GROUP BY 1),
+mm AS (SELECT CAST(min(doc_id) AS DOUBLE) AS lo, CAST(max(doc_id) AS DOUBLE) AS hi FROM toks),
+grid AS (SELECT lo + (hi - lo) * (k + 1) / 8.0 AS thr
+         FROM mm, (SELECT unnest(range(8)) AS k)),
+pts AS (SELECT thr,
+               (SELECT count(*) FROM firsts WHERE fid <= thr) AS v,
+               (SELECT sum(ntok) FROM toks WHERE doc_id <= thr) AS tt
+        FROM grid),
+ok AS (SELECT ln(tt) AS x, ln(v) AS y, v, tt FROM pts WHERE tt > 0 AND v > 0),
+fit AS (SELECT count(*) AS m,
+               avg(x) AS mx, avg(y) AS my,
+               sum((x - (SELECT avg(x) FROM ok)) * (x - (SELECT avg(x) FROM ok))) AS sxx,
+               sum((x - (SELECT avg(x) FROM ok)) * (y - (SELECT avg(y) FROM ok))) AS sxy,
+               sum((y - (SELECT avg(y) FROM ok)) * (y - (SELECT avg(y) FROM ok))) AS syy,
+               max_by(v, tt) AS vf, max(tt) AS tf
+        FROM ok)
+SELECT CAST(m AS INT) AS n_points,
+       round(exp(my - (CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0 END) * mx), 6) AS heaps_k,
+       round(CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0 END, 6) AS heaps_beta,
+       round(CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) ELSE 1.0 END, 6) AS r2,
+       CAST(vf AS BIGINT) AS vocab_final, CAST(tf AS BIGINT) AS tokens_final
+FROM fit
+"""
+
+
+def _q314(spark, sf_dir):
+    """Inter-arrival burstiness per event type (operators/analytics.py
+    interarrival_report): gap CV + Goh-Barabási burstiness — one keyed lag
+    window + one reduce (organic streams sit near B=0/Poisson)."""
+    from polars_net_spark.operators.analytics import interarrival_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    return interarrival_report(ev, "ts", by="event_type").spark
+
+
+_q314_sql = """
+WITH s AS (SELECT event_type AS g, epoch(ts) AS t FROM events WHERE ts IS NOT NULL),
+l AS (SELECT g, t, t - lag(t) OVER (PARTITION BY g ORDER BY t) AS gap FROM s),
+a AS (SELECT g, count(*) AS n_events, count(gap) AS n_gaps,
+             avg(gap) AS mu, stddev_samp(gap) AS sd,
+             min(gap) AS mn, max(gap) AS mx
+      FROM l GROUP BY 1)
+SELECT g AS event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(mu, 6) AS mean_gap_s, round(sd, 6) AS std_gap_s,
+       round(CASE WHEN mu > 0 THEN sd / mu END, 6) AS cv,
+       round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END, 6) AS burstiness,
+       round(mn, 6) AS min_gap_s, round(mx, 6) AS max_gap_s
+FROM a
+"""
+
+
+def _q315(spark, sf_dir):
+    """Krippendorff's alpha, nominal (operators/regression.py
+    krippendorff_alpha): ~20 'ratings' per synthetic unit — the
+    any-raters/missing-data agreement coefficient beside Cohen (q204) and
+    Fleiss (q217).  Unit-keyed aggregates + bounded driver combine."""
+    from polars_net_spark.operators.regression import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.select((F.col("event_id") % 500).alias("unit"), "event_type")
+    return krippendorff_alpha(d, "unit", "event_type").spark
+
+
+_q315_sql = """
+WITH b AS (SELECT event_id % 500 AS u, event_type AS v FROM events
+           WHERE event_type IS NOT NULL),
+cnt AS (SELECT u, v, count(*) AS n FROM b GROUP BY 1, 2),
+units AS (SELECT u, sum(n) AS m, sum(n * n) AS ss FROM cnt GROUP BY 1 HAVING sum(n) >= 2),
+ur AS (SELECT sum((m * m - ss) * 1.0 / (m - 1)) AS od, sum(m) AS n,
+              count(*) AS n_units FROM units),
+marg AS (SELECT c.v, sum(c.n) AS nc FROM cnt c JOIN units USING (u) GROUP BY 1),
+vr AS (SELECT sum(nc * nc) AS ss, count(*) AS k FROM marg),
+f AS (SELECT od / n AS d_o,
+             (n * n - vr.ss) / (n * (n - 1.0)) AS d_e,
+             n, n_units, vr.k AS k
+      FROM ur, vr)
+SELECT round(CASE WHEN d_e > 0 THEN 1.0 - d_o / d_e END, 6) AS alpha,
+       round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+       CAST(n AS BIGINT) AS n_pairable, CAST(n_units AS BIGINT) AS n_units,
+       CAST(k AS BIGINT) AS n_values
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11022,6 +11192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q308_theil": _q308,
         "q309_weighted_quantiles": _q309,
         "q310_rmst": _q310,
+        "q311_group_auc": _q311,
+        "q312_avg_precision": _q312,
+        "q313_heaps_law": _q313,
+        "q314_interarrival": _q314,
+        "q315_krippendorff": _q315,
     }
 
 
@@ -11337,4 +11512,9 @@ def oracle_sql() -> dict[str, str]:
         "q308_theil": _q308_sql,
         "q309_weighted_quantiles": _q309_sql,
         "q310_rmst": _q310_sql,
+        "q311_group_auc": _q311_sql,
+        "q312_avg_precision": _q312_sql,
+        "q313_heaps_law": _q313_sql,
+        "q314_interarrival": _q314_sql,
+        "q315_krippendorff": _q315_sql,
     }

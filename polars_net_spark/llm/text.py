@@ -661,3 +661,99 @@ def zipf_fit(
 
 
 __all__.append("zipf_fit")
+
+
+def heaps_law(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 8,
+    round_to: int = 6,
+):
+    """Heaps'-law fit V(T) ≈ k·T^β — vocabulary growth vs tokens seen, the
+    corpus-health curve behind "is more data still adding new words?"
+    (β ≈ 0.4-0.6 for natural text; β near 0 means the source is looping,
+    near 1 means it's noise/ids).
+
+    Scale shape: each word contributes ONE (word, first_doc_id) row (a
+    map-side-combining min aggregate — the cumulative-distinct trick:
+    V(t) = #{words : first_id ≤ t}), per-doc token counts are map-only,
+    and both evaluate against an ``n_points`` literal id grid in two
+    fused conditional reduces; the log-log OLS runs on the driver over
+    the n_points-bounded table.  ``id_col`` defines the corpus order.
+    Output (1 row): n_points, n_docs_axis... see columns: heaps_k,
+    heaps_beta, r2, vocab_final, tokens_final."""
+    import math
+
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2")
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    base = sdf.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+    posed = base.select(F.col(id_col).alias("__id__"), F.explode(words).alias("__w__"))
+    firsts = posed.groupBy("__w__").agg(F.min("__id__").alias("__first__"))
+    toks = base.select(
+        F.col(id_col).alias("__id__"), F.size(words).alias("__ntok__")
+    )
+    lo_hi = toks.agg(
+        F.min("__id__").alias("lo"), F.max("__id__").alias("hi")
+    ).first()
+    if lo_hi is None or lo_hi["lo"] is None:
+        raise ValueError("heaps_law: empty corpus")
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    P = int(n_points)
+    grid = [lo + (hi - lo) * (k + 1) / P for k in range(P)]
+    vrow = firsts.agg(
+        *[
+            F.count(F.when(F.col("__first__") <= t, 1)).alias(f"v{i}")
+            for i, t in enumerate(grid)
+        ]
+    ).first()
+    trow = toks.agg(
+        *[
+            F.sum(F.when(F.col("__id__") <= t, F.col("__ntok__"))).alias(f"t{i}")
+            for i, t in enumerate(grid)
+        ]
+    ).first()
+    pts = [
+        (float(trow[f"t{i}"] or 0), float(vrow[f"v{i}"] or 0))
+        for i in range(P)
+    ]
+    pts = [(t, v) for t, v in pts if t > 0 and v > 0]
+    if len(pts) < 2:
+        raise ValueError("heaps_law: fewer than 2 usable grid points")
+    xs = [math.log(t) for t, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    m = len(xs)
+    mx, my = sum(xs) / m, sum(ys) / m
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    beta = sxy / sxx if sxx > 0 else 0.0
+    k_coef = math.exp(my - beta * mx)
+    r2 = (sxy * sxy) / (sxx * syy) if sxx > 0 and syy > 0 else 1.0
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                m,
+                round(k_coef, round_to),
+                round(beta, round_to),
+                round(r2, round_to),
+                int(pts[-1][1]),
+                int(pts[-1][0]),
+            )
+        ],
+        "n_points int, heaps_k double, heaps_beta double, r2 double, "
+        "vocab_final bigint, tokens_final bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("heaps_law")

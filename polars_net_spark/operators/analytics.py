@@ -2519,3 +2519,66 @@ def collapse_rare_levels(
 
 
 __all__.extend(["dp_count_report", "collapse_rare_levels"])
+
+
+def interarrival_report(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Inter-arrival-time summary per key: gap mean/std/extremes, the
+    coefficient of variation, and the Goh–Barabási burstiness
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 = metronome, 0 = Poisson, →1 = bursts)
+    — the one-row answer to "is this event stream organic or scripted?"
+    that sits beside sessionize/find_gaps.
+
+    One lag window sharded on the key + one keyed reduce; with
+    ``by=None`` the lag rides distsort halo buckets (exact, distributed).
+    Output: [keys...,] n_events, n_gaps, mean_gap_s, std_gap_s, cv,
+    burstiness, min_gap_s, max_gap_s."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ts = F.col(ts_col).cast("timestamp")
+    tsec = (F.unix_micros(ts) / 1e6).alias("__t__")
+    base = sdf.filter(ts.isNotNull()).select(*keys, tsec)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__t__")
+        halo_col = None
+    else:
+        from .distsort import with_halo_buckets
+
+        base, bcol, halo_col = with_halo_buckets(base, "__t__", before=1)
+        w = Window.partitionBy(bcol).orderBy("__t__")
+    gap = F.col("__t__") - F.lag("__t__").over(w)
+    staged = base.select(*keys, "__t__", gap.alias("__g__"), *(
+        [F.col(halo_col)] if halo_col else []
+    ))
+    if halo_col:
+        staged = staged.filter(~F.col(halo_col)).drop(halo_col)
+    agg = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("__g__").cast("long").alias("n_gaps"),
+        F.avg("__g__").alias("__m__"),
+        F.stddev_samp("__g__").alias("__s__"),
+        F.min("__g__").alias("__mn__"),
+        F.max("__g__").alias("__mx__"),
+    )
+    mu, sd = F.col("__m__"), F.col("__s__")
+    out = agg.select(
+        *keys,
+        "n_events",
+        "n_gaps",
+        F.round(mu, round_to).alias("mean_gap_s"),
+        F.round(sd, round_to).alias("std_gap_s"),
+        F.round(F.when(mu > 0, sd / mu), round_to).alias("cv"),
+        F.round(F.when((sd + mu) > 0, (sd - mu) / (sd + mu)), round_to).alias(
+            "burstiness"
+        ),
+        F.round(F.col("__mn__"), round_to).alias("min_gap_s"),
+        F.round(F.col("__mx__"), round_to).alias("max_gap_s"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["theil_index", "weighted_quantiles", "rmst", "interarrival_report"])

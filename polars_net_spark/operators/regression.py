@@ -1941,3 +1941,74 @@ def cochran_armitage(
 
 
 __all__.append("cochran_armitage")
+
+
+def krippendorff_alpha(
+    frame: "LazyFrame | SparkDF",
+    unit_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Krippendorff's alpha (nominal data) — the inter-rater agreement
+    coefficient that, unlike Cohen's (q204, 2 raters) or Fleiss' (q217,
+    fixed panel), accepts ANY number of raters per unit and missing
+    ratings: the standard for crowd-labeled training data.  One row per
+    (unit, rating) observation; units with a single rating contribute no
+    pairable information and drop.
+
+        α = 1 − D_o/D_e,  D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u−1) / n,
+        D_e = (n² − Σ_c n_c²)/(n·(n−1)),   n = Σ pairable m_u.
+
+    Two map-side-combining aggregates (unit×value counts → unit totals +
+    value marginals) and two bounded 1-row reduces combined on the
+    driver (no keyless join).  Output (1 row): alpha, d_o, d_e,
+    n_pairable, n_units, n_values."""
+    sdf = _sdf(frame)
+    base = sdf.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(unit_col).alias("__u__"), F.col(value_col).alias("__v__"))
+    cnt = base.groupBy("__u__", "__v__").agg(F.count(F.lit(1)).alias("__n__"))
+    units = cnt.groupBy("__u__").agg(
+        F.sum("__n__").alias("__m__"), F.sum(F.col("__n__") ** 2).alias("__ss__")
+    ).filter(F.col("__m__") >= 2)
+    urow = units.agg(
+        F.sum(
+            (F.col("__m__") ** 2 - F.col("__ss__")) / (F.col("__m__") - 1)
+        ).alias("od"),
+        F.sum("__m__").alias("n"),
+        F.count(F.lit(1)).alias("n_units"),
+    ).first()
+    if urow is None or not urow["n"] or int(urow["n"]) < 2:
+        raise ValueError("krippendorff_alpha needs >= 2 pairable ratings")
+    # value marginals over PAIRABLE units only (unit-keyed equi join)
+    marg = (
+        cnt.join(units.select("__u__"), "__u__")
+        .groupBy("__v__")
+        .agg(F.sum("__n__").alias("__nc__"))
+    )
+    vrow = marg.agg(
+        F.sum(F.col("__nc__") ** 2).alias("ss"), F.count(F.lit(1)).alias("k")
+    ).first()
+    n = float(urow["n"])
+    d_o = float(urow["od"]) / n
+    d_e = (n * n - float(vrow["ss"])) / (n * (n - 1.0))
+    alpha = 1.0 - d_o / d_e if d_e > 0 else None
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                None if alpha is None else round(alpha, round_to),
+                round(d_o, round_to),
+                round(d_e, round_to),
+                int(n),
+                int(urow["n_units"]),
+                int(vrow["k"]),
+            )
+        ],
+        "alpha double, d_o double, d_e double, n_pairable bigint, "
+        "n_units bigint, n_values bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("krippendorff_alpha")

@@ -160,3 +160,175 @@ class TestRmst:
         (keyed,) = rows(rmst(d, "t", "e", tau=30.0, by="g"))
         (glob,) = rows(rmst(d, "t", "e", tau=30.0))
         assert keyed[1:] == glob  # drop the key column
+
+
+class TestGroupAuc:
+    def test_per_key_matches_global(self, spark):
+        import numpy as np
+
+        from polars_net_spark.operators.mleval import group_auc
+
+        rng = np.random.RandomState(9)
+        data = [
+            ("a", float(s), int(rng.rand() < s))
+            for s in rng.rand(300)
+        ] + [("b", float(s), int(rng.rand() > s)) for s in rng.rand(300)]
+        d = spark.createDataFrame(data, "g string, s double, y int").repartition(6)
+        out = {r[0]: r[1] for r in rows(group_auc(d, "s", "y", by="g"))}
+        # key a: score is positively informative; key b: anti-informative
+        assert out["a"] > 0.6 and out["b"] < 0.4
+        # each key's AUC equals auc_report on that key's slice
+        (a_only, *_), = rows(auc_report(d.filter("g = 'a'"), "s", "y"))
+        assert out["a"] == a_only
+
+    def test_single_class_key_null(self, spark):
+        from polars_net_spark.operators.mleval import group_auc
+
+        d = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 1), ("b", 2.0, 0)],
+            "g string, s double, y int",
+        )
+        out = {r[0]: r[1] for r in rows(group_auc(d, "s", "y", by="g"))}
+        # key a has one class -> null; key b's positive has the LOWER score
+        assert out["a"] is None and out["b"] == 0.0
+
+
+class TestAveragePrecision:
+    def test_perfect_ranking(self, spark):
+        from polars_net_spark.operators.mleval import average_precision
+
+        d = spark.createDataFrame(
+            [(float(i), 1 if i >= 7 else 0, i) for i in range(10)],
+            "s double, y int, id long",
+        )
+        (ap, npos, n), = rows(average_precision(d, "s", "y", "id"))
+        assert ap == 1.0 and npos == 3
+
+    def test_textbook_example(self, spark):
+        from polars_net_spark.operators.mleval import average_precision
+
+        # ranking (desc score): pos, neg, pos, neg -> AP = (1/1 + 2/3)/2
+        d = spark.createDataFrame(
+            [(4.0, 1, 0), (3.0, 0, 1), (2.0, 1, 2), (1.0, 0, 3)],
+            "s double, y int, id long",
+        )
+        (ap, npos, n), = rows(average_precision(d, "s", "y", "id"))
+        assert abs(ap - (1.0 + 2.0 / 3.0) / 2.0) < 1e-6
+
+    def test_partition_invariant(self, spark):
+        from polars_net_spark.operators.mleval import average_precision
+
+        d = spark.createDataFrame(
+            [(float((i * 13) % 97), i % 3 == 0, i) for i in range(500)],
+            "s double, y boolean, id long",
+        )
+        a = rows(average_precision(d, "s", "y", "id"))
+        b = rows(average_precision(d.repartition(11), "s", "y", "id"))
+        assert a == b
+
+
+class TestHeapsLaw:
+    def test_growing_vocab_beta_near_one_half(self, spark):
+        # synthetic corpus with genuinely growing vocabulary: doc i
+        # introduces words drawn from a growing id pool
+        import numpy as np
+
+        from polars_net_spark.llm.text import heaps_law
+
+        rng = np.random.RandomState(4)
+        docs = []
+        for i in range(400):
+            pool = int(10 * (i + 1) ** 0.6) + 5
+            words = [f"w{rng.randint(0, pool)}" for _ in range(30)]
+            docs.append((i, " ".join(words)))
+        d = spark.createDataFrame(docs, "doc_id long, text string").repartition(6)
+        (npts, k, beta, r2, vf, tf), = rows(heaps_law(d, "text", "doc_id", 8))
+        assert npts == 8 and 0.2 < beta < 0.9 and r2 > 0.9
+        assert vf > 100 and tf == 400 * 30
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from polars_net_spark.llm.text import heaps_law
+
+        d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            heaps_law(d, "text", "doc_id", n_points=1)
+
+
+class TestInterarrival:
+    def test_metronome_burstiness_minus_one(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import interarrival_report
+
+        base = dt.datetime(2024, 1, 1)
+        d = spark.createDataFrame(
+            [("k", base + dt.timedelta(seconds=10 * i)) for i in range(50)],
+            "g string, ts timestamp",
+        ).repartition(5)
+        (r,) = rows(interarrival_report(d, "ts", by="g"))
+        # r = (g, n_events, n_gaps, mean, std, cv, burstiness, min, max)
+        assert r[3] == 10.0 and r[4] == 0.0  # mean 10s, std 0
+        assert r[6] == -1.0  # perfect metronome
+        # global (halo) path identical minus the key
+        (g,) = rows(interarrival_report(d, "ts"))
+        assert tuple(r[1:]) == g
+
+    def test_burst_pattern_positive(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.operators.analytics import interarrival_report
+
+        base = dt.datetime(2024, 1, 1)
+        ts, cur = [], 0.0
+        for burst in range(20):
+            for j in range(10):
+                cur += 0.1
+                ts.append(cur)
+            cur += 600.0
+            ts.append(cur)
+        d = spark.createDataFrame(
+            [(base + dt.timedelta(seconds=s),) for s in ts], "ts timestamp"
+        ).repartition(4)
+        (r,) = rows(interarrival_report(d, "ts"))
+        assert r[5] > 0.5  # strongly bursty
+
+
+class TestKrippendorff:
+    def test_perfect_agreement(self, spark):
+        from polars_net_spark.operators.regression import krippendorff_alpha
+
+        d = spark.createDataFrame(
+            [(u, "yes" if u % 2 else "no") for u in range(20) for _ in range(3)],
+            "u long, v string",
+        )
+        (alpha, do, de, n, nu, k), = rows(krippendorff_alpha(d, "u", "v"))
+        assert alpha == 1.0 and do == 0.0 and n == 60 and nu == 20 and k == 2
+
+    def test_wikipedia_example(self, spark):
+        # Krippendorff's canonical nominal example (2 coders, some missing):
+        # units with values: (1,1) (2,2) (3,3) (3,3) (2,2) (1,2) (4,4) (1,1)
+        # (2,2) (5,5) (1,1) (3,3), plus single-rating units that must drop
+        pairs = [
+            (1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 3, 3), (5, 2, 2), (6, 1, 2),
+            (7, 4, 4), (8, 1, 1), (9, 2, 2), (10, 5, 5), (11, 1, 1), (12, 3, 3),
+        ]
+        data = [(u, a) for u, a, b in pairs] + [(u, b) for u, a, b in pairs]
+        data += [(100, 9), (101, 7)]  # pairable=no, must be ignored
+        from polars_net_spark.operators.regression import krippendorff_alpha
+
+        spark_df = spark.createDataFrame(data, "u long, v int")
+        (alpha, do, de, n, nu, k), = rows(krippendorff_alpha(spark_df, "u", "v"))
+        assert n == 24 and nu == 12
+        # literature value for this table: alpha ~ 0.886 (nominal)
+        assert abs(alpha - 0.886) < 0.01
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from polars_net_spark.operators.regression import krippendorff_alpha
+
+        d = spark.createDataFrame([(1, "a")], "u long, v string")
+        with _pt.raises(ValueError):
+            krippendorff_alpha(d, "u", "v")
