@@ -10880,6 +10880,158 @@ FROM f
 """
 
 
+def _q316(spark, sf_dir):
+    """Exact 1-D Wasserstein distance between click and error value
+    distributions (operators/analytics.py wasserstein_1d): merged distinct
+    support + one prefix pass (two named sums share the exchange) + a
+    successor halo for segment widths — the drift measure in value units."""
+    from polars_net_spark.operators.analytics import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events").spark
+    return wasserstein_1d(ev, "value", "event_type", "click", "error").spark
+
+
+_q316_sql = """
+WITH s AS (SELECT value AS v, event_type AS g FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+d AS (SELECT v, sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY 1),
+c AS (SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+             lead(v) OVER (ORDER BY v) AS nv,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM d)
+SELECT round(sum(CASE WHEN nv IS NOT NULL
+                 THEN abs(cca * 1.0 / na - ccb * 1.0 / nb) * (nv - v) END), 6) AS w1,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+FROM c
+"""
+
+
+def _q317(spark, sf_dir):
+    """Categorical diversity panel (operators/analytics.py
+    diversity_report) of the document source mix: Shannon/Simpson/
+    effective-k/Good-Turing singleton share in one value-count pass."""
+    from polars_net_spark.operators.analytics import diversity_report
+
+    d = _t(spark, sf_dir, "documents").spark
+    return diversity_report(d, "source").spark
+
+
+_q317_sql = """
+WITH c AS (SELECT source AS v, count(*) AS c FROM documents
+           WHERE source IS NOT NULL GROUP BY 1),
+nn AS (SELECT count(*) AS n_null FROM documents WHERE source IS NULL),
+r AS (SELECT sum(c) AS n, count(*) AS k, sum(c * ln(c)) AS clc,
+             sum(c * c) AS c2, count(CASE WHEN c = 1 THEN 1 END) AS f1
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n, CAST((SELECT n_null FROM nn) AS BIGINT) AS n_null,
+       CAST(k AS BIGINT) AS k,
+       round(ln(n) - clc / n, 6) AS entropy,
+       round(CASE WHEN k > 1 THEN (ln(n) - clc / n) / ln(k) ELSE 0.0 END, 6) AS entropy_norm,
+       round(c2 * 1.0 / (n * n), 6) AS simpson,
+       round(exp(ln(n) - clc / n), 6) AS eff_k,
+       round(f1 * 1.0 / n, 6) AS singleton_share
+FROM r
+"""
+
+
+def _q318(spark, sf_dir):
+    """Bigram coverage of the odd-doc_id half of the corpus by the even
+    half (llm/text.py ngram_coverage): the decontamination QA view —
+    distinct-gram inventories + one gram-keyed left join + a fused
+    reduce, never all-pairs."""
+    from polars_net_spark.llm.text import ngram_coverage
+
+    d = _t(spark, sf_dir, "documents").spark
+    return ngram_coverage(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), n=2
+    ).spark
+
+
+_q318_sql = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              w -> length(w) > 0) AS ws
+           FROM documents WHERE text IS NOT NULL),
+trg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] AS g
+        FROM t, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        WHERE doc_id % 2 = 0 AND len(ws) >= 2),
+teg AS (SELECT ws[i] || ' ' || ws[i+1] AS g, count(*) AS c
+        FROM t, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        WHERE doc_id % 2 = 1 AND len(ws) >= 2
+        GROUP BY 1),
+j AS (SELECT teg.g, teg.c, trg.g IS NOT NULL AS hit
+      FROM teg LEFT JOIN trg ON teg.g = trg.g)
+SELECT CAST(count(*) AS BIGINT) AS n_test_types,
+       CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_covered_types,
+       round(count(CASE WHEN hit THEN 1 END) * 1.0 / count(*), 6) AS type_coverage,
+       CAST(sum(c) AS BIGINT) AS n_test_tokens,
+       round(sum(CASE WHEN hit THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS token_coverage
+FROM j
+"""
+
+
+def _q319(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard + Fleming-Harrington survival
+    (operators/analytics.py nelson_aalen) on the q228 subject table —
+    the cumulative d/n ride distsort prefix offsets over distinct times."""
+    from polars_net_spark.operators.analytics import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("double").alias("t_obs"),
+        (F.col("event_id") % 4 != 0).cast("int").alias("event"),
+    )
+    return nelson_aalen(d, "t_obs", "event").spark
+
+
+_q319_sql = """
+WITH b AS (
+  SELECT floor(value) AS t, CASE WHEN event_id%4<>0 THEN 1 ELSE 0 END AS ev
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT t, sum(ev) AS d, sum(1-ev) AS c FROM b GROUP BY 1),
+r AS (SELECT t, d, c,
+        (SELECT sum(d+c) FROM g) - coalesce(sum(d+c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM g),
+h AS (SELECT t, n_risk, d,
+        sum(d * 1.0 / n_risk) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+      FROM r)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       round(ch, 6) AS cum_hazard, round(exp(-ch), 6) AS s_fleming
+FROM h
+"""
+
+
+def _q320(spark, sf_dir):
+    """Exact-duplicate pressure per source (operators/analytics.py
+    dup_rate_by_key) on a corpus with REAL duplicates (every 10th doc
+    re-appended): normalized-text hash counts keyed on (source, hash),
+    text never shuffles."""
+    from polars_net_spark.operators.analytics import dup_rate_by_key
+
+    d = _t(spark, sf_dir, "documents").spark
+    with_dups = d.unionByName(d.filter(F.col("doc_id") % 10 == 0))
+    return dup_rate_by_key(with_dups, "text", "source").spark
+
+
+_q320_sql = """
+WITH ext AS (SELECT source, text FROM documents
+             UNION ALL SELECT source, text FROM documents WHERE doc_id % 10 = 0),
+b AS (SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM ext WHERE text IS NOT NULL AND source IS NOT NULL),
+cnt AS (SELECT source, nt, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_rows,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_row_share,
+       round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS surplus_share
+FROM cnt GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11197,6 +11349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q313_heaps_law": _q313,
         "q314_interarrival": _q314,
         "q315_krippendorff": _q315,
+        "q316_wasserstein": _q316,
+        "q317_diversity": _q317,
+        "q318_ngram_coverage": _q318,
+        "q319_nelson_aalen": _q319,
+        "q320_dup_rate": _q320,
     }
 
 
@@ -11517,4 +11674,9 @@ def oracle_sql() -> dict[str, str]:
         "q313_heaps_law": _q313_sql,
         "q314_interarrival": _q314_sql,
         "q315_krippendorff": _q315_sql,
+        "q316_wasserstein": _q316_sql,
+        "q317_diversity": _q317_sql,
+        "q318_ngram_coverage": _q318_sql,
+        "q319_nelson_aalen": _q319_sql,
+        "q320_dup_rate": _q320_sql,
     }

@@ -757,3 +757,76 @@ def heaps_law(
 
 
 __all__.append("heaps_law")
+
+
+def ngram_coverage(
+    train,
+    test,
+    text_col: str = "text",
+    n: int = 2,
+    round_to: int = 6,
+):
+    """How much of a TEST corpus's n-gram inventory a TRAIN corpus already
+    contains — the decontamination/QA companion to the q160-family
+    dedup ops (high coverage of an eval set means leakage; low unigram
+    coverage of new data means the tokenizer/vocab will fragment it).
+
+    Reports both views: type coverage (share of DISTINCT test n-grams
+    present in train) and token coverage (share of test n-gram
+    OCCURRENCES whose gram is present — the mass-weighted number).
+
+    Scale shape: each side collapses to its distinct-gram inventory
+    map-side (train's carries no counts at all); one gram-keyed LEFT join
+    marks presence; one fused reduce.  Never all-pairs, never a
+    broadcast hint — AQE broadcasts the smaller inventory when it fits.
+    Output (1 row): n_test_types, n_covered_types, type_coverage,
+    n_test_tokens, token_coverage."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tr = train if isinstance(train, SparkDF) else train.spark
+    te = test if isinstance(test, SparkDF) else test.spark
+
+    def grams(sdf):
+        ws = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+        if n == 1:
+            g = ws
+        else:
+            g = F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j) for j in range(n)]
+                ),
+            )
+        return sdf.filter(F.col(text_col).isNotNull()).select(
+            F.explode(g).alias("__g__")
+        )
+
+    train_types = grams(tr).distinct().withColumn("__in__", F.lit(1))
+    test_counts = grams(te).groupBy("__g__").agg(F.count(F.lit(1)).alias("__c__"))
+    joined = test_counts.join(train_types, "__g__", "left")
+    red = joined.agg(
+        F.count(F.lit(1)).alias("types"),
+        F.count(F.when(F.col("__in__").isNotNull(), 1)).alias("cov_types"),
+        F.sum("__c__").alias("toks"),
+        F.sum(F.when(F.col("__in__").isNotNull(), F.col("__c__")).otherwise(0)).alias(
+            "cov_toks"
+        ),
+    )
+    out = red.select(
+        F.col("types").cast("long").alias("n_test_types"),
+        F.col("cov_types").cast("long").alias("n_covered_types"),
+        F.round(F.col("cov_types") / F.col("types"), round_to).alias("type_coverage"),
+        F.col("toks").cast("long").alias("n_test_tokens"),
+        F.round(F.col("cov_toks") / F.col("toks"), round_to).alias("token_coverage"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("ngram_coverage")

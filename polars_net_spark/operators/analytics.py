@@ -2582,3 +2582,210 @@ def interarrival_report(
 
 
 __all__.extend(["theil_index", "weighted_quantiles", "rmst", "interarrival_report"])
+
+
+def wasserstein_1d(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two groups'
+    value distributions: W₁ = ∫|F_A − F_B| dv over the merged support —
+    the drift measure that, unlike KS (worst single gap) or PSI (binned),
+    weights BOTH how far and how much mass moved, in the value's own
+    units.
+
+    Scale shape: values collapse to distinct levels with per-group counts
+    map-side; both cumulative counts ride ONE distsort prefix pass (two
+    named sums share the exchange); the segment width to the next
+    distinct value comes from a 1-row successor halo; W₁ is one fused
+    reduce.  Output (1 row): w1, n_a, n_b."""
+    from .distsort import with_halo_buckets, with_prefix_offsets
+
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    a_flag = (g == F.lit(group_a)).cast("long")
+    b_flag = (g == F.lit(group_b)).cast("long")
+    base = (
+        sdf.filter(v.isNotNull() & (g.isin([group_a, group_b])))
+        .groupBy(v.alias("__v__"))
+        .agg(F.sum(a_flag).alias("__ca__"), F.sum(b_flag).alias("__cb__"))
+    )
+    haloed, bcol, halo_col = with_halo_buckets(base, "__v__", after=1)
+    # halo rows exist only to provide each bucket's successor value; they
+    # must not contribute mass to the prefix sums or the cumulatives
+    offs, tot = with_prefix_offsets(
+        haloed,
+        bcol,
+        {"a": F.when(~F.col(halo_col), F.col("__ca__")).otherwise(F.lit(0)),
+         "b": F.when(~F.col(halo_col), F.col("__cb__")).otherwise(F.lit(0))},
+    )
+    na, nb = float(tot["a"]), float(tot["b"])
+    if na <= 0 or nb <= 0:
+        raise ValueError("wasserstein_1d: both groups need at least one value")
+    w = Window.partitionBy(bcol).orderBy("__v__")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum_a = F.col("__off_a__") + F.sum(
+        F.when(~F.col(halo_col), F.col("__ca__")).otherwise(F.lit(0))
+    ).over(run)
+    cum_b = F.col("__off_b__") + F.sum(
+        F.when(~F.col(halo_col), F.col("__cb__")).otherwise(F.lit(0))
+    ).over(run)
+    nxt = F.lead("__v__").over(w)
+    seg = F.when(
+        nxt.isNotNull(),
+        F.abs(cum_a / F.lit(na) - cum_b / F.lit(nb)) * (nxt - F.col("__v__")),
+    )
+    staged = offs.select(
+        F.col(halo_col), seg.alias("__seg__")
+    ).filter(~F.col(halo_col))
+    out = staged.agg(
+        F.round(F.sum("__seg__"), round_to).alias("w1"),
+        F.lit(int(na)).cast("long").alias("n_a"),
+        F.lit(int(nb)).cast("long").alias("n_b"),
+    )
+    return LazyFrame(out)
+
+
+def diversity_report(
+    frame: "LazyFrame | SparkDF",
+    col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Categorical diversity panel in one pass: distinct count, Shannon
+    entropy H (nats) and its ln(k)-normalized form, Simpson concentration
+    Σp² (the repeat-collision probability), effective number of categories
+    e^H, and the Good-Turing singleton share f₁/n — the estimated
+    probability mass of UNSEEN categories, the "is my corpus's tail
+    exhausted?" number.
+
+    One value-count aggregate + one 1-row fused reduce; null categories
+    are excluded and counted.  Output (1 row): n, n_null, k, entropy,
+    entropy_norm, simpson, eff_k, singleton_share."""
+    sdf = _sdf(frame)
+    c = F.col(col)
+    n_null = sdf.filter(c.isNull()).count()
+    counts = sdf.filter(c.isNotNull()).groupBy(c.alias("__v__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    red = counts.agg(
+        F.sum("__c__").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("__c__") * F.log("__c__")).alias("clc"),
+        F.sum(F.col("__c__") ** 2).alias("c2"),
+        F.count(F.when(F.col("__c__") == 1, 1)).alias("f1"),
+    )
+    n, k = F.col("n"), F.col("k")
+    h = F.log(n) - F.col("clc") / n
+    out = red.select(
+        n.cast("long").alias("n"),
+        F.lit(int(n_null)).cast("long").alias("n_null"),
+        k.cast("long").alias("k"),
+        F.round(h, round_to).alias("entropy"),
+        F.round(F.when(k > 1, h / F.log(k)).otherwise(F.lit(0.0)), round_to).alias(
+            "entropy_norm"
+        ),
+        F.round(F.col("c2") / (n * n), round_to).alias("simpson"),
+        F.round(F.exp(h), round_to).alias("eff_k"),
+        F.round(F.col("f1") / n, round_to).alias("singleton_share"),
+    )
+    return LazyFrame(out)
+
+
+def nelson_aalen(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    event_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Nelson–Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ and the
+    Fleming–Harrington survival exp(−H) — the hazard-side companion to
+    :func:`survival_curve` (Kaplan–Meier), preferred for small at-risk
+    sets and the input to hazard-ratio eyeballing.
+
+    Builds on survival_curve's (t, n_risk, d) table; the cumulative sum
+    shards on the key, and the GLOBAL path rides distsort range buckets +
+    driver prefix offsets over the distinct-time table — no
+    single-partition window.  Output: [keys...,] t, n_risk, d,
+    cum_hazard, s_fleming."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    curve = survival_curve(frame, time_col, event_col, by=by).spark
+    h = (F.col("d") / F.col("n_risk")).alias("__h__")
+    staged = curve.select(*keys, "t", "n_risk", "d", h)
+    if keys:
+        run = (
+            Window.partitionBy(*keys)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = F.sum("__h__").over(run)
+    else:
+        from .distsort import with_prefix_offsets, with_range_buckets
+
+        staged, gb = with_range_buckets(staged, "t")
+        staged, _tot = with_prefix_offsets(staged, gb, {"h": F.col("__h__")})
+        run = (
+            Window.partitionBy(gb)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = F.col("__off_h__") + F.sum("__h__").over(run)
+    out = staged.select(
+        *keys,
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.round(cum, round_to).alias("cum_hazard"),
+        F.round(F.exp(-cum), round_to).alias("s_fleming"),
+    )
+    return LazyFrame(out)
+
+
+def dup_rate_by_key(
+    frame: "LazyFrame | SparkDF",
+    text_col: str,
+    by: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact-duplicate pressure per segment: within each ``by`` key, the
+    share of rows whose normalized text (lower + trim + whitespace
+    collapse) occurs more than once in that segment, plus the surplus-row
+    share an exact dedup would delete — the per-source triage view that
+    tells you WHERE the duplication lives before running the full dedup.
+
+    Two map-side-combining aggregates keyed on (key, hash) then (key);
+    the text never shuffles (128-bit xxhash of the normalized form).
+    Output: (by, n, n_distinct, dup_rows, dup_row_share, surplus_share)."""
+    sdf = _sdf(frame)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = F.xxhash64(norm)
+    base = sdf.filter(F.col(text_col).isNotNull() & F.col(by).isNotNull())
+    cnt = base.groupBy(F.col(by), h.alias("__h__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    out = cnt.groupBy(by).agg(
+        F.sum("__c__").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("__c__") > 1, F.col("__c__")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_rows"),
+        F.round(
+            F.sum(F.when(F.col("__c__") > 1, F.col("__c__")).otherwise(F.lit(0)))
+            / F.sum("__c__"),
+            round_to,
+        ).alias("dup_row_share"),
+        F.round(
+            (F.sum("__c__") - F.count(F.lit(1))) / F.sum("__c__"), round_to
+        ).alias("surplus_share"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(
+    ["wasserstein_1d", "diversity_report", "nelson_aalen", "dup_rate_by_key"]
+)

@@ -332,3 +332,129 @@ class TestKrippendorff:
         d = spark.createDataFrame([(1, "a")], "u long, v string")
         with _pt.raises(ValueError):
             krippendorff_alpha(d, "u", "v")
+
+
+class TestWasserstein:
+    def test_shifted_uniform(self, spark):
+        # B = A + 2 pointwise: W1 exactly 2
+        d = spark.createDataFrame(
+            [("a", float(v)) for v in range(100)]
+            + [("b", float(v) + 2.0) for v in range(100)],
+            "g string, v double",
+        ).repartition(6)
+        from polars_net_spark.operators.analytics import wasserstein_1d
+
+        (w1, na, nb), = rows(wasserstein_1d(d, "v", "g", "a", "b"))
+        assert abs(w1 - 2.0) < 1e-9 and na == 100 and nb == 100
+
+    def test_identical_is_zero(self, spark):
+        from polars_net_spark.operators.analytics import wasserstein_1d
+
+        d = spark.createDataFrame(
+            [(g, float(v % 13)) for g in ("a", "b") for v in range(60)],
+            "g string, v double",
+        )
+        (w1, *_), = rows(wasserstein_1d(d, "v", "g", "a", "b"))
+        assert w1 == 0.0
+
+    def test_matches_scipy_formula(self, spark):
+        import numpy as np
+
+        from polars_net_spark.operators.analytics import wasserstein_1d
+
+        rng = np.random.RandomState(2)
+        a = rng.exponential(3.0, 400)
+        b = rng.exponential(5.0, 300)
+        d = spark.createDataFrame(
+            [("a", float(v)) for v in a] + [("b", float(v)) for v in b],
+            "g string, v double",
+        ).repartition(9)
+        (w1, *_), = rows(wasserstein_1d(d, "v", "g", "a", "b"))
+        # reference: explicit merged-support integral
+        vs = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), vs, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), vs, side="right") / len(b)
+        ref = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(vs)))
+        assert abs(w1 - ref) < 1e-6
+
+
+class TestDiversity:
+    def test_uniform_and_singletons(self, spark):
+        from polars_net_spark.operators.analytics import diversity_report
+
+        d = spark.createDataFrame(
+            [(f"v{i % 4}",) for i in range(40)] + [(None,)], "c string"
+        )
+        (n, n_null, k, h, hn, simp, effk, f1), = rows(diversity_report(d, "c"))
+        assert n == 40 and n_null == 1 and k == 4
+        assert abs(h - math.log(4)) < 1e-6 and hn == 1.0
+        assert simp == 0.25 and abs(effk - 4.0) < 1e-4 and f1 == 0.0
+
+    def test_singleton_share(self, spark):
+        from polars_net_spark.operators.analytics import diversity_report
+
+        d = spark.createDataFrame([("a",), ("a",), ("b",), ("c",)], "c string")
+        (n, _, k, *_, f1), = rows(diversity_report(d, "c"))
+        assert n == 4 and k == 3 and f1 == 0.5  # b and c are singletons
+
+
+class TestNelsonAalen:
+    def test_cum_hazard_monotone_and_matches_hand(self, spark):
+        from polars_net_spark.operators.analytics import nelson_aalen
+
+        # 4 subjects: events at t=1,2, censored at 2,3
+        d = spark.createDataFrame(
+            [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 0)], "t double, e int"
+        )
+        out = sorted(rows(nelson_aalen(d, "t", "e")))
+        # t=1: n=4 d=1 -> H=0.25 ; t=2: n=3 d=1 -> H=0.25+1/3 ; t=3: d=0
+        assert out[0][3] == 0.25
+        assert abs(out[1][3] - (0.25 + 1.0 / 3.0)) < 1e-6
+        assert out[2][3] == out[1][3]
+
+    def test_keyed_matches_global(self, spark):
+        from polars_net_spark.operators.analytics import nelson_aalen
+
+        data = [("k", float((i * 7) % 30 + 1), 1 if i % 3 else 0) for i in range(150)]
+        d = spark.createDataFrame(data, "g string, t double, e int").repartition(5)
+        keyed = sorted(r[1:] for r in rows(nelson_aalen(d, "t", "e", by="g")))
+        glob = sorted(rows(nelson_aalen(d, "t", "e")))
+        assert keyed == glob
+
+
+class TestNgramCoverage:
+    def test_full_and_partial(self, spark):
+        from polars_net_spark.llm.text import ngram_coverage
+
+        tr = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        te = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+        )
+        (types, cov, tc, toks, tokc), = rows(ngram_coverage(tr, te, n=2))
+        # test bigrams: {a b, b c, x y}; train has a b, b c
+        assert types == 3 and cov == 2 and abs(tc - 2 / 3) < 1e-6
+        assert toks == 3 and abs(tokc - 2 / 3) < 1e-6
+
+    def test_unigram_mode(self, spark):
+        from polars_net_spark.llm.text import ngram_coverage
+
+        tr = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        te = spark.createDataFrame([(1, "a a z")], "doc_id long, text string")
+        (types, cov, tc, toks, tokc), = rows(ngram_coverage(tr, te, n=1))
+        assert types == 2 and cov == 1 and toks == 3
+        assert abs(tokc - 2 / 3) < 1e-6  # two 'a' tokens covered of three
+
+
+class TestDupRate:
+    def test_detects_injected_dups(self, spark):
+        from polars_net_spark.operators.analytics import dup_rate_by_key
+
+        rows_in = [("s1", f"unique text {i}") for i in range(8)] + [
+            ("s1", "dup text"), ("s1", "dup  TEXT "),  # normalization collapses
+            ("s2", "clean a"), ("s2", "clean b"),
+        ]
+        d = spark.createDataFrame(rows_in, "source string, text string")
+        out = {r[0]: r for r in rows(dup_rate_by_key(d, "text", "source"))}
+        assert out["s1"][1] == 10 and out["s1"][2] == 9
+        assert out["s1"][3] == 2  # the two dup rows
+        assert out["s2"][3] == 0 and out["s2"][5] == 0.0
