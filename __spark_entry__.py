@@ -11032,6 +11032,182 @@ FROM cnt GROUP BY 1
 """
 
 
+def _q321(spark, sf_dir):
+    """Mann-Kendall trend test (operators/regression.py mann_kendall) on
+    the daily event-value series: S over time-ordered sign pairs via the
+    bounded distinct-cell grid (same contract as q274 kendall_tau), FULL
+    tie-corrected variance, continuity-corrected z.  The significance
+    companion to theil_sen_by_key."""
+    from polars_net_spark.operators.regression import mann_kendall
+
+    ev = _t(spark, sf_dir, "events").spark
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2020-01-01").cast("date"))
+            .cast("double")
+            .alias("t")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return mann_kendall(daily, "t", "v").spark
+
+
+_q321_sql = """
+WITH s AS (SELECT CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS DOUBLE) AS t,
+                  round(sum(value), 6) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+n_ AS (SELECT count(*) AS n FROM s),
+sp AS (SELECT coalesce(sum(CASE WHEN b.v > a.v THEN 1.0 WHEN b.v < a.v THEN -1.0 ELSE 0.0 END), 0.0) AS s
+       FROM s a JOIN s b ON b.t > a.t),
+tt AS (SELECT coalesce(sum(c*(c-1.0)*(2*c+5.0)),0) AS a, coalesce(sum(c*(c-1.0)*(c-2.0)),0) AS b,
+              coalesce(sum(c*(c-1.0)),0) AS c2
+       FROM (SELECT count(*) AS c FROM s GROUP BY t)),
+tv AS (SELECT coalesce(sum(c*(c-1.0)*(2*c+5.0)),0) AS a, coalesce(sum(c*(c-1.0)*(c-2.0)),0) AS b,
+              coalesce(sum(c*(c-1.0)),0) AS c2
+       FROM (SELECT count(*) AS c FROM s GROUP BY v)),
+v_ AS (SELECT (n*(n-1.0)*(2*n+5.0) - tt.a - tv.a)/18.0
+              + CASE WHEN n > 2 THEN tt.b*tv.b/(9.0*n*(n-1.0)*(n-2.0)) ELSE 0 END
+              + tt.c2*tv.c2/(2.0*n*(n-1.0)) AS var_s, n, s
+       FROM n_, sp, tt, tv),
+z_ AS (SELECT s, var_s, n,
+              CASE WHEN var_s <= 0 THEN 0.0
+                   WHEN s > 0 THEN (s-1.0)/sqrt(var_s)
+                   WHEN s < 0 THEN (s+1.0)/sqrt(var_s) ELSE 0.0 END AS z
+       FROM v_)
+SELECT round(s, 6) AS s, round(var_s, 6) AS var_s, round(z, 6) AS z,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN z > 1.96 THEN 'increasing' WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM z_
+"""
+
+
+def _q322(spark, sf_dir):
+    """IPW / doubly-robust ATE (operators/regression.py ipw_ate) with a
+    deterministic propensity from user_id and outcome-model columns:
+    Horvitz-Thompson + Hajek + linearized SE + AIPW in ONE fused
+    all-reduce (treatedxcontrol cross-moments vanish since t(1-t)=0)."""
+    from polars_net_spark.operators.regression import ipw_ate
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("value").alias("y"),
+        F.when(F.col("event_id") % 3 == 0, 1.0).otherwise(0.0).alias("t"),
+        (0.2 + 0.6 * (F.col("user_id") % 10) / 9.0).alias("p"),
+        (1.0 + (F.col("user_id") % 5)).cast("double").alias("m1"),
+        ((F.col("user_id") % 5) * 0.5).cast("double").alias("m0"),
+    )
+    return ipw_ate(d, "y", "t", "p", mu1_col="m1", mu0_col="m0").spark
+
+
+_q322_sql = """
+WITH b AS (SELECT value AS y,
+                  CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS t,
+                  0.2 + 0.6 * (user_id % 10) / 9.0 AS p,
+                  1.0 + (user_id % 5) AS m1,
+                  (user_id % 5) * 0.5 AS m0
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+r AS (SELECT count(*) * 1.0 AS n, sum(t) AS nt,
+             sum(t*y/p) AS s1y, sum(t/p) AS s1,
+             sum((1-t)*y/(1-p)) AS s0y, sum((1-t)/(1-p)) AS s0,
+             sum(pow(t*y/p, 2)) AS s1y2, sum(pow(t/p, 2)*y) AS s1y1,
+             sum(pow(t/p, 2)) AS s12,
+             sum(pow((1-t)*y/(1-p), 2)) AS s0y2,
+             sum(pow((1-t)/(1-p), 2)*y) AS s0y1,
+             sum(pow((1-t)/(1-p), 2)) AS s02,
+             sum(m1 - m0 + t*(y-m1)/p - (1-t)*(y-m0)/(1-p)) AS sp,
+             sum(pow(m1 - m0 + t*(y-m1)/p - (1-t)*(y-m0)/(1-p), 2)) AS sp2
+      FROM b),
+k AS (SELECT n, nt, s1y/s1 AS r1, s0y/s0 AS r0, s1y, s0y,
+             sqrt((s1y2 - 2*(s1y/s1)*s1y1 + pow(s1y/s1,2)*s12) / pow(s1/n, 2)
+                + (s0y2 - 2*(s0y/s0)*s0y1 + pow(s0y/s0,2)*s02) / pow(s0/n, 2)) / n AS se,
+             sp/n AS mp, sqrt((sp2/n - pow(sp/n, 2)) / n) AS se_a
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n, CAST(nt AS BIGINT) AS n_treat,
+       round(s1y/n - s0y/n, 6) AS ate_ht,
+       round(r1 - r0, 6) AS ate_hajek,
+       round(se, 6) AS se_hajek,
+       round((r1 - r0) / se, 6) AS z,
+       round(mp, 6) AS ate_aipw,
+       round(se_a, 6) AS se_aipw
+FROM k
+"""
+
+
+def _q323(spark, sf_dir):
+    """Pre-experiment power panel (operators/regression.py
+    power_mde_report): per-event-type minimum detectable effect at
+    alpha=0.05 / power=0.8 / 30% treatment share — normal quantiles
+    computed driver-side (math.erf bisection) and planted as literals;
+    ONE map-side-combining aggregate."""
+    from polars_net_spark.operators.regression import power_mde_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    return power_mde_report(
+        ev, "value", by="event_type", alpha=0.05, power=0.8, treat_share=0.3
+    ).spark
+
+
+_q323_sql = """
+-- z_{0.975} + z_{0.8} = 1.9599639845400536 + 0.8416212335729141
+WITH g AS (SELECT event_type, count(*) * 1.0 AS n, avg(value) AS mean,
+                  stddev_samp(value) AS sd
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+       round(sd, 6) AS sd,
+       round(2.801585218112968 * sd * sqrt(1.0/(n*0.3) + 1.0/(n*0.7)), 6) AS mde_abs,
+       round(CASE WHEN abs(mean) > 0
+             THEN 2.801585218112968 * sd * sqrt(1.0/(n*0.3) + 1.0/(n*0.7)) / abs(mean)
+             END, 6) AS mde_rel
+FROM g
+"""
+
+
+def _q324(spark, sf_dir):
+    """Delete-one-user jackknife CI for click-value-per-event
+    (operators/regression.py jackknife_ratio_ci): per-cluster sums ->
+    driver totals -> leave-one-out deviations as Column math -> one
+    reduce; the cluster-robust companion to q... ratio_ttest's delta
+    method."""
+    from polars_net_spark.operators.regression import jackknife_ratio_ci
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("u"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .otherwise(0.0)
+        .alias("num"),
+        F.lit(1.0).alias("den"),
+    )
+    return jackknife_ratio_ci(d, "num", "den", "u").spark
+
+
+_q324_sql = """
+WITH b AS (SELECT user_id AS u,
+                  CASE WHEN event_type = 'click' THEN value ELSE 0.0 END AS num,
+                  1.0 AS den
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+per AS (SELECT u, sum(num) AS n_, sum(den) AS d_ FROM b GROUP BY 1),
+tot AS (SELECT sum(n_) AS tn, sum(d_) AS td, count(*) * 1.0 AS g FROM per),
+loo AS (SELECT (tot.tn - n_) / (tot.td - d_) AS r FROM per, tot),
+red AS (SELECT sum(r) AS sr, sum(r * r) AS sr2 FROM loo),
+fin AS (SELECT tn/td AS ratio, g,
+               sqrt(greatest((g-1.0)/g * (sr2 - sr*sr/g), 0.0)) AS se
+        FROM tot, red)
+SELECT round(ratio, 6) AS ratio, CAST(g AS BIGINT) AS n_clusters,
+       round(se, 6) AS jk_se,
+       round(ratio - 1.96 * se, 6) AS ci_lo,
+       round(ratio + 1.96 * se, 6) AS ci_hi,
+       1.96 AS z
+FROM fin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11354,6 +11530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q318_ngram_coverage": _q318,
         "q319_nelson_aalen": _q319,
         "q320_dup_rate": _q320,
+        "q321_mann_kendall": _q321,
+        "q322_ipw_ate": _q322,
+        "q323_power_mde": _q323,
+        "q324_jackknife_ratio": _q324,
     }
 
 
@@ -11679,4 +11859,8 @@ def oracle_sql() -> dict[str, str]:
         "q318_ngram_coverage": _q318_sql,
         "q319_nelson_aalen": _q319_sql,
         "q320_dup_rate": _q320_sql,
+        "q321_mann_kendall": _q321_sql,
+        "q322_ipw_ate": _q322_sql,
+        "q323_power_mde": _q323_sql,
+        "q324_jackknife_ratio": _q324_sql,
     }

@@ -2012,3 +2012,346 @@ def krippendorff_alpha(
 
 
 __all__.append("krippendorff_alpha")
+
+
+def mann_kendall(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Mann–Kendall trend test — the nonparametric "is this series going
+    up or down AT ALL" significance screen that pairs with
+    :func:`theil_sen_by_key` (which gives the magnitude): S = Σ over
+    time-ordered pairs of sgn(v_j − v_i), with the FULL tie-corrected
+    variance (Kendall 1975) handling ties in both time and value:
+
+        Var(S) = (A − A_t − A_v)/18
+               + B_t·B_v / (9n(n−1)(n−2))
+               + C_t·C_v / (2n(n−1))
+
+    with A = n(n−1)(2n+5), and per tie-group g of size t: A_* = Σ
+    t(t−1)(2t+5), B_* = Σ t(t−1)(t−2), C_* = Σ t(t−1).  z applies the
+    ±1 continuity correction; pairs with tied times contribute nothing
+    to S (they are not "ordered"), the standard convention.
+
+    EXACT via the joint distinct-cell contingency, same BOUNDED-
+    CARDINALITY contract as kendall_tau: rows collapse to (t, v) cells
+    in ONE map-side-combining aggregate and S comes from the cell-table
+    self-join on t-order — cost |cells|², so feed it an AGGREGATED
+    series (daily/hourly rollup), not raw events.  Output (1 row):
+    s, var_s, z, n, trend ('increasing'/'decreasing'/'no trend' at
+    |z| > 1.96)."""
+    sdf = _sdf(frame)
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(t.isNotNull() & v.isNotNull()).select(
+        t.alias("__t__"), v.alias("__v__")
+    )
+    cells = base.groupBy("__t__", "__v__").agg(F.count(F.lit(1)).alias("n"))
+    cells.persist()
+    try:
+        a = cells.select(
+            F.col("__t__").alias("at"), F.col("__v__").alias("av"),
+            F.col("n").alias("an"),
+        )
+        b = cells.select(
+            F.col("__t__").alias("bt"), F.col("__v__").alias("bv"),
+            F.col("n").alias("bn"),
+        )
+        s_row = (
+            a.join(b, F.col("bt") > F.col("at"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.signum(F.col("bv") - F.col("av"))
+                        * F.col("an") * F.col("bn")
+                    ),
+                    F.lit(0.0),
+                ).alias("s")
+            )
+            .collect()[0]
+        )
+        tie = F.col("t")
+
+        def _tie_terms(key):
+            return (
+                cells.groupBy(key).agg(F.sum("n").alias("t"))
+                .agg(
+                    F.sum(tie * (tie - 1) * (2 * tie + 5)).alias("a"),
+                    F.sum(tie * (tie - 1) * (tie - 2)).alias("b"),
+                    F.sum(tie * (tie - 1)).alias("c"),
+                )
+                .collect()[0]
+            )
+
+        tt, tv = _tie_terms("__t__"), _tie_terms("__v__")
+        n = int(cells.agg(F.sum("n")).collect()[0][0] or 0)
+    finally:
+        cells.unpersist()
+    if n < 3:
+        raise ValueError("mann_kendall needs at least 3 observations")
+    s = float(s_row["s"])
+    big_a = n * (n - 1) * (2 * n + 5)
+    var_s = (big_a - float(tt["a"]) - float(tv["a"])) / 18.0
+    denom3 = 9.0 * n * (n - 1) * (n - 2)
+    if denom3 > 0:
+        var_s += float(tt["b"]) * float(tv["b"]) / denom3
+    var_s += float(tt["c"]) * float(tv["c"]) / (2.0 * n * (n - 1))
+    if var_s > 0:
+        z = (s - 1.0) / var_s ** 0.5 if s > 0 else (
+            (s + 1.0) / var_s ** 0.5 if s < 0 else 0.0
+        )
+    else:
+        z = 0.0
+    trend = (
+        "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "no trend"
+    )
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(s, round_to), round(var_s, round_to), round(z, round_to),
+          n, trend)],
+        "s double, var_s double, z double, n bigint, trend string",
+    )
+    return LazyFrame(out)
+
+
+def ipw_ate(
+    frame: "LazyFrame | SparkDF",
+    y_col: str,
+    treat_col: str,
+    p_col: str,
+    mu1_col: "str | None" = None,
+    mu0_col: "str | None" = None,
+    clip: "float | None" = 0.01,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Average treatment effect from OBSERVATIONAL data by inverse-
+    propensity weighting — the causal companion to the randomized-test
+    family (welch/cuped/ratio_ttest assume the assignment was random;
+    this reweights when it wasn't, given a propensity column p̂(x)):
+
+    * ``ate_ht``    Horvitz–Thompson  E[ty/p] − E[(1−t)y/(1−p)]
+    * ``ate_hajek`` ratio-normalized (weights sum to 1 per arm — the
+      estimator you actually want; HT is reported for diagnostics)
+    * ``se_hajek``  linearized (influence-function) SE, and z
+    * ``ate_aipw``/``se_aipw`` when outcome-model columns mu1/mu0 are
+      given: the doubly-robust augmented estimator
+      E[mu1 − mu0 + t(y−mu1)/p − (1−t)(y−mu0)/(1−p)] — consistent if
+      EITHER the propensity or the outcome model is right.
+
+    Propensities clip into [clip, 1−clip] (None disables).  ONE fused
+    all-reduce: every moment the Hajek influence expansion needs
+    (Σty/p, Σt/p, their squares and cross-products per arm — treated×
+    control cross terms vanish since t(1−t)=0) is a conditional sum in
+    a single aggregate; no join, no window, no second pass."""
+    sdf = _sdf(frame)
+    yv = F.col(y_col).cast("double")
+    tr = F.col(treat_col).cast("double")
+    p_raw = F.col(p_col).cast("double")
+    p = (
+        F.least(F.greatest(p_raw, F.lit(float(clip))), F.lit(1.0 - float(clip)))
+        if clip is not None
+        else p_raw
+    )
+    base = sdf.filter(
+        yv.isNotNull() & tr.isNotNull() & p_raw.isNotNull()
+        & tr.isin([0.0, 1.0])
+    )
+    w1 = tr / p                      # treated weight
+    w0 = (1 - tr) / (1 - p)          # control weight
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(tr).alias("nt"),
+        F.sum(w1 * yv).alias("s1y"),
+        F.sum(w1).alias("s1"),
+        F.sum(w0 * yv).alias("s0y"),
+        F.sum(w0).alias("s0"),
+        F.sum((w1 * yv) ** 2).alias("s1y2"),
+        F.sum(w1 ** 2 * yv).alias("s1y1"),
+        F.sum(w1 ** 2).alias("s12"),
+        F.sum((w0 * yv) ** 2).alias("s0y2"),
+        F.sum(w0 ** 2 * yv).alias("s0y1"),
+        F.sum(w0 ** 2).alias("s02"),
+    ]
+    aipw = mu1_col is not None and mu0_col is not None
+    if aipw:
+        m1 = F.col(mu1_col).cast("double")
+        m0 = F.col(mu0_col).cast("double")
+        psi = m1 - m0 + w1 * (yv - m1) - w0 * (yv - m0)
+        aggs += [F.sum(psi).alias("sp"), F.sum(psi ** 2).alias("sp2")]
+    red = base.agg(*aggs)
+    n = F.col("n").cast("double")
+    r1 = F.col("s1y") / F.col("s1")
+    r0 = F.col("s0y") / F.col("s0")
+    wbar1 = F.col("s1") / n
+    wbar0 = F.col("s0") / n
+    # Σφ² with φ_i = (w1ᵢyᵢ − r1·w1ᵢ)/W̄1 − (w0ᵢyᵢ − r0·w0ᵢ)/W̄0
+    phi2 = (
+        (F.col("s1y2") - 2 * r1 * F.col("s1y1") + r1 ** 2 * F.col("s12"))
+        / wbar1 ** 2
+        + (F.col("s0y2") - 2 * r0 * F.col("s0y1") + r0 ** 2 * F.col("s02"))
+        / wbar0 ** 2
+    )
+    se_h = F.sqrt(phi2) / n
+    cols = [
+        F.col("n").cast("long").alias("n"),
+        F.col("nt").cast("long").alias("n_treat"),
+        F.round(F.col("s1y") / n - F.col("s0y") / n, round_to).alias("ate_ht"),
+        F.round(r1 - r0, round_to).alias("ate_hajek"),
+        F.round(se_h, round_to).alias("se_hajek"),
+        F.round((r1 - r0) / se_h, round_to).alias("z"),
+    ]
+    if aipw:
+        mp = F.col("sp") / n
+        se_a = F.sqrt((F.col("sp2") / n - mp ** 2) / n)
+        cols += [
+            F.round(mp, round_to).alias("ate_aipw"),
+            F.round(se_a, round_to).alias("se_aipw"),
+        ]
+    return LazyFrame(red.select(*cols))
+
+
+def _norm_ppf(q: float) -> float:
+    """Φ⁻¹(q) to machine precision via bisection on math.erf (stdlib-only;
+    driver-side — the result enters the plan as a literal)."""
+    import math
+
+    if not 0.0 < q < 1.0:
+        raise ValueError("quantile must be in (0, 1)")
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if 0.5 * (1.0 + math.erf(mid / math.sqrt(2.0))) < q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def power_mde_report(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    by: "str | list[str] | None" = None,
+    alpha: float = 0.05,
+    power: float = 0.8,
+    treat_share: float = 0.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Pre-experiment power panel: per segment, the minimum detectable
+    effect a two-sample z-test would resolve if THIS population were
+    split treat_share/(1−treat_share) — the "is this experiment even
+    worth running here" planning view:
+
+        MDE = (z_{1−α/2} + z_{power}) · s · √(1/n₁ + 1/n₂)
+
+    with s the segment's sample std (ddof=1).  The normal quantiles are
+    computed driver-side to machine precision (math.erf bisection) and
+    enter the plan as literals.  ONE map-side-combining aggregate per
+    segment; no window, no join.  Output: [by...,] n, mean, sd,
+    mde_abs, mde_rel (null when mean is 0)."""
+    if not 0.0 < treat_share < 1.0:
+        raise ValueError("treat_share must be in (0, 1)")
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    zsum = _norm_ppf(1.0 - alpha / 2.0) + _norm_ppf(power)
+    base = sdf.filter(v.isNotNull())
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    red = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("sd"),
+    )
+    n = F.col("n").cast("double")
+    n1 = n * F.lit(float(treat_share))
+    n2 = n * F.lit(1.0 - float(treat_share))
+    mde = F.lit(zsum) * F.col("sd") * F.sqrt(1.0 / n1 + 1.0 / n2)
+    out = red.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", round_to).alias("mean"),
+        F.round("sd", round_to).alias("sd"),
+        F.round(mde, round_to).alias("mde_abs"),
+        F.round(
+            F.when(F.abs(F.col("mean")) > 0, mde / F.abs(F.col("mean"))),
+            round_to,
+        ).alias("mde_rel"),
+    )
+    return LazyFrame(out)
+
+
+def jackknife_ratio_ci(
+    frame: "LazyFrame | SparkDF",
+    num_col: str,
+    den_col: str,
+    cluster_col: str,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Delete-one-CLUSTER jackknife CI for a ratio-of-sums metric — the
+    resampling companion to ratio_ttest's delta method, and the standard
+    correction when events cluster within users/sessions (iid-row SEs
+    are anticonservative): R = ΣN/ΣD; for each cluster g,
+    R₍g₎ = (ΣN − n_g)/(ΣD − d_g); Var = (G−1)/G · Σ(R₍g₎ − R̄)².
+
+    Scale shape: ONE map-side-combining aggregate to per-cluster sums
+    (bounded by cluster cardinality), grand totals collected driver-side
+    (1 row — same eager pattern as median_ci), leave-one-out deviations
+    as Column math, ONE final reduce.  No join, no window.  Output
+    (1 row): ratio, n_clusters, jk_se, ci_lo, ci_hi, z."""
+    sdf = _sdf(frame)
+    nv = F.col(num_col).cast("double")
+    dv = F.col(den_col).cast("double")
+    per = (
+        sdf.filter(
+            nv.isNotNull() & dv.isNotNull() & F.col(cluster_col).isNotNull()
+        )
+        .groupBy(cluster_col)
+        .agg(F.sum(nv).alias("__n__"), F.sum(dv).alias("__d__"))
+    )
+    per.persist()
+    try:
+        tot = per.agg(
+            F.sum("__n__").alias("tn"),
+            F.sum("__d__").alias("td"),
+            F.count(F.lit(1)).alias("g"),
+        ).collect()[0]
+        tn, td, g = float(tot["tn"]), float(tot["td"]), int(tot["g"])
+        if g < 2:
+            raise ValueError("jackknife_ratio_ci needs >= 2 clusters")
+        if td == 0:
+            raise ValueError("jackknife_ratio_ci: denominator sums to 0")
+        loo = (F.lit(tn) - F.col("__n__")) / (F.lit(td) - F.col("__d__"))
+        red = per.agg(
+            F.sum(loo).alias("sr"),
+            F.sum(loo ** 2).alias("sr2"),
+            F.count(F.when(F.col("__d__") == td, 1)).alias("degenerate"),
+        ).collect()[0]
+    finally:
+        per.unpersist()
+    if int(red["degenerate"]) > 0:
+        raise ValueError(
+            "jackknife_ratio_ci: a single cluster holds the entire "
+            "denominator mass — leave-one-out ratio undefined"
+        )
+    sr, sr2 = float(red["sr"]), float(red["sr2"])
+    ratio = tn / td
+    var = (g - 1.0) / g * (sr2 - sr * sr / g)
+    se = var ** 0.5 if var > 0 else 0.0
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(ratio, round_to), g, round(se, round_to),
+            round(ratio - z * se, round_to), round(ratio + z * se, round_to),
+            float(z),
+        )],
+        "ratio double, n_clusters bigint, jk_se double, ci_lo double, "
+        "ci_hi double, z double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(
+    ["mann_kendall", "ipw_ate", "power_mde_report", "jackknife_ratio_ci"]
+)
