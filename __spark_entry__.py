@@ -11208,6 +11208,116 @@ FROM fin
 """
 
 
+def _q325(spark, sf_dir):
+    """Leakage-safe split (llm/splits.py split_leakage_safe) on a corpus
+    with injected exact duplicates (every 7th doc re-appears under a new
+    id): the split hashes the normalized-text md5 GROUP key, so copies
+    can never straddle train/test.  Gate returns per-(split, is-dup-copy)
+    row/group counts PLUS the invariant max-splits-per-group — map-only,
+    zero shuffle until the audit aggregate."""
+    from polars_net_spark.llm.splits import split_leakage_safe
+
+    d = _t(spark, sf_dir, "documents").spark
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(dups)
+    out = split_leakage_safe(
+        corpus, weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="r8"
+    ).spark
+    per_group = out.groupBy("split_group").agg(
+        F.count_distinct("split").alias("k"),
+        F.count(F.lit(1)).alias("rows"),
+        F.min("split").alias("split"),
+    )
+    return per_group.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.max("k").cast("long").alias("max_splits_per_group"),
+    )
+
+
+_q325_sql = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+g AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS gk
+  FROM corpus),
+b AS (
+  SELECT doc_id, gk,
+    list_reduce(list_transform(generate_series(1, 8),
+                i -> strpos('0123456789abcdef', substr(md5('r8' || gk), i, 1)) - 1),
+                (a, x) -> a * 16 + x) % 10000 AS bs
+  FROM g),
+s AS (
+  SELECT doc_id, gk,
+    CASE WHEN bs < 8000 THEN 'train' WHEN bs < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM b),
+pg AS (SELECT gk, count(DISTINCT split) AS k, count(*) AS rows_,
+              min(split) AS split
+       FROM s GROUP BY 1)
+SELECT split, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(max(k) AS BIGINT) AS max_splits_per_group
+FROM pg GROUP BY 1
+"""
+
+
+def _q326(spark, sf_dir):
+    """C4-style boilerplate stripping (llm/dedup.py strip_boilerplate_lines)
+    on a corpus where every 3rd doc carries an injected footer line: the
+    footer saturates >5% document frequency and is dropped from EVERY doc
+    (dedup_lines q73 keeps first occurrences; this removes all).  Content-
+    keyed equi-shuffles only; per-segment totals broadcast."""
+    from polars_net_spark.llm.dedup import strip_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").spark
+    with_footer = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit("\n(c) 2026 example corp\nall rights reserved")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_boilerplate_lines(
+        with_footer, max_df_share=0.05, min_df=2
+    ).spark
+
+
+_q326_sql = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN coalesce(text, '') || chr(10) || '(c) 2026 example corp'
+                   || chr(10) || 'all rights reserved'
+              ELSE text END AS text
+  FROM documents),
+base AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM corpus),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line, lower(trim(ls[i])) AS k
+  FROM base, LATERAL unnest(generate_series(1, len(ls))) AS u(i)),
+df AS (SELECT k, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+nd AS (SELECT count(*) * 1.0 AS ndocs FROM corpus),
+bad AS (SELECT k FROM df, nd WHERE df >= 2 AND df > ndocs * 0.05),
+kept AS (
+  SELECT l.doc_id,
+         string_agg(l.line, chr(10) ORDER BY l.pos) AS text,
+         count(*) AS n_kept
+  FROM lines l LEFT JOIN bad USING (k)
+  WHERE bad.k IS NULL
+  GROUP BY 1)
+SELECT b.doc_id,
+       coalesce(kept.text, '') AS text,
+       CAST(len(b.ls) AS BIGINT) AS n_lines,
+       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN kept ON b.doc_id = kept.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11534,6 +11644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q322_ipw_ate": _q322,
         "q323_power_mde": _q323,
         "q324_jackknife_ratio": _q324,
+        "q325_leakage_safe_split": _q325,
+        "q326_strip_boilerplate": _q326,
     }
 
 
@@ -11863,4 +11975,6 @@ def oracle_sql() -> dict[str, str]:
         "q322_ipw_ate": _q322_sql,
         "q323_power_mde": _q323_sql,
         "q324_jackknife_ratio": _q324_sql,
+        "q325_leakage_safe_split": _q325_sql,
+        "q326_strip_boilerplate": _q326_sql,
     }

@@ -1503,3 +1503,100 @@ def dedup_cluster_stats(
 
 
 __all__.append("dedup_cluster_stats")
+
+
+def strip_boilerplate_lines(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_share: float = 0.05,
+    min_df: int = 2,
+    sep: str = "\n",
+    by: "str | None" = None,
+    normalize: bool = True,
+):
+    """Corpus-frequency boilerplate removal (the C4/RefinedWeb rule this
+    family was missing): a line is boilerplate when it appears in MORE THAN
+    ``max_df_share`` of documents (and in at least ``min_df`` of them) —
+    cookie banners, nav bars, license footers — and is then dropped from
+    EVERY document, unlike :func:`dedup_lines` which keeps the first
+    occurrence.  ``by`` scopes the frequency table per segment (per-domain
+    is the production setting — a line common on one site is boilerplate
+    there even if globally rare).
+
+    Document frequency counts each document once however often it repeats
+    the line; ``normalize`` matches lines case/edge-whitespace
+    insensitively while emitting the original bytes.
+
+    Scale shape: posexplode -> per-(line, doc) distinct -> line-keyed count
+    (all map-side-combining equi-shuffles on content, never all-pairs);
+    the per-segment doc totals are a tiny frame joined back on the segment
+    key (constant key when ``by=None`` -> broadcast hash join, probe side
+    stays map-only); one ``id``-keyed shuffle reassembles surviving lines
+    in order.  Output: (id[, by], text, n_lines, n_kept)."""
+    from ..frame import LazyFrame
+
+    sdf = _sdf(frame)
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain \E (regex quoting boundary)")
+    if not 0.0 < max_df_share <= 1.0:
+        raise ValueError("max_df_share must be in (0, 1]")
+    sep_re = "\\Q" + sep + "\\E"
+    seg = F.col(by) if by is not None else F.lit(1)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = sdf.select(F.col(id_col), seg.alias("__seg__"), text.alias("__t__"))
+    lines = base.select(
+        F.col(id_col),
+        "__seg__",
+        F.posexplode(F.split(F.col("__t__"), sep_re)).alias("__pos__", "__line__"),
+    )
+    key = (
+        F.lower(F.trim(F.col("__line__"))) if normalize else F.col("__line__")
+    )
+    lines = lines.withColumn("__key__", key)
+    df_counts = (
+        lines.select("__seg__", "__key__", F.col(id_col))
+        .distinct()
+        .groupBy("__seg__", "__key__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+    )
+    totals = base.groupBy("__seg__").agg(
+        F.count(F.lit(1)).alias("__ndocs__")
+    )
+    bad = (
+        df_counts.join(totals, "__seg__")
+        .filter(
+            (F.col("__df__") >= F.lit(int(min_df)))
+            & (F.col("__df__") > F.col("__ndocs__") * F.lit(float(max_df_share)))
+        )
+        .select("__seg__", "__key__")
+    )
+    marked = lines.join(bad, ["__seg__", "__key__"], "left_anti")
+    kept = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos__"), F.col("__line__")))
+                ),
+                lambda s: s.getField("__line__"),
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    tot_lines = base.select(
+        F.col(id_col),
+        *( [F.col("__seg__").alias(by)] if by is not None else [] ),
+        F.size(F.split(F.col("__t__"), sep_re)).cast("long").alias("n_lines"),
+    )
+    out = tot_lines.join(kept, id_col, "left").select(
+        id_col,
+        *( [by] if by is not None else [] ),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("strip_boilerplate_lines")

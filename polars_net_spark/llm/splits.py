@@ -88,3 +88,47 @@ def kfold_by_hash(
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
     fold = hash_bucket(F.col(key_col), salt=salt, num_buckets=k).cast("long")
     return LazyFrame(sdf.withColumn(fold_col, fold))
+
+
+def split_leakage_safe(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+    cluster_col: str | None = None,
+    group_col: str = "split_group",
+):
+    """Leakage-safe split assignment: the split is a hash of the row's
+    DUPLICATE-GROUP key, not the row id, so exact copies of a document can
+    never straddle train and test — the failure mode row-keyed
+    split_by_hash silently allows and the #1 source of eval contamination
+    in web corpora.
+
+    The group key is md5 of the normalized text (lower + trim + whitespace
+    collapse) by default; pass ``cluster_col`` (e.g. dedup_clusters'
+    cluster id) to extend the guarantee to NEAR-duplicates.  Emits the
+    group key (``group_col``) so audits can verify the invariant
+    "one group -> one split" directly.
+
+    Scale shape: pure map-only Column math — no shuffle, no RNG, no join;
+    a row's split never changes when the corpus grows or repartitions
+    (same portability contract as split_by_hash; the DuckDB oracle
+    replicates md5 + hex fold bit-for-bit)."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    if cluster_col is not None:
+        gkey = F.col(cluster_col).cast("string")
+    else:
+        norm = F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+", " ",
+        )
+        gkey = F.md5(norm)
+    staged = sdf.withColumn(group_col, gkey)
+    return split_by_hash(staged, group_col, weights, salt, split_col)
+
+
+__all__.append("split_leakage_safe")
