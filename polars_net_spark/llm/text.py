@@ -791,22 +791,29 @@ def ngram_coverage(
     te = test if isinstance(test, SparkDF) else test.spark
 
     def grams(sdf):
+        # stage the word array as a real column, then fold shifted slices
+        # with zip_with: element_at-per-index inside a transform() lambda
+        # defeats subexpression elimination (the split re-evaluates per
+        # element -> O(words^2) regex work per doc; measured 11x slower)
         ws = F.filter(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
             lambda w: F.length(w) > 0,
         )
-        if n == 1:
-            g = ws
-        else:
-            g = F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(ws, i + j) for j in range(n)]
-                ),
-            )
-        return sdf.filter(F.col(text_col).isNotNull()).select(
-            F.explode(g).alias("__g__")
+        staged = sdf.filter(F.col(text_col).isNotNull()).select(
+            ws.alias("__ws__")
         )
+        w = F.col("__ws__")
+        if n == 1:
+            g = w
+        else:
+            ln = F.greatest(F.size(w) - (n - 1), F.lit(0))
+            g = F.slice(w, 1, ln)
+            for j in range(1, n):
+                g = F.zip_with(
+                    g, F.slice(w, 1 + j, ln),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+        return staged.select(F.explode(g).alias("__g__"))
 
     train_types = grams(tr).distinct().withColumn("__in__", F.lit(1))
     test_counts = grams(te).groupBy("__g__").agg(F.count(F.lit(1)).alias("__c__"))
