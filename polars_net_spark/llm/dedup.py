@@ -67,8 +67,16 @@ def dedup_exact(
 def _word_ngrams(text: Column, n: int) -> Column:
     words = F.split(F.trim(F.lower(text)), r"\s+")
     cnt = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    # zip_with over shifted slices evaluates `words` n times per row; the
+    # transform(idx, slice...) form re-evaluated it once PER GRAM (no CSE
+    # into the lambda -> O(words^2) regex work; same fix as ngram_coverage)
+    ln = F.greatest(cnt - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, ln)
+    for _j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, 1 + _j, ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
 
 
