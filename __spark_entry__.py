@@ -11318,6 +11318,78 @@ FROM base b LEFT JOIN kept ON b.doc_id = kept.doc_id
 """
 
 
+def _q327(spark, sf_dir):
+    """Tokenizer-fertility panel per source (llm/text.py fertility_report):
+    GPT-style pre-split token counts (letter runs | digits | punctuation —
+    RE2-replayable, unlike bpe_ish lookarounds) over whitespace words; ONE
+    map-side-combining aggregate, the context-window budgeting view."""
+    from polars_net_spark.llm.text import fertility_report
+
+    d = _t(spark, sf_dir, "documents").spark
+    return fertility_report(d, by="source").spark
+
+
+_q327_sql = """
+WITH b AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> length(w) > 0)) AS w,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS t,
+         length(text) AS c
+  FROM documents WHERE text IS NOT NULL)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       round(CASE WHEN sum(w) > 0 THEN sum(t) * 1.0 / sum(w) END, 6) AS fertility,
+       round(CASE WHEN sum(t) > 0 THEN sum(c) * 1.0 / sum(t) END, 6) AS chars_per_token
+FROM b GROUP BY 1
+"""
+
+
+def _q328(spark, sf_dir):
+    """TENTH streaming gate — stream-STATIC enrichment join, the one
+    production join shape the streaming suite lacked (q159 covers
+    stream-stream): events stream-read -> broadcast-joined to the static
+    nation dim on a derived key -> per-nation revenue aggregate, complete
+    mode under availableNow.  The static side needs no state store or
+    watermark — it is a map-side hash join on every micro-batch."""
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    nation = _t(spark, sf_dir, "nation").spark.select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .withColumn("nk", (F.col("user_id") % 25).cast("long"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    with _stream_gate_conf(spark):
+        q = (
+            stream.writeStream.format("memory").queryName("q328_enrich")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table("q328_enrich")
+
+
+_q328_sql = """
+SELECT n.n_name, round(sum(e.value), 6) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+WHERE e.user_id IS NOT NULL AND e.value IS NOT NULL
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11646,6 +11718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q324_jackknife_ratio": _q324,
         "q325_leakage_safe_split": _q325,
         "q326_strip_boilerplate": _q326,
+        "q327_fertility": _q327,
+        "q328_stream_enrich": _q328,
     }
 
 
@@ -11977,4 +12051,6 @@ def oracle_sql() -> dict[str, str]:
         "q324_jackknife_ratio": _q324_sql,
         "q325_leakage_safe_split": _q325_sql,
         "q326_strip_boilerplate": _q326_sql,
+        "q327_fertility": _q327_sql,
+        "q328_stream_enrich": _q328_sql,
     }

@@ -837,3 +837,62 @@ def ngram_coverage(
 
 
 __all__.append("ngram_coverage")
+
+
+def fertility_report(
+    frame,
+    text_col: str = "text",
+    by: "str | None" = None,
+    round_to: int = 6,
+):
+    """Tokenizer-fertility panel — the "how many subword tokens does this
+    corpus cost per word" planning number that decides context-window
+    budgets and flags scripts/sources a vocabulary fragments badly
+    (fertility ≈ 1.2-1.4 is healthy English; ≫2 means the tokenizer will
+    shred it).  Tokens here are the deterministic GPT-style pre-split
+    — letter runs | single digits | single punctuation marks
+    (``[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]``) — chosen over bpe_ish_token_count
+    because RE2 (DuckDB) cannot replay lookarounds, and this one is
+    engine-portable so the gate can value-verify it.
+
+    Per segment (``by=None`` = whole corpus): n_docs, n_words (whitespace),
+    n_tokens, fertility = tokens/words, chars_per_token.  ONE map-side-
+    combining aggregate; no join, no window, no Python."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    keys = [by] if by is not None else []
+    text = F.col(text_col)
+    words = F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+    )
+    toks = F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    )
+    chars = F.length(text)
+    base = sdf.filter(text.isNotNull())
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    red = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(words).alias("w"),
+        F.sum(toks).alias("t"),
+        F.sum(chars).alias("c"),
+    )
+    out = red.select(
+        *keys,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w").cast("long").alias("n_words"),
+        F.col("t").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(F.col("w") > 0, F.col("t") / F.col("w")), round_to
+        ).alias("fertility"),
+        F.round(
+            F.when(F.col("t") > 0, F.col("c") / F.col("t")), round_to
+        ).alias("chars_per_token"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("fertility_report")

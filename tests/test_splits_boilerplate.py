@@ -139,3 +139,28 @@ class TestStripBoilerplate:
         d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             strip_boilerplate_lines(d, max_df_share=0.0)
+
+
+class TestFertility:
+    def test_known_counts(self, spark):
+        from polars_net_spark.llm.text import fertility_report
+
+        # "hello world" -> 2 words, 2 tokens; "a1-b2" -> 1 word, 6 tokens
+        # (a,1,-,b,2) wait: [A-Za-z]+ -> 'a','b'; [0-9] -> '1','2'; punct '-'
+        d = spark.createDataFrame(
+            [("hello world",), ("a1-b2",), (None,)], "text string"
+        )
+        (nd, nw, nt, fert, cpt), = fertility_report(d).collect().rows()
+        assert nd == 2 and nw == 3 and nt == 2 + 5
+        assert abs(fert - 7 / 3) < 1e-6
+        assert abs(cpt - (11 + 5) / 7) < 1e-6
+
+    def test_by_segments(self, spark):
+        from polars_net_spark.llm.text import fertility_report
+
+        d = spark.createDataFrame(
+            [("a", "one two"), ("b", "x-1")], "g string, text string"
+        )
+        out = {r[0]: r for r in fertility_report(d, by="g").collect().rows()}
+        assert out["a"][2] == 2 and out["a"][3] == 2  # words, tokens
+        assert out["b"][2] == 1 and out["b"][3] == 3
