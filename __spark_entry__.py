@@ -11390,6 +11390,54 @@ GROUP BY 1
 """
 
 
+def _q329(spark, sf_dir):
+    """k-core decomposition (operators/graph.py k_core): peel vertices with
+    degree < 25 to the fixpoint on the lineitem order-part graph.  Peeling
+    is monotone, so the unrolled-10-round oracle equals the fixpoint (the
+    pagerank/LPA unroll convention extended: post-convergence rounds are
+    no-ops); the operator itself iterates with early-stop + checkpoint
+    truncation and raises rather than returning a truncated core."""
+    from polars_net_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    e = li.select(
+        (F.col("l_orderkey") % 3000).alias("src"),
+        (F.col("l_partkey") % 3000).alias("dst"),
+    )
+    return k_core(e, 25).spark
+
+
+def _kcore_oracle_sql(k: int = 25, rounds: int = 10) -> str:
+    # MATERIALIZED stops DuckDB's CTE inlining: each round references the
+    # previous one three times, so inlined plans (and their parquet file
+    # handles) grow 3^rounds without it
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT "
+        "least(l_orderkey % 3000, l_partkey % 3000) AS a, "
+        "greatest(l_orderkey % 3000, l_partkey % 3000) AS b "
+        "FROM lineitem WHERE l_orderkey % 3000 <> l_partkey % 3000)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT v, count(*) AS c FROM "
+            f"(SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY 1)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT a, b FROM e{i} "
+            f"WHERE a NOT IN (SELECT v FROM d{i} WHERE c < {k}) "
+            f"AND b NOT IN (SELECT v FROM d{i} WHERE c < {k}))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v AS id, CAST(count(*) AS BIGINT) AS degree FROM "
+        f"(SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        "GROUP BY 1"
+    )
+
+
+_q329_sql = _kcore_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11720,6 +11768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q326_strip_boilerplate": _q326,
         "q327_fertility": _q327,
         "q328_stream_enrich": _q328,
+        "q329_k_core": _q329,
     }
 
 
@@ -12053,4 +12102,5 @@ def oracle_sql() -> dict[str, str]:
         "q326_strip_boilerplate": _q326_sql,
         "q327_fertility": _q327_sql,
         "q328_stream_enrich": _q328_sql,
+        "q329_k_core": _q329_sql,
     }

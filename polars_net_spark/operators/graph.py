@@ -306,3 +306,103 @@ def degree_report(
 
 
 __all__.append("degree_report")
+
+
+def k_core(
+    edges: "LazyFrame | SparkDF",
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
+) -> LazyFrame:
+    """k-core decomposition membership: iteratively peel every vertex with
+    degree < k until none remain; what survives is the maximal subgraph
+    where everyone keeps >= k neighbors — the standard "dense backbone"
+    filter (spam-farm detection, influence seeding, collaboration cores)
+    beside triangle_count's local view.
+
+    Peeling is MONOTONE (a removed vertex never comes back), so the
+    fixpoint is unique and an oracle that unrolls at least as many rounds
+    as convergence took replays it exactly (the pagerank/LPA convention,
+    extended: extra unrolled rounds are no-ops after the fixpoint).
+    Edges are undirected (loops drop, duplicates/reversals collapse).
+
+    Scale shape: per round ONE degree aggregate (map-side combining) and
+    TWO left_anti equi-joins against the (small, shrinking) peel set; a
+    driver count() per round is the loop condition — bounded by the round
+    count, which is at most the graph's degeneracy ordering depth (tiny
+    for real graphs: web/social cores converge in < 20 rounds).  Lineage
+    checkpoint-truncated like pagerank; same ``checkpoint_dir`` contract.
+    Raises RuntimeError if ``max_rounds`` is hit before the fixpoint so a
+    truncated answer can never masquerade as the core.  Output:
+    (id, degree) of surviving vertices — degree WITHIN the k-core."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    if checkpoint_dir is not None:
+
+        def _ckpt(df):
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+    with scoped_checkpoint_dir(esdf.sparkSession.sparkContext, checkpoint_dir):
+        e = (
+            esdf.filter(
+                F.col(src).isNotNull() & F.col(dst).isNotNull()
+                & (F.col(src) != F.col(dst))
+            )
+            .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+            .distinct()
+        )
+        e.persist()
+        converged = False
+        for r in range(int(max_rounds)):
+            deg = (
+                e.select(F.col("a").alias("v"))
+                .unionAll(e.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # persist the peel set: isEmpty() materializes it here, and the
+            # two anti-joins below then reuse the cached rows instead of
+            # re-running the degree shuffle inside their own lineage
+            bad = deg.filter(F.col("c") < F.lit(int(k))).select("v").persist()
+            if bad.isEmpty():
+                bad.unpersist()
+                converged = True
+                break
+            nxt = e.join(
+                bad.withColumnRenamed("v", "a"), "a", "left_anti"
+            ).join(bad.withColumnRenamed("v", "b"), "b", "left_anti")
+            if (r + 1) % checkpoint_every == 0:
+                nxt = _ckpt(nxt)
+            nxt.persist()
+            nxt.count()  # materialize past `bad` before releasing caches
+            bad.unpersist()
+            e.unpersist()
+            e = nxt
+        if not converged:
+            e.unpersist()
+            raise RuntimeError(
+                f"k_core did not converge within max_rounds={max_rounds}"
+            )
+        out = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .select(F.col("v").alias("id"), "degree")
+        )
+        # materialize before releasing the loop frame's cache: the lazy
+        # result would otherwise recompute the whole peel from source
+        out = _ckpt(out)
+        e.unpersist()
+    return LazyFrame(out)
+
+
+__all__.append("k_core")
