@@ -11438,6 +11438,99 @@ def _kcore_oracle_sql(k: int = 25, rounds: int = 10) -> str:
 _q329_sql = _kcore_oracle_sql()
 
 
+def _q330(spark, sf_dir):
+    """Harrell's c-index (operators/analytics.py c_index) on the q228/q319
+    subject table with an integer risk score: bounded (t, d, s) cell grid
+    + t-ordered self-join, the kendall_tau contract — completes the
+    survival family (KM q228, Nelson-Aalen q319, log-rank q285)."""
+    from polars_net_spark.operators.analytics import c_index
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull()).select(
+        F.floor(F.col("value")).cast("double").alias("t_obs"),
+        (F.col("event_id") % 4 != 0).cast("int").alias("event"),
+        (F.col("user_id") % 7).cast("double").alias("risk"),
+    )
+    return c_index(d, "t_obs", "event", "risk").spark
+
+
+_q330_sql = """
+WITH b AS (SELECT floor(value) AS t,
+                  CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS d,
+                  CAST(user_id % 7 AS DOUBLE) AS s
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+cells AS MATERIALIZED (SELECT t, d, s, count(*) AS n FROM b GROUP BY 1, 2, 3),
+p AS (SELECT coalesce(sum(a.n * c.n), 0) AS np,
+             coalesce(sum(CASE WHEN a.s > c.s THEN a.n * c.n END), 0) AS conc,
+             coalesce(sum(CASE WHEN a.s = c.s THEN a.n * c.n END), 0) AS tied
+      FROM cells a JOIN cells c ON c.t > a.t
+      WHERE a.d = 1),
+nn AS (SELECT sum(n) AS n FROM cells)
+SELECT round(CASE WHEN np > 0 THEN (conc + 0.5 * tied) / np END, 6) AS c_index,
+       CAST(np AS BIGINT) AS n_pairs, CAST(conc AS BIGINT) AS concordant,
+       CAST(tied AS BIGINT) AS tied, CAST((SELECT n FROM nn) AS BIGINT) AS n
+FROM p
+"""
+
+
+def _q331(spark, sf_dir):
+    """Q-Q drift table (operators/analytics.py quantile_compare): click vs
+    error value distributions at 5 quantiles — distinct-level counts +
+    ONE shared distsort prefix pass + a literal prob-grid fan-out; the
+    'where do they diverge' companion to q316's total (W1) and q... KS's
+    worst point."""
+    from polars_net_spark.operators.analytics import quantile_compare
+
+    ev = _t(spark, sf_dir, "events").spark
+    return quantile_compare(ev, "value", "event_type", "click", "error").spark
+
+
+_q331_sql = """
+WITH s AS (SELECT value AS v, event_type AS g FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+d AS (SELECT v, sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY 1),
+c AS (SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cna, sum(cb) OVER (ORDER BY v) AS cnb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM d),
+grid AS (SELECT c.*, p FROM c, (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS pr(p))
+SELECT round(p, 6) AS p,
+       round(min(CASE WHEN cna >= ceil(p * na) THEN v END), 6) AS q_a,
+       round(min(CASE WHEN cnb >= ceil(p * nb) THEN v END), 6) AS q_b,
+       round(min(CASE WHEN cnb >= ceil(p * nb) THEN v END)
+             - min(CASE WHEN cna >= ceil(p * na) THEN v END), 6) AS gap
+FROM grid GROUP BY p
+"""
+
+
+def _q332(spark, sf_dir):
+    """Embedding covariance matrix (llm/similarity.py embedding_covariance,
+    the PCA/whitening input that also powers embedding_pca's driver eigh):
+    Arrow-batched partial sufficient stats (n, Σx, vec(ΣxxT) per batch via
+    numpy BLAS) -> in-plan index-keyed reduce -> cov = E[xy] − E[x]E[y].
+    The corpus never explodes d² element rows; upper triangle out."""
+    from polars_net_spark.llm.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings").spark
+    return embedding_covariance(emb).spark
+
+
+_q332_sql = """
+WITH x AS (SELECT vec_id, embedding AS e FROM embeddings
+           WHERE embedding IS NOT NULL),
+c AS MATERIALIZED (
+  SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS v
+  FROM x, LATERAL unnest(generate_series(1, len(e))) AS u(i))
+SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+       round(covar_pop(a.v, b.v), 6) AS cov
+FROM c a JOIN c b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11769,6 +11862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q327_fertility": _q327,
         "q328_stream_enrich": _q328,
         "q329_k_core": _q329,
+        "q330_c_index": _q330,
+        "q331_qq_drift": _q331,
+        "q332_embedding_cov": _q332,
     }
 
 
@@ -12103,4 +12199,7 @@ def oracle_sql() -> dict[str, str]:
         "q327_fertility": _q327_sql,
         "q328_stream_enrich": _q328_sql,
         "q329_k_core": _q329_sql,
+        "q330_c_index": _q330_sql,
+        "q331_qq_drift": _q331_sql,
+        "q332_embedding_cov": _q332_sql,
     }

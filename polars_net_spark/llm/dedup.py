@@ -1538,10 +1538,11 @@ def strip_boilerplate_lines(
 
     Scale shape: posexplode -> per-(line, doc) distinct -> line-keyed count
     (all map-side-combining equi-shuffles on content, never all-pairs);
-    the per-segment doc totals are a tiny frame joined back on the segment
-    key (constant key when ``by=None`` -> broadcast hash join, probe side
-    stays map-only); one ``id``-keyed shuffle reassembles surviving lines
-    in order.  Output: (id[, by], text, n_lines, n_kept)."""
+    per-segment doc totals join back on the segment key (broadcast hash
+    join); with ``by=None`` the global total is a driver scalar instead
+    (one bounded action — a constant join key would constant-fold into a
+    keyless nested-loop join); one ``id``-keyed shuffle reassembles
+    surviving lines in order.  Output: (id[, by], text, n_lines, n_kept)."""
     from ..frame import LazyFrame
 
     sdf = _sdf(frame)
@@ -1568,17 +1569,32 @@ def strip_boilerplate_lines(
         .groupBy("__seg__", "__key__")
         .agg(F.count(F.lit(1)).alias("__df__"))
     )
-    totals = base.groupBy("__seg__").agg(
-        F.count(F.lit(1)).alias("__ndocs__")
-    )
-    bad = (
-        df_counts.join(totals, "__seg__")
-        .filter(
+    if by is None:
+        # global totals as a driver scalar (one bounded action, the
+        # median_ci/jackknife eager pattern): joining on the constant
+        # __seg__ key would constant-fold into a keyless
+        # BroadcastNestedLoopJoin — benign for 1 row, but no join at all
+        # is strictly better and keeps the no-cartesian audit clean
+        ndocs = base.count()
+        bad = df_counts.filter(
             (F.col("__df__") >= F.lit(int(min_df)))
-            & (F.col("__df__") > F.col("__ndocs__") * F.lit(float(max_df_share)))
+            & (F.col("__df__") > F.lit(float(ndocs) * float(max_df_share)))
+        ).select("__seg__", "__key__")
+    else:
+        totals = base.groupBy("__seg__").agg(
+            F.count(F.lit(1)).alias("__ndocs__")
         )
-        .select("__seg__", "__key__")
-    )
+        bad = (
+            df_counts.join(totals, "__seg__")
+            .filter(
+                (F.col("__df__") >= F.lit(int(min_df)))
+                & (
+                    F.col("__df__")
+                    > F.col("__ndocs__") * F.lit(float(max_df_share))
+                )
+            )
+            .select("__seg__", "__key__")
+        )
     marked = lines.join(bad, ["__seg__", "__key__"], "left_anti")
     kept = marked.groupBy(id_col).agg(
         F.array_join(

@@ -1586,3 +1586,160 @@ def mmr_rerank(
 
 
 __all__.append("mmr_rerank")
+
+
+def embedding_covariance(
+    frame: "LazyFrame | SparkDF",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Full d×d covariance matrix of an embedding column as (i, j, cov)
+    rows (population covariance, the PCA/whitening input) — computed from
+    Arrow-batched partial sufficient statistics: each pandas batch folds
+    to ONE row (n, Σx, vec(ΣxxT)) via numpy BLAS, so the corpus never
+    explodes d² element rows and the combine stage handles #batches rows,
+    not #vectors.  The partial (i,j) sums then reduce in-plan (posexplode
+    → index-keyed sum) and cov = E[xy] − E[x]E[y] assembles with two tiny
+    broadcast joins on the component index.  Deterministic layout:
+    i ≤ j (upper triangle).  Rows with null/odd-length vectors drop."""
+    import pandas as pd
+
+    sdf = _sdf(frame)
+    vecs = sdf.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__v__")
+    )
+    dim_row = vecs.select(F.size("__v__").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("embedding_covariance: no non-null vectors")
+    d = int(dim_row["d"])
+
+    def partials(it):
+        import numpy as np
+
+        for pdf in it:
+            arrs = [v for v in pdf["__v__"] if v is not None and len(v) == d]
+            if not arrs:
+                continue
+            x = np.asarray([np.asarray(a, dtype=np.float64) for a in arrs])
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    parts = vecs.mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    )
+    parts.persist()
+    try:
+        tot = parts.agg(F.sum("n").alias("n")).collect()[0]
+        n = int(tot["n"] or 0)
+        if n < 1:
+            raise ValueError("embedding_covariance: no usable vectors")
+        means = (
+            parts.select(F.posexplode("s").alias("i", "v"))
+            .groupBy("i")
+            .agg((F.sum("v") / F.lit(float(n))).alias("m"))
+        )
+        ss = (
+            parts.select(F.posexplode("ss").alias("idx", "v"))
+            .groupBy("idx")
+            .agg(F.sum("v").alias("ssv"))
+            .select(
+                (F.col("idx") / d).cast("int").alias("i"),
+                F.pmod(F.col("idx"), F.lit(d)).cast("int").alias("j"),
+                "ssv",
+            )
+            .filter(F.col("i") <= F.col("j"))
+        )
+        mi = means.select(F.col("i"), F.col("m").alias("mi"))
+        mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+        out = (
+            ss.join(F.broadcast(mi), "i")
+            .join(F.broadcast(mj), "j")
+            .select(
+                F.col("i").cast("long").alias("i"),
+                F.col("j").cast("long").alias("j"),
+                F.round(
+                    F.col("ssv") / F.lit(float(n))
+                    - F.col("mi") * F.col("mj"),
+                    round_to,
+                ).alias("cov"),
+            )
+        )
+        # materialize before releasing the partials cache: the result is
+        # 1-2 orders smaller than one corpus re-scan
+        out = out.localCheckpoint(eager=True)
+    finally:
+        parts.unpersist()
+    return LazyFrame(out)
+
+
+def embedding_pca(
+    frame: "LazyFrame | SparkDF",
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "pca",
+    round_to: int = 6,
+) -> "tuple[LazyFrame, list[float]]":
+    """PCA projection of an embedding column to ``k`` components — the
+    semdedup/whitening preprocessor: covariance from the SAME Arrow-batched
+    sufficient-stats pass as embedding_covariance, eigendecomposition on
+    the DRIVER (the d×d matrix is bounded by the embedding dim — 64×64
+    here — never by the corpus), then a MAP-ONLY projection: each
+    component is one zip_with dot product against a literal eigenvector,
+    whole-stage codegen, no Python in the projection path.
+
+    Deterministic across runs/engines: numpy eigh on the exactly-reduced
+    covariance; eigenvector SIGN fixed by making each vector's largest-
+    magnitude entry positive (eigh's sign is otherwise arbitrary).
+    Returns (frame + out_col array<double>, explained_variance_ratio) —
+    the ratio list is driver-side metadata.  Ties in eigenvalues make the
+    spanned subspace unique but not the basis; fine for dedup/whitening,
+    document for reproducible feature pipelines."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sdf = _sdf(frame)
+    cov_rows = embedding_covariance(sdf, vec_col, round_to=12).spark.collect()
+    d = max(int(r["j"]) for r in cov_rows) + 1
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[int(r["i"]), int(r["j"])] = r["cov"]
+        c[int(r["j"]), int(r["i"])] = r["cov"]
+    evals, evecs = np.linalg.eigh(c)
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = evals[order]
+    basis = evecs[:, order]          # d x k
+    for col in range(k):
+        j = int(np.abs(basis[:, col]).argmax())
+        if basis[j, col] < 0:
+            basis[:, col] = -basis[:, col]
+    total = float(evals.clip(min=0).sum()) or 1.0
+    ratios = [round(float(v) / total, round_to) for v in evals_k]
+    vec = F.col(vec_col)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in basis[:, col]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        )
+        for col in range(k)
+    ]
+    out = sdf.withColumn(out_col, F.array(*comps))
+    return LazyFrame(out), ratios
+
+
+__all__.extend(["embedding_covariance", "embedding_pca"])

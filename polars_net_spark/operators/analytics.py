@@ -2789,3 +2789,155 @@ def dup_rate_by_key(
 __all__.extend(
     ["wasserstein_1d", "diversity_report", "nelson_aalen", "dup_rate_by_key"]
 )
+
+
+def c_index(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Harrell's concordance index for a survival risk score — the
+    model-quality number beside survival_curve/nelson_aalen/log_rank_test:
+    among PERMISSIBLE pairs (the earlier time is an observed EVENT,
+    t_i < t_j), the share where the earlier-failing subject also has the
+    HIGHER risk score; score ties count ½.  0.5 = random ordering,
+    1.0 = perfect ranking.  (Textbook permissibility rule; pairs tied on
+    time are not counted — the lifelines tied-time refinement differs
+    there, documented.)
+
+    EXACT via the joint distinct-cell contingency, the same BOUNDED-
+    CARDINALITY contract as kendall_tau/mann_kendall: rows collapse to
+    (t, d, s) cells in ONE map-side-combining aggregate and the pair
+    counts come from the cell self-join on t-order — cost |cells|², so
+    bin continuous scores/times upstream for high-cardinality inputs.
+    Output (1 row): c_index, n_pairs, concordant, tied, n."""
+    sdf = _sdf(frame)
+    t = F.col(time_col).cast("double")
+    d = F.col(event_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = sdf.filter(t.isNotNull() & d.isNotNull() & s.isNotNull()).select(
+        t.alias("__t__"), d.alias("__d__"), s.alias("__s__")
+    )
+    cells = base.groupBy("__t__", "__d__", "__s__").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = cells.filter(F.col("__d__") == 1).select(
+        F.col("__t__").alias("at"), F.col("__s__").alias("as_"),
+        F.col("n").alias("an"),
+    )
+    b = cells.select(
+        F.col("__t__").alias("bt"), F.col("__s__").alias("bs"),
+        F.col("n").alias("bn"),
+    )
+    pairs = a.join(b, F.col("bt") > F.col("at"))
+    red = pairs.agg(
+        F.coalesce(F.sum(F.col("an") * F.col("bn")), F.lit(0)).alias("np"),
+        F.coalesce(
+            F.sum(F.when(F.col("as_") > F.col("bs"), F.col("an") * F.col("bn"))),
+            F.lit(0),
+        ).alias("conc"),
+        F.coalesce(
+            F.sum(F.when(F.col("as_") == F.col("bs"), F.col("an") * F.col("bn"))),
+            F.lit(0),
+        ).alias("tied"),
+    )
+    n_row = cells.agg(F.sum("n").alias("nn"))
+    out = red.join(F.broadcast(n_row)).select(
+        F.round(
+            F.when(
+                F.col("np") > 0,
+                (F.col("conc") + 0.5 * F.col("tied")) / F.col("np"),
+            ),
+            round_to,
+        ).alias("c_index"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("tied").cast("long").alias("tied"),
+        F.col("nn").cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def quantile_compare(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    probs: "tuple[float, ...]" = (0.1, 0.25, 0.5, 0.75, 0.9),
+    round_to: int = 6,
+) -> LazyFrame:
+    """Side-by-side quantile (Q-Q) table of two groups' distributions plus
+    per-quantile gaps — the drift view that says WHERE the distributions
+    diverge (wasserstein_1d gives the total, ks_test the worst point;
+    this names the quantiles).  Quantile rule: inverse CDF, the smallest
+    value whose cumulative count reaches ceil(p·n) (type-1 / 'lower',
+    exactly replicable in SQL).
+
+    Scale shape: values collapse to distinct levels with per-group counts
+    map-side; both cumulative counts ride ONE distsort prefix pass
+    (shared exchange — the wasserstein_1d plan); the bounded literal prob
+    grid fans out map-only (explode of a literal array) and one aggregate
+    picks each quantile.  Output: (p, q_a, q_b, gap) sorted by p."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    probs = tuple(float(p) for p in probs)
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be in (0, 1]")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    a_flag = (g == F.lit(group_a)).cast("long")
+    b_flag = (g == F.lit(group_b)).cast("long")
+    base = (
+        sdf.filter(v.isNotNull() & (g.isin([group_a, group_b])))
+        .groupBy(v.alias("__v__"))
+        .agg(F.sum(a_flag).alias("__ca__"), F.sum(b_flag).alias("__cb__"))
+    )
+    bucketed, gb = with_range_buckets(base, "__v__")
+    offs, tot = with_prefix_offsets(
+        bucketed, gb, {"a": F.col("__ca__"), "b": F.col("__cb__")}
+    )
+    na, nb = float(tot["a"]), float(tot["b"])
+    if na <= 0 or nb <= 0:
+        raise ValueError("quantile_compare: both groups need at least one value")
+    w = Window.partitionBy(gb).orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_a = F.col("__off_a__") + F.sum("__ca__").over(w)
+    cum_b = F.col("__off_b__") + F.sum("__cb__").over(w)
+    staged = offs.select("__v__", cum_a.alias("__cna__"), cum_b.alias("__cnb__"))
+    grid = staged.select(
+        "__v__", "__cna__", "__cnb__",
+        F.explode(F.array(*[F.lit(p) for p in probs])).alias("p"),
+    )
+    out = (
+        grid.groupBy("p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cna__") >= F.ceil(F.col("p") * F.lit(na)),
+                    F.col("__v__"),
+                )
+            ).alias("qa"),
+            F.min(
+                F.when(
+                    F.col("__cnb__") >= F.ceil(F.col("p") * F.lit(nb)),
+                    F.col("__v__"),
+                )
+            ).alias("qb"),
+        )
+        .select(
+            F.round("p", 6).alias("p"),
+            F.round("qa", round_to).alias("q_a"),
+            F.round("qb", round_to).alias("q_b"),
+            F.round(F.col("qb") - F.col("qa"), round_to).alias("gap"),
+        )
+        .orderBy("p")
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["c_index", "quantile_compare"])

@@ -708,6 +708,7 @@ def main() -> None:
         "q266_concentration",       # 1-row grand-total + 1-row head-share attach
         "q269_fk_integrity",        # four 1-row audit scalars meet in bounded broadcasts
         "q274_kendall_tau",         # |cells|^2 x-order self-join, bounded by joint cardinality (chi2-margins contract)
+        "q330_c_index",             # |cells|^2 t-order self-join, bounded by (t,d,s) joint cardinality (kendall contract)
         "q275_cramers_v",           # chi2 margins grid + 1-row cardinality attach (q191 class)
         "q289_bradley_terry",       # 1-row score-total attach for normalization
         "q291_info_gain",           # 1-row label-entropy attach
