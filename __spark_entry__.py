@@ -11531,6 +11531,146 @@ GROUP BY 1, 2
 """
 
 
+def _q333(spark, sf_dir):
+    """Qini uplift-evaluation table (operators/mleval.py qini_curve):
+    distsort descending ranks -> exact rank slices -> cumulative
+    incremental-outcome vs control-scaled counterfactual.  The uplift
+    counterpart of q307 gains_chart."""
+    from polars_net_spark.operators.mleval import qini_curve
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(F.col("user_id").isNotNull()).select(
+        ((F.col("user_id") % 97) / 97.0).alias("s"),
+        F.col("event_id").alias("id"),
+        (F.col("event_id") % 2).cast("double").alias("t"),
+        F.when(F.col("event_type") == "click", 1.0).otherwise(0.0).alias("y"),
+    )
+    return qini_curve(d, "s", "t", "y", "id", n_buckets=5).spark
+
+
+_q333_sql = """
+WITH b AS (SELECT (user_id % 97) / 97.0 AS s, event_id AS id,
+                  CAST(event_id % 2 AS DOUBLE) AS t,
+                  CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT *, row_number() OVER (ORDER BY s DESC, id) AS rk,
+             count(*) OVER () AS n
+      FROM b),
+per AS (SELECT CAST(floor((rk - 1) * 5.0 / n) AS INT) AS bucket,
+               sum(t) AS nt, sum(1 - t) AS nc,
+               sum(t * y) AS yt, sum((1 - t) * y) AS yc
+        FROM r GROUP BY 1),
+c AS (SELECT bucket, nt, nc, yt, yc,
+             sum(nt) OVER (ORDER BY bucket) AS cnt,
+             sum(nc) OVER (ORDER BY bucket) AS cnc,
+             sum(yt) OVER (ORDER BY bucket) AS cyt,
+             sum(yc) OVER (ORDER BY bucket) AS cyc
+      FROM per)
+SELECT bucket, CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+       round(yt, 6) AS y_treat, round(yc, 6) AS y_ctrl,
+       round(CASE WHEN cnc > 0 THEN cyt - cyc * cnt / cnc END, 6) AS qini,
+       round(CASE WHEN cnt > 0 AND cnc > 0 THEN cyt / cnt - cyc / cnc END, 6)
+         AS cum_uplift
+FROM c
+"""
+
+
+def _huber_oracle_sql(delta: float = 5000.0, iterations: int = 5) -> str:
+    parts = [
+        "b AS (SELECT CAST(l_quantity AS DOUBLE) AS x, "
+        "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)"
+    ]
+    prev = None
+    for i in range(iterations):
+        if prev is None:
+            w = "1.0"
+            src = "b"
+        else:
+            w = (
+                f"CASE WHEN abs(y - {prev}.aa - {prev}.bb * x) <= {delta} "
+                f"THEN 1.0 ELSE {delta} / abs(y - {prev}.aa - {prev}.bb * x) END"
+            )
+            src = f"b, {prev}"
+        parts.append(
+            f"m{i} AS (SELECT count(*) AS n, sum({w}) AS sw, sum(({w}) * x) AS swx, "
+            f"sum(({w}) * y) AS swy, sum(({w}) * x * x) AS swxx, "
+            f"sum(({w}) * x * y) AS swxy FROM {src})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT n, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS bb, "
+            f"(swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx) / sw AS aa "
+            f"FROM m{i})"
+        )
+        prev = f"c{i}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT round(bb, 6) AS slope, round(aa, 6) AS intercept, "
+        f"CAST(n AS BIGINT) AS n, {iterations} AS iterations, "
+        f"CAST({delta} AS DOUBLE) AS delta FROM {prev}"
+    )
+
+
+def _q334(spark, sf_dir):
+    """Huber-loss robust fit of extendedprice ~ quantity
+    (operators/regression.py huber_fit): 5 IRLS rounds, each ONE fused
+    weighted-moment all-reduce with the previous coefficients as plan
+    literals — the unrolled-rounds oracle convention (pagerank/k-core)."""
+    from polars_net_spark.operators.regression import huber_fit
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return huber_fit(
+        li, "l_quantity", "l_extendedprice", delta=5000.0, iterations=5
+    ).spark
+
+
+_q334_sql = _huber_oracle_sql()
+
+
+def _q335(spark, sf_dir):
+    """Two-sample Poisson rate test (operators/regression.py
+    poisson_rate_test): synthetic per-event counts and exposures, click vs
+    error arms — ONE fused conditional all-reduce, Wald z + log-scale
+    rate-ratio CI; the count counterpart of prop_ztest."""
+    from polars_net_spark.operators.regression import poisson_rate_test
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isin(["click", "error"])
+    ).select(
+        "event_type",
+        (F.col("event_id") % 5).cast("double").alias("c"),
+        (1.0 + (F.col("user_id") % 3)).cast("double").alias("e"),
+    )
+    return poisson_rate_test(d, "c", "e", "event_type", "click", "error").spark
+
+
+_q335_sql = """
+WITH b AS (SELECT event_type AS g, CAST(event_id % 5 AS DOUBLE) AS c,
+                  1.0 + (user_id % 3) AS e
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IN ('click', 'error')),
+r AS (SELECT sum(CASE WHEN g = 'click' THEN c ELSE 0 END) AS ca,
+             sum(CASE WHEN g = 'click' THEN e ELSE 0 END) AS ea,
+             sum(CASE WHEN g = 'error' THEN c ELSE 0 END) AS cb,
+             sum(CASE WHEN g = 'error' THEN e ELSE 0 END) AS eb,
+             count(CASE WHEN g = 'click' THEN 1 END) AS na,
+             count(CASE WHEN g = 'error' THEN 1 END) AS nb
+      FROM b)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ca / ea, 6) AS rate_a, round(cb / eb, 6) AS rate_b,
+       round(ca / ea - cb / eb, 6) AS diff,
+       round((ca / ea - cb / eb) / sqrt(ca / (ea * ea) + cb / (eb * eb)), 6)
+         AS z_stat,
+       round(ca * eb / (ea * cb), 6) AS ratio,
+       round(exp(ln(ca * eb / (ea * cb)) - 1.96 * sqrt(1.0 / ca + 1.0 / cb)), 6)
+         AS ratio_lo,
+       round(exp(ln(ca * eb / (ea * cb)) + 1.96 * sqrt(1.0 / ca + 1.0 / cb)), 6)
+         AS ratio_hi
+FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -11865,6 +12005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q330_c_index": _q330,
         "q331_qq_drift": _q331,
         "q332_embedding_cov": _q332,
+        "q333_qini": _q333,
+        "q334_huber": _q334,
+        "q335_poisson_rate": _q335,
     }
 
 
@@ -12202,4 +12345,7 @@ def oracle_sql() -> dict[str, str]:
         "q330_c_index": _q330_sql,
         "q331_qq_drift": _q331_sql,
         "q332_embedding_cov": _q332_sql,
+        "q333_qini": _q333_sql,
+        "q334_huber": _q334_sql,
+        "q335_poisson_rate": _q335_sql,
     }

@@ -361,3 +361,77 @@ def average_precision(
         F.col("n").cast("long").alias("n"),
     )
     return LazyFrame(out)
+
+
+def qini_curve(
+    frame: "LazyFrame | SparkDF",
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Qini table for UPLIFT-model evaluation — the treatment-effect
+    counterpart of gains_chart: rows rank by uplift score DESCENDING
+    (ties by ``id_col``), split into exact rank slices, and each slice
+    reports the cumulative Qini value
+    Y_t(cum) − Y_c(cum)·N_t(cum)/N_c(cum) (incremental outcomes vs the
+    control-scaled counterfactual) plus the cumulative uplift rate
+    Y_t/N_t − Y_c/N_c.  A good uplift model front-loads positive Qini;
+    random targeting gives ~0 everywhere.
+
+    Scale shape: identical to gains_chart — distsort descending ranks
+    (no data-sized window), one slice aggregate, then the k-row table
+    rides bounded windows.  Output: (bucket, n_treat, n_ctrl, y_treat,
+    y_ctrl, qini, cum_uplift); control-empty prefixes give nulls."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    sdf = _sdf(frame)
+    s = F.col(score_col).cast("double")
+    t = F.col(treat_col).cast("double")
+    yv = F.col(outcome_col).cast("double")
+    base = sdf.filter(
+        s.isNotNull() & t.isNotNull() & yv.isNotNull() & t.isin([0.0, 1.0])
+    ).select(
+        s.alias("__s__"), F.col(id_col).alias("__id__"),
+        t.alias("__t__"), yv.alias("__y__"),
+    )
+    bucketed, gb = with_range_buckets(base, "__s__", desc=True)
+    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    n = int(tot["c"])
+    if n == 0:
+        raise ValueError("qini_curve: no usable rows")
+    w = Window.partitionBy(gb).orderBy(F.col("__s__").desc(), F.col("__id__"))
+    rank = (F.col("__off_c__") + F.row_number().over(w)).cast("long")
+    k = int(n_buckets)
+    per = (
+        offs.withColumn("bucket", F.floor((rank - 1) * k / n).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("__t__").alias("nt"),
+            F.sum(1 - F.col("__t__")).alias("nc"),
+            F.sum(F.col("__t__") * F.col("__y__")).alias("yt"),
+            F.sum((1 - F.col("__t__")) * F.col("__y__")).alias("yc"),
+        )
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cnt, cnc = F.sum("nt").over(wc), F.sum("nc").over(wc)
+    cyt, cyc = F.sum("yt").over(wc), F.sum("yc").over(wc)
+    qini = F.when(cnc > 0, cyt - cyc * cnt / cnc)
+    uplift = F.when((cnt > 0) & (cnc > 0), cyt / cnt - cyc / cnc)
+    out = per.select(
+        "bucket",
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.round("yt", round_to).alias("y_treat"),
+        F.round("yc", round_to).alias("y_ctrl"),
+        F.round(qini, round_to).alias("qini"),
+        F.round(uplift, round_to).alias("cum_uplift"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("qini_curve")

@@ -2355,3 +2355,146 @@ def jackknife_ratio_ci(
 __all__.extend(
     ["mann_kendall", "ipw_ate", "power_mde_report", "jackknife_ratio_ci"]
 )
+
+
+def huber_fit(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    delta: float = 1.0,
+    iterations: int = 5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Robust linear fit y ~ a + b·x under the Huber loss via ``iterations``
+    rounds of IRLS — between OLS (fit_linear_by_key: zero breakdown, every
+    outlier pulls) and Theil–Sen (theil_sen_by_key: O(n²) pairs): residuals
+    beyond ``delta`` get weight delta/|r| (L1 treatment), inliers weight 1
+    (L2).  ``delta`` is in the RESPONSE's absolute units (fixed, not
+    rescaled per round — the closed-form choice that keeps every round one
+    weighted-moment aggregate an external engine can replay; pre-scale y
+    for studentized behavior).
+
+    Scale shape: per round ONE fused weighted-moment all-reduce (Σw, Σwx,
+    Σwy, Σwx², Σwxy) with the previous round's (a, b) as plan literals —
+    driver holds 2 scalars, nothing else leaves the executors.  Fixed
+    round count = deterministic and oracle-replayable (the pagerank/LPA
+    unroll convention).  Output (1 row): slope, intercept, n, iterations,
+    delta."""
+    if delta <= 0:
+        raise ValueError("delta must be > 0")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    yv = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & yv.isNotNull()).select(
+        x.alias("__x__"), yv.alias("__y__")
+    )
+    base.persist()
+    try:
+        a = b = None
+        n = None
+        for _ in range(int(iterations)):
+            if a is None:
+                w = F.lit(1.0)
+            else:
+                r = F.abs(F.col("__y__") - F.lit(a) - F.lit(b) * F.col("__x__"))
+                w = F.when(r <= F.lit(float(delta)), F.lit(1.0)).otherwise(
+                    F.lit(float(delta)) / r
+                )
+            m = base.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(w).alias("sw"),
+                F.sum(w * F.col("__x__")).alias("swx"),
+                F.sum(w * F.col("__y__")).alias("swy"),
+                F.sum(w * F.col("__x__") ** 2).alias("swxx"),
+                F.sum(w * F.col("__x__") * F.col("__y__")).alias("swxy"),
+            ).collect()[0]
+            n = int(m["n"])
+            if n < 2:
+                raise ValueError("huber_fit needs at least 2 points")
+            det = m["sw"] * m["swxx"] - m["swx"] ** 2
+            if det == 0:
+                raise ValueError("huber_fit: zero x-variance")
+            b = (m["sw"] * m["swxy"] - m["swx"] * m["swy"]) / det
+            a = (m["swy"] - b * m["swx"]) / m["sw"]
+    finally:
+        base.unpersist()
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(b, round_to), round(a, round_to), n, int(iterations),
+          float(delta))],
+        "slope double, intercept double, n bigint, iterations int, "
+        "delta double",
+    )
+    return LazyFrame(out)
+
+
+def poisson_rate_test(
+    frame: "LazyFrame | SparkDF",
+    count_col: str,
+    exposure_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Two-sample Poisson RATE test for incident/defect/event counts with
+    unequal exposure (machine-hours, sessions, page-views) — the count
+    counterpart of prop_ztest: rate = ΣC/ΣE per arm, Wald
+    z = (r_a − r_b)/√(C_a/E_a² + C_b/E_b²), and the rate-ratio CI from
+    the log scale: exp(ln(r_a/r_b) ± z·√(1/C_a + 1/C_b)).
+
+    ONE fused conditional all-reduce; rows with null count/exposure/group
+    drop; zero counts null the ratio CI (log undefined), zero exposure
+    raises.  Output (1 row): n_a, n_b, rate_a, rate_b, diff, z_stat,
+    ratio, ratio_lo, ratio_hi."""
+    sdf = _sdf(frame)
+    c = F.col(count_col).cast("double")
+    ex = F.col(exposure_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(
+        c.isNotNull() & ex.isNotNull() & g.isin([group_a, group_b])
+    )
+    isa = (g == F.lit(group_a))
+    red = base.agg(
+        F.sum(F.when(isa, c).otherwise(F.lit(0.0))).alias("ca"),
+        F.sum(F.when(isa, ex).otherwise(F.lit(0.0))).alias("ea"),
+        F.sum(F.when(~isa, c).otherwise(F.lit(0.0))).alias("cb"),
+        F.sum(F.when(~isa, ex).otherwise(F.lit(0.0))).alias("eb"),
+        F.count(F.when(isa, 1)).alias("na"),
+        F.count(F.when(~isa, 1)).alias("nb"),
+    ).collect()[0]
+    ca, ea, cb, eb = (float(red[k] or 0) for k in ("ca", "ea", "cb", "eb"))
+    if ea <= 0 or eb <= 0:
+        raise ValueError("poisson_rate_test: both groups need exposure > 0")
+    ra, rb = ca / ea, cb / eb
+    import math
+
+    var = ca / ea ** 2 + cb / eb ** 2
+    zs = (ra - rb) / math.sqrt(var) if var > 0 else 0.0
+    if ca > 0 and cb > 0:
+        lr = math.log(ra / rb)
+        se = math.sqrt(1.0 / ca + 1.0 / cb)
+        ratio = round(ra / rb, round_to)
+        lo = round(math.exp(lr - z * se), round_to)
+        hi = round(math.exp(lr + z * se), round_to)
+    else:
+        ratio = round(ra / rb, round_to) if rb > 0 else None
+        lo = hi = None
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            int(red["na"]), int(red["nb"]),
+            round(ra, round_to), round(rb, round_to),
+            round(ra - rb, round_to), round(zs, round_to),
+            ratio, lo, hi,
+        )],
+        "n_a bigint, n_b bigint, rate_a double, rate_b double, diff double, "
+        "z_stat double, ratio double, ratio_lo double, ratio_hi double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["huber_fit", "poisson_rate_test"])
