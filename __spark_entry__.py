@@ -11671,6 +11671,160 @@ FROM r
 """
 
 
+def _q336(spark, sf_dir):
+    """HTML markup stripping (llm/text.py strip_markup_frame) on a corpus
+    with injected tags/script/comment/entities on every 2nd doc — the
+    C4-style web-crawl pre-step; RE2-safe regex chain, map-only, the
+    DuckDB oracle replays every pattern verbatim."""
+    from polars_net_spark.llm.text import strip_markup_frame
+
+    d = _t(spark, sf_dir, "documents").spark
+    marked = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<p class=x>"), F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p><script>var x=1;</script><!-- c -->&amp; done"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_markup_frame(marked).spark.select(
+        "doc_id", "clean_text", "n_tags"
+    )
+
+
+_q336_sql = r"""
+WITH c AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0
+       THEN '<p class=x>' || coalesce(text, '')
+            || '</p><script>var x=1;</script><!-- c -->&amp; done'
+       ELSE text END AS text
+  FROM documents),
+b AS (SELECT doc_id, coalesce(text, '') AS t FROM c),
+s AS (SELECT doc_id,
+  len(regexp_extract_all(t, '<[^>]*>')) AS n_tags,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '(?is)<script[^>]*>.*?(</script>|$)', ' ', 'g'),
+        '(?is)<style[^>]*>.*?(</style>|$)', ' ', 'g'),
+      '(?s)<!--.*?(-->|$)', ' ', 'g'),
+    '<[^>]*>', ' ', 'g') AS x
+  FROM b)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      x, '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', chr(39)),
+    '\s+', ' ', 'g')) AS clean_text,
+  CAST(n_tags AS BIGINT) AS n_tags
+FROM s
+"""
+
+
+def _q337(spark, sf_dir):
+    """Unicode-script composition (llm/text.py script_detect_frame) on a
+    corpus where every 5th doc gains Cyrillic/CJK/digits — per-script
+    character shares + deterministic dominant (share desc, name asc);
+    one RE2-replayable regexp count per script, zero shuffle."""
+    from polars_net_spark.llm.text import script_detect_frame
+
+    d = _t(spark, sf_dir, "documents").spark
+    marked = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" Привет мир 你好世界 12345")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return script_detect_frame(marked).spark
+
+
+_q337_sql = """
+WITH c AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0
+       THEN coalesce(text, '') || ' Привет мир 你好世界 12345'
+       ELSE text END AS text
+  FROM documents),
+b AS (SELECT doc_id, coalesce(text, '') AS t FROM c),
+k AS (SELECT doc_id, length(t) AS n_chars,
+  len(regexp_extract_all(t, '[A-Za-zÀ-ÖØ-öø-ÿĀ-ſ]')) AS c_latin,
+  len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS c_cyrillic,
+  len(regexp_extract_all(t, '[Ͱ-Ͽ]')) AS c_greek,
+  len(regexp_extract_all(t, '[؀-ۿ]')) AS c_arabic,
+  len(regexp_extract_all(t, '[֐-׿]')) AS c_hebrew,
+  len(regexp_extract_all(t, '[ऀ-ॿ]')) AS c_devanagari,
+  len(regexp_extract_all(t, '[一-鿿぀-ゟ゠-ヿ가-힯]')) AS c_cjk,
+  len(regexp_extract_all(t, '[0-9]')) AS c_digit
+  FROM b),
+sh AS (SELECT doc_id, n_chars,
+  c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew + c_devanagari
+    + c_cjk + c_digit AS tot,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_latin * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_latin,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_cyrillic * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_cyrillic,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_greek * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_greek,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_arabic * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_arabic,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_hebrew * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_hebrew,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_devanagari * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_devanagari,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_cjk * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_cjk,
+  CASE WHEN c_latin + c_cyrillic + c_greek + c_arabic + c_hebrew
+            + c_devanagari + c_cjk + c_digit > 0
+       THEN round(c_digit * 1.0 / (c_latin + c_cyrillic + c_greek + c_arabic
+            + c_hebrew + c_devanagari + c_cjk + c_digit), 6) ELSE 0.0 END AS share_digit
+  FROM k)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  share_latin, share_cyrillic, share_greek, share_arabic, share_hebrew,
+  share_devanagari, share_cjk, share_digit,
+  CASE WHEN tot = 0 THEN 'unknown'
+       WHEN share_arabic = greatest(share_latin, share_cyrillic, share_greek,
+            share_arabic, share_hebrew, share_devanagari, share_cjk,
+            share_digit) THEN 'arabic'
+       WHEN share_cjk = greatest(share_latin, share_cyrillic, share_greek,
+            share_arabic, share_hebrew, share_devanagari, share_cjk,
+            share_digit) THEN 'cjk'
+       WHEN share_cyrillic = greatest(share_latin, share_cyrillic, share_greek,
+            share_arabic, share_hebrew, share_devanagari, share_cjk,
+            share_digit) THEN 'cyrillic'
+       WHEN share_devanagari = greatest(share_latin, share_cyrillic,
+            share_greek, share_arabic, share_hebrew, share_devanagari,
+            share_cjk, share_digit) THEN 'devanagari'
+       WHEN share_digit = greatest(share_latin, share_cyrillic, share_greek,
+            share_arabic, share_hebrew, share_devanagari, share_cjk,
+            share_digit) THEN 'digit'
+       WHEN share_greek = greatest(share_latin, share_cyrillic, share_greek,
+            share_arabic, share_hebrew, share_devanagari, share_cjk,
+            share_digit) THEN 'greek'
+       WHEN share_hebrew = greatest(share_latin, share_cyrillic, share_greek,
+            share_arabic, share_hebrew, share_devanagari, share_cjk,
+            share_digit) THEN 'hebrew'
+       ELSE 'latin' END AS dominant
+FROM sh
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -12008,6 +12162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q333_qini": _q333,
         "q334_huber": _q334,
         "q335_poisson_rate": _q335,
+        "q336_strip_markup": _q336,
+        "q337_script_detect": _q337,
     }
 
 
@@ -12348,4 +12504,6 @@ def oracle_sql() -> dict[str, str]:
         "q333_qini": _q333_sql,
         "q334_huber": _q334_sql,
         "q335_poisson_rate": _q335_sql,
+        "q336_strip_markup": _q336_sql,
+        "q337_script_detect": _q337_sql,
     }

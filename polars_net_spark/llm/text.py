@@ -896,3 +896,119 @@ def fertility_report(
 
 
 __all__.append("fertility_report")
+
+
+def strip_markup_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+):
+    """HTML/XML markup removal — the C4/web-crawl pre-step this family was
+    missing: drops <script>/<style> blocks WITH their contents, strips
+    remaining tags and comments, decodes the common named entities
+    (&amp; &lt; &gt; &quot; &#39; &nbsp;), and collapses the whitespace
+    the removals leave behind.  Regexes are RE2-safe (no lookarounds) so
+    the DuckDB oracle replays them verbatim.
+
+    Deliberately a TAG STRIPPER, not an HTML5 parser: malformed nesting
+    degrades gracefully (unclosed <script> eats to end of doc — the same
+    choice C4 makes); use a real parser upstream when DOM fidelity
+    matters.  Pure map-side Column math, zero shuffle.  Output: input
+    columns + out_col + n_tags (markup elements removed)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tags = F.size(F.regexp_extract_all(t, F.lit(r"<[^>]*>"), 0))
+    # script/style blocks go first (contents too), then comments, then tags
+    s = F.regexp_replace(t, r"(?is)<script[^>]*>.*?(</script>|$)", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?(</style>|$)", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?(-->|$)", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    out = sdf.withColumn(out_col, s).withColumn(
+        "n_tags", n_tags.cast("long")
+    )
+    return LazyFrame(out)
+
+
+# Unicode script blocks as RE2-safe literal ranges — both engines (Java
+# regex, RE2) treat these as plain code-point ranges, so the oracle
+# replays them byte-for-byte.
+_SCRIPT_RANGES: "dict[str, str]" = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ÿĀ-ſ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "hebrew": "[֐-׿]",
+    "devanagari": "[ऀ-ॿ]",
+    "cjk": "[一-鿿぀-ゟ゠-ヿ가-힯]",
+    "digit": "[0-9]",
+}
+
+
+def script_detect_frame(
+    frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+):
+    """Unicode-script composition per document — the triage that catches
+    wrong-language/mojibake/spam docs the stopword language_id heuristic
+    can't (it only knows its marker words): per-script character SHARES
+    (of script-classified chars) and the dominant script with a
+    deterministic tie-break (share desc, then name asc).  Docs with no
+    script-classified characters get dominant='unknown'.
+
+    One regexp_extract_all count per script — pure map-side Column math,
+    zero shuffle, RE2-replayable ranges.  Output: (id, n_chars,
+    share_<script>..., dominant)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(rng), 0))
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    shares = {
+        name: F.when(total > 0, F.round(c / total, round_to)).otherwise(
+            F.lit(0.0)
+        )
+        for name, c in counts.items()
+    }
+    # deterministic argmax: least over (-share, name) structs = share desc,
+    # name asc on ties (matches the oracle's name-ascending CASE chain)
+    best = F.least(
+        *[
+            F.struct(
+                (-shares[name]).alias("s"),
+                F.lit(name).alias("n"),
+            )
+            for name in sorted(_SCRIPT_RANGES)
+        ]
+    )
+    dominant = F.when(total > 0, best.getField("n")).otherwise(F.lit("unknown"))
+    out = sdf.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *[shares[name].alias(f"share_{name}") for name in _SCRIPT_RANGES],
+        dominant.alias("dominant"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["strip_markup_frame", "script_detect_frame"])

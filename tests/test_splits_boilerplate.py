@@ -164,3 +164,72 @@ class TestFertility:
         out = {r[0]: r for r in fertility_report(d, by="g").collect().rows()}
         assert out["a"][2] == 2 and out["a"][3] == 2  # words, tokens
         assert out["b"][2] == 1 and out["b"][3] == 3
+
+
+class TestStripMarkup:
+    def test_basic_strip(self, spark):
+        from polars_net_spark.llm.text import strip_markup_frame
+
+        d = spark.createDataFrame(
+            [(1, '<html><body><p>Hello <b>world</b></p>'
+                 '<script>var x=1;</script><!-- hidden -->'
+                 '&amp; more &lt;stuff&gt;</body></html>'),
+             (2, 'plain text'),
+             (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in strip_markup_frame(d).spark.collect()}
+        assert out[1]["clean_text"] == "Hello world & more <stuff>"
+        assert out[1]["n_tags"] > 5
+        assert out[2]["clean_text"] == "plain text" and out[2]["n_tags"] == 0
+        assert out[3]["clean_text"] == ""
+
+    def test_unclosed_script_eats_tail(self, spark):
+        from polars_net_spark.llm.text import strip_markup_frame
+
+        d = spark.createDataFrame(
+            [(1, 'keep <script>never() closed')], "doc_id long, text string"
+        )
+        (r,) = strip_markup_frame(d).spark.collect()
+        assert r["clean_text"] == "keep"
+
+    def test_style_and_nbsp(self, spark):
+        from polars_net_spark.llm.text import strip_markup_frame
+
+        d = spark.createDataFrame(
+            [(1, 'a<style>p{color:red}</style>b&nbsp;c')],
+            "doc_id long, text string",
+        )
+        (r,) = strip_markup_frame(d).spark.collect()
+        assert r["clean_text"] == "a b c"
+
+
+class TestScriptDetect:
+    def test_dominant_scripts(self, spark):
+        from polars_net_spark.llm.text import script_detect_frame
+
+        d = spark.createDataFrame(
+            [(1, "hello world"), (2, "Привет мир"), (3, "你好世界"),
+             (4, "12345"), (5, "!!!"), (6, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in script_detect_frame(d).spark.collect()}
+        assert out[1]["dominant"] == "latin" and out[1]["share_latin"] == 1.0
+        assert out[2]["dominant"] == "cyrillic"
+        assert out[3]["dominant"] == "cjk"
+        assert out[4]["dominant"] == "digit"
+        assert out[5]["dominant"] == "unknown"
+        assert out[6]["dominant"] == "unknown" and out[6]["n_chars"] == 0
+
+    def test_mixed_shares_and_tiebreak(self, spark):
+        from polars_net_spark.llm.text import script_detect_frame
+
+        d = spark.createDataFrame(
+            [(1, "abcd Привет"), (2, "ab12")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in script_detect_frame(d).spark.collect()}
+        assert abs(out[1]["share_latin"] - 4 / 10) < 1e-9
+        assert abs(out[1]["share_cyrillic"] - 6 / 10) < 1e-9
+        assert out[1]["dominant"] == "cyrillic"
+        # exact 50/50 latin vs digit -> name-ascending tie-break = digit
+        assert out[2]["dominant"] == "digit"
