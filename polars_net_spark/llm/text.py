@@ -968,19 +968,34 @@ def script_detect_frame(
     deterministic tie-break (share desc, then name asc).  Docs with no
     script-classified characters get dominant='unknown'.
 
-    One regexp_extract_all count per script — pure map-side Column math,
-    zero shuffle, RE2-replayable ranges.  Output: (id, n_chars,
-    share_<script>..., dominant)."""
+    One deletion-count regex per script (length minus
+    regexp_replace-to-empty length — no match-array allocation), staged
+    behind a NARROW cached projection (id + 9 ints) so the share columns
+    and the dominant argmax reference each count ONCE: Catalyst's
+    project-collapse re-inlines complex expressions into every reference
+    (the _stage_words pathology — measured 13.3 s -> ~1 s on this op at
+    sf0.1), and every script range is a single-char class so deletion
+    counts equal match counts exactly.  RE2-replayable.  Output: (id,
+    n_chars, share_<script>..., dominant)."""
     from pyspark.sql import DataFrame as SparkDF
 
     from ..frame import LazyFrame
 
     sdf = frame if isinstance(frame, SparkDF) else frame.spark
     t = F.coalesce(F.col(text_col), F.lit(""))
-    counts = {
-        name: F.size(F.regexp_extract_all(t, F.lit(rng), 0))
-        for name, rng in _SCRIPT_RANGES.items()
-    }
+    staged = register_cache(
+        sdf.select(
+            F.col(id_col),
+            F.length(t).cast("long").alias("__nch__"),
+            *[
+                (F.length(t) - F.length(F.regexp_replace(t, rng, "")))
+                .cast("long")
+                .alias(f"__c_{name}__")
+                for name, rng in _SCRIPT_RANGES.items()
+            ],
+        )
+    )
+    counts = {name: F.col(f"__c_{name}__") for name in _SCRIPT_RANGES}
     total = None
     for c in counts.values():
         total = c if total is None else total + c
@@ -1002,9 +1017,9 @@ def script_detect_frame(
         ]
     )
     dominant = F.when(total > 0, best.getField("n")).otherwise(F.lit("unknown"))
-    out = sdf.select(
+    out = staged.select(
         F.col(id_col),
-        F.length(t).cast("long").alias("n_chars"),
+        F.col("__nch__").alias("n_chars"),
         *[shares[name].alias(f"share_{name}") for name in _SCRIPT_RANGES],
         dominant.alias("dominant"),
     )
