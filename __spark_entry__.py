@@ -11825,6 +11825,98 @@ FROM sh
 """
 
 
+def _q338(spark, sf_dir):
+    """Two-way fixed-effects (within) estimator (operators/regression.py
+    fe_regression) on a synthetic user x period panel from events: unit
+    and time means join back on their own keys, grand mean folds in as
+    plan literals, ONE fused moment all-reduce; correct FE degrees of
+    freedom n - N_u - (N_t - 1) - 1.  The did_report generalization."""
+    from polars_net_spark.operators.regression import fe_regression
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("user_id") % 50).alias("u"),
+        (F.col("event_id") % 12).alias("t"),
+        (F.col("event_id") % 7).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return fe_regression(d, "y", "x", "u", "t").spark
+
+
+_q338_sql = """
+WITH b AS (SELECT user_id % 50 AS u, event_id % 12 AS t,
+                  CAST(event_id % 7 AS DOUBLE) AS x, value AS y
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+g AS (SELECT count(*) * 1.0 AS n, avg(y) AS gy, avg(x) AS gx,
+             count(DISTINCT u) AS nu, count(DISTINCT t) AS nt FROM b),
+um AS (SELECT u, avg(y) AS uy, avg(x) AS ux FROM b GROUP BY 1),
+tm AS (SELECT t, avg(y) AS ty, avg(x) AS tx FROM b GROUP BY 1),
+m AS (SELECT sum((x - ux - tx + gx) * (y - uy - ty + gy)) AS sxy,
+             sum(pow(x - ux - tx + gx, 2)) AS sxx,
+             sum(pow(y - uy - ty + gy, 2)) AS syy
+      FROM b JOIN um USING (u) JOIN tm USING (t), g),
+k AS (SELECT sxy / sxx AS beta,
+             sqrt(greatest(syy - sxy * sxy / sxx, 0)
+                  / (n - nu - (nt - 1) - 1) / sxx) AS se,
+             n, nu, nt
+      FROM m, g)
+SELECT round(beta, 6) AS beta, round(se, 6) AS se,
+       round(beta / se, 6) AS t_stat, CAST(n AS BIGINT) AS n,
+       CAST(nu AS BIGINT) AS n_units, CAST(nt AS BIGINT) AS n_times
+FROM k
+"""
+
+
+def _q339(spark, sf_dir):
+    """Best mean-shift changepoint (operators/regression.py
+    best_changepoint) on the daily event-value series: the binary-
+    segmentation split from prefix (count, sum, sum-of-squares) on ONE
+    distsort pass + a 1-row struct argmax — the locator beside q180's
+    CUSUM detector."""
+    from polars_net_spark.operators.regression import best_changepoint
+
+    ev = _t(spark, sf_dir, "events").spark
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2020-01-01").cast("date"))
+            .cast("double")
+            .alias("t")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return best_changepoint(daily, "t", "v").spark
+
+
+_q339_sql = """
+WITH s AS (SELECT CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS DOUBLE) AS t,
+                  round(sum(value), 6) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+tot AS (SELECT count(*) * 1.0 AS n, sum(v) AS sv, sum(v * v) AS sq FROM s),
+c AS (SELECT t, v,
+             row_number() OVER (ORDER BY t) AS cc,
+             sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             sum(v * v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+      FROM s),
+cand AS (SELECT t, cc, cs,
+                round((sq - sv * sv / n)
+                      - (cq - cs * cs / cc)
+                      - ((sq - cq) - (sv - cs) * (sv - cs) / (n - cc)), 9) AS gain,
+                n, sv
+         FROM c, tot
+         WHERE cc >= 2 AND cc <= n - 2),
+best AS (SELECT * FROM cand ORDER BY gain DESC, t ASC, cc ASC LIMIT 1)
+SELECT round(t, 6) AS split_at, CAST(cc AS BIGINT) AS n_left,
+       CAST(n - cc AS BIGINT) AS n_right,
+       round(cs / cc, 6) AS mean_left,
+       round((sv - cs) / (n - cc), 6) AS mean_right,
+       round(gain, 6) AS sse_drop
+FROM best
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -12164,6 +12256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q335_poisson_rate": _q335,
         "q336_strip_markup": _q336,
         "q337_script_detect": _q337,
+        "q338_fe_regression": _q338,
+        "q339_changepoint": _q339,
     }
 
 
@@ -12506,4 +12600,6 @@ def oracle_sql() -> dict[str, str]:
         "q335_poisson_rate": _q335_sql,
         "q336_strip_markup": _q336_sql,
         "q337_script_detect": _q337_sql,
+        "q338_fe_regression": _q338_sql,
+        "q339_changepoint": _q339_sql,
     }

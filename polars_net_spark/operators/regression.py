@@ -2498,3 +2498,184 @@ def poisson_rate_test(
 
 
 __all__.extend(["huber_fit", "poisson_rate_test"])
+
+
+def fe_regression(
+    frame: "LazyFrame | SparkDF",
+    y_col: str,
+    x_col: str,
+    unit_col: str,
+    time_col: "str | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Panel fixed-effects (within) estimator of y ~ β·x — the workhorse
+    "control for everything constant per user AND per period" regression
+    that generalizes did_report beyond 2×2: demean y and x by unit means
+    (one-way) or by unit AND time means with the grand mean added back
+    (two-way within transformation), then β = Σx̃ỹ / Σx̃², with the
+    homoskedastic SE on the within residual using the correct
+    fixed-effects degrees of freedom n − N_unit − (N_time − 1) − 1.
+
+    Scale shape: unit/time means are map-side-combining aggregates joined
+    back on their own keys (plain equi-joins, AQE broadcasts the tiny
+    side; the grand mean is folded as plan literals from the SAME
+    aggregate action), then ONE fused moment all-reduce.  No window, no
+    iteration.  Output (1 row): beta, se, t_stat, n, n_units[, n_times].
+    """
+    sdf = _sdf(frame)
+    yv = F.col(y_col).cast("double")
+    xv = F.col(x_col).cast("double")
+    cols = [F.col(unit_col).alias("__u__"), yv.alias("__y__"), xv.alias("__x__")]
+    if time_col is not None:
+        cols.append(F.col(time_col).alias("__t__"))
+    base = sdf.filter(
+        yv.isNotNull() & xv.isNotNull() & F.col(unit_col).isNotNull()
+        & (F.lit(True) if time_col is None else F.col(time_col).isNotNull())
+    ).select(*cols)
+    base.persist()
+    try:
+        g = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__y__").alias("gy"),
+            F.avg("__x__").alias("gx"),
+            F.count_distinct("__u__").alias("nu"),
+            *( [F.count_distinct("__t__").alias("nt")] if time_col else [] ),
+        ).collect()[0]
+        n, nu = int(g["n"]), int(g["nu"])
+        if n < 3:
+            raise ValueError("fe_regression needs at least 3 rows")
+        um = base.groupBy("__u__").agg(
+            F.avg("__y__").alias("__uy__"), F.avg("__x__").alias("__ux__")
+        )
+        staged = base.join(um, "__u__")
+        if time_col is not None:
+            tm = base.groupBy("__t__").agg(
+                F.avg("__y__").alias("__ty__"), F.avg("__x__").alias("__tx__")
+            )
+            staged = staged.join(tm, "__t__")
+            ydm = (
+                F.col("__y__") - F.col("__uy__") - F.col("__ty__")
+                + F.lit(float(g["gy"]))
+            )
+            xdm = (
+                F.col("__x__") - F.col("__ux__") - F.col("__tx__")
+                + F.lit(float(g["gx"]))
+            )
+            dof = n - nu - (int(g["nt"]) - 1) - 1
+        else:
+            ydm = F.col("__y__") - F.col("__uy__")
+            xdm = F.col("__x__") - F.col("__ux__")
+            dof = n - nu - 1
+        m = staged.agg(
+            F.sum(xdm * ydm).alias("sxy"),
+            F.sum(xdm ** 2).alias("sxx"),
+            F.sum(ydm ** 2).alias("syy"),
+        ).collect()[0]
+    finally:
+        base.unpersist()
+    sxx = float(m["sxx"] or 0)
+    if sxx <= 0:
+        raise ValueError("fe_regression: no within-variation in x")
+    beta = float(m["sxy"]) / sxx
+    sse = float(m["syy"]) - beta * float(m["sxy"])
+    se = (
+        (max(sse, 0.0) / dof / sxx) ** 0.5 if dof > 0 else None
+    )
+    spark = sdf.sparkSession
+    fields = [
+        round(beta, round_to),
+        None if se is None else round(se, round_to),
+        None if not se else round(beta / se, round_to),
+        n, nu,
+    ]
+    schema = "beta double, se double, t_stat double, n bigint, n_units bigint"
+    if time_col is not None:
+        fields.append(int(g["nt"]))
+        schema += ", n_times bigint"
+    out = spark.createDataFrame([tuple(fields)], schema)
+    return LazyFrame(out)
+
+
+def best_changepoint(
+    frame: "LazyFrame | SparkDF",
+    order_col: str,
+    value_col: str,
+    min_segment: int = 2,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Single best mean-shift changepoint (one step of binary
+    segmentation, the CUSUM companion that names WHERE the level
+    changed): the split point s maximizing the SSE reduction
+    SSE_total − SSE_left(s) − SSE_right(s), which by the sufficient-stat
+    identity needs only prefix (count, Σv, Σv²) at every candidate s —
+    so the whole scan is ONE distsort prefix pass + a per-bucket
+    cumulative window + a 1-row argmax (min over (−gain, t) structs for
+    a deterministic earliest-split tie-break).  ``min_segment`` keeps
+    degenerate end-splits out.  Ties in ``order_col`` are allowed; the
+    split reports the LAST order value of the left segment.
+
+    Output (1 row): split_at, n_left, n_right, mean_left, mean_right,
+    sse_drop.  Raises if fewer than 2·min_segment rows."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    if min_segment < 1:
+        raise ValueError("min_segment must be >= 1")
+    sdf = _sdf(frame)
+    t = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(t.isNotNull() & v.isNotNull()).select(
+        t.alias("__t__"), v.alias("__v__")
+    )
+    bucketed, gb = with_range_buckets(base, "__t__")
+    offs, tot = with_prefix_offsets(
+        bucketed, gb,
+        {"c": F.lit(1), "s": F.col("__v__"), "q": F.col("__v__") ** 2},
+    )
+    n, sv, sq = float(tot["c"]), float(tot["s"]), float(tot["q"])
+    if n < 2 * min_segment:
+        raise ValueError(
+            f"best_changepoint needs >= {2 * min_segment} rows, got {int(n)}"
+        )
+    w = Window.partitionBy(gb).orderBy("__t__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cc = F.col("__off_c__") + F.sum(F.lit(1)).over(w)
+    cs = F.col("__off_s__") + F.sum("__v__").over(w)
+    cq = F.col("__off_q__") + F.sum(F.col("__v__") ** 2).over(w)
+    # SSE_left = cq - cs^2/cc ; SSE_right = (sq-cq) - (sv-cs)^2/(n-cc)
+    gain = (
+        F.lit(sq - sv * sv / n)
+        - (cq - cs ** 2 / cc)
+        - ((F.lit(sq) - cq) - (F.lit(sv) - cs) ** 2 / (F.lit(n) - cc))
+    )
+    cand = offs.select(
+        "__t__", cc.alias("cc"), cs.alias("cs"),
+        F.round(gain, 9).alias("gain"),
+    ).filter(
+        (F.col("cc") >= F.lit(int(min_segment)))
+        & (F.col("cc") <= F.lit(n - min_segment))
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                (-F.col("gain")).alias("ng"),
+                F.col("__t__").alias("t"),
+                F.col("cc").alias("cc"),
+                F.col("cs").alias("cs"),
+            )
+        ).alias("b")
+    ).select("b.*")
+    out = best.select(
+        F.round(F.col("t"), round_to).alias("split_at"),
+        F.col("cc").cast("long").alias("n_left"),
+        (F.lit(n) - F.col("cc")).cast("long").alias("n_right"),
+        F.round(F.col("cs") / F.col("cc"), round_to).alias("mean_left"),
+        F.round(
+            (F.lit(sv) - F.col("cs")) / (F.lit(n) - F.col("cc")), round_to
+        ).alias("mean_right"),
+        F.round(-F.col("ng"), round_to).alias("sse_drop"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["fe_regression", "best_changepoint"])
