@@ -11302,7 +11302,8 @@ lines AS (
   FROM base, LATERAL unnest(generate_series(1, len(ls))) AS u(i)),
 df AS (SELECT k, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
 nd AS (SELECT count(*) * 1.0 AS ndocs FROM corpus),
-bad AS (SELECT k FROM df, nd WHERE df >= 2 AND df > ndocs * 0.05),
+bad AS (SELECT k FROM df, nd
+        WHERE length(k) > 0 AND df >= 2 AND df > ndocs * 0.05),
 kept AS (
   SELECT l.doc_id,
          string_agg(l.line, chr(10) ORDER BY l.pos) AS text,
@@ -11715,8 +11716,8 @@ s AS (SELECT doc_id,
 SELECT doc_id,
   trim(regexp_replace(
     replace(replace(replace(replace(replace(replace(
-      x, '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-      '&quot;', '"'), '&#39;', chr(39)),
+      x, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
     '\s+', ' ', 'g')) AS clean_text,
   CAST(n_tags AS BIGINT) AS n_tags
 FROM s
@@ -11829,8 +11830,11 @@ def _q338(spark, sf_dir):
     """Two-way fixed-effects (within) estimator (operators/regression.py
     fe_regression) on a synthetic user x period panel from events: unit
     and time means join back on their own keys, grand mean folds in as
-    plan literals, ONE fused moment all-reduce; correct FE degrees of
-    freedom n - N_u - (N_t - 1) - 1.  The did_report generalization."""
+    plan literals, ONE fused moment all-reduce; FE degrees of freedom
+    n - N_u - (N_t - 1) - 1.  This panel is UNBALANCED, so the estimate
+    is the documented single-sweep double-demeaning approximation (the
+    operator warns; exact on balanced panels) — the oracle replays the
+    same definition.  The did_report generalization."""
     from polars_net_spark.operators.regression import fe_regression
 
     ev = _t(spark, sf_dir, "events").spark

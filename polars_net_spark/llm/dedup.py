@@ -1569,6 +1569,10 @@ def strip_boilerplate_lines(
         .groupBy("__seg__", "__key__")
         .agg(F.count(F.lit(1)).alias("__df__"))
     )
+    # blank lines are STRUCTURE, not boilerplate: '' trivially saturates
+    # document frequency in any multi-paragraph corpus, and stripping it
+    # would silently delete every paragraph separator corpus-wide
+    nonblank = F.length(F.col("__key__")) > 0
     if by is None:
         # global totals as a driver scalar (one bounded action, the
         # median_ci/jackknife eager pattern): joining on the constant
@@ -1577,7 +1581,8 @@ def strip_boilerplate_lines(
         # is strictly better and keeps the no-cartesian audit clean
         ndocs = base.count()
         bad = df_counts.filter(
-            (F.col("__df__") >= F.lit(int(min_df)))
+            nonblank
+            & (F.col("__df__") >= F.lit(int(min_df)))
             & (F.col("__df__") > F.lit(float(ndocs) * float(max_df_share)))
         ).select("__seg__", "__key__")
     else:
@@ -1587,7 +1592,8 @@ def strip_boilerplate_lines(
         bad = (
             df_counts.join(totals, "__seg__")
             .filter(
-                (F.col("__df__") >= F.lit(int(min_df)))
+                nonblank
+                & (F.col("__df__") >= F.lit(int(min_df)))
                 & (
                     F.col("__df__")
                     > F.col("__ndocs__") * F.lit(float(max_df_share))

@@ -1692,6 +1692,13 @@ def embedding_pca(
     component is one zip_with dot product against a literal eigenvector,
     whole-stage codegen, no Python in the projection path.
 
+    NOTE: the projection applies to the RAW (uncentered) vectors — each
+    component equals the standard centered PCA score plus the constant
+    mean·eigenvector offset.  Pairwise distances/cosines and dedup
+    behavior are unaffected; subtract the projected mean (or center
+    upstream) before comparing against a centered-PCA implementation or
+    thresholding component signs.
+
     Deterministic across runs/engines: numpy eigh on the exactly-reduced
     covariance; eigenvector SIGN fixed by making each vector's largest-
     magnitude entry positive (eigh's sign is otherwise arbitrary).

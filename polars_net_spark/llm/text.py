@@ -928,9 +928,12 @@ def strip_markup_frame(
     s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?(</style>|$)", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?(-->|$)", " ")
     s = F.regexp_replace(s, r"<[^>]*>", " ")
+    # &amp; decodes LAST: decoding it first would turn '&amp;lt;' into
+    # '&lt;' and then into a literal '<' — double-unescaping that can
+    # reintroduce tag-like text the strip pass above can no longer see
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         s = F.replace(s, F.lit(ent), F.lit(rep))
     s = F.trim(F.regexp_replace(s, r"\s+", " "))

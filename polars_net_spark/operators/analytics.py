@@ -2663,27 +2663,32 @@ def diversity_report(
     probability mass of UNSEEN categories, the "is my corpus's tail
     exhausted?" number.
 
-    One value-count aggregate + one 1-row fused reduce; null categories
-    are excluded and counted.  Output (1 row): n, n_null, k, entropy,
-    entropy_norm, simpson, eff_k, singleton_share."""
+    One value-count aggregate (the null group rides along as its own
+    row, so n_null costs no second scan and the operator stays lazy) +
+    one 1-row fused reduce; null categories are excluded from the
+    diversity terms and reported.  Output (1 row): n, n_null, k,
+    entropy, entropy_norm, simpson, eff_k, singleton_share."""
     sdf = _sdf(frame)
     c = F.col(col)
-    n_null = sdf.filter(c.isNull()).count()
-    counts = sdf.filter(c.isNotNull()).groupBy(c.alias("__v__")).agg(
+    counts = sdf.groupBy(c.alias("__v__")).agg(
         F.count(F.lit(1)).alias("__c__")
     )
+    nn = F.col("__v__").isNotNull()
     red = counts.agg(
-        F.sum("__c__").alias("n"),
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("__c__") * F.log("__c__")).alias("clc"),
-        F.sum(F.col("__c__") ** 2).alias("c2"),
-        F.count(F.when(F.col("__c__") == 1, 1)).alias("f1"),
+        F.coalesce(F.sum(F.when(nn, F.col("__c__"))), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(~nn, F.col("__c__"))), F.lit(0)
+        ).alias("n_null"),
+        F.count(F.when(nn, 1)).alias("k"),
+        F.sum(F.when(nn, F.col("__c__") * F.log("__c__"))).alias("clc"),
+        F.sum(F.when(nn, F.col("__c__") ** 2)).alias("c2"),
+        F.count(F.when(nn & (F.col("__c__") == 1), 1)).alias("f1"),
     )
     n, k = F.col("n"), F.col("k")
     h = F.log(n) - F.col("clc") / n
     out = red.select(
         n.cast("long").alias("n"),
-        F.lit(int(n_null)).cast("long").alias("n_null"),
+        F.col("n_null").cast("long").alias("n_null"),
         k.cast("long").alias("k"),
         F.round(h, round_to).alias("entropy"),
         F.round(F.when(k > 1, h / F.log(k)).otherwise(F.lit(0.0)), round_to).alias(
@@ -2759,11 +2764,13 @@ def dup_rate_by_key(
     tells you WHERE the duplication lives before running the full dedup.
 
     Two map-side-combining aggregates keyed on (key, hash) then (key);
-    the text never shuffles (128-bit xxhash of the normalized form).
+    the text never shuffles — it collapses to the 128-bit md5 of the
+    normalized form map-side (same fingerprint-identity trade as
+    dedup_exact: exact modulo a 2^-128-class collision).
     Output: (by, n, n_distinct, dup_rows, dup_row_share, surplus_share)."""
     sdf = _sdf(frame)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    h = F.xxhash64(norm)
+    h = F.md5(norm)
     base = sdf.filter(F.col(text_col).isNotNull() & F.col(by).isNotNull())
     cnt = base.groupBy(F.col(by), h.alias("__h__")).agg(
         F.count(F.lit(1)).alias("__c__")

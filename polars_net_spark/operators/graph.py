@@ -340,6 +340,8 @@ def k_core(
     (id, degree) of surviving vertices — degree WITHIN the k-core."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     esdf = edges if isinstance(edges, SparkDF) else edges.spark
     if checkpoint_dir is not None:
 

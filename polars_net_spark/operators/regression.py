@@ -2154,10 +2154,21 @@ def ipw_ate(
         if clip is not None
         else p_raw
     )
-    base = sdf.filter(
+    # degenerate propensities and (on the AIPW path) null outcome-model
+    # rows must DROP, not silently vanish from the sums while still
+    # counting in n — a null term inside F.sum skips the row but the
+    # denominator would keep it, biasing every estimate
+    cond = (
         yv.isNotNull() & tr.isNotNull() & p_raw.isNotNull()
-        & tr.isin([0.0, 1.0])
+        & tr.isin([0.0, 1.0]) & (p > 0) & (p < 1)
     )
+    if mu1_col is not None and mu0_col is not None:
+        cond = (
+            cond
+            & F.col(mu1_col).isNotNull()
+            & F.col(mu0_col).isNotNull()
+        )
+    base = sdf.filter(cond)
     w1 = tr / p                      # treated weight
     w0 = (1 - tr) / (1 - p)          # control weight
     aggs = [
@@ -2513,8 +2524,16 @@ def fe_regression(
     that generalizes did_report beyond 2×2: demean y and x by unit means
     (one-way) or by unit AND time means with the grand mean added back
     (two-way within transformation), then β = Σx̃ỹ / Σx̃², with the
-    homoskedastic SE on the within residual using the correct
-    fixed-effects degrees of freedom n − N_unit − (N_time − 1) − 1.
+    homoskedastic SE on the within residual using the fixed-effects
+    degrees of freedom n − N_unit − (N_time − 1) − 1.
+
+    TWO-WAY CONTRACT: the single double-demeaning sweep is the EXACT
+    two-way within estimator only on a BALANCED panel (every (unit,
+    time) cell the same size); on unbalanced panels it is the first
+    sweep of the alternating-projections iteration and can differ from
+    full two-way FE — the operator detects imbalance and warns (the
+    one-way path is exact regardless).  Iterate externally on the
+    residuals if the exact unbalanced estimate is needed.
 
     Scale shape: unit/time means are map-side-combining aggregates joined
     back on their own keys (plain equi-joins, AQE broadcasts the tiny
@@ -2548,6 +2567,24 @@ def fe_regression(
             F.avg("__y__").alias("__uy__"), F.avg("__x__").alias("__ux__")
         )
         staged = base.join(um, "__u__")
+        if time_col is not None:
+            cell = base.groupBy("__u__", "__t__").count().agg(
+                F.min("count").alias("lo"),
+                F.max("count").alias("hi"),
+                F.count(F.lit(1)).alias("ncells"),
+            ).collect()[0]
+            if (
+                int(cell["lo"]) != int(cell["hi"])
+                or int(cell["ncells"]) != nu * int(g["nt"])
+            ):
+                import warnings
+
+                warnings.warn(
+                    "fe_regression: unbalanced panel — the single "
+                    "double-demeaning sweep approximates two-way FE "
+                    "(exact only on balanced panels); see docstring",
+                    stacklevel=2,
+                )
         if time_col is not None:
             tm = base.groupBy("__t__").agg(
                 F.avg("__y__").alias("__ty__"), F.avg("__x__").alias("__tx__")
@@ -2611,8 +2648,11 @@ def best_changepoint(
     so the whole scan is ONE distsort prefix pass + a per-bucket
     cumulative window + a 1-row argmax (min over (−gain, t) structs for
     a deterministic earliest-split tie-break).  ``min_segment`` keeps
-    degenerate end-splits out.  Ties in ``order_col`` are allowed; the
-    split reports the LAST order value of the left segment.
+    degenerate end-splits out.  Rows tied on ``order_col`` collapse to
+    one candidate BEFORE the scan (a split can only fall between
+    distinct order values — splitting inside a tie group is undefined),
+    so the result is deterministic under any partitioning; the split
+    reports the last order value of the left segment.
 
     Output (1 row): split_at, n_left, n_right, mean_left, mean_right,
     sse_drop.  Raises if fewer than 2·min_segment rows."""
@@ -2623,13 +2663,19 @@ def best_changepoint(
     sdf = _sdf(frame)
     t = F.col(order_col).cast("double")
     v = F.col(value_col).cast("double")
-    base = sdf.filter(t.isNotNull() & v.isNotNull()).select(
-        t.alias("__t__"), v.alias("__v__")
+    base = (
+        sdf.filter(t.isNotNull() & v.isNotNull())
+        .groupBy(t.alias("__t__"))
+        .agg(
+            F.count(F.lit(1)).alias("__c__"),
+            F.sum(v).alias("__s__"),
+            F.sum(v ** 2).alias("__q__"),
+        )
     )
     bucketed, gb = with_range_buckets(base, "__t__")
     offs, tot = with_prefix_offsets(
         bucketed, gb,
-        {"c": F.lit(1), "s": F.col("__v__"), "q": F.col("__v__") ** 2},
+        {"c": F.col("__c__"), "s": F.col("__s__"), "q": F.col("__q__")},
     )
     n, sv, sq = float(tot["c"]), float(tot["s"]), float(tot["q"])
     if n < 2 * min_segment:
@@ -2639,9 +2685,9 @@ def best_changepoint(
     w = Window.partitionBy(gb).orderBy("__t__").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cc = F.col("__off_c__") + F.sum(F.lit(1)).over(w)
-    cs = F.col("__off_s__") + F.sum("__v__").over(w)
-    cq = F.col("__off_q__") + F.sum(F.col("__v__") ** 2).over(w)
+    cc = F.col("__off_c__") + F.sum("__c__").over(w)
+    cs = F.col("__off_s__") + F.sum("__s__").over(w)
+    cq = F.col("__off_q__") + F.sum("__q__").over(w)
     # SSE_left = cq - cs^2/cc ; SSE_right = (sq-cq) - (sv-cs)^2/(n-cc)
     gain = (
         F.lit(sq - sv * sv / n)

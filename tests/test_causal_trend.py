@@ -228,3 +228,46 @@ class TestJackknifeRatio:
         d = spark.createDataFrame([("a", 1.0, 2.0)], "u string, num double, den double")
         with pytest.raises(ValueError, match="clusters"):
             jackknife_ratio_ci(d, "num", "den", "u")
+
+
+class TestIpwAteFilters:
+    def test_null_mu_rows_drop_entirely(self, spark):
+        from polars_net_spark.operators.regression import ipw_ate
+
+        d = spark.createDataFrame(
+            [(5.0, 1.0, 0.5, 4.0, 1.0), (7.0, 0.0, 0.5, 4.0, 1.0),
+             (100.0, 1.0, 0.5, None, 1.0)],
+            "y double, t double, p double, m1 double, m0 double",
+        )
+        (n, nt, *_), = ipw_ate(
+            d, "y", "t", "p", mu1_col="m1", mu0_col="m0"
+        ).collect().rows()
+        assert n == 2 and nt == 1  # the null-m1 row is OUT of n too
+
+    def test_degenerate_p_drops_when_unclipped(self, spark):
+        from polars_net_spark.operators.regression import ipw_ate
+
+        d = spark.createDataFrame(
+            [(5.0, 1.0, 0.0), (1.0, 1.0, 0.5), (2.0, 0.0, 0.5),
+             (9.0, 0.0, 1.0)],
+            "y double, t double, p double",
+        )
+        (n, *_), = ipw_ate(d, "y", "t", "p", clip=None).collect().rows()
+        assert n == 2
+
+
+class TestChangepointTies:
+    def test_tied_order_values_collapse(self, spark):
+        from polars_net_spark.operators.regression import best_changepoint
+
+        # two rows per t; split must fall BETWEEN distinct t values and be
+        # identical however the frame is partitioned
+        data = [(float(t), v) for t in range(10) for v in (1.0, 1.2)]
+        data += [(float(t), v) for t in range(10, 20) for v in (5.0, 5.2)]
+        outs = set()
+        for parts in (1, 3, 11):
+            d = spark.createDataFrame(data, "t double, v double").repartition(parts)
+            outs.add(tuple(best_changepoint(d, "t", "v").collect().rows()[0]))
+        assert len(outs) == 1
+        (split, nl, nr, ml, mr, drop), = [outs.pop()]
+        assert split == 9.0 and nl == 20 and nr == 20

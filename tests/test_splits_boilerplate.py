@@ -233,3 +233,29 @@ class TestScriptDetect:
         assert out[1]["dominant"] == "cyrillic"
         # exact 50/50 latin vs digit -> name-ascending tie-break = digit
         assert out[2]["dominant"] == "digit"
+
+
+class TestReviewFixes:
+    def test_blank_lines_never_boilerplate(self, spark):
+        from polars_net_spark.llm.dedup import strip_boilerplate_lines
+
+        d = spark.createDataFrame(
+            [(1, "intro\n\nbody one"), (2, "start\n\nbody two"),
+             (3, "top\n\nbody three")],
+            "doc_id long, text string",
+        )
+        out = {r[0]: r[1] for r in
+               strip_boilerplate_lines(d, max_df_share=0.3).collect().rows()}
+        # every doc keeps its paragraph separator
+        assert out[1] == "intro\n\nbody one"
+
+    def test_amp_decodes_last(self, spark):
+        from polars_net_spark.llm.text import strip_markup_frame
+
+        # '&amp;lt;b&amp;gt;' renders as the literal text '&lt;b&gt;';
+        # decoding &amp; first would fabricate a '<b>' tag
+        d = spark.createDataFrame(
+            [(1, "use &amp;lt;b&amp;gt; here")], "doc_id long, text string"
+        )
+        (r,) = strip_markup_frame(d).spark.collect()
+        assert r["clean_text"] == "use &lt;b&gt; here"
