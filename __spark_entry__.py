@@ -75,6 +75,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
     # and make its runs match our tuned sessions.
     skey = _session_key(spark)
     if skey not in _T_CONF_DONE:
+        # First sighting of a new session: evict memo/conf entries left by
+        # stopped sessions so a long-lived driver process that cycles many
+        # SparkSessions doesn't accumulate dead LazyFrames (r8 ADVICE).
+        stale = [k for k in _T_MEMO if k[0] != skey]
+        for k in stale:
+            del _T_MEMO[k]
+        _T_CONF_DONE.intersection_update({skey})
         try:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.ansi.enabled", "false")  # polars: /0 is data, not an error

@@ -680,7 +680,11 @@ def heaps_law(
     V(t) = #{words : first_id ≤ t}), per-doc token counts are map-only,
     and both evaluate against an ``n_points`` literal id grid in two
     fused conditional reduces; the log-log OLS runs on the driver over
-    the n_points-bounded table.  ``id_col`` defines the corpus order.
+    the n_points-bounded table.  ``id_col`` defines the corpus order and
+    MUST be numeric / timestamp / date: the grid thresholds compare ids
+    NUMERICALLY, so a string doc id has no order-preserving numeric form
+    here — rank or cast it first (a monotone ingest sequence or event
+    time is the intended axis).
     Output (1 row): n_points, n_docs_axis... see columns: heaps_k,
     heaps_beta, r2, vocab_final, tokens_final."""
     import math
@@ -692,14 +696,30 @@ def heaps_law(
     sdf = frame if isinstance(frame, SparkDF) else frame.spark
     if n_points < 2:
         raise ValueError("n_points must be >= 2")
+    id_dt = dict(sdf.dtypes).get(id_col, "")
+    if not (
+        id_dt.startswith("timestamp")
+        or id_dt == "date"
+        or id_dt in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or id_dt.startswith("decimal")
+    ):
+        raise TypeError(
+            f"heaps_law: id_col {id_col!r} has dtype {id_dt or '?'}; the "
+            "corpus-order grid compares ids numerically, so id_col must be "
+            "numeric / timestamp / date (rank or cast a string id first)"
+        )
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
     )
+    if id_dt.startswith("timestamp") or id_dt == "date":
+        idc = F.unix_micros(F.col(id_col).cast("timestamp")).cast("double")
+    else:
+        idc = F.col(id_col).cast("double")
     base = sdf.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
-    posed = base.select(F.col(id_col).alias("__id__"), F.explode(words).alias("__w__"))
+    posed = base.select(idc.alias("__id__"), F.explode(words).alias("__w__"))
     firsts = posed.groupBy("__w__").agg(F.min("__id__").alias("__first__"))
     toks = base.select(
-        F.col(id_col).alias("__id__"), F.size(words).alias("__ntok__")
+        idc.alias("__id__"), F.size(words).alias("__ntok__")
     )
     lo_hi = toks.agg(
         F.min("__id__").alias("lo"), F.max("__id__").alias("hi")

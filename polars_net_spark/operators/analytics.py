@@ -803,18 +803,27 @@ def weighted_quantiles(
     )
     cumw = F.col("__off_w__") + F.sum("__w__").over(wincl)
     staged = g3.select("__v__", cumw.alias("__cw__"))
+    # The within-bucket float cumsum can land a few ULPs below the
+    # driver-combined total W (different summation order), so the q=1.0
+    # threshold q*W == W could miss EVERY row; coalescing each picked
+    # value with the global max (free in the same fused reduce) restores
+    # the exact answer — a null can only arise from that ULP shortfall at
+    # the top of the CDF, where the left-continuous inverse IS the max.
     picked = staged.agg(
         *[
             F.min(F.when(F.col("__cw__") >= q * W, F.col("__v__"))).alias(f"__q{i}__")
             for i, q in enumerate(qlist)
-        ]
+        ],
+        F.max("__v__").alias("__vmax__"),
     )
     entries = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(q).alias("q"),
-                    F.round(F.col(f"__q{i}__"), round_to).alias("value"),
+                    F.round(
+                        F.coalesce(F.col(f"__q{i}__"), F.col("__vmax__")), round_to
+                    ).alias("value"),
                 )
                 for i, q in enumerate(qlist)
             ]

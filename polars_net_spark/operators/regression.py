@@ -1992,7 +1992,10 @@ def krippendorff_alpha(
     n = float(urow["n"])
     d_o = float(urow["od"]) / n
     d_e = (n * n - float(vrow["ss"])) / (n * (n - 1.0))
-    alpha = 1.0 - d_o / d_e if d_e > 0 else None
+    # d_e == 0 means every pairable rating is the same value: expected
+    # disagreement is zero and so is observed, which is PERFECT agreement
+    # by convention (scipy/krippendorff return 1.0, not null/NaN).
+    alpha = 1.0 - d_o / d_e if d_e > 0 else 1.0
     spark = sdf.sparkSession
     out = spark.createDataFrame(
         [

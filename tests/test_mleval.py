@@ -458,3 +458,55 @@ class TestDupRate:
         assert out["s1"][1] == 10 and out["s1"][2] == 9
         assert out["s1"][3] == 2  # the two dup rows
         assert out["s2"][3] == 0 and out["s2"][5] == 0.0
+
+
+class TestR9AdviceFixes:
+    def test_krippendorff_degenerate_all_identical_is_one(self, spark):
+        # every pairable rating is the SAME value: d_e == d_o == 0 ->
+        # perfect agreement by convention (1.0, not null)
+        from polars_net_spark.operators.regression import krippendorff_alpha
+
+        d = spark.createDataFrame(
+            [(u, "yes") for u in range(10) for _ in range(3)], "u long, v string"
+        )
+        (alpha, do, de, n, nu, k), = rows(krippendorff_alpha(d, "u", "v"))
+        assert alpha == 1.0 and do == 0.0 and de == 0.0 and k == 1
+
+    def test_weighted_quantiles_top_q_is_max(self, spark):
+        # many float weights across many partitions: q=1.0 must return the
+        # global max even if the bucket cumsum lands ULPs below W
+        import random
+
+        from polars_net_spark.operators.analytics import weighted_quantiles
+
+        rng = random.Random(7)
+        data = [(float(i), rng.random() * 0.1 + 1e-9) for i in range(5000)]
+        d = spark.createDataFrame(data, "v double, w double").repartition(13)
+        out = {r[0]: r[1] for r in rows(weighted_quantiles(d, "v", "w", (0.5, 1.0)))}
+        assert out[1.0] == 4999.0
+
+    def test_heaps_law_string_id_raises(self, spark):
+        import pytest as _pt
+
+        from polars_net_spark.llm.text import heaps_law
+
+        d = spark.createDataFrame(
+            [("a", "x y"), ("b", "y z")], "doc_id string, text string"
+        )
+        with _pt.raises(TypeError, match="numerically"):
+            heaps_law(d, "text", "doc_id")
+
+    def test_heaps_law_timestamp_id(self, spark):
+        import datetime as dt
+
+        from polars_net_spark.llm.text import heaps_law
+
+        base = dt.datetime(2024, 1, 1)
+        docs = [
+            (base + dt.timedelta(hours=i), f"w{i} w{i % 3} common")
+            for i in range(40)
+        ]
+        d = spark.createDataFrame(docs, "doc_id timestamp, text string")
+        (npts, k, beta, r2, vf, tf), = rows(heaps_law(d, "text", "doc_id", 4))
+        # vocab = w0..w39 plus 'common' (w{i%3} repeats w0/w1/w2)
+        assert npts == 4 and vf == 41 and tf == 120
