@@ -11928,6 +11928,281 @@ FROM best
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# round 9: statistics family — survival regression, spread/normality/shape
+# tests, rank changepoint, decision stump
+
+
+def _q340(spark, sf_dir):
+    """Cox proportional-hazards fit (operators/regression.py cox_ph,
+    Breslow ties, 4 unrolled Newton rounds from beta=0) on a synthetic
+    events-derived survival frame where longer durations track the
+    covariate: risk-set sums are suffix sums over per-time aggregates on
+    one distsort prefix pass per round; 2 scalars cross the wire per
+    round.  Oracle replays the identical rounds via scalar-subquery CTEs
+    (the huber/k-core unroll convention)."""
+    from polars_net_spark.operators.regression import cox_ph
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        ((F.col("event_id") % 40) + 1 + 3 * (F.col("user_id") % 5))
+        .cast("double").alias("t"),
+        F.when(F.col("event_id") % 4 == 0, 0).otherwise(1).alias("e"),
+        (F.col("user_id") % 5).cast("double").alias("x"),
+    )
+    return cox_ph(d, "t", "e", "x").spark
+
+
+def _cox_round_sql(i: int, prev_beta: str) -> str:
+    return f"""
+p{i} AS (SELECT t, sum(c*exp(x*{prev_beta})) AS a0,
+                sum(c*x*exp(x*{prev_beta})) AS a1,
+                sum(c*x*x*exp(x*{prev_beta})) AS a2,
+                sum(d) AS dd, sum(d*x) AS sx
+         FROM cells GROUP BY 1),
+s{i} AS (SELECT *, sum(a0) OVER w AS t0, sum(a1) OVER w AS t1,
+                sum(a2) OVER w AS t2
+         FROM p{i}
+         WINDOW w AS (ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r{i} AS (SELECT sum(sx - dd*t1/t0) AS u,
+                sum(dd*(t2/t0 - (t1/t0)*(t1/t0))) AS i FROM s{i})"""
+
+
+_q340_sql = (
+    """
+WITH b AS (SELECT CAST(event_id % 40 + 1 + 3*(user_id % 5) AS DOUBLE) AS t,
+                  CASE WHEN event_id % 4 = 0 THEN 0.0 ELSE 1.0 END AS e,
+                  CAST(user_id % 5 AS DOUBLE) AS x
+           FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT t, x, count(*)*1.0 AS c, sum(e) AS d FROM b GROUP BY 1, 2),
+meta AS (SELECT sum(c) AS n, sum(d) AS nd FROM cells),"""
+    + _cox_round_sql(0, "0.0")
+    + ",\nk1 AS (SELECT 0.0 + u/i AS beta FROM r0),"
+    + _cox_round_sql(1, "(SELECT beta FROM k1)")
+    + ",\nk2 AS (SELECT (SELECT beta FROM k1) + u/i AS beta FROM r1),"
+    + _cox_round_sql(2, "(SELECT beta FROM k2)")
+    + ",\nk3 AS (SELECT (SELECT beta FROM k2) + u/i AS beta FROM r2),"
+    + _cox_round_sql(3, "(SELECT beta FROM k3)")
+    + ",\nk4 AS (SELECT (SELECT beta FROM k3) + u/i AS beta FROM r3),"
+    + _cox_round_sql(4, "(SELECT beta FROM k4)")
+    + """
+SELECT round((SELECT beta FROM k4), 6) AS beta,
+       round(exp((SELECT beta FROM k4)), 6) AS hazard_ratio,
+       round(1.0/sqrt(i), 6) AS se,
+       round((SELECT beta FROM k4)/(1.0/sqrt(i)), 6) AS z,
+       CAST((SELECT n FROM meta) AS BIGINT) AS n,
+       CAST((SELECT nd FROM meta) AS BIGINT) AS n_events,
+       CAST(4 AS INT) AS rounds
+FROM r4
+"""
+)
+
+
+def _q341(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (operators/regression.py
+    levene_test) of order totals across order statuses: exact group
+    medians (Catalyst percentile) joined back on the tiny group key,
+    then one fused |x - median| moment reduce."""
+    from polars_net_spark.operators.regression import levene_test
+
+    o = _t(spark, sf_dir, "orders").spark
+    return levene_test(o, "o_totalprice", "o_orderstatus").spark
+
+
+_q341_sql = """
+WITH base AS (SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+med AS (SELECT g, median(v) AS m FROM base GROUP BY 1),
+z AS (SELECT base.g, abs(v - m) AS z FROM base JOIN med USING (g)),
+pg AS (SELECT g, count(*)*1.0 AS n, sum(z) AS sz, sum(z*z) AS szz
+       FROM z GROUP BY 1),
+tot AS (SELECT sum(n) AS nt, sum(sz) AS szt, count(*)*1.0 AS k FROM pg),
+parts AS (SELECT sum(n * pow(sz/n - szt/nt, 2)) AS ssb,
+                 sum(szz - sz*sz/n) AS ssw
+          FROM pg, tot)
+SELECT round((ssb/(k-1))/(ssw/(nt-k)), 6) AS f_stat,
+       CAST(k-1 AS BIGINT) AS df1, CAST(nt-k AS BIGINT) AS df2,
+       CAST(nt AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups
+FROM parts, tot
+"""
+
+
+def _q342(spark, sf_dir):
+    """Jarque-Bera normality screen (operators/regression.py jarque_bera)
+    on the event value column: one fused raw-power-sum all-reduce, exact
+    closed-form chi2(2) p = exp(-JB/2)."""
+    from polars_net_spark.operators.regression import jarque_bera
+
+    ev = _t(spark, sf_dir, "events").spark
+    return jarque_bera(ev, "value").spark
+
+
+_q342_sql = """
+WITH b AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(v) AS s1, sum(v*v) AS s2,
+             sum(v*v*v) AS s3, sum(v*v*v*v) AS s4 FROM b),
+c AS (SELECT n, s1/n AS mu,
+             s2/n - (s1/n)*(s1/n) AS m2,
+             s3/n - 3*(s1/n)*s2/n + 2*pow(s1/n, 3) AS m3,
+             s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - 3*pow(s1/n, 4) AS m4
+      FROM m),
+g AS (SELECT n, m3/pow(m2, 1.5) AS g1, m4/(m2*m2) - 3.0 AS g2 FROM c),
+j AS (SELECT n, g1, g2, n/6.0*(g1*g1 + g2*g2/4.0) AS jb FROM g)
+SELECT CAST(n AS BIGINT) AS n, round(g1, 6) AS skewness,
+       round(g2, 6) AS kurtosis, round(jb, 6) AS jb_stat,
+       round(exp(-jb/2.0), 6) AS p_value
+FROM j
+"""
+
+
+def _q343(spark, sf_dir):
+    """Exact two-sample 1-D energy distance (operators/regression.py
+    energy_distance) between even/odd user event values: rows collapse
+    to distinct-value cells with per-group counts, prefix (count, sum)
+    rides distsort buckets + driver offsets, pair-sums from one fused
+    reduce — no self-join."""
+    from polars_net_spark.operators.regression import energy_distance
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"),
+        F.col("value").alias("v"),
+    )
+    return energy_distance(d, "v", "g", "a", "b").spark
+
+
+_q343_sql = """
+WITH base AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+                     CAST(value AS DOUBLE) AS v
+              FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+cells AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1.0 ELSE 0.0 END) AS ca,
+                 sum(CASE WHEN g = 'b' THEN 1.0 ELSE 0.0 END) AS cb
+          FROM base GROUP BY 1),
+pre AS (SELECT v, ca, cb,
+               coalesce(sum(ca) OVER w, 0) AS pca,
+               coalesce(sum(cb) OVER w, 0) AS pcb,
+               coalesce(sum(ca*v) OVER w, 0) AS psa,
+               coalesce(sum(cb*v) OVER w, 0) AS psb
+        FROM cells
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)),
+red AS (SELECT sum(cb*(pca*v - psa) + ca*(pcb*v - psb)) AS cross_,
+               sum(ca*(pca*v - psa)) AS wa,
+               sum(cb*(pcb*v - psb)) AS wb
+        FROM pre),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+e AS (SELECT cross_/(na*nb) AS ec, 2.0*wa/(na*na) AS ewa,
+             2.0*wb/(nb*nb) AS ewb, na, nb FROM red, tot)
+SELECT round(sqrt(greatest(2.0*ec - ewa - ewb, 0)), 6) AS energy_dist,
+       round(ec, 6) AS e_cross, round(ewa, 6) AS e_within_a,
+       round(ewb, 6) AS e_within_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM e
+"""
+
+
+def _q344(spark, sf_dir):
+    """Pettitt rank changepoint (operators/regression.py pettitt_test) on
+    the daily event-value series: average-tie ranks from one distsort
+    pass over distinct-value cells, the U scan from a second keyed on
+    time, closed-form approximation p — the rank-robust locator beside
+    q339's mean/SSE scan."""
+    from polars_net_spark.operators.regression import pettitt_test
+
+    ev = _t(spark, sf_dir, "events").spark
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2020-01-01").cast("date"))
+            .cast("double")
+            .alias("t")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return pettitt_test(daily, "t", "v").spark
+
+
+_q344_sql = """
+WITH s0 AS (SELECT CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+                       AS DOUBLE) AS t,
+                   round(sum(value), 6) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1),
+s AS (SELECT t, avg(v) AS v FROM s0 GROUP BY 1),
+vc AS (SELECT v, count(*)*1.0 AS c FROM s GROUP BY 1),
+vr AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) + (c + 1.0)/2.0 AS r
+       FROM vc),
+n AS (SELECT count(*)*1.0 AS n FROM s),
+seq AS (SELECT t, r,
+               count(*) OVER w AS i,
+               sum(r) OVER w AS cr
+        FROM s JOIN vr USING (v)
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+u AS (SELECT t, 2.0*cr - i*(n + 1.0) AS u, i, n
+      FROM seq, n WHERE i <= n - 1),
+best AS (SELECT * FROM u ORDER BY abs(u) DESC, t ASC LIMIT 1)
+SELECT round(t, 6) AS split_at, round(u, 6) AS u_stat,
+       round(abs(u), 6) AS k_stat, CAST(n AS BIGINT) AS n,
+       round(least(1.0, 2.0*exp(-6.0*u*u/(pow(n, 3) + n*n))), 6) AS p_value
+FROM best
+"""
+
+
+def _q345(spark, sf_dir):
+    """Best gini decision-stump threshold (operators/regression.py
+    best_split) of return-flag=R on quantity: prefix (count, positives)
+    over distinct-quantity cells on one distsort pass + a 1-row struct
+    argmax — info_gain_report's numeric companion."""
+    from polars_net_spark.operators.regression import best_split
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    d = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return best_split(d, "x", "y").spark
+
+
+_q345_sql = """
+WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+cells AS (SELECT x, count(*)*1.0 AS c, sum(y) AS p FROM b GROUP BY 1),
+tot AS (SELECT sum(c) AS n, sum(p) AS np FROM cells),
+pre AS (SELECT x, sum(c) OVER w AS cc, sum(p) OVER w AS cp
+        FROM cells
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+cand AS (SELECT x, cc, cp,
+                round((1.0 - pow(np/n, 2) - pow((n-np)/n, 2))
+                      - cc/n*(1.0 - pow(cp/cc, 2) - pow((cc-cp)/cc, 2))
+                      - (n-cc)/n*(1.0 - pow((np-cp)/(n-cc), 2)
+                                  - pow(((n-cc)-(np-cp))/(n-cc), 2)),
+                      9) AS drop_,
+                n, np
+         FROM pre, tot WHERE cc >= 1 AND cc <= n - 1),
+best AS (SELECT * FROM cand ORDER BY drop_ DESC, x ASC LIMIT 1)
+SELECT round(x, 6) AS threshold, round(drop_, 6) AS gini_drop,
+       round(1.0 - pow(np/n, 2) - pow((n-np)/n, 2), 6) AS parent_gini,
+       CAST(cc AS BIGINT) AS n_left, CAST(n - cc AS BIGINT) AS n_right,
+       round(cp/cc, 6) AS pos_rate_left,
+       round((np-cp)/(n-cc), 6) AS pos_rate_right
+FROM best
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -12269,6 +12544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q337_script_detect": _q337,
         "q338_fe_regression": _q338,
         "q339_changepoint": _q339,
+        "q340_cox_ph": _q340,
+        "q341_levene": _q341,
+        "q342_jarque_bera": _q342,
+        "q343_energy_dist": _q343,
+        "q344_pettitt": _q344,
+        "q345_best_split": _q345,
     }
 
 
@@ -12613,4 +12894,10 @@ def oracle_sql() -> dict[str, str]:
         "q337_script_detect": _q337_sql,
         "q338_fe_regression": _q338_sql,
         "q339_changepoint": _q339_sql,
+        "q340_cox_ph": _q340_sql,
+        "q341_levene": _q341_sql,
+        "q342_jarque_bera": _q342_sql,
+        "q343_energy_dist": _q343_sql,
+        "q344_pettitt": _q344_sql,
+        "q345_best_split": _q345_sql,
     }

@@ -2728,3 +2728,509 @@ def best_changepoint(
 
 
 __all__.extend(["fe_regression", "best_changepoint"])
+
+
+def jarque_bera(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Jarque–Bera normality test — the "is this residual/metric column even
+    approximately Gaussian" screen that decides whether the t-based gates
+    (welch_ttest, cuped_report) are trustworthy or the rank-based ones
+    (mann_whitney_u) are needed: skewness g1 = m3/m2^1.5 and excess
+    kurtosis g2 = m4/m2² − 3 from central moments, JB = n/6·(g1² + g2²/4),
+    and the EXACT chi²(2 dof) survival p = exp(−JB/2) (closed form — no
+    special functions).
+
+    Scale shape: ONE fused all-reduce of the raw power sums (Σx..Σx⁴) with
+    central moments recovered on the driver — no second pass, no window.
+    Keep |x| modest (the sums raise x to the 4th power; pre-center or
+    rescale 1e6-scale columns).  Output (1 row): n, skewness, kurtosis,
+    jb_stat, p_value."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    r = (
+        sdf.filter(v.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v ** 2).alias("s2"),
+            F.sum(v ** 3).alias("s3"),
+            F.sum(v ** 4).alias("s4"),
+        )
+        .collect()[0]
+    )
+    n = int(r["n"] or 0)
+    if n < 4:
+        raise ValueError("jarque_bera needs at least 4 rows")
+    import math
+
+    s1, s2, s3, s4 = (float(r[k]) for k in ("s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu ** 4
+    if m2 <= 0:
+        raise ValueError("jarque_bera: zero variance")
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    p = math.exp(-jb / 2.0)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(n, round(g1, round_to), round(g2, round_to), round(jb, round_to),
+          round(p, round_to))],
+        "n bigint, skewness double, kurtosis double, jb_stat double, "
+        "p_value double",
+    )
+    return LazyFrame(out)
+
+
+def levene_test(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Brown–Forsythe variance-homogeneity test (the robust Levene variant):
+    are the group SPREADS equal?  The gate anova_oneway and welch-vs-pooled
+    decisions hinge on: z = |x − median_g| per row, then the one-way ANOVA
+    F on z with (k−1, N−k) dof.  Uses the group MEDIAN center (Brown &
+    Forsythe 1974) — robust to the heavy tails that break the mean-centered
+    original.
+
+    Scale shape: exact group medians in one map-side-combining aggregate
+    (Catalyst's exact percentile), joined back on the group key (tiny side,
+    AQE broadcasts), then ONE fused aggregate of per-group (n, Σz, Σz²)
+    with the F-stat assembled on the driver from the ≤k-row table.  Output
+    (1 row): f_stat, df1, df2, n, n_groups."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g__"), v.alias("__v__")
+    )
+    med = base.groupBy("__g__").agg(
+        F.expr("percentile(__v__, 0.5)").alias("__med__")
+    )
+    z = F.abs(F.col("__v__") - F.col("__med__"))
+    rows = (
+        base.join(med, "__g__")
+        .groupBy("__g__")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(z).alias("sz"),
+            F.sum(z ** 2).alias("szz"),
+        )
+        .collect()
+    )
+    k = len(rows)
+    if k < 2:
+        raise ValueError("levene_test needs at least 2 groups")
+    n_tot = sum(int(r["n"]) for r in rows)
+    if n_tot <= k:
+        raise ValueError("levene_test: no residual degrees of freedom")
+    sz_tot = sum(float(r["sz"]) for r in rows)
+    grand = sz_tot / n_tot
+    ss_between = sum(
+        int(r["n"]) * (float(r["sz"]) / int(r["n"]) - grand) ** 2 for r in rows
+    )
+    ss_within = sum(
+        float(r["szz"]) - float(r["sz"]) ** 2 / int(r["n"]) for r in rows
+    )
+    df1, df2 = k - 1, n_tot - k
+    if ss_within <= 0:
+        raise ValueError("levene_test: zero within-group variation")
+    f_stat = (ss_between / df1) / (ss_within / df2)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(f_stat, round_to), df1, df2, n_tot, k)],
+        "f_stat double, df1 bigint, df2 bigint, n bigint, n_groups bigint",
+    )
+    return LazyFrame(out)
+
+
+def energy_distance(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Exact two-sample 1-D energy distance (Székely & Rizzo) — the
+    distribution-drift metric that sees BOTH location and shape changes
+    (where ks_test sees only the max CDF gap and wasserstein_1d only mass
+    transport): D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (V-statistic form), all
+    three expectations EXACT from one sorted pass, because for sorted data
+    Σ_{pairs}|a−b| needs only prefix counts and prefix sums.
+
+    Scale shape: rows collapse to DISTINCT values with per-group counts
+    map-side (ties contribute zero distance, so cell granularity is
+    lossless), the prefix (count, sum) per group rides distsort range
+    buckets + driver offsets, and the pair-sums fall out of ONE fused
+    reduce — no self-join, no window over the raw data.  Output (1 row):
+    energy_dist, e_cross, e_within_a, e_within_b, n_a, n_b."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(v.isNotNull() & g.isin([group_a, group_b]))
+    isa = (g == F.lit(group_a)).cast("long")
+    isb = (g == F.lit(group_b)).cast("long")
+    cells = base.groupBy(v.alias("__v__")).agg(
+        F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
+    )
+    bucketed, gb = with_range_buckets(cells, "__v__")
+    offs, tot = with_prefix_offsets(
+        bucketed, gb,
+        {
+            "ca": F.col("__ca__"),
+            "cb": F.col("__cb__"),
+            "sa": F.col("__ca__") * F.col("__v__"),
+            "sb": F.col("__cb__") * F.col("__v__"),
+        },
+    )
+    na, nb = float(tot["ca"]), float(tot["cb"])
+    if na < 1 or nb < 1:
+        raise ValueError("energy_distance: both groups need at least 1 row")
+    w = Window.partitionBy(gb).orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # strictly-before-this-cell prefix state per group (global via offsets);
+    # within-cell pairs are at distance zero, so they never contribute
+    pca = F.col("__off_ca__") + F.coalesce(F.sum("__ca__").over(w), F.lit(0.0))
+    pcb = F.col("__off_cb__") + F.coalesce(F.sum("__cb__").over(w), F.lit(0.0))
+    psa = F.col("__off_sa__") + F.coalesce(
+        F.sum(F.col("__ca__") * F.col("__v__")).over(w), F.lit(0.0)
+    )
+    psb = F.col("__off_sb__") + F.coalesce(
+        F.sum(F.col("__cb__") * F.col("__v__")).over(w), F.lit(0.0)
+    )
+    red = offs.select(
+        (
+            F.col("__cb__") * (pca * F.col("__v__") - psa)
+            + F.col("__ca__") * (pcb * F.col("__v__") - psb)
+        ).alias("__cross__"),
+        (F.col("__ca__") * (pca * F.col("__v__") - psa)).alias("__wa__"),
+        (F.col("__cb__") * (pcb * F.col("__v__") - psb)).alias("__wb__"),
+    ).agg(
+        F.sum("__cross__").alias("cross"),
+        F.sum("__wa__").alias("wa"),
+        F.sum("__wb__").alias("wb"),
+    ).collect()[0]
+    e_cross = float(red["cross"]) / (na * nb)
+    e_wa = 2.0 * float(red["wa"]) / (na * na)
+    e_wb = 2.0 * float(red["wb"]) / (nb * nb)
+    d2 = 2.0 * e_cross - e_wa - e_wb
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(max(d2, 0.0) ** 0.5, round_to), round(e_cross, round_to),
+            round(e_wa, round_to), round(e_wb, round_to), int(na), int(nb),
+        )],
+        "energy_dist double, e_cross double, e_within_a double, "
+        "e_within_b double, n_a bigint, n_b bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["jarque_bera", "levene_test", "energy_distance"])
+
+
+def pettitt_test(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Pettitt changepoint test — the RANK-based (outlier-proof) "did the
+    level shift, and when" locator that complements best_changepoint's
+    mean/SSE scan and cusum_flags' drift alarm: with average-tie ranks
+    r_i of the series values, U_t = 2·Σ_{i≤t} r_i − t·(n+1); the split is
+    argmax|U_t| (earliest on ties) and the classic approximation
+    p ≈ 2·exp(−6K²/(n³+n²)) needs no special functions.
+
+    Rows tied on ``time_col`` collapse to their mean value first (a rank
+    sequence needs distinct positions), mirroring best_changepoint's
+    determinism contract.  Scale shape: value ranks from ONE distsort
+    pass over distinct-value cells (average rank = strictly-below count
+    + (ties+1)/2) joined back on the value, then the U scan rides a
+    second distsort pass keyed on time — no data-sized window, no
+    self-join.  Output (1 row): split_at, u_stat, k_stat, n, p_value."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    series = (
+        sdf.filter(t.isNotNull() & v.isNotNull())
+        .groupBy(t.alias("__t__"))
+        .agg(F.avg(v).alias("__v__"))
+    )
+    series = series.persist()
+    try:
+        cells = series.groupBy("__v__").agg(F.count(F.lit(1)).alias("__c__"))
+        vb, vgb = with_range_buckets(cells, "__v__")
+        voffs, vtot = with_prefix_offsets(vb, vgb, {"c": F.col("__c__")})
+        n = int(vtot["c"])
+        if n < 3:
+            raise ValueError("pettitt_test needs at least 3 distinct times")
+        wv = Window.partitionBy(vgb).orderBy("__v__").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        below = F.col("__off_c__") + F.coalesce(F.sum("__c__").over(wv), F.lit(0.0))
+        ranks = voffs.select(
+            "__v__",
+            (below + (F.col("__c__") + F.lit(1.0)) / F.lit(2.0)).alias("__r__"),
+        )
+        ranked = series.join(ranks, "__v__")
+        tb, tgb = with_range_buckets(ranked, "__t__")
+        toffs, _ = with_prefix_offsets(
+            tb, tgb, {"cnt": F.lit(1), "r": F.col("__r__")}
+        )
+        wt = Window.partitionBy(tgb).orderBy("__t__").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        idx = F.col("__off_cnt__") + F.count(F.lit(1)).over(wt)
+        cr = F.col("__off_r__") + F.sum("__r__").over(wt)
+        u = F.lit(2.0) * cr - idx * F.lit(float(n + 1))
+        cand = toffs.select(
+            "__t__", u.alias("u"), idx.alias("i")
+        ).filter(F.col("i") <= F.lit(float(n - 1)))
+        best = cand.agg(
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("u"))).alias("nk"),
+                    F.col("__t__").alias("t"),
+                    F.col("u").alias("u"),
+                )
+            ).alias("b")
+        ).collect()[0]["b"]
+        import math
+
+        k_stat = abs(float(best["u"]))
+        p = min(1.0, 2.0 * math.exp(-6.0 * k_stat * k_stat / (n ** 3 + n ** 2)))
+    finally:
+        series.unpersist()
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(float(best["t"]), round_to), round(float(best["u"]), round_to),
+            round(k_stat, round_to), n, round(p, round_to),
+        )],
+        "split_at double, u_stat double, k_stat double, n bigint, "
+        "p_value double",
+    )
+    return LazyFrame(out)
+
+
+def best_split(
+    frame: "LazyFrame | SparkDF",
+    feature_col: str,
+    label_col: str,
+    min_leaf: int = 1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Best binary decision-stump threshold on a NUMERIC feature against a
+    0/1 label — the feature-screening "how predictive is this column,
+    and where does it split" primitive behind tree induction and the
+    numeric companion to info_gain_report's categorical scan: the
+    threshold s maximizing the Gini impurity decrease
+    g(parent) − (n_L/n)·g(left ≤ s) − (n_R/n)·g(right > s), which needs
+    only prefix (count, positives) at each candidate — so the whole scan
+    is ONE distsort prefix pass over distinct-value cells + a 1-row
+    struct argmin (earliest threshold on ties), exactly the
+    best_changepoint shape with label counts for sufficient stats.
+
+    Output (1 row): threshold (split is feature ≤ threshold), gini_drop,
+    parent_gini, n_left, n_right, pos_rate_left, pos_rate_right.
+    ``min_leaf`` keeps degenerate end-splits out; raises if the label is
+    constant or no candidate satisfies min_leaf."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    if min_leaf < 1:
+        raise ValueError("min_leaf must be >= 1")
+    sdf = _sdf(frame)
+    x = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = sdf.filter(x.isNotNull() & y.isNotNull())
+    cells = base.groupBy(x.alias("__x__")).agg(
+        F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__p__")
+    )
+    bucketed, gb = with_range_buckets(cells, "__x__")
+    offs, tot = with_prefix_offsets(
+        bucketed, gb, {"c": F.col("__c__"), "p": F.col("__p__")}
+    )
+    n, np_ = float(tot["c"]), float(tot["p"])
+    if n < 2 * min_leaf:
+        raise ValueError(f"best_split needs >= {2 * min_leaf} rows")
+    if np_ <= 0 or np_ >= n:
+        raise ValueError("best_split: label is constant")
+    w = Window.partitionBy(gb).orderBy("__x__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cc = F.col("__off_c__") + F.sum("__c__").over(w)
+    cp = F.col("__off_p__") + F.sum("__p__").over(w)
+    g_parent = 1.0 - (np_ / n) ** 2 - ((n - np_) / n) ** 2
+    gl = F.lit(1.0) - (cp / cc) ** 2 - ((cc - cp) / cc) ** 2
+    rc, rp = F.lit(n) - cc, F.lit(np_) - cp
+    gr = F.lit(1.0) - (rp / rc) ** 2 - ((rc - rp) / rc) ** 2
+    drop = F.lit(g_parent) - (cc / F.lit(n)) * gl - (rc / F.lit(n)) * gr
+    cand = offs.select(
+        "__x__", cc.alias("cc"), cp.alias("cp"),
+        F.round(drop, 9).alias("drop"),
+    ).filter(
+        (F.col("cc") >= F.lit(float(min_leaf)))
+        & (F.col("cc") <= F.lit(n - min_leaf))
+    )
+    brow = cand.agg(
+        F.min(
+            F.struct(
+                (-F.col("drop")).alias("nd"),
+                F.col("__x__").alias("x"),
+                F.col("cc").alias("cc"),
+                F.col("cp").alias("cp"),
+            )
+        ).alias("b")
+    ).collect()[0]["b"]
+    if brow is None:
+        raise ValueError("best_split: no candidate satisfies min_leaf")
+    cc_, cp_ = float(brow["cc"]), float(brow["cp"])
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(float(brow["x"]), round_to), round(-float(brow["nd"]), round_to),
+            round(g_parent, round_to), int(cc_), int(n - cc_),
+            round(cp_ / cc_, round_to), round((np_ - cp_) / (n - cc_), round_to),
+        )],
+        "threshold double, gini_drop double, parent_gini double, "
+        "n_left bigint, n_right bigint, pos_rate_left double, "
+        "pos_rate_right double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["pettitt_test", "best_split"])
+
+
+def cox_ph(
+    frame: "LazyFrame | SparkDF",
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    rounds: int = 4,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cox proportional-hazards fit (single covariate, Breslow ties) — the
+    regression companion to the Kaplan–Meier / Nelson–Aalen / log-rank
+    family: "how much does x multiply the hazard", estimated by
+    ``rounds`` Newton steps on the partial likelihood from β = 0 (fixed
+    round count = deterministic and externally replayable, the
+    huber/pagerank unroll convention; Newton converges quadratically, 4
+    rounds ≈ machine precision for well-conditioned data).
+
+    Per round, with β a plan literal: risk-set sums S_k(t) =
+    Σ_{t_j ≥ t} x_j^k·e^{x_j β} are SUFFIX sums over per-time aggregates
+    A_k(t), so the score U = Σ_t [Σ_{events@t} x − d_t·S1/S0] and
+    information I = Σ_t d_t·(S2/S0 − (S1/S0)²) come from ONE groupBy over
+    the persisted (time, x)-cell table, a distsort prefix pass (suffix =
+    total − inclusive-prefix + own), and ONE 1-row reduce; β ← β + U/I on
+    the driver (2 scalars cross the wire per round).  A final pass at the
+    converged β yields the reported information for SE = 1/√I and
+    z = β/SE.
+
+    Rows with null time/event/x drop; ``event_col`` is truthy (0 =
+    censored, nonzero = event).  Raises without events or x variation.
+    Output (1 row): beta, hazard_ratio, se, z, n, n_events, rounds."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    t = F.col(time_col).cast("double")
+    e = (F.col(event_col).cast("double") != 0).cast("long")
+    x = F.col(x_col).cast("double")
+    base = sdf.filter(
+        t.isNotNull() & F.col(event_col).isNotNull() & x.isNotNull()
+    )
+    cells = base.groupBy(t.alias("__t__"), x.alias("__x__")).agg(
+        F.count(F.lit(1)).alias("__c__"), F.sum(e).alias("__d__")
+    )
+    cells = cells.persist()
+    try:
+        meta = cells.agg(
+            F.sum("__c__").alias("n"),
+            F.sum("__d__").alias("nd"),
+            F.count_distinct("__x__").alias("nx"),
+        ).collect()[0]
+        n, nd = int(meta["n"] or 0), int(meta["nd"] or 0)
+        if nd < 1:
+            raise ValueError("cox_ph: no events")
+        if int(meta["nx"]) < 2:
+            raise ValueError("cox_ph: covariate has no variation")
+        bucketed, gb = with_range_buckets(cells, "__t__")
+        bucketed = bucketed.persist()
+        bucketed.count()  # materialize once; every round reuses it
+        w = Window.partitionBy(gb).orderBy("__t__").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+
+        def score_info(beta: float):
+            eb = F.exp(F.col("__x__") * F.lit(beta)) * F.col("__c__")
+            per_t = bucketed.groupBy("__t__", gb).agg(
+                F.sum(eb).alias("__a0__"),
+                F.sum(F.col("__x__") * eb).alias("__a1__"),
+                F.sum(F.col("__x__") ** 2 * eb).alias("__a2__"),
+                F.sum("__d__").alias("__dd__"),
+                F.sum(F.col("__d__") * F.col("__x__")).alias("__sx__"),
+            )
+            offs, tot = with_prefix_offsets(
+                per_t, gb,
+                {
+                    "a0": F.col("__a0__"),
+                    "a1": F.col("__a1__"),
+                    "a2": F.col("__a2__"),
+                },
+            )
+            # suffix over times >= t: grand total - inclusive prefix + own
+            s0 = F.lit(tot["a0"]) - (F.col("__off_a0__") + F.sum("__a0__").over(w)) + F.col("__a0__")
+            s1 = F.lit(tot["a1"]) - (F.col("__off_a1__") + F.sum("__a1__").over(w)) + F.col("__a1__")
+            s2 = F.lit(tot["a2"]) - (F.col("__off_a2__") + F.sum("__a2__").over(w)) + F.col("__a2__")
+            r = offs.select(
+                (F.col("__sx__") - F.col("__dd__") * s1 / s0).alias("__u__"),
+                (F.col("__dd__") * (s2 / s0 - (s1 / s0) ** 2)).alias("__i__"),
+            ).agg(F.sum("__u__").alias("u"), F.sum("__i__").alias("i")).collect()[0]
+            return float(r["u"]), float(r["i"])
+
+        beta = 0.0
+        for _ in range(int(rounds)):
+            u, info = score_info(beta)
+            if info <= 0:
+                raise ValueError("cox_ph: singular information matrix")
+            beta += u / info
+        _, info = score_info(beta)
+        if info <= 0:
+            raise ValueError("cox_ph: singular information matrix")
+        bucketed.unpersist()
+    finally:
+        cells.unpersist()
+    import math
+
+    se = 1.0 / math.sqrt(info)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(beta, round_to), round(math.exp(beta), round_to),
+            round(se, round_to), round(beta / se, round_to),
+            n, nd, int(rounds),
+        )],
+        "beta double, hazard_ratio double, se double, z double, n bigint, "
+        "n_events bigint, rounds int",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("cox_ph")
