@@ -12203,6 +12203,218 @@ FROM best
 """
 
 
+
+
+def _q346(spark, sf_dir):
+    """Thresholded confusion/MCC operating-point report
+    (operators/mleval.py confusion_report) on a deterministic
+    events-derived score/label pair: ONE fused conditional all-reduce of
+    the four cells, driver-assembled metrics — the operating-point
+    companion to q304's threshold-free AUC."""
+    from polars_net_spark.operators.mleval import confusion_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        ((F.col("event_id") % 100) / 100.0).alias("p"),
+        ((F.col("event_id") % 100) + (F.col("user_id") % 21) >= 60)
+        .cast("int").alias("y"),
+    )
+    return confusion_report(d, "p", "y", threshold=0.5).spark
+
+
+_q346_sql = """
+WITH b AS (SELECT (event_id % 100)/100.0 AS p,
+                  CASE WHEN (event_id % 100) + (user_id % 21) >= 60
+                       THEN 1 ELSE 0 END AS y
+           FROM events
+           WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT count(*) FILTER (WHERE p >= 0.5 AND y = 1)*1.0 AS tp,
+             count(*) FILTER (WHERE p >= 0.5 AND y = 0)*1.0 AS fp,
+             count(*) FILTER (WHERE p < 0.5 AND y = 0)*1.0 AS tn,
+             count(*) FILTER (WHERE p < 0.5 AND y = 1)*1.0 AS fn
+      FROM b),
+m AS (SELECT tp, fp, tn, fn, tp+fp+tn+fn AS n,
+             CASE WHEN tp+fp > 0 THEN tp/(tp+fp) END AS prec,
+             CASE WHEN tp+fn > 0 THEN tp/(tp+fn) END AS rec,
+             CASE WHEN tn+fp > 0 THEN tn/(tn+fp) END AS spec
+      FROM c)
+SELECT 0.5 AS threshold, CAST(n AS BIGINT) AS n,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       round((tp+tn)/n, 6) AS accuracy, round(prec, 6) AS precision,
+       round(rec, 6) AS recall, round(spec, 6) AS specificity,
+       round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                       AND prec+rec > 0
+                  THEN 2*prec*rec/(prec+rec) END, 6) AS f1,
+       round(CASE WHEN rec IS NOT NULL AND spec IS NOT NULL
+                  THEN (rec+spec)/2 END, 6) AS balanced_accuracy,
+       round(CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) > 0
+                  THEN (tp*tn - fp*fn)
+                       / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END, 6) AS mcc
+FROM m
+"""
+
+
+def _q347(spark, sf_dir):
+    """Gumbel EV-I block-maxima fit (operators/analytics.py gumbel_fit)
+    over daily event-value maxima: method-of-moments from ONE fused
+    (n, mean, sample-std) reduce, 1-in-T return levels on a literal
+    period grid — the tail capacity-planning companion to q280's Lorenz
+    concentration view."""
+    from polars_net_spark.operators.analytics import gumbel_fit
+
+    ev = _t(spark, sf_dir, "events").spark
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.max("value").alias("v"))
+    )
+    return gumbel_fit(daily, "v").spark
+
+
+_q347_sql = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, max(value) AS v
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1),
+m AS (SELECT count(*)*1.0 AS n, avg(v) AS mean, stddev(v) AS s FROM daily),
+p AS (SELECT n, s*sqrt(6)/pi() AS beta,
+             mean - 0.57721566490153286*(s*sqrt(6)/pi()) AS mu FROM m),
+per AS (SELECT * FROM (VALUES (10), (100), (1000)) AS t(rp))
+SELECT CAST(rp AS BIGINT) AS return_period,
+       round(mu - beta*ln(-ln(1.0 - 1.0/rp)), 6) AS return_level,
+       round(mu, 6) AS gumbel_mu, round(beta, 6) AS gumbel_beta,
+       CAST(n AS BIGINT) AS n
+FROM per, p
+ORDER BY rp
+"""
+
+
+def _q348(spark, sf_dir):
+    """KMV bottom-k set similarity (operators/sketches.py kmv_jaccard)
+    between the part inventories of the two line statuses: both
+    signatures from ONE fused conditional collect_set aggregate, every
+    set op after that is 1-row array math; md5 bottom-k is
+    deterministic, so the oracle replays the sketch itself."""
+    from polars_net_spark.operators.sketches import kmv_jaccard
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return kmv_jaccard(li, "l_partkey", "l_linestatus", "O", "F", k=256).spark
+
+
+_q348_sql = """
+WITH base AS (SELECT l_linestatus AS g,
+                     md5('kmv|' || CAST(l_partkey AS VARCHAR)) AS h
+              FROM lineitem
+              WHERE l_partkey IS NOT NULL AND l_linestatus IN ('O', 'F')),
+sa AS (SELECT DISTINCT h FROM base WHERE g = 'O' ORDER BY h LIMIT 256),
+sb AS (SELECT DISTINCT h FROM base WHERE g = 'F' ORDER BY h LIMIT 256),
+un AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) AS t
+       ORDER BY h LIMIT 256),
+stats AS (SELECT (SELECT count(*) FROM un) AS nu,
+                 (SELECT count(*) FROM un
+                  WHERE h IN (SELECT h FROM sa)
+                    AND h IN (SELECT h FROM sb)) AS ni,
+                 (SELECT max(h) FROM un) AS hu,
+                 (SELECT count(*) FROM sa) AS na,
+                 (SELECT max(h) FROM sa) AS ha,
+                 (SELECT count(*) FROM sb) AS nb,
+                 (SELECT max(h) FROM sb) AS hb),
+conv AS (SELECT nu, ni, na, nb,
+  list_reduce(list_transform(generate_series(1, 13),
+      i -> strpos('0123456789abcdef', substr(hu, i, 1)) - 1),
+      (a, x) -> a*16 + x)/power(16, 13) AS uu,
+  list_reduce(list_transform(generate_series(1, 13),
+      i -> strpos('0123456789abcdef', substr(ha, i, 1)) - 1),
+      (a, x) -> a*16 + x)/power(16, 13) AS ua,
+  list_reduce(list_transform(generate_series(1, 13),
+      i -> strpos('0123456789abcdef', substr(hb, i, 1)) - 1),
+      (a, x) -> a*16 + x)/power(16, 13) AS ub
+  FROM stats),
+est AS (SELECT ni*1.0/nu AS jac, nu,
+               CASE WHEN na < 256 THEN na*1.0 ELSE 255/ua END AS da,
+               CASE WHEN nb < 256 THEN nb*1.0 ELSE 255/ub END AS db,
+               CASE WHEN nu < 256 THEN nu*1.0 ELSE 255/uu END AS ue
+        FROM conv)
+SELECT CAST(256 AS BIGINT) AS k, round(jac, 6) AS jaccard_est,
+       CAST(nu AS BIGINT) AS n_union_minhashes,
+       CAST(round(da) AS BIGINT) AS distinct_a_est,
+       CAST(round(db) AS BIGINT) AS distinct_b_est,
+       CAST(round(ue) AS BIGINT) AS union_est,
+       CAST(round(jac*ue) AS BIGINT) AS intersect_est
+FROM est
+"""
+
+
+def _q349(spark, sf_dir):
+    """Connected components by monotone min-label propagation
+    (operators/graph.py connected_components) on an events-derived
+    island graph (edges only within 20-vertex residue islands), reported
+    as component sizes: per round one union + min aggregate over
+    vertex-keyed equi-joins, checkpoint-truncated lineage; the oracle
+    unrolls 6 MATERIALIZED rounds past the fixpoint (extra rounds are
+    no-ops — the k_core convention)."""
+    from polars_net_spark.operators.graph import connected_components
+
+    ev = _t(spark, sf_dir, "events").spark
+    s = F.col("user_id") % 1000
+    d = F.floor(s / 20) * 20 + (s + F.col("event_id")) % 20
+    edges = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    ).select(s.alias("src"), d.cast("long").alias("dst"))
+    cc = connected_components(edges).spark
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+
+
+_q349_sql = """
+WITH raw AS (SELECT user_id % 1000 AS s,
+                    CAST(floor((user_id % 1000)/20)*20
+                         + (user_id % 1000 + event_id) % 20 AS BIGINT) AS d
+             FROM events
+             WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw WHERE s <> d),
+v AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+l0 AS MATERIALIZED (SELECT v, v AS c FROM v),
+l1 AS MATERIALIZED (SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l0
+    UNION ALL SELECT e.b AS v, l0.c AS c FROM l0 JOIN e ON l0.v = e.a
+    UNION ALL SELECT e.a AS v, l0.c AS c FROM l0 JOIN e ON l0.v = e.b
+  ) AS t GROUP BY v),
+l2 AS MATERIALIZED (SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l1
+    UNION ALL SELECT e.b AS v, l1.c AS c FROM l1 JOIN e ON l1.v = e.a
+    UNION ALL SELECT e.a AS v, l1.c AS c FROM l1 JOIN e ON l1.v = e.b
+  ) AS t GROUP BY v),
+l3 AS MATERIALIZED (SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l2
+    UNION ALL SELECT e.b AS v, l2.c AS c FROM l2 JOIN e ON l2.v = e.a
+    UNION ALL SELECT e.a AS v, l2.c AS c FROM l2 JOIN e ON l2.v = e.b
+  ) AS t GROUP BY v),
+l4 AS MATERIALIZED (SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l3
+    UNION ALL SELECT e.b AS v, l3.c AS c FROM l3 JOIN e ON l3.v = e.a
+    UNION ALL SELECT e.a AS v, l3.c AS c FROM l3 JOIN e ON l3.v = e.b
+  ) AS t GROUP BY v),
+l5 AS MATERIALIZED (SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l4
+    UNION ALL SELECT e.b AS v, l4.c AS c FROM l4 JOIN e ON l4.v = e.a
+    UNION ALL SELECT e.a AS v, l4.c AS c FROM l4 JOIN e ON l4.v = e.b
+  ) AS t GROUP BY v),
+l6 AS MATERIALIZED (SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l5
+    UNION ALL SELECT e.b AS v, l5.c AS c FROM l5 JOIN e ON l5.v = e.a
+    UNION ALL SELECT e.a AS v, l5.c AS c FROM l5 JOIN e ON l5.v = e.b
+  ) AS t GROUP BY v)
+SELECT c AS component, CAST(count(*) AS BIGINT) AS n_vertices
+FROM l6 GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -12550,6 +12762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q343_energy_dist": _q343,
         "q344_pettitt": _q344,
         "q345_best_split": _q345,
+        "q346_confusion": _q346,
+        "q347_gumbel": _q347,
+        "q348_kmv_jaccard": _q348,
+        "q349_components": _q349,
     }
 
 
@@ -12900,4 +13116,8 @@ def oracle_sql() -> dict[str, str]:
         "q343_energy_dist": _q343_sql,
         "q344_pettitt": _q344_sql,
         "q345_best_split": _q345_sql,
+        "q346_confusion": _q346_sql,
+        "q347_gumbel": _q347_sql,
+        "q348_kmv_jaccard": _q348_sql,
+        "q349_components": _q349_sql,
     }

@@ -2957,3 +2957,68 @@ def quantile_compare(
 
 
 __all__.extend(["c_index", "quantile_compare"])
+
+
+def gumbel_fit(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    return_periods: "tuple[int, ...] | list[int]" = (10, 100, 1000),
+    round_to: int = 6,
+) -> LazyFrame:
+    """Gumbel (EV-I) extreme-value fit by the method of moments — the
+    block-maxima "how bad is the 1-in-T event" estimator behind capacity
+    planning and tail-latency/flood-style SLO questions: feed it BLOCK
+    MAXIMA (daily/hourly maxima, not raw rows); β̂ = s·√6/π,
+    μ̂ = m − γ·β̂ (γ Euler–Mascheroni), and the T-period return level
+    x_T = μ − β·ln(−ln(1 − 1/T)) — the level exceeded once per T blocks
+    on average.
+
+    Scale shape: ONE fused all-reduce (n, mean, sample std); levels are
+    driver math over the literal period grid.  Output: one row per
+    return period ascending — (return_period, return_level, gumbel_mu,
+    gumbel_beta, n)."""
+    import math
+
+    periods = sorted(int(t) for t in return_periods)
+    if not periods or periods[0] < 2:
+        raise ValueError("return_periods must all be >= 2")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    r = (
+        sdf.filter(v.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(v).alias("m"),
+            F.stddev(v).alias("s"),
+        )
+        .collect()[0]
+    )
+    n = int(r["n"] or 0)
+    if n < 3:
+        raise ValueError("gumbel_fit needs at least 3 block maxima")
+    m, s = float(r["m"]), float(r["s"] or 0)
+    if s <= 0:
+        raise ValueError("gumbel_fit: zero variance")
+    beta = s * math.sqrt(6.0) / math.pi
+    gamma = 0.57721566490153286
+    mu = m - gamma * beta
+    rows = [
+        (
+            t,
+            round(mu - beta * math.log(-math.log(1.0 - 1.0 / t)), round_to),
+            round(mu, round_to),
+            round(beta, round_to),
+            n,
+        )
+        for t in periods
+    ]
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        rows,
+        "return_period bigint, return_level double, gumbel_mu double, "
+        "gumbel_beta double, n bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("gumbel_fit")

@@ -435,3 +435,80 @@ def qini_curve(
 
 
 __all__.append("qini_curve")
+
+
+def confusion_report(
+    frame,
+    prob_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Thresholded binary-classification confusion report — the operating-
+    point companion to auc_report's threshold-free ranking view: counts
+    (tp/fp/tn/fn at prob ≥ threshold) plus the derived operating metrics
+    accuracy, precision, recall, specificity, F1, balanced accuracy, and
+    Matthews correlation (the single-number summary that stays honest
+    under class imbalance, MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)
+    (tn+fn))).
+
+    Scale shape: ONE fused conditional all-reduce (four counts), metrics
+    assembled on the driver.  Rows with null prob/label drop; degenerate
+    denominators yield null for the affected metric (sklearn's
+    zero-division=nan convention).  Output (1 row): threshold, n, tp, fp,
+    tn, fn, accuracy, precision, recall, specificity, f1,
+    balanced_accuracy, mcc."""
+    sdf = _sdf(frame)
+    p = F.col(prob_col).cast("double")
+    y = (F.col(label_col).cast("double") != 0)
+    pred = p >= F.lit(float(threshold))
+    r = (
+        sdf.filter(p.isNotNull() & F.col(label_col).isNotNull())
+        .agg(
+            F.count(F.when(pred & y, 1)).alias("tp"),
+            F.count(F.when(pred & ~y, 1)).alias("fp"),
+            F.count(F.when(~pred & ~y, 1)).alias("tn"),
+            F.count(F.when(~pred & y, 1)).alias("fn"),
+        )
+        .collect()[0]
+    )
+    tp, fp, tn, fn = (int(r[k]) for k in ("tp", "fp", "tn", "fn"))
+    n = tp + fp + tn + fn
+    if n == 0:
+        raise ValueError("confusion_report: no usable rows")
+
+    def div(a, b):
+        return a / b if b > 0 else None
+
+    import math
+
+    prec = div(tp, tp + fp)
+    rec = div(tp, tp + fn)
+    spec = div(tn, tn + fp)
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and prec + rec > 0
+        else None
+    )
+    bal = (rec + spec) / 2 if rec is not None and spec is not None else None
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(denom) if denom > 0 else None
+
+    def rnd(v):
+        return None if v is None else round(v, round_to)
+
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            float(threshold), n, tp, fp, tn, fn,
+            rnd((tp + tn) / n), rnd(prec), rnd(rec), rnd(spec), rnd(f1),
+            rnd(bal), rnd(mcc),
+        )],
+        "threshold double, n bigint, tp bigint, fp bigint, tn bigint, "
+        "fn bigint, accuracy double, precision double, recall double, "
+        "specificity double, f1 double, balanced_accuracy double, mcc double",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("confusion_report")

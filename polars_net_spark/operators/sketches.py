@@ -278,3 +278,83 @@ def cms_query(
 
 
 __all__.extend(["kmv_distinct", "cms_build", "cms_query"])
+
+
+def kmv_jaccard(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    k: int = 256,
+    seed: str = "kmv",
+    round_to: int = 6,
+) -> LazyFrame:
+    """KMV set-similarity between two segments — "how much do these two
+    sources/cohorts overlap" WITHOUT materializing either distinct set:
+    per segment the k smallest distinct md5 hashes (the kmv_distinct
+    signature), then the classic bottom-k estimator (Beyer et al. 2007):
+    with U the k smallest of sig_a ∪ sig_b, Ĵ = |U ∩ sig_a ∩ sig_b| / |U|,
+    distinct/union sizes from the k-th smallest hash, and
+    intersection ≈ Ĵ·|union|.
+
+    Deterministic (same data + seed + k → same estimate on any engine) and
+    shuffle-light: ONE fused conditional aggregate builds both signatures
+    (map-side combining collect_set partials), every set operation after
+    that is array math on a 1-row frame.  Exact when a segment has < k
+    distinct values.  Output (1 row): k, jaccard_est, n_union_minhashes,
+    distinct_a_est, distinct_b_est, union_est, intersect_est."""
+    sdf = _sdf(frame)
+    kk = int(k)
+    if kk < 2:
+        raise ValueError("k must be >= 2")
+    g = F.col(group_col)
+    h = F.md5(
+        F.concat(F.lit(str(seed)), F.lit("|"), F.col(value_col).cast("string"))
+    )
+    base = sdf.filter(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    )
+    agg = base.agg(
+        F.slice(
+            F.array_sort(F.collect_set(F.when(g == F.lit(group_a), h))), 1, kk
+        ).alias("__sa__"),
+        F.slice(
+            F.array_sort(F.collect_set(F.when(g == F.lit(group_b), h))), 1, kk
+        ).alias("__sb__"),
+    )
+    sa, sb = F.col("__sa__"), F.col("__sb__")
+    un = F.slice(F.array_sort(F.array_union(sa, sb)), 1, kk)
+    staged = agg.select(sa.alias("__sa__"), sb.alias("__sb__"), un.alias("__u__"))
+    u = F.col("__u__")
+    nu = F.size(u)
+    inter = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(sa, x) & F.array_contains(sb, x),
+        )
+    )
+    jac = inter.cast("double") / nu
+
+    def est(sig):
+        nn = F.size(sig)
+        return F.when(nn < kk, nn.cast("double")).otherwise(
+            F.lit(kk - 1) / _hex_unit(F.element_at(sig, kk))
+        )
+
+    union_est = F.when(nu < kk, nu.cast("double")).otherwise(
+        F.lit(kk - 1) / _hex_unit(F.element_at(u, kk))
+    )
+    out = staged.select(
+        F.lit(kk).cast("long").alias("k"),
+        F.round(jac, round_to).alias("jaccard_est"),
+        nu.cast("long").alias("n_union_minhashes"),
+        F.round(est(sa)).cast("long").alias("distinct_a_est"),
+        F.round(est(sb)).cast("long").alias("distinct_b_est"),
+        F.round(union_est).cast("long").alias("union_est"),
+        F.round(jac * union_est).cast("long").alias("intersect_est"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("kmv_jaccard")
