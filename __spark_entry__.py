@@ -12415,6 +12415,141 @@ FROM l6 GROUP BY 1
 """
 
 
+
+
+def _q350(spark, sf_dir):
+    """Corpus BLEU-4 (llm/evaluation.py bleu_corpus) of a truncated
+    hypothesis corpus (each doc minus its last 2 words) against the
+    original documents: all four n-gram orders tagged through ONE
+    explode per side, one (doc, gram)-keyed clip join, brevity penalty
+    from corpus totals — unsmoothed Papineni pooling, no per-row
+    Python."""
+    from polars_net_spark.llm.evaluation import bleu_corpus
+
+    d = _t(spark, sf_dir, "documents").spark
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    pairs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.array_join(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
+        ).alias("hyp"),
+        F.col("text").alias("ref"),
+    )
+    return bleu_corpus(pairs, "hyp", "ref", "doc_id").spark
+
+
+_q350_sql = """
+WITH p0 AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                w -> length(w) > 0) AS wr
+  FROM documents WHERE text IS NOT NULL),
+docs2 AS (SELECT doc_id,
+    list_slice(wr, 1, greatest(len(wr) - 2, 0)) AS wh, wr
+  FROM p0),
+hg AS (SELECT n, doc_id, g, count(*) AS c FROM (
+      SELECT 1 AS n, doc_id, wh[i] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wh))) AS u(i)
+      UNION ALL SELECT 2 AS n, doc_id, wh[i] || ' ' || wh[i+1] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wh) - 1)) AS u(i)
+      UNION ALL SELECT 3 AS n, doc_id, wh[i] || ' ' || wh[i+1] || ' ' || wh[i+2] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wh) - 2)) AS u(i)
+      UNION ALL SELECT 4 AS n, doc_id, wh[i] || ' ' || wh[i+1] || ' ' || wh[i+2] || ' ' || wh[i+3] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wh) - 3)) AS u(i)
+  ) AS t GROUP BY 1, 2, 3),
+rg AS (SELECT n, doc_id, g, count(*) AS c FROM (
+      SELECT 1 AS n, doc_id, wr[i] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wr))) AS u(i)
+      UNION ALL SELECT 2 AS n, doc_id, wr[i] || ' ' || wr[i+1] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wr) - 1)) AS u(i)
+      UNION ALL SELECT 3 AS n, doc_id, wr[i] || ' ' || wr[i+1] || ' ' || wr[i+2] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wr) - 2)) AS u(i)
+      UNION ALL SELECT 4 AS n, doc_id, wr[i] || ' ' || wr[i+1] || ' ' || wr[i+2] || ' ' || wr[i+3] AS g
+      FROM docs2, LATERAL unnest(generate_series(1, len(wr) - 3)) AS u(i)
+  ) AS t GROUP BY 1, 2, 3),
+cl AS (SELECT hg.n, sum(least(hg.c, coalesce(rg.c, 0))) AS m, sum(hg.c) AS h
+       FROM hg LEFT JOIN rg
+         ON hg.n = rg.n AND hg.doc_id = rg.doc_id AND hg.g = rg.g
+       GROUP BY 1),
+lens AS (SELECT sum(len(wh)) AS hl, sum(len(wr)) AS rl, count(*) AS nd
+         FROM docs2),
+p AS (SELECT max(CASE WHEN n = 1 THEN m*1.0/h END) AS p1,
+             max(CASE WHEN n = 2 THEN m*1.0/h END) AS p2,
+             max(CASE WHEN n = 3 THEN m*1.0/h END) AS p3,
+             max(CASE WHEN n = 4 THEN m*1.0/h END) AS p4
+      FROM cl)
+SELECT round(CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+             THEN least(1.0, exp(1.0 - rl*1.0/hl))
+                  * exp((ln(p1)+ln(p2)+ln(p3)+ln(p4))/4.0)
+             ELSE 0.0 END, 6) AS bleu,
+       round(least(1.0, exp(1.0 - rl*1.0/hl)), 6) AS brevity_penalty,
+       round(p1, 6) AS p1, round(p2, 6) AS p2,
+       round(p3, 6) AS p3, round(p4, 6) AS p4,
+       CAST(hl AS BIGINT) AS hyp_len, CAST(rl AS BIGINT) AS ref_len,
+       CAST(nd AS BIGINT) AS n_docs
+FROM p, lens
+"""
+
+
+def _q351(spark, sf_dir):
+    """Corpus ROUGE-2 (llm/evaluation.py rouge_n) of the same truncated
+    hypothesis corpus against the originals: (doc, gram)-keyed FULL
+    join preserves both totals, per-doc reduce feeds micro (pooled) and
+    macro (per-doc mean) recall in one final all-reduce."""
+    from polars_net_spark.llm.evaluation import rouge_n
+
+    d = _t(spark, sf_dir, "documents").spark
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    pairs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.array_join(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
+        ).alias("hyp"),
+        F.col("text").alias("ref"),
+    )
+    return rouge_n(pairs, "hyp", "ref", "doc_id", n=2).spark
+
+
+_q351_sql = """
+WITH p0 AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                w -> length(w) > 0) AS wr
+  FROM documents WHERE text IS NOT NULL),
+docs2 AS (SELECT doc_id,
+    list_slice(wr, 1, greatest(len(wr) - 2, 0)) AS wh, wr
+  FROM p0),
+hg AS (SELECT doc_id, wh[i] || ' ' || wh[i+1] AS g, count(*) AS c
+       FROM docs2, LATERAL unnest(generate_series(1, len(wh) - 1)) AS u(i)
+       GROUP BY 1, 2),
+rg AS (SELECT doc_id, wr[i] || ' ' || wr[i+1] AS g, count(*) AS c
+       FROM docs2, LATERAL unnest(generate_series(1, len(wr) - 1)) AS u(i)
+       GROUP BY 1, 2),
+cell AS (SELECT coalesce(hg.doc_id, rg.doc_id) AS doc_id,
+                coalesce(hg.c, 0) AS h, coalesce(rg.c, 0) AS r
+         FROM hg FULL JOIN rg
+           ON hg.doc_id = rg.doc_id AND hg.g = rg.g),
+per_doc AS (SELECT doc_id, sum(least(h, r)) AS m, sum(r) AS rt,
+                   sum(h) AS ht
+            FROM cell GROUP BY 1),
+red AS (SELECT count(*) AS nd, sum(m) AS m, sum(rt) AS rt, sum(ht) AS ht,
+               avg(CASE WHEN rt > 0 THEN m*1.0/rt END) AS macro_r
+        FROM per_doc)
+SELECT CAST(2 AS INT) AS n, CAST(nd AS BIGINT) AS n_docs,
+       round(m*1.0/rt, 6) AS micro_recall,
+       round(macro_r, 6) AS macro_recall,
+       round(CASE WHEN ht > 0 THEN m*1.0/ht END, 6) AS micro_precision,
+       round(CASE WHEN ht > 0 AND m*1.0/ht + m*1.0/rt > 0
+                  THEN 2*(m*1.0/ht)*(m*1.0/rt)/((m*1.0/ht) + (m*1.0/rt))
+             END, 6) AS micro_f1
+FROM red
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -12766,6 +12901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q347_gumbel": _q347,
         "q348_kmv_jaccard": _q348,
         "q349_components": _q349,
+        "q350_bleu": _q350,
+        "q351_rouge": _q351,
     }
 
 
@@ -13120,4 +13257,6 @@ def oracle_sql() -> dict[str, str]:
         "q347_gumbel": _q347_sql,
         "q348_kmv_jaccard": _q348_sql,
         "q349_components": _q349_sql,
+        "q350_bleu": _q350_sql,
+        "q351_rouge": _q351_sql,
     }

@@ -930,3 +930,232 @@ def brier_decomposition(
 
 
 __all__.append("brier_decomposition")
+
+
+def _gram_arrays(text_expr, max_n: int):
+    """Word array + per-n gram arrays via the collapse-proof shifted-slice
+    zip_with fold (see ngram_coverage: element_at inside a transform lambda
+    re-evaluates the split per element — O(words²) regex work)."""
+    ws = F.filter(
+        F.split(F.trim(F.lower(text_expr)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    return ws
+
+
+def _grams_of(w, n: int):
+    if n == 1:
+        return w
+    ln = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    g = F.slice(w, 1, ln)
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(w, 1 + j, ln), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return g
+
+
+def bleu_corpus(
+    frame: "LazyFrame | SparkDF",
+    hyp_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 4,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Corpus-level BLEU (Papineni et al. 2002, unsmoothed, single
+    reference) — the generation-quality yardstick for translation/
+    summarization eval sets: modified n-gram precision p_n =
+    Σ_docs Σ_grams min(count_hyp, count_ref) / Σ_docs count_hyp for
+    n = 1..``max_n``, geometric mean, and the brevity penalty
+    BP = min(1, e^(1 − ref_len/hyp_len)) on CORPUS total lengths.
+    Any p_n = 0 gives BLEU 0 (the standard unsmoothed convention —
+    corpus-level pooling makes this rare).
+
+    Scale shape: all n orders ride ONE explode each side (grams tagged
+    "n|gram"), one (doc, gram)-keyed count aggregate per side, one LEFT
+    equi-join on (doc, gram) to clip, and one ≤max_n-row reduce; corpus
+    lengths come from the same staged word arrays in one fused reduce.
+    Never a window, never per-row Python.  Output (1 row): bleu,
+    brevity_penalty, p1..p{max_n}, hyp_len, ref_len, n_docs."""
+    if not 1 <= max_n <= 8:
+        raise ValueError("max_n must be in 1..8")
+    sdf = _sdf(frame)
+    base = sdf.filter(
+        F.col(hyp_col).isNotNull() & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id__"),
+        _gram_arrays(F.col(hyp_col), max_n).alias("__wh__"),
+        _gram_arrays(F.col(ref_col), max_n).alias("__wr__"),
+    )
+    base = base.persist()
+    try:
+        lens = base.agg(
+            F.sum(F.size("__wh__")).alias("hl"),
+            F.sum(F.size("__wr__")).alias("rl"),
+            F.count(F.lit(1)).alias("nd"),
+        ).collect()[0]
+        n_docs = int(lens["nd"] or 0)
+        if n_docs == 0:
+            raise ValueError("bleu_corpus: no usable rows")
+        hl, rl = int(lens["hl"] or 0), int(lens["rl"] or 0)
+        if hl == 0:
+            raise ValueError("bleu_corpus: empty hypothesis corpus")
+
+        def _tag(nn):
+            # a 2-arg lambda would be treated as transform's (element,
+            # index) form — bind the order via a closure instead
+            return lambda g: F.concat(F.lit(f"{nn}|"), g)
+
+        def tagged(col_name):
+            parts = [
+                F.transform(_grams_of(F.col(col_name), n), _tag(n))
+                for n in range(1, max_n + 1)
+            ]
+            arr = parts[0]
+            for p in parts[1:]:
+                arr = F.concat(arr, p)
+            return arr
+
+        hyp = (
+            base.select("__id__", F.explode(tagged("__wh__")).alias("__g__"))
+            .groupBy("__id__", "__g__")
+            .agg(F.count(F.lit(1)).alias("__h__"))
+        )
+        ref = (
+            base.select("__id__", F.explode(tagged("__wr__")).alias("__g__"))
+            .groupBy("__id__", "__g__")
+            .agg(F.count(F.lit(1)).alias("__r__"))
+        )
+        ntag = F.split(F.col("__g__"), r"\|", 2).getItem(0).cast("int")
+        clipped = (
+            hyp.join(ref, ["__id__", "__g__"], "left")
+            .select(
+                ntag.alias("__n__"),
+                F.col("__h__"),
+                F.least(
+                    F.col("__h__"), F.coalesce(F.col("__r__"), F.lit(0))
+                ).alias("__m__"),
+            )
+            .groupBy("__n__")
+            .agg(F.sum("__m__").alias("m"), F.sum("__h__").alias("h"))
+            .collect()
+        )
+    finally:
+        base.unpersist()
+    byn = {int(r["__n__"]): (int(r["m"]), int(r["h"])) for r in clipped}
+    import math
+
+    ps = []
+    for n in range(1, max_n + 1):
+        m, h = byn.get(n, (0, 0))
+        if h == 0:
+            raise ValueError(f"bleu_corpus: no {n}-grams in hypothesis corpus")
+        ps.append(m / h)
+    bp = min(1.0, math.exp(1.0 - rl / hl))
+    bleu = (
+        bp * math.exp(sum(math.log(p) for p in ps) / max_n)
+        if all(p > 0 for p in ps)
+        else 0.0
+    )
+    spark = sdf.sparkSession
+    fields = [round(bleu, round_to), round(bp, round_to)] + [
+        round(p, round_to) for p in ps
+    ] + [hl, rl, n_docs]
+    schema = (
+        "bleu double, brevity_penalty double, "
+        + ", ".join(f"p{n} double" for n in range(1, max_n + 1))
+        + ", hyp_len bigint, ref_len bigint, n_docs bigint"
+    )
+    out = spark.createDataFrame([tuple(fields)], schema)
+    return LazyFrame(out)
+
+
+def rouge_n(
+    frame: "LazyFrame | SparkDF",
+    hyp_col: str,
+    ref_col: str,
+    id_col: str,
+    n: int = 2,
+    round_to: int = 6,
+) -> LazyFrame:
+    """ROUGE-N (Lin 2004, single reference) — the recall-oriented overlap
+    score for summarization eval: per doc, clipped n-gram overlap
+    Σ_g min(count_hyp, count_ref) against the REFERENCE total (recall)
+    and the hypothesis total (precision); reports corpus MICRO scores
+    (pooled sums — robust to short docs) plus the macro mean of per-doc
+    recall (the number the original ROUGE script averages).  Docs whose
+    reference has no n-grams are excluded from macro recall (undefined),
+    matching the convention.
+
+    Scale shape: one explode + (doc, gram) count aggregate per side, a
+    FULL outer (doc, gram) equi-join so both totals survive, a per-doc
+    reduce, then ONE 1-row fused reduce.  Output (1 row): n, n_docs,
+    micro_recall, macro_recall, micro_precision, micro_f1."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    sdf = _sdf(frame)
+    base = sdf.filter(
+        F.col(hyp_col).isNotNull() & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id__"),
+        _grams_of(_gram_arrays(F.col(hyp_col), n), n).alias("__gh__"),
+        _grams_of(_gram_arrays(F.col(ref_col), n), n).alias("__gr__"),
+    )
+
+    hyp = (
+        base.select("__id__", F.explode("__gh__").alias("__g__"))
+        .groupBy("__id__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__h__"))
+    )
+    ref = (
+        base.select("__id__", F.explode("__gr__").alias("__g__"))
+        .groupBy("__id__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__r__"))
+    )
+    cell = hyp.join(ref, ["__id__", "__g__"], "full").select(
+        "__id__",
+        F.coalesce(F.col("__h__"), F.lit(0)).alias("__h__"),
+        F.coalesce(F.col("__r__"), F.lit(0)).alias("__r__"),
+    )
+    per_doc = cell.groupBy("__id__").agg(
+        F.sum(F.least("__h__", "__r__")).alias("__m__"),
+        F.sum("__r__").alias("__rt__"),
+        F.sum("__h__").alias("__ht__"),
+    )
+    red = per_doc.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("__m__").alias("m"),
+        F.sum("__rt__").alias("rt"),
+        F.sum("__ht__").alias("ht"),
+        F.avg(
+            F.when(F.col("__rt__") > 0, F.col("__m__") / F.col("__rt__"))
+        ).alias("macro_r"),
+    ).collect()[0]
+    m, rt, ht = (float(red[k] or 0) for k in ("m", "rt", "ht"))
+    if rt == 0:
+        raise ValueError(f"rouge_n: reference corpus has no {n}-grams")
+    micro_r = m / rt
+    micro_p = m / ht if ht > 0 else None
+    micro_f = (
+        2 * micro_p * micro_r / (micro_p + micro_r)
+        if micro_p is not None and micro_p + micro_r > 0
+        else None
+    )
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            n, int(red["nd"]), round(micro_r, round_to),
+            None if red["macro_r"] is None else round(float(red["macro_r"]), round_to),
+            None if micro_p is None else round(micro_p, round_to),
+            None if micro_f is None else round(micro_f, round_to),
+        )],
+        "n int, n_docs bigint, micro_recall double, macro_recall double, "
+        "micro_precision double, micro_f1 double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["bleu_corpus", "rouge_n"])
