@@ -12550,6 +12550,366 @@ FROM red
 """
 
 
+
+
+def _q352(spark, sf_dir):
+    """Two-sample Cramér–von Mises criterion (operators/regression.py
+    cramer_von_mises) comparing urgent vs low-priority order totals:
+    mid-rank pooled positions from distinct-value cells on ONE distsort
+    prefix pass, each tie block closed by the consecutive-integer
+    sum-of-squares identity — the whole-CDF companion to q194-family KS."""
+    from polars_net_spark.operators.regression import cramer_von_mises
+
+    o = _t(spark, sf_dir, "orders").spark
+    return cramer_von_mises(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    ).spark
+
+
+_q352_sql = """
+WITH base AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+cells AS (SELECT v,
+                 sum(CASE WHEN g = '1-URGENT' THEN 1.0 ELSE 0 END) AS ca,
+                 sum(CASE WHEN g = '5-LOW' THEN 1.0 ELSE 0 END) AS cb
+          FROM base GROUP BY 1),
+pre AS (SELECT v, ca, cb,
+               coalesce(sum(ca) OVER w, 0) AS ta,
+               coalesce(sum(cb) OVER w, 0) AS tb
+        FROM cells
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)),
+t2 AS (SELECT ca, cb, ta, tb,
+              ta + tb + (ca + cb + 1.0)/2.0 AS rbar FROM pre),
+t3 AS (SELECT
+    ca*rbar*rbar - 2.0*rbar*(ca*ta + ca*(ca + 1.0)/2.0)
+      + ((ta+ca)*(ta+ca+1.0)*(2.0*(ta+ca)+1.0)/6.0
+         - ta*(ta+1.0)*(2.0*ta+1.0)/6.0) AS ua,
+    cb*rbar*rbar - 2.0*rbar*(cb*tb + cb*(cb + 1.0)/2.0)
+      + ((tb+cb)*(tb+cb+1.0)*(2.0*(tb+cb)+1.0)/6.0
+         - tb*(tb+1.0)*(2.0*tb+1.0)/6.0) AS ub
+  FROM t2),
+tot AS (SELECT sum(ca) AS n, sum(cb) AS m FROM cells),
+red AS (SELECT sum(ua) AS ua, sum(ub) AS ub FROM t3)
+SELECT round((n*ua + m*ub)/(n*m*(n+m)) - (4.0*n*m - 1.0)/(6.0*(n+m)), 6)
+         AS t_stat,
+       round(n*ua + m*ub, 6) AS u_stat,
+       CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b
+FROM red, tot
+"""
+
+
+def _q353(spark, sf_dir):
+    """Deterministic randomization test (operators/regression.py
+    permutation_test): is the click-vs-view event-value gap explainable
+    by chance?  64 md5-coin reassignment replicates ride ONE fused
+    all-reduce (128 conditional sums, no row explosion); the oracle
+    replays every coin."""
+    from polars_net_spark.operators.regression import permutation_test
+
+    ev = _t(spark, sf_dir, "events").spark
+    return permutation_test(
+        ev, "value", "event_type", "event_id", "click", "view"
+    ).spark
+
+
+_q353_sql = """
+WITH base AS (SELECT CAST(event_id AS VARCHAR) AS event_id,
+                     CAST(value AS DOUBLE) AS v,
+                     event_type = 'click' AS isa
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL
+                AND event_type IN ('click', 'view')),
+agg AS (SELECT
+  sum(CASE WHEN isa THEN v END) AS sa,
+  count(CASE WHEN isa THEN 1 END) AS na,
+  sum(CASE WHEN NOT isa THEN v END) AS sb,
+  count(CASE WHEN NOT isa THEN 1 END) AS nb,
+  sum(CASE WHEN substr(md5('perm|0|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s0,
+  count(CASE WHEN substr(md5('perm|0|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c0,
+  sum(CASE WHEN substr(md5('perm|1|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s1,
+  count(CASE WHEN substr(md5('perm|1|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c1,
+  sum(CASE WHEN substr(md5('perm|2|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s2,
+  count(CASE WHEN substr(md5('perm|2|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c2,
+  sum(CASE WHEN substr(md5('perm|3|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s3,
+  count(CASE WHEN substr(md5('perm|3|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c3,
+  sum(CASE WHEN substr(md5('perm|4|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s4,
+  count(CASE WHEN substr(md5('perm|4|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c4,
+  sum(CASE WHEN substr(md5('perm|5|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s5,
+  count(CASE WHEN substr(md5('perm|5|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c5,
+  sum(CASE WHEN substr(md5('perm|6|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s6,
+  count(CASE WHEN substr(md5('perm|6|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c6,
+  sum(CASE WHEN substr(md5('perm|7|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s7,
+  count(CASE WHEN substr(md5('perm|7|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c7,
+  sum(CASE WHEN substr(md5('perm|8|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s8,
+  count(CASE WHEN substr(md5('perm|8|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c8,
+  sum(CASE WHEN substr(md5('perm|9|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s9,
+  count(CASE WHEN substr(md5('perm|9|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c9,
+  sum(CASE WHEN substr(md5('perm|10|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s10,
+  count(CASE WHEN substr(md5('perm|10|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c10,
+  sum(CASE WHEN substr(md5('perm|11|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s11,
+  count(CASE WHEN substr(md5('perm|11|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c11,
+  sum(CASE WHEN substr(md5('perm|12|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s12,
+  count(CASE WHEN substr(md5('perm|12|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c12,
+  sum(CASE WHEN substr(md5('perm|13|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s13,
+  count(CASE WHEN substr(md5('perm|13|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c13,
+  sum(CASE WHEN substr(md5('perm|14|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s14,
+  count(CASE WHEN substr(md5('perm|14|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c14,
+  sum(CASE WHEN substr(md5('perm|15|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s15,
+  count(CASE WHEN substr(md5('perm|15|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c15,
+  sum(CASE WHEN substr(md5('perm|16|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s16,
+  count(CASE WHEN substr(md5('perm|16|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c16,
+  sum(CASE WHEN substr(md5('perm|17|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s17,
+  count(CASE WHEN substr(md5('perm|17|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c17,
+  sum(CASE WHEN substr(md5('perm|18|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s18,
+  count(CASE WHEN substr(md5('perm|18|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c18,
+  sum(CASE WHEN substr(md5('perm|19|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s19,
+  count(CASE WHEN substr(md5('perm|19|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c19,
+  sum(CASE WHEN substr(md5('perm|20|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s20,
+  count(CASE WHEN substr(md5('perm|20|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c20,
+  sum(CASE WHEN substr(md5('perm|21|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s21,
+  count(CASE WHEN substr(md5('perm|21|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c21,
+  sum(CASE WHEN substr(md5('perm|22|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s22,
+  count(CASE WHEN substr(md5('perm|22|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c22,
+  sum(CASE WHEN substr(md5('perm|23|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s23,
+  count(CASE WHEN substr(md5('perm|23|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c23,
+  sum(CASE WHEN substr(md5('perm|24|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s24,
+  count(CASE WHEN substr(md5('perm|24|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c24,
+  sum(CASE WHEN substr(md5('perm|25|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s25,
+  count(CASE WHEN substr(md5('perm|25|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c25,
+  sum(CASE WHEN substr(md5('perm|26|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s26,
+  count(CASE WHEN substr(md5('perm|26|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c26,
+  sum(CASE WHEN substr(md5('perm|27|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s27,
+  count(CASE WHEN substr(md5('perm|27|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c27,
+  sum(CASE WHEN substr(md5('perm|28|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s28,
+  count(CASE WHEN substr(md5('perm|28|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c28,
+  sum(CASE WHEN substr(md5('perm|29|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s29,
+  count(CASE WHEN substr(md5('perm|29|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c29,
+  sum(CASE WHEN substr(md5('perm|30|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s30,
+  count(CASE WHEN substr(md5('perm|30|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c30,
+  sum(CASE WHEN substr(md5('perm|31|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s31,
+  count(CASE WHEN substr(md5('perm|31|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c31,
+  sum(CASE WHEN substr(md5('perm|32|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s32,
+  count(CASE WHEN substr(md5('perm|32|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c32,
+  sum(CASE WHEN substr(md5('perm|33|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s33,
+  count(CASE WHEN substr(md5('perm|33|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c33,
+  sum(CASE WHEN substr(md5('perm|34|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s34,
+  count(CASE WHEN substr(md5('perm|34|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c34,
+  sum(CASE WHEN substr(md5('perm|35|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s35,
+  count(CASE WHEN substr(md5('perm|35|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c35,
+  sum(CASE WHEN substr(md5('perm|36|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s36,
+  count(CASE WHEN substr(md5('perm|36|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c36,
+  sum(CASE WHEN substr(md5('perm|37|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s37,
+  count(CASE WHEN substr(md5('perm|37|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c37,
+  sum(CASE WHEN substr(md5('perm|38|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s38,
+  count(CASE WHEN substr(md5('perm|38|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c38,
+  sum(CASE WHEN substr(md5('perm|39|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s39,
+  count(CASE WHEN substr(md5('perm|39|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c39,
+  sum(CASE WHEN substr(md5('perm|40|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s40,
+  count(CASE WHEN substr(md5('perm|40|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c40,
+  sum(CASE WHEN substr(md5('perm|41|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s41,
+  count(CASE WHEN substr(md5('perm|41|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c41,
+  sum(CASE WHEN substr(md5('perm|42|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s42,
+  count(CASE WHEN substr(md5('perm|42|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c42,
+  sum(CASE WHEN substr(md5('perm|43|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s43,
+  count(CASE WHEN substr(md5('perm|43|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c43,
+  sum(CASE WHEN substr(md5('perm|44|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s44,
+  count(CASE WHEN substr(md5('perm|44|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c44,
+  sum(CASE WHEN substr(md5('perm|45|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s45,
+  count(CASE WHEN substr(md5('perm|45|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c45,
+  sum(CASE WHEN substr(md5('perm|46|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s46,
+  count(CASE WHEN substr(md5('perm|46|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c46,
+  sum(CASE WHEN substr(md5('perm|47|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s47,
+  count(CASE WHEN substr(md5('perm|47|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c47,
+  sum(CASE WHEN substr(md5('perm|48|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s48,
+  count(CASE WHEN substr(md5('perm|48|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c48,
+  sum(CASE WHEN substr(md5('perm|49|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s49,
+  count(CASE WHEN substr(md5('perm|49|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c49,
+  sum(CASE WHEN substr(md5('perm|50|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s50,
+  count(CASE WHEN substr(md5('perm|50|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c50,
+  sum(CASE WHEN substr(md5('perm|51|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s51,
+  count(CASE WHEN substr(md5('perm|51|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c51,
+  sum(CASE WHEN substr(md5('perm|52|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s52,
+  count(CASE WHEN substr(md5('perm|52|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c52,
+  sum(CASE WHEN substr(md5('perm|53|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s53,
+  count(CASE WHEN substr(md5('perm|53|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c53,
+  sum(CASE WHEN substr(md5('perm|54|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s54,
+  count(CASE WHEN substr(md5('perm|54|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c54,
+  sum(CASE WHEN substr(md5('perm|55|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s55,
+  count(CASE WHEN substr(md5('perm|55|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c55,
+  sum(CASE WHEN substr(md5('perm|56|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s56,
+  count(CASE WHEN substr(md5('perm|56|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c56,
+  sum(CASE WHEN substr(md5('perm|57|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s57,
+  count(CASE WHEN substr(md5('perm|57|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c57,
+  sum(CASE WHEN substr(md5('perm|58|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s58,
+  count(CASE WHEN substr(md5('perm|58|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c58,
+  sum(CASE WHEN substr(md5('perm|59|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s59,
+  count(CASE WHEN substr(md5('perm|59|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c59,
+  sum(CASE WHEN substr(md5('perm|60|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s60,
+  count(CASE WHEN substr(md5('perm|60|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c60,
+  sum(CASE WHEN substr(md5('perm|61|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s61,
+  count(CASE WHEN substr(md5('perm|61|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c61,
+  sum(CASE WHEN substr(md5('perm|62|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s62,
+  count(CASE WHEN substr(md5('perm|62|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c62,
+  sum(CASE WHEN substr(md5('perm|63|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN v END) AS s63,
+  count(CASE WHEN substr(md5('perm|63|' || CAST(event_id AS VARCHAR)), 32, 1) IN ('0','2','4','6','8','a','c','e') THEN 1 END) AS c63,
+  sum(v) AS st, count(*) AS ct
+  FROM base),
+diffs AS (SELECT sa, na, sb, nb, st, ct,
+  sa/na - sb/nb AS obs,
+  CASE WHEN c0 > 0 AND c0 < ct THEN abs(s0/c0 - (st - s0)/(ct - c0)) END AS d0,
+  CASE WHEN c1 > 0 AND c1 < ct THEN abs(s1/c1 - (st - s1)/(ct - c1)) END AS d1,
+  CASE WHEN c2 > 0 AND c2 < ct THEN abs(s2/c2 - (st - s2)/(ct - c2)) END AS d2,
+  CASE WHEN c3 > 0 AND c3 < ct THEN abs(s3/c3 - (st - s3)/(ct - c3)) END AS d3,
+  CASE WHEN c4 > 0 AND c4 < ct THEN abs(s4/c4 - (st - s4)/(ct - c4)) END AS d4,
+  CASE WHEN c5 > 0 AND c5 < ct THEN abs(s5/c5 - (st - s5)/(ct - c5)) END AS d5,
+  CASE WHEN c6 > 0 AND c6 < ct THEN abs(s6/c6 - (st - s6)/(ct - c6)) END AS d6,
+  CASE WHEN c7 > 0 AND c7 < ct THEN abs(s7/c7 - (st - s7)/(ct - c7)) END AS d7,
+  CASE WHEN c8 > 0 AND c8 < ct THEN abs(s8/c8 - (st - s8)/(ct - c8)) END AS d8,
+  CASE WHEN c9 > 0 AND c9 < ct THEN abs(s9/c9 - (st - s9)/(ct - c9)) END AS d9,
+  CASE WHEN c10 > 0 AND c10 < ct THEN abs(s10/c10 - (st - s10)/(ct - c10)) END AS d10,
+  CASE WHEN c11 > 0 AND c11 < ct THEN abs(s11/c11 - (st - s11)/(ct - c11)) END AS d11,
+  CASE WHEN c12 > 0 AND c12 < ct THEN abs(s12/c12 - (st - s12)/(ct - c12)) END AS d12,
+  CASE WHEN c13 > 0 AND c13 < ct THEN abs(s13/c13 - (st - s13)/(ct - c13)) END AS d13,
+  CASE WHEN c14 > 0 AND c14 < ct THEN abs(s14/c14 - (st - s14)/(ct - c14)) END AS d14,
+  CASE WHEN c15 > 0 AND c15 < ct THEN abs(s15/c15 - (st - s15)/(ct - c15)) END AS d15,
+  CASE WHEN c16 > 0 AND c16 < ct THEN abs(s16/c16 - (st - s16)/(ct - c16)) END AS d16,
+  CASE WHEN c17 > 0 AND c17 < ct THEN abs(s17/c17 - (st - s17)/(ct - c17)) END AS d17,
+  CASE WHEN c18 > 0 AND c18 < ct THEN abs(s18/c18 - (st - s18)/(ct - c18)) END AS d18,
+  CASE WHEN c19 > 0 AND c19 < ct THEN abs(s19/c19 - (st - s19)/(ct - c19)) END AS d19,
+  CASE WHEN c20 > 0 AND c20 < ct THEN abs(s20/c20 - (st - s20)/(ct - c20)) END AS d20,
+  CASE WHEN c21 > 0 AND c21 < ct THEN abs(s21/c21 - (st - s21)/(ct - c21)) END AS d21,
+  CASE WHEN c22 > 0 AND c22 < ct THEN abs(s22/c22 - (st - s22)/(ct - c22)) END AS d22,
+  CASE WHEN c23 > 0 AND c23 < ct THEN abs(s23/c23 - (st - s23)/(ct - c23)) END AS d23,
+  CASE WHEN c24 > 0 AND c24 < ct THEN abs(s24/c24 - (st - s24)/(ct - c24)) END AS d24,
+  CASE WHEN c25 > 0 AND c25 < ct THEN abs(s25/c25 - (st - s25)/(ct - c25)) END AS d25,
+  CASE WHEN c26 > 0 AND c26 < ct THEN abs(s26/c26 - (st - s26)/(ct - c26)) END AS d26,
+  CASE WHEN c27 > 0 AND c27 < ct THEN abs(s27/c27 - (st - s27)/(ct - c27)) END AS d27,
+  CASE WHEN c28 > 0 AND c28 < ct THEN abs(s28/c28 - (st - s28)/(ct - c28)) END AS d28,
+  CASE WHEN c29 > 0 AND c29 < ct THEN abs(s29/c29 - (st - s29)/(ct - c29)) END AS d29,
+  CASE WHEN c30 > 0 AND c30 < ct THEN abs(s30/c30 - (st - s30)/(ct - c30)) END AS d30,
+  CASE WHEN c31 > 0 AND c31 < ct THEN abs(s31/c31 - (st - s31)/(ct - c31)) END AS d31,
+  CASE WHEN c32 > 0 AND c32 < ct THEN abs(s32/c32 - (st - s32)/(ct - c32)) END AS d32,
+  CASE WHEN c33 > 0 AND c33 < ct THEN abs(s33/c33 - (st - s33)/(ct - c33)) END AS d33,
+  CASE WHEN c34 > 0 AND c34 < ct THEN abs(s34/c34 - (st - s34)/(ct - c34)) END AS d34,
+  CASE WHEN c35 > 0 AND c35 < ct THEN abs(s35/c35 - (st - s35)/(ct - c35)) END AS d35,
+  CASE WHEN c36 > 0 AND c36 < ct THEN abs(s36/c36 - (st - s36)/(ct - c36)) END AS d36,
+  CASE WHEN c37 > 0 AND c37 < ct THEN abs(s37/c37 - (st - s37)/(ct - c37)) END AS d37,
+  CASE WHEN c38 > 0 AND c38 < ct THEN abs(s38/c38 - (st - s38)/(ct - c38)) END AS d38,
+  CASE WHEN c39 > 0 AND c39 < ct THEN abs(s39/c39 - (st - s39)/(ct - c39)) END AS d39,
+  CASE WHEN c40 > 0 AND c40 < ct THEN abs(s40/c40 - (st - s40)/(ct - c40)) END AS d40,
+  CASE WHEN c41 > 0 AND c41 < ct THEN abs(s41/c41 - (st - s41)/(ct - c41)) END AS d41,
+  CASE WHEN c42 > 0 AND c42 < ct THEN abs(s42/c42 - (st - s42)/(ct - c42)) END AS d42,
+  CASE WHEN c43 > 0 AND c43 < ct THEN abs(s43/c43 - (st - s43)/(ct - c43)) END AS d43,
+  CASE WHEN c44 > 0 AND c44 < ct THEN abs(s44/c44 - (st - s44)/(ct - c44)) END AS d44,
+  CASE WHEN c45 > 0 AND c45 < ct THEN abs(s45/c45 - (st - s45)/(ct - c45)) END AS d45,
+  CASE WHEN c46 > 0 AND c46 < ct THEN abs(s46/c46 - (st - s46)/(ct - c46)) END AS d46,
+  CASE WHEN c47 > 0 AND c47 < ct THEN abs(s47/c47 - (st - s47)/(ct - c47)) END AS d47,
+  CASE WHEN c48 > 0 AND c48 < ct THEN abs(s48/c48 - (st - s48)/(ct - c48)) END AS d48,
+  CASE WHEN c49 > 0 AND c49 < ct THEN abs(s49/c49 - (st - s49)/(ct - c49)) END AS d49,
+  CASE WHEN c50 > 0 AND c50 < ct THEN abs(s50/c50 - (st - s50)/(ct - c50)) END AS d50,
+  CASE WHEN c51 > 0 AND c51 < ct THEN abs(s51/c51 - (st - s51)/(ct - c51)) END AS d51,
+  CASE WHEN c52 > 0 AND c52 < ct THEN abs(s52/c52 - (st - s52)/(ct - c52)) END AS d52,
+  CASE WHEN c53 > 0 AND c53 < ct THEN abs(s53/c53 - (st - s53)/(ct - c53)) END AS d53,
+  CASE WHEN c54 > 0 AND c54 < ct THEN abs(s54/c54 - (st - s54)/(ct - c54)) END AS d54,
+  CASE WHEN c55 > 0 AND c55 < ct THEN abs(s55/c55 - (st - s55)/(ct - c55)) END AS d55,
+  CASE WHEN c56 > 0 AND c56 < ct THEN abs(s56/c56 - (st - s56)/(ct - c56)) END AS d56,
+  CASE WHEN c57 > 0 AND c57 < ct THEN abs(s57/c57 - (st - s57)/(ct - c57)) END AS d57,
+  CASE WHEN c58 > 0 AND c58 < ct THEN abs(s58/c58 - (st - s58)/(ct - c58)) END AS d58,
+  CASE WHEN c59 > 0 AND c59 < ct THEN abs(s59/c59 - (st - s59)/(ct - c59)) END AS d59,
+  CASE WHEN c60 > 0 AND c60 < ct THEN abs(s60/c60 - (st - s60)/(ct - c60)) END AS d60,
+  CASE WHEN c61 > 0 AND c61 < ct THEN abs(s61/c61 - (st - s61)/(ct - c61)) END AS d61,
+  CASE WHEN c62 > 0 AND c62 < ct THEN abs(s62/c62 - (st - s62)/(ct - c62)) END AS d62,
+  CASE WHEN c63 > 0 AND c63 < ct THEN abs(s63/c63 - (st - s63)/(ct - c63)) END AS d63
+  FROM agg),
+score AS (SELECT obs, na, nb, sa, sb,
+  (CASE WHEN d0 IS NOT NULL AND d0 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d1 IS NOT NULL AND d1 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d2 IS NOT NULL AND d2 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d3 IS NOT NULL AND d3 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d4 IS NOT NULL AND d4 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d5 IS NOT NULL AND d5 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d6 IS NOT NULL AND d6 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d7 IS NOT NULL AND d7 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d8 IS NOT NULL AND d8 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d9 IS NOT NULL AND d9 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d10 IS NOT NULL AND d10 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d11 IS NOT NULL AND d11 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d12 IS NOT NULL AND d12 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d13 IS NOT NULL AND d13 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d14 IS NOT NULL AND d14 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d15 IS NOT NULL AND d15 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d16 IS NOT NULL AND d16 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d17 IS NOT NULL AND d17 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d18 IS NOT NULL AND d18 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d19 IS NOT NULL AND d19 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d20 IS NOT NULL AND d20 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d21 IS NOT NULL AND d21 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d22 IS NOT NULL AND d22 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d23 IS NOT NULL AND d23 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d24 IS NOT NULL AND d24 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d25 IS NOT NULL AND d25 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d26 IS NOT NULL AND d26 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d27 IS NOT NULL AND d27 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d28 IS NOT NULL AND d28 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d29 IS NOT NULL AND d29 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d30 IS NOT NULL AND d30 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d31 IS NOT NULL AND d31 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d32 IS NOT NULL AND d32 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d33 IS NOT NULL AND d33 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d34 IS NOT NULL AND d34 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d35 IS NOT NULL AND d35 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d36 IS NOT NULL AND d36 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d37 IS NOT NULL AND d37 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d38 IS NOT NULL AND d38 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d39 IS NOT NULL AND d39 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d40 IS NOT NULL AND d40 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d41 IS NOT NULL AND d41 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d42 IS NOT NULL AND d42 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d43 IS NOT NULL AND d43 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d44 IS NOT NULL AND d44 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d45 IS NOT NULL AND d45 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d46 IS NOT NULL AND d46 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d47 IS NOT NULL AND d47 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d48 IS NOT NULL AND d48 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d49 IS NOT NULL AND d49 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d50 IS NOT NULL AND d50 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d51 IS NOT NULL AND d51 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d52 IS NOT NULL AND d52 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d53 IS NOT NULL AND d53 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d54 IS NOT NULL AND d54 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d55 IS NOT NULL AND d55 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d56 IS NOT NULL AND d56 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d57 IS NOT NULL AND d57 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d58 IS NOT NULL AND d58 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d59 IS NOT NULL AND d59 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d60 IS NOT NULL AND d60 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d61 IS NOT NULL AND d61 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d62 IS NOT NULL AND d62 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) + (CASE WHEN d63 IS NOT NULL AND d63 >= abs(obs) - 1e-12 THEN 1 ELSE 0 END) AS hits,
+  (CASE WHEN d0 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d3 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d4 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d5 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d6 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d7 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d8 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d9 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d10 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d11 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d12 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d13 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d14 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d15 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d16 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d17 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d18 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d19 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d20 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d21 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d22 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d23 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d24 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d25 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d26 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d27 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d28 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d29 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d30 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d31 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d32 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d33 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d34 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d35 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d36 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d37 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d38 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d39 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d40 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d41 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d42 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d43 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d44 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d45 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d46 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d47 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d48 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d49 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d50 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d51 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d52 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d53 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d54 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d55 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d56 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d57 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d58 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d59 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d60 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d61 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d62 IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN d63 IS NOT NULL THEN 1 ELSE 0 END) AS used
+  FROM diffs)
+SELECT round(obs, 6) AS obs_diff,
+       round((1.0 + hits)/(used + 1.0), 6) AS p_value,
+       CAST(64 AS INT) AS n_perms, CAST(used AS INT) AS n_used,
+       round(sa/na, 6) AS mean_a, round(sb/nb, 6) AS mean_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM score
+"""
+
+
+def _q354(spark, sf_dir):
+    """Euclidean Lloyd k-means fit + quality report (llm/similarity.py
+    kmeans_report, k=4, 3 rounds) over the embeddings corpus: assignment
+    is a pure Column argmin against centroid literals (zero shuffle of
+    the corpus), recentering ONE (cid, dim)-wise avg aggregate;
+    centroids round to 6dp per round so the oracle replays the fit
+    bit-for-bit (the huber/cox unroll convention, extended to vectors)."""
+    from polars_net_spark.llm.similarity import kmeans_report
+
+    emb = _t(spark, sf_dir, "embeddings").spark
+    return kmeans_report(emb, k=4, iters=3).spark
+
+
+_q354_sql = """
+WITH raw AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings WHERE embedding IS NOT NULL),
+pts AS (SELECT vec_id, v FROM raw),
+init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+         FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 4) AS t),
+c0 AS (SELECT cid, list_transform(v, x -> round(x, 6)) AS c FROM init),
+d0 AS (SELECT e.vec_id, e.v, c.cid,
+               list_distance(e.v, c.c) AS dd
+        FROM pts e CROSS JOIN c0 c),
+a0 AS (SELECT vec_id, v, cid FROM d0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd, cid) = 1),
+m0 AS (SELECT cid, u.i AS dim, round(avg(v[u.i]), 6) AS mv
+        FROM a0, LATERAL unnest(generate_series(1, 64)) AS u(i)
+        GROUP BY 1, 2),
+n0 AS (SELECT cid, list(mv ORDER BY dim) AS c FROM m0 GROUP BY 1),
+c1 AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+           FROM c0 p LEFT JOIN n0 n ON p.cid = n.cid),
+d1 AS (SELECT e.vec_id, e.v, c.cid,
+               list_distance(e.v, c.c) AS dd
+        FROM pts e CROSS JOIN c1 c),
+a1 AS (SELECT vec_id, v, cid FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd, cid) = 1),
+m1 AS (SELECT cid, u.i AS dim, round(avg(v[u.i]), 6) AS mv
+        FROM a1, LATERAL unnest(generate_series(1, 64)) AS u(i)
+        GROUP BY 1, 2),
+n1 AS (SELECT cid, list(mv ORDER BY dim) AS c FROM m1 GROUP BY 1),
+c2 AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+           FROM c1 p LEFT JOIN n1 n ON p.cid = n.cid),
+d2 AS (SELECT e.vec_id, e.v, c.cid,
+               list_distance(e.v, c.c) AS dd
+        FROM pts e CROSS JOIN c2 c),
+a2 AS (SELECT vec_id, v, cid FROM d2
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd, cid) = 1),
+m2 AS (SELECT cid, u.i AS dim, round(avg(v[u.i]), 6) AS mv
+        FROM a2, LATERAL unnest(generate_series(1, 64)) AS u(i)
+        GROUP BY 1, 2),
+n2 AS (SELECT cid, list(mv ORDER BY dim) AS c FROM m2 GROUP BY 1),
+c3 AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+           FROM c2 p LEFT JOIN n2 n ON p.cid = n.cid),
+df AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.c) AS dd
+       FROM pts e CROSS JOIN c3 c),
+fin AS (SELECT vec_id, cid, dd*dd AS d2 FROM df
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd, cid) = 1),
+norms AS (SELECT cid, sqrt(list_sum(list_transform(c, x -> x*x))) AS nrm
+          FROM c3)
+SELECT CAST(f.cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(f.d2), 6) AS inertia,
+       round(max(norms.nrm), 6) AS centroid_norm
+FROM fin f JOIN norms ON f.cid = norms.cid
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -12903,6 +13263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q349_components": _q349,
         "q350_bleu": _q350,
         "q351_rouge": _q351,
+        "q352_cvm": _q352,
+        "q353_perm_test": _q353,
+        "q354_kmeans": _q354,
     }
 
 
@@ -13259,4 +13622,7 @@ def oracle_sql() -> dict[str, str]:
         "q349_components": _q349_sql,
         "q350_bleu": _q350_sql,
         "q351_rouge": _q351_sql,
+        "q352_cvm": _q352_sql,
+        "q353_perm_test": _q353_sql,
+        "q354_kmeans": _q354_sql,
     }

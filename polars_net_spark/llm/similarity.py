@@ -1750,3 +1750,122 @@ def embedding_pca(
 
 
 __all__.extend(["embedding_covariance", "embedding_pca"])
+
+
+def kmeans_report(
+    corpus: "LazyFrame | SparkDF",
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> "LazyFrame":
+    """Euclidean Lloyd k-means FIT + quality report — the "how does this
+    embedding corpus cluster" summary (cluster sizes + inertia) beside
+    kmeans_centroids' spherical index-build: deterministic init (the k
+    lowest-id vectors), ``iters`` fixed Lloyd rounds (assign by min L2,
+    ties to the lower cluster id; recenter on the element-wise mean;
+    empty clusters keep their centroid), and a final assignment pass for
+    per-cluster n and inertia (Σ min-distance²).
+
+    Centroids are ROUNDED to ``round_to`` decimals after every update —
+    the determinism trade that makes the whole fit replayable bit-for-bit
+    by an external engine (sums of doubles differ across engines by ULPs;
+    rounding re-synchronizes each round, and a 1e-6 centroid perturbation
+    is far below any meaningful cluster structure).
+
+    Scale shape: assignment is a pure Column argmin against centroid
+    LITERALS (no join, no shuffle of the corpus); recentering is ONE
+    map-side-combining (cid, dim-wise avg) aggregate of k×d doubles; the
+    fixed round count is the huber/cox unroll convention.  Output
+    (k rows): cluster, n_points, inertia, centroid_norm."""
+    import math as _math
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    sdf = _sdf(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    sdf = sdf.persist()
+    try:
+        init = sdf.orderBy("id").limit(k).select("v").collect()
+        if len(init) < k:
+            raise ValueError(f"kmeans_report: fewer than k={k} vectors")
+        cents = [[round(float(x), round_to) for x in r[0]] for r in init]
+        dim = len(cents[0])
+
+        def dist2(c):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        def assigned():
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(dist2(c).alias("d"), F.lit(j).alias("j"))
+                        for j, c in enumerate(cents)
+                    ]
+                )
+            )
+            return sdf.select(
+                best["j"].alias("cid"), best["d"].alias("d2"), "v"
+            )
+
+        for _ in range(int(iters)):
+            means = (
+                assigned()
+                .groupBy("cid")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.element_at("v", i + 1)), round_to
+                        ).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty clusters keep centroids
+            for r in means:
+                new[int(r["cid"])] = [float(r[f"m{i}"]) for i in range(dim)]
+            cents = new
+        out = (
+            assigned()
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_points"),
+                F.round(F.sum("d2"), round_to).alias("inertia"),
+            )
+        )
+        norms = {
+            j: round(_math.sqrt(sum(x * x for x in c)), round_to)
+            for j, c in enumerate(cents)
+        }
+        nmap = F.create_map(
+            *[F.lit(v) for j in sorted(norms) for v in (j, norms[j])]
+        )
+        out = out.select(
+            F.col("cid").cast("long").alias("cluster"),
+            "n_points",
+            "inertia",
+            F.element_at(nmap, F.col("cid").cast("int")).alias("centroid_norm"),
+        )
+        from ..frame import LazyFrame as _LF
+
+        res = _LF(out)
+        res.spark.count()  # materialize before releasing the persisted base
+    finally:
+        sdf.unpersist()
+    return res
+
+
+__all__.append("kmeans_report")
