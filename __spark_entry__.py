@@ -12910,6 +12910,179 @@ GROUP BY 1
 """
 
 
+
+
+def _q355(spark, sf_dir):
+    """DAU/MAU stickiness per calendar month (operators/analytics.py
+    stickiness_report) over events: one exact (month, day, user)
+    dedup feeds both the avg-DAU and the MAU aggregate — the product-
+    analytics habit ratio."""
+    from polars_net_spark.operators.analytics import stickiness_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    out = stickiness_report(ev, "ts", "user_id").spark
+    # month as timestamp for the oracle compare (date vs datetime64 dtype)
+    return out.withColumn("month", F.col("month").cast("timestamp"))
+
+
+_q355_sql = """
+WITH base AS (SELECT DISTINCT date_trunc('month', ts) AS m,
+                              CAST(ts AS DATE) AS d, user_id AS u
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+dau AS (SELECT m, d, count(DISTINCT u)*1.0 AS dau FROM base GROUP BY 1, 2),
+pm AS (SELECT m, count(*) AS nd, avg(dau) AS avg_dau FROM dau GROUP BY 1),
+mau AS (SELECT m, count(DISTINCT u) AS mau FROM base GROUP BY 1)
+SELECT pm.m AS month, CAST(nd AS BIGINT) AS n_days_active,
+       round(avg_dau, 6) AS avg_dau, CAST(mau.mau AS BIGINT) AS mau,
+       round(avg_dau/mau.mau, 6) AS stickiness
+FROM pm JOIN mau ON pm.m = mau.m
+ORDER BY 1
+"""
+
+
+def _q356(spark, sf_dir):
+    """Power-user activity curve (operators/analytics.py
+    power_user_curve) over events: (user, day) dedup -> per-user
+    active-day count -> histogram; the share window runs over the
+    BOUNDED histogram only."""
+    from polars_net_spark.operators.analytics import power_user_curve
+
+    ev = _t(spark, sf_dir, "events").spark
+    return power_user_curve(ev, "ts", "user_id").spark
+
+
+_q356_sql = """
+WITH per_user AS (SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS k
+                  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  GROUP BY 1),
+hist AS (SELECT k, count(*)*1.0 AS n FROM per_user GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM hist)
+SELECT CAST(k AS BIGINT) AS active_days, CAST(n AS BIGINT) AS n_users,
+       round(n/t, 6) AS share
+FROM hist, tot
+ORDER BY 1
+"""
+
+
+def _q357(spark, sf_dir):
+    """Corpus chrF (llm/evaluation.py chrf_corpus, orders 1-6, beta=2) of
+    the truncated-hypothesis corpus against the originals: character
+    n-grams by substring enumeration over the staged whitespace-stripped
+    string, all orders through one tagged explode per side — the
+    morphology-robust companion to q350's word BLEU."""
+    from polars_net_spark.llm.evaluation import chrf_corpus
+
+    d = _t(spark, sf_dir, "documents").spark
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    pairs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.array_join(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
+        ).alias("hyp"),
+        F.lower(F.col("text")).alias("ref"),
+    )
+    return chrf_corpus(pairs, "hyp", "ref", "doc_id").spark
+
+
+_q357_sql = """
+WITH p0 AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                w -> length(w) > 0) AS wr,
+    lower(text) AS ref
+  FROM documents WHERE text IS NOT NULL),
+pairs AS (SELECT doc_id,
+    array_to_string(list_slice(wr, 1, greatest(len(wr) - 2, 0)), ' ') AS hyp,
+    ref
+  FROM p0),
+stripped AS (SELECT doc_id,
+    regexp_replace(hyp, '\\s+', '', 'g') AS h,
+    regexp_replace(ref, '\\s+', '', 'g') AS r
+  FROM pairs),
+hg AS (SELECT n, doc_id, g, count(*) AS c FROM (
+      SELECT 1 AS n, doc_id, substr(h, i, 1) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(h) - 1 + 1)) AS u(i)
+      UNION ALL SELECT 2 AS n, doc_id, substr(h, i, 2) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(h) - 2 + 1)) AS u(i)
+      UNION ALL SELECT 3 AS n, doc_id, substr(h, i, 3) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(h) - 3 + 1)) AS u(i)
+      UNION ALL SELECT 4 AS n, doc_id, substr(h, i, 4) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(h) - 4 + 1)) AS u(i)
+      UNION ALL SELECT 5 AS n, doc_id, substr(h, i, 5) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(h) - 5 + 1)) AS u(i)
+      UNION ALL SELECT 6 AS n, doc_id, substr(h, i, 6) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(h) - 6 + 1)) AS u(i)
+  ) AS t GROUP BY 1, 2, 3),
+rg AS (SELECT n, doc_id, g, count(*) AS c FROM (
+      SELECT 1 AS n, doc_id, substr(r, i, 1) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(r) - 1 + 1)) AS u(i)
+      UNION ALL SELECT 2 AS n, doc_id, substr(r, i, 2) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(r) - 2 + 1)) AS u(i)
+      UNION ALL SELECT 3 AS n, doc_id, substr(r, i, 3) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(r) - 3 + 1)) AS u(i)
+      UNION ALL SELECT 4 AS n, doc_id, substr(r, i, 4) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(r) - 4 + 1)) AS u(i)
+      UNION ALL SELECT 5 AS n, doc_id, substr(r, i, 5) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(r) - 5 + 1)) AS u(i)
+      UNION ALL SELECT 6 AS n, doc_id, substr(r, i, 6) AS g
+      FROM stripped, LATERAL unnest(generate_series(1, length(r) - 6 + 1)) AS u(i)
+  ) AS t GROUP BY 1, 2, 3),
+per_n AS (SELECT coalesce(hg.n, rg.n) AS n,
+                 sum(least(coalesce(hg.c, 0), coalesce(rg.c, 0))) AS m,
+                 sum(coalesce(hg.c, 0)) AS h,
+                 sum(coalesce(rg.c, 0)) AS r
+          FROM hg FULL JOIN rg
+            ON hg.n = rg.n AND hg.doc_id = rg.doc_id AND hg.g = rg.g
+          GROUP BY 1),
+means AS (SELECT avg(CASE WHEN h > 0 THEN m*1.0/h END) AS pm,
+                 avg(CASE WHEN r > 0 THEN m*1.0/r END) AS rm
+          FROM per_n),
+nd AS (SELECT count(*) AS n_docs FROM pairs)
+SELECT round(CASE WHEN 4*pm + rm > 0 THEN 5*pm*rm/(4*pm + rm)
+             ELSE 0.0 END, 6) AS chrf,
+       round(pm, 6) AS prec_mean, round(rm, 6) AS rec_mean,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM means, nd
+"""
+
+
+def _q358(spark, sf_dir):
+    """Per-pair Levenshtein QA (llm/evaluation.py edit_distance_report)
+    between each document's 80-char prefix and its one-char-shifted
+    slice: JVM built-in distance (no Python), map-only, zero shuffle —
+    the fuzzy_join verify stage as a first-class scoring column."""
+    from polars_net_spark.llm.evaluation import edit_distance_report
+
+    d = _t(spark, sf_dir, "documents").spark
+    pairs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("a"),
+        F.substring("text", 2, 80).alias("b"),
+    )
+    return edit_distance_report(pairs, "a", "b", "doc_id").spark
+
+
+_q358_sql = """
+WITH pairs AS (SELECT doc_id, substr(text, 1, 80) AS a,
+                      substr(text, 2, 80) AS b
+               FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(length(coalesce(a, '')) AS BIGINT) AS len_a,
+       CAST(length(coalesce(b, '')) AS BIGINT) AS len_b,
+       CAST(levenshtein(coalesce(a, ''), coalesce(b, '')) AS BIGINT)
+         AS edit_dist,
+       round(CASE WHEN greatest(length(coalesce(a, '')),
+                                length(coalesce(b, ''))) > 0
+                  THEN 1.0 - levenshtein(coalesce(a, ''), coalesce(b, ''))
+                        * 1.0 / greatest(length(coalesce(a, '')),
+                                         length(coalesce(b, '')))
+                  ELSE 1.0 END, 6) AS similarity
+FROM pairs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -13266,6 +13439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q352_cvm": _q352,
         "q353_perm_test": _q353,
         "q354_kmeans": _q354,
+        "q355_stickiness": _q355,
+        "q356_power_users": _q356,
+        "q357_chrf": _q357,
+        "q358_edit_dist": _q358,
     }
 
 
@@ -13625,4 +13802,8 @@ def oracle_sql() -> dict[str, str]:
         "q352_cvm": _q352_sql,
         "q353_perm_test": _q353_sql,
         "q354_kmeans": _q354_sql,
+        "q355_stickiness": _q355_sql,
+        "q356_power_users": _q356_sql,
+        "q357_chrf": _q357_sql,
+        "q358_edit_dist": _q358_sql,
     }

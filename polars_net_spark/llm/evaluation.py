@@ -1159,3 +1159,139 @@ def rouge_n(
 
 
 __all__.extend(["bleu_corpus", "rouge_n"])
+
+
+def chrf_corpus(
+    frame: "LazyFrame | SparkDF",
+    hyp_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Corpus chrF (Popović 2015) — the CHARACTER-n-gram F-score that
+    stays meaningful where word BLEU shatters (morphology-rich languages,
+    tokenizer mismatches, short texts): whitespace is stripped (the
+    sacreBLEU convention), clipped character n-gram matches for
+    n = 1..``max_n`` give per-order corpus precision P_n and recall R_n,
+    the order means P̄/R̄ combine as F_β = (1+β²)·P̄·R̄/(β²·P̄ + R̄)
+    with β = 2 weighting recall.  Orders with an empty hypothesis or
+    reference total are skipped from the respective mean (sacreBLEU's
+    effective-order rule applied corpus-wide).
+
+    Scale shape: identical to bleu_corpus — all orders ride ONE explode
+    per side tagged "n|gram" (grams by substring enumeration over the
+    staged whitespace-stripped string), one (doc, gram) count aggregate
+    per side, one FULL join to clip, one ≤max_n-row reduce.  Output
+    (1 row): chrf, prec_mean, rec_mean, n_docs."""
+    if not 1 <= max_n <= 10:
+        raise ValueError("max_n must be in 1..10")
+    if beta <= 0:
+        raise ValueError("beta must be > 0")
+    sdf = _sdf(frame)
+    base = sdf.filter(
+        F.col(hyp_col).isNotNull() & F.col(ref_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id__"),
+        F.regexp_replace(F.col(hyp_col), r"\s+", "").alias("__h__"),
+        F.regexp_replace(F.col(ref_col), r"\s+", "").alias("__r__"),
+    )
+
+    def tagged(col_name):
+        parts = [
+            F.expr(
+                f"transform(sequence(1, greatest(char_length({col_name}) - {n} + 1, 0)), "
+                f"i -> '{n}|' || substr({col_name}, i, {n}))"
+            )
+            for n in range(1, max_n + 1)
+        ]
+        arr = parts[0]
+        for p in parts[1:]:
+            arr = F.concat(arr, p)
+        return arr
+
+    hyp = (
+        base.select("__id__", F.explode(tagged("__h__")).alias("__g__"))
+        .groupBy("__id__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__hc__"))
+    )
+    ref = (
+        base.select("__id__", F.explode(tagged("__r__")).alias("__g__"))
+        .groupBy("__id__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__rc__"))
+    )
+    ntag = F.split(F.col("__g__"), r"\|", 2).getItem(0).cast("int")
+    per_n = (
+        hyp.join(ref, ["__id__", "__g__"], "full")
+        .select(
+            ntag.alias("__n__"),
+            F.coalesce(F.col("__hc__"), F.lit(0)).alias("__hc__"),
+            F.coalesce(F.col("__rc__"), F.lit(0)).alias("__rc__"),
+        )
+        .groupBy("__n__")
+        .agg(
+            F.sum(F.least("__hc__", "__rc__")).alias("m"),
+            F.sum("__hc__").alias("h"),
+            F.sum("__rc__").alias("r"),
+        )
+        .collect()
+    )
+    nd = base.count()
+    if nd == 0:
+        raise ValueError("chrf_corpus: no usable rows")
+    ps = [row["m"] / row["h"] for row in per_n if row["h"] and row["h"] > 0]
+    rs = [row["m"] / row["r"] for row in per_n if row["r"] and row["r"] > 0]
+    if not ps or not rs:
+        raise ValueError("chrf_corpus: empty hypothesis or reference corpus")
+    pm, rm = sum(ps) / len(ps), sum(rs) / len(rs)
+    b2 = beta * beta
+    chrf = (
+        (1 + b2) * pm * rm / (b2 * pm + rm) if (b2 * pm + rm) > 0 else 0.0
+    )
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(chrf, round_to), round(pm, round_to), round(rm, round_to), nd)],
+        "chrf double, prec_mean double, rec_mean double, n_docs bigint",
+    )
+    return LazyFrame(out)
+
+
+def edit_distance_report(
+    frame: "LazyFrame | SparkDF",
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Per-pair Levenshtein edit distance + normalized similarity — the
+    exact-character QA number behind OCR/ASR/normalization pipelines
+    (where fuzzy_join answers "which rows match", this scores HOW WELL
+    given pairs match): distance via the JVM built-in (no Python), and
+    sim = 1 − dist/greatest(len_a, len_b) (1.0 = identical, 0.0 =
+    nothing shared).  Identical-pair convention: two empty strings are
+    sim 1.0.
+
+    COST CONTRACT: Levenshtein is O(len_a·len_b) per row — slice long
+    texts first (e.g. substr to a few hundred chars) exactly like
+    fuzzy_join's verify stage.  Map-only, zero shuffle.  Output: (id,
+    len_a, len_b, edit_dist, similarity)."""
+    sdf = _sdf(frame)
+    a = F.coalesce(F.col(a_col), F.lit(""))
+    b = F.coalesce(F.col(b_col), F.lit(""))
+    dist = F.levenshtein(a, b)
+    mx = F.greatest(F.length(a), F.length(b))
+    out = sdf.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.length(a).cast("long").alias("len_a"),
+        F.length(b).cast("long").alias("len_b"),
+        dist.cast("long").alias("edit_dist"),
+        F.round(
+            F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0)), round_to
+        ).alias("similarity"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["chrf_corpus", "edit_distance_report"])

@@ -3022,3 +3022,92 @@ def gumbel_fit(
 
 
 __all__.append("gumbel_fit")
+
+
+def stickiness_report(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    user_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """DAU/MAU stickiness per calendar month — the product-analytics
+    "how often do monthly users come back" ratio (1/30 ≈ monthly-only,
+    1.0 = every user every day): avg daily active users over the month's
+    ACTIVE days divided by monthly active users.
+
+    Scale shape: one exact (day, user)-distinct aggregate feeds BOTH
+    numbers — DAU per day then avg per month, and MAU as a distinct
+    count over the same deduped frame — two map-side-combining passes
+    over the (month-bucketed) dedup output, no window.  Output: one row
+    per month ascending — (month, n_days_active, avg_dau, mau,
+    stickiness)."""
+    sdf = _sdf(frame)
+    t = F.col(ts_col)
+    base = sdf.filter(t.isNotNull() & F.col(user_col).isNotNull()).select(
+        F.date_trunc("month", t).cast("date").alias("__m__"),
+        F.to_date(t).alias("__d__"),
+        F.col(user_col).alias("__u__"),
+    ).distinct()
+    dau = base.groupBy("__m__", "__d__").agg(
+        F.count_distinct("__u__").alias("__dau__")
+    )
+    per_m = dau.groupBy("__m__").agg(
+        F.count(F.lit(1)).alias("__nd__"), F.avg("__dau__").alias("__avg__")
+    )
+    mau = base.groupBy("__m__").agg(F.count_distinct("__u__").alias("__mau__"))
+    out = (
+        per_m.join(mau, "__m__")
+        .select(
+            F.col("__m__").alias("month"),
+            F.col("__nd__").cast("long").alias("n_days_active"),
+            F.round("__avg__", round_to).alias("avg_dau"),
+            F.col("__mau__").cast("long").alias("mau"),
+            F.round(F.col("__avg__") / F.col("__mau__"), round_to).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("month")
+    )
+    return LazyFrame(out)
+
+
+def power_user_curve(
+    frame: "LazyFrame | SparkDF",
+    ts_col: str,
+    user_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Power-user curve — the activity histogram behind the "smile graph":
+    for each k, how many users were active on exactly k distinct days
+    (and what share of the user base that is).  A right-leaning curve
+    means a habit product; a spike at 1 means drive-by traffic.
+
+    Scale shape: one (user, day)-distinct pass, one per-user count, one
+    histogram aggregate — three map-side-combining steps keyed on ever-
+    smaller keys, no window.  Output: (active_days, n_users, share)
+    ascending."""
+    sdf = _sdf(frame)
+    t = F.col(ts_col)
+    per_user = (
+        sdf.filter(t.isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u__"), F.to_date(t).alias("__d__"))
+        .distinct()
+        .groupBy("__u__")
+        .agg(F.count(F.lit(1)).alias("__k__"))
+    )
+    hist = per_user.groupBy("__k__").agg(F.count(F.lit(1)).alias("__n__"))
+    # global window over the HISTOGRAM only — bounded by the number of
+    # distinct activity counts (<= days in the observation window), never
+    # data-sized
+    w = Window.partitionBy()
+    out = hist.select(
+        F.col("__k__").cast("long").alias("active_days"),
+        F.col("__n__").cast("long").alias("n_users"),
+        F.round(F.col("__n__") / F.sum("__n__").over(w), round_to).alias(
+            "share"
+        ),
+    ).orderBy("active_days")
+    return LazyFrame(out)
+
+
+__all__.extend(["stickiness_report", "power_user_curve"])
