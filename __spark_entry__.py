@@ -13048,41 +13048,6 @@ FROM means, nd
 """
 
 
-def _q358(spark, sf_dir):
-    """Per-pair Levenshtein QA (llm/evaluation.py edit_distance_report)
-    between each document's 80-char prefix and its one-char-shifted
-    slice: JVM built-in distance (no Python), map-only, zero shuffle —
-    the fuzzy_join verify stage as a first-class scoring column."""
-    from polars_net_spark.llm.evaluation import edit_distance_report
-
-    d = _t(spark, sf_dir, "documents").spark
-    pairs = d.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.substring("text", 1, 80).alias("a"),
-        F.substring("text", 2, 80).alias("b"),
-    )
-    return edit_distance_report(pairs, "a", "b", "doc_id").spark
-
-
-_q358_sql = """
-WITH pairs AS (SELECT doc_id, substr(text, 1, 80) AS a,
-                      substr(text, 2, 80) AS b
-               FROM documents WHERE text IS NOT NULL)
-SELECT doc_id,
-       CAST(length(coalesce(a, '')) AS BIGINT) AS len_a,
-       CAST(length(coalesce(b, '')) AS BIGINT) AS len_b,
-       CAST(levenshtein(coalesce(a, ''), coalesce(b, '')) AS BIGINT)
-         AS edit_dist,
-       round(CASE WHEN greatest(length(coalesce(a, '')),
-                                length(coalesce(b, ''))) > 0
-                  THEN 1.0 - levenshtein(coalesce(a, ''), coalesce(b, ''))
-                        * 1.0 / greatest(length(coalesce(a, '')),
-                                         length(coalesce(b, '')))
-                  ELSE 1.0 END, 6) AS similarity
-FROM pairs
-"""
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -13442,7 +13407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q355_stickiness": _q355,
         "q356_power_users": _q356,
         "q357_chrf": _q357,
-        "q358_edit_dist": _q358,
     }
 
 
@@ -13805,5 +13769,4 @@ def oracle_sql() -> dict[str, str]:
         "q355_stickiness": _q355_sql,
         "q356_power_users": _q356_sql,
         "q357_chrf": _q357_sql,
-        "q358_edit_dist": _q358_sql,
     }

@@ -1258,40 +1258,4 @@ def chrf_corpus(
     return LazyFrame(out)
 
 
-def edit_distance_report(
-    frame: "LazyFrame | SparkDF",
-    a_col: str,
-    b_col: str,
-    id_col: str,
-    round_to: int = 6,
-) -> LazyFrame:
-    """Per-pair Levenshtein edit distance + normalized similarity — the
-    exact-character QA number behind OCR/ASR/normalization pipelines
-    (where fuzzy_join answers "which rows match", this scores HOW WELL
-    given pairs match): distance via the JVM built-in (no Python), and
-    sim = 1 − dist/greatest(len_a, len_b) (1.0 = identical, 0.0 =
-    nothing shared).  Identical-pair convention: two empty strings are
-    sim 1.0.
-
-    COST CONTRACT: Levenshtein is O(len_a·len_b) per row — slice long
-    texts first (e.g. substr to a few hundred chars) exactly like
-    fuzzy_join's verify stage.  Map-only, zero shuffle.  Output: (id,
-    len_a, len_b, edit_dist, similarity)."""
-    sdf = _sdf(frame)
-    a = F.coalesce(F.col(a_col), F.lit(""))
-    b = F.coalesce(F.col(b_col), F.lit(""))
-    dist = F.levenshtein(a, b)
-    mx = F.greatest(F.length(a), F.length(b))
-    out = sdf.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col),
-        F.length(a).cast("long").alias("len_a"),
-        F.length(b).cast("long").alias("len_b"),
-        dist.cast("long").alias("edit_dist"),
-        F.round(
-            F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0)), round_to
-        ).alias("similarity"),
-    )
-    return LazyFrame(out)
-
-
-__all__.extend(["chrf_corpus", "edit_distance_report"])
+__all__.append("chrf_corpus")

@@ -5,7 +5,7 @@ import math
 
 import pytest
 
-from polars_net_spark.llm.evaluation import chrf_corpus, edit_distance_report
+from polars_net_spark.llm.evaluation import chrf_corpus
 from polars_net_spark.operators.analytics import power_user_curve, stickiness_report
 
 
@@ -96,19 +96,3 @@ class TestChrf:
         (chrf, pm, rm, nd), = rows(chrf_corpus(d, "hyp", "ref", "id", max_n=2))
         assert chrf == 1.0
 
-
-class TestEditDistance:
-    def test_kitten_sitting(self, spark):
-        d = spark.createDataFrame(
-            [(1, "kitten", "sitting")], "id int, a string, b string"
-        )
-        (r,) = rows(edit_distance_report(d, "a", "b", "id"))
-        assert r[3] == 3 and abs(r[4] - (1 - 3 / 7)) < 1e-6
-
-    def test_empty_pair_sim_one(self, spark):
-        d = spark.createDataFrame(
-            [(1, "", ""), (2, None, "ab")], "id int, a string, b string"
-        )
-        out = {r[0]: r for r in rows(edit_distance_report(d, "a", "b", "id"))}
-        assert out[1][4] == 1.0 and out[1][3] == 0
-        assert out[2][3] == 2 and out[2][4] == 0.0  # null -> ''
