@@ -13048,6 +13048,148 @@ FROM means, nd
 """
 
 
+
+
+def _q358(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/graph.py bfs_distances,
+    sources {0, 100}) on the q349 island graph: monotone min-distance
+    propagation, per round one union + min aggregate over vertex-keyed
+    equi-joins; the oracle unrolls 6 MATERIALIZED rounds past the
+    fixpoint."""
+    from polars_net_spark.operators.graph import bfs_distances
+
+    ev = _t(spark, sf_dir, "events").spark
+    s = F.col("user_id") % 1000
+    d = F.floor(s / 20) * 20 + (s + F.col("event_id")) % 20
+    edges = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    ).select(s.alias("src"), d.cast("long").alias("dst"))
+    return bfs_distances(edges, [0, 100]).spark
+
+
+_q358_sql = """
+WITH raw AS (SELECT user_id % 1000 AS s,
+                    CAST(floor((user_id % 1000)/20)*20
+                         + (user_id % 1000 + event_id) % 20 AS BIGINT) AS d
+             FROM events
+             WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw WHERE s <> d),
+v AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+b0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS d FROM v
+                    WHERE v IN (0, 100)),
+b1 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM b0
+    UNION ALL SELECT e.b AS v, b0.d + 1 AS d FROM b0 JOIN e ON b0.v = e.a
+    UNION ALL SELECT e.a AS v, b0.d + 1 AS d FROM b0 JOIN e ON b0.v = e.b
+  ) AS t GROUP BY v),
+b2 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM b1
+    UNION ALL SELECT e.b AS v, b1.d + 1 AS d FROM b1 JOIN e ON b1.v = e.a
+    UNION ALL SELECT e.a AS v, b1.d + 1 AS d FROM b1 JOIN e ON b1.v = e.b
+  ) AS t GROUP BY v),
+b3 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM b2
+    UNION ALL SELECT e.b AS v, b2.d + 1 AS d FROM b2 JOIN e ON b2.v = e.a
+    UNION ALL SELECT e.a AS v, b2.d + 1 AS d FROM b2 JOIN e ON b2.v = e.b
+  ) AS t GROUP BY v),
+b4 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM b3
+    UNION ALL SELECT e.b AS v, b3.d + 1 AS d FROM b3 JOIN e ON b3.v = e.a
+    UNION ALL SELECT e.a AS v, b3.d + 1 AS d FROM b3 JOIN e ON b3.v = e.b
+  ) AS t GROUP BY v),
+b5 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM b4
+    UNION ALL SELECT e.b AS v, b4.d + 1 AS d FROM b4 JOIN e ON b4.v = e.a
+    UNION ALL SELECT e.a AS v, b4.d + 1 AS d FROM b4 JOIN e ON b4.v = e.b
+  ) AS t GROUP BY v),
+b6 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM b5
+    UNION ALL SELECT e.b AS v, b5.d + 1 AS d FROM b5 JOIN e ON b5.v = e.a
+    UNION ALL SELECT e.a AS v, b5.d + 1 AS d FROM b5 JOIN e ON b5.v = e.b
+  ) AS t GROUP BY v)
+SELECT v AS id, CAST(d AS BIGINT) AS distance FROM b6
+"""
+
+
+def _q359(spark, sf_dir):
+    """Weibull fit by median-rank regression (operators/analytics.py
+    weibull_fit) on order totals: distinct-value cells + one distsort
+    prefix pass assign each cell its rank block, a bounded
+    sequence-explode materializes (ln x, Benard rank) pairs, one fused
+    OLS moment reduce — shape/scale in closed form where the MLE
+    iterates."""
+    from polars_net_spark.operators.analytics import weibull_fit
+
+    o = _t(spark, sf_dir, "orders").spark
+    return weibull_fit(o, "o_totalprice").spark
+
+
+_q359_sql = """
+WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_totalprice IS NOT NULL),
+nall AS (SELECT count(*) AS n_all FROM b),
+pos AS (SELECT v FROM b WHERE v > 0),
+cells AS (SELECT v, count(*)*1.0 AS c FROM pos GROUP BY 1),
+pre AS (SELECT v, c,
+               coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), 0) AS c0
+        FROM cells),
+n AS (SELECT sum(c) AS n FROM cells),
+pairs AS (SELECT ln(v) AS x,
+                 ln(-ln(1.0 - (u.i - 0.3)/(n.n + 0.4))) AS y
+          FROM pre, n,
+               LATERAL unnest(generate_series(CAST(c0 AS BIGINT) + 1,
+                              CAST(c0 + c AS BIGINT))) AS u(i)),
+m AS (SELECT sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             sum(x*y) AS sxy, sum(y*y) AS syy FROM pairs),
+k AS (SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS kk,
+             (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS inter,
+             (sxy - sx*sy/n) AS cxy, (sxx - sx*sx/n) AS cxx,
+             (syy - sy*sy/n) AS cyy, n
+      FROM m, n)
+SELECT round(kk, 6) AS shape_k, round(exp(-inter/kk), 6) AS scale_lambda,
+       round(CASE WHEN cxx > 0 AND cyy > 0 THEN cxy*cxy/(cxx*cyy)
+                  ELSE 1.0 END, 6) AS r2,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_all - n AS BIGINT) AS n_excluded
+FROM k, nall
+"""
+
+
+def _q360(spark, sf_dir):
+    """Chapman capture-recapture estimate (operators/analytics.py
+    chapman_estimate) of the total customer population from its urgent
+    and high-priority order "sightings": one key-grouped conditional-max
+    aggregate + one fused reduce — never a distinct-distinct join."""
+    from polars_net_spark.operators.analytics import chapman_estimate
+
+    o = _t(spark, sf_dir, "orders").spark
+    return chapman_estimate(
+        o, "o_custkey", "o_orderpriority", "1-URGENT", "2-HIGH"
+    ).spark
+
+
+_q360_sql = """
+WITH base AS (SELECT o_custkey AS k,
+                     max(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN o_orderpriority = '2-HIGH'
+                              THEN 1 ELSE 0 END) AS b
+              FROM orders
+              WHERE o_custkey IS NOT NULL
+                AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+              GROUP BY 1),
+r AS (SELECT sum(a)*1.0 AS na, sum(b)*1.0 AS nb, sum(a*b)*1.0 AS m
+      FROM base)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS n_both,
+       round((na+1)*(nb+1)/(m+1) - 1, 6) AS chapman_n,
+       round(sqrt((na+1)*(nb+1)*(na-m)*(nb-m)/(pow(m+1, 2)*(m+2))), 6) AS se
+FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -13407,6 +13549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q355_stickiness": _q355,
         "q356_power_users": _q356,
         "q357_chrf": _q357,
+        "q358_bfs": _q358,
+        "q359_weibull": _q359,
+        "q360_chapman": _q360,
     }
 
 
@@ -13769,4 +13914,7 @@ def oracle_sql() -> dict[str, str]:
         "q355_stickiness": _q355_sql,
         "q356_power_users": _q356_sql,
         "q357_chrf": _q357_sql,
+        "q358_bfs": _q358_sql,
+        "q359_weibull": _q359_sql,
+        "q360_chapman": _q360_sql,
     }

@@ -3111,3 +3111,147 @@ def power_user_curve(
 
 
 __all__.extend(["stickiness_report", "power_user_curve"])
+
+
+def weibull_fit(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Weibull fit by MEDIAN-RANK REGRESSION (the reliability-engineering
+    standard for lifetime/duration data): with order statistics x_(i)
+    and Benard's median rank F_i = (i − 0.3)/(n + 0.4), the Weibull CDF
+    linearizes to ln(−ln(1 − F_i)) = k·ln x_(i) − k·ln λ, so shape k is
+    the OLS slope and scale λ = exp(−intercept/k).  Closed-form and
+    deterministic where the MLE needs an iterative solve — and under
+    value ties the OLS sums are order-invariant (ln x is constant across
+    a tie block while the block's rank multiset is fixed).
+
+    Scale shape: distinct-value cells + ONE distsort prefix pass give
+    each cell its rank block (c₀+1 .. c₀+cnt), a bounded sequence-explode
+    materializes (ln x, rank) pairs, and ONE fused OLS moment all-reduce
+    finishes — no data-sized window, no global sort.  Non-positive
+    values are excluded (Weibull support is x > 0).  Output (1 row):
+    shape_k, scale_lambda, r2, n, n_excluded."""
+    import math
+
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    n_all = sdf.filter(v.isNotNull()).count()
+    base = sdf.filter(v.isNotNull() & (v > 0))
+    cells = base.groupBy(v.alias("__v__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    bucketed, gb = with_range_buckets(cells, "__v__")
+    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.col("__c__")})
+    n = int(tot["c"])
+    if n < 3:
+        raise ValueError("weibull_fit needs at least 3 positive values")
+    w = Window.partitionBy(gb).orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c0 = F.col("__off_c__") + F.coalesce(F.sum("__c__").over(w), F.lit(0.0))
+    # stage the window result before the explode — Spark cannot analyze a
+    # window expression nested inside a generator in one projection
+    staged = offs.select(
+        F.log("__v__").alias("__x__"),
+        c0.cast("long").alias("__c0__"),
+        F.col("__c__").cast("long").alias("__cnt__"),
+    )
+    pairs = staged.select(
+        "__x__",
+        F.explode(
+            F.sequence(F.col("__c0__") + 1, F.col("__c0__") + F.col("__cnt__"))
+        ).alias("__i__"),
+    )
+    yv = F.log(-F.log(1.0 - (F.col("__i__") - F.lit(0.3)) / F.lit(n + 0.4)))
+    m = pairs.select(F.col("__x__"), yv.alias("__y__")).agg(
+        F.sum("__x__").alias("sx"),
+        F.sum("__y__").alias("sy"),
+        F.sum(F.col("__x__") ** 2).alias("sxx"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+        F.sum(F.col("__y__") ** 2).alias("syy"),
+    ).collect()[0]
+    sx, sy, sxx, sxy, syy = (
+        float(m[k]) for k in ("sx", "sy", "sxx", "sxy", "syy")
+    )
+    det = n * sxx - sx * sx
+    if det <= 0:
+        raise ValueError("weibull_fit: zero variance in values")
+    k_shape = (n * sxy - sx * sy) / det
+    if k_shape <= 0:
+        raise ValueError("weibull_fit: non-positive shape (data not Weibull-like)")
+    intercept = (sy - k_shape * sx) / n
+    lam = math.exp(-intercept / k_shape)
+    cyy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    cxx = sxx - sx * sx / n
+    r2 = (cxy * cxy) / (cxx * cyy) if cxx > 0 and cyy > 0 else 1.0
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(k_shape, round_to), round(lam, round_to),
+            round(r2, round_to), n, int(n_all - n),
+        )],
+        "shape_k double, scale_lambda double, r2 double, n bigint, "
+        "n_excluded bigint",
+    )
+    return LazyFrame(out)
+
+
+def chapman_estimate(
+    frame: "LazyFrame | SparkDF",
+    key_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Chapman capture-recapture population estimate — "how many distinct
+    entities exist in TOTAL, given two overlapping observation windows"
+    (dedup-coverage QA, crawl-frontier sizing, wildlife-style census):
+    with n_a and n_b the distinct keys seen in each sample and m the
+    keys seen in BOTH, N̂ = (n_a+1)(n_b+1)/(m+1) − 1 (the bias-corrected
+    Lincoln–Petersen), with
+    SE = √((n_a+1)(n_b+1)(n_a−m)(n_b−m)/((m+1)²(m+2))).
+
+    Assumes closed population and independent samples (document the
+    usual caveats).  Scale shape: one (key)-grouped conditional-max
+    aggregate marks each key's sample membership, one fused reduce
+    counts the three cells — never a distinct-distinct join.  Output
+    (1 row): n_a, n_b, n_both, chapman_n, se."""
+    sdf = _sdf(frame)
+    g = F.col(group_col)
+    base = sdf.filter(
+        F.col(key_col).isNotNull() & g.isin([group_a, group_b])
+    )
+    per_key = base.groupBy(F.col(key_col).alias("__k__")).agg(
+        F.max((g == F.lit(group_a)).cast("int")).alias("__a__"),
+        F.max((g == F.lit(group_b)).cast("int")).alias("__b__"),
+    )
+    r = per_key.agg(
+        F.sum("__a__").alias("na"),
+        F.sum("__b__").alias("nb"),
+        F.sum(F.col("__a__") * F.col("__b__")).alias("m"),
+    ).collect()[0]
+    na, nb, m = int(r["na"] or 0), int(r["nb"] or 0), int(r["m"] or 0)
+    if na < 1 or nb < 1:
+        raise ValueError("chapman_estimate: both samples need at least 1 key")
+    import math
+
+    est = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+        / ((m + 1.0) ** 2 * (m + 2.0))
+    )
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(na, nb, m, round(est, round_to), round(math.sqrt(var), round_to))],
+        "n_a bigint, n_b bigint, n_both bigint, chapman_n double, se double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["weibull_fit", "chapman_estimate"])

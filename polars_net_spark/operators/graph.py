@@ -514,3 +514,112 @@ def connected_components(
 
 
 __all__.append("connected_components")
+
+
+def bfs_distances(
+    edges: "LazyFrame | SparkDF",
+    sources: "list",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
+) -> LazyFrame:
+    """Multi-source BFS hop distances: dist(v) = fewest undirected hops
+    from any vertex in ``sources`` — the "blast radius" primitive behind
+    influence reach, contamination spread, and k-hop neighborhood
+    queries, beside connected_components' reachability-only view.
+
+    MONOTONE (a distance only ever decreases), so the fixpoint is unique
+    and an unrolled oracle replays it exactly, extra rounds being no-ops
+    (the k_core/connected_components convention).  Converges within the
+    sources' eccentricity; raises RuntimeError at ``max_rounds`` so a
+    truncated frontier can't masquerade as the answer.  Unreached
+    vertices are ABSENT from the output (no infinity sentinel).
+
+    Scale shape: per round one union + min aggregate over the reached
+    set joined to the edge list on each endpoint (plain equi-joins,
+    map-side-combining min) + an emptiness probe as the stop condition;
+    lineage checkpoint-truncated.  Output: (id, distance)."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    esdf = edges if isinstance(edges, SparkDF) else edges.spark
+    if checkpoint_dir is not None:
+
+        def _ckpt(df):
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+    with scoped_checkpoint_dir(esdf.sparkSession.sparkContext, checkpoint_dir):
+        e = (
+            esdf.filter(
+                F.col(src).isNotNull() & F.col(dst).isNotNull()
+                & (F.col(src) != F.col(dst))
+            )
+            .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+            .distinct()
+        )
+        e.persist()
+        verts = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .distinct()
+        )
+        spark = esdf.sparkSession
+        svals = [(s,) for s in sources]
+        sdf_sources = spark.createDataFrame(svals, ["v"])
+        dist = (
+            verts.join(sdf_sources, "v", "semi")
+            .select("v", F.lit(0).cast("long").alias("d"))
+        )
+        dist.persist()
+        converged = False
+        for r in range(int(max_rounds)):
+            nxt = (
+                dist
+                .unionAll(
+                    dist.join(e, dist["v"] == e["a"], "inner")
+                    .select(F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+                )
+                .unionAll(
+                    dist.join(e, dist["v"] == e["b"], "inner")
+                    .select(F.col("a").alias("v"), (F.col("d") + 1).alias("d"))
+                )
+                .groupBy("v")
+                .agg(F.min("d").alias("d"))
+            )
+            if (r + 1) % checkpoint_every == 0:
+                nxt = _ckpt(nxt)
+            nxt.persist()
+            changed = (
+                nxt.alias("n")
+                .join(dist.alias("p"), "v", "left")
+                .filter(
+                    F.col("p.d").isNull() | (F.col("n.d") != F.col("p.d"))
+                )
+            )
+            done = changed.isEmpty()
+            dist.unpersist()
+            dist = nxt
+            if done:
+                converged = True
+                break
+        if not converged:
+            dist.unpersist()
+            e.unpersist()
+            raise RuntimeError(
+                f"bfs_distances did not converge within max_rounds={max_rounds}"
+            )
+        out = dist.select(F.col("v").alias("id"), F.col("d").alias("distance"))
+        out = _ckpt(out)
+        dist.unpersist()
+        e.unpersist()
+    return LazyFrame(out)
+
+
+__all__.append("bfs_distances")
