@@ -13190,6 +13190,113 @@ FROM r
 """
 
 
+
+
+def _q361(spark, sf_dir):
+    """ELEVENTH streaming gate — STREAM-STREAM LEFT OUTER interval join
+    with watermark-driven unmatched emission (the abandoned-cart shape:
+    every click, matched to a purchase within 1h or emitted null once
+    its window provably closed).  Matched pairs emit in the data batch;
+    unmatched clicks flush in the trailing no-data batch when the final
+    watermark (maxTs − 1h) passes their join window (cts + 1h) — Spark's
+    documented outer-join semantics, verified row-exact here.  Clicks in
+    the 1-minute boundary band around maxTs − 2h stay in state by
+    design, so BOTH engines filter to the provably-flushed set: matched
+    OR cts ≤ maxTs − 2h − 1min — the oracle is then a plain batch left
+    join."""
+    import datetime as _dt
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("user_id") % 10 == 1)
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    buys = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("bu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("bts"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = joined.select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("bts")) - F.unix_micros(F.col("cts"))).alias(
+            "lag_us"
+        ),
+        F.col("cts"),
+    )
+    try:
+        spark.catalog.dropTempView("q361_outer_join")
+    except Exception:
+        pass
+    with _stream_gate_conf(spark):
+        q = (
+            out.writeStream.format("memory").queryName("q361_outer_join")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    mx = (
+        spark.read.schema(schema).parquet(src_dir)
+        .filter(F.col("user_id") % 10 == 1)
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .first()[0]
+    )
+    thr = mx - _dt.timedelta(hours=2, minutes=1)
+    t = spark.table("q361_outer_join")
+    return t.filter(
+        F.col("purchase_id").isNotNull() | (F.col("cts") <= F.lit(thr))
+    ).select("user_id", "click_id", "purchase_id", "lag_us")
+
+
+_q361_sql = """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events WHERE user_id % 10 = 1),
+mx AS (SELECT max(ts) AS mt FROM ev),
+c AS (SELECT user_id AS cu, event_id AS click_id, ts AS cts FROM ev
+      WHERE event_type = 'click'),
+b AS (SELECT user_id AS bu, event_id AS purchase_id, ts AS bts FROM ev
+      WHERE event_type = 'purchase')
+SELECT c.cu AS user_id, c.click_id, b.purchase_id,
+       CAST(date_diff('microsecond', c.cts, b.bts) AS BIGINT) AS lag_us
+FROM c LEFT JOIN b
+  ON c.cu = b.bu AND b.bts >= c.cts AND b.bts <= c.cts + INTERVAL 1 HOUR,
+  mx
+WHERE b.purchase_id IS NOT NULL
+   OR c.cts <= mx.mt - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -13552,6 +13659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q358_bfs": _q358,
         "q359_weibull": _q359,
         "q360_chapman": _q360,
+        "q361_stream_outer_join": _q361,
     }
 
 
@@ -13917,4 +14025,5 @@ def oracle_sql() -> dict[str, str]:
         "q358_bfs": _q358_sql,
         "q359_weibull": _q359_sql,
         "q360_chapman": _q360_sql,
+        "q361_stream_outer_join": _q361_sql,
     }
