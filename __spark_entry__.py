@@ -13297,6 +13297,158 @@ WHERE b.purchase_id IS NOT NULL
 """
 
 
+
+
+def _q362(spark, sf_dir):
+    """First-order partial correlation (operators/regression.py
+    partial_corr): does extended price still track quantity once
+    discount is held fixed?  Nine pairwise power sums in ONE fused
+    all-reduce, driver arithmetic after."""
+    from polars_net_spark.operators.regression import partial_corr
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return partial_corr(li, "l_quantity", "l_extendedprice", "l_discount").spark
+
+
+_q362_sql = """
+WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_extendedprice AS DOUBLE) AS y,
+                  CAST(l_discount AS DOUBLE) AS z
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+             sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+      FROM b),
+c AS (SELECT n,
+  (sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) AS rxy,
+  (sxz - sx*sz/n)/sqrt((sxx - sx*sx/n)*(szz - sz*sz/n)) AS rxz,
+  (syz - sy*sz/n)/sqrt((syy - sy*sy/n)*(szz - sz*sz/n)) AS ryz
+  FROM m)
+SELECT round((rxy - rxz*ryz)/sqrt((1 - rxz*rxz)*(1 - ryz*ryz)), 6)
+         AS partial_r,
+       round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+       CAST(n AS BIGINT) AS n
+FROM c
+"""
+
+
+def _q363(spark, sf_dir):
+    """Three-way MLE distribution shootout (operators/regression.py
+    distribution_compare) on order totals: normal vs lognormal vs
+    exponential log-likelihoods all closed over ONE fused power-sum
+    reduce, AIC argmin names the winner."""
+    from polars_net_spark.operators.regression import distribution_compare
+
+    o = _t(spark, sf_dir, "orders").spark
+    return distribution_compare(o, "o_totalprice").spark
+
+
+_q363_sql = """
+WITH allv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE o_totalprice IS NOT NULL),
+na AS (SELECT count(*) AS n_all FROM allv),
+m AS (SELECT count(*)*1.0 AS n, sum(v) AS s1, sum(v*v) AS s2,
+             sum(ln(v)) AS l1, sum(ln(v)*ln(v)) AS l2
+      FROM allv WHERE v > 0),
+c AS (SELECT n,
+             s2/n - (s1/n)*(s1/n) AS var_n,
+             l2/n - (l1/n)*(l1/n) AS var_ln,
+             s1/n AS mean, l1
+      FROM m),
+ll AS (SELECT n,
+              -n/2.0*(ln(2*pi()*var_n) + 1.0) AS ll_n,
+              -n/2.0*(ln(2*pi()*var_ln) + 1.0) - l1 AS ll_ln,
+              -n*(ln(mean) + 1.0) AS ll_e
+       FROM c),
+aic AS (SELECT n, ll_n, ll_ln, ll_e,
+               4 - 2*ll_n AS a_n, 4 - 2*ll_ln AS a_ln, 2 - 2*ll_e AS a_e
+        FROM ll)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((SELECT n_all FROM na) - n AS BIGINT) AS n_excluded,
+       round(ll_n, 6) AS ll_normal, round(ll_ln, 6) AS ll_lognormal,
+       round(ll_e, 6) AS ll_exponential,
+       round(a_n, 6) AS aic_normal, round(a_ln, 6) AS aic_lognormal,
+       round(a_e, 6) AS aic_exponential,
+       CASE WHEN a_e <= least(a_ln, a_n) THEN 'exponential'
+            WHEN a_ln <= a_n THEN 'lognormal'
+            ELSE 'normal' END AS preferred
+FROM aic
+"""
+
+
+def _q364(spark, sf_dir):
+    """Negative-binomial method-of-moments fit (operators/regression.py
+    negbin_fit) on a deterministic zero-inflated event-count mixture
+    (uniform body + a 1-in-5-user surge): one fused (n, Σx, Σx²)
+    all-reduce; the operator REFUSES underdispersed data — that refusal
+    is the Poisson-vs-NB diagnostic."""
+    from polars_net_spark.operators.regression import negbin_fit
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (
+            (F.col("event_id") % 7)
+            + F.when(F.col("user_id") % 5 == 0, 12).otherwise(0)
+        ).alias("c")
+    )
+    return negbin_fit(d, "c").spark
+
+
+_q364_sql = """
+WITH b AS (SELECT CAST(event_id % 7
+                       + CASE WHEN user_id % 5 = 0 THEN 12 ELSE 0 END
+                       AS DOUBLE) AS v
+           FROM events
+           WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(v) AS s1, sum(v*v) AS s2 FROM b),
+c AS (SELECT n, s1/n AS mean, (s2 - s1*s1/n)/(n - 1) AS var FROM m)
+SELECT CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+       round(var, 6) AS variance, round(var/mean, 6) AS dispersion,
+       round(mean*mean/(var - mean), 6) AS r, round(mean/var, 6) AS p
+FROM c
+"""
+
+
+def _q365(spark, sf_dir):
+    """Empirical-Bayes shrunken per-segment error rates
+    (operators/analytics.py eb_shrunk_rates): the beta-binomial prior is
+    LEARNED from the population of segment rates (method of moments),
+    then every segment shrinks by its own sample size — one keyed
+    aggregate, one 1-row moment reduce, one map-only shrink."""
+    from polars_net_spark.operators.analytics import eb_shrunk_rates
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("user_id") % 500).alias("seg"),
+        (F.col("event_type") == "error").cast("int").alias("y"),
+    )
+    return eb_shrunk_rates(d, "seg", "y").spark
+
+
+_q365_sql = """
+WITH b AS (SELECT user_id % 500 AS seg,
+                  CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+pk AS (SELECT seg, count(*)*1.0 AS n, sum(y) AS s FROM b GROUP BY 1),
+mom AS (SELECT avg(s/n) AS m, var_samp(s/n) AS v FROM pk),
+ab AS (SELECT m*(m*(1-m)/v - 1.0) AS alpha,
+              (1-m)*(m*(1-m)/v - 1.0) AS beta
+       FROM mom)
+SELECT seg, CAST(n AS BIGINT) AS trials, CAST(s AS BIGINT) AS successes,
+       round(s/n, 6) AS raw_rate,
+       round((s + alpha)/(n + alpha + beta), 6) AS eb_rate,
+       round(alpha, 6) AS alpha, round(beta, 6) AS beta
+FROM pk, ab
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -13660,6 +13812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q359_weibull": _q359,
         "q360_chapman": _q360,
         "q361_stream_outer_join": _q361,
+        "q362_partial_corr": _q362,
+        "q363_dist_compare": _q363,
+        "q364_negbin": _q364,
+        "q365_eb_rates": _q365,
     }
 
 
@@ -14026,4 +14182,8 @@ def oracle_sql() -> dict[str, str]:
         "q359_weibull": _q359_sql,
         "q360_chapman": _q360_sql,
         "q361_stream_outer_join": _q361_sql,
+        "q362_partial_corr": _q362_sql,
+        "q363_dist_compare": _q363_sql,
+        "q364_negbin": _q364_sql,
+        "q365_eb_rates": _q365_sql,
     }

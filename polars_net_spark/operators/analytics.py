@@ -3255,3 +3255,76 @@ def chapman_estimate(
 
 
 __all__.extend(["weibull_fit", "chapman_estimate"])
+
+
+def eb_shrunk_rates(
+    frame: "LazyFrame | SparkDF",
+    key_col: str,
+    success_col: str,
+    min_trials: int = 1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Empirical-Bayes shrunken per-key rates (beta-binomial, method of
+    moments) — the CTR/conversion smoothing that keeps a 1-for-1 key from
+    outranking a 4900-for-5000 one: fit Beta(α, β) to the population of
+    raw per-key rates (m = mean, v = variance, both over keys with
+    ≥ ``min_trials``; α = m(m(1−m)/v − 1), β = (1−m)(m(1−m)/v − 1)),
+    then every key shrinks to (successes + α)/(trials + α + β) — small
+    samples pull hard toward the prior mean, big samples barely move.
+    Unlike target_encode's FIXED smoothing weight m, the prior strength
+    here is LEARNED from the key population itself.
+
+    Scale shape: one key-grouped aggregate, one 1-row moment reduce
+    (α, β return as plan literals), one map-only shrink — no join, no
+    window.  Raises when the rate variance is 0 or the MoM prior is
+    infeasible (v ≥ m(1−m)).  Output: (key, trials, successes, raw_rate,
+    eb_rate) plus alpha/beta repeated per row for downstream use."""
+    if min_trials < 1:
+        raise ValueError("min_trials must be >= 1")
+    sdf = _sdf(frame)
+    y = F.col(success_col).cast("double")
+    per_key = (
+        sdf.filter(F.col(key_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(key_col).alias("__k__"))
+        .agg(F.count(F.lit(1)).alias("__n__"), F.sum(y).alias("__s__"))
+    )
+    per_key = per_key.persist()
+    try:
+        mom = per_key.filter(F.col("__n__") >= min_trials).agg(
+            F.count(F.lit(1)).alias("k"),
+            F.avg(F.col("__s__") / F.col("__n__")).alias("m"),
+            F.var_samp(F.col("__s__") / F.col("__n__")).alias("v"),
+        ).collect()[0]
+        if int(mom["k"] or 0) < 3:
+            raise ValueError("eb_shrunk_rates needs >= 3 keys at min_trials")
+        m, v = float(mom["m"]), float(mom["v"] or 0)
+        if v <= 0:
+            raise ValueError("eb_shrunk_rates: zero variance across key rates")
+        if v >= m * (1 - m):
+            raise ValueError(
+                "eb_shrunk_rates: rate variance too large for a beta prior "
+                "(v >= m(1-m)); the rates are not exchangeable"
+            )
+        strength = m * (1 - m) / v - 1.0
+        alpha, beta = m * strength, (1 - m) * strength
+        out = per_key.select(
+            F.col("__k__").alias(key_col),
+            F.col("__n__").cast("long").alias("trials"),
+            F.col("__s__").cast("long").alias("successes"),
+            F.round(F.col("__s__") / F.col("__n__"), round_to).alias("raw_rate"),
+            F.round(
+                (F.col("__s__") + F.lit(alpha))
+                / (F.col("__n__") + F.lit(alpha + beta)),
+                round_to,
+            ).alias("eb_rate"),
+            F.round(F.lit(alpha), round_to).alias("alpha"),
+            F.round(F.lit(beta), round_to).alias("beta"),
+        )
+        res = LazyFrame(out)
+        res.spark.count()
+    finally:
+        per_key.unpersist()
+    return res
+
+
+__all__.append("eb_shrunk_rates")

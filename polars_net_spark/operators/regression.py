@@ -3403,3 +3403,194 @@ def permutation_test(
 
 
 __all__.extend(["cramer_von_mises", "permutation_test"])
+
+
+def partial_corr(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """First-order partial correlation r_xy·z — "are x and y still related
+    once z is held fixed", the confounder screen that corr_matrix can't
+    answer (a large r_xy means nothing when both track z):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)).
+
+    Rows with any null drop (complete-case, the textbook definition).
+    Scale shape: ONE fused all-reduce of the nine pairwise power sums;
+    everything after is driver arithmetic.  Raises when x or z
+    correlates perfectly with z/anything (denominator 0).  Output
+    (1 row): partial_r, r_xy, r_xz, r_yz, n."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = sdf.filter(x.isNotNull() & y.isNotNull() & z.isNotNull()).select(
+        x.alias("__x__"), y.alias("__y__"), z.alias("__z__")
+    )
+    r = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("sx"), F.sum("__y__").alias("sy"),
+        F.sum("__z__").alias("sz"),
+        F.sum(F.col("__x__") ** 2).alias("sxx"),
+        F.sum(F.col("__y__") ** 2).alias("syy"),
+        F.sum(F.col("__z__") ** 2).alias("szz"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+        F.sum(F.col("__x__") * F.col("__z__")).alias("sxz"),
+        F.sum(F.col("__y__") * F.col("__z__")).alias("syz"),
+    ).collect()[0]
+    n = int(r["n"] or 0)
+    if n < 3:
+        raise ValueError("partial_corr needs at least 3 complete rows")
+    import math
+
+    def corr(sab, sa, sb, saa, sbb):
+        ca = saa - sa * sa / n
+        cb = sbb - sb * sb / n
+        if ca <= 0 or cb <= 0:
+            raise ValueError("partial_corr: zero variance column")
+        return (sab - sa * sb / n) / math.sqrt(ca * cb)
+
+    rxy = corr(float(r["sxy"]), float(r["sx"]), float(r["sy"]),
+               float(r["sxx"]), float(r["syy"]))
+    rxz = corr(float(r["sxz"]), float(r["sx"]), float(r["sz"]),
+               float(r["sxx"]), float(r["szz"]))
+    ryz = corr(float(r["syz"]), float(r["sy"]), float(r["sz"]),
+               float(r["syy"]), float(r["szz"]))
+    den = (1 - rxz * rxz) * (1 - ryz * ryz)
+    if den <= 0:
+        raise ValueError("partial_corr: x or y perfectly correlated with z")
+    pr = (rxy - rxz * ryz) / math.sqrt(den)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(pr, round_to), round(rxy, round_to), round(rxz, round_to),
+          round(ryz, round_to), n)],
+        "partial_r double, r_xy double, r_xz double, r_yz double, n bigint",
+    )
+    return LazyFrame(out)
+
+
+def distribution_compare(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Maximum-likelihood three-way distribution shootout — normal vs
+    lognormal vs exponential by AIC, the "which parametric tail should I
+    assume" screen behind pricing/latency/LTV modeling (Gumbel/Weibull
+    handle the extreme-value cases; this ranks the bread-and-butter
+    bodies): all three log-likelihoods close over ONE fused all-reduce
+    (n, Σx, Σx², Σln x, Σln²x) on POSITIVE values —
+
+        ll_N   = −n/2·(ln(2πσ̂²) + 1)
+        ll_LN  = −n/2·(ln(2πσ̂_ln²) + 1) − Σ ln x
+        ll_EXP = −n·(ln x̄ + 1)
+
+    (MLE variances, i.e. population denominators).  AIC = 2k − 2·ll with
+    k = 2, 2, 1; ``preferred`` is the AIC argmin (alphabetical on exact
+    ties).  Non-positive values are excluded so all three fits see the
+    SAME sample (lognormal/exponential support).  Output (1 row): n,
+    n_excluded, ll_normal, ll_lognormal, ll_exponential, aic_normal,
+    aic_lognormal, aic_exponential, preferred."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    n_all = sdf.filter(v.isNotNull()).count()
+    r = (
+        sdf.filter(v.isNotNull() & (v > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v ** 2).alias("s2"),
+            F.sum(F.log(v)).alias("l1"),
+            F.sum(F.log(v) ** 2).alias("l2"),
+        )
+        .collect()[0]
+    )
+    n = int(r["n"] or 0)
+    if n < 3:
+        raise ValueError("distribution_compare needs at least 3 positive rows")
+    import math
+
+    s1, s2, l1, l2 = (float(r[k]) for k in ("s1", "s2", "l1", "l2"))
+    var_n = s2 / n - (s1 / n) ** 2
+    var_ln = l2 / n - (l1 / n) ** 2
+    if var_n <= 0 or var_ln <= 0:
+        raise ValueError("distribution_compare: zero variance")
+    ll_n = -n / 2.0 * (math.log(2 * math.pi * var_n) + 1.0)
+    ll_ln = -n / 2.0 * (math.log(2 * math.pi * var_ln) + 1.0) - l1
+    ll_e = -n * (math.log(s1 / n) + 1.0)
+    aic = {
+        "exponential": 2 * 1 - 2 * ll_e,
+        "lognormal": 2 * 2 - 2 * ll_ln,
+        "normal": 2 * 2 - 2 * ll_n,
+    }
+    preferred = min(sorted(aic), key=lambda k: aic[k])
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            n, int(n_all - n),
+            round(ll_n, round_to), round(ll_ln, round_to), round(ll_e, round_to),
+            round(aic["normal"], round_to), round(aic["lognormal"], round_to),
+            round(aic["exponential"], round_to), preferred,
+        )],
+        "n bigint, n_excluded bigint, ll_normal double, ll_lognormal double, "
+        "ll_exponential double, aic_normal double, aic_lognormal double, "
+        "aic_exponential double, preferred string",
+    )
+    return LazyFrame(out)
+
+
+def negbin_fit(
+    frame: "LazyFrame | SparkDF",
+    count_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Negative-binomial method-of-moments fit for overdispersed counts —
+    the "Poisson says λ, reality says variance ≫ mean" model behind
+    per-user event counts, defects, and claim frequencies:
+    dispersion = s²/x̄ (s² the SAMPLE variance), and when s² > x̄,
+    r = x̄²/(s² − x̄), p = x̄/s² (so mean = r(1−p)/p).  Raises when
+    s² ≤ x̄ — the data is NOT overdispersed and Poisson (poisson_rate_
+    test's model) is the right call; that refusal is the diagnostic.
+
+    ONE fused all-reduce (n, Σx, Σx²); negative counts excluded.
+    Output (1 row): n, mean, variance, dispersion, r, p."""
+    sdf = _sdf(frame)
+    v = F.col(count_col).cast("double")
+    r = (
+        sdf.filter(v.isNotNull() & (v >= 0))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v ** 2).alias("s2"),
+        )
+        .collect()[0]
+    )
+    n = int(r["n"] or 0)
+    if n < 3:
+        raise ValueError("negbin_fit needs at least 3 rows")
+    s1, s2 = float(r["s1"]), float(r["s2"])
+    m = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    if m <= 0:
+        raise ValueError("negbin_fit: zero mean")
+    if var <= m:
+        raise ValueError(
+            "negbin_fit: variance <= mean (not overdispersed; use a Poisson "
+            "model, e.g. poisson_rate_test)"
+        )
+    rr = m * m / (var - m)
+    p = m / var
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(n, round(m, round_to), round(var, round_to),
+          round(var / m, round_to), round(rr, round_to), round(p, round_to))],
+        "n bigint, mean double, variance double, dispersion double, "
+        "r double, p double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["partial_corr", "distribution_compare", "negbin_fit"])
