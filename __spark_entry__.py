@@ -13449,6 +13449,196 @@ FROM pk, ab
 """
 
 
+
+
+def _q366(spark, sf_dir):
+    """Sharp regression-discontinuity estimate (operators/regression.py
+    rdd_estimate) on a synthetic threshold design over events (a 5-unit
+    outcome jump at running-variable 0): both side-fits from ONE fused
+    conditional all-reduce of the local-linear power sums."""
+    from polars_net_spark.operators.regression import rdd_estimate
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        ((F.col("event_id") % 200) / 100.0 - 1.0).alias("x"),
+        (
+            F.col("value")
+            + F.when((F.col("event_id") % 200) / 100.0 - 1.0 >= 0, 5.0)
+            .otherwise(0.0)
+            + 0.5 * ((F.col("event_id") % 200) / 100.0 - 1.0)
+        ).alias("y"),
+    )
+    return rdd_estimate(d, "x", "y", cutoff=0.0, bandwidth=1.0).spark
+
+
+_q366_sql = """
+WITH b AS (SELECT (event_id % 200)/100.0 - 1.0 AS x,
+                  value + CASE WHEN (event_id % 200)/100.0 - 1.0 >= 0
+                               THEN 5.0 ELSE 0.0 END
+                        + 0.5*((event_id % 200)/100.0 - 1.0) AS y
+           FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+w AS (SELECT x, y, x >= 0 AS r FROM b WHERE x >= -1.0 AND x <= 1.0),
+m AS (SELECT
+  sum(CASE WHEN r THEN 1.0 ELSE 0 END) AS nr,
+  sum(CASE WHEN r THEN x ELSE 0 END) AS sxr,
+  sum(CASE WHEN r THEN y ELSE 0 END) AS syr,
+  sum(CASE WHEN r THEN x*x ELSE 0 END) AS sxxr,
+  sum(CASE WHEN r THEN x*y ELSE 0 END) AS sxyr,
+  sum(CASE WHEN r THEN y*y ELSE 0 END) AS syyr,
+  sum(CASE WHEN NOT r THEN 1.0 ELSE 0 END) AS nl,
+  sum(CASE WHEN NOT r THEN x ELSE 0 END) AS sxl,
+  sum(CASE WHEN NOT r THEN y ELSE 0 END) AS syl,
+  sum(CASE WHEN NOT r THEN x*x ELSE 0 END) AS sxxl,
+  sum(CASE WHEN NOT r THEN x*y ELSE 0 END) AS sxyl,
+  sum(CASE WHEN NOT r THEN y*y ELSE 0 END) AS syyl
+  FROM w),
+f AS (SELECT
+  (nr*sxyr - sxr*syr)/(nr*sxxr - sxr*sxr) AS br,
+  (nl*sxyl - sxl*syl)/(nl*sxxl - sxl*sxl) AS bl,
+  nr, nl, sxr, syr, sxxr, sxyr, syyr, sxl, syl, sxxl, sxyl, syyl
+  FROM m),
+g AS (SELECT br, bl, nr, nl,
+  (syr - br*sxr)/nr AS ar, (syl - bl*sxl)/nl AS al,
+  (syyr - (syr - br*sxr)/nr*syr - br*sxyr)/(nr - 2)
+    * sxxr/(nr*sxxr - sxr*sxr) AS var_ar,
+  (syyl - (syl - bl*sxl)/nl*syl - bl*sxyl)/(nl - 2)
+    * sxxl/(nl*sxxl - sxl*sxl) AS var_al
+  FROM f)
+SELECT round(ar - al, 6) AS effect,
+       round(sqrt(greatest(var_ar, 0) + greatest(var_al, 0)), 6) AS se,
+       round((ar - al)/sqrt(greatest(var_ar, 0) + greatest(var_al, 0)), 6)
+         AS z,
+       round(al, 6) AS a_left, round(ar, 6) AS a_right,
+       round(bl, 6) AS slope_left, round(br, 6) AS slope_right,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right
+FROM g
+"""
+
+
+def _q367(spark, sf_dir):
+    """Propensity-stratification ATE (operators/regression.py
+    stratified_ate, 10 strata) on a synthetic confounded design over
+    events (treatment probability rises with the score that also drives
+    the outcome — the naive diff is biased, the stratified estimate
+    recovers the 2.0 effect): one stratum×arm fused aggregate, driver
+    combine over ≤10 rows."""
+    from polars_net_spark.operators.regression import stratified_ate
+
+    ev = _t(spark, sf_dir, "events").spark
+    s = (F.col("user_id") % 100) / 100.0
+    t = ((F.col("event_id") % 100) < (F.col("user_id") % 100)).cast("int")
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("value") + 2.0 * t + 3.0 * s).alias("y"),
+        t.alias("t"),
+        s.alias("s"),
+    )
+    return stratified_ate(d, "y", "t", "s", n_strata=10).spark
+
+
+_q367_sql = """
+WITH b AS (SELECT value + 2.0*t + 3.0*s AS y, t, s FROM (
+             SELECT value, (user_id % 100)/100.0 AS s,
+                    CASE WHEN (event_id % 100) < (user_id % 100)
+                         THEN 1 ELSE 0 END AS t
+             FROM events
+             WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+               AND value IS NOT NULL) AS i),
+strat AS (SELECT least(9, greatest(0, CAST(floor(s*10) AS INT))) AS b,
+                 count(CASE WHEN t = 1 THEN 1 END)*1.0 AS nt,
+                 sum(CASE WHEN t = 1 THEN y END) AS st,
+                 sum(CASE WHEN t = 1 THEN y*y END) AS qt,
+                 count(CASE WHEN t = 0 THEN 1 END)*1.0 AS nc,
+                 sum(CASE WHEN t = 0 THEN y END) AS sc,
+                 sum(CASE WHEN t = 0 THEN y*y END) AS qc
+          FROM b GROUP BY 1),
+ok AS (SELECT nt + nc AS w, st/nt - sc/nc AS d,
+              (qt - st*st/nt)/(nt - 1)/nt + (qc - sc*sc/nc)/(nc - 1)/nc AS v
+       FROM strat WHERE nt >= 2 AND nc >= 2),
+drop_ AS (SELECT count(*) AS ds, coalesce(sum(nt + nc), 0) AS dr
+          FROM strat WHERE nt < 2 OR nc < 2),
+comb AS (SELECT sum(w) AS n_used, sum(w*d)/sum(w) AS ate,
+                sum(pow(w/(SELECT sum(w) FROM ok), 2)*v) AS var,
+                count(*) AS used
+         FROM ok)
+SELECT round(ate, 6) AS ate, round(sqrt(var), 6) AS se,
+       CAST(n_used AS BIGINT) AS n, CAST(used AS BIGINT) AS n_strata_used,
+       CAST(ds AS BIGINT) AS n_dropped_strata,
+       CAST(dr AS BIGINT) AS n_dropped_rows
+FROM comb, drop_
+"""
+
+
+def _q368(spark, sf_dir):
+    """Survey-weighted mean with Kish effective sample size
+    (operators/regression.py weighted_mean_report) on importance-
+    weighted event values: the deff/n_eff honesty numbers for weighted
+    corpora, ONE fused six-power-sum reduce."""
+    from polars_net_spark.operators.regression import weighted_mean_report
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("x"),
+        ((F.col("event_id") % 10) + 1).cast("double").alias("w"),
+    )
+    return weighted_mean_report(d, "x", "w").spark
+
+
+_q368_sql = """
+WITH b AS (SELECT CAST(value AS DOUBLE) AS x,
+                  CAST(event_id % 10 + 1 AS DOUBLE) AS w
+           FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(w) AS sw, sum(w*x) AS swx,
+             sum(w*x*x) AS swxx, sum(w*w) AS sww, sum(w*w*x) AS swwx,
+             sum(w*w*x*x) AS swwxx
+      FROM b WHERE w > 0),
+c AS (SELECT n, sw, sww, swx/sw AS mean,
+             swxx/sw - (swx/sw)*(swx/sw) AS wvar,
+             swwxx - 2*(swx/sw)*swwx + (swx/sw)*(swx/sw)*sww AS s2
+      FROM m)
+SELECT round(mean, 6) AS weighted_mean,
+       round(sqrt(greatest(s2, 0))/sw, 6) AS se,
+       CAST(n AS BIGINT) AS n, round(sw*sw/sww, 6) AS n_eff,
+       round(n/(sw*sw/sww), 6) AS deff, round(wvar, 6) AS weighted_var
+FROM c
+"""
+
+
+def _q369(spark, sf_dir):
+    """Yule's K vocabulary-richness + hapax share (llm/text.py yules_k)
+    over the documents corpus: word counts -> frequency-of-frequency
+    spectrum -> one fused reduce; the length-invariant repetitiveness
+    fingerprint beside q286's Zipf slope and q313's Heaps curve."""
+    from polars_net_spark.llm.text import yules_k
+
+    d = _t(spark, sf_dir, "documents").spark
+    return yules_k(d, "text").spark
+
+
+_q369_sql = """
+WITH w AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             x -> length(x) > 0)) AS w
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT w, count(*) AS m FROM w GROUP BY 1),
+spec AS (SELECT m, count(*)*1.0 AS vm FROM c GROUP BY 1),
+r AS (SELECT sum(m*vm) AS n, sum(m*m*vm) AS m2v, sum(vm) AS types,
+             coalesce(sum(CASE WHEN m = 1 THEN vm END), 0) AS hapax
+      FROM spec)
+SELECT round(1e4*(m2v - n)/(n*n), 6) AS yules_k,
+       CAST(n AS BIGINT) AS n_tokens, CAST(types AS BIGINT) AS n_types,
+       CAST(hapax AS BIGINT) AS hapax_count,
+       round(hapax/types, 6) AS hapax_share
+FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -13816,6 +14006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q363_dist_compare": _q363,
         "q364_negbin": _q364,
         "q365_eb_rates": _q365,
+        "q366_rdd": _q366,
+        "q367_strat_ate": _q367,
+        "q368_kish_wmean": _q368,
+        "q369_yules_k": _q369,
     }
 
 
@@ -14186,4 +14380,8 @@ def oracle_sql() -> dict[str, str]:
         "q363_dist_compare": _q363_sql,
         "q364_negbin": _q364_sql,
         "q365_eb_rates": _q365_sql,
+        "q366_rdd": _q366_sql,
+        "q367_strat_ate": _q367_sql,
+        "q368_kish_wmean": _q368_sql,
+        "q369_yules_k": _q369_sql,
     }

@@ -1050,3 +1050,65 @@ def script_detect_frame(
 
 
 __all__.extend(["strip_markup_frame", "script_detect_frame"])
+
+
+def yules_k(
+    frame,
+    text_col: str = "text",
+    round_to: int = 6,
+):
+    """Yule's K vocabulary-richness characteristic + hapax share — the
+    repetitiveness fingerprint that is (unlike type-token ratio) nearly
+    length-invariant, so it compares corpora of different sizes honestly
+    (K ≈ 50-200 for natural prose; high K = formulaic/boilerplate-heavy,
+    the corpus-level signal behind strip_boilerplate_lines):
+
+        K = 10⁴ · (Σ_m m²·V_m − N) / N²
+
+    over the frequency spectrum (V_m = number of word types occurring
+    exactly m times, N = total tokens); hapax_share = V_1/V, the "words
+    seen once" fraction that heaps_law's growth curve integrates.
+
+    Scale shape: one word-count aggregate, one frequency-of-frequency
+    aggregate (key = the COUNT — tiny), one fused reduce: Σ m²V_m needs
+    only the spectrum, never a second corpus pass.  Output (1 row):
+    yules_k, n_tokens, n_types, hapax_count, hapax_share."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ..frame import LazyFrame
+
+    sdf = frame if isinstance(frame, SparkDF) else frame.spark
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    counts = (
+        sdf.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("__w__"))
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__m__"))
+    )
+    spectrum = counts.groupBy("__m__").agg(F.count(F.lit(1)).alias("__vm__"))
+    r = spectrum.agg(
+        F.sum(F.col("__m__") * F.col("__vm__")).alias("n"),
+        F.sum(F.col("__m__") ** 2 * F.col("__vm__")).alias("m2v"),
+        F.sum("__vm__").alias("types"),
+        F.sum(F.when(F.col("__m__") == 1, F.col("__vm__"))).alias("hapax"),
+    ).collect()[0]
+    n = int(r["n"] or 0)
+    if n < 2:
+        raise ValueError("yules_k: corpus has fewer than 2 tokens")
+    m2v, types = float(r["m2v"]), int(r["types"])
+    hapax = int(r["hapax"] or 0)
+    k = 1e4 * (m2v - n) / (n * n)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(k, round_to), n, types, hapax,
+          round(hapax / types, round_to))],
+        "yules_k double, n_tokens bigint, n_types bigint, "
+        "hapax_count bigint, hapax_share double",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("yules_k")

@@ -3594,3 +3594,223 @@ def negbin_fit(
 
 
 __all__.extend(["partial_corr", "distribution_compare", "negbin_fit"])
+
+
+def rdd_estimate(
+    frame: "LazyFrame | SparkDF",
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Sharp regression-discontinuity estimate — the "did crossing the
+    threshold CAUSE the jump" design for score-gated treatments
+    (eligibility cutoffs, ranking thresholds, paywalls): fit local
+    linear OLS y ~ a + b·(x − cutoff) separately on [cutoff−h, cutoff)
+    and [cutoff, cutoff+h], and the effect is the intercept gap
+    a₊ − a₋ — the two regressions' predictions AT the cutoff.  SE is the
+    homoskedastic intercept-variance sum from the side-wise residuals
+    (conventional, not robust — document accordingly).
+
+    Scale shape: BOTH side fits ride ONE fused conditional all-reduce
+    (five power sums per side + counts); everything after is driver
+    arithmetic.  Rows outside the bandwidth drop.  Output (1 row):
+    effect, se, z, a_left, a_right, slope_left, slope_right, n_left,
+    n_right."""
+    if bandwidth <= 0:
+        raise ValueError("bandwidth must be > 0")
+    sdf = _sdf(frame)
+    x = F.col(running_col).cast("double") - F.lit(float(cutoff))
+    y = F.col(outcome_col).cast("double")
+    h = float(bandwidth)
+    base = sdf.filter(
+        y.isNotNull() & x.isNotNull() & (x >= -h) & (x <= h)
+    ).select(x.alias("__x__"), y.alias("__y__"), (x >= 0).alias("__r__"))
+
+    def side(cond, tag):
+        c = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+        return [
+            F.sum(c).alias(f"n{tag}"),
+            F.sum(c * F.col("__x__")).alias(f"sx{tag}"),
+            F.sum(c * F.col("__y__")).alias(f"sy{tag}"),
+            F.sum(c * F.col("__x__") ** 2).alias(f"sxx{tag}"),
+            F.sum(c * F.col("__x__") * F.col("__y__")).alias(f"sxy{tag}"),
+            F.sum(c * F.col("__y__") ** 2).alias(f"syy{tag}"),
+        ]
+
+    r = base.agg(
+        *side(F.col("__r__"), "r"), *side(~F.col("__r__"), "l")
+    ).collect()[0]
+
+    import math
+
+    def fit(tag):
+        n = float(r[f"n{tag}"] or 0)
+        if n < 3:
+            raise ValueError(f"rdd_estimate: fewer than 3 rows on side {tag!r}")
+        sx, sy = float(r[f"sx{tag}"]), float(r[f"sy{tag}"])
+        sxx, sxy, syy = (
+            float(r[f"sxx{tag}"]), float(r[f"sxy{tag}"]), float(r[f"syy{tag}"])
+        )
+        det = n * sxx - sx * sx
+        if det <= 0:
+            raise ValueError(f"rdd_estimate: zero x-variance on side {tag!r}")
+        b = (n * sxy - sx * sy) / det
+        a = (sy - b * sx) / n
+        sse = syy - a * sy - b * sxy
+        dof = n - 2
+        s2 = max(sse, 0.0) / dof if dof > 0 else 0.0
+        var_a = s2 * sxx / det
+        return a, b, var_a, int(n)
+
+    a_r, b_r, va_r, n_r = fit("r")
+    a_l, b_l, va_l, n_l = fit("l")
+    eff = a_r - a_l
+    se = math.sqrt(va_r + va_l)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(eff, round_to), round(se, round_to),
+            round(eff / se, round_to) if se > 0 else None,
+            round(a_l, round_to), round(a_r, round_to),
+            round(b_l, round_to), round(b_r, round_to), n_l, n_r,
+        )],
+        "effect double, se double, z double, a_left double, a_right double, "
+        "slope_left double, slope_right double, n_left bigint, n_right bigint",
+    )
+    return LazyFrame(out)
+
+
+def stratified_ate(
+    frame: "LazyFrame | SparkDF",
+    outcome_col: str,
+    treat_col: str,
+    score_col: str,
+    n_strata: int = 5,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Propensity-score STRATIFICATION estimate of the average treatment
+    effect (Rosenbaum & Rubin's subclassification) — the robust sibling
+    of ipw_ate that never divides by an extreme propensity: scores cut
+    into ``n_strata`` equal-width bins over [0, 1], within-stratum
+    treated-minus-control mean differences combine weighted by stratum
+    SIZE; SE pools the within-arm variances.  Strata missing an arm are
+    excluded from the estimate and reported (n_dropped_strata, the
+    overlap diagnostic).
+
+    Scale shape: ONE grouped aggregate (stratum × arm sums fused as
+    conditionals), driver combine over ≤ n_strata rows.  Output (1 row):
+    ate, se, n, n_strata_used, n_dropped_strata, n_dropped_rows."""
+    if n_strata < 2:
+        raise ValueError("n_strata must be >= 2")
+    sdf = _sdf(frame)
+    y = F.col(outcome_col).cast("double")
+    t = (F.col(treat_col).cast("double") != 0)
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.lit(n_strata - 1), F.greatest(F.lit(0), F.floor(s * n_strata).cast("int"))
+    )
+    rows = (
+        sdf.filter(y.isNotNull() & s.isNotNull() & F.col(treat_col).isNotNull())
+        .groupBy(b.alias("__b__"))
+        .agg(
+            F.count(F.when(t, 1)).alias("nt"),
+            F.sum(F.when(t, y)).alias("st"),
+            F.sum(F.when(t, y ** 2)).alias("qt"),
+            F.count(F.when(~t, 1)).alias("nc"),
+            F.sum(F.when(~t, y)).alias("sc"),
+            F.sum(F.when(~t, y ** 2)).alias("qc"),
+        )
+        .collect()
+    )
+    import math
+
+    used, dropped_strata, dropped_rows = [], 0, 0
+    for r in rows:
+        nt, nc = int(r["nt"]), int(r["nc"])
+        if nt < 2 or nc < 2:
+            dropped_strata += 1
+            dropped_rows += nt + nc
+            continue
+        st, qt = float(r["st"]), float(r["qt"])
+        sc, qc = float(r["sc"]), float(r["qc"])
+        vt = (qt - st * st / nt) / (nt - 1)
+        vc = (qc - sc * sc / nc) / (nc - 1)
+        used.append((nt + nc, st / nt - sc / nc, vt / nt + vc / nc))
+    if not used:
+        raise ValueError("stratified_ate: no stratum has both arms")
+    n_used = sum(w for w, _, _ in used)
+    ate = sum(w * d for w, d, _ in used) / n_used
+    var = sum((w / n_used) ** 2 * v for w, _, v in used)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(ate, round_to), round(math.sqrt(var), round_to),
+            n_used, len(used), dropped_strata, dropped_rows,
+        )],
+        "ate double, se double, n bigint, n_strata_used bigint, "
+        "n_dropped_strata bigint, n_dropped_rows bigint",
+    )
+    return LazyFrame(out)
+
+
+def weighted_mean_report(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    weight_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Survey-weighted mean with the HONEST uncertainty — the
+    importance-weighted estimate plus Kish's effective sample size
+    n_eff = (Σw)²/Σw² and design effect deff = n/n_eff, the numbers that
+    say how much a weighted corpus/sample REALLY knows (a 1M-row frame
+    with deff 50 carries 20k rows of information): weighted mean, the
+    design-based SE √(Σw²(x−x̄_w)² )/Σw, and the weighted variance.
+
+    ONE fused all-reduce (Σw, Σwx, Σwx², Σw², Σw²x, Σw²x²); rows with
+    null value or null/non-positive weight drop.  Output (1 row):
+    weighted_mean, se, n, n_eff, deff, weighted_var."""
+    sdf = _sdf(frame)
+    x = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    r = (
+        sdf.filter(x.isNotNull() & w.isNotNull() & (w > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(w).alias("sw"),
+            F.sum(w * x).alias("swx"),
+            F.sum(w * x ** 2).alias("swxx"),
+            F.sum(w ** 2).alias("sww"),
+            F.sum(w ** 2 * x).alias("swwx"),
+            F.sum(w ** 2 * x ** 2).alias("swwxx"),
+        )
+        .collect()[0]
+    )
+    n = int(r["n"] or 0)
+    if n < 2:
+        raise ValueError("weighted_mean_report needs at least 2 weighted rows")
+    import math
+
+    sw, swx, swxx = float(r["sw"]), float(r["swx"]), float(r["swxx"])
+    sww, swwx, swwxx = float(r["sww"]), float(r["swwx"]), float(r["swwxx"])
+    mean = swx / sw
+    wvar = swxx / sw - mean * mean
+    # Σ w²(x − mean)² expanded so it closes over the same single reduce
+    s2 = swwxx - 2 * mean * swwx + mean * mean * sww
+    se = math.sqrt(max(s2, 0.0)) / sw
+    n_eff = sw * sw / sww
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(mean, round_to), round(se, round_to), n,
+            round(n_eff, round_to), round(n / n_eff, round_to),
+            round(wvar, round_to),
+        )],
+        "weighted_mean double, se double, n bigint, n_eff double, "
+        "deff double, weighted_var double",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["rdd_estimate", "stratified_ate", "weighted_mean_report"])
