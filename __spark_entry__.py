@@ -13639,6 +13639,128 @@ FROM r
 """
 
 
+
+
+def _q370(spark, sf_dir):
+    """Additive Holt-Winters seasonal forecast per event-type series
+    (operators/analytics.py holt_winters, period 7, horizon 3): the
+    triple-smoothing recurrence folds as ONE codegen array expression
+    with a rotating seasonal queue in the struct state — zero Python;
+    the oracle replays the identical fold via list_reduce on a flat
+    [level, trend, s1..s7] state (the q288 convention extended to a
+    vector state)."""
+    from polars_net_spark.operators.analytics import holt_winters
+
+    ev = _t(spark, sf_dir, "events").spark
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2020-01-01").cast("date"))
+            .alias("t"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    return holt_winters(
+        daily, "v", "t", period=7, by="event_type",
+        alpha=0.3, beta=0.1, gamma=0.1, horizon=3,
+    ).spark
+
+
+_q370_sql = """
+WITH daily AS (SELECT event_type,
+                      date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+                        AS t,
+                      round(sum(value), 6) AS v
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1, 2),
+s AS (SELECT event_type, list(v ORDER BY t) AS xs FROM daily GROUP BY 1),
+ini AS (SELECT event_type, xs, len(xs) AS n,
+               list_sum(xs[1:7])/7.0 AS l0,
+               (list_sum(xs[8:14])/7.0 - list_sum(xs[1:7])/7.0)/7.0 AS b0
+        FROM s),
+f AS (SELECT event_type, n,
+             list_reduce(
+               list_prepend(
+                 list_concat([l0, b0],
+                             list_transform(xs[1:7], x -> x - l0)),
+                 list_transform(xs[8:], x -> [x])),
+               (acc, xe) -> list_concat(list_concat(
+                 [0.3*(xe[1] - acc[3]) + (1.0-0.3)*(acc[1] + acc[2]),
+                  0.1*((0.3*(xe[1] - acc[3]) + (1.0-0.3)*(acc[1] + acc[2])) - acc[1]) + (1.0-0.1)*acc[2]],
+                 acc[4:]),
+                 [0.1*(xe[1] - (0.3*(xe[1] - acc[3]) + (1.0-0.3)*(acc[1] + acc[2]))) + (1.0-0.1)*acc[3]])
+             ) AS st
+      FROM ini)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n >= 14 THEN st[1] END, 6) AS level,
+       round(CASE WHEN n >= 14 THEN st[2] END, 6) AS trend,
+       round(CASE WHEN n >= 14 THEN st[5] END, 6) AS seasonal_next,
+       round(CASE WHEN n >= 14
+             THEN st[1] + 3.0*st[2] + st[5] END, 6) AS forecast
+FROM f
+"""
+
+
+def _q371(spark, sf_dir):
+    """Baron-Kenny mediation analysis (operators/regression.py
+    mediation_report): how much of quantity's effect on revenue flows
+    through extended price?  Every regression (m~x, y~x, y~x+m) closes
+    over ONE fused nine-power-sum all-reduce; Sobel z for the indirect
+    path."""
+    from polars_net_spark.operators.regression import mediation_report
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    d = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("m"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    return mediation_report(d, "x", "m", "y").spark
+
+
+_q371_sql = """
+WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_extendedprice AS DOUBLE) AS m,
+                  CAST(l_extendedprice*(1 - l_discount) AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+mm AS (SELECT count(*)*1.0 AS n, sum(x) AS sx, sum(m) AS sm, sum(y) AS sy,
+              sum(x*x) AS sxx, sum(m*m) AS smm, sum(y*y) AS syy,
+              sum(x*m) AS sxm, sum(x*y) AS sxy, sum(m*y) AS smy
+       FROM b),
+c AS (SELECT n,
+             sxx - sx*sx/n AS cxx, smm - sm*sm/n AS cmm, syy - sy*sy/n AS cyy,
+             sxm - sx*sm/n AS cxm, sxy - sx*sy/n AS cxy, smy - sm*sy/n AS cmy
+      FROM mm),
+paths AS (SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+                 cxm/cxx AS a,
+                 cxx*cmm - cxm*cxm AS det
+          FROM c),
+fit AS (SELECT n, a,
+               sqrt(greatest(cmm - a*cxm, 0)/(n - 2)/cxx) AS se_a,
+               (cxy*cmm - cmy*cxm)/det AS cprime,
+               (cmy*cxx - cxy*cxm)/det AS bcoef,
+               cxy/cxx AS c_tot,
+               cyy, cxy, cmy, cxx, det
+        FROM paths),
+fin AS (SELECT n, a, se_a, cprime, bcoef, c_tot,
+               sqrt(greatest(cyy - cprime*cxy - bcoef*cmy, 0)/(n - 3)
+                    * cxx/det) AS se_b
+        FROM fit)
+SELECT round(a*bcoef, 6) AS indirect,
+       round(sqrt(bcoef*bcoef*se_a*se_a + a*a*se_b*se_b), 6) AS sobel_se,
+       round(a*bcoef/sqrt(bcoef*bcoef*se_a*se_a + a*a*se_b*se_b), 6)
+         AS sobel_z,
+       round(a, 6) AS path_a, round(bcoef, 6) AS path_b,
+       round(cprime, 6) AS direct_cprime, round(c_tot, 6) AS total_c,
+       round(a*bcoef/c_tot, 6) AS prop_mediated,
+       CAST(n AS BIGINT) AS n
+FROM fin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14010,6 +14132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q367_strat_ate": _q367,
         "q368_kish_wmean": _q368,
         "q369_yules_k": _q369,
+        "q370_holt_winters": _q370,
+        "q371_mediation": _q371,
     }
 
 
@@ -14384,4 +14508,6 @@ def oracle_sql() -> dict[str, str]:
         "q367_strat_ate": _q367_sql,
         "q368_kish_wmean": _q368_sql,
         "q369_yules_k": _q369_sql,
+        "q370_holt_winters": _q370_sql,
+        "q371_mediation": _q371_sql,
     }

@@ -3328,3 +3328,109 @@ def eb_shrunk_rates(
 
 
 __all__.append("eb_shrunk_rates")
+
+
+def holt_winters(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    period: int,
+    by: "str | list[str] | None" = None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    horizon: int = 1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Additive Holt–Winters (triple exponential smoothing) point
+    forecast per series — holt_forecast's seasonal completion, the
+    weekly/daily-cycle workhorse:
+
+        ℓ_t = α(x_t − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+        b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − ℓ_t) + (1−γ)s_{t−m}
+
+    with the standard initialization over the first two periods
+    (Hyndman & Athanasopoulos): ℓ_m = mean of season 1, b_m = the
+    season-over-season mean step / m, s_i = x_i − ℓ_m; forecast
+    ŷ_{n+h} = ℓ_n + h·b_n + s_{n+h−m·⌈h/m⌉}.  Series with < 2·period
+    points yield nulls.
+
+    The recurrence is sequential WITHIN a series, so each series folds
+    as ONE codegen array expression over the gathered values (struct
+    state (ℓ, b, seasonal queue); the queue rotates by slice+concat, no
+    Python anywhere) — the same per-key memory contract as
+    holt_forecast, and an external engine replays the fold verbatim.
+    Output: ([keys...,] n, level, trend, seasonal_next, forecast)."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    for nm, val in (("alpha", a), ("beta", b), ("gamma", g)):
+        if not 0 < val <= 1:
+            raise ValueError(f"{nm} must be in (0, 1]")
+    h = int(horizon)
+    if h < 1:
+        raise ValueError("horizon must be >= 1")
+    v = F.col(value_col).cast("double")
+    o = F.col(order_col)
+    base = sdf.filter(v.isNotNull() & o.isNotNull())
+    gathered = base.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+            lambda s: s["v"],
+        ).alias("__xs__")
+    )
+    xs = F.col("__xs__")
+    n = F.size(xs)
+    mean1 = F.aggregate(
+        F.slice(xs, 1, m), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(float(m))
+    mean2 = F.aggregate(
+        F.slice(xs, m + 1, m), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(float(m))
+    init = F.struct(
+        mean1.alias("l"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b"),
+        F.transform(F.slice(xs, 1, m), lambda x: x - mean1).alias("s"),
+    )
+
+    def step(acc, x):
+        s_old = F.element_at(acc["s"], 1)
+        l_new = (
+            F.lit(a) * (x - s_old) + F.lit(1 - a) * (acc["l"] + acc["b"])
+        )
+        b_new = F.lit(b) * (l_new - acc["l"]) + F.lit(1 - b) * acc["b"]
+        s_new = F.lit(g) * (x - l_new) + F.lit(1 - g) * s_old
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1), F.array(s_new)
+            ).alias("s"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, m + 1, F.greatest(n - m, F.lit(0))), init, step
+    )
+    ok = n >= 2 * m
+    # seasonal index for horizon h: position ((h-1) mod m) + 1 in the queue
+    sidx = (h - 1) % m + 1
+    level = F.when(ok, folded["l"])
+    trend = F.when(ok, folded["b"])
+    snext = F.when(ok, F.element_at(folded["s"], sidx))
+    fc = level + F.lit(float(h)) * trend + snext
+    out = gathered.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.round(level, round_to).alias("level"),
+        F.round(trend, round_to).alias("trend"),
+        F.round(snext, round_to).alias("seasonal_next"),
+        F.round(fc, round_to).alias("forecast"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("holt_winters")

@@ -3814,3 +3814,93 @@ def weighted_mean_report(
 
 
 __all__.extend(["rdd_estimate", "stratified_ate", "weighted_mean_report"])
+
+
+def mediation_report(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    mediator_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Baron–Kenny / product-of-coefficients mediation analysis — "how
+    much of x's effect on y flows THROUGH m": path a from the OLS
+    m ~ x, paths (b, c′) from the two-regressor OLS y ~ x + m (closed
+    form via the 2×2 normal equations), total effect c from y ~ x;
+    indirect effect = a·b with the Sobel SE √(b²·se_a² + a²·se_b²), and
+    proportion mediated = a·b/c.
+
+    Complete-case rows; homoskedastic SEs (conventional Sobel).  Scale
+    shape: every regression closes over ONE fused all-reduce of the
+    nine pairwise power sums — no second pass, no join.  Output (1 row):
+    indirect, sobel_se, sobel_z, path_a, path_b, direct_cprime,
+    total_c, prop_mediated, n."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    mv = F.col(mediator_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & mv.isNotNull() & y.isNotNull()).select(
+        x.alias("__x__"), mv.alias("__m__"), y.alias("__y__")
+    )
+    r = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("sx"), F.sum("__m__").alias("sm"),
+        F.sum("__y__").alias("sy"),
+        F.sum(F.col("__x__") ** 2).alias("sxx"),
+        F.sum(F.col("__m__") ** 2).alias("smm"),
+        F.sum(F.col("__y__") ** 2).alias("syy"),
+        F.sum(F.col("__x__") * F.col("__m__")).alias("sxm"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+        F.sum(F.col("__m__") * F.col("__y__")).alias("smy"),
+    ).collect()[0]
+    n = int(r["n"] or 0)
+    if n < 4:
+        raise ValueError("mediation_report needs at least 4 complete rows")
+    import math
+
+    sx, sm, sy = float(r["sx"]), float(r["sm"]), float(r["sy"])
+    sxx, smm, syy = float(r["sxx"]), float(r["smm"]), float(r["syy"])
+    sxm, sxy, smy = float(r["sxm"]), float(r["sxy"]), float(r["smy"])
+    # centered moments
+    cxx = sxx - sx * sx / n
+    cmm = smm - sm * sm / n
+    cyy = syy - sy * sy / n
+    cxm = sxm - sx * sm / n
+    cxy = sxy - sx * sy / n
+    cmy = smy - sm * sy / n
+    if cxx <= 0 or cmm <= 0:
+        raise ValueError("mediation_report: zero variance in x or mediator")
+    # path a: m ~ x
+    a = cxm / cxx
+    sse_a = cmm - a * cxm
+    se_a = math.sqrt(max(sse_a, 0.0) / (n - 2) / cxx)
+    # y ~ x + m via 2x2 normal equations on centered moments
+    det = cxx * cmm - cxm * cxm
+    if det <= 0:
+        raise ValueError("mediation_report: x and mediator are collinear")
+    cprime = (cxy * cmm - cmy * cxm) / det
+    bcoef = (cmy * cxx - cxy * cxm) / det
+    sse_y = cyy - cprime * cxy - bcoef * cmy
+    s2 = max(sse_y, 0.0) / (n - 3)
+    se_b = math.sqrt(s2 * cxx / det)
+    # total effect c: y ~ x
+    c = cxy / cxx
+    indirect = a * bcoef
+    sobel = math.sqrt(bcoef * bcoef * se_a * se_a + a * a * se_b * se_b)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(indirect, round_to), round(sobel, round_to),
+            round(indirect / sobel, round_to) if sobel > 0 else None,
+            round(a, round_to), round(bcoef, round_to),
+            round(cprime, round_to), round(c, round_to),
+            round(indirect / c, round_to) if c != 0 else None, n,
+        )],
+        "indirect double, sobel_se double, sobel_z double, path_a double, "
+        "path_b double, direct_cprime double, total_c double, "
+        "prop_mediated double, n bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("mediation_report")
