@@ -13761,6 +13761,141 @@ FROM fin
 """
 
 
+
+
+def _q372(spark, sf_dir):
+    """Single-covariate logistic regression (operators/regression.py
+    logistic_fit, 6 unrolled Newton rounds from (0,0)) on the q346
+    score/label design: per round ONE fused score+information
+    all-reduce, 2x2 solve on the driver; Wald SEs from the final
+    observed information.  Verified exactly against an independent
+    Newton implementation; the oracle replays every round (the
+    huber/cox convention, extended to a 2-parameter state)."""
+    from polars_net_spark.operators.regression import logistic_fit
+
+    ev = _t(spark, sf_dir, "events").spark
+    d = ev.filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        ((F.col("event_id") % 100) / 100.0).alias("x"),
+        ((F.col("event_id") % 100) + 6 * (F.col("user_id") % 37) >= 130)
+        .cast("int").alias("y"),
+    )
+    return logistic_fit(d, "x", "y").spark
+
+
+_q372_sql = """
+WITH b AS (SELECT (event_id % 100)/100.0 AS x,
+                  CASE WHEN (event_id % 100) + 6*(user_id % 37) >= 130
+                       THEN 1.0 ELSE 0.0 END AS y
+           FROM events
+           WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+r0 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(y) AS npos,
+             sum(y - 1.0/(1.0 + exp(-(0.0 + (0.0)*x)))) AS g0,
+             sum((y - 1.0/(1.0 + exp(-(0.0 + (0.0)*x))))*x) AS g1,
+             sum((1.0/(1.0 + exp(-(0.0 + (0.0)*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-(0.0 + (0.0)*x))))) AS h00,
+             sum((1.0/(1.0 + exp(-(0.0 + (0.0)*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-(0.0 + (0.0)*x))))*x) AS h01,
+             sum((1.0/(1.0 + exp(-(0.0 + (0.0)*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-(0.0 + (0.0)*x))))*x*x) AS h11
+      FROM b),
+k0 AS MATERIALIZED (SELECT
+      0.0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS a,
+      0.0 + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b,
+      n, npos FROM r0),
+r1 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(y) AS npos,
+             sum(y - 1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x)))) AS g0,
+             sum((y - 1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))*x) AS g1,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))) AS h00,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))*x) AS h01,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k0) + ((SELECT b FROM k0))*x))))*x*x) AS h11
+      FROM b),
+k1 AS MATERIALIZED (SELECT
+      (SELECT a FROM k0) + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS a,
+      (SELECT b FROM k0) + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b,
+      n, npos FROM r1),
+r2 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(y) AS npos,
+             sum(y - 1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x)))) AS g0,
+             sum((y - 1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))*x) AS g1,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))) AS h00,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))*x) AS h01,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k1) + ((SELECT b FROM k1))*x))))*x*x) AS h11
+      FROM b),
+k2 AS MATERIALIZED (SELECT
+      (SELECT a FROM k1) + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS a,
+      (SELECT b FROM k1) + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b,
+      n, npos FROM r2),
+r3 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(y) AS npos,
+             sum(y - 1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x)))) AS g0,
+             sum((y - 1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))*x) AS g1,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))) AS h00,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))*x) AS h01,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k2) + ((SELECT b FROM k2))*x))))*x*x) AS h11
+      FROM b),
+k3 AS MATERIALIZED (SELECT
+      (SELECT a FROM k2) + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS a,
+      (SELECT b FROM k2) + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b,
+      n, npos FROM r3),
+r4 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(y) AS npos,
+             sum(y - 1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x)))) AS g0,
+             sum((y - 1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))*x) AS g1,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))) AS h00,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))*x) AS h01,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k3) + ((SELECT b FROM k3))*x))))*x*x) AS h11
+      FROM b),
+k4 AS MATERIALIZED (SELECT
+      (SELECT a FROM k3) + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS a,
+      (SELECT b FROM k3) + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b,
+      n, npos FROM r4),
+r5 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(y) AS npos,
+             sum(y - 1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x)))) AS g0,
+             sum((y - 1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))*x) AS g1,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))) AS h00,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))*x) AS h01,
+             sum((1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))
+                 *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k4) + ((SELECT b FROM k4))*x))))*x*x) AS h11
+      FROM b),
+k5 AS MATERIALIZED (SELECT
+      (SELECT a FROM k4) + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS a,
+      (SELECT b FROM k4) + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b,
+      n, npos FROM r5),
+fin AS MATERIALIZED (SELECT (SELECT a FROM k5) AS a, (SELECT b FROM k5) AS b,
+               count(*)*1.0 AS n, sum(y) AS npos,
+               sum((1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))
+                   *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))) AS h00,
+               sum((1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))
+                   *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))*x) AS h01,
+               sum((1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))
+                   *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))*x*x) AS h11,
+               sum(y*ln(1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))
+                   + (1.0-y)*ln(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))) AS ll
+        FROM b)
+SELECT round(a, 6) AS intercept, round(b, 6) AS slope,
+       round(sqrt(h11/(h00*h11 - h01*h01)), 6) AS se_intercept,
+       round(sqrt(h00/(h00*h11 - h01*h01)), 6) AS se_slope,
+       round(b/sqrt(h00/(h00*h11 - h01*h01)), 6) AS z_slope,
+       round(exp(b), 6) AS odds_ratio, round(ll, 6) AS loglik,
+       CAST(n AS BIGINT) AS n, CAST(npos AS BIGINT) AS n_pos,
+       CAST(6 AS INT) AS rounds
+FROM fin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14134,6 +14269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q369_yules_k": _q369,
         "q370_holt_winters": _q370,
         "q371_mediation": _q371,
+        "q372_logistic": _q372,
     }
 
 
@@ -14510,4 +14646,5 @@ def oracle_sql() -> dict[str, str]:
         "q369_yules_k": _q369_sql,
         "q370_holt_winters": _q370_sql,
         "q371_mediation": _q371_sql,
+        "q372_logistic": _q372_sql,
     }

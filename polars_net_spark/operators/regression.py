@@ -3904,3 +3904,102 @@ def mediation_report(
 
 
 __all__.append("mediation_report")
+
+
+def logistic_fit(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    rounds: int = 6,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Single-covariate logistic regression y ~ sigmoid(a + b·x) by
+    ``rounds`` Newton–Raphson steps from (0, 0) — the odds-ratio
+    workhorse between prop_ztest's 2×2 and MLlib's black-box fit, with
+    Wald SEs from the final observed information (fixed round count =
+    deterministic and externally replayable, the huber/cox convention;
+    Newton on the logistic likelihood is quadratically convergent, 6
+    rounds ≈ machine precision for non-separated data — PERFECTLY
+    separated data diverges by construction, every engine's problem).
+
+    Per round, with (a, b) plan literals: ONE fused all-reduce of the
+    score (Σ(y−p), Σ(y−p)x) and information (Σw, Σwx, Σwx², w = p(1−p));
+    the 2×2 solve is driver arithmetic.  A final pass adds the
+    log-likelihood.  Output (1 row): intercept, slope, se_intercept,
+    se_slope, z_slope, odds_ratio, loglik, n, n_pos, rounds."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    yv = (F.col(y_col).cast("double") != 0).cast("double")
+    base = sdf.filter(x.isNotNull() & F.col(y_col).isNotNull()).select(
+        x.alias("__x__"), yv.alias("__y__")
+    )
+    base = base.persist()
+    import math
+
+    try:
+        a = b = 0.0
+        n = npos = None
+        for _ in range(int(rounds)):
+            eta = F.lit(a) + F.lit(b) * F.col("__x__")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = p * (1 - p)
+            r = base.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__y__").alias("npos"),
+                F.sum(F.col("__y__") - p).alias("g0"),
+                F.sum((F.col("__y__") - p) * F.col("__x__")).alias("g1"),
+                F.sum(w).alias("h00"),
+                F.sum(w * F.col("__x__")).alias("h01"),
+                F.sum(w * F.col("__x__") ** 2).alias("h11"),
+            ).collect()[0]
+            n, npos = int(r["n"]), int(r["npos"])
+            if n < 4 or npos == 0 or npos == n:
+                raise ValueError(
+                    "logistic_fit needs >= 4 rows and both classes present"
+                )
+            g0, g1 = float(r["g0"]), float(r["g1"])
+            h00, h01, h11 = float(r["h00"]), float(r["h01"]), float(r["h11"])
+            det = h00 * h11 - h01 * h01
+            if det <= 0:
+                raise ValueError("logistic_fit: singular information matrix")
+            a += (h11 * g0 - h01 * g1) / det
+            b += (h00 * g1 - h01 * g0) / det
+        eta = F.lit(a) + F.lit(b) * F.col("__x__")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (1 - p)
+        r = base.agg(
+            F.sum(w).alias("h00"),
+            F.sum(w * F.col("__x__")).alias("h01"),
+            F.sum(w * F.col("__x__") ** 2).alias("h11"),
+            F.sum(
+                F.col("__y__") * F.log(p)
+                + (1 - F.col("__y__")) * F.log(1 - p)
+            ).alias("ll"),
+        ).collect()[0]
+        h00, h01, h11 = float(r["h00"]), float(r["h01"]), float(r["h11"])
+        det = h00 * h11 - h01 * h01
+        if det <= 0:
+            raise ValueError("logistic_fit: singular information matrix")
+        se_a = math.sqrt(h11 / det)
+        se_b = math.sqrt(h00 / det)
+        ll = float(r["ll"])
+    finally:
+        base.unpersist()
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(a, round_to), round(b, round_to),
+            round(se_a, round_to), round(se_b, round_to),
+            round(b / se_b, round_to), round(math.exp(b), round_to),
+            round(ll, round_to), n, npos, int(rounds),
+        )],
+        "intercept double, slope double, se_intercept double, "
+        "se_slope double, z_slope double, odds_ratio double, loglik double, "
+        "n bigint, n_pos bigint, rounds int",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("logistic_fit")

@@ -117,3 +117,49 @@ class TestMediation:
         )
         with pytest.raises(ValueError, match="zero variance"):
             mediation_report(d, "x", "m", "y")
+
+
+class TestLogisticFit:
+    def test_matches_numpy_newton(self, spark):
+        import numpy as np
+
+        from polars_net_spark.operators.regression import logistic_fit
+
+        rng = np.random.RandomState(5)
+        n = 2000
+        x = rng.randn(n)
+        p = 1 / (1 + np.exp(-(-0.5 + 1.2 * x)))
+        y = (rng.rand(n) < p).astype(int)
+        a = b = 0.0
+        for _ in range(6):
+            pp = 1 / (1 + np.exp(-(a + b * x)))
+            w = pp * (1 - pp)
+            g0, g1 = (y - pp).sum(), ((y - pp) * x).sum()
+            h00, h01, h11 = w.sum(), (w * x).sum(), (w * x * x).sum()
+            det = h00 * h11 - h01 * h01
+            a += (h11 * g0 - h01 * g1) / det
+            b += (h00 * g1 - h01 * g0) / det
+        d = spark.createDataFrame(
+            [(float(x[i]), int(y[i])) for i in range(n)], "x double, y int"
+        ).repartition(7)
+        (r,) = [tuple(v) for v in logistic_fit(d, "x", "y").spark.collect()]
+        assert abs(r[0] - a) < 1e-6 and abs(r[1] - b) < 1e-6
+
+    def test_null_slope_on_noise(self, spark):
+        from polars_net_spark.operators.regression import logistic_fit
+
+        d = spark.createDataFrame(
+            [(float(i % 10), int((i // 10) % 2)) for i in range(1000)],
+            "x double, y int",
+        )
+        (r,) = [tuple(v) for v in logistic_fit(d, "x", "y").spark.collect()]
+        assert abs(r[4]) < 2  # z_slope small
+
+    def test_one_class_raises(self, spark):
+        import pytest as _pt
+
+        from polars_net_spark.operators.regression import logistic_fit
+
+        d = spark.createDataFrame([(1.0, 1)] * 10, "x double, y int")
+        with _pt.raises(ValueError, match="both classes"):
+            logistic_fit(d, "x", "y")
