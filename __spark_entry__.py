@@ -12536,7 +12536,8 @@ cell AS (SELECT coalesce(hg.doc_id, rg.doc_id) AS doc_id,
 per_doc AS (SELECT doc_id, sum(least(h, r)) AS m, sum(r) AS rt,
                    sum(h) AS ht
             FROM cell GROUP BY 1),
-red AS (SELECT count(*) AS nd, sum(m) AS m, sum(rt) AS rt, sum(ht) AS ht,
+red AS (SELECT (SELECT count(*) FROM docs2) AS nd,
+               sum(m) AS m, sum(rt) AS rt, sum(ht) AS ht,
                avg(CASE WHEN rt > 0 THEN m*1.0/rt END) AS macro_r
         FROM per_doc)
 SELECT CAST(2 AS INT) AS n, CAST(nd AS BIGINT) AS n_docs,
@@ -13075,9 +13076,9 @@ WITH raw AS (SELECT user_id % 1000 AS s,
              WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
 e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
       FROM raw WHERE s <> d),
-v AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
-b0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS d FROM v
-                    WHERE v IN (0, 100)),
+b0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS d
+                    FROM (VALUES (CAST(0 AS BIGINT)),
+                                 (CAST(100 AS BIGINT))) AS t(v)),
 b1 AS MATERIALIZED (SELECT v, min(d) AS d FROM (
     SELECT v, d FROM b0
     UNION ALL SELECT e.b AS v, b0.d + 1 AS d FROM b0 JOIN e ON b0.v = e.a
@@ -13882,8 +13883,8 @@ fin AS MATERIALIZED (SELECT (SELECT a FROM k5) AS a, (SELECT b FROM k5) AS b,
                    *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))*x) AS h01,
                sum((1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))
                    *(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))*x*x) AS h11,
-               sum(y*ln(1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))
-                   + (1.0-y)*ln(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))))) AS ll
+               sum(y*ln(greatest(1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))), 1e-300))
+                   + (1.0-y)*ln(greatest(1.0 - 1.0/(1.0 + exp(-((SELECT a FROM k5) + (SELECT b FROM k5)*x))), 1e-300))) AS ll
         FROM b)
 SELECT round(a, 6) AS intercept, round(b, 6) AS slope,
        round(sqrt(h11/(h00*h11 - h01*h01)), 6) AS se_intercept,

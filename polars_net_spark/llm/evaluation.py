@@ -932,10 +932,12 @@ def brier_decomposition(
 __all__.append("brier_decomposition")
 
 
-def _gram_arrays(text_expr, max_n: int):
-    """Word array + per-n gram arrays via the collapse-proof shifted-slice
-    zip_with fold (see ngram_coverage: element_at inside a transform lambda
-    re-evaluates the split per element — O(words²) regex work)."""
+def _word_array(text_expr):
+    """Lowercased whitespace word array (empty tokens dropped); feed the
+    result to _grams_of, which builds n-grams via the collapse-proof
+    shifted-slice zip_with fold (see ngram_coverage: element_at inside a
+    transform lambda re-evaluates the split per element — O(words²)
+    regex work)."""
     ws = F.filter(
         F.split(F.trim(F.lower(text_expr)), r"\s+"),
         lambda w: F.length(w) > 0,
@@ -986,8 +988,8 @@ def bleu_corpus(
         & F.col(id_col).isNotNull()
     ).select(
         F.col(id_col).alias("__id__"),
-        _gram_arrays(F.col(hyp_col), max_n).alias("__wh__"),
-        _gram_arrays(F.col(ref_col), max_n).alias("__wr__"),
+        _word_array(F.col(hyp_col)).alias("__wh__"),
+        _word_array(F.col(ref_col)).alias("__wr__"),
     )
     base = base.persist()
     try:
@@ -1091,7 +1093,9 @@ def rouge_n(
 
     Scale shape: one explode + (doc, gram) count aggregate per side, a
     FULL outer (doc, gram) equi-join so both totals survive, a per-doc
-    reduce, then ONE 1-row fused reduce.  Output (1 row): n, n_docs,
+    reduce, then ONE 1-row fused reduce (n_docs counts every usable
+    input pair, consistent with bleu_corpus/chrf_corpus — including
+    docs too short to produce any n-gram).  Output (1 row): n, n_docs,
     micro_recall, macro_recall, micro_precision, micro_f1."""
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -1101,8 +1105,8 @@ def rouge_n(
         & F.col(id_col).isNotNull()
     ).select(
         F.col(id_col).alias("__id__"),
-        _grams_of(_gram_arrays(F.col(hyp_col), n), n).alias("__gh__"),
-        _grams_of(_gram_arrays(F.col(ref_col), n), n).alias("__gr__"),
+        _grams_of(_word_array(F.col(hyp_col)), n).alias("__gh__"),
+        _grams_of(_word_array(F.col(ref_col)), n).alias("__gr__"),
     )
 
     hyp = (
@@ -1125,6 +1129,7 @@ def rouge_n(
         F.sum("__r__").alias("__rt__"),
         F.sum("__h__").alias("__ht__"),
     )
+    n_docs = base.count()
     red = per_doc.agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum("__m__").alias("m"),
@@ -1147,7 +1152,7 @@ def rouge_n(
     spark = sdf.sparkSession
     out = spark.createDataFrame(
         [(
-            n, int(red["nd"]), round(micro_r, round_to),
+            n, int(n_docs), round(micro_r, round_to),
             None if red["macro_r"] is None else round(float(red["macro_r"]), round_to),
             None if micro_p is None else round(micro_p, round_to),
             None if micro_f is None else round(micro_f, round_to),

@@ -1861,8 +1861,10 @@ def kmeans_report(
         )
         from ..frame import LazyFrame as _LF
 
+        # the returned plan references only centroid LITERALS + the raw
+        # source, so releasing the persisted base below is safe — the
+        # caller's collect re-derives the final assignment from source
         res = _LF(out)
-        res.spark.count()  # materialize before releasing the persisted base
     finally:
         sdf.unpersist()
     return res

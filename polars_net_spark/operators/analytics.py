@@ -3139,11 +3139,17 @@ def weibull_fit(
 
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
-    n_all = sdf.filter(v.isNotNull()).count()
-    base = sdf.filter(v.isNotNull() & (v > 0))
-    cells = base.groupBy(v.alias("__v__")).agg(
+    # ONE source scan: cells over all non-null values, the non-positive
+    # mass read off the tiny cell table before it is filtered away
+    all_cells = sdf.filter(v.isNotNull()).groupBy(v.alias("__v__")).agg(
         F.count(F.lit(1)).alias("__c__")
     )
+    all_cells = all_cells.persist()
+    nexc_row = all_cells.agg(
+        F.sum(F.when(F.col("__v__") <= 0, F.col("__c__"))).alias("x")
+    ).collect()[0]
+    n_excluded = int(nexc_row["x"] or 0)
+    cells = all_cells.filter(F.col("__v__") > 0)
     bucketed, gb = with_range_buckets(cells, "__v__")
     offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.col("__c__")})
     n = int(tot["c"])
@@ -3174,6 +3180,7 @@ def weibull_fit(
         F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
         F.sum(F.col("__y__") ** 2).alias("syy"),
     ).collect()[0]
+    all_cells.unpersist()
     sx, sy, sxx, sxy, syy = (
         float(m[k]) for k in ("sx", "sy", "sxx", "sxy", "syy")
     )
@@ -3193,7 +3200,7 @@ def weibull_fit(
     out = spark.createDataFrame(
         [(
             round(k_shape, round_to), round(lam, round_to),
-            round(r2, round_to), n, int(n_all - n),
+            round(r2, round_to), n, n_excluded,
         )],
         "shape_k double, scale_lambda double, r2 double, n bigint, "
         "n_excluded bigint",
@@ -3320,8 +3327,9 @@ def eb_shrunk_rates(
             F.round(F.lit(alpha), round_to).alias("alpha"),
             F.round(F.lit(beta), round_to).alias("beta"),
         )
+        # alpha/beta are plain Python literals, so the returned plan only
+        # references per_key's lineage — safe to release the cache here
         res = LazyFrame(out)
-        res.spark.count()
     finally:
         per_key.unpersist()
     return res

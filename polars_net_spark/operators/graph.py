@@ -537,10 +537,13 @@ def bfs_distances(
     truncated frontier can't masquerade as the answer.  Unreached
     vertices are ABSENT from the output (no infinity sentinel).
 
-    Scale shape: per round one union + min aggregate over the reached
-    set joined to the edge list on each endpoint (plain equi-joins,
-    map-side-combining min) + an emptiness probe as the stop condition;
-    lineage checkpoint-truncated.  Output: (id, distance)."""
+    Every listed source appears at distance 0 even when isolated (no
+    incident edges) — a missing seed row would read as a silently
+    dropped input.  Scale shape: per round one union + min aggregate
+    over the reached set joined to the edge list on each endpoint
+    (plain equi-joins, map-side-combining min) + an emptiness probe as
+    the stop condition; lineage checkpoint-truncated.  Output: (id,
+    distance)."""
     if not sources:
         raise ValueError("sources must be non-empty")
     if checkpoint_every < 1:
@@ -565,16 +568,11 @@ def bfs_distances(
             .distinct()
         )
         e.persist()
-        verts = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select(F.col("b").alias("v")))
-            .distinct()
-        )
         spark = esdf.sparkSession
         svals = [(s,) for s in sources]
-        sdf_sources = spark.createDataFrame(svals, ["v"])
         dist = (
-            verts.join(sdf_sources, "v", "semi")
+            spark.createDataFrame(svals, ["v"])
+            .distinct()
             .select("v", F.lit(0).cast("long").alias("d"))
         )
         dist.persist()

@@ -3160,6 +3160,7 @@ def cox_ph(
         F.count(F.lit(1)).alias("__c__"), F.sum(e).alias("__d__")
     )
     cells = cells.persist()
+    bucketed = None
     try:
         meta = cells.agg(
             F.sum("__c__").alias("n"),
@@ -3214,8 +3215,9 @@ def cox_ph(
         _, info = score_info(beta)
         if info <= 0:
             raise ValueError("cox_ph: singular information matrix")
-        bucketed.unpersist()
     finally:
+        if bucketed is not None:
+            bucketed.unpersist()
         cells.unpersist()
     import math
 
@@ -3496,19 +3498,21 @@ def distribution_compare(
     aic_lognormal, aic_exponential, preferred."""
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
-    n_all = sdf.filter(v.isNotNull()).count()
+    pos = v > 0
     r = (
-        sdf.filter(v.isNotNull() & (v > 0))
+        sdf.filter(v.isNotNull())
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(v).alias("s1"),
-            F.sum(v ** 2).alias("s2"),
-            F.sum(F.log(v)).alias("l1"),
-            F.sum(F.log(v) ** 2).alias("l2"),
+            F.count(F.when(pos, 1)).alias("n"),
+            F.count(F.when(~pos, 1)).alias("nexc"),
+            F.sum(F.when(pos, v)).alias("s1"),
+            F.sum(F.when(pos, v ** 2)).alias("s2"),
+            F.sum(F.when(pos, F.log(v))).alias("l1"),
+            F.sum(F.when(pos, F.log(v) ** 2)).alias("l2"),
         )
         .collect()[0]
     )
     n = int(r["n"] or 0)
+    n_all = n + int(r["nexc"] or 0)
     if n < 3:
         raise ValueError("distribution_compare needs at least 3 positive rows")
     import math
@@ -3695,9 +3699,12 @@ def stratified_ate(
     of ipw_ate that never divides by an extreme propensity: scores cut
     into ``n_strata`` equal-width bins over [0, 1], within-stratum
     treated-minus-control mean differences combine weighted by stratum
-    SIZE; SE pools the within-arm variances.  Strata missing an arm are
-    excluded from the estimate and reported (n_dropped_strata, the
-    overlap diagnostic).
+    SIZE; SE pools the within-arm variances.  Strata without at least
+    TWO observations in EACH arm are excluded from the estimate and
+    reported (n_dropped_strata — the overlap diagnostic; two per arm is
+    the minimum for the within-arm variance).  Scores are expected in
+    [0, 1] (propensities); out-of-range scores clamp into the edge
+    strata.
 
     Scale shape: ONE grouped aggregate (stratum × arm sums fused as
     conditionals), driver combine over ≤ n_strata rows.  Output (1 row):
@@ -3973,9 +3980,13 @@ def logistic_fit(
             F.sum(w).alias("h00"),
             F.sum(w * F.col("__x__")).alias("h01"),
             F.sum(w * F.col("__x__") ** 2).alias("h11"),
+            # clamp: at |eta| beyond ~37, p saturates to exactly 0/1 and
+            # Spark's non-ANSI ln(0) is NULL, which would silently DROP the
+            # row's (huge negative) term from the sum — floor both legs
             F.sum(
-                F.col("__y__") * F.log(p)
-                + (1 - F.col("__y__")) * F.log(1 - p)
+                F.col("__y__") * F.log(F.greatest(p, F.lit(1e-300)))
+                + (1 - F.col("__y__"))
+                * F.log(F.greatest(1 - p, F.lit(1e-300)))
             ).alias("ll"),
         ).collect()[0]
         h00, h01, h11 = float(r["h00"]), float(r["h01"]), float(r["h11"])

@@ -300,10 +300,12 @@ def kmv_jaccard(
 
     Deterministic (same data + seed + k → same estimate on any engine) and
     shuffle-light: ONE fused conditional aggregate builds both signatures
-    (map-side combining collect_set partials), every set operation after
-    that is array math on a 1-row frame.  Exact when a segment has < k
-    distinct values.  Output (1 row): k, jaccard_est, n_union_minhashes,
-    distinct_a_est, distinct_b_est, union_est, intersect_est."""
+    (map-side combining collect_set partials); the set algebra then runs
+    on the DRIVER over the two ≤k-hash lists (bounded, and it lets an
+    empty segment raise like the sibling two-sample operators instead of
+    emitting a null row).  Exact when a segment has < k distinct values.
+    Output (1 row): k, jaccard_est, n_union_minhashes, distinct_a_est,
+    distinct_b_est, union_est, intersect_est."""
     sdf = _sdf(frame)
     kk = int(k)
     if kk < 2:
@@ -315,44 +317,48 @@ def kmv_jaccard(
     base = sdf.filter(
         F.col(value_col).isNotNull() & g.isin([group_a, group_b])
     )
-    agg = base.agg(
+    row = base.agg(
         F.slice(
             F.array_sort(F.collect_set(F.when(g == F.lit(group_a), h))), 1, kk
         ).alias("__sa__"),
         F.slice(
             F.array_sort(F.collect_set(F.when(g == F.lit(group_b), h))), 1, kk
         ).alias("__sb__"),
-    )
-    sa, sb = F.col("__sa__"), F.col("__sb__")
-    un = F.slice(F.array_sort(F.array_union(sa, sb)), 1, kk)
-    staged = agg.select(sa.alias("__sa__"), sb.alias("__sb__"), un.alias("__u__"))
-    u = F.col("__u__")
-    nu = F.size(u)
-    inter = F.size(
-        F.filter(
-            u,
-            lambda x: F.array_contains(sa, x) & F.array_contains(sb, x),
-        )
-    )
-    jac = inter.cast("double") / nu
+    ).collect()[0]
+    sa, sb = list(row["__sa__"] or []), list(row["__sb__"] or [])
+    if not sa or not sb:
+        raise ValueError("kmv_jaccard: both groups need at least 1 row")
+
+    def unit(hx: str) -> float:
+        return int(hx[:13], 16) / float(16 ** 13)
+
+    def rnd_half_up(x: float, d: int) -> float:
+        # jaccard is a small-denominator rational (x/2^m) that CAN land
+        # exactly on a decimal half; Python's banker rounding would then
+        # diverge from SQL round() (half away from zero) — force half-up
+        import math as _m
+
+        f = 10 ** d
+        return _m.floor(x * f + 0.5) / f
 
     def est(sig):
-        nn = F.size(sig)
-        return F.when(nn < kk, nn.cast("double")).otherwise(
-            F.lit(kk - 1) / _hex_unit(F.element_at(sig, kk))
-        )
+        return float(len(sig)) if len(sig) < kk else (kk - 1) / unit(sig[-1])
 
-    union_est = F.when(nu < kk, nu.cast("double")).otherwise(
-        F.lit(kk - 1) / _hex_unit(F.element_at(u, kk))
-    )
-    out = staged.select(
-        F.lit(kk).cast("long").alias("k"),
-        F.round(jac, round_to).alias("jaccard_est"),
-        nu.cast("long").alias("n_union_minhashes"),
-        F.round(est(sa)).cast("long").alias("distinct_a_est"),
-        F.round(est(sb)).cast("long").alias("distinct_b_est"),
-        F.round(union_est).cast("long").alias("union_est"),
-        F.round(jac * union_est).cast("long").alias("intersect_est"),
+    un = sorted(set(sa) | set(sb))[:kk]
+    inter = sum(1 for x in un if x in set(sa) and x in set(sb))
+    nu = len(un)
+    jac = inter / nu
+    union_est = float(nu) if nu < kk else (kk - 1) / unit(un[-1])
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            kk, rnd_half_up(jac, round_to), nu,
+            int(rnd_half_up(est(sa), 0)), int(rnd_half_up(est(sb), 0)),
+            int(rnd_half_up(union_est, 0)), int(rnd_half_up(jac * union_est, 0)),
+        )],
+        "k bigint, jaccard_est double, n_union_minhashes bigint, "
+        "distinct_a_est bigint, distinct_b_est bigint, union_est bigint, "
+        "intersect_est bigint",
     )
     return LazyFrame(out)
 
