@@ -12978,12 +12978,18 @@ def _q357(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
         lambda w: F.length(w) > 0,
     )
+    # 240-char cap: the gate exercises the full 6-order machinery at a
+    # bounded gram volume (the q244/q358 precedent for quadratic-ish text
+    # ops) — chrF itself is length-normalized, so the truncated corpus is
+    # an equally meaningful fixture
     pairs = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        F.array_join(
-            F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
+        F.substring(
+            F.array_join(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
+            ), 1, 240,
         ).alias("hyp"),
-        F.lower(F.col("text")).alias("ref"),
+        F.substring(F.lower(F.col("text")), 1, 240).alias("ref"),
     )
     return chrf_corpus(pairs, "hyp", "ref", "doc_id").spark
 
@@ -12995,8 +13001,9 @@ WITH p0 AS (SELECT doc_id,
     lower(text) AS ref
   FROM documents WHERE text IS NOT NULL),
 pairs AS (SELECT doc_id,
-    array_to_string(list_slice(wr, 1, greatest(len(wr) - 2, 0)), ' ') AS hyp,
-    ref
+    substr(array_to_string(list_slice(wr, 1, greatest(len(wr) - 2, 0)), ' '),
+           1, 240) AS hyp,
+    substr(ref, 1, 240) AS ref
   FROM p0),
 stripped AS (SELECT doc_id,
     regexp_replace(hyp, '\\s+', '', 'g') AS h,

@@ -991,7 +991,11 @@ def bleu_corpus(
         _word_array(F.col(hyp_col)).alias("__wh__"),
         _word_array(F.col(ref_col)).alias("__wr__"),
     )
-    base = base.persist()
+    # a single-file corpus must not serialize the gram explode onto one
+    # core (the _stage_words precedent)
+    base = base.repartition(
+        sdf.sparkSession.sparkContext.defaultParallelism
+    ).persist()
     try:
         lens = base.agg(
             F.sum(F.size("__wh__")).alias("hl"),
@@ -1108,6 +1112,7 @@ def rouge_n(
         _grams_of(_word_array(F.col(hyp_col)), n).alias("__gh__"),
         _grams_of(_word_array(F.col(ref_col)), n).alias("__gr__"),
     )
+    base = base.repartition(sdf.sparkSession.sparkContext.defaultParallelism)
 
     hyp = (
         base.select("__id__", F.explode("__gh__").alias("__g__"))
@@ -1203,6 +1208,7 @@ def chrf_corpus(
         F.regexp_replace(F.col(hyp_col), r"\s+", "").alias("__h__"),
         F.regexp_replace(F.col(ref_col), r"\s+", "").alias("__r__"),
     )
+    base = base.repartition(sdf.sparkSession.sparkContext.defaultParallelism)
 
     def tagged(col_name):
         parts = [
