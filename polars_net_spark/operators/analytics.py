@@ -3145,42 +3145,47 @@ def weibull_fit(
         F.count(F.lit(1)).alias("__c__")
     )
     all_cells = all_cells.persist()
-    nexc_row = all_cells.agg(
-        F.sum(F.when(F.col("__v__") <= 0, F.col("__c__"))).alias("x")
-    ).collect()[0]
-    n_excluded = int(nexc_row["x"] or 0)
-    cells = all_cells.filter(F.col("__v__") > 0)
-    bucketed, gb = with_range_buckets(cells, "__v__")
-    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.col("__c__")})
-    n = int(tot["c"])
-    if n < 3:
-        raise ValueError("weibull_fit needs at least 3 positive values")
-    w = Window.partitionBy(gb).orderBy("__v__").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    c0 = F.col("__off_c__") + F.coalesce(F.sum("__c__").over(w), F.lit(0.0))
-    # stage the window result before the explode — Spark cannot analyze a
-    # window expression nested inside a generator in one projection
-    staged = offs.select(
-        F.log("__v__").alias("__x__"),
-        c0.cast("long").alias("__c0__"),
-        F.col("__c__").cast("long").alias("__cnt__"),
-    )
-    pairs = staged.select(
-        "__x__",
-        F.explode(
-            F.sequence(F.col("__c0__") + 1, F.col("__c0__") + F.col("__cnt__"))
-        ).alias("__i__"),
-    )
-    yv = F.log(-F.log(1.0 - (F.col("__i__") - F.lit(0.3)) / F.lit(n + 0.4)))
-    m = pairs.select(F.col("__x__"), yv.alias("__y__")).agg(
-        F.sum("__x__").alias("sx"),
-        F.sum("__y__").alias("sy"),
-        F.sum(F.col("__x__") ** 2).alias("sxx"),
-        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
-        F.sum(F.col("__y__") ** 2).alias("syy"),
-    ).collect()[0]
-    all_cells.unpersist()
+    # n<3 raises and with_range_buckets/with_prefix_offsets can fail on
+    # degenerate input — the finally keeps those paths from leaking the
+    # cached frame (the cox_ph precedent)
+    try:
+        nexc_row = all_cells.agg(
+            F.sum(F.when(F.col("__v__") <= 0, F.col("__c__"))).alias("x")
+        ).collect()[0]
+        n_excluded = int(nexc_row["x"] or 0)
+        cells = all_cells.filter(F.col("__v__") > 0)
+        bucketed, gb = with_range_buckets(cells, "__v__")
+        offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.col("__c__")})
+        n = int(tot["c"])
+        if n < 3:
+            raise ValueError("weibull_fit needs at least 3 positive values")
+        w = Window.partitionBy(gb).orderBy("__v__").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        c0 = F.col("__off_c__") + F.coalesce(F.sum("__c__").over(w), F.lit(0.0))
+        # stage the window result before the explode — Spark cannot analyze a
+        # window expression nested inside a generator in one projection
+        staged = offs.select(
+            F.log("__v__").alias("__x__"),
+            c0.cast("long").alias("__c0__"),
+            F.col("__c__").cast("long").alias("__cnt__"),
+        )
+        pairs = staged.select(
+            "__x__",
+            F.explode(
+                F.sequence(F.col("__c0__") + 1, F.col("__c0__") + F.col("__cnt__"))
+            ).alias("__i__"),
+        )
+        yv = F.log(-F.log(1.0 - (F.col("__i__") - F.lit(0.3)) / F.lit(n + 0.4)))
+        m = pairs.select(F.col("__x__"), yv.alias("__y__")).agg(
+            F.sum("__x__").alias("sx"),
+            F.sum("__y__").alias("sy"),
+            F.sum(F.col("__x__") ** 2).alias("sxx"),
+            F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+            F.sum(F.col("__y__") ** 2).alias("syy"),
+        ).collect()[0]
+    finally:
+        all_cells.unpersist()
     sx, sy, sxx, sxy, syy = (
         float(m[k]) for k in ("sx", "sy", "sxx", "sxy", "syy")
     )

@@ -96,3 +96,55 @@ class TestChrf:
         (chrf, pm, rm, nd), = rows(chrf_corpus(d, "hyp", "ref", "id", max_n=2))
         assert chrf == 1.0
 
+
+    def test_non_latin1_fallback_matches_brute_force(self, spark):
+        # codepoints >= 256 must route to the exact string-fold branch and
+        # agree with brute force; mixed corpora exercise BOTH branches
+        cases = [
+            (1, "漢字テキスト abc", "漢字テキスト abd"),
+            (2, "plain ascii row", "plain ascii row too"),
+            (3, "čërvená říčka", "červená řeka"),
+        ]
+        from collections import Counter
+
+        def grams(s, n):
+            return [s[i:i + n] for i in range(len(s) - n + 1)]
+
+        mx = 4
+        ps, rs = [], []
+        M = [0] * (mx + 1)
+        H = [0] * (mx + 1)
+        R = [0] * (mx + 1)
+        for _, hyp, ref in cases:
+            h2 = "".join(hyp.split())
+            r2 = "".join(ref.split())
+            for n in range(1, mx + 1):
+                hc, rc = Counter(grams(h2, n)), Counter(grams(r2, n))
+                M[n] += sum(min(hc[g], rc[g]) for g in hc)
+                H[n] += sum(hc.values())
+                R[n] += sum(rc.values())
+        for n in range(1, mx + 1):
+            if H[n] > 0:
+                ps.append(M[n] / H[n])
+            if R[n] > 0:
+                rs.append(M[n] / R[n])
+        pm_ref, rm_ref = sum(ps) / len(ps), sum(rs) / len(rs)
+        f_ref = 5 * pm_ref * rm_ref / (4 * pm_ref + rm_ref)
+        d = spark.createDataFrame(cases, "id int, hyp string, ref string")
+        (chrf, pm, rm, nd), = rows(chrf_corpus(d, "hyp", "ref", "id", max_n=4))
+        assert nd == 3
+        assert abs(pm - pm_ref) < 1e-6 and abs(rm - rm_ref) < 1e-6
+        assert abs(chrf - f_ref) < 1e-6
+
+    def test_empty_and_short_strings(self, spark):
+        # empty hyp: zero grams on that side at every order — must not
+        # fabricate phantom grams (sequence(1, 0) descends in Spark)
+        d = spark.createDataFrame(
+            [(1, "", "abc"), (2, "ab", "ab")], "id int, hyp string, ref string"
+        )
+        (chrf, pm, rm, nd), = rows(chrf_corpus(d, "hyp", "ref", "id", max_n=3))
+        assert nd == 2
+        # order 1: m=2 (ab), h=2, r=5 ; order 2: m=1 (ab), h=1, r=3
+        # order 3: h=0 -> skipped from precision; r=1, m=0
+        assert abs(pm - (2 / 2 + 1 / 1) / 2) < 1e-6
+        assert abs(rm - (2 / 5 + 1 / 3 + 0 / 1) / 3) < 1e-6
