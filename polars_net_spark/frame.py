@@ -1440,6 +1440,49 @@ class LazyFrame:
         finally:
             release_caches()
 
+    def sink_jdbc(
+        self,
+        url: str,
+        table: str,
+        mode: str = "append",
+        properties: "Mapping[str, str] | None" = None,
+        batch_size: int | None = None,
+        num_partitions: int | None = None,
+        truncate: bool = False,
+    ) -> None:
+        """Frame → DB table (the reference's DB-export half: ArrowToDbStream
+        bulk-inserts result batches into an IDataReader-compatible DB,
+        Polars.NET.Core/Data/ArrowToDbStream.cs:10-50, behind the SinkTo
+        producer/consumer pipeline, Polars.FSharp/Types.fs:1395-1444).
+
+        Spark-first: each result partition opens its own connection and
+        bulk-inserts with JDBC batching, so the export parallelizes across
+        executors instead of the reference's single writer stream.
+        ``mode``: append (default, the ArrowToDbStream semantics) /
+        overwrite / ignore / error.  ``batch_size`` maps to Spark's
+        ``batchsize`` (rows per JDBC batch, default 1000); ``num_partitions``
+        caps concurrent connections (coalesce, no shuffle); ``truncate``
+        makes overwrite TRUNCATE instead of DROP+CREATE so DB-side DDL
+        (indexes, permissions) survives."""
+        from ._cache import release_caches
+
+        sdf = self._drop_order()._sdf
+        if num_partitions is not None:
+            sdf = sdf.coalesce(int(num_partitions))
+        w = sdf.write.format("jdbc").mode(mode).option("url", url).option(
+            "dbtable", table
+        )
+        for k, v in (properties or {}).items():
+            w = w.option(k, v)
+        if batch_size is not None:
+            w = w.option("batchsize", int(batch_size))
+        if truncate:
+            w = w.option("truncate", "true")
+        try:
+            w.save()
+        finally:
+            release_caches()
+
     def map_batches_sink(self, fn: Callable) -> None:
         """Push each result partition to a callback (reference export_batches,
         io.rs:609-657) — executor-side via foreachPartition."""
@@ -2093,6 +2136,20 @@ class DataFrame:
 
     def write_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
         self._lf.sink_orc(path, mode, partition_by)
+
+    def write_jdbc(
+        self,
+        url: str,
+        table: str,
+        mode: str = "append",
+        properties: "Mapping[str, str] | None" = None,
+        batch_size: int | None = None,
+        num_partitions: int | None = None,
+        truncate: bool = False,
+    ) -> None:
+        self._lf.sink_jdbc(
+            url, table, mode, properties, batch_size, num_partitions, truncate
+        )
 
 
 class EagerGroupBy:

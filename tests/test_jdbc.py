@@ -71,3 +71,58 @@ def test_scan_jdbc_filter_pushdown(spark):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "ID" in plan
     assert filtered.count() == 10
+
+
+# -- write path (reference ArrowToDbStream.cs:10-50 / Types.fs:1395-1444 SinkTo,
+#    exercised by the MsSqlFixture ETL round-trip in
+#    Polars.CSharp.Tests/IntegrationTests.cs:17) ---------------------------------
+
+
+def test_sink_jdbc_append_roundtrip(spark):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    st = conn.createStatement()
+    try:
+        st.executeUpdate("DROP TABLE out_items")
+    except Exception:
+        pass
+    st.executeUpdate(
+        "CREATE TABLE out_items (id INT, name VARCHAR(32), price DOUBLE)"
+    )
+    st.close()
+    conn.close()
+
+    df = pl.from_records(
+        [(1, "a", 1.5), (2, "b", 3.0), (3, "c", 4.5)],
+        schema=["id", "name", "price"],
+        spark=spark,
+    )
+    df.write_jdbc(URL, "out_items", mode="append", properties={"driver": DRIVER},
+                  batch_size=2)
+    back = pl.scan_jdbc(URL, "out_items", properties={"driver": DRIVER})
+    assert sorted(back.collect().rows()) == [(1, "a", 1.5), (2, "b", 3.0), (3, "c", 4.5)]
+
+    # append again: rows accumulate (the ArrowToDbStream bulk-insert semantics)
+    df.write_jdbc(URL, "out_items", mode="append", properties={"driver": DRIVER})
+    assert pl.scan_jdbc(URL, "out_items", properties={"driver": DRIVER}).collect().height == 6
+
+
+def test_sink_jdbc_overwrite_and_etl_roundtrip(spark):
+    """The MsSqlFixture shape: read from DB, transform, write back, read back."""
+    _seed_db(spark)
+    lf = pl.scan_jdbc(URL, "items", properties={"driver": DRIVER})
+    top = lf.filter(col("ID") >= 98).with_columns(
+        (col("PRICE") * 2).alias("PRICE")
+    )
+    top.sink_jdbc(URL, "items_out", mode="overwrite", properties={"driver": DRIVER})
+    back = pl.scan_jdbc(URL, "items_out", properties={"driver": DRIVER}).sort("ID").collect()
+    assert back.rows() == [(98, "item98", 294.0), (99, "item99", 297.0)]
+
+    # overwrite replaces
+    lf.filter(col("ID") == 0).sink_jdbc(
+        URL, "items_out", mode="overwrite", properties={"driver": DRIVER},
+        num_partitions=1,
+    )
+    assert pl.scan_jdbc(URL, "items_out", properties={"driver": DRIVER}).collect().rows() == [
+        (0, "item0", 0.0)
+    ]
