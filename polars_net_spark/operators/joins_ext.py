@@ -260,6 +260,8 @@ def fuzzy_join(
     how: str = "inner",
     suffix: str = "_right",
     normalized: bool = False,
+    length_band: bool = False,
+    distinct_values: bool = False,
 ):
     """Blocked edit-distance join (record linkage): match rows whose ``on``
     strings are within ``max_distance`` Levenshtein edits, without an
@@ -280,6 +282,23 @@ def fuzzy_join(
     suffixed), plus ``edit_distance``.  100 TB: one (block-key)-keyed
     shuffle, candidates bounded per block; a hot block (e.g. empty strings)
     is the skew lever — pre-filter or raise block_chars.
+
+    Two measured scale levers (SLOPE_LEVERS_r10.json) — both EXACT, i.e.
+    they change the plan, never the matched pairs:
+
+    - ``length_band=True`` refines the block key with a string-length band:
+      Levenshtein ≥ |len(a) − len(b)|, so true pairs differ by ≤
+      ``max_distance`` chars; the probe side emits its own band
+      ⌊len/(d+1)⌋ and the build side emits every band its ±d window can
+      fall in (≤ 3 keys), which splits length-diverse hot blocks without
+      losing any pair within distance.
+    - ``distinct_values=True`` runs blocking + Levenshtein on the DISTINCT
+      ``on`` values of each side and re-expands to rows via two equi-joins
+      (the bpe_encode "Python only on distinct words" precedent).  For
+      duplicate-heavy corpora the candidate volume then scales with
+      distinct values, not rows² — identical strings land in the same
+      block no matter how narrow the blocking, so this (not narrower
+      blocks) is the lever when the value distribution is skewed.
     """
     from ..frame import LazyFrame
 
@@ -294,12 +313,34 @@ def fuzzy_join(
             c = F.regexp_replace(c, r"[^a-z0-9]", "")
         return c
 
-    def blocks(c):
+    bw = max_distance + 1
+
+    def blocks(c, probe: bool):
         n = norm(c)
-        return F.array_distinct(
+        base = F.array_distinct(
             F.array(
                 F.substring(n, 1, block_chars),
                 F.substring(n, 2, block_chars),
+            )
+        )
+        if not length_band:
+            return base
+        ln = F.char_length(n)
+        if probe:
+            bands = F.array(F.floor(ln / bw).cast("int"))
+        else:
+            bands = F.sequence(
+                F.floor((ln - max_distance) / bw).cast("int"),
+                F.floor((ln + max_distance) / bw).cast("int"),
+            )
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    base,
+                    lambda b: F.transform(
+                        bands, lambda t: F.concat(b, F.lit("|"), t.cast("string"))
+                    ),
+                )
             )
         )
 
@@ -307,8 +348,53 @@ def fuzzy_join(
     renames = {c: c + suffix for c in rcols if c in lcols}
     r2 = rsdf.withColumnsRenamed(renames)
     ron = on + suffix if on in renames else on
-    le = lsdf.withColumn("__blk__", F.explode(blocks(F.col(on))))
-    re_ = r2.withColumn("__blk__", F.explode(blocks(F.col(ron))))
+
+    if distinct_values:
+        # candidate generation over distinct values only; the row-level
+        # result is reconstructed by two value-keyed equi-joins, so the
+        # quadratic block work scales with |distinct|², never rows²
+        lvals = lsdf.select(F.col(on)).distinct()
+        rvals = r2.select(F.col(ron)).distinct()
+        lev = lvals.withColumn("__blk__", F.explode(blocks(F.col(on), probe=False)))
+        rev = rvals.withColumn("__blk__", F.explode(blocks(F.col(ron), probe=True)))
+        vdist = F.levenshtein(norm(F.col(on)), norm(F.col(ron)))
+        vpairs = (
+            lev.join(rev, "__blk__")
+            .withColumn("edit_distance", vdist)
+            .filter(F.col("edit_distance") <= max_distance)
+            .drop("__blk__")
+            .dropDuplicates()
+        )
+        # expand small-side first: value-pairs ⋈ right rows stays near
+        # |vpairs|·dup_r, then one join fans out onto the big left side —
+        # joining left first would shuffle the whole left table onto a
+        # low-cardinality skewed string key.  The expanded frame inherits
+        # the value stage's 1-partition lineage (AQE coalesces the tiny
+        # distinct), and when the left side is broadcastable the planner
+        # streams THIS side — so respread it first or the whole row-level
+        # fan-out serializes onto one task (measured 22 s vs 2 s at sf1)
+        expanded = vpairs.join(r2, ron)
+        expanded = expanded.repartition(
+            lsdf.sparkSession.sparkContext.defaultParallelism
+        )
+        matched = lsdf.join(expanded, on)
+        matched = matched.select(
+            *[F.col(c) for c in lcols],
+            *[F.col(renames.get(c, c)) for c in rcols],
+            F.col("edit_distance"),
+        ).dropDuplicates()
+        if how == "left":
+            missed = lsdf.join(vpairs.select(on).distinct(), on, "anti").dropDuplicates(lcols)
+            pad = missed.select(
+                *[F.col(c) for c in lcols],
+                *[F.lit(None).cast(r2.schema[renames.get(c, c)].dataType).alias(renames.get(c, c)) for c in rcols],
+                F.lit(None).cast("int").alias("edit_distance"),
+            )
+            return LazyFrame(matched.unionByName(pad))
+        return LazyFrame(matched)
+
+    le = lsdf.withColumn("__blk__", F.explode(blocks(F.col(on), probe=False)))
+    re_ = r2.withColumn("__blk__", F.explode(blocks(F.col(ron), probe=True)))
     dist = F.levenshtein(norm(F.col(on)), norm(F.col(ron)))
     # a pair sharing BOTH emitted blocks matches twice — dedup on the full
     # output row (exact when input rows are distinct; byte-identical

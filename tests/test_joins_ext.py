@@ -385,6 +385,48 @@ class TestFuzzyJoin:
         plan = out.spark._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
+    def test_levers_are_exact(self, spark):
+        """length_band / distinct_values change the plan, never the pairs:
+        duplicate-heavy + length-diverse inputs, all four configs agree."""
+        from polars_net_spark.operators.joins_ext import fuzzy_join
+
+        l = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(
+                ["alpha", "alpha", "alphas", "beta", "betamax",
+                 "gamma ray", "gamma", "x", "", "alpha"])],
+            ["lid", "name"],
+        )
+        r = spark.createDataFrame(
+            [(100 + i, n) for i, n in enumerate(
+                ["alpha", "alfa", "betamix", "gamma rays", "xy", "alphas"])],
+            ["rid", "name"],
+        )
+        base = sorted(
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2).collect().rows()
+        )
+        assert len(base) > 0
+        for kw in (
+            {"length_band": True},
+            {"distinct_values": True},
+            {"length_band": True, "distinct_values": True},
+        ):
+            out = sorted(
+                fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, **kw)
+                .collect().rows()
+            )
+            assert out == base, kw
+        # left-join parity too
+        basel = sorted(
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, how="left")
+            .collect().rows(), key=str,
+        )
+        outl = sorted(
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, how="left",
+                       distinct_values=True, length_band=True).collect().rows(),
+            key=str,
+        )
+        assert outl == basel
+
 
 class TestScd2:
     def test_close_reopen_insert_noop(self, spark):

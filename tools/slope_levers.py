@@ -81,6 +81,41 @@ def q154_lever(sf_dir, bands, max_hamming):
     return run
 
 
+def q171_lever(sf_dir):
+    """q171 fuzzy_join with the distinct-value + length-band levers ON.
+
+    The gate's slope driver is duplicate part names: tiling the corpus 10x
+    leaves ~the same DISTINCT names but 10x rows per name, so block
+    candidates grow ~100x/probe-rate no matter how narrow the blocking
+    (identical strings share every block).  distinct_values=True runs the
+    Levenshtein stage on distinct names (constant work at any tiling) and
+    re-expands via two equi-joins (linear); length_band=True additionally
+    splits length-diverse blocks.  Both are EXACT — same pairs, verified by
+    tests/test_joins_ext.py::TestFuzzyJoin::test_levers_are_exact."""
+
+    def run(spark):
+        import __spark_entry__ as E
+        from pyspark.sql import functions as F
+
+        from polars_net_spark.operators.joins_ext import fuzzy_join
+
+        part = E._t(spark, sf_dir, "part")
+        left = part.spark.select(
+            F.col("p_partkey").alias("lid"), F.col("p_name").alias("name")
+        )
+        right = part.spark.filter(F.col("p_partkey") % 50 == 7).select(
+            (F.col("p_partkey") + 1000000).alias("rid"),
+            F.expr("substr(p_name, 2)").alias("name"),
+        )
+        out = fuzzy_join(
+            left, right, on="name", max_distance=2, block_chars=12,
+            length_band=True, distinct_values=True,
+        )
+        return out.spark
+
+    return run
+
+
 def main() -> None:
     out_path = "SLOPE_LEVERS.json"
     for a in sys.argv[1:]:
@@ -124,6 +159,20 @@ def main() -> None:
         }
     )
     print(f"q154 lever: {a}s -> {b}s = {b / a:.2f}x on 10x data", flush=True)
+
+    # q171: same gate parameterization, exact-result levers ON at both scales
+    a = _time(q171_lever(SF01), spark)
+    b = _time(q171_lever(SF1), spark)
+    rows.append(
+        {
+            "query": "q171_fuzzy_join",
+            "lever": "distinct_values=True + length_band=True (Levenshtein on distinct names; exact, same pairs)",
+            "sf01_sec": a,
+            "sf1_sec": b,
+            "ratio": round(b / a, 2),
+        }
+    )
+    print(f"q171 lever: {a}s -> {b}s = {b / a:.2f}x on 10x data", flush=True)
 
     rec = {"metric": "sf1_slope_levers", "rows": rows}
     json.dump(rec, open(out_path, "w"), indent=1)
