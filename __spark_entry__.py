@@ -13904,6 +13904,137 @@ FROM fin
 """
 
 
+def _q373(spark, sf_dir):
+    """TWELFTH streaming gate — STREAM-STREAM FULL OUTER interval join:
+    q361 proved watermark-driven unmatched emission on the LEFT side;
+    full outer exercises state eviction on BOTH sides (clicks with no
+    purchase in their 1h window AND purchases no click preceded within
+    1h).  Matched pairs emit in the data batch; each side's unmatched
+    rows flush in the trailing no-data batch once the final watermark
+    provably closes their window (cts + 1h for clicks; bts itself for
+    purchases, whose candidate clicks lie in [bts − 1h, bts]).  Rows in
+    the 1-minute boundary band stay in state by design, so BOTH engines
+    filter to the provably-flushed set: matched OR the row's own
+    timestamp ≤ maxTs − 2h − 1min — the oracle is then a plain batch
+    FULL join."""
+    import datetime as _dt
+    import os
+
+    src_dir = _stream_stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("user_id") % 10 == 3)
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    buys = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("bu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("bts"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
+    out = joined.select(
+        F.coalesce(F.col("cu"), F.col("bu")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("bts")) - F.unix_micros(F.col("cts"))).alias(
+            "lag_us"
+        ),
+        F.col("cts"),
+        F.col("bts"),
+    )
+    try:
+        spark.catalog.dropTempView("q373_full_outer_join")
+    except Exception:
+        pass
+    with _stream_gate_conf(spark):
+        q = (
+            out.writeStream.format("memory").queryName("q373_full_outer_join")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    # the engine's global watermark is the MIN of the per-input watermarks
+    # (each side advances off its own max event time), so the provably-
+    # flushed band must key off the SLOWER side's max — q361's single-side
+    # flush tolerated the global max, a both-sides flush does not
+    mx = (
+        spark.read.schema(schema).parquet(src_dir)
+        .filter(F.col("user_id") % 10 == 3)
+        .agg(
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.col("ts").cast("timestamp"),
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("ts").cast("timestamp"),
+                    )
+                ),
+            )
+        )
+        .first()[0]
+    )
+    thr = mx - _dt.timedelta(hours=2, minutes=1)
+    t = spark.table("q373_full_outer_join")
+    matched = F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    own_ts = F.coalesce(F.col("cts"), F.col("bts"))
+    return t.filter(matched | (own_ts <= F.lit(thr))).select(
+        "user_id", "click_id", "purchase_id", "lag_us"
+    )
+
+
+_q373_sql = """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events WHERE user_id % 10 = 3),
+mx AS (SELECT least(
+           max(CASE WHEN event_type = 'click' THEN ts END),
+           max(CASE WHEN event_type = 'purchase' THEN ts END)) AS mt
+       FROM ev),
+c AS (SELECT user_id AS cu, event_id AS click_id, ts AS cts FROM ev
+      WHERE event_type = 'click'),
+b AS (SELECT user_id AS bu, event_id AS purchase_id, ts AS bts FROM ev
+      WHERE event_type = 'purchase')
+SELECT coalesce(c.cu, b.bu) AS user_id, c.click_id, b.purchase_id,
+       CAST(date_diff('microsecond', c.cts, b.bts) AS BIGINT) AS lag_us
+FROM c FULL JOIN b
+  ON c.cu = b.bu AND b.bts >= c.cts AND b.bts <= c.cts + INTERVAL 1 HOUR,
+  mx
+WHERE (c.click_id IS NOT NULL AND b.purchase_id IS NOT NULL)
+   OR coalesce(c.cts, b.bts) <= mx.mt - INTERVAL 2 HOUR - INTERVAL 1 MINUTE
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14278,6 +14409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q370_holt_winters": _q370,
         "q371_mediation": _q371,
         "q372_logistic": _q372,
+        "q373_stream_full_outer": _q373,
     }
 
 
@@ -14655,4 +14787,5 @@ def oracle_sql() -> dict[str, str]:
         "q370_holt_winters": _q370_sql,
         "q371_mediation": _q371_sql,
         "q372_logistic": _q372_sql,
+        "q373_stream_full_outer": _q373_sql,
     }
