@@ -14035,6 +14035,195 @@ WHERE (c.click_id IS NOT NULL AND b.purchase_id IS NOT NULL)
 """
 
 
+def _q374(spark, sf_dir):
+    """Lin's concordance correlation (operators/regression.py lins_ccc)
+    between the gross and discounted lineitem price: Pearson r is ~1 (a
+    near-scale relationship) but CCC < r because the discount shifts scale
+    — the agreement-vs-correlation distinction the operator exists for.
+    ONE fused six-sum all-reduce."""
+    from polars_net_spark.operators.regression import lins_ccc
+
+    li = _t(spark, sf_dir, "lineitem").spark.select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    return lins_ccc(li, "x", "y").spark
+
+
+_q374_sql = """
+WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                  CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM b),
+c AS (SELECT n, sx/n AS mx, sy/n AS my,
+             sxx/n - (sx/n)*(sx/n) AS vx, syy/n - (sy/n)*(sy/n) AS vy,
+             sxy/n - (sx/n)*(sy/n) AS cxy FROM m)
+SELECT round(2*cxy/(vx + vy + (mx - my)*(mx - my)), 6) AS ccc,
+       round(cxy/sqrt(vx*vy), 6) AS pearson_r,
+       round((2*cxy/(vx + vy + (mx - my)*(mx - my)))/(cxy/sqrt(vx*vy)), 6) AS c_b,
+       round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+       CAST(n AS BIGINT) AS n
+FROM c
+"""
+
+
+def _q375(spark, sf_dir):
+    """Bland–Altman limits of agreement (operators/regression.py
+    bland_altman) between part retail price and its nearest-10 rounding —
+    the method-comparison summary (bias + 1.96·sd band) in ONE fused
+    all-reduce."""
+    from polars_net_spark.operators.regression import bland_altman
+
+    p = _t(spark, sf_dir, "part").spark.select(
+        F.col("p_retailprice").alias("x"),
+        F.round(F.col("p_retailprice") / 10.0, 0) * 10.0,
+    )
+    p = p.withColumnRenamed("(round((p_retailprice / 10.0), 0) * 10.0)", "y")
+    return bland_altman(p, "x", "y").spark
+
+
+_q375_sql = """
+WITH b AS (SELECT CAST(p_retailprice AS DOUBLE) AS x,
+                  round(p_retailprice / 10.0, 0) * 10.0 AS y
+           FROM part WHERE p_retailprice IS NOT NULL),
+d AS (SELECT x - y AS dd, (x + y)/2.0 AS mm FROM b),
+m AS (SELECT count(*)*1.0 AS n, sum(dd) AS s, sum(dd*dd) AS ss,
+             avg(mm) AS momean FROM d),
+c AS (SELECT n, s/n AS bias, sqrt((ss - n*(s/n)*(s/n))/(n - 1.0)) AS sd,
+             momean FROM m)
+SELECT round(bias, 6) AS bias, round(sd, 6) AS sd_diff,
+       round(bias - 1.96*sd, 6) AS loa_lower,
+       round(bias + 1.96*sd, 6) AS loa_upper,
+       round(momean, 6) AS mean_of_means, CAST(n AS BIGINT) AS n
+FROM c
+"""
+
+
+def _q376(spark, sf_dir):
+    """Grubbs' outlier statistic (operators/regression.py grubbs_test) on
+    order totals: the most extreme total's studentized deviation, named
+    value and side — ONE fused all-reduce even though the test names a
+    specific row (G needs only mean/sd/min/max)."""
+    from polars_net_spark.operators.regression import grubbs_test
+
+    o = _t(spark, sf_dir, "orders").spark
+    return grubbs_test(o, "o_totalprice").spark
+
+
+_q376_sql = """
+WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_totalprice IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(v) AS s, sum(v*v) AS ss,
+             min(v) AS mn, max(v) AS mx FROM b),
+c AS (SELECT n, s/n AS mean, sqrt((ss - n*(s/n)*(s/n))/(n - 1.0)) AS sd,
+             mn, mx FROM m)
+SELECT round(greatest(mean - mn, mx - mean)/sd, 6) AS g,
+       CASE WHEN mx - mean >= mean - mn THEN mx ELSE mn END AS suspect_value,
+       CASE WHEN mx - mean >= mean - mn THEN 'max' ELSE 'min' END AS suspect_side,
+       round(mean, 6) AS mean, round(sd, 6) AS sd, CAST(n AS BIGINT) AS n
+FROM c
+"""
+
+
+def _q377(spark, sf_dir):
+    """One-way intraclass correlation ICC(1,1) (operators/regression.py
+    icc_oneway) of supplier account balances grouped by nation — how much
+    of the balance variance is between-nation vs within — with the
+    unbalanced-design k0; one groupBy + one reduce over the cell table."""
+    from polars_net_spark.operators.regression import icc_oneway
+
+    s = _t(spark, sf_dir, "supplier").spark
+    return icc_oneway(s, "s_nationkey", "s_acctbal").spark
+
+
+_q377_sql = """
+WITH cells AS (SELECT s_nationkey AS g, count(*)*1.0 AS n_, sum(CAST(s_acctbal AS DOUBLE)) AS s_,
+                      sum(CAST(s_acctbal AS DOUBLE)*CAST(s_acctbal AS DOUBLE)) AS ss_
+               FROM supplier WHERE s_acctbal IS NOT NULL AND s_nationkey IS NOT NULL
+               GROUP BY 1),
+m AS (SELECT count(*)*1.0 AS g_, sum(n_) AS N, sum(s_) AS S, sum(ss_) AS SS,
+             sum(s_*s_/n_) AS SA, sum(n_*n_) AS N2 FROM cells),
+c AS (SELECT g_, N, (SA - S*S/N)/(g_ - 1.0) AS msb, (SS - SA)/(N - g_) AS msw,
+             (N - N2/N)/(g_ - 1.0) AS k0 FROM m)
+SELECT round((msb - msw)/(msb + (k0 - 1.0)*msw), 6) AS icc1,
+       round(msb, 6) AS msb, round(msw, 6) AS msw, round(k0, 6) AS k0,
+       CAST(N AS BIGINT) AS n, CAST(g_ AS BIGINT) AS n_groups
+FROM c
+"""
+
+
+def _q378(spark, sf_dir):
+    """Cochran's Q (operators/regression.py cochran_q): do the five event
+    types have equal high-value rates across user blocks?  Outcome = any
+    event of that type with value > 50 in the block; blocks missing any
+    treatment drop (complete-case rule) — the k-treatment McNemar over
+    the (block, treatment) cell table."""
+    from polars_net_spark.operators.regression import cochran_q
+
+    e = _t(spark, sf_dir, "events").spark.select(
+        (F.col("user_id") % 100).alias("blk"),
+        F.col("event_type").alias("trt"),
+        (F.col("value") > 50).cast("int").alias("hit"),
+    ).filter(F.col("value").isNotNull())
+    return cochran_q(e, "blk", "trt", "hit").spark
+
+
+_q378_sql = """
+WITH cells AS (SELECT user_id % 100 AS b, event_type AS t,
+                      max(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) AS y
+               FROM events
+               WHERE value IS NOT NULL AND user_id IS NOT NULL
+                 AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+k AS (SELECT count(DISTINCT t)*1.0 AS k FROM cells),
+blocks AS (SELECT b, count(*) AS kt, sum(y) AS r FROM cells GROUP BY 1),
+cb AS (SELECT blocks.b, blocks.r FROM blocks, k WHERE blocks.kt = k.k),
+tstats AS (SELECT cells.t, sum(cells.y) AS c
+           FROM cells JOIN cb ON cells.b = cb.b GROUP BY 1),
+bm AS (SELECT count(*)*1.0 AS nb, sum(r) AS T, sum(r*r) AS R2 FROM cb),
+tm AS (SELECT sum(c*c) AS C2 FROM tstats)
+SELECT round((SELECT k FROM k)*((SELECT k FROM k) - 1.0)
+             *(C2 - T*T/(SELECT k FROM k))
+             /((SELECT k FROM k)*T - R2), 6) AS q,
+       CAST((SELECT k FROM k) - 1 AS INT) AS df,
+       CAST(nb AS BIGINT) AS n_blocks,
+       CAST((SELECT k FROM k) AS INT) AS k,
+       CAST(T AS BIGINT) AS grand_total
+FROM bm, tm
+"""
+
+
+def _q379(spark, sf_dir):
+    """Global Durbin–Watson (operators/regression.py durbin_watson) of the
+    mean-centered order totals in o_orderkey sequence: the lag-1
+    autocorrelation screen, riding distsort HALO buckets (each range
+    bucket borrows its predecessor's last row) — no single-partition
+    window at any scale."""
+    from polars_net_spark.operators.regression import durbin_watson
+
+    o = _t(spark, sf_dir, "orders").spark
+    mean = o.agg(F.avg("o_totalprice")).first()[0]
+    c = o.select(
+        F.col("o_orderkey").alias("t"),
+        (F.col("o_totalprice") - F.lit(float(mean))).alias("v"),
+    )
+    return durbin_watson(c, "v", "t").spark
+
+
+_q379_sql = """
+WITH m AS (SELECT avg(CAST(o_totalprice AS DOUBLE)) AS mu FROM orders),
+b AS (SELECT o_orderkey AS t, CAST(o_totalprice AS DOUBLE) - (SELECT mu FROM m) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+l AS (SELECT v, lag(v) OVER (ORDER BY t) AS p FROM b)
+SELECT round(sum(CASE WHEN p IS NOT NULL THEN (v - p)*(v - p) END)
+             / sum(v*v), 6) AS dw,
+       CAST(count(*) AS BIGINT) AS n
+FROM l
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14410,6 +14599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q371_mediation": _q371,
         "q372_logistic": _q372,
         "q373_stream_full_outer": _q373,
+        "q374_lins_ccc": _q374,
+        "q375_bland_altman": _q375,
+        "q376_grubbs": _q376,
+        "q377_icc": _q377,
+        "q378_cochran_q": _q378,
+        "q379_durbin_watson": _q379,
     }
 
 
@@ -14788,4 +14983,10 @@ def oracle_sql() -> dict[str, str]:
         "q371_mediation": _q371_sql,
         "q372_logistic": _q372_sql,
         "q373_stream_full_outer": _q373_sql,
+        "q374_lins_ccc": _q374_sql,
+        "q375_bland_altman": _q375_sql,
+        "q376_grubbs": _q376_sql,
+        "q377_icc": _q377_sql,
+        "q378_cochran_q": _q378_sql,
+        "q379_durbin_watson": _q379_sql,
     }

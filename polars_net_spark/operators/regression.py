@@ -4014,3 +4014,297 @@ def logistic_fit(
 
 
 __all__.append("logistic_fit")
+
+
+def lins_ccc(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) — agreement
+    between two measurements of the same quantity (model vs human score,
+    two annotators, two sensors): CCC = 2·s_xy / (s_x² + s_y² + (x̄−ȳ)²)
+    with population (maximum-likelihood) moments, the product of Pearson r
+    (precision) and the bias-correction factor C_b (accuracy).  Unlike r,
+    CCC penalizes location and scale shifts — y = 2x has r = 1 but CCC < 1.
+
+    ONE fused all-reduce (six power sums), driver-free column math after.
+    Pairwise-complete rows only.  Output (1 row): ccc, pearson_r, c_b,
+    mean_x, mean_y, n."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x__"), y.alias("__y__")
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x__").alias("sx"),
+        F.sum("__y__").alias("sy"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("sxx"),
+        F.sum(F.col("__y__") * F.col("__y__")).alias("syy"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cxy = F.col("sxy") / n - mx * my
+    ccc = 2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+    r = cxy / F.sqrt(vx * vy)
+    out = m.select(
+        F.round(ccc, round_to).alias("ccc"),
+        F.round(r, round_to).alias("pearson_r"),
+        F.round(ccc / r, round_to).alias("c_b"),
+        F.round(mx, round_to).alias("mean_x"),
+        F.round(my, round_to).alias("mean_y"),
+        n.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def bland_altman(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    agreement: float = 1.96,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Bland–Altman agreement analysis (Bland & Altman 1986) — the
+    method-comparison companion to lins_ccc: bias = mean(x − y) and the
+    limits of agreement bias ± ``agreement``·sd(x − y) (sample sd), within
+    which ~95% of differences between the two methods fall.
+
+    ONE fused all-reduce.  Output (1 row): bias, sd_diff, loa_lower,
+    loa_upper, mean_of_means, n."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & y.isNotNull()).select(
+        (x - y).alias("__d__"), ((x + y) / 2.0).alias("__m__")
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__d__").alias("sd_"),
+        F.sum(F.col("__d__") * F.col("__d__")).alias("sdd"),
+        F.avg("__m__").alias("mm"),
+    )
+    n = F.col("n")
+    bias = F.col("sd_") / n
+    sd = F.sqrt((F.col("sdd") - n * bias * bias) / (n - 1.0))
+    out = m.select(
+        F.round(bias, round_to).alias("bias"),
+        F.round(sd, round_to).alias("sd_diff"),
+        F.round(bias - agreement * sd, round_to).alias("loa_lower"),
+        F.round(bias + agreement * sd, round_to).alias("loa_upper"),
+        F.round(F.col("mm"), round_to).alias("mean_of_means"),
+        n.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def grubbs_test(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Grubbs' outlier statistic (Grubbs 1950, two-sided): G =
+    max(|x̄ − min|, |max − x̄|)/s with sample s — "is the single most
+    extreme value an outlier?"  Because G only needs (mean, sd, min, max),
+    the whole test is ONE fused all-reduce even though it names a specific
+    row; compare G against the t-based critical value for the chosen α
+    driver-side.  Output (1 row): g, suspect_value, suspect_side
+    (min/max), mean, sd, n."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull()).select(v.alias("__v__"))
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__v__").alias("s"),
+        F.sum(F.col("__v__") * F.col("__v__")).alias("ss"),
+        F.min("__v__").alias("mn"),
+        F.max("__v__").alias("mx"),
+    )
+    n = F.col("n")
+    mean = F.col("s") / n
+    sd = F.sqrt((F.col("ss") - n * mean * mean) / (n - 1.0))
+    dev_lo = mean - F.col("mn")
+    dev_hi = F.col("mx") - mean
+    g = F.greatest(dev_lo, dev_hi) / sd
+    out = m.select(
+        F.round(g, round_to).alias("g"),
+        F.when(dev_hi >= dev_lo, F.col("mx")).otherwise(F.col("mn")).alias("suspect_value"),
+        F.when(dev_hi >= dev_lo, F.lit("max")).otherwise(F.lit("min")).alias("suspect_side"),
+        F.round(mean, round_to).alias("mean"),
+        F.round(sd, round_to).alias("sd"),
+        n.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def icc_oneway(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979) — reliability of ratings grouped by target:
+    ICC = (MSB − MSW)/(MSB + (k₀ − 1)·MSW) with the unbalanced-design
+    k₀ = (N − Σnᵢ²/N)/(g − 1).  The rater-agreement measure for
+    CONTINUOUS scores (kappa's complement; see cohens_kappa for nominal).
+
+    One groupBy over targets + one fused reduce over the ≤|groups| cell
+    table.  Output (1 row): icc1, msb, msw, k0, n, n_groups."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    cells = (
+        sdf.filter(v.isNotNull() & g.isNotNull())
+        .groupBy(g.alias("__g__"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n__"),
+            F.sum(v).alias("__s__"),
+            F.sum(v * v).alias("__ss__"),
+        )
+    )
+    m = cells.agg(
+        F.count(F.lit(1)).cast("double").alias("g_"),
+        F.sum("__n__").alias("N"),
+        F.sum("__s__").alias("S"),
+        F.sum("__ss__").alias("SS"),
+        F.sum(F.col("__s__") * F.col("__s__") / F.col("__n__")).alias("SA"),
+        F.sum(F.col("__n__") * F.col("__n__")).alias("N2"),
+    )
+    N, S, SS, SA, g_ = (F.col(c) for c in ("N", "S", "SS", "SA", "g_"))
+    ssb = SA - S * S / N
+    ssw = SS - SA
+    msb = ssb / (g_ - 1.0)
+    msw = ssw / (N - g_)
+    k0 = (N - F.col("N2") / N) / (g_ - 1.0)
+    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    out = m.select(
+        F.round(icc, round_to).alias("icc1"),
+        F.round(msb, round_to).alias("msb"),
+        F.round(msw, round_to).alias("msw"),
+        F.round(k0, round_to).alias("k0"),
+        N.cast("long").alias("n"),
+        g_.cast("long").alias("n_groups"),
+    )
+    return LazyFrame(out)
+
+
+def cochran_q(
+    frame: "LazyFrame | SparkDF",
+    block_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Cochran's Q (Cochran 1950) — "do k binary treatments have equal
+    success rates across matched blocks?" (the k-treatment McNemar): over
+    COMPLETE blocks (one outcome per treatment in every block),
+    Q = k(k−1)·Σⱼ(Cⱼ − T/k)² / (k·T − Σᵢ Rᵢ²) with treatment totals Cⱼ,
+    block totals Rᵢ and grand total T; Q ~ χ²(k−1) under H₀.  Blocks
+    missing any treatment drop (standard complete-case rule); duplicate
+    (block, treatment) cells keep their max outcome (any-success).
+
+    One (block, treatment) groupBy, one block-level reduce, one
+    treatment-level reduce over the tiny complete-cell table.  Output
+    (1 row): q, df, n_blocks, k, grand_total."""
+    sdf = _sdf(frame)
+    y = F.col(outcome_col).cast("double")
+    cells = (
+        sdf.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & y.isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b__"), F.col(treatment_col).alias("__t__")
+        )
+        .agg(F.max((y != 0).cast("double")).alias("__y__"))
+    )
+    from .._cache import register_cache
+
+    cells = register_cache(cells)
+    k_val = cells.select(F.countDistinct("__t__").alias("k")).first()["k"]
+    if k_val < 2:
+        raise ValueError("cochran_q needs at least 2 treatments")
+    blocks = (
+        cells.groupBy("__b__")
+        .agg(F.count(F.lit(1)).alias("__kt__"), F.sum("__y__").alias("__r__"))
+        .filter(F.col("__kt__") == k_val)
+    )
+    complete = cells.join(blocks.select("__b__", "__r__"), "__b__")
+    tstats = complete.groupBy("__t__").agg(F.sum("__y__").alias("__c__"))
+    bm = blocks.agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.sum("__r__").alias("T"),
+        F.sum(F.col("__r__") * F.col("__r__")).alias("R2"),
+    )
+    tm = tstats.agg(F.sum(F.col("__c__") * F.col("__c__")).alias("C2"))
+    k = float(k_val)
+    j = bm.join(tm)
+    qn = k * (k - 1.0) * (F.col("C2") - F.col("T") * F.col("T") / k)
+    qd = k * F.col("T") - F.col("R2")
+    out = j.select(
+        F.round(qn / qd, round_to).alias("q"),
+        F.lit(int(k_val - 1)).alias("df"),
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.lit(int(k_val)).alias("k"),
+        F.col("T").cast("long").alias("grand_total"),
+    )
+    return LazyFrame(out)
+
+
+def durbin_watson(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Durbin–Watson statistic (Durbin & Watson 1950) over an ordered
+    residual/value series: DW = Σ_{t≥2}(v_t − v_{t−1})² / Σ v_t² — ≈2 for
+    no lag-1 autocorrelation, →0 positive, →4 negative.  Feed it OLS
+    residuals (fit_linear_by_key + column math) or any detrended metric.
+
+    Per-key: one lag window per key.  Global (``by=None``): the lag rides
+    distsort HALO buckets (each range bucket borrows its predecessor's
+    last row), so no single-partition window at any scale — the acf
+    construction.  Output per key (or 1 row): dw, n."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+        staged = sdf.filter(v.isNotNull()).select(
+            *keys, v.alias("__v__"), F.lag(v).over(w).alias("__p__")
+        )
+    else:
+        from .distsort import with_halo_buckets
+
+        haloed, bcol, halo_col = with_halo_buckets(
+            sdf.filter(v.isNotNull()), order_col, before=1
+        )
+        w = Window.partitionBy(bcol).orderBy(F.col(order_col))
+        staged = haloed.select(
+            F.col(halo_col), v.alias("__v__"), F.lag(v).over(w).alias("__p__")
+        ).filter(~F.col(halo_col))
+    d = F.col("__v__") - F.col("__p__")
+    agg = staged.groupBy(*keys).agg(
+        F.sum(F.when(F.col("__p__").isNotNull(), d * d)).alias("num"),
+        F.sum(F.col("__v__") * F.col("__v__")).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = agg.select(
+        *keys, F.round(F.col("num") / F.col("den"), round_to).alias("dw"), "n"
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(
+    ["lins_ccc", "bland_altman", "grubbs_test", "icc_oneway", "cochran_q", "durbin_watson"]
+)
