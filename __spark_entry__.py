@@ -14224,6 +14224,196 @@ FROM l
 """
 
 
+def _q380(spark, sf_dir):
+    """Kruskal–Wallis H (operators/regression.py kruskal_wallis) of
+    lineitem quantity across the three return flags: integer quantities
+    tie massively, so the gate exercises the tie-corrected H and the
+    distsort rank machinery (distinct-value cells + driver prefix
+    offsets — no single-partition window)."""
+    from polars_net_spark.operators.regression import kruskal_wallis
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return kruskal_wallis(li, "l_returnflag", "l_quantity").spark
+
+
+_q380_sql = """
+WITH b AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+r AS (SELECT g, v,
+             rank() OVER (ORDER BY v) + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS rk
+      FROM b),
+pg AS (SELECT g, sum(rk) AS rg, count(*)*1.0 AS ng FROM r GROUP BY 1),
+tie AS (SELECT sum(t*t*t - t) AS tt FROM
+        (SELECT count(*)*1.0 AS t FROM b GROUP BY v)),
+m AS (SELECT sum(ng) AS N, count(*)*1.0 AS k, sum(rg*rg/ng) AS rr FROM pg),
+h AS (SELECT 12.0/(N*(N + 1))*rr - 3*(N + 1) AS h, N, k FROM m)
+SELECT round(h.h, 6) AS h,
+       round(h.h/(1 - tie.tt/(h.N*h.N*h.N - h.N)), 6) AS h_corrected,
+       CAST(h.k - 1 AS INT) AS df, CAST(h.N AS BIGINT) AS n,
+       CAST(h.k AS BIGINT) AS n_groups
+FROM h, tie
+"""
+
+
+def _q381(spark, sf_dir):
+    """Breusch–Pagan heteroscedasticity screen (operators/regression.py
+    breusch_pagan) of extended price on quantity: price dispersion grows
+    with quantity, so the LM statistic is decisive — two fused
+    all-reduces with the OLS fit riding into pass 2 as plan literals."""
+    from polars_net_spark.operators.regression import breusch_pagan
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return breusch_pagan(li, "l_quantity", "l_extendedprice").spark
+
+
+_q381_sql = """
+WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+m1 AS MATERIALIZED (SELECT count(*)*1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy FROM b),
+k AS MATERIALIZED (SELECT n,
+       (n*sxy - sx*sy)/(n*sxx - sx*sx) AS bb,
+       (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS aa FROM m1),
+m2 AS (SELECT count(*)*1.0 AS n, sum(x) AS sx, sum(x*x) AS sxx,
+             sum((y - (SELECT aa FROM k) - (SELECT bb FROM k)*x)
+                 *(y - (SELECT aa FROM k) - (SELECT bb FROM k)*x)) AS se,
+             sum(pow(y - (SELECT aa FROM k) - (SELECT bb FROM k)*x, 4)) AS see,
+             sum(x*(y - (SELECT aa FROM k) - (SELECT bb FROM k)*x)
+                 *(y - (SELECT aa FROM k) - (SELECT bb FROM k)*x)) AS sxe
+      FROM b),
+c AS (SELECT n,
+       (sxe/n - (sx/n)*(se/n)) AS cov,
+       (sxx/n - (sx/n)*(sx/n)) AS vx,
+       (see/n - (se/n)*(se/n)) AS ve FROM m2)
+SELECT round(n*cov*cov/(vx*ve), 6) AS lm, 1 AS df,
+       round(cov*cov/(vx*ve), 6) AS r2_aux,
+       round((SELECT bb FROM k), 6) AS slope,
+       round((SELECT aa FROM k), 6) AS intercept,
+       CAST(n AS BIGINT) AS n
+FROM c
+"""
+
+
+def _q382(spark, sf_dir):
+    """Lag-1 Granger screen (operators/regression.py granger_lag1): do
+    yesterday's VIEW counts help predict today's PURCHASE counts beyond
+    purchase history?  Daily series built in-plan, then one halo-bucketed
+    lag window + one ten-moment all-reduce + the 2×2 Cramer solve in
+    column math."""
+    from polars_net_spark.operators.regression import granger_lag1
+
+    e = _t(spark, sf_dir, "events").spark
+    daily = (
+        e.filter(F.col("event_type").isin(["view", "purchase"]))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("double")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("double")).alias("y"),
+        )
+    )
+    return granger_lag1(daily, "x", "y", "d").spark
+
+
+_q382_sql = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                      sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END) AS x,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS y
+               FROM events WHERE event_type IN ('view', 'purchase')
+               GROUP BY 1),
+l AS (SELECT y, lag(y) OVER (ORDER BY d) AS y1, lag(x) OVER (ORDER BY d) AS x1
+      FROM daily),
+f AS (SELECT * FROM l WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+m AS (SELECT count(*)*1.0 AS n, sum(y) AS sy, sum(y1) AS sy1, sum(x1) AS sx1,
+             sum(y*y) AS syy, sum(y1*y1) AS sy1y1, sum(x1*x1) AS sx1x1,
+             sum(y1*x1) AS sy1x1, sum(y*y1) AS syy1, sum(y*x1) AS syx1 FROM f),
+c AS (SELECT n,
+       syy - sy*sy/n AS syyc, sy1y1 - sy1*sy1/n AS s11,
+       sx1x1 - sx1*sx1/n AS s22, sy1x1 - sy1*sx1/n AS s12,
+       syy1 - sy*sy1/n AS q1, syx1 - sy*sx1/n AS q2 FROM m),
+s AS (SELECT n, syyc, s11, q1, q2,
+       (s22*q1 - s12*q2)/(s11*s22 - s12*s12) AS bb,
+       (s11*q2 - s12*q1)/(s11*s22 - s12*s12) AS cc FROM c)
+SELECT round((syyc - q1*q1/s11 - (syyc - bb*q1 - cc*q2))*(n - 3.0)
+             /(syyc - bb*q1 - cc*q2), 6) AS f_stat,
+       round(cc, 6) AS beta_x,
+       round(syyc - bb*q1 - cc*q2, 6) AS rss_u,
+       round(syyc - q1*q1/s11, 6) AS rss_r,
+       CAST(n AS BIGINT) AS n
+FROM s
+"""
+
+
+def _q383(spark, sf_dir):
+    """Ljung–Box portmanteau (operators/regression.py ljung_box, K=5) of
+    the mean-centered daily order revenue: the is-it-white-noise check on
+    a GLOBAL series, lag columns riding distsort halo buckets — no
+    single-partition window."""
+    from polars_net_spark.operators.regression import ljung_box
+
+    o = _t(spark, sf_dir, "orders").spark
+    # epoch-day int, not the raw TIMESTAMP_NTZ: the distsort range buckets
+    # quantile-split the order column, which needs a numeric/date type
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return ljung_box(daily, "rev", "d", lags=5).spark
+
+
+_q383_sql = """
+WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS d,
+                      sum(CAST(o_totalprice AS DOUBLE)) AS rev
+               FROM orders GROUP BY 1),
+l AS (SELECT rev AS v,
+             lag(rev, 1) OVER (ORDER BY d) AS l1,
+             lag(rev, 2) OVER (ORDER BY d) AS l2,
+             lag(rev, 3) OVER (ORDER BY d) AS l3,
+             lag(rev, 4) OVER (ORDER BY d) AS l4,
+             lag(rev, 5) OVER (ORDER BY d) AS l5
+      FROM daily),
+m AS (SELECT count(*)*1.0 AS n,
+             corr(v, l1) AS r1, corr(v, l2) AS r2, corr(v, l3) AS r3,
+             corr(v, l4) AS r4, corr(v, l5) AS r5 FROM l)
+SELECT round(n*(n + 2)*(r1*r1/(n - 1) + r2*r2/(n - 2) + r3*r3/(n - 3)
+                        + r4*r4/(n - 4) + r5*r5/(n - 5)), 6) AS q_stat,
+       5 AS df, CAST(n AS BIGINT) AS n
+FROM m
+"""
+
+
+def _q384(spark, sf_dir):
+    """Holm step-down FWER adjustment (operators/regression.py
+    holm_adjust) over a deterministic per-part pseudo-p frame: the
+    ascending-p prefix-max rides range buckets + driver prefix-max
+    offsets (the bh_adjust mirror) — no single-partition window however
+    many tests."""
+    from polars_net_spark.operators.regression import holm_adjust
+
+    p = _t(spark, sf_dir, "part").spark.select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") * 37 % 97) / 97.0).alias("p"),
+    )
+    out = holm_adjust(p, "p", id_cols="id")
+    return out.spark.select("id", F.round("p", 6).alias("p"), "p_adj")
+
+
+_q384_sql = """
+WITH b AS (SELECT p_partkey AS id, (p_partkey * 37 % 97)/97.0 AS p FROM part),
+r AS (SELECT id, p,
+             row_number() OVER (ORDER BY p, id) AS rk,
+             count(*) OVER () AS m
+      FROM b),
+a AS (SELECT id, p,
+             least(1.0, max(p*(m - rk + 1)) OVER
+                   (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adj
+      FROM r)
+SELECT id, round(p, 6) AS p, round(adj, 6) AS p_adj FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14605,6 +14795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q377_icc": _q377,
         "q378_cochran_q": _q378,
         "q379_durbin_watson": _q379,
+        "q380_kruskal": _q380,
+        "q381_breusch_pagan": _q381,
+        "q382_granger": _q382,
+        "q383_ljung_box": _q383,
+        "q384_holm": _q384,
     }
 
 
@@ -14989,4 +15184,9 @@ def oracle_sql() -> dict[str, str]:
         "q377_icc": _q377_sql,
         "q378_cochran_q": _q378_sql,
         "q379_durbin_watson": _q379_sql,
+        "q380_kruskal": _q380_sql,
+        "q381_breusch_pagan": _q381_sql,
+        "q382_granger": _q382_sql,
+        "q383_ljung_box": _q383_sql,
+        "q384_holm": _q384_sql,
     }

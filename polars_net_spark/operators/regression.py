@@ -4308,3 +4308,333 @@ def durbin_watson(
 __all__.extend(
     ["lins_ccc", "bland_altman", "grubbs_test", "icc_oneway", "cochran_q", "durbin_watson"]
 )
+
+
+def kruskal_wallis(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Kruskal–Wallis H (Kruskal & Wallis 1952) with tie correction — the
+    k-group generalization of mann_whitney_u: H = 12/(N(N+1))·Σ R_g²/n_g −
+    3(N+1) over tie-averaged rank sums, divided by C = 1 − Σ(t³−t)/(N³−N).
+
+    Ranking never runs a single-partition window (the mann_whitney_u
+    distsort construction): values collapse to distinct-value cells whose
+    global cumulative counts come from range buckets + driver prefix
+    totals; per-(value, group) counts then join the per-value avg rank on
+    the distinct-value key and one group reduce + one fused reduce finish.
+    Output (1 row): h, h_corrected, df, n, n_groups."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g__"), v.alias("__v__")
+    )
+    from .._cache import register_cache
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    vcells = register_cache(
+        base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    d2, gb = with_range_buckets(vcells, "__v__")
+    d3, tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+    n_total = float(tot["cnt"])
+    if n_total < 3:
+        raise ValueError("kruskal_wallis needs at least 3 values")
+    wexcl = (
+        Window.partitionBy(gb)
+        .orderBy(F.col("__v__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumb = F.col("__off_cnt__") + F.coalesce(F.sum("__cnt__").over(wexcl), F.lit(0))
+    ranks = d3.select(
+        "__v__",
+        (cumb + (F.col("__cnt__") + F.lit(1)) / 2.0).alias("__r__"),
+        F.col("__cnt__"),
+    )
+    gcells = base.groupBy("__v__", "__g__").agg(F.count(F.lit(1)).alias("__cg__"))
+    per_group = (
+        gcells.join(ranks.select("__v__", "__r__"), "__v__")
+        .groupBy("__g__")
+        .agg(
+            F.sum(F.col("__cg__") * F.col("__r__")).alias("__rg__"),
+            F.sum("__cg__").cast("double").alias("__ng__"),
+        )
+    )
+    gm = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__rg__") * F.col("__rg__") / F.col("__ng__")).alias("rr"),
+    )
+    tie = ranks.agg(
+        F.sum(
+            F.col("__cnt__") * F.col("__cnt__") * F.col("__cnt__") - F.col("__cnt__")
+        ).cast("double").alias("tt")
+    )
+    n = F.lit(n_total)
+    h = 12.0 / (n * (n + 1.0)) * F.col("rr") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tt") / (n * n * n - n)
+    out = gm.join(tie).select(
+        F.round(h, round_to).alias("h"),
+        F.round(h / corr, round_to).alias("h_corrected"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        n.cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+    )
+    return LazyFrame(out)
+
+
+def breusch_pagan(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Breusch–Pagan heteroscedasticity test (Koenker's studentized form):
+    fit y ~ a + b·x, regress the squared residuals on x, LM = n·R²_aux ~
+    χ²(1) under homoscedasticity — the standard "can I trust these OLS
+    standard errors?" screen.
+
+    Two fused all-reduces (the logistic_fit unrolled pattern): pass 1
+    collects the OLS moments and (a, b) ride into pass 2 as plan literals,
+    so the residual powers never materialize a column.  Output (1 row):
+    lm, df, r2_aux, slope, intercept, n."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = sdf.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x__"), y.alias("__y__")
+    )
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x__").alias("sx"),
+        F.sum("__y__").alias("sy"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("sxx"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+    ).collect()[0]
+    n = float(m1["n"])
+    if n < 4:
+        raise ValueError("breusch_pagan needs at least 4 rows")
+    sx, sy, sxx, sxy = (float(m1[k]) for k in ("sx", "sy", "sxx", "sxy"))
+    det = n * sxx - sx * sx
+    if det <= 0:
+        raise ValueError("breusch_pagan: zero variance in x")
+    b = (n * sxy - sx * sy) / det
+    a = (sy - b * sx) / n
+    e = F.col("__y__") - F.lit(a) - F.lit(b) * F.col("__x__")
+    e2 = e * e
+    m2 = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x__").alias("sx"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("sxx"),
+        F.sum(e2).alias("se"),
+        F.sum(e2 * e2).alias("see"),
+        F.sum(F.col("__x__") * e2).alias("sxe"),
+    )
+    nn, sxc, sxxc = F.col("n"), F.col("sx"), F.col("sxx")
+    cov = F.col("sxe") / nn - (sxc / nn) * (F.col("se") / nn)
+    vx = sxxc / nn - (sxc / nn) * (sxc / nn)
+    ve = F.col("see") / nn - (F.col("se") / nn) * (F.col("se") / nn)
+    r2 = cov * cov / (vx * ve)
+    out = m2.select(
+        F.round(nn * r2, round_to).alias("lm"),
+        F.lit(1).alias("df"),
+        F.round(r2, round_to).alias("r2_aux"),
+        F.round(F.lit(b), round_to).alias("slope"),
+        F.round(F.lit(a), round_to).alias("intercept"),
+        nn.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def granger_lag1(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Lag-1 Granger causality screen (Granger 1969): does x's past help
+    predict y beyond y's own past?  Restricted y_t ~ y_{t−1} vs
+    unrestricted y_t ~ y_{t−1} + x_{t−1};
+    F = (RSS_r − RSS_u)/(RSS_u/(n−3)) ~ F(1, n−3) under no-causality.
+
+    One lag window (per key, or distsort halo buckets when global), one
+    fused ten-moment all-reduce, then the 2×2 normal equations solve in
+    closed-form COLUMN math (Cramer) — never a driver fit.  Output per
+    key (or 1 row): f_stat, beta_x, rss_u, rss_r, n."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    xv = F.col(x_col).cast("double")
+    yv = F.col(y_col).cast("double")
+    filt = sdf.filter(xv.isNotNull() & yv.isNotNull())
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+        staged = filt.select(
+            *keys, yv.alias("__y__"),
+            F.lag(yv).over(w).alias("__y1__"),
+            F.lag(xv).over(w).alias("__x1__"),
+        )
+    else:
+        from .distsort import with_halo_buckets
+
+        haloed, bcol, halo_col = with_halo_buckets(filt, order_col, before=1)
+        w = Window.partitionBy(bcol).orderBy(F.col(order_col))
+        staged = haloed.select(
+            F.col(halo_col), yv.alias("__y__"),
+            F.lag(yv).over(w).alias("__y1__"),
+            F.lag(xv).over(w).alias("__x1__"),
+        ).filter(~F.col(halo_col))
+    staged = staged.filter(F.col("__y1__").isNotNull() & F.col("__x1__").isNotNull())
+    yc, y1, x1 = F.col("__y__"), F.col("__y1__"), F.col("__x1__")
+    m = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(yc).alias("sy"), F.sum(y1).alias("sy1"), F.sum(x1).alias("sx1"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(y1 * y1).alias("sy1y1"), F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(y1 * x1).alias("sy1x1"),
+        F.sum(yc * y1).alias("syy1"), F.sum(yc * x1).alias("syx1"),
+    )
+    n = F.col("n")
+    syy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    s11 = F.col("sy1y1") - F.col("sy1") * F.col("sy1") / n
+    s22 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n
+    s12 = F.col("sy1x1") - F.col("sy1") * F.col("sx1") / n
+    q1 = F.col("syy1") - F.col("sy") * F.col("sy1") / n
+    q2 = F.col("syx1") - F.col("sy") * F.col("sx1") / n
+    det = s11 * s22 - s12 * s12
+    bb = (s22 * q1 - s12 * q2) / det
+    cc = (s11 * q2 - s12 * q1) / det
+    rss_u = syy - bb * q1 - cc * q2
+    rss_r = syy - q1 * q1 / s11
+    fstat = (rss_r - rss_u) * (n - 3.0) / rss_u
+    out = m.select(
+        *keys,
+        F.round(fstat, round_to).alias("f_stat"),
+        F.round(cc, round_to).alias("beta_x"),
+        F.round(rss_u, round_to).alias("rss_u"),
+        F.round(rss_r, round_to).alias("rss_r"),
+        n.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def ljung_box(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    lags: int,
+    by: "str | list[str] | None" = None,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Ljung–Box portmanteau test (Ljung & Box 1978): Q = n(n+2)·Σ_{k≤K}
+    r_k²/(n−k) ~ χ²(K) under "the series is white noise" — the standard
+    residual-autocorrelation check after a forecast fit (holt_forecast /
+    holt_winters residuals).  r_k here is the pairwise-complete Pearson
+    autocorrelation (the acf estimator, documented there).
+
+    One window builds all K lag columns (per key, or distsort halo buckets
+    when global — each bucket borrows its predecessor's last K rows), then
+    ONE aggregate computes every r_k and n, and Q is column math on the
+    1-row result.  Output per key (or 1 row): q_stat, df, n."""
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    filt = sdf.filter(v.isNotNull())
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+        staged = filt.select(
+            *keys, v.alias("__v__"),
+            *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
+        )
+    else:
+        from .distsort import with_halo_buckets
+
+        haloed, bcol, halo_col = with_halo_buckets(filt, order_col, before=lags)
+        w = Window.partitionBy(bcol).orderBy(F.col(order_col))
+        staged = haloed.select(
+            F.col(halo_col), v.alias("__v__"),
+            *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
+        ).filter(~F.col(halo_col))
+    agg = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.corr(F.col("__v__"), F.col(f"__l{l}__")).alias(f"__r{l}__")
+            for l in range(1, lags + 1)
+        ],
+    )
+    n = F.col("n")
+    qsum = None
+    for l in range(1, lags + 1):
+        term = F.col(f"__r{l}__") * F.col(f"__r{l}__") / (n - float(l))
+        qsum = term if qsum is None else qsum + term
+    q = n * (n + 2.0) * qsum
+    out = agg.select(
+        *keys,
+        F.round(q, round_to).alias("q_stat"),
+        F.lit(int(lags)).alias("df"),
+        n.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def holm_adjust(
+    frame: "LazyFrame | SparkDF",
+    p_col: str,
+    id_cols: "list[str] | str | None" = None,
+    adj_col: str = "p_adj",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Holm step-down adjustment (Holm 1979) — the FWER-controlling
+    complement to bh_adjust's FDR: adjusted p₍ᵢ₎ = min(1, max_{j ≤ i}
+    (m−j+1)·p₍ⱼ₎) over the ascending-p ranking (the cap commutes with the
+    running max, so it applies once at the end).  Uniformly more powerful
+    than Bonferroni at the same FWER.
+
+    The prefix-max over ranked p's is an ASCENDING-p running max, the
+    mirror of bh_adjust's descending suffix-min: range buckets ordered
+    asc, driver PREFIX-MAX offsets (≤ nbuckets rows), within-bucket
+    running-max window over ~1/nbuckets of the data — no single-partition
+    window.  Null p-values drop.  Appends ``adj_col``."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    pv = F.col(p_col).cast("double")
+    base = sdf.filter(pv.isNotNull())
+    bucketed, bcol = with_range_buckets(base, p_col)
+    offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
+    m = float(totals["c"])
+    tie = [F.col(c) for c in ([id_cols] if isinstance(id_cols, str) else (id_cols or []))]
+    wa = Window.partitionBy(bcol).orderBy(pv.asc(), *[c.asc() for c in tie])
+    rank_asc = F.col("__off_c__") + F.row_number().over(wa)
+    raw = pv * (F.lit(m) - rank_asc + 1.0)
+    staged = offs.withColumn("__raw__", raw)
+    rows = staged.groupBy(bcol).agg(F.max("__raw__").alias("mx")).collect()
+    rows.sort(key=lambda r: r[bcol])
+    prefix: dict[int, float] = {}
+    running = float("-inf")
+    for r in rows:
+        prefix[r[bcol]] = running
+        running = max(running, float(r["mx"]))
+    if prefix:
+        mp = F.create_map(
+            *[lit for k, v in prefix.items() for lit in (F.lit(int(k)), F.lit(float(v)))]
+        )
+        off_max = F.coalesce(F.element_at(mp, F.col(bcol)), F.lit(float("-inf")))
+    else:
+        off_max = F.lit(float("-inf"))
+    run_max = F.max("__raw__").over(
+        wa.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adj = F.least(F.lit(1.0), F.greatest(off_max, run_max))
+    out = staged.withColumn(adj_col, F.round(adj, round_to)).drop(bcol, "__off_c__", "__raw__")
+    return LazyFrame(out)
+
+
+__all__.extend(
+    ["kruskal_wallis", "breusch_pagan", "granger_lag1", "ljung_box", "holm_adjust"]
+)
