@@ -14414,6 +14414,113 @@ SELECT id, round(p, 6) AS p, round(adj, 6) AS p_adj FROM a
 """
 
 
+def _q385(spark, sf_dir):
+    """Blocked Jaro–Winkler record linkage (operators/joins_ext.py
+    jaro_winkler_join): part names vs their first-char-dropped probe set —
+    the prefix-weighted companion to q171's Levenshtein gate.  Similarity
+    runs in an Arrow-batched Pandas UDF over DISTINCT name pairs only
+    (the fuzzy_join distinct-values lever), re-expanded to rows by two
+    equi-joins; the oracle is DuckDB's own jaro_winkler_similarity under
+    the same blocking."""
+    from polars_net_spark.operators.joins_ext import jaro_winkler_join
+
+    part = _t(spark, sf_dir, "part")
+    left = part.spark.select(
+        F.col("p_partkey").alias("lid"), F.col("p_name").alias("name")
+    )
+    right = part.spark.filter(F.col("p_partkey") % 50 == 7).select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.expr("substr(p_name, 2)").alias("name"),
+    )
+    out = jaro_winkler_join(left, right, on="name", threshold=0.9, block_chars=12)
+    return out.spark.select(
+        "lid", F.col("name").alias("lname"), "rid",
+        F.col("name_right").alias("rname"),
+        F.round("jw_sim", 6).alias("jw_sim"),
+    )
+
+
+_q385_sql = """
+WITH l AS (SELECT p_partkey AS lid, p_name AS lname, lower(trim(p_name)) AS ln FROM part),
+r AS (SELECT p_partkey + 1000000 AS rid,
+             substr(p_name, 2) AS rname,
+             lower(trim(substr(p_name, 2))) AS rn
+      FROM part WHERE p_partkey % 50 = 7),
+lb AS (SELECT lid, lname, ln, unnest(list_distinct([substr(ln, 1, 12), substr(ln, 2, 12)])) AS blk FROM l),
+rb AS (SELECT rid, rname, rn, unnest(list_distinct([substr(rn, 1, 12), substr(rn, 2, 12)])) AS blk FROM r)
+SELECT DISTINCT lid, lname, rid, rname,
+       round(jaro_winkler_similarity(ln, rn), 6) AS jw_sim
+FROM lb JOIN rb USING (blk)
+WHERE jaro_winkler_similarity(ln, rn) >= 0.9
+"""
+
+
+def _q386(spark, sf_dir):
+    """Quantile normalization (operators/analytics.py quantile_normalize):
+    force the four part-key-bucket retail-price distributions onto their
+    shared reference (cross-group mean per sorted position) — the batch-
+    effect remover; one keyed rank window + a tiny rank-mean join, never
+    a global sort."""
+    from polars_net_spark.operators.analytics import quantile_normalize
+
+    p = _t(spark, sf_dir, "part").spark.select(
+        (F.col("p_partkey") % 4).alias("grp"),
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("v"),
+    )
+    return quantile_normalize(p, "grp", "v", "id").spark
+
+
+_q386_sql = """
+WITH b AS (SELECT p_partkey % 4 AS grp, p_partkey AS id,
+                  CAST(p_retailprice AS DOUBLE) AS v
+           FROM part WHERE p_retailprice IS NOT NULL),
+r AS (SELECT grp, id, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rk
+      FROM b),
+ref AS (SELECT rk, avg(v) AS refv FROM r GROUP BY 1)
+SELECT r.grp, r.id, r.v, round(ref.refv, 6) AS value_qn
+FROM r JOIN ref USING (rk)
+"""
+
+
+def _q387(spark, sf_dir):
+    """Page–Hinkley drift detector (operators/analytics.py page_hinkley)
+    over per-user-bucket event values in event-id sequence: running-mean-
+    centered cumulative deviations minus their running minimum, alarm
+    rows plus one final summary row per key — two stacked keyed windows
+    in ONE WindowExec pass."""
+    from polars_net_spark.operators.analytics import page_hinkley
+
+    e = _t(spark, sf_dir, "events").spark.select(
+        (F.col("user_id") % 20).alias("grp"),
+        F.col("event_id").alias("t"),
+        F.col("value"),
+    )
+    return page_hinkley(e, "value", "t", by="grp", delta=0.0, lam=1500.0).spark
+
+
+_q387_sql = """
+WITH b AS (SELECT user_id % 20 AS grp, event_id AS t, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+s1 AS (SELECT grp, t, v,
+              avg(v) OVER (PARTITION BY grp ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+       FROM b),
+s2 AS (SELECT grp, t, v,
+              sum(v - rm) OVER (PARTITION BY grp ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+       FROM s1),
+s3 AS (SELECT grp, t, v,
+              m - min(m) OVER (PARTITION BY grp ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+              row_number() OVER (PARTITION BY grp ORDER BY t DESC) AS rn
+       FROM s2)
+SELECT grp, t, v AS value, round(ph, 6) AS ph, ph > 1500.0 AS alarm
+FROM s3 WHERE ph > 1500.0 OR rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14800,6 +14907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q382_granger": _q382,
         "q383_ljung_box": _q383,
         "q384_holm": _q384,
+        "q385_jaro_winkler": _q385,
+        "q386_quantile_normalize": _q386,
+        "q387_page_hinkley": _q387,
     }
 
 
@@ -15189,4 +15299,7 @@ def oracle_sql() -> dict[str, str]:
         "q382_granger": _q382_sql,
         "q383_ljung_box": _q383_sql,
         "q384_holm": _q384_sql,
+        "q385_jaro_winkler": _q385_sql,
+        "q386_quantile_normalize": _q386_sql,
+        "q387_page_hinkley": _q387_sql,
     }

@@ -3447,3 +3447,116 @@ def holt_winters(
 
 
 __all__.append("holt_winters")
+
+
+def quantile_normalize(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "value_qn",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Quantile normalization (Bolstad et al. 2003) — force every group's
+    value distribution onto the shared reference distribution (the
+    cross-group mean of each sorted position): the batch-effect remover
+    for feature columns computed per source/shard before they feed one
+    model.  Requires EQUAL group sizes (the classical method; validated
+    here) and a deterministic ``id_col`` to break value ties, so both
+    engines sort identically.
+
+    Scale shape: one per-group rank window (keyed — never global), one
+    tiny groupBy(rank) mean over |rows/groups| positions, one equi-join
+    back on (rank) — the reference profile broadcasts when small.
+    Output: group, id, value, ``out_col``."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(
+        v.isNotNull() & F.col(group_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g__"),
+        F.col(id_col).alias("__id__"),
+        v.alias("__v__"),
+    )
+    from .._cache import register_cache
+
+    base = register_cache(base)
+    sizes = base.groupBy("__g__").count().select(
+        F.countDistinct("count").alias("k"), F.count(F.lit(1)).alias("g")
+    ).first()
+    if sizes["g"] < 2:
+        raise ValueError("quantile_normalize needs at least 2 groups")
+    if sizes["k"] != 1:
+        raise ValueError(
+            "quantile_normalize requires equal group sizes (classical method); "
+            "resample or bucket first"
+        )
+    w = Window.partitionBy("__g__").orderBy(F.col("__v__"), F.col("__id__"))
+    ranked = base.withColumn("__r__", F.row_number().over(w))
+    ref = ranked.groupBy("__r__").agg(F.avg("__v__").alias("__ref__"))
+    out = (
+        ranked.join(ref, "__r__")
+        .select(
+            F.col("__g__").alias(group_col),
+            F.col("__id__").alias(id_col),
+            F.col("__v__").alias(value_col),
+            F.round(F.col("__ref__"), round_to).alias(out_col),
+        )
+    )
+    return LazyFrame(out)
+
+
+def page_hinkley(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    by: "str | list[str]",
+    delta: float = 0.0,
+    lam: float = 10.0,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Page–Hinkley drift detector (Page 1954; the streaming-ML form):
+    per key and in ``order_col`` sequence, mₜ = Σ_{i≤t}(xᵢ − x̄ᵢ − δ)
+    with x̄ᵢ the running mean up to i, PHₜ = mₜ − min_{i≤t} mᵢ, alarm
+    when PHₜ > λ — a sustained upward level shift accumulates in mₜ
+    while noise cancels (cusum_flags' sequential cousin, with the
+    running mean making it robust to an unknown baseline).
+
+    Two stacked per-key windows (running mean feeds the cumulative sum,
+    then a running min) — keyed, so no single-partition stage; for an
+    unkeyed global series use cusum_flags' distsort machinery instead
+    (documented trade).  Output: key(s), order, value, ph, alarm rows
+    where alarm is true, plus the final row per key (drift summary)."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by)
+    if not keys:
+        raise ValueError("page_hinkley requires by= keys; use cusum_flags for global")
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull()).select(
+        *keys, F.col(order_col).alias("__t__"), v.alias("__v__")
+    )
+    w = Window.partitionBy(*keys).orderBy("__t__")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run_mean = F.avg("__v__").over(wcum)
+    staged = base.withColumn("__term__", F.col("__v__") - run_mean - F.lit(delta))
+    # the second window stacks on the first: Spark plans both in ONE
+    # WindowExec pass per key since partitioning/ordering agree
+    m = F.sum("__term__").over(wcum)
+    staged2 = staged.withColumn("__m__", m)
+    ph = F.col("__m__") - F.min("__m__").over(wcum)
+    scored = staged2.withColumn("__ph__", ph)
+    wlast = Window.partitionBy(*keys).orderBy(F.col("__t__").desc())
+    flagged = scored.withColumn("__rn__", F.row_number().over(wlast)).filter(
+        (F.col("__ph__") > lam) | (F.col("__rn__") == 1)
+    )
+    out = flagged.select(
+        *keys,
+        F.col("__t__").alias(order_col),
+        F.col("__v__").alias(value_col),
+        F.round("__ph__", round_to).alias("ph"),
+        (F.col("__ph__") > lam).alias("alarm"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["quantile_normalize", "page_hinkley"])

@@ -492,3 +492,149 @@ def overlap_join(
         .drop("__bk__")
     )
     return LazyFrame(joined)
+
+
+def _jaro_winkler_udf():
+    """Vectorized Jaro–Winkler similarity (Winkler 1990): Jaro from the
+    matching-window count and half-transpositions, plus the prefix boost
+    l·0.1·(1−jaro) applied only when jaro > 0.7 (the boost threshold —
+    verified byte-identical to DuckDB's jaro_winkler_similarity on the
+    test fixtures, including the negative-window short-string edge).
+    Spark has no JW built-in, so this is the documented Pandas-UDF path —
+    Arrow-batched, and jaro_winkler_join only ever feeds it DISTINCT
+    candidate value pairs, never raw rows."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw_one(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            return 0.0
+        w = max(la, lb) // 2 - 1
+        ma = [False] * la
+        mb = [False] * lb
+        m = 0
+        for i, ca in enumerate(a):
+            lo, hi = max(0, i - w), min(lb, i + w + 1)
+            for j in range(lo, hi):
+                if not mb[j] and b[j] == ca:
+                    ma[i] = mb[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(la):
+            if ma[i]:
+                while not mb[k]:
+                    k += 1
+                if a[i] != b[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+        if jaro > 0.7:
+            l = 0
+            for x, y in zip(a[:4], b[:4]):
+                if x != y:
+                    break
+                l += 1
+            return jaro + l * 0.1 * (1.0 - jaro)
+        return jaro
+
+    def _vec(a, b):
+        return pd.Series(
+            [_jw_one(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        )
+
+    return pandas_udf(_vec, returnType="double")
+
+
+def jaro_winkler_join(
+    left,
+    right,
+    on: str,
+    threshold: float = 0.9,
+    block_chars: int = 2,
+    suffix: str = "_right",
+    distinct_values: bool = True,
+):
+    """Blocked Jaro–Winkler similarity join — the prefix-weighted record-
+    linkage companion to fuzzy_join's Levenshtein (names, brands, short
+    identifiers, where transpositions and suffixes matter less than the
+    shared prefix).  Match rows whose ``on`` strings score ≥ ``threshold``.
+
+    Same RECALL CONTRACT as fuzzy_join: candidates are pairs sharing an
+    emitted block (the lowercase value's first ``block_chars`` chars at
+    offsets 0 and 1); JW has no edit bound, so blocking is the standard
+    precision-1/recall<1 trade.  The similarity itself runs in an Arrow-
+    batched Pandas UDF (Spark has no JW built-in) over — by default —
+    DISTINCT value pairs only, re-expanded to rows via two equi-joins
+    (the fuzzy_join distinct_values lever, SLOPE_LEVERS_r10.json): the
+    per-pair Python cost scales with |distinct|², never rows².  Output:
+    left columns + right columns (collisions suffixed) + ``jw_sim``."""
+    from ..frame import LazyFrame
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+    lsdf = left._sdf if isinstance(left, LazyFrame) else left
+    rsdf = right._sdf if isinstance(right, LazyFrame) else right
+
+    def norm(c):
+        return F.lower(F.trim(c))
+
+    def blocks(c):
+        n = norm(c)
+        return F.array_distinct(
+            F.array(
+                F.substring(n, 1, block_chars),
+                F.substring(n, 2, block_chars),
+            )
+        )
+
+    lcols, rcols = lsdf.columns, rsdf.columns
+    renames = {c: c + suffix for c in rcols if c in lcols}
+    r2 = rsdf.withColumnsRenamed(renames)
+    ron = on + suffix if on in renames else on
+    jw = _jaro_winkler_udf()
+
+    if distinct_values:
+        lvals = lsdf.select(F.col(on)).distinct()
+        rvals = r2.select(F.col(ron)).distinct()
+        lev = lvals.withColumn("__blk__", F.explode(blocks(F.col(on))))
+        rev = rvals.withColumn("__blk__", F.explode(blocks(F.col(ron))))
+        vpairs = (
+            lev.join(rev, "__blk__")
+            .drop("__blk__")
+            .dropDuplicates()
+            .withColumn("jw_sim", jw(norm(F.col(on)), norm(F.col(ron))))
+            .filter(F.col("jw_sim") >= threshold)
+        )
+        # small-side-first expansion + respread before the row fan-out —
+        # the fuzzy_join distinct-path lessons (see its comments)
+        expanded = vpairs.join(r2, ron).repartition(
+            lsdf.sparkSession.sparkContext.defaultParallelism
+        )
+        matched = lsdf.join(expanded, on).select(
+            *[F.col(c) for c in lcols],
+            *[F.col(renames.get(c, c)) for c in rcols],
+            F.col("jw_sim"),
+        ).dropDuplicates()
+        return LazyFrame(matched)
+
+    le = lsdf.withColumn("__blk__", F.explode(blocks(F.col(on))))
+    re_ = r2.withColumn("__blk__", F.explode(blocks(F.col(ron))))
+    matched = (
+        le.join(re_, "__blk__")
+        .withColumn("jw_sim", jw(norm(F.col(on)), norm(F.col(ron))))
+        .filter(F.col("jw_sim") >= threshold)
+        .drop("__blk__")
+        .dropDuplicates()
+    )
+    return LazyFrame(matched)
+
+
+__all__.extend(["jaro_winkler_join"])

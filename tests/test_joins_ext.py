@@ -579,3 +579,49 @@ class TestOverlapJoin:
             warnings.simplefilter("always")
             overlap_join(l, r, "s", "e", "s", "e")
             assert any("nested-loop" in str(x.message) for x in w)
+
+
+class TestJaroWinklerJoin:
+    def test_matches_duckdb_reference(self, spark):
+        import duckdb
+
+        from polars_net_spark.operators.joins_ext import jaro_winkler_join
+
+        lrows = [(1, "Martha"), (2, "Dixon"), (3, "jellyfish"), (4, "low"), (5, "xy")]
+        rrows = [(10, "Marhta"), (11, "Dicksonx"), (12, "smellyfish"), (13, "lower"), (14, "yx")]
+        l = spark.createDataFrame(lrows, ["lid", "name"])
+        r = spark.createDataFrame(rrows, ["rid", "name"])
+        out = jaro_winkler_join(l, r, on="name", threshold=0.8, block_chars=1)
+        got = {(a, c): round(e, 6) for a, b, c, d, e in out.collect().rows()}
+        # oracle: same blocking + DuckDB's jaro_winkler_similarity
+        con = duckdb.connect()
+        exp = {}
+        for lid, ln in lrows:
+            for rid, rn in rrows:
+                a, b = ln.lower(), rn.lower()
+                if not ({a[0:1], a[1:2]} & {b[0:1], b[1:2]}):
+                    continue
+                sim = con.execute(
+                    "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+                ).fetchone()[0]
+                if sim >= 0.8:
+                    exp[(lid, rid)] = round(sim, 6)
+        assert got == exp and len(got) > 0
+
+    def test_distinct_values_equals_row_path(self, spark):
+        from polars_net_spark.operators.joins_ext import jaro_winkler_join
+
+        l = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(["alpha", "alpha", "alpaca", "beta", "gamma"])],
+            ["lid", "name"],
+        )
+        r = spark.createDataFrame(
+            [(100, "alhpa"), (101, "alpha"), (102, "betta"), (103, "gamma rays")],
+            ["rid", "name"],
+        )
+        a = sorted(jaro_winkler_join(l, r, on="name", threshold=0.85).collect().rows())
+        b = sorted(
+            jaro_winkler_join(l, r, on="name", threshold=0.85, distinct_values=False)
+            .collect().rows()
+        )
+        assert a == b and len(a) > 0
