@@ -14521,6 +14521,56 @@ FROM s3 WHERE ph > 1500.0 OR rn = 1
 """
 
 
+def _q388(spark, sf_dir):
+    """Hurst exponent by R/S analysis (operators/analytics.py
+    hurst_exponent) of the daily order-revenue series: long-memory screen
+    (H≈0.5 memoryless, >0.5 trending, <0.5 mean-reverting).  Positions
+    via distsort prefix offsets, every window statistic a keyed
+    (w, window_id) window/groupBy with partitions bounded by w, final
+    log-log OLS over four points."""
+    from polars_net_spark.operators.analytics import hurst_exponent
+
+    o = _t(spark, sf_dir, "orders").spark
+    daily = o.groupBy(
+        F.unix_date(F.to_date("o_orderdate")).alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return hurst_exponent(daily, "rev", "d", window_sizes=(16, 32, 64, 128)).spark
+
+
+_q388_sql = """
+WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS t,
+                      sum(CAST(o_totalprice AS DOUBLE)) AS v
+               FROM orders GROUP BY 1),
+r AS (SELECT v, row_number() OVER (ORDER BY t) - 1 AS pos FROM daily),
+w AS (SELECT sz.w, pos // sz.w AS wid, pos, v
+      FROM r CROSS JOIN (VALUES (16), (32), (64), (128)) sz(w)),
+s1 AS (SELECT w, wid, pos, v, avg(v) OVER (PARTITION BY w, wid) AS mu FROM w),
+s2 AS (SELECT w, wid, v, mu,
+              sum(v - mu) OVER (PARTITION BY w, wid ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+       FROM s1),
+pw AS (SELECT w, wid, count(*) AS c, max(cd) - min(cd) AS rr,
+              stddev_pop(v) AS s
+       FROM s2 GROUP BY 1, 2),
+rs AS (SELECT w, avg(rr/s) AS rsv, count(*) AS nw
+       FROM pw WHERE c = w AND s > 0 GROUP BY 1),
+pts AS (SELECT ln(w) AS x, ln(rsv) AS y, nw FROM rs WHERE rsv > 0),
+m AS (SELECT count(*)*1.0 AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy,
+             sum(nw) AS nwt FROM pts),
+nn AS (SELECT count(*) AS n FROM r)
+SELECT round((k*sxy - sx*sy)/(k*sxx - sx*sx), 6) AS hurst,
+       round(CASE WHEN (sxx - sx*sx/k) > 0 AND (syy - sy*sy/k) > 0
+             THEN (sxy - sx*sy/k)*(sxy - sx*sy/k)
+                  /((sxx - sx*sx/k)*(syy - sy*sy/k))
+             ELSE 1.0 END, 6) AS r2,
+       CAST((SELECT n FROM nn) AS BIGINT) AS n,
+       CAST(nwt AS BIGINT) AS n_windows
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14910,6 +14960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q385_jaro_winkler": _q385,
         "q386_quantile_normalize": _q386,
         "q387_page_hinkley": _q387,
+        "q388_hurst": _q388,
     }
 
 
@@ -15302,4 +15353,5 @@ def oracle_sql() -> dict[str, str]:
         "q385_jaro_winkler": _q385_sql,
         "q386_quantile_normalize": _q386_sql,
         "q387_page_hinkley": _q387_sql,
+        "q388_hurst": _q388_sql,
     }

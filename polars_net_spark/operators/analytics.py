@@ -3560,3 +3560,98 @@ def page_hinkley(
 
 
 __all__.extend(["quantile_normalize", "page_hinkley"])
+
+
+def hurst_exponent(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    window_sizes: "tuple[int, ...]" = (16, 32, 64, 128),
+    round_to: int = 6,
+) -> LazyFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) over an INCREMENT series (returns, demeaned
+    deltas): H ≈ 0.5 for a memoryless walk, > 0.5 persistent/trending,
+    < 0.5 mean-reverting — the long-memory screen for a metric series.
+    For each window size w the series splits into ⌊n/w⌋ full windows;
+    per window R = max−min of the cumulative deviations from the window
+    mean and S = population sd; H is the slope of log(mean R/S) on
+    log(w) across ``window_sizes``.
+
+    Scale shape: global positions via the distsort machinery (range
+    buckets + driver prefix offsets — no single-partition stage), one
+    explode over the ≤|window_sizes| sizes, and every window statistic is
+    a KEYED (w, window_id) window/groupBy with partitions bounded by w;
+    the final log-log OLS runs over ≤|window_sizes| rows.  Output
+    (1 row): hurst, r2, n, n_windows."""
+    if len(window_sizes) < 2:
+        raise ValueError("need at least 2 window sizes")
+    if any(w < 4 for w in window_sizes):
+        raise ValueError("window sizes must be >= 4")
+    import math
+
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull()).select(
+        F.col(order_col).alias("__t__"), v.alias("__v__")
+    )
+    bucketed, gb = with_range_buckets(base, "__t__")
+    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    n = int(tot["c"])
+    if n < 2 * min(window_sizes):
+        raise ValueError("series too short for the requested window sizes")
+    wpos = Window.partitionBy(gb).orderBy("__t__")
+    pos = F.col("__off_c__") + F.row_number().over(wpos) - 1
+    indexed = offs.select(pos.alias("__pos__"), "__v__")
+    sized = indexed.select(
+        "__pos__", "__v__",
+        F.explode(F.array(*[F.lit(int(w)) for w in window_sizes])).alias("__w__"),
+    ).select(
+        "__w__", "__v__", "__pos__",
+        F.floor(F.col("__pos__") / F.col("__w__")).alias("__wid__"),
+    )
+    kw = Window.partitionBy("__w__", "__wid__")
+    kord = kw.orderBy("__pos__")
+    mean = F.avg("__v__").over(kw)
+    staged = sized.withColumn("__mu__", mean)
+    cd = F.sum(F.col("__v__") - F.col("__mu__")).over(
+        kord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = staged.withColumn("__cd__", cd)
+    per_win = scored.groupBy("__w__", "__wid__").agg(
+        F.count(F.lit(1)).alias("__c__"),
+        (F.max("__cd__") - F.min("__cd__")).alias("__r__"),
+        F.stddev_pop("__v__").alias("__s__"),
+    ).filter((F.col("__c__") == F.col("__w__")) & (F.col("__s__") > 0))
+    per_w = per_win.groupBy("__w__").agg(
+        F.avg(F.col("__r__") / F.col("__s__")).alias("rs"),
+        F.count(F.lit(1)).alias("nw"),
+    ).collect()
+    pts = [(math.log(float(r["__w__"])), math.log(float(r["rs"]))) for r in per_w
+           if r["rs"] and r["rs"] > 0]
+    if len(pts) < 2:
+        raise ValueError("hurst_exponent: fewer than 2 usable window sizes")
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    det = k * sxx - sx * sx
+    h = (k * sxy - sx * sy) / det
+    cxx = sxx - sx * sx / k
+    cyy = syy - sy * sy / k
+    cxy = sxy - sx * sy / k
+    r2 = (cxy * cxy) / (cxx * cyy) if cxx > 0 and cyy > 0 else 1.0
+    n_windows = sum(int(r["nw"]) for r in per_w)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(h, round_to), round(r2, round_to), n, n_windows)],
+        "hurst double, r2 double, n bigint, n_windows bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("hurst_exponent")

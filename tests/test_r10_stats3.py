@@ -86,3 +86,63 @@ class TestPageHinkley:
             ref[i] = m - mn
         for t, ph in out.items():
             assert abs(ph - ref[t]) < 1e-6
+
+
+class TestHurst:
+    def test_matches_brute_force(self, spark):
+        from polars_net_spark.operators.analytics import hurst_exponent
+
+        import math
+
+        vals = [math.sin(i / 5.0) + ((i * 29) % 13) / 13.0 for i in range(300)]
+        d = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "t int, v double"
+        )
+        (h, r2, n, nw), = [
+            tuple(r) for r in hurst_exponent(d, "v", "t", window_sizes=(8, 16, 32)).spark.collect()
+        ]
+
+        def rs_mean(w):
+            out = []
+            for s in range(0, len(vals) - w + 1, w):
+                win = vals[s:s + w]
+                mu = sum(win) / w
+                cd, mx, mn, acc = [], None, None, 0.0
+                for x in win:
+                    acc += x - mu
+                    cd.append(acc)
+                r = max(cd) - min(cd)
+                sd = math.sqrt(sum((x - mu) ** 2 for x in win) / w)
+                if sd > 0:
+                    out.append(r / sd)
+            return sum(out) / len(out), len(out)
+
+        pts = []
+        tot = 0
+        for w in (8, 16, 32):
+            m, c = rs_mean(w)
+            pts.append((math.log(w), math.log(m)))
+            tot += c
+        k = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+        h_ref = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        assert n == 300 and nw == tot
+        assert abs(h - h_ref) < 1e-6
+
+    def test_random_walk_near_half(self, spark):
+        from polars_net_spark.operators.analytics import hurst_exponent
+
+        import random
+
+        rnd = random.Random(5)
+        incs = [rnd.gauss(0, 1) for _ in range(2048)]
+        d = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(incs)], "t int, v double"
+        )
+        (h, r2, n, nw), = [
+            tuple(r)
+            for r in hurst_exponent(d, "v", "t", window_sizes=(16, 32, 64, 128)).spark.collect()
+        ]
+        # iid increments: H ~ 0.5 (R/S small-sample bias pushes slightly up)
+        assert 0.35 < h < 0.72 and r2 > 0.9

@@ -1,0 +1,195 @@
+"""100x probe: run the data-dominated sf1 slope outliers one level beyond —
+sf0.1 → sf1 (10x) → sf10 (100x, tools/gen_scale.py 100) — so the "designed
+for 100 TB" argument is a measurement, not an extrapolation from one decade.
+
+Writes BENCH_SF10_r10.json incrementally (one rewrite per finished query).
+Each (query, scale) point runs under a job-group watchdog (default 600 s):
+a point that exceeds it is cancelled and recorded as a timeout with its
+cause note, instead of wedging the whole probe (the first probe run learned
+this on q97's PINNED-gate parameterization, whose within-cluster pair count
+grows ~10,000x at 100x tiling BY CONSTRUCTION — that cost is the gate
+artifact SLOPE_LEVERS_r8/r10 document, not the operator; the probe
+therefore runs the two pinned-quadratic gates in their LEVERED
+parameterization, scaled the way production would scale them).
+
+Usage: python tools/bench_sf10.py [--runs=N] [--timeout=SEC] [--out=PATH]
+                                  [--seed=PATH] [query ...]
+--seed: a prior (partial) output; queries already present are not re-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", "/root/repo/.scratch/sf1.0"),
+    ("sf10", "/root/repo/.scratch/sf10"),
+]
+
+NOTES = {
+    "q171_fuzzy_join": (
+        "OUTPUT-bound: duplicate part names tile, so matched pairs grow "
+        "~quadratically with replication (14M rows at sf1, ~1.4B at sf10) — "
+        "the probe measures materializing that output; the exact "
+        "distinct-value lever is SLOPE_LEVERS_r10.json"
+    ),
+    "q357_chrf": (
+        "compute-bound LINEAR: zero-Exchange per-row packed-long gram folds; "
+        "100x work on fixed cores approaches 100x/idle-amortization"
+    ),
+    "q97_semdedup_levered": (
+        "levered parameterization (num_planes grows log2(scale): 8/11/14 — "
+        "bucket occupancy constant); the PINNED gate's fixed clustering is "
+        "quadratic at 100x by construction and is excluded (first probe run "
+        "confirmed: wedged >15 min at sf10)"
+    ),
+    "q154_simhash_levered": (
+        "levered parameterization (band slice width 12/15/18 bits ~ corpus, "
+        "fixed 60-bit budget, pigeonhole radius shrinking 4/3/2); the PINNED "
+        "(bands=6,h<=5) gate is quadratic at 100x by construction"
+    ),
+    "q294_stream_stateful": (
+        "streaming harness: availableNow micro-batch + per-batch Python "
+        "state overhead; scales with batch count and state keys"
+    ),
+}
+
+# the sf1 slope outliers + one representative per heavyweight class
+DEFAULT_QUERIES = [
+    "q350_bleu", "q351_rouge", "q357_chrf",
+    "q171_fuzzy_join",
+    "q30_ngram_jaccard", "q31_minhash_lsh", "q51_dedup_clusters",
+    "q53_dedup_fuzzy", "q97_semdedup_levered", "q154_simhash_levered",
+    "q164_dedup_against", "q197_containment", "q212_dedup_keep_best",
+    "q214_containment_df_prefix",
+    "q242_triangles", "q251_label_propagation", "q292_degree_report",
+    "q294_stream_stateful", "q373_stream_full_outer",
+    "q116_rank_methods", "q124_winsorize", "q302_median_ci",
+    "q309_weighted_quantiles",
+    "q59_range_join", "q60_salted_join", "q88_join_where",
+    "q01_pricing_summary",
+]
+
+LEVER_PARAMS = {
+    "q97_semdedup_levered": {"sf0.1": 8, "sf1": 11, "sf10": 14},
+    "q154_simhash_levered": {
+        "sf0.1": (5, 4), "sf1": (4, 3), "sf10": (3, 2)
+    },
+}
+
+
+def _builder(name, tag, sf, qs):
+    import slope_levers as SL
+
+    if name == "q97_semdedup_levered":
+        return lambda spark: SL.q97_lever(sf, LEVER_PARAMS[name][tag])(spark)
+    if name == "q154_simhash_levered":
+        bands, h = LEVER_PARAMS[name][tag]
+        return lambda spark: SL.q154_lever(sf, bands, h)(spark)
+    return lambda spark: qs[name](spark, sf)
+
+
+def main() -> None:
+    runs = 2
+    timeout = 600.0
+    out_path = "BENCH_SF10_r10.json"
+    seed_path = None
+    names: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+        elif a.startswith("--timeout="):
+            timeout = float(a.split("=", 1)[1])
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        elif a.startswith("--seed="):
+            seed_path = a.split("=", 1)[1]
+        else:
+            names.append(a)
+    names = names or DEFAULT_QUERIES
+
+    import __spark_entry__ as e
+    from polars_net_spark import get_spark, release_caches
+
+    spark = get_spark(app_name="bench_sf10")
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    spark.range(1).count()
+    qs = e.queries()
+
+    results: dict[str, dict] = {}
+    if seed_path and os.path.exists(seed_path):
+        results.update(json.load(open(seed_path)).get("queries", {}))
+
+    def flush():
+        rec = {
+            "metric": "sf10_scale_probe",
+            "scales": {t: p for t, p in SCALES},
+            "runs_per_point": runs,
+            "point_timeout_sec": timeout,
+            "queries": results,
+        }
+        json.dump(rec, open(out_path, "w"), indent=1)
+
+    for name in names:
+        if name in results:
+            print(f"{name}: seeded, skipping", flush=True)
+            continue
+        row: dict = {}
+        for tag, sf in SCALES:
+            best = None
+            err = None
+            for _ in range(runs):
+                fn = _builder(name, tag, sf, qs)
+                group = f"probe-{name}-{tag}"
+                sc.setJobGroup(group, name, True)
+                done = threading.Event()
+
+                def _watchdog():
+                    if not done.wait(timeout):
+                        sc.cancelJobGroup(group)
+
+                w = threading.Thread(target=_watchdog, daemon=True)
+                w.start()
+                t0 = time.time()
+                try:
+                    fn(spark).write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as exc:  # noqa: BLE001
+                    if time.time() - t0 >= timeout - 1:
+                        err = f"timeout>{int(timeout)}s"
+                    else:
+                        err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
+                    break
+                finally:
+                    done.set()
+                    release_caches()
+            row[tag] = round(best, 3) if best is not None else None
+            if err:
+                row[f"{tag}_error"] = err
+                break
+        if row.get("sf0.1") and row.get("sf1"):
+            row["ratio_10x"] = round(row["sf1"] / row["sf0.1"], 2)
+        if row.get("sf0.1") and row.get("sf10"):
+            row["ratio_100x"] = round(row["sf10"] / row["sf0.1"], 2)
+        if name in NOTES:
+            row["note"] = NOTES[name]
+        results[name] = row
+        flush()
+        print(f"{name}: {row}", flush=True)
+
+    flush()
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
