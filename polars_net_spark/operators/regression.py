@@ -4244,12 +4244,16 @@ def cochran_q(
         F.sum("__r__").alias("T"),
         F.sum(F.col("__r__") * F.col("__r__")).alias("R2"),
     )
-    tm = tstats.agg(F.sum(F.col("__c__") * F.col("__c__")).alias("C2"))
+    # Σ Cⱼ² is ONE number over the k-row treatment table (cells cached) —
+    # a plan literal, not a 1-row×1-row join (BroadcastNestedLoopJoin;
+    # the median_ci precedent)
+    c2_val = float(
+        tstats.agg(F.sum(F.col("__c__") * F.col("__c__"))).first()[0] or 0.0
+    )
     k = float(k_val)
-    j = bm.join(tm)
-    qn = k * (k - 1.0) * (F.col("C2") - F.col("T") * F.col("T") / k)
+    qn = k * (k - 1.0) * (F.lit(c2_val) - F.col("T") * F.col("T") / k)
     qd = k * F.col("T") - F.col("R2")
-    out = j.select(
+    out = bm.select(
         F.round(qn / qd, round_to).alias("q"),
         F.lit(int(k_val - 1)).alias("df"),
         F.col("nb").cast("long").alias("n_blocks"),
@@ -4367,15 +4371,23 @@ def kruskal_wallis(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum(F.col("__rg__") * F.col("__rg__") / F.col("__ng__")).alias("rr"),
     )
-    tie = ranks.agg(
-        F.sum(
-            F.col("__cnt__") * F.col("__cnt__") * F.col("__cnt__") - F.col("__cnt__")
-        ).cast("double").alias("tt")
+    # the tie term is ONE number over the (cached) distinct-value cells —
+    # ride it into the final projection as a plan literal instead of a
+    # 1-row×1-row join (which plans as BroadcastNestedLoopJoin; the
+    # median_ci precedent)
+    tt_val = float(
+        vcells.agg(
+            F.sum(
+                F.col("__cnt__") * F.col("__cnt__") * F.col("__cnt__")
+                - F.col("__cnt__")
+            ).cast("double")
+        ).first()[0]
+        or 0.0
     )
     n = F.lit(n_total)
     h = 12.0 / (n * (n + 1.0)) * F.col("rr") - 3.0 * (n + 1.0)
-    corr = 1.0 - F.col("tt") / (n * n * n - n)
-    out = gm.join(tie).select(
+    corr = 1.0 - F.lit(tt_val) / (n * n * n - n)
+    out = gm.select(
         F.round(h, round_to).alias("h"),
         F.round(h / corr, round_to).alias("h_corrected"),
         (F.col("k") - 1).cast("int").alias("df"),
