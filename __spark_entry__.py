@@ -5373,7 +5373,14 @@ def _q171(spark, sf_dir):
     # sf0.1 — sum(df_block^2) is THE fuzzy-join cost driver); 12-char blocks
     # are (nearly) whole names and stay tiny, and the drop-first-char edit
     # is caught by the offset emission by construction
-    out = fuzzy_join(left, right, on="name", max_distance=2, block_chars=12)
+    # pinned to the direct row-level plan (levers OFF) — since r11 the
+    # public default is distinct_values=True + length_band=True (the
+    # measured scale-safe plan, SLOPE_LEVERS_r10/r11); the gate keeps the
+    # original plan so its oracle record stays comparable across rounds
+    out = fuzzy_join(
+        left, right, on="name", max_distance=2, block_chars=12,
+        distinct_values=False, length_band=False,
+    )
     return out.spark.select(
         "lid", F.col("name").alias("lname"), "rid",
         F.col("name_right").alias("rname"), F.col("edit_distance").cast("int").alias("edit_distance"),
@@ -14374,11 +14381,15 @@ l AS (SELECT rev AS v,
              lag(rev, 4) OVER (ORDER BY d) AS l4,
              lag(rev, 5) OVER (ORDER BY d) AS l5
       FROM daily),
+s AS (SELECT v, l1, l2, l3, l4, l5, (SELECT avg(v) FROM l) AS mu FROM l),
 m AS (SELECT count(*)*1.0 AS n,
-             corr(v, l1) AS r1, corr(v, l2) AS r2, corr(v, l3) AS r3,
-             corr(v, l4) AS r4, corr(v, l5) AS r5 FROM l)
-SELECT round(n*(n + 2)*(r1*r1/(n - 1) + r2*r2/(n - 2) + r3*r3/(n - 3)
-                        + r4*r4/(n - 4) + r5*r5/(n - 5)), 6) AS q_stat,
+             sum((v - mu)*(v - mu)) AS den,
+             sum((v - mu)*(l1 - mu)) AS s1, sum((v - mu)*(l2 - mu)) AS s2,
+             sum((v - mu)*(l3 - mu)) AS s3, sum((v - mu)*(l4 - mu)) AS s4,
+             sum((v - mu)*(l5 - mu)) AS s5 FROM s)
+SELECT round(n*(n + 2)*((s1/den)*(s1/den)/(n - 1) + (s2/den)*(s2/den)/(n - 2)
+                        + (s3/den)*(s3/den)/(n - 3) + (s4/den)*(s4/den)/(n - 4)
+                        + (s5/den)*(s5/den)/(n - 5)), 6) AS q_stat,
        5 AS df, CAST(n AS BIGINT) AS n
 FROM m
 """

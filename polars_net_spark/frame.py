@@ -1466,6 +1466,21 @@ class LazyFrame:
         (indexes, permissions) survives."""
         from ._cache import release_caches
 
+        # fail fast (ADVICE r10): a mode typo ('apend') would otherwise
+        # surface as a late Spark error after plan execution starts, and a
+        # properties key must not silently clobber the explicit options
+        valid_modes = {"append", "overwrite", "ignore", "error", "errorifexists"}
+        if mode not in valid_modes:
+            raise ValueError(
+                f"sink_jdbc mode {mode!r} not in {sorted(valid_modes)}"
+            )
+        reserved = {"url", "dbtable", "batchsize", "truncate"}
+        clash = reserved & {k.lower() for k in (properties or {})}
+        if clash:
+            raise ValueError(
+                f"sink_jdbc properties {sorted(clash)} collide with explicit "
+                "arguments — pass them via the named parameters"
+            )
         sdf = self._drop_order()._sdf
         if num_partitions is not None:
             sdf = sdf.coalesce(int(num_partitions))

@@ -1296,8 +1296,8 @@ def chrf_corpus(
     is ONE map-side pass plus ONE fused 1-row all-reduce (3·max_n + 1
     sums).  No explode, no (doc, gram) shuffle join, no per-row Python.
     Output (1 row): chrf, prec_mean, rec_mean, n_docs."""
-    if not 1 <= max_n <= 7:
-        raise ValueError("max_n must be in 1..7")
+    if not 1 <= max_n <= 10:
+        raise ValueError("max_n must be in 1..10")
     if beta <= 0:
         raise ValueError("beta must be > 0")
     sdf = _sdf(frame)
@@ -1325,11 +1325,15 @@ def chrf_corpus(
         # both branches reference their gram arrays ONCE each (inside the
         # merged concat), so inlining them here is re-evaluation-safe; the
         # when() keeps evaluation lazy per row — Latin-1 rows never build
-        # string gram arrays and vice versa
+        # string gram arrays and vice versa.  Orders above 7 exceed the
+        # 8-bit × n ≤ 7 packed-long budget, so they take the exact
+        # string-fold path unconditionally (same fold, wider key)
+        slow = _clipped_match(_char_grams("__h__", n), _char_grams("__r__", n))
+        if n > 7:
+            return slow
         fast = _clip_long(
             _long_grams(F.col("__ch__"), n), _long_grams(F.col("__cr__"), n)
         )
-        slow = _clipped_match(_char_grams("__h__", n), _char_grams("__r__", n))
         return F.when(latin1, fast).otherwise(slow)
 
     def total_of(col_name, n):

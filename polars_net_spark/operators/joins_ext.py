@@ -260,8 +260,8 @@ def fuzzy_join(
     how: str = "inner",
     suffix: str = "_right",
     normalized: bool = False,
-    length_band: bool = False,
-    distinct_values: bool = False,
+    length_band: bool = True,
+    distinct_values: bool = True,
 ):
     """Blocked edit-distance join (record linkage): match rows whose ``on``
     strings are within ``max_distance`` Levenshtein edits, without an
@@ -283,8 +283,15 @@ def fuzzy_join(
     shuffle, candidates bounded per block; a hot block (e.g. empty strings)
     is the skew lever — pre-filter or raise block_chars.
 
-    Two measured scale levers (SLOPE_LEVERS_r10.json) — both EXACT, i.e.
-    they change the plan, never the matched pairs:
+    Two measured scale levers — both EXACT, i.e. they change the plan,
+    never the matched pairs — and both ON BY DEFAULT since r11: the
+    unlevered plan is OUTPUT-bound quadratic on duplicate-heavy corpora
+    (352× wall at 100× data, BENCH_SF10_r10.json) while the levered plan
+    measured 1.72× on 10× data (SLOPE_LEVERS_r10.json), so the naive
+    caller gets the scale-safe plan; pass ``distinct_values=False,
+    length_band=False`` to pin the direct row-level plan (useful when the
+    ``on`` values are already near-unique and the two extra equi-joins
+    are pure overhead):
 
     - ``length_band=True`` refines the block key with a string-length band:
       Levenshtein ≥ |len(a) − len(b)|, so true pairs differ by ≤

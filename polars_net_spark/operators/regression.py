@@ -4052,7 +4052,16 @@ def lins_ccc(
     vy = F.col("syy") / n - my * my
     cxy = F.col("sxy") / n - mx * my
     ccc = 2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
-    r = cxy / F.sqrt(vx * vy)
+    # degenerate guard (ADVICE r10): zero variance on either side makes
+    # r = cxy/sqrt(vx*vy) a 0/0 — fail loudly like breusch_pagan, not
+    # with a silent null row; raise_error keeps the plan lazy/distributed
+    r = F.when(
+        (vx > 0) & (vy > 0), cxy / F.sqrt(vx * vy)
+    ).otherwise(
+        F.raise_error(
+            F.lit("lins_ccc: zero variance in x or y (degenerate input)")
+        ).cast("double")
+    )
     out = m.select(
         F.round(ccc, round_to).alias("ccc"),
         F.round(r, round_to).alias("pearson_r"),
@@ -4183,7 +4192,17 @@ def icc_oneway(
     msb = ssb / (g_ - 1.0)
     msw = ssw / (N - g_)
     k0 = (N - F.col("N2") / N) / (g_ - 1.0)
-    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    # degenerate guard (ADVICE r10): a single group (g-1 = 0) or zero
+    # within-group df (N = g) divides by zero — raise, don't emit nulls
+    icc = F.when(
+        (g_ >= 2.0) & (N > g_), (msb - msw) / (msb + (k0 - 1.0) * msw)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "icc_oneway: needs >= 2 groups and more rows than groups"
+            )
+        ).cast("double")
+    )
     out = m.select(
         F.round(icc, round_to).alias("icc1"),
         F.round(msb, round_to).alias("msb"),
@@ -4209,6 +4228,13 @@ def cochran_q(
     block totals Rᵢ and grand total T; Q ~ χ²(k−1) under H₀.  Blocks
     missing any treatment drop (standard complete-case rule); duplicate
     (block, treatment) cells keep their max outcome (any-success).
+
+    k IS FIXED FROM THE FULL CELL TABLE BEFORE the complete-case filter
+    (ADVICE r10): a treatment observed only in incomplete blocks still
+    counts toward k, so no block can then be complete — that situation
+    raises ValueError("no complete blocks") rather than returning a
+    degenerate null-q row; drop the stray treatment upstream if the
+    intent was to test the remaining ones.
 
     One (block, treatment) groupBy, one block-level reduce, one
     treatment-level reduce over the tiny complete-cell table.  Output
@@ -4238,6 +4264,12 @@ def cochran_q(
         .filter(F.col("__kt__") == k_val)
     )
     complete = cells.join(blocks.select("__b__", "__r__"), "__b__")
+    if blocks.limit(1).count() == 0:
+        raise ValueError(
+            "cochran_q: no complete blocks — every block is missing at "
+            "least one of the k treatments (k is fixed from the full "
+            "cell table before the complete-case filter)"
+        )
     tstats = complete.groupBy("__t__").agg(F.sum("__y__").alias("__c__"))
     bm = blocks.agg(
         F.count(F.lit(1)).cast("double").alias("nb"),
@@ -4544,13 +4576,18 @@ def ljung_box(
     """Ljung–Box portmanteau test (Ljung & Box 1978): Q = n(n+2)·Σ_{k≤K}
     r_k²/(n−k) ~ χ²(K) under "the series is white noise" — the standard
     residual-autocorrelation check after a forecast fit (holt_forecast /
-    holt_winters residuals).  r_k here is the pairwise-complete Pearson
-    autocorrelation (the acf estimator, documented there).
+    holt_winters residuals).  r_k is the CANONICAL ACF estimator
+    (statsmodels/textbook): lag-k autocovariance over lag-0 variance,
+    both centered on the FULL-series mean with n denominators —
+    r_k = Σ_{t>k}(v_t−v̄)(v_{t−k}−v̄) / Σ_t(v_t−v̄)².  (The in-repo
+    ``acf`` operator keeps its documented pairwise-Pearson convention;
+    ljung_box matches the external references instead — r11 ADVICE.)
 
     One window builds all K lag columns (per key, or distsort halo buckets
     when global — each bucket borrows its predecessor's last K rows), then
-    ONE aggregate computes every r_k and n, and Q is column math on the
-    1-row result.  Output per key (or 1 row): q_stat, df, n."""
+    ONE aggregate computes every centered cross-sum via expanded raw
+    moments, and Q is column math on the 1-row result.  Output per key
+    (or 1 row): q_stat, df, n."""
     if lags < 1:
         raise ValueError("lags must be >= 1")
     sdf = _sdf(frame)
@@ -4572,17 +4609,36 @@ def ljung_box(
             F.col(halo_col), v.alias("__v__"),
             *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
         ).filter(~F.col(halo_col))
+    lag_aggs = []
+    for l in range(1, lags + 1):
+        ll = F.col(f"__l{l}__")
+        lag_aggs += [
+            F.sum(F.col("__v__") * ll).alias(f"__sx{l}__"),
+            F.sum(F.when(ll.isNotNull(), F.col("__v__"))).alias(f"__sc{l}__"),
+            F.sum(ll).alias(f"__sl{l}__"),
+            F.count(ll).cast("double").alias(f"__c{l}__"),
+        ]
     agg = staged.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        *[
-            F.corr(F.col("__v__"), F.col(f"__l{l}__")).alias(f"__r{l}__")
-            for l in range(1, lags + 1)
-        ],
+        F.sum("__v__").alias("__sv__"),
+        F.sum(F.col("__v__") * F.col("__v__")).alias("__svv__"),
+        *lag_aggs,
     )
     n = F.col("n")
+    mean = F.col("__sv__") / n
+    den = F.col("__svv__") - n * mean * mean
     qsum = None
     for l in range(1, lags + 1):
-        term = F.col(f"__r{l}__") * F.col(f"__r{l}__") / (n - float(l))
+        # Σ(v_t−v̄)(v_{t−k}−v̄) over the (n−k) lagged pairs, expanded to
+        # raw moments so the full-series mean centers BOTH factors
+        s = (
+            F.col(f"__sx{l}__")
+            - mean * F.col(f"__sc{l}__")
+            - mean * F.col(f"__sl{l}__")
+            + F.col(f"__c{l}__") * mean * mean
+        )
+        r = s / den
+        term = r * r / (n - float(l))
         qsum = term if qsum is None else qsum + term
     q = n * (n + 2.0) * qsum
     out = agg.select(

@@ -126,3 +126,19 @@ def test_sink_jdbc_overwrite_and_etl_roundtrip(spark):
     assert pl.scan_jdbc(URL, "items_out", properties={"driver": DRIVER}).collect().rows() == [
         (0, "item0", 0.0)
     ]
+
+
+def test_sink_jdbc_validates_mode_and_properties(spark):
+    """r11 ADVICE: a mode typo or a properties key that collides with the
+    explicit url/dbtable/batchsize/truncate options must fail up front,
+    before any plan execution starts."""
+    import pytest
+
+    df = pl.from_records([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError, match="mode 'apend'"):
+        df.write_jdbc(URL, "items_out", mode="apend", properties={"driver": DRIVER})
+    with pytest.raises(ValueError, match="collide"):
+        df.write_jdbc(
+            URL, "items_out", mode="append",
+            properties={"driver": DRIVER, "dbtable": "sneaky"},
+        )

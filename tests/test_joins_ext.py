@@ -402,12 +402,19 @@ class TestFuzzyJoin:
             ["rid", "name"],
         )
         base = sorted(
-            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2).collect().rows()
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2,
+                       length_band=False, distinct_values=False).collect().rows()
         )
         assert len(base) > 0
+        # the DEFAULT (no lever kwargs) must be the levered scale-safe plan
+        # and produce exactly the base pairs (r11: defaults flipped to True)
+        default = sorted(
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2).collect().rows()
+        )
+        assert default == base
         for kw in (
-            {"length_band": True},
-            {"distinct_values": True},
+            {"length_band": True, "distinct_values": False},
+            {"length_band": False, "distinct_values": True},
             {"length_band": True, "distinct_values": True},
         ):
             out = sorted(
@@ -417,13 +424,13 @@ class TestFuzzyJoin:
             assert out == base, kw
         # left-join parity too
         basel = sorted(
-            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, how="left")
-            .collect().rows(), key=str,
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, how="left",
+                       distinct_values=False, length_band=False).collect().rows(),
+            key=str,
         )
         outl = sorted(
-            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, how="left",
-                       distinct_values=True, length_band=True).collect().rows(),
-            key=str,
+            fuzzy_join(l, r, on="name", max_distance=2, block_chars=2, how="left")
+            .collect().rows(), key=str,
         )
         assert outl == basel
 

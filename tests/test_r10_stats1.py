@@ -41,6 +41,17 @@ class TestLinsCcc:
         (ccc, r, cb, *_), = rows(lins_ccc(d, "x", "y"))
         assert r == 1.0 and ccc < 1.0
 
+    def test_zero_variance_raises(self, spark):
+        # degenerate guard (r11): constant x makes r a 0/0 — must raise at
+        # execution, not emit a null row
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        d = spark.createDataFrame([(1.0, y) for y in YS], "x double, y double")
+        with pytest.raises((PySparkException, Py4JJavaError), match="zero variance"):
+            rows(lins_ccc(d, "x", "y"))
+
 
 class TestBlandAltman:
     def test_matches_brute_force(self, spark):
@@ -96,6 +107,17 @@ class TestIccOneway:
         assert abs(msb - msb_ref) < 1e-6 and abs(msw - msw_ref) < 1e-6
         assert abs(icc - icc_ref) < 1e-6
 
+    def test_single_group_raises(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        d = spark.createDataFrame(
+            [("a", v) for v in (1.0, 2.0, 3.0)], "g string, v double"
+        )
+        with pytest.raises((PySparkException, Py4JJavaError), match="2 groups"):
+            rows(icc_oneway(d, "g", "v"))
+
 
 class TestCochranQ:
     def test_matches_brute_force(self, spark):
@@ -127,6 +149,16 @@ class TestCochranQ:
         d = spark.createDataFrame(rows_in, "b int, t string, y int")
         (q, df, nb, k, tot), = rows(cochran_q(d, "b", "t", "y"))
         assert nb == 1 and k == 2
+
+    def test_no_complete_blocks_raises(self, spark):
+        # treatment 'c' appears only in an incomplete block, so k=3 but no
+        # block has all 3 treatments — must raise, not emit a null-q row
+        import pytest
+
+        rows_in = [(1, "a", 1), (1, "b", 0), (2, "a", 1), (2, "c", 1)]
+        d = spark.createDataFrame(rows_in, "b int, t string, y int")
+        with pytest.raises(ValueError, match="no complete blocks"):
+            cochran_q(d, "b", "t", "y")
 
 
 class TestDurbinWatson:

@@ -140,16 +140,15 @@ class TestLjungBox:
         d = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "t int, v double")
         (q, df, n), = rows(ljung_box(d, "v", "t", lags=3))
 
-        def corr(a, b):
-            na = len(a)
-            ma, mb = sum(a) / na, sum(b) / na
-            num = sum((x - ma) * (y - mb) for x, y in zip(a, b))
-            da = math.sqrt(sum((x - ma) ** 2 for x in a))
-            db = math.sqrt(sum((y - mb) ** 2 for y in b))
-            return num / (da * db)
-
+        # canonical ACF estimator (statsmodels acf convention): full-series
+        # mean centers both factors, lag-0 variance is the denominator
         nn = len(vals)
-        rs = [corr(vals[l:], vals[:-l]) for l in (1, 2, 3)]
+        mu = sum(vals) / nn
+        den = sum((x - mu) ** 2 for x in vals)
+        rs = [
+            sum((vals[i] - mu) * (vals[i - l] - mu) for i in range(l, nn)) / den
+            for l in (1, 2, 3)
+        ]
         q_ref = nn * (nn + 2) * sum(r * r / (nn - l) for r, l in zip(rs, (1, 2, 3)))
         assert (df, n) == (3, nn)
         assert abs(q - q_ref) < 1e-4

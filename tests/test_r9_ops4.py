@@ -89,6 +89,38 @@ class TestChrf:
         assert abs(pm - pm_ref) < 1e-6 and abs(rm - rm_ref) < 1e-6
         assert abs(chrf - f_ref) < 1e-6
 
+    def test_high_orders_route_string_fold(self, spark):
+        # r11: max_n back up to 10 (ADVICE) — orders > 7 exceed the
+        # packed-long budget and must take the exact string fold; verify
+        # max_n=9 against brute force on an ASCII pair (which would hit
+        # the fast path for n <= 7 and the slow path for n in 8..9)
+        from collections import Counter
+
+        hyp, ref = "the quick brown fox", "the quick brown cat"
+        h2, r2 = "".join(hyp.split()), "".join(ref.split())
+
+        def grams(s, n):
+            return [s[i:i + n] for i in range(len(s) - n + 1)]
+
+        mx = 9
+        ps, rs = [], []
+        for n in range(1, mx + 1):
+            hc, rc = Counter(grams(h2, n)), Counter(grams(r2, n))
+            m = sum(min(hc[g], rc[g]) for g in hc)
+            if sum(hc.values()) > 0:
+                ps.append(m / sum(hc.values()))
+            if sum(rc.values()) > 0:
+                rs.append(m / sum(rc.values()))
+        pm_ref, rm_ref = sum(ps) / len(ps), sum(rs) / len(rs)
+        f_ref = 5 * pm_ref * rm_ref / (4 * pm_ref + rm_ref)
+        d = spark.createDataFrame([(1, hyp, ref)], "id int, hyp string, ref string")
+        (chrf, pm, rm, nd), = rows(chrf_corpus(d, "hyp", "ref", "id", max_n=mx))
+        assert abs(pm - pm_ref) < 1e-6 and abs(rm - rm_ref) < 1e-6
+        assert abs(chrf - f_ref) < 1e-6
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            chrf_corpus(d, "hyp", "ref", "id", max_n=11)
+
     def test_whitespace_stripped(self, spark):
         d = spark.createDataFrame(
             [(1, "ab cd", "abcd")], "id int, hyp string, ref string"
