@@ -14582,6 +14582,74 @@ FROM m
 """
 
 
+def _q389(spark, sf_dir):
+    """THIRTEENTH true Structured Streaming gate: streaming -> DB export
+    (streaming/stream.py streaming_jdbc_sink) -- the reference's SinkTo IS
+    a streaming DB sink (Polars.FSharp/Types.fs:1395-1444 drives
+    ArrowToDbStream.cs:10-50 through a producer/consumer channel): events
+    stream in across micro-batches and each batch bulk-inserts into an
+    embedded-Derby table through write_jdbc's per-partition parallel
+    append, stamped with its micro-batch id and delete-then-insert
+    idempotent.  The gate reads the TABLE back over JDBC and aggregates:
+    appending a fixed set is batching-independent, so the result is
+    deterministic however the file source slices micro-batches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from polars_net_spark.streaming.stream import streaming_jdbc_sink
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(f"{sf_dir}|events4".encode()).hexdigest()[:8]
+    src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_events4_{tag}")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        spark.read.parquet(ev_path).repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(ev_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+    url = "jdbc:derby:memory:q389db;create=true"
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    # fresh table per run: in-memory Derby persists for the JVM lifetime
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    try:
+        st.executeUpdate("DROP TABLE q389_sink")
+    except Exception:
+        pass
+    st.close()
+    conn.close()
+    ckpt = tempfile.mkdtemp(prefix="q389_ckpt_")
+    with _stream_gate_conf(spark):
+        q = streaming_jdbc_sink(
+            stream, url, "q389_sink", checkpoint=ckpt,
+            properties={"driver": drv}, num_partitions=4,
+        )
+        q.awaitTermination(180)
+        q.stop()
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "q389_sink").option("driver", drv).load()
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_q389_sql = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -14972,6 +15040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q386_quantile_normalize": _q386,
         "q387_page_hinkley": _q387,
         "q388_hurst": _q388,
+        "q389_stream_jdbc": _q389,
     }
 
 
@@ -15365,4 +15434,5 @@ def oracle_sql() -> dict[str, str]:
         "q386_quantile_normalize": _q386_sql,
         "q387_page_hinkley": _q387_sql,
         "q388_hurst": _q388_sql,
+        "q389_stream_jdbc": _q389_sql,
     }

@@ -3,6 +3,7 @@ from .stream import (
     scan_stream_parquet,
     scan_stream_csv,
     scan_stream_rate,
+    streaming_jdbc_sink,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "scan_stream_parquet",
     "scan_stream_csv",
     "scan_stream_rate",
+    "streaming_jdbc_sink",
 ]
