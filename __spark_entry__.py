@@ -14650,6 +14650,42 @@ FROM events GROUP BY event_type
 """
 
 
+def _q390(spark, sf_dir):
+    """Tie-aware rank methods from the DISTINCT (key, value) CELL TABLE
+    (operators/distsort.py cell_ranks) -- the scale lever for q116's shape:
+    a PARTITION BY l_returnflag window caps parallelism at 3 tasks and
+    sorts ~n/3 rows per task (BENCH_SF10: 52x wall at 100x data), while
+    l_quantity has ~50 distinct values, so all four rank methods are
+    functions of the ~150-row cell table: one map-side-combining groupBy,
+    cumulative sums over the cells, one broadcast join back.  Same numbers
+    as q116, no data-sized sort at any scale."""
+    from polars_net_spark.operators.distsort import cell_ranks
+
+    li = _t(spark, sf_dir, "lineitem").spark.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = cell_ranks(li, "l_quantity", partition_by="l_returnflag").spark
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("rank_min").alias("rmin"),
+        F.col("rank_max").alias("rmax"),
+        F.col("rank_average").alias("ravg"),
+        F.col("rank_dense").alias("rdense"),
+    )
+
+
+_q390_sql = """
+SELECT l_orderkey, l_linenumber,
+       CAST(rank() OVER w AS BIGINT) AS rmin,
+       CAST(rank() OVER w + count(*) OVER tw - 1 AS BIGINT) AS rmax,
+       (rank() OVER w + rank() OVER w + count(*) OVER tw - 1) / 2.0 AS ravg,
+       CAST(dense_rank() OVER w AS BIGINT) AS rdense
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+       tw AS (PARTITION BY l_returnflag, l_quantity)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15041,6 +15077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q387_page_hinkley": _q387,
         "q388_hurst": _q388,
         "q389_stream_jdbc": _q389,
+        "q390_cell_ranks": _q390,
     }
 
 
@@ -15435,4 +15472,5 @@ def oracle_sql() -> dict[str, str]:
         "q387_page_hinkley": _q387_sql,
         "q388_hurst": _q388_sql,
         "q389_stream_jdbc": _q389_sql,
+        "q390_cell_ranks": _q390_sql,
     }

@@ -232,3 +232,77 @@ def with_halo_buckets(
 
 
 __all__.extend(["with_halo_buckets", "HALO_COL"])
+
+
+def cell_ranks(
+    frame,
+    value_col: str,
+    partition_by: "str | list[str] | None" = None,
+    methods: "tuple[str, ...]" = ("min", "max", "average", "dense"),
+    prefix: str = "rank_",
+    descending: bool = False,
+):
+    """All the tie-aware rank methods (min/max/average/dense) computed from
+    the DISTINCT (partition, value) CELL TABLE instead of a row-level
+    window — the scale lever for ranking a bounded-cardinality value under
+    a low-cardinality partition key.
+
+    A window `PARTITION BY key ORDER BY value` caps parallelism at
+    |distinct keys| and sorts each key's full row set in one task — with 3
+    keys over 60M rows that is 3 straggler sorts however many cores exist
+    (the BENCH_SF10 q116 shape, 52x wall at 100x data).  But every rank
+    method is a function of ONLY the per-(key, value) row counts:
+
+        rank_min   = 1 + #rows with smaller value (same key)
+        rank_max   = #rows with value <= this one
+        rank_avg   = (rank_min + rank_max) / 2
+        rank_dense = #distinct smaller values + 1
+
+    so: one map-side-combining groupBy builds the cell table (|keys| x
+    |distinct values| rows — thousands, not billions), cumulative sums run
+    over THAT (tiny per-key windows), and one broadcast equi-join on
+    (key, value) attaches the ranks back to the rows.  No data-sized sort,
+    no single-key straggler, one shuffle (the groupBy) at any scale.
+
+    USE WHEN |cells| << |rows| (quantities, prices in cents, ratings,
+    dates); for effectively-unique values the cell table IS the data and a
+    plain window (or distsort range buckets) is the right tool.  Ranks are
+    appended as ``<prefix><method>`` (average is fractional, others long).
+    """
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    bad = [m for m in methods if m not in ("min", "max", "average", "dense")]
+    if bad:
+        raise ValueError(f"unknown rank methods: {bad}")
+    v = F.col(value_col)
+    cells = sdf.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__c__"))
+    order = v.desc() if descending else v.asc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    # cumulative row count up to and including this cell = rank_max;
+    # the cell table is tiny, so per-key single-task windows are fine HERE
+    ranked = cells.select(
+        *keys,
+        value_col,
+        (F.sum("__c__").over(w) - F.col("__c__") + 1).alias("__rmin__"),
+        F.sum("__c__").over(w).alias("__rmax__"),
+        F.row_number().over(w).alias("__rdense__"),
+    )
+    out_cols = []
+    if "min" in methods:
+        out_cols.append(F.col("__rmin__").cast("long").alias(f"{prefix}min"))
+    if "max" in methods:
+        out_cols.append(F.col("__rmax__").cast("long").alias(f"{prefix}max"))
+    if "average" in methods:
+        out_cols.append(
+            ((F.col("__rmin__") + F.col("__rmax__")) / 2.0).alias(f"{prefix}average")
+        )
+    if "dense" in methods:
+        out_cols.append(F.col("__rdense__").cast("long").alias(f"{prefix}dense"))
+    attach = F.broadcast(ranked.select(*keys, value_col, *out_cols))
+    joined = sdf.join(attach, [*keys, value_col], "left")
+    return LazyFrame(joined)
+
+
+__all__.append("cell_ranks")

@@ -9,12 +9,16 @@ ONLY for measuring how query time scales with input size.
 
 Similarity columns are made cross-replica DISTINCT so tiling scales the
 dedup/ANN workload linearly instead of quadratically:
-  - documents.text: replica i>0 applies a Caesar rotation by i to a-z/A-Z
-    (byte count, word lengths, punctuation all preserved), so shingle / gram
-    / minhash structure within a replica is isomorphic to the original but
-    cross-replica gram sets are disjoint (Jaccard ~0).  Without this, 10
-    identical copies of each doc create 45 true duplicate pairs per doc and
-    the pair count grows N², which measures the data artifact, not the join.
+  - documents.text: replica i>0 applies an AFFINE letter substitution
+    x -> (a_i*x + b_i) mod 26 to a-z/A-Z (byte count, word lengths,
+    punctuation all preserved), so shingle / gram / minhash structure within
+    a replica is isomorphic to the original but cross-replica gram sets are
+    disjoint (Jaccard ~0) for up to 312 replicas.  Without this, N identical
+    copies of each doc create C(N,2) true duplicate pairs per doc and the
+    pair count grows N², which measures the data artifact, not the join.
+    (r10 used a plain Caesar rotation, which wraps at 26 — the 100-replica
+    sf10 corpus contained ~4 true copies of every doc and the r10 probe's
+    q30/q197/q212 ratios measured that; see OUTLIER_DIAG_r11.json.)
   - embeddings.embedding: replica i flips component signs by a deterministic
     per-replica ±1 mask.  cosine(s.u, s.v) == cosine(u, v), so within-replica
     geometry (and every LSH/top-k result shape) is preserved exactly, while
@@ -70,10 +74,23 @@ def main() -> None:
             for k in keys:
                 rep = rep.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
             if i > 0 and t == "documents":
+                # AFFINE substitution x -> (a*x + b) mod 26, not a Caesar
+                # rotation: rotation wraps at 26, so replicas 0/26/52/78 of
+                # a 100x tiling got IDENTICAL text and every doc gained ~4
+                # true copies — the r10 sf10 probe then measured that
+                # duplicate-dense corpus (q30 pairs 320x at 10x data), not
+                # the operators (OUTLIER_DIAG_r11.json).  The 12 units of
+                # Z26* x 26 shifts give 312 distinct bijections that all
+                # preserve byte count / word lengths / punctuation.
                 lo = "abcdefghijklmnopqrstuvwxyz"
                 hi = lo.upper()
-                rot = lo[i % 26 :] + lo[: i % 26] + hi[i % 26 :] + hi[: i % 26]
-                rep = rep.withColumn("text", F.translate("text", lo + hi, rot))
+                units = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+                a = units[(i // 26) % 12]
+                b = i % 26
+                sub = "".join(lo[(a * j + b) % 26] for j in range(26))
+                rep = rep.withColumn(
+                    "text", F.translate("text", lo + hi, sub + sub.upper())
+                )
             if i > 0 and t == "embeddings":
                 rep = rep.withColumn(
                     "embedding",

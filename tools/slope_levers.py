@@ -116,6 +116,31 @@ def q171_lever(sf_dir):
     return run
 
 
+def q116_base(sf_dir):
+    """q116 as shipped: row-level windows PARTITION BY l_returnflag (3 keys
+    -> parallelism capped at 3 tasks whatever the core count)."""
+
+    def run(spark):
+        import __spark_entry__ as E
+
+        return E._q116(spark, sf_dir)
+
+    return run
+
+
+def q116_lever(sf_dir):
+    """Same four rank methods from the ~150-row (flag, quantity) cell table
+    (operators/distsort.py cell_ranks): one map-side-combining groupBy +
+    broadcast join back — EXACT (q390 is the hash-verified oracle gate)."""
+
+    def run(spark):
+        import __spark_entry__ as E
+
+        return E._q390(spark, sf_dir)
+
+    return run
+
+
 def main() -> None:
     out_path = "SLOPE_LEVERS.json"
     for a in sys.argv[1:]:
@@ -161,18 +186,45 @@ def main() -> None:
     print(f"q154 lever: {a}s -> {b}s = {b / a:.2f}x on 10x data", flush=True)
 
     # q171: same gate parameterization, exact-result levers ON at both scales
+    # (since r11 this IS fuzzy_join's default plan — re-measured per the r10
+    # verdict's done-criteria for the default flip)
     a = _time(q171_lever(SF01), spark)
     b = _time(q171_lever(SF1), spark)
     rows.append(
         {
             "query": "q171_fuzzy_join",
-            "lever": "distinct_values=True + length_band=True (Levenshtein on distinct names; exact, same pairs)",
+            "lever": "distinct_values=True + length_band=True (Levenshtein on distinct names; exact, same pairs; the DEFAULT since r11)",
             "sf01_sec": a,
             "sf1_sec": b,
             "ratio": round(b / a, 2),
         }
     )
     print(f"q171 lever: {a}s -> {b}s = {b / a:.2f}x on 10x data", flush=True)
+
+    # q116: row-level 3-key window vs the ~150-row cell-table plan (q390) —
+    # both at sf0.1 and sf1, so the row shows the same-scale speedup AND the
+    # lever's own slope
+    base01 = _time(q116_base(SF01), spark)
+    base1 = _time(q116_base(SF1), spark)
+    lev01 = _time(q116_lever(SF01), spark)
+    lev1 = _time(q116_lever(SF1), spark)
+    rows.append(
+        {
+            "query": "q116_rank_methods",
+            "lever": "cell_ranks (q390): rank methods from the (flag, quantity) cell table + broadcast join — exact, hash-verified vs the q116 oracle",
+            "sf01_sec": lev01,
+            "sf1_sec": lev1,
+            "ratio": round(lev1 / lev01, 2),
+            "base_sf01_sec": base01,
+            "base_sf1_sec": base1,
+            "base_ratio": round(base1 / base01, 2),
+        }
+    )
+    print(
+        f"q116 base: {base01}s -> {base1}s = {base1 / base01:.2f}x; "
+        f"cell_ranks lever: {lev01}s -> {lev1}s = {lev1 / lev01:.2f}x",
+        flush=True,
+    )
 
     rec = {"metric": "sf1_slope_levers", "rows": rows}
     json.dump(rec, open(out_path, "w"), indent=1)
