@@ -14686,6 +14686,148 @@ WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
 """
 
 
+def _q391(spark, sf_dir):
+    """Friedman rank test (operators/regression.py friedman_test) of order
+    priority effects with order-years as their own blocks: per (year,
+    priority) cell mean of o_totalprice, average-tie ranks within each
+    complete block, Conover tie-general chi2.  Cell table is tiny (7x5);
+    the only data-sized pass is the one (block, treatment) groupBy."""
+    from polars_net_spark.operators.regression import friedman_test
+
+    o = _t(spark, sf_dir, "orders").spark.select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    return friedman_test(o, "yr", "prio", "v").spark
+
+
+_q391_sql = """
+WITH cells AS (SELECT year(CAST(o_orderdate AS DATE)) AS b, o_orderpriority AS t,
+                      avg(CAST(o_totalprice AS DOUBLE)) AS v
+               FROM orders GROUP BY 1, 2),
+k AS (SELECT count(DISTINCT t) AS k FROM cells),
+sizes AS (SELECT b, count(*) AS kt FROM cells GROUP BY 1),
+complete AS (SELECT c.* FROM cells c JOIN sizes s ON c.b = s.b
+             WHERE s.kt = (SELECT k FROM k)),
+ranked AS (SELECT b, t,
+                  (2.0*rank() OVER (PARTITION BY b ORDER BY v)
+                   + count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS r
+           FROM complete),
+ts AS (SELECT t, sum(r) AS R FROM ranked GROUP BY 1),
+m AS (SELECT count(*) / (SELECT k FROM k) * 1.0 AS nb, sum(r*r) AS sr2 FROM ranked),
+num AS (SELECT sum((R - (SELECT nb FROM m) * ((SELECT k FROM k) + 1) / 2.0)
+                   * (R - (SELECT nb FROM m) * ((SELECT k FROM k) + 1) / 2.0)) AS num
+        FROM ts)
+SELECT round(((SELECT k FROM k) - 1) * (SELECT num FROM num)
+             / ((SELECT sr2 FROM m) - (SELECT nb FROM m) * (SELECT k FROM k)
+                * ((SELECT k FROM k) + 1) * ((SELECT k FROM k) + 1) / 4.0), 6) AS chi2,
+       CAST((SELECT k FROM k) - 1 AS INT) AS df,
+       CAST((SELECT nb FROM m) AS INT) AS n_blocks,
+       CAST((SELECT k FROM k) AS INT) AS k
+"""
+
+
+def _q392(spark, sf_dir):
+    """Wilcoxon signed-rank (operators/regression.py wilcoxon_signed_rank)
+    of gross vs discounted lineitem price - the paired no-normality
+    location test; the global |d| ranking rides the spearman distsort
+    rank-table construction (distinct-value counts in range buckets +
+    driver prefix offsets), no single-partition window."""
+    from polars_net_spark.operators.regression import wilcoxon_signed_rank
+
+    li = _t(spark, sf_dir, "lineitem").spark.select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("double").alias("y"),
+    )
+    return wilcoxon_signed_rank(li, "x", "y").spark
+
+
+_q392_sql = """
+WITH d0 AS (SELECT CAST(l_extendedprice AS DOUBLE)
+                   - CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS d
+            FROM lineitem),
+d1 AS (SELECT d, abs(d) AS a FROM d0 WHERE d != 0),
+r AS (SELECT d, a,
+             (2.0*rank() OVER (ORDER BY a) + count(*) OVER (PARTITION BY a) - 1) / 2.0 AS r
+      FROM d1),
+ties AS (SELECT sum(c*c*c - c) AS tie FROM (SELECT count(*)*1.0 AS c FROM d1 GROUP BY a)),
+m AS (SELECT count(*)*1.0 AS n,
+             sum(CASE WHEN d > 0 THEN r END) AS wp,
+             sum(CASE WHEN d < 0 THEN r END) AS wm
+      FROM r)
+SELECT round(coalesce(wp, 0), 6) AS w_plus,
+       round(coalesce(wm, 0), 6) AS w_minus,
+       round((coalesce(wp, 0) - n*(n + 1)/4.0)
+             / sqrt(n*(n + 1)*(2*n + 1)/24.0 - (SELECT tie FROM ties)/48.0), 6) AS z,
+       CAST(n AS BIGINT) AS n
+FROM m
+"""
+
+
+def _q393(spark, sf_dir):
+    """TOST equivalence (operators/regression.py tost_equivalence): are
+    returned ('R') and accepted ('A') lineitems equivalent in quantity
+    within +/-0.5 units?  ONE fused Welch aggregate, two one-sided t
+    statistics."""
+    from polars_net_spark.operators.regression import tost_equivalence
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return tost_equivalence(
+        li, "l_returnflag", "l_quantity", "A", "R", low=-0.5, high=0.5
+    ).spark
+
+
+_q393_sql = """
+WITH m AS (SELECT avg(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DOUBLE) END) AS ma,
+                  avg(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DOUBLE) END) AS mb,
+                  var_samp(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DOUBLE) END) AS va,
+                  var_samp(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DOUBLE) END) AS vb,
+                  count(CASE WHEN l_returnflag = 'A' THEN 1 END)*1.0 AS na,
+                  count(CASE WHEN l_returnflag = 'R' THEN 1 END)*1.0 AS nb
+           FROM lineitem),
+s AS (SELECT ma, mb, va/na AS sa, vb/nb AS sb, na, nb FROM m)
+SELECT round(ma - mb, 6) AS diff,
+       round(sqrt(sa + sb), 6) AS se,
+       round((ma - mb + 0.5) / sqrt(sa + sb), 6) AS t_lower,
+       round((ma - mb - 0.5) / sqrt(sa + sb), 6) AS t_upper,
+       round((sa + sb)*(sa + sb) / (sa*sa/(na - 1) + sb*sb/(nb - 1)), 6) AS df,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM s
+"""
+
+
+def _q394(spark, sf_dir):
+    """Benjamini-Yekutieli FDR adjustment (operators/regression.py
+    by_adjust) over the q384 pseudo-p frame: BH's distsort suffix-min
+    machinery with the harmonic H_m factor - safe under arbitrary test
+    dependence."""
+    from polars_net_spark.operators.regression import by_adjust
+
+    p = _t(spark, sf_dir, "part").spark.select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") * 37 % 97) / 97.0).alias("p"),
+    )
+    out = by_adjust(p, "p", id_cols="id")
+    return out.spark.select("id", F.round("p", 6).alias("p"), "p_adj")
+
+
+_q394_sql = """
+WITH b AS (SELECT p_partkey AS id, (p_partkey * 37 % 97)/97.0 AS p FROM part),
+hm AS (SELECT sum(1.0/rn) AS h
+       FROM (SELECT row_number() OVER () AS rn FROM b)),
+r AS (SELECT id, p,
+             row_number() OVER (ORDER BY p DESC, id DESC) AS rd,
+             count(*) OVER () AS m
+      FROM b),
+a AS (SELECT id, p,
+             least(1.0, min(p * m * (SELECT h FROM hm) / (m - rd + 1)) OVER
+                   (ORDER BY rd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adj
+      FROM r)
+SELECT id, round(p, 6) AS p, round(adj, 6) AS p_adj FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15078,6 +15220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q388_hurst": _q388,
         "q389_stream_jdbc": _q389,
         "q390_cell_ranks": _q390,
+        "q391_friedman": _q391,
+        "q392_wilcoxon": _q392,
+        "q393_tost": _q393,
+        "q394_by_adjust": _q394,
     }
 
 
@@ -15473,4 +15619,8 @@ def oracle_sql() -> dict[str, str]:
         "q388_hurst": _q388_sql,
         "q389_stream_jdbc": _q389_sql,
         "q390_cell_ranks": _q390_sql,
+        "q391_friedman": _q391_sql,
+        "q392_wilcoxon": _q392_sql,
+        "q393_tost": _q393_sql,
+        "q394_by_adjust": _q394_sql,
     }

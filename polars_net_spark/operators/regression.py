@@ -1001,6 +1001,7 @@ def bh_adjust(
     id_cols: "list[str] | str | None" = None,
     adj_col: str = "p_adj",
     round_to: int = 6,
+    _harmonic: bool = False,
 ) -> LazyFrame:
     """Benjamini–Hochberg FDR adjustment over a frame of p-values (the
     multiple-testing step after running welch_ttest/chi2/ks per slice):
@@ -1030,11 +1031,15 @@ def bh_adjust(
     # per-bucket aggregates, both driver-bounded.
     offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
     m = float(totals["c"])
+    # by_adjust: Benjamini–Yekutieli multiplies the BH raw by the exact
+    # harmonic number H_m (driver loop over the already-known m — ~0.1 s
+    # per million tests, once)
+    c_m = sum(1.0 / i for i in range(1, int(m) + 1)) if _harmonic else 1.0
     tie = [F.col(c) for c in ([id_cols] if isinstance(id_cols, str) else (id_cols or []))]
     wd = Window.partitionBy(bcol).orderBy(pv.desc(), *[c.desc() for c in tie])
     pos_desc = F.col("__off_c__") + F.row_number().over(wd)
     rank_asc = F.lit(m) - pos_desc + 1
-    raw = pv * F.lit(m) / rank_asc
+    raw = pv * F.lit(m * c_m) / rank_asc
     staged = offs.withColumn("__raw__", raw)
     # per-bucket raw minima -> driver prefix-min map (larger-p buckets first)
     rows = staged.groupBy(bcol).agg(F.min("__raw__").alias("mn")).collect()
@@ -4705,4 +4710,252 @@ def holm_adjust(
 
 __all__.extend(
     ["kruskal_wallis", "breusch_pagan", "granger_lag1", "ljung_box", "holm_adjust"]
+)
+
+
+def by_adjust(
+    frame: "LazyFrame | SparkDF",
+    p_col: str,
+    id_cols: "list[str] | str | None" = None,
+    adj_col: str = "p_adj",
+    round_to: int = 6,
+) -> LazyFrame:
+    """Benjamini–Yekutieli FDR adjustment (Benjamini & Yekutieli 2001) —
+    BH's arbitrary-dependence-safe sibling: adjusted pᵢ = min(1,
+    min_{j ≥ i} p₍ⱼ₎·m·H_m/j) with the harmonic number H_m = Σ_{i≤m} 1/i.
+    Use when the tests are correlated in unknown ways (overlapping slices,
+    one metric under many segmentations); costs ~ln(m) power vs BH.
+
+    Same distsort machinery as bh_adjust (range buckets + driver
+    prefix-min offsets — no single-partition window); the only difference
+    is the H_m factor inside the suffix-min, which commutes because it is
+    a positive constant.  Appends ``adj_col``."""
+    return bh_adjust(
+        frame, p_col, id_cols=id_cols, adj_col=adj_col, round_to=round_to,
+        _harmonic=True,
+    )
+
+
+def friedman_test(
+    frame: "LazyFrame | SparkDF",
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Friedman rank test (Friedman 1937) — "do k treatments differ, with
+    blocks as their own controls?": the repeated-measures companion to
+    kruskal_wallis (continuous outcomes) and cochran_q (binary).  Within
+    each complete block the k cell values get average-tie ranks; the
+    tie-general (Conover) statistic
+    χ²_F = (k−1)·Σ_j(R_j − n(k+1)/2)² / (Σ_ij r_ij² − n·k(k+1)²/4)
+    ~ χ²(k−1) under H₀ (equals the classic 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    when no ties).  Duplicate (block, treatment) cells average; k is fixed
+    from the full cell table BEFORE the complete-case filter (the
+    cochran_q convention) and blocks missing any treatment drop — raises
+    when no complete block survives.
+
+    One (block, treatment) groupBy, per-block rank windows (parallelism =
+    #blocks — the natural shard), two fused reduces.  Output (1 row):
+    chi2, df, n_blocks, k."""
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    cells = (
+        sdf.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & v.isNotNull()
+        )
+        .groupBy(F.col(block_col).alias("__b__"), F.col(treatment_col).alias("__t__"))
+        .agg(F.avg(v).alias("__v__"))
+    )
+    from .._cache import register_cache
+
+    cells = register_cache(cells)
+    k_val = cells.select(F.countDistinct("__t__").alias("k")).first()["k"]
+    if k_val < 2:
+        raise ValueError("friedman_test needs at least 2 treatments")
+    sizes = cells.groupBy("__b__").agg(F.count(F.lit(1)).alias("__kt__"))
+    complete = cells.join(
+        sizes.filter(F.col("__kt__") == k_val).select("__b__"), "__b__"
+    )
+    if complete.limit(1).count() == 0:
+        raise ValueError(
+            "friedman_test: no complete blocks — every block is missing at "
+            "least one of the k treatments (k is fixed from the full cell "
+            "table before the complete-case filter)"
+        )
+    wb = Window.partitionBy("__b__")
+    rk = F.rank().over(wb.orderBy(F.col("__v__").asc()))
+    ties = F.count(F.lit(1)).over(wb.orderBy(F.col("__v__").asc()).rangeBetween(0, 0))
+    ranked = complete.select(
+        "__b__", "__t__", (rk + (ties - F.lit(1)) / 2.0).alias("__r__")
+    )
+    ranked = register_cache(ranked)
+    # treatment rank sums over the (tiny) per-treatment table -> ONE number
+    # via a second reduce; n_blocks and Σr² ride the same row-level reduce
+    tstats = ranked.groupBy("__t__").agg(F.sum("__r__").alias("__R__"))
+    k = float(k_val)
+    m = ranked.agg(
+        (F.count(F.lit(1)) / k).cast("double").alias("nb"),
+        F.sum(F.col("__r__") * F.col("__r__")).alias("sr2"),
+    ).first()
+    nb_val = float(m["nb"])
+    sr2_val = float(m["sr2"])
+    num_val = float(
+        tstats.agg(
+            F.sum(
+                (F.col("__R__") - F.lit(nb_val * (k + 1.0) / 2.0))
+                * (F.col("__R__") - F.lit(nb_val * (k + 1.0) / 2.0))
+            )
+        ).first()[0]
+    )
+    den = sr2_val - nb_val * k * (k + 1.0) * (k + 1.0) / 4.0
+    if den <= 0:
+        raise ValueError("friedman_test: all ranks tied — statistic undefined")
+    chi2 = (k - 1.0) * num_val / den
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(chi2, round_to), int(k_val - 1), int(nb_val), int(k_val))],
+        "chi2 double, df int, n_blocks int, k int",
+    )
+    return LazyFrame(out)
+
+
+def wilcoxon_signed_rank(
+    frame: "LazyFrame | SparkDF",
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) — paired two-sample
+    location test without normality: rank |x−y| over all non-zero pairs
+    (average ties), W⁺ = Σ ranks where x>y, and the normal approximation
+    z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48) with the
+    standard tie correction.  Zero differences drop (Wilcoxon's rule);
+    no continuity correction (matches scipy mode='approx', correction=False).
+
+    The global |d| ranking rides the spearman_corr construction: a
+    distinct-value count table in range buckets + driver prefix offsets
+    gives every value its average rank (no single-partition window), the
+    tie term is one reduce over the same table, and ranks join back on the
+    value.  Output (1 row): w_plus, w_minus, z, n."""
+    sdf = _sdf(frame)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (
+        sdf.filter(x.isNotNull() & y.isNotNull())
+        .select((x - y).alias("__d__"))
+        .filter(F.col("__d__") != 0)
+        .select(F.abs("__d__").alias("__a__"), (F.col("__d__") > 0).alias("__pos__"))
+    )
+    from .._cache import register_cache
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    base = register_cache(base)
+    d = base.groupBy("__a__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    d2, gb = with_range_buckets(d, "__a__")
+    d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+    d3 = register_cache(d3)
+    wexcl = (
+        Window.partitionBy(gb)
+        .orderBy(F.col("__a__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumb = F.col("__off_cnt__") + F.coalesce(F.sum("__cnt__").over(wexcl), F.lit(0))
+    ranks = d3.select(
+        "__a__", (cumb + (F.col("__cnt__") + F.lit(1)) / 2.0).alias("__r__")
+    )
+    # tie term over the same distinct-value table — a driver scalar (the
+    # kruskal/cochran plan-literal convention, no 1-row BNLJ attach)
+    tie_val = float(
+        d3.agg(
+            F.sum(
+                F.col("__cnt__").cast("double") * F.col("__cnt__") * F.col("__cnt__")
+                - F.col("__cnt__")
+            )
+        ).first()[0]
+        or 0.0
+    )
+    joined = base.join(ranks, "__a__")
+    m = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("__pos__"), F.col("__r__"))).alias("wp"),
+        F.sum(F.when(~F.col("__pos__"), F.col("__r__"))).alias("wm"),
+    )
+    n = F.col("n")
+    mu = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.lit(tie_val) / 48.0
+    wp = F.coalesce(F.col("wp"), F.lit(0.0))
+    wm = F.coalesce(F.col("wm"), F.lit(0.0))
+    z = F.when(var > 0, (wp - mu) / F.sqrt(var)).otherwise(
+        F.raise_error(
+            F.lit("wilcoxon_signed_rank: zero rank variance (all |d| tied "
+                  "into one group of <2 pairs)")
+        ).cast("double")
+    )
+    out = m.select(
+        F.round(wp, round_to).alias("w_plus"),
+        F.round(wm, round_to).alias("w_minus"),
+        F.round(z, round_to).alias("z"),
+        n.cast("long").alias("n"),
+    )
+    return LazyFrame(out)
+
+
+def tost_equivalence(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    low: float,
+    high: float,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Two One-Sided Tests equivalence procedure (Schuirmann 1987) over a
+    Welch unequal-variance frame: are two groups equivalent WITHIN the
+    margin [low, high]?  t_lower = (Δ − low)/se tests Δ > low, t_upper =
+    (Δ − high)/se tests Δ < high; equivalence at level α iff t_lower ≥
+    t₁₋α(df) AND t_upper ≤ −t₁₋α(df) — the A/B "no worse than" check that
+    a plain t-test cannot give (failing to reject ≠ equivalent).  Feed
+    (t, df) to a t CDF driver-side for p-values (the welch_ttest
+    convention).
+
+    ONE fused aggregate (same six sums as welch_ttest).  Output (1 row):
+    diff, se, t_lower, t_upper, df, n_a, n_b."""
+    if not low < high:
+        raise ValueError("tost_equivalence needs low < high")
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    agg = sdf.filter(g.isin([group_a, group_b])).agg(
+        F.avg(F.when(g == group_a, v)).alias("ma"),
+        F.avg(F.when(g == group_b, v)).alias("mb"),
+        F.var_samp(F.when(g == group_a, v)).alias("va"),
+        F.var_samp(F.when(g == group_b, v)).alias("vb"),
+        F.count(F.when(g == group_a, v)).cast("double").alias("na"),
+        F.count(F.when(g == group_b, v)).cast("double").alias("nb"),
+    )
+    sa = F.col("va") / F.col("na")
+    sb = F.col("vb") / F.col("nb")
+    se = F.sqrt(sa + sb)
+    diff = F.col("ma") - F.col("mb")
+    df_ = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1)
+    )
+    out = agg.select(
+        F.round(diff, round_to).alias("diff"),
+        F.round(se, round_to).alias("se"),
+        F.round((diff - F.lit(float(low))) / se, round_to).alias("t_lower"),
+        F.round((diff - F.lit(float(high))) / se, round_to).alias("t_upper"),
+        F.round(df_, round_to).alias("df"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(
+    ["by_adjust", "friedman_test", "wilcoxon_signed_rank", "tost_equivalence"]
 )
