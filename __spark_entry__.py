@@ -14828,6 +14828,77 @@ SELECT id, round(p, 6) AS p, round(adj, 6) AS p_adj FROM a
 """
 
 
+def _q395(spark, sf_dir):
+    """Anderson-Darling normality screen (operators/regression.py
+    anderson_darling) of log order value - the tail-weighted ECDF test
+    (ks_test's sharper sibling).  Mean/sd as plan literals from one fused
+    reduce; sorted positions ride distsort range buckets + driver prefix
+    offsets; the normal CDF is the A&S 26.2.17 polynomial, replayed
+    verbatim by the oracle."""
+    from polars_net_spark.operators.regression import anderson_darling
+
+    o = _t(spark, sf_dir, "orders").spark.select(
+        F.log(F.col("o_totalprice").cast("double")).alias("v")
+    )
+    return anderson_darling(o, "v").spark
+
+
+_q395_sql = """
+WITH v0 AS (SELECT ln(CAST(o_totalprice AS DOUBLE)) AS v FROM orders),
+m AS (SELECT count(*)*1.0 AS n, avg(v) AS mu, stddev_samp(v) AS sd FROM v0),
+z AS (SELECT (v - (SELECT mu FROM m)) / (SELECT sd FROM m) AS z,
+             row_number() OVER (ORDER BY v) AS i
+      FROM v0),
+c AS (SELECT i, z, 1.0/(1.0 + 0.2316419*abs(z)) AS k FROM z),
+cdf0 AS (SELECT i, z,
+                1.0 - exp(-z*z/2.0)/sqrt(2*pi())
+                      * (k*(0.319381530 + k*(-0.356563782 + k*(1.781477937
+                         + k*(-1.821255978 + k*1.330274429))))) AS up
+         FROM c),
+cdf AS (SELECT i, greatest(least(CASE WHEN z >= 0 THEN up ELSE 1.0 - up END,
+                                 1.0 - 1e-15), 1e-300) AS f
+        FROM cdf0),
+t AS (SELECT sum((2.0*i - 1.0)*ln(f)
+                 + (2.0*((SELECT n FROM m) - i) + 1.0)*ln(1.0 - f)) AS tot
+      FROM cdf)
+SELECT round(-(SELECT n FROM m) - (SELECT tot FROM t)/(SELECT n FROM m), 6) AS a2,
+       round((-(SELECT n FROM m) - (SELECT tot FROM t)/(SELECT n FROM m))
+             * (1.0 + 0.75/(SELECT n FROM m)
+                + 2.25/((SELECT n FROM m)*(SELECT n FROM m))), 6) AS a2_star,
+       round((SELECT mu FROM m), 6) AS mean,
+       round((SELECT sd FROM m), 6) AS sd,
+       CAST((SELECT n FROM m) AS BIGINT) AS n
+"""
+
+
+def _q396(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (llm/similarity.py
+    random_projection): embeddings down to 8 dims with md5-parity +/-1
+    signs - deterministic, engine-replayable, map-only column math (no
+    shuffle, no UDF).  Exploded to (vec_id, dim, value) rows so the hash
+    compare is scalar-exact."""
+    from polars_net_spark.llm.similarity import random_projection
+
+    e = _t(spark, sf_dir, "embeddings").spark.filter(F.col("vec_id") < 500)
+    out = random_projection(e, out_dim=8, seed=11, round_to=6).spark
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
+
+
+_q396_sql = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500),
+d AS (SELECT e.vec_id, j.generate_series AS dim, e.v
+      FROM e CROSS JOIN generate_series(0, 7) j)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+             i -> v[i] * (CASE WHEN substr(md5('11_' || (i - 1) || '_' || dim), 32, 1)
+                               IN ('0','2','4','6','8','a','c','e')
+                          THEN 1.0 ELSE -1.0 END))) / sqrt(8.0), 6) AS value
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15224,6 +15295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q392_wilcoxon": _q392,
         "q393_tost": _q393,
         "q394_by_adjust": _q394,
+        "q395_anderson_darling": _q395,
+        "q396_random_projection": _q396,
     }
 
 
@@ -15623,4 +15696,6 @@ def oracle_sql() -> dict[str, str]:
         "q392_wilcoxon": _q392_sql,
         "q393_tost": _q393_sql,
         "q394_by_adjust": _q394_sql,
+        "q395_anderson_darling": _q395_sql,
+        "q396_random_projection": _q396_sql,
     }

@@ -1871,3 +1871,66 @@ def kmeans_report(
 
 
 __all__.append("kmeans_report")
+
+
+def random_projection(
+    frame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    out_col: str = "projected",
+    seed: int = 0,
+    round_to: "int | None" = None,
+):
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions
+    with the Achlioptas ±1 scheme: out_j = Σᵢ vᵢ·s(i,j)/√out_dim, where
+    the sign s(i,j) is the parity of the last hex digit of
+    md5("<seed>_<i>_<j>") — deterministic, seedable, and REPLAYABLE in
+    any engine with md5 (the dedup_exact md5-determinism convention), so
+    the oracle reproduces the exact matrix without shipping one.  JL:
+    pairwise distances are preserved within (1±ε) for out_dim ≈
+    8·ln(n)/ε² — the standard pre-step before brute-force/IVF ANN when
+    the raw dimension is the cost driver.
+
+    Map-only column math (one transform × aggregate per row, d·out_dim
+    multiply-adds — no shuffle, no UDF, scales embarrassingly).  Appends
+    ``out_col`` (array<double>); ``round_to`` rounds components (set it
+    when hash-comparing across engines)."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    even = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+    def sign(i, j):
+        h = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.lit(str(seed)), i.cast("string"), j.cast("string")
+                )
+            ),
+            32,
+            1,
+        )
+        return F.when(h.isin(*even), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    scale = 1.0 / math.sqrt(float(out_dim))
+    comp = lambda j: F.aggregate(  # noqa: E731
+        F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, i: x * sign(i, j),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) * F.lit(scale)
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(int(out_dim) - 1)), lambda j: comp(j)
+    )
+    if round_to is not None:
+        proj = F.transform(proj, lambda x: F.round(x, int(round_to)))
+    return LazyFrame(sdf.withColumn(out_col, proj))
+
+
+__all__.append("random_projection")

@@ -7,6 +7,8 @@ get exported to pandas happen in-plan instead, at any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame as SparkDF, Window
 from pyspark.sql import functions as F
 
@@ -4959,3 +4961,85 @@ def tost_equivalence(
 __all__.extend(
     ["by_adjust", "friedman_test", "wilcoxon_signed_rank", "tost_equivalence"]
 )
+
+
+def _norm_cdf(z):
+    """Standard normal CDF via the Abramowitz & Stegun 26.2.17 polynomial
+    (|error| < 7.5e-8) — Spark has no erf, so the SAME closed-form
+    polynomial is used here and in the DuckDB oracles (bit-comparable by
+    construction).  Column-in, column-out."""
+    az = F.abs(z)
+    k = 1.0 / (1.0 + 0.2316419 * az)
+    poly = k * (
+        0.319381530
+        + k * (-0.356563782 + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429)))
+    )
+    pdf = F.exp(-az * az / 2.0) / math.sqrt(2.0 * math.pi)
+    upper = 1.0 - pdf * poly
+    return F.when(z >= 0, upper).otherwise(1.0 - upper)
+
+
+def anderson_darling(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Anderson–Darling normality statistic (Anderson & Darling 1952, the
+    tail-weighted ECDF test — more sensitive than ks_test exactly where
+    data pipelines break, in the tails): with sample-estimated mean/sd
+    (Stephens case 3) and ascending positions i,
+    A² = −n − (1/n)·Σᵢ[(2i−1)·lnΦ(zᵢ) + (2(n−i)+1)·ln(1−Φ(zᵢ))],
+    plus the finite-sample correction A*² = A²(1 + 0.75/n + 2.25/n²);
+    compare A*² against Stephens' normality critical values (0.752 at 5%).
+    Φ is the A&S 26.2.17 polynomial (see _norm_cdf) so the oracle can
+    replay it exactly.  Tied values contribute a tie-order-invariant sum
+    (equal Φ, and Σ(2i−1) over a tie block is fixed), so the statistic is
+    deterministic under ties.
+
+    Mean/sd are plan literals from one fused reduce; positions ride
+    distsort range buckets + driver prefix offsets (the holm_adjust
+    construction) — no single-partition window at any n.  Output (1 row):
+    a2, a2_star, mean, sd, n."""
+    from .distsort import with_prefix_offsets, with_range_buckets
+
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    base = sdf.filter(v.isNotNull()).select(v.alias("__v__"))
+    mrow = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("__v__").alias("mu"),
+        F.stddev_samp("__v__").alias("sd"),
+    ).first()
+    n_val, mu_val, sd_val = float(mrow["n"]), mrow["mu"], mrow["sd"]
+    if n_val < 2 or sd_val is None or sd_val <= 0:
+        raise ValueError("anderson_darling: needs n >= 2 and nonzero variance")
+    sd_val = float(sd_val)
+    bucketed, bcol = with_range_buckets(base, "__v__")
+    offs, _tot = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
+    wi = Window.partitionBy(bcol).orderBy(F.col("__v__").asc())
+    pos = F.col("__off_c__") + F.row_number().over(wi)
+    z = (F.col("__v__") - F.lit(float(mu_val))) / F.lit(sd_val)
+    cdf = _norm_cdf(z)
+    # clamp: the polynomial can underflow to exactly 0/1 ~8 sigma out,
+    # where ln() would be -inf; 1e-300 keeps the term finite and exact
+    # everywhere the approximation itself is meaningful
+    cdf = F.greatest(F.least(cdf, F.lit(1.0 - 1e-15)), F.lit(1e-300))
+    term = (2.0 * pos - 1.0) * F.log(cdf) + (
+        2.0 * (F.lit(n_val) - pos) + 1.0
+    ) * F.log(1.0 - cdf)
+    srow = offs.select(term.alias("__t__")).agg(F.sum("__t__")).first()
+    a2 = -n_val - float(srow[0]) / n_val
+    a2s = a2 * (1.0 + 0.75 / n_val + 2.25 / (n_val * n_val))
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(
+            round(a2, round_to), round(a2s, round_to),
+            round(float(mu_val), round_to), round(sd_val, round_to),
+            int(n_val),
+        )],
+        "a2 double, a2_star double, mean double, sd double, n bigint",
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["anderson_darling"])
