@@ -14899,6 +14899,188 @@ FROM d
 """
 
 
+def _q397(spark, sf_dir):
+    """Theta-method forecast (operators/analytics.py theta_forecast) of
+    daily order revenue per priority: OLS trend + SES-smoothed theta-2
+    line, averaged - the M3 winner as ONE codegen array fold per series
+    (no window, no Python); series are keyed by priority (the real
+    forecast-pipeline shard)."""
+    from polars_net_spark.operators.analytics import theta_forecast
+
+    o = _t(spark, sf_dir, "orders").spark
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.unix_date(F.to_date("o_orderdate")).alias("d"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return theta_forecast(daily, "rev", "d", by="prio", alpha=0.5, horizon=3).spark
+
+
+_q397_sql = """
+WITH daily AS (SELECT o_orderpriority AS prio,
+                      date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+                      sum(CAST(o_totalprice AS DOUBLE)) AS rev
+               FROM orders GROUP BY 1, 2),
+g AS (SELECT prio, list(rev ORDER BY d) AS xs FROM daily GROUP BY 1),
+m AS (SELECT prio, xs, len(xs)*1.0 AS n,
+             len(xs)*(len(xs) - 1)/2.0 AS st,
+             len(xs)*(len(xs) - 1)*(2.0*len(xs) - 1)/6.0 AS stt,
+             list_sum(xs) AS sx,
+             list_sum(list_transform(range(len(xs)), i -> xs[i + 1]*i)) AS stx
+      FROM g),
+f AS (SELECT prio, xs, n,
+             CASE WHEN n*stt - st*st > 0
+                  THEN (n*stx - st*sx)/(n*stt - st*st) ELSE 0.0 END AS b,
+             (sx - CASE WHEN n*stt - st*st > 0
+                        THEN (n*stx - st*sx)/(n*stt - st*st) ELSE 0.0 END * st)/n AS a
+      FROM m),
+z AS (SELECT prio, n, a, b,
+             list_transform(range(len(xs)), i -> 2.0*xs[i + 1] - (a + b*i)) AS zs
+      FROM f),
+l AS (SELECT prio, n, a, b,
+             list_reduce(zs, (acc, x) -> 0.5*x + 0.5*acc) AS lvl
+      FROM z)
+SELECT prio, CAST(n AS BIGINT) AS n,
+       round(b, 6) AS slope, round(a, 6) AS intercept,
+       round(lvl, 6) AS ses_level,
+       round(0.5*(lvl + (a + b*(n - 1 + 3))), 6) AS forecast
+FROM l
+"""
+
+
+def _q398(spark, sf_dir):
+    """Brunner-Munzel rank test (operators/regression.py brunner_munzel):
+    accepted vs returned lineitem quantities - the unequal-variance
+    nonparametric Behrens-Fisher test; combined midranks ride the
+    wilcoxon distsort rank table, within-group midranks the same
+    machinery with a (group, bucket)-keyed driver prefix."""
+    from polars_net_spark.operators.regression import brunner_munzel
+
+    li = _t(spark, sf_dir, "lineitem").spark
+    return brunner_munzel(li, "l_returnflag", "l_quantity", "A", "R").spark
+
+
+_q398_sql = """
+WITH b AS (SELECT CASE WHEN l_returnflag = 'A' THEN 'a' ELSE 'b' END AS g,
+                  CAST(l_quantity AS DOUBLE) AS v
+           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+r AS (SELECT g, v,
+             (2.0*rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1)/2.0 AS R,
+             (2.0*rank() OVER (PARTITION BY g ORDER BY v)
+              + count(*) OVER (PARTITION BY g, v) - 1)/2.0 AS wr
+      FROM b),
+m AS (SELECT count(CASE WHEN g = 'a' THEN 1 END)*1.0 AS na,
+             count(CASE WHEN g = 'b' THEN 1 END)*1.0 AS nb,
+             avg(CASE WHEN g = 'a' THEN R END) AS ra,
+             avg(CASE WHEN g = 'b' THEN R END) AS rb,
+             var_samp(CASE WHEN g = 'a' THEN R - wr END) AS sa2,
+             var_samp(CASE WHEN g = 'b' THEN R - wr END) AS sb2
+      FROM r),
+v AS (SELECT na, nb, ra, rb, na*sa2 AS va, nb*sb2 AS vb FROM m)
+SELECT round(na*nb*(rb - ra)/((na + nb)*sqrt(va + vb)), 6) AS w,
+       round((va + vb)*(va + vb)/(va*va/(na - 1) + vb*vb/(nb - 1)), 6) AS df,
+       round((rb - (nb + 1)/2.0)/na, 6) AS p_hat,
+       round(ra, 6) AS mean_rank_a, round(rb, 6) AS mean_rank_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM v
+"""
+
+
+def _q399(spark, sf_dir):
+    """Winnowing fingerprint near-dup pairs (llm/dedup.py winnowing_pairs,
+    the MOSS algorithm): polynomial-rolling-hash k-grams, window minima,
+    inverted-index join on shared fingerprints - position-insensitive
+    excerpt detection at ~2/(w+1) the postings of full gram sets; the
+    hash is explicit long arithmetic so DuckDB replays it exactly."""
+    from polars_net_spark.llm.dedup import winnowing_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_pairs(d, k=8, window=6, threshold=0.3).spark
+
+
+_q399_sql = """
+WITH t AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+           FROM documents),
+t2 AS (SELECT doc_id, s FROM t WHERE length(s) >= 13),
+h AS (SELECT doc_id,
+             list_transform(range(1, length(s) - 6),
+               i -> ((((((((unicode(s[i])::BIGINT * 131 + unicode(s[i+1])) % 1000000007) * 131
+                    + unicode(s[i+2])) % 1000000007 * 131 + unicode(s[i+3])) % 1000000007 * 131
+                    + unicode(s[i+4])) % 1000000007 * 131 + unicode(s[i+5])) % 1000000007 * 131
+                    + unicode(s[i+6])) % 1000000007 * 131 + unicode(s[i+7])) % 1000000007) AS hs
+      FROM t2),
+f AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 4),
+                                          t -> list_min(hs[t:t+5]))) AS fps
+      FROM h WHERE len(hs) >= 6),
+e AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM f),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nf AS na, b.nf AS nb,
+             count(*) AS shared
+      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       round(shared * 1.0 / least(na, nb), 6) AS score
+FROM p WHERE round(shared * 1.0 / least(na, nb), 6) >= 0.3
+"""
+
+
+def _q400(spark, sf_dir):
+    """Fellegi-Sunter record-linkage scoring (operators/joins_ext.py
+    fellegi_sunter_score) over nation-blocked customer candidate pairs:
+    log-likelihood-ratio weights per field agreement (segment, phone
+    area, balance sign), summed score + match/possible/non_match
+    decision - map-only column math on top of the blocking join."""
+    from polars_net_spark.operators.joins_ext import fellegi_sunter_score
+
+    c = _t(spark, sf_dir, "customer").spark
+    left = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    right = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = left.join(right, "nk").filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b",
+        (F.col("seg_a") == F.col("seg_b")).alias("seg_agree"),
+        (F.floor(F.col("bal_a") / 1000.0) == F.floor(F.col("bal_b") / 1000.0)).alias("band_agree"),
+        ((F.col("bal_a") >= 0) == (F.col("bal_b") >= 0)).alias("bal_agree"),
+    )
+    out = fellegi_sunter_score(
+        pairs,
+        {"seg_agree": (0.9, 0.2), "band_agree": (0.85, 0.05), "bal_agree": (0.7, 0.5)},
+        upper=4.0, lower=-2.0,
+    )
+    return out.spark.select("id_a", "id_b", "fs_score", "fs_decision")
+
+
+_q400_sql = """
+WITH l AS (SELECT c_custkey AS id_a, c_nationkey AS nk, c_mktsegment AS seg,
+                  c_acctbal AS bal
+           FROM customer WHERE c_custkey % 10 = 0),
+r AS (SELECT c_custkey AS id_b, c_nationkey AS nk, c_mktsegment AS seg,
+             c_acctbal AS bal
+      FROM customer WHERE c_custkey % 7 = 0),
+p AS (SELECT id_a, id_b,
+             l.seg = r.seg AS seg_agree,
+             floor(l.bal/1000.0) = floor(r.bal/1000.0) AS band_agree,
+             (l.bal >= 0) = (r.bal >= 0) AS bal_agree
+      FROM l JOIN r USING (nk) WHERE id_a != id_b),
+w AS (SELECT id_a, id_b,
+             (CASE WHEN seg_agree THEN log2(0.9/0.2) ELSE log2(0.1/0.8) END)
+             + (CASE WHEN band_agree THEN log2(0.85/0.05) ELSE log2(0.15/0.95) END)
+             + (CASE WHEN bal_agree THEN log2(0.7/0.5) ELSE log2(0.3/0.5) END) AS sc
+      FROM p)
+SELECT id_a, id_b, round(sc, 6) AS fs_score,
+       CASE WHEN round(sc, 6) >= 4.0 THEN 'match'
+            WHEN round(sc, 6) <= -2.0 THEN 'non_match'
+            ELSE 'possible' END AS fs_decision
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15297,6 +15479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q394_by_adjust": _q394,
         "q395_anderson_darling": _q395,
         "q396_random_projection": _q396,
+        "q397_theta_forecast": _q397,
+        "q398_brunner_munzel": _q398,
+        "q399_winnowing": _q399,
+        "q400_fellegi_sunter": _q400,
     }
 
 
@@ -15698,4 +15884,8 @@ def oracle_sql() -> dict[str, str]:
         "q394_by_adjust": _q394_sql,
         "q395_anderson_darling": _q395_sql,
         "q396_random_projection": _q396_sql,
+        "q397_theta_forecast": _q397_sql,
+        "q398_brunner_munzel": _q398_sql,
+        "q399_winnowing": _q399_sql,
+        "q400_fellegi_sunter": _q400_sql,
     }

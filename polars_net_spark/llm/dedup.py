@@ -1630,3 +1630,123 @@ def strip_boilerplate_lines(
 
 
 __all__.append("strip_boilerplate_lines")
+
+
+def winnowing_fingerprints(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    normalized: bool = True,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every k-gram of the (optionally
+    normalized) text with a polynomial rolling hash, slide a window of
+    ``window`` consecutive hashes, and keep each window's MINIMUM — the
+    guarantee is that any shared substring of length ≥ k + window − 1
+    between two documents shares at least one fingerprint, at ~2/(w+1)
+    the storage of full k-gram sets.  The plagiarism/excerpt-detection
+    primitive: position-insensitive (fingerprints are DISTINCT hash
+    values per doc).
+
+    The hash is Σ code_j·131^(k−1−j) mod 1e9+7 in explicit long
+    arithmetic (NOT an engine-native hash), so any engine can replay it —
+    the md5-determinism convention, but cheaper.  Everything is row-local
+    column math (codepoint split + shifted-slice zip_with chain + window
+    minima) — map-only, no shuffle, no Python; cost O(len·window) per
+    doc.  Output: (id, fingerprints array<long>, n_fp)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sdf = _sdf(frame)
+    t = F.lower(F.col(text_col))
+    if normalized:
+        t = F.regexp_replace(t, r"[^a-z0-9]", "")
+    base = sdf.select(F.col(id_col).alias("id"), t.alias("__t__")).filter(
+        F.char_length("__t__") >= k + window - 1
+    )
+    codes = F.expr(
+        "CASE WHEN char_length(__t__) > 0 THEN "
+        "transform(split(__t__, ''), ch -> ascii(ch)) "
+        "ELSE array() END"
+    ).cast("array<long>")
+    staged = base.select("id", codes.alias("__c__"))
+    M = 1_000_000_007
+    B = 131
+    c = F.col("__c__")
+    ln = F.greatest(F.size(c) - (k - 1), F.lit(0))
+    h = F.slice(c, 1, ln)
+    for j in range(1, k):
+        h = F.zip_with(h, F.slice(c, 1 + j, ln), lambda a, b: (a * B + b) % M)
+    fp = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__h__")) - (window - 1)),
+        lambda tpos: F.array_min(F.slice(F.col("__h__"), tpos, window)),
+    )
+    out = (
+        staged.select("id", h.alias("__h__"))
+        .filter(F.size("__h__") >= window)
+        .select("id", F.array_distinct(fp).alias("fingerprints"))
+        .withColumn("n_fp", F.size("fingerprints").cast("long"))
+    )
+    return LazyFrame(out)
+
+
+def winnowing_pairs(
+    frame: "LazyFrame | SparkDF",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: "int | None" = None,
+    round_to: int = 6,
+):
+    """Near-dup/excerpt pairs by shared winnowing fingerprints: score =
+    |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) ≥ threshold (the containment
+    normalization, so an excerpt inside a long doc still scores high).
+
+    Same inverted-index candidate shape as ngram_jaccard_pairs — explode
+    fingerprints, equi-join on the fingerprint, count shared per pair —
+    but over the ~2/(w+1)-compressed fingerprint sets, so the postings
+    join is smaller than the gram join by construction.  ``max_fp_df``
+    is the hot-fingerprint guard (boilerplate): fingerprints shared by
+    more than that many docs leave the index AND the shared counts, so
+    with the guard on, ``score`` is a LOWER BOUND (hot boilerplate can
+    only be un-counted, never fabricated — pairs can be missed or
+    under-scored, never over-scored; denominators stay the full set
+    sizes).  Output: (id_a, id_b, shared, score)."""
+    fps = register_cache(
+        winnowing_fingerprints(
+            frame, text_col, id_col, k=k, window=window
+        ).spark
+    )
+    exploded = fps.select("id", "n_fp", F.explode("fingerprints").alias("fp"))
+    if max_fp_df is not None:
+        fp_df = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            fp_df.filter(F.col("df") <= max_fp_df).select("fp"), "fp"
+        )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "fp"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "fp"
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    score = F.col("shared") / F.least("na", "nb")
+    out = (
+        pairs.withColumn("score", F.round(score, round_to))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"), "score")
+    )
+    return LazyFrame(out)
+
+
+__all__.extend(["winnowing_fingerprints", "winnowing_pairs"])

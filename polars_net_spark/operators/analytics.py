@@ -3655,3 +3655,83 @@ def hurst_exponent(
 
 
 __all__.append("hurst_exponent")
+
+
+def theta_forecast(
+    frame: "LazyFrame | SparkDF",
+    value_col: str,
+    order_col: str,
+    by: "str | list[str] | None" = None,
+    alpha: float = 0.5,
+    horizon: int = 1,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Theta-method point forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3-competition winner; equivalent to SES-with-drift, Hyndman &
+    Billah 2003): decompose the series into the θ=0 line (the OLS linear
+    trend, pure long-run signal) and the θ=2 line Z_t = 2·x_t −
+    (a + b·t) (doubled local curvature), SES-smooth the θ=2 line, and
+    average the two h-step extrapolations:
+    forecast(h) = ½·[ℓ_n + (a + b·(n−1+h))].  ``alpha`` is FIXED (classic
+    Theta optimizes it per series; fixing keeps the op deterministic and
+    engine-replayable — tune it upstream if needed).
+
+    Same scale shape as holt_forecast: the recurrence is sequential
+    WITHIN a series, so each series folds as one array expression
+    (values via array_sort(collect_list(struct))), the OLS trend comes
+    from four closed-form sums over the same array, and everything runs
+    inside codegen — no Python, no window.  Per-key memory contract =
+    series length (key by series, as real forecast pipelines do).
+    Output: ([keys...,] n, slope, intercept, ses_level, forecast)."""
+    sdf = _sdf(frame)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    a_ = float(alpha)
+    if not 0 < a_ <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    v = F.col(value_col).cast("double")
+    o = F.col(order_col)
+    base = sdf.filter(v.isNotNull() & o.isNotNull())
+    gathered = base.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+            lambda s: s["v"],
+        ).alias("__xs__")
+    )
+    xs = F.col("__xs__")
+    n = F.size(xs).cast("double")
+    idx = F.sequence(F.lit(0), F.size(xs) - 1)
+    st = n * (n - 1.0) / 2.0
+    stt = n * (n - 1.0) * (2.0 * n - 1.0) / 6.0
+    sx = F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x)
+    stx = F.aggregate(
+        F.zip_with(xs, idx, lambda x, i: x * i.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = n * stt - st * st
+    slope = F.when(den > 0, (n * stx - st * sx) / den).otherwise(F.lit(0.0))
+    intercept = (sx - slope * st) / n
+    # θ=2 line: z_t = 2·x_t − (a + b·t); SES fold over z with ℓ₁ = z₁
+    zs = F.zip_with(
+        xs, idx, lambda x, i: 2.0 * x - (intercept + slope * i.cast("double"))
+    )
+    level = F.aggregate(
+        F.slice(zs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(zs, 1),
+        lambda acc, z: F.lit(a_) * z + F.lit(1 - a_) * acc,
+    )
+    h = float(horizon)
+    trend_ex = intercept + slope * (n - 1.0 + h)
+    fc = 0.5 * (level + trend_ex)
+    out = gathered.select(
+        *keys,
+        F.size(xs).cast("long").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(level, round_to).alias("ses_level"),
+        F.round(fc, round_to).alias("forecast"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("theta_forecast")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .._fmt import parse_polars_duration_us
 
-__all__ = ["range_join", "salted_join", "fuzzy_join", "overlap_join"]
+__all__ = ["range_join", "salted_join", "fuzzy_join", "overlap_join", "fellegi_sunter_score"]
 
 
 def _as_list(v) -> list[str]:
@@ -645,3 +645,60 @@ def jaro_winkler_join(
 
 
 __all__.extend(["jaro_winkler_join"])
+
+
+def fellegi_sunter_score(
+    frame,
+    fields: "dict[str, tuple[float, float]]",
+    score_col: str = "fs_score",
+    upper: "float | None" = None,
+    lower: "float | None" = None,
+    round_to: int = 6,
+):
+    """Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969) over
+    a candidate-pair frame: for each comparison field with BOOLEAN
+    agreement column ``c`` and probabilities (m, u) — m = P(agree |
+    match), u = P(agree | non-match) — the pair gains log₂(m/u) on
+    agreement and log₂((1−m)/(1−u)) on disagreement; the summed weight is
+    the match score.  This is the decision layer on top of the blocking
+    joins here (fuzzy_join / jaro_winkler_join / winnowing_pairs generate
+    candidates; FS scores them).  Null agreement = no evidence = weight 0
+    (the standard missing-field treatment).
+
+    With ``upper``/``lower`` thresholds a ``fs_decision`` column is
+    appended: 'match' (≥ upper) / 'non_match' (≤ lower) /
+    'possible' (clerical-review band).  Map-only column math — no
+    shuffle, no UDF, linear at any candidate volume.  m, u are inputs
+    (estimate them on labeled pairs or via EM upstream); each must be in
+    (0, 1) with m > u, or the weight signs invert silently — validated
+    here."""
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    if not fields:
+        raise ValueError("fields must name at least one agreement column")
+    import math as _math
+
+    score = F.lit(0.0)
+    for col_name, (m, u) in fields.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {col_name!r}: need 0 < u < m < 1 (got m={m}, u={u})"
+            )
+        agree_w = _math.log2(m / u)
+        disagree_w = _math.log2((1.0 - m) / (1.0 - u))
+        c = F.col(col_name)
+        score = score + F.when(c.isNull(), F.lit(0.0)).otherwise(
+            F.when(c, F.lit(agree_w)).otherwise(F.lit(disagree_w))
+        )
+    out = sdf.withColumn(score_col, F.round(score, round_to))
+    if upper is not None or lower is not None:
+        if upper is None or lower is None or not lower <= upper:
+            raise ValueError("need lower <= upper when thresholding")
+        out = out.withColumn(
+            "fs_decision",
+            F.when(F.col(score_col) >= upper, F.lit("match"))
+            .when(F.col(score_col) <= lower, F.lit("non_match"))
+            .otherwise(F.lit("possible")),
+        )
+    return LazyFrame(out)

@@ -5043,3 +5043,130 @@ def anderson_darling(
 
 
 __all__.extend(["anderson_darling"])
+
+
+def brunner_munzel(
+    frame: "LazyFrame | SparkDF",
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> LazyFrame:
+    """Brunner–Munzel test (Brunner & Munzel 2000) — the rank-based
+    two-sample test WITHOUT mann_whitney_u's equal-variance assumption
+    (the "nonparametric Behrens–Fisher problem"): tests P(A<B)+½P(A=B) =
+    ½ using midranks, group-wise variance estimates, and Satterthwaite
+    df.  Prefer it over Mann–Whitney when the two groups have different
+    spread/shape (the common real case for latency or revenue metrics).
+
+    W = n_a·n_b·(R̄_b − R̄_a) / ((n_a+n_b)·√(n_a·S_a² + n_b·S_b²)), with
+    S_i² the sample variance of (combined midrank − within-group midrank)
+    in group i and p̂ = (R̄_b − (n_b+1)/2)/n_a the stochastic-superiority
+    estimate.
+
+    Combined midranks ride the spearman/wilcoxon distsort rank-table
+    construction; within-group midranks get the same treatment with the
+    driver prefix keyed by (group, bucket) (2·nbuckets rows) — no
+    single-partition window on either ranking.  Output (1 row): w, df,
+    p_hat, mean_rank_a, mean_rank_b, n_a, n_b."""
+    from .._cache import register_cache
+    from .distsort import with_range_buckets
+
+    sdf = _sdf(frame)
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = sdf.filter(v.isNotNull() & g.isin([group_a, group_b])).select(
+        F.when(g == group_a, F.lit("a")).otherwise(F.lit("b")).alias("__g__"),
+        v.alias("__v__"),
+    )
+    base = register_cache(base)
+
+    # combined midranks from the global distinct-value table
+    cells = base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    cells, gb = with_range_buckets(cells, "__v__")
+    from .distsort import with_prefix_offsets
+
+    cells2, _tot = with_prefix_offsets(cells, gb, {"cnt": F.col("__cnt__")})
+    wexcl = (
+        Window.partitionBy(gb)
+        .orderBy(F.col("__v__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumb = F.col("__off_cnt__") + F.coalesce(F.sum("__cnt__").over(wexcl), F.lit(0))
+    comb = cells2.select(
+        "__v__", (cumb + (F.col("__cnt__") + F.lit(1)) / 2.0).alias("__R__")
+    )
+
+    # within-group midranks: (group, value) cells; driver prefix keyed by
+    # (group, bucket) — bounded by 2·nbuckets rows
+    gcells = base.groupBy("__g__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    gcells, gb2 = with_range_buckets(gcells, "__v__")
+    pref_rows = (
+        gcells.groupBy("__g__", gb2).agg(F.sum("__c__").alias("s")).collect()
+    )
+    pref_rows.sort(key=lambda r: (r["__g__"], r[gb2]))
+    offsets: dict = {}
+    running: dict = {}
+    for r in pref_rows:
+        key = (r["__g__"], r[gb2])
+        offsets[key] = running.get(r["__g__"], 0.0)
+        running[r["__g__"]] = offsets[key] + float(r["s"])
+    mp = F.create_map(
+        *[
+            lit
+            for (grp, bk), off in offsets.items()
+            for lit in (F.concat_ws("|", F.lit(grp), F.lit(str(int(bk)))), F.lit(float(off)))
+        ]
+    )
+    off2 = F.coalesce(
+        F.element_at(mp, F.concat_ws("|", F.col("__g__"), F.col(gb2).cast("string"))),
+        F.lit(0.0),
+    )
+    wexcl2 = (
+        Window.partitionBy("__g__", gb2)
+        .orderBy(F.col("__v__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumb2 = off2 + F.coalesce(F.sum("__c__").over(wexcl2), F.lit(0))
+    within = gcells.select(
+        "__g__", "__v__", (cumb2 + (F.col("__c__") + F.lit(1)) / 2.0).alias("__wr__")
+    )
+
+    joined = base.join(comb, "__v__").join(within, ["__g__", "__v__"])
+    d = F.col("__R__") - F.col("__wr__")
+    m = joined.agg(
+        F.count(F.when(F.col("__g__") == "a", 1)).cast("double").alias("na"),
+        F.count(F.when(F.col("__g__") == "b", 1)).cast("double").alias("nb"),
+        F.avg(F.when(F.col("__g__") == "a", F.col("__R__"))).alias("ra"),
+        F.avg(F.when(F.col("__g__") == "b", F.col("__R__"))).alias("rb"),
+        F.var_samp(F.when(F.col("__g__") == "a", d)).alias("sa2"),
+        F.var_samp(F.when(F.col("__g__") == "b", d)).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    va = na * F.col("sa2")
+    vb = nb * F.col("sb2")
+    w = F.when(
+        va + vb > 0,
+        na * nb * (F.col("rb") - F.col("ra")) / ((na + nb) * F.sqrt(va + vb)),
+    ).otherwise(
+        F.raise_error(
+            F.lit("brunner_munzel: zero rank variance in both groups "
+                  "(degenerate input)")
+        ).cast("double")
+    )
+    df_ = (va + vb) * (va + vb) / (va * va / (na - 1.0) + vb * vb / (nb - 1.0))
+    p_hat = (F.col("rb") - (nb + 1.0) / 2.0) / na
+    out = m.select(
+        F.round(w, round_to).alias("w"),
+        F.round(df_, round_to).alias("df"),
+        F.round(p_hat, round_to).alias("p_hat"),
+        F.round("ra", round_to).alias("mean_rank_a"),
+        F.round("rb", round_to).alias("mean_rank_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+    )
+    return LazyFrame(out)
+
+
+__all__.append("brunner_munzel")
