@@ -298,14 +298,23 @@ def kmv_jaccard(
     distinct/union sizes from the k-th smallest hash, and
     intersection ≈ Ĵ·|union|.
 
-    Deterministic (same data + seed + k → same estimate on any engine) and
-    shuffle-light: ONE fused conditional aggregate builds both signatures
-    (map-side combining collect_set partials); the set algebra then runs
-    on the DRIVER over the two ≤k-hash lists (bounded, and it lets an
-    empty segment raise like the sibling two-sample operators instead of
-    emitting a null row).  Exact when a segment has < k distinct values.
-    Output (1 row): k, jaccard_est, n_union_minhashes, distinct_a_est,
-    distinct_b_est, union_est, intersect_est."""
+    Deterministic (same data + seed + k → same estimate on any engine).
+    The bottom-k signatures build in TWO levels so no aggregation buffer
+    ever holds a segment's full distinct set: an Arrow-batched
+    mapInPandas emits each batch's k smallest unique hashes PER GROUP
+    (vectorized numpy — CONSTANT memory, the kmv_distinct unkeyed
+    construction), then the ≤ batches·k survivors merge to the global
+    bottom-k per group — EXACTLY the global answer, since any
+    globally-bottom-k hash is bottom-k within its own batch.  (The r11
+    100x probe caught the single-buffer collect_set version OOMing the
+    JVM at sf10: two groups × millions of distinct md5 strings in one
+    aggregate row; a per-partition collect_set variant still buffered a
+    partition's full distinct set and died the same way.)  The set algebra then runs on the DRIVER over the two
+    ≤k-hash lists (bounded, and it lets an empty segment raise like the
+    sibling two-sample operators instead of emitting a null row).  Exact
+    when a segment has < k distinct values.  Output (1 row): k,
+    jaccard_est, n_union_minhashes, distinct_a_est, distinct_b_est,
+    union_est, intersect_est."""
     sdf = _sdf(frame)
     kk = int(k)
     if kk < 2:
@@ -317,15 +326,28 @@ def kmv_jaccard(
     base = sdf.filter(
         F.col(value_col).isNotNull() & g.isin([group_a, group_b])
     )
-    row = base.agg(
-        F.slice(
-            F.array_sort(F.collect_set(F.when(g == F.lit(group_a), h))), 1, kk
-        ).alias("__sa__"),
-        F.slice(
-            F.array_sort(F.collect_set(F.when(g == F.lit(group_b), h))), 1, kk
-        ).alias("__sb__"),
-    ).collect()[0]
-    sa, sb = list(row["__sa__"] or []), list(row["__sb__"] or [])
+    import pandas as pd
+
+    def kmin(batches):
+        import numpy as np
+
+        for pdf in batches:
+            parts = []
+            for grp, sub in pdf.groupby("__g__", sort=False):
+                vals = np.unique(sub["__h__"].to_numpy())  # sorted unique
+                parts.append(pd.DataFrame({"__g__": grp, "__h__": vals[:kk]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    lvl2 = (
+        base.select(g.cast("string").alias("__g__"), h.alias("__h__"))
+        .mapInPandas(kmin, "__g__ string, __h__ string")
+        .groupBy("__g__")
+        .agg(F.slice(F.array_sort(F.collect_set("__h__")), 1, kk).alias("__s__"))
+    )
+    sigs = {r["__g__"]: list(r["__s__"] or []) for r in lvl2.collect()}
+    sa = sigs.get(str(group_a), [])
+    sb = sigs.get(str(group_b), [])
     if not sa or not sb:
         raise ValueError("kmv_jaccard: both groups need at least 1 row")
 

@@ -90,6 +90,39 @@ NOTES = {
         "lever is cell_ranks (q390, hash-verified same numbers): ~150-row "
         "cell table + broadcast join, SLOPE_LEVERS_r11.json"
     ),
+    "q242_triangles": (
+        "LINEAR: per-round equi-joins on a key-shifted disjoint-replica "
+        "graph (triangle count scales exactly 100x with the tiling)"
+    ),
+    "q292_degree_report": (
+        "LINEAR: one degree aggregate + node-keyed joins + one corr "
+        "reduce; edges scale exactly 100x"
+    ),
+    "q288_holt_forecast": (
+        "compute-LINEAR sequential folds: per-event-type series grow 100x "
+        "in LENGTH and the recurrence is sequential per series; the lever "
+        "is more series keys"
+    ),
+    "q183_embedding_join": (
+        "pinned method='numpy' is all-pairs BLAS by construction; the "
+        "operator AUTO-selects the hyperplane-bucketed equi-join above "
+        "200k rows - corpus-scaled planes measured 10.8x at 100x "
+        "(SLOPE_LEVERS_r11); fixed-plane bucketed is still quadratic"
+    ),
+    "q389_stream_jdbc": (
+        "DB-ENDPOINT-bound: measures embedded Derby's single-JVM insert "
+        "throughput; the Spark side is map-only foreachBatch"
+    ),
+    "q400_fellegi_sunter": (
+        "OUTPUT-bound quadratic by construction: the gate blocks on the "
+        "fixed-cardinality nation key (~48M scored pairs at sf10); FS "
+        "scoring is map-only per candidate - block on a scaling key at "
+        "scale"
+    ),
+    "q348_kmv_jaccard": (
+        "constant-memory since the r11 fix: mapInPandas bottom-k per "
+        "(batch, group); the collect_set version OOMed the JVM at sf10"
+    ),
     "q294_stream_stateful": (
         "streaming harness: availableNow micro-batch + per-batch Python "
         "state overhead; scales with batch count and state keys"
