@@ -1880,6 +1880,7 @@ def random_projection(
     out_col: str = "projected",
     seed: int = 0,
     round_to: "int | None" = None,
+    dim: "int | None" = None,
 ):
     """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions
     with the Achlioptas ±1 scheme: out_j = Σᵢ vᵢ·s(i,j)/√out_dim, where
@@ -1891,43 +1892,55 @@ def random_projection(
     8·ln(n)/ε² — the standard pre-step before brute-force/IVF ANN when
     the raw dimension is the cost driver.
 
-    Map-only column math (one transform × aggregate per row, d·out_dim
-    multiply-adds — no shuffle, no UDF, scales embarrassingly).  Appends
-    ``out_col`` (array<double>); ``round_to`` rounds components (set it
-    when hash-comparing across engines)."""
+    The sign matrix is a function of (i, j) ONLY, so it is computed ONCE
+    driver-side with hashlib (identical md5-parity values) and embedded
+    as d·out_dim ±1 literals the executors index into — NOT re-hashed
+    per row (the r11 plan evaluated d·out_dim md5s per ROW: 1,024
+    hashes/row at d=64·16 — 10¹² pure-waste hashes at 10⁹ rows).  The
+    input dimension d comes from ``dim``; when None it is probed with
+    one column-pruned ``max(size(vec))`` scan — pass ``dim`` explicitly
+    at 100 TB to skip that pass.  Rows with vectors LONGER than d
+    project to NULL components (visible, not silently wrong).
+
+    Map-only column math (one zip_with × aggregate per component — no
+    shuffle, no UDF, no per-row hashing, scales embarrassingly).
+    Appends ``out_col`` (array<double>); ``round_to`` rounds components
+    (set it when hash-comparing across engines)."""
+    import hashlib
+
     from ..frame import LazyFrame
 
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
     if out_dim < 1:
         raise ValueError("out_dim must be >= 1")
+    if dim is None:
+        probed = sdf.select(F.max(F.size(F.col(vec_col)))).first()[0]
+        dim = int(probed or 1)
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    def sign(i: int, j: int) -> float:
+        # exact parity convention of the in-plan version: last hex digit
+        # of md5("<seed>_<i>_<j>") even → +1, odd → -1
+        h = hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[-1]
+        return 1.0 if h in "02468ace" else -1.0
+
+    sign_cols = [
+        F.array(*[F.lit(sign(i, j)) for i in range(int(dim))])
+        for j in range(int(out_dim))
+    ]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    even = ("0", "2", "4", "6", "8", "a", "c", "e")
-
-    def sign(i, j):
-        h = F.substring(
-            F.md5(
-                F.concat_ws(
-                    "_", F.lit(str(seed)), i.cast("string"), j.cast("string")
-                )
-            ),
-            32,
-            1,
-        )
-        return F.when(h.isin(*even), F.lit(1.0)).otherwise(F.lit(-1.0))
-
     scale = 1.0 / math.sqrt(float(out_dim))
-    comp = lambda j: F.aggregate(  # noqa: E731
+    comp = lambda sj: F.aggregate(  # noqa: E731
         F.zip_with(
             v,
             F.sequence(F.lit(0), F.size(v) - 1),
-            lambda x, i: x * sign(i, j),
+            lambda x, i: x * F.get(sj, i.cast("int")),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) * F.lit(scale)
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(int(out_dim) - 1)), lambda j: comp(j)
-    )
+    proj = F.array(*[comp(sj) for sj in sign_cols])
     if round_to is not None:
         proj = F.transform(proj, lambda x: F.round(x, int(round_to)))
     return LazyFrame(sdf.withColumn(out_col, proj))

@@ -241,6 +241,7 @@ def cell_ranks(
     methods: "tuple[str, ...]" = ("min", "max", "average", "dense"),
     prefix: str = "rank_",
     descending: bool = False,
+    broadcast_threshold: "int | None" = 5_000_000,
 ):
     """All the tie-aware rank methods (min/max/average/dense) computed from
     the DISTINCT (partition, value) CELL TABLE instead of a row-level
@@ -268,6 +269,18 @@ def cell_ranks(
     dates); for effectively-unique values the cell table IS the data and a
     plain window (or distsort range buckets) is the right tool.  Ranks are
     appended as ``<prefix><method>`` (average is fractional, others long).
+
+    Misuse guard: the broadcast of a near-unique value column's cell table
+    would be data-sized — an executor/driver OOM, not a slow plan.  The
+    cell count is therefore checked against ``broadcast_threshold`` first
+    (one extra run of the cheap map-side-combined groupBy); above it the
+    attach falls back to a plain shuffle hash join (degraded but safe).
+    Pass ``broadcast_threshold=None`` to skip the count and force the
+    broadcast when the cardinality is known-small.
+
+    NULL values rank the way the window they replace ranks them (ascending
+    → NULLs first, descending → NULLs last, Spark's defaults): NULL is a
+    cell like any other, and the rank attach joins null-safely.
     """
     from ..frame import LazyFrame
 
@@ -300,8 +313,23 @@ def cell_ranks(
         )
     if "dense" in methods:
         out_cols.append(F.col("__rdense__").cast("long").alias(f"{prefix}dense"))
-    attach = F.broadcast(ranked.select(*keys, value_col, *out_cols))
-    joined = sdf.join(attach, [*keys, value_col], "left")
+    jcols = [*keys, value_col]
+    attach = ranked.select(
+        *[F.col(c).alias(f"__cr_{c}__") for c in jcols], *out_cols
+    )
+    if broadcast_threshold is not None:
+        n_cells = cells.count()
+        if n_cells <= int(broadcast_threshold):
+            attach = F.broadcast(attach)
+    else:
+        attach = F.broadcast(attach)
+    cond = None
+    for c in jcols:
+        eq = sdf[c].eqNullSafe(attach[f"__cr_{c}__"])
+        cond = eq if cond is None else (cond & eq)
+    joined = sdf.join(attach, cond, "left").drop(
+        *[f"__cr_{c}__" for c in jcols]
+    )
     return LazyFrame(joined)
 
 

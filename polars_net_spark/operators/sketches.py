@@ -299,22 +299,28 @@ def kmv_jaccard(
     intersection ≈ Ĵ·|union|.
 
     Deterministic (same data + seed + k → same estimate on any engine).
-    The bottom-k signatures build in TWO levels so no aggregation buffer
-    ever holds a segment's full distinct set: an Arrow-batched
-    mapInPandas emits each batch's k smallest unique hashes PER GROUP
-    (vectorized numpy — CONSTANT memory, the kmv_distinct unkeyed
-    construction), then the ≤ batches·k survivors merge to the global
-    bottom-k per group — EXACTLY the global answer, since any
-    globally-bottom-k hash is bottom-k within its own batch.  (The r11
-    100x probe caught the single-buffer collect_set version OOMing the
-    JVM at sf10: two groups × millions of distinct md5 strings in one
-    aggregate row; a per-partition collect_set variant still buffered a
-    partition's full distinct set and died the same way.)  The set algebra then runs on the DRIVER over the two
-    ≤k-hash lists (bounded, and it lets an empty segment raise like the
-    sibling two-sample operators instead of emitting a null row).  Exact
-    when a segment has < k distinct values.  Output (1 row): k,
-    jaccard_est, n_union_minhashes, distinct_a_est, distinct_b_est,
-    union_est, intersect_est."""
+    The bottom-k signatures build with EVERY buffer bounded by O(k), at
+    any data size and any Arrow batch count: a mapInPandas task streams
+    its partition's batches keeping only a RUNNING bottom-k of unique
+    hashes per group (vectorized numpy; ≤ 2k strings per group live at
+    any merge step — never a batch's or partition's full distinct set),
+    so each task emits ≤ |groups|·k rows; the final per-group merge then
+    holds ≤ tasks·k hashes — bounded by cluster parallelism, not by data
+    volume.  This is EXACTLY the global answer, since any globally-
+    bottom-k hash is bottom-k within every subset that contains it.
+    (The r11 100x probe caught the single-buffer collect_set version
+    OOMing the JVM at sf10 — two groups × millions of distinct md5
+    strings in one aggregate row; r11's fix still let the merge buffer
+    grow with the BATCH count; this version's running bottom-k makes the
+    per-task bound constant.)  Group membership is canonicalized IN-PLAN
+    (``F.when(g == lit(group_a), 'a')...``) so non-string group types
+    (booleans, timestamps, decimals) compare natively instead of through
+    divergent Spark-vs-Python string renderings.  The set algebra then
+    runs on the DRIVER over the two ≤k-hash lists (bounded, and it lets
+    an empty segment raise like the sibling two-sample operators instead
+    of emitting a null row).  Exact when a segment has < k distinct
+    values.  Output (1 row): k, jaccard_est, n_union_minhashes,
+    distinct_a_est, distinct_b_est, union_est, intersect_est."""
     sdf = _sdf(frame)
     kk = int(k)
     if kk < 2:
@@ -323,31 +329,42 @@ def kmv_jaccard(
     h = F.md5(
         F.concat(F.lit(str(seed)), F.lit("|"), F.col(value_col).cast("string"))
     )
-    base = sdf.filter(
-        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    # canonicalize membership in-plan: native-typed comparison, fixed
+    # Python-side keys 'a'/'b' (a boolean group renders 'true' in Spark but
+    # 'True' in Python — stringifying both sides diverged)
+    tag = (
+        F.when(g.eqNullSafe(F.lit(group_a)), F.lit("a"))
+        .when(g.eqNullSafe(F.lit(group_b)), F.lit("b"))
     )
+    base = sdf.filter(F.col(value_col).isNotNull()).select(
+        tag.alias("__g__"), h.alias("__h__")
+    ).filter(F.col("__g__").isNotNull())
     import pandas as pd
 
     def kmin(batches):
         import numpy as np
 
+        acc = {}  # group -> sorted unique bottom-k ndarray (≤ k strings)
         for pdf in batches:
-            parts = []
             for grp, sub in pdf.groupby("__g__", sort=False):
-                vals = np.unique(sub["__h__"].to_numpy())  # sorted unique
-                parts.append(pd.DataFrame({"__g__": grp, "__h__": vals[:kk]}))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+                vals = np.unique(sub["__h__"].to_numpy())[:kk]
+                prev = acc.get(grp)
+                acc[grp] = (
+                    vals
+                    if prev is None
+                    else np.unique(np.concatenate([prev, vals]))[:kk]
+                )
+        for grp, vals in acc.items():
+            yield pd.DataFrame({"__g__": grp, "__h__": vals})
 
     lvl2 = (
-        base.select(g.cast("string").alias("__g__"), h.alias("__h__"))
-        .mapInPandas(kmin, "__g__ string, __h__ string")
+        base.mapInPandas(kmin, "__g__ string, __h__ string")
         .groupBy("__g__")
         .agg(F.slice(F.array_sort(F.collect_set("__h__")), 1, kk).alias("__s__"))
     )
     sigs = {r["__g__"]: list(r["__s__"] or []) for r in lvl2.collect()}
-    sa = sigs.get(str(group_a), [])
-    sb = sigs.get(str(group_b), [])
+    sa = sigs.get("a", [])
+    sb = sigs.get("b", [])
     if not sa or not sb:
         raise ValueError("kmv_jaccard: both groups need at least 1 row")
 

@@ -409,12 +409,54 @@ def streaming_jdbc_sink(
     dedup via constraints).  The DELETE runs driver-side over one JDBC
     connection; the INSERT fan-out is per-partition on executors.
 
+    The exactly-once contract is FAIL-LOUD: the only DELETE "failure" that
+    is ever skipped is the table not existing yet (probed via
+    ``DatabaseMetaData.getTables`` BEFORE issuing the DELETE — the first
+    batch creates the table through the append).  Any real DELETE error
+    (connection refused, lock timeout, permission revoked, type mismatch)
+    propagates and FAILS the micro-batch, so Structured Streaming retries
+    it from the checkpoint instead of silently inserting a duplicate copy
+    of a replayed batch.  ``table`` and ``batch_id_col`` are validated as
+    plain identifiers up front, and the DELETE quotes the column with the
+    driver's own identifier quote string (dialect-correct on backtick
+    engines like MySQL, not just ANSI double-quote).
+
     100 TB: state is the DB's problem here — the sink itself holds none;
     size ``num_partitions`` to what the DB endpoint can absorb as concurrent
     connections, and ``batch_size`` to its bulk-insert sweet spot.
 
     Returns the started StreamingQuery."""
     sdf = stream._sdf if isinstance(stream, StreamingFrame) else stream
+    import re as _re
+
+    _ident = _re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+    if not _ident.match(table):
+        raise ValueError(
+            f"streaming_jdbc_sink: table {table!r} is not a plain "
+            "[schema.]identifier — refusing to interpolate it into SQL"
+        )
+    if batch_id_col is not None and not _re.match(
+        r"^[A-Za-z_][A-Za-z0-9_$]*$", batch_id_col
+    ):
+        raise ValueError(
+            f"streaming_jdbc_sink: batch_id_col {batch_id_col!r} is not a "
+            "plain identifier"
+        )
+
+    def _table_exists(conn, md) -> bool:
+        # getTables stores case per-dialect (Derby/Postgres fold differently)
+        schema, _, name = table.rpartition(".")
+        cands = {(schema or None, name)}
+        cands.add(((schema or None) and schema.upper(), name.upper()))
+        cands.add(((schema or None) and schema.lower(), name.lower()))
+        for s, n in cands:
+            rs = md.getTables(None, s, n, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
 
     def _delete_batch(spark, batch_id: int) -> None:
         jvm = spark._jvm
@@ -425,16 +467,23 @@ def streaming_jdbc_sink(
         else:
             conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
+            md = conn.getMetaData()
+            if not _table_exists(conn, md):
+                # ONLY skippable case: first batch — append creates the table
+                return
+            q = md.getIdentifierQuoteString() or '"'
+            if q == " ":  # JDBC spec: a single space means "no quoting"
+                q = ""
             st = conn.createStatement()
             try:
+                # any failure here propagates → the micro-batch fails and is
+                # RETRIED from the checkpoint (never insert-after-failed-delete,
+                # which would duplicate a replayed batch)
                 st.executeUpdate(
-                    f'DELETE FROM {table} WHERE "{batch_id_col}" = {int(batch_id)}'
+                    f"DELETE FROM {table} WHERE {q}{batch_id_col}{q} = {int(batch_id)}"
                 )
             finally:
                 st.close()
-        except Exception:
-            # first batch: the table does not exist yet — append creates it
-            pass
         finally:
             conn.close()
 

@@ -58,6 +58,52 @@ def test_broadcast_join_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_nulls_rank_like_the_window(spark):
+    rows = [
+        (0, "a", None), (1, "a", 2.0), (2, "a", 2.0), (3, "a", None),
+        (4, "a", 5.0), (5, "b", None), (6, "b", 1.0),
+    ]
+    d = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {
+        r["id"]: (r["rank_min"], r["rank_max"], r["rank_average"], r["rank_dense"])
+        for r in cell_ranks(d, "v", partition_by="k").spark.collect()
+    }
+    ref = {
+        r["id"]: (r["rmin"], r["rmax"], r["ravg"], r["rdense"])
+        for r in _window_ref(d, "v", "k").collect()
+    }
+    assert got == ref
+    # descending: Spark desc puts NULLs last — cell plan must agree
+    wd = Window.partitionBy("k").orderBy(F.col("v").desc())
+    refd = {r["id"]: r["r"] for r in d.select(
+        "id", F.rank().over(wd).cast("long").alias("r")).collect()}
+    gotd = {
+        r["id"]: r["rank_min"]
+        for r in cell_ranks(d, "v", partition_by="k", descending=True).spark.collect()
+    }
+    assert gotd == refd
+
+
+def test_broadcast_guard_falls_back_to_shuffle_join(spark):
+    rows = [(i, "k", float(i % 5)) for i in range(100)]
+    d = spark.createDataFrame(rows, "id long, k string, v double")
+    # threshold below the 5-cell table → plain (non-broadcast) join, same answer
+    lf = cell_ranks(d, "v", partition_by="k", broadcast_threshold=2)
+    plan = lf.spark._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    base = {
+        r["id"]: r["rank_min"]
+        for r in cell_ranks(d, "v", partition_by="k").spark.collect()
+    }
+    assert {r["id"]: r["rank_min"] for r in lf.spark.collect()} == base
+    # threshold=None skips the guard count entirely and broadcasts
+    plan2 = (
+        cell_ranks(d, "v", partition_by="k", broadcast_threshold=None)
+        .spark._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan2
+
+
 def test_unknown_method_raises(spark):
     import pytest
 

@@ -105,6 +105,27 @@ class TestKmvJaccard:
         b = rows(kmv_jaccard(d.repartition(17), "v", "g", "a", "b"))
         assert a == b
 
+    def test_non_string_group_types(self, spark):
+        # boolean groups render 'true' in Spark but 'True' in str() —
+        # membership must compare natively, not via string renderings
+        d = spark.createDataFrame(
+            [(True, i) for i in range(100)] + [(False, i) for i in range(50, 150)],
+            "g boolean, v int",
+        )
+        (k, jac, nu, da, db, ue, ie), = rows(
+            kmv_jaccard(d, "v", "g", True, False, k=512)
+        )
+        assert da == 100 and db == 100 and ue == 150 and ie == 50
+        # integer groups too (native equality, exact small case)
+        d2 = spark.createDataFrame(
+            [(7, i) for i in range(40)] + [(9, i) for i in range(20, 60)],
+            "g int, v int",
+        )
+        (_, jac2, _, da2, db2, ue2, ie2), = rows(
+            kmv_jaccard(d2, "v", "g", 7, 9, k=512)
+        )
+        assert da2 == 40 and db2 == 40 and ue2 == 60 and ie2 == 20
+
 
 class TestConnectedComponents:
     def test_islands(self, spark):

@@ -106,6 +106,61 @@ def test_stable_across_three_runs(spark):
     assert outs[0] == outs[1] == outs[2] == sorted(rows)
 
 
+def test_delete_failure_fails_the_batch(spark):
+    """A genuine DELETE failure (here: batch_id column typed VARCHAR, so
+    Derby rejects the integer comparison) must FAIL the micro-batch — not
+    be swallowed and followed by an insert that duplicates a replayed
+    batch.  Regression test for the r11 `except Exception: pass`."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _drop(spark, "sj_fail")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    st = conn.createStatement()
+    st.executeUpdate(
+        'CREATE TABLE sj_fail ("id" INT, "grp" VARCHAR(8), "v" DOUBLE, '
+        '"batch_id" VARCHAR(8))'
+    )
+    st.close()
+    conn.close()
+    rows = [(1, "a", 1.0), (2, "b", 2.0)]
+    src = _src_dir(spark, rows, 1)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_jdbc_sink(
+        stream, URL, "sj_fail",
+        checkpoint=tempfile.mkdtemp(prefix="sjdbc_ckpt_"),
+        properties=PROPS,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    q.stop()
+    # the failed DELETE must block the INSERT: no rows, no silent duplicates
+    n = (
+        spark.read.format("jdbc").option("url", URL)
+        .option("dbtable", "sj_fail").option("driver", DRIVER).load().count()
+    )
+    assert n == 0
+    _drop(spark, "sj_fail")
+
+
+def test_bad_identifiers_rejected_up_front(spark):
+    import pytest
+
+    rows = [(1, "a", 1.0)]
+    src = _src_dir(spark, rows, 1)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ValueError, match="not a plain"):
+        streaming_jdbc_sink(stream, URL, "x; DROP TABLE y", properties=PROPS)
+    with pytest.raises(ValueError, match="batch_id_col"):
+        streaming_jdbc_sink(
+            stream, URL, "ok_table", properties=PROPS,
+            batch_id_col='b" OR 1=1',
+        )
+
+
 def test_plain_append_mode(spark):
     rows = [(1, "a", 1.0), (2, "b", 2.0)]
     src = _src_dir(spark, rows, 1)
