@@ -15090,6 +15090,126 @@ FROM w
 """
 
 
+def _q401(spark, sf_dir):
+    """Fellegi-Sunter EM parameter estimation (operators/joins_ext.py
+    fellegi_sunter_em, Winkler 1988) composed END-TO-END with the
+    scale-safe blocker: fuzzy_join (distinct-value + length-band levers,
+    the r11 defaults) generates part-name candidate pairs (each probe
+    name matches its own source part PLUS its ~duplicate-name family, a
+    real match/non-match mixture with p ~ 1/dup-rate), three attribute
+    agreements (brand / type / size, each perturbed on a different
+    modulus so no estimate is degenerate) form the comparison vector,
+    and 3 unrolled EM rounds from (p=0.1, m=0.9, u=0.1) estimate
+    (m, u, lambda) per field.  ONE distributed pass collapses the pairs
+    to their <= 2^3 agreement patterns; EM is driver math over that
+    bounded table.  The oracle replays the blocking AND every EM round
+    via MATERIALIZED CTEs (the logistic_fit convention)."""
+    from polars_net_spark.operators.joins_ext import fellegi_sunter_em, fuzzy_join
+
+    p = _t(spark, sf_dir, "part").spark
+    left = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand_a"), F.col("p_type").alias("cont_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    right = p.filter(F.col("p_partkey") % 50 == 7).select(
+        (F.col("p_partkey") + 1000000).alias("id_b"),
+        F.expr("substr(p_name, 2)").alias("name"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("Brand#99"))
+        .otherwise(F.col("p_brand")).alias("brand_b"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("XX BOX"))
+        .otherwise(F.col("p_type")).alias("cont_b"),
+        (F.col("p_size")
+         + F.when(F.col("p_partkey") % 4 == 0, F.lit(100)).otherwise(F.lit(0))
+         ).alias("size_b"),
+    )
+    pairs = fuzzy_join(left, right, on="name", max_distance=2, block_chars=12)
+    ag = pairs.spark.select(
+        (F.col("brand_a") == F.col("brand_b")).alias("g_brand"),
+        (F.col("cont_a") == F.col("cont_b")).alias("g_cont"),
+        (F.col("size_a") == F.col("size_b")).alias("g_size"),
+    )
+    return fellegi_sunter_em(ag, ["g_brand", "g_cont", "g_size"], iters=3).spark
+
+
+def _fs_em_iter_sql(prev: str, this: str) -> str:
+    """One EM round as two MATERIALIZED CTEs: e-step sums over the pattern
+    table with params from CTE ``prev``, m-step clamp into CTE ``this``."""
+    w = (
+        f"((SELECT p FROM {prev}) * pm) / "
+        f"((SELECT p FROM {prev}) * pm + (1.0 - (SELECT p FROM {prev})) * pu)"
+    )
+    pm = (
+        f"(CASE WHEN g1 THEN (SELECT m1 FROM {prev}) ELSE 1.0 - (SELECT m1 FROM {prev}) END)"
+        f" * (CASE WHEN g2 THEN (SELECT m2 FROM {prev}) ELSE 1.0 - (SELECT m2 FROM {prev}) END)"
+        f" * (CASE WHEN g3 THEN (SELECT m3 FROM {prev}) ELSE 1.0 - (SELECT m3 FROM {prev}) END)"
+    )
+    pu = (
+        f"(CASE WHEN g1 THEN (SELECT u1 FROM {prev}) ELSE 1.0 - (SELECT u1 FROM {prev}) END)"
+        f" * (CASE WHEN g2 THEN (SELECT u2 FROM {prev}) ELSE 1.0 - (SELECT u2 FROM {prev}) END)"
+        f" * (CASE WHEN g3 THEN (SELECT u3 FROM {prev}) ELSE 1.0 - (SELECT u3 FROM {prev}) END)"
+    )
+    cl = lambda x: f"LEAST(GREATEST({x}, 0.000001), 1.0 - 0.000001)"  # noqa: E731
+    return f"""
+e_{this} AS MATERIALIZED (
+  SELECT sum(c) AS n, sum(c*w) AS sw, sum(c*(1.0-w)) AS su,
+         sum(c*w*(CASE WHEN g1 THEN 1.0 ELSE 0.0 END)) AS am1,
+         sum(c*w*(CASE WHEN g2 THEN 1.0 ELSE 0.0 END)) AS am2,
+         sum(c*w*(CASE WHEN g3 THEN 1.0 ELSE 0.0 END)) AS am3,
+         sum(c*(1.0-w)*(CASE WHEN g1 THEN 1.0 ELSE 0.0 END)) AS au1,
+         sum(c*(1.0-w)*(CASE WHEN g2 THEN 1.0 ELSE 0.0 END)) AS au2,
+         sum(c*(1.0-w)*(CASE WHEN g3 THEN 1.0 ELSE 0.0 END)) AS au3
+  FROM (SELECT c, g1, g2, g3, {w} AS w
+        FROM (SELECT c, g1, g2, g3, {pm} AS pm, {pu} AS pu FROM pat))),
+{this} AS MATERIALIZED (
+  SELECT {cl('sw/n')} AS p,
+         {cl('am1/sw')} AS m1, {cl('am2/sw')} AS m2, {cl('am3/sw')} AS m3,
+         {cl('au1/su')} AS u1, {cl('au2/su')} AS u2, {cl('au3/su')} AS u3,
+         n FROM e_{this})"""
+
+
+_q401_sql = (
+    """
+WITH l AS (SELECT p_partkey AS id_a, lower(trim(p_name)) AS ln,
+                  p_brand AS brand_a, p_type AS cont_a, p_size AS size_a
+           FROM part),
+r AS (SELECT p_partkey + 1000000 AS id_b,
+             lower(trim(substr(p_name, 2))) AS rn,
+             CASE WHEN p_partkey % 3 = 0 THEN 'Brand#99' ELSE p_brand END AS brand_b,
+             CASE WHEN p_partkey % 5 = 0 THEN 'XX BOX' ELSE p_type END AS cont_b,
+             p_size + CASE WHEN p_partkey % 4 = 0 THEN 100 ELSE 0 END AS size_b
+      FROM part WHERE p_partkey % 50 = 7),
+lb AS (SELECT *, unnest(list_distinct([substr(ln, 1, 12), substr(ln, 2, 12)])) AS blk FROM l),
+rb AS (SELECT *, unnest(list_distinct([substr(rn, 1, 12), substr(rn, 2, 12)])) AS blk FROM r),
+cand AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b,
+         brand_a = brand_b AS g1, cont_a = cont_b AS g2, size_a = size_b AS g3
+  FROM lb JOIN rb USING (blk) WHERE levenshtein(ln, rn) <= 2),
+pat AS MATERIALIZED (
+  SELECT g1, g2, g3, CAST(count(*) AS DOUBLE) AS c FROM cand GROUP BY 1, 2, 3),
+k0 AS (SELECT 0.1 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+              0.1 AS u1, 0.1 AS u2, 0.1 AS u3),"""
+    + _fs_em_iter_sql("k0", "k1") + ","
+    + _fs_em_iter_sql("k1", "k2") + ","
+    + _fs_em_iter_sql("k2", "k3")
+    + """
+SELECT 'g_brand' AS field, round(m1, 6) AS m, round(u1, 6) AS u,
+       round(log2(m1/u1), 6) AS w_agree,
+       round(log2((1.0-m1)/(1.0-u1)), 6) AS w_disagree,
+       round(p, 6) AS lambda, CAST(n AS BIGINT) AS n_pairs, CAST(3 AS INT) AS iters
+FROM k3
+UNION ALL
+SELECT 'g_cont', round(m2, 6), round(u2, 6), round(log2(m2/u2), 6),
+       round(log2((1.0-m2)/(1.0-u2)), 6), round(p, 6), CAST(n AS BIGINT), CAST(3 AS INT)
+FROM k3
+UNION ALL
+SELECT 'g_size', round(m3, 6), round(u3, 6), round(log2(m3/u3), 6),
+       round(log2((1.0-m3)/(1.0-u3)), 6), round(p, 6), CAST(n AS BIGINT), CAST(3 AS INT)
+FROM k3
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15492,6 +15612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q398_brunner_munzel": _q398,
         "q399_winnowing": _q399,
         "q400_fellegi_sunter": _q400,
+        "q401_fs_em": _q401,
     }
 
 
@@ -15897,4 +16018,5 @@ def oracle_sql() -> dict[str, str]:
         "q398_brunner_munzel": _q398_sql,
         "q399_winnowing": _q399_sql,
         "q400_fellegi_sunter": _q400_sql,
+        "q401_fs_em": _q401_sql,
     }

@@ -372,18 +372,30 @@ def acf(
     lags: int,
     by: "str | list[str] | None" = None,
     round_to: int = 6,
+    estimator: str = "pearson",
 ) -> LazyFrame:
-    """Autocorrelation at lags 1..``lags``: corr(x_t, x_{t−l}) per key —
-    the Pearson variant (statsmodels acf(adjusted=False) differs slightly;
-    this is the SQL-standard pairwise-complete estimator, documented).
-    One window building all lag columns (single WindowExec) + one aggregate;
-    output long-format (key..., lag, acf).
+    """Autocorrelation at lags 1..``lags`` per key, long-format output
+    (key..., lag, acf).  Two estimators, same plan shape:
 
-    With ``by=None`` the lag window rides distsort halo buckets: each
-    range bucket borrows its predecessor's last ``lags`` rows, so every
-    lag pair a global ordered window would see is present with NO
-    single-partition stage; the final corr reduce is the ordinary 1-row
-    map-side-combining aggregate."""
+    - ``estimator="pearson"`` (default, unchanged): corr(x_t, x_{t−l})
+      — the SQL-standard pairwise-complete estimator; each lag centers
+      on ITS pairs' means.  statsmodels differs slightly.
+    - ``estimator="canonical"``: the textbook/statsmodels convention
+      ``ljung_box`` uses — r_l = Σ_{t>l}(v_t−v̄)(v_{t−l}−v̄) /
+      Σ_t(v_t−v̄)², both factors centered on the FULL-series mean with
+      the lag-0 variance as the one denominator.  With this setting,
+      acf's r_l values are EXACTLY ljung_box's r_l on the same series
+      (cross-checked in tests); the two conventions diverge most on
+      short series and large lags.
+
+    One window building all lag columns (single WindowExec) + one
+    aggregate.  With ``by=None`` the lag window rides distsort halo
+    buckets: each range bucket borrows its predecessor's last ``lags``
+    rows, so every lag pair a global ordered window would see is present
+    with NO single-partition stage; the final reduce is the ordinary
+    1-row map-side-combining aggregate."""
+    if estimator not in ("pearson", "canonical"):
+        raise ValueError("estimator must be 'pearson' or 'canonical'")
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col).cast("double")
@@ -402,12 +414,50 @@ def acf(
             F.col(halo_col), v.alias("__v__"),
             *[F.lag(v, l).over(w).alias(f"__l{l}__") for l in range(1, lags + 1)],
         ).filter(~F.col(halo_col))
-    agg = staged.groupBy(*keys).agg(
-        *[
-            F.round(F.corr(F.col("__v__"), F.col(f"__l{l}__")), round_to).alias(f"__a{l}__")
-            for l in range(1, lags + 1)
-        ]
-    )
+    if estimator == "canonical":
+        # ljung_box's r_l via expanded raw moments: full-series mean
+        # centers both factors, lag-0 variance is the one denominator
+        lag_aggs = []
+        for l in range(1, lags + 1):
+            ll = F.col(f"__l{l}__")
+            lag_aggs += [
+                F.sum(F.col("__v__") * ll).alias(f"__sx{l}__"),
+                F.sum(F.when(ll.isNotNull(), F.col("__v__"))).alias(f"__sc{l}__"),
+                F.sum(ll).alias(f"__sl{l}__"),
+                F.count(ll).cast("double").alias(f"__c{l}__"),
+            ]
+        raw = staged.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("double").alias("__n__"),
+            F.sum("__v__").alias("__sv__"),
+            F.sum(F.col("__v__") * F.col("__v__")).alias("__svv__"),
+            *lag_aggs,
+        )
+        n = F.col("__n__")
+        mean = F.col("__sv__") / n
+        den = F.col("__svv__") - n * mean * mean
+        agg = raw.select(
+            *keys,
+            *[
+                F.round(
+                    (
+                        F.col(f"__sx{l}__")
+                        - mean * F.col(f"__sc{l}__")
+                        - mean * F.col(f"__sl{l}__")
+                        + F.col(f"__c{l}__") * mean * mean
+                    )
+                    / den,
+                    round_to,
+                ).alias(f"__a{l}__")
+                for l in range(1, lags + 1)
+            ],
+        )
+    else:
+        agg = staged.groupBy(*keys).agg(
+            *[
+                F.round(F.corr(F.col("__v__"), F.col(f"__l{l}__")), round_to).alias(f"__a{l}__")
+                for l in range(1, lags + 1)
+            ]
+        )
     entries = F.explode(
         F.array(
             *[

@@ -702,3 +702,143 @@ def fellegi_sunter_score(
             .otherwise(F.lit("possible")),
         )
     return LazyFrame(out)
+
+
+def fellegi_sunter_em(
+    frame,
+    fields: "list[str]",
+    iters: int = 5,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    eps: float = 1e-6,
+    round_to: int = 6,
+):
+    """EM estimation of the Fellegi–Sunter (m, u) parameters (Winkler
+    1988) from an UNLABELED candidate-pair frame — the missing half of
+    the record-linkage stack: ``fellegi_sunter_score`` takes m/u as
+    inputs; this computes them from the candidate pairs a scale-safe
+    blocker (fuzzy_join / winnowing_pairs / jaro_winkler_join) already
+    produced.  Conditional-independence mixture model: each pair is a
+    match with weight w = p·Πf(γf) / (p·Πf(γf) + (1−p)·Πf'(γf)) (E-step),
+    then p, m_f = Σw·γf/Σw·[γf non-null], u_f = Σ(1−w)γf/Σ(1−w)·[...]
+    re-estimate (M-step), for a FIXED ``iters`` rounds from
+    (init_p, init_m, init_u) — fixed rounds = deterministic and
+    externally replayable, the logistic_fit/huber convention.  A NULL
+    agreement contributes no likelihood factor and drops out of that
+    field's M-step sums (the standard missing-field treatment, matching
+    fellegi_sunter_score's weight-0 convention).  Estimates are clamped
+    to [eps, 1−eps] each round (Winkler's degenerate-cell guard), so the
+    log-weights below are always finite.
+
+    SCALE: the E-step weight depends only on the agreement PATTERN, so
+    the pairs collapse to their ≤3^|fields| distinct patterns with ONE
+    map-side-combining groupBy (the only shuffle, linear in candidates);
+    the EM loop then runs driver-side over that bounded pattern table —
+    per-iteration cost is |patterns|·|fields| float ops, independent of
+    the candidate volume.  ``init_m > init_u`` is required: equal
+    initializations make every pattern's weight identical (w ≡ p) and EM
+    cannot leave the symmetric fixed point.
+
+    Output, one row per field (input order): field, m, u,
+    w_agree = log2(m/u), w_disagree = log2((1−m)/(1−u)), lambda (the
+    estimated match proportion p), n_pairs, iters.  A field whose
+    estimates come back with m ≤ u does not discriminate (or inverts) on
+    this candidate set — feed only m > u fields to
+    fellegi_sunter_score."""
+    import math as _math
+
+    from ..frame import LazyFrame
+
+    sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
+    fields = list(fields)
+    if not fields:
+        raise ValueError("fields must name at least one agreement column")
+    if len(fields) > 12:
+        raise ValueError("at most 12 comparison fields (3^F pattern table)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not (0.0 < init_u < init_m < 1.0):
+        raise ValueError(
+            f"need 0 < init_u < init_m < 1 (got m={init_m}, u={init_u})"
+        )
+    if not (0.0 < init_p < 1.0):
+        raise ValueError("init_p must be in (0, 1)")
+    lo, hi = float(eps), 1.0 - float(eps)
+
+    def clamp(x: float) -> float:
+        return min(max(x, lo), hi)
+
+    # the ONE distributed pass: candidates -> bounded pattern table
+    pat_rows = (
+        sdf.groupBy(*[F.col(f).cast("boolean").alias(f) for f in fields])
+        .agg(F.count(F.lit(1)).cast("double").alias("__c__"))
+        .collect()
+    )
+    # fixed driver-side summation order (sorted patterns, None first)
+    pats = sorted(
+        ((tuple(r[f] for f in fields), float(r["__c__"])) for r in pat_rows),
+        key=lambda t: tuple((g is not None, bool(g)) for g in t[0]),
+    )
+    if not pats:
+        raise ValueError("fellegi_sunter_em: no candidate pairs")
+    nf = len(fields)
+    p = float(init_p)
+    m = [float(init_m)] * nf
+    u = [float(init_u)] * nf
+    n = sw = 0.0
+    for _ in range(int(iters)):
+        n = sw = su = 0.0
+        am, cm = [0.0] * nf, [0.0] * nf
+        au, cu = [0.0] * nf, [0.0] * nf
+        for gs, c in pats:
+            pm = pu = 1.0
+            for i, g in enumerate(gs):
+                if g is None:
+                    continue
+                pm *= m[i] if g else (1.0 - m[i])
+                pu *= u[i] if g else (1.0 - u[i])
+            w = p * pm / (p * pm + (1.0 - p) * pu)
+            n += c
+            sw += c * w
+            su += c * (1.0 - w)
+            for i, g in enumerate(gs):
+                if g is None:
+                    continue
+                cm[i] += c * w
+                cu[i] += c * (1.0 - w)
+                if g:
+                    am[i] += c * w
+                    au[i] += c * (1.0 - w)
+        for i, f in enumerate(fields):
+            if cm[i] == 0.0 or cu[i] == 0.0:
+                raise ValueError(
+                    f"fellegi_sunter_em: field {f!r} has no non-null "
+                    "agreements on any weighted pair"
+                )
+        p = clamp(sw / n)
+        m = [clamp(am[i] / cm[i]) for i in range(nf)]
+        u = [clamp(au[i] / cu[i]) for i in range(nf)]
+    rows = [
+        (
+            f,
+            round(m[i], round_to),
+            round(u[i], round_to),
+            round(_math.log2(m[i] / u[i]), round_to),
+            round(_math.log2((1.0 - m[i]) / (1.0 - u[i])), round_to),
+            round(p, round_to),
+            int(n),
+            int(iters),
+        )
+        for i, f in enumerate(fields)
+    ]
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        rows,
+        "field string, m double, u double, w_agree double, "
+        "w_disagree double, lambda double, n_pairs bigint, iters int",
+    )
+    return LazyFrame(out)
+
+
+__all__.append("fellegi_sunter_em")

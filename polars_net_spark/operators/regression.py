@@ -4587,8 +4587,10 @@ def ljung_box(
     (statsmodels/textbook): lag-k autocovariance over lag-0 variance,
     both centered on the FULL-series mean with n denominators —
     r_k = Σ_{t>k}(v_t−v̄)(v_{t−k}−v̄) / Σ_t(v_t−v̄)².  (The in-repo
-    ``acf`` operator keeps its documented pairwise-Pearson convention;
-    ljung_box matches the external references instead — r11 ADVICE.)
+    ``acf`` operator defaults to its documented pairwise-Pearson
+    convention; ``acf(..., estimator="canonical")`` computes EXACTLY
+    this r_k, so the two operators agree when asked — r11 ADVICE +
+    r11 verdict #7, cross-checked in tests/test_timeseries_stats.)
 
     One window builds all K lag columns (per key, or distsort halo buckets
     when global — each bucket borrows its predecessor's last K rows), then

@@ -326,6 +326,48 @@ class TestTimeSeriesStats:
         assert abs(out[1] + 1.0) < 1e-6
         assert abs(out[2] - 1.0) < 1e-6
 
+    def test_acf_canonical_matches_ljung_box_and_numpy(self, spark):
+        """acf(estimator='canonical') must produce EXACTLY ljung_box's r_k
+        (reconstruct Q from the acf values) and the textbook formula."""
+        import math
+        import random
+
+        from polars_net_spark.operators.analytics import acf
+        from polars_net_spark.operators.regression import ljung_box
+
+        rng = random.Random(5)
+        xs = [rng.gauss(0, 1) + 0.4 * math.sin(t / 3.0) for t in range(60)]
+        d = spark.createDataFrame(
+            [("k", t, x) for t, x in enumerate(xs)], ["g", "t", "v"]
+        )
+        K = 4
+        r = {
+            row[1]: row[2]
+            for row in acf(
+                d, "v", "t", lags=K, by="g", estimator="canonical", round_to=9
+            ).collect().rows()
+        }
+        # textbook r_k
+        n = len(xs)
+        m = sum(xs) / n
+        den = sum((x - m) ** 2 for x in xs)
+        for k in range(1, K + 1):
+            rk = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n)) / den
+            assert abs(r[k] - rk) < 1e-8
+        # and Q reconstructed from acf == ljung_box's Q
+        _, q, df, nn = ljung_box(d, "v", "t", lags=K, by="g").collect().rows()[0]
+        q_from_acf = n * (n + 2) * sum(r[k] ** 2 / (n - k) for k in range(1, K + 1))
+        assert abs(q - q_from_acf) < 1e-4
+
+    def test_acf_bad_estimator_raises(self, spark):
+        import pytest
+
+        from polars_net_spark.operators.analytics import acf
+
+        d = spark.createDataFrame([("k", 0, 1.0)], ["g", "t", "v"])
+        with pytest.raises(ValueError, match="estimator"):
+            acf(d, "v", "t", lags=1, estimator="spearman")
+
     def test_cusum_flags_level_shift(self, spark):
         from polars_net_spark.operators.analytics import cusum_flags
 
