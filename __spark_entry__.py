@@ -15210,6 +15210,79 @@ FROM k3
 )
 
 
+def _q402(spark, sf_dir):
+    """FOURTEENTH true Structured Streaming gate: STREAM-STREAM UNION +
+    watermarked dedup merge — the reference's multi-source SinkTo shape
+    (Polars.FSharp/Types.fs:1395-1444 fans several result streams into one
+    sink) under real unbounded-source semantics.  Two INDEPENDENT file
+    streams carry overlapping event slices (A: event_id%3 IN (0,1), B:
+    event_id%3 IN (1,2) — the %3==1 third arrives on BOTH), each stream
+    sets its OWN watermark (1h vs 2h delays — the engine coordinates the
+    global watermark as the min across sources, which q373's FULL OUTER
+    join only exercises for joins), and dropDuplicatesWithinWatermark on
+    event_id keeps bounded per-key state so every event survives exactly
+    once.  Emitting (event_id, event_type) keeps the gate deterministic:
+    both copies of an overlap row are identical, so WHICH copy survives
+    does not matter.  availableNow single batch; state is bounded by the
+    watermark horizon at any stream length."""
+    import os
+
+    import hashlib, tempfile
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def _slice_dir(tag_expr: str, name: str) -> str:
+        tag = hashlib.md5(f"{sf_dir}|{name}".encode()).hexdigest()[:8]
+        d = os.path.join(tempfile.gettempdir(), f"stream_union_{name}_{tag}")
+        done = os.path.join(d, "_SUCCESS")
+        if not os.path.exists(done):
+            (
+                spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+                .filter(F.expr(tag_expr))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+        return d
+
+    dir_a = _slice_dir("event_id % 3 IN (0, 1)", "a")
+    dir_b = _slice_dir("event_id % 3 IN (1, 2)", "b")
+    # the raw parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    cols = [
+        F.col("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type"),
+    ]
+    sa = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 100000)
+        .parquet(dir_a).select(*cols).withWatermark("ts", "1 hour")
+    )
+    sb = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 100000)
+        .parquet(dir_b).select(*cols).withWatermark("ts", "2 hours")
+    )
+    merged = sa.unionByName(sb).dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type"
+    )
+    try:
+        spark.catalog.dropTempView("q402_stream_union")
+    except Exception:
+        pass
+    with _stream_gate_conf(spark):
+        q = (
+            merged.writeStream.format("memory").queryName("q402_stream_union")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table("q402_stream_union")
+
+
+_q402_sql = """
+SELECT event_id, event_type FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15613,6 +15686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q399_winnowing": _q399,
         "q400_fellegi_sunter": _q400,
         "q401_fs_em": _q401,
+        "q402_stream_union_dedup": _q402,
     }
 
 
@@ -16019,4 +16093,5 @@ def oracle_sql() -> dict[str, str]:
         "q399_winnowing": _q399_sql,
         "q400_fellegi_sunter": _q400_sql,
         "q401_fs_em": _q401_sql,
+        "q402_stream_union_dedup": _q402_sql,
     }
