@@ -15283,6 +15283,77 @@ SELECT event_id, event_type FROM events
 """
 
 
+def _q403(spark, sf_dir):
+    """FULL-LOOP unsupervised record linkage: the q401 candidate family
+    (scale-safe fuzzy_join blocking over part names) -> fellegi_sunter_em
+    estimates (m, u) per field with NO labels -> the estimates feed
+    fellegi_sunter_score, which weighs and thresholds every candidate
+    pair into match / possible / non_match.  This is the composition the
+    reference's DB-linkage users run end-to-end; m/u pass through at
+    their published 6-dp rounding so the oracle can replay the scoring
+    from its own EM CTE chain.  Candidate volume scales with the blocked
+    join (linear on near-unique names); EM is one pattern groupBy +
+    bounded driver math; scoring is map-only."""
+    from polars_net_spark.operators.joins_ext import (
+        fellegi_sunter_em,
+        fellegi_sunter_score,
+        fuzzy_join,
+    )
+
+    p = _t(spark, sf_dir, "part").spark
+    left = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand_a"), F.col("p_type").alias("cont_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    right = p.filter(F.col("p_partkey") % 50 == 7).select(
+        (F.col("p_partkey") + 1000000).alias("id_b"),
+        F.expr("substr(p_name, 2)").alias("name"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("Brand#99"))
+        .otherwise(F.col("p_brand")).alias("brand_b"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("XX BOX"))
+        .otherwise(F.col("p_type")).alias("cont_b"),
+        (F.col("p_size")
+         + F.when(F.col("p_partkey") % 4 == 0, F.lit(100)).otherwise(F.lit(0))
+         ).alias("size_b"),
+    )
+    pairs = fuzzy_join(left, right, on="name", max_distance=2, block_chars=12)
+    ag = pairs.spark.select(
+        "id_a", "id_b",
+        (F.col("brand_a") == F.col("brand_b")).alias("g_brand"),
+        (F.col("cont_a") == F.col("cont_b")).alias("g_cont"),
+        (F.col("size_a") == F.col("size_b")).alias("g_size"),
+    )
+    est = {
+        r["field"]: (r["m"], r["u"])
+        for r in fellegi_sunter_em(
+            ag, ["g_brand", "g_cont", "g_size"], iters=3
+        ).spark.collect()
+    }
+    scored = fellegi_sunter_score(ag, est, upper=6.0, lower=-2.0)
+    return scored.spark.select("id_a", "id_b", "fs_score", "fs_decision")
+
+
+_q403_sql = (
+    _q401_sql.split("SELECT 'g_brand'")[0].rstrip()
+    + """,
+w AS (SELECT id_a, id_b,
+       (CASE WHEN g1 THEN log2(round(m1,6)/round(u1,6))
+             ELSE log2((1.0-round(m1,6))/(1.0-round(u1,6))) END)
+     + (CASE WHEN g2 THEN log2(round(m2,6)/round(u2,6))
+             ELSE log2((1.0-round(m2,6))/(1.0-round(u2,6))) END)
+     + (CASE WHEN g3 THEN log2(round(m3,6)/round(u3,6))
+             ELSE log2((1.0-round(m3,6))/(1.0-round(u3,6))) END) AS sc
+      FROM cand, k3)
+SELECT id_a, id_b, round(sc, 6) AS fs_score,
+       CASE WHEN round(sc, 6) >= 6.0 THEN 'match'
+            WHEN round(sc, 6) <= -2.0 THEN 'non_match'
+            ELSE 'possible' END AS fs_decision
+FROM w
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01,
@@ -15687,6 +15758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q400_fellegi_sunter": _q400,
         "q401_fs_em": _q401,
         "q402_stream_union_dedup": _q402,
+        "q403_fs_full_loop": _q403,
     }
 
 
@@ -16094,4 +16166,5 @@ def oracle_sql() -> dict[str, str]:
         "q400_fellegi_sunter": _q400_sql,
         "q401_fs_em": _q401_sql,
         "q402_stream_union_dedup": _q402_sql,
+        "q403_fs_full_loop": _q403_sql,
     }

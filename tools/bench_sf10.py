@@ -14,14 +14,26 @@ parameterization, scaled the way production would scale them).
 
 Usage: python tools/bench_sf10.py [--runs=N] [--timeout=SEC] [--out=PATH]
                                   [--seed=PATH] [--sf1=PATH] [--sf01=PATH]
-                                  [--auto-threshold=R] [query ...]
+                                  [--auto-threshold=R] [--noise-margin=M]
+                                  [query ...]
 --seed: a prior (partial) output; queries already present are not re-run.
---sf1/--sf01: per-query sf1 (BENCH_SF1_r*.json) and sf0.1 (BENCH_local.json)
-artifacts — any gate whose sf1/sf0.1 ratio exceeds --auto-threshold (default
-2.5) is AUTO-ADDED to the probe set, so new heavyweights can't skip the 100x
-point by not being on the hand-picked list (r10 verdict #5).  Defaults: the
+--sf1/--sf01: per-query sf1 (BENCH_SF1_r*.json) and sf0.1 artifacts — any
+gate whose sf1/sf0.1 ratio exceeds --auto-threshold (default 2.5) is
+AUTO-ADDED to the probe set, so new heavyweights can't skip the 100x point
+by not being on the hand-picked list (r10 verdict #5).  Defaults: the
 newest BENCH_SF1_r*.json in the repo root + BENCH_local.json; pass
 --sf1=none to disable.
+
+NOISE ROBUSTNESS (r11 verdict #1): the artifact denominators are single
+recorded runs on a possibly-loaded host — r11's probe missed 10 qualifying
+gates because ITS BENCH_local record was ~1.6x slower than the driver's
+re-run.  Two defenses: (a) --sf01 accepts a comma-separated list of sf0.1
+artifacts and uses the element-wise MIN per query (min-of-records, the same
+convention queries_sf1_min already applies to the sf1 side); (b) gates
+within --noise-margin (default 1.15x) of the threshold are ALSO included —
+the probe then measures both sides same-session (min of --runs), so the
+RECORDED ratio_10x is noise-robust regardless of what the artifacts said;
+margin-admitted rows carry their artifact ratio for transparency.
 """
 
 from __future__ import annotations
@@ -127,6 +139,42 @@ NOTES = {
         "streaming harness: availableNow micro-batch + per-batch Python "
         "state overhead; scales with batch count and state keys"
     ),
+    "q396_random_projection": (
+        "map-only LINEAR: d*out_dim multiply-adds per row against a "
+        "driver-precomputed literal sign matrix (r12 — the r11 plan "
+        "re-hashed d*out_dim md5s per ROW)"
+    ),
+    "q173_stream_sessions": (
+        "HARNESS-bound at sf10: the gate pins COMPLETE mode + memory sink "
+        "(deterministic table for the oracle), which materializes every "
+        "session on the driver heap — 10M events OOMed the probe JVM; the "
+        "production shape (watermark + APPEND to a distributed sink, "
+        "state bounded by the watermark) is the _levered row"
+    ),
+    "q173_stream_sessions_levered": (
+        "production shape: watermark + append-mode session windows to a "
+        "noop streaming sink; state bounded by the 1h watermark, no "
+        "driver materialization"
+    ),
+    "q189_bootstrap_ci": (
+        "compute-LINEAR by design: B resamples as one exploded "
+        "poisson-weight aggregate — work is B*n weighted sums"
+    ),
+    "q385_jaro_winkler": (
+        "OUTPUT-bound on the tiled corpus: 64 distinct part names at every "
+        "scale, distinct-level JW compute CONSTANT, matched ROW pairs grow "
+        "exactly 10,000x at 100x via copies_l*copies_r re-expansion "
+        "(OUTLIER_DIAG_r12) - q171's class"
+    ),
+    "q32_embedding_pairs": (
+        "pinned method='numpy' all-pairs BLAS: pair count 10,005x at 100x "
+        "(OUTLIER_DIAG_r12); operator default auto-selects the "
+        "hyperplane-bucketed path above 200k rows (q183/q97 levered rows)"
+    ),
+    "q248_rake": (
+        "compute-LINEAR: total chars scale exactly 100x "
+        "(OUTLIER_DIAG_r12); (doc,word)-keyed map-side-combining aggregates"
+    ),
 }
 
 # the sf1 slope outliers + one representative per heavyweight class
@@ -139,10 +187,14 @@ DEFAULT_QUERIES = [
     "q214_containment_df_prefix",
     "q242_triangles", "q251_label_propagation", "q292_degree_report",
     "q294_stream_stateful", "q373_stream_full_outer",
+    "q173_stream_sessions_levered",
     "q116_rank_methods", "q390_cell_ranks", "q124_winsorize", "q302_median_ci",
     "q309_weighted_quantiles",
     "q59_range_join", "q60_salted_join", "q88_join_where",
     "q01_pricing_summary",
+    # r12: show the precomputed-sign-matrix JL projection at the 100x point
+    # (the r11 version hashed d*out_dim md5s per ROW)
+    "q396_random_projection",
 ]
 
 LEVER_PARAMS = {
@@ -161,15 +213,27 @@ def _builder(name, tag, sf, qs):
     if name == "q154_simhash_levered":
         bands, h = LEVER_PARAMS[name][tag]
         return lambda spark: SL.q154_lever(sf, bands, h)(spark)
+    if name == "q173_stream_sessions_levered":
+        return lambda spark: SL.q173_lever(sf)(spark)
     return lambda spark: qs[name](spark, sf)
 
 
-def _auto_heavy(sf1_path: "str | None", sf01_path: str, threshold: float) -> list[str]:
-    """Gates whose measured sf1/sf0.1 wall ratio exceeds ``threshold`` —
-    read from the artifacts, so the probe list tracks the data instead of a
-    hand-maintained constant."""
+def _auto_heavy(
+    sf1_path: "str | None",
+    sf01_path: str,
+    threshold: float,
+    noise_margin: float = 1.15,
+) -> "dict[str, float]":
+    """Gates whose measured sf1/sf0.1 wall ratio exceeds
+    ``threshold / noise_margin`` — read from the artifacts, so the probe
+    list tracks the data instead of a hand-maintained constant.  Returns
+    {name: artifact_ratio}.  The margin admits gates a noisy (loaded-host)
+    sf0.1 denominator would hide; the probe's own same-session min-of-runs
+    measurement is the recorded truth either way.  The sf0.1 side takes the
+    element-wise MIN across every artifact in the comma-separated
+    ``sf01_path`` (min-of-records, mirroring queries_sf1_min)."""
     if sf1_path == "none":
-        return []
+        return {}
     if sf1_path is None:
         import glob
         import re
@@ -179,12 +243,21 @@ def _auto_heavy(sf1_path: "str | None", sf01_path: str, threshold: float) -> lis
             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
         )
         if not cands:
-            return []
+            return {}
         sf1_path = cands[-1]
-    if not (os.path.exists(sf1_path) and os.path.exists(sf01_path)):
-        return []
+    if not os.path.exists(sf1_path):
+        return {}
     sf1 = json.load(open(sf1_path)).get("queries_sf1_min", {})
-    sf01 = json.load(open(sf01_path)).get("queries", {})
+    sf01: dict[str, float] = {}
+    for p in sf01_path.split(","):
+        p = p.strip()
+        if not (p and os.path.exists(p)):
+            continue
+        for q, t in json.load(open(p)).get("queries", {}).items():
+            if isinstance(t, (int, float)):
+                sf01[q] = min(sf01.get(q, t), t)
+    if not sf01:
+        return {}
     # the >= 1 s floor keeps sub-second fixed-overhead gates out: a 0.3 s ->
     # 0.8 s "ratio 2.7" is session noise, not a heavyweight (the same
     # data-dominated cut the slope artifacts use)
@@ -195,12 +268,18 @@ def _auto_heavy(sf1_path: "str | None", sf01_path: str, threshold: float) -> lis
         "q97_semdedup": "q97_semdedup_levered",
         "q154_simhash_pairs": "q154_simhash_levered",
     }
-    heavy = [
-        levered.get(q, q) for q, t1 in sf1.items()
-        if sf01.get(q) and t1 >= 1.0 and t1 / sf01[q] > threshold
-    ]
+    # q173's PINNED gate shape (complete mode + memory sink) materializes
+    # every session on the driver heap — OOM at sf10 by harness
+    # construction; probe BOTH it (cause-noted) and the production shape
+    eff = threshold / noise_margin
+    heavy = {
+        levered.get(q, q): round(t1 / sf01[q], 2)
+        for q, t1 in sf1.items()
+        if sf01.get(q) and t1 >= 1.0 and t1 / sf01[q] > eff
+    }
     print(
-        f"auto-include (sf1 ratio > {threshold} from {os.path.basename(sf1_path)}): "
+        f"auto-include (sf1 ratio > {threshold}/{noise_margin} = {eff:.2f} "
+        f"from {os.path.basename(sf1_path)} / min-of[{sf01_path}]): "
         f"{sorted(heavy)}",
         flush=True,
     )
@@ -210,11 +289,12 @@ def _auto_heavy(sf1_path: "str | None", sf01_path: str, threshold: float) -> lis
 def main() -> None:
     runs = 2
     timeout = 600.0
-    out_path = "BENCH_SF10_r11.json"
+    out_path = "BENCH_SF10_r12.json"
     seed_path = None
     sf1_path = None
     sf01_path = "/root/repo/BENCH_local.json"
     auto_threshold = 2.5
+    noise_margin = 1.15
     names: list[str] = []
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
@@ -231,11 +311,15 @@ def main() -> None:
             sf01_path = a.split("=", 1)[1]
         elif a.startswith("--auto-threshold="):
             auto_threshold = float(a.split("=", 1)[1])
+        elif a.startswith("--noise-margin="):
+            noise_margin = float(a.split("=", 1)[1])
         else:
             names.append(a)
+    auto_ratios: dict[str, float] = {}
     if not names:
         names = list(DEFAULT_QUERIES)
-        for q in _auto_heavy(sf1_path, sf01_path, auto_threshold):
+        auto_ratios = _auto_heavy(sf1_path, sf01_path, auto_threshold, noise_margin)
+        for q in auto_ratios:
             if q not in names:
                 names.append(q)
 
@@ -304,6 +388,8 @@ def main() -> None:
             row["ratio_10x"] = round(row["sf1"] / row["sf0.1"], 2)
         if row.get("sf0.1") and row.get("sf10"):
             row["ratio_100x"] = round(row["sf10"] / row["sf0.1"], 2)
+        if name in auto_ratios:
+            row["auto_ratio_artifact"] = auto_ratios[name]
         if name in NOTES:
             row["note"] = NOTES[name]
         results[name] = row

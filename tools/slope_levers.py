@@ -233,3 +233,50 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def q173_lever(sf_dir):
+    """PRODUCTION shape of the q173 session windows: watermark + APPEND
+    mode to a noop streaming sink — state bounded by the watermark, no
+    driver materialization.  The GATE pins complete-mode + memory sink
+    (deterministic table for the oracle), which materializes every
+    session on the driver heap — at sf10 (10M events) that harness shape
+    OOMs the JVM; a real deployment writes append-mode to a
+    distributed sink exactly as here."""
+
+    def run(spark):
+        import os
+        import tempfile
+
+        import __spark_entry__ as E
+        from pyspark.sql import functions as F
+
+        src_dir = E._stream_stage_dir(sf_dir, "events")
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 100000)
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        )
+        with E._stream_gate_conf(spark):
+            q = (
+                stream.writeStream.format("noop")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q173lev_"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            q.stop()
+        return spark.range(1)
+
+    return run
