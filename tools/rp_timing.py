@@ -80,22 +80,22 @@ def main() -> None:
     t_new = run(
         lambda: random_projection(
             emb, "embedding", out_dim=out_dim, round_to=6
-        ).spark.select("doc_id", "projected")
+        ).spark.select("vec_id", "projected")
     )
     t_old = run(
         lambda: legacy_projection(emb, "embedding", out_dim).select(
-            "doc_id", "projected"
+            "vec_id", "projected"
         )
     )
     # exactness: identical output (same md5 parities, same arithmetic)
     new_rows = dict(
         random_projection(emb, "embedding", out_dim=out_dim, round_to=6)
-        .spark.select("doc_id", F.to_json("projected").alias("p"))
+        .spark.select("vec_id", F.to_json("projected").alias("p"))
         .collect()
     )
     old_rows = dict(
         legacy_projection(emb, "embedding", out_dim)
-        .select("doc_id", F.to_json("projected").alias("p"))
+        .select("vec_id", F.to_json("projected").alias("p"))
         .collect()
     )
     identical = new_rows == old_rows
