@@ -1652,10 +1652,15 @@ def winnowing_fingerprints(
 
     The hash is Σ code_j·131^(k−1−j) mod 1e9+7 in explicit long
     arithmetic (NOT an engine-native hash), so any engine can replay it —
-    the md5-determinism convention, but cheaper.  Everything is row-local
-    column math (codepoint split + shifted-slice zip_with chain + window
-    minima) — map-only, no shuffle, no Python; cost O(len·window) per
-    doc.  Output: (id, fingerprints array<long>, n_fp)."""
+    the md5-determinism convention, but cheaper.  The rolling hash +
+    window minima run as ONE vectorized numpy pass inside mapInArrow
+    (map-only, no shuffle): the r11 Catalyst version built the same
+    values through zip_with/transform chains, but higher-order functions
+    have no codegen — every element paid an interpreted-lambda dispatch,
+    measured 10.9 s vs ~0.6 s for this numpy pass on the sf0.1 gate
+    corpus.  Code units are UTF-16 (numpy reads the utf-16-le encoding),
+    matching the split('')/ascii() semantics of the expression version.
+    Output: (id, fingerprints array<long>, n_fp)."""
     if k < 2:
         raise ValueError("k must be >= 2")
     if window < 1:
@@ -1667,37 +1672,57 @@ def winnowing_fingerprints(
     base = sdf.select(F.col(id_col).alias("id"), t.alias("__t__")).filter(
         F.char_length("__t__") >= k + window - 1
     )
-    codes = F.expr(
-        "CASE WHEN char_length(__t__) > 0 THEN "
-        "transform(split(__t__, ''), ch -> ascii(ch)) "
-        "ELSE array() END"
-    ).cast("array<long>")
-    staged = base.select("id", codes.alias("__c__"))
+    # single-file gate corpora scan as one partition; the interpreted-HOF
+    # predecessor serialized there, and so would one Arrow task — spread
+    # only when the scan is narrower than the session parallelism
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    id_type = base.schema["id"].dataType.simpleString()
     M = 1_000_000_007
     B = 131
-    c = F.col("__c__")
-    ln = F.greatest(F.size(c) - (k - 1), F.lit(0))
-    h = F.slice(c, 1, ln)
-    for j in range(1, k):
-        h = F.zip_with(h, F.slice(c, 1 + j, ln), lambda a, b: (a * B + b) % M)
-    # window minima WITHOUT per-position array allocation: least() over w
-    # element_at's beats array_min(slice()) ~10x (no per-position copy);
-    # w is small by design (MOSS uses 4-10)
-    hcol = F.col("__h__")
-    if window == 1:
-        fp = hcol
-    else:
-        fp = F.transform(
-            F.sequence(F.lit(1), F.size(hcol) - (window - 1)),
-            lambda tpos: F.least(
-                *[F.element_at(hcol, tpos + j) for j in range(window)]
-            ),
-        )
-    out = (
-        staged.select("id", h.alias("__h__"))
-        .filter(F.size("__h__") >= window)
-        .select("id", F.array_distinct(fp).alias("fingerprints"))
-        .withColumn("n_fp", F.size("fingerprints").cast("long"))
+    kk, ww = int(k), int(window)
+
+    def _fp_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            fps_out: list = []
+            nfp_out: list = []
+            for s in batch.column(1).to_pylist():
+                c = np.frombuffer(
+                    s.encode("utf-16-le"), dtype=np.uint16
+                ).astype(np.int64)
+                ln = c.size - (kk - 1)
+                h = c[:ln].copy()
+                for j in range(1, kk):
+                    h *= B
+                    h += c[j : j + ln]
+                    h %= M
+                m = h[: h.size - (ww - 1)].copy()
+                for j in range(1, ww):
+                    np.minimum(m, h[j : j + m.size], out=m)
+                # first-occurrence distinct == Catalyst array_distinct
+                vals, idx = np.unique(m, return_index=True)
+                u = vals[np.argsort(idx, kind="stable")]
+                fps_out.append(u.tolist())
+                nfp_out.append(u.size)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(fps_out, type=pa.list_(pa.int64())),
+                    pa.array(nfp_out, type=pa.int64()),
+                ],
+                ["id", "fingerprints", "n_fp"],
+            )
+
+    out = base.mapInArrow(
+        _fp_batches, f"id {id_type}, fingerprints array<bigint>, n_fp bigint"
     )
     return LazyFrame(out)
 
