@@ -1045,31 +1045,58 @@ def bleu_corpus(
         _word_array(F.col(ref_col)).alias("__wr__"),
     )
     base = _spread(base)
-    # projection barrier: every gram array builds once, then the folds
-    # reference the materialized columns
-    staged = base.select(
-        "*",
-        *[_grams_of(F.col("__wh__"), n).alias(f"__gh{n}__") for n in range(1, max_n + 1)],
-        *[_grams_of(F.col("__wr__"), n).alias(f"__gr{n}__") for n in range(1, max_n + 1)],
+    # Clipped word-gram matches run vectorized in one mapInArrow pass
+    # emitting per-batch integer partials (the chrf_corpus shape) — the
+    # Catalyst sort+fold this replaces was interpreted HOF code (no
+    # codegen).  Tuple grams hash-count identically to the concat_ws
+    # string grams (words are \s+-split, so joining is injective).
+    maxn = int(max_n)
+
+    def _partials(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        fields = (
+            ["nd", "hl", "rl"]
+            + [f"m{n}" for n in range(1, maxn + 1)]
+            + [f"h{n}" for n in range(1, maxn + 1)]
+        )
+        for batch in batches:
+            whs = batch.column(0).to_pylist()
+            wrs = batch.column(1).to_pylist()
+            hl = rl = 0
+            m = [0] * (maxn + 1)
+            hh = [0] * (maxn + 1)
+            for wh, wr in zip(whs, wrs):
+                hl += len(wh)
+                rl += len(wr)
+                for n in range(1, maxn + 1):
+                    gh = Counter(zip(*[wh[i:] for i in range(n)]))
+                    gr = Counter(zip(*[wr[i:] for i in range(n)]))
+                    hh[n] += sum(gh.values())
+                    m[n] += sum((gh & gr).values())
+            vals = [len(whs), hl, rl] + m[1:] + hh[1:]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([v], type=pa.int64()) for v in vals], fields
+            )
+
+    schema = ", ".join(
+        f"{f} bigint"
+        for f in ["nd", "hl", "rl"]
+        + [f"m{n}" for n in range(1, maxn + 1)]
+        + [f"h{n}" for n in range(1, maxn + 1)]
     )
-    scored = staged.select(
-        F.size("__wh__").cast("long").alias("__hl__"),
-        F.size("__wr__").cast("long").alias("__rl__"),
-        *[
-            _clipped_match(F.col(f"__gh{n}__"), F.col(f"__gr{n}__")).alias(f"__m{n}__")
-            for n in range(1, max_n + 1)
-        ],
-        *[F.size(f"__gh{n}__").cast("long").alias(f"__h{n}__") for n in range(1, max_n + 1)],
-    )
+    parts = base.select("__wh__", "__wr__").mapInArrow(_partials, schema)
     aggs = [
-        F.count(F.lit(1)).alias("nd"),
-        F.sum("__hl__").alias("hl"),
-        F.sum("__rl__").alias("rl"),
+        F.sum("nd").alias("nd"),
+        F.sum("hl").alias("hl"),
+        F.sum("rl").alias("rl"),
     ]
     for n in range(1, max_n + 1):
-        aggs.append(F.sum(f"__m{n}__").alias(f"m{n}"))
-        aggs.append(F.sum(f"__h{n}__").alias(f"h{n}"))
-    red = scored.agg(*aggs).collect()[0]
+        aggs.append(F.sum(f"m{n}").alias(f"m{n}"))
+        aggs.append(F.sum(f"h{n}").alias(f"h{n}"))
+    red = parts.agg(*aggs).collect()[0]
     n_docs = int(red["nd"] or 0)
     if n_docs == 0:
         raise ValueError("bleu_corpus: no usable rows")
@@ -1139,23 +1166,58 @@ def rouge_n(
         _word_array(F.col(ref_col)).alias("__wr__"),
     )
     base = _spread(base)
-    staged = base.select(
-        _grams_of(F.col("__wh__"), n).alias("__gh__"),
-        _grams_of(F.col("__wr__"), n).alias("__gr__"),
+    # per-doc clipped matches vectorized in one mapInArrow partials pass
+    # (the bleu_corpus/chrf_corpus shape — the interpreted Catalyst fold
+    # had no codegen); macro recall partials carry (Σ m/rt, count rt>0)
+    # so the final mean divides pooled partials exactly like F.avg does
+    nn = int(n)
+
+    def _partials(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for batch in batches:
+            whs = batch.column(0).to_pylist()
+            wrs = batch.column(1).to_pylist()
+            m_t = ht_t = rt_t = 0
+            mac_s, mac_c = 0.0, 0
+            for wh, wr in zip(whs, wrs):
+                gh = Counter(zip(*[wh[i:] for i in range(nn)]))
+                gr = Counter(zip(*[wr[i:] for i in range(nn)]))
+                ht_i = sum(gh.values())
+                rt_i = sum(gr.values())
+                m_i = sum((gh & gr).values())
+                m_t += m_i
+                ht_t += ht_i
+                rt_t += rt_i
+                if rt_i > 0:
+                    mac_s += m_i / rt_i
+                    mac_c += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([len(whs)], type=pa.int64()),
+                    pa.array([m_t], type=pa.int64()),
+                    pa.array([rt_t], type=pa.int64()),
+                    pa.array([ht_t], type=pa.int64()),
+                    pa.array([mac_s], type=pa.float64()),
+                    pa.array([mac_c], type=pa.int64()),
+                ],
+                ["nd", "m", "rt", "ht", "mac_s", "mac_c"],
+            )
+
+    parts = base.select("__wh__", "__wr__").mapInArrow(
+        _partials,
+        "nd bigint, m bigint, rt bigint, ht bigint, mac_s double, mac_c bigint",
     )
-    scored = staged.select(
-        _clipped_match(F.col("__gh__"), F.col("__gr__")).alias("__m__"),
-        F.size("__gh__").cast("long").alias("__ht__"),
-        F.size("__gr__").cast("long").alias("__rt__"),
-    )
-    red = scored.agg(
-        F.count(F.lit(1)).alias("nd"),
-        F.sum("__m__").alias("m"),
-        F.sum("__rt__").alias("rt"),
-        F.sum("__ht__").alias("ht"),
-        F.avg(
-            F.when(F.col("__rt__") > 0, F.col("__m__") / F.col("__rt__"))
-        ).alias("macro_r"),
+    red = parts.agg(
+        F.sum("nd").alias("nd"),
+        F.sum("m").alias("m"),
+        F.sum("rt").alias("rt"),
+        F.sum("ht").alias("ht"),
+        (F.sum("mac_s") / F.when(F.sum("mac_c") > 0, F.sum("mac_c"))).alias(
+            "macro_r"
+        ),
     ).collect()[0]
     n_docs = int(red["nd"] or 0)
     m, rt, ht = (float(red[k] or 0) for k in ("m", "rt", "ht"))
@@ -1309,49 +1371,102 @@ def chrf_corpus(
         F.regexp_replace(F.col(ref_col), r"\s+", "").alias("__r__"),
     )
     base = _spread(base)
-    # projection barrier: the codepoint arrays are referenced by all
-    # max_n gram builders plus the Latin-1 test, so they build once
-    staged = base.select(
-        "__h__",
-        "__r__",
-        _char_codes("__h__").alias("__ch__"),
-        _char_codes("__r__").alias("__cr__"),
-    )
-    latin1 = (
-        F.coalesce(F.array_max("__ch__"), F.lit(0)) < 256
-    ) & (F.coalesce(F.array_max("__cr__"), F.lit(0)) < 256)
+    # Per-row clipped matches run as ONE vectorized numpy pass inside
+    # mapInArrow emitting per-batch integer partial sums (nd, m_n, h_n,
+    # r_n), reduced by a tiny sum aggregate.  The r11 Catalyst version
+    # computed the same integers through array_sort + aggregate() folds,
+    # but higher-order functions have no codegen — CHRF_PROFILE_r11
+    # measured the interpreted sort (4.1 s) + fold lambda (6.1 s) as the
+    # whole cost at sf1.  Gram windows are CODEPOINT windows exactly as
+    # before (the expression version's Latin-1 fast path only fired when
+    # code units == codepoints, and its string fallback used codepoint
+    # substr); totals stay char_length arithmetic (len(str) = codepoints).
+    maxn = int(max_n)
 
-    def m_of(n):
-        # both branches reference their gram arrays ONCE each (inside the
-        # merged concat), so inlining them here is re-evaluation-safe; the
-        # when() keeps evaluation lazy per row — Latin-1 rows never build
-        # string gram arrays and vice versa.  Orders above 7 exceed the
-        # 8-bit × n ≤ 7 packed-long budget, so they take the exact
-        # string-fold path unconditionally (same fold, wider key)
-        slow = _clipped_match(_char_grams("__h__", n), _char_grams("__r__", n))
-        if n > 7:
-            return slow
-        fast = _clip_long(
-            _long_grams(F.col("__ch__"), n), _long_grams(F.col("__cr__"), n)
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        def clipped(gh, gr):
+            uh, ch = np.unique(gh, return_counts=True)
+            ur, cr = np.unique(gr, return_counts=True)
+            common, ih, ir = np.intersect1d(
+                uh, ur, assume_unique=True, return_indices=True
+            )
+            if common.size == 0:
+                return 0
+            return int(np.minimum(ch[ih], cr[ir]).sum())
+
+        def packed(c, n):
+            ln = c.size - (n - 1)
+            if ln <= 0:
+                return c[:0]
+            g = c[:ln].copy()
+            for j in range(1, n):
+                g *= 256
+                g += c[j : j + ln]
+            return g
+
+        def windows(c, n):
+            if c.size < n:
+                return np.empty((0,), dtype=[("", c.dtype)] * n)
+            w = np.ascontiguousarray(sliding_window_view(c, n))
+            return w.view([("", c.dtype)] * n).reshape(-1)
+
+        out_fields = (
+            ["nd"]
+            + [f"m{n}" for n in range(1, maxn + 1)]
+            + [f"h{n}" for n in range(1, maxn + 1)]
+            + [f"r{n}" for n in range(1, maxn + 1)]
         )
-        return F.when(latin1, fast).otherwise(slow)
+        for batch in batches:
+            hyps = batch.column(0).to_pylist()
+            refs = batch.column(1).to_pylist()
+            m = [0] * (maxn + 1)
+            ht = [0] * (maxn + 1)
+            rt = [0] * (maxn + 1)
+            for hs, rs in zip(hyps, refs):
+                hcp = np.frombuffer(hs.encode("utf-32-le"), np.uint32)
+                rcp = np.frombuffer(rs.encode("utf-32-le"), np.uint32)
+                lh, lr = hcp.size, rcp.size
+                lat = (lh == 0 or int(hcp.max()) < 256) and (
+                    lr == 0 or int(rcp.max()) < 256
+                )
+                if lat:
+                    hc = hcp.astype(np.int64)
+                    rc = rcp.astype(np.int64)
+                for n in range(1, maxn + 1):
+                    ht[n] += lh - n + 1 if lh >= n else 0
+                    rt[n] += lr - n + 1 if lr >= n else 0
+                    if lat and n <= 7:
+                        m[n] += clipped(packed(hc, n), packed(rc, n))
+                    else:
+                        m[n] += clipped(windows(hcp, n), windows(rcp, n))
+            vals = (
+                [len(hyps)]
+                + m[1:]
+                + ht[1:]
+                + rt[1:]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([v], type=pa.int64()) for v in vals], out_fields
+            )
 
-    def total_of(col_name, n):
-        return F.greatest(
-            F.char_length(F.col(col_name)) - (n - 1), F.lit(0)
-        ).cast("long")
-
-    scored = staged.select(
-        *[m_of(n).alias(f"__m{n}__") for n in range(1, max_n + 1)],
-        *[total_of("__h__", n).alias(f"__h{n}__") for n in range(1, max_n + 1)],
-        *[total_of("__r__", n).alias(f"__r{n}__") for n in range(1, max_n + 1)],
+    schema = ", ".join(
+        f"{f} bigint"
+        for f in ["nd"]
+        + [f"m{n}" for n in range(1, maxn + 1)]
+        + [f"h{n}" for n in range(1, maxn + 1)]
+        + [f"r{n}" for n in range(1, maxn + 1)]
     )
-    aggs = [F.count(F.lit(1)).alias("nd")]
+    parts = base.select("__h__", "__r__").mapInArrow(_partials, schema)
+    aggs = [F.sum("nd").alias("nd")]
     for n in range(1, max_n + 1):
-        aggs.append(F.sum(f"__m{n}__").alias(f"m{n}"))
-        aggs.append(F.sum(f"__h{n}__").alias(f"h{n}"))
-        aggs.append(F.sum(f"__r{n}__").alias(f"r{n}"))
-    red = scored.agg(*aggs).collect()[0]
+        aggs.append(F.sum(f"m{n}").alias(f"m{n}"))
+        aggs.append(F.sum(f"h{n}").alias(f"h{n}"))
+        aggs.append(F.sum(f"r{n}").alias(f"r{n}"))
+    red = parts.agg(*aggs).collect()[0]
     nd = int(red["nd"] or 0)
     if nd == 0:
         raise ValueError("chrf_corpus: no usable rows")
