@@ -425,42 +425,72 @@ def simhash_signatures(
     sdf = _sdf(frame)
     par = sdf.sparkSession.sparkContext.defaultParallelism
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    if hash_fn == "md5":
-        tok_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-    else:
-        tok_hash = lambda w: F.xxhash64(w)
-
-    def _bit_set(h, i: int):
-        if i == 63:
-            return h < 0  # sign bit
-        return h.bitwiseAND(F.lit(1 << i)) != 0
-
-    # ONE pass over the token hashes: the fold's merge step adds a ±1 vector
-    # per token (zip_with), yielding all `bits` bit-sums in a single
-    # aggregate instead of `bits` separate array traversals (64 aggregates
-    # was ~2.4x slower at sf0.1).  The sums array is staged behind a persist
-    # because the signature assembly references it `bits` times and
-    # CollapseProject would otherwise inline (and recompute) the fold per
-    # reference.
-    sums_expr = F.aggregate(
-        F.transform(words, tok_hash),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.when(_bit_set(h, i), 1).otherwise(-1) for i in range(bits)]),
-            lambda a, b: a + b,
-        ),
-    )
-    staged = register_cache(
-        sdf.select(F.col(id_col), sums_expr.alias("__s__")).repartition(par)
-    )
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_val = F.lit(-(2**63) if i == 63 else (1 << i)).cast("long")
-        sim = sim.bitwiseOR(
-            F.when(F.col("__s__")[i] > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    # Tokenization (and, for xxhash64, the JVM-native token hash) stays in
+    # Spark expressions; the per-token ±1 bit-sum fold moves to a
+    # vectorized numpy mapInArrow kernel.  The r11 fold was an aggregate()
+    # HOF whose merge step built a `bits`-wide when() array per token —
+    # higher-order functions have no codegen, so every token paid `bits`
+    # interpreted-lambda dispatches.  The kernel computes the identical
+    # integers: bit i of hash h via (h >> i) & 1 (sign bit included — the
+    # hashes ride in as uint64 views), sum over tokens, sign → bit.
+    staged = sdf.select(F.col(id_col).alias("__id__"), words.alias("__w__"))
+    try:
+        if staged.rdd.getNumPartitions() < par:
+            staged = staged.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    use_md5 = hash_fn == "md5"
+    if not use_md5:
+        staged = staged.select(
+            "__id__",
+            F.transform("__w__", lambda w: F.xxhash64(w)).alias("__w__"),
         )
-    out = staged.select(F.col(id_col), sim.alias("simhash"))
+    id_type = staged.schema["__id__"].dataType.simpleString()
+    bits_ = int(bits)
+
+    def _sig(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(bits_, dtype=np.uint64)
+        bitvals = (np.uint64(1) << shifts)
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1).to_pylist()
+            sims = np.zeros(len(col), dtype=np.uint64)
+            for i, toks in enumerate(col):
+                if not toks:  # null or empty token array -> all-zero sums
+                    continue
+                if use_md5:
+                    h = np.array(
+                        [
+                            int(
+                                hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
+                                16,
+                            )
+                            for t in toks
+                        ],
+                        dtype=np.uint64,
+                    )
+                else:
+                    h = np.array(toks, dtype=np.int64).view(np.uint64)
+                set_counts = (
+                    ((h[:, None] >> shifts[None, :]) & np.uint64(1))
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                pos = (2 * set_counts - h.size) > 0
+                sims[i] = bitvals[pos].sum()
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sims.view(np.int64), type=pa.int64())],
+                ["__id__", "simhash"],
+            )
+
+    out = staged.mapInArrow(_sig, f"__id__ {id_type}, simhash bigint").select(
+        F.col("__id__").alias(id_col), "simhash"
+    )
     return LazyFrame(out)
 
 

@@ -185,31 +185,48 @@ def cms_build(
     d, w = int(depth), int(width)
     if d < 1 or w < 1:
         raise ValueError("depth and width must be >= 1")
+    # the sketch reads ONE column; project it before the (guarded) spread
+    # so a narrow-scan input parallelizes the d·|rows| md5 work across the
+    # session cores without shuffling unrelated columns — a many-task
+    # production scan skips the repartition entirely
+    sdf = sdf.select(F.col(value_col))
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        if sdf.rdd.getNumPartitions() < par:
+            sdf = sdf.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    # depth is a Python int: build the per-hash-row structs as an array of
+    # d literal-r expressions rather than transform(sequence(0, d-1), ...)
+    # — higher-order functions have no codegen, so the md5/conv chain ran
+    # interpreted per element; the unrolled form codegens normally
     rows = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(d - 1)),
-            lambda r: F.struct(
-                r.cast("int").alias("row"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(str(seed)),
-                                    r.cast("string"),
-                                    F.lit("|"),
-                                    F.col(value_col).cast("string"),
-                                )
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(str(seed)),
+                                        F.lit(str(r)),
+                                        F.lit("|"),
+                                        F.col(value_col).cast("string"),
+                                    )
+                                ),
+                                1,
+                                13,
                             ),
-                            1,
-                            13,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % F.lit(w)
-                ).cast("int").alias("bucket"),
-            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.lit(w)
+                    ).cast("int").alias("bucket"),
+                )
+                for r in range(d)
+            ]
         )
     )
     out = (
@@ -239,31 +256,34 @@ def cms_query(
     ssdf = _sdf(sketch)
     qsdf = _sdf(queries)
     d, w = int(depth), int(width)
+    # unrolled like cms_build: literal-r structs codegen, HOF lambdas don't
     cells = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(d - 1)),
-            lambda r: F.struct(
-                r.cast("int").alias("row"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(str(seed)),
-                                    r.cast("string"),
-                                    F.lit("|"),
-                                    F.col(value_col).cast("string"),
-                                )
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(str(seed)),
+                                        F.lit(str(r)),
+                                        F.lit("|"),
+                                        F.col(value_col).cast("string"),
+                                    )
+                                ),
+                                1,
+                                13,
                             ),
-                            1,
-                            13,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % F.lit(w)
-                ).cast("int").alias("bucket"),
-            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.lit(w)
+                    ).cast("int").alias("bucket"),
+                )
+                for r in range(d)
+            ]
         )
     )
     probed = qsdf.select(F.col(value_col).alias("value"), cells.alias("rb")).select(
