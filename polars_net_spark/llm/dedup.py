@@ -336,29 +336,56 @@ def minhash_lsh_pairs(
     grams = register_cache(
         _grams_frame(sdf, text_col, id_col, n, nonempty=True)
     )
-    # the per-gram base hashes must sit behind their OWN cache boundary:
-    # referenced from inside the per-seed lambda, a plain projection would be
-    # collapsed + re-evaluated per seed (the O(n^2) Catalyst-CSE trap)
-    hashed = register_cache(
-        grams.select(
-            "id",
-            F.transform("grams", lambda g: F.xxhash64(g, F.lit(1))).alias("__h1__"),
-            F.transform("grams", lambda g: F.xxhash64(g, F.lit(2))).alias("__h2__"),
-        )
+    # per-gram base hashes stay JVM-native xxhash64; the 64-seed
+    # Kirsch-Mitzenmacher fold (sig[k] = min over grams of h1 + k·h2)
+    # moves to a vectorized numpy mapInArrow kernel — the r11 Catalyst
+    # version ran it as transform(seeds, array_min(zip_with(...))), all
+    # interpreted (HOFs have no codegen), ~num_hashes dispatches per gram.
+    # Java long wrap-around arithmetic is replicated exactly: uint64
+    # mul/add (mod 2^64), then an int64 view for the SIGNED min.
+    hashed = grams.select(
+        "id",
+        F.transform("grams", lambda g: F.xxhash64(g, F.lit(1))).alias("__h1__"),
+        F.transform("grams", lambda g: F.xxhash64(g, F.lit(2))).alias("__h2__"),
     )
+    id_type = hashed.schema["id"].dataType.simpleString()
+    num = int(num_hashes)
 
-    seeds = F.array(*[F.lit(k) for k in range(num_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.zip_with("__h1__", "__h2__", lambda a, b: a + s.cast("long") * b)
-        ),
-    ).alias("sig")
+    def _sig_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ks = np.arange(num, dtype=np.uint64)
+        for batch in batches:
+            ids = batch.column(0)
+            h1l = batch.column(1).to_pylist()
+            h2l = batch.column(2).to_pylist()
+            sigs: list = []
+            for h1v, h2v in zip(h1l, h2l):
+                if not h1v:
+                    sigs.append(None)
+                    continue
+                a = np.array(h1v, np.int64).view(np.uint64)
+                b = np.array(h2v, np.int64).view(np.uint64)
+                m = (
+                    (a[None, :] + ks[:, None] * b[None, :])
+                    .view(np.int64)
+                    .min(axis=1)
+                )
+                sigs.append(m.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, type=pa.list_(pa.int64()))],
+                ["id", "sig"],
+            )
+
+    sig_df = hashed.mapInArrow(
+        _sig_batches, f"id {id_type}, sig array<bigint>"
+    )
 
     # band entries carry only (id, band, bucket) — no arrays — and are
     # persisted so the bucket self-join reads them twice for free
     band_entries = (
-        hashed.select("id", sig)
+        sig_df
         .select(
             "id",
             F.explode(

@@ -3365,22 +3365,89 @@ def permutation_test(
         v.isNotNull() & F.col(id_col).isNotNull() & g.isin([group_a, group_b])
     ).select(F.col(id_col).cast("string").alias("__id__"), v.alias("__v__"),
              (g == F.lit(group_a)).alias("__a__"))
-    EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")
+    # The fused all-reduce computes its 2·n_perms+6 sums in a mapInArrow
+    # partials kernel (hashlib md5 coins, the same seed|b|id parity), then
+    # a tiny sum aggregate pools the per-batch partials.  The r11 version
+    # expressed the same reduce as one Catalyst agg with 2·n_perms+6
+    # expressions — past spark.sql.codegen.maxFields (100) the whole
+    # stage fell back to interpreted evaluation and the n_perms md5s per
+    # row ran single-digit-MB/s (measured 22.8 s vs 0.4 s for a 2-sum
+    # pass over the same rows at sf0.1).  Coin parity: last hex digit
+    # even ⇔ low bit of digest byte 15 clear.
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    nperm = int(n_perms)
+    seed_s = str(seed)
+
+    def _partials(batches):
+        from hashlib import md5 as _md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        prefixes = [f"{seed_s}|{b}|".encode("utf-8") for b in range(nperm)]
+        fields = (
+            ["sa", "na", "sb", "nb", "st", "ct"]
+            + [f"s{b}" for b in range(nperm)]
+            + [f"c{b}" for b in range(nperm)]
+        )
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            vs = np.asarray(batch.column(1), dtype=np.float64)
+            isa = np.asarray(batch.column(2), dtype=bool)
+            coins = np.empty((len(ids), nperm), dtype=bool)
+            for i, s in enumerate(ids):
+                sid = s.encode("utf-8")
+                row = coins[i]
+                for b in range(nperm):
+                    row[b] = not (_md5(prefixes[b] + sid).digest()[15] & 1)
+            sa = float(vs[isa].sum())
+            na = int(isa.sum())
+            sb_v = float(vs[~isa].sum())
+            nb_v = int(len(ids) - na)
+            sarr = coins.T @ vs
+            carr = coins.sum(axis=0)
+            vals = (
+                [
+                    (sa, pa.float64()),
+                    (na, pa.int64()),
+                    (sb_v, pa.float64()),
+                    (nb_v, pa.int64()),
+                    (float(vs.sum()), pa.float64()),
+                    (len(ids), pa.int64()),
+                ]
+                + [(float(x), pa.float64()) for x in sarr]
+                + [(int(x), pa.int64()) for x in carr]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([v_], type=t_) for v_, t_ in vals], fields
+            )
+
+    schema = (
+        "sa double, na bigint, sb double, nb bigint, st double, ct bigint, "
+        + ", ".join(f"s{b} double" for b in range(nperm))
+        + ", "
+        + ", ".join(f"c{b} bigint" for b in range(nperm))
+    )
+    parts = base.mapInArrow(_partials, schema)
     aggs = [
-        F.sum(F.when(F.col("__a__"), F.col("__v__"))).alias("sa"),
-        F.count(F.when(F.col("__a__"), 1)).alias("na"),
-        F.sum(F.when(~F.col("__a__"), F.col("__v__"))).alias("sb"),
-        F.count(F.when(~F.col("__a__"), 1)).alias("nb"),
+        F.sum("sa").alias("sa"),
+        F.sum("na").alias("na"),
+        F.sum("sb").alias("sb"),
+        F.sum("nb").alias("nb"),
+        F.sum("st").alias("st"),
+        F.sum("ct").alias("ct"),
     ]
-    for b in range(int(n_perms)):
-        h = F.md5(F.concat(F.lit(f"{seed}|{b}|"), F.col("__id__")))
-        par = F.substring(h, 32, 1).isin(*EVEN)
-        aggs.append(F.sum(F.when(par, F.col("__v__"))).alias(f"s{b}"))
-        aggs.append(F.count(F.when(par, 1)).alias(f"c{b}"))
-    # total sum/count once (reused for the complement side of every perm)
-    aggs.append(F.sum("__v__").alias("st"))
-    aggs.append(F.count(F.lit(1)).alias("ct"))
-    r = base.agg(*aggs).collect()[0]
+    for b in range(nperm):
+        aggs.append(F.sum(f"s{b}").alias(f"s{b}"))
+        aggs.append(F.sum(f"c{b}").alias(f"c{b}"))
+    r = parts.agg(*aggs).collect()[0]
+    if r["na"] is None:  # no input rows at all
+        raise ValueError("permutation_test: both groups need at least 1 row")
     na, nb = int(r["na"]), int(r["nb"])
     if na < 1 or nb < 1:
         raise ValueError("permutation_test: both groups need at least 1 row")
