@@ -37,6 +37,26 @@ def main() -> None:
     # for one-time session startup
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # r12: also warm the one-time session machinery the first unlucky query
+    # used to absorb (measured ~7 s of pool-spawn landing on whichever gate
+    # ran a wide Python stage first): spawn the full Python worker pool with
+    # the common imports, and JIT one shuffle+join+aggregate path.  Synthetic
+    # range data only — no query input is touched.
+    def _warm_workers(it):
+        import numpy as _np  # noqa: F401
+        import pandas as _pd  # noqa: F401
+        import pyarrow as _pa  # noqa: F401
+        for b in it:
+            yield b
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 2).repartition(par).mapInArrow(
+        _warm_workers, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    a = spark.range(10_000).selectExpr("id % 97 as k", "id as v")
+    (a.join(a.groupBy("k").count(), "k")
+      .groupBy("k").agg({"v": "sum"})
+      .write.format("noop").mode("overwrite").save())
     from polars_net_spark import release_caches
 
     for name, fn in qs.items():

@@ -4925,8 +4925,21 @@ def wilcoxon_signed_rank(
 
     base = register_cache(base)
     d = base.groupBy("__a__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    # the tie term Σ(c³−c) rides the SAME per-bucket aggregate as the
+    # prefix offsets (with_prefix_offsets returns grand totals), so the
+    # separate tie-scalar job the r11 version ran is fused away
     d2, gb = with_range_buckets(d, "__a__")
-    d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+    d3, _tot = with_prefix_offsets(
+        d2,
+        gb,
+        {
+            "cnt": F.col("__cnt__"),
+            "tie": (
+                F.col("__cnt__").cast("double") * F.col("__cnt__") * F.col("__cnt__")
+                - F.col("__cnt__")
+            ),
+        },
+    )
     d3 = register_cache(d3)
     wexcl = (
         Window.partitionBy(gb)
@@ -4937,17 +4950,7 @@ def wilcoxon_signed_rank(
     ranks = d3.select(
         "__a__", (cumb + (F.col("__cnt__") + F.lit(1)) / 2.0).alias("__r__")
     )
-    # tie term over the same distinct-value table — a driver scalar (the
-    # kruskal/cochran plan-literal convention, no 1-row BNLJ attach)
-    tie_val = float(
-        d3.agg(
-            F.sum(
-                F.col("__cnt__").cast("double") * F.col("__cnt__") * F.col("__cnt__")
-                - F.col("__cnt__")
-            )
-        ).first()[0]
-        or 0.0
-    )
+    tie_val = float(_tot["tie"] or 0.0)
     joined = base.join(ranks, "__a__")
     m = joined.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
