@@ -836,7 +836,9 @@ def weighted_quantiles(
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
     w = F.col(weight_col).cast("double")
-    g = (
+    from .._cache import register_cache
+
+    g = register_cache(
         sdf.filter(v.isNotNull() & w.isNotNull() & (w > 0))
         .groupBy(v.alias("__v__"))
         .agg(F.sum(w).alias("__w__"))
@@ -1768,7 +1770,9 @@ def abc_analysis(
         raise ValueError("thresholds must satisfy 0 < t1 < t2 <= 1")
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
-    keys = (
+    from .._cache import register_cache
+
+    keys = register_cache(
         sdf.filter(v.isNotNull())
         .groupBy(F.col(key_col).alias("key"))
         .agg(F.round(F.sum(v), round_to).alias("value"))
@@ -1819,7 +1823,11 @@ def pareto_front(
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     base = sdf.filter(x.isNotNull() & y.isNotNull())
-    gx = base.groupBy(x.alias("__x__")).agg(F.max(y).alias("__ym__"))
+    from .._cache import register_cache
+
+    gx = register_cache(
+        base.groupBy(x.alias("__x__")).agg(F.max(y).alias("__ym__"))
+    )
     bucketed, bcol = with_range_buckets(gx, "__x__", desc=True)
     # driver prefix-MAX per bucket: max __ym__ over all STRICTLY EARLIER
     # (larger-x) buckets — ≤ nbuckets rows to the driver, back as a map
@@ -2204,8 +2212,12 @@ def lorenz_curve(
     neg = base.filter(F.col("__v__") < 0).limit(1).count()
     if neg:
         raise ValueError("lorenz_curve requires non-negative values")
-    dv = base.groupBy("__v__").agg(
-        F.count(F.lit(1)).alias("__c__"), F.sum("__v__").alias("__s__")
+    from .._cache import register_cache
+
+    dv = register_cache(
+        base.groupBy("__v__").agg(
+            F.count(F.lit(1)).alias("__c__"), F.sum("__v__").alias("__s__")
+        )
     )
     bucketed, bcol = with_range_buckets(dv, "__v__")
     offs, totals = with_prefix_offsets(
@@ -2333,11 +2345,15 @@ def log_rank_test(
         )
     g1 = sorted(probe)[0]
     is1 = (F.col("__g__") == F.lit(g1)).cast("long")
-    cells = base.groupBy("__t__").agg(
-        F.sum(F.col("__e__") * is1).alias("d1"),
-        F.sum("__e__").alias("d"),
-        F.sum(is1).alias("m1"),
-        F.count(F.lit(1)).alias("m"),
+    from .._cache import register_cache
+
+    cells = register_cache(
+        base.groupBy("__t__").agg(
+            F.sum(F.col("__e__") * is1).alias("d1"),
+            F.sum("__e__").alias("d"),
+            F.sum(is1).alias("m1"),
+            F.count(F.lit(1)).alias("m"),
+        )
     )
     bucketed, gb = with_range_buckets(cells, "__t__")
     offs, tot = with_prefix_offsets(
@@ -2957,7 +2973,9 @@ def quantile_compare(
     g = F.col(group_col)
     a_flag = (g == F.lit(group_a)).cast("long")
     b_flag = (g == F.lit(group_b)).cast("long")
-    base = (
+    from .._cache import register_cache
+
+    base = register_cache(
         sdf.filter(v.isNotNull() & (g.isin([group_a, group_b])))
         .groupBy(v.alias("__v__"))
         .agg(F.sum(a_flag).alias("__ca__"), F.sum(b_flag).alias("__cb__"))

@@ -252,7 +252,12 @@ def weighted_quantile(
             .select(*keys, F.round("q", 6).alias("q"), F.round("value", round_to).alias("value"))
         )
         return LazyFrame(picked)
-    dv = base.groupBy("__v__").agg(F.sum("__w__").alias("__w__"))
+    from .._cache import register_cache
+
+    # persist the distinct-value table: the boundary sketch, the offsets
+    # aggregate and the final window pass each read it (unpersisted, each
+    # action re-ran the full input scan + combine — 3 passes for 1)
+    dv = register_cache(base.groupBy("__v__").agg(F.sum("__w__").alias("__w__")))
     bucketed, bcol = with_range_buckets(dv, "__v__")
     offs, totals = with_prefix_offsets(bucketed, bcol, {"w": F.col("__w__")})
     wtot = float(totals["w"])

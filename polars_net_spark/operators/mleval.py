@@ -56,9 +56,13 @@ def auc_report(
     sdf = _sdf(frame)
     s = F.col(score_col).cast("double")
     y = (F.col(label_col).cast("double") > 0).cast("long")
+    from .._cache import register_cache
+
     base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull())
-    g = base.groupBy(s.alias("__s__")).agg(
-        F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__cp__")
+    g = register_cache(
+        base.groupBy(s.alias("__s__")).agg(
+            F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__cp__")
+        )
     )
     g2, gb = with_range_buckets(g, "__s__")
     g3, _tot = with_prefix_offsets(g2, gb, {"c": F.col("__c__")})

@@ -2887,8 +2887,12 @@ def energy_distance(
     base = sdf.filter(v.isNotNull() & g.isin([group_a, group_b]))
     isa = (g == F.lit(group_a)).cast("long")
     isb = (g == F.lit(group_b)).cast("long")
-    cells = base.groupBy(v.alias("__v__")).agg(
-        F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
+    from .._cache import register_cache
+
+    cells = register_cache(
+        base.groupBy(v.alias("__v__")).agg(
+            F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
+        )
     )
     bucketed, gb = with_range_buckets(cells, "__v__")
     offs, tot = with_prefix_offsets(
@@ -2979,7 +2983,11 @@ def pettitt_test(
     )
     series = series.persist()
     try:
-        cells = series.groupBy("__v__").agg(F.count(F.lit(1)).alias("__c__"))
+        from .._cache import register_cache
+
+        cells = register_cache(
+            series.groupBy("__v__").agg(F.count(F.lit(1)).alias("__c__"))
+        )
         vb, vgb = with_range_buckets(cells, "__v__")
         voffs, vtot = with_prefix_offsets(vb, vgb, {"c": F.col("__c__")})
         n = int(vtot["c"])
@@ -2993,7 +3001,9 @@ def pettitt_test(
             "__v__",
             (below + (F.col("__c__") + F.lit(1.0)) / F.lit(2.0)).alias("__r__"),
         )
-        ranked = series.join(ranks, "__v__")
+        # persisted: the time-keyed sketch, offsets and final U scan all
+        # read the rank join
+        ranked = register_cache(series.join(ranks, "__v__"))
         tb, tgb = with_range_buckets(ranked, "__t__")
         toffs, _ = with_prefix_offsets(
             tb, tgb, {"cnt": F.lit(1), "r": F.col("__r__")}
@@ -3064,8 +3074,12 @@ def best_split(
     x = F.col(feature_col).cast("double")
     y = F.col(label_col).cast("double")
     base = sdf.filter(x.isNotNull() & y.isNotNull())
-    cells = base.groupBy(x.alias("__x__")).agg(
-        F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__p__")
+    from .._cache import register_cache
+
+    cells = register_cache(
+        base.groupBy(x.alias("__x__")).agg(
+            F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__p__")
+        )
     )
     bucketed, gb = with_range_buckets(cells, "__x__")
     offs, tot = with_prefix_offsets(
@@ -3281,8 +3295,12 @@ def cramer_von_mises(
     base = sdf.filter(v.isNotNull() & g.isin([group_a, group_b]))
     isa = (g == F.lit(group_a)).cast("long")
     isb = (g == F.lit(group_b)).cast("long")
-    cells = base.groupBy(v.alias("__v__")).agg(
-        F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
+    from .._cache import register_cache
+
+    cells = register_cache(
+        base.groupBy(v.alias("__v__")).agg(
+            F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
+        )
     )
     bucketed, gb = with_range_buckets(cells, "__v__")
     offs, tot = with_prefix_offsets(
@@ -4924,7 +4942,8 @@ def wilcoxon_signed_rank(
     from .distsort import with_prefix_offsets, with_range_buckets
 
     base = register_cache(base)
-    d = base.groupBy("__a__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    # persisted: the boundary sketch and the offsets aggregate each read it
+    d = register_cache(base.groupBy("__a__").agg(F.count(F.lit(1)).alias("__cnt__")))
     # the tie term Σ(c³−c) rides the SAME per-bucket aggregate as the
     # prefix offsets (with_prefix_offsets returns grand totals), so the
     # separate tie-scalar job the r11 version ran is fused away
@@ -5074,9 +5093,13 @@ def anderson_darling(
     a2, a2_star, mean, sd, n."""
     from .distsort import with_prefix_offsets, with_range_buckets
 
+    from .._cache import register_cache
+
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
-    base = sdf.filter(v.isNotNull()).select(v.alias("__v__"))
+    # persisted: the moments reduce, the boundary sketch, the offsets
+    # aggregate and the final pass otherwise each re-ran the input scan
+    base = register_cache(sdf.filter(v.isNotNull()).select(v.alias("__v__")))
     mrow = base.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("__v__").alias("mu"),
@@ -5154,8 +5177,11 @@ def brunner_munzel(
     )
     base = register_cache(base)
 
-    # combined midranks from the global distinct-value table
-    cells = base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    # combined midranks from the global distinct-value table (persisted:
+    # sketch + offsets both read it)
+    cells = register_cache(
+        base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
     cells, gb = with_range_buckets(cells, "__v__")
     from .distsort import with_prefix_offsets
 
@@ -5172,7 +5198,9 @@ def brunner_munzel(
 
     # within-group midranks: (group, value) cells; driver prefix keyed by
     # (group, bucket) — bounded by 2·nbuckets rows
-    gcells = base.groupBy("__g__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    gcells = register_cache(
+        base.groupBy("__g__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
+    )
     gcells, gb2 = with_range_buckets(gcells, "__v__")
     pref_rows = (
         gcells.groupBy("__g__", gb2).agg(F.sum("__c__").alias("s")).collect()
