@@ -1608,6 +1608,20 @@ class GroupBy:
         # drop the hidden row-order column so the user fn sees only real
         # columns, matching every other user-facing surface
         sdf = self._lf._drop_order()._sdf
+        # explicit-count repartition on the keys: AQE coalesces the (often
+        # byte-tiny) pre-apply shuffle down to ONE partition and then every
+        # group pays its Arrow round trip on a single core — AQE optimizes
+        # for shuffle bytes and cannot see Python compute cost (measured
+        # 3.3 s -> 0.8 s on the 1.5k-group z-score gate at sf0.1).  A
+        # user-specified partition count is exempt from AQE coalescing and
+        # is reused by the groupBy, so no second exchange appears.
+        spark = sdf.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        try:
+            par = max(par, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        except Exception:  # noqa: BLE001 — e.g. "auto"
+            pass
+        sdf = sdf.repartition(par, *key_cols)
         return LazyFrame(sdf.groupBy(*key_cols).applyInPandas(fn, schema=schema))
 
     # convenience aggregations (GroupByBuilder in the reference,

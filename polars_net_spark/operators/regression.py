@@ -3202,29 +3202,35 @@ def cox_ph(
 
         def score_info(beta: float):
             eb = F.exp(F.col("__x__") * F.lit(beta)) * F.col("__c__")
+            # per-round persist: the offsets aggregate AND the final U/I
+            # reduce both read the per-time table — unpersisted, each round
+            # ran the exp-weighted combine over the cell table twice
             per_t = bucketed.groupBy("__t__", gb).agg(
                 F.sum(eb).alias("__a0__"),
                 F.sum(F.col("__x__") * eb).alias("__a1__"),
                 F.sum(F.col("__x__") ** 2 * eb).alias("__a2__"),
                 F.sum("__d__").alias("__dd__"),
                 F.sum(F.col("__d__") * F.col("__x__")).alias("__sx__"),
-            )
-            offs, tot = with_prefix_offsets(
-                per_t, gb,
-                {
-                    "a0": F.col("__a0__"),
-                    "a1": F.col("__a1__"),
-                    "a2": F.col("__a2__"),
-                },
-            )
-            # suffix over times >= t: grand total - inclusive prefix + own
-            s0 = F.lit(tot["a0"]) - (F.col("__off_a0__") + F.sum("__a0__").over(w)) + F.col("__a0__")
-            s1 = F.lit(tot["a1"]) - (F.col("__off_a1__") + F.sum("__a1__").over(w)) + F.col("__a1__")
-            s2 = F.lit(tot["a2"]) - (F.col("__off_a2__") + F.sum("__a2__").over(w)) + F.col("__a2__")
-            r = offs.select(
-                (F.col("__sx__") - F.col("__dd__") * s1 / s0).alias("__u__"),
-                (F.col("__dd__") * (s2 / s0 - (s1 / s0) ** 2)).alias("__i__"),
-            ).agg(F.sum("__u__").alias("u"), F.sum("__i__").alias("i")).collect()[0]
+            ).persist()
+            try:
+                offs, tot = with_prefix_offsets(
+                    per_t, gb,
+                    {
+                        "a0": F.col("__a0__"),
+                        "a1": F.col("__a1__"),
+                        "a2": F.col("__a2__"),
+                    },
+                )
+                # suffix over times >= t: grand total - inclusive prefix + own
+                s0 = F.lit(tot["a0"]) - (F.col("__off_a0__") + F.sum("__a0__").over(w)) + F.col("__a0__")
+                s1 = F.lit(tot["a1"]) - (F.col("__off_a1__") + F.sum("__a1__").over(w)) + F.col("__a1__")
+                s2 = F.lit(tot["a2"]) - (F.col("__off_a2__") + F.sum("__a2__").over(w)) + F.col("__a2__")
+                r = offs.select(
+                    (F.col("__sx__") - F.col("__dd__") * s1 / s0).alias("__u__"),
+                    (F.col("__dd__") * (s2 / s0 - (s1 / s0) ** 2)).alias("__i__"),
+                ).agg(F.sum("__u__").alias("u"), F.sum("__i__").alias("i")).collect()[0]
+            finally:
+                per_t.unpersist()
             return float(r["u"]), float(r["i"])
 
         beta = 0.0
