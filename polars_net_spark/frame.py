@@ -1076,20 +1076,34 @@ class LazyFrame:
                 F.percentile_approx(F.col(column), F.lit(lower), F.lit(acc)).alias("__lo__"),
                 F.percentile_approx(F.col(column), F.lit(upper), F.lit(acc)).alias("__hi__"),
             )
+            out = (
+                sdf.crossJoin(F.broadcast(bounds))
+                .withColumn(
+                    oc,
+                    F.least(F.greatest(F.col(column), F.col("__lo__")), F.col("__hi__")),
+                )
+                .drop("__lo__", "__hi__")
+            )
+            return LazyFrame(out)
+        # exact path: distributed order statistics (distsort) instead of the
+        # global F.percentile aggregate, whose merging reducer buffers and
+        # sorts EVERY value on one task — same values (Spark's own
+        # interpolation formula), no single-reducer sort at any scale
+        from .operators.distsort import exact_quantiles
+
+        lo_v, hi_v = exact_quantiles(sdf, column, [lower, upper])
+        if lo_v is None:
+            # empty column: greatest/least skip null bounds, so the old
+            # plan passed values through (coerced to double) — mirror that
+            out = sdf.withColumn(oc, F.col(column).cast("double"))
         else:
-            # one percentile(col, array(lo, hi)) aggregate: a single sort
-            # buffer serves both boundaries instead of two
-            both = F.percentile(F.col(column), F.array(F.lit(lower), F.lit(upper)))
-            bounds = sdf.agg(both.alias("__b__")).select(
-                F.get("__b__", 0).alias("__lo__"), F.get("__b__", 1).alias("__hi__")
+            out = sdf.withColumn(
+                oc,
+                F.least(
+                    F.greatest(F.col(column).cast("double"), F.lit(lo_v)),
+                    F.lit(hi_v),
+                ),
             )
-        out = (
-            sdf.crossJoin(F.broadcast(bounds))
-            .withColumn(
-                oc, F.least(F.greatest(F.col(column), F.col("__lo__")), F.col("__hi__"))
-            )
-            .drop("__lo__", "__hi__")
-        )
         return LazyFrame(out)
 
     def with_qcut(

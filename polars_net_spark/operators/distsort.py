@@ -334,3 +334,86 @@ def cell_ranks(
 
 
 __all__.append("cell_ranks")
+
+
+def exact_quantiles(
+    sdf: SparkDF,
+    col,
+    probs: "list[float]",
+    nbuckets: "int | None" = None,
+) -> "list[float | None]":
+    """EXACT linear-interpolation quantiles of one numeric column as driver
+    scalars, computed DISTRIBUTED — the scale-safe replacement for a global
+    ``F.percentile`` aggregate, whose merging reducer buffers and sorts
+    every value on ONE task (fine at test SFs, OOM-class on a 100 TB
+    column; the r11 winsorize docstring told users to switch to approx at
+    scale — this keeps the exact answer instead).
+
+    Shape: values collapse to a persisted DISTINCT-value count table
+    (map-side combine), range buckets + driver prefix offsets give each
+    distinct value its 0-based order-statistic span [start, start+cnt-1],
+    and every requested order statistic resolves in ONE fused conditional
+    reduce.  Interpolation follows Spark's Percentile exactly:
+    pos = (n-1)·p, result = lower + (higher-lower)·(pos-floor(pos)).
+
+    NaN values would need Spark's NaN-sorts-last convention inside the
+    range bucketing; they are rare and data-quality-suspect, so that case
+    falls back to the single-reducer ``F.percentile`` (same result).
+    Returns one float per prob, or Nones when the column has no rows.
+    """
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError("each prob must be in [0, 1]")
+    from .._cache import register_cache
+
+    c = F.col(col).cast("double") if isinstance(col, str) else col.cast("double")
+    base = sdf.select(c.alias("__v__")).filter(F.col("__v__").isNotNull())
+    dv = register_cache(
+        base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    has_nan = dv.filter(F.isnan("__v__")).limit(1).count()
+    if has_nan:
+        row = sdf.agg(
+            F.percentile(c, F.array(*[F.lit(float(p)) for p in probs])).alias("b")
+        ).first()
+        arr = row["b"] if row is not None else None
+        return [None] * len(probs) if arr is None else [float(x) for x in arr]
+    bucketed, bcol = with_range_buckets(dv, "__v__", nbuckets=nbuckets)
+    offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.col("__cnt__")})
+    n = int(totals["c"] or 0)
+    if n == 0:
+        return [None] * len(probs)
+    import math
+
+    targets: list[int] = []
+    fracs: list[tuple[int, int, float]] = []  # (lo_idx, hi_idx, frac)
+    for p in probs:
+        pos = (n - 1) * float(p)
+        lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
+        fracs.append((lo_i, hi_i, pos - math.floor(pos)))
+        targets.extend([lo_i, hi_i])
+    targets = sorted(set(targets))
+    w = Window.partitionBy(bcol).orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.col("__off_c__") + F.coalesce(F.sum("__cnt__").over(w), F.lit(0.0))
+    staged = offs.select(
+        "__v__", start.alias("__s__"), (start + F.col("__cnt__")).alias("__e__")
+    )
+    row = staged.agg(
+        *[
+            F.min(
+                F.when((F.col("__s__") <= i) & (F.lit(i) < F.col("__e__")), F.col("__v__"))
+            ).alias(f"t{i}")
+            for i in targets
+        ]
+    ).first()
+    at = {i: float(row[f"t{i}"]) for i in targets}
+    out: list[float | None] = []
+    for lo_i, hi_i, frac in fracs:
+        lo_v, hi_v = at[lo_i], at[hi_i]
+        out.append(lo_v + (hi_v - lo_v) * frac)
+    return out
+
+
+__all__.append("exact_quantiles")
