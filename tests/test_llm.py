@@ -339,12 +339,15 @@ def test_sink_releases_operator_caches(spark, tmp_path):
 
 
 def test_scoped_caches_manager(spark):
+    # r12: simhash_signatures no longer stages a persist (the bit-sum fold
+    # moved into an opaque mapInArrow kernel), so the scope is exercised
+    # with an op that still registers internal caches (the gram stage)
     from polars_net_spark import cached_count, scoped_caches
 
     with scoped_caches():
         d = docs(spark).lazy()
-        out = simhash_signatures(d).collect().rows()
-        assert len(out) == 5
+        out = ngram_jaccard_pairs(d, threshold=0.5).collect().rows()
+        assert len(out) >= 1
         assert cached_count() > 0
     assert cached_count() == 0
 
