@@ -316,12 +316,15 @@ def build_sft_examples(
 
     Output: (id, input_ids, labels, n_tokens, n_prompt_tokens).
 
-    ONE corpus shuffle: prompt and response words concatenate BEFORE the
-    posexplode, the vocabulary joins by broadcast (a build_vocab output or
-    any (term, token_id) frame; OOV encodes as ``oov_id``), and the sequence
-    reassembles position-sorted per id — the encode_tokens_frame shape, not
-    two encodes plus a join.  Label masking is pure array math off the
-    carried prompt length.
+    MAP-ONLY (the encode_tokens_frame shape): the vocabulary collects once
+    driver-side (bounded — the same memory contract as the broadcast hash
+    relation the r11 join built; OOV encodes as ``oov_id``) and each task
+    dict-encodes prompt+response and masks labels in one ``mapInArrow``
+    kernel over the JVM-split words.  The r11 shape posexploded every
+    token and reassembled sequences with a corpus-wide collect_list
+    shuffle — the only shuffle in the plan, now gone.  Zero-token docs
+    vanish (posexplode parity); a duplicate ``term`` in a user vocab
+    resolves to its smallest token_id.
     """
     from pyspark.sql import DataFrame as SparkDF
 
@@ -329,37 +332,77 @@ def build_sft_examples(
 
     sdf = frame if isinstance(frame, SparkDF) else frame.spark
     vdf = vocab if isinstance(vocab, SparkDF) else vocab.spark
+    vmap: dict = {}
+    for r in vdf.select("term", "token_id").collect():
+        t, i = r["term"], r["token_id"]
+        if i is not None and (t not in vmap or i < vmap[t]):
+            vmap[t] = int(i)
+    tid_type = vdf.schema["token_id"].dataType.simpleString()
+    if tid_type not in ("int", "bigint"):
+        tid_type = "int"
 
     def _w(c):
         w = F.split(F.lower(F.trim(F.coalesce(F.col(c), F.lit("")))), r"\s+")
         return F.filter(w, lambda t: F.length(t) > 0)
 
     pw, rw = _w(prompt_col), _w(response_col)
-    posed = sdf.select(
-        F.col(id_col),
-        F.size(pw).alias("__np__"),
-        F.posexplode(F.concat(pw, rw)).alias("pos", "term"),
+    staged = sdf.select(
+        F.col(id_col).alias("__id__"), pw.alias("__pw__"), rw.alias("__rw__")
     )
-    joined = (
-        posed.join(F.broadcast(vdf.select("term", "token_id")), "term", "left")
-        .withColumn("token_id", F.coalesce(F.col("token_id"), F.lit(int(oov_id))))
-    )
-    packed = F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("token_id"))))
-    agg = joined.groupBy(id_col).agg(
-        F.first("__np__").alias("__np__"), packed.alias("__p__")
-    )
-    ids = F.transform("__p__", lambda s: s["token_id"])
-    labels = F.transform(
-        "__p__",
-        lambda s: F.when(s["pos"] < F.col("__np__"), F.lit(int(mask_label)))
-        .otherwise(s["token_id"]),
-    )
-    out = agg.select(
-        id_col,
-        ids.alias("input_ids"),
-        labels.alias("labels"),
-        F.size("__p__").cast("long").alias("n_tokens"),
-        F.col("__np__").cast("long").alias("n_prompt_tokens"),
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        if staged.rdd.getNumPartitions() < par:
+            staged = staged.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    id_type = staged.schema["__id__"].dataType.simpleString()
+    oov = int(oov_id)
+    mask = int(mask_label)
+
+    def _enc(batches):
+        import pyarrow as pa
+
+        elem = pa.int32() if tid_type == "int" else pa.int64()
+        get = vmap.get
+        for batch in batches:
+            pws = batch.column(1).to_pylist()
+            rws = batch.column(2).to_pylist()
+            keep: list = []
+            ids_out: list = []
+            lbl_out: list = []
+            np_out: list = []
+            for j, (p, r) in enumerate(zip(pws, rws)):
+                n_p = len(p)
+                if n_p + len(r) == 0:
+                    continue  # posexplode parity: zero-token docs drop
+                seq = [get(t, oov) for t in p]
+                seq += [get(t, oov) for t in r]
+                keep.append(j)
+                ids_out.append(seq)
+                lbl_out.append([mask] * n_p + seq[n_p:])
+                np_out.append(n_p)
+            idx = pa.array(keep, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(idx),
+                    pa.array(ids_out, type=pa.list_(elem)),
+                    pa.array(lbl_out, type=pa.list_(elem)),
+                    pa.array([len(s) for s in ids_out], type=pa.int64()),
+                    pa.array(np_out, type=pa.int64()),
+                ],
+                ["__id__", "input_ids", "labels", "n_tokens", "n_prompt_tokens"],
+            )
+
+    out = staged.mapInArrow(
+        _enc,
+        f"__id__ {id_type}, input_ids array<{tid_type}>, "
+        f"labels array<{tid_type}>, n_tokens bigint, n_prompt_tokens bigint",
+    ).select(
+        F.col("__id__").alias(id_col),
+        "input_ids",
+        "labels",
+        "n_tokens",
+        "n_prompt_tokens",
     )
     return LazyFrame(out)
 

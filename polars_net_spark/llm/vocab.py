@@ -8,9 +8,10 @@ Scale design (100 TB corpus):
 - vocab build: one (term)-keyed count aggregate with map-side combine, then
   TakeOrdered top-V — V rows ever reach the driver side of the plan (the
   final rank window runs on the V-row frame, bounded by construction).
-- encoding: posexplode (map-side) → broadcast join against the V-row vocab →
-  one doc-keyed shuffle to reassemble the id sequence in position order
-  (sort_by comparator implode).  The corpus is shuffled exactly once.
+- encoding: MAP-ONLY — the V-row vocab collects once driver-side (the same
+  memory contract as the broadcast join it replaces) and every task
+  dict-encodes its own documents in a mapInArrow kernel.  The corpus is
+  never shuffled: encoding a doc needs no other doc's data.
 """
 
 from __future__ import annotations
@@ -69,33 +70,69 @@ def encode_tokens_frame(
     under ``vocab`` (a build_vocab output or any (term, token_id) frame).
     Out-of-vocabulary tokens encode as ``oov_id`` (set None to drop them).
 
-    posexplode keeps token positions; the vocab joins by broadcast; the
-    sequence reassembles with a comparator-sorted implode keyed on the
-    position — one corpus shuffle on ``id_col``."""
+    MAP-ONLY: encoding one document never needs another document's data,
+    so no cross-doc rows ever have to move — the vocabulary collects ONCE
+    driver-side (bounded: the identical memory contract as the broadcast
+    hash relation the r11 join built) and each task dict-encodes its own
+    docs in a ``mapInArrow`` kernel over the JVM-split words.  The r11
+    shape posexploded every token and reassembled sequences with a
+    corpus-wide collect_list shuffle — the ONLY shuffle in the plan, gone.
+    Zero-token docs vanish (posexplode parity) and a duplicate ``term`` in
+    a user vocab resolves to its smallest token_id."""
     sdf = frame if isinstance(frame, SparkDF) else frame.spark
     vdf = vocab if isinstance(vocab, SparkDF) else vocab.spark
-    posed = sdf.select(
-        F.col(id_col),
-        F.posexplode(_words(text_col)).alias("pos", "term"),
-    )
-    joined = posed.join(F.broadcast(vdf.select("term", "token_id")), "term", "left")
-    tid = F.col("token_id")
-    if oov_id is None:
-        joined = joined.filter(tid.isNotNull())
-    else:
-        joined = joined.withColumn("token_id", F.coalesce(tid, F.lit(int(oov_id))))
-    packed = F.sort_array(
-        F.collect_list(F.struct(F.col("pos"), F.col("token_id")))
-    )
-    out = (
-        joined.groupBy(id_col)
-        .agg(packed.alias("__p__"))
-        .select(
-            id_col,
-            F.transform("__p__", lambda s: s["token_id"]).alias("token_ids"),
-            F.size("__p__").alias("n_tokens"),
-        )
-    )
+    vmap: dict = {}
+    for r in vdf.select("term", "token_id").collect():
+        t, i = r["term"], r["token_id"]
+        if i is not None and (t not in vmap or i < vmap[t]):
+            vmap[t] = int(i)
+    tid_type = vdf.schema["token_id"].dataType.simpleString()
+    if tid_type not in ("int", "bigint"):
+        tid_type = "int"
+    staged = sdf.select(F.col(id_col).alias("__id__"), _words(text_col).alias("__ws__"))
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        if staged.rdd.getNumPartitions() < par:
+            staged = staged.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    id_type = staged.schema["__id__"].dataType.simpleString()
+    drop_oov = oov_id is None
+    oov = None if drop_oov else int(oov_id)
+
+    def _enc(batches):
+        import pyarrow as pa
+
+        elem = pa.int32() if tid_type == "int" else pa.int64()
+        get = vmap.get
+        for batch in batches:
+            toks_in = batch.column(1).to_pylist()
+            keep: list = []
+            seqs: list = []
+            for j, toks in enumerate(toks_in):
+                if not toks:
+                    continue  # posexplode parity: zero-token docs drop
+                if drop_oov:
+                    seq = [vmap[t] for t in toks if t in vmap]
+                    if not seq:
+                        continue  # all tokens OOV-dropped -> no group row
+                else:
+                    seq = [get(t, oov) for t in toks]
+                keep.append(j)
+                seqs.append(seq)
+            idx = pa.array(keep, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(idx),
+                    pa.array(seqs, type=pa.list_(elem)),
+                    pa.array([len(s) for s in seqs], type=pa.int32()),
+                ],
+                ["__id__", "token_ids", "n_tokens"],
+            )
+
+    out = staged.mapInArrow(
+        _enc, f"__id__ {id_type}, token_ids array<{tid_type}>, n_tokens int"
+    ).select(F.col("__id__").alias(id_col), "token_ids", "n_tokens")
     return LazyFrame(out)
 
 

@@ -180,12 +180,15 @@ class TestBuildSFTExamples:
         assert out[3][1] == [0, -1, 2]                   # OOV -> -1
         assert out[3][2] == [-100, -100, 2]
 
-    def test_one_shuffle_shape(self, spark):
+    def test_map_only_shape(self, spark):
         import polars_net_spark as pl
         from polars_net_spark.llm import build_sft_examples
 
         vocab = spark.createDataFrame([("a", 0)], ["term", "token_id"])
         d = pl.from_records([(1, "a", "a a")], ["doc_id", "prompt", "response"])
         plan = build_sft_examples(d, vocab).spark._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange hashpartitioning") == 1  # one id-keyed shuffle
-        assert "BroadcastHashJoin" in plan                   # vocab broadcast
+        # r12: dict-encode kernel — no keyed shuffle, no join; the corpus
+        # never moves (only the guarded round-robin spread may appear).
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert "Join" not in plan
+        assert "MapInArrow" in plan

@@ -768,6 +768,32 @@ def test_build_vocab_and_encode(spark):
     assert enc2 == [(1, [0, 1, 0], 3), (2, [0, 1, 1], 3)]
 
 
+def test_encode_tokens_map_only_kernel(spark):
+    """r12 rewrite guards: map-only plan (no shuffle/join), token_id dtype
+    follows the vocab (int from build_vocab, bigint from a user frame),
+    duplicate vocab terms resolve to the smallest id."""
+    import polars_net_spark as pl
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+    from polars_net_spark.llm import build_vocab, encode_tokens_frame
+
+    d = pl.from_records([(1, "a b a"), (2, "   "), (3, None)], ["doc_id", "text"])
+    vocab = build_vocab(d, vocab_size=5)
+    enc = encode_tokens_frame(d, vocab)
+    plan = enc.spark._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan and "MapInArrow" in plan
+    assert enc.spark.schema["token_ids"].dataType == ArrayType(IntegerType())
+    # blank/null docs drop (posexplode parity of the r11 shape)
+    assert sorted(enc.collect().rows()) == [(1, [0, 1, 0], 3)]
+
+    big = spark.createDataFrame(
+        [("a", 7), ("b", 9), ("a", 3)], ["term", "token_id"]  # bigint, dup term
+    )
+    enc2 = encode_tokens_frame(d, big)
+    assert enc2.spark.schema["token_ids"].dataType == ArrayType(LongType())
+    assert sorted(enc2.collect().rows()) == [(1, [3, 9, 3], 3)]
+
+
 def test_build_vocab_min_count(spark):
     import polars_net_spark as pl
     from polars_net_spark.llm import build_vocab
