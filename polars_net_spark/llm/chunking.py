@@ -134,9 +134,13 @@ def mask_tokens_frame(
     data, oracle-checkable.  Start rate is ``mask_rate / span_len`` so the
     EXPECTED masked fraction stays ~mask_rate for any span length.
 
-    Pure higher-order-function Column math over the split words (one
-    transform for draws, one O(span_len) exists per position for the span
-    union, one filter for targets) — map-only, zero shuffles, no UDF.
+    Map-only at any scale; the draw/span/corrupt math runs as ONE hashlib
+    mapInArrow kernel over the JVM-split words (exact \\s+ parity).  The
+    r11 Catalyst version drew INLINE per (position, span-offset) — an
+    O(n·span_len) interpreted md5 chain (HOFs have no codegen, and a
+    precomputed starts array is a Catalyst CSE trap measured O(n²), see
+    git history) — where the kernel hashes each position ONCE off a
+    reusable md5 prefix state, identical digests bit-for-bit.
 
     Output: (id, corrupted text, targets = masked tokens in order,
     n_tokens, n_masked).
@@ -154,39 +158,95 @@ def mask_tokens_frame(
     text = F.col(text_col)
     # null text behaves as empty: 0 tokens, empty targets, null corrupted
     ws = F.filter(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"), lambda w: F.length(w) > 0)
-    did = F.col(id_col).cast("string")
-
-    def draw(i):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed), did, F.lit("\x1f"), i.cast("string"))), 1, 8),
-            16, 10,
-        ).cast("long")
-
-    def masked_at(i):
-        # position i is masked iff ANY start fired in [i-span_len+1, i].
-        # The draw happens INLINE per (i, j) — O(n * span_len) hashes.  A
-        # precomputed starts array looks cheaper but is a trap: Catalyst
-        # does not CSE an array referenced from inside another lambda, so
-        # element_at(starts, j) re-evaluates the whole O(n) transform per
-        # position — measured O(n^2): 112 s vs 2 s at sf0.1.
-        lo = F.greatest(i - F.lit(span_len - 1), F.lit(0))
-        return F.exists(F.sequence(lo, i), lambda j: draw(j) < threshold)
-
-    mask_flags = F.transform(ws, lambda w, i: masked_at(i))
-    corrupted = F.zip_with(
-        ws, mask_flags, lambda w, m: F.when(m, F.lit(mask_token)).otherwise(w)
+    staged = sdf.select(
+        F.col(id_col).alias("__mt_id__"),
+        F.col(id_col).cast("string").alias("__mt_did__"),
+        text.isNull().alias("__mt_tnull__"),
+        ws.alias("__mt_ws__"),
     )
-    targets = F.zip_with(ws, mask_flags, lambda w, m: F.when(m, w))
-    out = sdf.select(
-        F.col(id_col),
-        F.when(text.isNull(), F.lit(None)).otherwise(
-            F.array_join(corrupted, " ")
-        ).alias("corrupted"),
-        F.filter(targets, lambda t: t.isNotNull()).alias("targets"),
-        F.size(ws).cast("long").alias("n_tokens"),
-        F.size(F.filter(mask_flags, lambda m: m)).cast("long").alias("n_masked"),
+    # Guarded spread: a single-file gate corpus scans as 1-3 tasks, which
+    # would serialize the kernel.  Probe + round-robin ONLY when the input
+    # is a plain scan chain — the .rdd partition probe re-plans the whole
+    # upstream physically (measured ~0.75 s on q148's window+join chain),
+    # and an upstream that already shuffled (join/window/aggregate) has its
+    # parallelism set by those exchanges anyway.
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    try:
+        logical = str(staged._jdf.queryExecution().logical())
+        simple = not any(
+            k in logical for k in ("Join", "Window", "Aggregate", "Repartition")
+        )
+        if simple and staged.rdd.getNumPartitions() < par:
+            staged = staged.repartition(par)
+    except Exception:  # pragma: no cover - plan-introspection guard
+        pass
+    id_type = staged.schema["__mt_id__"].dataType.simpleString()
+    seed_s = str(seed)
+    span = int(span_len)
+    mt = str(mask_token)
+
+    def _mask(batches):
+        from hashlib import md5 as _md5
+
+        import pyarrow as pa
+
+        sep = "\x1f"
+        for batch in batches:
+            dids = batch.column(1).to_pylist()
+            tnulls = batch.column(2).to_pylist()
+            toks_in = batch.column(3).to_pylist()
+            corr: list = []
+            targ: list = []
+            n_tok: list = []
+            n_msk: list = []
+            for did, tnull, toks in zip(dids, tnulls, toks_in):
+                n = len(toks)
+                if n == 0:
+                    corr.append(None if tnull else "")
+                    targ.append([])
+                    n_tok.append(0)
+                    n_msk.append(0)
+                    continue
+                prefix = _md5((seed_s + did + sep).encode("utf-8"))
+                masked = [False] * n
+                for i in range(n):
+                    h = prefix.copy()
+                    h.update(str(i).encode("ascii"))
+                    if int(h.hexdigest()[:8], 16) < threshold:
+                        hi = i + span if i + span < n else n
+                        for j in range(i, hi):
+                            masked[j] = True
+                nm = sum(masked)
+                corr.append(
+                    " ".join(mt if m else w for w, m in zip(toks, masked))
+                )
+                targ.append([w for w, m in zip(toks, masked) if m])
+                n_tok.append(n)
+                n_msk.append(nm)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(corr, type=pa.string()),
+                    pa.array(targ, type=pa.list_(pa.string())),
+                    pa.array(n_tok, type=pa.int64()),
+                    pa.array(n_msk, type=pa.int64()),
+                ],
+                ["__mt_id__", "corrupted", "targets", "n_tokens", "n_masked"],
+            )
+
+    masked_df = staged.mapInArrow(
+        _mask,
+        f"__mt_id__ {id_type}, corrupted string, targets array<string>, "
+        "n_tokens bigint, n_masked bigint",
     )
-    return LazyFrame(out)
+    final = masked_df.select(
+        F.col("__mt_id__").alias(id_col),
+        "corrupted",
+        "targets",
+        "n_tokens",
+        "n_masked",
+    )
+    return LazyFrame(final)
 
 
 def flatten_chat_frame(

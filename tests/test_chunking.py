@@ -120,6 +120,48 @@ class TestMaskTokens:
             mask_tokens_frame(pl.LazyFrame(sdf), span_len=0)
 
 
+class TestMaskTokensKernel:
+    def test_draw_spec_parity_and_plan(self, spark):
+        """r12 kernel guards: masked positions match an independent
+        recompute of the documented md5 draw spec, the plan is a MapInArrow
+        kernel, and the parallelism spread fires only for plain scan
+        chains (not for composed join/window upstreams)."""
+        from hashlib import md5
+
+        import polars_net_spark as pl
+        from polars_net_spark.llm import mask_tokens_frame
+
+        words = " ".join(f"t{i}" for i in range(60))
+        sdf = spark.createDataFrame([(7, words)], "doc_id long, text string")
+        rate, span, seed = 0.3, 2, "spec"
+        row = mask_tokens_frame(
+            pl.LazyFrame(sdf), mask_rate=rate, span_len=span, seed=seed
+        ).collect().rows()[0]
+        # independent recompute of the draw spec
+        thr = int((rate / span) * 16**8)
+        starts = [
+            int(md5(f"{seed}7\x1f{i}".encode()).hexdigest()[:8], 16) < thr
+            for i in range(60)
+        ]
+        masked = [
+            any(starts[max(0, i - span + 1): i + 1]) for i in range(60)
+        ]
+        got = [w == "<MASK>" for w in row[1].split()]
+        assert got == masked
+        assert row[4] == sum(masked)
+
+        out = mask_tokens_frame(pl.LazyFrame(sdf), mask_rate=rate, seed=seed)
+        plan = out.spark._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan and "Join" not in plan
+        # composed upstream (join) must NOT trigger the round-robin spread
+        j = sdf.join(spark.createDataFrame([(7, 1)], "doc_id long, k int"), "doc_id")
+        plan2 = (
+            mask_tokens_frame(pl.LazyFrame(j), mask_rate=rate, seed=seed)
+            .spark._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "RoundRobinPartitioning" not in plan2
+
+
 class TestFlattenChat:
     def test_json_input_with_role_filter(self, spark):
         import polars_net_spark as pl
