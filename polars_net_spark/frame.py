@@ -1126,14 +1126,18 @@ class LazyFrame:
         sum (see Expr.cut).
 
         ``approx=True`` computes the boundaries with ``percentile_approx``
-        (constant-memory sketch; see :meth:`winsorize`) — the exact default
-        buffers the whole column on one reducer, which does not survive
-        100 TB.  Bucket edges may shift by <= 1/approx_accuracy of rank."""
+        (constant-memory sketch; see :meth:`winsorize`).  The exact default
+        computes the same boundaries DISTRIBUTED via distsort
+        ``exact_quantiles`` (Spark's interpolation formula bit-for-bit) —
+        no single merging reducer buffers the whole column at any scale.
+        Bucket edges under approx may shift by <= 1/approx_accuracy of
+        rank."""
         probs = [i / q for i in range(1, q)] if isinstance(q, int) else list(q)
         if not probs or sorted(probs) != list(probs) or not all(0 < p < 1 for p in probs):
             raise ValueError("q must be an int >= 2 or sorted probabilities in (0, 1)")
         sdf = self._sdf
         names = [f"__qb{i}__" for i in range(len(probs))]
+        edge_lits = None
         if approx:
             acc = int(approx_accuracy)
             bounds = sdf.agg(
@@ -1143,27 +1147,34 @@ class LazyFrame:
                 ]
             )
         else:
-            both = F.percentile(F.col(col_name), F.array(*[F.lit(p) for p in probs]))
-            bounds = sdf.agg(both.alias("__b__")).select(
-                *[F.get("__b__", i).alias(n) for i, n in enumerate(names)]
-            )
+            from .operators.distsort import exact_quantiles
+
+            edge_lits = exact_quantiles(sdf, col_name, probs)
         if labels is not None and len(labels) != len(probs) + 1:
             raise ValueError(
                 f"labels must have len(probs)+1 = {len(probs) + 1} entries, got {len(labels)}"
             )
         c = F.col(col_name)
         acc = F.lit(0)
-        for n in names:
-            acc = acc + (c > F.col(n)).cast("int")
+        if edge_lits is not None:
+            edge_cols = [F.lit(e).cast("double") for e in edge_lits]
+        else:
+            edge_cols = [F.col(n) for n in names]
+        for ec in edge_cols:
+            acc = acc + (c > ec).cast("int")
         bucket = F.when(c.isNotNull(), acc.cast("long"))
         if labels is not None:
             bucket = F.when(
                 c.isNotNull(),
                 F.element_at(F.array(*[F.lit(s) for s in labels]), acc.cast("int") + 1),
             )
+        oc = out_col or f"{col_name}_qcut"
+        if edge_lits is not None:
+            # literal edges: no keyless join, bucket math rides the scan
+            return LazyFrame(sdf.withColumn(oc, bucket))
         out = (
             sdf.crossJoin(F.broadcast(bounds))
-            .withColumn(out_col or f"{col_name}_qcut", bucket)
+            .withColumn(oc, bucket)
             .drop(*names)
         )
         return LazyFrame(out)

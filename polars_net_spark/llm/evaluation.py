@@ -524,9 +524,12 @@ def lift_table(
     "how much better than random is my top 10/20/30%", the campaign- and
     filter-targeting readout beside ROC-AUC.
 
-    Quantile edges come from ONE exact-percentile aggregate attached as a
-    1-row broadcast (same parity-proven interpolation as qcut); binning is
-    a count of edges ≤ score, so ties route identically in any engine.
+    Quantile edges come from distsort ``exact_quantiles`` (identical
+    values to the exact-percentile aggregate they replace — Spark's
+    interpolation bit-for-bit — without the single merging reducer that
+    buffers every score on one task at 100 TB) and ride the bin math as
+    literals; binning is a count of edges ≤ score, so ties route
+    identically in any engine.
     Per-bin counts combine map-side; the cumulative window rides on the
     ``n_bins``-row result (bounded by construction).  All bins materialize
     — heavy score ties can leave a bin empty (n=0, null rates).
@@ -540,13 +543,13 @@ def lift_table(
         s.alias("__s__"), y.alias("__y__")
     )
     qs = [i / n_bins for i in range(1, n_bins)]
-    edges_row = base.agg(
-        F.percentile(F.col("__s__"), F.array(*[F.lit(q) for q in qs])).alias("__e__")
-    )
-    with_e = base.join(F.broadcast(edges_row))
-    n_le = F.size(F.filter(F.col("__e__"), lambda e: F.col("__s__") >= e))
+    from ..operators.distsort import exact_quantiles
+
+    edge_vals = exact_quantiles(base, F.col("__s__"), qs)
+    edges = F.array(*[F.lit(e).cast("double") for e in edge_vals])
+    n_le = F.size(F.filter(edges, lambda e: F.col("__s__") >= e))
     decile = F.lit(n_bins) - n_le
-    binned = with_e.select(decile.alias("decile"), "__y__")
+    binned = base.select(decile.alias("decile"), "__y__")
     cnt = binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("__y__").alias("n_pos")
     )

@@ -530,18 +530,34 @@ def trimmed_mean_by_key(
     round_to: int = 6,
 ) -> LazyFrame:
     """Per-key trimmed mean: average of values inside the [trim, 1−trim]
-    quantile band (exact percentile bounds — same buffer caveat as
-    describe(exact); for 100 TB swap in percentile_approx via approx=True).
-    Two aggregates: the bounds, then the band-filtered mean."""
+    quantile band (exact bounds).  Keyed: two aggregates — the per-key
+    bounds (percentile buffers bounded per key), then the band-filtered
+    mean.  Global (no ``by``): the bounds come from distsort
+    ``exact_quantiles`` — same values as the global ``F.percentile``
+    aggregate it replaces (Spark's interpolation formula bit-for-bit)
+    without that plan's single merging reducer buffering and sorting the
+    whole column on one task at 100 TB; the bounds then ride the final
+    aggregate as literals (no keyless join)."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col).cast("double")
-    bounds = sdf.groupBy(*keys).agg(
-        F.percentile(v, F.lit(float(trim))).alias("__lo__"),
-        F.percentile(v, F.lit(1.0 - float(trim))).alias("__hi__"),
-    )
-    joined = sdf.join(bounds, keys) if keys else sdf.join(F.broadcast(bounds))
-    band = v.between(F.col("__lo__"), F.col("__hi__"))
+    if keys:
+        bounds = sdf.groupBy(*keys).agg(
+            F.percentile(v, F.lit(float(trim))).alias("__lo__"),
+            F.percentile(v, F.lit(1.0 - float(trim))).alias("__hi__"),
+        )
+        joined = sdf.join(bounds, keys)
+        band = v.between(F.col("__lo__"), F.col("__hi__"))
+    else:
+        from .distsort import exact_quantiles
+
+        lo_v, hi_v = exact_quantiles(
+            sdf, v, [float(trim), 1.0 - float(trim)]
+        )
+        lo = F.lit(lo_v).cast("double")
+        hi = F.lit(hi_v).cast("double")
+        joined = sdf
+        band = v.between(lo, hi)
     out = (
         joined.groupBy(*keys)
         .agg(
@@ -1092,13 +1108,28 @@ def with_scaled(
     ONE grouped aggregate computes the stats for ALL columns (fused), then
     one join back — global stats ride a 1-row broadcast, per-key (``by=``)
     stats join on the key (AQE broadcasts small stat sides).  zscore/minmax
-    stats combine map-side; robust's median/IQR uses the exact percentile
-    buffer — at extreme scale prefer zscore or pre-aggregate.
+    stats combine map-side; per-key robust median/IQR uses the exact
+    percentile buffer (bounded per key); GLOBAL robust stats come from
+    distsort ``exact_quantiles`` per column — identical values to the
+    global ``F.percentile`` aggregate they replace, with no single
+    merging reducer buffering the whole column at 100 TB (the scaled
+    math then rides literals, no keyless join for the robust path).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
+    lits: "dict[str, tuple] | None" = None
+    if method == "robust" and not keys:
+        from .distsort import exact_quantiles
+
+        lits = {}
+        for c in cols:
+            q1, med, q3 = exact_quantiles(
+                sdf, F.col(c).cast("double"), [0.25, 0.5, 0.75]
+            )
+            spr = None if (q1 is None or q3 is None) else q3 - q1
+            lits[c] = (med, spr)
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
@@ -1113,23 +1144,35 @@ def with_scaled(
                 (F.max(v) - F.min(v)).alias(f"__spr_{c}__"),
             ]
         elif method == "robust":
-            aggs += [
-                F.percentile(v, F.lit(0.5)).alias(f"__ctr_{c}__"),
-                (
-                    F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25))
-                ).alias(f"__spr_{c}__"),
-            ]
+            if lits is None:
+                aggs += [
+                    F.percentile(v, F.lit(0.5)).alias(f"__ctr_{c}__"),
+                    (
+                        F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25))
+                    ).alias(f"__spr_{c}__"),
+                ]
         else:
             raise ValueError(f"unknown method {method!r}")
-    stats = sdf.groupBy(*keys).agg(*aggs)
-    joined = sdf.join(stats, keys) if keys else sdf.join(F.broadcast(stats))
+    if lits is not None:
+        joined = sdf
+        ctr_spr = {
+            c: (
+                F.lit(lits[c][0]).cast("double"),
+                F.lit(lits[c][1]).cast("double"),
+            )
+            for c in cols
+        }
+    else:
+        stats = sdf.groupBy(*keys).agg(*aggs)
+        joined = sdf.join(stats, keys) if keys else sdf.join(F.broadcast(stats))
+        ctr_spr = {
+            c: (F.col(f"__ctr_{c}__"), F.col(f"__spr_{c}__")) for c in cols
+        }
     out_cols = [F.col(c) for c in sdf.columns]
     for c in cols:
         v = F.col(c).cast("double")
-        scaled = F.when(
-            F.col(f"__spr_{c}__") > 0,
-            (v - F.col(f"__ctr_{c}__")) / F.col(f"__spr_{c}__"),
-        )
+        ctr, spr = ctr_spr[c]
+        scaled = F.when(spr > 0, (v - ctr) / spr)
         if round_to is not None:
             scaled = F.round(scaled, round_to)
         out_cols.append(scaled.alias(f"{c}{suffix}"))
