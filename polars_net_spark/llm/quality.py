@@ -425,10 +425,17 @@ def bigram_logprob_frame(
     Model = the corpus itself: p(w2|w1) = cnt(w1 w2)/cnt(w1) for the
     top-``vocab_size`` bigrams by count, else backoff 0.4 * cnt(w2)/N (or
     the 1/N floor for OOV w2).  Scale shape: ONE cached corpus scan
-    (``_staged_words``) feeds two map-side-combined count shuffles (bigrams,
-    unigrams — both keyed, both TakeOrdered'd), each broadcast back over the
-    bigram stream; one final ``doc_id`` shuffle.  Deterministic ties
-    (count desc, gram asc) keep the model ANSI-SQL-replicable.
+    (``_staged_words``) feeds two map-side-combined count shuffles (the
+    bigram and unigram models — both keyed, both bounded artifacts: the
+    bigram table is TakeOrdered'd to ``vocab_size`` and the unigram table
+    is the SAME object the r11 plan shipped whole as three broadcast hash
+    relations).  Both models then collect once driver-side and SCORING IS
+    MAP-ONLY — a dict-lookup mapInArrow kernel computes each doc's mean
+    log-prob in place, replacing the r11 shape's second interpreted
+    bigram-expansion pass, its three broadcast joins, and the corpus-wide
+    ``doc_id`` regroup shuffle (a doc's score needs no other doc's rows).
+    Deterministic ties (count desc, gram asc) keep the model
+    ANSI-SQL-replicable.
 
     Output: ``(doc_id, n_bigrams, mean_logprob)``; docs with < 2 words get
     ``(0, 0.0)``.
@@ -442,7 +449,6 @@ def bigram_logprob_frame(
     staged = _staged_words(sdf, text_col, id_col)
     ws = F.col("__ws__")
     bigrams = staged.select(
-        "id",
         F.explode(
             F.when(
                 F.size(ws) >= 2,
@@ -454,9 +460,8 @@ def bigram_logprob_frame(
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
-    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     words = staged.select(F.explode(ws).alias("word"))
-    total = words.select(F.count("*").alias("__N__"))
     uni = words.groupBy("word").agg(F.count("*").alias("__uc__"))
     bi_vocab = (
         bigrams.groupBy("w1", "w2")
@@ -464,38 +469,74 @@ def bigram_logprob_frame(
         .orderBy(F.col("__bc__").desc(), F.col("w1"), F.col("w2"))
         .limit(vocab_size)
     )
-    scored = (
-        bigrams.join(F.broadcast(bi_vocab), ["w1", "w2"], "left")
-        .join(F.broadcast(uni.withColumnRenamed("word", "w1")
-                          .withColumnRenamed("__uc__", "__c1__")), "w1", "left")
-        .join(F.broadcast(uni.withColumnRenamed("word", "w2")
-                          .withColumnRenamed("__uc__", "__c2__")), "w2", "left")
-        .join(F.broadcast(total))
-        .withColumn(
-            "__lp__",
+    uni_map: dict = {}
+    n_total = 0
+    for r in uni.collect():
+        c = int(r["__uc__"])
+        uni_map[r["word"]] = c
+        n_total += c
+    bi_map = {
+        (r["w1"], r["w2"]): int(r["__bc__"]) for r in bi_vocab.collect()
+    }
+    n_f = float(n_total) if n_total else 1.0
+
+    # the kernel emits the raw log-prob SUM; the mean's division and
+    # F.round stay Spark expressions so the rounding convention (HALF_UP)
+    # is bit-identical to the aggregate it replaces
+    def _score(batches):
+        from math import log10
+
+        import pyarrow as pa
+
+        uget = uni_map.get
+        bget = bi_map.get
+        for batch in batches:
+            toks_in = batch.column(1).to_pylist()
+            nbg: list = []
+            sums: list = []
+            for toks in toks_in:
+                n = len(toks)
+                if n < 2:
+                    nbg.append(0)
+                    sums.append(0.0)
+                    continue
+                s = 0.0
+                for i in range(n - 1):
+                    w1, w2 = toks[i], toks[i + 1]
+                    bc = bget((w1, w2))
+                    if bc is not None:
+                        s += log10(bc / uget(w1))
+                    else:
+                        s += log10(0.4 * uget(w2, 1) / n_f)
+                sums.append(s)
+                nbg.append(n - 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(nbg, type=pa.int64()),
+                    pa.array(sums, type=pa.float64()),
+                ],
+                ["id", "n_bigrams", "__s__"],
+            )
+
+    id_type = staged.schema["id"].dataType.simpleString()
+    out = (
+        staged.mapInArrow(
+            _score,
+            f"id {id_type}, n_bigrams bigint, __s__ double",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
             F.when(
-                F.col("__bc__").isNotNull(),
-                F.log10(F.col("__bc__").cast("double") / F.col("__c1__").cast("double")),
-            ).otherwise(
-                F.log10(
-                    F.lit(0.4)
-                    * F.coalesce(F.col("__c2__"), F.lit(1)).cast("double")
-                    / F.col("__N__").cast("double")
-                )
-            ),
-        )
-        .groupBy("id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg("__lp__"), round_to).alias("mean_logprob"),
+                F.col("n_bigrams") > 0,
+                F.round(F.col("__s__") / F.col("n_bigrams"), round_to),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_logprob"),
         )
     )
-    short = staged.filter(F.size(ws) < 2).select(
-        "id",
-        F.lit(0).cast("long").alias("n_bigrams"),
-        F.lit(0.0).alias("mean_logprob"),
-    )
-    return LazyFrame(scored.unionByName(short).withColumnRenamed("id", id_col))
+    return LazyFrame(out)
 
 
 def train_linear_quality(
