@@ -59,21 +59,41 @@ def main() -> None:
       .write.format("noop").mode("overwrite").save())
     from polars_net_spark import release_caches
 
+    # r13, noise robustness (opt-in, declared): $SPARK_GRAFT_BENCH_RUNS > 1
+    # makes each query's recorded time the MIN of N back-to-back cold-plan
+    # runs in this one session — the same methodology per run (fresh plan,
+    # noop sink, caches released between runs), so a host stall inflates a
+    # single run instead of the committed number.  Default 1 keeps the
+    # single-pass driver contract bit-for-bit.
+    try:
+        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    except ValueError:
+        n_runs = 1
+    if n_runs > 1:
+        print(f"# bench: per-query min-of-{n_runs} (SPARK_GRAFT_BENCH_RUNS)",
+              file=sys.stderr, flush=True)
+
     for name, fn in qs.items():
         print(f"# bench start {name}", file=sys.stderr, flush=True)
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None or best < 0 else min(best, dt)
+            except Exception as ex:  # record failures distinctly, keep going
+                if best is None:
+                    best = -1.0
+                print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
+            finally:
+                # operator-internal persists are per-query staging; release so
+                # one query's cached blocks never skew the next run's budget
+                release_caches()
+        timings[name] = best if best is not None else -1.0
+        if timings[name] >= 0:
             print(f"# bench done  {name} {timings[name]}s", file=sys.stderr, flush=True)
-        except Exception as ex:  # record failures distinctly, keep going
-            timings[name] = -1.0
-            print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
-        finally:
-            # operator-internal persists are per-query staging; release so one
-            # query's cached blocks never skew the next query's memory budget
-            release_caches()
 
     ok_timings = [t for t in timings.values() if t >= 0]
     total = round(sum(ok_timings), 3)

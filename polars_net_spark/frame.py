@@ -1065,7 +1065,12 @@ class LazyFrame:
         partition, map-side combinable).  **Use it at scale**: the exact
         default buffers every value of ``column`` on the merging reducer —
         fine at test SFs, OOM-class on a 100 TB column.  ``approx_accuracy``
-        trades memory for error (err <= 1/accuracy of rank)."""
+        trades memory for error (err <= 1/accuracy of rank).
+
+        EAGER NOTE (exact path): the boundary quantiles run Spark jobs at
+        plan-CONSTRUCTION time (distsort exact order statistics) and are
+        frozen as plan literals — this call is not fully lazy, and the
+        bounds reflect the source as of this call."""
         if not (0.0 <= lower < upper <= 1.0):
             raise ValueError("need 0 <= lower < upper <= 1")
         sdf = self._drop_order()._sdf
@@ -1131,7 +1136,12 @@ class LazyFrame:
         ``exact_quantiles`` (Spark's interpolation formula bit-for-bit) —
         no single merging reducer buffers the whole column at any scale.
         Bucket edges under approx may shift by <= 1/approx_accuracy of
-        rank."""
+        rank.
+
+        EAGER NOTE (exact path): the quantile pass runs Spark jobs at
+        plan-CONSTRUCTION time and freezes the bounds as plan literals — the
+        call is not fully lazy, and the bounds reflect the source as of this
+        call."""
         probs = [i / q for i in range(1, q)] if isinstance(q, int) else list(q)
         if not probs or sorted(probs) != list(probs) or not all(0 < p < 1 for p in probs):
             raise ValueError("q must be an int >= 2 or sorted probabilities in (0, 1)")

@@ -164,22 +164,12 @@ def mask_tokens_frame(
         text.isNull().alias("__mt_tnull__"),
         ws.alias("__mt_ws__"),
     )
-    # Guarded spread: a single-file gate corpus scans as 1-3 tasks, which
-    # would serialize the kernel.  Probe + round-robin ONLY when the input
-    # is a plain scan chain — the .rdd partition probe re-plans the whole
-    # upstream physically (measured ~0.75 s on q148's window+join chain),
-    # and an upstream that already shuffled (join/window/aggregate) has its
-    # parallelism set by those exchanges anyway.
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        logical = str(staged._jdf.queryExecution().logical())
-        simple = not any(
-            k in logical for k in ("Join", "Window", "Aggregate", "Repartition")
-        )
-        if simple and staged.rdd.getNumPartitions() < par:
-            staged = staged.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    # Guarded spread (shared helper, extracted from this function's r12
+    # version): probe + round-robin only on plain scan chains — see
+    # polars_net_spark/_spread.py for the re-planning rationale.
+    from .._spread import spread_plain_scan
+
+    staged = spread_plain_scan(staged)
     id_type = staged.schema["__mt_id__"].dataType.simpleString()
     seed_s = str(seed)
     span = int(span_len)
@@ -409,21 +399,20 @@ def build_sft_examples(
     staged = sdf.select(
         F.col(id_col).alias("__id__"), pw.alias("__pw__"), rw.alias("__rw__")
     )
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if staged.rdd.getNumPartitions() < par:
-            staged = staged.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    from .._spread import spread_plain_scan
+
+    staged = spread_plain_scan(staged)
     id_type = staged.schema["__id__"].dataType.simpleString()
     oov = int(oov_id)
     mask = int(mask_label)
+    # broadcast once per executor, not once per task closure
+    bc_vmap = sdf.sparkSession.sparkContext.broadcast(vmap)
 
     def _enc(batches):
         import pyarrow as pa
 
         elem = pa.int32() if tid_type == "int" else pa.int64()
-        get = vmap.get
+        get = bc_vmap.value.get
         for batch in batches:
             pws = batch.column(1).to_pylist()
             rws = batch.column(2).to_pylist()

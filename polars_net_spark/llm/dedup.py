@@ -450,7 +450,6 @@ def simhash_signatures(
     if hash_fn == "md5" and bits > 60:
         raise ValueError("hash_fn='md5' supports at most 60 bits (15 hex chars)")
     sdf = _sdf(frame)
-    par = sdf.sparkSession.sparkContext.defaultParallelism
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     # Tokenization (and, for xxhash64, the JVM-native token hash) stays in
     # Spark expressions; the per-token ±1 bit-sum fold moves to a
@@ -460,12 +459,10 @@ def simhash_signatures(
     # interpreted-lambda dispatches.  The kernel computes the identical
     # integers: bit i of hash h via (h >> i) & 1 (sign bit included — the
     # hashes ride in as uint64 views), sum over tokens, sign → bit.
+    from .._spread import spread_plain_scan
+
     staged = sdf.select(F.col(id_col).alias("__id__"), words.alias("__w__"))
-    try:
-        if staged.rdd.getNumPartitions() < par:
-            staged = staged.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    staged = spread_plain_scan(staged)
     use_md5 = hash_fn == "md5"
     if not use_md5:
         staged = staged.select(
@@ -1732,12 +1729,9 @@ def winnowing_fingerprints(
     # single-file gate corpora scan as one partition; the interpreted-HOF
     # predecessor serialized there, and so would one Arrow task — spread
     # only when the scan is narrower than the session parallelism
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if base.rdd.getNumPartitions() < par:
-            base = base.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    from .._spread import spread_plain_scan
+
+    base = spread_plain_scan(base)
     id_type = base.schema["id"].dataType.simpleString()
     M = 1_000_000_007
     B = 131

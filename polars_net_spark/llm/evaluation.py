@@ -88,7 +88,7 @@ def roc_auc(
         )
     else:
         from .._cache import register_cache
-        from ..operators.distsort import with_prefix_offsets, with_range_buckets
+        from ..operators.distsort import with_bucket_offsets
 
         # distinct-score sufficient statistics: avg_rank of a tie group of
         # size t starting after c earlier rows is c + (t+1)/2, so
@@ -100,8 +100,7 @@ def roc_auc(
                 F.sum("__y__").alias("__pos__"),
             )
         )
-        d2, gb = with_range_buckets(d, "__s__")
-        d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+        d3, gb, _tot = with_bucket_offsets(d, "__s__", {"cnt": F.col("__cnt__")})
         wexcl = (
             Window.partitionBy(gb)
             .orderBy(F.col("__s__"))
@@ -368,12 +367,11 @@ def average_precision(
         cum_pos = F.sum("__y__").over(w.rowsBetween(Window.unboundedPreceding, 0))
     else:
         from .._cache import register_cache
-        from ..operators.distsort import with_prefix_offsets, with_range_buckets
+        from ..operators.distsort import with_bucket_offsets
 
         base = register_cache(base)
-        b2, gb = with_range_buckets(base, "__s__", desc=True)
-        base, _tot = with_prefix_offsets(
-            b2, gb, {"cnt": F.lit(1), "pos": F.col("__y__")}
+        base, gb, _tot = with_bucket_offsets(
+            base, "__s__", {"cnt": F.lit(1), "pos": F.col("__y__")}, desc=True
         )
         # ties of __s__ share a bucket (bucket id is a function of the
         # score), so the within-bucket label-desc tie-break is global
@@ -533,7 +531,12 @@ def lift_table(
     Per-bin counts combine map-side; the cumulative window rides on the
     ``n_bins``-row result (bounded by construction).  All bins materialize
     — heavy score ties can leave a bin empty (n=0, null rates).
-    Output: decile, n, n_pos, pos_rate, lift, cum_gain, cum_lift."""
+    Output: decile, n, n_pos, pos_rate, lift, cum_gain, cum_lift.
+
+    EAGER NOTE (exact path): the quantile pass runs Spark jobs at
+    plan-CONSTRUCTION time and freezes the bounds as plan literals — the
+    call is not fully lazy, and the bounds reflect the source as of this
+    call."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     sdf = _sdf(frame)
@@ -998,18 +1001,15 @@ def _clipped_match(gh, gr):
 
 
 def _spread(sdf):
-    """Repartition ONLY when the input has fewer partitions than the
-    default parallelism — a single-file gate corpus must not serialize the
-    per-row gram folds onto one core (the _stage_words rule), but a
-    production many-file scan is already parallel and must not pay a
-    row-level Exchange it doesn't need."""
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if sdf.rdd.getNumPartitions() >= par:
-            return sdf
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
-    return sdf.repartition(par)
+    """Repartition ONLY when the input is a plain scan chain with fewer
+    partitions than the default parallelism — a single-file gate corpus
+    must not serialize the per-row gram folds onto one core (the
+    _stage_words rule), but a production many-file scan is already
+    parallel, and a shuffled upstream must not pay the probe's re-planning
+    (see polars_net_spark/_spread.py)."""
+    from .._spread import spread_plain_scan
+
+    return spread_plain_scan(sdf)
 
 
 def bleu_corpus(

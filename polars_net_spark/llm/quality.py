@@ -479,6 +479,17 @@ def bigram_logprob_frame(
         (r["w1"], r["w2"]): int(r["__bc__"]) for r in bi_vocab.collect()
     }
     n_f = float(n_total) if n_total else 1.0
+    # torrent-broadcast the two model tables once per executor instead of
+    # shipping closure-captured dicts with every serialized task launch.
+    # DRIVER-MEMORY BOUND: the bigram table is capped at vocab_size rows,
+    # but the unigram table is the full corpus vocabulary — it grows
+    # ~O(corpus^beta) under Heaps' law (beta ~ 0.5), i.e. a 100 TB corpus
+    # is on the order of 10^8 distinct words ~ a few GB as a Python dict.
+    # That is the same object the pre-r12 plan shipped whole as a
+    # broadcast hash relation; beyond it, shard the unigram floor lookup
+    # or raise spark.driver.memory — the backoff floor is part of the
+    # declared result, so it cannot be silently truncated.
+    bc_models = sdf.sparkSession.sparkContext.broadcast((uni_map, bi_map))
 
     # the kernel emits the raw log-prob SUM; the mean's division and
     # F.round stay Spark expressions so the rounding convention (HALF_UP)
@@ -488,8 +499,9 @@ def bigram_logprob_frame(
 
         import pyarrow as pa
 
-        uget = uni_map.get
-        bget = bi_map.get
+        uni_m, bi_m = bc_models.value
+        uget = uni_m.get
+        bget = bi_m.get
         for batch in batches:
             toks_in = batch.column(1).to_pylist()
             nbg: list = []

@@ -616,7 +616,7 @@ def zipf_fit(
 
     Output (1 row): n_terms, slope, intercept, r2."""
     from ..frame import LazyFrame
-    from ..operators.distsort import with_prefix_offsets, with_range_buckets
+    from ..operators.distsort import with_bucket_offsets
     from pyspark.sql import Window
 
     sdf = frame._sdf if isinstance(frame, LazyFrame) else frame
@@ -631,8 +631,7 @@ def zipf_fit(
         .filter(F.col("cnt") >= int(min_count))
     )
     counts = register_cache(counts)
-    bucketed, gb = with_range_buckets(counts, "cnt", desc=True)
-    offs, tot = with_prefix_offsets(bucketed, gb, {"r": F.lit(1)})
+    offs, gb, tot = with_bucket_offsets(counts, "cnt", {"r": F.lit(1)}, desc=True)
     w = Window.partitionBy(gb).orderBy(F.col("cnt").desc(), F.col("term").asc())
     rank = F.col("__off_r__") + F.row_number().over(w)
     pts = offs.select(

@@ -89,21 +89,23 @@ def encode_tokens_frame(
     tid_type = vdf.schema["token_id"].dataType.simpleString()
     if tid_type not in ("int", "bigint"):
         tid_type = "int"
+    from .._spread import spread_plain_scan
+
     staged = sdf.select(F.col(id_col).alias("__id__"), _words(text_col).alias("__ws__"))
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if staged.rdd.getNumPartitions() < par:
-            staged = staged.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    staged = spread_plain_scan(staged)
     id_type = staged.schema["__id__"].dataType.simpleString()
     drop_oov = oov_id is None
     oov = None if drop_oov else int(oov_id)
+    # torrent-broadcast the vocab once per executor instead of shipping the
+    # closure-captured dict with every serialized task (it is the same
+    # bounded object either way, but a closure rides each task launch)
+    bc_vmap = sdf.sparkSession.sparkContext.broadcast(vmap)
 
     def _enc(batches):
         import pyarrow as pa
 
         elem = pa.int32() if tid_type == "int" else pa.int64()
+        vmap = bc_vmap.value
         get = vmap.get
         for batch in batches:
             toks_in = batch.column(1).to_pylist()
@@ -449,13 +451,10 @@ def feature_hash_frame(
     # reads both fields from one digest.  Buckets ascending + zero-weight
     # elimination match the array_sort/filter semantics exactly (integer
     # sums — bit-identical).
+    from .._spread import spread_plain_scan
+
     staged = sdf.select(F.col(id_col).alias("__id__"), _words(text_col).alias("__w__"))
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if staged.rdd.getNumPartitions() < par:
-            staged = staged.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    staged = spread_plain_scan(staged)
     id_type = staged.schema["__id__"].dataType.simpleString()
     nf = int(n_features)
     seed_s = str(seed)

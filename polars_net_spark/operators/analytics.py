@@ -501,12 +501,11 @@ def cusum_flags(
         )
         cusum = F.sum(v - F.col("__m__")).over(w)
     else:
-        from .distsort import with_prefix_offsets, with_range_buckets
+        from .distsort import with_bucket_offsets
 
         joined = sdf.join(F.broadcast(stats))
-        bucketed, bcol = with_range_buckets(joined, order_col)
-        joined, _totals = with_prefix_offsets(
-            bucketed, bcol, {"d": v - F.col("__m__")}
+        joined, bcol, _totals = with_bucket_offsets(
+            joined, order_col, {"d": v - F.col("__m__")}
         )
         w = Window.partitionBy(bcol).orderBy(F.col(order_col)).rowsBetween(
             Window.unboundedPreceding, 0
@@ -537,7 +536,12 @@ def trimmed_mean_by_key(
     aggregate it replaces (Spark's interpolation formula bit-for-bit)
     without that plan's single merging reducer buffering and sorting the
     whole column on one task at 100 TB; the bounds then ride the final
-    aggregate as literals (no keyless join)."""
+    aggregate as literals (no keyless join).
+
+    EAGER NOTE (exact path): the quantile pass runs Spark jobs at
+    plan-CONSTRUCTION time and freezes the bounds as plan literals — the
+    call is not fully lazy, and the bounds reflect the source as of this
+    call."""
     sdf = _sdf(frame)
     keys = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col).cast("double")
@@ -595,7 +599,7 @@ def with_rank_normalized(
     v = F.col(value_col)
     if not keys:
         from .._cache import register_cache
-        from .distsort import with_prefix_offsets, with_range_buckets
+        from .distsort import with_bucket_offsets, with_prefix_offsets
 
         d = (
             sdf.filter(v.isNotNull())
@@ -604,7 +608,7 @@ def with_rank_normalized(
         )
         if isinstance(sdf.schema[value_col].dataType, NumericType):
             d = register_cache(d)
-            d2, gb = with_range_buckets(d, "__v__")
+            d3, gb, totals = with_bucket_offsets(d, "__v__", {"cnt": F.col("__cnt__")})
         else:
             # non-numeric: Spark's range partitioner orders any orderable
             # type; the partition id IS a range bucket.  Persist freezes
@@ -614,7 +618,7 @@ def with_rank_normalized(
             d2 = register_cache(
                 d.orderBy(F.col("__v__")).withColumn(gb, F.spark_partition_id())
             )
-        d3, totals = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+            d3, totals = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
         n = float(totals.get("cnt", 0) or 0)
         wexcl = (
             Window.partitionBy(gb)
@@ -844,7 +848,7 @@ def weighted_quantiles(
     totals) — no per-q join, no data-sized window.  Rows with null value
     or null/non-positive weight are excluded.  Output: (q, value,
     total_weight), one row per q ascending."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     qlist = sorted(float(q) for q in qs)
     if not qlist or qlist[0] <= 0 or qlist[-1] > 1:
@@ -859,8 +863,7 @@ def weighted_quantiles(
         .groupBy(v.alias("__v__"))
         .agg(F.sum(w).alias("__w__"))
     )
-    g2, gb = with_range_buckets(g, "__v__")
-    g3, tot = with_prefix_offsets(g2, gb, {"w": F.col("__w__")})
+    g3, gb, tot = with_bucket_offsets(g, "__v__", {"w": F.col("__w__")})
     W = float(tot.get("w", 0) or 0)
     if W <= 0:
         raise ValueError("weighted_quantiles: no rows with positive weight")
@@ -996,15 +999,14 @@ def gini_coefficient(
         )
     else:
         from .._cache import register_cache
-        from .distsort import with_prefix_offsets, with_range_buckets
+        from .distsort import with_bucket_offsets
 
         d = register_cache(
             sdf.filter(v.isNotNull())
             .groupBy(v.alias("__x__"))
             .agg(F.count(F.lit(1)).alias("__c__"))
         )
-        d2, gb = with_range_buckets(d, "__x__")
-        d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__c__")})
+        d3, gb, _tot = with_bucket_offsets(d, "__x__", {"cnt": F.col("__c__")})
         wexcl = (
             Window.partitionBy(gb)
             .orderBy(F.col("__x__"))
@@ -1110,10 +1112,16 @@ def with_scaled(
     stats join on the key (AQE broadcasts small stat sides).  zscore/minmax
     stats combine map-side; per-key robust median/IQR uses the exact
     percentile buffer (bounded per key); GLOBAL robust stats come from
-    distsort ``exact_quantiles`` per column — identical values to the
-    global ``F.percentile`` aggregate they replace, with no single
-    merging reducer buffering the whole column at 100 TB (the scaled
-    math then rides literals, no keyless join for the robust path).
+    ONE distsort ``exact_quantiles_multi`` pass over all columns —
+    identical values to the global ``F.percentile`` aggregate they
+    replace, with no single merging reducer buffering the whole column at
+    100 TB (the scaled math then rides literals, no keyless join for the
+    robust path).
+
+    EAGER NOTE (global robust only): the quantile pass runs Spark jobs at
+    plan-CONSTRUCTION time and freezes median/IQR as plan literals — the
+    returned frame is not fully lazy, and the bounds reflect the input as
+    of this call (re-collect after the source changes to refresh them).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -1121,13 +1129,18 @@ def with_scaled(
     keys = [by] if isinstance(by, str) else list(by or [])
     lits: "dict[str, tuple] | None" = None
     if method == "robust" and not keys:
-        from .distsort import exact_quantiles
+        # ONE shared scan for every column's exact median/IQR (the r12
+        # per-column loop re-ran the full input scan+combine per column);
+        # NOTE this path evaluates eagerly at plan-construction time and
+        # freezes the quantile bounds as literals — see the docstring.
+        from .distsort import exact_quantiles_multi
 
+        qs = exact_quantiles_multi(
+            sdf, {c: F.col(c).cast("double") for c in cols}, [0.25, 0.5, 0.75]
+        )
         lits = {}
         for c in cols:
-            q1, med, q3 = exact_quantiles(
-                sdf, F.col(c).cast("double"), [0.25, 0.5, 0.75]
-            )
+            q1, med, q3 = qs[c]
             spr = None if (q1 is None or q3 is None) else q3 - q1
             lits[c] = (med, spr)
     aggs = []
@@ -1284,11 +1297,10 @@ def survival_curve(
         )
         return LazyFrame(out)
     from .._cache import register_cache
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets, with_prefix_offsets
 
     g = register_cache(grp)
-    d2, gb = with_range_buckets(g, "t")
-    d3, tot = with_prefix_offsets(d2, gb, {"dc": F.col("d") + F.col("c")})
+    d3, gb, tot = with_bucket_offsets(g, "t", {"dc": F.col("d") + F.col("c")})
     n_total = float(tot["dc"])
     wexcl = (
         Window.partitionBy(gb).orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
@@ -1806,7 +1818,7 @@ def abc_analysis(
     Ties rank deterministically ((−value, key) bucket order is by value
     only, within-bucket order by value desc then key).  Output:
     (key, value, rank, cum_share, abc_class)."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     t1, t2 = float(thresholds[0]), float(thresholds[1])
     if not (0.0 < t1 < t2 <= 1.0):
@@ -1820,9 +1832,8 @@ def abc_analysis(
         .groupBy(F.col(key_col).alias("key"))
         .agg(F.round(F.sum(v), round_to).alias("value"))
     )
-    bucketed, bcol = with_range_buckets(keys, "value", desc=True)
-    offs, totals = with_prefix_offsets(
-        bucketed, bcol, {"v": F.col("value"), "c": F.lit(1)}
+    offs, bcol, totals = with_bucket_offsets(
+        keys, "value", {"v": F.col("value"), "c": F.lit(1)}, desc=True
     )
     gtot = float(totals["v"])
     w = Window.partitionBy(bcol).orderBy(F.col("value").desc(), F.col("key"))
@@ -2245,7 +2256,7 @@ def lorenz_curve(
     p·N falls before the first distinct-value group's cumulative count (tiny
     frames, or one dominant lowest value) joins back onto the literal p grid
     with share 0.0 instead of silently dropping."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     if n_points < 1:
         raise ValueError("n_points must be >= 1")
@@ -2262,9 +2273,8 @@ def lorenz_curve(
             F.count(F.lit(1)).alias("__c__"), F.sum("__v__").alias("__s__")
         )
     )
-    bucketed, bcol = with_range_buckets(dv, "__v__")
-    offs, totals = with_prefix_offsets(
-        bucketed, bcol, {"c": F.col("__c__"), "s": F.col("__s__")}
+    offs, bcol, totals = with_bucket_offsets(
+        dv, "__v__", {"c": F.col("__c__"), "s": F.col("__s__")}
     )
     ntot, stot = float(totals["c"]), float(totals["s"])
     wb = Window.partitionBy(bcol).orderBy("__v__")
@@ -2372,7 +2382,7 @@ def log_rank_test(
 
     Output (1 row): n, group_one, o1 (observed), e1 (expected), var,
     chi2 (null when var = 0; feed (chi2, df=1) to a χ² CDF driver-side)."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     t = F.col(time_col).cast("double")
@@ -2398,9 +2408,8 @@ def log_rank_test(
             F.count(F.lit(1)).alias("m"),
         )
     )
-    bucketed, gb = with_range_buckets(cells, "__t__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb, {"m1": F.col("m1"), "m": F.col("m")}
+    offs, gb, tot = with_bucket_offsets(
+        cells, "__t__", {"m1": F.col("m1"), "m": F.col("m")}
     )
     wexcl = (
         Window.partitionBy(gb).orderBy("__t__").rowsBetween(Window.unboundedPreceding, -1)
@@ -2848,10 +2857,9 @@ def nelson_aalen(
         )
         cum = F.sum("__h__").over(run)
     else:
-        from .distsort import with_prefix_offsets, with_range_buckets
+        from .distsort import with_bucket_offsets
 
-        staged, gb = with_range_buckets(staged, "t")
-        staged, _tot = with_prefix_offsets(staged, gb, {"h": F.col("__h__")})
+        staged, gb, _tot = with_bucket_offsets(staged, "t", {"h": F.col("__h__")})
         run = (
             Window.partitionBy(gb)
             .orderBy("t")
@@ -3006,7 +3014,7 @@ def quantile_compare(
     (shared exchange — the wasserstein_1d plan); the bounded literal prob
     grid fans out map-only (explode of a literal array) and one aggregate
     picks each quantile.  Output: (p, q_a, q_b, gap) sorted by p."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     probs = tuple(float(p) for p in probs)
     if not probs or any(not 0.0 < p <= 1.0 for p in probs):
@@ -3023,9 +3031,8 @@ def quantile_compare(
         .groupBy(v.alias("__v__"))
         .agg(F.sum(a_flag).alias("__ca__"), F.sum(b_flag).alias("__cb__"))
     )
-    bucketed, gb = with_range_buckets(base, "__v__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb, {"a": F.col("__ca__"), "b": F.col("__cb__")}
+    offs, gb, tot = with_bucket_offsets(
+        base, "__v__", {"a": F.col("__ca__"), "b": F.col("__cb__")}
     )
     na, nb = float(tot["a"]), float(tot["b"])
     if na <= 0 or nb <= 0:
@@ -3246,7 +3253,7 @@ def weibull_fit(
     shape_k, scale_lambda, r2, n, n_excluded."""
     import math
 
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
@@ -3265,8 +3272,7 @@ def weibull_fit(
         ).collect()[0]
         n_excluded = int(nexc_row["x"] or 0)
         cells = all_cells.filter(F.col("__v__") > 0)
-        bucketed, gb = with_range_buckets(cells, "__v__")
-        offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.col("__c__")})
+        offs, gb, tot = with_bucket_offsets(cells, "__v__", {"c": F.col("__c__")})
         n = int(tot["c"])
         if n < 3:
             raise ValueError("weibull_fit needs at least 3 positive values")
@@ -3701,15 +3707,14 @@ def hurst_exponent(
         raise ValueError("window sizes must be >= 4")
     import math
 
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
     base = sdf.filter(v.isNotNull()).select(
         F.col(order_col).alias("__t__"), v.alias("__v__")
     )
-    bucketed, gb = with_range_buckets(base, "__t__")
-    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    offs, gb, tot = with_bucket_offsets(base, "__t__", {"c": F.lit(1)})
     n = int(tot["c"])
     if n < 2 * min(window_sizes):
         raise ValueError("series too short for the requested window sizes")

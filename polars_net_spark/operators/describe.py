@@ -216,7 +216,7 @@ def weighted_quantile(
     ~1/nbuckets of the DISTINCT values.  Output: (*by, q, value)."""
     from pyspark.sql import DataFrame as SparkDF, Window
 
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     if not qs:
         raise ValueError("qs must be non-empty")
@@ -258,8 +258,7 @@ def weighted_quantile(
     # aggregate and the final window pass each read it (unpersisted, each
     # action re-ran the full input scan + combine — 3 passes for 1)
     dv = register_cache(base.groupBy("__v__").agg(F.sum("__w__").alias("__w__")))
-    bucketed, bcol = with_range_buckets(dv, "__v__")
-    offs, totals = with_prefix_offsets(bucketed, bcol, {"w": F.col("__w__")})
+    offs, bcol, totals = with_bucket_offsets(dv, "__v__", {"w": F.col("__w__")})
     wtot = float(totals["w"])
     wb = Window.partitionBy(bcol).orderBy("__v__")
     cum = F.col("__off_w__") + F.sum("__w__").over(

@@ -130,6 +130,128 @@ def with_prefix_offsets(
     return out, totals
 
 
+def _bucket_pred(c: Column, desc: bool):
+    # strictly-below/above, as in with_range_buckets; a null boundary
+    # element fails the predicate and drops out of the filtered array,
+    # matching the literal path which skips None bounds
+    return (lambda b: b > c) if desc else (lambda b: b < c)
+
+
+def _bucket_literal_expr(col_name: str, bounds: "list[float]", desc: bool) -> Column:
+    c = F.col(col_name).cast("double")
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, _bucket_pred(c, desc)))
+
+
+def _fused_sketch_sums(
+    sdf: SparkDF,
+    col_name: str,
+    sums: "dict[str, Column]",
+    desc: bool,
+    nbuckets: "int | None",
+    accuracy: int,
+) -> "tuple[list[float], list]":
+    """ONE driver job computing the boundary sketch AND the per-bucket sums:
+    the ``percentile_approx`` aggregate rides a broadcast single-row cross
+    join, the live bucket id derives from that array column, and the
+    boundary array comes back WITH the collected per-bucket rows (``first``
+    per group — every group shares the one broadcast row).  Returns
+    ``(bounds, rows sorted by bucket id)``; duplicates and order of the raw
+    boundary array are preserved so a literal re-derivation counts the same
+    boundary multiset the live expression counted."""
+    if nbuckets is None:
+        nbuckets = _default_nbuckets(sdf)
+    names = list(sums)
+    c = F.col(col_name).cast("double")
+    if nbuckets > 1:
+        qs = [i / nbuckets for i in range(1, nbuckets)]
+        bnd = sdf.agg(
+            F.percentile_approx(
+                c, F.array(*[F.lit(q) for q in qs]), F.lit(int(accuracy))
+            ).alias("__bnds__")
+        )
+        bucket_live = F.when(F.col("__bnds__").isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(F.col("__bnds__"), _bucket_pred(c, desc)))
+        )
+        # the boundary ARRAY rides as a second GROUP KEY (identical for all
+        # rows — same broadcast row), NOT as a first() aggregate: an
+        # array-typed aggregate buffer forces SortAggregate + a full sort
+        # of the data-sized stream, while array group keys keep the
+        # codegen'd HashAggregate (measured: the first() form regressed
+        # q302/q250-class raw-row consumers ~0.3-0.5 s)
+        rows = (
+            sdf.crossJoin(F.broadcast(bnd))
+            .groupBy(bucket_live.alias(BUCKET_COL), F.col("__bnds__"))
+            .agg(*[F.sum(sums[n]).alias(n) for n in names])
+            .collect()
+        )
+        raw = rows[0]["__bnds__"] if rows else None
+        bounds = [float(b) for b in (raw or []) if b is not None]
+    else:
+        rows = (
+            sdf.groupBy(F.lit(0).alias(BUCKET_COL))
+            .agg(*[F.sum(sums[n]).alias(n) for n in names])
+            .collect()
+        )
+        bounds = []
+    rows.sort(key=lambda r: r[BUCKET_COL])
+    return bounds, rows
+
+
+def with_bucket_offsets(
+    sdf: SparkDF,
+    col_name: str,
+    sums: "dict[str, Column]",
+    desc: bool = False,
+    nbuckets: int | None = None,
+    accuracy: int = 10_000,
+    offset_prefix: str = "__off_",
+) -> tuple[SparkDF, str, "dict[str, float]"]:
+    """Fused ``with_range_buckets`` + ``with_prefix_offsets``: ONE driver job
+    instead of two.  The boundary sketch and the per-bucket totals are
+    computed together — the ``percentile_approx`` aggregate is attached to
+    the rows as a broadcast single-row cross join, the bucket id is derived
+    from that array column, and the per-bucket sums are collected WITH the
+    boundary array riding along (``first`` per group, all groups share the
+    one broadcast row).  The collected boundaries then become plan literals
+    for the returned DataFrame, exactly as the two-job shape produced:
+    bucket choice is result-invariant, and here the literal ids reproduce
+    the fused job's ids by construction (same raw array, same strict
+    comparison), so the offsets/totals and the final pass agree on every
+    bucket.  Returns ``(sdf + BUCKET_COL + __off_<name>__ columns,
+    BUCKET_COL, grand totals)`` — the same contract as calling the two
+    helpers in sequence."""
+    bounds, rows = _fused_sketch_sums(sdf, col_name, sums, desc, nbuckets, accuracy)
+    names = list(sums)
+    out = sdf.withColumn(BUCKET_COL, _bucket_literal_expr(col_name, bounds, desc))
+    offsets: dict[str, dict[int, float]] = {n: {} for n in names}
+    totals: dict[str, float] = {n: 0 for n in names}
+    for r in rows:
+        for n in names:
+            offsets[n][r[BUCKET_COL]] = totals[n]
+            totals[n] += r[n] or 0
+    for n in names:
+        col_out = f"{offset_prefix}{n}__"
+        if offsets[n]:
+            m = F.create_map(
+                *[
+                    lit
+                    for k, v in offsets[n].items()
+                    for lit in (F.lit(int(k)), F.lit(float(v)))
+                ]
+            )
+            off = F.coalesce(F.element_at(m, F.col(BUCKET_COL)), F.lit(0.0))
+        else:
+            off = F.lit(0.0)
+        out = out.withColumn(col_out, off)
+    return out, BUCKET_COL, totals
+
+
+__all__.append("with_bucket_offsets")
+
+
 HALO_COL = "__halo__"
 
 
@@ -168,15 +290,21 @@ def with_halo_buckets(
     ONE bucket-keyed exchange carrying two row_number windows, then the
     explode fan-out of ≤ (before+after) rows per bucket — no
     single-partition stage at any scale."""
-    bucketed, bcol = with_range_buckets(sdf, order_col, nbuckets=nbuckets)
     before, after = int(before), int(after)
     if before <= 0 and after <= 0:
+        bucketed, bcol = with_range_buckets(sdf, order_col, nbuckets=nbuckets)
         return bucketed.withColumn(HALO_COL, F.lit(False)), bcol, HALO_COL
+    # FUSED (r13): the boundary sketch and the per-bucket counts come from
+    # ONE driver job (the with_bucket_offsets machinery) instead of the
+    # sketch action + counts.collect() pair
+    bounds, counts = _fused_sketch_sums(
+        sdf, order_col, {"count": F.lit(1)}, False, nbuckets, 10_000
+    )
+    bcol = BUCKET_COL
+    bucketed = sdf.withColumn(bcol, _bucket_literal_expr(order_col, bounds, False))
     # coalesce thin buckets: every surviving bucket must hold >= need rows
     # so its halo alone can complete the neighbor's window
     need = max(before, after)
-    counts = bucketed.groupBy(bcol).count().collect()  # <= nbuckets rows
-    counts.sort(key=lambda r: r[bcol])
     mapping: dict[int, int] = {}
     gid, acc = 0, 0
     for r in counts:
@@ -426,8 +554,9 @@ def exact_quantiles(
     has_nan = dv.filter(F.isnan("__v__")).limit(1).count()
     if has_nan:
         return _fallback_nan()
-    bucketed, bcol = with_range_buckets(dv, "__v__", nbuckets=nbuckets)
-    offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.col("__cnt__")})
+    offs, bcol, totals = with_bucket_offsets(
+        dv, "__v__", {"c": F.col("__cnt__")}, nbuckets=nbuckets
+    )
     n = int(totals["c"] or 0)
     if n == 0:
         return [None] * len(probs)
@@ -465,3 +594,137 @@ def exact_quantiles(
 
 
 __all__.append("exact_quantiles")
+
+
+def exact_quantiles_multi(
+    sdf: SparkDF,
+    cols: "dict[str, Column | str]",
+    probs: "list[float]",
+    nbuckets: "int | None" = None,
+    driver_threshold: int = 65_536,
+) -> "dict[str, list[float | None]]":
+    """``exact_quantiles`` for SEVERAL columns in ONE shared input pass —
+    the multi-column feature-scaling shape (r12 ADVICE: a per-column loop
+    re-ran the full upstream scan+combine once per column).  One unpivot
+    (explode of per-column structs) feeds one map-side-combined
+    (column, value) distinct-count aggregate, persisted; each column's
+    order statistics then resolve against that cached table with the
+    IDENTICAL per-column arithmetic as ``exact_quantiles`` (driver-side
+    selection under ``driver_threshold`` distinct values, the distsort
+    bucket machinery above it, Spark-Percentile interpolation bit-for-bit
+    in both).  Returns {name: [quantile per prob]}."""
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError("each prob must be in [0, 1]")
+    import math
+
+    from .._cache import register_cache
+
+    names = list(cols)
+    structs = []
+    for name in names:
+        c = cols[name]
+        c = F.col(c) if isinstance(c, str) else c
+        structs.append(
+            F.struct(F.lit(name).alias("__k__"), c.cast("double").alias("__v__"))
+        )
+    base = (
+        sdf.select(F.explode(F.array(*structs)).alias("__e__"))
+        .select(F.col("__e__.__k__").alias("__k__"), F.col("__e__.__v__").alias("__v__"))
+        .filter(F.col("__v__").isNotNull())
+    )
+    dv = register_cache(
+        base.groupBy("__k__", "__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    ndv_rows = dv.groupBy("__k__").agg(F.count(F.lit(1)).alias("__ndv__")).collect()
+    ndv = {r["__k__"]: int(r["__ndv__"]) for r in ndv_rows}
+
+    out: "dict[str, list[float | None]]" = {}
+    for name in names:
+        n_distinct = ndv.get(name, 0)
+        if n_distinct == 0:
+            out[name] = [None] * len(probs)
+            continue
+        col_dv = dv.filter(F.col("__k__") == name).select("__v__", "__cnt__")
+        if n_distinct <= int(driver_threshold):
+            pairs = sorted((r["__v__"], int(r["__cnt__"])) for r in col_dv.collect())
+            if any(math.isnan(v) for v, _ in pairs):
+                out[name] = _percentile_fallback(sdf, cols[name], probs)
+                continue
+            n = sum(cnt for _, cnt in pairs)
+            cum: list[int] = []
+            t = 0
+            for _, cnt in pairs:
+                t += cnt
+                cum.append(t)
+
+            def _at(k: int) -> float:
+                import bisect
+
+                return float(pairs[bisect.bisect_right(cum, k)][0])
+
+            vals: "list[float | None]" = []
+            for p in probs:
+                pos = (n - 1) * float(p)
+                lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
+                lo_v, hi_v = _at(lo_i), _at(hi_i)
+                vals.append(lo_v + (hi_v - lo_v) * (pos - math.floor(pos)))
+            out[name] = vals
+            continue
+        if col_dv.filter(F.isnan("__v__")).limit(1).count():
+            out[name] = _percentile_fallback(sdf, cols[name], probs)
+            continue
+        offs, bcol, totals = with_bucket_offsets(
+            col_dv, "__v__", {"c": F.col("__cnt__")}, nbuckets=nbuckets
+        )
+        n = int(totals["c"] or 0)
+        if n == 0:
+            out[name] = [None] * len(probs)
+            continue
+        targets: list[int] = []
+        fracs: list[tuple[int, int, float]] = []
+        for p in probs:
+            pos = (n - 1) * float(p)
+            lo_i, hi_i = int(math.floor(pos)), int(math.ceil(pos))
+            fracs.append((lo_i, hi_i, pos - math.floor(pos)))
+            targets.extend([lo_i, hi_i])
+        targets = sorted(set(targets))
+        w = Window.partitionBy(bcol).orderBy("__v__").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        start = F.col("__off_c__") + F.coalesce(F.sum("__cnt__").over(w), F.lit(0.0))
+        staged = offs.select(
+            "__v__", start.alias("__s__"), (start + F.col("__cnt__")).alias("__e__")
+        )
+        row = staged.agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("__s__") <= i) & (F.lit(i) < F.col("__e__")),
+                        F.col("__v__"),
+                    )
+                ).alias(f"t{i}")
+                for i in targets
+            ]
+        ).first()
+        at = {i: float(row[f"t{i}"]) for i in targets}
+        vals = []
+        for lo_i, hi_i, frac in fracs:
+            lo_v, hi_v = at[lo_i], at[hi_i]
+            vals.append(lo_v + (hi_v - lo_v) * frac)
+        out[name] = vals
+    return out
+
+
+def _percentile_fallback(sdf, col, probs) -> "list[float | None]":
+    c = F.col(col) if isinstance(col, str) else col
+    row = sdf.agg(
+        F.percentile(
+            c.cast("double"), F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("b")
+    ).first()
+    arr = row["b"] if row is not None else None
+    return [None] * len(probs) if arr is None else [float(x) for x in arr]
+
+
+__all__.append("exact_quantiles_multi")

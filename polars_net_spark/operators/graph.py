@@ -470,37 +470,41 @@ def connected_components(
             .select("v", F.col("v").alias("c"))
         )
         labels.persist()
+        cached = labels  # the actually-persisted frame behind `labels`
         converged = False
         for r in range(int(max_rounds)):
+            # own-label rows ride the union FLAGGED, so the round's previous
+            # label falls out of the same min-aggregate — the r12 shape
+            # re-joined nxt to labels on v every round just to ask "did
+            # anything change" (one data-sized join + sort per round, gone)
             nxt = (
-                labels
+                labels.select("v", "c", F.lit(True).alias("__own__"))
                 .unionAll(
                     labels.join(e, labels["v"] == e["a"], "inner")
-                    .select(F.col("b").alias("v"), "c")
+                    .select(F.col("b").alias("v"), "c", F.lit(False).alias("__own__"))
                 )
                 .unionAll(
                     labels.join(e, labels["v"] == e["b"], "inner")
-                    .select(F.col("a").alias("v"), "c")
+                    .select(F.col("a").alias("v"), "c", F.lit(False).alias("__own__"))
                 )
                 .groupBy("v")
-                .agg(F.min("c").alias("c"))
+                .agg(
+                    F.min("c").alias("c"),
+                    F.min(F.when(F.col("__own__"), F.col("c"))).alias("__prev__"),
+                )
             )
             if (r + 1) % checkpoint_every == 0:
                 nxt = _ckpt(nxt)
             nxt.persist()
-            changed = (
-                nxt.alias("n")
-                .join(labels.alias("p"), "v")
-                .filter(F.col("n.c") != F.col("p.c"))
-            )
-            done = changed.isEmpty()
-            labels.unpersist()
-            labels = nxt
+            done = nxt.filter(F.col("c") != F.col("__prev__")).isEmpty()
+            cached.unpersist()
+            cached = nxt
+            labels = nxt.select("v", "c")
             if done:
                 converged = True
                 break
         if not converged:
-            labels.unpersist()
+            cached.unpersist()
             e.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge within "
@@ -508,7 +512,7 @@ def connected_components(
             )
         out = labels.select(F.col("v").alias("id"), F.col("c").alias("component"))
         out = _ckpt(out)
-        labels.unpersist()
+        cached.unpersist()
         e.unpersist()
     return LazyFrame(out)
 

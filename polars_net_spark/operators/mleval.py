@@ -51,7 +51,7 @@ def auc_report(
     is one fused reduce.  Labels are truthy (> 0); null scores/labels
     drop.  Output (1 row): auc, gini (2·AUC−1), n_pos, n_neg.  AUC is
     null when either class is empty."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     s = F.col(score_col).cast("double")
@@ -64,8 +64,7 @@ def auc_report(
             F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__cp__")
         )
     )
-    g2, gb = with_range_buckets(g, "__s__")
-    g3, _tot = with_prefix_offsets(g2, gb, {"c": F.col("__c__")})
+    g3, gb, _tot = with_bucket_offsets(g, "__s__", {"c": F.col("__c__")})
     wexcl = (
         Window.partitionBy(gb)
         .orderBy("__s__")
@@ -203,7 +202,7 @@ def gains_chart(
     data-sized single-partition window; the k-row slice table then takes
     two bounded reduces.  Output: (bucket, n, n_pos, pos_rate,
     cum_pos_share, lift), bucket 0 = best-scored slice."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -213,8 +212,7 @@ def gains_chart(
     base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull()).select(
         s.alias("__s__"), F.col(id_col).alias("__id__"), y.alias("__y__")
     )
-    bucketed, gb = with_range_buckets(base, "__s__", desc=True)
-    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    offs, gb, tot = with_bucket_offsets(base, "__s__", {"c": F.lit(1)}, desc=True)
     n = int(tot["c"])
     if n == 0:
         raise ValueError("gains_chart: no scored labeled rows")
@@ -326,7 +324,7 @@ def average_precision(
     driver prefix offsets + per-bucket row_number; the cumulative
     positive count at each rank rides a SECOND prefix chain over the same
     buckets; AP is one fused reduce.  Output (1 row): ap, n_pos, n."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     s = F.col(score_col).cast("double")
@@ -334,9 +332,8 @@ def average_precision(
     base = sdf.filter(s.isNotNull() & F.col(label_col).isNotNull()).select(
         s.alias("__s__"), F.col(id_col).alias("__id__"), y.alias("__y__")
     )
-    bucketed, gb = with_range_buckets(base, "__s__", desc=True)
-    offs, tot = with_prefix_offsets(
-        bucketed, gb, {"c": F.lit(1), "p": F.col("__y__")}
+    offs, gb, tot = with_bucket_offsets(
+        base, "__s__", {"c": F.lit(1), "p": F.col("__y__")}, desc=True
     )
     n = int(tot["c"])
     if n == 0:
@@ -389,7 +386,7 @@ def qini_curve(
     (no data-sized window), one slice aggregate, then the k-row table
     rides bounded windows.  Output: (bucket, n_treat, n_ctrl, y_treat,
     y_ctrl, qini, cum_uplift); control-empty prefixes give nulls."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -403,8 +400,7 @@ def qini_curve(
         s.alias("__s__"), F.col(id_col).alias("__id__"),
         t.alias("__t__"), yv.alias("__y__"),
     )
-    bucketed, gb = with_range_buckets(base, "__s__", desc=True)
-    offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+    offs, gb, tot = with_bucket_offsets(base, "__s__", {"c": F.lit(1)}, desc=True)
     n = int(tot["c"])
     if n == 0:
         raise ValueError("qini_curve: no usable rows")

@@ -405,7 +405,7 @@ def mann_whitney_u(
         g.alias("__g__"), v.alias("__v__")
     )
     from .._cache import register_cache
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     # avg_rank of a tie group of size t after c earlier rows = c + (t+1)/2,
     # so ra = Σ_groups count_a · (cum_before + (cnt+1)/2); the tie term
@@ -417,8 +417,7 @@ def mann_whitney_u(
             F.count(F.when(F.col("__g__") == group_a, F.lit(1))).alias("__ca__"),
         )
     )
-    d2, gb = with_range_buckets(d, "__v__")
-    d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+    d3, gb, _tot = with_bucket_offsets(d, "__v__", {"cnt": F.col("__cnt__")})
     wexcl = (
         Window.partitionBy(gb)
         .orderBy(F.col("__v__"))
@@ -491,14 +490,13 @@ def spearman_corr(
         )
     else:
         from .._cache import register_cache
-        from .distsort import with_prefix_offsets, with_range_buckets
+        from .distsort import with_bucket_offsets
 
         base = register_cache(base)
 
         def rank_table(col: str, out: str):
             d = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt__"))
-            d2, gb = with_range_buckets(d, col)
-            d3, _tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+            d3, gb, _tot = with_bucket_offsets(d, col, {"cnt": F.col("__cnt__")})
             wexcl = (
                 Window.partitionBy(gb)
                 .orderBy(F.col(col))
@@ -608,7 +606,7 @@ def ks_test(
     Kolmogorov p-value is computed from, null if either sample is empty),
     n_a, n_b.  Nulls are excluded; rows in neither group are ignored."""
     from .._cache import register_cache
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     g = F.col(group_col)
@@ -620,9 +618,8 @@ def ks_test(
             F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__cb__"),
         )
     )
-    d2, gb = with_range_buckets(d, "__v__")
-    d3, tot = with_prefix_offsets(
-        d2, gb, {"ca": F.col("__ca__"), "cb": F.col("__cb__")}
+    d3, gb, tot = with_bucket_offsets(
+        d, "__v__", {"ca": F.col("__ca__"), "cb": F.col("__cb__")}
     )
     na, nb = float(tot["ca"]), float(tot["cb"])
     w = (
@@ -1021,17 +1018,16 @@ def bh_adjust(
     ordering ties deterministically (default: all other columns are
     carried but ordering ties break on p alone — fine, ties adjust
     equally).  Appends ``adj_col``."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     pv = F.col(p_col).cast("double")
     base = sdf.filter(pv.isNotNull())
-    bucketed, bcol = with_range_buckets(base, p_col, desc=True)
     # prefix counts (for the ascending rank) and prefix MIN of raw values
-    # need different machineries: counts via with_prefix_offsets, the
-    # running raw-min needs the rank first — two passes over tiny
+    # need different machineries: counts via the fused bucket+offsets job,
+    # the running raw-min needs the rank first — two passes over tiny
     # per-bucket aggregates, both driver-bounded.
-    offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
+    offs, bcol, totals = with_bucket_offsets(base, p_col, {"c": F.lit(1)}, desc=True)
     m = float(totals["c"])
     # by_adjust: Benjamini–Yekutieli multiplies the BH raw by the exact
     # harmonic number H_m (driver loop over the already-known m — ~0.1 s
@@ -1306,7 +1302,14 @@ def ipf_weights(
         [(k, float(v) / ct_tot) for k, v in sorted(col_targets.items())],
         "__c__ string, __tc__ double",
     )
-    cells = (
+    from .._cache import register_cache
+
+    # persist the DATA-SIZED cell aggregate: every round's two marginal
+    # broadcast subqueries and the final action re-evaluate their whole
+    # lineage — unpersisted, each one re-ran the full input scan+combine
+    # (the cox_ph r12 bug class; the rounds after this line only ever
+    # touch the bounded cell table)
+    cells = register_cache(
         sdf.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
         .groupBy(
             F.col(row_col).cast("string").alias("__r__"),
@@ -1316,6 +1319,61 @@ def ipf_weights(
         .join(F.broadcast(rt), "__r__")
         .join(F.broadcast(ct), "__c__")
     )
+    # DRIVER PATH (the bradley_terry convention): the calibrated cell table
+    # is bounded by |row_targets| x |col_targets| — a bound known from the
+    # ARGUMENTS, zero probe jobs — and IPF is only meaningful for bounded
+    # category grids (survey raking).  Collect the cells once (after the
+    # one data-sized aggregate) and run the rounds as a Python loop: the
+    # identical multiplicative updates over the identical cells, ~3 jobs
+    # instead of 6 nested broadcast-subquery evaluations per fit (measured
+    # 103 AQE stage-jobs on the distributed shape at 3 rounds).  Division
+    # and ROUNDING stay Spark expressions on the result frame, so the
+    # output convention (F.round HALF_UP) is bit-identical.  The
+    # distributed path remains for web-scale category grids.
+    if len(row_targets) * len(col_targets) <= 4096:
+        erows = [
+            (r["__r__"], r["__c__"], int(r["n"]), float(r["__tr__"]), float(r["__tc__"]))
+            for r in cells.collect()
+        ]
+        n_total = float(sum(n for _, _, n, _, _ in erows))
+        if not erows or n_total <= 0:
+            # no calibratable cells: mirror the distributed path's empty
+            # result (joins drop everything)
+            out = spark.createDataFrame(
+                [],
+                f"{row_col} string, {col_col} string, n bigint, "
+                "weight double, mass double",
+            )
+            return LazyFrame(out)
+        m = {(rr, cc): n / n_total for rr, cc, n, _, _ in erows}
+        tr = {rr: t for rr, _, _, t, _ in erows}
+        tc = {cc: t for _, cc, _, _, t in erows}
+        for _ in range(int(iterations)):
+            rs: dict = {}
+            for (rr, cc), v in m.items():
+                rs[rr] = rs.get(rr, 0.0) + v
+            for key in m:
+                m[key] = m[key] * tr[key[0]] / rs[key[0]]
+            cs: dict = {}
+            for (rr, cc), v in m.items():
+                cs[cc] = cs.get(cc, 0.0) + v
+            for key in m:
+                m[key] = m[key] * tc[key[1]] / cs[key[1]]
+        staged = spark.createDataFrame(
+            [
+                (rr, cc, n, m[(rr, cc)], n / n_total)
+                for rr, cc, n, _, _ in erows
+            ],
+            "__r__ string, __c__ string, n bigint, __m__ double, __sh__ double",
+        )
+        out = staged.select(
+            F.col("__r__").alias(row_col),
+            F.col("__c__").alias(col_col),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("__m__") / F.col("__sh__"), round_to).alias("weight"),
+            F.round(F.col("__m__"), round_to).alias("mass"),
+        )
+        return LazyFrame(out)
     if checkpoint_dir is not None:
 
         def _ckpt(df):
@@ -1782,7 +1840,7 @@ def msprt_report(
     map-side-combining 1-row reduce — no single-partition window at any
     n.  Output (1 row): n, s_n, sigma, lambda_max, always_valid_p,
     reject."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     x = F.col(value_col).cast("double")
@@ -1796,9 +1854,8 @@ def msprt_report(
     n_total, sig2 = int(srow["n"]), srow["v"]
     if not n_total or sig2 is None or sig2 <= 0:
         raise ValueError("msprt_report needs >= 2 observations with variance > 0")
-    bucketed, gb = with_range_buckets(base, "__o__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb, {"s": F.col("__d__"), "c": F.lit(1)}
+    offs, gb, tot = with_bucket_offsets(
+        base, "__o__", {"s": F.col("__d__"), "c": F.lit(1)}
     )
     wrun = (
         Window.partitionBy(gb).orderBy("__o__").rowsBetween(Window.unboundedPreceding, 0)
@@ -1854,15 +1911,14 @@ def median_ci(
     Output (1 row): n, median, ci_lo, ci_hi, z."""
     import math
 
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     x = F.col(value_col).cast("double")
     base = sdf.filter(x.isNotNull()).select(x.alias("__x__"))
     base.persist()
     try:
-        bucketed, gb = with_range_buckets(base, "__x__")
-        offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
+        offs, gb, tot = with_bucket_offsets(base, "__x__", {"c": F.lit(1)})
         n = int(tot["c"])
         if n < 2:
             raise ValueError("median_ci needs >= 2 non-null values")
@@ -2666,7 +2722,7 @@ def best_changepoint(
 
     Output (1 row): split_at, n_left, n_right, mean_left, mean_right,
     sse_drop.  Raises if fewer than 2·min_segment rows."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     if min_segment < 1:
         raise ValueError("min_segment must be >= 1")
@@ -2682,9 +2738,8 @@ def best_changepoint(
             F.sum(v ** 2).alias("__q__"),
         )
     )
-    bucketed, gb = with_range_buckets(base, "__t__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb,
+    offs, gb, tot = with_bucket_offsets(
+        base, "__t__",
         {"c": F.col("__c__"), "s": F.col("__s__"), "q": F.col("__q__")},
     )
     n, sv, sq = float(tot["c"]), float(tot["s"]), float(tot["q"])
@@ -2879,7 +2934,7 @@ def energy_distance(
     buckets + driver offsets, and the pair-sums fall out of ONE fused
     reduce — no self-join, no window over the raw data.  Output (1 row):
     energy_dist, e_cross, e_within_a, e_within_b, n_a, n_b."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
@@ -2894,9 +2949,8 @@ def energy_distance(
             F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
         )
     )
-    bucketed, gb = with_range_buckets(cells, "__v__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb,
+    offs, gb, tot = with_bucket_offsets(
+        cells, "__v__",
         {
             "ca": F.col("__ca__"),
             "cb": F.col("__cb__"),
@@ -2971,7 +3025,7 @@ def pettitt_test(
     + (ties+1)/2) joined back on the value, then the U scan rides a
     second distsort pass keyed on time — no data-sized window, no
     self-join.  Output (1 row): split_at, u_stat, k_stat, n, p_value."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     t = F.col(time_col).cast("double")
@@ -2988,8 +3042,7 @@ def pettitt_test(
         cells = register_cache(
             series.groupBy("__v__").agg(F.count(F.lit(1)).alias("__c__"))
         )
-        vb, vgb = with_range_buckets(cells, "__v__")
-        voffs, vtot = with_prefix_offsets(vb, vgb, {"c": F.col("__c__")})
+        voffs, vgb, vtot = with_bucket_offsets(cells, "__v__", {"c": F.col("__c__")})
         n = int(vtot["c"])
         if n < 3:
             raise ValueError("pettitt_test needs at least 3 distinct times")
@@ -3004,9 +3057,8 @@ def pettitt_test(
         # persisted: the time-keyed sketch, offsets and final U scan all
         # read the rank join
         ranked = register_cache(series.join(ranks, "__v__"))
-        tb, tgb = with_range_buckets(ranked, "__t__")
-        toffs, _ = with_prefix_offsets(
-            tb, tgb, {"cnt": F.lit(1), "r": F.col("__r__")}
+        toffs, tgb, _ = with_bucket_offsets(
+            ranked, "__t__", {"cnt": F.lit(1), "r": F.col("__r__")}
         )
         wt = Window.partitionBy(tgb).orderBy("__t__").rowsBetween(
             Window.unboundedPreceding, 0
@@ -3066,7 +3118,7 @@ def best_split(
     parent_gini, n_left, n_right, pos_rate_left, pos_rate_right.
     ``min_leaf`` keeps degenerate end-splits out; raises if the label is
     constant or no candidate satisfies min_leaf."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     if min_leaf < 1:
         raise ValueError("min_leaf must be >= 1")
@@ -3081,9 +3133,8 @@ def best_split(
             F.count(F.lit(1)).alias("__c__"), F.sum(y).alias("__p__")
         )
     )
-    bucketed, gb = with_range_buckets(cells, "__x__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb, {"c": F.col("__c__"), "p": F.col("__p__")}
+    offs, gb, tot = with_bucket_offsets(
+        cells, "__x__", {"c": F.col("__c__"), "p": F.col("__p__")}
     )
     n, np_ = float(tot["c"]), float(tot["p"])
     if n < 2 * min_leaf:
@@ -3293,7 +3344,7 @@ def cramer_von_mises(
     asymptotic null law has no closed form, so the statistic is reported
     without a p (compare to the 0.461/0.743 classic 5%/1% critical
     values).  Output (1 row): t_stat, u_stat, n_a, n_b."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
@@ -3308,9 +3359,8 @@ def cramer_von_mises(
             F.sum(isa).alias("__ca__"), F.sum(isb).alias("__cb__")
         )
     )
-    bucketed, gb = with_range_buckets(cells, "__v__")
-    offs, tot = with_prefix_offsets(
-        bucketed, gb, {"ca": F.col("__ca__"), "cb": F.col("__cb__")}
+    offs, gb, tot = with_bucket_offsets(
+        cells, "__v__", {"ca": F.col("__ca__"), "cb": F.col("__cb__")}
     )
     n, m = float(tot["ca"]), float(tot["cb"])
     if n < 1 or m < 1:
@@ -3398,12 +3448,9 @@ def permutation_test(
     # row ran single-digit-MB/s (measured 22.8 s vs 0.4 s for a 2-sum
     # pass over the same rows at sf0.1).  Coin parity: last hex digit
     # even ⇔ low bit of digest byte 15 clear.
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if base.rdd.getNumPartitions() < par:
-            base = base.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    from .._spread import spread_plain_scan
+
+    base = spread_plain_scan(base)
     nperm = int(n_perms)
     seed_s = str(seed)
 
@@ -4467,13 +4514,12 @@ def kruskal_wallis(
         g.alias("__g__"), v.alias("__v__")
     )
     from .._cache import register_cache
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     vcells = register_cache(
         base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
     )
-    d2, gb = with_range_buckets(vcells, "__v__")
-    d3, tot = with_prefix_offsets(d2, gb, {"cnt": F.col("__cnt__")})
+    d3, gb, tot = with_bucket_offsets(vcells, "__v__", {"cnt": F.col("__cnt__")})
     n_total = float(tot["cnt"])
     if n_total < 3:
         raise ValueError("kruskal_wallis needs at least 3 values")
@@ -4768,13 +4814,12 @@ def holm_adjust(
     asc, driver PREFIX-MAX offsets (≤ nbuckets rows), within-bucket
     running-max window over ~1/nbuckets of the data — no single-partition
     window.  Null p-values drop.  Appends ``adj_col``."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     sdf = _sdf(frame)
     pv = F.col(p_col).cast("double")
     base = sdf.filter(pv.isNotNull())
-    bucketed, bcol = with_range_buckets(base, p_col)
-    offs, totals = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
+    offs, bcol, totals = with_bucket_offsets(base, p_col, {"c": F.lit(1)})
     m = float(totals["c"])
     tie = [F.col(c) for c in ([id_cols] if isinstance(id_cols, str) else (id_cols or []))]
     wa = Window.partitionBy(bcol).orderBy(pv.asc(), *[c.asc() for c in tie])
@@ -4945,7 +4990,7 @@ def wilcoxon_signed_rank(
         .select(F.abs("__d__").alias("__a__"), (F.col("__d__") > 0).alias("__pos__"))
     )
     from .._cache import register_cache
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     base = register_cache(base)
     # persisted: the boundary sketch and the offsets aggregate each read it
@@ -4953,10 +4998,9 @@ def wilcoxon_signed_rank(
     # the tie term Σ(c³−c) rides the SAME per-bucket aggregate as the
     # prefix offsets (with_prefix_offsets returns grand totals), so the
     # separate tie-scalar job the r11 version ran is fused away
-    d2, gb = with_range_buckets(d, "__a__")
-    d3, _tot = with_prefix_offsets(
-        d2,
-        gb,
+    d3, gb, _tot = with_bucket_offsets(
+        d,
+        "__a__",
         {
             "cnt": F.col("__cnt__"),
             "tie": (
@@ -5097,7 +5141,7 @@ def anderson_darling(
     distsort range buckets + driver prefix offsets (the holm_adjust
     construction) — no single-partition window at any n.  Output (1 row):
     a2, a2_star, mean, sd, n."""
-    from .distsort import with_prefix_offsets, with_range_buckets
+    from .distsort import with_bucket_offsets
 
     from .._cache import register_cache
 
@@ -5115,8 +5159,7 @@ def anderson_darling(
     if n_val < 2 or sd_val is None or sd_val <= 0:
         raise ValueError("anderson_darling: needs n >= 2 and nonzero variance")
     sd_val = float(sd_val)
-    bucketed, bcol = with_range_buckets(base, "__v__")
-    offs, _tot = with_prefix_offsets(bucketed, bcol, {"c": F.lit(1)})
+    offs, bcol, _tot = with_bucket_offsets(base, "__v__", {"c": F.lit(1)})
     wi = Window.partitionBy(bcol).orderBy(F.col("__v__").asc())
     pos = F.col("__off_c__") + F.row_number().over(wi)
     z = (F.col("__v__") - F.lit(float(mu_val))) / F.lit(sd_val)
@@ -5172,7 +5215,6 @@ def brunner_munzel(
     single-partition window on either ranking.  Output (1 row): w, df,
     p_hat, mean_rank_a, mean_rank_b, n_a, n_b."""
     from .._cache import register_cache
-    from .distsort import with_range_buckets
 
     sdf = _sdf(frame)
     v = F.col(value_col).cast("double")
@@ -5188,10 +5230,9 @@ def brunner_munzel(
     cells = register_cache(
         base.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cnt__"))
     )
-    cells, gb = with_range_buckets(cells, "__v__")
-    from .distsort import with_prefix_offsets
+    from .distsort import with_bucket_offsets
 
-    cells2, _tot = with_prefix_offsets(cells, gb, {"cnt": F.col("__cnt__")})
+    cells2, gb, _tot = with_bucket_offsets(cells, "__v__", {"cnt": F.col("__cnt__")})
     wexcl = (
         Window.partitionBy(gb)
         .orderBy(F.col("__v__"))
@@ -5207,17 +5248,26 @@ def brunner_munzel(
     gcells = register_cache(
         base.groupBy("__g__", "__v__").agg(F.count(F.lit(1)).alias("__c__"))
     )
-    gcells, gb2 = with_range_buckets(gcells, "__v__")
-    pref_rows = (
-        gcells.groupBy("__g__", gb2).agg(F.sum("__c__").alias("s")).collect()
+    # FUSED (r13): the second boundary sketch and the (group, bucket) sums
+    # come from ONE driver job — per-bucket rows carry BOTH groups' counts
+    from .distsort import BUCKET_COL, _bucket_literal_expr, _fused_sketch_sums
+
+    bounds2, rows2 = _fused_sketch_sums(
+        gcells, "__v__",
+        {
+            "sa": F.when(F.col("__g__") == "a", F.col("__c__")).otherwise(F.lit(0)),
+            "sb": F.when(F.col("__g__") == "b", F.col("__c__")).otherwise(F.lit(0)),
+        },
+        False, None, 10_000,
     )
-    pref_rows.sort(key=lambda r: (r["__g__"], r[gb2]))
+    gb2 = BUCKET_COL
+    gcells = gcells.withColumn(gb2, _bucket_literal_expr("__v__", bounds2, False))
     offsets: dict = {}
     running: dict = {}
-    for r in pref_rows:
-        key = (r["__g__"], r[gb2])
-        offsets[key] = running.get(r["__g__"], 0.0)
-        running[r["__g__"]] = offsets[key] + float(r["s"])
+    for r in rows2:
+        for grp, fld in (("a", "sa"), ("b", "sb")):
+            offsets[(grp, r[gb2])] = running.get(grp, 0.0)
+            running[grp] = offsets[(grp, r[gb2])] + float(r[fld] or 0)
     mp = F.create_map(
         *[
             lit

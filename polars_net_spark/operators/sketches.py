@@ -189,13 +189,9 @@ def cms_build(
     # so a narrow-scan input parallelizes the d·|rows| md5 work across the
     # session cores without shuffling unrelated columns — a many-task
     # production scan skips the repartition entirely
-    sdf = sdf.select(F.col(value_col))
-    par = sdf.sparkSession.sparkContext.defaultParallelism
-    try:
-        if sdf.rdd.getNumPartitions() < par:
-            sdf = sdf.repartition(par)
-    except Exception:  # pragma: no cover - plan-introspection guard
-        pass
+    from .._spread import spread_plain_scan
+
+    sdf = spread_plain_scan(sdf.select(F.col(value_col)))
     # depth is a Python int: build the per-hash-row structs as an array of
     # d literal-r expressions rather than transform(sequence(0, d-1), ...)
     # — higher-order functions have no codegen, so the md5/conv chain ran

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named gates to plans/r12/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named gates to plans/r13/<q>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> <query> [query ...]
 """
@@ -22,7 +22,7 @@ def main() -> None:
 
     qs = e.queries()
     spark = get_spark(app_name="dump_plans")
-    os.makedirs(os.path.join(REPO, "plans", "r12"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
     for name in names:
         try:
             df = qs[name](spark, sf_dir)
@@ -33,7 +33,7 @@ def main() -> None:
             txt = f"ERROR {type(ex).__name__}: {ex}"
         finally:
             release_caches()
-        path = os.path.join(REPO, "plans", "r12", f"{name}_{tag}.txt")
+        path = os.path.join(REPO, "plans", "r13", f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(txt)
         print(f"wrote {path}")
