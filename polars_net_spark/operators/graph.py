@@ -580,46 +580,54 @@ def bfs_distances(
             .select("v", F.lit(0).cast("long").alias("d"))
         )
         dist.persist()
+        cached = dist  # the actually-persisted frame behind `dist`
         converged = False
         for r in range(int(max_rounds)):
+            # own-distance rows ride the union FLAGGED so the previous
+            # distance falls out of the same min-aggregate — the old shape
+            # re-joined nxt to dist every round just for the "did anything
+            # change" probe (the connected_components r13 fuse; a newly
+            # reached vertex has no own row, so __prev__ NULL ⇔ the left
+            # join's p.d-is-null case)
             nxt = (
-                dist
+                dist.select("v", "d", F.lit(True).alias("__own__"))
                 .unionAll(
                     dist.join(e, dist["v"] == e["a"], "inner")
-                    .select(F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+                    .select(F.col("b").alias("v"), (F.col("d") + 1).alias("d"),
+                            F.lit(False).alias("__own__"))
                 )
                 .unionAll(
                     dist.join(e, dist["v"] == e["b"], "inner")
-                    .select(F.col("a").alias("v"), (F.col("d") + 1).alias("d"))
+                    .select(F.col("a").alias("v"), (F.col("d") + 1).alias("d"),
+                            F.lit(False).alias("__own__"))
                 )
                 .groupBy("v")
-                .agg(F.min("d").alias("d"))
+                .agg(
+                    F.min("d").alias("d"),
+                    F.min(F.when(F.col("__own__"), F.col("d"))).alias("__prev__"),
+                )
             )
             if (r + 1) % checkpoint_every == 0:
                 nxt = _ckpt(nxt)
             nxt.persist()
-            changed = (
-                nxt.alias("n")
-                .join(dist.alias("p"), "v", "left")
-                .filter(
-                    F.col("p.d").isNull() | (F.col("n.d") != F.col("p.d"))
-                )
-            )
-            done = changed.isEmpty()
-            dist.unpersist()
-            dist = nxt
+            done = nxt.filter(
+                F.col("__prev__").isNull() | (F.col("d") != F.col("__prev__"))
+            ).isEmpty()
+            cached.unpersist()
+            cached = nxt
+            dist = nxt.select("v", "d")
             if done:
                 converged = True
                 break
         if not converged:
-            dist.unpersist()
+            cached.unpersist()
             e.unpersist()
             raise RuntimeError(
                 f"bfs_distances did not converge within max_rounds={max_rounds}"
             )
         out = dist.select(F.col("v").alias("id"), F.col("d").alias("distance"))
         out = _ckpt(out)
-        dist.unpersist()
+        cached.unpersist()
         e.unpersist()
     return LazyFrame(out)
 

@@ -3010,6 +3010,7 @@ def pettitt_test(
     time_col: str,
     value_col: str,
     round_to: int = 6,
+    driver_threshold: int = 65_536,
 ) -> LazyFrame:
     """Pettitt changepoint test — the RANK-based (outlier-proof) "did the
     level shift, and when" locator that complements best_changepoint's
@@ -3037,6 +3038,58 @@ def pettitt_test(
     )
     series = series.persist()
     try:
+        # DRIVER PATH (r13, the exact_quantiles driver_threshold / ipf
+        # convention): the U scan runs over DISTINCT TIMES, so after the one
+        # data-sized time-collapse the series is a bounded artifact for any
+        # realistic calendar granularity.  Collect it once and run the rank
+        # + U arithmetic in Python: every quantity is exactly representable
+        # (midranks are half-integers, cr is a half-integer sum < 2^52, u =
+        # 2·cr − idx·(n+1) is exact, the argmax tie-break replicates the
+        # struct-min ordering), so the result is bit-identical to the
+        # distributed path, in 2 cache-backed jobs instead of the
+        # cells/fused-offsets/rank-join/struct-min chain.  Above the
+        # threshold the distributed path stands — the 100 TB contract.
+        n_series = series.count()
+        if n_series <= int(driver_threshold):
+            if n_series < 3:
+                raise ValueError("pettitt_test needs at least 3 distinct times")
+            pts = sorted(
+                (float(r["__t__"]), float(r["__v__"])) for r in series.collect()
+            )
+            n = n_series
+            # midranks of the values: strictly-below count + (ties+1)/2
+            from collections import Counter
+
+            cnt = Counter(v2 for _, v2 in pts)
+            below = {}
+            run = 0
+            for v2 in sorted(cnt):
+                below[v2] = run
+                run += cnt[v2]
+            best_key = None
+            cr = 0.0
+            for idx, (t2, v2) in enumerate(pts, start=1):
+                cr += below[v2] + (cnt[v2] + 1.0) / 2.0
+                if idx > n - 1:
+                    break
+                u = 2.0 * cr - idx * float(n + 1)
+                key = (-abs(u), t2, u)
+                if best_key is None or key < best_key:
+                    best_key = key
+            import math
+
+            k_stat = abs(best_key[2])
+            p = min(1.0, 2.0 * math.exp(-6.0 * k_stat * k_stat / (n ** 3 + n ** 2)))
+            spark = sdf.sparkSession
+            out = spark.createDataFrame(
+                [(
+                    round(best_key[1], round_to), round(best_key[2], round_to),
+                    round(k_stat, round_to), n, round(p, round_to),
+                )],
+                "split_at double, u_stat double, k_stat double, n bigint, "
+                "p_value double",
+            )
+            return LazyFrame(out)
         from .._cache import register_cache
 
         cells = register_cache(

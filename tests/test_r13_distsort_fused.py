@@ -109,3 +109,19 @@ def test_exact_quantiles_multi_matches_single(spark):
     for c in ("a", "b"):
         s2 = exact_quantiles(big, c, probs, driver_threshold=100)
         assert m2[c] == s2, c
+
+
+def test_pettitt_driver_path_matches_distributed(spark):
+    from polars_net_spark.operators.regression import pettitt_test
+
+    rows = []
+    # level shift at t=60 plus ties in values and duplicate times
+    for t in range(120):
+        v = 10.0 + (5.0 if t >= 60 else 0.0) + float(t % 7) * 0.25
+        rows.append((float(t), v))
+        if t % 10 == 0:
+            rows.append((float(t), v + 1.0))  # duplicate time -> avg collapse
+    sdf = spark.createDataFrame(rows, "t double, v double")
+    drv = pettitt_test(sdf, "t", "v").collect().rows()
+    dist = pettitt_test(sdf, "t", "v", driver_threshold=0).collect().rows()
+    assert drv == dist
