@@ -1911,14 +1911,20 @@ def median_ci(
     Output (1 row): n, median, ci_lo, ci_hi, z."""
     import math
 
-    from .distsort import with_bucket_offsets
+    from .distsort import with_prefix_offsets, with_range_buckets
 
     sdf = _sdf(frame)
     x = F.col(value_col).cast("double")
     base = sdf.filter(x.isNotNull()).select(x.alias("__x__"))
     base.persist()
     try:
-        offs, gb, tot = with_bucket_offsets(base, "__x__", {"c": F.lit(1)})
+        # measured EXCEPTION to the r13 fused bucket+offsets migration: on
+        # this raw-row (not cells-collapsed) 600k-value input the fused
+        # BNLJ shape reproducibly costs ~+1.0 s (matched same-session A/B,
+        # min-of-4: two-job 2.63 s vs fused 3.67 s) while 31 of 39 consumer
+        # gates get faster — this one consumer keeps the two-job chain
+        bucketed, gb = with_range_buckets(base, "__x__")
+        offs, tot = with_prefix_offsets(bucketed, gb, {"c": F.lit(1)})
         n = int(tot["c"])
         if n < 2:
             raise ValueError("median_ci needs >= 2 non-null values")
