@@ -158,9 +158,12 @@ def _fused_sketch_sums(
     join, the live bucket id derives from that array column, and the
     boundary array comes back WITH the collected per-bucket rows (``first``
     per group — every group shares the one broadcast row).  Returns
-    ``(bounds, rows sorted by bucket id)``; duplicates and order of the raw
-    boundary array are preserved so a literal re-derivation counts the same
-    boundary multiset the live expression counted."""
+    ``(bounds, rows sorted by bucket id)``; bounds are the DEDUPED sorted
+    boundary set, and the live bucket id counts the array_distinct'ed
+    array, so a literal re-derivation counts exactly the same distinct
+    boundary set the live expression counted AND ids stay contiguous along
+    the value axis (required by ±1-neighbor consumers like
+    with_halo_buckets)."""
     if nbuckets is None:
         nbuckets = _default_nbuckets(sdf)
     names = list(sums)
@@ -172,8 +175,15 @@ def _fused_sketch_sums(
                 c, F.array(*[F.lit(q) for q in qs]), F.lit(int(accuracy))
             ).alias("__bnds__")
         )
+        # DEDUP the boundary multiset in-plan: bucket id must equal the
+        # count of DISTINCT bounds beyond the value, exactly as
+        # with_range_buckets' literal path computes it — duplicated sketch
+        # bounds would leave GAPS in the id sequence, which breaks any
+        # consumer doing ±1 arithmetic on bucket ids (with_halo_buckets'
+        # neighbor assignment silently lost its halo rows on small/tied
+        # inputs until this matched)
         bucket_live = F.when(F.col("__bnds__").isNull(), F.lit(0)).otherwise(
-            F.size(F.filter(F.col("__bnds__"), _bucket_pred(c, desc)))
+            F.size(F.filter(F.array_distinct(F.col("__bnds__")), _bucket_pred(c, desc)))
         )
         # the boundary ARRAY rides as a second GROUP KEY (identical for all
         # rows — same broadcast row), NOT as a first() aggregate: an
@@ -188,7 +198,9 @@ def _fused_sketch_sums(
             .collect()
         )
         raw = rows[0]["__bnds__"] if rows else None
-        bounds = [float(b) for b in (raw or []) if b is not None]
+        # sorted-set dedup, matching both the live array_distinct above and
+        # with_range_buckets' historical literal construction
+        bounds = sorted({float(b) for b in (raw or []) if b is not None})
     else:
         rows = (
             sdf.groupBy(F.lit(0).alias(BUCKET_COL))

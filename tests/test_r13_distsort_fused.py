@@ -125,3 +125,15 @@ def test_pettitt_driver_path_matches_distributed(spark):
     drv = pettitt_test(sdf, "t", "v").collect().rows()
     dist = pettitt_test(sdf, "t", "v", driver_threshold=0).collect().rows()
     assert drv == dist
+
+
+def test_fused_bucket_ids_contiguous_under_heavy_ties(spark):
+    """Duplicated sketch boundaries must not leave gaps in bucket ids:
+    ±1-neighbor consumers (with_halo_buckets) depend on contiguity along
+    the value axis — the r13 rmst/sessionize regression."""
+    sdf = spark.createDataFrame(
+        [(5.0,)] * 40 + [(10.0,)] * 40 + [(20.0,)] * 40, "v double"
+    )
+    out, gb, _tot = with_bucket_offsets(sdf, "v", {"c": F.lit(1)}, nbuckets=32)
+    ids = sorted(r[gb] for r in out.select(gb).distinct().collect())
+    assert ids == list(range(len(ids)))
